@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Multi-way equi-join / harness queries over the TPC-H-ish star schema
+  * (SURVEY §2.3 — declared harness queries, not reference operators; the
+  * reference pipeline is single-table). Broadcast hints mark the dims that
+  * stay broadcast-able at 100 TB fact scale (region/nation/customer/supplier
+  * grow ~linearly with SF but stay orders of magnitude below lineitem).
+  */
+object JoinQueries {
+
+  private def decSumExpr(e: org.apache.spark.sql.Column, scale: Int = 4) =
+    sum(e.cast(s"decimal(18,$scale)")).cast("double")
+
+  val defs: Map[String, Q] = Map(
+
+    // TPC-H Q1 shape — the flagship aggregation (pricing summary report).
+    "j1_pricing_summary" -> Q(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) {
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") <= expr("timestamp'2001-09-01 00:00:00'"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+            decSumExpr(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+            round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)), 6).as("avg_qty"),
+            count(lit(1)).as("cnt"))
+    },
+
+    // TPC-H Q3 shape — 3-way join, grouped revenue, distributed top-k.
+    "j2_shipping_priority" -> Q(
+      """SELECT l_orderkey,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin) {
+      (s, dir) =>
+        val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        val ord  = Tables.orders(s, dir)
+          .filter(col("o_orderdate") < expr("timestamp'1998-01-01 00:00:00'"))
+        val li   = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") > expr("timestamp'1998-01-01 00:00:00'"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(decSumExpr(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+    },
+
+    // TPC-H Q5 shape — snowflake join through region→nation→customer,
+    // revenue per nation. Dims broadcast; single fact shuffle on o_custkey /
+    // l_orderkey survives any scale-up.
+    "j3_local_supplier_volume" -> Q(
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin) {
+      (s, dir) =>
+        val asiaNations = Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+                col("n_regionkey") === col("r_regionkey"))
+        val cust = Tables.customer(s, dir)
+          .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy("n_name")
+          .agg(decSumExpr(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    },
+
+    // Semi join — EXISTS (SURVEY §2.3; left_semi never widens rows).
+    "j4_semi_exists" -> Q(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin) {
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir).select("o_custkey"),
+                col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+    },
+
+    // Anti join — NOT EXISTS (on a filtered subset so the result is
+    // non-empty at every sf: customers with no urgent order).
+    "j5_anti_not_exists" -> Q(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')""".stripMargin) {
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir)
+                  .filter(col("o_orderpriority") === "1-URGENT")
+                  .select("o_custkey"),
+                col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+    },
+
+    // Left outer + count — the merge sink's join shape (SURVEY §2.3:
+    // target ⟗ updates), here as orders-per-customer including zeros.
+    "j6_outer_count" -> Q(
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin) {
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir),
+                col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("n_orders"))
+    },
+
+    // X3 — duration arithmetic between two timestamps vs literal interval
+    // (README.md:306-307), in the DuckDB-portable epoch-millis form.
+    "x3_duration_filter" -> Q(
+      """SELECT o_orderkey, l_linenumber,
+        |       epoch_ms(l_shipdate) - epoch_ms(o_orderdate) AS wait_ms
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE epoch_ms(l_shipdate) - epoch_ms(o_orderdate) > 5184000000""".stripMargin) {
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+          // parquet TIMESTAMP(isAdjustedToUTC=false) loads as TIMESTAMP_NTZ;
+          // with a UTC session the cast to TIMESTAMP is the identity instant.
+          .withColumn("wait_ms",
+            unix_millis(col("l_shipdate").cast("timestamp")) -
+              unix_millis(col("o_orderdate").cast("timestamp")))
+          .filter(col("wait_ms") > 5184000000L) // > 60 days
+          .select("o_orderkey", "l_linenumber", "wait_ms")
+    }
+  )
+}

@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** The reference's declared operator surface (SURVEY §2.1–§2.8), one named
+  * query per operator id, each oracle-checked against DuckDB over the same
+  * parquet. Citations are into /root/reference/.
+  *
+  * The `transactions` stand-in is the `events` fixture (FIXTURES.md):
+  * `ts` plays `updated` (epoch-nanos long here, see core.Tables),
+  * `user_id` plays the uuid key, `value` plays `amount`,
+  * `event_type='error'` plays `status='BLOCKED'`.
+  */
+object ReferenceQueries {
+
+  // Shared literals (UTC, whole-second boundaries — ns-vs-µs truncation safe).
+  private val lo   = Tables.utcNanos("2024-01-10") // range-scan window
+  private val hi   = Tables.utcNanos("2024-01-20")
+  private val cut  = Tables.utcNanos("2024-01-25") // T2 snapshot cut
+  private val warm = Tables.utcNanos("2024-01-20") // T1 warm-start boundary
+
+  /** DECIMAL-exact, order-independent money sum cast back to DOUBLE. */
+  private def decSum(c: String, scale: Int = 2) =
+    sum(col(c).cast(s"decimal(18,$scale)")).cast("double")
+
+  val defs: Map[String, Q] = Map(
+
+    // S1 — the per-slice extraction read: closed range on the watermark col
+    // (reference session.py:127-133). ORDER BY dropped per SURVEY §1.3.
+    "s1_range_scan" -> Q(
+      s"""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+         |FROM events
+         |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .filter(col("ts").between(lo, hi))
+          .selectExpr("event_id", "ts div 1000 AS ts_us", "user_id",
+                      "event_type", "value", "props")
+    },
+
+    // S7 — plain file-source scan (driver fixtures; TESTDATA.md).
+    "s7_scan_count" -> Q("SELECT count(*) AS cnt FROM lineitem") {
+      (s, dir) => Tables.lineitem(s, dir).agg(count(lit(1)).as("cnt"))
+    },
+
+    // F1 — column projection (session.py:288).
+    "f1_project" -> Q("SELECT l_orderkey, l_extendedprice FROM lineitem") {
+      (s, dir) => Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice")
+    },
+
+    // F2 — inclusive-both-ends range conjunction (session.py:130-132).
+    "f2_between" -> Q(
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20""".stripMargin) {
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_quantity").between(10, 20))
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+    },
+
+    // F3 — half-open range [start, end) (session.py:264-271 interval_to_expr).
+    "f3_half_open" -> Q(
+      """SELECT event_id, epoch_us(ts) AS ts_us FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-22 00:00:00'""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .filter(col("ts") >= Tables.utcNanos("2024-01-15") &&
+                  col("ts") < Tables.utcNanos("2024-01-22"))
+          .selectExpr("event_id", "ts div 1000 AS ts_us")
+    },
+
+    // F4 + W1 — ROW_NUMBER over total order, modulo picks window-boundary
+    // rows (session.py:273-292). Total order = (epoch_us, event_id).
+    "f4_modulo_window" -> Q(
+      """SELECT rn, event_id, ts_us FROM (
+        |  SELECT row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rn,
+        |         event_id, epoch_us(ts) AS ts_us
+        |  FROM events) t
+        |WHERE rn % 100 = 1""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+        val w = Window.orderBy(col("ts_us"), col("event_id"))
+        e.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") % 100 === 1)
+          .select("rn", "event_id", "ts_us")
+    },
+
+    // F5 — null-test + inequality (README.md:150, trigger WHEN README.md:182).
+    "f5_null_ineq" -> Q(
+      """SELECT event_id, event_type, value FROM events
+        |WHERE value IS NOT NULL AND event_type <> 'error'""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull && col("event_type") =!= "error")
+          .select("event_id", "event_type", "value")
+    },
+
+    // F6 — equality filters (README.md:252-253, README.md:219).
+    "f6_eq" -> Q(
+      """SELECT event_id, value FROM events
+        |WHERE user_id = 42 AND event_type = 'purchase'""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .filter(col("user_id") === 42 && col("event_type") === "purchase")
+          .select("event_id", "value")
+    },
+
+    // F7 — predicate propagation into a subquery (session.py:281-282);
+    // under Catalyst the outer filter is pushed through the projection free.
+    "f7_pushdown_subquery" -> Q(
+      """SELECT event_id, user_id, value FROM (
+        |  SELECT event_id, user_id, value FROM events WHERE user_id < 50) t
+        |WHERE value > 100""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .filter(col("user_id") < 50)
+          .select("event_id", "user_id", "value")
+          .filter(col("value") > 100)
+    },
+
+    // A1 — scalar MAX watermark (session.py:57-59).
+    "a1_max_watermark" -> Q("SELECT epoch_us(max(ts)) AS wm_us FROM events") {
+      (s, dir) => Tables.events(s, dir).agg(expr("max(ts) div 1000").as("wm_us"))
+    },
+
+    // A2 — scalar MIN cold-start fallback (session.py:61-63).
+    "a2_min_watermark" -> Q("SELECT epoch_us(min(ts)) AS wm_us FROM events") {
+      (s, dir) => Tables.events(s, dir).agg(expr("min(ts) div 1000").as("wm_us"))
+    },
+
+    // A3 — filtered COUNT(*) (README.md:217-220, status='BLOCKED').
+    "a3_filtered_count" -> Q(
+      "SELECT count(*) AS cnt FROM events WHERE event_type = 'error'") {
+      (s, dir) =>
+        Tables.events(s, dir).filter(col("event_type") === "error")
+          .agg(count(lit(1)).as("cnt"))
+    },
+
+    // A4 — grouped SUM balance materialization (README.md:146-151).
+    "a4_grouped_sum" -> Q(
+      """SELECT user_id,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS balance,
+        |       count(*) AS cnt
+        |FROM events WHERE value IS NOT NULL AND event_type <> 'error'
+        |GROUP BY user_id""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull && col("event_type") =!= "error")
+          .groupBy("user_id")
+          .agg(decSum("value").as("balance"), count(lit(1)).as("cnt"))
+    },
+
+    // A5 — trigger-maintained incremental aggregate, batch equivalent
+    // (README.md:156-198): only qualifying rows contribute; updated stamp =
+    // latest contributing ts.
+    "a5_incremental_balance" -> Q(
+      """SELECT user_id,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS balance,
+        |       epoch_us(max(ts)) AS updated_us
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(decSum("value").as("balance"),
+               expr("max(ts) div 1000").as("updated_us"))
+    },
+
+    // W1 — partitioned ROW_NUMBER, the load-bearing S4-dedup form
+    // (SURVEY §2.5): latest row per key, last-writer-wins.
+    "w1_latest_per_key" -> Q(
+      """SELECT user_id, event_id, ts_us, value FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+        val w = Window.partitionBy("user_id")
+                      .orderBy(col("ts_us").desc, col("event_id").desc)
+        e.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "event_id", "ts_us", "value")
+    },
+
+    // O1 — ascending sort (+ LIMIT on a total order for determinism)
+    // (session.py:133, README.md:103).
+    "o1_sort_limit" -> Q(
+      """SELECT event_id, ts_us FROM (
+        |  SELECT event_id, epoch_us(ts) AS ts_us FROM events) t
+        |ORDER BY ts_us ASC, event_id ASC LIMIT 100""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .selectExpr("event_id", "ts div 1000 AS ts_us")
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+          .limit(100)
+    },
+
+    // O2 — top-k: filter + ORDER BY DESC + LIMIT (README.md:250-255).
+    // Spark plans TakeOrderedAndProject — distributed top-k, no global sort.
+    "o2_topk" -> Q(
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'purchase'
+        |ORDER BY value DESC, event_id ASC LIMIT 10""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "value")
+          .orderBy(col("value").desc, col("event_id").asc)
+          .limit(10)
+    },
+
+    // X1 — abs() in a predicate (README.md:306).
+    "x1_abs" -> Q(
+      """SELECT event_id, abs(value - 100.0) AS dev FROM events
+        |WHERE abs(value - 100.0) > 50""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .withColumn("dev", abs(col("value") - 100.0))
+          .filter(col("dev") > 50)
+          .select("event_id", "dev")
+    },
+
+    // X2 — epoch-millis conversion (README.md:148, pypgsync.py:13).
+    "x2_epoch_millis" -> Q(
+      "SELECT event_id, epoch_ms(ts) AS ts_ms FROM events") {
+      (s, dir) =>
+        Tables.events(s, dir).selectExpr("event_id", "ts div 1000000 AS ts_ms")
+    },
+
+    // X4 — modulo (session.py:292), as a bucketing aggregate.
+    "x4_modulo" -> Q(
+      """SELECT event_id % 7 AS bucket, count(*) AS cnt
+        |FROM events GROUP BY event_id % 7""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy((col("event_id") % 7).as("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+    },
+
+    // T1 — warm-start watermark recovery: wm = MAX(updated) in "destination"
+    // (rows before the warm boundary), count of newer source rows
+    // (session.py:50-65). µs-normalized on both sides.
+    "t1_watermark_recovery" -> Q(
+      s"""SELECT count(*) AS cnt FROM events
+         |WHERE epoch_us(ts) > (SELECT max(epoch_us(ts)) FROM events
+         |                      WHERE epoch_us(ts) < ${warm / 1000})""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+        val wm = e.filter(col("ts_us") < warm / 1000)
+                  .agg(max("ts_us").as("wm_us"))
+        e.crossJoin(wm).filter(col("ts_us") > col("wm_us"))
+          .agg(count(lit(1)).as("cnt"))
+    },
+
+    // T2 — frozen snapshot cut: only rows at-or-before the run-start bound
+    // sync this run (pypgsync.py:13, session.py:221-222).
+    "t2_snapshot_cut" -> Q(
+      s"""SELECT count(*) AS cnt FROM events
+         |WHERE ts <= TIMESTAMP '2024-01-25 00:00:00'""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir).filter(col("ts") <= cut)
+          .agg(count(lit(1)).as("cnt"))
+    },
+
+    // T3 — inclusive lower bound: rows sharing the watermark ts re-extract
+    // (session.py:130); count >= 1 by construction.
+    "t3_inclusive_reread" -> Q(
+      """SELECT count(*) AS cnt FROM events
+        |WHERE epoch_us(ts) >= (SELECT max(epoch_us(ts)) FROM events)""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+        val wm = e.agg(max("ts_us").as("wm_us"))
+        e.crossJoin(wm).filter(col("ts_us") >= col("wm_us"))
+          .agg(count(lit(1)).as("cnt"))
+    }
+  )
+}
