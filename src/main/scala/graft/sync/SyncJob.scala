@@ -1,0 +1,113 @@
+package graft.sync
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Configuration for one table sync (reference cli.py options + reflected
+  * metadata, SURVEY §3.1). `watermarkCol` must be numeric-epoch or otherwise
+  * totally ordered and monotone with modification time (reference
+  * session.py:203-206 — the documented T4 contract). */
+final case class SyncConfig(
+    keyCols: Seq[String],
+    watermarkCol: String,
+    targetRowsPerSlice: Long = 10000000L,
+    partitionByCol: Option[String] = None) {
+  require(keyCols.nonEmpty, "sync requires a merge key (reference: reflected primary key)")
+}
+
+/** Per-run outcome (M1/M2 progress surface, reference session.py:118-160 +
+  * cli.py:124-133 — exact counts, not the reference's windows*windowsize
+  * overestimate, SURVEY §0.2). */
+final case class SyncReport(
+    startingPoint: Option[Long],  // T1 watermark the run began from
+    snapshotCut: Long,            // T2 frozen upper bound
+    candidateRows: Long,          // rows extracted (wm <= w <= cut)
+    destRows: Long,               // destination rowcount after merge
+    elapsedMs: Long) {
+  def rowsPerSec: Double =
+    if (elapsedMs == 0) 0.0 else candidateRows * 1000.0 / elapsedMs
+}
+
+/** One watermark-driven incremental batch sync: the Spark re-expression of
+  * the reference's `pypgsync single` lifecycle (SURVEY §3.1).
+  *
+  *   1. T1  starting point = MAX(watermark) in dest, else MIN in source
+  *          (session.py:50-65) — the only driver-side scalars in the job.
+  *   2. T2  snapshot cut frozen at run start (pypgsync.py:13).
+  *   3. S1  extract source rows with wm in [start, cut] — inclusive lower
+  *          bound re-reads watermark ties (T3, session.py:130); the filter
+  *          is a parquet-pushed range predicate, replacing the reference's
+  *          ROW_NUMBER keyset pagination (SURVEY §4.1).
+  *   4. S4  keyed last-writer-wins merge (ParquetMergeSink) — idempotent,
+  *          so the re-read converges ("effectively-once").
+  *
+  * The reference's sequential slice loop becomes Spark task parallelism:
+  * the extract DataFrame is already range-partitioned by the source layout;
+  * SlicePlanner sizes partition counts when an explicit repartition or a
+  * JDBC partitioned read needs one.
+  */
+final class SyncJob(spark: SparkSession, cfg: SyncConfig) {
+
+  /** @param source    full source table (lazy scan — only the wm range is read)
+    * @param destDir   parquet destination directory (created if absent, S3)
+    * @param nowWatermark run-start snapshot bound in watermark units (T2);
+    *                  injectable for deterministic tests (SURVEY §7.3). */
+  def run(source: DataFrame, destDir: String, nowWatermark: Long): SyncReport = {
+    val t0 = System.nanoTime()
+    val wm = col(cfg.watermarkCol)
+
+    // T1 — watermark recovery from destination state (self-describing
+    // resumability: survives restarts with no checkpoint, README.md:90).
+    val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val destExists = fs.exists(new Path(destDir)) &&
+      fs.listStatus(new Path(destDir)).nonEmpty
+    val startingPoint: Option[Long] =
+      if (destExists)
+        Option(spark.read.parquet(destDir).agg(max(wm)).first().get(0))
+          .map(_.asInstanceOf[Number].longValue())
+      else
+        Option(source.agg(min(wm)).first().get(0))
+          .map(_.asInstanceOf[Number].longValue())
+
+    startingPoint match {
+      case None =>
+        // empty source, nothing to do
+        SyncReport(None, nowWatermark, 0L, 0L, (System.nanoTime() - t0) / 1000000)
+      case Some(start) =>
+        // S1 extract: inclusive both ends (T3 lower, T2 upper).
+        val extracted = source.filter(wm >= start && wm <= nowWatermark)
+        val result = ParquetMergeSink.merge(
+          spark, destDir, extracted, cfg.keyCols, cfg.watermarkCol,
+          cfg.partitionByCol)
+        SyncReport(Some(start), nowWatermark, result.updateRows,
+          result.rowsWritten, (System.nanoTime() - t0) / 1000000)
+    }
+  }
+}
+
+/** Continuous mode (T5, reference cli.py:80-97): repeat the single-run
+  * pipeline every `delayMs` until `shouldStop`. State between micro-batches
+  * lives entirely in the destination (same contract as the reference —
+  * each iteration re-derives T1 from dest). */
+final class ContinuousSync(spark: SparkSession, cfg: SyncConfig) {
+
+  def run(source: () => DataFrame, destDir: String,
+          nowWatermark: () => Long, delayMs: Long = 5000L,
+          maxIterations: Int = Int.MaxValue,
+          shouldStop: SyncReport => Boolean = _ => false,
+          sleep: Long => Unit = Thread.sleep): Vector[SyncReport] = {
+    val job = new SyncJob(spark, cfg)
+    val reports = Vector.newBuilder[SyncReport]
+    var i = 0
+    var stop = false
+    while (i < maxIterations && !stop) {
+      val r = job.run(source(), destDir, nowWatermark())
+      reports += r
+      stop = shouldStop(r)
+      i += 1
+      if (i < maxIterations && !stop) sleep(delayMs)
+    }
+    reports.result()
+  }
+}

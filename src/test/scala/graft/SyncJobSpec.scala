@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sync.{ContinuousSync, ParquetMergeSink, SyncConfig, SyncJob}
+
+/** Sync-pipeline e2e (SURVEY §5.2 layer 3): twin-table fixture with the
+  * reference's scenario matrix — cold start (T1 MIN fallback), warm
+  * incremental (T1 MAX), restart idempotence (T3), frozen snapshot cut
+  * (T2), backdated-update documented-miss (T4), continuous catch-up (T5).
+  *
+  * Fixture mirrors `transactions`: key=id, watermark=updated (epoch-ms
+  * long), payload=amount/status.
+  */
+class SyncJobSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = SyncConfig(keyCols = Seq("id"), watermarkCol = "updated")
+
+  private def src(rows: (Long, Long, Double, String)*): DataFrame =
+    rows.toSeq.toDF("id", "updated", "amount", "status")
+
+  private def readDest(dir: String): Map[Long, (Long, Double, String)] =
+    spark.read.parquet(dir).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("updated"), r.getAs[Double]("amount"), r.getAs[String]("status"))))
+      .toMap
+
+  test("cold start: T1 falls back to MIN(source), full table syncs") {
+    val dest = tmpDir("sync-cold") + "/dest"
+    val s = src((1L, 100L, 10.0, "A"), (2L, 200L, 20.0, "B"), (3L, 300L, 30.0, "A"))
+    val report = new SyncJob(spark, cfg).run(s, dest, nowWatermark = 1000L)
+    assert(report.startingPoint.contains(100L))
+    assert(report.candidateRows == 3)
+    assert(readDest(dest) == Map(
+      1L -> ((100L, 10.0, "A")), 2L -> ((200L, 20.0, "B")), 3L -> ((300L, 30.0, "A"))))
+  }
+
+  test("warm incremental: T1 = MAX(dest); updates overwrite, inserts append") {
+    val dest = tmpDir("sync-warm") + "/dest"
+    val job = new SyncJob(spark, cfg)
+    job.run(src((1L, 100L, 10.0, "A"), (2L, 200L, 20.0, "B")), dest, 500L)
+    // row 1 modified (updated bumped), row 4 new, row 2 untouched
+    val s2 = src((1L, 600L, 11.0, "A2"), (2L, 200L, 20.0, "B"), (4L, 700L, 40.0, "C"))
+    val r2 = job.run(s2, dest, 1000L)
+    assert(r2.startingPoint.contains(200L)) // MAX(dest.updated)
+    assert(readDest(dest) == Map(
+      1L -> ((600L, 11.0, "A2")), 2L -> ((200L, 20.0, "B")),
+      4L -> ((700L, 40.0, "C"))))
+  }
+
+  test("T2 snapshot cut: rows after the frozen bound wait for the next run") {
+    val dest = tmpDir("sync-cut") + "/dest"
+    val s = src((1L, 100L, 1.0, "A"), (2L, 900L, 2.0, "B"))
+    val job = new SyncJob(spark, cfg)
+    val r = job.run(s, dest, nowWatermark = 500L) // cut before row 2
+    assert(r.candidateRows == 1)
+    assert(readDest(dest).keySet == Set(1L))
+    val r2 = job.run(s, dest, nowWatermark = 1000L) // next run picks it up
+    assert(readDest(dest).keySet == Set(1L, 2L))
+  }
+
+  test("T3 restart idempotence: re-running the same cut changes nothing") {
+    val dest = tmpDir("sync-idem") + "/dest"
+    val s = src((1L, 100L, 1.0, "A"), (2L, 200L, 2.0, "B"))
+    val job = new SyncJob(spark, cfg)
+    job.run(s, dest, 500L)
+    val before = readDest(dest)
+    val r2 = job.run(s, dest, 500L) // watermark ties re-extract (inclusive >=)
+    assert(r2.candidateRows >= 1)   // at-least-once extract...
+    assert(readDest(dest) == before) // ...idempotent apply
+  }
+
+  test("T4 documented miss: backdating `updated` below the watermark skips the row") {
+    val dest = tmpDir("sync-t4") + "/dest"
+    val job = new SyncJob(spark, cfg)
+    job.run(src((1L, 100L, 1.0, "A"), (2L, 500L, 2.0, "B")), dest, 600L)
+    // row 1 edited but its updated moved BACKWARDS (violates monotone contract)
+    val mutated = src((1L, 50L, 99.0, "HACKED"), (2L, 500L, 2.0, "B"))
+    job.run(mutated, dest, 1000L)
+    // contract says the edit is never synced (reference session.py:203-206)
+    assert(readDest(dest)(1L) == ((100L, 1.0, "A")))
+  }
+
+  test("T5 continuous: polling loop converges on a growing source") {
+    val dest = tmpDir("sync-cont") + "/dest"
+    val batches = Iterator(
+      src((1L, 100L, 1.0, "A")),
+      src((1L, 100L, 1.0, "A"), (2L, 200L, 2.0, "B")),
+      src((1L, 100L, 1.0, "A"), (2L, 200L, 2.0, "B"), (3L, 300L, 3.0, "C")))
+    var current: DataFrame = null
+    val reports = new ContinuousSync(spark, cfg).run(
+      source = () => { if (batches.hasNext) current = batches.next(); current },
+      destDir = dest,
+      nowWatermark = () => 10000L,
+      maxIterations = 3,
+      sleep = _ => ()) // injected no-op clock
+    assert(reports.size == 3)
+    assert(readDest(dest).keySet == Set(1L, 2L, 3L))
+  }
+
+  test("merge dedups duplicate keys within one batch (last writer by watermark wins)") {
+    val dest = tmpDir("sync-dupe") + "/dest"
+    val dupes = src((1L, 100L, 1.0, "old"), (1L, 300L, 3.0, "new"), (1L, 200L, 2.0, "mid"))
+    ParquetMergeSink.merge(spark, dest, dupes, Seq("id"), "updated")
+    assert(readDest(dest) == Map(1L -> ((300L, 3.0, "new"))))
+  }
+
+  test("merge prefers the update on watermark ties (replaces apply-order rule)") {
+    val dest = tmpDir("sync-tie") + "/dest"
+    ParquetMergeSink.merge(spark, dest, src((1L, 100L, 1.0, "orig")), Seq("id"), "updated")
+    ParquetMergeSink.merge(spark, dest, src((1L, 100L, 9.0, "re-extracted")), Seq("id"), "updated")
+    assert(readDest(dest) == Map(1L -> ((100L, 9.0, "re-extracted"))))
+  }
+}
