@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY §2.9 E1 +
+  * driver mandate): exact, fingerprint, MinHash-LSH, n-gram Jaccard.
+  *
+  * Scale shape: every near-dup path is
+  *   per-row signature (narrow, codegen'd) → band explode → one shuffle on
+  *   the band key → candidate pairs → exact verify on candidates only.
+  * Nothing here is O(n²) on the full corpus.
+  */
+object Dedup {
+
+  /** Exact dedup on arbitrary columns — built-in hash groupBy. */
+  def exact(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.dropDuplicates(cols)
+
+  /** Exact-content dedup keeping the smallest id per normalized-content
+    * fingerprint: one hash aggregation, deterministic keeper. */
+  def byFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+    val keepers = keyed.groupBy("__fp").agg(min(col(idCol)).as(idCol))
+    keyed.join(keepers, Seq("__fp", idCol), "left_semi").drop("__fp")
+  }
+
+  /** Word-level shingles (n-grams of tokens) as distinct strings. */
+  def shingles(textCol: Column, n: Int = 3): Column = {
+    val t = TextAnalysis.tokens(textCol)
+    array_distinct(
+      when(size(t) < n, array(concat_ws(" ", t)))
+        .otherwise(transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n))))))
+  }
+
+  /** k-permutation MinHash signature over shingles, per-row (no shuffle):
+    * hash_i(s) = xxhash64(s, i-th seed column); signature[i] = min over
+    * shingles. Estimates Jaccard: P[sig_a[i]=sig_b[i]] = J(a,b). */
+  def minhashSignature(textCol: Column, k: Int = 32, shingleN: Int = 3): Column = {
+    val sh = shingles(textCol, shingleN)
+    val sigs = (0 until k).map { i =>
+      array_min(transform(sh, s => xxhash64(s, lit(i))))
+    }
+    array(sigs: _*)
+  }
+
+  /** MinHash-LSH candidate pairs: signature → b bands of r values
+    * (b*r = k), band hash → explode → self-join per band → distinct pairs.
+    * With k=32, b=8, r=4 a Jaccard-0.8 pair is caught with
+    * p = 1-(1-0.8^4)^8 ≈ 0.986. Verify candidates with [[jaccardVerify]].
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 32, bands: Int = 8,
+                        shingleN: Int = 3): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val r = k / bands
+    val sig = df.select(col(idCol),
+      minhashSignature(col(textCol), k, shingleN).as("__sig"))
+    val banded = sig.withColumn("band", explode(array((0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        xxhash64(concat_ws(",", slice(col("__sig"), b * r + 1, r))).as("band_val"))
+    }: _*))).select(col(idCol), col("band"))
+    val a = banded.select(col(idCol).as("a_id"), col("band"))
+    val b = banded.select(col(idCol).as("b_id"), col("band"))
+    a.join(b, a("band") === b("band") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** Exact word-set Jaccard between candidate id pairs — the verify stage
+    * after LSH banding. `pairs` has (a_id, b_id); result adds `jaccard`. */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      array_distinct(TextAnalysis.tokens(col(textCol))).as("__toks"))
+    pairs
+      .join(toks.select(col(idCol).as("a_id"), col("__toks").as("a_toks")), "a_id")
+      .join(toks.select(col(idCol).as("b_id"), col("__toks").as("b_toks")), "b_id")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
+          size(array_union(col("a_toks"), col("b_toks"))), 6))
+      .drop("a_toks", "b_toks")
+  }
+
+  /** All-pairs word-set Jaccard over a bounded id range — the small-sf
+    * oracle twin of minhashCandidates+jaccardVerify (exact, token-indexed
+    * join rather than cross join: explode distinct tokens, equi-join on
+    * token, count intersections, derive union sizes). */
+  def unigramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                          threshold: Double): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("token"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = toks.select(col("doc_id").as("a_id"), col("token"))
+      .join(toks.select(col("doc_id").as("b_id"), col("token")), "token")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn("jaccard", round(
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+}

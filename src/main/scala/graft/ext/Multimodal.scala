@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (SURVEY §2.9 E3 + driver mandate): media as
+  * opaque `binary` columns with typed metadata, processed in batches via
+  * `mapPartitions`.
+  *
+  * The actual media decode (image/audio/video libraries) is NOT available
+  * in this environment, so [[FakeDecoder]] is a clearly-marked
+  * deterministic stand-in: it derives a fixed-size feature vector from the
+  * bytes alone. Everything around it — the schema contract, the
+  * partition-batched execution shape, the per-row metadata, the output
+  * encoding — is the real Spark-side plumbing a production decoder
+  * (JNI/FFI or `mapInPandas`-style vectorized UDF in PySpark) drops into.
+  */
+object Multimodal {
+
+  /** Canonical multimodal record schema: id + opaque payload + typed
+    * metadata. Payload stays binary end-to-end; Spark never interprets it. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = true),
+      StructField("n_bytes", LongType, nullable = true),
+      StructField("source", StringType, nullable = true))), nullable = true)))
+
+  /** STUB decoder — deterministic fake. A real implementation would hand
+    * each partition's byte payloads to a native decode library in batches.
+    * This one emits `featureDim` floats derived from a rolling hash of the
+    * payload so tests have stable, content-sensitive output. */
+  object FakeDecoder {
+    val featureDim = 8
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      if (bytes == null) return Array.fill(featureDim)(0.0f)
+      val acc = new Array[Long](featureDim)
+      var i = 0
+      while (i < bytes.length) {
+        val j = i % featureDim
+        acc(j) = acc(j) * 31 + (bytes(i) & 0xff)
+        i += 1
+      }
+      acc.map(v => ((v % 1000L) / 1000.0f))
+    }
+  }
+
+  /** Wrap a text/binary table into the media schema (fixture adapter:
+    * documents.text → utf-8 payload). */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("content"),
+      struct(
+        lit("text/plain").as("mime"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        col("source").as("source")).as("meta"))
+
+  /** Feature extraction over the binary column: partition-batched
+    * `mapPartitions` (the decode boundary), preserving id + metadata.
+    * Output: (media_id, meta, features array<float>). The repartition knob
+    * bounds per-task batch memory the way a real decoder needs. */
+  def extractFeatures(media: DataFrame, batchPartitions: Option[Int] = None): DataFrame = {
+    val spark = media.sparkSession
+    val in = batchPartitions.map(media.repartition).getOrElse(media)
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = true),
+      StructField("features", ArrayType(FloatType), nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    in.select("media_id", "content", "meta.n_bytes")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("content")
+          Row(r.getAs[Long]("media_id"), r.getAs[Long]("n_bytes"),
+            FakeDecoder.decode(bytes))
+        }
+      }(encoder)
+  }
+
+  /** Content addressing over the opaque payload: md5 + size — the exact
+    * binary-dedup key (works unchanged for real media bytes). */
+  def contentHashes(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"),
+      md5(col("content")).as("content_hash"),
+      col("meta.n_bytes").as("n_bytes"))
+}

@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY §2.9 E4 +
+  * driver mandate): tokenization, token stats, quality scoring, language-ID
+  * heuristic, document fingerprinting, SimHash.
+  *
+  * Design rule: everything is built-in `functions._` / higher-order array
+  * functions — codegen'd, per-row/narrow (no shuffle), so every operator
+  * here scales linearly with input and parallelizes per-partition. The only
+  * shuffles are the explicitly-aggregating ops (word frequencies, vocab).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the fixture corpus is space-separated; swap
+    * the pattern for a BPE-ish `\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]` regex
+    * for natural text). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Regex token count without materializing the array. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Per-document stats: token count, distinct tokens, type-token ratio,
+    * average token length — the length/ratio family of quality signals. */
+  def withTokenStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    df.withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(t)).cast("long"))
+      .withColumn("ttr", round(col("n_distinct").cast("double") / col("n_tokens"), 6))
+      .withColumn("avg_token_len",
+        round((length(col(textCol)) - (col("n_tokens") - 1)).cast("double") /
+          col("n_tokens"), 6))
+  }
+
+  /** Composite quality score in [0,1]: penalizes extreme repetition (low
+    * type-token ratio), degenerate token lengths, and very short docs.
+    * Deterministic, per-row, codegen'd. */
+  def qualityScore(textCol: Column): Column = {
+    val t = tokens(textCol)
+    val n = size(t).cast("double")
+    val ttr = size(array_distinct(t)).cast("double") / n
+    val avgLen = (length(textCol) - (n - 1)) / n
+    val lenOk = when(n >= 10, lit(1.0)).otherwise(n / 10.0)
+    val avgLenOk = when(avgLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.5))
+    round(ttr * 0.5 + lenOk * 0.3 + avgLenOk * 0.2, 6)
+  }
+
+  /** Stopword-hit language-ID heuristic: score each candidate language by
+    * distinct marker-token hits, pick the argmax (ties → first in list,
+    * no hits → "und"). Marker lists are tiny so the per-row
+    * `array_intersect` stays cheap. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "los", "las", "una", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "les", "des", "une", "est", "et"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "不"))
+
+  def langId(textCol: Column): Column = {
+    val t = array_distinct(tokens(textCol))
+    val hits = langMarkers.map { case (lang, words) =>
+      lang -> size(array_intersect(t, array(words.map(lit): _*)))
+    }
+    // deterministic argmax: first language in declaration order whose hit
+    // count is >= all others (ties resolve to earlier entry); 0 hits → und
+    val best = hits.foldRight(lit("und")) { case ((lang, h), rest) =>
+      when(h > 0 && hits.collect { case (l2, h2) if l2 != lang => h >= h2 }
+        .reduce(_ && _), lit(lang)).otherwise(rest)
+    }
+    best
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercased text —
+    * the exact-dedup key that survives formatting noise. */
+  def fingerprint(textCol: Column): Column =
+    md5(regexp_replace(lower(trim(textCol)), "\\s+", " "))
+
+  /** 64-bit SimHash over tokens, entirely per-row (no shuffle):
+    * per-token xxhash64 → per-bit ±1 votes accumulated in an int array via
+    * `aggregate` → sign vector reassembled into a long. Near-dup docs get
+    * small hamming distance (see [[simhashCandidates]]). */
+  def simhash64(textCol: Column): Column = {
+    val votes = aggregate(
+      tokens(textCol),
+      array_repeat(lit(0), 64),
+      (acc: Column, tok: Column) => {
+        val h = xxhash64(tok)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a: Column, i: Column) =>
+            a + when(call_function("shiftright", h, i.cast("int"))
+              .bitwiseAND(1) === 1, 1).otherwise(-1))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v: Column, i: Column) =>
+          when(v > 0, call_function("shiftleft", lit(1L), i.cast("int")))
+            .otherwise(lit(0L))),
+      lit(0L),
+      (acc: Column, b: Column) => acc.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup candidate pairs: band the 64-bit hash into 4×16-bit
+    * keys, self-join per band (the LSH trick: hamming-close hashes agree on
+    * at least one band), then exact-filter on `bit_count(xor) <= maxHamming`.
+    * The band join replaces the O(n²) all-pairs comparison — at 100 TB the
+    * band groupBy is one shuffle on a short key. */
+  def simhashCandidates(df: DataFrame, idCol: String, simhashCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val banded = df.select(col(idCol), col(simhashCol))
+      .withColumn("band", explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col(simhashCol), b * 16).bitwiseAND(0xFFFFL).as("band_val"))
+      }: _*)))
+    val a = banded.select(col(idCol).as("a_id"), col(simhashCol).as("a_hash"), col("band"))
+    val b = banded.select(col(idCol).as("b_id"), col(simhashCol).as("b_hash"), col("band"))
+    a.join(b, a("band") === b("band") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_hash", "b_hash").distinct()
+      .withColumn("hamming", bit_count(col("a_hash").bitwiseXOR(col("b_hash"))))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Word frequencies (the one generator-shaped op: explode). */
+  def wordFrequencies(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+}

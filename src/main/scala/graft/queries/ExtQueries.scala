@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** [EXT] training-data-pipeline operators (SURVEY §2.9 E1–E4 + driver
+  * mandate): dedup, similarity search, multimodal plumbing, text analysis.
+  * Oracle-checked wherever the op is expressible in DuckDB SQL; hash-based
+  * ops (xxhash64 signatures) are rows-only here and property-tested in
+  * ExtOpsSpec instead.
+  */
+object ExtQueries {
+
+  val defs: Map[String, Q] = Map(
+
+    // E1 — exact dedup cardinality.
+    "e1_exact_dedup" -> Q(
+      """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_unique
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .agg(count(lit(1)).as("n_docs"), countDistinct(col("text")).as("n_unique"))
+    },
+
+    // E1 — fingerprint dedup: one keeper id per normalized-content hash.
+    "e1b_fingerprint_dedup" -> Q(
+      """SELECT min(doc_id) AS doc_id FROM documents
+        |GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))""".stripMargin) {
+      (s, dir) =>
+        Dedup.byFingerprint(Tables.documents(s, dir), "doc_id", "text")
+          .select("doc_id")
+    },
+
+    // E2 — brute-force cosine top-k against the vec_id=0 embedding (the
+    // exactness baseline; double accumulation in index order both engines).
+    "e2_cosine_topk" -> Q(
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) AS cos
+        |FROM embeddings
+        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin) {
+      (s, dir) =>
+        val emb = Tables.embeddings(s, dir)
+        val query = emb.filter(col("vec_id") === 0)
+          .select("embedding").first().getSeq[Float](0)
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 10)
+    },
+
+    // E2 — LSH-bucketed ANN variant (the scale path; recall vs brute force
+    // asserted in ExtOpsSpec). xxhash64 hyperplanes → rows-only here.
+    "e2b_ann_topk" -> Q.rowsOnly { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0)
+      Similarity.annTopK(emb, "vec_id", "embedding", query, 10,
+        dim = 64, nPlanes = 8, probeHamming = 3)
+    },
+
+    // E3 — JSON property extraction from the events props column.
+    "e3_json_extract" -> Q(
+      """SELECT event_id,
+        |       CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val
+        |FROM events""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+    },
+
+    // E3 — multimodal binary plumbing: content addressing over opaque bytes.
+    "e3b_media_hash" -> Q(
+      """SELECT doc_id AS media_id, md5(text) AS content_hash,
+        |       CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        Multimodal.contentHashes(Multimodal.fromDocuments(Tables.documents(s, dir)))
+    },
+
+    // E3 — partition-batched feature extraction (stubbed decoder; the
+    // mapPartitions execution shape is the thing under test). Rows-only.
+    "e3c_media_features" -> Q.rowsOnly { (s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.fromDocuments(Tables.documents(s, dir)),
+        batchPartitions = Some(8))
+    },
+
+    // E4 — per-document token statistics.
+    "e4_token_stats" -> Q(
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |       round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |             / len(string_split(text, ' ')), 6) AS ttr,
+        |       round((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+        |             / len(string_split(text, ' ')), 6) AS avg_token_len
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.withTokenStats(Tables.documents(s, dir))
+          .select("doc_id", "n_tokens", "n_distinct", "ttr", "avg_token_len")
+    },
+
+    // E4 — corpus word frequencies (explode → groupBy → distributed top-k).
+    "e4b_word_freq" -> Q(
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, count(*) AS cnt FROM tok
+        |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.wordFrequencies(Tables.documents(s, dir))
+          .orderBy(col("cnt").desc, col("token").asc)
+          .limit(20)
+    },
+
+    // E4 — vocabulary size.
+    "e4c_vocab_size" -> Q(
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT count(DISTINCT token) AS vocab FROM tok""".stripMargin) {
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+          .agg(countDistinct(col("token")).as("vocab"))
+    },
+
+    // E4 — stopword-hit language-ID heuristic (first-in-order argmax; the
+    // SQL CASE chain is semantically identical to TextAnalysis.langId).
+    "e4d_lang_id" -> Q(
+      """WITH scored AS (SELECT doc_id,
+        |  len(list_intersect(list_distinct(string_split(text,' ')), ['the','a','of','and','to','in','is'])) AS en,
+        |  len(list_intersect(list_distinct(string_split(text,' ')), ['el','la','de','los','las','una','es'])) AS es,
+        |  len(list_intersect(list_distinct(string_split(text,' ')), ['der','die','das','und','ein','ist','nicht'])) AS de,
+        |  len(list_intersect(list_distinct(string_split(text,' ')), ['le','la','les','des','une','est','et'])) AS fr,
+        |  len(list_intersect(list_distinct(string_split(text,' ')), ['的','是','了','在','和','有','不'])) AS zh
+        |  FROM documents)
+        |SELECT doc_id, CASE
+        |  WHEN en > 0 AND en >= es AND en >= de AND en >= fr AND en >= zh THEN 'en'
+        |  WHEN es > 0 AND es >= en AND es >= de AND es >= fr AND es >= zh THEN 'es'
+        |  WHEN de > 0 AND de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+        |  WHEN fr > 0 AND fr >= en AND fr >= es AND fr >= de AND fr >= zh THEN 'fr'
+        |  WHEN zh > 0 AND zh >= en AND zh >= es AND zh >= de AND zh >= fr THEN 'zh'
+        |  ELSE 'und' END AS lang_pred
+        |FROM scored""".stripMargin) {
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+    },
+
+    // E4 — composite quality score.
+    "e4e_quality_score" -> Q(
+      """SELECT doc_id, round(
+        |  (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |     / len(string_split(text,' '))) * 0.5
+        |  + (CASE WHEN len(string_split(text,' ')) >= 10 THEN 1.0
+        |          ELSE len(string_split(text,' ')) / 10.0 END) * 0.3
+        |  + (CASE WHEN (length(text) - (len(string_split(text,' ')) - 1)) * 1.0
+        |               / len(string_split(text,' ')) BETWEEN 2.0 AND 12.0
+        |          THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+    },
+
+    // E5 — 64-bit SimHash signature (xxhash64 → rows-only; properties in
+    // ExtOpsSpec).
+    "e5_simhash" -> Q.rowsOnly { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.simhash64(col("text")).as("simhash"))
+    },
+
+    // E5 — SimHash near-dup candidates over corpus ∪ perturbed-copy (each
+    // doc gains a twin with one appended token → every (i, i+100000) pair
+    // must surface through the band join). Rows-only; asserted in spec.
+    "e5b_simhash_neardup" -> Q.rowsOnly { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val perturbed = docs
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" perturbedtoken")).as("text"))
+      val all = docs.unionByName(perturbed)
+        .select(col("doc_id"), TextAnalysis.simhash64(col("text")).as("simhash"))
+      TextAnalysis.simhashCandidates(all, "doc_id", "simhash", maxHamming = 3)
+        .select("a_id", "b_id", "hamming")
+    },
+
+    // E1/E5 — MinHash-LSH near-dup candidates + exact-Jaccard verify over
+    // corpus ∪ perturbed-copy. Rows-only (xxhash64 signatures).
+    "e6_minhash_neardup" -> Q.rowsOnly { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val perturbed = docs
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" perturbedtoken")).as("text"))
+      val all = docs.unionByName(perturbed)
+      val cands = Dedup.minhashCandidates(all, "doc_id", "text")
+      Dedup.jaccardVerify(cands, all, "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+    },
+
+    // E1 — exact n-gram (unigram-set) Jaccard near-dup pairs, oracle-checked.
+    "e6b_unigram_jaccard" -> Q(
+      """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS token
+        |             FROM documents WHERE doc_id < 50),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |          FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |       round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = a_id
+        |JOIN sizes sb ON sb.doc_id = b_id
+        |WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.8""".stripMargin) {
+      (s, dir) =>
+        Dedup.unigramJaccardPairs(
+          Tables.documents(s, dir).filter(col("doc_id") < 50),
+          "doc_id", "text", threshold = 0.8)
+    }
+  )
+}

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Properties for the hash-based EXT operators the DuckDB oracle can't
+  * express (SimHash, MinHash, LSH ANN): determinism, near-dup recall on
+  * synthetic twins, estimate-vs-exact agreement, ANN-vs-brute-force recall.
+  */
+class ExtOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val docs =
+    graft.core.Tables.documents(spark, sfDir).select("doc_id", "text").cache()
+
+  private def perturbed =
+    docs.select((col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" perturbedtoken")).as("text"))
+
+  test("simhash64 is deterministic and content-sensitive") {
+    val a = docs.select(col("doc_id"), TextAnalysis.simhash64(col("text")).as("h"))
+    val b = docs.select(col("doc_id"), TextAnalysis.simhash64(col("text")).as("h"))
+    assert(a.collect().toSet == b.collect().toSet)
+    val distinct = a.select("h").distinct().count()
+    assert(distinct > docs.count() / 2) // different texts → different hashes
+  }
+
+  test("simhash near-dup: one-token perturbation stays within small hamming") {
+    val all = docs.unionByName(perturbed)
+      .select(col("doc_id"), TextAnalysis.simhash64(col("text")).as("h"))
+    val pairs = all.filter(col("doc_id") < 100000).as("a")
+      .join(all.filter(col("doc_id") >= 100000).as("b"),
+        col("a.doc_id") + 100000 === col("b.doc_id"))
+      .select(bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("hamming"))
+      .collect().map(_.getInt(0))
+    val n = pairs.length
+    assert(n == docs.count())
+    // a single appended token flips few bits for most docs
+    assert(pairs.count(_ <= 6).toDouble / n > 0.8,
+      s"too many large hamming distances: ${pairs.sorted.toSeq.takeRight(5)}")
+  }
+
+  test("simhashCandidates surfaces the synthetic twins through band join") {
+    val all = docs.unionByName(perturbed)
+      .select(col("doc_id"), TextAnalysis.simhash64(col("text")).as("simhash"))
+    val cands = TextAnalysis.simhashCandidates(all, "doc_id", "simhash", maxHamming = 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val twins = docs.select("doc_id").as[Long].collect()
+      .map(i => (i, i + 100000)).toSet
+    val recall = twins.count(cands.contains).toDouble / twins.size
+    assert(recall > 0.7, s"simhash twin recall $recall")
+  }
+
+  test("minhash candidates + jaccard verify find the synthetic twins") {
+    val all = docs.unionByName(perturbed)
+    val cands = Dedup.minhashCandidates(all, "doc_id", "text")
+    val verified = Dedup.jaccardVerify(cands, all, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val twins = docs.select("doc_id").as[Long].collect()
+      .map(i => (i, i + 100000)).toSet
+    val recall = twins.count(verified.contains).toDouble / twins.size
+    assert(recall > 0.9, s"minhash twin recall $recall")
+  }
+
+  test("minhash estimate tracks exact jaccard on candidate pairs") {
+    // compare like with like: minhash over unigram shingles estimates
+    // unigram-set jaccard, the measure unigramJaccardPairs computes exactly
+    val subset = docs.filter(col("doc_id") < 30)
+    val exact = Dedup.unigramJaccardPairs(subset, "doc_id", "text", threshold = 0.0)
+      .filter(col("jaccard") >= 0.8).count()
+    val cands = Dedup.minhashCandidates(subset, "doc_id", "text", shingleN = 1)
+    val viaMinhash = Dedup.jaccardVerify(cands, subset, "doc_id", "text")
+      .filter(col("jaccard") >= 0.8).count()
+    assert(exact > 0, "fixture should contain high-jaccard pairs")
+    assert(viaMinhash >= (exact * 0.8).toLong,
+      s"minhash found $viaMinhash of $exact exact pairs")
+  }
+
+  test("ANN top-k recalls most of brute-force top-k") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").first().getSeq[Float](0)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding", query, 10,
+      dim = 64, nPlanes = 8, probeHamming = 3)
+      .select("vec_id").as[Long].collect().toSet
+    // self (vec_id 0) must always be found; majority overlap expected
+    assert(ann.contains(0L))
+    assert((brute intersect ann).size >= 5, s"ANN overlap ${(brute intersect ann).size}/10")
+  }
+
+  test("embedding near-dup pairs: planted duplicates found at cos>=0.99") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir).limit(50)
+    val dup = emb.select((col("vec_id") + 100000).as("vec_id"),
+      col("embedding"), col("label"))
+    val all = emb.unionByName(dup)
+    val pairs = Similarity.cosineNearDupPairs(all, "vec_id", "embedding",
+      dim = 64, threshold = 0.99)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val planted = emb.select("vec_id").as[Long].collect()
+      .map(i => (i, i + 100000)).toSet
+    assert(planted.forall(pairs.contains),
+      s"missing ${planted.count(!pairs.contains(_))} planted dup pairs")
+  }
+
+  test("multimodal feature extraction preserves ids and emits fixed-dim features") {
+    val media = Multimodal.fromDocuments(graft.core.Tables.documents(spark, sfDir))
+    val feats = Multimodal.extractFeatures(media, batchPartitions = Some(4))
+    assert(feats.count() == media.count())
+    val row = feats.first()
+    assert(row.getSeq[Float](row.fieldIndex("features")).size ==
+      Multimodal.FakeDecoder.featureDim)
+    // determinism across runs and partitionings
+    def snapshot(p: Int) =
+      Multimodal.extractFeatures(media, batchPartitions = Some(p))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](r.fieldIndex("features")).toList))
+        .sortBy(_._1).toList
+    assert(snapshot(4) == snapshot(2))
+  }
+}
