@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{Change, IncrementalBalance, RowImage}
+
+/** A5/T6 streaming semantics (SURVEY §2.8): trigger-equivalent incremental
+  * aggregation with the OLD/NEW transition guard, plus the batch-equivalence
+  * law — replaying the full history through the streaming path must land on
+  * the same final state as the batch A4 aggregate (SURVEY §7.3).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def readBalances(dir: String): Map[Long, Double] =
+    spark.read.parquet(dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("balance")).toMap
+
+  test("transition guard admits inserts and non-qual→qual updates only") {
+    val changes = Seq(
+      Change(1, None, "ok", 10.0, 1),               // INSERT qualifying
+      Change(1, None, "BLOCKED", 99.0, 2),          // INSERT blocked
+      Change(2, Some("BLOCKED"), "ok", 20.0, 3),    // transition into qual
+      Change(3, Some("ok"), "ok", 30.0, 4),         // already qual — no-op
+      Change(4, Some("ok"), "BLOCKED", 40.0, 5)     // leaves qual — no-op
+    ).toDS()
+    val got = IncrementalBalance.transitionGuard(changes).collect().map(_.userId).toSet
+    assert(got == Set(1L, 2L))
+  }
+
+  test("streaming pipeline equals batch A4 on replay (insert-only history)") {
+    val dest = tmpDir("stream-bal") + "/balances"
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RowImage]
+    val q = IncrementalBalance.run(mem.toDS(), dest)
+    // insert-only history, delivered across three micro-batches
+    val all = (1 to 60).map { i =>
+      RowImage(key = i.toLong, userId = (i % 5).toLong,
+        status = if (i % 7 == 0) "BLOCKED" else "ok",
+        amount = i.toDouble, ts = i.toLong)
+    }
+    all.grouped(20).foreach { batch => mem.addData(batch); q.processAllAvailable() }
+    q.stop()
+
+    val expected = all.toDF()
+      .filter(col("status") =!= "BLOCKED")
+      .groupBy("userId").agg(sum("amount").as("balance"))
+      .collect().map(r => r.getAs[Long]("userId") -> r.getAs[Double]("balance"))
+      .toMap
+    assert(readBalances(dest) == expected)
+  }
+
+  test("update transitions: only the entering-qualifying update contributes") {
+    val dest = tmpDir("stream-trans") + "/balances"
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RowImage]
+    val q = IncrementalBalance.run(mem.toDS(), dest)
+    // key 1: inserted BLOCKED (no contribution), later updated to ok (+5)
+    // key 2: inserted ok (+7), later updated ok→ok (no double count)
+    mem.addData(RowImage(1, 10, "BLOCKED", 5.0, 1), RowImage(2, 20, "ok", 7.0, 2))
+    q.processAllAvailable()
+    mem.addData(RowImage(1, 10, "ok", 5.0, 3), RowImage(2, 20, "ok", 7.0, 4))
+    q.processAllAvailable()
+    q.stop()
+    assert(readBalances(dest) == Map(10L -> 5.0, 20L -> 7.0))
+  }
+
+  test("tumbling-window event-time aggregation with watermark (streaming extra)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = mem.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(sum("value").as("v"), count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("win_out").start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    mem.addData((t(1), 1.0), (t(2), 2.0), (t(6), 10.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_out")
+      .select(col("window.start").cast("string"), col("v"), col("n"))
+      .as[(String, Double, Long)].collect().toSet
+    assert(rows == Set(
+      ("2024-01-01 10:00:00", 3.0, 2L),
+      ("2024-01-01 10:05:00", 10.0, 1L)))
+  }
+}
