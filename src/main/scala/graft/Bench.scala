@@ -1,9 +1,20 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark (driver contract): times every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR and the end-to-end events sync-merge, printing one
+  * JSON line.
+  *
+  * Queries are forced through the "noop" datasource sink — unlike count(),
+  * that executes the full plan including projections (count() lets Catalyst
+  * prune every column off a scan-only query).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,15 +24,42 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try f catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // warm the JVM/codegen once on the smallest query so the first measured
+    // entry doesn't pay session startup
+    try SparkEntry.queries.head._2(spark, sfDir).write.format("noop")
+      .mode("overwrite").save()
+    catch { case _: Throwable => () }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+    }
+
+    // end-to-end sync-merge throughput on the events twin-table fixture
+    // (BASELINE.md comparable (a)): cold-start full sync into a temp dest.
+    val syncDest = java.nio.file.Files.createTempDirectory("bench-sync").toString + "/dest"
+    val events = graft.core.Tables.events(spark, sfDir)
+    val maxTs = events.agg(org.apache.spark.sql.functions.max("ts")).first().getLong(0)
+    var syncRows = 0L
+    val syncSec = time {
+      val r = new graft.sync.SyncJob(spark,
+        graft.sync.SyncConfig(Seq("event_id"), "ts"))
+        .run(events, syncDest, maxTs)
+      syncRows = r.candidateRows
+    }
+    val syncRps = if (syncSec > 0) syncRows / syncSec else 0.0
+
+    val all = results :+ ("sync_merge_events" -> syncSec)
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = all.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sync_rows_per_sec":${syncRps.round},"sync_rows":$syncRows,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,15 +35,21 @@ object Dedup {
   }
 
   /** k-permutation MinHash signature over shingles, per-row (no shuffle):
-    * hash_i(s) = xxhash64(s, i-th seed column); signature[i] = min over
-    * shingles. Estimates Jaccard: P[sig_a[i]=sig_b[i]] = J(a,b). */
-  def minhashSignature(textCol: Column, k: Int = 32, shingleN: Int = 3): Column = {
-    val sh = shingles(textCol, shingleN)
-    val sigs = (0 until k).map { i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))
-    }
-    array(sigs: _*)
-  }
+    * hash_i(s) = xxhash64(s, i); signature[i] = min over shingles.
+    * Estimates Jaccard: P[sig_a[i]=sig_b[i]] = J(a,b).
+    *
+    * Single `aggregate` pass with a k-wide accumulator — one traversal of
+    * the shingle array computing all k hashes per shingle, rather than k
+    * separate array_min(transform(...)) scans (which builds an expression
+    * tree large enough to fall out of whole-stage codegen). */
+  def minhashSignature(textCol: Column, k: Int = 32, shingleN: Int = 3): Column =
+    aggregate(
+      shingles(textCol, shingleN),
+      array_repeat(lit(Long.MaxValue), k),
+      (acc: Column, s: Column) =>
+        zip_with(acc,
+          transform(sequence(lit(0), lit(k - 1)), i => xxhash64(s, i)),
+          (a: Column, h: Column) => least(a, h)))
 
   /** MinHash-LSH candidate pairs: signature → b bands of r values
     * (b*r = k), band hash → explode → self-join per band → distinct pairs.
@@ -67,12 +73,51 @@ object Dedup {
       .select("a_id", "b_id").distinct()
   }
 
-  /** Exact word-set Jaccard between candidate id pairs — the verify stage
-    * after LSH banding. `pairs` has (a_id, b_id); result adds `jaccard`. */
+  /** Full MinHash near-dup cascade:
+    *   signatures → band candidates → signature-agreement estimate filter →
+    *   exact Jaccard verify ≥ threshold.
+    * The estimate stage ((# agreeing minhash coords)/k, an unbiased Jaccard
+    * estimator) costs one k-long array comparison per candidate and guts
+    * the exact-verify set — the difference between O(candidates·k) and
+    * O(candidates·|tokens|) on band-collision-heavy corpora. `estSlack`
+    * keeps pairs whose estimate is within that margin below threshold so
+    * estimator variance (σ ≈ 1/√k) doesn't drop true positives. */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, k: Int = 32, bands: Int = 8,
+                      shingleN: Int = 3, estSlack: Double = 0.2): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val r = k / bands
+    val sig = docs.select(col(idCol),
+      minhashSignature(col(textCol), k, shingleN).as("__sig"))
+    val banded = sig.withColumn("band", explode(array((0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        xxhash64(concat_ws(",", slice(col("__sig"), b * r + 1, r))).as("band_val"))
+    }: _*))).select(col(idCol), col("band"))
+    val pa = banded.select(col(idCol).as("a_id"), col("band"))
+    val pb = banded.select(col(idCol).as("b_id"), col("band"))
+    val pairs = pa.join(pb, pa("band") === pb("band") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val est = pairs
+      .join(sig.select(col(idCol).as("a_id"), col("__sig").as("a_sig")), "a_id")
+      .join(sig.select(col(idCol).as("b_id"), col("__sig").as("b_sig")), "b_id")
+      .withColumn("est",
+        size(filter(zip_with(col("a_sig"), col("b_sig"),
+          (x: Column, y: Column) => x === y), (b: Column) => b))
+          .cast("double") / k)
+      .filter(col("est") >= threshold - estSlack)
+      .select("a_id", "b_id")
+    jaccardVerify(est, docs, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact shingle-set Jaccard between candidate id pairs — the verify
+    * stage after LSH banding, in the same shingle space the signatures
+    * were built from (`shingleN = 1` → word sets). `pairs` has
+    * (a_id, b_id); result adds `jaccard`. */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
-                    textCol: String): DataFrame = {
+                    textCol: String, shingleN: Int = 1): DataFrame = {
     val toks = docs.select(col(idCol),
-      array_distinct(TextAnalysis.tokens(col(textCol))).as("__toks"))
+      shingles(col(textCol), shingleN).as("__toks"))
     pairs
       .join(toks.select(col(idCol).as("a_id"), col("__toks").as("a_toks")), "a_id")
       .join(toks.select(col(idCol).as("b_id"), col("__toks").as("b_toks")), "b_id")

@@ -171,8 +171,13 @@ object ExtQueries {
     // E5 — SimHash near-dup candidates over corpus ∪ perturbed-copy (each
     // doc gains a twin with one appended token → every (i, i+100000) pair
     // must surface through the band join). Rows-only; asserted in spec.
+    // Corpus slice bounded: the fixture is a shared-vocabulary word soup,
+    // so band collisions (and thus candidate pairs) grow quadratically with
+    // corpus size regardless of algorithm — the demo pins input size; real
+    // corpora tune bands/maxHamming instead.
     "e5b_simhash_neardup" -> Q.rowsOnly { (s, dir) =>
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") < 1000).select("doc_id", "text")
       val perturbed = docs
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" perturbedtoken")).as("text"))
@@ -182,17 +187,21 @@ object ExtQueries {
         .select("a_id", "b_id", "hamming")
     },
 
-    // E1/E5 — MinHash-LSH near-dup candidates + exact-Jaccard verify over
-    // corpus ∪ perturbed-copy. Rows-only (xxhash64 signatures).
+    // E1/E5 — full MinHash-LSH near-dup cascade (band candidates →
+    // signature-estimate filter → exact verify) over corpus ∪
+    // perturbed-copy, in 3-gram shingle space end-to-end. The fixture is a
+    // 31-word vocabulary soup: at unigram granularity ~23% of ALL pairs are
+    // genuinely J≥0.8 (measured), so unigram near-dup is degenerate there —
+    // word-order-sensitive shingles are the standard measure and give real
+    // separation (twins J≈0.9, background J≈0).
     "e6_minhash_neardup" -> Q.rowsOnly { (s, dir) =>
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") < 1000).select("doc_id", "text")
       val perturbed = docs
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" perturbedtoken")).as("text"))
       val all = docs.unionByName(perturbed)
-      val cands = Dedup.minhashCandidates(all, "doc_id", "text")
-      Dedup.jaccardVerify(cands, all, "doc_id", "text")
-        .filter(col("jaccard") >= 0.5)
+      Dedup.minhashNearDups(all, "doc_id", "text", threshold = 0.8)
     },
 
     // E1 — exact n-gram (unigram-set) Jaccard near-dup pairs, oracle-checked.

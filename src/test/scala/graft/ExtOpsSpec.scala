@@ -65,6 +65,16 @@ class ExtOpsSpec extends SparkSpec {
     assert(recall > 0.9, s"minhash twin recall $recall")
   }
 
+  test("minhashNearDups cascade finds the twins in shingle space") {
+    val all = docs.unionByName(perturbed)
+    val found = Dedup.minhashNearDups(all, "doc_id", "text", threshold = 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val twins = docs.select("doc_id").as[Long].collect()
+      .map(i => (i, i + 100000)).toSet
+    val recall = twins.count(found.contains).toDouble / twins.size
+    assert(recall > 0.9, s"cascade twin recall $recall")
+  }
+
   test("minhash estimate tracks exact jaccard on candidate pairs") {
     // compare like with like: minhash over unigram shingles estimates
     // unigram-set jaccard, the measure unigramJaccardPairs computes exactly
