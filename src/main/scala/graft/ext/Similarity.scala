@@ -38,6 +38,21 @@ object Similarity {
       .limit(k)
   }
 
+  /** Brute-force top-k via the codegen'd native expression
+    * (graft.functions.CosineSimilarity) — one fused loop per row instead of
+    * the three-pass zip_with/aggregate composition; identical results. */
+  def bruteForceTopKNative(embeddings: DataFrame, idCol: String, vecCol: String,
+                           query: Seq[Float], k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val qLit = query.map(v => s"${v}F").mkString("array(", ", ", ")")
+    embeddings
+      .withColumn("cos",
+        round(expr(s"cosine_sim($vecCol, cast($qLit as array<float>))"), 6))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * xxhash64 of the index pair, scaled to [-1, 1]. Seeded — stable across
     * runs/executors with no RNG state (SURVEY §7.3 determinism). */

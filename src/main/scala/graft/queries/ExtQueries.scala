@@ -47,6 +47,22 @@ object ExtQueries {
         Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 10)
     },
 
+    // E2 — same top-k through the codegen'd native CosineSimilarity
+    // Expression (graft.functions): must hash-match the same oracle as e2
+    // (identical formula + traversal order → bit-identical doubles).
+    "e2c_cosine_topk_native" -> Q(
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) AS cos
+        |FROM embeddings
+        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin) {
+      (s, dir) =>
+        val emb = Tables.embeddings(s, dir)
+        val query = emb.filter(col("vec_id") === 0)
+          .select("embedding").first().getSeq[Float](0)
+        Similarity.bruteForceTopKNative(emb, "vec_id", "embedding", query, 10)
+    },
+
     // E2 — LSH-bucketed ANN variant (the scale path; recall vs brute force
     // asserted in ExtOpsSpec). xxhash64 hyperplanes → rows-only here.
     "e2b_ann_topk" -> Q.rowsOnly { (s, dir) =>

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.ops.Skew
+
+/** Window-function, set-operation and skew-handling coverage. W2 re-derives
+  * the reference's keyset-pagination boundaries as a declared query; the
+  * running-sum/lag/rank/set-op entries are harness extras a complete
+  * analytics surface needs (SURVEY §2.5/§2.6 note them absent from the
+  * reference; they are built-ins here).
+  */
+object WindowQueries {
+
+  val defs: Map[String, Q] = Map(
+
+    // W2 — window-boundary derivation (session.py:295-308): every 500th row
+    // becomes a [start, end) range, last unbounded (end NULL) — the
+    // reference's windowed_query loop as one lead() window.
+    "w2_window_boundaries" -> Q(
+      """SELECT rn, ts_us AS start_us, lead(ts_us) OVER (ORDER BY rn) AS end_us
+        |FROM (
+        |  SELECT row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rn,
+        |         epoch_us(ts) AS ts_us
+        |  FROM events) t
+        |WHERE rn % 500 = 1""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+        val wAll = Window.orderBy(col("ts_us"), col("event_id"))
+        val boundaries = e
+          .withColumn("rn", row_number().over(wAll).cast("long"))
+          .filter(col("rn") % 500 === 1)
+          .select("rn", "ts_us")
+        boundaries
+          .withColumn("end_us", lead(col("ts_us"), 1).over(Window.orderBy("rn")))
+          .select(col("rn"), col("ts_us").as("start_us"), col("end_us"))
+    },
+
+    // Running (cumulative) sum with an explicit frame — per-user balance
+    // history over event time.
+    "w3_running_sum" -> Q(
+      """SELECT event_id, user_id,
+        |       round(sum(value) OVER (PARTITION BY user_id
+        |                              ORDER BY epoch_us(ts), event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |         AS running_total
+        |FROM events WHERE user_id < 10""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.events(s, dir)
+          .filter(col("user_id") < 10)
+          .withColumn("ts_us", expr("ts div 1000"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.select(col("event_id"), col("user_id"),
+          round(sum(col("value")).over(w), 2).as("running_total"))
+    },
+
+    // lag/lead — inter-event gap per user in micros.
+    "w4_lag_gap" -> Q(
+      """SELECT event_id, user_id,
+        |       ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |                                ORDER BY ts_us, event_id) AS gap_us
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events) t
+        |WHERE user_id < 10""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.events(s, dir)
+          .selectExpr("event_id", "user_id", "ts div 1000 AS ts_us")
+          .filter(col("user_id") < 10)
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        e.select(col("event_id"), col("user_id"),
+          (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"))
+    },
+
+    // rank with ties (dense ranking of order priorities by total price).
+    "w5_rank" -> Q(
+      """SELECT o_orderpriority, total,
+        |       rank() OVER (ORDER BY total DESC) AS rnk
+        |FROM (SELECT o_orderpriority,
+        |             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |      FROM orders GROUP BY o_orderpriority) t""".stripMargin) {
+      (s, dir) =>
+        val t = Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        t.withColumn("rnk",
+          rank().over(Window.orderBy(col("total").desc)).cast("long"))
+    },
+
+    // Set ops — union all + except over customer key ranges.
+    "set1_union_except" -> Q(
+      """SELECT c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_custkey < 100
+        |  UNION ALL
+        |  SELECT c_custkey FROM customer WHERE c_custkey BETWEEN 50 AND 150) u
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_custkey BETWEEN 70 AND 80""".stripMargin) {
+      (s, dir) =>
+        val c = Tables.customer(s, dir)
+        c.filter(col("c_custkey") < 100).select("c_custkey")
+          .union(c.filter(col("c_custkey").between(50, 150)).select("c_custkey"))
+          .except(c.filter(col("c_custkey").between(70, 80)).select("c_custkey"))
+    },
+
+    // Skew-salted two-phase aggregation — must equal the direct groupBy.
+    "skew_salted_sum" -> Q(
+      """SELECT event_type,
+        |       round(sum(value), 2) AS sum_value, count(*) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin) {
+      (s, dir) =>
+        Skew.saltedSum(Tables.events(s, dir), Seq("event_type"), "value", salts = 16)
+          .select(col("event_type"),
+            round(col("sum_value"), 2).as("sum_value"), col("cnt"))
+    }
+  )
+}
