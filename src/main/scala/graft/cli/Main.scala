@@ -1,0 +1,74 @@
+package graft.cli
+
+import org.apache.spark.sql.functions.max
+
+import graft.core.{GraftSession, GraftError}
+import graft.sync.{ContinuousSync, SyncConfig, SyncJob, SyncReport}
+
+/** Thin command layer (SURVEY §3.1/§3.2, reference cli.py): `single` runs
+  * one watermark-driven incremental sync, `continuous` polls every
+  * `--delay` seconds (reference default 5, cli.py:72-74). Strict layering
+  * kept from the reference (cli → api → engine): this file only parses
+  * args, renders progress (M2), and maps typed errors to exit code 1 (M3).
+  *
+  *   runMain graft.cli.Main single --source <parquet> --dest <dir> \
+  *     --key event_id --watermark ts [--cut <long>]
+  *   runMain graft.cli.Main continuous ... [--delay 5] [--iterations N]
+  */
+object Main {
+
+  private case class Args(cmd: String, source: String, dest: String,
+                          keys: Seq[String], watermark: String,
+                          cut: Option[Long], delay: Long, iterations: Int)
+
+  private def parse(argv: Array[String]): Args = {
+    if (argv.isEmpty || !Set("single", "continuous").contains(argv(0)))
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source P --dest D --key K[,K2] --watermark W [--cut N] [--delay SEC] [--iterations N]")
+    val opts = argv.drop(1).sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    def req(k: String) = opts.getOrElse(k,
+      throw GraftError.InvalidConfig(s"missing required option --$k"))
+    Args(argv(0), req("source"), req("dest"),
+      req("key").split(',').toSeq.map(_.trim).filter(_.nonEmpty),
+      req("watermark"),
+      opts.get("cut").map(_.toLong),
+      opts.getOrElse("delay", "5").toLong * 1000,
+      opts.getOrElse("iterations", Int.MaxValue.toString).toInt)
+  }
+
+  private def render(r: SyncReport): Unit =
+    println(f"synced ${r.candidateRows} rows in ${r.elapsedMs} ms " +
+      f"(${r.rowsPerSec}%.0f rows/s), destination now ${r.destRows} rows " +
+      f"[watermark ${r.startingPoint.getOrElse("-")} → cut ${r.snapshotCut}]")
+
+  def main(argv: Array[String]): Unit = {
+    val exit = try {
+      val a = parse(argv)
+      val spark = GraftSession.local("graft-cli")
+      try {
+        val cfg = SyncConfig(a.keys, a.watermark)
+        def source() = spark.read.parquet(a.source)
+        def cut(): Long = a.cut.getOrElse(
+          source().agg(max(a.watermark)).first() match {
+            case row if row.isNullAt(0) => 0L
+            case row => row.getAs[Number](0).longValue()
+          })
+        a.cmd match {
+          case "single" =>
+            render(new SyncJob(spark, cfg).run(source(), a.dest, cut()))
+          case "continuous" =>
+            new ContinuousSync(spark, cfg).run(
+              source _, a.dest, cut _, a.delay, a.iterations,
+              shouldStop = { r => render(r); false })
+            ()
+        }
+        0
+      } finally spark.stop()
+    } catch {
+      case e: GraftError => System.err.println(s"error: ${e.getMessage}"); 1
+      case e: Exception  => System.err.println(s"error: ${e.getMessage}"); 1
+    }
+    if (exit != 0) sys.exit(exit)
+  }
+}

@@ -22,6 +22,23 @@ object TextAnalysis {
   /** Regex token count without materializing the array. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** BPE-ish regex tokenization for natural text: letter runs, digit runs,
+    * and single non-space symbols as separate tokens (the pre-tokenizer
+    * shape BPE vocabularies are trained over). */
+  val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def tokensRegex(text: Column, pattern: String = bpePattern): Column =
+    regexp_extract_all(lower(text), lit(pattern), lit(0))
+
+  /** Polynomial rolling hash over character codes, mod 1e9+7 (fits exact
+    * integer arithmetic in any engine): h = fold(h*31 + code). The
+    * order-sensitive cheap fingerprint (md5 twin: [[fingerprint]]). */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(text)),
+        i => ascii(text.substr(i, lit(1)))),
+      lit(0L),
+      (acc: Column, c: Column) => (acc * 31 + c) % 1000000007L)
+
   /** Per-document stats: token count, distinct tokens, type-token ratio,
     * average token length — the length/ratio family of quality signals. */
   def withTokenStats(df: DataFrame, textCol: String = "text"): DataFrame = {

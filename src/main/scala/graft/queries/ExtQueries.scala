@@ -177,6 +177,31 @@ object ExtQueries {
             TextAnalysis.qualityScore(col("text")).as("quality"))
     },
 
+    // E4 — BPE-ish regex pre-tokenization count (letter runs / digit runs /
+    // single symbols).
+    "e4f_regex_tokens" -> Q(
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(TextAnalysis.tokensRegex(col("text"))).cast("long").as("n_bpe_tokens"))
+    },
+
+    // E4 — polynomial rolling-hash fingerprint (order-sensitive, exact
+    // integer arithmetic mod 1e9+7 in both engines).
+    "e4g_rolling_hash" -> Q(
+      """SELECT doc_id,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                   list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
+        |                   (a, b) -> (a * 31 + b) % 1000000007) AS rhash
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rhash"))
+    },
+
     // E5 — 64-bit SimHash signature (xxhash64 → rows-only; properties in
     // ExtOpsSpec).
     "e5_simhash" -> Q.rowsOnly { (s, dir) =>
