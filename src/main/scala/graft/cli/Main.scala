@@ -19,11 +19,12 @@ object Main {
 
   private case class Args(cmd: String, source: String, dest: String,
                           keys: Seq[String], watermark: String,
-                          cut: Option[Long], delay: Long, iterations: Int)
+                          cut: Option[Long], delay: Long, iterations: Int,
+                          partitionBy: Option[String])
 
   private def parse(argv: Array[String]): Args = {
     if (argv.isEmpty || !Set("single", "continuous").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source P --dest D --key K[,K2] --watermark W [--cut N] [--delay SEC] [--iterations N]")
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source P --dest D --key K[,K2] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL]")
     val opts = argv.drop(1).sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
@@ -34,7 +35,8 @@ object Main {
       req("watermark"),
       opts.get("cut").map(_.toLong),
       opts.getOrElse("delay", "5").toLong * 1000,
-      opts.getOrElse("iterations", Int.MaxValue.toString).toInt)
+      opts.getOrElse("iterations", Int.MaxValue.toString).toInt,
+      opts.get("partition-by"))
   }
 
   private def render(r: SyncReport): Unit =
@@ -47,7 +49,7 @@ object Main {
       val a = parse(argv)
       val spark = GraftSession.local("graft-cli")
       try {
-        val cfg = SyncConfig(a.keys, a.watermark)
+        val cfg = SyncConfig(a.keys, a.watermark, partitionByCol = a.partitionBy)
         def source() = spark.read.parquet(a.source)
         def cut(): Long = a.cut.getOrElse(
           source().agg(max(a.watermark)).first() match {

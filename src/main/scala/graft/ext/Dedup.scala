@@ -17,12 +17,14 @@ object Dedup {
   def exact(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
 
-  /** Exact-content dedup keeping the smallest id per normalized-content
-    * fingerprint: one hash aggregation, deterministic keeper. */
+  /** Exact-content dedup keeping the smallest-id row per normalized-content
+    * fingerprint: a single hash aggregation (`min_by` of the whole row on
+    * the id) — one shuffle, no keeper join. */
   def byFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keyed = df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
-    val keepers = keyed.groupBy("__fp").agg(min(col(idCol)).as(idCol))
-    keyed.join(keepers, Seq("__fp", idCol), "left_semi").drop("__fp")
+    val cols = df.columns
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .agg(min_by(struct(cols.map(col).toIndexedSeq: _*), col(idCol)).as("__row"))
+      .select(cols.map(c => col(s"__row.$c").as(c)).toIndexedSeq: _*)
   }
 
   /** Word-level shingles (n-grams of tokens) as distinct strings. */

@@ -137,6 +137,15 @@ object ExtQueries {
           .agg(countDistinct(col("token")).as("vocab"))
     },
 
+    // E4 — sketch aggregate: HLL++ approximate vocabulary size (rows-only —
+    // DuckDB's approx_count_distinct uses a different sketch; exact twin is
+    // e4c_vocab_size).
+    "e4h_vocab_approx" -> Q.rowsOnly { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .agg(approx_count_distinct(col("token")).as("vocab_approx"))
+    },
+
     // E4 — stopword-hit language-ID heuristic (first-in-order argmax; the
     // SQL CASE chain is semantically identical to TextAnalysis.langId).
     "e4d_lang_id" -> Q(

@@ -31,9 +31,13 @@ object ParquetMergeSink {
     *
     * @param keyCols   merge key (the reference's reflected primary key)
     * @param orderCol  monotone modification column (`updated`/`ts`)
-    * @param partitionByCol optional target layout column; when set, output
-    *                  is hash-bucketed on it and only affected partitions
-    *                  rewritten.
+    * @param partitionByCol optional target layout column; when set, only
+    *                  partitions containing updated keys are read and
+    *                  rewritten (dynamic partition overwrite). MUST be
+    *                  stable per key — derive it from the merge key (e.g.
+    *                  `pmod(hash(key), N)`), never from mutable payload, or
+    *                  a key that "moves" partitions leaves a stale twin
+    *                  behind.
     */
   def merge(spark: SparkSession, targetDir: String, updates: DataFrame,
             keyCols: Seq[String], orderCol: String,
@@ -56,17 +60,45 @@ object ParquetMergeSink {
     val tagged = updates.select(target.columns.filter(_ != "__src")
       .map(col).toIndexedSeq: _*).withColumn("__src", lit(1))
 
-    val merged = dedupe(target.unionByName(tagged), keyCols, orderCol)
-
-    // Parquet dirs can't be read and overwritten in one job: stage then swap.
-    val tmp = targetDir.stripSuffix("/") + ".__merge_tmp"
-    write(merged, tmp, partitionByCol)
-    val dst = new Path(targetDir)
-    val bak = new Path(targetDir.stripSuffix("/") + ".__merge_old")
-    if (fs.exists(bak)) fs.delete(bak, true)
-    fs.rename(dst, bak)
-    fs.rename(new Path(tmp), dst)
-    fs.delete(bak, true)
+    partitionByCol match {
+      case Some(p) =>
+        // Bounded rewrite: only target partitions that contain updated keys
+        // participate. The partition list is a small driver-side scalar set
+        // (like the watermark reads); target rows outside it are never read
+        // or rewritten — the parquet analog of the reference's bounded
+        // slices, and what keeps merge cost ∝ update locality at 100 TB.
+        val parts = updates.select(col(p)).distinct().collect().map(_.get(0))
+        val affected = target.filter(col(p).isin(parts.toIndexedSeq: _*))
+        val merged = dedupe(affected.unionByName(tagged), keyCols, orderCol)
+        // Can't overwrite partitions we are reading: stage affected rows,
+        // then dynamic-partition-overwrite replaces only those partitions.
+        val tmp = targetDir.stripSuffix("/") + ".__merge_tmp"
+        merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+        val staged = spark.read.parquet(tmp)
+        val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try
+          staged.write.mode(SaveMode.Overwrite).partitionBy(p).parquet(targetDir)
+        finally {
+          prevMode match {
+            case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+            case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+          }
+          fs.delete(new Path(tmp), true)
+        }
+      case None =>
+        val merged = dedupe(target.unionByName(tagged), keyCols, orderCol)
+        // Parquet dirs can't be read and overwritten in one job: stage then
+        // swap the whole directory.
+        val tmp = targetDir.stripSuffix("/") + ".__merge_tmp"
+        write(merged, tmp, None)
+        val dst = new Path(targetDir)
+        val bak = new Path(targetDir.stripSuffix("/") + ".__merge_old")
+        if (fs.exists(bak)) fs.delete(bak, true)
+        fs.rename(dst, bak)
+        fs.rename(new Path(tmp), dst)
+        fs.delete(bak, true)
+    }
     MergeResult(countParquet(spark, targetDir), updateRows)
   }
 

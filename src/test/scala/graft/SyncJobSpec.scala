@@ -107,6 +107,30 @@ class SyncJobSpec extends SparkSpec {
     assert(readDest(dest) == Map(1L -> ((300L, 3.0, "new"))))
   }
 
+  test("partitioned merge rewrites only partitions containing updated keys") {
+    val dest = tmpDir("sync-part") + "/dest"
+    // bucket = stable function of the key (the documented constraint)
+    def bucketed(rows: (Long, Long, Double, String)*) =
+      src(rows: _*).withColumn("bucket", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("id"), org.apache.spark.sql.functions.lit(2)))
+    ParquetMergeSink.merge(spark, dest,
+      bucketed((1L, 100L, 1.0, "A"), (2L, 100L, 2.0, "B"), (3L, 100L, 3.0, "C")),
+      Seq("id"), "updated", partitionByCol = Some("bucket"))
+    val untouchedFiles = new java.io.File(dest, "bucket=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    // update touches only bucket=1 (ids 1 and 3)
+    ParquetMergeSink.merge(spark, dest,
+      bucketed((1L, 200L, 9.0, "A2")),
+      Seq("id"), "updated", partitionByCol = Some("bucket"))
+    val after = new java.io.File(dest, "bucket=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(after == untouchedFiles, "bucket=0 partition files were rewritten")
+    val rows = spark.read.parquet(dest).collect()
+      .map(r => r.getAs[Long]("id") -> ((r.getAs[Long]("updated"), r.getAs[Double]("amount"))))
+      .toMap
+    assert(rows == Map(1L -> ((200L, 9.0)), 2L -> ((100L, 2.0)), 3L -> ((100L, 3.0))))
+  }
+
   test("merge prefers the update on watermark ties (replaces apply-order rule)") {
     val dest = tmpDir("sync-tie") + "/dest"
     ParquetMergeSink.merge(spark, dest, src((1L, 100L, 1.0, "orig")), Seq("id"), "updated")
