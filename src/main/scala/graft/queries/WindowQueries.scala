@@ -37,6 +37,24 @@ object WindowQueries {
           .select(col("rn"), col("ts_us").as("start_us"), col("end_us"))
     },
 
+    // W1 at scale — the two-phase global row_number (range repartition +
+    // local number + offsets) must produce numbers identical to the
+    // single-task window: same oracle as f4_modulo_window.
+    "f4b_global_rownumber" -> Q(
+      """SELECT rn, event_id, ts_us FROM (
+        |  SELECT row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rn,
+        |         event_id, epoch_us(ts) AS ts_us
+        |  FROM events) t
+        |WHERE rn % 100 = 1""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.events(s, dir)
+          .selectExpr("event_id", "ts div 1000 AS ts_us")
+        graft.ops.GlobalRowNumber
+          .withGlobalRowNumber(e, "rn", Seq(col("ts_us"), col("event_id")))
+          .filter(col("rn") % 100 === 1)
+          .select("rn", "event_id", "ts_us")
+    },
+
     // Running (cumulative) sum with an explicit frame — per-user balance
     // history over event time.
     "w3_running_sum" -> Q(

@@ -46,6 +46,29 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(withNull.first().isNullAt(0))
   }
 
+  test("native simhash64 is bit-identical to the HOF composition") {
+    GraftFunctions.register(spark)
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val both = docs.select(
+      col("doc_id"),
+      expr("simhash64(split(text, '\\\\s+'))").as("native"),
+      graft.ext.TextAnalysis.simhash64(col("text")).as("hof"))
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"doc ${r.getLong(0)}: native ${r.getLong(1)} != hof ${r.getLong(2)}")
+    }
+    // degenerate inputs
+    val edge = spark.sql(
+      "SELECT simhash64(cast(array() as array<string>)), simhash64(array(cast(null as string))), " +
+      "simhash64(cast(null as array<string>))").first()
+    assert(!edge.isNullAt(0))  // empty array → all votes 0 → hash 0
+    assert(edge.getLong(0) == 0L)
+    assert(!edge.isNullAt(1))  // null token hashes like xxhash64(null)
+    assert(edge.isNullAt(2))   // null array → null
+  }
+
   test("usable from plain SQL with full codegen") {
     GraftFunctions.register(spark)
     graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
