@@ -73,6 +73,15 @@ object ExtQueries {
         dim = 64, nPlanes = 8, probeHamming = 3)
     },
 
+    // E2 — IVF ANN variant: k-means coarse cells, query probes nearest
+    // cells only (rows-only; recall vs brute force asserted in ExtOpsSpec).
+    "e2d_ivf_topk" -> Q.rowsOnly { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", query, 10)
+    },
+
     // E3 — JSON property extraction from the events props column.
     "e3_json_extract" -> Q(
       """SELECT event_id,

@@ -106,17 +106,25 @@ object IncrementalBalance {
     * micro-batch by the S4 merge sink (update-mode rows are new per-key
     * totals → last-writer-wins merge is exactly right). Returns the
     * StreamingQuery (caller stops it). */
-  def run(images: Dataset[RowImage], destDir: String)
+  /** @param checkpointDir when set, flatMapGroupsWithState + aggregation
+    *   state checkpoints there and the query resumes exactly-once across
+    *   restarts (the streaming-native counterpart of T1's recover-from-
+    *   destination; the merge sink stays idempotent either way, so a lost
+    *   checkpoint degrades to the reference's self-healing behavior, not
+    *   corruption). */
+  def run(images: Dataset[RowImage], destDir: String,
+          checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = images.sparkSession
     val guarded = transitionGuard(deriveTransitions(images))
-    runningBalance(guarded).writeStream
+    val writer = runningBalance(guarded).writeStream
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.sync.ParquetMergeSink.merge(
           spark, destDir, batch, keyCols = Seq("user_id"), orderCol = "updated")
         ()
       }
-      .start()
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
   }
 }

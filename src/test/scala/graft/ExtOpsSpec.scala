@@ -103,6 +103,19 @@ class ExtOpsSpec extends SparkSpec {
     assert((brute intersect ann).size >= 5, s"ANN overlap ${(brute intersect ann).size}/10")
   }
 
+  test("IVF top-k recalls most of brute-force top-k") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").first().getSeq[Float](0)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", query, 10,
+      nLists = 8, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.contains(0L))
+    assert((brute intersect ivf).size >= 5, s"IVF overlap ${(brute intersect ivf).size}/10")
+  }
+
   test("embedding near-dup pairs: planted duplicates found at cos>=0.99") {
     val emb = graft.core.Tables.embeddings(spark, sfDir).limit(50)
     val dup = emb.select((col("vec_id") + 100000).as("vec_id"),
