@@ -24,11 +24,49 @@ object PlanCheck {
     "w1_latest_per_key" -> Seq("RunningWindowFunction|Window"),
     "a1_max_watermark"  -> Seq("HashAggregate"))
 
+  /** Queries whose plan legitimately contains a broadcast nested-loop:
+    * the scalar-watermark crossJoins (one-row build side, T1/T3) and the
+    * driver-literal similarity scans. */
+  private val nestedLoopAllowed = Set(
+    "t1_watermark_recovery", "t3_inclusive_reread")
+
+  /** Sweep every registered query for the silent scale killers: cartesian
+    * products and unintended broadcast nested-loop joins. */
+  private def antiPatternSweep(spark: org.apache.spark.sql.SparkSession,
+                               sfDir: String): Int = {
+    var bad = 0
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val cartesian = plan.contains("CartesianProduct")
+        val nestedLoop = plan.contains("BroadcastNestedLoopJoin") &&
+          !nestedLoopAllowed.contains(name)
+        if (cartesian || nestedLoop) {
+          bad += 1
+          println(s"  [ANTI] $name: " +
+            (if (cartesian) "CartesianProduct " else "") +
+            (if (nestedLoop) "BroadcastNestedLoopJoin" else ""))
+        }
+      } catch {
+        case e: Throwable =>
+          bad += 1
+          println(s"  [ANTI] $name: plan failed: ${e.getMessage.linesIterator.next()}")
+      }
+    }
+    if (bad == 0) println(s"  anti-pattern sweep clean over " +
+      s"${graft.SparkEntry.queries.size} queries")
+    bad
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq else expectations.keys.toSeq.sorted
     val spark = GraftSession.local("graft-plan-check")
     var failed = 0
+    if (args.length <= 1) {
+      println("========== anti-pattern sweep (all queries) ==========")
+      failed += antiPatternSweep(spark, sfDir)
+    }
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
