@@ -20,14 +20,25 @@ object Main {
   private case class Args(cmd: String, source: String, dest: String,
                           keys: Seq[String], watermark: String,
                           cut: Option[Long], delay: Long, iterations: Int,
-                          partitionBy: Option[String])
+                          partitionBy: Option[String], progress: Boolean)
+
+  private val boolFlags = Set("progress")
 
   private def parse(argv: Array[String]): Args = {
     if (argv.isEmpty || !Set("single", "continuous").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source P --dest D --key K[,K2] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL]")
-    val opts = argv.drop(1).sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source P --dest D --key K[,K2] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress]")
+    val opts = scala.collection.mutable.Map.empty[String, String]
+    var i = 1
+    while (i < argv.length) {
+      val k = argv(i)
+      if (!k.startsWith("--"))
+        throw GraftError.InvalidConfig(s"unexpected argument: $k")
+      val name = k.drop(2)
+      if (boolFlags.contains(name)) { opts(name) = "true"; i += 1 }
+      else if (i + 1 >= argv.length)
+        throw GraftError.InvalidConfig(s"option --$name requires a value")
+      else { opts(name) = argv(i + 1); i += 2 }
+    }
     def req(k: String) = opts.getOrElse(k,
       throw GraftError.InvalidConfig(s"missing required option --$k"))
     Args(argv(0), req("source"), req("dest"),
@@ -36,7 +47,8 @@ object Main {
       opts.get("cut").map(_.toLong),
       opts.getOrElse("delay", "5").toLong * 1000,
       opts.getOrElse("iterations", Int.MaxValue.toString).toInt,
-      opts.get("partition-by"))
+      opts.get("partition-by"),
+      opts.contains("progress"))
   }
 
   private def render(r: SyncReport): Unit =
@@ -56,9 +68,14 @@ object Main {
             case row if row.isNullAt(0) => 0L
             case row => row.getAs[Number](0).longValue()
           })
+        // M1/M2 progress rendering (reference cli.py:120-133 spinner/%)
+        val onProgress: graft.sync.Progress => Unit =
+          if (a.progress)
+            p => println(f"  progress ${p.rowsProcessed}/${p.totalRows} rows (${p.percent}%.1f%%)")
+          else _ => ()
         a.cmd match {
           case "single" =>
-            render(new SyncJob(spark, cfg).run(source(), a.dest, cut()))
+            render(new SyncJob(spark, cfg).run(source(), a.dest, cut(), onProgress))
           case "continuous" =>
             new ContinuousSync(spark, cfg).run(
               source _, a.dest, cut _, a.delay, a.iterations,

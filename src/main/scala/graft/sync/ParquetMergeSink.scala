@@ -41,13 +41,14 @@ object ParquetMergeSink {
     */
   def merge(spark: SparkSession, targetDir: String, updates: DataFrame,
             keyCols: Seq[String], orderCol: String,
-            partitionByCol: Option[String] = None): MergeResult = {
+            partitionByCol: Option[String] = None,
+            knownUpdateRows: Option[Long] = None): MergeResult = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
     val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new Path(targetDir)) &&
       fs.listStatus(new Path(targetDir)).nonEmpty
 
-    val updateRows = updates.count()
+    val updateRows = knownUpdateRows.getOrElse(updates.count())
     if (!exists) {
       // S3 create-dest-from-source-schema (session.py:194-197): still dedup
       // within the batch (a key may appear twice in one extract).

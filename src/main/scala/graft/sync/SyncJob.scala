@@ -52,8 +52,11 @@ final class SyncJob(spark: SparkSession, cfg: SyncConfig) {
   /** @param source    full source table (lazy scan — only the wm range is read)
     * @param destDir   parquet destination directory (created if absent, S3)
     * @param nowWatermark run-start snapshot bound in watermark units (T2);
-    *                  injectable for deterministic tests (SURVEY §7.3). */
-  def run(source: DataFrame, destDir: String, nowWatermark: Long): SyncReport = {
+    *                  injectable for deterministic tests (SURVEY §7.3)
+    * @param onProgress M1 per-task progress callback (rows written so far
+    *                  vs. extracted total); no-op by default. */
+  def run(source: DataFrame, destDir: String, nowWatermark: Long,
+          onProgress: Progress => Unit = _ => ()): SyncReport = {
     val t0 = System.nanoTime()
     val wm = col(cfg.watermarkCol)
 
@@ -77,9 +80,17 @@ final class SyncJob(spark: SparkSession, cfg: SyncConfig) {
       case Some(start) =>
         // S1 extract: inclusive both ends (T3 lower, T2 upper).
         val extracted = source.filter(wm >= start && wm <= nowWatermark)
-        val result = ParquetMergeSink.merge(
-          spark, destDir, extracted, cfg.keyCols, cfg.watermarkCol,
-          cfg.partitionByCol)
+        // M1 table_total (one count, reused by the sink as updateRows; the
+        // reference paid an EXPLAIN estimate here, A6). Note: a full
+        // rewrite also re-writes carried-over target rows, so percent can
+        // saturate before the job ends — monotone either way.
+        val totalEstimate = extracted.count()
+        val result = TaskProgressListener.withProgress(
+          spark, totalEstimate, onProgress) {
+          ParquetMergeSink.merge(
+            spark, destDir, extracted, cfg.keyCols, cfg.watermarkCol,
+            cfg.partitionByCol, knownUpdateRows = Some(totalEstimate))
+        }
         SyncReport(Some(start), nowWatermark, result.updateRows,
           result.rowsWritten, (System.nanoTime() - t0) / 1000000)
     }

@@ -107,6 +107,20 @@ class SyncJobSpec extends SparkSpec {
     assert(readDest(dest) == Map(1L -> ((300L, 3.0, "new"))))
   }
 
+  test("M1 progress callbacks: monotone, clamped, final == extracted total") {
+    val dest = tmpDir("sync-progress") + "/dest"
+    val s = src((1 to 500).map(i => (i.toLong, i.toLong, i * 1.0, "A")): _*)
+    val events = scala.collection.mutable.ArrayBuffer.empty[graft.sync.Progress]
+    new SyncJob(spark, cfg).run(s, dest, nowWatermark = 1000L,
+      onProgress = p => events.synchronized { events += p; () })
+    assert(events.nonEmpty, "no progress events delivered")
+    val counts = events.map(_.rowsProcessed)
+    assert(counts == counts.sorted, s"non-monotone progress: $counts")
+    assert(counts.last == 500L)
+    assert(events.forall(_.totalRows == 500L))
+    assert(events.last.percent == 100.0)
+  }
+
   test("partitioned merge rewrites only partitions containing updated keys") {
     val dest = tmpDir("sync-part") + "/dest"
     // bucket = stable function of the key (the documented constraint)
