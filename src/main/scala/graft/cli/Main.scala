@@ -85,7 +85,9 @@ object Main {
         0
       } finally spark.stop()
     } catch {
-      case e: GraftError => System.err.println(s"error: ${e.getMessage}"); 1
+      // M3: config/connectivity errors (the user's fault) exit 2, anything
+      // else (engine/runtime failure) exits 1 — distinct, scriptable codes.
+      case e: GraftError => System.err.println(s"error: ${e.getMessage}"); 2
       case e: Exception  => System.err.println(s"error: ${e.getMessage}"); 1
     }
     if (exit != 0) sys.exit(exit)

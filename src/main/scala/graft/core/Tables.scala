@@ -17,8 +17,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // Defensive: the driver may hand us a session built without our confs.
-    GraftSession.tune(spark)
+    // Defensive: the driver may hand us a session built without the one
+    // conf the fixtures REQUIRE (events.parquet is TIMESTAMP(NANOS) and
+    // unreadable without it). Only that conf is touched — the session's
+    // timezone etc. belong to the session owner (GraftSession sets UTC
+    // for sessions we create).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

@@ -53,18 +53,13 @@ object Dedup {
           transform(sequence(lit(0), lit(k - 1)), i => xxhash64(s, i)),
           (a: Column, h: Column) => least(a, h)))
 
-  /** MinHash-LSH candidate pairs: signature → b bands of r values
-    * (b*r = k), band hash → explode → self-join per band → distinct pairs.
-    * With k=32, b=8, r=4 a Jaccard-0.8 pair is caught with
-    * p = 1-(1-0.8^4)^8 ≈ 0.986. Verify candidates with [[jaccardVerify]].
-    */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 32, bands: Int = 8,
-                        shingleN: Int = 3): DataFrame = {
+  /** Band-join candidate pairs from a (id, __sig) signature frame: explode
+    * b bands of r signature values, self-join per band, distinct pairs —
+    * the shared LSH step of [[minhashCandidates]] and [[minhashNearDups]]. */
+  private def bandCandidates(sig: DataFrame, idCol: String,
+                             k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val r = k / bands
-    val sig = df.select(col(idCol),
-      minhashSignature(col(textCol), k, shingleN).as("__sig"))
     val banded = sig.withColumn("band", explode(array((0 until bands).map { b =>
       struct(lit(b).as("band_id"),
         xxhash64(concat_ws(",", slice(col("__sig"), b * r + 1, r))).as("band_val"))
@@ -74,6 +69,16 @@ object Dedup {
     a.join(b, a("band") === b("band") && col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
   }
+
+  /** MinHash-LSH candidate pairs: signature → band join. With k=32, b=8,
+    * r=4 a Jaccard-0.8 pair is caught with p = 1-(1-0.8^4)^8 ≈ 0.986.
+    * Verify candidates with [[jaccardVerify]]. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 32, bands: Int = 8,
+                        shingleN: Int = 3): DataFrame =
+    bandCandidates(
+      df.select(col(idCol), minhashSignature(col(textCol), k, shingleN).as("__sig")),
+      idCol, k, bands)
 
   /** Full MinHash near-dup cascade:
     *   signatures → band candidates → signature-agreement estimate filter →
@@ -87,18 +92,9 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, k: Int = 32, bands: Int = 8,
                       shingleN: Int = 3, estSlack: Double = 0.2): DataFrame = {
-    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
-    val r = k / bands
     val sig = docs.select(col(idCol),
       minhashSignature(col(textCol), k, shingleN).as("__sig"))
-    val banded = sig.withColumn("band", explode(array((0 until bands).map { b =>
-      struct(lit(b).as("band_id"),
-        xxhash64(concat_ws(",", slice(col("__sig"), b * r + 1, r))).as("band_val"))
-    }: _*))).select(col(idCol), col("band"))
-    val pa = banded.select(col(idCol).as("a_id"), col("band"))
-    val pb = banded.select(col(idCol).as("b_id"), col("band"))
-    val pairs = pa.join(pb, pa("band") === pb("band") && col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    val pairs = bandCandidates(sig, idCol, k, bands)
     val est = pairs
       .join(sig.select(col(idCol).as("a_id"), col("__sig").as("a_sig")), "a_id")
       .join(sig.select(col(idCol).as("b_id"), col("__sig").as("b_sig")), "b_id")

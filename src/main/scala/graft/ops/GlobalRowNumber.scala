@@ -27,13 +27,14 @@ object GlobalRowNumber {
                           partitions: Option[Int] = None): DataFrame = {
     val n = partitions.getOrElse(df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt)
-    // persisted: the ranged shuffle feeds both the count job (eager, below)
-    // and the returned plan. Callers running one action can unpersist via
-    // df.sparkSession.sharedState afterwards; the storage is partition-count
-    // bounded and evicted LRU otherwise.
+    // localCheckpoint (eager): materializes the ranged shuffle ONCE and
+    // truncates lineage, so the driver-side offsets below can never drift
+    // from a recomputed shuffle layout (an evicted block fails loudly with
+    // a recompute error instead of silently renumbering), and the blocks
+    // are released with the DataFrame instead of leaking like persist().
     val ranged = df.repartitionByRange(n, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist()
+      .localCheckpoint(true)
     val counts = ranged.groupBy("__pid").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     // offset of partition i = sum of counts of partitions before it

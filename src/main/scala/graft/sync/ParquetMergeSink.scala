@@ -45,21 +45,43 @@ object ParquetMergeSink {
             knownUpdateRows: Option[Long] = None): MergeResult = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
     val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val exists = fs.exists(new Path(targetDir)) &&
-      fs.listStatus(new Path(targetDir)).nonEmpty
+    recoverInterruptedSwap(fs, targetDir)
+    val exists = hasData(fs, new Path(targetDir))
 
     val updateRows = knownUpdateRows.getOrElse(updates.count())
     if (!exists) {
       // S3 create-dest-from-source-schema (session.py:194-197): still dedup
-      // within the batch (a key may appear twice in one extract).
+      // within the batch (a key may appear twice in one extract). A leftover
+      // _temporary/ from a crashed first write is NOT data (hasData) — the
+      // cold start simply re-runs.
       val deduped = dedupe(updates.withColumn("__src", lit(1)), keyCols, orderCol)
       write(deduped, targetDir, partitionByCol)
       return MergeResult(countParquet(spark, targetDir), updateRows)
+    }
+    if (updateRows == 0) {
+      // idle poll (T5): nothing extracted → never rewrite the destination
+      return MergeResult(countParquet(spark, targetDir), 0L)
     }
 
     val target = spark.read.parquet(targetDir).withColumn("__src", lit(0))
     val tagged = updates.select(target.columns.filter(_ != "__src")
       .map(col).toIndexedSeq: _*).withColumn("__src", lit(1))
+
+    // T3/T5 no-op detection: the inclusive lower bound re-extracts watermark
+    // ties every poll; a re-extracted row IDENTICAL to its destination twin
+    // carries nothing. One anti-join on ALL columns (scan-only, no rewrite)
+    // spares an O(dest) rewrite on idle continuous polls, while any actual
+    // difference — including a payload change on a tied watermark, which
+    // the S4 tie rule resolves in the update's favour — still merges.
+    // (Equality treats NULL != NULL, so null-bearing rows read as novel:
+    // a spurious rewrite at worst, never a skipped change.)
+    val dataCols = target.columns.filter(_ != "__src").toIndexedSeq
+    val novel = tagged.drop("__src")
+      .join(target.drop("__src"), dataCols, "left_anti")
+      .limit(1).count()
+    if (novel == 0) {
+      return MergeResult(countParquet(spark, targetDir), updateRows)
+    }
 
     partitionByCol match {
       case Some(p) =>
@@ -68,8 +90,14 @@ object ParquetMergeSink {
         // (like the watermark reads); target rows outside it are never read
         // or rewritten — the parquet analog of the reference's bounded
         // slices, and what keeps merge cost ∝ update locality at 100 TB.
-        val parts = updates.select(col(p)).distinct().collect().map(_.get(0))
-        val affected = target.filter(col(p).isin(parts.toIndexedSeq: _*))
+        val partVals = updates.select(col(p)).distinct().collect().map(_.get(0))
+        val nonNull = partVals.filter(_ != null)
+        // isin() never matches NULL — target rows in a null partition must
+        // be kept explicitly or the dynamic overwrite would drop them
+        val partPred =
+          if (nonNull.length == partVals.length) col(p).isin(nonNull.toIndexedSeq: _*)
+          else col(p).isin(nonNull.toIndexedSeq: _*) || col(p).isNull
+        val affected = target.filter(partPred)
         val merged = dedupe(affected.unionByName(tagged), keyCols, orderCol)
         // Can't overwrite partitions we are reading: stage affected rows,
         // then dynamic-partition-overwrite replaces only those partitions.
@@ -90,17 +118,51 @@ object ParquetMergeSink {
       case None =>
         val merged = dedupe(target.unionByName(tagged), keyCols, orderCol)
         // Parquet dirs can't be read and overwritten in one job: stage then
-        // swap the whole directory.
+        // swap the whole directory, checking every rename (HDFS-style
+        // filesystems return false instead of throwing) and restoring the
+        // backup if the forward swap fails. A crash between the two renames
+        // is healed by recoverInterruptedSwap on the next merge.
         val tmp = targetDir.stripSuffix("/") + ".__merge_tmp"
         write(merged, tmp, None)
         val dst = new Path(targetDir)
-        val bak = new Path(targetDir.stripSuffix("/") + ".__merge_old")
+        val bak = new Path(bakDir(targetDir))
         if (fs.exists(bak)) fs.delete(bak, true)
-        fs.rename(dst, bak)
-        fs.rename(new Path(tmp), dst)
+        if (!fs.rename(dst, bak))
+          throw new java.io.IOException(s"merge swap: rename $dst -> $bak failed")
+        if (!fs.rename(new Path(tmp), dst)) {
+          fs.rename(bak, dst) // restore; best effort before surfacing
+          throw new java.io.IOException(s"merge swap: rename $tmp -> $dst failed (backup restored)")
+        }
         fs.delete(bak, true)
     }
     MergeResult(countParquet(spark, targetDir), updateRows)
+  }
+
+  private def bakDir(targetDir: String): String =
+    targetDir.stripSuffix("/") + ".__merge_old"
+
+  /** True when the path holds actual table data — at least one entry that
+    * is not a hidden/metadata artifact (`_temporary`, `_SUCCESS`, dotfiles).
+    * A crashed first write leaves only such artifacts and must read as
+    * "no destination yet", not wedge every subsequent run. */
+  private[sync] def hasData(fs: org.apache.hadoop.fs.FileSystem, path: Path): Boolean =
+    fs.exists(path) && fs.listStatus(path).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  /** Heal a crash window between the two swap renames: destination gone but
+    * backup present → the backup IS the previous destination; restore it. */
+  private[sync] def recoverInterruptedSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                           targetDir: String): Unit = {
+    val dst = new Path(targetDir)
+    val bak = new Path(bakDir(targetDir))
+    if (!hasData(fs, dst) && hasData(fs, bak)) {
+      if (fs.exists(dst)) fs.delete(dst, true)
+      if (!fs.rename(bak, dst))
+        throw new java.io.IOException(
+          s"merge recovery: rename $bak -> $dst failed; manual intervention needed")
+    }
   }
 
   /** Last-writer-wins per key: max_by(payload, (orderCol, __src)) in one

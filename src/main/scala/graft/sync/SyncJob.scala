@@ -62,9 +62,11 @@ final class SyncJob(spark: SparkSession, cfg: SyncConfig) {
 
     // T1 — watermark recovery from destination state (self-describing
     // resumability: survives restarts with no checkpoint, README.md:90).
+    // Heal an interrupted merge swap first, and treat metadata-only
+    // leftovers (crashed first write) as "no destination".
     val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val destExists = fs.exists(new Path(destDir)) &&
-      fs.listStatus(new Path(destDir)).nonEmpty
+    ParquetMergeSink.recoverInterruptedSwap(fs, destDir)
+    val destExists = ParquetMergeSink.hasData(fs, new Path(destDir))
     val startingPoint: Option[Long] =
       if (destExists)
         Option(spark.read.parquet(destDir).agg(max(wm)).first().get(0))

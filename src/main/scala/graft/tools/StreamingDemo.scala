@@ -26,9 +26,13 @@ object StreamingDemo {
     val events = Tables.events(spark, sfDir)
     events.write.parquet(srcDir)
 
+    // RowImage.amount is a primitive Double: NULL values (allowed by the
+    // events schema) would fail deserialization — filter them on both the
+    // streaming and the batch side so the comparison stays apples-to-apples.
     val images = spark.readStream
       .schema(events.schema)
       .parquet(srcDir)
+      .filter(col("value").isNotNull)
       .select(col("event_id").as("key"), col("user_id").as("userId"),
         col("event_type").as("status"), col("value").as("amount"),
         col("ts"))
@@ -43,6 +47,7 @@ object StreamingDemo {
       .collect().map(r => r.getLong(0) -> math.round(r.getDouble(1) * 100))
       .toMap
     val batch = events
+      .filter(col("value").isNotNull)
       .filter(col("event_type") =!= "error") // the qualifying guard, batch form
       .groupBy("user_id").agg(sum("value").as("balance"))
       .collect().map(r => r.getLong(0) -> math.round(r.getDouble(1) * 100))

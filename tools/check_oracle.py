@@ -47,9 +47,13 @@ def main(sf_dir: str, out_dir: str) -> int:
     for name in names:
         got = pd.read_parquet(out / name)
         if name not in oracle:
-            rows_only += 1
-            status = "rows-only" if len(got) > 0 else "rows-only EMPTY(!)"
-            print(f"  ~ {name}: {status} ({len(got)} rows)")
+            if len(got) > 0:
+                rows_only += 1
+                print(f"  ~ {name}: rows-only ({len(got)} rows)")
+            else:
+                # an empty rows-only result is a silent regression, not a pass
+                failures.append(name)
+                print(f"  ✗ {name}: rows-only EMPTY")
             continue
         try:
             want = con.sql(oracle[name]).df()
