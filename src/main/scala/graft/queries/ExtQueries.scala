@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** [EXT] training-data-pipeline operators (SURVEY §2.9 E1–E4 + driver
   * mandate): dedup, similarity search, multimodal plumbing, text analysis.
@@ -273,6 +273,35 @@ object ExtQueries {
           concat(col("text"), lit(" perturbedtoken")).as("text"))
       val all = docs.unionByName(perturbed)
       Dedup.minhashNearDups(all, "doc_id", "text", threshold = 0.8)
+    },
+
+    // [EXT] deterministic per-group sampling: k docs per language by
+    // content-hash priority (reservoir-equivalent, engine-independent).
+    "e7_deterministic_sample" -> Q(
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 5""".stripMargin) {
+      (s, dir) =>
+        Sampling.samplePerGroup(
+          Tables.documents(s, dir), "lang", "doc_id", k = 5)
+          .select("lang", "doc_id")
+    },
+
+    // [EXT] hash-based train/val/test split — stable per id, no RNG.
+    "e7b_hash_split" -> Q(
+      """SELECT split, count(*) AS cnt FROM (
+        |  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+        |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents) t
+        |GROUP BY split""".stripMargin) {
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(Sampling.hashSplit(col("doc_id")).as("split"))
+          .groupBy("split").agg(count(lit(1)).as("cnt"))
     },
 
     // E1 — exact n-gram (unigram-set) Jaccard near-dup pairs, oracle-checked.
