@@ -134,6 +134,28 @@ object JoinQueries {
           .agg(count(col("o_orderkey")).as("n_orders"))
     },
 
+    // TPC-H Q4 shape — correlated EXISTS with a cross-table predicate
+    // (semi join carrying a non-equi condition).
+    "j7_order_priority_checks" -> Q(
+      """SELECT o_orderpriority, count(*) AS cnt
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin) {
+      (s, dir) =>
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= expr("timestamp'1997-01-01 00:00:00'") &&
+                  col("o_orderdate") < expr("timestamp'1998-01-01 00:00:00'"))
+        val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+        ord.join(li,
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"))
+    },
+
     // X3 — duration arithmetic between two timestamps vs literal interval
     // (README.md:306-307), in the DuckDB-portable epoch-millis form.
     "x3_duration_filter" -> Q(
