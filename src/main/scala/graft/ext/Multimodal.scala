@@ -30,17 +30,21 @@ object Multimodal {
 
   /** STUB decoder — deterministic fake. A real implementation would hand
     * each partition's byte payloads to a native decode library in batches.
-    * This one emits `featureDim` floats derived from a rolling hash of the
-    * payload so tests have stable, content-sensitive output. */
+    * This one emits `featureDim` floats, each a lane-wise polynomial rolling
+    * hash of the payload bytes (lane j sees bytes at positions ≡ j mod
+    * featureDim) reduced mod 1e9+7 at every step — overflow-free, so the
+    * exact arithmetic is reproducible in any engine with 64-bit integers
+    * (the e3c DuckDB oracle recomputes it from the text). */
   object FakeDecoder {
     val featureDim = 8
+    val Mod = 1000000007L
     def decode(bytes: Array[Byte]): Array[Float] = {
       if (bytes == null) return Array.fill(featureDim)(0.0f)
       val acc = new Array[Long](featureDim)
       var i = 0
       while (i < bytes.length) {
         val j = i % featureDim
-        acc(j) = acc(j) * 31 + (bytes(i) & 0xff)
+        acc(j) = (acc(j) * 31 + (bytes(i) & 0xff)) % Mod
         i += 1
       }
       acc.map(v => ((v % 1000L) / 1000.0f))

@@ -103,11 +103,29 @@ object ExtQueries {
     },
 
     // E3 — partition-batched feature extraction (stubbed decoder; the
-    // mapPartitions execution shape is the thing under test). Rows-only.
-    "e3c_media_features" -> Q.rowsOnly { (s, dir) =>
-      Multimodal.extractFeatures(
+    // mapPartitions execution shape is the thing under test). The fake
+    // decoder's lane-wise rolling hash is exact integer arithmetic mod
+    // 1e9+7, so DuckDB recomputes each feature from the text (fixture is
+    // ASCII, so bytes == codepoints); features unpacked to scalar columns
+    // for oracle canonicalization (arrays aren't hash-sortable driver-side).
+    "e3c_media_features" -> Q({
+      val dim = Multimodal.FakeDecoder.featureDim
+      val lanes = (0 until dim).map { j =>
+        s"""       round((list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |         list_transform(list_filter(range(1, length(text) + 1), i -> (i - 1) % $dim = $j),
+           |                        i -> CAST(ascii(text[i]) AS BIGINT))),
+           |         (a, b) -> (a * 31 + b) % 1000000007) % 1000) / 1000.0, 6) AS f$j""".stripMargin
+      }.mkString(",\n")
+      s"""SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+         |$lanes
+         |FROM documents""".stripMargin
+    }) { (s, dir) =>
+      val feats = Multimodal.extractFeatures(
         Multimodal.fromDocuments(Tables.documents(s, dir)),
         batchPartitions = Some(8))
+      val laneCols = (0 until Multimodal.FakeDecoder.featureDim).map(j =>
+        round(element_at(col("features"), j + 1).cast("double"), 6).as(s"f$j"))
+      feats.select(col("media_id") +: col("n_bytes") +: laneCols: _*)
     },
 
     // E4 — per-document token statistics.
