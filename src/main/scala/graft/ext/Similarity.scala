@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (SURVEY §2.9 E2 + driver
@@ -75,12 +76,11 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** ANN top-k: restrict the cosine scan to buckets whose signature is
-    * within `probeHamming` bits of the query's bucket (multi-probe LSH).
-    * At scale the bucket column is a partition/cluster key: the probe reads
-    * only matching buckets instead of the full corpus. Recall is tunable
-    * via nPlanes/probeHamming; exactness is verified against
-    * [[bruteForceTopK]] on small sf. */
+  /** ANN top-k, in-memory form: restrict the cosine scan to buckets whose
+    * signature is within `probeHamming` bits of the query's bucket
+    * (multi-probe LSH). This form still scans the corpus to compute buckets;
+    * it is the semantics baseline for [[annProbe]], the indexed form that
+    * reads only matching bucket partitions. */
   def annTopK(embeddings: DataFrame, idCol: String, vecCol: String,
               query: Seq[Float], k: Int, dim: Int, nPlanes: Int = 12,
               probeHamming: Int = 2, seed: Int = 42): DataFrame = {
@@ -99,40 +99,162 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF (inverted-file) ANN top-k: a k-means coarse quantizer partitions
-    * the corpus into `nLists` cells; a query probes only the `nProbe`
-    * cells whose centroids are nearest. The other scale path next to
-    * [[annTopK]]'s LSH: data-adaptive cells (better recall on clustered
-    * corpora) at the cost of a training pass. Centroids are tiny and
-    * driver-side; the probe is a partition-prunable equi-filter. Seeded —
-    * deterministic across runs.
-    */
-  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-              query: Seq[Float], k: Int, nLists: Int = 16, nProbe: Int = 4,
-              seed: Long = 42L): DataFrame = {
+  // ------------------------------------------------------------ ANN indexes
+  //
+  // Both ANN variants split into build (once, paid offline) and probe (per
+  // query, reads only matching partitions). The index IS the storage layout:
+  // the bucket/cell column becomes the parquet partition key, so a probe's
+  // equi-filter turns into directory-level partition pruning — at 100 TB a
+  // query touches nProbe cells (or a hamming ball of buckets), never the
+  // corpus. Training/bucketing never runs in the query path.
+
+  /** True when `dir` already holds committed index data (non-hidden files). */
+  private def hasIndex(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  /** Content-addressed cache location for a derived index: keyed by the
+    * source's actual input files + build params, so a different corpus or
+    * parameterization never reuses a stale index. Callers that own index
+    * lifecycle pass an explicit dir instead. */
+  private def cachedIndexDir(kind: String, source: DataFrame, params: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((source.inputFiles.sorted.mkString(",") + "|" + params).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft-index/$kind-$key"
+  }
+
+  /** Materialize the LSH bucket as the storage layout: embeddings written
+    * partitioned by `bucket`. Build once; [[annProbe]] reads only the
+    * hamming-ball partitions. */
+  def buildLshIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+                    indexDir: String, dim: Int, nPlanes: Int = 8,
+                    seed: Int = 42): Unit = {
+    require(nPlanes <= 20, s"nPlanes=$nPlanes would mean 2^$nPlanes partition dirs")
+    embeddings.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), dim, nPlanes, seed).cast("int").as("bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(indexDir)
+  }
+
+  /** Build-if-absent into the content-addressed cache; returns the dir. */
+  def ensureLshIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, nPlanes: Int = 8, seed: Int = 42): String = {
+    val dir = cachedIndexDir("lsh", embeddings, s"$idCol|$vecCol|$dim|$nPlanes|$seed")
+    if (!hasIndex(embeddings.sparkSession, dir))
+      buildLshIndex(embeddings, idCol, vecCol, dir, dim, nPlanes, seed)
+    dir
+  }
+
+  /** All bucket values within `radius` sign-flips of `center`: the
+    * multi-probe set, enumerated driver-side (C(nPlanes, ≤radius) values —
+    * a scalar-sized list, like the watermark reads). */
+  private[graft] def hammingBall(center: Long, nPlanes: Int, radius: Int): Seq[Int] = {
+    val masks = scala.collection.mutable.ArrayBuffer(0L)
+    def go(start: Int, left: Int, acc: Long): Unit = {
+      var p = start
+      while (p < nPlanes) {
+        masks += (acc | (1L << p))
+        if (left > 1) go(p + 1, left - 1, acc | (1L << p))
+        p += 1
+      }
+    }
+    if (radius > 0) go(0, radius, 0L)
+    masks.toSeq.map(m => (center ^ m).toInt)
+  }
+
+  /** Probe a [[buildLshIndex]] layout: hamming ball enumerated driver-side,
+    * scan reads ONLY those bucket partitions (partition pruning — assert
+    * `PartitionFilters` in the plan), exact cosine top-k on candidates. */
+  def annProbe(spark: SparkSession, indexDir: String, idCol: String,
+               vecCol: String, query: Seq[Float], k: Int, dim: Int,
+               nPlanes: Int = 8, probeHamming: Int = 2,
+               seed: Int = 42): DataFrame = {
+    val qBucket = spark.range(1).select(
+      lshBucket(array(query.map(v => lit(v.toDouble)): _*), dim, nPlanes, seed))
+      .first().getLong(0)
+    val probes = hammingBall(qBucket, nPlanes, probeHamming)
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    spark.read.parquet(indexDir)
+      .filter(col("bucket").isin(probes: _*))
+      .withColumn("cos", round(cosine(col(vecCol), q), 6))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Build the IVF (inverted-file) index ONCE: fit the k-means coarse
+    * quantizer, write (id, vec) partitioned by `__cell`, persist the tiny
+    * centroid table beside the data (`_centroids` — underscore-prefixed, so
+    * scans of the index ignore it). The training pass is paid here, never
+    * per query. Seeded — deterministic across runs. */
+  def buildIvfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+                    indexDir: String, nLists: Int = 16,
+                    seed: Long = 42L): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
     val vecs = embeddings.withColumn("__v",
       array_to_vector(col(vecCol).cast("array<double>")))
     val model = new KMeans().setK(nLists).setSeed(seed)
       .setFeaturesCol("__v").setPredictionCol("__cell")
       .fit(vecs)
-    val assigned = model.transform(vecs)
-    // driver-side: rank the tiny centroid list by distance to the query
+    model.transform(vecs).select(col(idCol), col(vecCol), col("__cell"))
+      .write.mode(SaveMode.Overwrite).partitionBy("__cell").parquet(indexDir)
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(indexDir + "/_centroids")
+  }
+
+  /** Build-if-absent into the content-addressed cache; returns the dir. */
+  def ensureIvfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+                     nLists: Int = 16, seed: Long = 42L): String = {
+    val dir = cachedIndexDir("ivf", embeddings, s"$idCol|$vecCol|$nLists|$seed")
+    if (!hasIndex(embeddings.sparkSession, dir))
+      buildIvfIndex(embeddings, idCol, vecCol, dir, nLists, seed)
+    dir
+  }
+
+  /** Probe a [[buildIvfIndex]] layout: rank the persisted centroid list
+    * driver-side (scalar-sized), read ONLY the nProbe nearest cell
+    * partitions, exact cosine top-k on candidates. No training stage. */
+  def ivfProbe(spark: SparkSession, indexDir: String, idCol: String,
+               vecCol: String, query: Seq[Float], k: Int,
+               nProbe: Int = 4): DataFrame = {
     val q = query.map(_.toDouble).toArray
-    val probes = model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        val d = c.toArray.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
-        (i, d)
+    val probes = spark.read.parquet(indexDir + "/_centroids")
+      .collect()
+      .map { r =>
+        val c = r.getSeq[Double](r.fieldIndex("centroid"))
+        val d = c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+        (r.getInt(r.fieldIndex("cell")), d)
       }
-      .sortBy(_._2).take(nProbe).map(_._1)
+      .sortBy(_._2).take(nProbe).map(_._1).toIndexedSeq
     val qLit = array(query.map(v => lit(v.toDouble)): _*)
-    assigned
-      .filter(col("__cell").isin(probes.toIndexedSeq: _*))
+    spark.read.parquet(indexDir)
+      .filter(col("__cell").isin(probes: _*))
       .withColumn("cos", round(cosine(col(vecCol), qLit), 6))
       .select(col(idCol), col("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Convenience one-shot IVF top-k: reuse (or build, only if absent) the
+    * cached index, then probe — `KMeans.fit` never runs when the index
+    * exists, so steady-state queries pay only the nProbe-partition read. */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Float], k: Int, nLists: Int = 16, nProbe: Int = 4,
+              seed: Long = 42L, indexDir: Option[String] = None): DataFrame = {
+    val dir = indexDir.getOrElse(
+      ensureIvfIndex(embeddings, idCol, vecCol, nLists, seed))
+    ivfProbe(embeddings.sparkSession, dir, idCol, vecCol, query, k, nProbe)
   }
 
   /** Embedding near-dup pairs: LSH-bucket join (equi-join on bucket, the

@@ -12,6 +12,30 @@ import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
   */
 object ExtQueries {
 
+  /** One-row recall gate for an approximate top-k vs its exact twin:
+    * (k = |exact|, recall_ok = |ann ∩ exact| ≥ k/2, self_found = query id
+    * in ann) — all computed in-plan (one union + one hash agg, no
+    * driver-side set math, no nested-loop scalar joins). Flags are BIGINT
+    * 0/1 for stable cross-engine hashing. */
+  private def recallContract(exact: org.apache.spark.sql.DataFrame,
+                             approx: org.apache.spark.sql.DataFrame,
+                             idCol: String = "vec_id",
+                             selfId: Long = 0L): org.apache.spark.sql.DataFrame = {
+    val tagged = exact.select(col(idCol)).withColumn("__src", lit("e"))
+      .unionByName(approx.select(col(idCol)).withColumn("__src", lit("a")))
+    tagged.groupBy(idCol).agg(
+        max(when(col("__src") === "e", 1).otherwise(0)).as("in_e"),
+        max(when(col("__src") === "a", 1).otherwise(0)).as("in_a"))
+      .agg(
+        sum(col("in_e")).cast("long").as("k"),
+        sum(col("in_e") * col("in_a")).cast("long").as("hits"),
+        max(when(col(idCol) === selfId && col("in_a") === 1, 1).otherwise(0))
+          .cast("long").as("self_found"))
+      .select(col("k"),
+        when(col("hits") * 2 >= col("k"), 1L).otherwise(0L).as("recall_ok"),
+        col("self_found"))
+  }
+
   val defs: Map[String, Q] = Map(
 
     // E1 — exact dedup cardinality.
@@ -63,23 +87,50 @@ object ExtQueries {
         Similarity.bruteForceTopKNative(emb, "vec_id", "embedding", query, 10)
     },
 
-    // E2 — LSH-bucketed ANN variant (the scale path; recall vs brute force
-    // asserted in ExtOpsSpec). xxhash64 hyperplanes → rows-only here.
-    "e2b_ann_topk" -> Q.rowsOnly { (s, dir) =>
+    // E2 — LSH-bucketed ANN over the materialized bucket-partitioned index
+    // (the scale path: the probe reads only hamming-ball partitions —
+    // partition pruning asserted in PlanCheck). The ANN result itself is
+    // approximate, so the gated output is the recall contract vs the exact
+    // top-k: DuckDB recomputes the exact set's cardinality; the flags assert
+    // "ANN found ≥ half of it, including the query itself".
+    "e2b_ann_topk" -> Q(
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |topk AS (SELECT vec_id FROM embeddings
+        |         ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) DESC,
+        |                  vec_id ASC LIMIT 10)
+        |SELECT count(*) AS k, CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS self_found
+        |FROM topk""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val query = emb.filter(col("vec_id") === 0)
         .select("embedding").first().getSeq[Float](0)
-      Similarity.annTopK(emb, "vec_id", "embedding", query, 10,
+      val idx = Similarity.ensureLshIndex(emb, "vec_id", "embedding",
+        dim = 64, nPlanes = 8)
+      val ann = Similarity.annProbe(s, idx, "vec_id", "embedding", query, 10,
         dim = 64, nPlanes = 8, probeHamming = 3)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 10)
+      recallContract(exact, ann)
     },
 
-    // E2 — IVF ANN variant: k-means coarse cells, query probes nearest
-    // cells only (rows-only; recall vs brute force asserted in ExtOpsSpec).
-    "e2d_ivf_topk" -> Q.rowsOnly { (s, dir) =>
+    // E2 — IVF ANN over the persisted cell-partitioned index: build once
+    // (ensure — no KMeans.fit when the index exists), probe reads only the
+    // nProbe nearest cells. Same recall-contract gate as e2b.
+    "e2d_ivf_topk" -> Q(
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |topk AS (SELECT vec_id FROM embeddings
+        |         ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) DESC,
+        |                  vec_id ASC LIMIT 10)
+        |SELECT count(*) AS k, CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS self_found
+        |FROM topk""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val query = emb.filter(col("vec_id") === 0)
         .select("embedding").first().getSeq[Float](0)
-      Similarity.ivfTopK(emb, "vec_id", "embedding", query, 10)
+      // nProbe 6/16: random-ish fixture embeddings cluster weakly, so the
+      // neighbor set spreads across cells — real corpora probe fewer
+      val idx = Similarity.ensureIvfIndex(emb, "vec_id", "embedding")
+      val ivf = Similarity.ivfProbe(s, idx, "vec_id", "embedding", query, 10,
+        nProbe = 6)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 10)
+      recallContract(exact, ivf)
     },
 
     // E3 — JSON property extraction from the events props column.
@@ -164,13 +215,20 @@ object ExtQueries {
           .agg(countDistinct(col("token")).as("vocab"))
     },
 
-    // E4 — sketch aggregate: HLL++ approximate vocabulary size (rows-only —
-    // DuckDB's approx_count_distinct uses a different sketch; exact twin is
-    // e4c_vocab_size).
-    "e4h_vocab_approx" -> Q.rowsOnly { (s, dir) =>
+    // E4 — sketch aggregate: HLL++ approximate vocabulary size. DuckDB's
+    // sketch differs, so the gated columns are the EXACT count (recomputed
+    // by the oracle) plus a ±5% tolerance flag the sketch must satisfy.
+    "e4h_vocab_approx" -> Q(
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT count(DISTINCT token) AS vocab_exact, CAST(1 AS BIGINT) AS approx_within_5pct
+        |FROM tok""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
-        .agg(approx_count_distinct(col("token")).as("vocab_approx"))
+        .agg(countDistinct(col("token")).as("vocab_exact"),
+          approx_count_distinct(col("token")).as("__approx"))
+        .select(col("vocab_exact"),
+          when(abs(col("__approx") - col("vocab_exact")) <=
+            col("vocab_exact") * 0.05, 1L).otherwise(0L).as("approx_within_5pct"))
     },
 
     // E4 — stopword-hit language-ID heuristic (first-in-order argmax; the
@@ -245,14 +303,22 @@ object ExtQueries {
         .select(col("doc_id"), TextAnalysis.simhash64(col("text")).as("simhash"))
     },
 
-    // E5 — native codegen'd SimHash (graft.functions.SimHash64): must be
-    // bit-identical to e5_simhash's HOF form (asserted in
-    // CosineSimilaritySpec); timed side by side in Bench.
-    "e5c_simhash_native" -> Q.rowsOnly { (s, dir) =>
+    // E5 — native codegen'd SimHash (graft.functions.SimHash64) vs the HOF
+    // composition: the gated output asserts bit-identity across every doc
+    // (n_docs recomputed by the oracle; the flag is the equivalence
+    // contract). The per-doc signatures themselves are xxhash64-based and
+    // not DuckDB-expressible (e5_simhash stays rows-only for that surface).
+    "e5c_simhash_native" -> Q(
+      """SELECT count(*) AS n_docs, CAST(1 AS BIGINT) AS native_matches_hof
+        |FROM documents""".stripMargin) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       Tables.documents(s, dir)
-        .select(col("doc_id"),
-          expr("simhash64(split(text, '\\\\s+'))").as("simhash"))
+        .select(TextAnalysis.simhash64(col("text")).as("hof"),
+          expr("simhash64(split(text, '\\\\s+'))").as("native"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("hof") === col("native"), 0).otherwise(1)).as("__mismatch"))
+        .select(col("n_docs"),
+          when(col("__mismatch") === 0, 1L).otherwise(0L).as("native_matches_hof"))
     },
 
     // E5 — SimHash near-dup candidates over corpus ∪ perturbed-copy (each

@@ -21,6 +21,10 @@ object PlanCheck {
     "j3_local_supplier_volume" -> Seq("BroadcastHashJoin"),
     "j4_semi_exists"    -> Seq("(?s)(BroadcastHashJoin|SortMergeJoin).*LeftSemi|LeftSemi.*(BroadcastHashJoin|SortMergeJoin)"),
     "o2_topk"           -> Seq("TakeOrderedAndProject"),
+    // ANN probes must hit the index layout with directory-level pruning,
+    // never a full-corpus scan
+    "e2b_ann_topk"      -> Seq("PartitionFilters: \\[.*bucket"),
+    "e2d_ivf_topk"      -> Seq("PartitionFilters: \\[.*__cell"),
     "w1_latest_per_key" -> Seq("RunningWindowFunction|Window"),
     "a1_max_watermark"  -> Seq("HashAggregate"))
 

@@ -103,6 +103,49 @@ class ExtOpsSpec extends SparkSpec {
     assert((brute intersect ann).size >= 5, s"ANN overlap ${(brute intersect ann).size}/10")
   }
 
+  test("indexed LSH probe returns exactly the in-memory ANN result") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").first().getSeq[Float](0)
+    val dir = java.nio.file.Files.createTempDirectory("lsh-idx").toString + "/idx"
+    Similarity.buildLshIndex(emb, "vec_id", "embedding", dir, dim = 64, nPlanes = 8)
+    val indexed = Similarity.annProbe(spark, dir, "vec_id", "embedding",
+      query, 10, dim = 64, nPlanes = 8, probeHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val inMem = Similarity.annTopK(emb, "vec_id", "embedding", query, 10,
+      dim = 64, nPlanes = 8, probeHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(indexed == inMem)
+    // the probe plan must prune partitions, not scan the corpus
+    val plan = Similarity.annProbe(spark, dir, "vec_id", "embedding",
+      query, 10, dim = 64, nPlanes = 8, probeHamming = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+  }
+
+  test("hammingBall enumerates exactly the bucket values within radius") {
+    val ball = Similarity.hammingBall(0b10110101L, nPlanes = 8, radius = 2)
+    val expected = (0 until 256).filter(b =>
+      java.lang.Integer.bitCount(b ^ 0b10110101) <= 2)
+    assert(ball.sorted == expected.sorted)
+    assert(ball.distinct.size == ball.size)
+  }
+
+  test("IVF probe over a persisted index matches a fresh build and finds self") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").first().getSeq[Float](0)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-idx").toString + "/idx"
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nLists = 8)
+    val first = Similarity.ivfProbe(spark, dir, "vec_id", "embedding", query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    // re-probe without rebuild: identical (the index, not the fit, answers)
+    val again = Similarity.ivfProbe(spark, dir, "vec_id", "embedding", query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(first == again)
+    assert(first.map(_._1).contains(0L))
+  }
+
   test("IVF top-k recalls most of brute-force top-k") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     val query = emb.filter(col("vec_id") === 0)
