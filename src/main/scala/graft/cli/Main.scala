@@ -53,7 +53,7 @@ object Main {
 
   private def render(r: SyncReport): Unit =
     println(f"synced ${r.candidateRows} rows in ${r.elapsedMs} ms " +
-      f"(${r.rowsPerSec}%.0f rows/s), destination now ${r.destRows} rows " +
+      f"(${r.rowsPerSec}%.0f rows/s), merge wrote ${r.rowsWritten} rows " +
       f"[watermark ${r.startingPoint.getOrElse("-")} → cut ${r.snapshotCut}]")
 
   def main(argv: Array[String]): Unit = {
@@ -68,11 +68,21 @@ object Main {
             case row if row.isNullAt(0) => 0L
             case row => row.getAs[Number](0).longValue()
           })
-        // M1/M2 progress rendering (reference cli.py:120-133 spinner/%)
+        // M1/M2 progress rendering (reference cli.py:120-133: rows/s, %, ETA)
         val onProgress: graft.sync.Progress => Unit =
-          if (a.progress)
-            p => println(f"  progress ${p.rowsProcessed}/${p.totalRows} rows (${p.percent}%.1f%%)")
-          else _ => ()
+          if (a.progress) {
+            val t0 = System.nanoTime()
+            p => {
+              val elapsedSec = (System.nanoTime() - t0) / 1e9
+              val rate = if (elapsedSec > 0) p.rowsProcessed / elapsedSec else 0.0
+              val etaSec =
+                if (rate > 0 && p.totalRows > p.rowsProcessed)
+                  (p.totalRows - p.rowsProcessed) / rate
+                else 0.0
+              println(f"  progress ${p.rowsProcessed}/${p.totalRows} rows " +
+                f"(${p.percent}%.1f%%, $rate%.0f rows/s, eta $etaSec%.1f s)")
+            }
+          } else _ => ()
         a.cmd match {
           case "single" =>
             render(new SyncJob(spark, cfg).run(source(), a.dest, cut(), onProgress))

@@ -16,7 +16,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * intermediate product array and walks the input three times (dot, |a|,
   * |b|); this node emits one fused loop accumulating all three sums, no
   * allocation, inside whole-stage codegen. Same formula, same traversal
-  * order → bit-identical results to the composed version.
+  * order → bit-identical results to the composed version FOR equal-length
+  * arrays with non-null elements (the embeddings contract, asserted in
+  * CosineSimilaritySpec). Outside that contract the forms diverge by
+  * design: the composition's `zip_with` null-pads unequal lengths and
+  * propagates null elements to a NULL result, while this node truncates to
+  * the shorter length and counts null elements as 0.
   *
   * Semantics: shorter array length wins (extra elements ignored); null
   * elements contribute 0; zero-norm input → NULL (undefined angle).

@@ -18,7 +18,11 @@ object Skew {
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
                 salts: Int = 16): DataFrame = {
     require(salts > 0)
-    // deterministic row-local salt: no RNG state, stable under retries
+    // Row-local salt with no RNG state. monotonically_increasing_id is NOT
+    // stable under partition recomputation — harmless here because the salt
+    // only needs to spread rows and the aggregate is associative; do not
+    // reuse this salt where per-row retry stability matters (derive it from
+    // a content hash instead, e.g. pmod(xxhash64(cols...), salts)).
     val salted = df.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(salts)))
     val partial = salted

@@ -37,13 +37,25 @@ object JdbcUpsertSink {
     n
   }
 
-  /** Build the PostgreSQL upsert statement — pure, unit-testable. */
-  def upsertSql(table: String, columns: Seq[String], keyCols: Seq[String]): String = {
+  /** Build the PostgreSQL upsert statement — pure, unit-testable.
+    *
+    * When `orderCol` is set, the DO UPDATE carries an ordering guard
+    * (`WHERE table.orderCol <= EXCLUDED.orderCol`, tie in the update's
+    * favour): replaying an OLDER batch after a newer one is then a no-op
+    * instead of a regression — the JDBC twin of ParquetMergeSink's
+    * (orderCol, __src) last-writer-wins rule, and what makes "retries are
+    * safe" hold across batches, not just within one. */
+  def upsertSql(table: String, columns: Seq[String], keyCols: Seq[String],
+                orderCol: Option[String] = None): String = {
     require(keyCols.nonEmpty && keyCols.forall(columns.contains))
+    require(orderCol.forall(columns.contains))
     val nonKey = columns.filterNot(keyCols.contains)
+    val guard = orderCol
+      .map(c => s" WHERE $table.$c <= EXCLUDED.$c").getOrElse("")
     val sets =
       if (nonKey.isEmpty) ""
-      else nonKey.map(c => s"$c = EXCLUDED.$c").mkString(" DO UPDATE SET ", ", ", "")
+      else nonKey.map(c => s"$c = EXCLUDED.$c")
+        .mkString(" DO UPDATE SET ", ", ", guard)
     val action = if (nonKey.isEmpty) " DO NOTHING" else sets
     s"INSERT INTO $table (${columns.mkString(", ")}) VALUES " +
       s"(${columns.map(_ => "?").mkString(", ")}) " +
@@ -67,7 +79,7 @@ object JdbcUpsertSink {
     validateBatchSize(batchSize)
     val normalized = normalize(df, keyCols, orderCol)
     val columns = normalized.columns.toSeq
-    val sql = upsertSql(table, columns, keyCols)
+    val sql = upsertSql(table, columns, keyCols, Some(orderCol))
     val url = cfg.jdbcUrl
     val props = (cfg.user, cfg.password)
     normalized.foreachPartition { (rows: Iterator[Row]) =>

@@ -1,8 +1,9 @@
 package graft.sync
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Keyed upsert ("MERGE") into a parquet table directory — the file-format
   * twin of the reference's `INSERT ... ON CONFLICT (pk) DO UPDATE` sink
@@ -25,6 +26,11 @@ import org.apache.spark.sql.functions._
   */
 object ParquetMergeSink {
 
+  /** @param rowsWritten rows materialized by THIS merge: the full table for
+    *                    an unpartitioned rewrite, only the affected
+    *                    partitions for a partitioned one, 0 for no-op polls.
+    *                    Never derived by re-scanning the destination.
+    * @param updateRows  rows in the extracted batch. */
   final case class MergeResult(rowsWritten: Long, updateRows: Long)
 
   /** Merge `updates` into the parquet table at `targetDir`.
@@ -48,98 +54,164 @@ object ParquetMergeSink {
     recoverInterruptedSwap(fs, targetDir)
     val exists = hasData(fs, new Path(targetDir))
 
-    val updateRows = knownUpdateRows.getOrElse(updates.count())
-    if (!exists) {
-      // S3 create-dest-from-source-schema (session.py:194-197): still dedup
-      // within the batch (a key may appear twice in one extract). A leftover
-      // _temporary/ from a crashed first write is NOT data (hasData) — the
-      // cold start simply re-runs.
-      val deduped = dedupe(updates.withColumn("__src", lit(1)), keyCols, orderCol)
-      write(deduped, targetDir, partitionByCol)
-      return MergeResult(countParquet(spark, targetDir), updateRows)
-    }
-    if (updateRows == 0) {
-      // idle poll (T5): nothing extracted → never rewrite the destination
-      return MergeResult(countParquet(spark, targetDir), 0L)
-    }
+    // One materialization of the extracted batch: the count, tie bound,
+    // novelty check and dedupe/write below all reuse it, so a live (JDBC)
+    // source is scanned exactly once per merge and every derived number
+    // describes the same snapshot.
+    val mustPersist = updates.storageLevel == StorageLevel.NONE
+    if (mustPersist) updates.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val updateRows = knownUpdateRows.getOrElse(updates.count())
+      if (!exists) {
+        // S3 create-dest-from-source-schema (session.py:194-197): still dedup
+        // within the batch (a key may appear twice in one extract). A leftover
+        // _temporary/ from a crashed first write is NOT data (hasData) — the
+        // cold start simply re-runs.
+        val deduped = dedupe(updates.withColumn("__src", lit(1)), keyCols, orderCol)
+        write(deduped, targetDir, partitionByCol)
+        clearPendingMerge(fs, targetDir)
+        // counts only the files just written (metadata-weight scan)
+        return MergeResult(countParquet(spark, targetDir), updateRows)
+      }
+      if (updateRows == 0) {
+        // idle poll (T5): nothing extracted → never touch the destination
+        clearPendingMerge(fs, targetDir)
+        return MergeResult(0L, 0L)
+      }
 
-    val target = spark.read.parquet(targetDir).withColumn("__src", lit(0))
-    val tagged = updates.select(target.columns.filter(_ != "__src")
-      .map(col).toIndexedSeq: _*).withColumn("__src", lit(1))
+      val target = spark.read.parquet(targetDir).withColumn("__src", lit(0))
+      val tagged = updates.select(target.columns.filter(_ != "__src")
+        .map(col).toIndexedSeq: _*).withColumn("__src", lit(1))
 
-    // T3/T5 no-op detection: the inclusive lower bound re-extracts watermark
-    // ties every poll; a re-extracted row IDENTICAL to its destination twin
-    // carries nothing. One anti-join on ALL columns (scan-only, no rewrite)
-    // spares an O(dest) rewrite on idle continuous polls, while any actual
-    // difference — including a payload change on a tied watermark, which
-    // the S4 tie rule resolves in the update's favour — still merges.
-    // (Equality treats NULL != NULL, so null-bearing rows read as novel:
-    // a spurious rewrite at worst, never a skipped change.)
-    val dataCols = target.columns.filter(_ != "__src").toIndexedSeq
-    val novel = tagged.drop("__src")
-      .join(target.drop("__src"), dataCols, "left_anti")
-      .limit(1).count()
-    if (novel == 0) {
-      return MergeResult(countParquet(spark, targetDir), updateRows)
-    }
+      // Every extracted row has orderCol >= the batch minimum, so an
+      // identical destination twin must sit in that same range: bounding the
+      // novelty scan to it lets parquet row-group stats skip the rest of the
+      // destination (the tie range is a poll-sized sliver at 100 TB).
+      val tieLo = updates.agg(min(col(orderCol))).first().get(0)
 
-    partitionByCol match {
-      case Some(p) =>
-        // Bounded rewrite: only target partitions that contain updated keys
-        // participate. The partition list is a small driver-side scalar set
-        // (like the watermark reads); target rows outside it are never read
-        // or rewritten — the parquet analog of the reference's bounded
-        // slices, and what keeps merge cost ∝ update locality at 100 TB.
-        val partVals = updates.select(col(p)).distinct().collect().map(_.get(0))
-        val nonNull = partVals.filter(_ != null)
-        // isin() never matches NULL — target rows in a null partition must
-        // be kept explicitly or the dynamic overwrite would drop them
-        val partPred =
-          if (nonNull.length == partVals.length) col(p).isin(nonNull.toIndexedSeq: _*)
-          else col(p).isin(nonNull.toIndexedSeq: _*) || col(p).isNull
-        val affected = target.filter(partPred)
-        val merged = dedupe(affected.unionByName(tagged), keyCols, orderCol)
-        // Can't overwrite partitions we are reading: stage affected rows,
-        // then dynamic-partition-overwrite replaces only those partitions.
-        val tmp = targetDir.stripSuffix("/") + ".__merge_tmp"
-        merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-        val staged = spark.read.parquet(tmp)
-        val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try
-          staged.write.mode(SaveMode.Overwrite).partitionBy(p).parquet(targetDir)
-        finally {
-          prevMode match {
-            case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-            case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      // T3/T5 no-op detection: the inclusive lower bound re-extracts watermark
+      // ties every poll; a re-extracted row IDENTICAL to its destination twin
+      // carries nothing. One anti-join on the tie-bounded target (scan-only,
+      // no rewrite) spares an O(dest) rewrite on idle continuous polls, while
+      // any actual difference — including a payload change on a tied
+      // watermark, which the S4 tie rule resolves in the update's favour —
+      // still merges. (Equality treats NULL != NULL, so null-bearing rows
+      // read as novel: a spurious rewrite at worst, never a skipped change.)
+      val dataCols = target.columns.filter(_ != "__src").toIndexedSeq
+      val novelTarget =
+        if (tieLo == null) target else target.filter(col(orderCol) >= lit(tieLo))
+      val novel = tagged.drop("__src")
+        .join(novelTarget.drop("__src"), dataCols, "left_anti")
+        .limit(1).count()
+      if (novel == 0) {
+        clearPendingMerge(fs, targetDir)
+        return MergeResult(0L, updateRows)
+      }
+
+      val written = partitionByCol match {
+        case Some(p) =>
+          // Bounded rewrite: only target partitions that contain updated keys
+          // participate. The partition list is a small driver-side scalar set
+          // (like the watermark reads); target rows outside it are never read
+          // or rewritten — the parquet analog of the reference's bounded
+          // slices, and what keeps merge cost ∝ update locality at 100 TB.
+          val partVals = updates.select(col(p)).distinct().collect().map(_.get(0))
+          val nonNull = partVals.filter(_ != null)
+          // isin() never matches NULL — target rows in a null partition must
+          // be kept explicitly or the dynamic overwrite would drop them
+          val partPred =
+            if (nonNull.length == partVals.length) col(p).isin(nonNull.toIndexedSeq: _*)
+            else col(p).isin(nonNull.toIndexedSeq: _*) || col(p).isNull
+          val affected = target.filter(partPred)
+          val merged = dedupe(affected.unionByName(tagged), keyCols, orderCol)
+          // Can't overwrite partitions we are reading: stage affected rows,
+          // then dynamic-partition-overwrite replaces only those partitions.
+          val tmp = targetDir.stripSuffix("/") + ".__merge_tmp"
+          merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+          val staged = spark.read.parquet(tmp)
+          val stagedRows = countParquet(spark, tmp)
+          // Dynamic partition overwrite commits per partition, NOT atomically
+          // across them: a crash can leave some partitions new (advancing
+          // MAX(watermark) in dest) while others keep old rows. Record the
+          // batch's low watermark first; SyncJob treats a surviving marker as
+          // "restart extraction from here" and the idempotent merge heals any
+          // partial commit. Cleared only after a fully-committed overwrite.
+          tieLo match {
+            case n: Number => writePendingMerge(fs, targetDir, n.longValue())
+            case _ => () // non-numeric order column: no marker (documented gap)
           }
-          fs.delete(new Path(tmp), true)
-        }
-      case None =>
-        val merged = dedupe(target.unionByName(tagged), keyCols, orderCol)
-        // Parquet dirs can't be read and overwritten in one job: stage then
-        // swap the whole directory, checking every rename (HDFS-style
-        // filesystems return false instead of throwing) and restoring the
-        // backup if the forward swap fails. A crash between the two renames
-        // is healed by recoverInterruptedSwap on the next merge.
-        val tmp = targetDir.stripSuffix("/") + ".__merge_tmp"
-        write(merged, tmp, None)
-        val dst = new Path(targetDir)
-        val bak = new Path(bakDir(targetDir))
-        if (fs.exists(bak)) fs.delete(bak, true)
-        if (!fs.rename(dst, bak))
-          throw new java.io.IOException(s"merge swap: rename $dst -> $bak failed")
-        if (!fs.rename(new Path(tmp), dst)) {
-          fs.rename(bak, dst) // restore; best effort before surfacing
-          throw new java.io.IOException(s"merge swap: rename $tmp -> $dst failed (backup restored)")
-        }
-        fs.delete(bak, true)
-    }
-    MergeResult(countParquet(spark, targetDir), updateRows)
+          val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          try
+            staged.write.mode(SaveMode.Overwrite).partitionBy(p).parquet(targetDir)
+          finally {
+            prevMode match {
+              case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+              case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            }
+            fs.delete(new Path(tmp), true)
+          }
+          stagedRows
+        case None =>
+          val merged = dedupe(target.unionByName(tagged), keyCols, orderCol)
+          // Parquet dirs can't be read and overwritten in one job: stage then
+          // swap the whole directory, checking every rename (HDFS-style
+          // filesystems return false instead of throwing) and restoring the
+          // backup if the forward swap fails. A crash between the two renames
+          // is healed by recoverInterruptedSwap on the next merge.
+          val tmp = targetDir.stripSuffix("/") + ".__merge_tmp"
+          write(merged, tmp, None)
+          // rowsWritten = the staged output's own count — never a re-scan of
+          // the destination after the swap
+          val stagedRows = countParquet(spark, tmp)
+          val dst = new Path(targetDir)
+          val bak = new Path(bakDir(targetDir))
+          if (fs.exists(bak)) fs.delete(bak, true)
+          if (!fs.rename(dst, bak))
+            throw new java.io.IOException(s"merge swap: rename $dst -> $bak failed")
+          if (!fs.rename(new Path(tmp), dst)) {
+            fs.rename(bak, dst) // restore; best effort before surfacing
+            throw new java.io.IOException(s"merge swap: rename $tmp -> $dst failed (backup restored)")
+          }
+          fs.delete(bak, true)
+          stagedRows
+      }
+      clearPendingMerge(fs, targetDir)
+      MergeResult(written, updateRows)
+    } finally if (mustPersist) updates.unpersist()
   }
 
   private def bakDir(targetDir: String): String =
     targetDir.stripSuffix("/") + ".__merge_old"
+
+  private def pendingPath(targetDir: String): Path =
+    new Path(targetDir.stripSuffix("/") + ".__merge_pending")
+
+  /** Restart watermark left by a partitioned merge that may have partially
+    * committed. SyncJob's T1 recovery takes `min(dest MAX, this)` so the
+    * interrupted batch is re-extracted in full (idempotent merge heals any
+    * mix of old and new partitions). */
+  private[sync] def pendingRestartPoint(fs: FileSystem, targetDir: String): Option[Long] = {
+    val p = pendingPath(targetDir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
+      finally in.close()
+    }
+  }
+
+  private def writePendingMerge(fs: FileSystem, targetDir: String, lo: Long): Unit = {
+    val out = fs.create(pendingPath(targetDir), true)
+    try out.write(lo.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def clearPendingMerge(fs: FileSystem, targetDir: String): Unit = {
+    val p = pendingPath(targetDir)
+    if (fs.exists(p)) { fs.delete(p, false); () }
+  }
 
   /** True when the path holds actual table data — at least one entry that
     * is not a hidden/metadata artifact (`_temporary`, `_SUCCESS`, dotfiles).

@@ -23,7 +23,7 @@ final case class SyncReport(
     startingPoint: Option[Long],  // T1 watermark the run began from
     snapshotCut: Long,            // T2 frozen upper bound
     candidateRows: Long,          // rows extracted (wm <= w <= cut)
-    destRows: Long,               // destination rowcount after merge
+    rowsWritten: Long,            // rows materialized by the merge (0 = no-op)
     elapsedMs: Long) {
   def rowsPerSec: Double =
     if (elapsedMs == 0) 0.0 else candidateRows * 1000.0 / elapsedMs
@@ -67,11 +67,21 @@ final class SyncJob(spark: SparkSession, cfg: SyncConfig) {
     val fs = new Path(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     ParquetMergeSink.recoverInterruptedSwap(fs, destDir)
     val destExists = ParquetMergeSink.hasData(fs, new Path(destDir))
+    // An interrupted partitioned merge leaves a pending marker with its
+    // batch's low watermark: partitions committed before the crash have
+    // advanced MAX(wm), so trusting it alone would skip the lost updates
+    // forever. min(dest MAX, marker) re-extracts the whole interrupted
+    // batch; the idempotent merge absorbs the replay.
+    val pendingRestart = ParquetMergeSink.pendingRestartPoint(fs, destDir)
     val startingPoint: Option[Long] =
-      if (destExists)
-        Option(spark.read.parquet(destDir).agg(max(wm)).first().get(0))
+      if (destExists) {
+        val destMax = Option(spark.read.parquet(destDir).agg(max(wm)).first().get(0))
           .map(_.asInstanceOf[Number].longValue())
-      else
+        (destMax, pendingRestart) match {
+          case (Some(m), Some(p)) => Some(math.min(m, p))
+          case (m, p)             => m.orElse(p)
+        }
+      } else
         Option(source.agg(min(wm)).first().get(0))
           .map(_.asInstanceOf[Number].longValue())
 
@@ -80,21 +90,26 @@ final class SyncJob(spark: SparkSession, cfg: SyncConfig) {
         // empty source, nothing to do
         SyncReport(None, nowWatermark, 0L, 0L, (System.nanoTime() - t0) / 1000000)
       case Some(start) =>
-        // S1 extract: inclusive both ends (T3 lower, T2 upper).
+        // S1 extract: inclusive both ends (T3 lower, T2 upper). Persisted
+        // once here so the count and every pass inside merge read the same
+        // snapshot of a possibly-live source.
         val extracted = source.filter(wm >= start && wm <= nowWatermark)
-        // M1 table_total (one count, reused by the sink as updateRows; the
-        // reference paid an EXPLAIN estimate here, A6). Note: a full
-        // rewrite also re-writes carried-over target rows, so percent can
-        // saturate before the job ends — monotone either way.
-        val totalEstimate = extracted.count()
-        val result = TaskProgressListener.withProgress(
-          spark, totalEstimate, onProgress) {
-          ParquetMergeSink.merge(
-            spark, destDir, extracted, cfg.keyCols, cfg.watermarkCol,
-            cfg.partitionByCol, knownUpdateRows = Some(totalEstimate))
-        }
-        SyncReport(Some(start), nowWatermark, result.updateRows,
-          result.rowsWritten, (System.nanoTime() - t0) / 1000000)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // M1 table_total (one count, reused by the sink as updateRows; the
+          // reference paid an EXPLAIN estimate here, A6). Note: a full
+          // rewrite also re-writes carried-over target rows, so percent can
+          // saturate before the job ends — monotone either way.
+          val totalEstimate = extracted.count()
+          val result = TaskProgressListener.withProgress(
+            spark, totalEstimate, onProgress) {
+            ParquetMergeSink.merge(
+              spark, destDir, extracted, cfg.keyCols, cfg.watermarkCol,
+              cfg.partitionByCol, knownUpdateRows = Some(totalEstimate))
+          }
+          SyncReport(Some(start), nowWatermark, result.updateRows,
+            result.rowsWritten, (System.nanoTime() - t0) / 1000000)
+        } finally { extracted.unpersist(); () }
     }
   }
 }

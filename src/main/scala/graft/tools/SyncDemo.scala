@@ -29,7 +29,7 @@ object SyncDemo {
 
     def show(label: String, r: graft.sync.SyncReport): Unit =
       println(f"$label%-28s start=${r.startingPoint.getOrElse(-1L)} cut=${r.snapshotCut} " +
-        f"extracted=${r.candidateRows} destRows=${r.destRows} " +
+        f"extracted=${r.candidateRows} written=${r.rowsWritten} " +
         f"${r.elapsedMs} ms  ${r.rowsPerSec}%.0f rows/s")
 
     show("cold start (cut=mid)", job.run(source, dest, midTs))

@@ -29,6 +29,15 @@ class JdbcSpec extends AnyFunSuite {
       "balance = EXCLUDED.balance, updated = EXCLUDED.updated")
   }
 
+  test("S4: ordering guard makes stale-batch replays a no-op") {
+    val sql = JdbcUpsertSink.upsertSql("user_balance",
+      Seq("user_id", "balance", "updated"), Seq("user_id"),
+      orderCol = Some("updated"))
+    assert(sql.endsWith("DO UPDATE SET balance = EXCLUDED.balance, " +
+      "updated = EXCLUDED.updated " +
+      "WHERE user_balance.updated <= EXCLUDED.updated"))
+  }
+
   test("S4: key-only table degrades to DO NOTHING") {
     val sql = JdbcUpsertSink.upsertSql("ids", Seq("id"), Seq("id"))
     assert(sql.endsWith("ON CONFLICT (id) DO NOTHING"))

@@ -100,6 +100,34 @@ class SyncJobSpec extends SparkSpec {
     assert(readDest(dest).keySet == Set(1L, 2L, 3L))
   }
 
+  test("no-novelty re-run reports rowsWritten == 0 (destination untouched)") {
+    val dest = tmpDir("sync-noop") + "/dest"
+    val s = src((1L, 100L, 1.0, "A"), (2L, 200L, 2.0, "B"))
+    val job = new SyncJob(spark, cfg)
+    val r1 = job.run(s, dest, 500L)
+    assert(r1.rowsWritten == 2L)
+    val r2 = job.run(s, dest, 500L) // ties re-extracted, nothing novel
+    assert(r2.rowsWritten == 0L)
+  }
+
+  test("pending-merge marker forces re-extraction from the pre-merge watermark") {
+    val dest = tmpDir("sync-marker") + "/dest"
+    val job = new SyncJob(spark, cfg)
+    job.run(src((1L, 100L, 1.0, "A"), (2L, 500L, 2.0, "B")), dest, 600L)
+    // Simulate a partitioned merge that crashed mid-commit after starting
+    // from watermark 100: the marker survives; row 1's update (wm 150, below
+    // dest MAX 500) would otherwise be skipped forever.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dest + ".__merge_pending"), "100")
+    val mutated = src((1L, 150L, 9.0, "recovered"), (2L, 500L, 2.0, "B"))
+    val r = job.run(mutated, dest, 1000L)
+    assert(r.startingPoint.contains(100L)) // min(dest MAX, marker)
+    assert(readDest(dest)(1L) == ((150L, 9.0, "recovered")))
+    // a fully-committed merge clears the marker
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dest + ".__merge_pending")))
+  }
+
   test("merge dedups duplicate keys within one batch (last writer by watermark wins)") {
     val dest = tmpDir("sync-dupe") + "/dest"
     val dupes = src((1L, 100L, 1.0, "old"), (1L, 300L, 3.0, "new"), (1L, 200L, 2.0, "mid"))
@@ -139,6 +167,9 @@ class SyncJobSpec extends SparkSpec {
     val after = new java.io.File(dest, "bucket=0").listFiles()
       .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
     assert(after == untouchedFiles, "bucket=0 partition files were rewritten")
+    // successful partitioned merges leave no pending-merge marker behind
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dest + ".__merge_pending")))
     val rows = spark.read.parquet(dest).collect()
       .map(r => r.getAs[Long]("id") -> ((r.getAs[Long]("updated"), r.getAs[Double]("amount"))))
       .toMap
