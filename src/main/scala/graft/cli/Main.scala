@@ -1,9 +1,8 @@
 package graft.cli
 
-import org.apache.spark.sql.functions.max
-
 import graft.core.{GraftSession, GraftError}
-import graft.sync.{ContinuousSync, SyncConfig, SyncJob, SyncReport}
+import graft.sources.JdbcSource
+import graft.sync.{SyncConfig, SyncEndpoint, SyncPipeline, SyncReport}
 
 /** Thin command layer (SURVEY §3.1/§3.2, reference cli.py): `single` runs
   * one watermark-driven incremental sync, `continuous` polls every
@@ -11,8 +10,14 @@ import graft.sync.{ContinuousSync, SyncConfig, SyncJob, SyncReport}
   * kept from the reference (cli → api → engine): this file only parses
   * args, renders progress (M2), and maps typed errors to exit code 1 (M3).
   *
-  *   runMain graft.cli.Main single --source <parquet> --dest <dir> \
-  *     --key event_id --watermark ts [--cut <long>]
+  * Endpoints are parquet directories or JDBC tables
+  * (`jdbc:postgresql://host:port/db#table` — table after `#`, credentials
+  * via `--source-user`/`--source-password` etc., never in the URL). For a
+  * JDBC source, `--key` may be omitted: the primary key is reflected from
+  * the catalog (S2), like the reference's autoload.
+  *
+  *   runMain graft.cli.Main single --source <parquet|jdbc:...#t> \
+  *     --dest <parquet|jdbc:...#t> [--key K[,K2]] --watermark W [--cut N]
   *   runMain graft.cli.Main continuous ... [--delay 5] [--iterations N]
   */
 object Main {
@@ -20,13 +25,15 @@ object Main {
   private case class Args(cmd: String, source: String, dest: String,
                           keys: Seq[String], watermark: String,
                           cut: Option[Long], delay: Long, iterations: Int,
-                          partitionBy: Option[String], progress: Boolean)
+                          partitionBy: Option[String], progress: Boolean,
+                          sourceUser: Option[String], sourcePassword: Option[String],
+                          destUser: Option[String], destPassword: Option[String])
 
   private val boolFlags = Set("progress")
 
   private def parse(argv: Array[String]): Args = {
     if (argv.isEmpty || !Set("single", "continuous").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source P --dest D --key K[,K2] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress]")
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P]")
     val opts = scala.collection.mutable.Map.empty[String, String]
     var i = 1
     while (i < argv.length) {
@@ -42,13 +49,16 @@ object Main {
     def req(k: String) = opts.getOrElse(k,
       throw GraftError.InvalidConfig(s"missing required option --$k"))
     Args(argv(0), req("source"), req("dest"),
-      req("key").split(',').toSeq.map(_.trim).filter(_.nonEmpty),
+      opts.get("key").map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Nil),
       req("watermark"),
       opts.get("cut").map(_.toLong),
       opts.getOrElse("delay", "5").toLong * 1000,
       opts.getOrElse("iterations", Int.MaxValue.toString).toInt,
       opts.get("partition-by"),
-      opts.contains("progress"))
+      opts.contains("progress"),
+      opts.get("source-user"), opts.get("source-password"),
+      opts.get("dest-user"), opts.get("dest-password"))
   }
 
   private def render(r: SyncReport): Unit =
@@ -61,13 +71,17 @@ object Main {
       val a = parse(argv)
       val spark = GraftSession.local("graft-cli")
       try {
-        val cfg = SyncConfig(a.keys, a.watermark, partitionByCol = a.partitionBy)
-        def source() = spark.read.parquet(a.source)
-        def cut(): Long = a.cut.getOrElse(
-          source().agg(max(a.watermark)).first() match {
-            case row if row.isNullAt(0) => 0L
-            case row => row.getAs[Number](0).longValue()
-          })
+        val source = SyncEndpoint.parse(a.source, a.sourceUser, a.sourcePassword)
+        val dest = SyncEndpoint.parse(a.dest, a.destUser, a.destPassword)
+        // S2 — key defaulting from the reflected primary key (jdbc source)
+        val keys = (a.keys, source) match {
+          case (ks, _) if ks.nonEmpty => ks
+          case (_, SyncEndpoint.JdbcTable(url, table, props)) =>
+            new JdbcSource(url, props).primaryKey(table)
+          case _ => throw GraftError.InvalidConfig(
+            "--key is required for a parquet source (no catalog to reflect)")
+        }
+        val cfg = SyncConfig(keys, a.watermark, partitionByCol = a.partitionBy)
         // M1/M2 progress rendering (reference cli.py:120-133: rows/s, %, ETA)
         val onProgress: graft.sync.Progress => Unit =
           if (a.progress) {
@@ -85,11 +99,11 @@ object Main {
           } else _ => ()
         a.cmd match {
           case "single" =>
-            render(new SyncJob(spark, cfg).run(source(), a.dest, cut(), onProgress))
+            render(SyncPipeline.run(spark, cfg, source, dest, a.cut, onProgress))
           case "continuous" =>
-            new ContinuousSync(spark, cfg).run(
-              source _, a.dest, cut _, a.delay, a.iterations,
-              shouldStop = { r => render(r); false })
+            SyncPipeline.continuous(spark, cfg, source, dest, a.delay,
+              a.iterations, shouldStop = { r => render(r); false },
+              onProgress = onProgress)
             ()
         }
         0

@@ -1,18 +1,22 @@
 package graft.sinks
 
-import java.sql.DriverManager
+import java.sql.{Connection, DriverManager, PreparedStatement}
+import java.util.Properties
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.core.DbConfig
 
 /** JDBC upsert ("MERGE") sink (SURVEY §2.1 S4/S5, reference
-  * session.py:135-151): `INSERT ... ON CONFLICT (pk) DO UPDATE SET
-  * <non-pk> = EXCLUDED.<non-pk>`, executed per partition with
-  * `addBatch`/`executeBatch` — the JDBC twin of psycopg2's
-  * `use_batch_mode` (session.py:83-86).
+  * session.py:135-151): PostgreSQL gets the native batched
+  * `INSERT ... ON CONFLICT (pk) DO UPDATE` (with the ordering guard —
+  * stale-batch replays are no-ops), any other JDBC database the
+  * two-statement guarded-update / insert-miss protocol ([[SqlDialect]]).
+  * Both run per partition with `addBatch`/`executeBatch` — the JDBC twin
+  * of psycopg2's `use_batch_mode` (session.py:83-86).
   *
   * Scale contract:
   *   - rows are first deduped per key (last-writer-wins by the watermark
@@ -24,7 +28,14 @@ import graft.core.DbConfig
   *     `batchSize` rows (reference chunksize, default 10000 with the
   *     *intended* ≤10000 validation the reference mis-implemented,
   *     SURVEY §0.2);
-  *   - retries are safe: the statement is idempotent per key.
+  *   - retries are safe across batches: the ordering guard means an older
+  *     row never overwrites a newer one.
+  *
+  * Crash note: per-partition transactions commit independently, so a
+  * mid-run crash leaves a partial apply. SyncPipeline brackets JDBC-dest
+  * runs with a restart marker in the destination (graft_sync_state) so
+  * recovery re-extracts the whole interrupted batch — the parallel-safe
+  * replacement for the reference's sequential ascending apply.
   */
 object JdbcUpsertSink {
 
@@ -37,30 +48,20 @@ object JdbcUpsertSink {
     n
   }
 
-  /** Build the PostgreSQL upsert statement — pure, unit-testable.
-    *
-    * When `orderCol` is set, the DO UPDATE carries an ordering guard
-    * (`WHERE table.orderCol <= EXCLUDED.orderCol`, tie in the update's
-    * favour): replaying an OLDER batch after a newer one is then a no-op
-    * instead of a regression — the JDBC twin of ParquetMergeSink's
-    * (orderCol, __src) last-writer-wins rule, and what makes "retries are
-    * safe" hold across batches, not just within one. */
+  /** PostgreSQL upsert statement — pure, unit-testable (delegates to
+    * [[SqlDialect.Postgres]]). With `orderCol` the DO UPDATE carries the
+    * ordering guard (`WHERE table.orderCol <= EXCLUDED.orderCol`, tie in
+    * the update's favour), mirroring ParquetMergeSink's (orderCol, __src)
+    * last-writer-wins rule. */
   def upsertSql(table: String, columns: Seq[String], keyCols: Seq[String],
-                orderCol: Option[String] = None): String = {
-    require(keyCols.nonEmpty && keyCols.forall(columns.contains))
-    require(orderCol.forall(columns.contains))
-    val nonKey = columns.filterNot(keyCols.contains)
-    val guard = orderCol
-      .map(c => s" WHERE $table.$c <= EXCLUDED.$c").getOrElse("")
-    val sets =
-      if (nonKey.isEmpty) ""
-      else nonKey.map(c => s"$c = EXCLUDED.$c")
-        .mkString(" DO UPDATE SET ", ", ", guard)
-    val action = if (nonKey.isEmpty) " DO NOTHING" else sets
-    s"INSERT INTO $table (${columns.mkString(", ")}) VALUES " +
-      s"(${columns.map(_ => "?").mkString(", ")}) " +
-      s"ON CONFLICT (${keyCols.mkString(", ")})$action"
-  }
+                orderCol: Option[String] = None): String =
+    SqlDialect.Postgres.upsertSql(table, columns, keyCols, orderCol).get
+
+  /** S3 — create the destination table preserving the primary key (Spark's
+    * JDBC auto-create drops PKs, SURVEY §7.3). Pure DDL builder (PG). */
+  def createTableSql(table: String, schema: org.apache.spark.sql.types.StructType,
+                     keyCols: Seq[String]): String =
+    SqlDialect.Postgres.createTableSql(table, schema, keyCols)
 
   /** Per-key last-writer-wins dedup + co-location shuffle — the pre-write
     * normalization (SURVEY §2.1 S4 Spark mapping). */
@@ -73,67 +74,156 @@ object JdbcUpsertSink {
       .drop("__rn")
   }
 
-  /** Write `df` into `table` with upsert semantics. */
-  def write(df: DataFrame, cfg: DbConfig, table: String, keyCols: Seq[String],
-            orderCol: String, batchSize: Int = MaxBatchSize): Unit = {
+  /** S3 — create `table` from `schema` when absent (reference
+    * session.py:194-197 create-dest-from-source-schema). */
+  def ensureTable(url: String, props: Properties, table: String,
+                  schema: org.apache.spark.sql.types.StructType,
+                  keyCols: Seq[String]): Unit = {
+    val dialect = SqlDialect.forUrl(url)
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, table, Array("TABLE"))
+      val exists = try rs.next() finally rs.close()
+      if (!exists) {
+        val stmt = conn.createStatement()
+        try { stmt.executeUpdate(dialect.createTableSql(table, schema, keyCols)); () }
+        finally stmt.close()
+      }
+    } finally conn.close()
+  }
+
+  /** Write `df` into `table` with upsert semantics; returns the number of
+    * rows applied (post-dedup). Dialect chosen from the URL. */
+  def write(df: DataFrame, url: String, props: Properties, table: String,
+            keyCols: Seq[String], orderCol: String,
+            batchSize: Int = MaxBatchSize): Long = {
     validateBatchSize(batchSize)
     val normalized = normalize(df, keyCols, orderCol)
-    val columns = normalized.columns.toSeq
-    val sql = upsertSql(table, columns, keyCols, Some(orderCol))
-    val url = cfg.jdbcUrl
-    val props = (cfg.user, cfg.password)
-    normalized.foreachPartition { (rows: Iterator[Row]) =>
-      if (rows.hasNext) {
-        val conn = DriverManager.getConnection(url, props._1, props._2)
-        try {
-          conn.setAutoCommit(false) // one transaction per partition
-          val stmt = conn.prepareStatement(sql)
-          try {
-            var pending = 0
-            rows.foreach { row =>
-              var i = 0
-              while (i < columns.length) {
-                stmt.setObject(i + 1, row.get(i)); i += 1
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val applied = normalized.count()
+      val columns = normalized.columns.toSeq
+      val dialect = SqlDialect.forUrl(url)
+      dialect.upsertSql(table, columns, keyCols, Some(orderCol)) match {
+        case Some(sql) =>
+          runPerPartition(normalized, url, props) { (conn, rows) =>
+            val stmt = conn.prepareStatement(sql)
+            try {
+              var pending = 0
+              rows.foreach { row =>
+                bindRow(stmt, row, columns.indices)
+                stmt.addBatch()
+                pending += 1
+                if (pending >= batchSize) { stmt.executeBatch(); pending = 0 }
               }
-              stmt.addBatch()
-              pending += 1
-              if (pending >= batchSize) { stmt.executeBatch(); pending = 0 }
-            }
-            if (pending > 0) stmt.executeBatch()
-            conn.commit()
-          } finally stmt.close()
-        } catch {
-          case t: Throwable => conn.rollback(); throw t
-        } finally conn.close() // actually closed — unlike session.py:109
+              if (pending > 0) stmt.executeBatch()
+            } finally stmt.close()
+          }
+        case None =>
+          writeGeneric(normalized, url, props, table, columns, keyCols,
+            orderCol, batchSize)
+      }
+      applied
+    } finally { normalized.unpersist(); () }
+  }
+
+  /** Backwards-compatible PG entry point. */
+  def write(df: DataFrame, cfg: DbConfig, table: String, keyCols: Seq[String],
+            orderCol: String): Unit = {
+    write(df, cfg.jdbcUrl, cfg.properties, table, keyCols, orderCol)
+    ()
+  }
+
+  /** Dialect-generic upsert: batched guarded UPDATE (`... AND orderCol <=
+    * new`), then batched INSERT of the update-miss rows. A miss whose
+    * INSERT hits a duplicate key means the guard (correctly) blocked a
+    * stale replay — retried per-row and skipped. Cold starts take the
+    * all-insert fast path; steady-state incremental batches are two
+    * executeBatch round-trips per chunk. */
+  private def writeGeneric(normalized: DataFrame, url: String, props: Properties,
+                           table: String, columns: Seq[String],
+                           keyCols: Seq[String], orderCol: String,
+                           batchSize: Int): Unit = {
+    val nonKey = columns.filterNot(keyCols.contains)
+    val insertSql = s"INSERT INTO $table (${columns.mkString(", ")}) VALUES " +
+      s"(${columns.map(_ => "?").mkString(", ")})"
+    val updateSql =
+      if (nonKey.isEmpty) null
+      else s"UPDATE $table SET ${nonKey.map(c => s"$c = ?").mkString(", ")} " +
+        s"WHERE ${keyCols.map(c => s"$c = ?").mkString(" AND ")} " +
+        s"AND $orderCol <= ?"
+    val colIdx = columns.zipWithIndex.toMap
+    val updOrder = nonKey ++ keyCols :+ orderCol // bind order for updateSql
+
+    runPerPartition(normalized, url, props) { (conn, rows) =>
+      rows.grouped(batchSize).foreach { chunk =>
+        val misses =
+          if (updateSql == null) chunk
+          else {
+            val upd = conn.prepareStatement(updateSql)
+            try {
+              chunk.foreach { row =>
+                bindRow(upd, row, updOrder.map(colIdx))
+                upd.addBatch()
+              }
+              val counts = upd.executeBatch()
+              chunk.iterator.zip(counts.iterator)
+                .collect { case (r, 0) => r }.toSeq
+            } finally upd.close()
+          }
+        if (misses.nonEmpty) insertMisses(conn, insertSql, misses, columns.indices)
       }
     }
   }
 
-  /** S3 — create the destination table preserving the primary key (Spark's
-    * JDBC auto-create drops PKs, SURVEY §7.3). Pure DDL builder. */
-  def createTableSql(table: String, schema: org.apache.spark.sql.types.StructType,
-                     keyCols: Seq[String]): String = {
-    import org.apache.spark.sql.types._
-    def pgType(dt: DataType): String = dt match {
-      case LongType              => "BIGINT"
-      case IntegerType           => "INTEGER"
-      case ShortType             => "SMALLINT"
-      case DoubleType            => "DOUBLE PRECISION"
-      case FloatType             => "REAL"
-      case BooleanType           => "BOOLEAN"
-      case StringType            => "TEXT"
-      case BinaryType            => "BYTEA"
-      case d: DecimalType        => s"NUMERIC(${d.precision},${d.scale})"
-      case TimestampType         => "TIMESTAMPTZ"
-      case TimestampNTZType      => "TIMESTAMP"
-      case DateType              => "DATE"
-      case other => throw new IllegalArgumentException(s"unmapped type $other")
-    }
-    val cols = schema.fields.map { f =>
-      val nn = if (f.nullable) "" else " NOT NULL"
-      s"${f.name} ${pgType(f.dataType)}$nn"
-    }
-    val pk = if (keyCols.nonEmpty) s", PRIMARY KEY (${keyCols.mkString(", ")})" else ""
-    s"CREATE TABLE IF NOT EXISTS $table (${cols.mkString(", ")}$pk)"
+  /** Batch-insert the update misses; on a duplicate-key failure (a stale
+    * replay the guard blocked) retry row-by-row, skipping violations. */
+  private def insertMisses(conn: Connection, insertSql: String,
+                           misses: Seq[Row], idx: Seq[Int]): Unit = {
+    val ins = conn.prepareStatement(insertSql)
+    try {
+      try {
+        misses.foreach { row => bindRow(ins, row, idx); ins.addBatch() }
+        ins.executeBatch()
+        ()
+      } catch {
+        case _: java.sql.BatchUpdateException =>
+          ins.clearBatch()
+          misses.foreach { row =>
+            try {
+              bindRow(ins, row, idx)
+              ins.executeUpdate()
+              ()
+            } catch {
+              case _: java.sql.SQLIntegrityConstraintViolationException => ()
+            }
+          }
+      }
+    } finally ins.close()
   }
+
+  private def bindRow(stmt: PreparedStatement, row: Row, srcIdx: Seq[Int]): Unit = {
+    var i = 0
+    while (i < srcIdx.length) {
+      stmt.setObject(i + 1, row.get(srcIdx(i)))
+      i += 1
+    }
+  }
+
+  /** One connection + one transaction per partition; rollback on failure;
+    * connections actually closed (unlike reference session.py:109). */
+  private def runPerPartition(df: DataFrame, url: String, props: Properties)
+                             (body: (Connection, Iterator[Row]) => Unit): Unit =
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        val conn = DriverManager.getConnection(url, props)
+        try {
+          conn.setAutoCommit(false)
+          body(conn, rows)
+          conn.commit()
+        } catch {
+          case t: Throwable => conn.rollback(); throw t
+        } finally conn.close()
+      }
+    }
 }

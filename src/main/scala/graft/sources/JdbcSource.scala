@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.sql.{Connection, DriverManager, SQLException}
+import java.util.Properties
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -22,24 +23,26 @@ import graft.sync.SlicePlanner
   *     (session.py:201-240). `fetchsize` streams rows off each cursor — the
   *     psycopg2 chunk analog (session.py:67-81).
   *
-  * Zero-egress note: exercised by integration tests only when a live
-  * PostgreSQL is configured (GRAFT_PG_URL); code paths compile against
-  * java.sql and are structurally tested via [[JdbcUpsertSink.upsertSql]]-
-  * style pure functions.
+  * Dialect-agnostic: works against any JDBC URL (PostgreSQL in production,
+  * embedded Derby in the in-process e2e tests). Note Derby folds unquoted
+  * identifiers to upper case — pass table names as the catalog stores them.
   */
-final class JdbcSource(cfg: DbConfig) {
+final class JdbcSource(url: String, props: Properties) {
+
+  def this(cfg: DbConfig) = this(cfg.jdbcUrl, cfg.properties)
 
   private def withConnection[A](f: Connection => A): A = {
     val conn =
-      try DriverManager.getConnection(cfg.jdbcUrl, cfg.properties)
+      try DriverManager.getConnection(url, props)
       catch {
         case e: SQLException if e.getSQLState != null &&
             e.getSQLState.startsWith("28") => // invalid authorization
-          throw GraftError.AuthenticationFailed(cfg.jdbcUrl, e)
-        case e: SQLException if e.getSQLState == "3D000" =>
-          throw GraftError.MissingDatabase(cfg.database)
+          throw GraftError.AuthenticationFailed(url, e)
+        case e: SQLException if e.getSQLState == "3D000" || // PG: no database
+            e.getSQLState == "XJ004" => // Derby: database not found
+          throw GraftError.MissingDatabase(url)
         case e: SQLException =>
-          throw GraftError.Unreachable(cfg.jdbcUrl, e)
+          throw GraftError.Unreachable(url, e)
       }
     try f(conn) finally conn.close()
   }
@@ -68,13 +71,25 @@ final class JdbcSource(cfg: DbConfig) {
     * server (one-row aggregate — the only driver-side values in the plan). */
   def watermarkBounds(spark: SparkSession, table: String,
                       watermarkCol: String): Option[(Long, Long)] = {
-    val df = spark.read.jdbc(cfg.jdbcUrl,
-      s"(SELECT MIN($watermarkCol) AS lo, MAX($watermarkCol) AS hi FROM $table) t",
-      cfg.properties)
+    val df = spark.read.jdbc(url,
+      s"(SELECT MIN($watermarkCol) AS lo, MAX($watermarkCol) AS hi " +
+        s"FROM $table) AS t", // AS required by Derby, accepted everywhere
+      props)
     val row = df.first()
     if (row.isNullAt(0)) None
     else Some((row.getAs[Number](0).longValue(), row.getAs[Number](1).longValue()))
   }
+
+  /** Exact server-side rowcount of a watermark range — the engine's
+    * replacement for the reference's EXPLAIN estimate (A6): affordable,
+    * and sizes the partitioned read precisely. */
+  def countRange(spark: SparkSession, table: String, watermarkCol: String,
+                 lo: Long, hi: Long): Long =
+    spark.read.jdbc(url,
+      s"(SELECT COUNT(*) AS c FROM $table " +
+        s"WHERE $watermarkCol >= $lo AND $watermarkCol <= $hi) AS t",
+      props)
+      .first().getAs[Number](0).longValue()
 
   /** S1 — the range-partitioned extraction read over [lo, hi] of the
     * watermark column. One Spark task per slice replaces the reference's
@@ -83,18 +98,34 @@ final class JdbcSource(cfg: DbConfig) {
                 lo: Long, hi: Long, estimatedRows: Long,
                 targetRowsPerSlice: Long = 10000000L,
                 fetchSize: Int = 10000): DataFrame = {
-    val parts = SlicePlanner.numSlices(estimatedRows, targetRowsPerSlice)
-    spark.read.format("jdbc")
-      .option("url", cfg.jdbcUrl)
-      .option("dbtable", table)
-      .option("user", cfg.user)
-      .option("password", cfg.password)
-      .option("partitionColumn", watermarkCol)
-      .option("lowerBound", lo)
-      .option("upperBound", hi)
-      .option("numPartitions", parts)
-      .option("fetchsize", fetchSize)
-      .load()
+    val reader = spark.read.format("jdbc").option("url", url)
+    props.stringPropertyNames().forEach { k =>
+      reader.option(k, props.getProperty(k)); ()
+    }
+    JdbcSource.rangeReadOptions(table, watermarkCol, lo, hi, estimatedRows,
+        targetRowsPerSlice, fetchSize)
+      .foreach { case (k, v) => reader.option(k, v); () }
+    reader.load()
       .filter(s"$watermarkCol >= $lo AND $watermarkCol <= $hi")
+  }
+}
+
+object JdbcSource {
+
+  /** The partitioned-read option set — pure, plan-testable without a live
+    * server: Spark turns these into per-slice range predicates, the exact
+    * analog of the reference's windowed extraction (session.py:242-308). */
+  def rangeReadOptions(table: String, watermarkCol: String, lo: Long, hi: Long,
+                       estimatedRows: Long,
+                       targetRowsPerSlice: Long = 10000000L,
+                       fetchSize: Int = 10000): Map[String, String] = {
+    val parts = SlicePlanner.numSlices(estimatedRows, targetRowsPerSlice)
+    Map(
+      "dbtable" -> table,
+      "partitionColumn" -> watermarkCol,
+      "lowerBound" -> lo.toString,
+      "upperBound" -> hi.toString,
+      "numPartitions" -> parts.toString,
+      "fetchsize" -> fetchSize.toString)
   }
 }

@@ -6,9 +6,10 @@ import org.apache.spark.sql.types._
 import graft.core.{DbConfig, GraftError}
 import graft.sinks.JdbcUpsertSink
 
-/** Pure-unit coverage of the JDBC path (SURVEY §2.1 S3/S4/S5, §2.7 X6).
-  * Live-PG integration is env-gated (zero-egress sandbox has no server):
-  * set GRAFT_PG_URL to exercise JdbcSource/JdbcUpsertSink end-to-end.
+/** Pure-unit coverage of the JDBC path (SURVEY §2.1 S3/S4/S5, §2.7 X6):
+  * the PostgreSQL SQL shapes (ON CONFLICT upsert, PK-preserving DDL).
+  * The live end-to-end pipeline is exercised against embedded Derby in
+  * JdbcSyncSpec; PostgreSQL differs only in these (unit-pinned) strings.
   */
 class JdbcSpec extends AnyFunSuite {
 

@@ -1,0 +1,190 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.JdbcSource
+import graft.sync.{SyncConfig, SyncEndpoint, SyncPipeline}
+
+/** End-to-end JDBC sync against embedded Derby (in the Spark jars): the
+  * full reference lifecycle — preflight (S6), PK reflection (S2),
+  * create-dest (S3), partitioned range extract (S1), idempotent guarded
+  * upsert (S4/S5), watermark recovery (T1), restart-marker healing — with
+  * a real database, no network. Derby folds unquoted identifiers to upper
+  * case, hence the upper-case fixture names. A PostgreSQL run uses the
+  * same code path with the native ON CONFLICT fast path (dialect-selected;
+  * SQL shape covered in JdbcSpec).
+  */
+class JdbcSyncSpec extends SparkSpec {
+
+  private def freshDb(name: String): String =
+    s"jdbc:derby:memory:$name;create=true"
+
+  private def exec(url: String, sql: String): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try { st.executeUpdate(sql); () } finally st.close()
+    } finally conn.close()
+  }
+
+  private def seedSource(url: String, rows: Seq[(Long, Long, Double, String)]): Unit = {
+    exec(url, "CREATE TABLE SRC (ID BIGINT NOT NULL PRIMARY KEY, " +
+      "UPDATED BIGINT NOT NULL, AMOUNT DOUBLE, STATUS VARCHAR(32))")
+    insertRows(url, "SRC", rows)
+  }
+
+  private def insertRows(url: String, table: String,
+                         rows: Seq[(Long, Long, Double, String)]): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val ps = conn.prepareStatement(
+        s"INSERT INTO $table VALUES (?, ?, ?, ?)")
+      try rows.foreach { case (id, wm, amt, st) =>
+        ps.setLong(1, id); ps.setLong(2, wm)
+        ps.setDouble(3, amt); ps.setString(4, st)
+        ps.executeUpdate()
+      } finally ps.close()
+    } finally conn.close()
+  }
+
+  private def updateRow(url: String, id: Long, wm: Long, amt: Double,
+                        status: String): Unit =
+    exec(url, s"UPDATE SRC SET UPDATED = $wm, AMOUNT = $amt, " +
+      s"STATUS = '$status' WHERE ID = $id")
+
+  private def readTable(url: String, table: String): Map[Long, (Long, Double, String)] = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT ID, UPDATED, AMOUNT, STATUS FROM $table")
+        try {
+          val b = Map.newBuilder[Long, (Long, Double, String)]
+          while (rs.next())
+            b += rs.getLong(1) -> ((rs.getLong(2), rs.getDouble(3), rs.getString(4)))
+          b.result()
+        } finally rs.close()
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  private val cfg = SyncConfig(keyCols = Seq("ID"), watermarkCol = "UPDATED")
+
+  test("jdbc→jdbc: cold start reflects PK, creates dest, syncs all rows") {
+    val url = freshDb("cold")
+    seedSource(url, Seq((1L, 100L, 1.0, "A"), (2L, 200L, 2.0, "B")))
+    val src = SyncEndpoint.parse(s"$url#SRC")
+    val dst = SyncEndpoint.parse(s"$url#DST")
+    // S2: the reflected PK matches the declared one
+    assert(new JdbcSource(url, new java.util.Properties()).primaryKey("SRC") == Seq("ID"))
+    val r = SyncPipeline.run(spark, cfg, src, dst)
+    assert(r.startingPoint.contains(100L)) // T1 cold start = src MIN
+    assert(r.candidateRows == 2 && r.rowsWritten == 2)
+    assert(readTable(url, "DST") ==
+      Map(1L -> ((100L, 1.0, "A")), 2L -> ((200L, 2.0, "B"))))
+  }
+
+  test("jdbc→jdbc: warm incremental picks up only new/changed rows; stale replays blocked") {
+    val url = freshDb("warm")
+    seedSource(url, Seq((1L, 100L, 1.0, "A"), (2L, 200L, 2.0, "B")))
+    val src = SyncEndpoint.parse(s"$url#SRC")
+    val dst = SyncEndpoint.parse(s"$url#DST")
+    SyncPipeline.run(spark, cfg, src, dst)
+    // row 1 modified (wm bumped), row 3 inserted
+    updateRow(url, 1L, 600L, 11.0, "A2")
+    insertRows(url, "SRC", Seq((3L, 700L, 3.0, "C")))
+    val r2 = SyncPipeline.run(spark, cfg, src, dst)
+    assert(r2.startingPoint.contains(200L)) // T1 = MAX(dest)
+    assert(readTable(url, "DST") == Map(
+      1L -> ((600L, 11.0, "A2")), 2L -> ((200L, 2.0, "B")),
+      3L -> ((700L, 3.0, "C"))))
+    // ordering guard: replaying an older row regresses nothing
+    import spark.implicits._
+    val stale = Seq((1L, 300L, 99.0, "STALE"))
+      .toDF("ID", "UPDATED", "AMOUNT", "STATUS")
+    graft.sinks.JdbcUpsertSink.write(stale, url, new java.util.Properties(),
+      "DST", Seq("ID"), "UPDATED")
+    assert(readTable(url, "DST")(1L) == ((600L, 11.0, "A2")))
+  }
+
+  test("jdbc→jdbc: T3 re-run of the same cut is a no-op (idempotent upsert)") {
+    val url = freshDb("idem")
+    seedSource(url, Seq((1L, 100L, 1.0, "A"), (2L, 200L, 2.0, "B")))
+    val src = SyncEndpoint.parse(s"$url#SRC")
+    val dst = SyncEndpoint.parse(s"$url#DST")
+    SyncPipeline.run(spark, cfg, src, dst, cut = Some(500L))
+    val before = readTable(url, "DST")
+    val r2 = SyncPipeline.run(spark, cfg, src, dst, cut = Some(500L))
+    assert(r2.candidateRows >= 1) // watermark ties re-extracted (T3)
+    assert(readTable(url, "DST") == before)
+  }
+
+  test("jdbc→jdbc: surviving restart marker forces re-extraction below dest MAX") {
+    val url = freshDb("marker")
+    seedSource(url, Seq((1L, 100L, 1.0, "A"), (2L, 500L, 2.0, "B")))
+    val src = SyncEndpoint.parse(s"$url#SRC")
+    val dst = SyncEndpoint.parse(s"$url#DST")
+    SyncPipeline.run(spark, cfg, src, dst)
+    // simulate a crashed run that had started from wm=100: marker survives
+    exec(url, s"INSERT INTO ${SyncPipeline.StateTable} VALUES ('DST', 100)")
+    // row 1 changed with wm 150 < dest MAX 500 — lost without the marker
+    updateRow(url, 1L, 150L, 9.0, "RECOVERED")
+    val r = SyncPipeline.run(spark, cfg, src, dst)
+    assert(r.startingPoint.contains(100L)) // min(dest MAX, marker)
+    assert(readTable(url, "DST")(1L) == ((150L, 9.0, "RECOVERED")))
+    // successful run cleared the marker
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        s"SELECT COUNT(*) FROM ${SyncPipeline.StateTable}")
+      rs.next()
+      assert(rs.getLong(1) == 0L)
+    } finally conn.close()
+  }
+
+  test("jdbc→parquet and parquet→jdbc arms round-trip") {
+    val url = freshDb("mixed")
+    seedSource(url, Seq((1L, 100L, 1.0, "A"), (2L, 200L, 2.0, "B")))
+    val dir = tmpDir("jdbc-pq") + "/dest"
+    // jdbc → parquet
+    val r1 = SyncPipeline.run(spark, cfg,
+      SyncEndpoint.parse(s"$url#SRC"), SyncEndpoint.ParquetDir(dir))
+    assert(r1.candidateRows == 2)
+    val pq = spark.read.parquet(dir)
+    assert(pq.count() == 2)
+    // parquet → jdbc (new dest table, created from the parquet schema)
+    val r2 = SyncPipeline.run(spark, cfg,
+      SyncEndpoint.ParquetDir(dir), SyncEndpoint.parse(s"$url#ROUNDTRIP"))
+    assert(r2.rowsWritten == 2)
+    assert(readTable(url, "ROUNDTRIP") ==
+      Map(1L -> ((100L, 1.0, "A")), 2L -> ((200L, 2.0, "B"))))
+  }
+
+  test("S1 partitioned read: options carry the slice plan; slices match data") {
+    val opts = JdbcSource.rangeReadOptions("SRC", "UPDATED", 0L, 1000L,
+      estimatedRows = 25000000L, targetRowsPerSlice = 10000000L)
+    assert(opts("partitionColumn") == "UPDATED")
+    assert(opts("lowerBound") == "0" && opts("upperBound") == "1000")
+    assert(opts("numPartitions") == "3") // ceil(25M / 10M)
+    assert(opts("fetchsize") == "10000")
+    // live check: a partitioned read returns exactly the range's rows
+    val url = freshDb("slices")
+    seedSource(url, (1L to 100L).map(i => (i, i * 10L, i * 1.0, "X")))
+    val df = new JdbcSource(url, new java.util.Properties())
+      .rangeRead(spark, "SRC", "UPDATED", 200L, 800L,
+        estimatedRows = 61L, targetRowsPerSlice = 20L)
+    assert(df.rdd.getNumPartitions == 4) // ceil(61/20) slices
+    assert(df.count() == 61)
+    assert(df.agg(min("UPDATED"), max("UPDATED")).first().toSeq == Seq(200L, 800L))
+  }
+
+  test("S6 preflight: typed errors for missing table") {
+    val url = freshDb("errors")
+    exec(url, "CREATE TABLE T (ID BIGINT PRIMARY KEY)")
+    val src = new JdbcSource(url, new java.util.Properties())
+    src.preflight("T")
+    assertThrows[graft.core.GraftError.MissingTable](src.preflight("NOPE"))
+  }
+}
