@@ -359,6 +359,34 @@ object ExtQueries {
       Dedup.minhashNearDups(all, "doc_id", "text", threshold = 0.8)
     },
 
+    // E2 — embedding-space near-dup pairs at scale: LSH-bucket equi-join
+    // (one shuffle) then exact cosine on candidates only. Planted exact
+    // twins land in the same bucket deterministically, so the recall
+    // contract is exact: every planted pair must surface.
+    "e2e_embedding_neardup" -> Q(
+      """SELECT count(*) AS k, CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS self_found
+        |FROM embeddings WHERE vec_id < 200""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+      val twins = emb.select((col("vec_id") + 100000).as("vec_id"),
+        col("embedding"), col("label"))
+      val pairs = Similarity.cosineNearDupPairs(emb.unionByName(twins),
+        "vec_id", "embedding", dim = 64, threshold = 0.99)
+      val found = pairs.filter(col("b_id") === col("a_id") + 100000)
+        .select(col("a_id").as("vec_id"))
+      recallContract(emb.select("vec_id"), found)
+    },
+
+    // E4 — multi-dimensional aggregate (CUBE over language × source): the
+    // grouping-sets surface a complete analytics engine needs; both engines
+    // emit NULL for rolled-up dimensions.
+    "e4i_cube_counts" -> Q(
+      """SELECT lang, source, count(*) AS cnt
+        |FROM documents GROUP BY CUBE (lang, source)""".stripMargin) {
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .cube("lang", "source").agg(count(lit(1)).as("cnt"))
+    },
+
     // [EXT] deterministic per-group sampling: k docs per language by
     // content-hash priority (reservoir-equivalent, engine-independent).
     "e7_deterministic_sample" -> Q(

@@ -121,6 +121,69 @@ object WindowQueries {
           .except(c.filter(col("c_custkey").between(70, 80)).select("c_custkey"))
     },
 
+    // Event-time tumbling window (SURVEY §2.8 note: absent from the
+    // reference, declared [EXT] harness coverage): the batch twin of the
+    // streaming `window()` aggregation. Spark's 1-hour windows align to the
+    // epoch origin, so the oracle reproduces them by integer flooring.
+    "w6_tumbling_window" -> Q(
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
+        |       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.events(s, dir)
+          .withColumn("tss", timestamp_micros(expr("ts div 1000")))
+        e.groupBy(window(col("tss"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+          .select(unix_micros(col("w.start")).as("win_start_us"),
+            col("event_type"), col("cnt"), col("sum_value"))
+    },
+
+    // Event-time sliding window (1 h window, 30 min slide — each event in
+    // exactly two windows). Oracle: the two candidate starts per event are
+    // the slide-aligned buckets k=0,1 back; with width = 2×slide both
+    // always contain the event.
+    "w7_sliding_window" -> Q(
+      """SELECT (epoch_us(ts) // 1800000000 - k) * 1800000000 AS win_start_us,
+        |       event_type, count(*) AS cnt
+        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) AS ks
+        |GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.events(s, dir)
+          .withColumn("tss", timestamp_micros(expr("ts div 1000")))
+        e.groupBy(window(col("tss"), "1 hour", "30 minutes").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(unix_micros(col("w.start")).as("win_start_us"),
+            col("event_type"), col("cnt"))
+    },
+
+    // Event-time session window (24 h inactivity gap). Oracle: classic
+    // gaps-and-islands — a new session starts when the gap to the previous
+    // event is >= the gap duration (Spark: next ts >= previous ts + gap
+    // closes the session).
+    "w8_session_window" -> Q(
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE user_id < 10),
+        |m AS (SELECT user_id, us,
+        |        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |               OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 86400000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM s),
+        |g AS (SELECT user_id, us,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |      FROM m)
+        |SELECT user_id, min(us) AS session_start_us, count(*) AS n_events
+        |FROM g GROUP BY user_id, grp""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.events(s, dir)
+          .filter(col("user_id") < 10)
+          .withColumn("tss", timestamp_micros(expr("ts div 1000")))
+        e.groupBy(session_window(col("tss"), "24 hours").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("w.start")).as("session_start_us"), col("n_events"))
+    },
+
     // Skew-salted two-phase aggregation — must equal the direct groupBy.
     "skew_salted_sum" -> Q(
       """SELECT event_type,
