@@ -84,6 +84,27 @@ object Multimodal {
       }(encoder)
   }
 
+  /** Frame sampling over the opaque payload: split the byte stream into
+    * fixed-size frames and keep every `everyNth` one — the video
+    * frame-extraction execution shape (per-row generator → explode → narrow
+    * filter, no shuffle; a real decoder swaps the substring for a codec
+    * call on the same plumbing). Output keeps (media_id, frame_idx, frame)
+    * plus the frame's content hash for downstream exact dedup. */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 64,
+                   everyNth: Int = 4): DataFrame = {
+    require(frameBytes > 0 && everyNth > 0)
+    media
+      .filter(col("meta.n_bytes") > 0)
+      .select(col("media_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, cast(ceil(meta.n_bytes / $frameBytes.0) as int) - 1),
+           |  i -> substring(content, i * $frameBytes + 1, $frameBytes))""".stripMargin))
+        .as(Seq("frame_idx", "frame")))
+      .filter(col("frame_idx") % everyNth === 0)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame"), md5(col("frame")).as("frame_hash"))
+  }
+
   /** Content addressing over the opaque payload: md5 + size — the exact
     * binary-dedup key (works unchanged for real media bytes). */
   def contentHashes(media: DataFrame): DataFrame =

@@ -179,6 +179,25 @@ object ExtQueries {
       feats.select(col("media_id") +: col("n_bytes") +: laneCols: _*)
     },
 
+    // E3 — frame sampling over the binary payload (every 4th 64-byte
+    // frame). The oracle recomputes the frames from the text (ASCII fixture
+    // ⇒ bytes == chars) and hashes them identically.
+    "e3d_frame_sample" -> Q(
+      """SELECT doc_id AS media_id, frame_idx,
+        |       md5(substr(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_hash
+        |FROM (
+        |  SELECT doc_id,
+        |         unnest(range((length(text) + 63) // 64)) AS frame_idx,
+        |         text
+        |  FROM documents WHERE length(text) > 0) AS f
+        |WHERE frame_idx % 4 = 0""".stripMargin) {
+      (s, dir) =>
+        Multimodal.sampleFrames(
+          Multimodal.fromDocuments(Tables.documents(s, dir)),
+          frameBytes = 64, everyNth = 4)
+          .select("media_id", "frame_idx", "frame_hash")
+    },
+
     // E4 — per-document token statistics.
     "e4_token_stats" -> Q(
       """SELECT doc_id,
