@@ -25,6 +25,10 @@ object PlanCheck {
     // never a full-corpus scan
     "e2b_ann_topk"      -> Seq("PartitionFilters: \\[.*bucket"),
     "e2d_ivf_topk"      -> Seq("PartitionFilters: \\[.*__cell"),
+    // grouping sets plan through Expand; event-time windows stay in the
+    // partial+final hash-aggregate pipeline
+    "e4i_cube_counts"   -> Seq("Expand", "HashAggregate"),
+    "w6_tumbling_window"-> Seq("HashAggregate"),
     "w1_latest_per_key" -> Seq("RunningWindowFunction|Window"),
     "a1_max_watermark"  -> Seq("HashAggregate"))
 

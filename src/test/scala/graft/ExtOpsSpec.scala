@@ -173,6 +173,25 @@ class ExtOpsSpec extends SparkSpec {
       s"missing ${planted.count(!pairs.contains(_))} planted dup pairs")
   }
 
+  test("frame sampling: everyNth=1 frames reassemble the original payload") {
+    val media = Multimodal.fromDocuments(
+      graft.core.Tables.documents(spark, sfDir).limit(50))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 16, everyNth = 1)
+      .select("media_id", "frame_idx", "frame")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1))
+          .flatMap(_.getAs[Array[Byte]]("frame")).toSeq
+      }
+    val originals = media.select("media_id", "content").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("content").toSeq).toMap
+    assert(frames == originals)
+    // sampling keeps exactly the 0-mod-N frames
+    val sampled = Multimodal.sampleFrames(media, frameBytes = 16, everyNth = 4)
+    assert(sampled.filter(col("frame_idx") % 4 =!= 0).count() == 0)
+  }
+
   test("multimodal feature extraction preserves ids and emits fixed-dim features") {
     val media = Multimodal.fromDocuments(graft.core.Tables.documents(spark, sfDir))
     val feats = Multimodal.extractFeatures(media, batchPartitions = Some(4))

@@ -99,6 +99,42 @@ class StreamingSpec extends SparkSpec {
     assert(readBalances(dest) == Map(10L -> 8.0, 20L -> 7.0))
   }
 
+  test("StreamingSync: file-stream micro-batches merge idempotently into dest") {
+    val work = tmpDir("stream-sync")
+    val srcDir = s"$work/incoming"; val dest = s"$work/dest"
+    val ckpt = s"$work/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    def land(name: String, rows: Seq[(Long, Long, Double)]): Unit = {
+      val tmp = s"$work/$name-stage"
+      rows.toDF("id", "updated", "amount").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$srcDir/$name.parquet"))
+      ()
+    }
+    val schema = Seq.empty[(Long, Long, Double)].toDF("id", "updated", "amount").schema
+    val cfg = graft.sync.SyncConfig(Seq("id"), "updated")
+    def drain(): Unit = {
+      val q = graft.sync.StreamingSync.run(
+        spark.readStream.schema(schema).parquet(srcDir), dest, cfg, Some(ckpt))
+      q.awaitTermination() // AvailableNow: stops when caught up
+    }
+    // batch 1: two inserts
+    land("b1", Seq((1L, 100L, 1.0), (2L, 200L, 2.0)))
+    drain()
+    // batch 2 (after a restart from the same checkpoint): update id 1 by a
+    // NEW file (file sources are append-only; updates arrive as new rows
+    // with a higher watermark), plus one insert
+    land("b2", Seq((1L, 300L, 9.0), (3L, 400L, 3.0)))
+    drain()
+    val got = spark.read.parquet(dest).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("updated"), r.getAs[Double]("amount")))).toMap
+    assert(got == Map(1L -> ((300L, 9.0)), 2L -> ((200L, 2.0)),
+      3L -> ((400L, 3.0))))
+  }
+
   test("tumbling-window event-time aggregation with watermark (streaming extra)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Double)]
