@@ -49,6 +49,35 @@ object Bench {
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
 
+    // Probe-only ANN timings: the e2b/e2d gate queries pay for their exact
+    // brute-force twin + recall agg by construction, which hides the
+    // index's steady-state win. Build each index once OUTSIDE the timed
+    // region, then time the bare probe — the per-query cost a resident
+    // service pays.
+    val probeResults = try {
+      import org.apache.spark.sql.functions.col
+      val emb = graft.core.Tables.embeddings(spark, sfDir)
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0)
+      val lshDir = graft.ext.Similarity.ensureLshIndex(emb, "vec_id", "embedding",
+        dim = 64, nPlanes = 8)
+      val ivfDir = graft.ext.Similarity.ensureIvfIndex(emb, "vec_id", "embedding")
+      def probeTime(f: => org.apache.spark.sql.DataFrame): Double = {
+        val ts = (1 to runs).map { _ =>
+          time(f.write.format("noop").mode("overwrite").save())
+        }.filter(_ >= 0)
+        if (ts.isEmpty) -1.0 else ts.min
+      }
+      Seq(
+        "e2b_ann_probe_only" -> probeTime(
+          graft.ext.Similarity.annProbe(spark, lshDir, "vec_id", "embedding",
+            query, 10, dim = 64, nPlanes = 8, probeHamming = 3)),
+        "e2d_ivf_probe_only" -> probeTime(
+          graft.ext.Similarity.ivfProbe(spark, ivfDir, "vec_id", "embedding",
+            query, 10, nProbe = 6)))
+    } catch { case _: Throwable => Seq("e2b_ann_probe_only" -> -1.0,
+      "e2d_ivf_probe_only" -> -1.0) }
+
     // end-to-end sync-merge throughput on the events twin-table fixture
     // (BASELINE.md comparable (a)): cold-start full sync, fresh dest per
     // run, min wall-clock across runs.
@@ -68,7 +97,7 @@ object Bench {
     val syncSec = if (syncTimes.isEmpty) -1.0 else syncTimes.min
     val syncRps = if (syncSec > 0) syncRows / syncSec else 0.0
 
-    val all = results :+ ("sync_merge_events" -> syncSec)
+    val all = results ++ probeResults :+ ("sync_merge_events" -> syncSec)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

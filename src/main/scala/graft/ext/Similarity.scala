@@ -119,12 +119,25 @@ object Similarity {
   }
 
   /** Content-addressed cache location for a derived index: keyed by the
-    * source's actual input files + build params, so a different corpus or
-    * parameterization never reuses a stale index. Callers that own index
-    * lifecycle pass an explicit dir instead. */
+    * source's actual input files — path, length AND modification time, so a
+    * corpus rewritten in place under the same file names re-keys — plus the
+    * build params, so a different corpus or parameterization never reuses a
+    * stale index. Non-file-backed frames (empty `inputFiles`) have no
+    * content identity to key on and are rejected: callers that own index
+    * lifecycle pass an explicit dir to the build/probe pair instead. */
   private def cachedIndexDir(kind: String, source: DataFrame, params: String): String = {
+    val files = source.inputFiles.sorted
+    require(files.nonEmpty,
+      s"$kind index cache needs a file-backed source (inputFiles is empty); " +
+        "pass an explicit indexDir and call the build*/probe* pair directly")
+    val conf = source.sparkSession.sparkContext.hadoopConfiguration
+    val fingerprints = files.map { f =>
+      val p = new Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      s"$f:${st.getLen}:${st.getModificationTime}"
+    }
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest((source.inputFiles.sorted.mkString(",") + "|" + params).getBytes("UTF-8"))
+      .digest((fingerprints.mkString(",") + "|" + params).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     s"${System.getProperty("java.io.tmpdir")}/graft-index/$kind-$key"
   }
@@ -257,19 +270,74 @@ object Similarity {
     ivfProbe(embeddings.sparkSession, dir, idCol, vecCol, query, k, nProbe)
   }
 
-  /** Embedding near-dup pairs: LSH-bucket join (equi-join on bucket, the
-    * single shuffle) then exact cosine threshold on candidates — the
-    * embedding-space analog of Dedup.minhashCandidates. */
+  /** Deterministic pseudo-random plane matrix for the banded near-dup LSH,
+    * generated DRIVER-side (splitmix64, seeded — stable across JVMs and
+    * executors) and shipped as one array literal: m = bands·nPlanes planes ×
+    * dim components in [-1, 1], flat row-major (plane j, component i at
+    * j·dim + i). Hashing per (plane, component) inside the row expression —
+    * what [[lshBucket]] does per plane — would recompute row-invariant
+    * values dim·m times per ROW; the literal pays it once at plan time. */
+  private[graft] def planeMatrix(dim: Int, m: Int, seed: Int): IndexedSeq[Double] = {
+    var s = seed.toLong * 0x9E3779B97F4A7C15L
+    def next(): Long = { // splitmix64
+      s += 0x9E3779B97F4A7C15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    IndexedSeq.fill(m * dim)(next().toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** Embedding near-dup pairs: banded multi-table LSH (the OR-construction,
+    * like Dedup.bandCandidates) then exact cosine threshold on candidates —
+    * the embedding-space analog of Dedup.minhashNearDups.
+    *
+    * `bands` independent nPlanes-plane signatures: a pair is a candidate
+    * when ANY band's buckets collide, so recall at cosine c is
+    * 1-(1-p^nPlanes)^bands with p = 1-θ/π — a single 8-plane table NEVER
+    * catches a 0.9-pair differing in one sign bit; 4×8 bands catch a
+    * cos≈0.998 twin with miss ~1e-4 and 8×8 at ~1e-7. Tune bands up /
+    * nPlanes down for looser thresholds.
+    *
+    * Execution shape (100 TB): all bands·nPlanes projections come from ONE
+    * `aggregate` traversal of the vector with a wide accumulator (bands
+    * separate lshBucket trees would fall out of codegen — the SimHash
+    * lesson); the band self-join carries only (id, band) — vectors do NOT
+    * ride the ×bands explode; the exact verify joins them back by id, two
+    * hash joins on the candidate set LSH has already gutted. */
   def cosineNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
                          dim: Int, threshold: Double, nPlanes: Int = 8,
-                         seed: Int = 42): DataFrame = {
-    val b = embeddings.select(col(idCol), col(vecCol),
-      lshBucket(col(vecCol), dim, nPlanes, seed).as("bucket"))
-    val l = b.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"), col("bucket"))
-    val r = b.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"), col("bucket"))
-    l.join(r, Seq("bucket")).filter(col("a_id") < col("b_id"))
-      .withColumn("cos", round(cosine(col("a_vec"), col("b_vec")), 6))
+                         bands: Int = 4, seed: Int = 42): DataFrame = {
+    val m = bands * nPlanes
+    val planes = array(planeMatrix(dim, m, seed).map(lit): _*) // folds to one Literal
+    val projs = aggregate(
+      zip_with(col(vecCol), sequence(lit(0), lit(dim - 1)),
+        (x: Column, i: Column) => struct(x.cast("double").as("x"), i.as("i"))),
+      array_repeat(lit(0.0), m),
+      (acc: Column, e: Column) =>
+        zip_with(acc, sequence(lit(0), lit(m - 1)),
+          (a: Column, j: Column) =>
+            a + e.getField("x") * element_at(planes, j * dim + e.getField("i") + 1)))
+    val withProjs = embeddings.select(col(idCol), projs.as("__projs"))
+    val bandStructs = (0 until bands).map { b =>
+      val bits = (0 until nPlanes).map { p =>
+        when(element_at(col("__projs"), b * nPlanes + p + 1) >= 0, lit(1L << p))
+          .otherwise(lit(0L))
+      }.reduce((x, y) => x.bitwiseOR(y))
+      struct(lit(b).as("band_id"), bits.as("band_val"))
+    }
+    val banded = withProjs.select(col(idCol),
+      explode(array(bandStructs: _*)).as("band"))
+    val la = banded.select(col(idCol).as("a_id"), col("band"))
+    val rb = banded.select(col(idCol).as("b_id"), col("band"))
+    val cand = la.join(rb, la("band") === rb("band") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val va = embeddings.select(col(idCol).as("a_id"), col(vecCol).as("__va"))
+    val vb = embeddings.select(col(idCol).as("b_id"), col(vecCol).as("__vb"))
+    cand.join(va, "a_id").join(vb, "b_id")
+      .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
       .filter(col("cos") >= threshold)
-      .select("a_id", "b_id", "cos").distinct()
+      .select("a_id", "b_id", "cos")
   }
 }

@@ -118,17 +118,27 @@ object TextAnalysis {
       (acc: Column, b: Column) => acc.bitwiseOR(b))
   }
 
-  /** SimHash near-dup candidate pairs: band the 64-bit hash into 4×16-bit
-    * keys, self-join per band (the LSH trick: hamming-close hashes agree on
-    * at least one band), then exact-filter on `bit_count(xor) <= maxHamming`.
-    * The band join replaces the O(n²) all-pairs comparison — at 100 TB the
-    * band groupBy is one shuffle on a short key. */
+  /** SimHash near-dup candidate pairs: band the 64-bit hash into `bands`
+    * equal keys, self-join per band (the LSH trick: hamming-close hashes
+    * agree on at least one band), then exact-filter on
+    * `bit_count(xor) <= maxHamming`. With `maxHamming < bands` the
+    * pigeonhole principle makes this EXACT, not approximate: ≤ maxHamming
+    * differing bits can spoil at most maxHamming bands, so every qualifying
+    * pair collides in at least one — the band join replaces the O(n²)
+    * all-pairs comparison with one shuffle on a short key and loses
+    * nothing. (e5b's oracle contract cross-checks the 4-band and 8-band
+    * decompositions against each other and against planted twins.) */
   def simhashCandidates(df: DataFrame, idCol: String, simhashCol: String,
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, s"bands ($bands) must divide 64")
+    require(maxHamming < bands,
+      s"maxHamming ($maxHamming) must be < bands ($bands) for exact recall")
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
     val banded = df.select(col(idCol), col(simhashCol))
-      .withColumn("band", explode(array((0 until 4).map { b =>
+      .withColumn("band", explode(array((0 until bands).map { b =>
         struct(lit(b).as("band_id"),
-          shiftright(col(simhashCol), b * 16).bitwiseAND(0xFFFFL).as("band_val"))
+          shiftright(col(simhashCol), b * bits).bitwiseAND(mask).as("band_val"))
       }: _*)))
     val a = banded.select(col(idCol).as("a_id"), col(simhashCol).as("a_hash"), col("band"))
     val b = banded.select(col(idCol).as("b_id"), col(simhashCol).as("b_hash"), col("band"))

@@ -87,8 +87,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 /** Registration of graft's native expressions into a session's function
-  * registry — after this, `cosine_sim(a, b)` and `simhash64(tokens)` are
-  * usable from SQL and `expr(...)` with full codegen. */
+  * registry — after this, `cosine_sim(a, b)`, `simhash64(tokens)` and
+  * `rolling_hash64(text)` are usable from SQL and `expr(...)` with full
+  * codegen. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -103,6 +104,13 @@ object GraftFunctions {
       exprs => {
         require(exprs.length == 1, "simhash64 takes exactly 1 argument")
         SimHash64(exprs.head)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash64",
+      exprs => {
+        require(exprs.length == 1, "rolling_hash64 takes exactly 1 argument")
+        RollingHash64(exprs.head)
       },
       "built-in")
   }

@@ -37,16 +37,23 @@ object GlobalRowNumber {
       .localCheckpoint(true)
     val counts = ranged.groupBy("__pid").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    // offset of partition i = sum of counts of partitions before it
+    // offset of partition i = sum of counts of partitions before it. The
+    // offsets are injected via a BROADCAST-JOINED (pid, offset) frame, not
+    // a per-pid CASE WHEN chain: at thousands of range partitions the
+    // O(P)-deep when-chain is exactly the wide-expression-tree codegen
+    // blowup this operator's scale story forbids, while a broadcast hash
+    // join stays one codegen'd probe whatever P is.
     val offsets = counts.map(_._1)
       .zip(counts.map(_._2).scanLeft(0L)(_ + _))
-      .toMap
-    val offsetExpr = counts.map(_._1).foldRight(lit(0L)) { (pid, rest) =>
-      when(col("__pid") === pid, lit(offsets.getOrElse(pid, 0L))).otherwise(rest)
-    }
+      .map { case (pid, off) => (pid, off) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = broadcast(offsets.toSeq.toDF("__pid", "__offset"))
     val localW = Window.partitionBy("__pid").orderBy(sortCols: _*)
     ranged
-      .withColumn(outCol, (row_number().over(localW).cast("long") + offsetExpr))
-      .drop("__pid")
+      .withColumn("__local_rn", row_number().over(localW).cast("long"))
+      .join(offsetDf, Seq("__pid"))
+      .withColumn(outCol, col("__local_rn") + col("__offset"))
+      .drop("__pid", "__offset", "__local_rn")
   }
 }

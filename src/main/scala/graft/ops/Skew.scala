@@ -18,13 +18,16 @@ object Skew {
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
                 salts: Int = 16): DataFrame = {
     require(salts > 0)
-    // Row-local salt with no RNG state. monotonically_increasing_id is NOT
-    // stable under partition recomputation — harmless here because the salt
-    // only needs to spread rows and the aggregate is associative; do not
-    // reuse this salt where per-row retry stability matters (derive it from
-    // a content hash instead, e.g. pmod(xxhash64(cols...), salts)).
+    // Row-CONTENT salt, no RNG state: pmod(xxhash64(all columns), salts) is
+    // stable under partition recomputation and task retry (unlike
+    // monotonically_increasing_id, whose value depends on the partition
+    // layout a retry may change), so the same row always lands on the same
+    // salt bucket. Hashing all columns — not just the keys, which would put
+    // the entire hot key in ONE bucket and defeat the salting — spreads a
+    // hot key's rows across `salts` reducers; only fully-identical
+    // duplicate rows share a bucket.
     val salted = df.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salts)))
+      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
     val partial = salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))

@@ -6,23 +6,28 @@ import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** [EXT] training-data-pipeline operators (SURVEY §2.9 E1–E4 + driver
   * mandate): dedup, similarity search, multimodal plumbing, text analysis.
-  * Oracle-checked wherever the op is expressible in DuckDB SQL; hash-based
-  * ops (xxhash64 signatures) are rows-only here and property-tested in
-  * ExtOpsSpec instead.
+  * Every entry is oracle-checked: directly wherever the op is expressible
+  * in DuckDB SQL, and via 1-row contract queries (recall/precision/
+  * equivalence/set-equality flags whose inputs DuckDB independently
+  * recomputes from the raw tables) for the hash-based approximate ops.
+  * Deeper properties live in ExtOpsSpec.
   */
 object ExtQueries {
 
   /** One-row recall gate for an approximate top-k vs its exact twin:
-    * (k = |exact|, recall_ok = |ann ∩ exact| ≥ k/2, self_found = query id
-    * in ann) — all computed in-plan (one union + one hash agg, no
-    * driver-side set math, no nested-loop scalar joins). Flags are BIGINT
-    * 0/1 for stable cross-engine hashing. */
+    * (k = |exact|, recall_ok = |ann ∩ exact| ≥ k/2 — or = k when
+    * `requireAll`, for planted-twin contracts whose recall is structurally
+    * guaranteed — self_found = query id in ann) — all computed in-plan
+    * (one union + one hash agg, no driver-side set math, no nested-loop
+    * scalar joins). Flags are BIGINT 0/1 for stable cross-engine hashing. */
   private def recallContract(exact: org.apache.spark.sql.DataFrame,
                              approx: org.apache.spark.sql.DataFrame,
                              idCol: String = "vec_id",
-                             selfId: Long = 0L): org.apache.spark.sql.DataFrame = {
+                             selfId: Long = 0L,
+                             requireAll: Boolean = false): org.apache.spark.sql.DataFrame = {
     val tagged = exact.select(col(idCol)).withColumn("__src", lit("e"))
       .unionByName(approx.select(col(idCol)).withColumn("__src", lit("a")))
+    val need = if (requireAll) col("k") else ceil(col("k") / 2).cast("long")
     tagged.groupBy(idCol).agg(
         max(when(col("__src") === "e", 1).otherwise(0)).as("in_e"),
         max(when(col("__src") === "a", 1).otherwise(0)).as("in_a"))
@@ -32,7 +37,7 @@ object ExtQueries {
         max(when(col(idCol) === selfId && col("in_a") === 1, 1).otherwise(0))
           .cast("long").as("self_found"))
       .select(col("k"),
-        when(col("hits") * 2 >= col("k"), 1L).otherwise(0L).as("recall_ok"),
+        when(col("hits") >= need, 1L).otherwise(0L).as("recall_ok"),
         col("self_found"))
   }
 
@@ -315,18 +320,58 @@ object ExtQueries {
           .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rhash"))
     },
 
-    // E5 — 64-bit SimHash signature (xxhash64 → rows-only; properties in
-    // ExtOpsSpec).
-    "e5_simhash" -> Q.rowsOnly { (s, dir) =>
+    // E4 — same fingerprint through the codegen'd native RollingHash64
+    // Expression (one fused loop, no per-char array): must hash-match the
+    // SAME oracle as e4g, making the native ≡ HOF equivalence itself
+    // oracle-adjudicated (the e2/e2c pattern).
+    "e4g2_rolling_hash_native" -> Q(
+      """SELECT doc_id,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                   list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
+        |                   (a, b) -> (a * 31 + b) % 1000000007) AS rhash
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        graft.functions.GraftFunctions.register(s)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), expr("rolling_hash64(text)").as("rhash"))
+    },
+
+    // E5 — 64-bit SimHash signature, gated as a semantic-property contract
+    // (the signature values are xxhash64-based and not DuckDB-expressible;
+    // e5c separately gates native ≡ HOF bit-identity). The oracle recomputes
+    // n_docs; the flags assert, over EVERY doc, the two properties that
+    // define SimHash: (1) token-order invariance (votes are a commutative
+    // sum over the token multiset — reversing the tokens must not change a
+    // single signature) and (2) perturbation locality (appending one token
+    // moves the signature ≤ 31 of 64 bits worst-case and ≤ 16 on average —
+    // a random unrelated pair sits at ~32). A signature that hashed
+    // position, dropped tokens, or broke the vote arithmetic fails one of
+    // the two.
+    "e5_simhash" -> Q(
+      """SELECT count(*) AS n_docs, CAST(1 AS BIGINT) AS order_invariant,
+        |       CAST(1 AS BIGINT) AS perturb_bounded
+        |FROM documents""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       Tables.documents(s, dir)
-        .select(col("doc_id"), TextAnalysis.simhash64(col("text")).as("simhash"))
+        .select(
+          expr("simhash64(split(text, '\\\\s+'))").as("__h"),
+          expr("simhash64(reverse(split(text, '\\\\s+')))").as("__hr"),
+          expr("simhash64(split(concat(text, ' xqzyxq'), '\\\\s+'))").as("__hp"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__h") === col("__hr"), 0).otherwise(1)).as("__ord"),
+          max(bit_count(col("__h").bitwiseXOR(col("__hp")))).as("__maxp"),
+          avg(bit_count(col("__h").bitwiseXOR(col("__hp")))).as("__avgp"))
+        .select(col("n_docs"),
+          when(col("__ord") === 0, 1L).otherwise(0L).as("order_invariant"),
+          when(col("__maxp") <= 31 && col("__avgp") <= 16.0, 1L)
+            .otherwise(0L).as("perturb_bounded"))
     },
 
     // E5 — native codegen'd SimHash (graft.functions.SimHash64) vs the HOF
     // composition: the gated output asserts bit-identity across every doc
     // (n_docs recomputed by the oracle; the flag is the equivalence
     // contract). The per-doc signatures themselves are xxhash64-based and
-    // not DuckDB-expressible (e5_simhash stays rows-only for that surface).
+    // not DuckDB-expressible (e5_simhash gates their semantic properties).
     "e5c_simhash_native" -> Q(
       """SELECT count(*) AS n_docs, CAST(1 AS BIGINT) AS native_matches_hof
         |FROM documents""".stripMargin) { (s, dir) =>
@@ -340,14 +385,22 @@ object ExtQueries {
           when(col("__mismatch") === 0, 1L).otherwise(0L).as("native_matches_hof"))
     },
 
-    // E5 — SimHash near-dup candidates over corpus ∪ perturbed-copy (each
-    // doc gains a twin with one appended token → every (i, i+100000) pair
-    // must surface through the band join). Rows-only; asserted in spec.
-    // Corpus slice bounded: the fixture is a shared-vocabulary word soup,
-    // so band collisions (and thus candidate pairs) grow quadratically with
-    // corpus size regardless of algorithm — the demo pins input size; real
-    // corpora tune bands/maxHamming instead.
-    "e5b_simhash_neardup" -> Q.rowsOnly { (s, dir) =>
+    // E5 — SimHash near-dup completeness contract over corpus ∪ perturbed-
+    // copy. With maxHamming < bands the pigeonhole principle makes the band
+    // join EXACT (≤3 differing bits spoil ≤3 of 4 bands), so the gate is
+    // set EQUALITY, not sampled recall: the 4×16-bit candidates must equal
+    // an independent truth set built from (a) the 8×8-bit decomposition —
+    // also pigeonhole-exact, different shift arithmetic — union (b) the
+    // planted (i, i+100000) twins' directly-computed hammings, which touch
+    // no banding code at all. DuckDB recomputes the input cardinality; the
+    // flags are the equality verdicts. Corpus slice bounded: the fixture is
+    // a shared-vocabulary word soup, so true hamming-close pairs grow
+    // quadratically with corpus size regardless of algorithm.
+    "e5b_simhash_neardup" -> Q(
+      """SELECT CAST(2 * count(*) AS BIGINT) AS n_input,
+        |       CAST(1 AS BIGINT) AS band_join_exact,
+        |       CAST(1 AS BIGINT) AS all_within_hamming
+        |FROM documents WHERE doc_id < 1000""".stripMargin) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       val docs = Tables.documents(s, dir)
         .filter(col("doc_id") < 1000).select("doc_id", "text")
@@ -357,25 +410,108 @@ object ExtQueries {
       val all = docs.unionByName(perturbed)
         .select(col("doc_id"), // native simhash (bit-identical, ~9× faster)
           expr("simhash64(split(text, '\\\\s+'))").as("simhash"))
-      TextAnalysis.simhashCandidates(all, "doc_id", "simhash", maxHamming = 3)
-        .select("a_id", "b_id", "hamming")
+      val cand = TextAnalysis
+        .simhashCandidates(all, "doc_id", "simhash", maxHamming = 3, bands = 4)
+      val truth8 = TextAnalysis
+        .simhashCandidates(all, "doc_id", "simhash", maxHamming = 3, bands = 8)
+        .select("a_id", "b_id")
+      val planted = all.filter(col("doc_id") < 100000)
+        .select(col("doc_id").as("a_id"), col("simhash").as("__ha"))
+        .join(all.filter(col("doc_id") >= 100000)
+          .select((col("doc_id") - 100000).as("a_id"),
+            col("doc_id").as("b_id"), col("simhash").as("__hb")), "a_id")
+        .filter(bit_count(col("__ha").bitwiseXOR(col("__hb"))) <= 3)
+        .select("a_id", "b_id")
+      val truth = truth8.unionByName(planted).distinct()
+      val u = cand
+        .select(col("a_id"), col("b_id"),
+          col("hamming").cast("long").as("__ham"), lit("c").as("__src"))
+        .unionByName(truth.select(col("a_id"), col("b_id"),
+          lit(null).cast("long").as("__ham"), lit("t").as("__src")))
+        .unionByName(all.select(lit(null).cast("long").as("a_id"),
+          lit(null).cast("long").as("b_id"),
+          lit(null).cast("long").as("__ham"), lit("d").as("__src")))
+      u.groupBy("a_id", "b_id").agg(
+          max(when(col("__src") === "c", 1).otherwise(0)).as("in_c"),
+          max(when(col("__src") === "t", 1).otherwise(0)).as("in_t"),
+          sum(when(col("__src") === "d", 1).otherwise(0)).as("n_d"),
+          max(when(col("__src") === "c", col("__ham"))).as("ham"))
+        .agg(
+          sum(col("n_d")).cast("long").as("n_input"),
+          sum(when(col("in_c") =!= col("in_t"), 1).otherwise(0)).as("__diff"),
+          max(when(col("in_c") === 1, col("ham"))).as("__maxham"))
+        .select(col("n_input"),
+          when(col("__diff") === 0, 1L).otherwise(0L).as("band_join_exact"),
+          when(coalesce(col("__maxham"), lit(0L)) <= 3, 1L)
+            .otherwise(0L).as("all_within_hamming"))
     },
 
     // E1/E5 — full MinHash-LSH near-dup cascade (band candidates →
     // signature-estimate filter → exact verify) over corpus ∪
-    // perturbed-copy, in 3-gram shingle space end-to-end. The fixture is a
-    // 31-word vocabulary soup: at unigram granularity ~23% of ALL pairs are
-    // genuinely J≥0.8 (measured), so unigram near-dup is degenerate there —
-    // word-order-sensitive shingles are the standard measure and give real
-    // separation (twins J≈0.9, background J≈0).
-    "e6_minhash_neardup" -> Q.rowsOnly { (s, dir) =>
+    // perturbed-copy, in 3-gram shingle space end-to-end, gated as a
+    // recall/precision contract. DuckDB independently recomputes BOTH
+    // oracle-checked counts: n_planted (input cardinality) and n_eligible —
+    // the number of planted (i, i+100000) twin pairs whose EXACT 3-gram
+    // shingle Jaccard is ≥ 0.8, rebuilt from raw text in SQL (shingle →
+    // distinct → intersect/union). The flags then assert the cascade found
+    // every eligible planted pair (recall — a missed band, a broken
+    // signature, or an over-aggressive estimate filter all trip it) and
+    // that nothing below the exact-Jaccard threshold survived the verify
+    // stage (precision). Fixture note: the 31-word vocabulary soup makes
+    // unigram near-dup degenerate (~23% of ALL pairs J≥0.8); word-order-
+    // sensitive shingles give real separation (twins J≈0.95, background≈0).
+    "e6_minhash_neardup" -> Q(
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+        |sh AS (SELECT doc_id, string_split(text, ' ') AS ta,
+        |              string_split(text || ' perturbedtoken', ' ') AS tb
+        |       FROM d),
+        |sg AS (SELECT doc_id,
+        |  CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(ta) - 1),
+        |              i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2])) END AS sa,
+        |  CASE WHEN len(tb) < 3 THEN [array_to_string(tb, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(tb) - 1),
+        |              i -> tb[i] || ' ' || tb[i+1] || ' ' || tb[i+2])) END AS sb
+        |  FROM sh)
+        |SELECT (SELECT count(*) FROM d) AS n_planted,
+        |       count(*) FILTER (WHERE round(len(list_intersect(sa, sb)) * 1.0
+        |         / len(list_distinct(list_concat(sa, sb))), 6) >= 0.8) AS n_eligible,
+        |       CAST(1 AS BIGINT) AS recall_ok,
+        |       CAST(1 AS BIGINT) AS precision_ok
+        |FROM sg""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
         .filter(col("doc_id") < 1000).select("doc_id", "text")
       val perturbed = docs
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" perturbedtoken")).as("text"))
       val all = docs.unionByName(perturbed)
-      Dedup.minhashNearDups(all, "doc_id", "text", threshold = 0.8)
+      val found = Dedup.minhashNearDups(all, "doc_id", "text", threshold = 0.8)
+      val plantedPairs = docs.select(col("doc_id").as("a_id"),
+        (col("doc_id") + 100000).as("b_id"))
+      val eligible = Dedup.jaccardVerify(plantedPairs, all, "doc_id", "text",
+          shingleN = 3)
+        .filter(col("jaccard") >= 0.8).select("a_id", "b_id")
+      val u = found
+        .select(col("a_id"), col("b_id"), col("jaccard"), lit("f").as("__src"))
+        .unionByName(eligible.select(col("a_id"), col("b_id"),
+          lit(null).cast("double").as("jaccard"), lit("e").as("__src")))
+        .unionByName(docs.select(lit(null).cast("long").as("a_id"),
+          lit(null).cast("long").as("b_id"),
+          lit(null).cast("double").as("jaccard"), lit("d").as("__src")))
+      u.groupBy("a_id", "b_id").agg(
+          max(when(col("__src") === "f", 1).otherwise(0)).as("in_f"),
+          max(when(col("__src") === "e", 1).otherwise(0)).as("in_e"),
+          sum(when(col("__src") === "d", 1).otherwise(0)).as("n_d"),
+          min(when(col("__src") === "f", col("jaccard"))).as("fj"))
+        .agg(
+          sum(col("n_d")).cast("long").as("n_planted"),
+          sum(col("in_e")).cast("long").as("n_eligible"),
+          sum(col("in_e") * (lit(1) - col("in_f"))).as("__missed"),
+          min(col("fj")).as("__minj"))
+        .select(col("n_planted"), col("n_eligible"),
+          when(col("__missed") === 0, 1L).otherwise(0L).as("recall_ok"),
+          when(coalesce(col("__minj"), lit(1.0)) >= 0.8, 1L)
+            .otherwise(0L).as("precision_ok"))
     },
 
     // E2 — embedding-space near-dup pairs at scale: LSH-bucket equi-join
@@ -392,7 +528,30 @@ object ExtQueries {
         "vec_id", "embedding", dim = 64, threshold = 0.99)
       val found = pairs.filter(col("b_id") === col("a_id") + 100000)
         .select(col("a_id").as("vec_id"))
-      recallContract(emb.select("vec_id"), found)
+      // exact twins share every band deterministically → full recall
+      recallContract(emb.select("vec_id"), found, requireAll = true)
+    },
+
+    // E2 — banded near-dup at a LOOSE threshold (0.9): planted twins are
+    // near, NOT exact (each component scaled by 1±0.05 → cos ≈ 0.99875), so
+    // a single-table LSH that only catches identical signatures would miss
+    // them; the 8-band OR-construction must surface every one (per-pair
+    // miss probability ~4e-8). Same recall-contract gate as e2e.
+    "e2f_embedding_neardup_banded" -> Q(
+      """SELECT count(*) AS k, CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS self_found
+        |FROM embeddings WHERE vec_id < 200""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+      val twins = emb.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") * (lit(1.0) +
+            when(pmod(xxhash64(col("vec_id"), i), lit(2)) === 0, lit(0.05))
+              .otherwise(lit(-0.05)))).cast("float")).as("embedding"),
+        col("label"))
+      val pairs = Similarity.cosineNearDupPairs(emb.unionByName(twins),
+        "vec_id", "embedding", dim = 64, threshold = 0.9, nPlanes = 8, bands = 8)
+      val found = pairs.filter(col("b_id") === col("a_id") + 100000)
+        .select(col("a_id").as("vec_id"))
+      recallContract(emb.select("vec_id"), found, requireAll = true)
     },
 
     // E4 — multi-dimensional aggregate (CUBE over language × source): the

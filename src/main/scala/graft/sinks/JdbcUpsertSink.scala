@@ -74,6 +74,18 @@ object JdbcUpsertSink {
       .drop("__rn")
   }
 
+  /** Case-folding table existence check: catalogs fold unquoted identifiers
+    * differently (Derby upper, PG lower), so an exact-case-only getTables
+    * probe reads a live table as absent — and a dialect without CREATE
+    * TABLE IF NOT EXISTS then fails the second run with already-exists. */
+  private[graft] def tableExists(conn: Connection, name: String): Boolean = {
+    def check(n: String): Boolean = {
+      val rs = conn.getMetaData.getTables(null, null, n, Array("TABLE"))
+      try rs.next() finally rs.close()
+    }
+    check(name) || check(name.toUpperCase) || check(name.toLowerCase)
+  }
+
   /** S3 — create `table` from `schema` when absent (reference
     * session.py:194-197 create-dest-from-source-schema). */
   def ensureTable(url: String, props: Properties, table: String,
@@ -82,9 +94,7 @@ object JdbcUpsertSink {
     val dialect = SqlDialect.forUrl(url)
     val conn = DriverManager.getConnection(url, props)
     try {
-      val rs = conn.getMetaData.getTables(null, null, table, Array("TABLE"))
-      val exists = try rs.next() finally rs.close()
-      if (!exists) {
+      if (!tableExists(conn, table)) {
         val stmt = conn.createStatement()
         try { stmt.executeUpdate(dialect.createTableSql(table, schema, keyCols)); () }
         finally stmt.close()
@@ -167,7 +177,18 @@ object JdbcUpsertSink {
                 upd.addBatch()
               }
               val counts = upd.executeBatch()
-              chunk.iterator.zip(counts.iterator)
+              if (counts.contains(java.sql.Statement.SUCCESS_NO_INFO)) {
+                // Driver reports batched updates as SUCCESS_NO_INFO (-2 —
+                // Oracle always; MySQL with rewriteBatchedStatements):
+                // treating those as "updated" would silently never INSERT
+                // genuinely-new rows. Re-run the chunk per-row for real
+                // counts — the guarded UPDATE is idempotent, so the
+                // double-apply is safe.
+                chunk.filter { row =>
+                  bindRow(upd, row, updOrder.map(colIdx))
+                  upd.executeUpdate() == 0
+                }
+              } else chunk.iterator.zip(counts.iterator)
                 .collect { case (r, 0) => r }.toSeq
             } finally upd.close()
           }
@@ -177,7 +198,11 @@ object JdbcUpsertSink {
   }
 
   /** Batch-insert the update misses; on a duplicate-key failure (a stale
-    * replay the guard blocked) retry row-by-row, skipping violations. */
+    * replay the guard blocked) retry row-by-row, skipping ONLY unique-key
+    * violations (SQLState 23505 — the one failure the guard legitimately
+    * produces). Any other integrity violation (NOT NULL 23502, FK 23503,
+    * CHECK …) is a real data error and propagates: swallowing it would
+    * silently drop the row while still counting it as applied. */
   private def insertMisses(conn: Connection, insertSql: String,
                            misses: Seq[Row], idx: Seq[Int]): Unit = {
     val ins = conn.prepareStatement(insertSql)
@@ -195,7 +220,7 @@ object JdbcUpsertSink {
               ins.executeUpdate()
               ()
             } catch {
-              case _: java.sql.SQLIntegrityConstraintViolationException => ()
+              case e: java.sql.SQLException if e.getSQLState == "23505" => ()
             }
           }
       }

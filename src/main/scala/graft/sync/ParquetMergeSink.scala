@@ -50,6 +50,19 @@ object ParquetMergeSink {
             partitionByCol: Option[String] = None,
             knownUpdateRows: Option[Long] = None): MergeResult = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
+    // The partitioned path's crash safety RESTS on the pending-merge marker
+    // (dynamic partition overwrite is not atomic across partitions), and
+    // the marker stores a numeric restart watermark. A non-numeric order
+    // column would silently skip the marker — the exact loss window the
+    // marker exists to close — so it is rejected up front; use the
+    // unpartitioned atomic-swap merge for non-numeric watermarks.
+    if (partitionByCol.isDefined) {
+      val dt = updates.schema(orderCol).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"partitioned merge requires a numeric order column for the " +
+          s"crash-recovery marker; '$orderCol' is ${dt.simpleString} — " +
+          "drop partitionByCol to use the atomic whole-directory swap")
+    }
     val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverInterruptedSwap(fs, targetDir)
     val exists = hasData(fs, new Path(targetDir))
@@ -138,7 +151,8 @@ object ParquetMergeSink {
           // partial commit. Cleared only after a fully-committed overwrite.
           tieLo match {
             case n: Number => writePendingMerge(fs, targetDir, n.longValue())
-            case _ => () // non-numeric order column: no marker (documented gap)
+            case _ => () // all-null order column (numeric type enforced above):
+                         // rows without a watermark are outside the protocol
           }
           val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
           spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -228,14 +228,10 @@ object SyncPipeline {
     try f(conn) finally conn.close()
   }
 
-  private def tableExists(conn: Connection, name: String): Boolean = {
-    def check(n: String): Boolean = {
-      val rs = conn.getMetaData.getTables(null, null, n, Array("TABLE"))
-      try rs.next() finally rs.close()
-    }
-    // catalogs fold unquoted identifiers differently (Derby upper, PG lower)
-    check(name) || check(name.toUpperCase) || check(name.toLowerCase)
-  }
+  // catalogs fold unquoted identifiers differently (Derby upper, PG lower);
+  // the case-folding probe is shared with the sink's ensureTable
+  private def tableExists(conn: Connection, name: String): Boolean =
+    graft.sinks.JdbcUpsertSink.tableExists(conn, name)
 
   private def ensureStateTable(conn: Connection): Unit =
     if (!tableExists(conn, StateTable)) {

@@ -173,6 +173,79 @@ class ExtOpsSpec extends SparkSpec {
       s"missing ${planted.count(!pairs.contains(_))} planted dup pairs")
   }
 
+  test("banded near-dup: noisy (non-exact) twins all found at loose threshold 0.9") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir).limit(50)
+    // each component scaled by 1±0.05 (deterministic sign) → cos ≈ 0.99875:
+    // near, NOT exact — signatures differ, so single-table exact-bucket LSH
+    // would drop some; the 8-band OR-construction must catch every twin
+    val twins = emb.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x.cast("double") * (lit(1.0) +
+          when(pmod(xxhash64(col("vec_id"), i), lit(2)) === 0, lit(0.05))
+            .otherwise(lit(-0.05)))).cast("float")).as("embedding"),
+      col("label"))
+    val all = emb.unionByName(twins)
+    val pairs = Similarity.cosineNearDupPairs(all, "vec_id", "embedding",
+      dim = 64, threshold = 0.9, nPlanes = 8, bands = 8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val planted = emb.select("vec_id").as[Long].collect()
+      .map(i => (i, i + 100000)).toSet
+    assert(planted.forall(pairs.contains),
+      s"missing ${planted.count(!pairs.contains(_))} noisy twin pairs")
+    // and the exact verify kept nothing below the threshold
+    val minCos = Similarity.cosineNearDupPairs(all, "vec_id", "embedding",
+      dim = 64, threshold = 0.9, nPlanes = 8, bands = 8)
+      .agg(min("cos")).first().getDouble(0)
+    assert(minCos >= 0.9)
+  }
+
+  test("index cache: in-place corpus rewrite re-keys and rebuilds the index") {
+    val base = tmpDir("lsh-cache")
+    val corpus = base + "/corpus"
+    val conf = spark.sparkContext.hadoopConfiguration
+    def writeCorpus(ids: Seq[Long]): Unit = {
+      // stage with Spark, then copy to a FIXED file name so the second
+      // write is a genuine in-place rewrite (same path, new content)
+      val stage = base + "/stage"
+      graft.core.Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id").isin(ids: _*))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val stagePath = new org.apache.hadoop.fs.Path(stage)
+      val fs = stagePath.getFileSystem(conf)
+      val part = fs.listStatus(stagePath).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new org.apache.hadoop.fs.Path(corpus + "/data.parquet")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(corpus))
+      if (fs.exists(dest)) fs.delete(dest, false)
+      org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dest, false, conf)
+      fs.delete(stagePath, true)
+    }
+    writeCorpus(0L to 19L)
+    val dirA = Similarity.ensureLshIndex(spark.read.parquet(corpus),
+      "vec_id", "embedding", dim = 64, nPlanes = 4)
+    Thread.sleep(1100) // some filesystems have 1s mtime granularity
+    writeCorpus(20L to 39L)
+    val dirB = Similarity.ensureLshIndex(spark.read.parquet(corpus),
+      "vec_id", "embedding", dim = 64, nPlanes = 4)
+    assert(dirA != dirB, "in-place rewrite must re-key the index cache")
+    val ids = spark.read.parquet(dirB).select("vec_id").as[Long].collect().toSet
+    assert(ids == (20L to 39L).toSet, "rebuilt index must hold the new corpus")
+  }
+
+  test("native rolling_hash64 is bit-identical to the HOF form over the corpus") {
+    graft.functions.GraftFunctions.register(spark)
+    val diff = docs.select(TextAnalysis.rollingHash(col("text")).as("hof"),
+        expr("rolling_hash64(text)").as("nat"))
+      .filter(col("hof") =!= col("nat")).count()
+    assert(diff == 0)
+  }
+
+  test("index cache refuses non-file-backed sources (no content identity)") {
+    val mem = Seq((1L, Seq.fill(4)(0.1f))).toDF("vec_id", "embedding")
+    assertThrows[IllegalArgumentException](
+      Similarity.ensureLshIndex(mem, "vec_id", "embedding", dim = 4, nPlanes = 4))
+  }
+
   test("frame sampling: everyNth=1 frames reassemble the original payload") {
     val media = Multimodal.fromDocuments(
       graft.core.Tables.documents(spark, sfDir).limit(50))

@@ -7,21 +7,39 @@ import org.apache.spark.sql.functions._
 import graft.sources.JdbcSource
 import graft.sync.{SyncConfig, SyncEndpoint, SyncPipeline}
 
-/** End-to-end JDBC sync against embedded Derby (in the Spark jars): the
-  * full reference lifecycle — preflight (S6), PK reflection (S2),
+/** End-to-end JDBC sync lifecycle — preflight (S6), PK reflection (S2),
   * create-dest (S3), partitioned range extract (S1), idempotent guarded
-  * upsert (S4/S5), watermark recovery (T1), restart-marker healing — with
-  * a real database, no network. Derby folds unquoted identifiers to upper
-  * case, hence the upper-case fixture names. A PostgreSQL run uses the
-  * same code path with the native ON CONFLICT fast path (dialect-selected;
-  * SQL shape covered in JdbcSpec).
+  * upsert (S4/S5), watermark recovery (T1), restart-marker healing — as a
+  * SHARED spec body parameterized over the dialect, run against:
+  *
+  *   - embedded Derby ([[JdbcSyncSpec]]): always on, in the Spark jars, no
+  *     network — exercises the generic guarded-update/insert-miss protocol;
+  *   - live PostgreSQL ([[PostgresSyncSpec]]): env-gated on `GRAFT_PG_URL`
+  *     (skips cleanly when unset — the CI sandbox is zero-egress) —
+  *     exercises the native batched `INSERT ... ON CONFLICT DO UPDATE` fast
+  *     path (reference session.py:135-151) that is otherwise covered only
+  *     as SQL text in JdbcSpec.
+  *
+  * Dialect knobs: [[freshDb]] (empty namespace per test), [[ident]]
+  * (catalog identifier folding — Derby upper, PG lower), [[doubleType]].
   */
-class JdbcSyncSpec extends SparkSpec {
+trait JdbcSyncBehaviors { this: SparkSpec =>
 
-  private def freshDb(name: String): String =
-    s"jdbc:derby:memory:$name;create=true"
+  /** Fresh, empty database/namespace for `name`; returns its JDBC URL. */
+  protected def freshDb(name: String): String
 
-  private def exec(url: String, sql: String): Unit = {
+  /** How the catalog stores an unquoted identifier (case folding). */
+  protected def ident(s: String): String = s
+
+  protected def doubleType: String = "DOUBLE"
+
+  /** False → every shared test is skipped (assume), e.g. no live PG. */
+  protected def dbAvailable: Boolean = true
+
+  private def skipUnlessAvailable(): Unit =
+    assume(dbAvailable, "GRAFT_PG_URL not set — live-PostgreSQL arm skipped")
+
+  protected def exec(url: String, sql: String): Unit = {
     val conn = DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()
@@ -31,7 +49,7 @@ class JdbcSyncSpec extends SparkSpec {
 
   private def seedSource(url: String, rows: Seq[(Long, Long, Double, String)]): Unit = {
     exec(url, "CREATE TABLE SRC (ID BIGINT NOT NULL PRIMARY KEY, " +
-      "UPDATED BIGINT NOT NULL, AMOUNT DOUBLE, STATUS VARCHAR(32))")
+      s"UPDATED BIGINT NOT NULL, AMOUNT $doubleType, STATUS VARCHAR(32))")
     insertRows(url, "SRC", rows)
   }
 
@@ -73,12 +91,14 @@ class JdbcSyncSpec extends SparkSpec {
   private val cfg = SyncConfig(keyCols = Seq("ID"), watermarkCol = "UPDATED")
 
   test("jdbc→jdbc: cold start reflects PK, creates dest, syncs all rows") {
+    skipUnlessAvailable()
     val url = freshDb("cold")
     seedSource(url, Seq((1L, 100L, 1.0, "A"), (2L, 200L, 2.0, "B")))
     val src = SyncEndpoint.parse(s"$url#SRC")
     val dst = SyncEndpoint.parse(s"$url#DST")
-    // S2: the reflected PK matches the declared one
-    assert(new JdbcSource(url, new java.util.Properties()).primaryKey("SRC") == Seq("ID"))
+    // S2: the reflected PK matches the declared one (catalog-folded case)
+    assert(new JdbcSource(url, new java.util.Properties())
+      .primaryKey(ident("SRC")).map(_.toUpperCase) == Seq("ID"))
     val r = SyncPipeline.run(spark, cfg, src, dst)
     assert(r.startingPoint.contains(100L)) // T1 cold start = src MIN
     assert(r.candidateRows == 2 && r.rowsWritten == 2)
@@ -87,6 +107,7 @@ class JdbcSyncSpec extends SparkSpec {
   }
 
   test("jdbc→jdbc: warm incremental picks up only new/changed rows; stale replays blocked") {
+    skipUnlessAvailable()
     val url = freshDb("warm")
     seedSource(url, Seq((1L, 100L, 1.0, "A"), (2L, 200L, 2.0, "B")))
     val src = SyncEndpoint.parse(s"$url#SRC")
@@ -110,6 +131,7 @@ class JdbcSyncSpec extends SparkSpec {
   }
 
   test("jdbc→jdbc: T3 re-run of the same cut is a no-op (idempotent upsert)") {
+    skipUnlessAvailable()
     val url = freshDb("idem")
     seedSource(url, Seq((1L, 100L, 1.0, "A"), (2L, 200L, 2.0, "B")))
     val src = SyncEndpoint.parse(s"$url#SRC")
@@ -122,6 +144,7 @@ class JdbcSyncSpec extends SparkSpec {
   }
 
   test("jdbc→jdbc: surviving restart marker forces re-extraction below dest MAX") {
+    skipUnlessAvailable()
     val url = freshDb("marker")
     seedSource(url, Seq((1L, 100L, 1.0, "A"), (2L, 500L, 2.0, "B")))
     val src = SyncEndpoint.parse(s"$url#SRC")
@@ -145,6 +168,7 @@ class JdbcSyncSpec extends SparkSpec {
   }
 
   test("jdbc→parquet and parquet→jdbc arms round-trip") {
+    skipUnlessAvailable()
     val url = freshDb("mixed")
     seedSource(url, Seq((1L, 100L, 1.0, "A"), (2L, 200L, 2.0, "B")))
     val dir = tmpDir("jdbc-pq") + "/dest"
@@ -162,14 +186,8 @@ class JdbcSyncSpec extends SparkSpec {
       Map(1L -> ((100L, 1.0, "A")), 2L -> ((200L, 2.0, "B"))))
   }
 
-  test("S1 partitioned read: options carry the slice plan; slices match data") {
-    val opts = JdbcSource.rangeReadOptions("SRC", "UPDATED", 0L, 1000L,
-      estimatedRows = 25000000L, targetRowsPerSlice = 10000000L)
-    assert(opts("partitionColumn") == "UPDATED")
-    assert(opts("lowerBound") == "0" && opts("upperBound") == "1000")
-    assert(opts("numPartitions") == "3") // ceil(25M / 10M)
-    assert(opts("fetchsize") == "10000")
-    // live check: a partitioned read returns exactly the range's rows
+  test("S1 partitioned read: slices match data") {
+    skipUnlessAvailable()
     val url = freshDb("slices")
     seedSource(url, (1L to 100L).map(i => (i, i * 10L, i * 1.0, "X")))
     val df = new JdbcSource(url, new java.util.Properties())
@@ -181,10 +199,71 @@ class JdbcSyncSpec extends SparkSpec {
   }
 
   test("S6 preflight: typed errors for missing table") {
+    skipUnlessAvailable()
     val url = freshDb("errors")
-    exec(url, "CREATE TABLE T (ID BIGINT PRIMARY KEY)")
+    exec(url, "CREATE TABLE T (ID BIGINT NOT NULL PRIMARY KEY)")
     val src = new JdbcSource(url, new java.util.Properties())
-    src.preflight("T")
+    src.preflight(ident("T"))
     assertThrows[graft.core.GraftError.MissingTable](src.preflight("NOPE"))
+  }
+
+  test("upsert: non-duplicate integrity violations propagate, never silently drop rows") {
+    skipUnlessAvailable()
+    val url = freshDb("nnviol")
+    exec(url, "CREATE TABLE NN (ID BIGINT NOT NULL PRIMARY KEY, " +
+      s"UPDATED BIGINT NOT NULL, AMOUNT $doubleType NOT NULL)")
+    import spark.implicits._
+    val df = Seq((1L, 100L, Some(1.0)), (2L, 200L, Option.empty[Double]))
+      .toDF("ID", "UPDATED", "AMOUNT")
+    // row 2 violates NOT NULL (SQLState 23502) — a real data error, which
+    // must fail the sync; only duplicate-key 23505 (the ordering guard's
+    // legitimate stale-replay signal) is ever swallowed
+    assertThrows[org.apache.spark.SparkException](
+      graft.sinks.JdbcUpsertSink.write(df, url, new java.util.Properties(),
+        "NN", Seq("ID"), "UPDATED"))
+  }
+}
+
+/** Derby arm — always on (embedded, in the Spark jars). Derby folds
+  * unquoted identifiers to UPPER case, hence the upper-case fixtures. */
+class JdbcSyncSpec extends SparkSpec with JdbcSyncBehaviors {
+
+  override protected def freshDb(name: String): String =
+    s"jdbc:derby:memory:$name;create=true"
+
+  override protected def ident(s: String): String = s.toUpperCase
+
+  // pure option-set check has no dialect; lives in the Derby arm only
+  test("S1 partitioned read options carry the slice plan") {
+    val opts = JdbcSource.rangeReadOptions("SRC", "UPDATED", 0L, 1000L,
+      estimatedRows = 25000000L, targetRowsPerSlice = 10000000L)
+    assert(opts("partitionColumn") == "UPDATED")
+    assert(opts("lowerBound") == "0" && opts("upperBound") == "1000")
+    assert(opts("numPartitions") == "3") // ceil(25M / 10M)
+    assert(opts("fetchsize") == "10000")
+  }
+}
+
+/** Live-PostgreSQL arm: the SAME spec body against a real PG, driving the
+  * native `INSERT ... ON CONFLICT DO UPDATE` fast path. Gated on
+  * `GRAFT_PG_URL` (e.g. `jdbc:postgresql://host:5432/db?user=u&password=p`);
+  * every test skips (ScalaTest canceled) when unset. Each test gets a
+  * fresh schema in the target database via `currentSchema`. */
+class PostgresSyncSpec extends SparkSpec with JdbcSyncBehaviors {
+
+  private val baseUrl: Option[String] = sys.env.get("GRAFT_PG_URL")
+
+  override protected def dbAvailable: Boolean = baseUrl.isDefined
+
+  override protected def ident(s: String): String = s.toLowerCase
+
+  override protected def doubleType: String = "DOUBLE PRECISION"
+
+  override protected def freshDb(name: String): String = {
+    val url = baseUrl.get
+    val schema = s"graft_sync_$name".toLowerCase
+    exec(url, s"DROP SCHEMA IF EXISTS $schema CASCADE")
+    exec(url, s"CREATE SCHEMA $schema")
+    url + (if (url.contains("?")) "&" else "?") + s"currentSchema=$schema"
   }
 }
