@@ -17,6 +17,18 @@ object Dedup {
   def exact(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
 
+  /** Streaming exact dedup at ingest: drops re-deliveries of the same key
+    * arriving within the watermark horizon. `dropDuplicatesWithinWatermark`
+    * bounds the dedup state by the event-time delay — a plain streaming
+    * `dropDuplicates` keeps every key seen FOREVER, which at training-
+    * pipeline ingest rates is an unbounded-state leak. Keys re-sent after
+    * the horizon are admitted again (at-least-once upstream + idempotent
+    * keyed sink downstream absorbs those, as in the batch merge). */
+  def streamingDedup(stream: DataFrame, keyCols: Seq[String], tsCol: String,
+                     delay: String): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Exact-content dedup keeping the smallest-id row per normalized-content
     * fingerprint: a single hash aggregation (`min_by` of the whole row on
     * the id) — one shuffle, no keeper join. */

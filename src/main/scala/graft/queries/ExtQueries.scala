@@ -554,6 +554,88 @@ object ExtQueries {
       recallContract(emb.select("vec_id"), found, requireAll = true)
     },
 
+    // E4 — TF-IDF top terms per document: the canonical two-aggregation +
+    // broadcast-join shape of corpus statistics. Scale notes: term
+    // frequencies are ONE shuffle on (doc, token); document frequencies
+    // aggregate the tf frame (token-keyed, vocabulary-sized); the df table
+    // is BROADCAST back onto tf (a real vocabulary after min-df pruning is
+    // millions of rows — still broadcastable; fall back to a shuffle join
+    // above that). Ranking is a doc-partitioned window (never global).
+    // Scores are ranked on the ROUNDED value with a token tie-break so
+    // cross-engine float noise cannot reorder ranks.
+    "e4j_tfidf" -> Q(
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, tf.token,
+        |         round(tf * ln((SELECT count(*) FROM documents) * 1.0 / df), 6) AS tfidf
+        |  FROM tf JOIN dfreq ON tf.token = dfreq.token),
+        |ranked AS (
+        |  SELECT doc_id, token, tfidf,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY tfidf DESC, token ASC) AS rk
+        |  FROM scored)
+        |SELECT doc_id, token, tfidf, CAST(rk AS BIGINT) AS rk
+        |FROM ranked WHERE rk <= 3""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val nDocs = docs.count() // scalar, like the watermark reads
+      val tf = docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(dfreq), "token")
+        .withColumn("tfidf",
+          round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("token").asc)
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "token", "tfidf", "rk")
+    },
+
+    // E4 — document-length histogram (token-count buckets of 10): the
+    // length-filter profile every corpus-curation pipeline starts from.
+    "e4k_length_histogram" -> Q(
+      """SELECT CAST(len(string_split(text, ' ')) // 10 AS BIGINT) AS bucket,
+        |       count(*) AS cnt
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(floor(size(TextAnalysis.tokens(col("text"))) / 10)
+          .cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+    },
+
+    // E4 — quantile sketch contract (the e4h pattern for percentiles):
+    // both engines compute the EXACT interpolated token-count percentiles
+    // (PERCENTILE_CONT semantics, (n-1)·p rank); the flag additionally
+    // asserts the distributed approx_percentile sketch lands within 5% (or
+    // ±1 token) of exact — the length-cutoff numbers curation pipelines
+    // actually use at 100 TB, where exact quantiles mean a global sort.
+    "e4l_length_quantiles" -> Q(
+      """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents)
+        |SELECT round(quantile_cont(n_tokens, 0.5), 6) AS p50_exact,
+        |       round(quantile_cont(n_tokens, 0.95), 6) AS p95_exact,
+        |       CAST(1 AS BIGINT) AS approx_close
+        |FROM t""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        .agg(
+          round(expr("percentile(n_tokens, 0.5)"), 6).as("p50_exact"),
+          round(expr("percentile(n_tokens, 0.95)"), 6).as("p95_exact"),
+          expr("approx_percentile(n_tokens, 0.5, 10000)").as("__a50"),
+          expr("approx_percentile(n_tokens, 0.95, 10000)").as("__a95"))
+        .select(col("p50_exact"), col("p95_exact"),
+          when(
+            abs(col("__a50") - col("p50_exact")) <=
+              greatest(col("p50_exact") * 0.05, lit(1.0)) &&
+            abs(col("__a95") - col("p95_exact")) <=
+              greatest(col("p95_exact") * 0.05, lit(1.0)), 1L)
+            .otherwise(0L).as("approx_close"))
+    },
+
     // E4 — multi-dimensional aggregate (CUBE over language × source): the
     // grouping-sets surface a complete analytics engine needs; both engines
     // emit NULL for rolled-up dimensions.

@@ -135,6 +135,26 @@ class StreamingSpec extends SparkSpec {
       3L -> ((400L, 3.0))))
   }
 
+  test("streaming exact dedup: re-deliveries within the watermark are dropped once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val deduped = graft.ext.Dedup.streamingDedup(
+      mem.toDF().toDF("id", "ts", "value"), Seq("id"), "ts", "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    // id 1 delivered twice in one batch, id 2 re-delivered a batch later
+    // (both within the 10-minute horizon): one surviving row each
+    mem.addData((1L, t(1), 1.0), (1L, t(2), 99.0), (2L, t(3), 2.0))
+    q.processAllAvailable()
+    mem.addData((2L, t(4), 88.0), (3L, t(5), 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select("id")
+      .as[Long].collect().toSeq.sorted
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("tumbling-window event-time aggregation with watermark (streaming extra)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Double)]
