@@ -120,6 +120,35 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-corpus contamination (train/benchmark decontamination): for
+    * every doc in `corpus`, the count and fraction of its distinct n-gram
+    * shingles that also appear ANYWHERE in `benchmark` — the standard
+    * n-gram-collision test run before training on scraped data.
+    *
+    * Scale shape: benchmark shingles are exploded DISTINCT (benchmark ≪
+    * corpus — broadcast them); corpus shingles explode and LEFT SEMI-join
+    * the benchmark set per shingle, then re-aggregate per doc. One narrow
+    * explode + one broadcast semi-join + one shuffle on doc_id: the corpus
+    * is never collected, never self-joined. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, shingleN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val corpusShingles = corpus.select(col(idCol),
+        explode(shingles(col(textCol), shingleN)).as("__sh"))
+    val benchShingles = benchmark
+      .select(explode(shingles(col(textCol), shingleN)).as("__sh")).distinct()
+    val hits = corpusShingles
+      .join(broadcast(benchShingles), Seq("__sh"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("contaminated"))
+    corpus.select(col(idCol),
+        size(shingles(col(textCol), shingleN)).cast("long").as("n_shingles"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("contaminated"), lit(0L)).as("contaminated"))
+      .withColumn("contamination",
+        round(col("contaminated").cast("double") / col("n_shingles"), 6))
+  }
+
   /** Exact shingle-set Jaccard between candidate id pairs — the verify
     * stage after LSH banding, in the same shingle space the signatures
     * were built from (`shingleN = 1` → word sets). `pairs` has

@@ -259,6 +259,45 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch ANN over a [[buildIvfIndex]] layout: top-k for EVERY query row
+    * in one plan — the shape that dedups/links a whole incoming shard
+    * against the corpus. The tiny centroid table rides in as one literal
+    * (scalar-sized, like the single-probe ranking); each query ranks all
+    * centroids in one fused pass and explodes to its nProbe nearest cells;
+    * the (query, cell) frame is BROADCAST onto the index so the corpus
+    * never shuffles, and the equi-join on the partition column lets
+    * dynamic partition pruning restrict the scan to probed cells. Top-k
+    * per query is a query-partitioned window (never global). */
+  def ivfProbeBatch(spark: SparkSession, indexDir: String, queries: DataFrame,
+                    qIdCol: String, idCol: String, vecCol: String, k: Int,
+                    nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = spark.read.parquet(indexDir + "/_centroids").collect()
+      .map(r => (r.getInt(r.fieldIndex("cell")),
+        r.getSeq[Double](r.fieldIndex("centroid")))).toSeq
+    val centLit = array(cents.map { case (cell, cv) =>
+      struct(lit(cell).as("cell"), array(cv.map(lit): _*).as("cv"))
+    }: _*)
+    // per query: L2 distance to every centroid in one traversal, ascending
+    // (ties by cell id — deterministic), keep the nProbe nearest cells
+    val dists = array_sort(transform(centLit, c => struct(
+      aggregate(zip_with(col(vecCol), c.getField("cv"),
+        (x: Column, y: Column) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (a: Column, v: Column) => a + v).as("d"),
+      c.getField("cell").as("cell"))))
+    val probed = queries
+      .select(col(qIdCol).as("q_id"), col(vecCol).as("__qv"),
+        explode(slice(dists, 1, nProbe)).as("__probe"))
+      .select(col("q_id"), col("__qv"), col("__probe").getField("cell").as("__cell"))
+    val index = spark.read.parquet(indexDir)
+    val scored = index.join(broadcast(probed), Seq("__cell"))
+      .withColumn("cos", round(cosine(col(vecCol), col("__qv")), 6))
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col(idCol).asc)))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col(idCol), col("cos"), col("rk").cast("long").as("rk"))
+  }
+
   /** Convenience one-shot IVF top-k: reuse (or build, only if absent) the
     * cached index, then probe — `KMeans.fit` never runs when the index
     * exists, so steady-state queries pay only the nProbe-partition read. */

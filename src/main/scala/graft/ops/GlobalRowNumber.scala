@@ -1,18 +1,33 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Scalable global ROW_NUMBER (SURVEY §2.5 W1 caveat, §7.3): an
   * unpartitioned `row_number() OVER (ORDER BY …)` funnels the whole
   * dataset through ONE task. This is the standard two-phase replacement:
   *
-  *   1. range-repartition by the sort key (Spark samples split points —
-  *      the shuffle a global sort needs anyway);
-  *   2. local row_number within each range partition;
-  *   3. add per-partition offsets (a tiny driver-side prefix sum over
-  *      partition counts — numPartitions values, not rows).
+  *   1. range-repartition by the sort key AND sort within partitions
+  *      (one shuffle — the shuffle a global sort needs anyway — with the
+  *      sort fused into its read side);
+  *   2. count rows per partition (a partial-aggregate pass: one tiny row
+  *      per partition crosses the wire, never data);
+  *   3. number each partition sequentially, adding the broadcast
+  *      per-partition prefix-sum offset.
+  *
+  * Step 3 is a `mapPartitions` — deliberately, and this is the one place
+  * the engine uses it for a relational op. The declarative alternative
+  * (`row_number over (partition by spark_partition_id())`) cannot tell
+  * Catalyst that `__pid` IS the partition id, so it plans a SECOND full
+  * Exchange (hashpartitioning on pid) plus a second full sort of every
+  * row — measured on this repo: the range shuffle's work done twice. An
+  * earlier revision paid exactly that; sequential per-partition numbering
+  * with a cross-partition offset is genuine per-partition imperative
+  * logic, the mandate's last-resort case. The offset lookup itself is a
+  * plain broadcast map (never an O(P)-deep CaseWhen chain, which at 1000+
+  * range partitions is a wide-expression-tree codegen blowup — asserted
+  * in GlobalRowNumberSpec).
   *
   * Produces numbers identical to the single-task form for a total order
   * (tie-free sort key list), at full parallelism. The t2 oracle checks
@@ -27,33 +42,42 @@ object GlobalRowNumber {
                           partitions: Option[Int] = None): DataFrame = {
     val n = partitions.getOrElse(df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt)
-    // localCheckpoint (eager): materializes the ranged shuffle ONCE and
-    // truncates lineage, so the driver-side offsets below can never drift
-    // from a recomputed shuffle layout (an evicted block fails loudly with
-    // a recompute error instead of silently renumbering), and the blocks
-    // are released with the DataFrame instead of leaking like persist().
+    // localCheckpoint (eager): materializes the ranged+sorted shuffle ONCE
+    // and truncates lineage, so the counts and the numbering pass below see
+    // the SAME partition layout (an evicted block fails loudly with a
+    // recompute error instead of silently renumbering), and the blocks are
+    // released with the DataFrame instead of leaking like persist().
+    // __pid is BAKED INTO THE ROWS at checkpoint time: a downstream narrow
+    // repacking (e.g. caller coalesce) merges several checkpoint partitions
+    // into ONE task, where TaskContext.getPartitionId() — and
+    // spark_partition_id() — report the merged task's id, not the original
+    // partition's. Numbering below therefore keys on the row's own pid and
+    // resets at pid boundaries, which narrow repacking preserves (parent
+    // partitions concatenate in order), so the numbering survives it.
     val ranged = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
+    // offset of partition i = sum of counts of partitions before it
     val counts = ranged.groupBy("__pid").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    // offset of partition i = sum of counts of partitions before it. The
-    // offsets are injected via a BROADCAST-JOINED (pid, offset) frame, not
-    // a per-pid CASE WHEN chain: at thousands of range partitions the
-    // O(P)-deep when-chain is exactly the wide-expression-tree codegen
-    // blowup this operator's scale story forbids, while a broadcast hash
-    // join stays one codegen'd probe whatever P is.
-    val offsets = counts.map(_._1)
+    val offsets: Map[Int, Long] = counts.map(_._1)
       .zip(counts.map(_._2).scanLeft(0L)(_ + _))
-      .map { case (pid, off) => (pid, off) }
-    val spark = df.sparkSession
-    import spark.implicits._
-    val offsetDf = broadcast(offsets.toSeq.toDF("__pid", "__offset"))
-    val localW = Window.partitionBy("__pid").orderBy(sortCols: _*)
-    ranged
-      .withColumn("__local_rn", row_number().over(localW).cast("long"))
-      .join(offsetDf, Seq("__pid"))
-      .withColumn(outCol, col("__local_rn") + col("__offset"))
-      .drop("__pid", "__offset", "__local_rn")
+      .toMap
+    val bcOffsets = df.sparkSession.sparkContext.broadcast(offsets)
+    val pidIdx = ranged.schema.fieldIndex("__pid")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      ranged.schema.filterNot(_.name == "__pid").toIndexedSeq)
+      .add(outCol, LongType, nullable = false)
+    ranged.mapPartitions { rows =>
+      var curPid = Int.MinValue
+      var rn = 0L
+      rows.map { r =>
+        val pid = r.getInt(pidIdx)
+        if (pid != curPid) { curPid = pid; rn = bcOffsets.value.getOrElse(pid, 0L) }
+        rn += 1L
+        Row.fromSeq(r.toSeq.patch(pidIdx, Nil, 1) :+ rn)
+      }
+    }(Encoders.row(outSchema))
   }
 }

@@ -138,6 +138,55 @@ object ExtQueries {
       recallContract(exact, ivf)
     },
 
+    // E2 — BATCH ANN: top-k for ten query vectors in ONE plan over the
+    // persisted IVF index (the shard-dedup shape: corpus never shuffles —
+    // the exploded (query, cell) frame broadcasts onto it). The exact twin
+    // is computed in the same plan by exploding the ten query vectors as a
+    // literal over the corpus scan (narrow — no cartesian). Gate: overall
+    // recall ≥ half of the 10×10 exact pairs and every query finds itself
+    // (its own cell is by construction its nearest centroid).
+    "e2g_ann_batch_topk" -> Q(
+      """SELECT CAST(10 * count(*) AS BIGINT) AS k_total,
+        |       CAST(1 AS BIGINT) AS recall_ok,
+        |       CAST(1 AS BIGINT) AS all_self_found
+        |FROM embeddings WHERE vec_id < 10""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val idx = Similarity.ensureIvfIndex(emb, "vec_id", "embedding")
+      val ann = Similarity.ivfProbeBatch(s, idx, queries,
+        "vec_id", "vec_id", "embedding", k = 10, nProbe = 6)
+      // exact twin: query vectors as a literal exploded over the corpus
+      // scan — one narrow pass, ten scores per corpus row, no join
+      val qVecs = queries.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+      val qLit = array(qVecs.map { case (id, v) =>
+        struct(lit(id).as("q_id"),
+          array(v.map(x => lit(x.toDouble)): _*).as("qv"))
+      }: _*)
+      val exact = emb
+        .select(col("vec_id"), col("embedding"), explode(qLit).as("__q"))
+        .select(col("__q").getField("q_id").as("q_id"), col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("__q").getField("qv")), 6)
+            .as("cos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)))
+        .filter(col("rk") <= 10)
+      val u = exact.select(col("q_id"), col("vec_id"), lit("e").as("__src"))
+        .unionByName(ann.select(col("q_id"), col("vec_id"), lit("a").as("__src")))
+      u.groupBy("q_id", "vec_id").agg(
+          max(when(col("__src") === "e", 1).otherwise(0)).as("in_e"),
+          max(when(col("__src") === "a", 1).otherwise(0)).as("in_a"))
+        .agg(
+          sum(col("in_e")).cast("long").as("k_total"),
+          sum(col("in_e") * col("in_a")).as("__hits"),
+          sum(when(col("q_id") === col("vec_id") && col("in_a") === 1, 1)
+            .otherwise(0)).as("__selfs"))
+        .select(col("k_total"),
+          when(col("__hits") * 2 >= col("k_total"), 1L).otherwise(0L).as("recall_ok"),
+          when(col("__selfs") === qVecs.length, 1L).otherwise(0L).as("all_self_found"))
+    },
+
     // E3 — JSON property extraction from the events props column.
     "e3_json_extract" -> Q(
       """SELECT event_id,
@@ -674,6 +723,36 @@ object ExtQueries {
         Tables.documents(s, dir)
           .select(Sampling.hashSplit(col("doc_id")).as("split"))
           .groupBy("split").agg(count(lit(1)).as("cnt"))
+    },
+
+    // E1 — cross-corpus contamination (train/benchmark decontamination):
+    // per corpus doc, how many of its distinct 3-gram shingles appear
+    // anywhere in the "benchmark" slice (docs 0-99 stand in for a held-out
+    // eval set). Exact and fully oracle-checked row-level — DuckDB rebuilds
+    // both shingle sets from raw text. Scale shape in Dedup.contamination:
+    // benchmark shingles broadcast, corpus never self-joins.
+    "e6c_contamination" -> Q(
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sg AS (SELECT doc_id,
+        |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+        |  FROM d),
+        |bench AS (SELECT DISTINCT unnest(sh) AS s FROM sg WHERE doc_id < 100),
+        |corpus AS (SELECT doc_id, sh FROM sg WHERE doc_id >= 100),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM corpus),
+        |hits AS (SELECT doc_id, count(*) AS contaminated FROM ex
+        |         WHERE s IN (SELECT s FROM bench) GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(len(c.sh) AS BIGINT) AS n_shingles,
+        |       CAST(coalesce(h.contaminated, 0) AS BIGINT) AS contaminated,
+        |       round(coalesce(h.contaminated, 0) * 1.0 / len(c.sh), 6) AS contamination
+        |FROM corpus c LEFT JOIN hits h USING (doc_id)""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.documents(s, dir)
+        Dedup.contamination(
+          docs.filter(col("doc_id") >= 100),
+          docs.filter(col("doc_id") < 100),
+          "doc_id", "text", shingleN = 3)
     },
 
     // E1 — exact n-gram (unigram-set) Jaccard near-dup pairs, oracle-checked.

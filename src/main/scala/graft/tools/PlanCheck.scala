@@ -25,9 +25,18 @@ object PlanCheck {
     // never a full-corpus scan
     "e2b_ann_topk"      -> Seq("PartitionFilters: \\[.*bucket"),
     "e2d_ivf_topk"      -> Seq("PartitionFilters: \\[.*__cell"),
+    // batch ANN: queries broadcast onto the index (corpus never shuffles)
+    // and dynamic partition pruning restricts the scan to probed cells
+    "e2g_ann_batch_topk" -> Seq("BroadcastHashJoin", "dynamicpruning"),
     // grouping sets plan through Expand; event-time windows stay in the
     // partial+final hash-aggregate pipeline
     "e4i_cube_counts"   -> Seq("Expand", "HashAggregate"),
+    // TF-IDF: the document-frequency table is broadcast onto tf, and the
+    // top-terms ranking is a doc-partitioned window (never global)
+    "e4j_tfidf"         -> Seq("BroadcastHashJoin", "Window"),
+    // global row_number numbers the range shuffle in ONE pass (no second
+    // pid-exchange, no O(P) CaseWhen — see GlobalRowNumberSpec)
+    "f4b_global_rownumber" -> Seq("MapPartitions"),
     "w6_tumbling_window"-> Seq("HashAggregate"),
     "w1_latest_per_key" -> Seq("RunningWindowFunction|Window"),
     "a1_max_watermark"  -> Seq("HashAggregate"))

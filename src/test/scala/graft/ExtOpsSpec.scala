@@ -173,6 +173,24 @@ class ExtOpsSpec extends SparkSpec {
       s"missing ${planted.count(!pairs.contains(_))} planted dup pairs")
   }
 
+  test("batch IVF probe returns exactly the per-query single-probe results") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val idx = Similarity.ensureIvfIndex(emb, "vec_id", "embedding", nLists = 8)
+    val queries = emb.filter(col("vec_id") < 3)
+    val batch = Similarity.ivfProbeBatch(spark, idx, queries,
+        "vec_id", "vec_id", "embedding", k = 5, nProbe = 3)
+      .select("q_id", "vec_id", "cos")
+      .as[(Long, Long, Double)].collect().toSet
+    val single = queries.select("vec_id", "embedding").collect().flatMap { r =>
+      val qid = r.getLong(0)
+      Similarity.ivfProbe(spark, idx, "vec_id", "embedding",
+          r.getSeq[Float](1), k = 5, nProbe = 3)
+        .select("vec_id", "cos").as[(Long, Double)].collect()
+        .map { case (id, c) => (qid, id, c) }
+    }.toSet
+    assert(batch == single)
+  }
+
   test("banded near-dup: noisy (non-exact) twins all found at loose threshold 0.9") {
     val emb = graft.core.Tables.embeddings(spark, sfDir).limit(50)
     // each component scaled by 1±0.05 (deterministic sign) → cos ≈ 0.99875:

@@ -176,6 +176,23 @@ class SyncJobSpec extends SparkSpec {
     assert(rows == Map(1L -> ((200L, 9.0)), 2L -> ((100L, 2.0)), 3L -> ((100L, 3.0))))
   }
 
+  test("partitioned merge rejects a non-numeric order column (crash marker needs one)") {
+    val dest = tmpDir("sync-nonnum") + "/dest"
+    // a string watermark cannot be recorded in the pending-merge marker, so
+    // the partitioned path (non-atomic across partitions) must refuse it
+    // up front rather than silently run without crash protection
+    val rows = src((1L, 100L, 1.0, "A"))
+      .withColumn("wm", org.apache.spark.sql.functions.lit("2024-01-01"))
+      .withColumn("bucket", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("id"), org.apache.spark.sql.functions.lit(2)))
+    assertThrows[IllegalArgumentException](
+      ParquetMergeSink.merge(spark, dest, rows,
+        Seq("id"), "wm", partitionByCol = Some("bucket")))
+    // the unpartitioned atomic-swap path still accepts it
+    val r = ParquetMergeSink.merge(spark, dest, rows, Seq("id"), "wm")
+    assert(r.rowsWritten == 1)
+  }
+
   test("merge prefers the update on watermark ties (replaces apply-order rule)") {
     val dest = tmpDir("sync-tie") + "/dest"
     ParquetMergeSink.merge(spark, dest, src((1L, 100L, 1.0, "orig")), Seq("id"), "updated")
