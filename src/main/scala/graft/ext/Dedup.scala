@@ -125,28 +125,29 @@ object Dedup {
     * shingles that also appear ANYWHERE in `benchmark` — the standard
     * n-gram-collision test run before training on scraped data.
     *
-    * Scale shape: benchmark shingles are exploded DISTINCT (benchmark ≪
-    * corpus — broadcast them); corpus shingles explode and LEFT SEMI-join
-    * the benchmark set per shingle, then re-aggregate per doc. One narrow
-    * explode + one broadcast semi-join + one shuffle on doc_id: the corpus
-    * is never collected, never self-joined. */
+    * Scale shape, single-pass: benchmark shingles are exploded DISTINCT
+    * (benchmark ≪ corpus — broadcast them); the corpus explodes ONCE,
+    * carrying its per-doc shingle count through the explode, broadcast-
+    * LEFT-joins the benchmark set, and re-aggregates per doc. One explode,
+    * one broadcast join, one shuffle on doc_id — the corpus is never
+    * collected, never self-joined, never re-scanned for the denominators
+    * (shingles() always emits ≥ 1 element, so no doc is lost). */
   def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, shingleN: Int = 3): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val corpusShingles = corpus.select(col(idCol),
-        explode(shingles(col(textCol), shingleN)).as("__sh"))
+    val corpusEx = corpus.select(col(idCol),
+      size(shingles(col(textCol), shingleN)).cast("long").as("n_shingles"),
+      explode(shingles(col(textCol), shingleN)).as("__sh"))
     val benchShingles = benchmark
       .select(explode(shingles(col(textCol), shingleN)).as("__sh")).distinct()
-    val hits = corpusShingles
-      .join(broadcast(benchShingles), Seq("__sh"), "left_semi")
-      .groupBy(idCol).agg(count(lit(1)).as("contaminated"))
-    corpus.select(col(idCol),
-        size(shingles(col(textCol), shingleN)).cast("long").as("n_shingles"))
-      .join(hits, Seq(idCol), "left")
-      .select(col(idCol), col("n_shingles"),
-        coalesce(col("contaminated"), lit(0L)).as("contaminated"))
+      .withColumn("__hit", lit(1L))
+    corpusEx.join(broadcast(benchShingles), Seq("__sh"), "left")
+      .groupBy(col(idCol), col("n_shingles"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("contaminated"))
       .withColumn("contamination",
         round(col("contaminated").cast("double") / col("n_shingles"), 6))
+      .select(col(idCol), col("n_shingles"), col("contaminated"),
+        col("contamination"))
   }
 
   /** Exact shingle-set Jaccard between candidate id pairs — the verify

@@ -131,10 +131,25 @@ object Similarity {
       s"$kind index cache needs a file-backed source (inputFiles is empty); " +
         "pass an explicit indexDir and call the build*/probe* pair directly")
     val conf = source.sparkSession.sparkContext.hadoopConfiguration
+    // stats batched per PARENT directory (one listStatus each), not one
+    // getFileStatus RPC per file — this sits on the probe path, and a
+    // 100 TB corpus has tens of thousands of part files
+    val byParent = files.groupBy(f => new Path(f).getParent)
+    val stats: Map[String, (Long, Long)] = byParent.iterator.flatMap {
+      case (parent, fs2) =>
+        val names = fs2.map(f => new Path(f).getName).toSet
+        parent.getFileSystem(conf).listStatus(parent).iterator
+          .filter(st => names.contains(st.getPath.getName))
+          .map(st => (parent.toString + "/" + st.getPath.getName,
+            (st.getLen, st.getModificationTime)))
+    }.toMap
     val fingerprints = files.map { f =>
       val p = new Path(f)
-      val st = p.getFileSystem(conf).getFileStatus(p)
-      s"$f:${st.getLen}:${st.getModificationTime}"
+      val (len, mtime) = stats.getOrElse(p.getParent.toString + "/" + p.getName, {
+        val st = p.getFileSystem(conf).getFileStatus(p) // race fallback
+        (st.getLen, st.getModificationTime)
+      })
+      s"$f:$len:$mtime"
     }
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest((fingerprints.mkString(",") + "|" + params).getBytes("UTF-8"))

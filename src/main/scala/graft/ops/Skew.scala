@@ -18,16 +18,18 @@ object Skew {
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
                 salts: Int = 16): DataFrame = {
     require(salts > 0)
-    // Row-CONTENT salt, no RNG state: pmod(xxhash64(all columns), salts) is
-    // stable under partition recomputation and task retry (unlike
-    // monotonically_increasing_id, whose value depends on the partition
-    // layout a retry may change), so the same row always lands on the same
-    // salt bucket. Hashing all columns — not just the keys, which would put
-    // the entire hot key in ONE bucket and defeat the salting — spreads a
-    // hot key's rows across `salts` reducers; only fully-identical
-    // duplicate rows share a bucket.
+    // Salt = hash(row content, input partition id), no RNG state. Content
+    // alone would send FULLY-IDENTICAL rows (the classic duplicated-event
+    // hot spot) to one bucket, recreating the straggler; keys alone would
+    // send the whole hot key to one bucket. Mixing the scan partition id
+    // spreads identical rows that span input splits — at scale a hot key's
+    // duplicates always do — while staying deterministic under task retry
+    // for deterministic input partitionings (file scans re-split
+    // identically; monotonically_increasing_id additionally depends on row
+    // order and is the documented trap this replaces).
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
+      pmod(xxhash64((df.columns.map(col) :+ spark_partition_id()).toIndexedSeq: _*),
+        lit(salts)))
     val partial = salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))

@@ -166,46 +166,66 @@ object JdbcUpsertSink {
     val updOrder = nonKey ++ keyCols :+ orderCol // bind order for updateSql
 
     runPerPartition(normalized, url, props) { (conn, rows) =>
+      // Some drivers report batched updates as SUCCESS_NO_INFO (-2 — Oracle
+      // always; MySQL with rewriteBatchedStatements): treating those as
+      // "updated" would silently never INSERT genuinely-new rows. The first
+      // chunk discovers this once per partition; subsequent chunks then go
+      // straight to per-row updates instead of paying a doomed batched pass
+      // PLUS the per-row rerun on every chunk.
+      var batchCountsReliable = true
+      def perRowMisses(upd: PreparedStatement, chunk: Seq[Row]): Seq[Row] =
+        chunk.filter { row =>
+          bindRow(upd, row, updOrder.map(colIdx))
+          upd.executeUpdate() == 0
+        }
       rows.grouped(batchSize).foreach { chunk =>
         val misses =
           if (updateSql == null) chunk
           else {
             val upd = conn.prepareStatement(updateSql)
             try {
-              chunk.foreach { row =>
-                bindRow(upd, row, updOrder.map(colIdx))
-                upd.addBatch()
-              }
-              val counts = upd.executeBatch()
-              if (counts.contains(java.sql.Statement.SUCCESS_NO_INFO)) {
-                // Driver reports batched updates as SUCCESS_NO_INFO (-2 —
-                // Oracle always; MySQL with rewriteBatchedStatements):
-                // treating those as "updated" would silently never INSERT
-                // genuinely-new rows. Re-run the chunk per-row for real
-                // counts — the guarded UPDATE is idempotent, so the
-                // double-apply is safe.
-                chunk.filter { row =>
+              if (!batchCountsReliable) perRowMisses(upd, chunk)
+              else {
+                chunk.foreach { row =>
                   bindRow(upd, row, updOrder.map(colIdx))
-                  upd.executeUpdate() == 0
+                  upd.addBatch()
                 }
-              } else chunk.iterator.zip(counts.iterator)
-                .collect { case (r, 0) => r }.toSeq
+                val counts = upd.executeBatch()
+                if (counts.contains(java.sql.Statement.SUCCESS_NO_INFO)) {
+                  batchCountsReliable = false
+                  // guarded UPDATE is idempotent — the re-apply is safe
+                  perRowMisses(upd, chunk)
+                } else chunk.iterator.zip(counts.iterator)
+                  .collect { case (r, 0) => r }.toSeq
+              }
             } finally upd.close()
           }
-        if (misses.nonEmpty) insertMisses(conn, insertSql, misses, columns.indices)
+        if (misses.nonEmpty)
+          insertMisses(conn, insertSql, misses, columns, colIdx, table, keyCols)
       }
     }
   }
 
-  /** Batch-insert the update misses; on a duplicate-key failure (a stale
-    * replay the guard blocked) retry row-by-row, skipping ONLY unique-key
-    * violations (SQLState 23505 — the one failure the guard legitimately
-    * produces). Any other integrity violation (NOT NULL 23502, FK 23503,
-    * CHECK …) is a real data error and propagates: swallowing it would
-    * silently drop the row while still counting it as applied. */
+  /** Batch-insert the update misses; on failure retry row-by-row, skipping
+    * ONLY genuine duplicate-key collisions (the one failure the ordering
+    * guard legitimately produces, from a guard-blocked stale replay).
+    *
+    * Dup-key detection is by FACT, not by code: SQLState for a unique-key
+    * violation differs per engine (PG/Derby 23505, MySQL 23000, some
+    * drivers null), and matching the broad 23-class would swallow real
+    * data errors (NOT NULL 23502, FK 23503). So on an integrity-class (or
+    * unclassifiable) failure the sink probes whether the row's KEY now
+    * exists in the table: exists → duplicate, skip; absent → a real error,
+    * rethrow. Anything else (connection loss, syntax) rethrows after one
+    * harmless probe. */
   private def insertMisses(conn: Connection, insertSql: String,
-                           misses: Seq[Row], idx: Seq[Int]): Unit = {
+                           misses: Seq[Row], columns: Seq[String],
+                           colIdx: Map[String, Int], table: String,
+                           keyCols: Seq[String]): Unit = {
+    val idx = columns.indices
     val ins = conn.prepareStatement(insertSql)
+    val existsSql = s"SELECT 1 FROM $table WHERE " +
+      keyCols.map(c => s"$c = ?").mkString(" AND ")
     try {
       try {
         misses.foreach { row => bindRow(ins, row, idx); ins.addBatch() }
@@ -214,15 +234,20 @@ object JdbcUpsertSink {
       } catch {
         case _: java.sql.BatchUpdateException =>
           ins.clearBatch()
-          misses.foreach { row =>
+          val exq = conn.prepareStatement(existsSql)
+          try misses.foreach { row =>
             try {
               bindRow(ins, row, idx)
               ins.executeUpdate()
               ()
             } catch {
-              case e: java.sql.SQLException if e.getSQLState == "23505" => ()
+              case e: java.sql.SQLException =>
+                bindRow(exq, row, keyCols.map(colIdx))
+                val rs = exq.executeQuery()
+                val dup = try rs.next() finally rs.close()
+                if (!dup) throw e
             }
-          }
+          } finally exq.close()
       }
     } finally ins.close()
   }
