@@ -141,11 +141,15 @@ object Dedup {
     // plans the size above the Generate, recomputing the whole shingle set
     // once per EXPLODED ROW instead of once per doc — measured 30× slower
     // on the sf0.1 corpus.
+    // explode_outer: a NULL text yields a NULL shingle array, which a plain
+    // explode would silently DROP from the output — the doc must instead
+    // surface with null stats (matching SQL-semantics oracles, where the
+    // denominators go NULL but the row survives the left join)
     val withSh = corpus.select(col(idCol),
       shingles(col(textCol), shingleN).as("__sha"))
     val corpusEx = withSh.select(col(idCol),
       size(col("__sha")).cast("long").as("n_shingles"),
-      explode(col("__sha")).as("__sh"))
+      explode_outer(col("__sha")).as("__sh"))
     val benchShingles = benchmark
       .select(explode(shingles(col(textCol), shingleN)).as("__sh")).distinct()
       .withColumn("__hit", lit(1L))

@@ -18,18 +18,19 @@ object Skew {
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
                 salts: Int = 16): DataFrame = {
     require(salts > 0)
-    // Salt = hash(row content, input partition id), no RNG state. Content
-    // alone would send FULLY-IDENTICAL rows (the classic duplicated-event
-    // hot spot) to one bucket, recreating the straggler; keys alone would
-    // send the whole hot key to one bucket. Mixing the scan partition id
-    // spreads identical rows that span input splits — at scale a hot key's
-    // duplicates always do — while staying deterministic under task retry
-    // for deterministic input partitionings (file scans re-split
-    // identically; monotonically_increasing_id additionally depends on row
-    // order and is the documented trap this replaces).
+    // Row-CONTENT salt, no positional state: pmod(xxhash64(all columns),
+    // salts) depends only on row values, so it is stable under partition
+    // re-layout and task retry — the property monotonically_increasing_id
+    // and spark_partition_id-mixed salts lack (both change when a retry
+    // re-splits the input, letting reducers mix partials from different
+    // attempts). Keys alone would put the whole hot key in ONE bucket;
+    // full content spreads a hot key's distinct rows across `salts`
+    // reducers. Fully-identical duplicate rows DO share a bucket, and
+    // that is fine for algebraic aggregates: map-side partial aggregation
+    // collapses them to one (key, salt) partial per input partition before
+    // the shuffle, so no reducer ever receives the duplicate mass.
     val salted = df.withColumn("__salt",
-      pmod(xxhash64((df.columns.map(col) :+ spark_partition_id()).toIndexedSeq: _*),
-        lit(salts)))
+      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
     val partial = salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))

@@ -499,31 +499,41 @@ object ExtQueries {
     // oracle-checked counts: n_planted (input cardinality) and n_eligible —
     // the number of planted (i, i+100000) twin pairs whose EXACT 3-gram
     // shingle Jaccard is ≥ 0.8, rebuilt from raw text in SQL (shingle →
-    // distinct → intersect/union). The flags then assert the cascade found
-    // every eligible planted pair (recall — a missed band, a broken
-    // signature, or an over-aggressive estimate filter all trip it) and
-    // that no INELIGIBLE planted pair was emitted (precision — judged
-    // against the directly-computed eligible set, not the cascade's own
-    // verify filter, so a broken verify threshold is caught rather than
-    // self-certified). Fixture note: the 31-word vocabulary soup makes
-    // unigram near-dup degenerate (~23% of ALL pairs J≥0.8); word-order-
-    // sensitive shingles give real separation (twins J≈0.95, background≈0).
+    // distinct → intersect/union). The flags then assert recall — the
+    // cascade found every eligible planted (i, i+100000) twin; a missed
+    // band, broken signature, or over-aggressive estimate filter trips it —
+    // and precision via planted DECOYS: each doc also gets a HALF-document
+    // twin at (i, i+200000) whose true 3-gram Jaccard sits near 0.5, far
+    // below threshold. DuckDB independently counts the decoy-trap
+    // population (n_decoy_traps — the contract's non-vacuity witness); any
+    // emitted trap pair means the exact-verify stage passed a pair it
+    // measurably should not have. Judged against independently-computed
+    // Jaccards, never the cascade's own filter. Fixture note: the 31-word
+    // vocabulary soup makes unigram near-dup degenerate (~23% of ALL pairs
+    // J≥0.8); word-order-sensitive shingles give real separation (full
+    // twins J≈0.95, half-doc decoys ≈0.5, background ≈0).
     "e6_minhash_neardup" -> Q(
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
         |sh AS (SELECT doc_id, string_split(text, ' ') AS ta,
         |              string_split(text || ' perturbedtoken', ' ') AS tb
         |       FROM d),
+        |sh2 AS (SELECT doc_id, ta, tb, ta[1:greatest(1, len(ta)//2)] AS td FROM sh),
         |sg AS (SELECT doc_id,
         |  CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
         |       ELSE list_distinct(list_transform(range(1, len(ta) - 1),
         |              i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2])) END AS sa,
         |  CASE WHEN len(tb) < 3 THEN [array_to_string(tb, ' ')]
         |       ELSE list_distinct(list_transform(range(1, len(tb) - 1),
-        |              i -> tb[i] || ' ' || tb[i+1] || ' ' || tb[i+2])) END AS sb
-        |  FROM sh)
+        |              i -> tb[i] || ' ' || tb[i+1] || ' ' || tb[i+2])) END AS sb,
+        |  CASE WHEN len(td) < 3 THEN [array_to_string(td, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(td) - 1),
+        |              i -> td[i] || ' ' || td[i+1] || ' ' || td[i+2])) END AS sd
+        |  FROM sh2)
         |SELECT (SELECT count(*) FROM d) AS n_planted,
         |       count(*) FILTER (WHERE round(len(list_intersect(sa, sb)) * 1.0
         |         / len(list_distinct(list_concat(sa, sb))), 6) >= 0.8) AS n_eligible,
+        |       count(*) FILTER (WHERE round(len(list_intersect(sa, sd)) * 1.0
+        |         / len(list_distinct(list_concat(sa, sd))), 6) < 0.8) AS n_decoy_traps,
         |       CAST(1 AS BIGINT) AS recall_ok,
         |       CAST(1 AS BIGINT) AS precision_ok
         |FROM sg""".stripMargin) { (s, dir) =>
@@ -532,34 +542,44 @@ object ExtQueries {
       val perturbed = docs
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" perturbedtoken")).as("text"))
-      val all = docs.unionByName(perturbed)
+      val halfLen = greatest(lit(1),
+        (size(TextAnalysis.tokens(col("text"))) / 2).cast("int"))
+      val decoys = docs
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat_ws(" ", slice(TextAnalysis.tokens(col("text")), lit(1), halfLen))
+            .as("text"))
+      val all = docs.unionByName(perturbed).unionByName(decoys)
       val found = Dedup.minhashNearDups(all, "doc_id", "text", threshold = 0.8)
       val plantedPairs = docs.select(col("doc_id").as("a_id"),
         (col("doc_id") + 100000).as("b_id"))
       val eligible = Dedup.jaccardVerify(plantedPairs, all, "doc_id", "text",
           shingleN = 3)
         .filter(col("jaccard") >= 0.8).select("a_id", "b_id")
+      val decoyPairs = docs.select(col("doc_id").as("a_id"),
+        (col("doc_id") + 200000).as("b_id"))
+      val traps = Dedup.jaccardVerify(decoyPairs, all, "doc_id", "text",
+          shingleN = 3)
+        .filter(col("jaccard") < 0.8).select("a_id", "b_id")
       val u = found
         .select(col("a_id"), col("b_id"), lit("f").as("__src"))
         .unionByName(eligible.select(col("a_id"), col("b_id"), lit("e").as("__src")))
+        .unionByName(traps.select(col("a_id"), col("b_id"), lit("x").as("__src")))
         .unionByName(docs.select(lit(null).cast("long").as("a_id"),
           lit(null).cast("long").as("b_id"), lit("d").as("__src")))
       u.groupBy("a_id", "b_id").agg(
           max(when(col("__src") === "f", 1).otherwise(0)).as("in_f"),
           max(when(col("__src") === "e", 1).otherwise(0)).as("in_e"),
+          max(when(col("__src") === "x", 1).otherwise(0)).as("in_x"),
           sum(when(col("__src") === "d", 1).otherwise(0)).as("n_d"))
         .agg(
           sum(col("n_d")).cast("long").as("n_planted"),
           sum(col("in_e")).cast("long").as("n_eligible"),
+          sum(col("in_x")).cast("long").as("n_decoy_traps"),
           sum(col("in_e") * (lit(1) - col("in_f"))).as("__missed"),
-          // planted pair emitted but NOT independently eligible → a verify-
-          // stage bug (e.g. wrong threshold); group keys identify planted
-          sum(when(col("b_id") === col("a_id") + 100000 &&
-            col("in_f") === 1 && col("in_e") === 0, 1).otherwise(0))
-            .as("__false_planted"))
-        .select(col("n_planted"), col("n_eligible"),
+          sum(col("in_x") * col("in_f")).as("__trap_hit"))
+        .select(col("n_planted"), col("n_eligible"), col("n_decoy_traps"),
           when(col("__missed") === 0, 1L).otherwise(0L).as("recall_ok"),
-          when(col("__false_planted") === 0, 1L).otherwise(0L).as("precision_ok"))
+          when(col("__trap_hit") === 0, 1L).otherwise(0L).as("precision_ok"))
     },
 
     // E2 — embedding-space near-dup pairs at scale: LSH-bucket equi-join

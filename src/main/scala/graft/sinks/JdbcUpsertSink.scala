@@ -163,7 +163,8 @@ object JdbcUpsertSink {
         s"WHERE ${keyCols.map(c => s"$c = ?").mkString(" AND ")} " +
         s"AND $orderCol <= ?"
     val colIdx = columns.zipWithIndex.toMap
-    val updOrder = nonKey ++ keyCols :+ orderCol // bind order for updateSql
+    // bind order for updateSql; hoisted — these sit on the per-row hot loop
+    val updIdx = (nonKey ++ keyCols :+ orderCol).map(colIdx)
 
     runPerPartition(normalized, url, props) { (conn, rows) =>
       // Some drivers report batched updates as SUCCESS_NO_INFO (-2 — Oracle
@@ -175,7 +176,7 @@ object JdbcUpsertSink {
       var batchCountsReliable = true
       def perRowMisses(upd: PreparedStatement, chunk: Seq[Row]): Seq[Row] =
         chunk.filter { row =>
-          bindRow(upd, row, updOrder.map(colIdx))
+          bindRow(upd, row, updIdx)
           upd.executeUpdate() == 0
         }
       rows.grouped(batchSize).foreach { chunk =>
@@ -187,7 +188,7 @@ object JdbcUpsertSink {
               if (!batchCountsReliable) perRowMisses(upd, chunk)
               else {
                 chunk.foreach { row =>
-                  bindRow(upd, row, updOrder.map(colIdx))
+                  bindRow(upd, row, updIdx)
                   upd.addBatch()
                 }
                 val counts = upd.executeBatch()
@@ -223,6 +224,7 @@ object JdbcUpsertSink {
                            colIdx: Map[String, Int], table: String,
                            keyCols: Seq[String]): Unit = {
     val idx = columns.indices
+    val keyIdx = keyCols.map(colIdx)
     val ins = conn.prepareStatement(insertSql)
     val existsSql = s"SELECT 1 FROM $table WHERE " +
       keyCols.map(c => s"$c = ?").mkString(" AND ")
@@ -242,9 +244,19 @@ object JdbcUpsertSink {
               ()
             } catch {
               case e: java.sql.SQLException =>
-                bindRow(exq, row, keyCols.map(colIdx))
-                val rs = exq.executeQuery()
-                val dup = try rs.next() finally rs.close()
+                // if the probe itself fails (engine aborted the transaction
+                // on statement error, connection loss), surface the ORIGINAL
+                // insert failure — not the probe's — with the probe error
+                // attached; such engines need a native-upsert dialect
+                val dup =
+                  try {
+                    bindRow(exq, row, keyIdx)
+                    val rs = exq.executeQuery()
+                    try rs.next() finally rs.close()
+                  } catch {
+                    case probe: java.sql.SQLException =>
+                      e.addSuppressed(probe); throw e
+                  }
                 if (!dup) throw e
             }
           } finally exq.close()
