@@ -215,6 +215,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch ANN over a [[buildLshIndex]] layout: hamming-ball probes for
+    * EVERY query row in one plan (the LSH twin of [[ivfProbeBatch]]). The
+    * ball's XOR masks are query-independent — C(nPlanes, ≤radius) literals
+    * — so each query computes its bucket in-plan and explodes to
+    * bucket⊕mask; the (query, bucket) frame broadcasts onto the index
+    * (corpus never shuffles) and the equi-join on the partition column
+    * lets dynamic partition pruning restrict the scan to probed buckets. */
+  def annProbeBatch(spark: SparkSession, indexDir: String, queries: DataFrame,
+                    qIdCol: String, idCol: String, vecCol: String, k: Int,
+                    dim: Int, nPlanes: Int = 8, probeHamming: Int = 2,
+                    seed: Int = 42): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val masks = hammingBall(0L, nPlanes, probeHamming) // center 0 → raw masks
+    val masksLit = array(masks.map(lit): _*)
+    val probed = queries
+      .select(col(qIdCol).as("q_id"), col(vecCol).as("__qv"),
+        lshBucket(col(vecCol), dim, nPlanes, seed).cast("int").as("__qb"))
+      .select(col("q_id"), col("__qv"),
+        explode(transform(masksLit, m => m.bitwiseXOR(col("__qb"))))
+          .as("bucket"))
+    val index = spark.read.parquet(indexDir)
+    index.join(broadcast(probed), Seq("bucket"))
+      .withColumn("cos", round(cosine(col(vecCol), col("__qv")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col(idCol).asc)))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col(idCol), col("cos"), col("rk").cast("long").as("rk"))
+  }
+
   /** Build the IVF (inverted-file) index ONCE: fit the k-means coarse
     * quantizer, write (id, vec) partitioned by `__cell`, persist the tiny
     * centroid table beside the data (`_centroids` — underscore-prefixed, so

@@ -187,6 +187,51 @@ object ExtQueries {
           when(col("__selfs") === qVecs.length, 1L).otherwise(0L).as("all_self_found"))
     },
 
+    // E2 — BATCH ANN over the LSH bucket index (the LSH twin of e2g): ten
+    // queries explode to their hamming-ball buckets in-plan and broadcast
+    // onto the bucket-partitioned index. Same exact-twin + recall gate.
+    "e2h_lsh_batch_topk" -> Q(
+      """SELECT CAST(10 * count(*) AS BIGINT) AS k_total,
+        |       CAST(1 AS BIGINT) AS recall_ok,
+        |       CAST(1 AS BIGINT) AS all_self_found
+        |FROM embeddings WHERE vec_id < 10""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val idx = Similarity.ensureLshIndex(emb, "vec_id", "embedding",
+        dim = 64, nPlanes = 8)
+      val ann = Similarity.annProbeBatch(s, idx, queries,
+        "vec_id", "vec_id", "embedding", k = 10, dim = 64, nPlanes = 8,
+        probeHamming = 3)
+      val qVecs = queries.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+      val qLit = array(qVecs.map { case (id, v) =>
+        struct(lit(id).as("q_id"),
+          array(v.map(x => lit(x.toDouble)): _*).as("qv"))
+      }: _*)
+      val exact = emb
+        .select(col("vec_id"), col("embedding"), explode(qLit).as("__q"))
+        .select(col("__q").getField("q_id").as("q_id"), col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("__q").getField("qv")), 6)
+            .as("cos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)))
+        .filter(col("rk") <= 10)
+      val u = exact.select(col("q_id"), col("vec_id"), lit("e").as("__src"))
+        .unionByName(ann.select(col("q_id"), col("vec_id"), lit("a").as("__src")))
+      u.groupBy("q_id", "vec_id").agg(
+          max(when(col("__src") === "e", 1).otherwise(0)).as("in_e"),
+          max(when(col("__src") === "a", 1).otherwise(0)).as("in_a"))
+        .agg(
+          sum(col("in_e")).cast("long").as("k_total"),
+          sum(col("in_e") * col("in_a")).as("__hits"),
+          sum(when(col("q_id") === col("vec_id") && col("in_a") === 1, 1)
+            .otherwise(0)).as("__selfs"))
+        .select(col("k_total"),
+          when(col("__hits") * 2 >= col("k_total"), 1L).otherwise(0L).as("recall_ok"),
+          when(col("__selfs") === qVecs.length, 1L).otherwise(0L).as("all_self_found"))
+    },
+
     // E3 — JSON property extraction from the events props column.
     "e3_json_extract" -> Q(
       """SELECT event_id,

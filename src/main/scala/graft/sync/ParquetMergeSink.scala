@@ -169,25 +169,13 @@ object ParquetMergeSink {
         case None =>
           val merged = dedupe(target.unionByName(tagged), keyCols, orderCol)
           // Parquet dirs can't be read and overwritten in one job: stage then
-          // swap the whole directory, checking every rename (HDFS-style
-          // filesystems return false instead of throwing) and restoring the
-          // backup if the forward swap fails. A crash between the two renames
-          // is healed by recoverInterruptedSwap on the next merge.
+          // swap the whole directory (atomicSwap). rowsWritten = the staged
+          // output's own count — never a re-scan of the destination after
+          // the swap.
           val tmp = targetDir.stripSuffix("/") + ".__merge_tmp"
           write(merged, tmp, None)
-          // rowsWritten = the staged output's own count — never a re-scan of
-          // the destination after the swap
           val stagedRows = countParquet(spark, tmp)
-          val dst = new Path(targetDir)
-          val bak = new Path(bakDir(targetDir))
-          if (fs.exists(bak)) fs.delete(bak, true)
-          if (!fs.rename(dst, bak))
-            throw new java.io.IOException(s"merge swap: rename $dst -> $bak failed")
-          if (!fs.rename(new Path(tmp), dst)) {
-            fs.rename(bak, dst) // restore; best effort before surfacing
-            throw new java.io.IOException(s"merge swap: rename $tmp -> $dst failed (backup restored)")
-          }
-          fs.delete(bak, true)
+          atomicSwap(fs, targetDir, tmp)
           stagedRows
       }
       clearPendingMerge(fs, targetDir)
@@ -197,6 +185,27 @@ object ParquetMergeSink {
 
   private def bakDir(targetDir: String): String =
     targetDir.stripSuffix("/") + ".__merge_old"
+
+  /** Replace `targetDir` with the staged `tmpDir` via two renames, checking
+    * each (HDFS-style filesystems return false instead of throwing) and
+    * restoring the backup if the forward swap fails. A crash between the
+    * two renames is healed by [[recoverInterruptedSwap]] on the next call.
+    * Shared by the unpartitioned merge and the Compact maintenance op. */
+  private[sync] def atomicSwap(fs: FileSystem, targetDir: String,
+                               tmpDir: String): Unit = {
+    val dst = new Path(targetDir)
+    val bak = new Path(bakDir(targetDir))
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (!fs.rename(dst, bak))
+      throw new java.io.IOException(s"swap: rename $dst -> $bak failed")
+    if (!fs.rename(new Path(tmpDir), dst)) {
+      fs.rename(bak, dst) // restore; best effort before surfacing
+      throw new java.io.IOException(
+        s"swap: rename $tmpDir -> $dst failed (backup restored)")
+    }
+    fs.delete(bak, true)
+    ()
+  }
 
   private def pendingPath(targetDir: String): Path =
     new Path(targetDir.stripSuffix("/") + ".__merge_pending")

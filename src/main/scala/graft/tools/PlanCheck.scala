@@ -28,6 +28,7 @@ object PlanCheck {
     // batch ANN: queries broadcast onto the index (corpus never shuffles)
     // and dynamic partition pruning restricts the scan to probed cells
     "e2g_ann_batch_topk" -> Seq("BroadcastHashJoin", "dynamicpruning"),
+    "e2h_lsh_batch_topk" -> Seq("BroadcastHashJoin", "dynamicpruning"),
     // grouping sets plan through Expand; event-time windows stay in the
     // partial+final hash-aggregate pipeline
     "e4i_cube_counts"   -> Seq("Expand", "HashAggregate"),

@@ -191,6 +191,26 @@ class ExtOpsSpec extends SparkSpec {
     assert(batch == single)
   }
 
+  test("batch LSH probe returns exactly the per-query single-probe results") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val idx = Similarity.ensureLshIndex(emb, "vec_id", "embedding",
+      dim = 64, nPlanes = 6)
+    val queries = emb.filter(col("vec_id") < 3)
+    val batch = Similarity.annProbeBatch(spark, idx, queries,
+        "vec_id", "vec_id", "embedding", k = 5, dim = 64, nPlanes = 6,
+        probeHamming = 2)
+      .select("q_id", "vec_id", "cos")
+      .as[(Long, Long, Double)].collect().toSet
+    val single = queries.select("vec_id", "embedding").collect().flatMap { r =>
+      val qid = r.getLong(0)
+      Similarity.annProbe(spark, idx, "vec_id", "embedding",
+          r.getSeq[Float](1), k = 5, dim = 64, nPlanes = 6, probeHamming = 2)
+        .select("vec_id", "cos").as[(Long, Double)].collect()
+        .map { case (id, c) => (qid, id, c) }
+    }.toSet
+    assert(batch == single)
+  }
+
   test("banded near-dup: noisy (non-exact) twins all found at loose threshold 0.9") {
     val emb = graft.core.Tables.embeddings(spark, sfDir).limit(50)
     // each component scaled by 1±0.05 (deterministic sign) → cos ≈ 0.99875:
