@@ -19,6 +19,8 @@ import graft.sync.{SyncConfig, SyncEndpoint, SyncPipeline, SyncReport}
   *   runMain graft.cli.Main single --source <parquet|jdbc:...#t> \
   *     --dest <parquet|jdbc:...#t> [--key K[,K2]] --watermark W [--cut N]
   *   runMain graft.cli.Main continuous ... [--delay 5] [--iterations N]
+  *   runMain graft.cli.Main compact --dest <parquet dir> \
+  *     [--target-bytes N] [--partition-by COL]
   */
 object Main {
 
@@ -27,13 +29,14 @@ object Main {
                           cut: Option[Long], delay: Long, iterations: Int,
                           partitionBy: Option[String], progress: Boolean,
                           sourceUser: Option[String], sourcePassword: Option[String],
-                          destUser: Option[String], destPassword: Option[String])
+                          destUser: Option[String], destPassword: Option[String],
+                          targetBytes: Long)
 
   private val boolFlags = Set("progress")
 
   private def parse(argv: Array[String]): Args = {
-    if (argv.isEmpty || !Set("single", "continuous").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P]")
+    if (argv.isEmpty || !Set("single", "continuous", "compact").contains(argv(0)))
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL]")
     val opts = scala.collection.mutable.Map.empty[String, String]
     var i = 1
     while (i < argv.length) {
@@ -48,17 +51,21 @@ object Main {
     }
     def req(k: String) = opts.getOrElse(k,
       throw GraftError.InvalidConfig(s"missing required option --$k"))
-    Args(argv(0), req("source"), req("dest"),
+    // compact is a dest-only maintenance verb: no source/key/watermark
+    val syncCmd = argv(0) != "compact"
+    Args(argv(0), if (syncCmd) req("source") else opts.getOrElse("source", ""),
+      req("dest"),
       opts.get("key").map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
         .getOrElse(Nil),
-      req("watermark"),
+      if (syncCmd) req("watermark") else opts.getOrElse("watermark", ""),
       opts.get("cut").map(_.toLong),
       opts.getOrElse("delay", "5").toLong * 1000,
       opts.getOrElse("iterations", Int.MaxValue.toString).toInt,
       opts.get("partition-by"),
       opts.contains("progress"),
       opts.get("source-user"), opts.get("source-password"),
-      opts.get("dest-user"), opts.get("dest-password"))
+      opts.get("dest-user"), opts.get("dest-password"),
+      opts.getOrElse("target-bytes", (128L * 1024 * 1024).toString).toLong)
   }
 
   private def render(r: SyncReport): Unit =
@@ -71,6 +78,28 @@ object Main {
       val a = parse(argv)
       val spark = GraftSession.local("graft-cli")
       try {
+        if (a.cmd == "compact") runCompact(spark, a)
+        else runSync(spark, a)
+        0
+      } finally spark.stop()
+    } catch {
+      // M3: config/connectivity errors (the user's fault) exit 2, anything
+      // else (engine/runtime failure) exits 1 — distinct, scriptable codes.
+      case e: GraftError => System.err.println(s"error: ${e.getMessage}"); 2
+      case e: Exception  => System.err.println(s"error: ${e.getMessage}"); 1
+    }
+    if (exit != 0) sys.exit(exit)
+  }
+
+  private def runCompact(spark: org.apache.spark.sql.SparkSession, a: Args): Unit = {
+    if (a.dest.startsWith("jdbc:"))
+      throw GraftError.InvalidConfig("compact applies to parquet directories")
+    val r = graft.sync.Compact.compact(spark, a.dest, a.targetBytes, a.partitionBy)
+    println(s"compacted ${a.dest}: ${r.filesBefore} -> ${r.filesAfter} " +
+      s"files (${r.rows} rows)")
+  }
+
+  private def runSync(spark: org.apache.spark.sql.SparkSession, a: Args): Unit = {
         val source = SyncEndpoint.parse(a.source, a.sourceUser, a.sourcePassword)
         val dest = SyncEndpoint.parse(a.dest, a.destUser, a.destPassword)
         // S2 — key defaulting from the reflected primary key (jdbc source)
@@ -106,14 +135,5 @@ object Main {
               onProgress = onProgress)
             ()
         }
-        0
-      } finally spark.stop()
-    } catch {
-      // M3: config/connectivity errors (the user's fault) exit 2, anything
-      // else (engine/runtime failure) exits 1 — distinct, scriptable codes.
-      case e: GraftError => System.err.println(s"error: ${e.getMessage}"); 2
-      case e: Exception  => System.err.println(s"error: ${e.getMessage}"); 1
-    }
-    if (exit != 0) sys.exit(exit)
   }
 }
