@@ -21,9 +21,11 @@ object MinhashProbe {
       println(f"$label%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
     }
 
-    val k = 32; val bands = 4; val r = k / bands
+    // 3-gram shingle space — the space e6_minhash_neardup actually runs in
+    // (unigram is degenerate on the 31-word-vocab fixture, NOTES.md)
+    val k = 32; val bands = 8; val r = k / bands
     val sig = all.select(col("doc_id"),
-      Dedup.minhashSignature(col("text"), k, 1).as("__sig")).cache()
+      Dedup.minhashSignature(col("text"), k, 3).as("__sig")).cache()
     t("signatures") { sig.count() }
     val banded = sig.withColumn("band", explode(array((0 until bands).map { b =>
       struct(lit(b).as("band_id"),
@@ -38,7 +40,7 @@ object MinhashProbe {
     val nPairs = t("distinct pairs") { pairs.count() }
     println(s"raw=$nRaw distinct=$nPairs")
     val verified = t("exact verify") {
-      Dedup.jaccardVerify(pairs, all, "doc_id", "text")
+      Dedup.jaccardVerify(pairs, all, "doc_id", "text", shingleN = 3)
         .filter(col("jaccard") >= 0.8).count()
     }
     println(s"verified=$verified")
