@@ -113,5 +113,17 @@ object GraftFunctions {
         RollingHash64(exprs.head)
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingles",
+      exprs => {
+        require(exprs.length == 2, "shingles takes (text, n)")
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"shingles n must be an int literal, got $other")
+        }
+        Shingles(exprs.head, n)
+      },
+      "built-in")
   }
 }

@@ -594,16 +594,18 @@ object ExtQueries {
           concat_ws(" ", slice(TextAnalysis.tokens(col("text")), lit(1), halfLen))
             .as("text"))
       val all = docs.unionByName(perturbed).unionByName(decoys)
-      val found = Dedup.minhashNearDups(all, "doc_id", "text", threshold = 0.8)
+      graft.functions.GraftFunctions.register(s) // native shingles
+      val found = Dedup.minhashNearDups(all, "doc_id", "text", threshold = 0.8,
+        nativeShingles = true)
       val plantedPairs = docs.select(col("doc_id").as("a_id"),
         (col("doc_id") + 100000).as("b_id"))
       val eligible = Dedup.jaccardVerify(plantedPairs, all, "doc_id", "text",
-          shingleN = 3)
+          shingleN = 3, nativeShingles = true)
         .filter(col("jaccard") >= 0.8).select("a_id", "b_id")
       val decoyPairs = docs.select(col("doc_id").as("a_id"),
         (col("doc_id") + 200000).as("b_id"))
       val traps = Dedup.jaccardVerify(decoyPairs, all, "doc_id", "text",
-          shingleN = 3)
+          shingleN = 3, nativeShingles = true)
         .filter(col("jaccard") < 0.8).select("a_id", "b_id")
       val u = found
         .select(col("a_id"), col("b_id"), lit("f").as("__src"))
@@ -812,11 +814,12 @@ object ExtQueries {
         |       round(coalesce(h.contaminated, 0) * 1.0 / len(c.sh), 6) AS contamination
         |FROM corpus c LEFT JOIN hits h USING (doc_id)""".stripMargin) {
       (s, dir) =>
+        graft.functions.GraftFunctions.register(s) // native shingles
         val docs = Tables.documents(s, dir)
         Dedup.contamination(
           docs.filter(col("doc_id") >= 100),
           docs.filter(col("doc_id") < 100),
-          "doc_id", "text", shingleN = 3)
+          "doc_id", "text", shingleN = 3, nativeShingles = true)
     },
 
     // E1 — exact n-gram (unigram-set) Jaccard near-dup pairs, oracle-checked.

@@ -270,6 +270,18 @@ class ExtOpsSpec extends SparkSpec {
     assert(ids == (20L to 39L).toSet, "rebuilt index must hold the new corpus")
   }
 
+  test("native shingles are bit-identical to the HOF form (corpus + edge strings)") {
+    graft.functions.GraftFunctions.register(spark)
+    val edges = Seq("", " ", "a", "a b", "a  b  c", " lead", "trail ",
+      "a b a b a", "x y z x y z").toDF("text")
+    for (df <- Seq(docs.select("text"), edges); n <- Seq(1, 3)) {
+      val diff = df.select(Dedup.shingles(col("text"), n).as("hof"),
+          Dedup.shinglesNative(col("text"), n).as("nat"))
+        .filter(col("hof") =!= col("nat")).count()
+      assert(diff == 0, s"shingle mismatch at n=$n")
+    }
+  }
+
   test("native rolling_hash64 is bit-identical to the HOF form over the corpus") {
     graft.functions.GraftFunctions.register(spark)
     val diff = docs.select(TextAnalysis.rollingHash(col("text")).as("hof"),
