@@ -30,7 +30,7 @@ object Main {
                           partitionBy: Option[String], progress: Boolean,
                           sourceUser: Option[String], sourcePassword: Option[String],
                           destUser: Option[String], destPassword: Option[String],
-                          targetBytes: Long)
+                          targetBytes: Option[Long])
 
   private val boolFlags = Set("progress")
 
@@ -51,6 +51,15 @@ object Main {
     }
     def req(k: String) = opts.getOrElse(k,
       throw GraftError.InvalidConfig(s"missing required option --$k"))
+    // numeric options are config surface: a bad value is the USER'S error
+    // (exit 2 per M3), never a runtime failure
+    def num(name: String, v: String, min: Long = Long.MinValue): Long = {
+      val n = v.toLongOption.getOrElse(
+        throw GraftError.InvalidConfig(s"--$name expects a number, got '$v'"))
+      if (n < min)
+        throw GraftError.InvalidConfig(s"--$name must be >= $min, got $n")
+      n
+    }
     // compact is a dest-only maintenance verb: no source/key/watermark
     val syncCmd = argv(0) != "compact"
     Args(argv(0), if (syncCmd) req("source") else opts.getOrElse("source", ""),
@@ -58,14 +67,15 @@ object Main {
       opts.get("key").map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
         .getOrElse(Nil),
       if (syncCmd) req("watermark") else opts.getOrElse("watermark", ""),
-      opts.get("cut").map(_.toLong),
-      opts.getOrElse("delay", "5").toLong * 1000,
-      opts.getOrElse("iterations", Int.MaxValue.toString).toInt,
+      opts.get("cut").map(num("cut", _)),
+      num("delay", opts.getOrElse("delay", "5"), min = 0) * 1000,
+      num("iterations", opts.getOrElse("iterations", Int.MaxValue.toString),
+        min = 1).toInt,
       opts.get("partition-by"),
       opts.contains("progress"),
       opts.get("source-user"), opts.get("source-password"),
       opts.get("dest-user"), opts.get("dest-password"),
-      opts.getOrElse("target-bytes", (128L * 1024 * 1024).toString).toLong)
+      opts.get("target-bytes").map(num("target-bytes", _, min = 1)))
   }
 
   private def render(r: SyncReport): Unit =
@@ -94,7 +104,9 @@ object Main {
   private def runCompact(spark: org.apache.spark.sql.SparkSession, a: Args): Unit = {
     if (a.dest.startsWith("jdbc:"))
       throw GraftError.InvalidConfig("compact applies to parquet directories")
-    val r = graft.sync.Compact.compact(spark, a.dest, a.targetBytes, a.partitionBy)
+    val r = graft.sync.Compact.compact(spark, a.dest,
+      a.targetBytes.getOrElse(graft.sync.Compact.DefaultTargetBytes),
+      a.partitionBy)
     println(s"compacted ${a.dest}: ${r.filesBefore} -> ${r.filesAfter} " +
       s"files (${r.rows} rows)")
   }

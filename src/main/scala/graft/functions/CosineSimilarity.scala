@@ -119,8 +119,11 @@ object GraftFunctions {
         require(exprs.length == 2, "shingles takes (text, n)")
         val n = exprs(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)
+            if v.isValidInt => v.toInt
           case other => throw new IllegalArgumentException(
-            s"shingles n must be an int literal, got $other")
+            "shingles(text, n) requires a literal integer n (the shingle " +
+              s"width is part of the plan, not data), got: ${other.sql}")
         }
         Shingles(exprs.head, n)
       },

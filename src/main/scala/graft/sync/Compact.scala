@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions.col
   */
 object Compact {
 
+  /** Default output file size — the single source for CLI and API. */
+  val DefaultTargetBytes: Long = 128L * 1024 * 1024
+
   final case class CompactResult(rows: Long, filesBefore: Int, filesAfter: Int)
 
   def compact(spark: SparkSession, dir: String,
-              targetBytes: Long = 128L * 1024 * 1024,
+              targetBytes: Long = DefaultTargetBytes,
               partitionByCol: Option[String] = None): CompactResult = {
     require(targetBytes > 0, "targetBytes must be positive")
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)

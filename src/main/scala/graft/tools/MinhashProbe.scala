@@ -23,9 +23,11 @@ object MinhashProbe {
 
     // 3-gram shingle space — the space e6_minhash_neardup actually runs in
     // (unigram is degenerate on the 31-word-vocab fixture, NOTES.md)
+    graft.functions.GraftFunctions.register(spark) // e6 runs native shingles
     val k = 32; val bands = 8; val r = k / bands
     val sig = all.select(col("doc_id"),
-      Dedup.minhashSignature(col("text"), k, 3).as("__sig")).cache()
+      Dedup.minhashSignature(col("text"), k, 3, nativeShingles = true)
+        .as("__sig")).cache()
     t("signatures") { sig.count() }
     val banded = sig.withColumn("band", explode(array((0 until bands).map { b =>
       struct(lit(b).as("band_id"),
@@ -40,7 +42,8 @@ object MinhashProbe {
     val nPairs = t("distinct pairs") { pairs.count() }
     println(s"raw=$nRaw distinct=$nPairs")
     val verified = t("exact verify") {
-      Dedup.jaccardVerify(pairs, all, "doc_id", "text", shingleN = 3)
+      Dedup.jaccardVerify(pairs, all, "doc_id", "text", shingleN = 3,
+          nativeShingles = true)
         .filter(col("jaccard") >= 0.8).count()
     }
     println(s"verified=$verified")

@@ -272,12 +272,16 @@ class ExtOpsSpec extends SparkSpec {
 
   test("native shingles are bit-identical to the HOF form (corpus + edge strings)") {
     graft.functions.GraftFunctions.register(spark)
-    val edges = Seq("", " ", "a", "a b", "a  b  c", " lead", "trail ",
-      "a b a b a", "x y z x y z").toDF("text")
+    // null text included: both forms must agree (null in, null out), and the
+    // comparison is null-SAFE (<=>) — a plain =!= filter silently passes
+    // rows where one side is NULL
+    val edges = Seq(Option.empty[String], Some(""), Some(" "), Some("a"),
+      Some("a b"), Some("a  b  c"), Some(" lead"), Some("trail "),
+      Some("a b a b a"), Some("x y z x y z")).toDF("text")
     for (df <- Seq(docs.select("text"), edges); n <- Seq(1, 3)) {
       val diff = df.select(Dedup.shingles(col("text"), n).as("hof"),
           Dedup.shinglesNative(col("text"), n).as("nat"))
-        .filter(col("hof") =!= col("nat")).count()
+        .filter(!(col("hof") <=> col("nat"))).count()
       assert(diff == 0, s"shingle mismatch at n=$n")
     }
   }
