@@ -81,7 +81,7 @@ object ParquetMergeSink {
         // _temporary/ from a crashed first write is NOT data (hasData) — the
         // cold start simply re-runs.
         val deduped = dedupe(updates.withColumn("__src", lit(1)), keyCols, orderCol)
-        write(deduped, targetDir, partitionByCol)
+        write(deduped, targetDir, partitionByCol, Some(orderCol))
         clearPendingMerge(fs, targetDir)
         // counts only the files just written (metadata-weight scan)
         return MergeResult(countParquet(spark, targetDir), updateRows)
@@ -157,7 +157,8 @@ object ParquetMergeSink {
           val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
           spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
           try
-            staged.write.mode(SaveMode.Overwrite).partitionBy(p).parquet(targetDir)
+            staged.sortWithinPartitions(col(orderCol)) // row-group stats layout
+              .write.mode(SaveMode.Overwrite).partitionBy(p).parquet(targetDir)
           finally {
             prevMode match {
               case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
@@ -173,7 +174,7 @@ object ParquetMergeSink {
           // output's own count — never a re-scan of the destination after
           // the swap.
           val tmp = targetDir.stripSuffix("/") + ".__merge_tmp"
-          write(merged, tmp, None)
+          write(merged, tmp, None, Some(orderCol))
           val stagedRows = countParquet(spark, tmp)
           atomicSwap(fs, targetDir, tmp)
           stagedRows
@@ -273,13 +274,22 @@ object ParquetMergeSink {
         payloadCols.map(c => col(s"__payload.$c").as(c)): _*)
   }
 
-  private def write(df: DataFrame, dir: String, partitionByCol: Option[String]): Unit =
+  /** Write with the BRIN-analog layout (SURVEY §4.1): rows sorted WITHIN
+    * partitions by the watermark column, so parquet row-group min/max
+    * stats stay tight and T1 watermark reads / S1 range scans skip row
+    * groups — the storage-side twin of the reference's BRIN advisory. No
+    * global sort (that would be a range shuffle); only the free in-task
+    * ordering of data the merge already holds. */
+  private def write(df: DataFrame, dir: String, partitionByCol: Option[String],
+                    sortCol: Option[String] = None): Unit = {
+    val out = sortCol.map(c => df.sortWithinPartitions(col(c))).getOrElse(df)
     partitionByCol match {
       case Some(p) =>
-        df.write.mode(SaveMode.Overwrite).partitionBy(p).parquet(dir)
+        out.write.mode(SaveMode.Overwrite).partitionBy(p).parquet(dir)
       case None =>
-        df.write.mode(SaveMode.Overwrite).parquet(dir)
+        out.write.mode(SaveMode.Overwrite).parquet(dir)
     }
+  }
 
   private def countParquet(spark: SparkSession, dir: String): Long =
     spark.read.parquet(dir).count()
