@@ -25,9 +25,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // NonFatal only: an OutOfMemoryError/StackOverflowError must crash the
+    // run (rc!=0), not be silently reported as a -1 timing
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try f catch { case _: Throwable => return -1.0 }
+      try f catch { case scala.util.control.NonFatal(_) => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -40,7 +42,7 @@ object Bench {
     // entry doesn't pay session startup
     try SparkEntry.queries.head._2(spark, sfDir).write.format("noop")
       .mode("overwrite").save()
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
@@ -75,8 +77,8 @@ object Bench {
         "e2d_ivf_probe_only" -> probeTime(
           graft.ext.Similarity.ivfProbe(spark, ivfDir, "vec_id", "embedding",
             query, 10, nProbe = 6)))
-    } catch { case _: Throwable => Seq("e2b_ann_probe_only" -> -1.0,
-      "e2d_ivf_probe_only" -> -1.0) }
+    } catch { case scala.util.control.NonFatal(_) =>
+      Seq("e2b_ann_probe_only" -> -1.0, "e2d_ivf_probe_only" -> -1.0) }
 
     // end-to-end sync-merge throughput on the events twin-table fixture
     // (BASELINE.md comparable (a)): cold-start full sync, fresh dest per
@@ -98,11 +100,16 @@ object Bench {
     val syncRps = if (syncSec > 0) syncRows / syncSec else 0.0
 
     val all = results ++ probeResults :+ ("sync_merge_events" -> syncSec)
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // ms precision keeps the line short, and the headline metric/value
+    // fields go LAST: the driver records only a bounded tail of stdout, so
+    // with ~80 queries a front-loaded summary gets truncated away
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sync_rows_per_sec":${syncRps.round},"sync_rows":$syncRows,""" +
-      s""""runs_per_query":$runs,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"sync_rows":$syncRows,"runs_per_query":$runs,""" +
+      s""""sf":"$sfDir","sync_rows_per_sec":${syncRps.round},""" +
+      s""""metric":"total","value":${r3(total)},"unit":"sec"}""")
     spark.stop()
   }
 }

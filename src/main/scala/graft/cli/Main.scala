@@ -53,11 +53,14 @@ object Main {
       throw GraftError.InvalidConfig(s"missing required option --$k"))
     // numeric options are config surface: a bad value is the USER'S error
     // (exit 2 per M3), never a runtime failure
-    def num(name: String, v: String, min: Long = Long.MinValue): Long = {
+    def num(name: String, v: String, min: Long = Long.MinValue,
+            max: Long = Long.MaxValue): Long = {
       val n = v.toLongOption.getOrElse(
         throw GraftError.InvalidConfig(s"--$name expects a number, got '$v'"))
       if (n < min)
         throw GraftError.InvalidConfig(s"--$name must be >= $min, got $n")
+      if (n > max)
+        throw GraftError.InvalidConfig(s"--$name must be <= $max, got $n")
       n
     }
     // compact is a dest-only maintenance verb: no source/key/watermark
@@ -69,8 +72,10 @@ object Main {
       if (syncCmd) req("watermark") else opts.getOrElse("watermark", ""),
       opts.get("cut").map(num("cut", _)),
       num("delay", opts.getOrElse("delay", "5"), min = 0) * 1000,
+      // max bound before toInt: a Long above Int.MaxValue would silently
+      // wrap through toInt, defeating the exit-2 validation it sits inside
       num("iterations", opts.getOrElse("iterations", Int.MaxValue.toString),
-        min = 1).toInt,
+        min = 1, max = Int.MaxValue).toInt,
       opts.get("partition-by"),
       opts.contains("progress"),
       opts.get("source-user"), opts.get("source-password"),

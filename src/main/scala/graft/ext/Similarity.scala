@@ -124,7 +124,15 @@ object Similarity {
     * build params, so a different corpus or parameterization never reuses a
     * stale index. Non-file-backed frames (empty `inputFiles`) have no
     * content identity to key on and are rejected: callers that own index
-    * lifecycle pass an explicit dir to the build/probe pair instead. */
+    * lifecycle pass an explicit dir to the build/probe pair instead.
+    *
+    * Granularity caveat: mtime resolution is filesystem-dependent (1 s on
+    * many local filesystems), so an in-place rewrite within the same mtime
+    * tick that also preserves byte length is indistinguishable and reuses
+    * the old index. Spark's own writers never do this (fresh part-file
+    * names per job); only an external same-name same-length same-second
+    * overwrite can hit it — callers doing that should pass an explicit
+    * indexDir and rebuild. */
   private def cachedIndexDir(kind: String, source: DataFrame, params: String): String = {
     val files = source.inputFiles.sorted
     require(files.nonEmpty,

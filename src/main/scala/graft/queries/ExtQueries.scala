@@ -300,12 +300,12 @@ object ExtQueries {
     // E4 — per-document token statistics.
     "e4_token_stats" -> Q(
       """SELECT doc_id,
-        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
-        |       round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |             / len(string_split(text, ' ')), 6) AS ttr,
-        |       round((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
-        |             / len(string_split(text, ' ')), 6) AS avg_token_len
+        |       CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_distinct,
+        |       round(CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS DOUBLE)
+        |             / len(regexp_split_to_array(text, '\s+')), 6) AS ttr,
+        |       round((length(text) - (len(regexp_split_to_array(text, '\s+')) - 1)) * 1.0
+        |             / len(regexp_split_to_array(text, '\s+')), 6) AS avg_token_len
         |FROM documents""".stripMargin) {
       (s, dir) =>
         TextAnalysis.withTokenStats(Tables.documents(s, dir))
@@ -314,7 +314,7 @@ object ExtQueries {
 
     // E4 — corpus word frequencies (explode → groupBy → distributed top-k).
     "e4b_word_freq" -> Q(
-      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents)
         |SELECT token, count(*) AS cnt FROM tok
         |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin) {
       (s, dir) =>
@@ -325,7 +325,7 @@ object ExtQueries {
 
     // E4 — vocabulary size.
     "e4c_vocab_size" -> Q(
-      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents)
         |SELECT count(DISTINCT token) AS vocab FROM tok""".stripMargin) {
       (s, dir) =>
         Tables.documents(s, dir)
@@ -337,7 +337,7 @@ object ExtQueries {
     // sketch differs, so the gated columns are the EXACT count (recomputed
     // by the oracle) plus a ±5% tolerance flag the sketch must satisfy.
     "e4h_vocab_approx" -> Q(
-      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents)
         |SELECT count(DISTINCT token) AS vocab_exact, CAST(1 AS BIGINT) AS approx_within_5pct
         |FROM tok""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
@@ -353,11 +353,11 @@ object ExtQueries {
     // SQL CASE chain is semantically identical to TextAnalysis.langId).
     "e4d_lang_id" -> Q(
       """WITH scored AS (SELECT doc_id,
-        |  len(list_intersect(list_distinct(string_split(text,' ')), ['the','a','of','and','to','in','is'])) AS en,
-        |  len(list_intersect(list_distinct(string_split(text,' ')), ['el','la','de','los','las','una','es'])) AS es,
-        |  len(list_intersect(list_distinct(string_split(text,' ')), ['der','die','das','und','ein','ist','nicht'])) AS de,
-        |  len(list_intersect(list_distinct(string_split(text,' ')), ['le','la','les','des','une','est','et'])) AS fr,
-        |  len(list_intersect(list_distinct(string_split(text,' ')), ['的','是','了','在','和','有','不'])) AS zh
+        |  len(list_intersect(list_distinct(regexp_split_to_array(text, '\s+')), ['the','a','of','and','to','in','is'])) AS en,
+        |  len(list_intersect(list_distinct(regexp_split_to_array(text, '\s+')), ['el','la','de','los','las','una','es'])) AS es,
+        |  len(list_intersect(list_distinct(regexp_split_to_array(text, '\s+')), ['der','die','das','und','ein','ist','nicht'])) AS de,
+        |  len(list_intersect(list_distinct(regexp_split_to_array(text, '\s+')), ['le','la','les','des','une','est','et'])) AS fr,
+        |  len(list_intersect(list_distinct(regexp_split_to_array(text, '\s+')), ['的','是','了','在','和','有','不'])) AS zh
         |  FROM documents)
         |SELECT doc_id, CASE
         |  WHEN en > 0 AND en >= es AND en >= de AND en >= fr AND en >= zh THEN 'en'
@@ -375,12 +375,12 @@ object ExtQueries {
     // E4 — composite quality score.
     "e4e_quality_score" -> Q(
       """SELECT doc_id, round(
-        |  (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
-        |     / len(string_split(text,' '))) * 0.5
-        |  + (CASE WHEN len(string_split(text,' ')) >= 10 THEN 1.0
-        |          ELSE len(string_split(text,' ')) / 10.0 END) * 0.3
-        |  + (CASE WHEN (length(text) - (len(string_split(text,' ')) - 1)) * 1.0
-        |               / len(string_split(text,' ')) BETWEEN 2.0 AND 12.0
+        |  (CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS DOUBLE)
+        |     / len(regexp_split_to_array(text, '\s+'))) * 0.5
+        |  + (CASE WHEN len(regexp_split_to_array(text, '\s+')) >= 10 THEN 1.0
+        |          ELSE len(regexp_split_to_array(text, '\s+')) / 10.0 END) * 0.3
+        |  + (CASE WHEN (length(text) - (len(regexp_split_to_array(text, '\s+')) - 1)) * 1.0
+        |               / len(regexp_split_to_array(text, '\s+')) BETWEEN 2.0 AND 12.0
         |          THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
         |FROM documents""".stripMargin) {
       (s, dir) =>
@@ -559,8 +559,8 @@ object ExtQueries {
     // twins J≈0.95, half-doc decoys ≈0.5, background ≈0).
     "e6_minhash_neardup" -> Q(
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
-        |sh AS (SELECT doc_id, string_split(text, ' ') AS ta,
-        |              string_split(text || ' perturbedtoken', ' ') AS tb
+        |sh AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ta,
+        |              regexp_split_to_array(text || ' perturbedtoken', '\s+') AS tb
         |       FROM d),
         |sh2 AS (SELECT doc_id, ta, tb, ta[1:greatest(1, len(ta)//2)] AS td FROM sh),
         |sg AS (SELECT doc_id,
@@ -679,7 +679,7 @@ object ExtQueries {
     // Scores are ranked on the ROUNDED value with a token tie-break so
     // cross-engine float noise cannot reorder ranks.
     "e4j_tfidf" -> Q(
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
         |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
         |scored AS (
@@ -713,7 +713,7 @@ object ExtQueries {
     // E4 — document-length histogram (token-count buckets of 10): the
     // length-filter profile every corpus-curation pipeline starts from.
     "e4k_length_histogram" -> Q(
-      """SELECT CAST(len(string_split(text, ' ')) // 10 AS BIGINT) AS bucket,
+      """SELECT CAST(len(regexp_split_to_array(text, '\s+')) // 10 AS BIGINT) AS bucket,
         |       count(*) AS cnt
         |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
@@ -729,7 +729,7 @@ object ExtQueries {
     // ±1 token) of exact — the length-cutoff numbers curation pipelines
     // actually use at 100 TB, where exact quantiles mean a global sort.
     "e4l_length_quantiles" -> Q(
-      """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      """WITH t AS (SELECT CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
         |           FROM documents)
         |SELECT round(quantile_cont(n_tokens, 0.5), 6) AS p50_exact,
         |       round(quantile_cont(n_tokens, 0.95), 6) AS p95_exact,
@@ -798,7 +798,7 @@ object ExtQueries {
     // both shingle sets from raw text. Scale shape in Dedup.contamination:
     // benchmark shingles broadcast, corpus never self-joins.
     "e6c_contamination" -> Q(
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
         |sg AS (SELECT doc_id,
         |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
         |       ELSE list_distinct(list_transform(range(1, len(t) - 1),
@@ -824,7 +824,7 @@ object ExtQueries {
 
     // E1 — exact n-gram (unigram-set) Jaccard near-dup pairs, oracle-checked.
     "e6b_unigram_jaccard" -> Q(
-      """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS token
+      """WITH tok AS (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
         |             FROM documents WHERE doc_id < 50),
         |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter

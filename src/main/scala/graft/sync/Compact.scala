@@ -52,13 +52,19 @@ object Compact {
   }
 
   /** Non-hidden data files under `p`, recursively (skips `_SUCCESS`,
-    * `_temporary`, dotfiles — the same visibility rule as the merge). */
+    * `_temporary`, dotfiles — the same visibility rule as the merge).
+    * Only path segments BELOW the table root count: listFiles returns
+    * fully-qualified paths (`file:/...`), so the root must be qualified the
+    * same way before stripping, or a dot/underscore ancestor directory
+    * (e.g. `/home/u/.cache/tbl`) would hide every file. */
   private def dataFiles(fs: FileSystem, p: Path): Seq[FileStatus] = {
+    val root = fs.makeQualified(p).toString.stripSuffix("/") + "/"
     val out = Seq.newBuilder[FileStatus]
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val st = it.next()
-      val segs = st.getPath.toString.stripPrefix(p.toString).split("/")
+      val rel = st.getPath.toString.stripPrefix(root)
+      val segs = rel.split("/")
       if (!segs.exists(s => s.startsWith("_") || s.startsWith(".")))
         out += st
     }
