@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: near-dup detection emits PAIRS, but a
+  * curation pipeline needs GROUPS — "these 7 docs are all one document;
+  * keep one" — i.e. connected components over the candidate-pair graph,
+  * with a deterministic canonical representative per component.
+  *
+  * Algorithm: iterative min-label propagation with pointer halving. Every
+  * node starts labeled with its own id; each round every node takes the min
+  * of its own label and its neighbors' labels (one equi-join + one hash
+  * aggregation), then shortcuts to its label's label (labels are node ids,
+  * so one more equi-join follows the pointer — the path-halving step from
+  * the classic PRAM CC algorithms). Propagation alone needs
+  * diameter-many rounds on a chain; the halving step doubles the hop
+  * distance covered per round, so convergence is O(log n) on ANY graph
+  * shape — dense near-dup blobs finish in 2–3 rounds, pathological chains
+  * in log₂. Everything is equi-joins and aggs: no cartesian anything.
+  *
+  * Scale notes: lineage is cut every round (`localCheckpoint`) so the plan
+  * does not grow with iterations; convergence is detected from the SUM of
+  * labels — labels only ever decrease, so an unchanged sum ⟺ a fixpoint —
+  * which costs one scalar aggregate per round instead of a change-count
+  * join. Driver holds only that scalar (the 100 TB collect rule).
+  */
+object DupClusters {
+
+  /** Connected components over an undirected edge list.
+    * @return (idCol, cluster_id) — cluster_id = min node id in the
+    *         component; nodes absent from `edges` are their own cluster. */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+                          edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val und = edges
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(edges
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .localCheckpoint() // re-read every round; never recompute the pair gen
+    var labels = nodes
+      .select(col(idCol).cast("long").as("node"), col(idCol).cast("long").as("label"))
+      .localCheckpoint()
+    var prevSum = labelSum(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val fromNeighbors = und.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"))
+      val minned = labels.union(fromNeighbors)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint() // read twice by the self-join below
+      // pointer halving: label ← label(label). Every label IS a node id and
+      // label(m) <= m invariantly, so the inner self-join is total and can
+      // only lower labels — convergence detection stays sum-based.
+      // (columns renamed rather than dataset-aliased: a checkpointed-union
+      // self-join under as()/as() trips Catalyst constraint rewriting)
+      val ptr = minned.select(col("node").as("__pnode"),
+        col("label").as("__plabel"))
+      val next = minned.join(ptr, col("label") === col("__pnode"))
+        .select(col("node"), col("__plabel").as("label"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as(idCol), col("label").as("cluster_id"))
+  }
+
+  /** Full dedup-grouping: components over the pair graph + canonical flag
+    * (the min-id member — the row a keep-one-per-cluster filter retains). */
+  def clusters(nodes: DataFrame, idCol: String,
+               edges: DataFrame, aCol: String, bCol: String,
+               maxIter: Int = 25): DataFrame =
+    connectedComponents(nodes, idCol, edges, aCol, bCol, maxIter)
+      .withColumn("is_canonical",
+        (col(idCol) === col("cluster_id")).cast("long"))
+
+  private def labelSum(labels: DataFrame): Long =
+    labels.agg(sum("label")).first().getLong(0)
+}

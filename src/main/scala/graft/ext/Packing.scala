@@ -1,0 +1,44 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training batches: lay documents end-to-end and
+  * cut every `capacity` tokens (the concat-and-chunk scheme — documents may
+  * straddle a cut; the trainer masks attention across document boundaries).
+  * The pipeline needs the deterministic doc → chunk-range map: which chunks
+  * a document lands in and at what running-token offset it starts.
+  *
+  * A single global layout would be one unpartitioned window (single-task
+  * trap). Instead documents are first assigned to `nShards` id-modulo
+  * shards and laid out independently per shard — one shuffle on the shard key, windows
+  * bounded by shard size, and chunk ids are (shard, chunk_in_shard) pairs.
+  * Packing efficiency is unchanged (concat-and-chunk wastes at most one
+  * partial chunk per SHARD, and nShards ≪ corpus chunks); determinism is
+  * per-doc, independent of cluster layout.
+  */
+object Packing {
+
+  /** Per-document chunk assignment.
+    * @param tokensExpr token count column expression (e.g.
+    *                   `TextAnalysis.tokenCount(col("text"))`)
+    * @return idCol, shard, n_tokens, tok_offset (running tokens before this
+    *         doc in its shard), chunk_first, chunk_last (inclusive chunk
+    *         indexes within the shard) */
+  def packChunks(docs: DataFrame, idCol: String, tokensExpr: Column,
+                 nShards: Int, capacity: Long): DataFrame = {
+    require(nShards > 0 && capacity > 0, "nShards and capacity must be positive")
+    val w = Window.partitionBy("shard").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), (col(idCol) % nShards).cast("long").as("shard"),
+        tokensExpr.cast("long").as("n_tokens"))
+      .withColumn("tok_offset", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("chunk_first",
+        floor(col("tok_offset") / capacity).cast("long"))
+      .withColumn("chunk_last",
+        floor((col("tok_offset") + greatest(col("n_tokens"), lit(1L)) - 1)
+          / capacity).cast("long"))
+  }
+}

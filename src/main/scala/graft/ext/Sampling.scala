@@ -29,6 +29,26 @@ object Sampling {
       .drop("__rank")
   }
 
+  /** Per-stratum deterministic fraction sampling: keep a row iff the first
+    * 4 hex digits of its id hash sort below `floor(fraction · 65536)` in
+    * hex — an engine-portable unit-interval coin with 1/65536 resolution
+    * (fractions round DOWN to that grid). Per-row, no shuffle, stable per
+    * id as the corpus grows; the tool for "50% of English, 10% of the rest"
+    * re-balancing passes. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       fractions: Map[String, Double],
+                       default: Double): DataFrame = {
+    def hexCut(f: Double): String = {
+      require(f >= 0 && f <= 1, s"fraction must be in [0,1], got $f")
+      f"${math.min(math.floor(f * 65536).toInt, 65535)}%04x"
+    }
+    val cut = fractions.foldLeft(lit(hexCut(default))) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(hexCut(f))).otherwise(acc)
+    }
+    df.filter(substring(hashPriority(col(idCol)), 1, 4) < cut)
+  }
+
   /** Hash train/val/test split on the first hex nibble of the id hash:
     * 0–b → train (12/16), c–d → val (2/16), e–f → test (2/16).
     * Per-row, no shuffle, stable forever for a given id. */

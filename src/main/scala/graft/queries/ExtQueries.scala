@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, DupClusters, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /** [EXT] training-data-pipeline operators (SURVEY §2.9 E1–E4 + driver
   * mandate): dedup, similarity search, multimodal plumbing, text analysis.
@@ -840,6 +840,81 @@ object ExtQueries {
         Dedup.unigramJaccardPairs(
           Tables.documents(s, dir).filter(col("doc_id") < 50),
           "doc_id", "text", threshold = 0.8)
+    },
+
+    // E1 — duplicate CLUSTERS: near-dup detection yields pairs; curation
+    // needs groups + a canonical keeper. Spark side: iterative min-label
+    // propagation (graft.ext.DupClusters — joins/aggs only, lineage cut
+    // per round); DuckDB independently derives components with a recursive
+    // CTE over the same exact-Jaccard edges. Two unrelated CC algorithms
+    // must produce identical (doc → cluster, canonical) assignments.
+    // Bounded to doc_id < 50 like e6b (the gate twin); the scale path runs
+    // the same clustering over minhashCandidates edges.
+    "e9_dup_clusters" -> Q(
+      """WITH RECURSIVE
+        |tok AS (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+        |        FROM documents WHERE doc_id < 50),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |          FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id FROM inter
+        |          JOIN sizes sa ON sa.doc_id = a_id
+        |          JOIN sizes sb ON sb.doc_id = b_id
+        |          WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.8),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 50
+        |  UNION
+        |  SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.node),
+        |comp AS (SELECT node AS doc_id, min(label) AS cluster_id
+        |         FROM reach GROUP BY node)
+        |SELECT doc_id, cluster_id,
+        |       CAST(doc_id = cluster_id AS BIGINT) AS is_canonical
+        |FROM comp""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.documents(s, dir).filter(col("doc_id") < 50)
+        val edges = Dedup.unigramJaccardPairs(docs, "doc_id", "text",
+          threshold = 0.8)
+        DupClusters.clusters(docs, "doc_id", edges, "a_id", "b_id")
+    },
+
+    // [EXT] sequence packing (concat-and-chunk): the doc → training-chunk
+    // map, laid out independently per id-modulo shard so no window is
+    // global. Pure window cumsum — both engines compute the identical
+    // layout. DuckDB sums to HUGEINT, hence the BIGINT casts.
+    "e8_sequence_packing" -> Q(
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |                  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |             CAST(coalesce(sum(n_tokens) OVER (
+        |               PARTITION BY shard ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |               AS BIGINT) AS tok_offset
+        |      FROM t)
+        |SELECT doc_id, shard, n_tokens, tok_offset,
+        |       tok_offset // 512 AS chunk_first,
+        |       (tok_offset + greatest(n_tokens, 1) - 1) // 512 AS chunk_last
+        |FROM c""".stripMargin) {
+      (s, dir) =>
+        Packing.packChunks(Tables.documents(s, dir), "doc_id",
+          TextAnalysis.tokenCount(col("text")), nShards = 8, capacity = 512)
+    },
+
+    // [EXT] stratified sampling — per-stratum fractions from the same
+    // content-hash coin as e7/e7b (hex-prefix threshold, engine-portable):
+    // 50% of English, 25% of Spanish, 10% of everything else.
+    "e7c_stratified_sample" -> Q(
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |      CASE lang WHEN 'en' THEN '8000' WHEN 'es' THEN '4000'
+        |           ELSE '1999' END""".stripMargin) {
+      (s, dir) =>
+        Sampling.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id",
+            Map("en" -> 0.5, "es" -> 0.25), default = 0.1)
+          .select("doc_id", "lang")
     }
   )
 }

@@ -156,6 +156,61 @@ object JoinQueries {
           .agg(count(lit(1)).as("cnt"))
     },
 
+    // As-of join — the point-in-time enrichment join (latest view before
+    // each purchase, per user). Spark side is the merge-style encoding
+    // (graft.ops.AsOfJoin: one key shuffle + sort + running last, no
+    // nested loop); DuckDB adjudicates with its native ASOF JOIN — two
+    // entirely different algorithms required to agree row-for-row. Times
+    // compared at epoch-micros on both sides (events.ts is parquet ns;
+    // DuckDB truncates ns→µs on read). The right side is deduped to one
+    // row per (user, µs) by max event_id because ASOF leaves equal-time
+    // winners unspecified — the dedup makes both engines deterministic.
+    "j8_asof_join" -> Q(
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, epoch_us(ts) AS v_us, max(event_id) AS view_id
+        |      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.user_id, purchase_id, p_us, view_id, v_us
+        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.p_us >= v.v_us""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir) // ts: LongType epoch-nanos
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            expr("ts div 1000").as("p_us"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), expr("ts div 1000").as("v_us"))
+          .agg(max("event_id").as("view_id"))
+        graft.ops.AsOfJoin.asOf(p, v, Seq("user_id"), "p_us", "v_us",
+            Seq("view_id", "v_us"))
+          .select("user_id", "purchase_id", "p_us", "view_id", "v_us")
+    },
+
+    // Range (interval-containment) join — lineitems shipped in the week
+    // after each urgent order. Spark side is the binned equi-join encoding
+    // (graft.ops.RangeJoin: explode intervals into week bins, shuffle
+    // equi-join on the bin, residual exact predicate — never a
+    // nested-loop); DuckDB adjudicates with its native inequality join.
+    "j9_range_bin_join" -> Q(
+      """WITH urgent AS (SELECT o_orderkey, epoch_ms(o_orderdate) AS lo,
+        |                       epoch_ms(o_orderdate) + 604800000 AS hi
+        |                FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT o_orderkey, count(*) AS cnt
+        |FROM urgent JOIN lineitem
+        |  ON epoch_ms(l_shipdate) >= lo AND epoch_ms(l_shipdate) < hi
+        |GROUP BY o_orderkey""".stripMargin) {
+      (s, dir) =>
+        val urgent = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"),
+            unix_millis(col("o_orderdate").cast("timestamp")).as("lo"))
+          .withColumn("hi", col("lo") + lit(604800000L))
+        val pts = Tables.lineitem(s, dir)
+          .select(unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"))
+        graft.ops.RangeJoin.pointInInterval(pts, "ship_ms",
+            urgent, "lo", "hi", binWidth = 604800000L)
+          .groupBy("o_orderkey").agg(count(lit(1)).as("cnt"))
+    },
+
     // X3 — duration arithmetic between two timestamps vs literal interval
     // (README.md:306-307), in the DuckDB-portable epoch-millis form.
     "x3_duration_filter" -> Q(

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, DupClusters}
+
+/** Connected-component clustering: known component structures, isolated
+  * nodes, chain graphs (worst-case diameter), determinism, and the corpus
+  * path over exact-Jaccard edges. */
+class DupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                 maxIter: Int = 25): Map[Long, Long] =
+    DupClusters.connectedComponents(
+        nodes.toDF("id"), "id",
+        edges.toDF("a", "b"), "a", "b", maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("two components and an isolated node resolve to min-id labels") {
+    val got = cc(
+      nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L),
+      edges = Seq((2L, 1L), (2L, 3L), (10L, 11L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
+  test("a 30-node chain converges to a single component") {
+    val nodes = (0L until 30L).toSeq
+    val edges = (0L until 29L).map(i => (i, i + 1))
+    assert(cc(nodes, edges).values.toSet == Set(0L))
+  }
+
+  test("maxIter bounds the propagation (chain cut short stays unconverged)") {
+    val nodes = (0L until 30L).toSeq
+    val edges = (0L until 29L).map(i => (i, i + 1))
+    // after 3 rounds a node 20+ hops from 0 cannot yet carry label 0
+    val partial = cc(nodes, edges, maxIter = 3)
+    assert(partial(29L) != 0L)
+  }
+
+  test("edge direction and duplication do not affect the result") {
+    val base = cc(Seq(1L, 2L, 3L), Seq((1L, 2L), (2L, 3L)))
+    val noisy = cc(Seq(1L, 2L, 3L),
+      Seq((2L, 1L), (3L, 2L), (1L, 2L), (2L, 3L), (2L, 3L)))
+    assert(base == noisy && base.values.toSet == Set(1L))
+  }
+
+  test("clusters over exact-Jaccard edges give every doc a canonical keeper") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"doc_id" < 50)
+    val edges = Dedup.unigramJaccardPairs(docs, "doc_id", "text", 0.8)
+    val out = DupClusters.clusters(docs, "doc_id", edges, "a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 50)
+    // every cluster id is a member of its own cluster and flagged canonical
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, s"cluster $cid label not min id")
+      assert(members.count(_._3 == 1L) == 1 &&
+        members.find(_._3 == 1L).get._1 == cid)
+    }
+    // the degenerate word-soup corpus really does cluster (not all singletons)
+    assert(byCluster.size < 50)
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Packing
+
+/** Sequence packing: exact layout on a hand fixture, per-shard contiguity
+  * invariants on the corpus, and shard-boundedness of the windows. */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand fixture packs to the known layout") {
+    // one shard (ids all ≡ 0 mod 1): capacity 10
+    val docs = Seq((0L, "a b c d"), (1L, "e f g h i j k l"), (2L, "m n o"))
+      .toDF("doc_id", "text")
+    val out = Packing.packChunks(docs, "doc_id",
+        graft.ext.TextAnalysis.tokenCount(col("text")), nShards = 1,
+        capacity = 10)
+      .orderBy("doc_id")
+      .select("doc_id", "shard", "n_tokens", "tok_offset",
+        "chunk_first", "chunk_last")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0L, 4L, 0L, 0L, 0L),   // tokens 0-3 in chunk 0
+      (1L, 0L, 8L, 4L, 0L, 1L),   // tokens 4-11 straddle the cut at 10
+      (2L, 0L, 3L, 12L, 1L, 1L))) // tokens 12-14 in chunk 1
+  }
+
+  test("per-shard layout is contiguous and in doc order on the corpus") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Packing.packChunks(docs, "doc_id",
+        graft.ext.TextAnalysis.tokenCount(col("text")), nShards = 8,
+        capacity = 512)
+      .select("doc_id", "shard", "n_tokens", "tok_offset")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 500)
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      val sorted = rows.sortBy(_._1)
+      sorted.foreach { case (id, _, _, _) => assert(id % 8 == shard) }
+      // offsets tile exactly: each doc starts where the previous ended
+      sorted.foldLeft(0L) { case (expectedOff, (_, _, n, off)) =>
+        assert(off == expectedOff); expectedOff + n
+      }
+    }
+  }
+}
