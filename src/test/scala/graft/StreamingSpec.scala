@@ -155,6 +155,46 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("stream-stream interval join equals the batch join on replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamJoin
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // (user, time, id) — views then purchases, interleaved across batches
+    val views = Seq((1L, 10L, 100L), (1L, 40L, 101L), (2L, 15L, 102L),
+      (1L, 70L, 103L), (3L, 5L, 104L))
+    val purchases = Seq((1L, 45L, 200L), (2L, 100L, 201L), (1L, 75L, 202L),
+      (3L, 300L, 203L))
+    val vMem = MemoryStream[(Long, Long, Long)]
+    val pMem = MemoryStream[(Long, Long, Long)]
+    def shape(df: org.apache.spark.sql.DataFrame, t: String, id: String) =
+      df.select(col("_1").as("user"), to_timestamp(col("_2").cast("long")).as(t),
+        col("_3").as(id))
+    val joined = StreamJoin.intervalJoin(
+      shape(pMem.toDF(), "pts", "pid"), "pts",
+      shape(vMem.toDF(), "vts", "vid"), "vts",
+      Seq("user"), lookbackMs = 60000L, watermarkDelay = "0 seconds")
+    val q = joined.select("user", "pid", "vid").writeStream
+      .format("memory").queryName("sj_out").outputMode("append").start()
+    // all data in one epoch per side — the law under test is join semantics
+    vMem.addData(views.map { case (u, t, i) => (u, t, i) })
+    pMem.addData(purchases.map { case (u, t, i) => (u, t, i) })
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sj_out").as[(Long, Long, Long)].collect().toSet
+    // batch twin: same predicate on static frames
+    val expected = shape(purchases.toDF(), "pts", "pid").join(
+        shape(views.toDF(), "vts", "vid").withColumnRenamed("user", "vuser"),
+        col("user") === col("vuser") &&
+          col("vts") >= col("pts") - expr("INTERVAL 60000 MILLISECONDS") &&
+          col("vts") <= col("pts"))
+      .select("user", "pid", "vid").as[(Long, Long, Long)].collect().toSet
+    assert(got == expected && got.nonEmpty)
+    // spot-check the attribution semantics: purchase 200 (t=45) sees views
+    // at 10 and 40; purchase 203 (t=300) sees nothing within 60 s
+    assert(got.filter(_._2 == 200L).map(_._3) == Set(100L, 101L))
+    assert(!got.exists(_._2 == 203L))
+  }
+
   test("tumbling-window event-time aggregation with watermark (streaming extra)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Double)]
