@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ext.{Dedup, DupClusters, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, DupClusters, Multimodal, Packing, Quantize, Sampling, Similarity, TextAnalysis}
 
 /** [EXT] training-data-pipeline operators (SURVEY §2.9 E1–E4 + driver
   * mandate): dedup, similarity search, multimodal plumbing, text analysis.
@@ -901,6 +901,42 @@ object ExtQueries {
       (s, dir) =>
         Packing.packChunks(Tables.documents(s, dir), "doc_id",
           TextAnalysis.tokenCount(col("text")), nShards = 8, capacity = 512)
+    },
+
+    // E2 — int8 embedding quantization, fully oracle-matched row-by-row:
+    // both engines evaluate the IDENTICAL double-arithmetic expression
+    // shape (same op order → bit-equal IEEE results), so the codes, their
+    // sum, and the max reconstruction error all hash-match. err_ok is the
+    // semantic contract: error ≤ one grid step per component.
+    "e2i_quantize_int8" -> Q(
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        |p AS (SELECT vec_id, x, list_min(x) AS mn,
+        |             (list_max(x) - list_min(x)) / 255.0 AS scale FROM v),
+        |c AS (SELECT vec_id, x, mn, scale,
+        |        CASE WHEN scale = 0 THEN list_transform(x, y -> CAST(0 AS BIGINT))
+        |             ELSE list_transform(x, y -> CAST(least(floor((y - mn) / scale), 255) AS BIGINT))
+        |        END AS codes
+        |      FROM p),
+        |e AS (SELECT vec_id, scale, codes,
+        |        list_max(list_transform(range(1, len(x) + 1),
+        |          i -> abs(x[i] - (mn + codes[i] * scale)))) AS max_err
+        |      FROM c)
+        |SELECT vec_id, CAST(list_sum(codes) AS BIGINT) AS qsum,
+        |       round(max_err, 6) AS max_err,
+        |       CAST(max_err <= scale + 1e-9 AS BIGINT) AS err_ok
+        |FROM e""".stripMargin) {
+      (s, dir) =>
+        val q = Quantize.quantizeInt8(col("embedding"))
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"), q.as("q"))
+          .select(col("vec_id"),
+            aggregate(col("q.codes"), lit(0L), _ + _).as("qsum"),
+            array_max(Quantize.reconstructionErrors(col("embedding"), col("q")))
+              .as("me"),
+            col("q.scale").as("sc"))
+          .select(col("vec_id"), col("qsum"),
+            round(col("me"), 6).as("max_err"),
+            (col("me") <= col("sc") + lit(1e-9)).cast("long").as("err_ok"))
     },
 
     // [EXT] stratified sampling — per-stratum fractions from the same

@@ -40,7 +40,22 @@ object PlanCheck {
     "f4b_global_rownumber" -> Seq("MapPartitions"),
     "w6_tumbling_window"-> Seq("HashAggregate"),
     "w1_latest_per_key" -> Seq("RunningWindowFunction|Window"),
+    // as-of joins via the merge encoding: key-shuffled running window
+    "j8_asof_join"      -> Seq("RunningWindowFunction|Window", "Union"),
+    // range join via bin explode + equi-join (the sweep separately proves
+    // it is NOT a nested loop)
+    "j9_range_bin_join" -> Seq("Generate",
+                               "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+    // packing windows are shard-partitioned, never global
+    "e8_sequence_packing" -> Seq("Window"),
     "a1_max_watermark"  -> Seq("HashAggregate"))
+
+  /** Patterns that must NOT appear — the plan shapes each encoding exists
+    * to avoid. */
+  private val forbidden: Map[String, Seq[String]] = Map(
+    // the whole point of the merge-style as-of: no join operator at all
+    "j8_asof_join"      -> Seq("Join"),
+    "j9_range_bin_join" -> Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
 
   /** Queries whose plan legitimately contains a broadcast nested-loop:
     * the scalar-watermark crossJoins (one-row build side, T1/T3) and the
@@ -95,6 +110,11 @@ object PlanCheck {
         val ok = java.util.regex.Pattern.compile(pat).matcher(plan).find()
         println(s"  [${if (ok) "OK " else "MISS"}] $pat")
         if (!ok) failed += 1
+      }
+      forbidden.getOrElse(name, Nil).foreach { pat =>
+        val hit = java.util.regex.Pattern.compile(pat).matcher(plan).find()
+        println(s"  [${if (hit) "BAD " else "OK "}] absent: $pat")
+        if (hit) failed += 1
       }
     }
     spark.stop()

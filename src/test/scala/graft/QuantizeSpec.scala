@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Quantize, Similarity}
+
+/** Int8 quantization: the error bound, code range, constant-vector edge,
+  * and the property that justifies quantized ANN — cosine top-k on
+  * reconstructed vectors stays close to the exact top-k. */
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("codes are in [0,255] and reconstruction error is within one grid step") {
+    val q = Quantize.quantizeInt8(col("embedding"))
+    val rows = emb.select(
+        col("vec_id"), q.as("q"),
+        array_max(Quantize.reconstructionErrors(col("embedding"), q)).as("me"))
+      .select(col("vec_id"), col("q.scale").as("scale"),
+        array_min(col("q.codes")).as("cmin"),
+        array_max(col("q.codes")).as("cmax"), col("me"))
+      .as[(Long, Double, Long, Long, Double)].collect()
+    assert(rows.length == 500)
+    rows.foreach { case (id, scale, cmin, cmax, me) =>
+      assert(cmin >= 0L && cmax <= 255L, s"vec $id codes out of range")
+      assert(me <= scale + 1e-9, s"vec $id error $me exceeds grid step $scale")
+    }
+  }
+
+  test("constant vectors quantize to zero codes with exact reconstruction") {
+    val df = Seq((1L, Array.fill(8)(3.25f))).toDF("vec_id", "embedding")
+    val out = df.select(Quantize.quantizeInt8(col("embedding")).as("q"),
+        col("embedding"))
+      .select(array_max(col("q.codes")),
+        array_max(Quantize.reconstructionErrors(col("embedding"), col("q"))))
+      .as[(Long, Double)].head()
+    assert(out == ((0L, 0.0)))
+  }
+
+  test("cosine top-k on reconstructed vectors tracks the exact top-k") {
+    val query = emb.filter($"vec_id" === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    // reconstruct every corpus vector from its codes, then the same top-k
+    val recon = emb.select(col("vec_id"),
+      Quantize.dequantize(Quantize.quantizeInt8(col("embedding")))
+        .as("rvec"))
+    val qArr = lit(query.map(_.toDouble).toArray)
+    val dot = aggregate(zip_with(col("rvec"), qArr, (a, b) => a * b),
+      lit(0.0), _ + _)
+    val na = sqrt(aggregate(transform(col("rvec"), a => a * a), lit(0.0), _ + _))
+    val nb = math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
+    val approx = recon.select(col("vec_id"), (dot / (na * nb)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    // 8-bit grid on 64-dim unit-ish vectors barely moves cosines: demand
+    // near-total agreement, not the loose ANN bar
+    assert((exact & approx).size >= 8, s"overlap ${(exact & approx).size}")
+    assert(approx.contains(0L))
+  }
+}
