@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ext.{Dedup, DupClusters, Multimodal, Packing, Quantize, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, DupClusters, EmbeddingStats, Multimodal, Packing, Quantize, Sampling, Similarity, TextAnalysis}
 
 /** [EXT] training-data-pipeline operators (SURVEY §2.9 E1–E4 + driver
   * mandate): dedup, similarity search, multimodal plumbing, text analysis.
@@ -937,6 +937,26 @@ object ExtQueries {
           .select(col("vec_id"), col("qsum"),
             round(col("me"), 6).as("max_err"),
             (col("me") <= col("sc") + lit(1e-9)).cast("long").as("err_ok"))
+    },
+
+    // E2 — per-label embedding centroids (class prototypes), exact across
+    // engines: components sum through DECIMAL(28,12) so accumulation order
+    // cannot move the result (no double is an exact decimal-digit-13 tie,
+    // so the one float→decimal rounding is engine-identical too). Oracle
+    // hard-codes dim=64 (FIXTURES.md); the Spark side is dim-generic.
+    "e2j_label_centroids" -> Q(
+      """WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)
+        |SELECT label, i - 1 AS pos,
+        |       round(CAST(sum(CAST(x[i] AS DECIMAL(28,12))) AS DOUBLE)
+        |             / count(*), 6) AS centroid,
+        |       count(*) AS n
+        |FROM v, range(1, 65) t(i)
+        |GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        EmbeddingStats.labelCentroids(
+            Tables.embeddings(s, dir), "label", "embedding")
+          .select(col("label"), col("pos"),
+            round(col("centroid"), 6).as("centroid"), col("n"))
     },
 
     // [EXT] stratified sampling — per-stratum fractions from the same
