@@ -361,6 +361,77 @@ object Similarity {
     ivfProbe(embeddings.sparkSession, dir, idCol, vecCol, query, k, nProbe)
   }
 
+  /** INT8-QUANTIZED IVF variant: same coarse quantizer and cell layout as
+    * [[buildIvfIndex]], but cells store per-vector int8 codes
+    * (offset-shifted to `array<byte>` — true 1 byte/component, 4× less
+    * scan IO than float32) plus the two dequantization scalars. The probe
+    * ranks on DEQUANTIZED vectors; per QuantizeSpec the 8-bit grid moves
+    * 64-dim cosines by ≲1e-2, so candidate ranking survives — pipelines
+    * wanting exact final scores re-rank the returned top-k against the
+    * float corpus (k rows, scalar-sized). */
+  def buildIvfIndexQuantized(embeddings: DataFrame, idCol: String,
+                             vecCol: String, indexDir: String,
+                             nLists: Int = 16, seed: Long = 42L): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    val vecs = embeddings.withColumn("__v",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans().setK(nLists).setSeed(seed)
+      .setFeaturesCol("__v").setPredictionCol("__cell")
+      .fit(vecs)
+    val q = Quantize.quantizeInt8(col(vecCol))
+    model.transform(vecs)
+      .select(col(idCol), q.as("__q"), col("__cell"))
+      .select(col(idCol),
+        col("__q.mn").as("__mn"), col("__q.scale").as("__scale"),
+        transform(col("__q.codes"), c => (c - 128).cast("byte")).as("__codes"),
+        col("__cell"))
+      .write.mode(SaveMode.Overwrite).partitionBy("__cell").parquet(indexDir)
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(indexDir + "/_centroids")
+  }
+
+  /** Build-if-absent into the content-addressed cache; returns the dir. */
+  def ensureIvfIndexQuantized(embeddings: DataFrame, idCol: String,
+                              vecCol: String, nLists: Int = 16,
+                              seed: Long = 42L): String = {
+    val dir = cachedIndexDir("ivfq", embeddings,
+      s"$idCol|$vecCol|$nLists|$seed")
+    if (!hasIndex(embeddings.sparkSession, dir))
+      buildIvfIndexQuantized(embeddings, idCol, vecCol, dir, nLists, seed)
+    dir
+  }
+
+  /** Probe a [[buildIvfIndexQuantized]] layout: nProbe cell partitions
+    * read (pruned), vectors dequantized in-plan, cosine top-k. */
+  def ivfProbeQuantized(spark: SparkSession, indexDir: String, idCol: String,
+                        query: Seq[Float], k: Int,
+                        nProbe: Int = 4): DataFrame = {
+    val q = query.map(_.toDouble).toArray
+    val probes = spark.read.parquet(indexDir + "/_centroids")
+      .collect()
+      .map { r =>
+        val c = r.getSeq[Double](r.fieldIndex("centroid"))
+        val d = c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+        (r.getInt(r.fieldIndex("cell")), d)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1).toIndexedSeq
+    val qLit = array(query.map(v => lit(v.toDouble)): _*)
+    val recon = transform(col("__codes"),
+      c => col("__mn") + (c.cast("double") + 128.0) * col("__scale"))
+    spark.read.parquet(indexDir)
+      .filter(col("__cell").isin(probes: _*))
+      .withColumn("cos", round(cosine(recon, qLit), 6))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Deterministic pseudo-random plane matrix for the banded near-dup LSH,
     * generated DRIVER-side (splitmix64, seeded — stable across JVMs and
     * executors) and shipped as one array literal: m = bands·nPlanes planes ×

@@ -939,6 +939,28 @@ object ExtQueries {
             (col("me") <= col("sc") + lit(1e-9)).cast("long").as("err_ok"))
     },
 
+    // E2 — int8-QUANTIZED IVF ANN: the probe ranks on dequantized vectors
+    // read from 1-byte codes (4× less scan IO — the memory path for
+    // billion-vector shards). Same recall-contract gate as e2d: DuckDB
+    // recomputes the exact top-k cardinality; the flags assert the
+    // quantized probe found ≥ half of it including the query itself.
+    "e2k_ivf_quantized_topk" -> Q(
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |topk AS (SELECT vec_id FROM embeddings
+        |         ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) DESC,
+        |                  vec_id ASC LIMIT 10)
+        |SELECT count(*) AS k, CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS self_found
+        |FROM topk""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0)
+      val idx = Similarity.ensureIvfIndexQuantized(emb, "vec_id", "embedding")
+      val qtop = Similarity.ivfProbeQuantized(s, idx, "vec_id", query, 10,
+        nProbe = 6)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 10)
+      recallContract(exact, qtop)
+    },
+
     // E2 — per-label embedding centroids (class prototypes), exact across
     // engines: components sum through DECIMAL(28,12) so accumulation order
     // cannot move the result (no double is an exact decimal-digit-13 tie,

@@ -60,4 +60,30 @@ class QuantizeSpec extends SparkSpec {
     assert((exact & approx).size >= 8, s"overlap ${(exact & approx).size}")
     assert(approx.contains(0L))
   }
+
+  test("quantized IVF probe tracks the float IVF probe over the same cells") {
+    val dir = tmpDir("ivf-q")
+    Similarity.buildIvfIndexQuantized(emb, "vec_id", "embedding",
+      dir + "/idx", nLists = 8)
+    val query = emb.filter($"vec_id" === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val got = Similarity.ivfProbeQuantized(spark, dir + "/idx", "vec_id",
+      query, 10, nProbe = 4)
+    // the index stores true int8: 1-byte codes
+    val schema = spark.read.parquet(dir + "/idx").schema
+    assert(schema("__codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = false) ||
+      schema("__codes").dataType.simpleString == "array<tinyint>")
+    // float twin over the same cell layout (same kmeans seed)
+    val floatDir = tmpDir("ivf-f")
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+      floatDir + "/idx", nLists = 8)
+    val exact = Similarity.ivfProbe(spark, floatDir + "/idx", "vec_id",
+      "embedding", query, 10, nProbe = 4)
+    val g = got.select("vec_id").as[Long].collect().toSet
+    val e = exact.select("vec_id").as[Long].collect().toSet
+    assert((g & e).size >= 8, s"quantized/float probe overlap ${(g & e).size}")
+    assert(g.contains(0L)) // self survives quantization
+  }
 }
