@@ -184,6 +184,29 @@ object WindowQueries {
             unix_micros(col("w.start")).as("session_start_us"), col("n_events"))
     },
 
+    // Distribution-rank window family (ntile / percent_rank / cume_dist)
+    // per market segment — the quartile-bucketing shape curation pipelines
+    // use for per-stratum score cuts. Total order (tie-break on the key)
+    // keeps every rank engine-deterministic.
+    "w9_ntile_percentile" -> Q(
+      """SELECT c_mktsegment, c_custkey,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cdist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal DESC, c_custkey ASC)""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        Tables.customer(s, dir).select(
+          col("c_mktsegment"), col("c_custkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+    },
+
     // Skew-salted two-phase aggregation — must equal the direct groupBy.
     "skew_salted_sum" -> Q(
       """SELECT event_type,
