@@ -70,15 +70,21 @@ object Bench {
         }.filter(_ >= 0)
         if (ts.isEmpty) -1.0 else ts.min
       }
+      val ivfqDir = graft.ext.Similarity.ensureIvfIndexQuantized(
+        emb, "vec_id", "embedding")
       Seq(
         "e2b_ann_probe_only" -> probeTime(
           graft.ext.Similarity.annProbe(spark, lshDir, "vec_id", "embedding",
             query, 10, dim = 64, nPlanes = 8, probeHamming = 3)),
         "e2d_ivf_probe_only" -> probeTime(
           graft.ext.Similarity.ivfProbe(spark, ivfDir, "vec_id", "embedding",
+            query, 10, nProbe = 6)),
+        "e2k_ivfq_probe_only" -> probeTime(
+          graft.ext.Similarity.ivfProbeQuantized(spark, ivfqDir, "vec_id",
             query, 10, nProbe = 6)))
     } catch { case scala.util.control.NonFatal(_) =>
-      Seq("e2b_ann_probe_only" -> -1.0, "e2d_ivf_probe_only" -> -1.0) }
+      Seq("e2b_ann_probe_only" -> -1.0, "e2d_ivf_probe_only" -> -1.0,
+        "e2k_ivfq_probe_only" -> -1.0) }
 
     // end-to-end sync-merge throughput on the events twin-table fixture
     // (BASELINE.md comparable (a)): cold-start full sync, fresh dest per
