@@ -29,6 +29,21 @@ object Dedup {
     stream.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming SIGNATURE-level near-dedup at ingest: drops documents whose
+    * simhash64 collides with one seen inside the watermark horizon. The
+    * signature is over the `\s+` token sequence, so whitespace/formatting
+    * variants collapse to one row while any token change survives —
+    * signature equality, NOT a hamming radius (radius-r streaming dedup
+    * needs a band-keyed stateful join; batch [[minhashNearDups]] covers
+    * that offline). State is one signature per horizon window — bounded,
+    * like [[streamingDedup]]. */
+  def streamingNearDedup(stream: DataFrame, textCol: String, tsCol: String,
+                         delay: String): DataFrame =
+    stream.withColumn("__sig", TextAnalysis.simhash64(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__sig")
+      .drop("__sig")
+
   /** Exact-content dedup keeping the smallest-id row per normalized-content
     * fingerprint: a single hash aggregation (`min_by` of the whole row on
     * the id) — one shuffle, no keeper join. */

@@ -822,6 +822,36 @@ object ExtQueries {
           "doc_id", "text", shingleN = 3, nativeShingles = true)
     },
 
+    // E4 — PER-GROUP quantile contract (e4l grouped by language): the
+    // per-stratum length cutoffs curation uses for balanced filtering.
+    // Exact interpolated percentiles both engines; flag asserts the
+    // distributed sketch lands within 5% (or ±1 token) in EVERY group.
+    "e4m_grouped_quantiles" -> Q(
+      """WITH t AS (SELECT lang, CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+        |           FROM documents)
+        |SELECT lang, round(quantile_cont(n_tokens, 0.5), 6) AS p50_exact,
+        |       round(quantile_cont(n_tokens, 0.95), 6) AS p95_exact,
+        |       CAST(1 AS BIGINT) AS approx_close
+        |FROM t GROUP BY lang""".stripMargin) {
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("lang"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+          .groupBy("lang")
+          .agg(
+            round(expr("percentile(n_tokens, 0.5)"), 6).as("p50_exact"),
+            round(expr("percentile(n_tokens, 0.95)"), 6).as("p95_exact"),
+            expr("approx_percentile(n_tokens, 0.5, 10000)").as("__a50"),
+            expr("approx_percentile(n_tokens, 0.95, 10000)").as("__a95"))
+          .select(col("lang"), col("p50_exact"), col("p95_exact"),
+            when(
+              abs(col("__a50") - col("p50_exact")) <=
+                greatest(col("p50_exact") * 0.05, lit(1.0)) &&
+              abs(col("__a95") - col("p95_exact")) <=
+                greatest(col("p95_exact") * 0.05, lit(1.0)), 1L)
+              .otherwise(0L).as("approx_close"))
+    },
+
     // E1 — exact n-gram (unigram-set) Jaccard near-dup pairs, oracle-checked.
     "e6b_unigram_jaccard" -> Q(
       """WITH tok AS (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token

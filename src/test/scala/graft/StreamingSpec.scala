@@ -155,6 +155,27 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("streaming near-dedup: whitespace variants collapse, token changes survive") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val out = graft.ext.Dedup.streamingNearDedup(
+      mem.toDF().toDF("id", "ts", "text"), "text", "ts", "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("neardedup_out").start()
+    mem.addData(
+      (1L, t(1), "the quick brown fox"),
+      (2L, t(2), "the  quick   brown fox"), // whitespace variant of 1 → drop
+      (3L, t(3), "the quick brown dog"))    // token change → keep
+    q.processAllAvailable()
+    mem.addData((4L, t(4), "the quick\tbrown fox")) // tab variant → drop
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("neardedup_out").select("id")
+      .as[Long].collect().toSeq.sorted
+    assert(ids == Seq(1L, 3L))
+  }
+
   test("stream-stream interval join equals the batch join on replay") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamJoin
