@@ -109,7 +109,11 @@ object Bench {
     // ms precision keeps the line short, and the headline metric/value
     // fields go LAST: the driver records only a bounded tail of stdout, so
     // with ~80 queries a front-loaded summary gets truncated away
-    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the default-locale f-interpolator would emit comma
+    // decimal separators (invalid JSON) on non-English JVMs
+    def r3(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = all.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum

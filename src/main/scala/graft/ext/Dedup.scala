@@ -32,11 +32,15 @@ object Dedup {
   /** Streaming SIGNATURE-level near-dedup at ingest: drops documents whose
     * simhash64 collides with one seen inside the watermark horizon. The
     * signature is over the `\s+` token sequence, so whitespace/formatting
-    * variants collapse to one row while any token change survives —
-    * signature equality, NOT a hamming radius (radius-r streaming dedup
-    * needs a band-keyed stateful join; batch [[minhashNearDups]] covers
-    * that offline). State is one signature per horizon window — bounded,
-    * like [[streamingDedup]]. */
+    * variants always collapse to one row. This is signature EQUALITY, not
+    * a hamming radius — and simhash equality is a similarity heuristic in
+    * both directions: a short document's single-token edit flips bits
+    * (survives), while a LONG document's single-token edit often moves no
+    * bit-vote past zero and collapses too (margins grow ~√n_tokens).
+    * Treat it as "drop near-identical revisions at ingest"; radius-r
+    * streaming dedup needs a band-keyed stateful join, and exact-threshold
+    * dedup is the batch [[minhashNearDups]] path. State is one signature
+    * per horizon window — bounded, like [[streamingDedup]]. */
   def streamingNearDedup(stream: DataFrame, textCol: String, tsCol: String,
                          delay: String): DataFrame =
     stream.withColumn("__sig", TextAnalysis.simhash64(col(textCol)))

@@ -38,9 +38,14 @@ object Sampling {
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
                        fractions: Map[String, Double],
                        default: Double): DataFrame = {
+    // fraction 1.0 must keep EVERYTHING: a clamped "ffff" cut with the
+    // strict < would silently drop the ~1/65536 of rows hashing to ffff*.
+    // "g" sorts above every lowercase-hex prefix → keep-all sentinel.
     def hexCut(f: Double): String = {
       require(f >= 0 && f <= 1, s"fraction must be in [0,1], got $f")
-      f"${math.min(math.floor(f * 65536).toInt, 65535)}%04x"
+      if (f >= 1.0) "g"
+      else String.format(java.util.Locale.ROOT, "%04x",
+        Int.box(math.floor(f * 65536).toInt))
     }
     val cut = fractions.foldLeft(lit(hexCut(default))) {
       case (acc, (stratum, f)) =>

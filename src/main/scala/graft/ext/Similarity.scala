@@ -108,14 +108,27 @@ object Similarity {
   // query touches nProbe cells (or a hamming ball of buckets), never the
   // corpus. Training/bucketing never runs in the query path.
 
-  /** True when `dir` already holds committed index data (non-hidden files). */
+  /** Marker the ensure* wrappers write AFTER a build fully completes —
+    * including the post-commit `_centroids` write, which Spark's own
+    * `_SUCCESS` does not cover. Listing for non-hidden entries is wrong
+    * here twice over: an IVF layout's root holds only underscore-prefixed
+    * names (`__cell=N` partition dirs, `_centroids`, `_SUCCESS`), which a
+    * hidden-file heuristic classifies as "no data" — silently turning
+    * build-once into KMeans-refit-per-call — and a crash between the data
+    * commit and the centroid write must read as "not built". */
+  private val CommitMarker = "_GRAFT_COMMITTED"
+
+  /** True when `dir` holds a fully-committed index. */
   private def hasIndex(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
+    fs.exists(new Path(p, CommitMarker))
+  }
+
+  private def markCommitted(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir, CommitMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(p, true).close()
   }
 
   /** Content-addressed cache location for a derived index: keyed by the
@@ -181,8 +194,10 @@ object Similarity {
   def ensureLshIndex(embeddings: DataFrame, idCol: String, vecCol: String,
                      dim: Int, nPlanes: Int = 8, seed: Int = 42): String = {
     val dir = cachedIndexDir("lsh", embeddings, s"$idCol|$vecCol|$dim|$nPlanes|$seed")
-    if (!hasIndex(embeddings.sparkSession, dir))
+    if (!hasIndex(embeddings.sparkSession, dir)) {
       buildLshIndex(embeddings, idCol, vecCol, dir, dim, nPlanes, seed)
+      markCommitted(embeddings.sparkSession, dir)
+    }
     dir
   }
 
@@ -260,30 +275,62 @@ object Similarity {
   def buildIvfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
                     indexDir: String, nLists: Int = 16,
                     seed: Long = 42L): Unit = {
+    val (assigned, centers) = fitCells(embeddings, vecCol, nLists, seed)
+    assigned.select(col(idCol), col(vecCol), col("__cell"))
+      .write.mode(SaveMode.Overwrite).partitionBy("__cell").parquet(indexDir)
+    writeCentroids(embeddings.sparkSession, indexDir, centers)
+  }
+
+  /** Shared coarse-quantizer fit for the IVF builds: returns the input
+    * with `__cell` assigned plus the centroid matrix. The training pass is
+    * paid once at build time, never per query. */
+  private def fitCells(embeddings: DataFrame, vecCol: String, nLists: Int,
+                       seed: Long): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = embeddings.sparkSession
     val vecs = embeddings.withColumn("__v",
       array_to_vector(col(vecCol).cast("array<double>")))
     val model = new KMeans().setK(nLists).setSeed(seed)
       .setFeaturesCol("__v").setPredictionCol("__cell")
       .fit(vecs)
-    model.transform(vecs).select(col(idCol), col(vecCol), col("__cell"))
-      .write.mode(SaveMode.Overwrite).partitionBy("__cell").parquet(indexDir)
+    (model.transform(vecs), model.clusterCenters.map(_.toArray))
+  }
+
+  /** Persist the tiny centroid table beside the cells (`_centroids` —
+    * underscore-prefixed, so scans of the index ignore it). */
+  private def writeCentroids(spark: SparkSession, indexDir: String,
+                             centers: Array[Array[Double]]): Unit = {
     import spark.implicits._
-    model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray.toSeq) }
+    centers.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(indexDir + "/_centroids")
+  }
+
+  /** Rank the persisted centroid list driver-side (scalar-sized) and
+    * return the nProbe nearest cell ids — the shared probe planning step. */
+  private def nearestCells(spark: SparkSession, indexDir: String,
+                           query: Seq[Float], nProbe: Int): IndexedSeq[Int] = {
+    val q = query.map(_.toDouble).toArray
+    spark.read.parquet(indexDir + "/_centroids")
+      .collect()
+      .map { r =>
+        val c = r.getSeq[Double](r.fieldIndex("centroid"))
+        val d = c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+        (r.getInt(r.fieldIndex("cell")), d)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1).toIndexedSeq
   }
 
   /** Build-if-absent into the content-addressed cache; returns the dir. */
   def ensureIvfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
                      nLists: Int = 16, seed: Long = 42L): String = {
     val dir = cachedIndexDir("ivf", embeddings, s"$idCol|$vecCol|$nLists|$seed")
-    if (!hasIndex(embeddings.sparkSession, dir))
+    if (!hasIndex(embeddings.sparkSession, dir)) {
       buildIvfIndex(embeddings, idCol, vecCol, dir, nLists, seed)
+      markCommitted(embeddings.sparkSession, dir)
+    }
     dir
   }
 
@@ -293,15 +340,7 @@ object Similarity {
   def ivfProbe(spark: SparkSession, indexDir: String, idCol: String,
                vecCol: String, query: Seq[Float], k: Int,
                nProbe: Int = 4): DataFrame = {
-    val q = query.map(_.toDouble).toArray
-    val probes = spark.read.parquet(indexDir + "/_centroids")
-      .collect()
-      .map { r =>
-        val c = r.getSeq[Double](r.fieldIndex("centroid"))
-        val d = c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
-        (r.getInt(r.fieldIndex("cell")), d)
-      }
-      .sortBy(_._2).take(nProbe).map(_._1).toIndexedSeq
+    val probes = nearestCells(spark, indexDir, query, nProbe)
     val qLit = array(query.map(v => lit(v.toDouble)): _*)
     spark.read.parquet(indexDir)
       .filter(col("__cell").isin(probes: _*))
@@ -372,28 +411,16 @@ object Similarity {
   def buildIvfIndexQuantized(embeddings: DataFrame, idCol: String,
                              vecCol: String, indexDir: String,
                              nLists: Int = 16, seed: Long = 42L): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = embeddings.sparkSession
-    val vecs = embeddings.withColumn("__v",
-      array_to_vector(col(vecCol).cast("array<double>")))
-    val model = new KMeans().setK(nLists).setSeed(seed)
-      .setFeaturesCol("__v").setPredictionCol("__cell")
-      .fit(vecs)
+    val (assigned, centers) = fitCells(embeddings, vecCol, nLists, seed)
     val q = Quantize.quantizeInt8(col(vecCol))
-    model.transform(vecs)
+    assigned
       .select(col(idCol), q.as("__q"), col("__cell"))
       .select(col(idCol),
         col("__q.mn").as("__mn"), col("__q.scale").as("__scale"),
         transform(col("__q.codes"), c => (c - 128).cast("byte")).as("__codes"),
         col("__cell"))
       .write.mode(SaveMode.Overwrite).partitionBy("__cell").parquet(indexDir)
-    import spark.implicits._
-    model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray.toSeq) }
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(indexDir + "/_centroids")
+    writeCentroids(embeddings.sparkSession, indexDir, centers)
   }
 
   /** Build-if-absent into the content-addressed cache; returns the dir. */
@@ -402,8 +429,10 @@ object Similarity {
                               seed: Long = 42L): String = {
     val dir = cachedIndexDir("ivfq", embeddings,
       s"$idCol|$vecCol|$nLists|$seed")
-    if (!hasIndex(embeddings.sparkSession, dir))
+    if (!hasIndex(embeddings.sparkSession, dir)) {
       buildIvfIndexQuantized(embeddings, idCol, vecCol, dir, nLists, seed)
+      markCommitted(embeddings.sparkSession, dir)
+    }
     dir
   }
 
@@ -412,15 +441,7 @@ object Similarity {
   def ivfProbeQuantized(spark: SparkSession, indexDir: String, idCol: String,
                         query: Seq[Float], k: Int,
                         nProbe: Int = 4): DataFrame = {
-    val q = query.map(_.toDouble).toArray
-    val probes = spark.read.parquet(indexDir + "/_centroids")
-      .collect()
-      .map { r =>
-        val c = r.getSeq[Double](r.fieldIndex("centroid"))
-        val d = c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
-        (r.getInt(r.fieldIndex("cell")), d)
-      }
-      .sortBy(_._2).take(nProbe).map(_._1).toIndexedSeq
+    val probes = nearestCells(spark, indexDir, query, nProbe)
     val qLit = array(query.map(v => lit(v.toDouble)): _*)
     val recon = transform(col("__codes"),
       c => col("__mn") + (c.cast("double") + 128.0) * col("__scale"))

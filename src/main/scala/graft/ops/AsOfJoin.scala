@@ -52,7 +52,13 @@ object AsOfJoin {
         col(leftTimeCol).as("__t"), lit(lTag).as("__tag"),
         struct(leftCols.map(col): _*).as("__lrow"),
         lit(null).cast(rType).as("__rval")): _*)
-    val rU = right.select(
+    // SQL equi-join semantics: a NULL key matches nothing. Window
+    // partitioning would happily group the null-key rows together, so
+    // null-key rights are dropped (they can never match) and null-key
+    // lefts have their match voided after the window (kept for "left",
+    // dropped by "inner" — same as a real join).
+    val keyNull = keyCols.map(col(_).isNull).reduce(_ || _)
+    val rU = right.filter(!keyNull).select(
       keyCols.map(col) ++ Seq(
         col(rightTimeCol).as("__t"), lit(rTag).as("__tag"),
         lit(null).cast(lType).as("__lrow"),
@@ -61,7 +67,9 @@ object AsOfJoin {
       .orderBy(col("__t").asc, col("__tag").asc, col("__rval").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = lU.unionByName(rU)
-      .withColumn("__match", last(col("__rval"), ignoreNulls = true).over(w))
+      .withColumn("__m0", last(col("__rval"), ignoreNulls = true).over(w))
+      .withColumn("__match",
+        when(keyNull, lit(null).cast(rType)).otherwise(col("__m0")))
       .filter(col("__lrow").isNotNull)
     val kept = if (joinType == "inner") matched.filter(col("__match").isNotNull)
                else matched

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Interval-containment (range) join without an inequality-only join.
@@ -22,22 +22,32 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Exact integer floor division. `floor(x / b)` in DOUBLE loses integer
+    * precision above 2^53 — an epoch-NANOS point within a double-ulp of a
+    * bin edge lands in the adjacent bin while the interval explode covers
+    * the true bin, and the pair silently vanishes. `x - pmod(x,b)` is an
+    * exact multiple of b; dividing it in DECIMAL(38,0) space stays exact
+    * over the full long range (and pmod keeps the floor, not truncation,
+    * semantics for negatives). */
+  private def floorDiv(x: Column, b: Long): Column =
+    ((x - pmod(x, lit(b))).cast("decimal(38,0)") / lit(b)).cast("long")
+
   /** Rows of `points` paired with every `intervals` row whose half-open
     * [lo, hi) contains the point. Columns: all of both frames. Point and
-    * bound columns must be numeric (epoch millis/micros work well). */
+    * bound columns must be integral (epoch millis/micros/nanos all safe —
+    * bin math is exact over the whole long range). */
   def pointInInterval(points: DataFrame, pointCol: String,
                       intervals: DataFrame, loCol: String, hiCol: String,
                       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val p = points.withColumn("__bin",
-      floor(col(pointCol) / binWidth).cast("long"))
-    // hi is exclusive → last overlapped bin is floor((hi-1)/binWidth);
+    val p = points.withColumn("__bin", floorDiv(col(pointCol), binWidth))
+    // hi is exclusive → last overlapped bin is floorDiv(hi-1);
     // empty intervals (hi <= lo) match nothing and are dropped before the
     // explode (a descending sequence() would silently step backwards)
     val iv = intervals.filter(col(hiCol) > col(loCol))
       .withColumn("__bin", explode(sequence(
-        floor(col(loCol) / binWidth).cast("long"),
-        floor((col(hiCol) - 1) / binWidth).cast("long"))))
+        floorDiv(col(loCol), binWidth),
+        floorDiv(col(hiCol) - 1, binWidth))))
     iv.join(p, Seq("__bin"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bin")

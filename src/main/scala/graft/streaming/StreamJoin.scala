@@ -25,21 +25,35 @@ object StreamJoin {
 
   /** @param lookbackMs     right rows match within this many ms BEFORE the
     *                       left row's event time (inclusive both ends)
-    * @param watermarkDelay max out-of-orderness, e.g. "10 seconds" */
+    * @param watermarkDelay max out-of-orderness, e.g. "10 seconds"
+    *
+    * When both streams use the same time-column name (the natural case —
+    * two filters of one source), the right one is surfaced as
+    * `<rightTs>_r` in the output. Other shared non-key columns are
+    * rejected up front: a silently ambiguous condition or duplicate
+    * output column is worse than the rename the caller must do anyway. */
   def intervalJoin(left: DataFrame, leftTs: String,
                    right: DataFrame, rightTs: String,
                    keyCols: Seq[String], lookbackMs: Long,
                    watermarkDelay: String): DataFrame = {
     require(lookbackMs >= 0, "lookbackMs must be >= 0")
+    val overlap = (right.columns.toSet -- keyCols - rightTs)
+      .intersect(left.columns.toSet)
+    require(overlap.isEmpty,
+      s"right stream shares non-key columns with left: " +
+        s"${overlap.mkString(", ")} — rename them before joining")
+    val rTs = if (rightTs == leftTs) s"${rightTs}_r" else rightTs
+    // renames happen BEFORE the watermark so event-time tracking follows
+    // the surviving column
+    val rRenamed = keyCols.foldLeft(
+        if (rTs == rightTs) right else right.withColumnRenamed(rightTs, rTs))(
+      (df, k) => df.withColumnRenamed(k, s"__r_$k"))
     val l = left.withWatermark(leftTs, watermarkDelay)
-    val r0 = right.withWatermark(rightTs, watermarkDelay)
-    // right-side keys renamed so the equi-condition is unambiguous; the
-    // duplicates are dropped from the output
-    val r = keyCols.foldLeft(r0)((df, k) => df.withColumnRenamed(k, s"__r_$k"))
+    val r = rRenamed.withWatermark(rTs, watermarkDelay)
     val keyEq = keyCols.map(k => col(k) === col(s"__r_$k")).reduce(_ && _)
     val timeBound =
-      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookbackMs MILLISECONDS") &&
-        col(rightTs) <= col(leftTs)
+      col(rTs) >= col(leftTs) - expr(s"INTERVAL $lookbackMs MILLISECONDS") &&
+        col(rTs) <= col(leftTs)
     l.join(r, keyEq && timeBound, "inner")
       .drop(keyCols.map(k => s"__r_$k"): _*)
   }

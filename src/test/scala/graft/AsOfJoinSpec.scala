@@ -56,6 +56,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getDouble(4) == 9.0)
   }
 
+  test("null keys match nothing (SQL equi-join semantics)") {
+    // frames with a genuine null key on each side
+    val lWithNull = spark.sql("SELECT CAST(NULL AS BIGINT) AS key, 12L AS t, 'tN' AS id")
+      .unionByName(trades)
+    val rWithNull = spark.sql("SELECT CAST(NULL AS BIGINT) AS key, 1L AS qt, 7.0 AS px")
+      .unionByName(quotes)
+    val inner = AsOfJoin.asOf(lWithNull, rWithNull, Seq("key"), "t", "qt",
+      Seq("qt", "px")).collect()
+    // the null-key probe must NOT pair with the null-key quote
+    assert(!inner.exists(r => r.isNullAt(0)))
+    val leftKept = AsOfJoin.asOf(lWithNull, rWithNull, Seq("key"), "t", "qt",
+        Seq("qt", "px"), joinType = "left")
+      .filter($"id" === "tN").collect()
+    assert(leftKept.length == 1 && leftKept(0).isNullAt(3))
+  }
+
   test("plan has no join operator and exactly one exchange") {
     val df = AsOfJoin.asOf(trades, quotes, Seq("key"), "t", "qt", Seq("px"))
     df.count() // finalize AQE

@@ -37,14 +37,13 @@ class SamplingSpec extends SparkSpec {
     assert(a.size < wider.size)
   }
 
-  test("fraction 0 keeps nothing; fraction 1 keeps all but the top hash sliver") {
+  test("fraction 0 keeps nothing; fraction 1 keeps everything") {
     val none = Sampling.stratifiedSample(docs, "lang", "doc_id",
       Map.empty, default = 0.0).count()
     assert(none == 0)
-    // 1.0 floors to cut ffff: only ids hashing to ffff* drop — none expected
-    val nearlyAll = Sampling.stratifiedSample(docs, "lang", "doc_id",
+    val all = Sampling.stratifiedSample(docs, "lang", "doc_id",
       Map.empty, default = 1.0).count()
-    assert(nearlyAll >= 499)
+    assert(all == 500)
     assertThrows[IllegalArgumentException] {
       Sampling.stratifiedSample(docs, "lang", "doc_id", Map("en" -> 1.5), 0.1)
         .count()

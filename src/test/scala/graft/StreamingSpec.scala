@@ -155,7 +155,10 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
-  test("streaming near-dedup: whitespace variants collapse, token changes survive") {
+  // token-change survival here relies on SHORT docs (tiny bit-vote
+  // margins); long documents can absorb single-token edits — see the
+  // streamingNearDedup scaladoc for the honest contract
+  test("streaming near-dedup: whitespace variants collapse, short-doc token change survives") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
     def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
