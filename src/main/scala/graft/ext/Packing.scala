@@ -41,4 +41,43 @@ object Packing {
         floor((col("tok_offset") + greatest(col("n_tokens"), lit(1L)) - 1)
           / capacity).cast("long"))
   }
+
+  /** NO-SPLIT bin packing (the SFT/sample-packing variant): documents fill
+    * a pack greedily in doc order and a document that would overflow
+    * starts the next pack — no document straddles packs. A doc longer
+    * than `capacity` occupies a pack alone (callers truncate upstream).
+    *
+    * The fill is inherently sequential PER SHARD (pack id i depends on
+    * every earlier doc), so this is the one legitimately imperative op:
+    * rows are hash-routed so each shard lands wholly in one partition,
+    * sorted within partitions by (shard, id), and a single
+    * `mapPartitions` pass carries (pack, fill) state, resetting at shard
+    * boundaries. One shuffle, O(shard) state of three longs — order-
+    * invariant to the input partitioning because the sort fixes the walk
+    * order. Pack ids are per-shard: (shard, pack_id) is the global key. */
+  def packBins(docs: DataFrame, idCol: String, tokensExpr: Column,
+               nShards: Int, capacity: Long): DataFrame = {
+    require(nShards > 0 && capacity > 0, "nShards and capacity must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("__id"),
+        (col(idCol) % nShards).cast("long").as("__shard"),
+        tokensExpr.cast("long").as("__n"))
+      .repartition(nShards, col("__shard"))
+      .sortWithinPartitions("__shard", "__id")
+      .as[(Long, Long, Long)] // (id, shard, n_tokens)
+      .mapPartitions { it =>
+        var curShard = Long.MinValue
+        var pack = 0L
+        var fill = 0L
+        it.map { case (id, shard, n) =>
+          if (shard != curShard) { curShard = shard; pack = 0L; fill = n }
+          else if (fill + n <= capacity) fill += n
+          else { pack += 1L; fill = n }
+          (id, shard, n, pack)
+        }
+      }
+      .toDF(idCol, "shard", "n_tokens", "pack_id")
+  }
 }

@@ -1011,6 +1011,35 @@ object ExtQueries {
             round(col("centroid"), 6).as("centroid"), col("n"))
     },
 
+    // [EXT] NO-SPLIT bin packing (e8's SFT variant): greedy sequential
+    // fill per shard, documents never straddle packs. The Spark side is
+    // the one justified mapPartitions (per-shard sequential state); DuckDB
+    // independently re-walks every shard with a recursive CTE — two
+    // unrelated implementations of the same fold must agree row-for-row.
+    "e8b_bin_packing" -> Q(
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |             CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+        |      FROM documents),
+        |o AS (SELECT doc_id, shard, n_tokens,
+        |             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        |      FROM t),
+        |walk(shard, rn, doc_id, n_tokens, pack_id, fill) AS (
+        |  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+        |         CASE WHEN w.fill + o.n_tokens <= 512 THEN w.pack_id
+        |              ELSE w.pack_id + 1 END,
+        |         CASE WHEN w.fill + o.n_tokens <= 512 THEN w.fill + o.n_tokens
+        |              ELSE o.n_tokens END
+        |  FROM o JOIN walk w ON o.shard = w.shard AND o.rn = w.rn + 1)
+        |SELECT doc_id, shard, n_tokens, pack_id FROM walk""".stripMargin) {
+      (s, dir) =>
+        Packing.packBins(Tables.documents(s, dir), "doc_id",
+          TextAnalysis.tokenCount(col("text")), nShards = 8, capacity = 512)
+    },
+
     // [EXT] stratified sampling — per-stratum fractions from the same
     // content-hash coin as e7/e7b (hex-prefix threshold, engine-portable):
     // 50% of English, 25% of Spanish, 10% of everything else.

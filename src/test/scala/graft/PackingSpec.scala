@@ -26,6 +26,45 @@ class PackingSpec extends SparkSpec {
       (2L, 0L, 3L, 12L, 1L, 1L))) // tokens 12-14 in chunk 1
   }
 
+  test("bin packing: hand fixture, capacity respected, no straddling") {
+    val docs = Seq(
+      (0L, "a b c d"),          // 4 → pack 0 (fill 4)
+      (1L, "e f g h i"),        // 5 → pack 0 (fill 9)
+      (2L, "j k"),              // 2 → overflows 10 → pack 1 (fill 2)
+      (3L, "l m n o p q r s t u v w"), // 12 > capacity → pack 2 alone
+      (4L, "x"))                // 1 → pack 3 (12 overflowed pack 2)
+      .toDF("doc_id", "text")
+    val out = Packing.packBins(docs, "doc_id",
+        graft.ext.TextAnalysis.tokenCount(col("text")), nShards = 1,
+        capacity = 10)
+      .orderBy("doc_id")
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L)))
+  }
+
+  test("bin packing is invariant to the input partitioning") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Packing.packBins(df, "doc_id",
+          graft.ext.TextAnalysis.tokenCount(col("text")), nShards = 8,
+          capacity = 512)
+        .select("doc_id", "shard", "pack_id")
+        .as[(Long, Long, Long)].collect().toSet
+    val a = run(docs)
+    val b = run(docs.repartition(13)) // scrambled input layout
+    assert(a == b && a.size == 500)
+    // every pack's fill <= capacity unless it is a single oversize doc
+    val fills = Packing.packBins(docs, "doc_id",
+        graft.ext.TextAnalysis.tokenCount(col("text")), nShards = 8,
+        capacity = 512)
+      .groupBy("shard", "pack_id")
+      .agg(sum("n_tokens").as("fill"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long, Long)].collect()
+    fills.foreach { case (s2, p, fill, n) =>
+      assert(fill <= 512 || n == 1, s"pack ($s2,$p) fill $fill with $n docs")
+    }
+  }
+
   test("per-shard layout is contiguous and in doc order on the corpus") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = Packing.packChunks(docs, "doc_id",
