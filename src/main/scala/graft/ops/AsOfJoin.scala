@@ -20,7 +20,8 @@ import org.apache.spark.sql.types.StructType
   * right value in sort order. Cost is sort-merge-join-shaped (no fan-out,
   * no nested loop), partitions by key, and survives arbitrary scale-up as
   * long as single keys fit a partition (the same contract as any keyed
-  * window; salt hot keys upstream if one key dominates).
+  * window; [[asOfSalted]] is the built-in escape hatch when one key
+  * dominates).
   *
   * Determinism: right rows tie-broken by their value struct, so equal
   * (key, time) duplicates resolve identically everywhere; callers wanting a
@@ -76,5 +77,29 @@ object AsOfJoin {
     kept.select(
       leftCols.map(c => col(s"__lrow.$c").as(c)) ++
         rightValueCols.map(c => col(s"__match.$c").as(c)): _*)
+  }
+
+  /** Hot-key form of [[asOf]]: probes of one key are spread over `salts`
+    * sub-partitions (salt = content hash of the probe time, deterministic)
+    * and the right side is REPLICATED into every salt — each sub-partition
+    * still sees the full right history of its key, so results are
+    * identical to the unsalted join while the per-partition row count for
+    * a dominant key drops ~salts×. Cost: right side duplicated salts×
+    * (use when probes, not builds, are the heavy side — the usual skew:
+    * one hot entity with millions of probe events against a bounded
+    * history). */
+  def asOfSalted(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                 leftTimeCol: String, rightTimeCol: String,
+                 rightValueCols: Seq[String], salts: Int,
+                 joinType: String = "inner",
+                 strict: Boolean = false): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val lS = left.withColumn("__salt",
+      pmod(xxhash64(col(leftTimeCol)), lit(salts.toLong)))
+    val rS = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    asOf(lS, rS, keyCols :+ "__salt", leftTimeCol, rightTimeCol,
+      rightValueCols, joinType, strict)
+      .drop("__salt")
   }
 }

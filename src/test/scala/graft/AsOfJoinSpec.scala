@@ -81,6 +81,21 @@ class AsOfJoinSpec extends SparkSpec {
       s"unexpected exchanges:\n$plan")
   }
 
+  test("salted as-of equals the unsalted join (hot-key path)") {
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("pid"), expr("ts div 1000").as("pt"))
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id", expr("ts div 1000").as("vt"))
+      .agg(max("event_id").as("vid"))
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "vid").as[(Long, Long)].collect().toSet
+    val plain = collect(AsOfJoin.asOf(p, v, Seq("user_id"), "pt", "vt", Seq("vid")))
+    val salted = collect(AsOfJoin.asOfSalted(p, v, Seq("user_id"), "pt", "vt",
+      Seq("vid"), salts = 7))
+    assert(salted == plain && plain.nonEmpty)
+  }
+
   test("matches a brute-force as-of on the sf0.001 events fixture") {
     val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
     val p = ev.filter($"event_type" === "purchase")
