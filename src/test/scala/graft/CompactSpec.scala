@@ -30,6 +30,21 @@ class CompactSpec extends SparkSpec {
     assert(!new java.io.File(dir + ".__merge_old").exists())
   }
 
+  test("a dot/underscore ANCESTOR directory does not hide the table's files") {
+    // regression: dataFiles used to strip an unqualified root prefix from
+    // fully-qualified (file:/...) listing paths, so the hidden-file filter
+    // saw every ancestor segment — a table under ".cache" read as empty
+    // (totalBytes=0 → one repartition(1) output task for the whole table)
+    val dir = tmpDir("compact-dot") + "/.cache/_staging/t"
+    val data = (1L to 500L).map(i => (i, s"v$i"))
+    data.toDF("id", "s").repartition(8).write.parquet(dir)
+    val r = Compact.compact(spark, dir, targetBytes = 1L << 30)
+    assert(r.filesBefore == 8, s"ancestor dot-dirs hid the files: $r")
+    assert(r.rows == 500 && r.filesAfter == 1)
+    val got = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(got == data.toSet)
+  }
+
   test("partitioned compaction keeps the layout: one file per partition") {
     val dir = tmpDir("compact-part") + "/t"
     val data = (1L to 400L).map(i => (i, i % 4, i * 1.5))
