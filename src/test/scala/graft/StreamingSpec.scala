@@ -179,6 +179,43 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 3L))
   }
 
+  test("radius streaming near-dup: in-horizon pairs surface with exact hamming, far/expired do not") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingNearDup
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val docA = "alpha beta gamma delta epsilon zeta"
+    val docAws = "alpha  beta gamma\tdelta epsilon zeta" // hamming 0 vs A
+    val docFar = "one two three four five six seven"
+    val out = StreamingNearDup.candidates(
+      mem.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+      delay = "0 seconds", horizonMs = 10 * 60 * 1000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_cand").start()
+    mem.addData((1L, t(1), docA), (2L, t(2), docFar))
+    q.processAllAvailable()
+    mem.addData((3L, t(3), docAws))           // within horizon of doc 1
+    q.processAllAvailable()
+    mem.addData((4L, t(30), docA))            // 27 min later — doc 1 expired
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("neardup_cand")
+      .select("aId", "bId", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    // whitespace twin found (every band agrees → dedupe to one logical pair)
+    assert(got.map(p => (p._1, p._2)) == Set((1L, 3L)))
+    assert(got.forall(_._3 == 0))
+    // the far doc never paired; the post-horizon re-send never paired
+    assert(!got.exists(p => p._1 == 2L || p._2 == 2L || p._2 == 4L))
+    // verify every emitted hamming against batch-computed signatures
+    val sigs = Seq((1L, docA), (3L, docAws)).toDF("id", "text")
+      .select($"id", graft.ext.TextAnalysis.simhash64($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (a, b, h) =>
+      assert(java.lang.Long.bitCount(sigs(a) ^ sigs(b)) == h)
+    }
+  }
+
   test("stream-stream interval join equals the batch join on replay") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamJoin
