@@ -81,6 +81,31 @@ class AsOfJoinSpec extends SparkSpec {
       s"unexpected exchanges:\n$plan")
   }
 
+  test("randomized equivalence vs brute force (ties, negatives, sparse keys)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      // small time range forces equal-time ties; keys sparse enough that
+      // some probes have no match
+      val l = Seq.fill(40)((rnd.nextInt(6).toLong,
+        rnd.nextInt(20).toLong - 10, rnd.nextLong())).toDF("key", "t", "id")
+      val rRaw = Seq.fill(30)((rnd.nextInt(8).toLong,
+        rnd.nextInt(20).toLong - 10, rnd.nextDouble()))
+      // unique (key, time) on the right — asOf's documented determinism
+      // precondition (callers dedupe; here max px wins)
+      val r = rRaw.toDF("key", "qt", "px")
+        .groupBy("key", "qt").agg(max("px").as("px"))
+      val got = AsOfJoin.asOf(l, r, Seq("key"), "t", "qt", Seq("qt", "px"))
+        .select("id", "qt", "px").as[(Long, Long, Double)].collect().toSet
+      val brute = l.join(r, l("key") === r("key") && $"qt" <= $"t")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("id").orderBy($"qt".desc)))
+        .filter($"rk" === 1)
+        .select("id", "qt", "px").as[(Long, Long, Double)].collect().toSet
+      assert(got == brute, s"trial $trial")
+    }
+  }
+
   test("salted as-of equals the unsalted join (hot-key path)") {
     val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
     val p = ev.filter($"event_type" === "purchase")

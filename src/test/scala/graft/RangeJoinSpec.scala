@@ -35,6 +35,26 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("randomized equivalence vs naive join, incl. negatives and huge magnitudes") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      // magnitudes chosen to cross zero and to exceed 2^53 (the double-
+      // precision cliff the integer floorDiv exists for)
+      val scale = Seq(1000L, 1L << 40, 1L << 60)(trial % 3)
+      val pts = Seq.fill(60)(rnd.nextLong() % scale).toDF("p")
+      val ivs = Seq.fill(25) {
+        val lo = rnd.nextLong() % scale
+        (rnd.nextInt(10000).toLong, lo, lo + rnd.nextInt(1000).toLong)
+      }.toDF("iv_id", "lo", "hi")
+      val bin = 1 + rnd.nextInt(500).toLong
+      val naive = ivs.join(pts, $"p" >= $"lo" && $"p" < $"hi")
+        .select("iv_id", "p").as[(Long, Long)].collect().toSet
+      val binned = RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", bin)
+        .select("iv_id", "p").as[(Long, Long)].collect().toSet
+      assert(binned == naive, s"trial $trial (scale=$scale bin=$bin)")
+    }
+  }
+
   test("plans an equi-join on the bin, not a nested loop") {
     val df = RangeJoin.pointInInterval(points, "p",
       intervals, "lo", "hi", binWidth = 10L)
