@@ -156,6 +156,39 @@ object JoinQueries {
           .agg(count(lit(1)).as("cnt"))
     },
 
+    // TPC-H Q10 shape — returned-item reporting: 4-way join (two broadcast
+    // dims), grouped revenue, distributed top-20.
+    "j10_returned_items" -> Q(
+      """SELECT c_custkey, c_name,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= expr("timestamp'1997-01-01 00:00:00'") &&
+                  col("o_orderdate") < expr("timestamp'1997-07-01 00:00:00'"))
+        val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        val cust = Tables.customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_custkey", "c_name", "n_name")
+          .agg(decSumExpr(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+          .select("c_custkey", "c_name", "revenue", "n_name")
+          .orderBy(col("revenue").desc, col("c_custkey").asc)
+          .limit(20)
+    },
+
     // As-of join — the point-in-time enrichment join (latest view before
     // each purchase, per user). Spark side is the merge-style encoding
     // (graft.ops.AsOfJoin: one key shuffle + sort + running last, no

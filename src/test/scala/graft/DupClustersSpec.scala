@@ -46,6 +46,30 @@ class DupClustersSpec extends SparkSpec {
     assert(base == noisy && base.values.toSet == Set(1L))
   }
 
+  test("scale path: clustering over minhash-LSH candidate edges tracks the exact-edge clusters") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"doc_id" < 50)
+    // the path a 100 TB run takes: banded minhash candidates + exact
+    // verify at the near-dup threshold, then components over those edges
+    val lshEdges = Dedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.8, shingleN = 1)
+    val viaLsh = DupClusters.clusters(docs, "doc_id", lshEdges, "a_id", "b_id")
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    val exactEdges = Dedup.unigramJaccardPairs(docs, "doc_id", "text", 0.8)
+    val viaExact = DupClusters.clusters(docs, "doc_id", exactEdges, "a_id", "b_id")
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    // LSH recall < 1 can only SPLIT components (drop edges), never merge
+    // them: every LSH cluster must sit inside one exact cluster
+    assert(viaLsh.keySet == viaExact.keySet)
+    viaLsh.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(viaExact).toSet.size == 1,
+        "an LSH cluster spans two exact clusters")
+    }
+    // and on this fixture the band parameters recall enough that the
+    // partitions actually coincide
+    assert(viaLsh.values.toSet.size == viaExact.values.toSet.size)
+  }
+
   test("clusters over exact-Jaccard edges give every doc a canonical keeper") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
       .filter($"doc_id" < 50)
