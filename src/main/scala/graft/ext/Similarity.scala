@@ -443,15 +443,67 @@ object Similarity {
                         nProbe: Int = 4): DataFrame = {
     val probes = nearestCells(spark, indexDir, query, nProbe)
     val qLit = array(query.map(v => lit(v.toDouble)): _*)
-    val recon = transform(col("__codes"),
-      c => col("__mn") + (c.cast("double") + 128.0) * col("__scale"))
     spark.read.parquet(indexDir)
       .filter(col("__cell").isin(probes: _*))
-      .withColumn("cos", round(cosine(recon, qLit), 6))
+      .withColumn("cos", round(cosine(dequantized, qLit), 6))
       .select(col(idCol), col("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** INT8-QUANTIZED LSH variant: [[buildLshIndex]]'s bucket layout with
+    * [[buildIvfIndexQuantized]]'s cell payload — 1-byte codes instead of
+    * float vectors, hamming-ball probes ranked on dequantized vectors. */
+  def buildLshIndexQuantized(embeddings: DataFrame, idCol: String,
+                             vecCol: String, indexDir: String, dim: Int,
+                             nPlanes: Int = 8, seed: Int = 42): Unit = {
+    require(nPlanes <= 20, s"nPlanes=$nPlanes would mean 2^$nPlanes partition dirs")
+    val q = Quantize.quantizeInt8(col(vecCol))
+    embeddings.select(col(idCol), q.as("__q"),
+        lshBucket(col(vecCol), dim, nPlanes, seed).cast("int").as("bucket"))
+      .select(col(idCol),
+        col("__q.mn").as("__mn"), col("__q.scale").as("__scale"),
+        transform(col("__q.codes"), c => (c - 128).cast("byte")).as("__codes"),
+        col("bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(indexDir)
+  }
+
+  /** Build-if-absent into the content-addressed cache; returns the dir. */
+  def ensureLshIndexQuantized(embeddings: DataFrame, idCol: String,
+                              vecCol: String, dim: Int, nPlanes: Int = 8,
+                              seed: Int = 42): String = {
+    val dir = cachedIndexDir("lshq", embeddings,
+      s"$idCol|$vecCol|$dim|$nPlanes|$seed")
+    if (!hasIndex(embeddings.sparkSession, dir)) {
+      buildLshIndexQuantized(embeddings, idCol, vecCol, dir, dim, nPlanes, seed)
+      markCommitted(embeddings.sparkSession, dir)
+    }
+    dir
+  }
+
+  /** Probe a [[buildLshIndexQuantized]] layout: hamming-ball partition
+    * pruning as [[annProbe]], cosine on dequantized vectors. */
+  def annProbeQuantized(spark: SparkSession, indexDir: String, idCol: String,
+                        query: Seq[Float], k: Int, dim: Int,
+                        nPlanes: Int = 8, probeHamming: Int = 2,
+                        seed: Int = 42): DataFrame = {
+    val qBucket = spark.range(1).select(
+      lshBucket(array(query.map(v => lit(v.toDouble)): _*), dim, nPlanes, seed))
+      .first().getLong(0)
+    val probes = hammingBall(qBucket, nPlanes, probeHamming)
+    val qLit = array(query.map(v => lit(v.toDouble)): _*)
+    spark.read.parquet(indexDir)
+      .filter(col("bucket").isin(probes: _*))
+      .withColumn("cos", round(cosine(dequantized, qLit), 6))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** In-plan reconstruction of a quantized row's vector. */
+  private def dequantized: Column =
+    transform(col("__codes"),
+      c => col("__mn") + (c.cast("double") + 128.0) * col("__scale"))
 
   /** Deterministic pseudo-random plane matrix for the banded near-dup LSH,
     * generated DRIVER-side (splitmix64, seeded — stable across JVMs and

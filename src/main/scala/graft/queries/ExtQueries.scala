@@ -991,6 +991,26 @@ object ExtQueries {
       recallContract(exact, qtop)
     },
 
+    // E2 — int8-quantized LSH ANN: hamming-ball pruned probe over 1-byte
+    // codes (the e2k pattern on the bucket layout). Same recall contract.
+    "e2l_lsh_quantized_topk" -> Q(
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |topk AS (SELECT vec_id FROM embeddings
+        |         ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) DESC,
+        |                  vec_id ASC LIMIT 10)
+        |SELECT count(*) AS k, CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS self_found
+        |FROM topk""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0)
+      val idx = Similarity.ensureLshIndexQuantized(emb, "vec_id", "embedding",
+        dim = 64, nPlanes = 8)
+      val qtop = Similarity.annProbeQuantized(s, idx, "vec_id", query, 10,
+        dim = 64, nPlanes = 8, probeHamming = 3)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 10)
+      recallContract(exact, qtop)
+    },
+
     // E2 — per-label embedding centroids (class prototypes), exact across
     // engines: components sum through DECIMAL(28,12) so accumulation order
     // cannot move the result (no double is an exact decimal-digit-13 tie,

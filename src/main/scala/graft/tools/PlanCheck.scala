@@ -26,6 +26,7 @@ object PlanCheck {
     "e2b_ann_topk"      -> Seq("PartitionFilters: \\[.*bucket"),
     "e2d_ivf_topk"      -> Seq("PartitionFilters: \\[.*__cell"),
     "e2k_ivf_quantized_topk" -> Seq("PartitionFilters: \\[.*__cell"),
+    "e2l_lsh_quantized_topk" -> Seq("PartitionFilters: \\[.*bucket"),
     // batch ANN: queries broadcast onto the index (corpus never shuffles)
     // and dynamic partition pruning restricts the scan to probed cells
     "e2g_ann_batch_topk" -> Seq("BroadcastHashJoin", "dynamicpruning"),
