@@ -412,16 +412,25 @@ object Similarity {
                              vecCol: String, indexDir: String,
                              nLists: Int = 16, seed: Long = 42L): Unit = {
     val (assigned, centers) = fitCells(embeddings, vecCol, nLists, seed)
-    val q = Quantize.quantizeInt8(col(vecCol))
-    assigned
-      .select(col(idCol), q.as("__q"), col("__cell"))
-      .select(col(idCol),
-        col("__q.mn").as("__mn"), col("__q.scale").as("__scale"),
-        transform(col("__q.codes"), c => (c - 128).cast("byte")).as("__codes"),
-        col("__cell"))
+    quantizedPayload(assigned, idCol, vecCol, keep = Seq("__cell"))
       .write.mode(SaveMode.Overwrite).partitionBy("__cell").parquet(indexDir)
     writeCentroids(embeddings.sparkSession, indexDir, centers)
   }
+
+  /** Project the quantized index row payload: id + dequantization scalars
+    * + offset-shifted 1-byte codes (+ `keep` passthrough columns). MUST
+    * stay the exact inverse of [[dequantized]] — the single shared
+    * definition keeps the byte-offset convention in lockstep across every
+    * quantized index kind. Two-step select so the quantize struct is
+    * materialized once, not once per extracted field. */
+  private def quantizedPayload(df: DataFrame, idCol: String, vecCol: String,
+                               keep: Seq[String]): DataFrame =
+    df.select(Seq(col(idCol), Quantize.quantizeInt8(col(vecCol)).as("__q")) ++
+        keep.map(col): _*)
+      .select(Seq(col(idCol),
+        col("__q.mn").as("__mn"), col("__q.scale").as("__scale"),
+        transform(col("__q.codes"), c => (c - 128).cast("byte")).as("__codes")) ++
+        keep.map(col): _*)
 
   /** Build-if-absent into the content-addressed cache; returns the dir. */
   def ensureIvfIndexQuantized(embeddings: DataFrame, idCol: String,
@@ -458,13 +467,9 @@ object Similarity {
                              vecCol: String, indexDir: String, dim: Int,
                              nPlanes: Int = 8, seed: Int = 42): Unit = {
     require(nPlanes <= 20, s"nPlanes=$nPlanes would mean 2^$nPlanes partition dirs")
-    val q = Quantize.quantizeInt8(col(vecCol))
-    embeddings.select(col(idCol), q.as("__q"),
-        lshBucket(col(vecCol), dim, nPlanes, seed).cast("int").as("bucket"))
-      .select(col(idCol),
-        col("__q.mn").as("__mn"), col("__q.scale").as("__scale"),
-        transform(col("__q.codes"), c => (c - 128).cast("byte")).as("__codes"),
-        col("bucket"))
+    val bucketed = embeddings.withColumn("bucket",
+      lshBucket(col(vecCol), dim, nPlanes, seed).cast("int"))
+    quantizedPayload(bucketed, idCol, vecCol, keep = Seq("bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(indexDir)
   }
 

@@ -85,7 +85,9 @@ object StreamingNearDup {
             // deterministic walk order inside the batch
             docs.toSeq.sortBy(d => (d.tsMs, d.docId)).foreach { d =>
               entries.foreach { case (oid, osig, ots) =>
-                if (oid != d.docId && ots >= d.tsMs - horizonMs) {
+                // SYMMETRIC horizon: a late-but-admissible doc must not
+                // pair with entries arbitrarily newer than itself
+                if (oid != d.docId && math.abs(ots - d.tsMs) <= horizonMs) {
                   val h = java.lang.Long.bitCount(osig ^ d.sig)
                   if (h <= maxHamming)
                     out += NearDupCandidate(math.min(oid, d.docId),
@@ -96,7 +98,11 @@ object StreamingNearDup {
               entries = (d.docId, d.sig, d.tsMs) :: entries
               maxTs = math.max(maxTs, d.tsMs)
             }
-            entries = entries.filter(_._3 >= maxTs - horizonMs)
+            // evict against the WATERMARK, not the newest event seen: a
+            // still-admissible out-of-order doc can carry ts as low as
+            // the watermark, and must find partners back to ts - horizon
+            val wm = state.getCurrentWatermarkMs()
+            entries = entries.filter(_._3 >= wm - horizonMs)
             state.update(BandBuffer(entries))
             state.setTimeoutTimestamp(maxTs + horizonMs)
             out.result().iterator
