@@ -184,6 +184,27 @@ object WindowQueries {
             unix_micros(col("w.start")).as("session_start_us"), col("n_events"))
     },
 
+    // RANGE-frame window (value-based, not row-based): trailing 24 h sum
+    // per user — frames defined by the ORDER-BY VALUE interval, so equal
+    // timestamps share a frame and gaps shrink it (w3's ROWS frame cannot
+    // express this). Micros arithmetic keeps both engines integer-exact.
+    "w10_range_frame_sum" -> Q(
+      """SELECT user_id, epoch_us(ts) AS us,
+        |       round(sum(value) OVER (
+        |         PARTITION BY user_id ORDER BY epoch_us(ts)
+        |         RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW), 2)
+        |         AS trailing_24h
+        |FROM events WHERE user_id < 10""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("us"))
+          .rangeBetween(-86400000000L, Window.currentRow)
+        Tables.events(s, dir).filter(col("user_id") < 10)
+          .select(col("user_id"), expr("ts div 1000").as("us"), col("value"))
+          .select(col("user_id"), col("us"),
+            round(sum("value").over(w), 2).as("trailing_24h"))
+    },
+
     // Distribution-rank window family (ntile / percent_rank / cume_dist)
     // per market segment — the quartile-bucketing shape curation pipelines
     // use for per-stratum score cuts. Total order (tie-break on the key)
