@@ -237,6 +237,34 @@ class ExtOpsSpec extends SparkSpec {
     assert(minCos >= 0.9)
   }
 
+  private implicit class RemoteIteratorOps[T](
+    it: org.apache.hadoop.fs.RemoteIterator[T]) {
+    def asScalaIterator: Iterator[T] = new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
+  }
+
+  test("index cache: a second ensure call reuses the committed build (no refit)") {
+    // regression for the hasIndex bug: an IVF layout's root holds only
+    // underscore-prefixed entries, which the old non-hidden-files check
+    // read as "no data" -- every ensure call refit KMeans and rewrote the
+    // index. The commit marker must make the second call a pure cache hit.
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val dirA = Similarity.ensureIvfIndex(emb, "vec_id", "embedding", nLists = 4)
+    val fs = new org.apache.hadoop.fs.Path(dirA)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def newestMtime(): Long =
+      fs.listFiles(new org.apache.hadoop.fs.Path(dirA), true)
+        .asScalaIterator.map(_.getModificationTime).max
+    val before = newestMtime()
+    Thread.sleep(1100) // ensure a rewrite would move an mtime
+    val dirB = Similarity.ensureIvfIndex(emb, "vec_id", "embedding", nLists = 4)
+    assert(dirB == dirA, "same corpus+params must resolve to the same dir")
+    assert(newestMtime() == before,
+      "second ensure must not rewrite any index file")
+  }
+
   test("index cache: in-place corpus rewrite re-keys and rebuilds the index") {
     val base = tmpDir("lsh-cache")
     val corpus = base + "/corpus"
