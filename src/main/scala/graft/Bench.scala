@@ -72,6 +72,8 @@ object Bench {
       }
       val ivfqDir = graft.ext.Similarity.ensureIvfIndexQuantized(
         emb, "vec_id", "embedding")
+      val lshqDir = graft.ext.Similarity.ensureLshIndexQuantized(
+        emb, "vec_id", "embedding", dim = 64, nPlanes = 8)
       Seq(
         "e2b_ann_probe_only" -> probeTime(
           graft.ext.Similarity.annProbe(spark, lshDir, "vec_id", "embedding",
@@ -81,10 +83,13 @@ object Bench {
             query, 10, nProbe = 6)),
         "e2k_ivfq_probe_only" -> probeTime(
           graft.ext.Similarity.ivfProbeQuantized(spark, ivfqDir, "vec_id",
-            query, 10, nProbe = 6)))
+            query, 10, nProbe = 6)),
+        "e2l_lshq_probe_only" -> probeTime(
+          graft.ext.Similarity.annProbeQuantized(spark, lshqDir, "vec_id",
+            query, 10, dim = 64, nPlanes = 8, probeHamming = 3)))
     } catch { case scala.util.control.NonFatal(_) =>
       Seq("e2b_ann_probe_only" -> -1.0, "e2d_ivf_probe_only" -> -1.0,
-        "e2k_ivfq_probe_only" -> -1.0) }
+        "e2k_ivfq_probe_only" -> -1.0, "e2l_lshq_probe_only" -> -1.0) }
 
     // end-to-end sync-merge throughput on the events twin-table fixture
     // (BASELINE.md comparable (a)): cold-start full sync, fresh dest per

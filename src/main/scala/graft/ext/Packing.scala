@@ -60,15 +60,16 @@ object Packing {
     require(nShards > 0 && capacity > 0, "nShards and capacity must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    // null-safe: a null id has no shard (row dropped — it has no place in
-    // a deterministic layout); a null token count (e.g. null text) packs
-    // as 0 tokens. The tuple encoder would otherwise fail the whole job
-    // on the first null primitive.
+    // null-safe: an id that is null OR fails the long cast has no place in
+    // a deterministic layout (row dropped — filtered AFTER the cast so a
+    // non-numeric string id is caught too); a null token count (e.g. null
+    // text) packs as 0 tokens. The tuple encoder would otherwise fail the
+    // whole job on the first null primitive.
     docs
-      .filter(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("__id"),
         (col(idCol) % nShards).cast("long").as("__shard"),
         coalesce(tokensExpr.cast("long"), lit(0L)).as("__n"))
+      .filter(col("__id").isNotNull)
       .repartition(nShards, col("__shard"))
       .sortWithinPartitions("__shard", "__id")
       .as[(Long, Long, Long)] // (id, shard, n_tokens)

@@ -32,11 +32,7 @@ object Similarity {
   def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                      query: Seq[Float], k: Int): DataFrame = {
     val q = array(query.map(v => lit(v.toDouble)): _*)
-    embeddings
-      .withColumn("cos", round(cosine(col(vecCol), q), 6))
-      .select(col(idCol), col("cos"))
-      .orderBy(col("cos").desc, col(idCol).asc)
-      .limit(k)
+    cosineTopK(embeddings, idCol, col(vecCol), q, k)
   }
 
   /** Brute-force top-k via the codegen'd native expression
@@ -91,12 +87,10 @@ object Similarity {
         .as("qbucket"))
     val qBucket = qDf.first().getLong(0)
     val q = array(query.map(v => lit(v.toDouble)): _*)
-    withBucket
-      .filter(bit_count(col("bucket").bitwiseXOR(lit(qBucket))) <= probeHamming)
-      .withColumn("cos", round(cosine(col(vecCol), q), 6))
-      .select(col(idCol), col("cos"))
-      .orderBy(col("cos").desc, col(idCol).asc)
-      .limit(k)
+    cosineTopK(
+      withBucket.filter(
+        bit_count(col("bucket").bitwiseXOR(lit(qBucket))) <= probeHamming),
+      idCol, col(vecCol), q, k)
   }
 
   // ------------------------------------------------------------ ANN indexes
@@ -130,6 +124,31 @@ object Similarity {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.create(p, true).close()
   }
+
+  /** The shared build-if-absent protocol for every index kind: resolve the
+    * content-addressed dir, run `build` only when no committed index
+    * exists, and write the commit marker AFTER the build fully finishes.
+    * One definition so the commit protocol cannot fork across kinds. */
+  private def ensureCached(kind: String, source: DataFrame, params: String)
+                          (build: String => Unit): String = {
+    val dir = cachedIndexDir(kind, source, params)
+    if (!hasIndex(source.sparkSession, dir)) {
+      build(dir)
+      markCommitted(source.sparkSession, dir)
+    }
+    dir
+  }
+
+  /** The shared probe tail: exact cosine against the query literal,
+    * rounded, deterministic tie-break, distributed top-k. One definition
+    * so ranking semantics cannot fork across probe variants. */
+  private def cosineTopK(candidates: DataFrame, idCol: String, vec: Column,
+                         qLit: Column, k: Int): DataFrame =
+    candidates
+      .withColumn("cos", round(cosine(vec, qLit), 6))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
 
   /** Content-addressed cache location for a derived index: keyed by the
     * source's actual input files — path, length AND modification time, so a
@@ -192,14 +211,9 @@ object Similarity {
 
   /** Build-if-absent into the content-addressed cache; returns the dir. */
   def ensureLshIndex(embeddings: DataFrame, idCol: String, vecCol: String,
-                     dim: Int, nPlanes: Int = 8, seed: Int = 42): String = {
-    val dir = cachedIndexDir("lsh", embeddings, s"$idCol|$vecCol|$dim|$nPlanes|$seed")
-    if (!hasIndex(embeddings.sparkSession, dir)) {
-      buildLshIndex(embeddings, idCol, vecCol, dir, dim, nPlanes, seed)
-      markCommitted(embeddings.sparkSession, dir)
-    }
-    dir
-  }
+                     dim: Int, nPlanes: Int = 8, seed: Int = 42): String =
+    ensureCached("lsh", embeddings, s"$idCol|$vecCol|$dim|$nPlanes|$seed")(
+      buildLshIndex(embeddings, idCol, vecCol, _, dim, nPlanes, seed))
 
   /** All bucket values within `radius` sign-flips of `center`: the
     * multi-probe set, enumerated driver-side (C(nPlanes, ≤radius) values —
@@ -230,12 +244,9 @@ object Similarity {
       .first().getLong(0)
     val probes = hammingBall(qBucket, nPlanes, probeHamming)
     val q = array(query.map(v => lit(v.toDouble)): _*)
-    spark.read.parquet(indexDir)
-      .filter(col("bucket").isin(probes: _*))
-      .withColumn("cos", round(cosine(col(vecCol), q), 6))
-      .select(col(idCol), col("cos"))
-      .orderBy(col("cos").desc, col(idCol).asc)
-      .limit(k)
+    cosineTopK(
+      spark.read.parquet(indexDir).filter(col("bucket").isin(probes: _*)),
+      idCol, col(vecCol), q, k)
   }
 
   /** Batch ANN over a [[buildLshIndex]] layout: hamming-ball probes for
@@ -325,14 +336,9 @@ object Similarity {
 
   /** Build-if-absent into the content-addressed cache; returns the dir. */
   def ensureIvfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
-                     nLists: Int = 16, seed: Long = 42L): String = {
-    val dir = cachedIndexDir("ivf", embeddings, s"$idCol|$vecCol|$nLists|$seed")
-    if (!hasIndex(embeddings.sparkSession, dir)) {
-      buildIvfIndex(embeddings, idCol, vecCol, dir, nLists, seed)
-      markCommitted(embeddings.sparkSession, dir)
-    }
-    dir
-  }
+                     nLists: Int = 16, seed: Long = 42L): String =
+    ensureCached("ivf", embeddings, s"$idCol|$vecCol|$nLists|$seed")(
+      buildIvfIndex(embeddings, idCol, vecCol, _, nLists, seed))
 
   /** Probe a [[buildIvfIndex]] layout: rank the persisted centroid list
     * driver-side (scalar-sized), read ONLY the nProbe nearest cell
@@ -342,12 +348,9 @@ object Similarity {
                nProbe: Int = 4): DataFrame = {
     val probes = nearestCells(spark, indexDir, query, nProbe)
     val qLit = array(query.map(v => lit(v.toDouble)): _*)
-    spark.read.parquet(indexDir)
-      .filter(col("__cell").isin(probes: _*))
-      .withColumn("cos", round(cosine(col(vecCol), qLit), 6))
-      .select(col(idCol), col("cos"))
-      .orderBy(col("cos").desc, col(idCol).asc)
-      .limit(k)
+    cosineTopK(
+      spark.read.parquet(indexDir).filter(col("__cell").isin(probes: _*)),
+      idCol, col(vecCol), qLit, k)
   }
 
   /** Batch ANN over a [[buildIvfIndex]] layout: top-k for EVERY query row
@@ -435,15 +438,9 @@ object Similarity {
   /** Build-if-absent into the content-addressed cache; returns the dir. */
   def ensureIvfIndexQuantized(embeddings: DataFrame, idCol: String,
                               vecCol: String, nLists: Int = 16,
-                              seed: Long = 42L): String = {
-    val dir = cachedIndexDir("ivfq", embeddings,
-      s"$idCol|$vecCol|$nLists|$seed")
-    if (!hasIndex(embeddings.sparkSession, dir)) {
-      buildIvfIndexQuantized(embeddings, idCol, vecCol, dir, nLists, seed)
-      markCommitted(embeddings.sparkSession, dir)
-    }
-    dir
-  }
+                              seed: Long = 42L): String =
+    ensureCached("ivfq", embeddings, s"$idCol|$vecCol|$nLists|$seed")(
+      buildIvfIndexQuantized(embeddings, idCol, vecCol, _, nLists, seed))
 
   /** Probe a [[buildIvfIndexQuantized]] layout: nProbe cell partitions
     * read (pruned), vectors dequantized in-plan, cosine top-k. */
@@ -452,12 +449,9 @@ object Similarity {
                         nProbe: Int = 4): DataFrame = {
     val probes = nearestCells(spark, indexDir, query, nProbe)
     val qLit = array(query.map(v => lit(v.toDouble)): _*)
-    spark.read.parquet(indexDir)
-      .filter(col("__cell").isin(probes: _*))
-      .withColumn("cos", round(cosine(dequantized, qLit), 6))
-      .select(col(idCol), col("cos"))
-      .orderBy(col("cos").desc, col(idCol).asc)
-      .limit(k)
+    cosineTopK(
+      spark.read.parquet(indexDir).filter(col("__cell").isin(probes: _*)),
+      idCol, dequantized, qLit, k)
   }
 
   /** INT8-QUANTIZED LSH variant: [[buildLshIndex]]'s bucket layout with
@@ -476,15 +470,9 @@ object Similarity {
   /** Build-if-absent into the content-addressed cache; returns the dir. */
   def ensureLshIndexQuantized(embeddings: DataFrame, idCol: String,
                               vecCol: String, dim: Int, nPlanes: Int = 8,
-                              seed: Int = 42): String = {
-    val dir = cachedIndexDir("lshq", embeddings,
-      s"$idCol|$vecCol|$dim|$nPlanes|$seed")
-    if (!hasIndex(embeddings.sparkSession, dir)) {
-      buildLshIndexQuantized(embeddings, idCol, vecCol, dir, dim, nPlanes, seed)
-      markCommitted(embeddings.sparkSession, dir)
-    }
-    dir
-  }
+                              seed: Int = 42): String =
+    ensureCached("lshq", embeddings, s"$idCol|$vecCol|$dim|$nPlanes|$seed")(
+      buildLshIndexQuantized(embeddings, idCol, vecCol, _, dim, nPlanes, seed))
 
   /** Probe a [[buildLshIndexQuantized]] layout: hamming-ball partition
     * pruning as [[annProbe]], cosine on dequantized vectors. */
@@ -497,12 +485,9 @@ object Similarity {
       .first().getLong(0)
     val probes = hammingBall(qBucket, nPlanes, probeHamming)
     val qLit = array(query.map(v => lit(v.toDouble)): _*)
-    spark.read.parquet(indexDir)
-      .filter(col("bucket").isin(probes: _*))
-      .withColumn("cos", round(cosine(dequantized, qLit), 6))
-      .select(col(idCol), col("cos"))
-      .orderBy(col("cos").desc, col(idCol).asc)
-      .limit(k)
+    cosineTopK(
+      spark.read.parquet(indexDir).filter(col("bucket").isin(probes: _*)),
+      idCol, dequantized, qLit, k)
   }
 
   /** In-plan reconstruction of a quantized row's vector. */

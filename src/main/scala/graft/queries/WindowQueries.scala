@@ -190,19 +190,23 @@ object WindowQueries {
     // express this). Micros arithmetic keeps both engines integer-exact.
     "w10_range_frame_sum" -> Q(
       """SELECT user_id, epoch_us(ts) AS us,
-        |       round(sum(value) OVER (
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
         |         PARTITION BY user_id ORDER BY epoch_us(ts)
-        |         RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW), 2)
+        |         RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |         AS trailing_24h
         |FROM events WHERE user_id < 10""".stripMargin) {
       (s, dir) =>
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("user_id").orderBy(col("us"))
           .rangeBetween(-86400000000L, Window.currentRow)
+        // DECIMAL sum, not double: frame accumulation order differs between
+        // engines (and with Spark's own partitioning on us-ties) — the
+        // repo's money-sum parity rule applies inside window frames too
         Tables.events(s, dir).filter(col("user_id") < 10)
           .select(col("user_id"), expr("ts div 1000").as("us"), col("value"))
           .select(col("user_id"), col("us"),
-            round(sum("value").over(w), 2).as("trailing_24h"))
+            sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+              .as("trailing_24h"))
     },
 
     // Distribution-rank window family (ntile / percent_rank / cume_dist)

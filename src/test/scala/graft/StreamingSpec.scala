@@ -216,6 +216,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("radius streaming near-dup under LATE data: symmetric horizon + watermark eviction") {
+    // non-zero watermark delay makes late arrivals admissible — the paths
+    // the delay=0 test cannot reach: (a) a late doc must NOT pair with an
+    // entry farther than the horizon AHEAD of it (symmetric bound); (b) an
+    // entry must survive eviction as long as a still-admissible late doc
+    // could pair with it (watermark-based, not newest-event-based)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingNearDup
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val doc = "alpha beta gamma delta epsilon zeta" // identical → hamming 0
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = StreamingNearDup.candidates(
+      mem.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+      delay = "30 minutes", horizonMs = 10 * 60 * 1000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_late").start()
+    mem.addData((1L, t(50), doc))  // A at 10:50
+    q.processAllAvailable()
+    mem.addData((2L, t(25), doc))  // B, LATE (admissible: wm=10:20): 25 min
+    q.processAllAvailable()        //   from A > horizon → must NOT pair
+    mem.addData((3L, t(30), doc))  // D at 10:30: 5 min from B → MUST pair
+    q.processAllAvailable()        //   (B survives only under wm eviction)
+    q.stop()
+    val got = spark.table("neardup_late").select("aId", "bId")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 3L)), s"got $got")
+  }
+
   test("stream-stream interval join equals the batch join on replay") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamJoin
