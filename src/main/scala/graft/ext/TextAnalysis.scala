@@ -89,6 +89,23 @@ object TextAnalysis {
     best
   }
 
+  /** PII redaction — the scrubbing pass every training-data pipeline runs
+    * before anything else sees the text. Deliberately simple, portable
+    * patterns (no lookarounds — Java regex and RE2-family engines agree):
+    * emails, international-ish phone numbers, 13–16-digit card runs. Each
+    * category replaced by a stable tag so downstream dedup/tokenization
+    * remain deterministic. Per-row, codegen'd, no UDF. */
+  def redactPii(textCol: Column): Column = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val card  = "\\b[0-9]{13,16}\\b"
+    val phone = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(textCol, email, "<EMAIL>"),
+        card, "<CARD>"),
+      phone, "<PHONE>")
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercased text —
     * the exact-dedup key that survives formatting noise. */
   def fingerprint(textCol: Column): Column =

@@ -852,6 +852,38 @@ object ExtQueries {
               .otherwise(0L).as("approx_close"))
     },
 
+    // E4 — PII redaction (the scrubbing pass before anything else touches
+    // the text). The fixture corpus is clean word soup, so both engines
+    // CONSTRUCT identical dirty text from doc_id (planted email, phone,
+    // card) and must redact it identically — portable regex subset (no
+    // lookarounds), identical replace order, DuckDB needs the 'g' flag
+    // (its regexp_replace is first-match by default; Spark's is global).
+    "e4n_pii_redaction" -> Q(
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |         text || ' contact bob' || CAST(doc_id AS VARCHAR) ||
+        |         '@mail.example or +1 (555) 010-' ||
+        |         lpad(CAST(doc_id AS VARCHAR), 4, '0') ||
+        |         ' card 4111111111111111 ok' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |      '\b[0-9]{13,16}\b', '<CARD>', 'g'),
+        |    '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM dirty""".stripMargin) {
+      (s, dir) =>
+        val dirty = concat(col("text"),
+          lit(" contact bob"), col("doc_id").cast("string"),
+          lit("@mail.example or +1 (555) 010-"),
+          lpad(col("doc_id").cast("string"), 4, "0"),
+          lit(" card 4111111111111111 ok"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextAnalysis.redactPii(dirty).as("redacted"))
+    },
+
     // E1 — exact n-gram (unigram-set) Jaccard near-dup pairs, oracle-checked.
     "e6b_unigram_jaccard" -> Q(
       """WITH tok AS (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
