@@ -245,6 +245,24 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("PII redaction: categories masked, clean text untouched, repeats handled") {
+    import spark.implicits._
+    val got = Seq(
+      "clean words only",
+      "mail a@b.co and c.d+x@e-f.org twice",
+      "call +44 20 7946 0958 now",
+      "card 4111111111111111 and short 123456789012",
+      "mixed bob@x.io +1 (555) 010-0042 4111111111111111")
+      .toDF("t").select(TextAnalysis.redactPii(col("t"))).as[String].collect()
+    assert(got(0) == "clean words only")
+    assert(got(1) == "mail <EMAIL> and <EMAIL> twice")
+    assert(got(2) == "call <PHONE> now")
+    // 12 digits is below the card floor but matches the phone shape —
+    // a long bare digit run IS contact-info-like; over-masking beats leaking
+    assert(got(3) == "card <CARD> and short <PHONE>")
+    assert(got(4) == "mixed <EMAIL> <PHONE> <CARD>")
+  }
+
   test("index cache: a second ensure call reuses the committed build (no refit)") {
     // regression for the hasIndex bug: an IVF layout's root holds only
     // underscore-prefixed entries, which the old non-hidden-files check
