@@ -28,6 +28,15 @@ import org.apache.spark.sql.functions._
 object DupClusters {
 
   /** Connected components over an undirected edge list.
+    *
+    * Converged-or-fail contract: if the label fixpoint is not reached
+    * within `maxIter` rounds the call THROWS (IllegalStateException)
+    * rather than returning silently under-merged components — a
+    * correctness-critical op must not have a silent-wrong-answer branch.
+    * With pointer halving a graph needs diameter > 2^maxIter to hit the
+    * default bound, so a real non-convergence is always a caller error
+    * (maxIter set too low), and loud is the only right failure mode.
+    *
     * @return (idCol, cluster_id) — cluster_id = min node id in the
     *         component; nodes absent from `edges` are their own cluster. */
   def connectedComponents(nodes: DataFrame, idCol: String,
@@ -66,6 +75,11 @@ object DupClusters {
       labels = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter " +
+          "rounds; components would be silently under-merged. Raise maxIter " +
+          "(pointer halving converges in O(log diameter) rounds).")
     labels.select(col("node").as(idCol), col("label").as("cluster_id"))
   }
 

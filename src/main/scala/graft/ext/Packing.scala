@@ -56,34 +56,51 @@ object Packing {
     * invariant to the input partitioning because the sort fixes the walk
     * order. Pack ids are per-shard: (shard, pack_id) is the global key. */
   def packBins(docs: DataFrame, idCol: String, tokensExpr: Column,
-               nShards: Int, capacity: Long): DataFrame = {
+               nShards: Int, capacity: Long): DataFrame =
+    packBinsCounted(docs, idCol, tokensExpr, nShards, capacity)._1
+
+  /** [[packBins]] plus an observable drop count: rows whose id is null or
+    * fails the long cast have no place in a deterministic layout and are
+    * skipped — but a lossy operator must surface its losses, so each skip
+    * increments the returned accumulator (named
+    * `graft.packBins.droppedRows`; read it AFTER an action on the frame).
+    * Accumulator semantics: task retries can over-count — treat the value
+    * as an observability signal (zero ⟺ nothing dropped), not an exact
+    * ledger. A null token count (e.g. null text) still packs as 0 tokens. */
+  def packBinsCounted(docs: DataFrame, idCol: String, tokensExpr: Column,
+                      nShards: Int, capacity: Long)
+      : (DataFrame, org.apache.spark.util.LongAccumulator) = {
     require(nShards > 0 && capacity > 0, "nShards and capacity must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    // null-safe: an id that is null OR fails the long cast has no place in
-    // a deterministic layout (row dropped — filtered AFTER the cast so a
-    // non-numeric string id is caught too); a null token count (e.g. null
-    // text) packs as 0 tokens. The tuple encoder would otherwise fail the
-    // whole job on the first null primitive.
-    docs
-      .select(col(idCol).cast("long").as("__id"),
-        (col(idCol) % nShards).cast("long").as("__shard"),
+    val dropped = spark.sparkContext.longAccumulator("graft.packBins.droppedRows")
+    // null ids ride through as Option (the bare tuple encoder would fail
+    // the whole job on the first null primitive) so the partition pass can
+    // COUNT them instead of a silent upstream filter; try_cast because a
+    // malformed string id must become a counted drop, not an ANSI throw.
+    // The shard derives from the CAST id, so both are null together.
+    val out = docs
+      .select(expr(s"try_cast(`$idCol` as bigint)").as("__id"),
         coalesce(tokensExpr.cast("long"), lit(0L)).as("__n"))
-      .filter(col("__id").isNotNull)
+      .select(col("__id"), (col("__id") % nShards).as("__shard"), col("__n"))
       .repartition(nShards, col("__shard"))
       .sortWithinPartitions("__shard", "__id")
-      .as[(Long, Long, Long)] // (id, shard, n_tokens)
+      .as[(Option[Long], Option[Long], Long)] // (id, shard, n_tokens)
       .mapPartitions { it =>
         var curShard = Long.MinValue
         var pack = 0L
         var fill = 0L
-        it.map { case (id, shard, n) =>
-          if (shard != curShard) { curShard = shard; pack = 0L; fill = n }
-          else if (fill + n <= capacity) fill += n
-          else { pack += 1L; fill = n }
-          (id, shard, n, pack)
+        it.flatMap {
+          case (None, _, _) | (_, None, _) =>
+            dropped.add(1L); Iterator.empty
+          case (Some(id), Some(shard), n) =>
+            if (shard != curShard) { curShard = shard; pack = 0L; fill = n }
+            else if (fill + n <= capacity) fill += n
+            else { pack += 1L; fill = n }
+            Iterator.single((id, shard, n, pack))
         }
       }
       .toDF(idCol, "shard", "n_tokens", "pack_id")
+    (out, dropped)
   }
 }

@@ -31,12 +31,16 @@ class DupClustersSpec extends SparkSpec {
     assert(cc(nodes, edges).values.toSet == Set(0L))
   }
 
-  test("maxIter bounds the propagation (chain cut short stays unconverged)") {
+  test("non-convergence within maxIter fails LOUD, never silently under-merged") {
     val nodes = (0L until 30L).toSeq
     val edges = (0L until 29L).map(i => (i, i + 1))
-    // after 3 rounds a node 20+ hops from 0 cannot yet carry label 0
-    val partial = cc(nodes, edges, maxIter = 3)
-    assert(partial(29L) != 0L)
+    // one round cannot collapse a 30-node chain: the contract is a thrown
+    // error, not a partially-merged result
+    val ex = intercept[IllegalStateException] { cc(nodes, edges, maxIter = 1) }
+    assert(ex.getMessage.contains("maxIter"))
+    // a trivially-converged graph (no edges) passes at the same bound: the
+    // throw is about non-convergence, not iteration count per se
+    assert(cc(Seq(1L, 2L), Seq.empty, maxIter = 1) == Map(1L -> 1L, 2L -> 2L))
   }
 
   test("edge direction and duplication do not affect the result") {

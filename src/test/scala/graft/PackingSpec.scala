@@ -42,6 +42,28 @@ class PackingSpec extends SparkSpec {
     assert(out == Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L)))
   }
 
+  test("bin packing surfaces dropped null/uncastable ids via the accumulator") {
+    // two planted nulls and one non-numeric id (fails the long cast) among
+    // three packable docs: layout unaffected, drops COUNTED not silent
+    val docs = Seq(("0", "a b"), (null, "x"), ("1", "c d e"),
+        ("oops", "y"), (null, "z"), ("2", "f"))
+      .toDF("doc_id", "text")
+    val (out, dropped) = Packing.packBinsCounted(docs, "doc_id",
+      graft.ext.TextAnalysis.tokenCount(col("text")), nShards = 1,
+      capacity = 10)
+    val rows = out.orderBy("doc_id")
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((0L, 0L), (1L, 0L), (2L, 0L)))
+    assert(dropped.value == 3L)
+    // the clean path reports zero — the signal is trustworthy both ways
+    val (out2, dropped2) = Packing.packBinsCounted(
+      Seq((7L, "a b c")).toDF("doc_id", "text"), "doc_id",
+      graft.ext.TextAnalysis.tokenCount(col("text")), nShards = 1,
+      capacity = 10)
+    out2.write.format("noop").mode("overwrite").save()
+    assert(dropped2.value == 0L)
+  }
+
   test("bin packing is invariant to the input partitioning") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     def run(df: org.apache.spark.sql.DataFrame) =
