@@ -13,6 +13,57 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.ext.Dedup")
+
+  /** Drop ledger from a [[capOversizedBands]] pass. */
+  final case class BandCapStats(droppedBands: Long, droppedRows: Long)
+
+  /** Default per-band-value cardinality bound for the LSH band self-joins.
+    * A band value shared by more than this many documents is degenerate
+    * (empty/boilerplate text collapsing into one bucket — at 100 TB the
+    * one spot where a banded join goes quadratic); members beyond any
+    * plausible near-dup cluster size are better served by the exact
+    * [[byFingerprint]] path, which handles identical content in ONE
+    * hash aggregation. 100k members ⇒ ~5·10⁹ candidate pairs from a
+    * single band value — already past what any verify stage should pay. */
+  val DefaultMaxBandSize: Int = 100000
+
+  /** Bound the per-band-value group cardinality before a band self-join:
+    * count members per band value (one extra aggregation on the key the
+    * join was about to shuffle on anyway), DROP the oversized bands
+    * entirely, and surface the decision — returned as [[BandCapStats]]
+    * and logged, never silent. Dropping (rather than salting) is the
+    * right semantics: pairs inside a degenerate band are not near-dup
+    * SIGNAL, they are boilerplate collapse, and the quadratic candidate
+    * set would drown the verify stage. `maxBandSize = Int.MaxValue`
+    * disables the pass entirely (no counting job). */
+  private[graft] def capOversizedBands(banded0: DataFrame, bandCol: String,
+                                       maxBandSize: Int, opName: String)
+      : (DataFrame, BandCapStats) = {
+    require(maxBandSize > 0, s"maxBandSize must be positive: $maxBandSize")
+    if (maxBandSize == Int.MaxValue) return (banded0, BandCapStats(0L, 0L))
+    // materialize the banded frame ONCE: the counting pass, the anti-join,
+    // and the caller's band self-join all read these narrow (id, band)
+    // rows instead of recomputing the signature pipeline per consumer —
+    // the self-join alone used to compute signatures twice (both sides),
+    // so the counting pass comes out net-free
+    val banded = banded0.localCheckpoint()
+    val over = banded.groupBy(col(bandCol)).agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > maxBandSize)
+      .localCheckpoint() // tiny (oversized bands only); read twice below
+    val row = over.agg(count(lit(1)).as("b"),
+      coalesce(sum("__bn"), lit(0L)).as("r")).first()
+    val stats = BandCapStats(row.getLong(0), row.getLong(1))
+    if (stats.droppedBands == 0L) (banded, stats)
+    else {
+      log.warn(s"$opName: dropped ${stats.droppedBands} oversized band " +
+        s"value(s) covering ${stats.droppedRows} rows (maxBandSize=" +
+        s"$maxBandSize); candidates within those bands are NOT generated")
+      (banded.join(broadcast(over.select(col(bandCol))), Seq(bandCol), "left_anti"),
+        stats)
+    }
+  }
+
   /** Exact dedup on arbitrary columns — built-in hash groupBy. */
   def exact(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
@@ -96,16 +147,21 @@ object Dedup {
           (a: Column, h: Column) => least(a, h)))
 
   /** Band-join candidate pairs from a (id, __sig) signature frame: explode
-    * b bands of r signature values, self-join per band, distinct pairs —
-    * the shared LSH step of [[minhashCandidates]] and [[minhashNearDups]]. */
+    * b bands of r signature values, cap degenerate band values
+    * ([[capOversizedBands]] — the 100 TB hot-band guard), self-join per
+    * band, distinct pairs — the shared LSH step of [[minhashCandidates]]
+    * and [[minhashNearDups]]. */
   private def bandCandidates(sig: DataFrame, idCol: String,
-                             k: Int, bands: Int): DataFrame = {
+                             k: Int, bands: Int,
+                             maxBandSize: Int): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val r = k / bands
-    val banded = sig.withColumn("band", explode(array((0 until bands).map { b =>
+    val banded0 = sig.withColumn("band", explode(array((0 until bands).map { b =>
       struct(lit(b).as("band_id"),
         xxhash64(concat_ws(",", slice(col("__sig"), b * r + 1, r))).as("band_val"))
     }: _*))).select(col(idCol), col("band"))
+    val (banded, _) =
+      capOversizedBands(banded0, "band", maxBandSize, "minhash bandCandidates")
     val a = banded.select(col(idCol).as("a_id"), col("band"))
     val b = banded.select(col(idCol).as("b_id"), col("band"))
     a.join(b, a("band") === b("band") && col("a_id") < col("b_id"))
@@ -116,11 +172,11 @@ object Dedup {
     * r=4 a Jaccard-0.8 pair is caught with p = 1-(1-0.8^4)^8 ≈ 0.986.
     * Verify candidates with [[jaccardVerify]]. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 32, bands: Int = 8,
-                        shingleN: Int = 3): DataFrame =
+                        k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                        maxBandSize: Int = DefaultMaxBandSize): DataFrame =
     bandCandidates(
       df.select(col(idCol), minhashSignature(col(textCol), k, shingleN).as("__sig")),
-      idCol, k, bands)
+      idCol, k, bands, maxBandSize)
 
   /** Full MinHash near-dup cascade:
     *   signatures → band candidates → signature-agreement estimate filter →
@@ -134,10 +190,16 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, k: Int = 32, bands: Int = 8,
                       shingleN: Int = 3, estSlack: Double = 0.2,
-                      nativeShingles: Boolean = false): DataFrame = {
+                      nativeShingles: Boolean = false,
+                      maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
+    // signatures materialized ONCE: the band explode, the cap's counting
+    // pass, and BOTH estimate-join sides below read the narrow (id, k-long
+    // array) rows instead of re-running the shingle→minhash pipeline per
+    // consumer (it appears in four plan subtrees)
     val sig = docs.select(col(idCol),
       minhashSignature(col(textCol), k, shingleN, nativeShingles).as("__sig"))
-    val pairs = bandCandidates(sig, idCol, k, bands)
+      .localCheckpoint()
+    val pairs = bandCandidates(sig, idCol, k, bands, maxBandSize)
     val est = pairs
       .join(sig.select(col(idCol).as("a_id"), col("__sig").as("a_sig")), "a_id")
       .join(sig.select(col(idCol).as("b_id"), col("__sig").as("b_sig")), "b_id")

@@ -495,6 +495,38 @@ object Similarity {
     transform(col("__codes"),
       c => col("__mn") + (c.cast("double") + 128.0) * col("__scale"))
 
+  /** Exact re-rank: score a candidate id set against the FLOAT corpus and
+    * return the exact-cosine top-k — the second stage of the quantize-then-
+    * rerank pipeline (candidates from [[ivfProbeQuantized]] /
+    * [[annProbeQuantized]] with k′ > k rank on the 8-bit grid; this
+    * restores exact scores and exact order). The candidate set is
+    * scalar-sized (k′ rows), so it BROADCASTS onto the corpus join — the
+    * corpus never shuffles, and an id-sorted/bucketed corpus layout turns
+    * the fetch into a pruned point-lookup scan. Shares [[cosineTopK]], so
+    * the returned scores are bit-identical to [[bruteForceTopK]]'s. */
+  def rerankExact(candidates: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, query: Seq[Float], k: Int): DataFrame = {
+    val qLit = array(query.map(v => lit(v.toDouble)): _*)
+    cosineTopK(corpus.join(broadcast(candidates.select(col(idCol))), Seq(idCol)),
+      idCol, col(vecCol), qLit, k)
+  }
+
+  /** Quantized IVF probe with exact final scores: rank kPrime candidates
+    * on the dequantized 8-bit grid (4× less scan IO), then [[rerankExact]]
+    * the kPrime ids against the float corpus for the true top-k. With
+    * full-coverage probes (nProbe = nLists) and kPrime comfortably above
+    * k, the result EQUALS brute force exactly — the int8 grid moves
+    * 64-dim cosines by ≲1e-2 (QuantizeSpec), so the true top-k always
+    * sits inside the quantized top-kPrime at kPrime ≥ 5k. */
+  def ivfProbeQuantizedReranked(spark: SparkSession, indexDir: String,
+                                corpus: DataFrame, idCol: String,
+                                vecCol: String, query: Seq[Float], k: Int,
+                                kPrime: Int, nProbe: Int = 4): DataFrame = {
+    require(kPrime >= k, s"kPrime ($kPrime) must be >= k ($k)")
+    val cand = ivfProbeQuantized(spark, indexDir, idCol, query, kPrime, nProbe)
+    rerankExact(cand, corpus, idCol, vecCol, query, k)
+  }
+
   /** Deterministic pseudo-random plane matrix for the banded near-dup LSH,
     * generated DRIVER-side (splitmix64, seeded — stable across JVMs and
     * executors) and shipped as one array literal: m = bands·nPlanes planes ×
@@ -533,7 +565,8 @@ object Similarity {
     * hash joins on the candidate set LSH has already gutted. */
   def cosineNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
                          dim: Int, threshold: Double, nPlanes: Int = 8,
-                         bands: Int = 4, seed: Int = 42): DataFrame = {
+                         bands: Int = 4, seed: Int = 42,
+                         maxBandSize: Int = Dedup.DefaultMaxBandSize): DataFrame = {
     val m = bands * nPlanes
     val planes = array(planeMatrix(dim, m, seed).map(lit): _*) // folds to one Literal
     val projs = aggregate(
@@ -552,8 +585,14 @@ object Similarity {
       }.reduce((x, y) => x.bitwiseOR(y))
       struct(lit(b).as("band_id"), bits.as("band_val"))
     }
-    val banded = withProjs.select(col(idCol),
+    val banded0 = withProjs.select(col(idCol),
       explode(array(bandStructs: _*)).as("band"))
+    // hot-band guard (Dedup.capOversizedBands): a degenerate bucket — e.g.
+    // millions of zero/boilerplate embeddings sharing one signature — would
+    // make the self-join below quadratic inside that bucket; oversized band
+    // values are dropped with a logged ledger, never silently exploded
+    val (banded, _) = Dedup.capOversizedBands(banded0, "band", maxBandSize,
+      "cosineNearDupPairs")
     val la = banded.select(col(idCol).as("a_id"), col("band"))
     val rb = banded.select(col(idCol).as("b_id"), col("band"))
     val cand = la.join(rb, la("band") === rb("band") && col("a_id") < col("b_id"))

@@ -1043,6 +1043,28 @@ object ExtQueries {
       recallContract(exact, qtop)
     },
 
+    // E2 — quantized probe + EXACT re-rank: the quantized IVF index ranks
+    // a k′=50 candidate set on the 8-bit grid (rank perturbations and
+    // all), then rerankExact joins those ids back to the FLOAT corpus for
+    // the true scores. The gate is EQUALITY with brute force — ids AND
+    // cosines, not a recall contract: full-coverage probes (nProbe =
+    // nLists) make the candidate superset total, the grid's ≲1e-2 cosine
+    // error keeps the true top-10 inside the quantized top-50, and the
+    // re-rank shares bruteForceTopK's exact expression shape.
+    "e2m_quantized_rerank" -> Q(
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) AS cos
+        |FROM embeddings
+        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0)
+      val idx = Similarity.ensureIvfIndexQuantized(emb, "vec_id", "embedding")
+      Similarity.ivfProbeQuantizedReranked(s, idx, emb, "vec_id", "embedding",
+        query, k = 10, kPrime = 50, nProbe = 16)
+    },
+
     // E2 — per-label embedding centroids (class prototypes), exact across
     // engines: components sum through DECIMAL(28,12) so accumulation order
     // cannot move the result (no double is an exact decimal-digit-13 tie,

@@ -75,6 +75,54 @@ class ExtOpsSpec extends SparkSpec {
     assert(recall > 0.9, s"cascade twin recall $recall")
   }
 
+  test("hot-band cap: a degenerate band value over 10k docs is dropped with a ledger, planted pair survives") {
+    // 10k identical boilerplate docs collapse every minhash band into ONE
+    // band value — the 100 TB quadratic edge. With the cap, the self-join
+    // stays bounded: boilerplate pairs are NOT generated (byFingerprint is
+    // the right tool for identical content) while a distinctive planted
+    // near-dup pair in its own small bands is still found.
+    val boiler = spark.range(10000).select(col("id").as("doc_id"),
+      lit("lorem ipsum dolor sit amet consectetur adipiscing elit").as("text"))
+    val planted = Seq(
+      (20001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (20002L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"))
+      .toDF("doc_id", "text")
+    val found = Dedup.minhashNearDups(boiler.unionByName(planted),
+        "doc_id", "text", threshold = 0.8, maxBandSize = 100)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(found == Set((20001L, 20002L)), s"got $found")
+
+    // the ledger itself: 150 rows in one band value at cap 100 → that band
+    // dropped and counted; the 10-row band rides through untouched
+    val banded = spark.range(160).select(col("id"),
+      struct(lit(0).as("band_id"),
+        when(col("id") < 150, 7L).otherwise(8L).as("band_val")).as("band"))
+    val (kept, stats) = Dedup.capOversizedBands(banded, "band",
+      maxBandSize = 100, opName = "spec")
+    assert(stats == Dedup.BandCapStats(droppedBands = 1L, droppedRows = 150L))
+    assert(kept.count() == 10L)
+    // disabled cap is a true no-op (no counting job, stats empty)
+    val (kept2, stats2) = Dedup.capOversizedBands(banded, "band",
+      maxBandSize = Int.MaxValue, opName = "spec")
+    assert(stats2 == Dedup.BandCapStats(0L, 0L) && kept2.count() == 160L)
+  }
+
+  test("hot-band cap on embedding near-dup: degenerate bucket dropped, planted pair survives") {
+    // same guard on the embedding-space band join: 10k identical vectors
+    // share every band bucket; a sign-distinct near-dup pair keeps its own
+    // small buckets and is still returned with its exact cosine
+    val boiler = spark.range(10000).select(col("id").as("vec_id"),
+      array(Seq.fill(8)(lit(0.5f)): _*).as("embedding"))
+    val v = Seq(1f, -1f, 1f, -1f, 1f, -1f, 1f, -1f)
+    val vNoisy = v.map(x => x * 0.98f + 0.01f)
+    val planted = Seq((20001L, v), (20002L, vNoisy)).toDF("vec_id", "embedding")
+    val found = Similarity.cosineNearDupPairs(boiler.unionByName(planted),
+        "vec_id", "embedding", dim = 8, threshold = 0.95,
+        nPlanes = 4, bands = 2, maxBandSize = 100)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(found == Set((20001L, 20002L)), s"got $found")
+  }
+
   test("minhash estimate tracks exact jaccard on candidate pairs") {
     // compare like with like: minhash over unigram shingles estimates
     // unigram-set jaccard, the measure unigramJaccardPairs computes exactly
@@ -261,6 +309,28 @@ class ExtOpsSpec extends SparkSpec {
     // a long bare digit run IS contact-info-like; over-masking beats leaking
     assert(got(3) == "card <CARD> and short <PHONE>")
     assert(got(4) == "mixed <EMAIL> <PHONE> <CARD>")
+  }
+
+  test("quantized probe + exact re-rank equals brute force, ids AND scores") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").first().getSeq[Float](0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfq-rr").toString + "/idx"
+    Similarity.buildIvfIndexQuantized(emb, "vec_id", "embedding", dir)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 10)
+      .as[(Long, Double)].collect().toSeq
+    val reranked = Similarity.ivfProbeQuantizedReranked(spark, dir, emb,
+        "vec_id", "embedding", query, k = 10, kPrime = 50, nProbe = 16)
+      .as[(Long, Double)].collect().toSeq
+    assert(reranked == brute) // exact equality, order included
+    // the re-rank is doing real work: the grid-ranked scores it corrects
+    // really do deviate from the float scores
+    val quantScores = Similarity.ivfProbeQuantized(spark, dir, "vec_id",
+        query, 10, nProbe = 16).as[(Long, Double)].collect().toMap
+    val exactScores = brute.toMap
+    val deviates = quantScores.exists { case (id, c) =>
+      exactScores.get(id).exists(e => math.abs(e - c) > 1e-6) }
+    assert(deviates, "int8 grid left every top-10 cosine untouched — fixture too easy")
   }
 
   test("index cache: a second ensure call reuses the committed build (no refit)") {
