@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{ExtQueries, JoinQueries, Q, ReferenceQueries, WindowQueries}
+import graft.queries.{ExtQueries, JoinQueries, Q, ReferenceQueries, StreamingReplayQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §5.2/§7.
   *
@@ -14,7 +14,7 @@ object SparkEntry {
 
   private def all: Map[String, Q] =
     ReferenceQueries.defs ++ JoinQueries.defs ++ ExtQueries.defs ++
-      WindowQueries.defs
+      WindowQueries.defs ++ StreamingReplayQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape (j1) — scan → filter → hash aggregate, the canonical

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.streaming.{IncrementalBalance, RowImage}
+
+/** Streaming semantics in the DuckDB oracle gate (SURVEY §2.8 T5/T6):
+  * deterministic REPLAY-EQUIVALENCE twins. Each entry replays the events
+  * fixture through the real Structured-Streaming pipeline (MemoryStream →
+  * stateful ops → sink) in event-time order across several micro-batches,
+  * then returns the final state — which must hash-match the plain batch
+  * SQL the oracle runs. This is the batch-equivalence law from SURVEY §7.3
+  * promoted from spec assertions into the external oracle gate.
+  *
+  * Scale note: the driver-side `collect()` of the fixture here is the
+  * REPLAY HARNESS, not the operator — a production stream reads from a
+  * source, never from a collected array. It is the streaming analog of the
+  * gate queries' query-vector collects: bounded by the fixture, gate-only.
+  *
+  * Determinism: rows are fed in (ts, event_id) order; every stateful op in
+  * the path is chunk-split-proof (per-key transition state sees one row
+  * per unique key; sums/maxes are associative-commutative; window
+  * finalization is watermark-driven), so the final state is independent of
+  * the micro-batch boundaries. Doubles accumulated in stream order are
+  * rounded to 2 decimals on BOTH sides — stream-vs-decimal sum error is
+  * ~1e-9 on this data, far below the rounding grid.
+  */
+object StreamingReplayQueries {
+
+  private val nChunks = 3
+
+  private def chunked[T](rows: Array[T]): Iterator[Seq[T]] =
+    rows.grouped(math.max(1, rows.length / nChunks + 1)).map(_.toSeq)
+
+  val defs: Map[String, Q] = Map(
+
+    // T6 — the trigger-maintained incremental balance, replayed through
+    // the FULL streaming path (deriveTransitions flatMapGroupsWithState →
+    // transition guard → update-mode running balance → S4 merge sink per
+    // micro-batch) and compared against the one-shot batch aggregate. The
+    // guard admits inserts of qualifying rows only; the fixture history is
+    // insert-only (unique event_id = PK), so qualifying == non-error.
+    "t6_incremental_balance_replay" -> Q(
+      """SELECT user_id,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS balance,
+        |       epoch_us(max(ts)) AS updated_us
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY user_id""".stripMargin) { (s, dir) =>
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+        .orderBy("ts", "event_id")
+        .collect()
+        .map(r => RowImage(key = r.getLong(0), userId = r.getLong(1),
+          status = r.getString(2), amount = r.getDouble(3), ts = r.getLong(4)))
+      val dest = java.nio.file.Files.createTempDirectory("t6-replay")
+        .toString + "/balances"
+      val mem = MemoryStream[RowImage]
+      val q = IncrementalBalance.run(mem.toDS(), dest)
+      try chunked(rows).foreach { b => mem.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      s.read.parquet(dest).select(col("user_id"),
+        round(col("balance"), 2).as("balance"),
+        expr("updated div 1000").as("updated_us"))
+    },
+
+    // T5/W6 — event-time tumbling-window aggregation replayed through a
+    // watermarked APPEND-mode stream: windows finalize only when the
+    // watermark passes them, so the twin exercises watermark advance and
+    // state eviction, not just the agg. Sentinel batches past the end of
+    // the data flush the last real windows (their own rows are filtered
+    // out by event_type); the result must hash-match the batch w6 oracle.
+    "t7_tumbling_window_replay" -> Q(
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
+        |       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .select(expr("ts div 1000").as("ts_us"), col("event_type"), col("value"))
+        .orderBy("ts_us", "event_type", "value")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      val mem = MemoryStream[(Long, String, Double)]
+      val agg = mem.toDS().toDF("ts_us", "event_type", "value")
+        .withColumn("tss", timestamp_micros(col("ts_us")))
+        .withWatermark("tss", "0 seconds")
+        .groupBy(window(col("tss"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("win_start_us"),
+          col("event_type"), col("cnt"), col("sum_value"))
+      val name = "t7_replay_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        chunked(rows).foreach { b => mem.addData(b); q.processAllAvailable() }
+        // two sentinel batches: the first advances the watermark past every
+        // real window, the second triggers the batch that emits them
+        val maxUs = rows.last._1
+        (1 to 2).foreach { i =>
+          mem.addData((maxUs + i * 7200000000L, "__sentinel", 0.0))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(name).filter(col("event_type") =!= "__sentinel")
+    }
+  )
+}
