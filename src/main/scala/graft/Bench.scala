@@ -113,13 +113,18 @@ object Bench {
     val all = results ++ probeResults :+ ("sync_merge_events" -> syncSec)
     // ms precision keeps the line short, and the headline metric/value
     // fields go LAST: the driver records only a bounded tail of stdout, so
-    // with ~80 queries a front-loaded summary gets truncated away
+    // with ~95 queries a front-loaded summary gets truncated away. The
+    // per-query map is ordered fastest→slowest for the same reason: the
+    // slowest queries — the ones worth reading — sit at the END of the map
+    // where the tail-keep preserves them (failures, reported as -1, sort
+    // after even those: a failure must never be truncated away).
     // Locale.ROOT: the default-locale f-interpolator would emit comma
     // decimal separators (invalid JSON) on non-English JVMs
     def r3(v: Double): String =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val qs = all.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     println(s"""{"queries":$qs,"sync_rows":$syncRows,"runs_per_query":$runs,""" +
