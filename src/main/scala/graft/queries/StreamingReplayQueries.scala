@@ -35,6 +35,19 @@ object StreamingReplayQueries {
   private def chunked[T](rows: Array[T]): Iterator[Seq[T]] =
     rows.grouped(math.max(1, rows.length / nChunks + 1)).map(_.toSeq)
 
+  /** Run `body` with a reduced shuffle-partition count, restoring the
+    * session's setting after. Stateful streaming ops commit one state-store
+    * instance PER shuffle partition PER micro-batch; a gate replay with a
+    * handful of micro-batches on a single-host session pays that fixed
+    * commit cost 32× for no parallelism win. Gate-harness tuning only — a
+    * production stream sizes partitions to the cluster, not to 8. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   val defs: Map[String, Q] = Map(
 
     // T6 — the trigger-maintained incremental balance, replayed through
@@ -60,10 +73,12 @@ object StreamingReplayQueries {
           status = r.getString(2), amount = r.getDouble(3), ts = r.getLong(4)))
       val dest = java.nio.file.Files.createTempDirectory("t6-replay")
         .toString + "/balances"
-      val mem = MemoryStream[RowImage]
-      val q = IncrementalBalance.run(mem.toDS(), dest)
-      try chunked(rows).foreach { b => mem.addData(b); q.processAllAvailable() }
-      finally q.stop()
+      withShufflePartitions(s, 8) {
+        val mem = MemoryStream[RowImage]
+        val q = IncrementalBalance.run(mem.toDS(), dest)
+        try chunked(rows).foreach { b => mem.addData(b); q.processAllAvailable() }
+        finally q.stop()
+      }
       s.read.parquet(dest).select(col("user_id"),
         round(col("balance"), 2).as("balance"),
         expr("updated div 1000").as("updated_us"))
@@ -96,19 +111,101 @@ object StreamingReplayQueries {
           col("event_type"), col("cnt"), col("sum_value"))
       val name = "t7_replay_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = agg.writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
-      try {
-        chunked(rows).foreach { b => mem.addData(b); q.processAllAvailable() }
-        // two sentinel batches: the first advances the watermark past every
-        // real window, the second triggers the batch that emits them
-        val maxUs = rows.last._1
-        (1 to 2).foreach { i =>
-          mem.addData((maxUs + i * 7200000000L, "__sentinel", 0.0))
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      withShufflePartitions(s, 8) {
+        val q = agg.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try {
+          chunked(rows).foreach { b => mem.addData(b); q.processAllAvailable() }
+          // two sentinel batches: the first advances the watermark past every
+          // real window, the second triggers the batch that emits them
+          val maxUs = rows.last._1
+          (1 to 2).foreach { i =>
+            mem.addData((maxUs + i * 7200000000L, "__sentinel", 0.0))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
       s.table(name).filter(col("event_type") =!= "__sentinel")
+    },
+
+    // T5/E1 — streaming exact dedup replayed with PLANTED re-deliveries:
+    // every event is delivered twice (the at-least-once upstream the op
+    // exists for); dropDuplicatesWithinWatermark must collapse each pair
+    // within the horizon, so the surviving stream aggregates to exactly
+    // the batch profile of the fixture (count / distinct / id-sum — the
+    // id-sum catches a wrong SELECTION, not just a wrong count).
+    "t8_streaming_dedup_replay" -> Q(
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+        |       CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events""".stripMargin) { (s, dir) =>
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val base = Tables.events(s, dir)
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"))
+      val rows = base.unionByName(base) // the re-delivery
+        .orderBy("ts_us", "event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val mem = MemoryStream[(Long, Long)]
+      val deduped = graft.ext.Dedup.streamingDedup(
+        mem.toDS().toDF("event_id", "ts_us")
+          .withColumn("tss", timestamp_micros(col("ts_us"))),
+        Seq("event_id"), "tss", delay = "60 days") // horizon spans the fixture
+      val name = "t8_replay_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      withShufflePartitions(s, 8) {
+        val q = deduped.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try chunked(rows).foreach { b => mem.addData(b); q.processAllAvailable() }
+        finally q.stop()
+      }
+      s.table(name).agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("event_id")).as("n_ids"),
+        sum(col("event_id")).as("id_sum"))
+    },
+
+    // T5/J — stream-stream interval join (view-before-purchase attribution)
+    // replayed against the batch join oracle: each side arrives in its own
+    // event-time order across micro-batches, state is bounded by
+    // lookback + watermark on both sides, and the emitted pair set must
+    // equal DuckDB's static interval join row-for-row.
+    "t9_stream_join_replay" -> Q(
+      """SELECT p.user_id, p.event_id AS p_id, v.event_id AS v_id
+        |FROM events p JOIN events v ON p.user_id = v.user_id
+        |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND epoch_us(v.ts) BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)""".stripMargin) { (s, dir) =>
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      def side(eventType: String): Array[(Long, Long, Long)] =
+        Tables.events(s, dir).filter(col("event_type") === eventType)
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"))
+          .orderBy("ts_us", "event_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val pMem = MemoryStream[(Long, Long, Long)]
+      val vMem = MemoryStream[(Long, Long, Long)]
+      def shape(df: org.apache.spark.sql.DataFrame, ts: String, id: String) =
+        df.select(col("_1").as("user_id"),
+          timestamp_micros(col("_2")).as(ts), col("_3").as(id))
+      val joined = graft.streaming.StreamJoin.intervalJoin(
+        shape(pMem.toDF(), "pts", "p_id"), "pts",
+        shape(vMem.toDF(), "vts", "v_id"), "vts",
+        Seq("user_id"), lookbackMs = 3600000L, watermarkDelay = "0 seconds")
+      val name = "t9_replay_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      withShufflePartitions(s, 8) {
+        val q = joined.select("user_id", "p_id", "v_id").writeStream
+          .outputMode("append").format("memory").queryName(name).start()
+        try {
+          val (ps, vs) = (chunked(side("purchase")).toSeq, chunked(side("view")).toSeq)
+          ps.zipAll(vs, Seq.empty[(Long, Long, Long)], Seq.empty[(Long, Long, Long)])
+            .foreach { case (pb, vb) =>
+              if (pb.nonEmpty) pMem.addData(pb)
+              if (vb.nonEmpty) vMem.addData(vb)
+              q.processAllAvailable()
+            }
+        } finally q.stop()
+      }
+      s.table(name)
     }
   )
 }
