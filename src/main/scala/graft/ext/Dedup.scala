@@ -213,6 +213,66 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-table MinHash-LSH near-dup JOIN — entity linking / corpus-to-
+    * corpus matching ("which scraped docs duplicate a canonical source"):
+    * every (left, right) pair whose exact shingle-set Jaccard meets
+    * `threshold`, found via band collisions across the two tables — the
+    * two-sided form of [[minhashNearDups]], never a cartesian.
+    *
+    * Execution shape: one signature pass per side (checkpointed, narrow),
+    * band explode per side with the hot-band cap applied independently to
+    * each (a degenerate band value on EITHER side would make that band's
+    * cross product quadratic), equi-join on the band key, estimate filter,
+    * exact verify. Exact verify means NO false positives ever; recall per
+    * pair is 1-(1-J^r)^b, and pairs with identical shingle sets (J = 1)
+    * are caught with probability 1 — identical signatures collide in
+    * every band — so a `threshold = 1.0` join is exhaustively exact.
+    *
+    * @return (l_id, r_id, jaccard) */
+  def minhashJoin(left: DataFrame, leftId: String,
+                  right: DataFrame, rightId: String,
+                  textCol: String, threshold: Double, k: Int = 32,
+                  bands: Int = 8, shingleN: Int = 3, estSlack: Double = 0.2,
+                  nativeShingles: Boolean = false,
+                  maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val r = k / bands
+    def sigOf(df: DataFrame, id: String, out: String) =
+      df.select(col(id).as(out),
+        minhashSignature(col(textCol), k, shingleN, nativeShingles).as("__sig"))
+        .localCheckpoint()
+    def bandedOf(sig: DataFrame, out: String) = {
+      val b0 = sig.withColumn("band", explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band_id"),
+          xxhash64(concat_ws(",", slice(col("__sig"), b * r + 1, r))).as("band_val"))
+      }: _*))).select(col(out), col("band"))
+      capOversizedBands(b0, "band", maxBandSize, s"minhashJoin $out side")._1
+    }
+    val ls = sigOf(left, leftId, "l_id")
+    val rs = sigOf(right, rightId, "r_id")
+    val cand = bandedOf(ls, "l_id").join(bandedOf(rs, "r_id"), Seq("band"))
+      .select("l_id", "r_id").distinct()
+    val est = cand
+      .join(ls.select(col("l_id"), col("__sig").as("l_sig")), "l_id")
+      .join(rs.select(col("r_id"), col("__sig").as("r_sig")), "r_id")
+      .withColumn("est",
+        size(filter(zip_with(col("l_sig"), col("r_sig"),
+          (x: Column, y: Column) => x === y), (b: Column) => b))
+          .cast("double") / k)
+      .filter(col("est") >= threshold - estSlack)
+      .select("l_id", "r_id")
+    val lt = left.select(col(leftId).as("l_id"),
+      shingleCol(col(textCol), shingleN, nativeShingles).as("l_toks"))
+    val rt = right.select(col(rightId).as("r_id"),
+      shingleCol(col(textCol), shingleN, nativeShingles).as("r_toks"))
+    est.join(lt, "l_id").join(rt, "r_id")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("l_toks"), col("r_toks"))).cast("double") /
+          size(array_union(col("l_toks"), col("r_toks"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("l_id", "r_id", "jaccard")
+  }
+
   /** Cross-corpus contamination (train/benchmark decontamination): for
     * every doc in `corpus`, the count and fraction of its distinct n-gram
     * shingles that also appear ANYWHERE in `benchmark` — the standard

@@ -92,6 +92,29 @@ object DupClusters {
       .withColumn("is_canonical",
         (col(idCol) === col("cluster_id")).cast("long"))
 
+  /** [[clusters]] with keeper selection by PRIORITY instead of min id: the
+    * kept member per cluster maximizes `priorityExpr` (ties → smallest id)
+    * — "keep the longest / highest-quality copy", the curation policy real
+    * pipelines want over id order. One extra hash aggregation on
+    * cluster_id (`max_by` with a lexicographic (priority, -id) key) plus
+    * an equi-join of the one-row-per-cluster keeper table back onto the
+    * assignment — no window, no sort.
+    * @return (idCol, cluster_id, is_keeper) */
+  def clustersKeepBest(nodes: DataFrame, idCol: String,
+                       priorityExpr: org.apache.spark.sql.Column,
+                       edges: DataFrame, aCol: String, bCol: String,
+                       maxIter: Int = 25): DataFrame = {
+    val cc = connectedComponents(nodes, idCol, edges, aCol, bCol, maxIter)
+    val withPri = cc.join(
+      nodes.select(col(idCol), priorityExpr.as("__pri")), Seq(idCol))
+    val keepers = withPri.groupBy("cluster_id")
+      .agg(max_by(col(idCol), struct(col("__pri"), (-col(idCol)).as("__nid")))
+        .as("__keeper"))
+    withPri.join(keepers, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"),
+        (col(idCol) === col("__keeper")).cast("long").as("is_keeper"))
+  }
+
   private def labelSum(labels: DataFrame): Long =
     labels.agg(sum("label")).first().getLong(0)
 }

@@ -942,6 +942,73 @@ object ExtQueries {
         DupClusters.clusters(docs, "doc_id", edges, "a_id", "b_id")
     },
 
+    // E1 — cross-table MinHash near-dup JOIN (entity linking): left = docs
+    // [0,250), right = docs [100,350) under shifted ids. threshold = 1.0
+    // makes the gate EXACT row equality, not a recall contract: identical
+    // shingle sets produce identical signatures (caught in every band —
+    // structural recall 1), the exact verify kills everything below 1.0
+    // (no false positives by construction), and DuckDB independently finds
+    // the token-SET-equal cross pairs via a sorted-distinct-list equality
+    // join. Sub-1.0 thresholds are recall-spec'd in ExtOpsSpec.
+    "e6d_minhash_join" -> Q(
+      """WITH lt AS (SELECT doc_id AS l_id,
+        |                   list_sort(list_distinct(regexp_split_to_array(text, '\s+'))) AS ts
+        |            FROM documents WHERE doc_id < 250),
+        |rt AS (SELECT doc_id + 10000 AS r_id,
+        |              list_sort(list_distinct(regexp_split_to_array(text, '\s+'))) AS ts
+        |       FROM documents WHERE doc_id >= 100 AND doc_id < 350)
+        |SELECT l_id, r_id, CAST(1.0 AS DOUBLE) AS jaccard
+        |FROM lt JOIN rt ON lt.ts = rt.ts""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.documents(s, dir)
+        val leftT = docs.filter(col("doc_id") < 250)
+        val rightT = docs.filter(col("doc_id") >= 100 && col("doc_id") < 350)
+          .select((col("doc_id") + 10000).as("rid"), col("text"))
+        Dedup.minhashJoin(leftT, "doc_id", rightT, "rid", "text",
+          threshold = 1.0, shingleN = 1)
+    },
+
+    // E1 — priority keeper selection: same components as e9, but the kept
+    // member per cluster is the LONGEST doc (token count; ties → smallest
+    // id) — the curation policy real pipelines use — selected by a
+    // max_by hash agg, no window. DuckDB picks the keeper with a window
+    // over the recursive-CTE components.
+    "e9b_quality_keeper" -> Q(
+      """WITH RECURSIVE
+        |tok AS (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+        |        FROM documents WHERE doc_id < 50),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |          FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id FROM inter
+        |          JOIN sizes sa ON sa.doc_id = a_id
+        |          JOIN sizes sb ON sb.doc_id = b_id
+        |          WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.8),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 50
+        |  UNION
+        |  SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.node),
+        |comp AS (SELECT node AS doc_id, min(label) AS cluster_id
+        |         FROM reach GROUP BY node),
+        |pri AS (SELECT c.doc_id, c.cluster_id,
+        |               CAST(len(regexp_split_to_array(d.text, '\s+')) AS BIGINT) AS pri
+        |        FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+        |SELECT doc_id, cluster_id,
+        |       CAST(doc_id = first_value(doc_id) OVER (
+        |         PARTITION BY cluster_id ORDER BY pri DESC, doc_id ASC) AS BIGINT)
+        |         AS is_keeper
+        |FROM pri""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.documents(s, dir).filter(col("doc_id") < 50)
+        val edges = Dedup.unigramJaccardPairs(docs, "doc_id", "text",
+          threshold = 0.8)
+        DupClusters.clustersKeepBest(docs, "doc_id",
+          TextAnalysis.tokenCount(col("text")), edges, "a_id", "b_id")
+    },
+
     // [EXT] sequence packing (concat-and-chunk): the doc → training-chunk
     // map, laid out independently per id-modulo shard so no window is
     // global. Pure window cumsum — both engines compute the identical

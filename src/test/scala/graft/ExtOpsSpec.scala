@@ -123,6 +123,37 @@ class ExtOpsSpec extends SparkSpec {
     assert(found == Set((20001L, 20002L)), s"got $found")
   }
 
+  test("cross-table minhash join: identical copies all found, perturbed twins mostly") {
+    // exact copies under shifted ids: threshold 1.0 is structurally
+    // recall-1 (identical signatures collide in every band)
+    val copies = docs.select((col("doc_id") + 100000).as("rid"), col("text"))
+    val exactPairs = graft.ext.Dedup.minhashJoin(docs, "doc_id", copies, "rid",
+        "text", threshold = 1.0, shingleN = 1)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    val expected = docs.select("doc_id").as[Long].collect()
+      .map(i => (i, i + 100000)).toSet
+    assert(expected.subsetOf(exactPairs), "an identical copy was missed")
+    // perturbed twins at a sub-1.0 threshold: probabilistic recall
+    val found = graft.ext.Dedup.minhashJoin(docs, "doc_id",
+        perturbed.withColumnRenamed("doc_id", "rid"), "rid",
+        "text", threshold = 0.8)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    val recall = expected.count(found.contains).toDouble / expected.size
+    assert(recall > 0.9, s"cross-table twin recall $recall")
+  }
+
+  test("clustersKeepBest keeps the highest-priority member per cluster") {
+    // chain 1-2-3 with priorities 5, 9, 9: keeper = id 2 (max priority,
+    // tie broken toward the smaller id); singleton keeps itself
+    val nodes = Seq((1L, 5L), (2L, 9L), (3L, 9L), (9L, 1L)).toDF("id", "pri")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = graft.ext.DupClusters.clustersKeepBest(
+        nodes, "id", col("pri"), edges, "a", "b")
+      .select("id", "cluster_id", "is_keeper")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 0L), (9L, 9L, 1L)))
+  }
+
   test("minhash estimate tracks exact jaccard on candidate pairs") {
     // compare like with like: minhash over unigram shingles estimates
     // unigram-set jaccard, the measure unigramJaccardPairs computes exactly
