@@ -51,6 +51,47 @@ object TextAnalysis {
           col("n_tokens"), 6))
   }
 
+  /** Gopher-style repetition profile per document: the fraction of the doc
+    * taken by its single most frequent token and most frequent bigram —
+    * the classic "most common word / n-gram fraction" filters that catch
+    * keyword-stuffed and template/boilerplate pages where a plain
+    * type-token ratio stays deceptively healthy.
+    *
+    * Shape: one posexplode, a doc-bounded window for bigram formation
+    * (partitioned by doc — never global), and two-level hash aggregation
+    * per doc. All keys are per-document, so it scales linearly and
+    * parallelizes like the other E4 aggs.
+    *
+    * @return idCol, n_tokens, n_distinct, top_token_frac, top_bigram_frac,
+    *         rep_flagged (1 when top_token_frac > 0.2 or
+    *         top_bigram_frac > 0.1 — Gopher-ish thresholds) */
+  def repetitionStats(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+    val uni = tok.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max("c").as("top_cnt"))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val big = tok.withColumn("next", lead("token", 1).over(w))
+      .filter(col("next").isNotNull)
+      .select(col(idCol), concat_ws(" ", col("token"), col("next")).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max("c").as("top_bg_cnt"), sum("c").as("n_bigrams"))
+    val tf = col("top_cnt").cast("double") / col("n_tokens")
+    val bf = coalesce(col("top_bg_cnt").cast("double") / col("n_bigrams"), lit(0.0))
+    uni.join(big, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        round(tf, 6).as("top_token_frac"),
+        round(bf, 6).as("top_bigram_frac"),
+        (tf > 0.2 || bf > 0.1).cast("long").as("rep_flagged"))
+  }
+
   /** Composite quality score in [0,1]: penalizes extreme repetition (low
     * type-token ratio), degenerate token lengths, and very short docs.
     * Deterministic, per-row, codegen'd. */

@@ -942,6 +942,39 @@ object ExtQueries {
         DupClusters.clusters(docs, "doc_id", edges, "a_id", "b_id")
     },
 
+    // E4 — Gopher-style repetition profile: top-token and top-bigram
+    // fractions per doc (the "most common word / n-gram" quality filters).
+    // Both engines form bigrams with an ordinal-ordered per-doc window and
+    // aggregate twice; fractions are the same IEEE division + 6-dp round.
+    "e4o_repetition_stats" -> Q(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token,
+        |         unnest(range(1, len(regexp_split_to_array(text, '\s+')) + 1)) AS ord
+        |  FROM documents),
+        |uni AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_distinct,
+        |         CAST(max(c) AS BIGINT) AS top_cnt
+        |  FROM (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |bg AS (
+        |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bg_cnt,
+        |         CAST(sum(c) AS BIGINT) AS n_bigrams
+        |  FROM (SELECT doc_id, bg, count(*) AS c FROM (
+        |          SELECT doc_id,
+        |                 token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY ord) AS bg
+        |          FROM tok) WHERE bg IS NOT NULL GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT u.doc_id, n_tokens, n_distinct,
+        |       round(top_cnt * 1.0 / n_tokens, 6) AS top_token_frac,
+        |       round(coalesce(top_bg_cnt * 1.0 / n_bigrams, 0), 6) AS top_bigram_frac,
+        |       CAST(top_cnt * 1.0 / n_tokens > 0.2
+        |            OR coalesce(top_bg_cnt * 1.0 / n_bigrams, 0) > 0.1 AS BIGINT) AS rep_flagged
+        |FROM uni u LEFT JOIN bg USING (doc_id)""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+    },
+
     // E1 — cross-table MinHash near-dup JOIN (entity linking): left = docs
     // [0,250), right = docs [100,350) under shifted ids. threshold = 1.0
     // makes the gate EXACT row equality, not a recall contract: identical
