@@ -54,6 +54,35 @@ object Sampling {
     df.filter(substring(hashPriority(col(idCol)), 1, 4) < cut)
   }
 
+  /** Token-quota corpus MIXING: down-sample each stratum (source,
+    * language, …) so its EXPECTED token contribution is at most
+    * `quotaTokens` — the rebalancing pass run before training when one
+    * source dominates the corpus. Keep fraction per stratum =
+    * min(1, quota / stratum_token_total); the per-row decision is the same
+    * content-hashed hex-prefix coin as [[stratifiedSample]] (stable per id
+    * as the corpus grows), with the cut derived IN-PLAN from a one-row-per-
+    * stratum totals aggregate broadcast back onto the corpus. One hash agg
+    * + one broadcast join + a per-row filter — nothing driver-side, no
+    * second shuffle.
+    *
+    * `lower(hex(...))` + lpad matches the "%04x" convention of
+    * [[stratifiedSample]] exactly (Spark's `hex` is uppercase), so the two
+    * ops compose on one grid. */
+  def tokenQuotaSample(df: DataFrame, strataCol: String, idCol: String,
+                       tokensExpr: Column, quotaTokens: Long): DataFrame = {
+    require(quotaTokens > 0, s"quotaTokens must be positive: $quotaTokens")
+    val totals = df.groupBy(col(strataCol))
+      .agg(sum(tokensExpr.cast("long")).as("__tot"))
+    val frac = lit(quotaTokens.toDouble) / col("__tot")
+    val cuts = totals.select(col(strataCol),
+      when(frac >= 1.0, lit("g")) // keep-all sentinel, as in stratifiedSample
+        .otherwise(lpad(lower(hex(floor(frac * 65536).cast("int"))), 4, "0"))
+        .as("__cut"))
+    df.join(broadcast(cuts), Seq(strataCol))
+      .filter(substring(hashPriority(col(idCol)), 1, 4) < col("__cut"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Hash train/val/test split on the first hex nibble of the id hash:
     * 0–b → train (12/16), c–d → val (2/16), e–f → test (2/16).
     * Per-row, no shuffle, stable forever for a given id. */

@@ -1217,6 +1217,29 @@ object ExtQueries {
     // [EXT] stratified sampling — per-stratum fractions from the same
     // content-hash coin as e7/e7b (hex-prefix threshold, engine-portable):
     // 50% of English, 25% of Spanish, 10% of everything else.
+    // [EXT] token-quota corpus mixing: each language's expected token
+    // contribution capped at 3000 — over-represented strata get a
+    // proportional hex-prefix cut (derived in-plan from the totals agg),
+    // under-quota strata keep everything. Both engines derive the cut with
+    // identical IEEE division / floor / hex formatting, then apply the
+    // shared md5 coin, so the kept row set matches exactly.
+    "e7d_token_quota_mix" -> Q(
+      """WITH tot AS (
+        |  SELECT lang, CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS tot
+        |  FROM documents GROUP BY 1),
+        |cuts AS (
+        |  SELECT lang, CASE WHEN 3000.0 / tot >= 1.0 THEN 'g'
+        |              ELSE lpad(lower(hex(CAST(floor(3000.0 / tot * 65536) AS INT))), 4, '0')
+        |              END AS cut
+        |  FROM tot)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN cuts USING (lang)
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < cut""".stripMargin) {
+      (s, dir) =>
+        Sampling.tokenQuotaSample(Tables.documents(s, dir), "lang", "doc_id",
+            TextAnalysis.tokenCount(col("text")), quotaTokens = 3000L)
+          .select("doc_id", "lang")
+    },
+
     "e7c_stratified_sample" -> Q(
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <

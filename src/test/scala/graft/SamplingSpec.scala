@@ -37,6 +37,27 @@ class SamplingSpec extends SparkSpec {
     assert(a.size < wider.size)
   }
 
+  test("token-quota mixing: over-quota strata shrink toward the quota, under-quota keep all") {
+    // strata: "big" = 60 docs x 10 tokens = 600 tokens; "small" = 5 docs
+    val big = (0L until 60L).map(i => (i, "big", "t " * 9 + "t"))
+    val small = (100L until 105L).map(i => (i, "small", "a b c"))
+    val df = (big ++ small).toDF("doc_id", "lang", "text")
+    val kept = graft.ext.Sampling.tokenQuotaSample(df, "lang", "doc_id",
+        graft.ext.TextAnalysis.tokenCount(col("text")), quotaTokens = 300L)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    // under-quota stratum survives intact (the keep-all sentinel branch)
+    assert(kept.count(_._2 == "small") == 5)
+    // over-quota stratum thins to ~quota/total = 0.5 of its docs; the md5
+    // coin over 60 uniform ids lands well inside [0.25, 0.75]
+    val keptBig = kept.count(_._2 == "big")
+    assert(keptBig > 15 && keptBig < 45, s"kept $keptBig of 60")
+    // deterministic: same call → same rows
+    val again = graft.ext.Sampling.tokenQuotaSample(df, "lang", "doc_id",
+        graft.ext.TextAnalysis.tokenCount(col("text")), quotaTokens = 300L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept.map(_._1).toSet)
+  }
+
   test("fraction 0 keeps nothing; fraction 1 keeps everything") {
     val none = Sampling.stratifiedSample(docs, "lang", "doc_id",
       Map.empty, default = 0.0).count()
