@@ -170,6 +170,14 @@ object Similarity {
     require(files.nonEmpty,
       s"$kind index cache needs a file-backed source (inputFiles is empty); " +
         "pass an explicit indexDir and call the build*/probe* pair directly")
+    // the semantic hash of the canonicalized plan joins the key: a FILTERED
+    // frame reports the same inputFiles as its unfiltered parent, and
+    // without the plan in the key `ensure*(emb.filter(...))` would silently
+    // reuse the full-corpus index — a wrong-answer trap, not a perf bug.
+    // Canonicalization normalizes expression ids, so the hash is stable for
+    // the same logical query; a plan-shape change merely re-keys (a safe
+    // spurious rebuild, never a stale reuse).
+    val planKey = source.queryExecution.logical.canonicalized.semanticHash()
     val conf = source.sparkSession.sparkContext.hadoopConfiguration
     // stats batched per PARENT directory (one listStatus each), not one
     // getFileStatus RPC per file — this sits on the probe path, and a
@@ -192,7 +200,8 @@ object Similarity {
       s"$f:$len:$mtime"
     }
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest((fingerprints.mkString(",") + "|" + params).getBytes("UTF-8"))
+      .digest((fingerprints.mkString(",") + "|" + planKey + "|" + params)
+        .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     s"${System.getProperty("java.io.tmpdir")}/graft-index/$kind-$key"
   }
@@ -339,6 +348,40 @@ object Similarity {
                      nLists: Int = 16, seed: Long = 42L): String =
     ensureCached("ivf", embeddings, s"$idCol|$vecCol|$nLists|$seed")(
       buildIvfIndex(embeddings, idCol, vecCol, _, nLists, seed))
+
+  /** INCREMENTAL index maintenance: append a batch of new vectors to an
+    * existing [[buildIvfIndex]] layout WITHOUT re-fitting the coarse
+    * quantizer — the steady-state ingest path (a corpus that re-trains
+    * KMeans per arriving shard isn't an index, it's a rebuild loop). The
+    * persisted `_centroids` ride into the plan as one literal
+    * (scalar-sized); each new vector ranks all centroids in one fused
+    * traversal and lands in its nearest cell; the batch is appended to the
+    * cell partitions it touches (dynamic partition overwrite is NOT used —
+    * plain append never rewrites existing files). Centroids drift as the
+    * distribution shifts; callers monitoring recall rebuild when it decays
+    * — the standard IVF contract. */
+  def ivfIndexAppend(spark: SparkSession, indexDir: String,
+                     newVectors: DataFrame, idCol: String,
+                     vecCol: String): Unit = {
+    val cents = spark.read.parquet(indexDir + "/_centroids").collect()
+      .map(r => (r.getInt(r.fieldIndex("cell")),
+        r.getSeq[Double](r.fieldIndex("centroid")))).toSeq
+    require(cents.nonEmpty, s"no _centroids under $indexDir — not an IVF index")
+    val centLit = array(cents.map { case (cell, cv) =>
+      struct(lit(cell).as("cell"), array(cv.map(lit): _*).as("cv"))
+    }: _*)
+    // nearest centroid per vector: one traversal, ascending (d, cell) sort
+    // — identical ranking math to ivfProbeBatch's probe planning
+    val dists = array_sort(transform(centLit, c => struct(
+      aggregate(zip_with(col(vecCol), c.getField("cv"),
+        (x: Column, y: Column) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (a: Column, v: Column) => a + v).as("d"),
+      c.getField("cell").as("cell"))))
+    newVectors
+      .select(col(idCol), col(vecCol),
+        element_at(dists, 1).getField("cell").as("__cell"))
+      .write.mode(SaveMode.Append).partitionBy("__cell").parquet(indexDir)
+  }
 
   /** Probe a [[buildIvfIndex]] layout: rank the persisted centroid list
     * driver-side (scalar-sized), read ONLY the nProbe nearest cell

@@ -364,6 +364,31 @@ class ExtOpsSpec extends SparkSpec {
     assert(deviates, "int8 grid left every top-10 cosine untouched — fixture too easy")
   }
 
+  test("IVF append: new vectors land in their nearest existing cell, no refit, nothing lost") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") < 400)
+    val extra = emb.filter(col("vec_id") >= 400)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-append").toString + "/idx"
+    Similarity.buildIvfIndex(base, "vec_id", "embedding", dir)
+    Similarity.ivfIndexAppend(spark, dir, extra, "vec_id", "embedding")
+    // nothing lost: the index now holds the whole corpus
+    assert(spark.read.parquet(dir).count() == emb.count())
+    // full-coverage probe over the appended index == brute force over the
+    // full corpus (candidate set is total, ranking math is shared)
+    val query = emb.filter(col("vec_id") === 450)
+      .select("embedding").first().getSeq[Float](0)
+    val probed = Similarity.ivfProbe(spark, dir, "vec_id", "embedding",
+        query, 10, nProbe = 16).as[(Long, Double)].collect().toSeq
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(probed == brute)
+    // assignment sanity: an appended vector sits in its nearest cell, so a
+    // 1-cell probe for its own vector finds it
+    val self = Similarity.ivfProbe(spark, dir, "vec_id", "embedding",
+        query, 1, nProbe = 1).as[(Long, Double)].collect()
+    assert(self.headOption.map(_._1).contains(450L))
+  }
+
   test("index cache: a second ensure call reuses the committed build (no refit)") {
     // regression for the hasIndex bug: an IVF layout's root holds only
     // underscore-prefixed entries, which the old non-hidden-files check
@@ -439,6 +464,21 @@ class ExtOpsSpec extends SparkSpec {
         expr("rolling_hash64(text)").as("nat"))
       .filter(col("hof") =!= col("nat")).count()
     assert(diff == 0)
+  }
+
+  test("index cache: a filtered source never reuses the full-corpus index") {
+    // a filter keeps inputFiles identical to the parent, so the plan hash
+    // must separate the keys — silent reuse would return wrong neighbors
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val full = Similarity.ensureIvfIndex(emb, "vec_id", "embedding")
+    val filtered = Similarity.ensureIvfIndex(
+      emb.filter(col("vec_id") < 100), "vec_id", "embedding")
+    assert(full != filtered)
+    assert(spark.read.parquet(filtered).count() == 100)
+    // and a re-read of the same table still hits the same cache entry
+    val again = Similarity.ensureIvfIndex(
+      graft.core.Tables.embeddings(spark, sfDir), "vec_id", "embedding")
+    assert(again == full)
   }
 
   test("index cache refuses non-file-backed sources (no content identity)") {
