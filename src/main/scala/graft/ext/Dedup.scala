@@ -146,26 +146,45 @@ object Dedup {
           transform(sequence(lit(0), lit(k - 1)), i => xxhash64(s, i)),
           (a: Column, h: Column) => least(a, h)))
 
-  /** Band-join candidate pairs from a (id, __sig) signature frame: explode
-    * b bands of r signature values, cap degenerate band values
-    * ([[capOversizedBands]] — the 100 TB hot-band guard), self-join per
-    * band, distinct pairs — the shared LSH step of [[minhashCandidates]]
-    * and [[minhashNearDups]]. */
-  private def bandCandidates(sig: DataFrame, idCol: String,
-                             k: Int, bands: Int,
-                             maxBandSize: Int): DataFrame = {
+  /** The band explode shared by every LSH path (self-join and cross-table):
+    * b band hashes of r signature values each, one row per (id, band).
+    * ONE definition so the band hashing can never diverge between the
+    * single-table and join forms. */
+  private def bandExplode(sig: DataFrame, idCol: String,
+                          k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val r = k / bands
-    val banded0 = sig.withColumn("band", explode(array((0 until bands).map { b =>
+    sig.withColumn("band", explode(array((0 until bands).map { b =>
       struct(lit(b).as("band_id"),
         xxhash64(concat_ws(",", slice(col("__sig"), b * r + 1, r))).as("band_val"))
     }: _*))).select(col(idCol), col("band"))
-    val (banded, _) =
-      capOversizedBands(banded0, "band", maxBandSize, "minhash bandCandidates")
+  }
+
+  /** (# agreeing minhash coordinates)/k — the unbiased Jaccard estimator
+    * used as the post-band pre-verify filter. Shared definition. */
+  private def sigAgreementEst(a: Column, b: Column, k: Int): Column =
+    size(filter(zip_with(a, b, (x: Column, y: Column) => x === y),
+      (m: Column) => m)).cast("double") / k
+
+  /** round(|∩| / |∪|, 6) over two shingle arrays — the exact-verify
+    * measure. Shared definition. */
+  private def jaccardExpr(a: Column, b: Column): Column =
+    round(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)), 6)
+
+  /** Band-join candidate pairs from a (id, __sig) signature frame: band
+    * explode, cap degenerate band values ([[capOversizedBands]] — the
+    * 100 TB hot-band guard), self-join per band, distinct pairs — the
+    * shared LSH step of [[minhashCandidates]] and [[minhashNearDups]]. */
+  private def bandCandidates(sig: DataFrame, idCol: String,
+                             k: Int, bands: Int,
+                             maxBandSize: Int): (DataFrame, BandCapStats) = {
+    val (banded, stats) = capOversizedBands(
+      bandExplode(sig, idCol, k, bands), "band", maxBandSize,
+      "minhash bandCandidates")
     val a = banded.select(col(idCol).as("a_id"), col("band"))
     val b = banded.select(col(idCol).as("b_id"), col("band"))
-    a.join(b, a("band") === b("band") && col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    (a.join(b, a("band") === b("band") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct(), stats)
   }
 
   /** MinHash-LSH candidate pairs: signature → band join. With k=32, b=8,
@@ -176,7 +195,7 @@ object Dedup {
                         maxBandSize: Int = DefaultMaxBandSize): DataFrame =
     bandCandidates(
       df.select(col(idCol), minhashSignature(col(textCol), k, shingleN).as("__sig")),
-      idCol, k, bands, maxBandSize)
+      idCol, k, bands, maxBandSize)._1
 
   /** Full MinHash near-dup cascade:
     *   signatures → band candidates → signature-agreement estimate filter →
@@ -191,7 +210,20 @@ object Dedup {
                       threshold: Double, k: Int = 32, bands: Int = 8,
                       shingleN: Int = 3, estSlack: Double = 0.2,
                       nativeShingles: Boolean = false,
-                      maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
+                      maxBandSize: Int = DefaultMaxBandSize): DataFrame =
+    minhashNearDupsCounted(docs, idCol, textCol, threshold, k, bands,
+      shingleN, estSlack, nativeShingles, maxBandSize)._1
+
+  /** [[minhashNearDups]] plus the hot-band drop ledger: the returned
+    * [[BandCapStats]] is how a pipeline DETECTS that candidate generation
+    * was truncated by the cap (zero ⟺ complete) — the log line alone is
+    * not a programmatic signal. */
+  def minhashNearDupsCounted(docs: DataFrame, idCol: String, textCol: String,
+                             threshold: Double, k: Int = 32, bands: Int = 8,
+                             shingleN: Int = 3, estSlack: Double = 0.2,
+                             nativeShingles: Boolean = false,
+                             maxBandSize: Int = DefaultMaxBandSize)
+      : (DataFrame, BandCapStats) = {
     // signatures materialized ONCE: the band explode, the cap's counting
     // pass, and BOTH estimate-join sides below read the narrow (id, k-long
     // array) rows instead of re-running the shingle→minhash pipeline per
@@ -199,18 +231,15 @@ object Dedup {
     val sig = docs.select(col(idCol),
       minhashSignature(col(textCol), k, shingleN, nativeShingles).as("__sig"))
       .localCheckpoint()
-    val pairs = bandCandidates(sig, idCol, k, bands, maxBandSize)
+    val (pairs, stats) = bandCandidates(sig, idCol, k, bands, maxBandSize)
     val est = pairs
       .join(sig.select(col(idCol).as("a_id"), col("__sig").as("a_sig")), "a_id")
       .join(sig.select(col(idCol).as("b_id"), col("__sig").as("b_sig")), "b_id")
-      .withColumn("est",
-        size(filter(zip_with(col("a_sig"), col("b_sig"),
-          (x: Column, y: Column) => x === y), (b: Column) => b))
-          .cast("double") / k)
+      .withColumn("est", sigAgreementEst(col("a_sig"), col("b_sig"), k))
       .filter(col("est") >= threshold - estSlack)
       .select("a_id", "b_id")
-    jaccardVerify(est, docs, idCol, textCol, shingleN, nativeShingles)
-      .filter(col("jaccard") >= threshold)
+    (jaccardVerify(est, docs, idCol, textCol, shingleN, nativeShingles)
+      .filter(col("jaccard") >= threshold), stats)
   }
 
   /** Cross-table MinHash-LSH near-dup JOIN — entity linking / corpus-to-
@@ -234,43 +263,48 @@ object Dedup {
                   textCol: String, threshold: Double, k: Int = 32,
                   bands: Int = 8, shingleN: Int = 3, estSlack: Double = 0.2,
                   nativeShingles: Boolean = false,
-                  maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
-    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
-    val r = k / bands
+                  maxBandSize: Int = DefaultMaxBandSize): DataFrame =
+    minhashJoinCounted(left, leftId, right, rightId, textCol, threshold, k,
+      bands, shingleN, estSlack, nativeShingles, maxBandSize)._1
+
+  /** [[minhashJoin]] plus the two per-side hot-band ledgers (left, right)
+    * — the programmatic signal that candidate generation was truncated. */
+  def minhashJoinCounted(left: DataFrame, leftId: String,
+                         right: DataFrame, rightId: String,
+                         textCol: String, threshold: Double, k: Int = 32,
+                         bands: Int = 8, shingleN: Int = 3,
+                         estSlack: Double = 0.2,
+                         nativeShingles: Boolean = false,
+                         maxBandSize: Int = DefaultMaxBandSize)
+      : (DataFrame, BandCapStats, BandCapStats) = {
     def sigOf(df: DataFrame, id: String, out: String) =
       df.select(col(id).as(out),
         minhashSignature(col(textCol), k, shingleN, nativeShingles).as("__sig"))
         .localCheckpoint()
-    def bandedOf(sig: DataFrame, out: String) = {
-      val b0 = sig.withColumn("band", explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band_id"),
-          xxhash64(concat_ws(",", slice(col("__sig"), b * r + 1, r))).as("band_val"))
-      }: _*))).select(col(out), col("band"))
-      capOversizedBands(b0, "band", maxBandSize, s"minhashJoin $out side")._1
-    }
+    def bandedOf(sig: DataFrame, out: String) =
+      capOversizedBands(bandExplode(sig, out, k, bands), "band", maxBandSize,
+        s"minhashJoin $out side")
     val ls = sigOf(left, leftId, "l_id")
     val rs = sigOf(right, rightId, "r_id")
-    val cand = bandedOf(ls, "l_id").join(bandedOf(rs, "r_id"), Seq("band"))
+    val (lBanded, lStats) = bandedOf(ls, "l_id")
+    val (rBanded, rStats) = bandedOf(rs, "r_id")
+    val cand = lBanded.join(rBanded, Seq("band"))
       .select("l_id", "r_id").distinct()
     val est = cand
       .join(ls.select(col("l_id"), col("__sig").as("l_sig")), "l_id")
       .join(rs.select(col("r_id"), col("__sig").as("r_sig")), "r_id")
-      .withColumn("est",
-        size(filter(zip_with(col("l_sig"), col("r_sig"),
-          (x: Column, y: Column) => x === y), (b: Column) => b))
-          .cast("double") / k)
+      .withColumn("est", sigAgreementEst(col("l_sig"), col("r_sig"), k))
       .filter(col("est") >= threshold - estSlack)
       .select("l_id", "r_id")
     val lt = left.select(col(leftId).as("l_id"),
       shingleCol(col(textCol), shingleN, nativeShingles).as("l_toks"))
     val rt = right.select(col(rightId).as("r_id"),
       shingleCol(col(textCol), shingleN, nativeShingles).as("r_toks"))
-    est.join(lt, "l_id").join(rt, "r_id")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("l_toks"), col("r_toks"))).cast("double") /
-          size(array_union(col("l_toks"), col("r_toks"))), 6))
+    val out = est.join(lt, "l_id").join(rt, "r_id")
+      .withColumn("jaccard", jaccardExpr(col("l_toks"), col("r_toks")))
       .filter(col("jaccard") >= threshold)
       .select("l_id", "r_id", "jaccard")
+    (out, lStats, rStats)
   }
 
   /** Cross-corpus contamination (train/benchmark decontamination): for
@@ -329,9 +363,7 @@ object Dedup {
     pairs
       .join(toks.select(col(idCol).as("a_id"), col("__toks").as("a_toks")), "a_id")
       .join(toks.select(col(idCol).as("b_id"), col("__toks").as("b_toks")), "b_id")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("a_toks"), col("b_toks"))).cast("double") /
-          size(array_union(col("a_toks"), col("b_toks"))), 6))
+      .withColumn("jaccard", jaccardExpr(col("a_toks"), col("b_toks")))
       .drop("a_toks", "b_toks")
   }
 

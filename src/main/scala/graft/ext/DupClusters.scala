@@ -75,11 +75,26 @@ object DupClusters {
       labels = next
       iter += 1
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge within maxIter=$maxIter " +
-          "rounds; components would be silently under-merged. Raise maxIter " +
-          "(pointer halving converges in O(log diameter) rounds).")
+    if (!converged) {
+      // the sum test only CONFIRMS a fixpoint one round after it is
+      // reached, so a graph that lands on the fixpoint exactly at round
+      // maxIter would throw spuriously. Confirm stability directly on this
+      // rare path: stable ⟺ every edge joins equal labels AND every label
+      // is its own label (the propagation and halving steps would both be
+      // no-ops). Two cheap joins, paid only when the loop ran out.
+      val byNode = labels.select(col("node").as("__n"), col("label").as("__l"))
+      val edgeDiff = und.join(byNode, col("src") === col("__n"))
+        .select(col("dst"), col("__l").as("__sl"))
+        .join(byNode, col("dst") === col("__n"))
+        .filter(col("__sl") =!= col("__l")).limit(1).count()
+      val ptrDiff = labels.join(byNode, col("label") === col("__n"))
+        .filter(col("__l") =!= col("label")).limit(1).count()
+      if (edgeDiff > 0 || ptrDiff > 0)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge within maxIter=$maxIter " +
+            "rounds; components would be silently under-merged. Raise " +
+            "maxIter (pointer halving converges in O(log diameter) rounds).")
+    }
     labels.select(col("node").as(idCol), col("label").as("cluster_id"))
   }
 

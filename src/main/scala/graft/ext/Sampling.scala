@@ -74,11 +74,15 @@ object Sampling {
     val totals = df.groupBy(col(strataCol))
       .agg(sum(tokensExpr.cast("long")).as("__tot"))
     val frac = lit(quotaTokens.toDouble) / col("__tot")
-    val cuts = totals.select(col(strataCol),
+    // null-safe join key: groupBy keeps a null-stratum group, and those
+    // rows must get THEIR quota cut, not silently vanish through a
+    // null-unsafe equi-join (stratifiedSample applies its default to
+    // unknown strata; parity demands the null stratum survive here too)
+    val cuts = totals.select(col(strataCol).as("__strata"),
       when(frac >= 1.0, lit("g")) // keep-all sentinel, as in stratifiedSample
         .otherwise(lpad(lower(hex(floor(frac * 65536).cast("int"))), 4, "0"))
         .as("__cut"))
-    df.join(broadcast(cuts), Seq(strataCol))
+    df.join(broadcast(cuts), col(strataCol) <=> col("__strata"))
       .filter(substring(hashPriority(col(idCol)), 1, 4) < col("__cut"))
       .select(df.columns.map(col).toIndexedSeq: _*)
   }

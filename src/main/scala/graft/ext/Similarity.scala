@@ -125,6 +125,35 @@ object Similarity {
     fs.create(p, true).close()
   }
 
+  /** Plane parameters persisted beside an LSH layout so incremental
+    * appends can VALIDATE they bucket with the same planes the index was
+    * built with — a dim/nPlanes/seed mismatch would file vectors into
+    * buckets no probe ever visits (silent recall loss, not an error). */
+  private val LshParamsFile = "_GRAFT_LSH_PARAMS"
+
+  private def lshParamsString(dim: Int, nPlanes: Int, seed: Int): String =
+    s"dim=$dim,nPlanes=$nPlanes,seed=$seed"
+
+  private def writeLshParams(spark: SparkSession, dir: String,
+                             dim: Int, nPlanes: Int, seed: Int): Unit = {
+    val p = new Path(dir, LshParamsFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(lshParamsString(dim, nPlanes, seed).getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readLshParams(spark: SparkSession, dir: String): Option[String] = {
+    val p = new Path(dir, LshParamsFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
   /** The shared build-if-absent protocol for every index kind: resolve the
     * content-addressed dir, run `build` only when no committed index
     * exists, and write the commit marker AFTER the build fully finishes.
@@ -216,6 +245,7 @@ object Similarity {
     embeddings.select(col(idCol), col(vecCol),
       lshBucket(col(vecCol), dim, nPlanes, seed).cast("int").as("bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(indexDir)
+    writeLshParams(embeddings.sparkSession, indexDir, dim, nPlanes, seed)
   }
 
   /** Build-if-absent into the content-addressed cache; returns the dir. */
@@ -223,6 +253,34 @@ object Similarity {
                      dim: Int, nPlanes: Int = 8, seed: Int = 42): String =
     ensureCached("lsh", embeddings, s"$idCol|$vecCol|$dim|$nPlanes|$seed")(
       buildLshIndex(embeddings, idCol, vecCol, _, dim, nPlanes, seed))
+
+  /** INCREMENTAL maintenance for a [[buildLshIndex]] layout: the bucket is
+    * a pure function of the vector (no trained state at all), so ingest is
+    * one narrow map + an append to the touched bucket partitions. Unlike
+    * [[ivfIndexAppend]] there is no drift — the planes are seeded
+    * constants — so an appended LSH index is EXACTLY the index a full
+    * rebuild would produce, modulo file layout. */
+  def lshIndexAppend(spark: SparkSession, indexDir: String,
+                     newVectors: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, nPlanes: Int = 8, seed: Int = 42): Unit = {
+    // validate against the PERSISTED build params: bucketing with different
+    // planes than the original build files vectors where no probe looks
+    val expected = lshParamsString(dim, nPlanes, seed)
+    val actual = readLshParams(spark, indexDir)
+    require(actual.contains(expected),
+      s"$indexDir was built with [${actual.getOrElse("no " + LshParamsFile)}] " +
+        s"but append was called with [$expected] — appended vectors would " +
+        "land in buckets probes never visit")
+    val idxFields = spark.read.parquet(indexDir).schema.fieldNames.toSet
+    require(!idxFields.contains("__codes"),
+      s"$indexDir is a QUANTIZED layout — float append would corrupt it")
+    require(idxFields.contains(idCol) && idxFields.contains(vecCol),
+      s"$indexDir schema (${idxFields.mkString(",")}) does not match " +
+        s"($idCol, $vecCol)")
+    newVectors.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), dim, nPlanes, seed).cast("int").as("bucket"))
+      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(indexDir)
+  }
 
   /** All bucket values within `radius` sign-flips of `center`: the
     * multi-probe set, enumerated driver-side (C(nPlanes, ≤radius) values —
@@ -328,6 +386,30 @@ object Similarity {
       .parquet(indexDir + "/_centroids")
   }
 
+  /** The persisted `_centroids` table as ONE in-plan literal
+    * (array<struct<cell, cv>>) — scalar-sized, like the watermark reads.
+    * Shared by the batch probe and the incremental append so the two can
+    * never disagree on what the quantizer is. */
+  private def centroidsLit(spark: SparkSession, indexDir: String): Column = {
+    val cents = spark.read.parquet(indexDir + "/_centroids").collect()
+      .map(r => (r.getInt(r.fieldIndex("cell")),
+        r.getSeq[Double](r.fieldIndex("centroid")))).toSeq
+    require(cents.nonEmpty, s"no _centroids under $indexDir — not an IVF index")
+    array(cents.map { case (cell, cv) =>
+      struct(lit(cell).as("cell"), array(cv.map(lit): _*).as("cv"))
+    }: _*)
+  }
+
+  /** Ascending (L2 distance, cell) ranking of every centroid for `vec` in
+    * one fused traversal — the shared nearest-cell math for batch probe
+    * planning AND append assignment (one definition, no drift). */
+  private def centroidDists(vec: Column, centLit: Column): Column =
+    array_sort(transform(centLit, c => struct(
+      aggregate(zip_with(vec, c.getField("cv"),
+        (x: Column, y: Column) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (a: Column, v: Column) => a + v).as("d"),
+      c.getField("cell").as("cell"))))
+
   /** Rank the persisted centroid list driver-side (scalar-sized) and
     * return the nProbe nearest cell ids — the shared probe planning step. */
   private def nearestCells(spark: SparkSession, indexDir: String,
@@ -363,20 +445,17 @@ object Similarity {
   def ivfIndexAppend(spark: SparkSession, indexDir: String,
                      newVectors: DataFrame, idCol: String,
                      vecCol: String): Unit = {
-    val cents = spark.read.parquet(indexDir + "/_centroids").collect()
-      .map(r => (r.getInt(r.fieldIndex("cell")),
-        r.getSeq[Double](r.fieldIndex("centroid")))).toSeq
-    require(cents.nonEmpty, s"no _centroids under $indexDir — not an IVF index")
-    val centLit = array(cents.map { case (cell, cv) =>
-      struct(lit(cell).as("cell"), array(cv.map(lit): _*).as("cv"))
-    }: _*)
-    // nearest centroid per vector: one traversal, ascending (d, cell) sort
-    // — identical ranking math to ivfProbeBatch's probe planning
-    val dists = array_sort(transform(centLit, c => struct(
-      aggregate(zip_with(col(vecCol), c.getField("cv"),
-        (x: Column, y: Column) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (a: Column, v: Column) => a + v).as("d"),
-      c.getField("cell").as("cell"))))
+    // guard the PAYLOAD schema, not just _centroids presence: a quantized
+    // layout also persists centroids, and appending float rows into it
+    // would give later probes null __codes → silently invisible vectors
+    val idxFields = spark.read.parquet(indexDir).schema.fieldNames.toSet
+    require(!idxFields.contains("__codes"),
+      s"$indexDir is a QUANTIZED layout — float append would corrupt it; " +
+        "quantize the batch and append through the quantized builder instead")
+    require(idxFields.contains(idCol) && idxFields.contains(vecCol),
+      s"$indexDir schema (${idxFields.mkString(",")}) does not match " +
+        s"($idCol, $vecCol)")
+    val dists = centroidDists(col(vecCol), centroidsLit(spark, indexDir))
     newVectors
       .select(col(idCol), col(vecCol),
         element_at(dists, 1).getField("cell").as("__cell"))
@@ -409,19 +488,9 @@ object Similarity {
                     qIdCol: String, idCol: String, vecCol: String, k: Int,
                     nProbe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = spark.read.parquet(indexDir + "/_centroids").collect()
-      .map(r => (r.getInt(r.fieldIndex("cell")),
-        r.getSeq[Double](r.fieldIndex("centroid")))).toSeq
-    val centLit = array(cents.map { case (cell, cv) =>
-      struct(lit(cell).as("cell"), array(cv.map(lit): _*).as("cv"))
-    }: _*)
     // per query: L2 distance to every centroid in one traversal, ascending
     // (ties by cell id — deterministic), keep the nProbe nearest cells
-    val dists = array_sort(transform(centLit, c => struct(
-      aggregate(zip_with(col(vecCol), c.getField("cv"),
-        (x: Column, y: Column) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (a: Column, v: Column) => a + v).as("d"),
-      c.getField("cell").as("cell"))))
+    val dists = centroidDists(col(vecCol), centroidsLit(spark, indexDir))
     val probed = queries
       .select(col(qIdCol).as("q_id"), col(vecCol).as("__qv"),
         explode(slice(dists, 1, nProbe)).as("__probe"))
@@ -508,6 +577,7 @@ object Similarity {
       lshBucket(col(vecCol), dim, nPlanes, seed).cast("int"))
     quantizedPayload(bucketed, idCol, vecCol, keep = Seq("bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(indexDir)
+    writeLshParams(embeddings.sparkSession, indexDir, dim, nPlanes, seed)
   }
 
   /** Build-if-absent into the content-addressed cache; returns the dir. */

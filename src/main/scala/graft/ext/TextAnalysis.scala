@@ -57,39 +57,45 @@ object TextAnalysis {
     * keyword-stuffed and template/boilerplate pages where a plain
     * type-token ratio stays deceptively healthy.
     *
-    * Shape: one posexplode, a doc-bounded window for bigram formation
-    * (partitioned by doc — never global), and two-level hash aggregation
-    * per doc. All keys are per-document, so it scales linearly and
-    * parallelizes like the other E4 aggs.
+    * Shape: ONE tokenize and ONE explode — bigrams are formed per-row by
+    * zipping the token array against itself shifted by one (no per-doc
+    * sort window, which would shuffle corpus × n_tokens rows), then
+    * unigrams and bigrams ride the same exploded stream tagged by kind
+    * into a two-level hash aggregation. All keys are per-document, so it
+    * scales linearly and parallelizes like the other E4 aggs.
     *
     * @return idCol, n_tokens, n_distinct, top_token_frac, top_bigram_frac,
     *         rep_flagged (1 when top_token_frac > 0.2 or
     *         top_bigram_frac > 0.1 — Gopher-ish thresholds) */
   def repetitionStats(docs: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tok = docs.select(col(idCol),
-      posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
-    val uni = tok.groupBy(col(idCol), col("token"))
+    // token array materialized in its own projection BELOW the explode
+    // (the Generate-blocks-CollapseProject trick — else the tokenize
+    // re-runs per exploded row)
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+    val nBg = greatest(size(col("__t")) - 1, lit(0))
+    val grams = base.select(col(idCol), explode(concat(
+        transform(col("__t"), x => struct(lit("u").as("k"), x.as("g"))),
+        transform(
+          zip_with(slice(col("__t"), lit(1), nBg), slice(col("__t"), lit(2), nBg),
+            (a: Column, b: Column) => concat_ws(" ", a, b)),
+          x => struct(lit("b").as("k"), x.as("g"))))).as("__g"))
+      .select(col(idCol), col("__g.k").as("k"), col("__g.g").as("g"))
+    val agg = grams.groupBy(col(idCol), col("k"), col("g"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
-      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
-        max("c").as("top_cnt"))
-    val w = Window.partitionBy(idCol).orderBy("pos")
-    val big = tok.withColumn("next", lead("token", 1).over(w))
-      .filter(col("next").isNotNull)
-      .select(col(idCol), concat_ws(" ", col("token"), col("next")).as("bg"))
-      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol))
-      .agg(max("c").as("top_bg_cnt"), sum("c").as("n_bigrams"))
+      .agg(sum(when(col("k") === "u", col("c"))).as("n_tokens"),
+        count(when(col("k") === "u", 1)).as("n_distinct"),
+        max(when(col("k") === "u", col("c"))).as("top_cnt"),
+        max(when(col("k") === "b", col("c"))).as("top_bg_cnt"),
+        sum(when(col("k") === "b", col("c"))).as("n_bigrams"))
     val tf = col("top_cnt").cast("double") / col("n_tokens")
     val bf = coalesce(col("top_bg_cnt").cast("double") / col("n_bigrams"), lit(0.0))
-    uni.join(big, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
-        col("n_distinct").cast("long").as("n_distinct"),
-        round(tf, 6).as("top_token_frac"),
-        round(bf, 6).as("top_bigram_frac"),
-        (tf > 0.2 || bf > 0.1).cast("long").as("rep_flagged"))
+    agg.select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+      col("n_distinct").cast("long").as("n_distinct"),
+      round(tf, 6).as("top_token_frac"),
+      round(bf, 6).as("top_bigram_frac"),
+      (tf > 0.2 || bf > 0.1).cast("long").as("rep_flagged"))
   }
 
   /** Composite quality score in [0,1]: penalizes extreme repetition (low

@@ -1214,9 +1214,6 @@ object ExtQueries {
           TextAnalysis.tokenCount(col("text")), nShards = 8, capacity = 512)
     },
 
-    // [EXT] stratified sampling — per-stratum fractions from the same
-    // content-hash coin as e7/e7b (hex-prefix threshold, engine-portable):
-    // 50% of English, 25% of Spanish, 10% of everything else.
     // [EXT] token-quota corpus mixing: each language's expected token
     // contribution capped at 3000 — over-represented strata get a
     // proportional hex-prefix cut (derived in-plan from the totals agg),
@@ -1240,6 +1237,9 @@ object ExtQueries {
           .select("doc_id", "lang")
     },
 
+    // [EXT] stratified sampling — per-stratum fractions from the same
+    // content-hash coin as e7/e7b (hex-prefix threshold, engine-portable):
+    // 50% of English, 25% of Spanish, 10% of everything else.
     "e7c_stratified_sample" -> Q(
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <

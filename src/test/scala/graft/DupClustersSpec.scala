@@ -41,6 +41,11 @@ class DupClustersSpec extends SparkSpec {
     // a trivially-converged graph (no edges) passes at the same bound: the
     // throw is about non-convergence, not iteration count per se
     assert(cc(Seq(1L, 2L), Seq.empty, maxIter = 1) == Map(1L -> 1L, 2L -> 2L))
+    // a graph that reaches the fixpoint EXACTLY at round maxIter (one
+    // pair, one round) must return the correct result, not throw — the
+    // unchanged-sum test alone would flag it spuriously
+    assert(cc(Seq(1L, 2L), Seq((1L, 2L)), maxIter = 1) ==
+      Map(1L -> 1L, 2L -> 1L))
   }
 
   test("edge direction and duplication do not affect the result") {

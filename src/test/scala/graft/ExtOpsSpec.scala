@@ -87,10 +87,15 @@ class ExtOpsSpec extends SparkSpec {
       (20001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
       (20002L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"))
       .toDF("doc_id", "text")
-    val found = Dedup.minhashNearDups(boiler.unionByName(planted),
-        "doc_id", "text", threshold = 0.8, maxBandSize = 100)
-      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val (foundDf, capStats) = Dedup.minhashNearDupsCounted(
+      boiler.unionByName(planted),
+      "doc_id", "text", threshold = 0.8, maxBandSize = 100)
+    val found = foundDf.select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(found == Set((20001L, 20002L)), s"got $found")
+    // the cap is a PROGRAMMATIC signal, not just a log line: all 8 bands
+    // of the 10k boilerplate docs were dropped and the ledger says so
+    assert(capStats.droppedBands == 8L && capStats.droppedRows == 80000L,
+      s"got $capStats")
 
     // the ledger itself: 150 rows in one band value at cap 100 → that band
     // dropped and counted; the 10-row band rides through untouched
@@ -387,6 +392,27 @@ class ExtOpsSpec extends SparkSpec {
     val self = Similarity.ivfProbe(spark, dir, "vec_id", "embedding",
         query, 1, nProbe = 1).as[(Long, Double)].collect()
     assert(self.headOption.map(_._1).contains(450L))
+  }
+
+  test("LSH append: appended index probes identically to a full rebuild") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") < 400)
+    val extra = emb.filter(col("vec_id") >= 400)
+    val work = java.nio.file.Files.createTempDirectory("lsh-append").toString
+    Similarity.buildLshIndex(base, "vec_id", "embedding", s"$work/inc",
+      dim = 64, nPlanes = 8)
+    Similarity.lshIndexAppend(spark, s"$work/inc", extra, "vec_id", "embedding",
+      dim = 64, nPlanes = 8)
+    Similarity.buildLshIndex(emb, "vec_id", "embedding", s"$work/full",
+      dim = 64, nPlanes = 8)
+    val query = emb.filter(col("vec_id") === 450)
+      .select("embedding").first().getSeq[Float](0)
+    def probe(dir: String) = Similarity.annProbe(spark, dir, "vec_id",
+        "embedding", query, 10, dim = 64, nPlanes = 8, probeHamming = 3)
+      .as[(Long, Double)].collect().toSeq
+    // buckets are a pure function of the vector: append ≡ rebuild
+    assert(probe(s"$work/inc") == probe(s"$work/full"))
+    assert(probe(s"$work/inc").headOption.map(_._1).contains(450L))
   }
 
   test("index cache: a second ensure call reuses the committed build (no refit)") {

@@ -56,6 +56,15 @@ class SamplingSpec extends SparkSpec {
         graft.ext.TextAnalysis.tokenCount(col("text")), quotaTokens = 300L)
       .select("doc_id").as[Long].collect().toSet
     assert(again == kept.map(_._1).toSet)
+    // a null stratum is a stratum, not a discard: under-quota null-lang
+    // rows must ALL survive (null-safe join, keep-all branch)
+    val withNull = df.unionByName(
+      Seq((200L, null.asInstanceOf[String], "x y")).toDF("doc_id", "lang", "text"))
+    val keptNull = graft.ext.Sampling.tokenQuotaSample(withNull, "lang",
+        "doc_id", graft.ext.TextAnalysis.tokenCount(col("text")),
+        quotaTokens = 300L)
+      .filter(col("lang").isNull).count()
+    assert(keptNull == 1L)
   }
 
   test("fraction 0 keeps nothing; fraction 1 keeps everything") {
