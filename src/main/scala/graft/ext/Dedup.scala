@@ -193,9 +193,20 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 32, bands: Int = 8, shingleN: Int = 3,
                         maxBandSize: Int = DefaultMaxBandSize): DataFrame =
+    minhashCandidatesCounted(df, idCol, textCol, k, bands, shingleN,
+      maxBandSize)._1
+
+  /** [[minhashCandidates]] plus the hot-band drop ledger — pipelines
+    * composing candidates + their own verify detect cap truncation here. */
+  def minhashCandidatesCounted(df: DataFrame, idCol: String, textCol: String,
+                               k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                               maxBandSize: Int = DefaultMaxBandSize)
+      : (DataFrame, BandCapStats) = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     bandCandidates(
       df.select(col(idCol), minhashSignature(col(textCol), k, shingleN).as("__sig")),
-      idCol, k, bands, maxBandSize)._1
+      idCol, k, bands, maxBandSize)
+  }
 
   /** Full MinHash near-dup cascade:
     *   signatures → band candidates → signature-agreement estimate filter →
@@ -224,6 +235,9 @@ object Dedup {
                              nativeShingles: Boolean = false,
                              maxBandSize: Int = DefaultMaxBandSize)
       : (DataFrame, BandCapStats) = {
+    // validate BEFORE the eager signature materialization below — a bad
+    // (k, bands) pair must fail instantly, not after a full corpus pass
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     // signatures materialized ONCE: the band explode, the cap's counting
     // pass, and BOTH estimate-join sides below read the narrow (id, k-long
     // array) rows instead of re-running the shingle→minhash pipeline per
@@ -277,6 +291,8 @@ object Dedup {
                          nativeShingles: Boolean = false,
                          maxBandSize: Int = DefaultMaxBandSize)
       : (DataFrame, BandCapStats, BandCapStats) = {
+    // validate BEFORE the two eager signature materializations below
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     def sigOf(df: DataFrame, id: String, out: String) =
       df.select(col(id).as(out),
         minhashSignature(col(textCol), k, shingleN, nativeShingles).as("__sig"))

@@ -412,6 +412,11 @@ object Similarity {
 
   /** Rank the persisted centroid list driver-side (scalar-sized) and
     * return the nProbe nearest cell ids — the shared probe planning step. */
+  /** Driver-side twin of [[centroidDists]] for the single-query probes
+    * (one query ⇒ no reason to launch a job): MUST keep the same ascending
+    * (distance, cell) order, ties broken by cell id, so single-query
+    * probes, batch probes, and append assignment all agree on cell
+    * ranking. */
   private def nearestCells(spark: SparkSession, indexDir: String,
                            query: Seq[Float], nProbe: Int): IndexedSeq[Int] = {
     val q = query.map(_.toDouble).toArray
@@ -422,7 +427,8 @@ object Similarity {
         val d = c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
         (r.getInt(r.fieldIndex("cell")), d)
       }
-      .sortBy(_._2).take(nProbe).map(_._1).toIndexedSeq
+      .sortBy { case (cell, d) => (d, cell) }
+      .take(nProbe).map(_._1).toIndexedSeq
   }
 
   /** Build-if-absent into the content-addressed cache; returns the dir. */
@@ -679,7 +685,18 @@ object Similarity {
   def cosineNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
                          dim: Int, threshold: Double, nPlanes: Int = 8,
                          bands: Int = 4, seed: Int = 42,
-                         maxBandSize: Int = Dedup.DefaultMaxBandSize): DataFrame = {
+                         maxBandSize: Int = Dedup.DefaultMaxBandSize): DataFrame =
+    cosineNearDupPairsCounted(embeddings, idCol, vecCol, dim, threshold,
+      nPlanes, bands, seed, maxBandSize)._1
+
+  /** [[cosineNearDupPairs]] plus the hot-band drop ledger (the
+    * programmatic cap-truncation signal, as in Dedup's Counted forms). */
+  def cosineNearDupPairsCounted(embeddings: DataFrame, idCol: String,
+                                vecCol: String, dim: Int, threshold: Double,
+                                nPlanes: Int = 8, bands: Int = 4,
+                                seed: Int = 42,
+                                maxBandSize: Int = Dedup.DefaultMaxBandSize)
+      : (DataFrame, Dedup.BandCapStats) = {
     val m = bands * nPlanes
     val planes = array(planeMatrix(dim, m, seed).map(lit): _*) // folds to one Literal
     val projs = aggregate(
@@ -703,8 +720,8 @@ object Similarity {
     // hot-band guard (Dedup.capOversizedBands): a degenerate bucket — e.g.
     // millions of zero/boilerplate embeddings sharing one signature — would
     // make the self-join below quadratic inside that bucket; oversized band
-    // values are dropped with a logged ledger, never silently exploded
-    val (banded, _) = Dedup.capOversizedBands(banded0, "band", maxBandSize,
+    // values are dropped with a returned + logged ledger, never silently
+    val (banded, stats) = Dedup.capOversizedBands(banded0, "band", maxBandSize,
       "cosineNearDupPairs")
     val la = banded.select(col(idCol).as("a_id"), col("band"))
     val rb = banded.select(col(idCol).as("b_id"), col("band"))
@@ -712,9 +729,9 @@ object Similarity {
       .select("a_id", "b_id").distinct()
     val va = embeddings.select(col(idCol).as("a_id"), col(vecCol).as("__va"))
     val vb = embeddings.select(col(idCol).as("b_id"), col(vecCol).as("__vb"))
-    cand.join(va, "a_id").join(vb, "b_id")
+    (cand.join(va, "a_id").join(vb, "b_id")
       .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
       .filter(col("cos") >= threshold)
-      .select("a_id", "b_id", "cos")
+      .select("a_id", "b_id", "cos"), stats)
   }
 }

@@ -944,8 +944,10 @@ object ExtQueries {
 
     // E4 — Gopher-style repetition profile: top-token and top-bigram
     // fractions per doc (the "most common word / n-gram" quality filters).
-    // Both engines form bigrams with an ordinal-ordered per-doc window and
-    // aggregate twice; fractions are the same IEEE division + 6-dp round.
+    // VALUE equivalence, not shape: Spark forms bigrams per-row (token
+    // array zipped with its own shift — no window); the oracle uses an
+    // ordinal-ordered lead() window. Same bigram multiset either way;
+    // fractions are the same IEEE division + 6-dp round.
     "e4o_repetition_stats" -> Q(
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token,
@@ -1229,7 +1231,8 @@ object ExtQueries {
         |              ELSE lpad(lower(hex(CAST(floor(3000.0 / tot * 65536) AS INT))), 4, '0')
         |              END AS cut
         |  FROM tot)
-        |SELECT d.doc_id, d.lang FROM documents d JOIN cuts USING (lang)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN cuts c ON d.lang IS NOT DISTINCT FROM c.lang
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < cut""".stripMargin) {
       (s, dir) =>
         Sampling.tokenQuotaSample(Tables.documents(s, dir), "lang", "doc_id",
