@@ -977,6 +977,29 @@ object ExtQueries {
         TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
     },
 
+    // E1/E4 — CROSS-document duplicate n-gram fraction: per doc, the share
+    // of its distinct 3-gram shingles appearing in >= 1 other document —
+    // the corpus-level duplication measure a dedup pass is judged by.
+    // Same shingle construction both engines (incl. the <3-token whole-text
+    // fallback), same counts, same IEEE division + 6-dp round.
+    "e6e_dup_ngram_fraction" -> Q(
+      """WITH sh AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ta FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
+        |             ELSE list_distinct(list_transform(range(1, len(ta) - 1),
+        |                    i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2])) END AS sg
+        |      FROM sh),
+        |e AS (SELECT doc_id, unnest(sg) AS gram FROM g),
+        |c AS (SELECT gram, count(*) AS docs_with FROM e GROUP BY 1)
+        |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(count(*) FILTER (WHERE c.docs_with > 1) AS BIGINT) AS n_shared,
+        |       round(count(*) FILTER (WHERE c.docs_with > 1) * 1.0 / count(*), 6) AS dup_ngram_frac
+        |FROM e JOIN c USING (gram) GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.duplicateNgramFraction(Tables.documents(s, dir),
+          "doc_id", "text")
+    },
+
     // E1 — cross-table MinHash near-dup JOIN (entity linking): left = docs
     // [0,250), right = docs [100,350) under shifted ids. threshold = 1.0
     // makes the gate EXACT row equality, not a recall contract: identical
