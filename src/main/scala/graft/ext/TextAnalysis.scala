@@ -104,16 +104,25 @@ object TextAnalysis {
     * the corpus-level complement of [[repetitionStats]]'s within-doc
     * profile, and the metric a dedup pass is judged by afterwards.
     *
-    * Shape: explode distinct shingles (linear in corpus tokens), one
-    * global per-gram doc-count aggregation, join the counts back, one
-    * per-doc aggregation. All shuffles key on gram or doc id.
+    * Shape: explode distinct shingles (linear in corpus tokens,
+    * materialized ONCE — the frame feeds both the count aggregation and
+    * the join-back, and recomputing the shingle pipeline per consumer
+    * tripled the cost), one global per-gram doc-count aggregation, join
+    * the counts back, one per-doc aggregation. All shuffles key on gram
+    * or doc id. `nativeShingles` swaps in the codegen'd single-pass
+    * shingle Expression (≈9× the HOF form; requires
+    * GraftFunctions.register).
     *
     * @return idCol, n_grams, n_shared, dup_ngram_frac */
   def duplicateNgramFraction(docs: DataFrame, idCol: String, textCol: String,
-                             n: Int = 3): DataFrame = {
+                             n: Int = 3,
+                             nativeShingles: Boolean = false): DataFrame = {
+    val shCol = if (nativeShingles) Dedup.shinglesNative(col(textCol), n)
+                else Dedup.shingles(col(textCol), n)
     val grams = docs
-      .select(col(idCol), Dedup.shingles(col(textCol), n).as("__sh"))
+      .select(col(idCol), shCol.as("__sh"))
       .select(col(idCol), explode(col("__sh")).as("sh"))
+      .localCheckpoint()
     val counts = grams.groupBy(col("sh")).agg(count(lit(1)).as("__docs_with"))
     grams.join(counts, "sh")
       .groupBy(col(idCol))

@@ -996,8 +996,11 @@ object ExtQueries {
         |       round(count(*) FILTER (WHERE c.docs_with > 1) * 1.0 / count(*), 6) AS dup_ngram_frac
         |FROM e JOIN c USING (gram) GROUP BY 1""".stripMargin) {
       (s, dir) =>
-        TextAnalysis.duplicateNgramFraction(Tables.documents(s, dir),
-          "doc_id", "text")
+        {
+          graft.functions.GraftFunctions.register(s)
+          TextAnalysis.duplicateNgramFraction(Tables.documents(s, dir),
+            "doc_id", "text", nativeShingles = true)
+        }
     },
 
     // E1 — cross-table MinHash near-dup JOIN (entity linking): left = docs
