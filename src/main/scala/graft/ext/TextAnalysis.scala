@@ -134,6 +134,98 @@ object TextAnalysis {
           .as("dup_ngram_frac"))
   }
 
+  /** Corpus-LM quality prior (the CCNet/Gopher-style "perplexity filter"
+    * in its self-scored unigram form): fit an add-one-smoothed unigram
+    * language model over the whole corpus, then score each document by its
+    * average negative log2-probability — bits per token. High bits/token
+    * marks improbable token mixes (gibberish, rare-token noise); unusually
+    * low marks boilerplate drawn from the corpus head. Pipelines keep the
+    * middle of the distribution.
+    *
+    * Cross-engine determinism: log2 is transcendental, so each per-TOKEN
+    * score is rounded to 6 dp and fixed as DECIMAL(18,6) BEFORE the
+    * per-doc sum (exact, order-free); p(t) = (c_t + 1) / (N + V) is a
+    * ratio of exact longs, so both engines feed log2 the identical double.
+    * The per-doc AVERAGE is where engines' `round(double)` genuinely
+    * diverge — sum/n lands exactly on a 6-dp half boundary whenever
+    * n | 2·sum (2 docs in 5000 at sf0.1) — so the half-up rounding is done
+    * in exact integer micro-bit arithmetic instead:
+    * micro = floor((2·s + n) / (2·n)) with s the decimal sum scaled by
+    * 10⁶. Numerator and denominator stay ≪ 2⁵³, the floor-division is
+    * identical IEEE math in any engine, and micro/10⁶ is the same double
+    * everywhere.
+    *
+    * Shape: one explode, one token-count aggregation (shuffle on token), a
+    * one-row totals aggregate broadcast back onto the vocab-sized score
+    * table, then the exploded stream joins that table (AQE broadcasts it
+    * when small — vocab ≪ corpus) and aggregates per doc. Nothing is
+    * collected; every shuffle keys on token or doc id, so the op scales
+    * like the other corpus-level E4 aggregations.
+    *
+    * @return idCol, n_tokens, bits_per_token */
+  def unigramLogProb(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("n_total"),
+      count(lit(1)).as("vocab"))
+    val scored = counts.crossJoin(broadcast(totals))
+      .select(col("token"),
+        round(log2((col("c") + lit(1L)).cast("double") /
+          (col("n_total") + col("vocab")).cast("double")), 6)
+          .cast("decimal(18,6)").as("lp"))
+    val s = (-col("sum_lp") * 1000000).cast("long") // exact: 6-dp decimal
+    val n = col("n_tokens")
+    val micro = floor((s * 2 + n).cast("double") / (n * 2).cast("double"))
+    toks.join(scored, "token")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("sum_lp"))
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+        (micro.cast("double") / 1000000.0).as("bits_per_token"))
+  }
+
+  /** Distribution-shift score: KL(doc ‖ corpus) over unigram distributions,
+    * in bits — Σ_t p_doc(t)·log2(p_doc(t)/p_corpus(t)). High KL marks docs
+    * whose token mix diverges from the corpus (domain outliers, injected
+    * shards, format noise); near-zero marks corpus-typical docs. The
+    * complement of [[unigramLogProb]]: that scores absolute probability
+    * under the corpus LM, this scores the SHAPE difference of the
+    * distributions. No smoothing is needed — every doc token is by
+    * construction in the corpus, so no term divides by zero.
+    *
+    * Determinism: each per-(doc,token) term is a double product of exact
+    * count ratios through log2, rounded to 6 dp and fixed as DECIMAL(18,6)
+    * before the per-doc sum (exact, order-free); the output is that exact
+    * sum cast to double — no final division, so no rounding-tie edge (the
+    * lesson [[unigramLogProb]] paid for).
+    *
+    * Shape: one explode; (doc,token) counts; per-doc totals as a window on
+    * the SAME doc-keyed stream; corpus counts (shuffle on token); a 1-row
+    * total broadcast; one per-doc aggregation. Every shuffle keys on doc
+    * id, (doc,token) or token — linear in corpus tokens at any scale.
+    *
+    * @return idCol, n_tokens, kl_bits */
+  def klDivergence(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val docTok = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("c_dt"))
+      .withColumn("n_d", sum(col("c_dt")).over(w))
+    val corpus = toks.groupBy("token").agg(count(lit(1)).as("c_t"))
+    val totals = toks.agg(count(lit(1)).as("n_total"))
+    val term = round(
+      col("c_dt").cast("double") / col("n_d").cast("double") *
+        log2((col("c_dt") * col("n_total")).cast("double") /
+          (col("n_d") * col("c_t")).cast("double")), 6)
+      .cast("decimal(18,6)")
+    docTok.join(corpus, "token").crossJoin(broadcast(totals))
+      .select(col(idCol), col("n_d"), term.as("term"))
+      .groupBy(col(idCol))
+      .agg(max(col("n_d")).cast("long").as("n_tokens"),
+        sum(col("term")).cast("double").as("kl_bits"))
+  }
+
   /** Composite quality score in [0,1]: penalizes extreme repetition (low
     * type-token ratio), degenerate token lengths, and very short docs.
     * Deterministic, per-row, codegen'd. */

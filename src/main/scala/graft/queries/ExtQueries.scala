@@ -977,6 +977,62 @@ object ExtQueries {
         TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
     },
 
+    // E4 — corpus-LM quality prior (CCNet-style perplexity filter, unigram
+    // form): add-1-smoothed unigram LM over the corpus, each doc scored by
+    // avg -log2 p(token) = bits/token. log2 is transcendental, so each
+    // per-TOKEN score is rounded to 6 dp and fixed as DECIMAL(18,6) before
+    // the per-doc sum (exact, order-free) — identical p = (c+1)/(N+V)
+    // double on both engines. The average's half-up rounding is exact
+    // integer micro-bit math (floor((2s+n)/(2n))) because sum/n DOES land
+    // on 6-dp half boundaries (2/5000 docs at sf0.1) where Spark's
+    // BigDecimal HALF_UP and DuckDB's double round disagree.
+    "e4p_unigram_logprob" -> Q(
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+        |             FROM documents),
+        |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS vocab FROM cnt),
+        |lp AS (SELECT token,
+        |              CAST(round(log2(CAST(c + 1 AS DOUBLE) / CAST(n_total + vocab AS DOUBLE)), 6)
+        |                   AS DECIMAL(18,6)) AS lp
+        |       FROM cnt, tot),
+        |agg AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |               CAST(-sum(lp) * 1000000 AS BIGINT) AS s
+        |        FROM tok t JOIN lp USING (token) GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |       floor(CAST(s * 2 + n_tokens AS DOUBLE) / CAST(n_tokens * 2 AS DOUBLE))
+        |         / 1000000.0 AS bits_per_token
+        |FROM agg""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    // E4 — distribution-shift score: KL(doc ‖ corpus) over unigram
+    // distributions, bits. Same per-(doc,token) double term on both engines
+    // (exact count ratios through log2, left-assoc divide-then-multiply),
+    // rounded to DECIMAL(18,6) before the exact per-doc sum; the output is
+    // the exact sum cast to double — no final division, no tie edge.
+    "e4q_kl_divergence" -> Q(
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+        |             FROM documents),
+        |dt AS (SELECT doc_id, token, count(*) AS c_dt FROM tok GROUP BY 1, 2),
+        |d AS (SELECT doc_id, token, c_dt,
+        |             CAST(sum(c_dt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_d
+        |      FROM dt),
+        |ct AS (SELECT token, count(*) AS c_t FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok),
+        |term AS (SELECT doc_id, n_d,
+        |                CAST(round(CAST(c_dt AS DOUBLE) / CAST(n_d AS DOUBLE) *
+        |                     log2(CAST(c_dt * n_total AS DOUBLE) /
+        |                          CAST(n_d * c_t AS DOUBLE)), 6)
+        |                     AS DECIMAL(18,6)) AS term
+        |         FROM d JOIN ct USING (token), tot)
+        |SELECT doc_id, CAST(max(n_d) AS BIGINT) AS n_tokens,
+        |       CAST(sum(term) AS DOUBLE) AS kl_bits
+        |FROM term GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.klDivergence(Tables.documents(s, dir), "doc_id", "text")
+    },
+
     // E1/E4 — CROSS-document duplicate n-gram fraction: per doc, the share
     // of its distinct 3-gram shingles appearing in >= 1 other document —
     // the corpus-level duplication measure a dedup pass is judged by.

@@ -61,9 +61,11 @@ object PlanCheck {
 
   /** Queries whose plan legitimately contains a broadcast nested-loop:
     * the scalar-watermark crossJoins (one-row build side, T1/T3) and the
-    * driver-literal similarity scans. */
+    * corpus-totals broadcast in the unigram LM (one-row N+V aggregate
+    * joined onto the vocab table — a windowless scalar fan-out). */
   private val nestedLoopAllowed = Set(
-    "t1_watermark_recovery", "t3_inclusive_reread")
+    "t1_watermark_recovery", "t3_inclusive_reread", "e4p_unigram_logprob",
+    "e4q_kl_divergence")
 
   /** Sweep every registered query for the silent scale killers: cartesian
     * products and unintended broadcast nested-loop joins. */

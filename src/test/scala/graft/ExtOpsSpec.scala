@@ -347,6 +347,59 @@ class ExtOpsSpec extends SparkSpec {
     assert(got(4) == "mixed <EMAIL> <PHONE> <CARD>")
   }
 
+  test("unigram log-prob: smoothing exactness, rare-token ordering, determinism") {
+    import spark.implicits._
+    // single-doc corpus "a a": c_a=2, N=2, V=1 → p(a)=(2+1)/(2+1)=1 → 0 bits
+    val trivial = TextAnalysis.unigramLogProb(
+      Seq((1L, "a a")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(trivial.toSeq == Seq((1L, 2L, 0.0)))
+
+    // corpus {a a b | b c}: c is the rarest token, so the doc holding it
+    // must average MORE bits/token than the common-token doc
+    val two = TextAnalysis.unigramLogProb(
+      Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(two.map(r => (r._1, r._2)).toSeq == Seq((1L, 3L), (2L, 2L)))
+    assert(two(1)._3 > two(0)._3,
+      s"rare-token doc should score higher: $two")
+    // p(a)=p(b)=3/8 → doc 1 averages exactly -log2(3/8) bits
+    assert(math.abs(two(0)._3 - 1.415037) < 1e-9)
+
+    // deterministic across plans (corpus totals ride the plan, no collect)
+    val a = TextAnalysis.unigramLogProb(docs, "doc_id", "text").collect().toSet
+    val b = TextAnalysis.unigramLogProb(docs, "doc_id", "text").collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("KL divergence: zero for corpus-identical docs, ranks outliers, deterministic") {
+    import spark.implicits._
+    // single-doc corpus: p_doc == p_corpus exactly → every term log2(1) = 0
+    val self = TextAnalysis.klDivergence(
+      Seq((1L, "a a b")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(self.toSeq == Seq((1L, 3L, 0.0)))
+
+    // corpus {a a b | b c}: doc 2 (holding the corpus-rare c) diverges more
+    val two = TextAnalysis.klDivergence(
+      Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(two.map(r => (r._1, r._2)).toSeq == Seq((1L, 3L), (2L, 2L)))
+    // hand-computed: doc1 = (2/3)log2(10/6) + (1/3)log2(5/6) ≈ 0.403632,
+    //                doc2 = (1/2)log2(5/4) + (1/2)log2(5/2) ≈ 0.821928
+    assert(math.abs(two(0)._3 - 0.403632) < 1e-5, s"doc1 kl: ${two(0)._3}")
+    assert(math.abs(two(1)._3 - 0.821928) < 1e-5, s"doc2 kl: ${two(1)._3}")
+    assert(two(1)._3 > two(0)._3)
+
+    val a = TextAnalysis.klDivergence(docs, "doc_id", "text").collect().toSet
+    val b = TextAnalysis.klDivergence(docs, "doc_id", "text").collect().toSet
+    assert(a == b && a.nonEmpty)
+    // KL is non-negative up to per-term 6-dp rounding slack
+    assert(a.forall(_.getDouble(2) > -1e-4))
+  }
+
   test("quantized probe + exact re-rank equals brute force, ids AND scores") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     val query = emb.filter(col("vec_id") === 0)
