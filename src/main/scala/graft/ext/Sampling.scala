@@ -87,6 +87,32 @@ object Sampling {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Deterministic WEIGHTED sample of k rows without replacement
+    * (Efraimidis–Spirakis A-ES, the one-pass distributed form): each row
+    * draws u ∈ (0, 1] from the shared content-hash coin — the first 4 hex
+    * digits of md5(id) mapped to (h+1)/65536 — and races on the key
+    * −ln(u)/w; the k SMALLEST keys win, which is exactly weighted sampling
+    * without replacement by `weightExpr`. No RNG state, stable per id as
+    * the corpus grows, identical in any engine.
+    *
+    * Scale shape: one narrow per-row key computation + a distributed top-k
+    * (TakeOrderedAndProject — per-partition heaps, never a global sort).
+    * Rows with NULL or non-positive weight carry no sampling mass and are
+    * excluded. Keys are ranked on the 6-dp ROUNDED value with an id
+    * tie-break, so cross-engine float noise cannot reorder the cut.
+    *
+    * @return the winning rows plus their `es_key` */
+  def weightedSample(df: DataFrame, idCol: String, weightExpr: Column,
+                     k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val h = conv(substring(hashPriority(col(idCol)), 1, 4), 16, 10).cast("long")
+    val u = (h + 1).cast("double") / 65536.0
+    df.filter(weightExpr.cast("double") > 0.0)
+      .withColumn("es_key", round(-log(u) / weightExpr.cast("double"), 6))
+      .orderBy(col("es_key").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Hash train/val/test split on the first hex nibble of the id hash:
     * 0–b → train (12/16), c–d → val (2/16), e–f → test (2/16).
     * Per-row, no shuffle, stable forever for a given id. */

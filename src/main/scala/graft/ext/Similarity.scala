@@ -646,6 +646,68 @@ object Similarity {
     rerankExact(cand, corpus, idCol, vecCol, query, k)
   }
 
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023): cluster the
+    * corpus with a k-means coarse quantizer, compare pairs only WITHIN each
+    * cluster (exact cosine), connect the ≥-threshold pairs into components,
+    * and keep the min-id member of each — "these k docs say the same thing;
+    * keep one". The embedding-space complement of [[Dedup.minhashNearDups]]:
+    * MinHash catches reworded COPIES (shingle overlap), this catches
+    * semantic duplicates with zero lexical overlap.
+    *
+    * Scale shape: the k-means fit is the only corpus-global step (one pass,
+    * seeded, deterministic); pair generation is an equi-join on the cell id
+    * carrying only (id, cell) — vectors join back by id for the exact
+    * cosine on candidates, never riding the self-join. Within-cluster
+    * comparison is the SemDeDup trade: pairs straddling a cluster boundary
+    * are missed (raise nClusters for tighter cells, lower it for recall).
+    * A degenerate cluster — a boilerplate blob collapsing into one cell —
+    * would make its self-join quadratic, so cells pass through
+    * [[Dedup.capOversizedBands]]; the `Counted` variant surfaces the drop
+    * ledger. Components come from [[DupClusters.connectedComponents]]
+    * (O(log n) rounds, converged-or-throw).
+    *
+    * @return the surviving rows of `embeddings` (one canonical per
+    *         duplicate component, everything else untouched) */
+  def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nClusters: Int = 16, seed: Long = 42L,
+                    maxIter: Int = 25,
+                    maxClusterSize: Int = Dedup.DefaultMaxBandSize): DataFrame =
+    semanticDedupCounted(embeddings, idCol, vecCol, threshold, nClusters,
+      seed, maxIter, maxClusterSize)._1
+
+  /** [[semanticDedup]] plus the oversized-cell drop ledger (the
+    * programmatic cap-truncation signal, as in Dedup's Counted forms). */
+  def semanticDedupCounted(embeddings: DataFrame, idCol: String,
+                           vecCol: String, threshold: Double,
+                           nClusters: Int = 16, seed: Long = 42L,
+                           maxIter: Int = 25,
+                           maxClusterSize: Int = Dedup.DefaultMaxBandSize)
+      : (DataFrame, Dedup.BandCapStats) = {
+    require(threshold > -1.0 && threshold <= 1.0,
+      s"threshold must be a cosine in (-1, 1]: $threshold")
+    require(nClusters >= 2, s"nClusters must be >= 2 (KMeans): $nClusters")
+    val (assigned, _) = fitCells(embeddings, vecCol, nClusters, seed)
+    val (cells, stats) = Dedup.capOversizedBands(
+      assigned.select(col(idCol), col("__cell")), "__cell", maxClusterSize,
+      "semanticDedup")
+    val a = cells.select(col(idCol).as("a_id"), col("__cell"))
+    val b = cells.select(col(idCol).as("b_id"), col("__cell"))
+    // one cell per doc ⇒ each pair meets at most once; no distinct needed
+    val cand = a.join(b, a("__cell") === b("__cell") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+    val va = embeddings.select(col(idCol).as("a_id"), col(vecCol).as("__va"))
+    val vb = embeddings.select(col(idCol).as("b_id"), col(vecCol).as("__vb"))
+    val pairs = cand.join(va, "a_id").join(vb, "b_id")
+      .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id")
+    val cc = DupClusters.clusters(embeddings.select(col(idCol)), idCol,
+      pairs, "a_id", "b_id", maxIter)
+    (embeddings.join(
+      cc.filter(col("is_canonical") === 1L).select(col(idCol)), Seq(idCol)),
+      stats)
+  }
+
   /** Deterministic pseudo-random plane matrix for the banded near-dup LSH,
     * generated DRIVER-side (splitmix64, seeded — stable across JVMs and
     * executors) and shipped as one array literal: m = bands·nPlanes planes ×

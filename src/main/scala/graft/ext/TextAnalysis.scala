@@ -226,6 +226,56 @@ object TextAnalysis {
         sum(col("term")).cast("double").as("kl_bits"))
   }
 
+  /** The Gopher stopword list used by [[gopherRules]]' "document must
+    * contain ≥ 2 of these" rule (Rae et al. 2021, appendix A1.1). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality RULE SET per document (Rae et al. 2021 §A1.1) —
+    * the hard pass/fail filters run before any model-based scoring:
+    * token-count bounds, mean-word-length bounds, symbol-to-word ratio
+    * (# and ... runs), alphabetic-word fraction, and the ≥2-stopword rule.
+    * (The paper's line-level rules — bullet/ellipsis line fractions — need
+    * multi-line text and are omitted; the fixture corpus is single-line.)
+    *
+    * Entirely per-row built-in functions — narrow, codegen'd, no shuffle,
+    * linear at any corpus size. Flags are computed from the 6-dp ROUNDED
+    * measures so an engine-boundary float wobble can never flip a rule.
+    *
+    * @return idCol, n_tokens, mean_word_len, symbol_ratio, alpha_word_frac,
+    *         stop_hits, rule_n_tokens, rule_word_len, rule_symbol,
+    *         rule_alpha, rule_stop, gopher_pass (all flags BIGINT 0/1) */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minTokens: Long = 50, maxTokens: Long = 100000): DataFrame = {
+    val t = tokens(col(textCol))
+    val n = size(t).cast("long")
+    val meanLen = round(
+      aggregate(transform(t, x => length(x).cast("long")), lit(0L), _ + _)
+        .cast("double") / n, 6)
+    // '#' occurrences via translate (single char); '...' via non-overlapping
+    // regex matches — same left-to-right match semantics in both engines
+    val nHash = length(col(textCol)) -
+      length(translate(col(textCol), "#", ""))
+    val nEllipsis = size(regexp_extract_all(col(textCol), lit("\\.\\.\\."), lit(0)))
+    val symbolRatio = round((nHash + nEllipsis).cast("double") / n, 6)
+    val alphaFrac = round(
+      size(filter(t, x => x.rlike("[a-zA-Z]"))).cast("double") / n, 6)
+    val stopHits = size(array_intersect(array_distinct(t),
+      array(gopherStopwords.map(lit): _*))).cast("long")
+    val m = docs.select(col(idCol), n.as("n_tokens"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), alphaFrac.as("alpha_word_frac"),
+      stopHits.as("stop_hits"))
+    val rules = Seq(
+      "rule_n_tokens" -> col("n_tokens").between(minTokens, maxTokens),
+      "rule_word_len" -> col("mean_word_len").between(3.0, 10.0),
+      "rule_symbol" -> (col("symbol_ratio") <= 0.1),
+      "rule_alpha" -> (col("alpha_word_frac") >= 0.8),
+      "rule_stop" -> (col("stop_hits") >= 2L))
+    rules.foldLeft(m) { case (df, (name, p)) => df.withColumn(name, p.cast("long")) }
+      .withColumn("gopher_pass",
+        rules.map(_._2).reduce(_ && _).cast("long"))
+  }
+
   /** Composite quality score in [0,1]: penalizes extreme repetition (low
     * type-token ratio), degenerate token lengths, and very short docs.
     * Deterministic, per-row, codegen'd. */

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ext.{Dedup, DupClusters, EmbeddingStats, Multimodal, Packing, Quantize, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, DupClusters, EmbeddingStats, Multimodal, Packing, Quantize, Sampling, Similarity, TextAnalysis, TextSimilarity}
 
 /** [EXT] training-data-pipeline operators (SURVEY §2.9 E1–E4 + driver
   * mandate): dedup, similarity search, multimodal plumbing, text analysis.
@@ -1320,6 +1320,108 @@ object ExtQueries {
         Sampling.tokenQuotaSample(Tables.documents(s, dir), "lang", "doc_id",
             TextAnalysis.tokenCount(col("text")), quotaTokens = 3000L)
           .select("doc_id", "lang")
+    },
+
+    // E4 — Gopher quality RULE SET (Rae et al. 2021 §A1.1): the hard
+    // pass/fail pre-filters — token-count bounds, mean-word-length bounds,
+    // symbol-to-word ratio, alphabetic-word fraction, ≥2-stopword rule.
+    // Flags are computed from the 6-dp ROUNDED measures on both engines so
+    // a float wobble can never flip a rule. (Line-level rules need
+    // multi-line text; the fixture is single-line — omitted, documented.)
+    "e4r_gopher_rules" -> Q(
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS ta FROM documents),
+        |m AS (SELECT doc_id,
+        |        CAST(len(ta) AS BIGINT) AS n_tokens,
+        |        round(list_sum(list_transform(ta, x -> length(x))) * 1.0 / len(ta), 6) AS mean_word_len,
+        |        round((length(text) - length(replace(text, '#', ''))
+        |               + len(regexp_extract_all(text, '\.\.\.'))) * 1.0 / len(ta), 6) AS symbol_ratio,
+        |        round(len(list_filter(ta, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0 / len(ta), 6) AS alpha_word_frac,
+        |        CAST(len(list_intersect(list_distinct(ta),
+        |             ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+        |      FROM t)
+        |SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, alpha_word_frac, stop_hits,
+        |       CAST(n_tokens BETWEEN 50 AND 100000 AS BIGINT) AS rule_n_tokens,
+        |       CAST(mean_word_len BETWEEN 3 AND 10 AS BIGINT) AS rule_word_len,
+        |       CAST(symbol_ratio <= 0.1 AS BIGINT) AS rule_symbol,
+        |       CAST(alpha_word_frac >= 0.8 AS BIGINT) AS rule_alpha,
+        |       CAST(stop_hits >= 2 AS BIGINT) AS rule_stop,
+        |       CAST(n_tokens BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+        |            AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+        |            AND stop_hits >= 2 AS BIGINT) AS gopher_pass
+        |FROM m""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.gopherRules(Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    // E6 — pairwise TF-IDF cosine via the INVERTED-INDEX join (no
+    // all-pairs): only documents sharing a term ever meet; dots and norms
+    // accumulate as exact DECIMAL sums (order-free) and go to double only
+    // at the final cosine, so both engines emit identical values. The
+    // posting-list cap (maxDf) is the scale lever; the gate runs uncapped
+    // on the bounded doc_id < 50 slice (caps are spec'd in ExtOpsSpec).
+    "e6f_tfidf_cosine" -> Q(
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+        |             FROM documents WHERE doc_id < 50),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 50),
+        |w AS (SELECT doc_id, tf.token,
+        |             CAST(round(tf * ln((SELECT n_docs FROM n) * 1.0 / df), 6)
+        |                  AS DECIMAL(18,6)) AS w
+        |      FROM tf JOIN dfreq USING (token)),
+        |w2 AS (SELECT * FROM w WHERE w <> 0),
+        |norms AS (SELECT doc_id, sqrt(CAST(sum(w*w) AS DOUBLE)) AS nrm
+        |          FROM w2 GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |                CAST(sum(a.w * b.w) AS DOUBLE) AS dot
+        |         FROM w2 a JOIN w2 b ON a.token = b.token AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2)
+        |SELECT a_id, b_id, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+        |FROM dots
+        |JOIN norms na ON na.doc_id = a_id
+        |JOIN norms nb ON nb.doc_id = b_id
+        |WHERE na.nrm > 0 AND nb.nrm > 0
+        |  AND round(dot / (na.nrm * nb.nrm), 6) >= 0.7""".stripMargin) {
+      (s, dir) =>
+        TextSimilarity.tfidfCosinePairs(
+          Tables.documents(s, dir).filter(col("doc_id") < 50),
+          "doc_id", "text", threshold = 0.7)
+    },
+
+    // [EXT] deterministic WEIGHTED sampling (Efraimidis–Spirakis A-ES):
+    // each row races on −ln(u)/w with u from the shared md5 coin and
+    // w = token count; the 25 smallest keys win — weighted sampling
+    // without replacement, no RNG, identical in any engine. Keys ranked on
+    // the 6-dp rounded value with an id tie-break.
+    "e7e_weighted_sample" -> Q(
+      """SELECT doc_id,
+        |       round(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT + 1)
+        |                 / 65536.0)
+        |             / len(regexp_split_to_array(text, '\s+')), 6) AS es_key
+        |FROM documents
+        |ORDER BY es_key ASC, doc_id ASC LIMIT 25""".stripMargin) {
+      (s, dir) =>
+        Sampling.weightedSample(Tables.documents(s, dir), "doc_id",
+            TextAnalysis.tokenCount(col("text")), k = 25)
+          .select("doc_id", "es_key")
+    },
+
+    // E2 — SemDeDup-style semantic dedup: k-means cells → within-cell
+    // exact-cosine pairs → connected components → min-id keeper. Gate is
+    // STRICT row equality, not a recall contract: planted exact twins
+    // (vec_id + 100000, identical vector) always share a cell (identical
+    // vectors rank centroids identically) and cos = 1 ≥ 0.99, so each twin
+    // pair merges and the min-id keeper is exactly the base row; at 0.99 no
+    // background pair of distinct random 64-d vectors qualifies (≈8σ out),
+    // so survivors == the base slice REGARDLESS of what k-means did.
+    "e2n_semantic_dedup" -> Q(
+      """SELECT vec_id FROM embeddings WHERE vec_id < 200""".stripMargin) {
+      (s, dir) =>
+        val base = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+        val twins = base.select((col("vec_id") + 100000).as("vec_id"),
+          col("embedding"), col("label"))
+        Similarity.semanticDedup(base.unionByName(twins), "vec_id",
+          "embedding", threshold = 0.99).select("vec_id")
     },
 
     // [EXT] stratified sampling — per-stratum fractions from the same

@@ -50,6 +50,12 @@ object PlanCheck {
                                "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
     // packing windows are shard-partitioned, never global
     "e8_sequence_packing" -> Seq("Window"),
+    // inverted-index pair similarity: df table broadcast onto tf; dot
+    // products are hash aggregations on the pair key (never a cartesian —
+    // the sweep proves that side)
+    "e6f_tfidf_cosine"  -> Seq("BroadcastHashJoin", "HashAggregate"),
+    // A-ES weighted sampling is a distributed top-k, never a global sort
+    "e7e_weighted_sample" -> Seq("TakeOrderedAndProject"),
     "a1_max_watermark"  -> Seq("HashAggregate"))
 
   /** Patterns that must NOT appear — the plan shapes each encoding exists
@@ -57,7 +63,9 @@ object PlanCheck {
   private val forbidden: Map[String, Seq[String]] = Map(
     // the whole point of the merge-style as-of: no join operator at all
     "j8_asof_join"      -> Seq("Join"),
-    "j9_range_bin_join" -> Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
+    "j9_range_bin_join" -> Seq("BroadcastNestedLoopJoin", "CartesianProduct"),
+    // gopher rules are per-row: one scan, one projection, no shuffle
+    "e4r_gopher_rules"  -> Seq("Exchange"))
 
   /** Queries whose plan legitimately contains a broadcast nested-loop:
     * the scalar-watermark crossJoins (one-row build side, T1/T3) and the

@@ -585,6 +585,81 @@ class ExtOpsSpec extends SparkSpec {
     assert(sampled.filter(col("frame_idx") % 4 =!= 0).count() == 0)
   }
 
+  test("gopher rules: planted degenerate docs fail the right rules; flags compose") {
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over dogs near rivers and streams " +
+        "with plenty of ordinary everyday language to clear fifty tokens " +
+        "the cat sat on the mat and then walked to town before dusk fell " +
+        "quietly over hills that rolled gently toward a wide river delta " +
+        "while the evening settled and the air grew very still outside"),
+      (2L, "too short to pass"),                            // n_tokens rule
+      (3L, ("#### " * 30).trim),                            // symbol + alpha rules
+      (4L, ("12345 " * 60).trim))                           // alpha rule (no letters)
+    val out = graft.ext.TextAnalysis.gopherRules(
+        rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(2L).getAs[Long]("rule_n_tokens") == 0L)
+    assert(out(3L).getAs[Long]("rule_symbol") == 0L)
+    assert(out(3L).getAs[Long]("rule_alpha") == 0L)
+    assert(out(4L).getAs[Long]("rule_alpha") == 0L)
+    assert(out(4L).getAs[Long]("rule_symbol") == 1L)
+    // gopher_pass is exactly the conjunction of the five rule flags
+    out.values.foreach { r =>
+      val conj = Seq("rule_n_tokens", "rule_word_len", "rule_symbol",
+        "rule_alpha", "rule_stop").map(r.getAs[Long]).product
+      assert(r.getAs[Long]("gopher_pass") == conj)
+    }
+    // doc 1 has >= 2 gopher stopwords (the, to, and, with, of) and passes all
+    assert(out(1L).getAs[Long]("gopher_pass") == 1L)
+  }
+
+  test("tfidf cosine: identical docs score 1.0; maxDf prunes and is counted") {
+    val rows = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),          // identical twin of 1
+      (3L, "epsilon zeta eta theta"),          // disjoint from 1/2
+      (4L, "alpha common common common"))      // shares only 'alpha'
+    val df = rows.toDF("doc_id", "text")
+    val pairs = graft.ext.TextSimilarity
+      .tfidfCosinePairs(df, "doc_id", "text", threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)             // identical vectors
+    assert(!pairs.contains((1L, 3L)))          // no shared term → never meets
+    // cap df at 1: every term shared by 2+ docs is pruned; doc 4's 'common'
+    // (df=1) survives, docs 1/2 lose all terms → zero-norm, excluded
+    val (capped, dropped) = graft.ext.TextSimilarity
+      .tfidfCosinePairsCounted(df, "doc_id", "text", threshold = 0.0,
+        maxDf = Some(1L))
+    assert(capped.count() == 0L)
+    assert(dropped == 4L) // alpha, beta, gamma, delta all have df >= 2
+    assertThrows[IllegalArgumentException](
+      graft.ext.TextSimilarity.tfidfCosinePairs(df, "doc_id", "text", 0.5,
+        maxDf = Some(0L)))
+  }
+
+  test("semantic dedup: twins collapse to the min-id keeper; ledger surfaces cell caps") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 100)
+    val twins = emb.select((col("vec_id") + 100000).as("vec_id"),
+      col("embedding"), col("label"))
+    val survivors = Similarity.semanticDedup(emb.unionByName(twins),
+        "vec_id", "embedding", threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors == emb.select("vec_id").as[Long].collect().toSet)
+    // a tiny cap with 2 cells: by pigeonhole the bigger cell holds >= 100
+    // of the 200 rows and must be dropped with a ledger entry; twins share
+    // a cell (identical vectors), so a kept small cell (<= 10 rows) can
+    // collapse at most 5 twin pairs — survivors stay near-total and the
+    // drop is never silent
+    val (surv2, stats) = Similarity.semanticDedupCounted(
+      emb.unionByName(twins), "vec_id", "embedding", threshold = 0.99,
+      nClusters = 2, maxClusterSize = 10)
+    assert(stats.droppedBands >= 1L && stats.droppedRows >= 100L)
+    assert(surv2.count() >= 195L)
+    assertThrows[IllegalArgumentException](
+      Similarity.semanticDedup(emb, "vec_id", "embedding", threshold = 1.5))
+  }
+
   test("multimodal feature extraction preserves ids and emits fixed-dim features") {
     val media = Multimodal.fromDocuments(graft.core.Tables.documents(spark, sfDir))
     val feats = Multimodal.extractFeatures(media, batchPartitions = Some(4))

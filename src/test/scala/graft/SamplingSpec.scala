@@ -67,6 +67,30 @@ class SamplingSpec extends SparkSpec {
     assert(keptNull == 1L)
   }
 
+  test("weighted sample: deterministic, k rows, biased toward heavy weights") {
+    val heavy = (0L until 250L).map(i => (i, 1000L))
+    val light = (250L until 500L).map(i => (i, 1L))
+    val df = (heavy ++ light).toDF("doc_id", "w")
+    val a = Sampling.weightedSample(df, "doc_id", col("w"), k = 50)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.weightedSample(df, "doc_id", col("w"), k = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b && a.size == 50) // re-run → identical winners
+    // A-ES with a 1000:1 weight ratio: essentially every winner is heavy
+    // (P[a light row beats a heavy row] ≈ 1/1000 per pairing)
+    assert(a.count(_ < 250L) >= 45, s"heavy winners: ${a.count(_ < 250L)}")
+  }
+
+  test("weighted sample: non-positive and null weights carry no mass") {
+    val df = Seq((1L, 5L), (2L, 0L), (3L, -4L)).toDF("doc_id", "w")
+      .union(Seq((4L, Option.empty[Long])).toDF("doc_id", "w"))
+    val kept = Sampling.weightedSample(df, "doc_id", col("w"), k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+    assertThrows[IllegalArgumentException](
+      Sampling.weightedSample(df, "doc_id", col("w"), k = 0))
+  }
+
   test("fraction 0 keeps nothing; fraction 1 keeps everything") {
     val none = Sampling.stratifiedSample(docs, "lang", "doc_id",
       Map.empty, default = 0.0).count()
