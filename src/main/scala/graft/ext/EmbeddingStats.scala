@@ -28,4 +28,41 @@ object EmbeddingStats {
         (sum(col("x").cast("double").cast("decimal(28,12)")).cast("double") /
           count(lit(1))).as("centroid"),
         count(lit(1)).as("n"))
+
+  /** Per-label COHESION profile — each member's cosine to its own label
+    * centroid, aggregated to (n, sum, min, max) per label: the labeling-QA
+    * measure that flags mislabeled shards (low min), diffuse classes (low
+    * sum/n), and near-duplicate collapse (max ≈ 1 across the board).
+    *
+    * Determinism: centroids come from [[labelCentroids]] (exact decimal
+    * sums → identical doubles in any engine); each member cosine shares
+    * the e2 expression shape (index-order accumulation ⇒ bit-equal) and is
+    * rounded to 6 dp and fixed as DECIMAL(18,6), so the per-label sum is
+    * exact and order-free, and min/max are exact decimals. The MEAN is
+    * deliberately not emitted — cosines can be negative, where half-up
+    * rounding ties diverge between engines (the e4p lesson); consumers
+    * divide cos_sum/n.
+    *
+    * Scale shape: the centroid table is labels × dim (tiny — broadcast);
+    * members never shuffle for scoring (one narrow pass); the final
+    * aggregation keys on label.
+    *
+    * @return (labelCol, n, cos_sum, cos_min, cos_max) */
+  def labelCohesion(df: DataFrame, labelCol: String,
+                    vecCol: String): DataFrame = {
+    val cents = labelCentroids(df, labelCol, vecCol)
+      .groupBy(col(labelCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("centroid")))),
+        e => e.getField("centroid")).as("__cvec"))
+    val cos = round(Similarity.cosine(col(vecCol), col("__cvec")), 6)
+      .cast("decimal(18,6)")
+    df.join(broadcast(cents), Seq(labelCol))
+      .select(col(labelCol), cos.as("__cos"))
+      .groupBy(col(labelCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("__cos")).cast("double").as("cos_sum"),
+        min(col("__cos")).cast("double").as("cos_min"),
+        max(col("__cos")).cast("double").as("cos_max"))
+  }
 }

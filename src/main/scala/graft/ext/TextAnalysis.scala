@@ -226,6 +226,116 @@ object TextAnalysis {
         sum(col("term")).cast("double").as("kl_bits"))
   }
 
+  /** Per-document Shannon ENTROPY of the token distribution, in bits —
+    * the diversity scorer between type-token ratio (too coarse) and the
+    * corpus-LM priors ([[unigramLogProb]]/[[klDivergence]], which need a
+    * corpus pass): H = −Σ_t p(t)·log2 p(t) with p from the doc's own
+    * counts. Near-zero marks one-token spam; log2(n_distinct) marks a doc
+    * that never repeats.
+    *
+    * Determinism (the e4q pattern): each per-(doc,token) term is a double
+    * product of exact count ratios through log2, rounded to 6 dp and fixed
+    * as DECIMAL(18,6) before the per-doc sum — exact and order-free; the
+    * output is the exact sum cast to double, no final division, no
+    * rounding-tie edge.
+    *
+    * Shape: one explode, (doc,token) counts, per-doc totals as a window on
+    * the same doc-keyed stream, one per-doc aggregation — every shuffle
+    * keys on doc id or (doc,token), linear in corpus tokens.
+    *
+    * @return idCol, n_tokens, entropy_bits */
+  def tokenEntropy(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val docTok = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(w))
+    val term = round(
+      -(col("c").cast("double") / col("n").cast("double")) *
+        log2(col("c").cast("double") / col("n").cast("double")), 6)
+      .cast("decimal(18,6)")
+    docTok.select(col(idCol), col("n"), term.as("term"))
+      .groupBy(col(idCol))
+      .agg(max(col("n")).cast("long").as("n_tokens"),
+        sum(col("term")).cast("double").as("entropy_bits"))
+  }
+
+  /** Corpus Zipf RANK-FREQUENCY SLOPE: the least-squares slope of
+    * ln(frequency) against ln(rank) over the word-frequency table — the
+    * one-number corpus health check (natural language sits near −1;
+    * template/boilerplate corpora flatten, spam steepens).
+    *
+    * Determinism: regr_slope's float accumulation is order-dependent, so
+    * the slope is computed closed-form instead — x = round(log2 rank, 6)
+    * and y = round(log2 cnt, 6) fixed as DECIMAL(18,6) (log2 for the same
+    * correctly-rounded cross-engine behavior as e4p/e4q; the slope is
+    * base-invariant since the ratio cancels), Σx/Σy/Σxy/Σx² as EXACT
+    * decimal sums cast to identical doubles, and the final
+    * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) in pure double arithmetic with one
+    * expression shape. Rank is a total order (cnt desc, token) so both
+    * engines rank identically.
+    *
+    * Shape: one token-count aggregation (the e4b shuffle), a global window
+    * for rank over the VOCABULARY-sized table (not the corpus — a real
+    * vocabulary is millions of rows; acceptable for a single-partition
+    * window, or rank via a presorted range shuffle when it isn't), one
+    * scalar aggregate.
+    *
+    * @return n_vocab, zipf_slope */
+  def zipfSlope(docs: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val ranked = freq.withColumn("rk",
+      row_number().over(Window.orderBy(col("cnt").desc, col("token").asc)))
+    val x = round(log2(col("rk").cast("double")), 6).cast("decimal(18,6)")
+    val y = round(log2(col("cnt").cast("double")), 6).cast("decimal(18,6)")
+    ranked.select(x.as("x"), y.as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").cast("long").as("n_vocab"),
+        round((col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("zipf_slope"))
+  }
+
+  /** Bigram language-model fit: conditional next-token probabilities
+    * p(w2 | w1) = c(w1 w2) / Σ_w c(w1 w) over the corpus — the counts
+    * behind bigram-perplexity filters and synthetic-data detectors. The
+    * denominator is the bigram PREFIX count (not the unigram count), so
+    * each w1's conditionals sum to exactly 1 (document-final tokens start
+    * no bigram).
+    *
+    * Shape: bigrams form per-row by zipping the token array with its own
+    * shift (the [[repetitionStats]] trick — no per-doc window, no corpus
+    * sort), one (w1, w2) count aggregation, prefix totals as a window over
+    * the vocabulary²-sized count table, one IEEE division + 6-dp round.
+    *
+    * @return w1, w2, cnt, p_cond */
+  def bigramConditionals(docs: DataFrame, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    // token array materialized BELOW the explode (Generate blocks
+    // CollapseProject) so the tokenize runs once per doc, not per bigram
+    val base = docs.select(tokens(col(textCol)).as("__t"))
+    val nBg = greatest(size(col("__t")) - 1, lit(0))
+    val counts = base
+      .select(explode(zip_with(
+        slice(col("__t"), lit(1), nBg), slice(col("__t"), lit(2), nBg),
+        (a: Column, b: Column) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .groupBy(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("__c1", sum(col("cnt")).over(w))
+      .select(col("w1"), col("w2"), col("cnt").cast("long").as("cnt"),
+        round(col("cnt").cast("double") / col("__c1").cast("double"), 6)
+          .as("p_cond"))
+  }
+
   /** The Gopher stopword list used by [[gopherRules]]' "document must
     * contain ≥ 2 of these" rule (Rae et al. 2021, appendix A1.1). */
   val gopherStopwords: Seq[String] =

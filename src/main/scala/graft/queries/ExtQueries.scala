@@ -1269,6 +1269,33 @@ object ExtQueries {
             round(col("centroid"), 6).as("centroid"), col("n"))
     },
 
+    // E2 — per-label cohesion profile (labeling QA): each member's cosine
+    // to its own label centroid, aggregated per label. Centroids are the
+    // e2j decimal-exact means; each cosine shares the e2 expression shape
+    // (bit-equal) and fixes to DECIMAL(18,6) before the exact sum/min/max.
+    // No mean emitted — negative-cosine half-up ties diverge across
+    // engines (the e4p lesson); consumers divide cos_sum/n. Oracle
+    // hard-codes dim=64 like e2j; the Spark side is dim-generic.
+    "e2o_label_cohesion" -> Q(
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        |c AS (SELECT label, i AS pos,
+        |             CAST(sum(CAST(x[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS cv
+        |      FROM v, range(1, 65) t(i) GROUP BY 1, 2),
+        |cent AS (SELECT label, list(cv ORDER BY pos) AS cvec FROM c GROUP BY 1),
+        |m AS (SELECT v.label,
+        |             CAST(round(list_cosine_similarity(v.x, cent.cvec), 6)
+        |                  AS DECIMAL(18,6)) AS cos
+        |      FROM v JOIN cent USING (label))
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(cos) AS DOUBLE) AS cos_sum,
+        |       CAST(min(cos) AS DOUBLE) AS cos_min,
+        |       CAST(max(cos) AS DOUBLE) AS cos_max
+        |FROM m GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        EmbeddingStats.labelCohesion(Tables.embeddings(s, dir),
+          "label", "embedding")
+    },
+
     // [EXT] NO-SPLIT bin packing (e8's SFT variant): greedy sequential
     // fill per shard, documents never straddle packs. The Spark side is
     // the one justified mapPartitions (per-shard sequential state); DuckDB
@@ -1386,6 +1413,68 @@ object ExtQueries {
         TextSimilarity.tfidfCosinePairs(
           Tables.documents(s, dir).filter(col("doc_id") < 50),
           "doc_id", "text", threshold = 0.7)
+    },
+
+    // E4 — per-doc token-distribution Shannon entropy (bits): the
+    // diversity scorer between TTR and the corpus-LM priors. Same
+    // determinism pattern as e4q: per-(doc,token) term rounded to
+    // DECIMAL(18,6) before the exact order-free per-doc sum.
+    "e4s_token_entropy" -> Q(
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+        |             FROM documents),
+        |dt AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        |d AS (SELECT doc_id, c,
+        |             CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+        |      FROM dt),
+        |term AS (SELECT doc_id, n,
+        |                CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |                     log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |                     AS DECIMAL(18,6)) AS term
+        |         FROM d)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+        |       CAST(sum(term) AS DOUBLE) AS entropy_bits
+        |FROM term GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    // E4 — corpus Zipf rank-frequency slope: closed-form least squares
+    // over (log2 rank, log2 cnt) with exact DECIMAL sums (regr_slope's
+    // float accumulation is order-dependent — not cross-engine-stable);
+    // final slope arithmetic is pure double with one expression shape.
+    "e4t_zipf_slope" -> Q(
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents),
+        |freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rk FROM freq),
+        |xy AS (SELECT CAST(round(log2(CAST(rk AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+        |              CAST(round(log2(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+        |       FROM r),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x*y) AS sxy, sum(x*x) AS sxx FROM xy)
+        |SELECT n AS n_vocab,
+        |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        |         AS zipf_slope
+        |FROM s""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.zipfSlope(Tables.documents(s, dir), "text")
+    },
+
+    // E4 — bigram LM conditionals p(w2|w1) with the bigram-PREFIX-count
+    // denominator (each w1's conditionals sum to exactly 1). Bigrams form
+    // per-row via the shifted zip (no corpus window); DuckDB zips two
+    // aligned unnest slices.
+    "e4u_bigram_lm" -> Q(
+      """WITH t AS (SELECT regexp_split_to_array(text, '\s+') AS ta FROM documents),
+        |bg AS (SELECT unnest(ta[1:len(ta)-1]) AS w1, unnest(ta[2:len(ta)]) AS w2
+        |       FROM t WHERE len(ta) >= 2),
+        |c AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |p AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c1 FROM c GROUP BY 1)
+        |SELECT c.w1, c.w2, CAST(cnt AS BIGINT) AS cnt,
+        |       round(CAST(cnt AS DOUBLE) / CAST(c1 AS DOUBLE), 6) AS p_cond
+        |FROM c JOIN p USING (w1)""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.bigramConditionals(Tables.documents(s, dir), "text")
     },
 
     // [EXT] deterministic WEIGHTED sampling (Efraimidis–Spirakis A-ES):

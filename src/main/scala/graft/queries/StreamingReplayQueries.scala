@@ -164,6 +164,59 @@ object StreamingReplayQueries {
         sum(col("event_id")).as("id_sum"))
     },
 
+    // T5/W8 — event-time SESSION windows replayed through a watermarked
+    // append-mode stream: sessions MERGE across micro-batches as members
+    // arrive (the stateful behavior tumbling windows never exercise), and
+    // finalize only when the watermark passes the gap. Sentinel rows under
+    // a reserved user id flush the last real sessions; the result must
+    // hash-match the batch w8 oracle (same 24 h gap, same user slice).
+    "t10_session_window_replay" -> Q(
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE user_id < 10),
+        |m AS (SELECT user_id, us,
+        |        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |               OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 86400000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM s),
+        |g AS (SELECT user_id, us,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |      FROM m)
+        |SELECT user_id, min(us) AS session_start_us, count(*) AS n_events
+        |FROM g GROUP BY user_id, grp""".stripMargin) { (s, dir) =>
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val sentinelUser = 999999L
+      val rows = Tables.events(s, dir).filter(col("user_id") < 10)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+        .orderBy("ts_us", "user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val mem = MemoryStream[(Long, Long)]
+      val agg = mem.toDS().toDF("user_id", "ts_us")
+        .withColumn("tss", timestamp_micros(col("ts_us")))
+        .withWatermark("tss", "0 seconds")
+        .groupBy(session_window(col("tss"), "24 hours").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+          col("cnt").as("n_events"))
+      val name = "t10_replay_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      withShufflePartitions(s, 8) {
+        val q = agg.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try {
+          chunked(rows).foreach { b => mem.addData(b); q.processAllAvailable() }
+          // two sentinels: advance the watermark past every real session's
+          // gap, then trigger the batch that emits them (the t7 protocol)
+          val maxUs = rows.last._2
+          (1 to 2).foreach { i =>
+            mem.addData((sentinelUser, maxUs + i * 172800000000L))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      s.table(name).filter(col("user_id") =!= sentinelUser)
+    },
+
     // T5/J — stream-stream interval join (view-before-purchase attribution)
     // replayed against the batch join oracle: each side arrives in its own
     // event-time order across micro-batches, state is bounded by

@@ -660,6 +660,51 @@ class ExtOpsSpec extends SparkSpec {
       Similarity.semanticDedup(emb, "vec_id", "embedding", threshold = 1.5))
   }
 
+  test("token entropy: uniform doc hits log2(k), constant doc hits 0") {
+    val rows = Seq((1L, "a b c d"), (2L, "x x x x"), (3L, "a a b b"))
+    val out = graft.ext.TextAnalysis.tokenEntropy(
+        rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) == 2.0)   // 4 distinct, uniform → log2(4)
+    assert(out(2L) == 0.0)   // one token → zero entropy
+    assert(out(3L) == 1.0)   // two 50/50 tokens → 1 bit
+  }
+
+  test("zipf slope: two-point corpus gives the hand-computed slope") {
+    // freq a=8 (rank 1, x=0), b=2 (rank 2, x=1) → slope = log2(2)-log2(8) = -2
+    val rows = Seq((1L, "a a a a a a a a"), (2L, "b b"))
+    val out = graft.ext.TextAnalysis.zipfSlope(rows.toDF("doc_id", "text"), "text")
+      .collect().head
+    assert(out.getLong(0) == 2L)
+    assert(out.getDouble(1) == -2.0)
+  }
+
+  test("bigram conditionals: prefix-count denominator, each w1 sums to 1") {
+    val out = graft.ext.TextAnalysis.bigramConditionals(
+        Seq((1L, "a b a c")).toDF("doc_id", "text"), "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out == Map(("a", "b") -> 0.5, ("a", "c") -> 0.5, ("b", "a") -> 1.0))
+    // over the corpus: every w1's conditionals sum to 1 (prefix-count
+    // denominator, not the unigram count)
+    val sums = graft.ext.TextAnalysis.bigramConditionals(
+        graft.core.Tables.documents(spark, sfDir), "text")
+      .groupBy("w1").agg(round(sum(col("p_cond")), 3).as("s"))
+      .filter(col("s") =!= 1.0).count()
+    assert(sums == 0L)
+  }
+
+  test("label cohesion: identical members hit cos 1, hand-computed spread") {
+    val rows = Seq(
+      (0, Seq(1.0f, 0.0f)), (0, Seq(1.0f, 0.0f)),  // identical → cos 1 each
+      (1, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f)))  // centroid (.5,.5) → cos .707107
+    val out = graft.ext.EmbeddingStats.labelCohesion(
+        rows.toDF("label", "embedding"), "label", "embedding")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(0) == ((2L, 2.0, 1.0, 1.0)))
+    assert(out(1) == ((2L, 1.414214, 0.707107, 0.707107)))
+  }
+
   test("multimodal feature extraction preserves ids and emits fixed-dim features") {
     val media = Multimodal.fromDocuments(graft.core.Tables.documents(spark, sfDir))
     val feats = Multimodal.extractFeatures(media, batchPartitions = Some(4))
