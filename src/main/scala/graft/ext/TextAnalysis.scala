@@ -277,20 +277,18 @@ object TextAnalysis {
     * expression shape. Rank is a total order (cnt desc, token) so both
     * engines rank identically.
     *
-    * Shape: one token-count aggregation (the e4b shuffle), a global window
-    * for rank over the VOCABULARY-sized table (not the corpus — a real
-    * vocabulary is millions of rows; acceptable for a single-partition
-    * window, or rank via a presorted range shuffle when it isn't), one
-    * scalar aggregate.
+    * Shape: one token-count aggregation (the e4b shuffle); rank comes from
+    * [[graft.ops.GlobalRowNumber]]'s two-phase range shuffle — a real
+    * vocabulary is millions of rows, and an unpartitioned window would
+    * funnel all of them through one task; one scalar aggregate.
     *
     * @return n_vocab, zipf_slope */
   def zipfSlope(docs: DataFrame, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val freq = docs
       .select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-    val ranked = freq.withColumn("rk",
-      row_number().over(Window.orderBy(col("cnt").desc, col("token").asc)))
+    val ranked = graft.ops.GlobalRowNumber.withGlobalRowNumber(
+      freq, "rk", Seq(col("cnt").desc, col("token").asc))
     val x = round(log2(col("rk").cast("double")), 6).cast("decimal(18,6)")
     val y = round(log2(col("cnt").cast("double")), 6).cast("decimal(18,6)")
     ranked.select(x.as("x"), y.as("y"))

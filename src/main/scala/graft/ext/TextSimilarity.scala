@@ -50,10 +50,14 @@ object TextSimilarity {
       .select(col(idCol).as("__doc"),
         explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy("__doc", "token").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // with a cap, the df table is read twice (drop count + kept join):
+    // checkpoint it so the tokenize→tf pipeline isn't recomputed per reader
+    val dfreq0 = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val dfreq = if (maxDf.isDefined) dfreq0.localCheckpoint() else dfreq0
     val kept = maxDf.map(m => dfreq.filter(col("df") <= m)).getOrElse(dfreq)
-    val dropped = maxDf.map { _ =>
-      dfreq.count() - kept.count()
+    val dropped = maxDf.map { m =>
+      dfreq.agg(coalesce(sum(when(col("df") > m, 1L).otherwise(0L)), lit(0L)))
+        .first().getLong(0)
     }.getOrElse(0L)
     // weight table materialized ONCE — read three times below (norms +
     // both inverted-join sides); recomputing the tokenize→tf→join pipeline
