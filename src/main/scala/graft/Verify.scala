@@ -18,9 +18,17 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // local-iteration filter (comma-separated names); the driver never sets
-    // it, so the gate always dumps the full query surface
+    // it, so the gate always dumps the full query surface. An empty value
+    // or an unknown name fails LOUDLY — a typo'd filter that silently dumps
+    // nothing (exit 0) leaves the user comparing a stale output directory
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      require(names.nonEmpty, "SPARK_GRAFT_ONLY is set but names no queries")
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

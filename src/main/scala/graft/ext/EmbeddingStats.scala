@@ -43,11 +43,18 @@ object EmbeddingStats {
     * rounding ties diverge between engines (the e4p lesson); consumers
     * divide cos_sum/n.
     *
+    * Zero-norm members (padding rows, failed encodes) have no direction:
+    * their cosine is 0/0. They are EXCLUDED from the cosine stats and
+    * COUNTED in `n_zero_norm` — explicitly, never via NaN→null aggregate
+    * skipping, which would deflate cos_sum/n and hide exactly the
+    * pathological member this op exists to flag (and which the two engines
+    * don't even fail the same way on).
+    *
     * Scale shape: the centroid table is labels × dim (tiny — broadcast);
     * members never shuffle for scoring (one narrow pass); the final
     * aggregation keys on label.
     *
-    * @return (labelCol, n, cos_sum, cos_min, cos_max) */
+    * @return (labelCol, n, n_zero_norm, cos_sum, cos_min, cos_max) */
   def labelCohesion(df: DataFrame, labelCol: String,
                     vecCol: String): DataFrame = {
     val cents = labelCentroids(df, labelCol, vecCol)
@@ -55,12 +62,15 @@ object EmbeddingStats {
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("centroid")))),
         e => e.getField("centroid")).as("__cvec"))
-    val cos = round(Similarity.cosine(col(vecCol), col("__cvec")), 6)
+    val zero = Similarity.dot(col(vecCol), col(vecCol)) === 0.0
+    val cos = when(zero, lit(null))
+      .otherwise(round(Similarity.cosine(col(vecCol), col("__cvec")), 6))
       .cast("decimal(18,6)")
     df.join(broadcast(cents), Seq(labelCol))
-      .select(col(labelCol), cos.as("__cos"))
+      .select(col(labelCol), zero.cast("long").as("__zero"), cos.as("__cos"))
       .groupBy(col(labelCol))
       .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("__zero")).cast("long").as("n_zero_norm"),
         sum(col("__cos")).cast("double").as("cos_sum"),
         min(col("__cos")).cast("double").as("cos_min"),
         max(col("__cos")).cast("double").as("cos_max"))

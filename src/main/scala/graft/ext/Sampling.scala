@@ -89,26 +89,35 @@ object Sampling {
 
   /** Deterministic WEIGHTED sample of k rows without replacement
     * (Efraimidis–Spirakis A-ES, the one-pass distributed form): each row
-    * draws u ∈ (0, 1] from the shared content-hash coin — the first 4 hex
-    * digits of md5(id) mapped to (h+1)/65536 — and races on the key
+    * draws u ∈ (0, 1) from the shared content-hash coin — the first 13 hex
+    * digits of md5(id) mapped to (h+1)/2⁵³ — and races on the key
     * −ln(u)/w; the k SMALLEST keys win, which is exactly weighted sampling
     * without replacement by `weightExpr`. No RNG state, stable per id as
     * the corpus grows, identical in any engine.
     *
+    * The coin is 52 bits, NOT the 16-bit hex-prefix grid the fraction
+    * samplers use: a 16-bit u has an atom at u = 1 — every ~1/65536th id
+    * would draw es_key = −ln(1)/w = 0 and win REGARDLESS of weight, which
+    * at corpus scale silently replaces the weighted sample with "the
+    * smallest-id ffff-prefix rows". With 52 bits, u < 1 always and key
+    * collisions are ULP-rare.
+    *
     * Scale shape: one narrow per-row key computation + a distributed top-k
     * (TakeOrderedAndProject — per-partition heaps, never a global sort).
     * Rows with NULL or non-positive weight carry no sampling mass and are
-    * excluded. Keys are ranked on the 6-dp ROUNDED value with an id
-    * tie-break, so cross-engine float noise cannot reorder the cut.
+    * excluded. Keys rank on the 9-dp ROUNDED value with an id tie-break:
+    * coarse enough to absorb any last-ulp ln() divergence across engines,
+    * fine enough (grid 1e-9 vs key spans ≥ 1e-5 even at w ~ 10⁶) not to
+    * collapse the race into id order.
     *
     * @return the winning rows plus their `es_key` */
   def weightedSample(df: DataFrame, idCol: String, weightExpr: Column,
                      k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val h = conv(substring(hashPriority(col(idCol)), 1, 4), 16, 10).cast("long")
-    val u = (h + 1).cast("double") / 65536.0
+    val h = conv(substring(hashPriority(col(idCol)), 1, 13), 16, 10).cast("long")
+    val u = (h + 1).cast("double") / 4503599627370496.0 // 2^52; u in (0, 1)
     df.filter(weightExpr.cast("double") > 0.0)
-      .withColumn("es_key", round(-log(u) / weightExpr.cast("double"), 6))
+      .withColumn("es_key", round(-log(u) / weightExpr.cast("double"), 9))
       .orderBy(col("es_key").asc, col(idCol).asc)
       .limit(k)
   }

@@ -291,15 +291,19 @@ object TextAnalysis {
       freq, "rk", Seq(col("cnt").desc, col("token").asc))
     val x = round(log2(col("rk").cast("double")), 6).cast("decimal(18,6)")
     val y = round(log2(col("cnt").cast("double")), 6).cast("decimal(18,6)")
+    // a single-entry vocabulary has zero x-variance: the slope is
+    // undefined — emit null, never the 0/0 NaN (whose handling the two
+    // engines don't even agree on)
+    val denom = col("n").cast("double") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val num = col("n").cast("double") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
     ranked.select(x.as("x"), y.as("y"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
       .select(col("n").cast("long").as("n_vocab"),
-        round((col("n").cast("double") * col("sxy").cast("double") -
-            col("sx").cast("double") * col("sy").cast("double")) /
-          (col("n").cast("double") * col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double")), 6)
-          .as("zipf_slope"))
+        when(denom === 0.0, lit(null).cast("double"))
+          .otherwise(round(num / denom, 6)).as("zipf_slope"))
   }
 
   /** Bigram language-model fit: conditional next-token probabilities

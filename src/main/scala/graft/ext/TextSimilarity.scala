@@ -18,10 +18,14 @@ import org.apache.spark.sql.functions._
   * term — |postings|² candidate rows from a single token — which is what
   * `maxDf` bounds: terms in more than maxDf documents are dropped from the
   * vectors BEFORE the join (the standard lossy trade — those terms carry
-  * near-zero IDF weight anyway). The `Counted` variant returns how many
-  * terms the cap dropped — observable, never silent. Zero-weight postings
-  * (df = N ⇒ idf = 0) are pruned unconditionally; they cannot move any dot
-  * product or norm.
+  * near-zero IDF weight anyway). The cap is ON BY DEFAULT at
+  * [[Dedup.DefaultMaxBandSize]], like every other posting/band bound in
+  * this package — a near-stopword in N−1 of N documents still has nonzero
+  * weight, so pruning only df = N terms would leave the quadratic hazard
+  * armed; pass `maxDf = Long.MaxValue` to disable (no counting job runs).
+  * The `Counted` variant returns how many terms the cap dropped —
+  * observable, never silent. Zero-weight postings (df = N ⇒ idf = 0) are
+  * pruned unconditionally; they cannot move any dot product or norm.
   *
   * Cross-engine determinism: each weight is rounded to 6 dp and fixed as
   * DECIMAL(18,6); dot products and squared norms are then EXACT decimal
@@ -35,16 +39,18 @@ object TextSimilarity {
     * @return (a_id, b_id, cos_sim) with a_id < b_id */
   def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                        threshold: Double,
-                       maxDf: Option[Long] = None): DataFrame =
+                       maxDf: Long = Dedup.DefaultMaxBandSize): DataFrame =
     tfidfCosinePairsCounted(docs, idCol, textCol, threshold, maxDf)._1
 
   /** [[tfidfCosinePairs]] plus the number of terms dropped by the `maxDf`
     * posting-list cap — the programmatic truncation signal (zero ⟺ the
     * result is the exact TF-IDF cosine over full vocabularies). */
   def tfidfCosinePairsCounted(docs: DataFrame, idCol: String, textCol: String,
-                              threshold: Double, maxDf: Option[Long] = None)
+                              threshold: Double,
+                              maxDf: Long = Dedup.DefaultMaxBandSize)
       : (DataFrame, Long) = {
-    maxDf.foreach(m => require(m > 0, s"maxDf must be positive: $m"))
+    require(maxDf > 0, s"maxDf must be positive: $maxDf")
+    val capped = maxDf != Long.MaxValue
     val nDocs = docs.count() // scalar, like the watermark reads
     val tf = docs
       .select(col(idCol).as("__doc"),
@@ -53,12 +59,12 @@ object TextSimilarity {
     // with a cap, the df table is read twice (drop count + kept join):
     // checkpoint it so the tokenize→tf pipeline isn't recomputed per reader
     val dfreq0 = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val dfreq = if (maxDf.isDefined) dfreq0.localCheckpoint() else dfreq0
-    val kept = maxDf.map(m => dfreq.filter(col("df") <= m)).getOrElse(dfreq)
-    val dropped = maxDf.map { m =>
-      dfreq.agg(coalesce(sum(when(col("df") > m, 1L).otherwise(0L)), lit(0L)))
+    val dfreq = if (capped) dfreq0.localCheckpoint() else dfreq0
+    val kept = if (capped) dfreq.filter(col("df") <= maxDf) else dfreq
+    val dropped = if (capped)
+      dfreq.agg(coalesce(sum(when(col("df") > maxDf, 1L).otherwise(0L)), lit(0L)))
         .first().getLong(0)
-    }.getOrElse(0L)
+    else 0L
     // weight table materialized ONCE — read three times below (norms +
     // both inverted-join sides); recomputing the tokenize→tf→join pipeline
     // per consumer is the shingle-frame mistake paid for in e6e.

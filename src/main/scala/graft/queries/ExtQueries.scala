@@ -1283,10 +1283,13 @@ object ExtQueries {
         |      FROM v, range(1, 65) t(i) GROUP BY 1, 2),
         |cent AS (SELECT label, list(cv ORDER BY pos) AS cvec FROM c GROUP BY 1),
         |m AS (SELECT v.label,
-        |             CAST(round(list_cosine_similarity(v.x, cent.cvec), 6)
-        |                  AS DECIMAL(18,6)) AS cos
+        |             CASE WHEN list_sum(list_transform(v.x, e -> e * e)) = 0 THEN 1 ELSE 0 END AS zero,
+        |             CASE WHEN list_sum(list_transform(v.x, e -> e * e)) = 0 THEN NULL
+        |                  ELSE CAST(round(list_cosine_similarity(v.x, cent.cvec), 6)
+        |                            AS DECIMAL(18,6)) END AS cos
         |      FROM v JOIN cent USING (label))
         |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(zero) AS BIGINT) AS n_zero_norm,
         |       CAST(sum(cos) AS DOUBLE) AS cos_sum,
         |       CAST(min(cos) AS DOUBLE) AS cos_min,
         |       CAST(max(cos) AS DOUBLE) AS cos_max
@@ -1384,8 +1387,9 @@ object ExtQueries {
     // all-pairs): only documents sharing a term ever meet; dots and norms
     // accumulate as exact DECIMAL sums (order-free) and go to double only
     // at the final cosine, so both engines emit identical values. The
-    // posting-list cap (maxDf) is the scale lever; the gate runs uncapped
-    // on the bounded doc_id < 50 slice (caps are spec'd in ExtOpsSpec).
+    // posting-list cap (maxDf, on by default) is the scale lever; at the
+    // gate's doc_id < 50 slice every df is far below it, so the capped
+    // result IS the exact one (cap behavior spec'd in ExtOpsSpec).
     "e6f_tfidf_cosine" -> Q(
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
         |             FROM documents WHERE doc_id < 50),
@@ -1452,9 +1456,11 @@ object ExtQueries {
         |s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
         |             sum(x*y) AS sxy, sum(x*x) AS sxx FROM xy)
         |SELECT n AS n_vocab,
-        |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
-        |         AS zipf_slope
+        |       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+        |            THEN NULL
+        |            ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        |       END AS zipf_slope
         |FROM s""".stripMargin) {
       (s, dir) =>
         TextAnalysis.zipfSlope(Tables.documents(s, dir), "text")
@@ -1478,15 +1484,16 @@ object ExtQueries {
     },
 
     // [EXT] deterministic WEIGHTED sampling (Efraimidis–Spirakis A-ES):
-    // each row races on −ln(u)/w with u from the shared md5 coin and
+    // each row races on −ln(u)/w with u from a 52-bit md5 coin (16 bits
+    // would leave an atom at u=1 whose holders win weight-free) and
     // w = token count; the 25 smallest keys win — weighted sampling
     // without replacement, no RNG, identical in any engine. Keys ranked on
-    // the 6-dp rounded value with an id tie-break.
+    // the 9-dp rounded value with an id tie-break.
     "e7e_weighted_sample" -> Q(
       """SELECT doc_id,
-        |       round(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT + 1)
-        |                 / 65536.0)
-        |             / len(regexp_split_to_array(text, '\s+')), 6) AS es_key
+        |       round(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+        |                 / 4503599627370496.0)
+        |             / len(regexp_split_to_array(text, '\s+')), 9) AS es_key
         |FROM documents
         |ORDER BY es_key ASC, doc_id ASC LIMIT 25""".stripMargin) {
       (s, dir) =>

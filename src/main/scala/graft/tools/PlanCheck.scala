@@ -50,10 +50,11 @@ object PlanCheck {
                                "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
     // packing windows are shard-partitioned, never global
     "e8_sequence_packing" -> Seq("Window"),
-    // inverted-index pair similarity: df table broadcast onto tf; dot
-    // products are hash aggregations on the pair key (never a cartesian —
-    // the sweep proves that side)
-    "e6f_tfidf_cosine"  -> Seq("BroadcastHashJoin", "HashAggregate"),
+    // inverted-index pair similarity: the inspected plan roots at the
+    // weight table's localCheckpoint, so the df-broadcast join upstream of
+    // it is NOT visible here — only the pair-key hash aggregation is
+    // assertable (the sweep separately proves no cartesian anywhere)
+    "e6f_tfidf_cosine"  -> Seq("HashAggregate"),
     // A-ES weighted sampling is a distributed top-k, never a global sort
     "e7e_weighted_sample" -> Seq("TakeOrderedAndProject"),
     "a1_max_watermark"  -> Seq("HashAggregate"))

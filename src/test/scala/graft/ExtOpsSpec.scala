@@ -629,12 +629,16 @@ class ExtOpsSpec extends SparkSpec {
     // (df=1) survives, docs 1/2 lose all terms → zero-norm, excluded
     val (capped, dropped) = graft.ext.TextSimilarity
       .tfidfCosinePairsCounted(df, "doc_id", "text", threshold = 0.0,
-        maxDf = Some(1L))
+        maxDf = 1L)
     assert(capped.count() == 0L)
     assert(dropped == 4L) // alpha, beta, gamma, delta all have df >= 2
+    // uncapped (Long.MaxValue) reports zero drops and runs no counting job
+    val (_, d2) = graft.ext.TextSimilarity.tfidfCosinePairsCounted(
+      df, "doc_id", "text", threshold = 0.0, maxDf = Long.MaxValue)
+    assert(d2 == 0L)
     assertThrows[IllegalArgumentException](
       graft.ext.TextSimilarity.tfidfCosinePairs(df, "doc_id", "text", 0.5,
-        maxDf = Some(0L)))
+        maxDf = 0L))
   }
 
   test("semantic dedup: twins collapse to the min-id keeper; ledger surfaces cell caps") {
@@ -693,16 +697,28 @@ class ExtOpsSpec extends SparkSpec {
     assert(sums == 0L)
   }
 
-  test("label cohesion: identical members hit cos 1, hand-computed spread") {
+  test("label cohesion: identical members hit cos 1; zero-norm members counted, not averaged") {
     val rows = Seq(
       (0, Seq(1.0f, 0.0f)), (0, Seq(1.0f, 0.0f)),  // identical → cos 1 each
-      (1, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f)))  // centroid (.5,.5) → cos .707107
+      (1, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f)),  // centroid (.5,.5) → cos .707107
+      (2, Seq(1.0f, 0.0f)), (2, Seq(0.0f, 0.0f)))  // one zero-norm member
     val out = graft.ext.EmbeddingStats.labelCohesion(
         rows.toDF("label", "embedding"), "label", "embedding")
       .collect().map(r => r.getInt(0) ->
-        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
-    assert(out(0) == ((2L, 2.0, 1.0, 1.0)))
-    assert(out(1) == ((2L, 1.414214, 0.707107, 0.707107)))
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(out(0) == ((2L, 0L, 2.0, 1.0, 1.0)))
+    assert(out(1) == ((2L, 0L, 1.414214, 0.707107, 0.707107)))
+    // the zero vector is ledgered in n_zero_norm and excluded from the
+    // stats: label 2's cosine profile reflects only its one real member
+    assert(out(2) == ((2L, 1L, 1.0, 1.0, 1.0)))
+  }
+
+  test("zipf slope is null, not NaN, for a single-entry vocabulary") {
+    val out = graft.ext.TextAnalysis.zipfSlope(
+        Seq((1L, "a a a"), (2L, "a")).toDF("doc_id", "text"), "text")
+      .collect().head
+    assert(out.getLong(0) == 1L && out.isNullAt(1))
   }
 
   test("multimodal feature extraction preserves ids and emits fixed-dim features") {
