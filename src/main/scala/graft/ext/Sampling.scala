@@ -122,6 +122,28 @@ object Sampling {
       .limit(k)
   }
 
+  /** PER-GROUP weighted sample: [[weightedSample]]'s A-ES race run
+    * independently inside each stratum — k winners per group, weighted by
+    * `weightExpr` within it ("the k most representative docs per source,
+    * longer preferred"). Same 52-bit coin and 9-dp key; ranking is a
+    * group-partitioned window (one shuffle on the group key, never a
+    * global sort).
+    *
+    * @return the winning rows plus their `es_key` */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+                             weightExpr: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val h = conv(substring(hashPriority(col(idCol)), 1, 13), 16, 10).cast("long")
+    val u = (h + 1).cast("double") / 4503599627370496.0 // 2^52; u in (0, 1)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("es_key").asc, col(idCol).asc)
+    df.filter(weightExpr.cast("double") > 0.0)
+      .withColumn("es_key", round(-log(u) / weightExpr.cast("double"), 9))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
   /** Hash train/val/test split on the first hex nibble of the id hash:
     * 0–b → train (12/16), c–d → val (2/16), e–f → test (2/16).
     * Per-row, no shuffle, stable forever for a given id. */

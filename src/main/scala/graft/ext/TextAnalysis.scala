@@ -134,6 +134,73 @@ object TextAnalysis {
           .as("dup_ngram_frac"))
   }
 
+  /** N-gram NOVELTY against corpus history: for each doc, the fraction of
+    * its distinct n-gram shingles NOT already introduced by any
+    * smaller-id document — the "what does this doc add" measure used to
+    * order/prune incremental corpus drops (ids stand in for arrival
+    * order). A gram is owned by the smallest doc id containing it, so the
+    * first document scores novelty 1 and an exact re-crawl scores 0.
+    *
+    * Shape (the e6e frame): distinct shingles exploded ONCE
+    * (localCheckpoint — the ownership aggregation and the join-back both
+    * read it), one per-gram min-id aggregation, join back, one per-doc
+    * aggregation. Every shuffle keys on gram or doc id — linear at any
+    * corpus size.
+    *
+    * @return idCol, n_grams, n_novel, novelty */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, nativeShingles: Boolean = false): DataFrame = {
+    val shCol = if (nativeShingles) Dedup.shinglesNative(col(textCol), n)
+                else Dedup.shingles(col(textCol), n)
+    val grams = docs
+      .select(col(idCol), shCol.as("__sh"))
+      .select(col(idCol), explode(col("__sh")).as("gram"))
+      .localCheckpoint()
+    val owners = grams.groupBy(col("gram")).agg(min(col(idCol)).as("__owner"))
+    grams.join(owners, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__owner") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+      .select(col(idCol), col("n_grams").cast("long").as("n_grams"),
+        col("n_novel").cast("long").as("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+  }
+
+  /** CHARACTER-level n-gram duplication fraction: per doc, the share of
+    * its distinct char n-grams appearing in at least one other document —
+    * the exact-substring duplication signal (quotes, boilerplate headers,
+    * licence blocks) that word-level shingles ([[duplicateNgramFraction]])
+    * blur across token boundaries. Documents shorter than n contribute
+    * their whole text as one gram, so no doc is dropped.
+    *
+    * Same shape as [[duplicateNgramFraction]]: one explode of the distinct
+    * grams (materialized once), one per-gram doc-count aggregation, join
+    * back, per-doc aggregate — linear in corpus characters.
+    *
+    * @return idCol, n_grams, n_shared, dup_char_ngram_frac */
+  def charNgramDupFraction(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 16): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    val t = col(textCol)
+    val gramsCol = array_distinct(
+      when(length(t) <= n, array(t))
+        .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
+          i => t.substr(i, lit(n)))))
+    val grams = docs
+      .select(col(idCol), gramsCol.as("__g"))
+      .select(col(idCol), explode(col("__g")).as("gram"))
+      .localCheckpoint()
+    val counts = grams.groupBy(col("gram")).agg(count(lit(1)).as("__docs_with"))
+    grams.join(counts, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__docs_with") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col(idCol), col("n_grams").cast("long").as("n_grams"),
+        col("n_shared").cast("long").as("n_shared"),
+        round(col("n_shared").cast("double") / col("n_grams"), 6)
+          .as("dup_char_ngram_frac"))
+  }
+
   /** Corpus-LM quality prior (the CCNet/Gopher-style "perplexity filter"
     * in its self-scored unigram form): fit an add-one-smoothed unigram
     * language model over the whole corpus, then score each document by its

@@ -1059,6 +1059,73 @@ object ExtQueries {
         }
     },
 
+    // E1/E4 — n-gram NOVELTY vs corpus history: per doc, the fraction of
+    // its distinct 3-gram shingles not already introduced by a smaller-id
+    // document (ids stand in for arrival order) — the "what does this doc
+    // add" measure for incremental corpus drops. Same shingle construction
+    // both engines; ownership = min doc id per gram.
+    "e6h_ngram_novelty" -> Q(
+      """WITH sh AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ta FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
+        |             ELSE list_distinct(list_transform(range(1, len(ta) - 1),
+        |                    i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2])) END AS sg
+        |      FROM sh),
+        |e AS (SELECT doc_id, unnest(sg) AS gram FROM g),
+        |o AS (SELECT gram, min(doc_id) AS owner FROM e GROUP BY 1)
+        |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(count(*) FILTER (WHERE o.owner = e.doc_id) AS BIGINT) AS n_novel,
+        |       round(count(*) FILTER (WHERE o.owner = e.doc_id) * 1.0 / count(*), 6) AS novelty
+        |FROM e JOIN o USING (gram) GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        graft.functions.GraftFunctions.register(s)
+        TextAnalysis.ngramNovelty(Tables.documents(s, dir), "doc_id", "text",
+          nativeShingles = true)
+    },
+
+    // E1/E4 — CHAR-level 16-gram duplication fraction: the exact-substring
+    // duplication signal (quotes, boilerplate, licence blocks) that
+    // word-level shingles blur. Same gram construction both engines,
+    // including the short-text whole-doc fallback.
+    "e6g_char_ngram_dup" -> Q(
+      """WITH g AS (SELECT doc_id,
+        |        CASE WHEN length(text) <= 16 THEN [text]
+        |             ELSE list_distinct(list_transform(range(1, length(text) - 14),
+        |                    i -> substr(text, i, 16))) END AS cg
+        |      FROM documents),
+        |e AS (SELECT doc_id, unnest(cg) AS gram FROM g),
+        |c AS (SELECT gram, count(*) AS docs_with FROM e GROUP BY 1)
+        |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(count(*) FILTER (WHERE c.docs_with > 1) AS BIGINT) AS n_shared,
+        |       round(count(*) FILTER (WHERE c.docs_with > 1) * 1.0 / count(*), 6) AS dup_char_ngram_frac
+        |FROM e JOIN c USING (gram) GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.charNgramDupFraction(Tables.documents(s, dir),
+          "doc_id", "text")
+    },
+
+    // [EXT] per-group weighted sampling: the e7e A-ES race run inside each
+    // language — 5 winners per stratum, weighted by token count. Window is
+    // group-partitioned (one shuffle on lang), never global.
+    "e7f_weighted_group_sample" -> Q(
+      """WITH keyed AS (
+        |  SELECT lang, doc_id,
+        |         round(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+        |                   / 4503599627370496.0)
+        |               / len(regexp_split_to_array(text, '\s+')), 9) AS es_key
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT lang, doc_id, es_key,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY es_key ASC, doc_id ASC) AS rk
+        |  FROM keyed)
+        |SELECT lang, doc_id, es_key FROM ranked WHERE rk <= 5""".stripMargin) {
+      (s, dir) =>
+        Sampling.weightedSamplePerGroup(Tables.documents(s, dir), "lang",
+            "doc_id", TextAnalysis.tokenCount(col("text")), k = 5)
+          .select("lang", "doc_id", "es_key")
+    },
+
     // E1 — cross-table MinHash near-dup JOIN (entity linking): left = docs
     // [0,250), right = docs [100,350) under shifted ids. threshold = 1.0
     // makes the gate EXACT row equality, not a recall contract: identical

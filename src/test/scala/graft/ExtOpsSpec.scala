@@ -721,6 +721,41 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.getLong(0) == 1L && out.isNullAt(1))
   }
 
+  test("ngram novelty: first copy owns its grams, re-crawl scores zero") {
+    val rows = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w"))
+    val out = graft.ext.TextAnalysis.ngramNovelty(
+        rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 1.0)  // smallest id owns every shared gram
+    assert(out(2L) == 0.0)  // exact re-crawl adds nothing
+    assert(out(3L) == 1.0)  // disjoint doc is all-novel
+  }
+
+  test("char ngram dup: shared substrings flagged, short-text fallback kept") {
+    val rows = Seq(
+      (1L, "tiny"), (2L, "tiny"),                         // <= n chars → whole text
+      (3L, "a completely unique run of characters here"))
+    val out = graft.ext.TextAnalysis.charNgramDupFraction(
+        rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(out(1L) == ((1L, 1.0)) && out(2L) == ((1L, 1.0)))
+    assert(out(3L)._2 == 0.0)
+  }
+
+  test("per-group weighted sample: k winners per group, groups independent") {
+    val rows = (0L until 40L).map(i => (i, if (i < 20) "en" else "es", 10L))
+    val df = rows.toDF("doc_id", "lang", "w")
+    val got = graft.ext.Sampling.weightedSamplePerGroup(df, "lang", "doc_id",
+        col("w"), k = 3)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+    assert(got.length == 6 && got.count(_._1 == "en") == 3)
+    // per-group winners equal the global race restricted to that group
+    val enOnly = graft.ext.Sampling.weightedSample(
+        df.filter(col("lang") === "en"), "doc_id", col("w"), k = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.filter(_._1 == "en").map(_._2).toSet == enOnly)
+  }
+
   test("multimodal feature extraction preserves ids and emits fixed-dim features") {
     val media = Multimodal.fromDocuments(graft.core.Tables.documents(spark, sfDir))
     val feats = Multimodal.extractFeatures(media, batchPartitions = Some(4))
