@@ -109,6 +109,27 @@ object Dedup {
       .select(cols.map(c => col(s"__row.$c").as(c)).toIndexedSeq: _*)
   }
 
+  /** Incremental-drop admission filter: keep only rows of `newDocs` whose
+    * content fingerprint ([[graft.ext.TextAnalysis.fingerprint]] — md5 of
+    * whitespace-normalized lowercased text) does not already exist in
+    * `base` — "dedup today's crawl against the corpus", the daily
+    * admission gate that makes exact dedup O(drop) instead of re-running
+    * over the full corpus.
+    *
+    * Shape: base is projected to its DISTINCT fingerprints only (narrow
+    * 128-bit keys), then one left-anti equi-join keyed on the fingerprint
+    * — a single shuffle on a uniform hash key, no skew possible. Does NOT
+    * dedup `newDocs` against itself (compose with [[byFingerprint]] first
+    * when the drop may contain internal duplicates). */
+  def incrementalDedup(newDocs: DataFrame, base: DataFrame,
+                       textCol: String): DataFrame = {
+    val baseFp = base
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp")).distinct()
+    newDocs.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(baseFp, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Word-level shingles (n-grams of tokens) as distinct strings. */
   def shingles(textCol: Column, n: Int = 3): Column = {
     val t = TextAnalysis.tokens(textCol)

@@ -50,6 +50,74 @@ object Similarity {
       .limit(k)
   }
 
+  /** One query of a bounded batch shard (the only thing ever collected to
+    * the driver on the exact-batch paths): id, vector, label. */
+  final case class VecQuery(qId: Long, vec: Seq[Float], label: Int)
+
+  /** Cap on the literal query shard of the exact-batch paths: beyond this
+    * the per-row explode cost dominates and the right tool is the indexed
+    * [[annProbeBatch]]/[[ivfProbeBatch]] (which broadcast-join instead). */
+  val MaxBatchQueries: Int = 1024
+
+  /** Shared exact multi-query top-k: the bounded query shard becomes a
+    * LITERAL array exploded into each corpus row (no join operator at all —
+    * nothing for a planner to turn into a nested loop), `keep` filters the
+    * (corpus row, query) pairs, then a TWO-PHASE top-k: per-(query,
+    * input-partition) row_number over the narrow (q_id, id, cos)
+    * projection, survivors (≤ Q·P·k rows) re-ranked per query. The wide
+    * vector column never shuffles, and no reducer ever sees more than one
+    * input-partition's worth of one query's scores — the naive
+    * window-on-q_id form funnels the WHOLE corpus through Q reducers. */
+  private def batchTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                        queries: Seq[VecQuery], k: Int,
+                        keep: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive: $k")
+    require(queries.nonEmpty, "query shard is empty")
+    require(queries.size <= MaxBatchQueries,
+      s"query shard (${queries.size}) exceeds $MaxBatchQueries — use the " +
+        "indexed batch probes (annProbeBatch/ivfProbeBatch) for large fleets")
+    val qarr = array(queries.map(q => struct(
+      lit(q.qId).as("q_id"),
+      array(q.vec.map(v => lit(v.toDouble)): _*).as("qv"),
+      lit(q.label).as("q_label"))): _*)
+    val scored = corpus
+      .select(col("*"), explode(qarr).as("__q"))
+      .filter(keep)
+      .select(col("__q.q_id").as("q_id"), col(idCol).as("__cid"),
+        round(cosine(col(vecCol), col("__q.qv")), 6).as("cos"),
+        spark_partition_id().as("__part"))
+    val w1 = Window.partitionBy("q_id", "__part")
+      .orderBy(col("cos").desc, col("__cid").asc)
+    val w2 = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("__cid").asc)
+    scored
+      .withColumn("__r", row_number().over(w1)).filter(col("__r") <= k)
+      .withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
+      .select(col("q_id"), col("__cid").as(idCol), col("cos"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** Exact batch top-k: for every query in the bounded shard, the exact
+    * cosine top-k over the corpus (the multi-query [[bruteForceTopK]] —
+    * one corpus scan for the whole shard instead of one per query).
+    * @return (q_id, idCol, cos, rk) */
+  def bruteForceTopKBatch(corpus: DataFrame, idCol: String, vecCol: String,
+                          queries: Seq[VecQuery], k: Int): DataFrame =
+    batchTopK(corpus, idCol, vecCol, queries, k, lit(true))
+
+  /** Hard-negative mining: for each query (an anchor with a label), the
+    * top-k most-cosine-similar corpus vectors with a DIFFERENT label — the
+    * "semantically close but wrong" examples contrastive training wants.
+    * The anchor itself shares its own label, so it is excluded for free.
+    * Exact ([[batchTopK]] shape); recall-free by construction.
+    * @return (q_id, idCol, cos, rk) */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, queries: Seq[VecQuery],
+                    k: Int): DataFrame =
+    batchTopK(corpus, idCol, vecCol, queries, k,
+      col(labelCol) =!= col("__q.q_label"))
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * xxhash64 of the index pair, scaled to [-1, 1]. Seeded — stable across
     * runs/executors with no RNG state (SURVEY §7.3 determinism). */

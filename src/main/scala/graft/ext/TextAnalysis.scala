@@ -29,6 +29,32 @@ object TextAnalysis {
   def tokensRegex(text: Column, pattern: String = bpePattern): Column =
     regexp_extract_all(lower(text), lit(pattern), lit(0))
 
+  /** BPE merge statistics (the first iteration of byte-pair-encoding
+    * tokenizer training): corpus-wide counts of adjacent character pairs
+    * WITHIN tokens, most frequent first — the argmax row is the first BPE
+    * merge; re-running after applying a merge yields the next.
+    *
+    * Shape: one tokenize + explode, one per-token pair explode (a literal
+    * sequence transform — no join, no window), one map-side-combined hash
+    * aggregation on the pair, TakeOrdered for the top slice. The pair key
+    * space is tiny (≤ alphabet²), so the final agg is trivially balanced.
+    * Tokens shorter than 2 chars contribute no pairs (filtered BEFORE the
+    * sequence so the bound is never descending).
+    *
+    * @return (pair, cnt) — cnt desc, pair asc (total order) */
+  def bpePairStats(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    require(topN > 0, s"topN must be positive: $topN")
+    val tok = docs.select(explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) >= 2)
+    tok
+      .select(explode(transform(
+        sequence(lit(1), length(col("token")) - 1),
+        i => col("token").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(topN)
+  }
+
   /** Polynomial rolling hash over character codes, mod 1e9+7 (fits exact
     * integer arithmetic in any engine): h = fold(h*31 + code). The
     * order-sensitive cheap fingerprint (md5 twin: [[fingerprint]]). */

@@ -1126,6 +1126,105 @@ object ExtQueries {
           .select("lang", "doc_id", "es_key")
     },
 
+    // E1 — incremental-drop admission: dedup a new crawl batch (docs
+    // [100,350) under shifted ids — overlapping content planted) against
+    // the base corpus (docs [0,250)) by content fingerprint. The [100,250)
+    // overlap must be dropped, [250,350) admitted. One anti-join on the
+    // md5 key; same normalization expression as the e1b oracle.
+    "e1c_incremental_dedup" -> Q(
+      """WITH base AS (SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |              FROM documents WHERE doc_id < 250),
+        |fresh AS (SELECT doc_id + 100000 AS doc_id,
+        |                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |          FROM documents WHERE doc_id >= 100 AND doc_id < 350)
+        |SELECT f.doc_id FROM fresh f
+        |WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.fp = f.fp)""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val base = docs.filter(col("doc_id") < 250)
+        val fresh = docs.filter(col("doc_id") >= 100 && col("doc_id") < 350)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        Dedup.incrementalDedup(fresh, base, "text").select("doc_id")
+    },
+
+    // E1 — END-TO-END fuzzy-dedup pipeline: minhash signatures → band
+    // candidates → exact verify (threshold 1.0) → connected components →
+    // canonical keeper, over a corpus with planted whitespace variants
+    // (docs < 100 re-appended under shifted ids with doubled spaces —
+    // identical token sequences, different bytes). At threshold 1.0 the
+    // LSH stage is exhaustively exact (J=1 ⟺ identical shingle sets ⟺
+    // identical signatures ⟺ collide in every band; verify kills J<1), and
+    // J=1 is an equivalence relation, so CC over the pairs equals DuckDB's
+    // group-by-sorted-shingle-set — strict row equality, not a recall gate.
+    "e9c_minhash_clusters" -> Q(
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000
+        |           UNION ALL
+        |           SELECT doc_id + 100000, regexp_replace(text, ' ', '  ', 'g')
+        |           FROM documents WHERE doc_id < 100),
+        |sh AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ta FROM d),
+        |sg AS (SELECT doc_id,
+        |         CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
+        |              ELSE list_distinct(list_transform(range(1, len(ta) - 1),
+        |                     i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2])) END AS sa
+        |       FROM sh),
+        |k AS (SELECT doc_id, array_to_string(list_sort(sa), chr(30)) AS sk FROM sg)
+        |SELECT doc_id, min(doc_id) OVER (PARTITION BY sk) AS cluster_id,
+        |       CAST(doc_id = min(doc_id) OVER (PARTITION BY sk) AS BIGINT) AS is_canonical
+        |FROM k""".stripMargin) {
+      (s, dir) =>
+        graft.functions.GraftFunctions.register(s)
+        val docs = Tables.documents(s, dir)
+          .filter(col("doc_id") < 1000).select("doc_id", "text")
+        val variants = docs.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            regexp_replace(col("text"), " ", "  ").as("text"))
+        val corpus = docs.unionByName(variants)
+        val edges = Dedup.minhashNearDups(corpus, "doc_id", "text",
+          threshold = 1.0, nativeShingles = true)
+        DupClusters.clusters(corpus, "doc_id", edges, "a_id", "b_id")
+    },
+
+    // E2 — hard-negative mining: for each of 10 anchor vectors, the exact
+    // top-5 most-similar vectors with a DIFFERENT label (contrastive-
+    // training negatives; the anchor excludes itself for free). Exact
+    // two-phase batch top-k — strict equality oracle, no recall gate.
+    "e2p_hard_negatives" -> Q(
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+        |           FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q.q_id, e.vec_id,
+        |             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos
+        |      FROM embeddings e, q WHERE e.label <> q.ql),
+        |r AS (SELECT q_id, vec_id, cos,
+        |             row_number() OVER (PARTITION BY q_id
+        |                                ORDER BY cos DESC, vec_id ASC) AS rk
+        |      FROM s)
+        |SELECT q_id, vec_id, cos, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 5""".stripMargin) {
+      (s, dir) =>
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 10)
+          .select("vec_id", "embedding", "label").collect() // bounded shard
+          .map(r => Similarity.VecQuery(r.getLong(0), r.getSeq[Float](1),
+            r.getInt(2))).toIndexedSeq
+        Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+          queries, k = 5)
+    },
+
+    // E4 — BPE merge statistics (tokenizer-training step 1): corpus-wide
+    // adjacent within-token char-pair counts, top 20 under the (cnt desc,
+    // pair asc) total order. Same pair construction both engines.
+    "e4w_bpe_pairs" -> Q(
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+        |             FROM documents),
+        |p AS (SELECT unnest(list_transform(range(1, length(token)),
+        |                    i -> substr(token, i, 2))) AS pair
+        |      FROM tok WHERE length(token) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.bpePairStats(Tables.documents(s, dir), "text", topN = 20)
+    },
+
     // E1 — cross-table MinHash near-dup JOIN (entity linking): left = docs
     // [0,250), right = docs [100,350) under shifted ids. threshold = 1.0
     // makes the gate EXACT row equality, not a recall contract: identical

@@ -756,6 +756,49 @@ class ExtOpsSpec extends SparkSpec {
     assert(got.filter(_._1 == "en").map(_._2).toSet == enOnly)
   }
 
+  test("incremental dedup admits only unseen-fingerprint docs") {
+    val base = Seq((1L, "alpha beta"), (2L, "gamma  delta")).toDF("doc_id", "text")
+    val fresh = Seq((10L, "ALPHA   beta"), (11L, "gamma delta"),
+      (12L, "epsilon zeta")).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.incrementalDedup(fresh, base, "text")
+      .select("doc_id").as[Long].collect().toSet
+    // case + whitespace variants of base content are dropped, novel admitted
+    assert(got == Set(12L))
+  }
+
+  test("minhash clusters: whitespace variants cluster with their originals") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a  b  c  d  e  f"),
+      (3L, "q r s t u v")).toDF("doc_id", "text")
+    val edges = graft.ext.Dedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 1.0)
+    val got = graft.ext.DupClusters.clusters(docs, "doc_id", edges, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("hard negatives: same-label neighbors excluded, ranks deterministic") {
+    val rows = Seq(
+      (0L, Seq(1f, 0f), 0),  // anchor
+      (1L, Seq(1f, 0f), 0),  // identical but same label → never a negative
+      (2L, Seq(0.9f, 0.1f), 1),
+      (3L, Seq(0f, 1f), 1),
+      (4L, Seq(-1f, 0f), 2))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val qs = Seq(graft.ext.Similarity.VecQuery(0L, Seq(1f, 0f), 0))
+    val got = graft.ext.Similarity.hardNegatives(df, "vec_id", "embedding",
+        "label", qs, k = 2)
+      .orderBy("rk").select("vec_id").as[Long].collect()
+    assert(got.sameElements(Array(2L, 3L)))
+  }
+
+  test("bpe pair stats count adjacent char pairs within tokens") {
+    val df = Seq((1L, "ab ab abc"), (2L, "x bc")).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.bpePairStats(df, "text", topN = 10)
+      .as[(String, Long)].collect().toMap
+    // "ab","ab","abc" → ab×3; "abc","bc" → bc×2; "x" (len 1) contributes none
+    assert(got == Map("ab" -> 3L, "bc" -> 2L))
+  }
+
   test("multimodal feature extraction preserves ids and emits fixed-dim features") {
     val media = Multimodal.fromDocuments(graft.core.Tables.documents(spark, sfDir))
     val feats = Multimodal.extractFeatures(media, batchPartitions = Some(4))
