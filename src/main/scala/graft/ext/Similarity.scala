@@ -70,7 +70,7 @@ object Similarity {
     * window-on-q_id form funnels the WHOLE corpus through Q reducers. */
   private def batchTopK(corpus: DataFrame, idCol: String, vecCol: String,
                         queries: Seq[VecQuery], k: Int,
-                        keep: Column): DataFrame = {
+                        keep: Column, carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, s"k must be positive: $k")
     require(queries.nonEmpty, "query shard is empty")
@@ -84,18 +84,40 @@ object Similarity {
     val scored = corpus
       .select(col("*"), explode(qarr).as("__q"))
       .filter(keep)
-      .select(col("__q.q_id").as("q_id"), col(idCol).as("__cid"),
-        round(cosine(col(vecCol), col("__q.qv")), 6).as("cos"),
-        spark_partition_id().as("__part"))
-    val w1 = Window.partitionBy("q_id", "__part")
-      .orderBy(col("cos").desc, col("__cid").asc)
-    val w2 = Window.partitionBy("q_id")
-      .orderBy(col("cos").desc, col("__cid").asc)
-    scored
-      .withColumn("__r", row_number().over(w1)).filter(col("__r") <= k)
-      .withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
-      .select(col("q_id"), col("__cid").as(idCol), col("cos"),
-        col("rk").cast("long").as("rk"))
+      .select(Seq(col("__q.q_id").as("q_id"),
+        col(idCol).cast("long").as("__cid"),
+        round(cosine(col(vecCol), col("__q.qv")), 6).as("cos")) ++
+        carry.map(col): _*)
+    if (carry.isEmpty) {
+      // preferred path: the native bounded-buffer aggregate
+      // (graft.functions.TopKPairs) is map-side combinable — each map task
+      // ships ≤ k pairs per query instead of its whole score stream, so
+      // the ONE exchange carries Q·maps·k rows, not Q·N. Same
+      // (cos desc, id asc) total order as the window twin below —
+      // bit-identical output (asserted in ExtOpsSpec).
+      graft.functions.GraftFunctions.register(corpus.sparkSession)
+      scored
+        .groupBy("q_id")
+        .agg(expr(s"topk_pairs(cos, __cid, $k)").as("__top"))
+        .select(col("q_id"), posexplode(col("__top")))
+        .select(col("q_id"), col("col.id").as(idCol), col("col.ord").as("cos"),
+          (col("pos") + 1).cast("long").as("rk"))
+    } else {
+      // carry columns ride the narrow rows through a TWO-PHASE window
+      // top-k: per-(query, input-partition) rank bounds every reducer's
+      // input, then ≤ Q·P·k survivors re-rank per query — never the whole
+      // corpus through Q reducers.
+      val parted = scored.withColumn("__part", spark_partition_id())
+      val w1 = Window.partitionBy("q_id", "__part")
+        .orderBy(col("cos").desc, col("__cid").asc)
+      val w2 = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("__cid").asc)
+      parted
+        .withColumn("__r", row_number().over(w1)).filter(col("__r") <= k)
+        .withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
+        .select(Seq(col("q_id"), col("__cid").as(idCol), col("cos"),
+          col("rk").cast("long").as("rk")) ++ carry.map(col): _*)
+    }
   }
 
   /** Exact batch top-k: for every query in the bounded shard, the exact
@@ -117,6 +139,28 @@ object Similarity {
                     k: Int): DataFrame =
     batchTopK(corpus, idCol, vecCol, queries, k,
       col(labelCol) =!= col("__q.q_label"))
+
+  /** kNN label assignment (label propagation): for each query vector, the
+    * majority label among its k nearest (cosine) corpus vectors — how a
+    * labeled seed set extends onto an unlabeled drop. Exact neighbors via
+    * [[batchTopK]] (the corpus label rides the narrow shuffle rows), then
+    * one hash aggregation per (query, label) and a `max_by` argmax —
+    * majority ties break to the smallest label, so the output is a total
+    * function of the data on any engine.
+    * @return (q_id, pred_label, votes) */
+  def knnClassify(corpus: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, queries: Seq[VecQuery],
+                  k: Int): DataFrame =
+    batchTopK(corpus, idCol, vecCol, queries, k, lit(true),
+      carry = Seq(labelCol))
+      .groupBy(col("q_id"), col(labelCol)).agg(count(lit(1)).as("votes"))
+      .groupBy(col("q_id"))
+      .agg(
+        max_by(col(labelCol),
+          struct(col("votes").as("votes"), (-col(labelCol)).as("__nl")))
+          .as("pred_label"),
+        max(struct(col("votes").as("votes"), (-col(labelCol)).as("__nl")))
+          .getField("votes").cast("long").as("votes"))
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * xxhash64 of the index pair, scaled to [-1, 1]. Seeded — stable across

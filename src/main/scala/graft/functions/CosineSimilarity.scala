@@ -87,9 +87,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 /** Registration of graft's native expressions into a session's function
-  * registry — after this, `cosine_sim(a, b)`, `simhash64(tokens)` and
-  * `rolling_hash64(text)` are usable from SQL and `expr(...)` with full
-  * codegen. */
+  * registry — after this, `cosine_sim(a, b)`, `simhash64(tokens)`,
+  * `rolling_hash64(text)`, `shingles(text, n)` and the bounded top-k
+  * aggregate `topk_pairs(ord, id, k)` are usable from SQL and `expr(...)`. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -111,6 +111,21 @@ object GraftFunctions {
       exprs => {
         require(exprs.length == 1, "rolling_hash64 takes exactly 1 argument")
         RollingHash64(exprs.head)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_pairs",
+      exprs => {
+        require(exprs.length == 3, "topk_pairs takes (ord, id, k)")
+        val k = exprs(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)
+            if v.isValidInt => v.toInt
+          case other => throw new IllegalArgumentException(
+            "topk_pairs(ord, id, k) requires a literal integer k (the " +
+              s"result bound is part of the plan, not data), got: ${other.sql}")
+        }
+        TopKPairs(exprs.head, exprs(1), k).toAggregateExpression()
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

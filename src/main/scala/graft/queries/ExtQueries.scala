@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ext.{Dedup, DupClusters, EmbeddingStats, Multimodal, Packing, Quantize, Sampling, Similarity, TextAnalysis, TextSimilarity}
+import graft.ext.{Curation, Dedup, DupClusters, EmbeddingStats, Multimodal, Packing, Quantize, Sampling, Similarity, TextAnalysis, TextSimilarity}
 
 /** [EXT] training-data-pipeline operators (SURVEY §2.9 E1–E4 + driver
   * mandate): dedup, similarity search, multimodal plumbing, text analysis.
@@ -1210,6 +1210,40 @@ object ExtQueries {
           queries, k = 5)
     },
 
+    // E2 — kNN label propagation: each of 10 held-out vectors takes the
+    // majority label of its 15 exact nearest neighbors among the REST of
+    // the corpus (the labeled seed set); majority ties break to the
+    // smallest label. Strict equality oracle — neighbors, votes, and the
+    // argmax are all deterministic total orders.
+    "e2q_knn_classify" -> Q(
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q.q_id, e.vec_id,
+        |             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos
+        |      FROM embeddings e, q WHERE e.vec_id >= 10),
+        |r AS (SELECT q_id, vec_id,
+        |             row_number() OVER (PARTITION BY q_id
+        |                                ORDER BY cos DESC, vec_id ASC) AS rk
+        |      FROM s),
+        |v AS (SELECT r.q_id, e.label, count(*) AS votes
+        |      FROM r JOIN embeddings e USING (vec_id) WHERE r.rk <= 15
+        |      GROUP BY 1, 2),
+        |p AS (SELECT q_id, label, votes,
+        |             row_number() OVER (PARTITION BY q_id
+        |                                ORDER BY votes DESC, label ASC) AS pr
+        |      FROM v)
+        |SELECT q_id, label AS pred_label, CAST(votes AS BIGINT) AS votes
+        |FROM p WHERE pr = 1""".stripMargin) {
+      (s, dir) =>
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 10)
+          .select("vec_id", "embedding", "label").collect() // bounded shard
+          .map(r => Similarity.VecQuery(r.getLong(0), r.getSeq[Float](1),
+            r.getInt(2))).toIndexedSeq
+        Similarity.knnClassify(emb.filter(col("vec_id") >= 10), "vec_id",
+          "embedding", "label", queries, k = 15)
+    },
+
     // E4 — BPE merge statistics (tokenizer-training step 1): corpus-wide
     // adjacent within-token char-pair counts, top 20 under the (cnt desc,
     // pair asc) total order. Same pair construction both engines.
@@ -1223,6 +1257,78 @@ object ExtQueries {
         |FROM p GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin) {
       (s, dir) =>
         TextAnalysis.bpePairStats(Tables.documents(s, dir), "text", topN = 20)
+    },
+
+    // [EXT] — the COMPOSED curation pipeline: per-doc keep/drop verdict
+    // with first-failing-stage precedence (quality → exact_dup → near_dup
+    // → kept) over a corpus with all three failure modes planted:
+    // whitespace variants (same fingerprint → exact_dup), 10-token
+    // truncations (fail gopher n_tokens → quality), and the fixture's own
+    // J≥0.8 token-set pairs (→ near_dup via connected components). The
+    // near-dup edges here are the EXACT Jaccard pairs so DuckDB rebuilds
+    // the identical graph with a recursive CTE; production passes
+    // minhashNearDups edges into the same curate().
+    "e10_curation_pipeline" -> Q(
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50
+        |      UNION ALL
+        |      SELECT doc_id + 100000, regexp_replace(text, ' ', '  ', 'g')
+        |      FROM documents WHERE doc_id < 10
+        |      UNION ALL
+        |      SELECT doc_id + 200000,
+        |             array_to_string((regexp_split_to_array(text, '\s+'))[1:10], ' ')
+        |      FROM documents WHERE doc_id < 5),
+        |t AS (SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS ta FROM d),
+        |q AS (SELECT doc_id, CAST(NOT (
+        |        len(ta) BETWEEN 50 AND 100000
+        |        AND round(list_sum(list_transform(ta, x -> length(x))) * 1.0 / len(ta), 6) BETWEEN 3 AND 10
+        |        AND round((length(text) - length(replace(text, '#', ''))
+        |               + len(regexp_extract_all(text, '\.\.\.'))) * 1.0 / len(ta), 6) <= 0.1
+        |        AND round(len(list_filter(ta, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0 / len(ta), 6) >= 0.8
+        |        AND len(list_intersect(list_distinct(ta),
+        |              ['the','be','to','of','and','that','have','with'])) >= 2) AS BIGINT) AS bad_q
+        |      FROM t),
+        |fpk AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY
+        |          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS fp_keeper
+        |        FROM d),
+        |tok AS (SELECT DISTINCT doc_id, unnest(ta) AS token FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |          FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id FROM inter
+        |          JOIN sizes sa ON sa.doc_id = a_id
+        |          JOIN sizes sb ON sb.doc_id = b_id
+        |          WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.8),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.node),
+        |comp AS (SELECT node AS doc_id, min(label) AS cluster_id
+        |         FROM reach GROUP BY node)
+        |SELECT q.doc_id,
+        |       CASE WHEN q.bad_q = 1 THEN 'quality'
+        |            WHEN f.fp_keeper <> q.doc_id THEN 'exact_dup'
+        |            WHEN c.cluster_id <> q.doc_id THEN 'near_dup'
+        |            ELSE 'kept' END AS drop_reason,
+        |       CAST(q.bad_q = 0 AND f.fp_keeper = q.doc_id
+        |            AND c.cluster_id = q.doc_id AS BIGINT) AS kept
+        |FROM q JOIN fpk f USING (doc_id) JOIN comp c USING (doc_id)""".stripMargin) {
+      (s, dir) =>
+        val base = Tables.documents(s, dir)
+          .filter(col("doc_id") < 50).select("doc_id", "text")
+        val ws = base.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            regexp_replace(col("text"), " ", "  ").as("text"))
+        val short = base.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 10)).as("text"))
+        val corpus = base.unionByName(ws).unionByName(short)
+        val edges = Dedup.unigramJaccardPairs(corpus, "doc_id", "text",
+          threshold = 0.8)
+        Curation.curate(corpus, "doc_id", "text", edges)
     },
 
     // E1 — cross-table MinHash near-dup JOIN (entity linking): left = docs

@@ -31,6 +31,10 @@ object PlanCheck {
     // and dynamic partition pruning restricts the scan to probed cells
     "e2g_ann_batch_topk" -> Seq("BroadcastHashJoin", "dynamicpruning"),
     "e2h_lsh_batch_topk" -> Seq("BroadcastHashJoin", "dynamicpruning"),
+    // exact batch top-k: the bounded native aggregate (topk_pairs) must
+    // plan as a map-side-combinable ObjectHashAggregate with NO window and
+    // NO join — the exchange carries Q·maps·k pairs, not Q·N score rows
+    "e2p_hard_negatives" -> Seq("ObjectHashAggregate", "topk_pairs"),
     // grouping sets plan through Expand; event-time windows stay in the
     // partial+final hash-aggregate pipeline
     "e4i_cube_counts"   -> Seq("Expand", "HashAggregate"),

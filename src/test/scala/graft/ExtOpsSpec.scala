@@ -791,6 +791,60 @@ class ExtOpsSpec extends SparkSpec {
     assert(got.sameElements(Array(2L, 3L)))
   }
 
+  test("curation verdicts follow quality → exact_dup → near_dup precedence") {
+    val good = "the be to of and " + Seq.fill(55)("word").mkString(" ")
+    val docs = Seq(
+      (1L, good),                          // keeper → kept
+      (2L, good.replace(" ", "  ")),       // same fingerprint → exact_dup
+      (3L, good + " extraword"),           // edge to 1 below → near_dup
+      (4L, "tiny doc")                     // fails gopher AND edged → quality
+    ).toDF("doc_id", "text")
+    val edges = Seq((1L, 3L), (1L, 4L)).toDF("a_id", "b_id")
+    val got = graft.ext.Curation.curate(docs, "doc_id", "text", edges)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> ("kept", 1L), 2L -> ("exact_dup", 0L),
+      3L -> ("near_dup", 0L), 4L -> ("quality", 0L)))
+  }
+
+  test("batch topk native aggregate matches per-query brute force") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => graft.ext.Similarity.VecQuery(r.getLong(0),
+        r.getSeq[Float](1), r.getInt(2))).toIndexedSeq
+    val batch = graft.ext.Similarity.bruteForceTopKBatch(
+        emb, "vec_id", "embedding", qs, k = 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val single = qs.flatMap { q =>
+      graft.ext.Similarity.bruteForceTopK(emb, "vec_id", "embedding", q.vec, 7)
+        .collect().zipWithIndex
+        .map { case (r, i) => (q.qId, r.getLong(0), r.getDouble(1), (i + 1).toLong) }
+    }.toSet
+    assert(batch == single)
+  }
+
+  test("knn classify: majority label wins, ties break to smallest label") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0f), 7), (2L, Seq(0.99f, 0.01f), 7),  // two near votes for 7
+      (3L, Seq(0.9f, 0.1f), 3),                          // one vote for 3
+      (4L, Seq(-1f, 0f), 9))                             // far — outside k=3
+    val df = corpus.toDF("vec_id", "embedding", "label")
+    val qs = Seq(graft.ext.Similarity.VecQuery(100L, Seq(1f, 0f), 0))
+    val got = graft.ext.Similarity.knnClassify(df, "vec_id", "embedding",
+      "label", qs, k = 3).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 100L && got(0).getInt(1) == 7
+      && got(0).getLong(2) == 2L)
+    // tie case: k=2 → one vote each for 7 and 3 → smallest label wins
+    val tied = graft.ext.Similarity.knnClassify(
+      df.filter(col("vec_id") =!= 2L), "vec_id", "embedding", "label", qs, k = 2)
+      .collect()
+    assert(tied(0).getInt(1) == 3 && tied(0).getLong(2) == 1L)
+  }
+
   test("bpe pair stats count adjacent char pairs within tokens") {
     val df = Seq((1L, "ab ab abc"), (2L, "x bc")).toDF("doc_id", "text")
     val got = graft.ext.TextAnalysis.bpePairStats(df, "text", topN = 10)
