@@ -49,7 +49,20 @@ object Bench {
     // so min-of-n would triple the bench wall-clock for zero extra signal
     def runsFor(name: String): Int = if (name.endsWith("_replay")) 1 else runs
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter (the Verify SPARK_GRAFT_ONLY convention); the
+    // driver never sets it, so the round bench always measures everything.
+    // Unknown names fail loudly — a typo'd filter must not bench nothing.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(names.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to runsFor(name)).map { _ =>
         time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
       }.filter(_ >= 0)
@@ -61,7 +74,7 @@ object Bench {
     // index's steady-state win. Build each index once OUTSIDE the timed
     // region, then time the bare probe — the per-query cost a resident
     // service pays.
-    val probeResults = try {
+    val probeResults = if (only.isDefined) Seq.empty else try {
       import org.apache.spark.sql.functions.col
       val emb = graft.core.Tables.embeddings(spark, sfDir)
       val query = emb.filter(col("vec_id") === 0)
@@ -102,7 +115,8 @@ object Bench {
     val events = graft.core.Tables.events(spark, sfDir)
     val maxTs = events.agg(org.apache.spark.sql.functions.max("ts")).first().getLong(0)
     var syncRows = 0L
-    val syncTimes = (1 to runs).map { _ =>
+    // the sync e2e is skipped under the local-iteration filter too
+    val syncTimes = (if (only.isDefined) Seq.empty else (1 to runs)).map { _ =>
       val syncDest = java.nio.file.Files
         .createTempDirectory("bench-sync").toString + "/dest"
       time {

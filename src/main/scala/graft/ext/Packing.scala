@@ -42,6 +42,36 @@ object Packing {
           / capacity).cast("long"))
   }
 
+  /** Sliding-window chunking with overlap (the RAG / long-context layout:
+    * windows of `chunkSize` tokens starting every `stride` tokens, so
+    * consecutive chunks share `chunkSize - stride` tokens of context).
+    * Entirely per-row — one token split, one posexplode of a computed
+    * start list, slices re-joined into chunk text; NO shuffle, no window.
+    * The tail chunk may be shorter; docs shorter than `chunkSize` yield
+    * exactly one chunk; every token lands in ≥ 1 chunk.
+    * @return idCol, chunk_id (0-based), tok_start (1-based),
+    *         n_chunk_tokens, chunk_text */
+  def overlapChunks(docs: DataFrame, idCol: String, textCol: String,
+                    chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val t = graft.ext.TextAnalysis.tokens(col(textCol))
+    val n = size(t)
+    // ceil(max(n - chunkSize, 0) / stride) + 1 starts, every `stride` apart
+    val nChunks =
+      floor((greatest(n - chunkSize, lit(0)) + (stride - 1)) / stride) + 1
+    docs
+      .select(col(idCol), t.as("__t"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => i * stride + 1)))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        col("col").cast("long").as("tok_start"),
+        size(slice(col("__t"), col("col"), lit(chunkSize)))
+          .cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("__t"), col("col"), lit(chunkSize)))
+          .as("chunk_text"))
+  }
+
   /** NO-SPLIT bin packing (the SFT/sample-packing variant): documents fill
     * a pack greedily in doc order and a document that would overflow
     * starts the next pack — no document straddles packs. A doc longer

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (SURVEY §2.9 E4 +
@@ -28,6 +29,25 @@ object TextAnalysis {
   val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
   def tokensRegex(text: Column, pattern: String = bpePattern): Column =
     regexp_extract_all(lower(text), lit(pattern), lit(0))
+
+  /** Per-group heavy hitters: the k most frequent tokens within each group
+    * (top words per language/source — the per-stratum vocabulary report).
+    * The corpus reduces to (group, token) counts FIRST (map-side-combined
+    * hash agg — the only pass over the data), so the ranking window runs
+    * over at most groups·vocab count rows, never corpus rows.
+    * @return (groupCol, token, cnt, rk) — cnt desc, token asc per group */
+  def topWordsPerGroup(docs: DataFrame, groupCol: String, textCol: String,
+                       k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col("token").asc)
+    docs.select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(groupCol), col("token"), col("cnt"),
+        col("rk").cast("long").as("rk"))
+  }
 
   /** BPE merge statistics (the first iteration of byte-pair-encoding
     * tokenizer training): corpus-wide counts of adjacent character pairs
@@ -130,14 +150,17 @@ object TextAnalysis {
     * the corpus-level complement of [[repetitionStats]]'s within-doc
     * profile, and the metric a dedup pass is judged by afterwards.
     *
-    * Shape: explode distinct shingles (linear in corpus tokens,
-    * materialized ONCE — the frame feeds both the count aggregation and
-    * the join-back, and recomputing the shingle pipeline per consumer
-    * tripled the cost), one global per-gram doc-count aggregation, join
-    * the counts back, one per-doc aggregation. All shuffles key on gram
-    * or doc id. `nativeShingles` swaps in the codegen'd single-pass
-    * shingle Expression (≈9× the HOF form; requires
-    * GraftFunctions.register).
+    * Shape — AGGREGATE-ONLY, no gram-keyed join-back: because the per-doc
+    * gram lists are distinct, a doc's shared-gram count is just
+    * n_grams − (grams unique to it), and a gram is unique iff its count-1
+    * group's single member is the doc — so the per-gram aggregation
+    * (count + min id) already knows every per-doc answer. The exploded
+    * frame is consumed ONCE by one shuffle keyed on the gram; what joins
+    * back to the doc list is the doc-sized unique-count table, not the
+    * corpus-sized gram frame. (The previous join-back shape re-shuffled
+    * every exploded gram a second time — 4× slower at sf0.1.)
+    * `nativeShingles` swaps in the codegen'd single-pass shingle
+    * Expression (≈9× the HOF form; requires GraftFunctions.register).
     *
     * @return idCol, n_grams, n_shared, dup_ngram_frac */
   def duplicateNgramFraction(docs: DataFrame, idCol: String, textCol: String,
@@ -145,19 +168,32 @@ object TextAnalysis {
                              nativeShingles: Boolean = false): DataFrame = {
     val shCol = if (nativeShingles) Dedup.shinglesNative(col(textCol), n)
                 else Dedup.shingles(col(textCol), n)
-    val grams = docs
-      .select(col(idCol), shCol.as("__sh"))
-      .select(col(idCol), explode(col("__sh")).as("sh"))
-      .localCheckpoint()
-    val counts = grams.groupBy(col("sh")).agg(count(lit(1)).as("__docs_with"))
-    grams.join(counts, "sh")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("__docs_with") > 1, 1L).otherwise(0L)).as("n_shared"))
-      .select(col(idCol), col("n_grams").cast("long").as("n_grams"),
-        col("n_shared").cast("long").as("n_shared"),
-        round(col("n_shared").cast("double") / col("n_grams"), 6)
-          .as("dup_ngram_frac"))
+    val withSh = docs.select(col(idCol), shCol.as("__sh"))
+      .filter(col("__sh").isNotNull).localCheckpoint()
+    uniqueGramCounts(withSh, idCol)
+      .select(col(idCol), col("n_grams"),
+        (col("n_grams") - col("n_unique")).as("n_shared"))
+      .withColumn("dup_ngram_frac",
+        round(col("n_shared").cast("double") / col("n_grams"), 6))
+  }
+
+  /** The aggregate-only core shared by the duplication measures: from a
+    * checkpointed (id, distinct-gram-array) frame, derive per doc
+    * (n_grams, n_unique) where `n_unique` counts grams appearing in NO
+    * other document. One explode feeding one gram-keyed aggregation
+    * (count + min id — the count-1 groups' min IS the owning doc), one
+    * tiny owner re-aggregation, one doc-sized left join. */
+  private def uniqueGramCounts(withSh: DataFrame, idCol: String): DataFrame = {
+    val base = withSh.select(col(idCol),
+      size(col("__sh")).cast("long").as("n_grams"))
+    val uniq = withSh.select(col(idCol), explode(col("__sh")).as("__g"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("__c"), min(col(idCol)).as("__owner"))
+      .filter(col("__c") === 1L)
+      .groupBy("__owner").agg(count(lit(1)).as("__n_unique"))
+    base.join(uniq, base(idCol) === uniq("__owner"), "left")
+      .select(base(idCol), col("n_grams"),
+        coalesce(col("__n_unique"), lit(0L)).as("n_unique"))
   }
 
   /** N-gram NOVELTY against corpus history: for each doc, the fraction of
@@ -167,29 +203,29 @@ object TextAnalysis {
     * order). A gram is owned by the smallest doc id containing it, so the
     * first document scores novelty 1 and an exact re-crawl scores 0.
     *
-    * Shape (the e6e frame): distinct shingles exploded ONCE
-    * (localCheckpoint — the ownership aggregation and the join-back both
-    * read it), one per-gram min-id aggregation, join back, one per-doc
-    * aggregation. Every shuffle keys on gram or doc id — linear at any
-    * corpus size.
+    * Shape — AGGREGATE-ONLY (the [[duplicateNgramFraction]] rewrite):
+    * every gram is novel for exactly one doc — its min-id owner — so the
+    * per-gram min aggregation re-grouped by owner IS the per-doc novel
+    * count; no gram-keyed join-back. One explode, one gram-keyed shuffle,
+    * one tiny owner re-aggregation, one doc-sized left join.
     *
     * @return idCol, n_grams, n_novel, novelty */
   def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, nativeShingles: Boolean = false): DataFrame = {
     val shCol = if (nativeShingles) Dedup.shinglesNative(col(textCol), n)
                 else Dedup.shingles(col(textCol), n)
-    val grams = docs
-      .select(col(idCol), shCol.as("__sh"))
-      .select(col(idCol), explode(col("__sh")).as("gram"))
-      .localCheckpoint()
-    val owners = grams.groupBy(col("gram")).agg(min(col(idCol)).as("__owner"))
-    grams.join(owners, "gram")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("__owner") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
-      .select(col(idCol), col("n_grams").cast("long").as("n_grams"),
-        col("n_novel").cast("long").as("n_novel"),
-        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+    val withSh = docs.select(col(idCol), shCol.as("__sh"))
+      .filter(col("__sh").isNotNull).localCheckpoint()
+    val base = withSh.select(col(idCol),
+      size(col("__sh")).cast("long").as("n_grams"))
+    val owned = withSh.select(col(idCol), explode(col("__sh")).as("__g"))
+      .groupBy("__g").agg(min(col(idCol)).as("__owner"))
+      .groupBy("__owner").agg(count(lit(1)).as("__n_novel"))
+    base.join(owned, base(idCol) === col("__owner"), "left")
+      .select(base(idCol), col("n_grams"),
+        coalesce(col("__n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams"), 6))
   }
 
   /** CHARACTER-level n-gram duplication fraction: per doc, the share of
@@ -199,32 +235,34 @@ object TextAnalysis {
     * blur across token boundaries. Documents shorter than n contribute
     * their whole text as one gram, so no doc is dropped.
     *
-    * Same shape as [[duplicateNgramFraction]]: one explode of the distinct
-    * grams (materialized once), one per-gram doc-count aggregation, join
-    * back, per-doc aggregate — linear in corpus characters.
+    * Same AGGREGATE-ONLY shape as [[duplicateNgramFraction]] — the char
+    * gram frame is ~5× the word-shingle frame (every character starts a
+    * gram), which is exactly where skipping the gram-keyed join-back pays
+    * most: one explode, ONE shuffle keyed on the gram, doc-sized
+    * re-aggregation — linear in corpus characters.
+    *
+    * `nativeGrams` swaps in the codegen'd single-pass kernel
+    * (graft.functions.CharNgrams — HOFs run interpreted, and this is the
+    * library's largest gram frame; requires GraftFunctions.register).
     *
     * @return idCol, n_grams, n_shared, dup_char_ngram_frac */
   def charNgramDupFraction(docs: DataFrame, idCol: String, textCol: String,
-                           n: Int = 16): DataFrame = {
+                           n: Int = 16, nativeGrams: Boolean = false): DataFrame = {
     require(n > 0, s"n must be positive: $n")
     val t = col(textCol)
-    val gramsCol = array_distinct(
-      when(length(t) <= n, array(t))
-        .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
-          i => t.substr(i, lit(n)))))
-    val grams = docs
-      .select(col(idCol), gramsCol.as("__g"))
-      .select(col(idCol), explode(col("__g")).as("gram"))
-      .localCheckpoint()
-    val counts = grams.groupBy(col("gram")).agg(count(lit(1)).as("__docs_with"))
-    grams.join(counts, "gram")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("__docs_with") > 1, 1L).otherwise(0L)).as("n_shared"))
-      .select(col(idCol), col("n_grams").cast("long").as("n_grams"),
-        col("n_shared").cast("long").as("n_shared"),
-        round(col("n_shared").cast("double") / col("n_grams"), 6)
-          .as("dup_char_ngram_frac"))
+    val gramsCol =
+      if (nativeGrams) call_function("char_ngrams", t, lit(n))
+      else array_distinct(
+        when(length(t) <= n, array(t))
+          .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
+            i => t.substr(i, lit(n)))))
+    val withSh = docs.select(col(idCol), gramsCol.as("__sh"))
+      .filter(col("__sh").isNotNull).localCheckpoint()
+    uniqueGramCounts(withSh, idCol)
+      .select(col(idCol), col("n_grams"),
+        (col("n_grams") - col("n_unique")).as("n_shared"))
+      .withColumn("dup_char_ngram_frac",
+        round(col("n_shared").cast("double") / col("n_grams"), 6))
   }
 
   /** Corpus-LM quality prior (the CCNet/Gopher-style "perplexity filter"

@@ -114,6 +114,21 @@ object GraftFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_ngrams",
+      exprs => {
+        require(exprs.length == 2, "char_ngrams takes (text, n)")
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)
+            if v.isValidInt => v.toInt
+          case other => throw new IllegalArgumentException(
+            "char_ngrams(text, n) requires a literal integer n (the gram " +
+              s"width is part of the plan, not data), got: ${other.sql}")
+        }
+        CharNgrams(exprs.head, n)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_pairs",
       exprs => {
         require(exprs.length == 3, "topk_pairs takes (ord, id, k)")

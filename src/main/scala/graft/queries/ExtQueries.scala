@@ -1086,7 +1086,8 @@ object ExtQueries {
     // E1/E4 — CHAR-level 16-gram duplication fraction: the exact-substring
     // duplication signal (quotes, boilerplate, licence blocks) that
     // word-level shingles blur. Same gram construction both engines,
-    // including the short-text whole-doc fallback.
+    // including the short-text whole-doc fallback; Spark runs the native
+    // codegen'd kernel (HOF twin equivalence swept in ExtOpsSpec).
     "e6g_char_ngram_dup" -> Q(
       """WITH g AS (SELECT doc_id,
         |        CASE WHEN length(text) <= 16 THEN [text]
@@ -1100,8 +1101,9 @@ object ExtQueries {
         |       round(count(*) FILTER (WHERE c.docs_with > 1) * 1.0 / count(*), 6) AS dup_char_ngram_frac
         |FROM e JOIN c USING (gram) GROUP BY 1""".stripMargin) {
       (s, dir) =>
+        graft.functions.GraftFunctions.register(s)
         TextAnalysis.charNgramDupFraction(Tables.documents(s, dir),
-          "doc_id", "text")
+          "doc_id", "text", nativeGrams = true)
     },
 
     // [EXT] per-group weighted sampling: the e7e A-ES race run inside each
@@ -1242,6 +1244,43 @@ object ExtQueries {
             r.getInt(2))).toIndexedSeq
         Similarity.knnClassify(emb.filter(col("vec_id") >= 10), "vec_id",
           "embedding", "label", queries, k = 15)
+    },
+
+    // [EXT] sliding-window chunking with overlap (RAG / long-context
+    // layout): 32-token windows every 16 tokens, tail chunks shorter,
+    // short docs one chunk. Entirely per-row both engines (no shuffle);
+    // identical start-list arithmetic and slice clamping.
+    "e8c_overlap_chunks" -> Q(
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ta FROM documents),
+        |c AS (SELECT doc_id, ta,
+        |        1 + (greatest(len(ta) - 32, 0) + 15) // 16 AS n_chunks FROM t),
+        |e AS (SELECT doc_id, ta, unnest(range(0, n_chunks)) AS cid FROM c)
+        |SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+        |       CAST(cid * 16 + 1 AS BIGINT) AS tok_start,
+        |       CAST(len(ta[cid*16+1 : cid*16+32]) AS BIGINT) AS n_chunk_tokens,
+        |       array_to_string(ta[cid*16+1 : cid*16+32], ' ') AS chunk_text
+        |FROM e""".stripMargin) {
+      (s, dir) =>
+        Packing.overlapChunks(Tables.documents(s, dir), "doc_id", "text",
+          chunkSize = 32, stride = 16)
+    },
+
+    // E4 — per-group heavy hitters: top-5 tokens per language (the
+    // per-stratum vocabulary report). Corpus reduces to (lang, token)
+    // counts first; the ranking window runs over vocab-sized rows only.
+    "e4x_top_words_per_lang" -> Q(
+      """WITH tok AS (SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS token
+        |             FROM documents),
+        |c AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |r AS (SELECT lang, token, cnt,
+        |             row_number() OVER (PARTITION BY lang
+        |                                ORDER BY cnt DESC, token ASC) AS rk
+        |      FROM c)
+        |SELECT lang, token, CAST(cnt AS BIGINT) AS cnt, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 5""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.topWordsPerGroup(Tables.documents(s, dir), "lang",
+          "text", k = 5)
     },
 
     // E4 — BPE merge statistics (tokenizer-training step 1): corpus-wide

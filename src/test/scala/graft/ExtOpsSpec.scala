@@ -791,6 +791,48 @@ class ExtOpsSpec extends SparkSpec {
     assert(got.sameElements(Array(2L, 3L)))
   }
 
+  test("native char ngrams equal the HOF twin over the fixture corpus") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val t = col("text")
+    val hof = array_distinct(
+      when(length(t) <= 16, array(t))
+        .otherwise(transform(sequence(lit(1), length(t) - 15),
+          i => t.substr(i, lit(16)))))
+    val diff = docs
+      .select(hof.as("a"), expr("char_ngrams(text, 16)").as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(diff == 0L)
+    // short-text fallback + distinct-order parity on hand-built rows
+    val tiny = Seq((1L, "tiny"), (2L, "aaaaaaaaaaaaaaaaaa"), (3L, "")).toDF("doc_id", "text")
+    val d2 = tiny.select(hof.as("a"), expr("char_ngrams(text, 16)").as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(d2 == 0L)
+  }
+
+  test("overlap chunks cover every token, short docs yield one chunk") {
+    val df = Seq((1L, (1 to 40).map(i => s"w$i").mkString(" ")),
+      (2L, "a b c")).toDF("doc_id", "text")
+    val got = graft.ext.Packing.overlapChunks(df, "doc_id", "text",
+      chunkSize = 32, stride = 16)
+    val rows = got.filter(col("doc_id") === 1L).orderBy("chunk_id")
+      .select("tok_start", "n_chunk_tokens").as[(Long, Long)].collect()
+    // 40 tokens → chunks [1..32] and [17..40] (tail shorter, 16 shared)
+    assert(rows.sameElements(Array((1L, 32L), (17L, 24L))))
+    val shorty = got.filter(col("doc_id") === 2L).collect()
+    assert(shorty.length == 1 && shorty(0).getAs[Long]("n_chunk_tokens") == 3L)
+  }
+
+  test("top words per group rank within each group independently") {
+    val df = Seq((1L, "en", "x x y z"), (2L, "en", "x"),
+      (3L, "es", "z z q")).toDF("doc_id", "lang", "text")
+    val got = graft.ext.TextAnalysis.topWordsPerGroup(df, "lang", "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // en: x×3 then the y/z count tie breaks to 'y'; es ranks alone
+    assert(got.toSet == Set(("en", "x", 3L, 1L), ("en", "y", 1L, 2L),
+      ("es", "z", 2L, 1L), ("es", "q", 1L, 2L)))
+  }
+
   test("curation verdicts follow quality → exact_dup → near_dup precedence") {
     val good = "the be to of and " + Seq.fill(55)("word").mkString(" ")
     val docs = Seq(
