@@ -55,8 +55,9 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
+      require(names.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but names no queries")
       val unknown = names -- SparkEntry.queries.keySet
-      require(names.nonEmpty && unknown.isEmpty,
+      require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
     }
 
@@ -112,20 +113,23 @@ object Bench {
     // end-to-end sync-merge throughput on the events twin-table fixture
     // (BASELINE.md comparable (a)): cold-start full sync, fresh dest per
     // run, min wall-clock across runs.
-    val events = graft.core.Tables.events(spark, sfDir)
-    val maxTs = events.agg(org.apache.spark.sql.functions.max("ts")).first().getLong(0)
     var syncRows = 0L
-    // the sync e2e is skipped under the local-iteration filter too
-    val syncTimes = (if (only.isDefined) Seq.empty else (1 to runs)).map { _ =>
-      val syncDest = java.nio.file.Files
-        .createTempDirectory("bench-sync").toString + "/dest"
-      time {
-        val r = new graft.sync.SyncJob(spark,
-          graft.sync.SyncConfig(Seq("event_id"), "ts"))
-          .run(events, syncDest, maxTs)
-        syncRows = r.candidateRows
-      }
-    }.filter(_ >= 0)
+    // the sync e2e (and its events scan for maxTs) is skipped under the
+    // local-iteration filter too
+    val syncTimes = if (only.isDefined) Seq.empty[Double] else {
+      val events = graft.core.Tables.events(spark, sfDir)
+      val maxTs = events.agg(org.apache.spark.sql.functions.max("ts")).first().getLong(0)
+      (1 to runs).map { _ =>
+        val syncDest = java.nio.file.Files
+          .createTempDirectory("bench-sync").toString + "/dest"
+        time {
+          val r = new graft.sync.SyncJob(spark,
+            graft.sync.SyncConfig(Seq("event_id"), "ts"))
+            .run(events, syncDest, maxTs)
+          syncRows = r.candidateRows
+        }
+      }.filter(_ >= 0)
+    }
     val syncSec = if (syncTimes.isEmpty) -1.0 else syncTimes.min
     val syncRps = if (syncSec > 0) syncRows / syncSec else 0.0
 

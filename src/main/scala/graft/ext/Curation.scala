@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   *                    pair graph);
   *   4. `kept`.
   *
+  * Dedup stages run over the quality-PASSING docs only (filter-then-dedup
+  * — the order real pipelines apply): keepers and canonicals are chosen
+  * among survivors, so a quality-failing min-id copy never dooms its
+  * cluster's surviving members.
+  *
   * The near-dup edge list is a PARAMETER, not a policy: at scale pass
   * [[Dedup.minhashNearDups]] (banded, one shuffle, hot-band capped); the
   * correctness gate passes [[Dedup.unigramJaccardPairs]] so DuckDB can
@@ -31,24 +36,51 @@ import org.apache.spark.sql.functions._
   *         NULL so the column is a total function (no null-parity traps). */
 object Curation {
 
+  /** @param qualityPass per-doc predicate for stage 1; defaults to the
+    *        full [[TextAnalysis.gopherRules]] conjunction. Pluggable
+    *        because the right rule-set is corpus policy, not engine policy
+    *        (e.g. a corpus with no English stopwords fails the stopword
+    *        rule wholesale — the caller picks the rules that discriminate
+    *        on THEIR data). */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              nearDupEdges: DataFrame, aCol: String = "a_id",
-             bCol: String = "b_id"): DataFrame = {
-    val quality = TextAnalysis.gopherRules(docs, idCol, textCol)
-      .select(col(idCol), (col("gopher_pass") === 0L).cast("long").as("__bad_q"))
-    val fp = docs.select(col(idCol),
-      TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+             bCol: String = "b_id",
+             qualityPass: Option[Column] = None): DataFrame = {
+    val quality = qualityPass match {
+      case Some(p) =>
+        docs.select(col(idCol), not(p).cast("long").as("__bad_q"))
+      case None => TextAnalysis.gopherRules(docs, idCol, textCol)
+        .select(col(idCol),
+          (col("gopher_pass") === 0L).cast("long").as("__bad_q"))
+    }
+    // FILTER-THEN-DEDUP: keepers are chosen among the quality-PASSING docs
+    // only. Selecting them over the full corpus would let a quality-failing
+    // min-id canonical doom its whole cluster (every surviving copy flagged
+    // `*_dup` against a keeper that itself gets dropped for quality — the
+    // content would silently vanish from the kept corpus).
+    val passing = quality.filter(col("__bad_q") === 0L).select(col(idCol))
+    val fp = docs.join(passing, Seq(idCol), "left_semi")
+      .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("__fp"))
     val fpKeeper = fp.groupBy("__fp").agg(min(col(idCol)).as("__fp_keeper"))
     val exact = fp.join(fpKeeper, "__fp")
       .select(col(idCol),
         (col(idCol) =!= col("__fp_keeper")).cast("long").as("__exact_dup"))
-    val near = DupClusters.clusters(docs, idCol, nearDupEdges, aCol, bCol)
+    // near-dup clustering over passing docs only; edges restricted to
+    // passing endpoints (an edge through a dropped doc must not merge —
+    // or canonicalize — the survivors' clusters)
+    val passA = passing.select(col(idCol).as(aCol))
+    val passB = passing.select(col(idCol).as(bCol))
+    val edgesP = nearDupEdges
+      .join(passA, Seq(aCol), "left_semi")
+      .join(passB, Seq(bCol), "left_semi")
+    val near = DupClusters.clusters(
+        docs.join(passing, Seq(idCol), "left_semi"), idCol, edgesP, aCol, bCol)
       .select(col(idCol),
         (col("is_canonical") === 0L).cast("long").as("__near_dup"))
     docs.select(col(idCol))
       .join(quality, Seq(idCol))
-      .join(exact, Seq(idCol))
-      .join(near, Seq(idCol))
+      .join(exact, Seq(idCol), "left")
+      .join(near, Seq(idCol), "left")
       .select(col(idCol),
         when(col("__bad_q") === 1L, lit("quality"))
           .when(col("__exact_dup") === 1L, lit("exact_dup"))

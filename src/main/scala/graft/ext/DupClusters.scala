@@ -130,6 +130,11 @@ object DupClusters {
         (col(idCol) === col("__keeper")).cast("long").as("is_keeper"))
   }
 
-  private def labelSum(labels: DataFrame): Long =
-    labels.agg(sum("label")).first().getLong(0)
+  // null-safe: sum over an EMPTY node set is SQL NULL; an empty graph is
+  // a legitimate input (e.g. a curation pass where no doc survives the
+  // upstream filter) and must converge to an empty result, not throw
+  private def labelSum(labels: DataFrame): Long = {
+    val r = labels.agg(sum("label")).first()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
 }

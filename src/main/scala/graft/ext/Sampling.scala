@@ -114,12 +114,21 @@ object Sampling {
   def weightedSample(df: DataFrame, idCol: String, weightExpr: Column,
                      k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    esKeyed(df, idCol, weightExpr)
+      .orderBy(col("es_key").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** The one A-ES race definition both weighted samplers rank over: the
+    * 52-bit content-hash coin, the −ln(u)/w key at 9 dp, and the
+    * zero-mass-row exclusion. A coin or rounding fix here fixes every
+    * entry point at once. */
+  private def esKeyed(df: DataFrame, idCol: String,
+                      weightExpr: Column): DataFrame = {
     val h = conv(substring(hashPriority(col(idCol)), 1, 13), 16, 10).cast("long")
     val u = (h + 1).cast("double") / 4503599627370496.0 // 2^52; u in (0, 1)
     df.filter(weightExpr.cast("double") > 0.0)
       .withColumn("es_key", round(-log(u) / weightExpr.cast("double"), 9))
-      .orderBy(col("es_key").asc, col(idCol).asc)
-      .limit(k)
   }
 
   /** PER-GROUP weighted sample: [[weightedSample]]'s A-ES race run
@@ -133,12 +142,9 @@ object Sampling {
   def weightedSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
                              weightExpr: Column, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val h = conv(substring(hashPriority(col(idCol)), 1, 13), 16, 10).cast("long")
-    val u = (h + 1).cast("double") / 4503599627370496.0 // 2^52; u in (0, 1)
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("es_key").asc, col(idCol).asc)
-    df.filter(weightExpr.cast("double") > 0.0)
-      .withColumn("es_key", round(-log(u) / weightExpr.cast("double"), 9))
+    esKeyed(df, idCol, weightExpr)
       .withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
       .drop("__rank")

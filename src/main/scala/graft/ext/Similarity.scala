@@ -77,10 +77,13 @@ object Similarity {
     require(queries.size <= MaxBatchQueries,
       s"query shard (${queries.size}) exceeds $MaxBatchQueries — use the " +
         "indexed batch probes (annProbeBatch/ivfProbeBatch) for large fleets")
-    val qarr = array(queries.map(q => struct(
-      lit(q.qId).as("q_id"),
-      array(q.vec.map(v => lit(v.toDouble)): _*).as("qv"),
-      lit(q.label).as("q_label"))): _*)
+    // ONE Literal node for the whole shard: an array(struct(lit, array(lit×
+    // dim), lit)) composition builds Q·dim Catalyst expression nodes
+    // (~790k at the 1024-query cap on 768-dim vectors) and every analyzer
+    // rule re-traverses them — typedlit folds the shard into a single
+    // ArrayData constant the plan carries by reference
+    val qarr = typedLit(queries.map(q => (q.qId, q.vec.map(_.toDouble), q.label)))
+      .cast("array<struct<q_id:bigint,qv:array<double>,q_label:int>>")
     val scored = corpus
       .select(col("*"), explode(qarr).as("__q"))
       .filter(keep)
@@ -155,12 +158,14 @@ object Similarity {
       carry = Seq(labelCol))
       .groupBy(col("q_id"), col(labelCol)).agg(count(lit(1)).as("votes"))
       .groupBy(col("q_id"))
-      .agg(
-        max_by(col(labelCol),
-          struct(col("votes").as("votes"), (-col(labelCol)).as("__nl")))
-          .as("pred_label"),
-        max(struct(col("votes").as("votes"), (-col(labelCol)).as("__nl")))
-          .getField("votes").cast("long").as("votes"))
+      // one max over the ordering struct yields BOTH outputs — two
+      // parallel aggregates would have to keep their ordering expressions
+      // bit-identical forever or votes stops matching pred_label
+      .agg(max(struct(col("votes").as("votes"),
+          (-col(labelCol)).as("__nl"), col(labelCol).as("label")))
+        .as("__w"))
+      .select(col("q_id"), col("__w.label").as("pred_label"),
+        col("__w.votes").cast("long").as("votes"))
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * xxhash64 of the index pair, scaled to [-1, 1]. Seeded — stable across
@@ -856,6 +861,77 @@ object Similarity {
     * lesson); the band self-join carries only (id, band) — vectors do NOT
     * ride the ×bands explode; the exact verify joins them back by id, two
     * hash joins on the candidate set LSH has already gutted. */
+  /** The one banded random-hyperplane projection both embedding near-dup
+    * forms (self-join and cross-table join) band with: all bands·nPlanes
+    * projections from ONE vector traversal, reassembled into per-band
+    * sign-bit values — (outId, band) rows, vectors left behind. A single
+    * definition so the two forms can never band differently. */
+  private def hyperplaneBands(df: DataFrame, idCol: String, outId: String,
+                              vecCol: String, dim: Int, nPlanes: Int,
+                              bands: Int, seed: Int): DataFrame = {
+    val m = bands * nPlanes
+    val planes = array(planeMatrix(dim, m, seed).map(lit): _*) // folds to one Literal
+    val projs = aggregate(
+      zip_with(col(vecCol), sequence(lit(0), lit(dim - 1)),
+        (x: Column, i: Column) => struct(x.cast("double").as("x"), i.as("i"))),
+      array_repeat(lit(0.0), m),
+      (acc: Column, e: Column) =>
+        zip_with(acc, sequence(lit(0), lit(m - 1)),
+          (a: Column, j: Column) =>
+            a + e.getField("x") * element_at(planes, j * dim + e.getField("i") + 1)))
+    val withProjs = df.select(col(idCol).as(outId), projs.as("__projs"))
+    val bandStructs = (0 until bands).map { b =>
+      val bits = (0 until nPlanes).map { p =>
+        when(element_at(col("__projs"), b * nPlanes + p + 1) >= 0, lit(1L << p))
+          .otherwise(lit(0L))
+      }.reduce((x, y) => x.bitwiseOR(y))
+      struct(lit(b).as("band_id"), bits.as("band_val"))
+    }
+    withProjs.select(col(outId), explode(array(bandStructs: _*)).as("band"))
+  }
+
+  /** Cross-table embedding near-dup JOIN (semantic entity linking /
+    * corpus-vs-benchmark decontamination): every (left, right) pair with
+    * cosine ≥ `threshold`, via banded hyperplane collisions ACROSS the two
+    * tables — the embedding analog of [[Dedup.minhashJoin]], never a
+    * cartesian. Identical vectors project identically and collide in every
+    * band, so exact twins are found with probability 1 (the planted-twin
+    * gate is structural); noisy pairs at angle θ are caught with the
+    * OR-construction probability 1-(1-(1-θ/π)^nPlanes)^bands. Exact
+    * cosine verify ⇒ no false positives ever. Per-side hot-band caps, as
+    * in the minhash join.
+    * @return (l_id, r_id, cos) */
+  def cosineJoin(left: DataFrame, leftId: String,
+                 right: DataFrame, rightId: String, vecCol: String,
+                 dim: Int, threshold: Double, nPlanes: Int = 8,
+                 bands: Int = 4, seed: Int = 42,
+                 maxBandSize: Int = Dedup.DefaultMaxBandSize): DataFrame =
+    cosineJoinCounted(left, leftId, right, rightId, vecCol, dim, threshold,
+      nPlanes, bands, seed, maxBandSize)._1
+
+  /** [[cosineJoin]] plus the two per-side hot-band ledgers. */
+  def cosineJoinCounted(left: DataFrame, leftId: String,
+                        right: DataFrame, rightId: String, vecCol: String,
+                        dim: Int, threshold: Double, nPlanes: Int = 8,
+                        bands: Int = 4, seed: Int = 42,
+                        maxBandSize: Int = Dedup.DefaultMaxBandSize)
+      : (DataFrame, Dedup.BandCapStats, Dedup.BandCapStats) = {
+    val (lBanded, lStats) = Dedup.capOversizedBands(
+      hyperplaneBands(left, leftId, "l_id", vecCol, dim, nPlanes, bands, seed),
+      "band", maxBandSize, "cosineJoin left side")
+    val (rBanded, rStats) = Dedup.capOversizedBands(
+      hyperplaneBands(right, rightId, "r_id", vecCol, dim, nPlanes, bands, seed),
+      "band", maxBandSize, "cosineJoin right side")
+    val cand = lBanded.join(rBanded, Seq("band"))
+      .select("l_id", "r_id").distinct()
+    val lv = left.select(col(leftId).as("l_id"), col(vecCol).as("__lv"))
+    val rv = right.select(col(rightId).as("r_id"), col(vecCol).as("__rv"))
+    (cand.join(lv, "l_id").join(rv, "r_id")
+      .withColumn("cos", round(cosine(col("__lv"), col("__rv")), 6))
+      .filter(col("cos") >= threshold)
+      .select("l_id", "r_id", "cos"), lStats, rStats)
+  }
+
   def cosineNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
                          dim: Int, threshold: Double, nPlanes: Int = 8,
                          bands: Int = 4, seed: Int = 42,
@@ -871,32 +947,14 @@ object Similarity {
                                 seed: Int = 42,
                                 maxBandSize: Int = Dedup.DefaultMaxBandSize)
       : (DataFrame, Dedup.BandCapStats) = {
-    val m = bands * nPlanes
-    val planes = array(planeMatrix(dim, m, seed).map(lit): _*) // folds to one Literal
-    val projs = aggregate(
-      zip_with(col(vecCol), sequence(lit(0), lit(dim - 1)),
-        (x: Column, i: Column) => struct(x.cast("double").as("x"), i.as("i"))),
-      array_repeat(lit(0.0), m),
-      (acc: Column, e: Column) =>
-        zip_with(acc, sequence(lit(0), lit(m - 1)),
-          (a: Column, j: Column) =>
-            a + e.getField("x") * element_at(planes, j * dim + e.getField("i") + 1)))
-    val withProjs = embeddings.select(col(idCol), projs.as("__projs"))
-    val bandStructs = (0 until bands).map { b =>
-      val bits = (0 until nPlanes).map { p =>
-        when(element_at(col("__projs"), b * nPlanes + p + 1) >= 0, lit(1L << p))
-          .otherwise(lit(0L))
-      }.reduce((x, y) => x.bitwiseOR(y))
-      struct(lit(b).as("band_id"), bits.as("band_val"))
-    }
-    val banded0 = withProjs.select(col(idCol),
-      explode(array(bandStructs: _*)).as("band"))
     // hot-band guard (Dedup.capOversizedBands): a degenerate bucket — e.g.
     // millions of zero/boilerplate embeddings sharing one signature — would
     // make the self-join below quadratic inside that bucket; oversized band
     // values are dropped with a returned + logged ledger, never silently
-    val (banded, stats) = Dedup.capOversizedBands(banded0, "band", maxBandSize,
-      "cosineNearDupPairs")
+    val (banded, stats) = Dedup.capOversizedBands(
+      hyperplaneBands(embeddings, idCol, idCol, vecCol, dim, nPlanes, bands,
+        seed),
+      "band", maxBandSize, "cosineNearDupPairs")
     val la = banded.select(col(idCol).as("a_id"), col("band"))
     val rb = banded.select(col(idCol).as("b_id"), col("band"))
     val cand = la.join(rb, la("band") === rb("band") && col("a_id") < col("b_id"))

@@ -575,9 +575,14 @@ object TextAnalysis {
   }
 
   /** Content fingerprint: md5 of whitespace-normalized lowercased text —
-    * the exact-dedup key that survives formatting noise. */
+    * the exact-dedup key that survives formatting noise. Operation ORDER
+    * matters at the edges: collapse runs-of-whitespace to single spaces
+    * FIRST, then trim — the reverse (trim first) leaves leading/trailing
+    * tabs/newlines alive through a space-only trim and un-normalized in
+    * the key. This order is also exactly the e1b/e1c/e10 oracle expression
+    * `lower(trim(regexp_replace(text, '\s+', ' ', 'g')))`. */
   def fingerprint(textCol: Column): Column =
-    md5(regexp_replace(lower(trim(textCol)), "\\s+", " "))
+    md5(lower(trim(regexp_replace(textCol, "\\s+", " "))))
 
   /** 64-bit SimHash over tokens, entirely per-row (no shuffle):
     * per-token xxhash64 → per-bit ±1 votes accumulated in an int array via

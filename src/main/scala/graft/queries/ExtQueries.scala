@@ -1186,6 +1186,37 @@ object ExtQueries {
         DupClusters.clusters(corpus, "doc_id", edges, "a_id", "b_id")
     },
 
+    // E2 — cross-table SEMANTIC contamination join: which corpus vectors
+    // duplicate a benchmark vector (embedding-level decontamination), via
+    // the banded hyperplane JOIN — the embedding analog of e6d. Exact
+    // twins of the 50 benchmark vectors are planted into the corpus under
+    // shifted ids; at threshold 0.99 the gate is STRICT row equality:
+    // identical vectors collide in every band (structural recall 1), the
+    // exact-cosine verify admits no false positives, and the fixture's
+    // max natural cross-cosine is ≈0.6 — so the result is exactly the 50
+    // planted pairs, and DuckDB recomputes the full exact pair set.
+    "e2r_semantic_contamination" -> Q(
+      """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 50),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id >= 50
+        |      UNION ALL
+        |      SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+        |      FROM embeddings WHERE vec_id < 50)
+        |SELECT c.vec_id AS l_id, b.vec_id AS r_id,
+        |       round(list_cosine_similarity(c.v, b.v), 6) AS cos
+        |FROM c, b
+        |WHERE round(list_cosine_similarity(c.v, b.v), 6) >= 0.99""".stripMargin) {
+      (s, dir) =>
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val bench = emb.filter(col("vec_id") < 50)
+        val corpus = emb.filter(col("vec_id") >= 50)
+          .unionByName(bench.select((col("vec_id") + 100000).as("vec_id"),
+            col("embedding")))
+        Similarity.cosineJoin(corpus, "vec_id", bench, "vec_id", "embedding",
+          dim = 64, threshold = 0.99)
+    },
+
     // E2 — hard-negative mining: for each of 10 anchor vectors, the exact
     // top-5 most-similar vectors with a DIFFERENT label (contrastive-
     // training negatives; the anchor excludes itself for free). Exact
@@ -1302,11 +1333,16 @@ object ExtQueries {
     // with first-failing-stage precedence (quality → exact_dup → near_dup
     // → kept) over a corpus with all three failure modes planted:
     // whitespace variants (same fingerprint → exact_dup), 10-token
-    // truncations (fail gopher n_tokens → quality), and the fixture's own
-    // J≥0.8 token-set pairs (→ near_dup via connected components). The
-    // near-dup edges here are the EXACT Jaccard pairs so DuckDB rebuilds
-    // the identical graph with a recursive CTE; production passes
-    // minhashNearDups edges into the same curate().
+    // truncations (fail the length rule → quality), and the fixture's own
+    // J≥0.8 token-set pairs (→ near_dup via connected components). Dedup
+    // keepers are selected among the quality-PASSING docs only (filter-
+    // then-dedup). The quality stage here is the n_tokens rule alone —
+    // the fixture soup contains no English stopwords, so the full gopher
+    // conjunction (exercised by e4r) fails every doc and would trivialize
+    // the pipeline; curate()'s qualityPass parameter exists exactly for
+    // this corpus-policy choice. Near-dup edges are the EXACT Jaccard
+    // pairs so DuckDB rebuilds the identical graph with a recursive CTE;
+    // production passes minhashNearDups edges into the same curate().
     "e10_curation_pipeline" -> Q(
       """WITH RECURSIVE
         |d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50
@@ -1318,19 +1354,15 @@ object ExtQueries {
         |             array_to_string((regexp_split_to_array(text, '\s+'))[1:10], ' ')
         |      FROM documents WHERE doc_id < 5),
         |t AS (SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS ta FROM d),
-        |q AS (SELECT doc_id, CAST(NOT (
-        |        len(ta) BETWEEN 50 AND 100000
-        |        AND round(list_sum(list_transform(ta, x -> length(x))) * 1.0 / len(ta), 6) BETWEEN 3 AND 10
-        |        AND round((length(text) - length(replace(text, '#', ''))
-        |               + len(regexp_extract_all(text, '\.\.\.'))) * 1.0 / len(ta), 6) <= 0.1
-        |        AND round(len(list_filter(ta, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0 / len(ta), 6) >= 0.8
-        |        AND len(list_intersect(list_distinct(ta),
-        |              ['the','be','to','of','and','that','have','with'])) >= 2) AS BIGINT) AS bad_q
+        |q AS (SELECT doc_id,
+        |        CAST(NOT (len(ta) BETWEEN 50 AND 100000) AS BIGINT) AS bad_q
         |      FROM t),
+        |p AS (SELECT doc_id FROM q WHERE bad_q = 0),
         |fpk AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY
         |          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS fp_keeper
-        |        FROM d),
-        |tok AS (SELECT DISTINCT doc_id, unnest(ta) AS token FROM t),
+        |        FROM d WHERE doc_id IN (SELECT doc_id FROM p)),
+        |tok AS (SELECT DISTINCT doc_id, unnest(ta) AS token FROM t
+        |        WHERE doc_id IN (SELECT doc_id FROM p)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
         |          FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
@@ -1342,7 +1374,7 @@ object ExtQueries {
         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
         |          UNION SELECT b_id, a_id FROM pairs),
         |reach(node, label) AS (
-        |  SELECT doc_id, doc_id FROM d
+        |  SELECT doc_id, doc_id FROM p
         |  UNION
         |  SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.node),
         |comp AS (SELECT node AS doc_id, min(label) AS cluster_id
@@ -1354,7 +1386,7 @@ object ExtQueries {
         |            ELSE 'kept' END AS drop_reason,
         |       CAST(q.bad_q = 0 AND f.fp_keeper = q.doc_id
         |            AND c.cluster_id = q.doc_id AS BIGINT) AS kept
-        |FROM q JOIN fpk f USING (doc_id) JOIN comp c USING (doc_id)""".stripMargin) {
+        |FROM q LEFT JOIN fpk f USING (doc_id) LEFT JOIN comp c USING (doc_id)""".stripMargin) {
       (s, dir) =>
         val base = Tables.documents(s, dir)
           .filter(col("doc_id") < 50).select("doc_id", "text")
@@ -1367,7 +1399,9 @@ object ExtQueries {
         val corpus = base.unionByName(ws).unionByName(short)
         val edges = Dedup.unigramJaccardPairs(corpus, "doc_id", "text",
           threshold = 0.8)
-        Curation.curate(corpus, "doc_id", "text", edges)
+        Curation.curate(corpus, "doc_id", "text", edges,
+          qualityPass = Some(
+            TextAnalysis.tokenCount(col("text")).between(50L, 100000L)))
     },
 
     // E1 — cross-table MinHash near-dup JOIN (entity linking): left = docs

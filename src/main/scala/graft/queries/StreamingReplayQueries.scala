@@ -39,8 +39,10 @@ object StreamingReplayQueries {
     * session's setting after. Stateful streaming ops commit one state-store
     * instance PER shuffle partition PER micro-batch; a gate replay with a
     * handful of micro-batches on a single-host session pays that fixed
-    * commit cost 32× for no parallelism win. Gate-harness tuning only — a
-    * production stream sizes partitions to the cluster, not to 8. */
+    * commit cost 32× for no parallelism win. 4 keeps the state genuinely
+    * partition-distributed (the chunk-split/partition-split laws are still
+    * exercised) at half the commit cost of 8. Gate-harness tuning only — a
+    * production stream sizes partitions to the cluster, not to 4. */
   private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
@@ -73,7 +75,7 @@ object StreamingReplayQueries {
           status = r.getString(2), amount = r.getDouble(3), ts = r.getLong(4)))
       val dest = java.nio.file.Files.createTempDirectory("t6-replay")
         .toString + "/balances"
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
         val mem = MemoryStream[RowImage]
         val q = IncrementalBalance.run(mem.toDS(), dest)
         try chunked(rows).foreach { b => mem.addData(b); q.processAllAvailable() }
@@ -111,7 +113,7 @@ object StreamingReplayQueries {
           col("event_type"), col("cnt"), col("sum_value"))
       val name = "t7_replay_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
         val q = agg.writeStream.outputMode("append")
           .format("memory").queryName(name).start()
         try {
@@ -153,7 +155,7 @@ object StreamingReplayQueries {
         Seq("event_id"), "tss", delay = "60 days") // horizon spans the fixture
       val name = "t8_replay_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
         val q = deduped.writeStream.outputMode("append")
           .format("memory").queryName(name).start()
         try chunked(rows).foreach { b => mem.addData(b); q.processAllAvailable() }
@@ -200,7 +202,7 @@ object StreamingReplayQueries {
           col("cnt").as("n_events"))
       val name = "t10_replay_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
         val q = agg.writeStream.outputMode("append")
           .format("memory").queryName(name).start()
         try {
@@ -245,7 +247,7 @@ object StreamingReplayQueries {
         Seq("user_id"), lookbackMs = 3600000L, watermarkDelay = "0 seconds")
       val name = "t9_replay_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 4) {
         val q = joined.select("user_id", "p_id", "v_id").writeStream
           .outputMode("append").format("memory").queryName(name).start()
         try {

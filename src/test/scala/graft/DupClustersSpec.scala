@@ -17,6 +17,10 @@ class DupClustersSpec extends SparkSpec {
         edges.toDF("a", "b"), "a", "b", maxIter)
       .as[(Long, Long)].collect().toMap
 
+  test("an empty node set converges to an empty result, never throws") {
+    assert(cc(Seq.empty, Seq.empty).isEmpty)
+  }
+
   test("two components and an isolated node resolve to min-id labels") {
     val got = cc(
       nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L),

@@ -759,10 +759,12 @@ class ExtOpsSpec extends SparkSpec {
   test("incremental dedup admits only unseen-fingerprint docs") {
     val base = Seq((1L, "alpha beta"), (2L, "gamma  delta")).toDF("doc_id", "text")
     val fresh = Seq((10L, "ALPHA   beta"), (11L, "gamma delta"),
-      (12L, "epsilon zeta")).toDF("doc_id", "text")
+      (12L, "epsilon zeta"), (13L, "\tgamma delta\n")).toDF("doc_id", "text")
     val got = graft.ext.Dedup.incrementalDedup(fresh, base, "text")
       .select("doc_id").as[Long].collect().toSet
-    // case + whitespace variants of base content are dropped, novel admitted
+    // case + whitespace variants of base content are dropped — including
+    // leading/trailing TAB/newline (the collapse-then-trim key order);
+    // novel content admitted
     assert(got == Set(12L))
   }
 
@@ -847,6 +849,35 @@ class ExtOpsSpec extends SparkSpec {
     assert(got == Map(
       1L -> ("kept", 1L), 2L -> ("exact_dup", 0L),
       3L -> ("near_dup", 0L), 4L -> ("quality", 0L)))
+  }
+
+  test("cosine join finds planted cross-table twins and nothing else") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+    val bench = emb.filter(col("vec_id") < 20)
+    val corpus = emb.filter(col("vec_id") >= 20)
+      .unionByName(bench.select((col("vec_id") + 5000L).as("vec_id"),
+        col("embedding")))
+    val got = graft.ext.Similarity.cosineJoin(corpus, "vec_id", bench,
+        "vec_id", "embedding", dim = 64, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == (0L until 20L).map(i => (i + 5000L, i, 1.0)).toSet)
+  }
+
+  test("curation: quality-failing keeper does not doom its cluster") {
+    val good = "the be to of and " + Seq.fill(55)("word").mkString(" ")
+    val docs = Seq(
+      (1L, "tiny doc"),     // fails quality; would be the min-id canonical
+      (2L, good),           // near-dup edged to 1 — must survive
+      (3L, "tiny doc  "),   // fails quality; same fingerprint as 1
+      (4L, good + " tail")  // passes; near-dup edged to 2 → loses to keeper 2
+    ).toDF("doc_id", "text")
+    val edges = Seq((1L, 2L), (2L, 4L)).toDF("a_id", "b_id")
+    val got = graft.ext.Curation.curate(docs, "doc_id", "text", edges)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> ("quality", 0L), 2L -> ("kept", 1L),
+      3L -> ("quality", 0L), 4L -> ("near_dup", 0L)))
   }
 
   test("batch topk native aggregate matches per-query brute force") {
