@@ -21,6 +21,9 @@ import graft.sync.{SyncConfig, SyncEndpoint, SyncPipeline, SyncReport}
   *   runMain graft.cli.Main continuous ... [--delay 5] [--iterations N]
   *   runMain graft.cli.Main compact --dest <parquet dir> \
   *     [--target-bytes N] [--partition-by COL]
+  *   runMain graft.cli.Main curate --source <parquet docs> --dest <parquet out> \
+  *     [--id-col doc_id] [--text-col text] [--jaccard 0.8] \
+  *     [--min-tokens N] [--max-tokens N]
   */
 object Main {
 
@@ -30,13 +33,15 @@ object Main {
                           partitionBy: Option[String], progress: Boolean,
                           sourceUser: Option[String], sourcePassword: Option[String],
                           destUser: Option[String], destPassword: Option[String],
-                          targetBytes: Option[Long])
+                          targetBytes: Option[Long],
+                          idCol: String, textCol: String, jaccard: Double,
+                          minTokens: Option[Long], maxTokens: Option[Long])
 
   private val boolFlags = Set("progress")
 
   private def parse(argv: Array[String]): Args = {
-    if (argv.isEmpty || !Set("single", "continuous", "compact").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL]")
+    if (argv.isEmpty || !Set("single", "continuous", "compact", "curate").contains(argv(0)))
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N]")
     val opts = scala.collection.mutable.Map.empty[String, String]
     var i = 1
     while (i < argv.length) {
@@ -63,9 +68,11 @@ object Main {
         throw GraftError.InvalidConfig(s"--$name must be <= $max, got $n")
       n
     }
-    // compact is a dest-only maintenance verb: no source/key/watermark
-    val syncCmd = argv(0) != "compact"
-    Args(argv(0), if (syncCmd) req("source") else opts.getOrElse("source", ""),
+    // compact is a dest-only maintenance verb (no source/key/watermark);
+    // curate takes source+dest but no watermark
+    val syncCmd = argv(0) == "single" || argv(0) == "continuous"
+    Args(argv(0),
+      if (argv(0) == "compact") opts.getOrElse("source", "") else req("source"),
       req("dest"),
       opts.get("key").map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
         .getOrElse(Nil),
@@ -80,7 +87,18 @@ object Main {
       opts.contains("progress"),
       opts.get("source-user"), opts.get("source-password"),
       opts.get("dest-user"), opts.get("dest-password"),
-      opts.get("target-bytes").map(num("target-bytes", _, min = 1)))
+      opts.get("target-bytes").map(num("target-bytes", _, min = 1)),
+      opts.getOrElse("id-col", "doc_id"), opts.getOrElse("text-col", "text"),
+      {
+        val j = opts.getOrElse("jaccard", "0.8")
+        val d = j.toDoubleOption.getOrElse(throw GraftError.InvalidConfig(
+          s"--jaccard expects a number in (0,1], got '$j'"))
+        if (d <= 0.0 || d > 1.0) throw GraftError.InvalidConfig(
+          s"--jaccard must be in (0,1], got $d")
+        d
+      },
+      opts.get("min-tokens").map(num("min-tokens", _, min = 0)),
+      opts.get("max-tokens").map(num("max-tokens", _, min = 1)))
   }
 
   private def render(r: SyncReport): Unit =
@@ -94,6 +112,7 @@ object Main {
       val spark = GraftSession.local("graft-cli")
       try {
         if (a.cmd == "compact") runCompact(spark, a)
+        else if (a.cmd == "curate") runCurate(spark, a)
         else runSync(spark, a)
         0
       } finally spark.stop()
@@ -114,6 +133,33 @@ object Main {
       a.partitionBy)
     println(s"compacted ${a.dest}: ${r.filesBefore} -> ${r.filesAfter} " +
       s"files (${r.rows} rows)")
+  }
+
+  /** The composed training-data curation pass (ext/Curation) as a CLI
+    * verb: gopher-or-length quality rules, fingerprint exact dedup, and
+    * MinHash-LSH near-dedup (the production edge generator), one verdict
+    * row per doc written to parquet. Parquet-only: curation is a corpus
+    * operation, not a sync. */
+  private def runCurate(spark: org.apache.spark.sql.SparkSession, a: Args): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (a.source.startsWith("jdbc:") || a.dest.startsWith("jdbc:"))
+      throw GraftError.InvalidConfig("curate applies to parquet paths")
+    val docs = spark.read.parquet(a.source)
+    graft.functions.GraftFunctions.register(spark)
+    val edges = graft.ext.Dedup.minhashNearDups(docs, a.idCol, a.textCol,
+      threshold = a.jaccard, nativeShingles = true)
+    val qualityPass = (a.minTokens, a.maxTokens) match {
+      case (None, None) => None // full gopher rule-set
+      case (mn, mx) => Some(graft.ext.TextAnalysis.tokenCount(col(a.textCol))
+        .between(mn.getOrElse(0L), mx.getOrElse(Long.MaxValue)))
+    }
+    graft.ext.Curation.curate(docs, a.idCol, a.textCol, edges,
+        qualityPass = qualityPass)
+      .write.mode("overwrite").parquet(a.dest)
+    val counts = spark.read.parquet(a.dest)
+      .groupBy("drop_reason").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+    println(s"curated ${a.source}: $counts -> ${a.dest}")
   }
 
   private def runSync(spark: org.apache.spark.sql.SparkSession, a: Args): Unit = {

@@ -209,6 +209,32 @@ object WindowQueries {
               .as("trailing_24h"))
     },
 
+    // Cumulative DISTINCT users by hour — the "cumulative actives" curve.
+    // A windowed COUNT(DISTINCT) doesn't exist distributed; the scale
+    // shape is: per-user first-seen hour (one hash agg), new users per
+    // hour (one hash agg), then a running sum over the ~hour-count rows —
+    // the global window runs on the tiny post-aggregation frame, never on
+    // events.
+    "w11_cumulative_distinct_users" -> Q(
+      """WITH f AS (SELECT user_id, min(epoch_us(ts) // 3600000000) AS hour
+        |           FROM events GROUP BY user_id),
+        |d AS (SELECT hour, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY hour)
+        |SELECT hour, new_users,
+        |       CAST(sum(new_users) OVER (ORDER BY hour
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS cum_users
+        |FROM d""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy("hour")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(min(expr("(ts div 1000) div 3600000000")).as("hour"))
+          .groupBy("hour").agg(count(lit(1)).as("new_users"))
+          .withColumn("cum_users", sum("new_users").over(w))
+    },
+
     // Distribution-rank window family (ntile / percent_rank / cume_dist)
     // per market segment — the quartile-bucketing shape curation pipelines
     // use for per-stratum score cuts. Total order (tie-break on the key)
