@@ -98,7 +98,13 @@ object Main {
         d
       },
       opts.get("min-tokens").map(num("min-tokens", _, min = 0)),
-      opts.get("max-tokens").map(num("max-tokens", _, min = 1)))
+      opts.get("max-tokens").map(num("max-tokens", _, min = 1))) match {
+      case a if a.minTokens.exists(mn => a.maxTokens.exists(_ < mn)) =>
+        // a swapped range would silently quality-drop the whole corpus
+        throw GraftError.InvalidConfig(
+          s"--min-tokens (${a.minTokens.get}) must be <= --max-tokens (${a.maxTokens.get})")
+      case a => a
+    }
   }
 
   private def render(r: SyncReport): Unit =

@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
   * Dedup stages run over the quality-PASSING docs only (filter-then-dedup
   * — the order real pipelines apply): keepers and canonicals are chosen
   * among survivors, so a quality-failing min-id copy never dooms its
-  * cluster's surviving members.
+  * cluster's surviving members. A NULL text (or any row where the quality
+  * predicate evaluates to NULL) FAILS quality — unscorable is droppable,
+  * never silently kept.
   *
   * The near-dup edge list is a PARAMETER, not a policy: at scale pass
   * [[Dedup.minhashNearDups]] (banded, one shuffle, hot-band capped); the
@@ -46,13 +48,24 @@ object Curation {
              nearDupEdges: DataFrame, aCol: String = "a_id",
              bCol: String = "b_id",
              qualityPass: Option[Column] = None): DataFrame = {
-    val quality = qualityPass match {
+    // __bad_q is when/otherwise, not a cast of the raw predicate: a NULL
+    // predicate (NULL text through tokenCount, NULL gopher_pass) must FAIL
+    // quality — a cast would leave __bad_q NULL, the doc would be excluded
+    // from both dedup stages (NULL never enters `passing`), and the final
+    // CASE would fall through every branch to 'kept': an undeduped,
+    // unqualified row reported as kept. checkpointed once — `passing`,
+    // two semi-join sides, the clusters node set, and the final verdict
+    // join all read it (the gopher projection is a full per-row regex pass
+    // that must not re-run per consumer).
+    val quality = (qualityPass match {
       case Some(p) =>
-        docs.select(col(idCol), not(p).cast("long").as("__bad_q"))
+        docs.select(col(idCol),
+          when(p, lit(0L)).otherwise(lit(1L)).as("__bad_q"))
       case None => TextAnalysis.gopherRules(docs, idCol, textCol)
         .select(col(idCol),
-          (col("gopher_pass") === 0L).cast("long").as("__bad_q"))
-    }
+          when(col("gopher_pass") === 1L, lit(0L)).otherwise(lit(1L))
+            .as("__bad_q"))
+    }).localCheckpoint()
     // FILTER-THEN-DEDUP: keepers are chosen among the quality-PASSING docs
     // only. Selecting them over the full corpus would let a quality-failing
     // min-id canonical doom its whole cluster (every surviving copy flagged

@@ -150,6 +150,22 @@ object Sampling {
       .drop("__rank")
   }
 
+  /** Deterministic per-EPOCH training order: every row ranked by
+    * md5(epoch ":" id) — a fresh, stable pseudo-random permutation per
+    * epoch, reproducible on any engine or cluster size (data loaders
+    * shard it by `epoch_rank % worldSize`). The rank is assigned by the
+    * two-phase [[graft.ops.GlobalRowNumber]] range shuffle — never a
+    * one-reducer global window — and (ekey, id) is a total order, so the
+    * permutation is unique even under digest collisions.
+    * @return input columns + epoch_rank (1-based) */
+  def epochOrder(df: DataFrame, idCol: String, epoch: Int): DataFrame = {
+    val key = md5(concat(lit(s"$epoch:"), col(idCol).cast("string")))
+    graft.ops.GlobalRowNumber.withGlobalRowNumber(
+        df.withColumn("__ekey", key), "epoch_rank",
+        Seq(col("__ekey"), col(idCol)))
+      .drop("__ekey")
+  }
+
   /** Hash train/val/test split on the first hex nibble of the id hash:
     * 0–b → train (12/16), c–d → val (2/16), e–f → test (2/16).
     * Per-row, no shuffle, stable forever for a given id. */

@@ -77,6 +77,18 @@ object Similarity {
     require(queries.size <= MaxBatchQueries,
       s"query shard (${queries.size}) exceeds $MaxBatchQueries — use the " +
         "indexed batch probes (annProbeBatch/ivfProbeBatch) for large fleets")
+    // the id is cast to long for the native aggregate's (double, bigint)
+    // signature; a non-integral id (e.g. a string doc key) would cast to
+    // NULL and silently vanish from every result — reject it loudly
+    corpus.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"batch top-k requires an integral id column; '$idCol' is $other " +
+          "(map your key to a long — e.g. xxhash64 — before the call)")
+    }
     // ONE Literal node for the whole shard: an array(struct(lit, array(lit×
     // dim), lit)) composition builds Q·dim Catalyst expression nodes
     // (~790k at the 1024-query cap on 768-dim vectors) and every analyzer

@@ -80,7 +80,11 @@ case class TopKPairs(ordExpr: Expression, idExpr: Expression, k: Int,
     val o = ordExpr.eval(input)
     val i = idExpr.eval(input)
     if (o != null && i != null) {
-      buf += ((o.asInstanceOf[Double], i.asInstanceOf[Long]))
+      // +0.0 canonicalizes -0.0 (IEEE: -0.0 + 0.0 = +0.0): SQL ordering
+      // treats the two as EQUAL (tie broken by id), but Double.compare
+      // ranks +0.0 above -0.0 — without this a -0.0/+0.0 pair straddling
+      // the rank-k boundary would diverge from the window twin
+      buf += ((o.asInstanceOf[Double] + 0.0, i.asInstanceOf[Long]))
       if (buf.length >= compactAt) compact(buf)
     }
     buf

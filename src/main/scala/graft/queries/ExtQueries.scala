@@ -1106,6 +1106,25 @@ object ExtQueries {
           "doc_id", "text", nativeGrams = true)
     },
 
+    // [EXT] deterministic per-epoch shuffle order: the reproducible
+    // "reshuffle each epoch" permutation (rank by md5(epoch:id)), assigned
+    // through the two-phase GlobalRowNumber range shuffle — never a
+    // one-reducer window. Identical md5 grid both engines.
+    "e7g_epoch_shuffle" -> Q(
+      """WITH k AS (SELECT doc_id, md5('3:' || CAST(doc_id AS VARCHAR)) AS ekey
+        |           FROM documents)
+        |SELECT doc_id,
+        |       CAST(row_number() OVER (ORDER BY ekey, doc_id) AS BIGINT)
+        |         AS epoch_rank
+        |FROM k""".stripMargin) {
+      (s, dir) =>
+        // narrow projection BEFORE the op: epochOrder range-shuffles and
+        // checkpoints whole rows, and this query only reads (id, rank)
+        Sampling.epochOrder(Tables.documents(s, dir).select("doc_id"),
+            "doc_id", epoch = 3)
+          .select("doc_id", "epoch_rank")
+    },
+
     // [EXT] per-group weighted sampling: the e7e A-ES race run inside each
     // language — 5 winners per stratum, weighted by token count. Window is
     // group-partitioned (one shuffle on lang), never global.

@@ -742,6 +742,17 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(3L)._2 == 0.0)
   }
 
+  test("epoch order: a permutation, stable per epoch, different across epochs") {
+    val docs = graft.core.Tables.documents(spark, sfDir).select("doc_id")
+    def order(epoch: Int): Map[Long, Long] =
+      graft.ext.Sampling.epochOrder(docs, "doc_id", epoch)
+        .select("doc_id", "epoch_rank").as[(Long, Long)].collect().toMap
+    val e1 = order(1)
+    assert(e1.values.toSeq.sorted == (1L to e1.size.toLong)) // true permutation
+    assert(order(1) == e1)                                   // reproducible
+    assert(order(2) != e1)                                   // epoch changes it
+  }
+
   test("per-group weighted sample: k winners per group, groups independent") {
     val rows = (0L until 40L).map(i => (i, if (i < 20) "en" else "es", 10L))
     val df = rows.toDF("doc_id", "lang", "w")
@@ -878,6 +889,25 @@ class ExtOpsSpec extends SparkSpec {
     assert(got == Map(
       1L -> ("quality", 0L), 2L -> ("kept", 1L),
       3L -> ("quality", 0L), 4L -> ("near_dup", 0L)))
+  }
+
+  test("curation: NULL text fails quality, never falls through to kept") {
+    val good = "the be to of and " + Seq.fill(55)("word").mkString(" ")
+    val docs = Seq((1L, good), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val edges = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val got = graft.ext.Curation.curate(docs, "doc_id", "text", edges)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> ("kept", 1L), 2L -> ("quality", 0L)))
+  }
+
+  test("batch topk rejects non-integral id columns loudly") {
+    val df = Seq(("doc-1", Seq(1f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    val qs = Seq(graft.ext.Similarity.VecQuery(0L, Seq(1f, 0f), 0))
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Similarity.bruteForceTopKBatch(df, "vec_id", "embedding", qs, 1)
+    }
+    assert(e.getMessage.contains("integral id column"))
   }
 
   test("batch topk native aggregate matches per-query brute force") {

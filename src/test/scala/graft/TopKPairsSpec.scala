@@ -39,6 +39,11 @@ class TopKPairsSpec extends SparkSpec {
     assert(run(rows, k = 10, parts = 2) == spec(rows, 10))
   }
 
+  test("-0.0 and 0.0 are the same rank: tie breaks by id, like SQL sort") {
+    val rows = Seq((-0.0, 5L), (0.0, 9L), (0.0, 1L), (-1.0, 2L))
+    assert(run(rows, k = 2, parts = 2) == List((0.0, 1L), (0.0, 5L)))
+  }
+
   test("null ords are skipped, not ranked") {
     val df = Seq((Some(2.0), 1L), (None, 2L), (Some(1.0), 3L))
       .toDF("ord", "id")
