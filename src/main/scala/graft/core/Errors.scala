@@ -19,6 +19,13 @@ object GraftError {
       extends GraftError(s"table $table has no primary key (required as merge conflict target)")
   final case class InvalidConfig(reason: String)
       extends GraftError(s"invalid configuration: $reason")
+  final case class SchemaDrift(added: Seq[String], removed: Seq[String])
+      extends GraftError("source/destination schema drift:" +
+        (if (added.nonEmpty) s" source added [${added.mkString(", ")}]" else "") +
+        (if (removed.nonEmpty) s" source no longer has [${removed.mkString(", ")}]"
+         else "") +
+        " — migrate the destination (full re-sync into a fresh directory," +
+        " or alter the destination schema) before continuing")
 }
 
 /** Connection configuration (SURVEY §2.7 X6, reference utils.py:5-13) —

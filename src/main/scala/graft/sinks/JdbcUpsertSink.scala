@@ -87,7 +87,15 @@ object JdbcUpsertSink {
   }
 
   /** S3 — create `table` from `schema` when absent (reference
-    * session.py:194-197 create-dest-from-source-schema). */
+    * session.py:194-197 create-dest-from-source-schema). When the table
+    * EXISTS, its column set is checked against the source schema: drift
+    * fails as the typed [[graft.core.GraftError.SchemaDrift]] up front —
+    * without this, a column the source gained dies mid-batch as a raw
+    * per-partition SQLException (or worse for a lost column: the prepared
+    * INSERT binds by position and could write columns askew on a lax
+    * dialect). Same contract as the parquet merge sink: stop and tell the
+    * operator. Name comparison is case-folded (the case-insensitive
+    * catalogs — Derby, default PG — fold identifiers). */
   def ensureTable(url: String, props: Properties, table: String,
                   schema: org.apache.spark.sql.types.StructType,
                   keyCols: Seq[String]): Unit = {
@@ -98,6 +106,22 @@ object JdbcUpsertSink {
         val stmt = conn.createStatement()
         try { stmt.executeUpdate(dialect.createTableSql(table, schema, keyCols)); () }
         finally stmt.close()
+      } else {
+        val rs = conn.getMetaData.getColumns(null, null, null, null)
+        val destCols = scala.collection.mutable.Set.empty[String]
+        try {
+          while (rs.next()) {
+            if (rs.getString("TABLE_NAME").equalsIgnoreCase(table))
+              destCols += rs.getString("COLUMN_NAME").toLowerCase
+          }
+        } finally rs.close()
+        if (destCols.nonEmpty) { // some drivers return nothing — skip check
+          val srcCols = schema.fieldNames.map(_.toLowerCase)
+          val added = srcCols.filterNot(destCols).toSeq.sorted
+          val removed = (destCols -- srcCols).toSeq.sorted
+          if (added.nonEmpty || removed.nonEmpty)
+            throw graft.core.GraftError.SchemaDrift(added, removed)
+        }
       }
     } finally conn.close()
   }

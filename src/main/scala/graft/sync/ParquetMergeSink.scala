@@ -93,7 +93,18 @@ object ParquetMergeSink {
       }
 
       val target = spark.read.parquet(targetDir).withColumn("__src", lit(0))
-      val tagged = updates.select(target.columns.filter(_ != "__src")
+      // Schema drift must fail TYPED and loud before any projection: the
+      // select-onto-target-columns below would silently DISCARD a column
+      // the source gained (every future sync dropping that data), and a
+      // column the source lost would die as a raw AnalysisException. A
+      // sync tool's contract on drift is "stop and tell the operator",
+      // never either of those.
+      val targetCols = target.columns.filter(_ != "__src")
+      val added = updates.columns.diff(targetCols).toSeq
+      val removed = targetCols.diff(updates.columns).toSeq
+      if (added.nonEmpty || removed.nonEmpty)
+        throw graft.core.GraftError.SchemaDrift(added, removed)
+      val tagged = updates.select(targetCols
         .map(col).toIndexedSeq: _*).withColumn("__src", lit(1))
 
       // Every extracted row has orderCol >= the batch minimum, so an

@@ -207,6 +207,32 @@ trait JdbcSyncBehaviors { this: SparkSpec =>
     assertThrows[graft.core.GraftError.MissingTable](src.preflight("NOPE"))
   }
 
+  test("S3 ensureTable: schema drift against an existing dest fails TYPED") {
+    skipUnlessAvailable()
+    val url = freshDb("drift")
+    exec(url, "CREATE TABLE D (ID BIGINT NOT NULL PRIMARY KEY, " +
+      "UPDATED BIGINT NOT NULL)")
+    import org.apache.spark.sql.types._
+    val widened = StructType(Seq(StructField("id", LongType),
+      StructField("updated", LongType), StructField("region", StringType)))
+    val eAdd = intercept[graft.core.GraftError.SchemaDrift] {
+      graft.sinks.JdbcUpsertSink.ensureTable(url, new java.util.Properties(),
+        ident("D"), widened, Seq("id"))
+    }
+    assert(eAdd.getMessage.contains("region"))
+    val narrowed = StructType(Seq(StructField("id", LongType)))
+    val eDrop = intercept[graft.core.GraftError.SchemaDrift] {
+      graft.sinks.JdbcUpsertSink.ensureTable(url, new java.util.Properties(),
+        ident("D"), narrowed, Seq("id"))
+    }
+    assert(eDrop.getMessage.toLowerCase.contains("updated"))
+    // matching schema (any case) passes untouched
+    val same = StructType(Seq(StructField("id", LongType),
+      StructField("updated", LongType)))
+    graft.sinks.JdbcUpsertSink.ensureTable(url, new java.util.Properties(),
+      ident("D"), same, Seq("id"))
+  }
+
   test("upsert: non-duplicate integrity violations propagate, never silently drop rows") {
     skipUnlessAvailable()
     val url = freshDb("nnviol")

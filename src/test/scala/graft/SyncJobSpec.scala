@@ -128,6 +128,26 @@ class SyncJobSpec extends SparkSpec {
       java.nio.file.Paths.get(dest + ".__merge_pending")))
   }
 
+  test("schema drift fails TYPED: an added source column is never silently dropped") {
+    val dest = tmpDir("sync-drift") + "/dest"
+    new SyncJob(spark, cfg).run(src((1L, 100L, 10.0, "A")), dest, 1000L)
+    // source gained a column → must stop loudly, not project it away
+    val widened = Seq((2L, 200L, 20.0, "B", "eu-west"))
+      .toDF("id", "updated", "amount", "status", "region")
+    val eAdd = intercept[graft.core.GraftError.SchemaDrift] {
+      ParquetMergeSink.merge(spark, dest, widened, Seq("id"), "updated")
+    }
+    assert(eAdd.getMessage.contains("region"))
+    // source lost a column → same typed error, not a raw AnalysisException
+    val narrowed = Seq((2L, 200L, 20.0)).toDF("id", "updated", "amount")
+    val eDrop = intercept[graft.core.GraftError.SchemaDrift] {
+      ParquetMergeSink.merge(spark, dest, narrowed, Seq("id"), "updated")
+    }
+    assert(eDrop.getMessage.contains("status"))
+    // the destination is untouched by both refusals
+    assert(readDest(dest) == Map(1L -> ((100L, 10.0, "A"))))
+  }
+
   test("merge dedups duplicate keys within one batch (last writer by watermark wins)") {
     val dest = tmpDir("sync-dupe") + "/dest"
     val dupes = src((1L, 100L, 1.0, "old"), (1L, 300L, 3.0, "new"), (1L, 200L, 2.0, "mid"))
