@@ -153,14 +153,20 @@ object Dedup {
     * hash_i(s) = xxhash64(s, i); signature[i] = min over shingles.
     * Estimates Jaccard: P[sig_a[i]=sig_b[i]] = J(a,b).
     *
-    * Single `aggregate` pass with a k-wide accumulator — one traversal of
-    * the shingle array computing all k hashes per shingle, rather than k
-    * separate array_min(transform(...)) scans (which builds an expression
-    * tree large enough to fall out of whole-stage codegen). */
+    * `nativeShingles = true` (the production switch every gate entry uses)
+    * also routes the signature itself through the native single-pass
+    * kernel (graft.functions.MinHashSig): the HOF fold below evaluates
+    * INTERPRETED, re-hashing the shingle bytes k times and allocating two
+    * k-long arrays per shingle; the kernel hashes each shingle's bytes
+    * ONCE and derives all k permutations from that base — bit-identical
+    * output (equivalence swept in ExtOpsSpec). The HOF form remains as the
+    * readable spec twin. */
   def minhashSignature(textCol: Column, k: Int = 32, shingleN: Int = 3,
                        nativeShingles: Boolean = false): Column =
-    aggregate(
-      shingleCol(textCol, shingleN, nativeShingles),
+    if (nativeShingles)
+      call_function("minhash_sig", shinglesNative(textCol, shingleN), lit(k))
+    else aggregate(
+      shingleCol(textCol, shingleN, native = false),
       array_repeat(lit(Long.MaxValue), k),
       (acc: Column, s: Column) =>
         zip_with(acc,

@@ -114,6 +114,21 @@ object GraftFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig",
+      exprs => {
+        require(exprs.length == 2, "minhash_sig takes (shingles, k)")
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)
+            if v.isValidInt => v.toInt
+          case other => throw new IllegalArgumentException(
+            "minhash_sig(shingles, k) requires a literal integer k (the " +
+              s"signature width is part of the plan, not data), got: ${other.sql}")
+        }
+        MinHashSig(exprs.head, k)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "char_ngrams",
       exprs => {
         require(exprs.length == 2, "char_ngrams takes (text, n)")

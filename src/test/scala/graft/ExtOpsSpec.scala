@@ -804,6 +804,25 @@ class ExtOpsSpec extends SparkSpec {
     assert(got.sameElements(Array(2L, 3L)))
   }
 
+  test("native minhash signature is bit-identical to the HOF fold corpus-wide") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val diff = docs.select(
+        graft.ext.Dedup.minhashSignature(col("text"), k = 32).as("a"),
+        graft.ext.Dedup.minhashSignature(col("text"), k = 32,
+          nativeShingles = true).as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(diff == 0L)
+    // empty-ish and degenerate texts too
+    val edge = Seq((1L, ""), (2L, "one"), (3L, "a a a a a")).toDF("doc_id", "text")
+    val d2 = edge.select(
+        graft.ext.Dedup.minhashSignature(col("text"), k = 8).as("a"),
+        graft.ext.Dedup.minhashSignature(col("text"), k = 8,
+          nativeShingles = true).as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(d2 == 0L)
+  }
+
   test("native char ngrams equal the HOF twin over the fixture corpus") {
     graft.functions.GraftFunctions.register(spark)
     val docs = graft.core.Tables.documents(spark, sfDir)
