@@ -89,8 +89,8 @@ object Sampling {
 
   /** Deterministic WEIGHTED sample of k rows without replacement
     * (Efraimidis–Spirakis A-ES, the one-pass distributed form): each row
-    * draws u ∈ (0, 1) from the shared content-hash coin — the first 13 hex
-    * digits of md5(id) mapped to (h+1)/2⁵³ — and races on the key
+    * draws u ∈ (0, 1] from the shared content-hash coin — the first 13 hex
+    * digits of md5(id) mapped to (h+1)/2⁵² — and races on the key
     * −ln(u)/w; the k SMALLEST keys win, which is exactly weighted sampling
     * without replacement by `weightExpr`. No RNG state, stable per id as
     * the corpus grows, identical in any engine.
@@ -99,8 +99,11 @@ object Sampling {
     * samplers use: a 16-bit u has an atom at u = 1 — every ~1/65536th id
     * would draw es_key = −ln(1)/w = 0 and win REGARDLESS of weight, which
     * at corpus scale silently replaces the weighted sample with "the
-    * smallest-id ffff-prefix rows". With 52 bits, u < 1 always and key
-    * collisions are ULP-rare.
+    * smallest-id ffff-prefix rows". With 52 bits the atom at u = 1 still
+    * exists (h+1 = 2⁵² ⇒ es_key = 0) but at probability 2⁻⁵² per id —
+    * negligible at any corpus size — and other key collisions are
+    * ULP-rare. (The DuckDB oracle uses the identical constant, so parity
+    * holds bit-for-bit either way.)
     *
     * Scale shape: one narrow per-row key computation + a distributed top-k
     * (TakeOrderedAndProject — per-partition heaps, never a global sort).
@@ -126,7 +129,7 @@ object Sampling {
   private def esKeyed(df: DataFrame, idCol: String,
                       weightExpr: Column): DataFrame = {
     val h = conv(substring(hashPriority(col(idCol)), 1, 13), 16, 10).cast("long")
-    val u = (h + 1).cast("double") / 4503599627370496.0 // 2^52; u in (0, 1)
+    val u = (h + 1).cast("double") / 4503599627370496.0 // 2^52; u in (0, 1]
     df.filter(weightExpr.cast("double") > 0.0)
       .withColumn("es_key", round(-log(u) / weightExpr.cast("double"), 9))
   }

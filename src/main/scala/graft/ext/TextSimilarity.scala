@@ -71,7 +71,13 @@ object TextSimilarity {
     // idf = 0 terms (df = nDocs) are pruned here: zero weight moves no dot
     // product and no norm, and their posting lists are by definition the
     // longest in the corpus.
-    val w = tf.join(broadcast(kept), "token")
+    // NOT broadcast: `kept` is nearly the full vocabulary (maxDf prunes
+    // only stopword-grade terms, not the rare-term long tail), which at
+    // corpus scale runs to hundreds of millions of terms — forcing it to
+    // the driver is an OOM. tf is already shuffled on (doc, token), so the
+    // token-keyed shuffle join is the bounded choice; AQE may still
+    // broadcast a genuinely small vocabulary at runtime.
+    val w = tf.join(kept, "token")
       .select(col("__doc"), col("token"),
         round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6)
           .cast("decimal(18,6)").as("w"))

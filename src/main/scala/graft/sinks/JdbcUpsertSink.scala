@@ -107,15 +107,28 @@ object JdbcUpsertSink {
         try { stmt.executeUpdate(dialect.createTableSql(table, schema, keyCols)); () }
         finally stmt.close()
       } else {
-        val rs = conn.getMetaData.getColumns(null, null, null, null)
-        val destCols = scala.collection.mutable.Set.empty[String]
-        try {
-          while (rs.next()) {
-            if (rs.getString("TABLE_NAME").equalsIgnoreCase(table))
-              destCols += rs.getString("COLUMN_NAME").toLowerCase
-          }
-        } finally rs.close()
-        if (destCols.nonEmpty) { // some drivers return nothing — skip check
+        // Scope getColumns to the resolved table (same three case folds as
+        // tableExists) — an unscoped (null,null,null,null) scan unions
+        // columns from every same-named table in every schema/catalog
+        // (e.g. a backup schema), which can raise phantom drift or mask a
+        // real added column, and reads the whole catalog's metadata.
+        def columnsOf(n: String): Set[String] = {
+          val rs = conn.getMetaData.getColumns(null, null, n, null)
+          val cols = scala.collection.mutable.Set.empty[String]
+          try {
+            while (rs.next()) cols += rs.getString("COLUMN_NAME").toLowerCase
+          } finally rs.close()
+          cols.toSet
+        }
+        val destCols = Seq(table, table.toUpperCase, table.toLowerCase)
+          .distinct.iterator.map(columnsOf).find(_.nonEmpty).getOrElse(Set.empty)
+        if (destCols.isEmpty)
+          // Existing table but no column metadata under any case fold:
+          // the drift guard cannot run, and proceeding would re-expose the
+          // positional-INSERT-askew hazard this check exists to prevent.
+          System.err.println(s"[graft] WARN: JDBC driver returned no column " +
+            s"metadata for existing table '$table'; schema-drift check skipped")
+        else {
           val srcCols = schema.fieldNames.map(_.toLowerCase)
           val added = srcCols.filterNot(destCols).toSeq.sorted
           val removed = (destCols -- srcCols).toSeq.sorted

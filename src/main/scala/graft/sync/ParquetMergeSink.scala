@@ -99,9 +99,15 @@ object ParquetMergeSink {
       // column the source lost would die as a raw AnalysisException. A
       // sync tool's contract on drift is "stop and tell the operator",
       // never either of those.
+      // Compare case-folded (matching JdbcUpsertSink.ensureTable and Spark's
+      // own case-insensitive resolution) — a case-only rename must not read
+      // as the same column added AND removed; original casing is kept for
+      // the error message.
       val targetCols = target.columns.filter(_ != "__src")
-      val added = updates.columns.diff(targetCols).toSeq
-      val removed = targetCols.diff(updates.columns).toSeq
+      val targetFold = targetCols.map(_.toLowerCase).toSet
+      val updateFold = updates.columns.map(_.toLowerCase).toSet
+      val added = updates.columns.filterNot(c => targetFold(c.toLowerCase)).toSeq
+      val removed = targetCols.filterNot(c => updateFold(c.toLowerCase)).toSeq
       if (added.nonEmpty || removed.nonEmpty)
         throw graft.core.GraftError.SchemaDrift(added, removed)
       val tagged = updates.select(targetCols

@@ -2,6 +2,7 @@ package graft.tools
 
 import graft.SparkEntry
 import graft.core.GraftSession
+import scala.util.control.NonFatal
 
 /** Prints the formatted physical plan of selected queries and asserts the
   * physical features the 100 TB design depends on (SURVEY §4): parquet
@@ -98,7 +99,7 @@ object PlanCheck {
             (if (nestedLoop) "BroadcastNestedLoopJoin" else ""))
         }
       } catch {
-        case e: Throwable =>
+        case NonFatal(e) =>
           bad += 1
           println(s"  [ANTI] $name: plan failed: ${e.getMessage.linesIterator.next()}")
       }
