@@ -35,6 +35,27 @@ object StreamingReplayQueries {
   private def chunked[T](rows: Array[T]): Iterator[Seq[T]] =
     rows.grouped(math.max(1, rows.length / nChunks + 1)).map(_.toSeq)
 
+  /** One collected superset of the events fixture, shared by all five
+    * replay twins (each previously ran its own scan+sort+collect of the
+    * same read-only parquet — five redundant Spark jobs per gate run).
+    * Keyed by fixture dir: the data is immutable test input, so any
+    * session reading the same dir sees the same rows. Each twin derives
+    * its feed (projection / filter / re-sort / doubling) driver-side from
+    * this array — same harness-bounded memory as before, 4 fewer jobs. */
+  private final case class Ev(eventId: Long, userId: Long, eventType: String,
+                              value: Double, tsNs: Long)
+  private val fixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Ev]]()
+  private def collectedEvents(s: SparkSession, dir: String): Array[Ev] =
+    fixtureCache.computeIfAbsent(dir, d =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+        .orderBy("ts", "event_id")
+        .collect()
+        .map(r => Ev(r.getLong(0), r.getLong(1), r.getString(2),
+          r.getDouble(3), r.getLong(4))))
+
   /** Run `body` with a reduced shuffle-partition count, restoring the
     * session's setting after. Stateful streaming ops commit one state-store
     * instance PER shuffle partition PER micro-batch; a gate replay with a
@@ -66,13 +87,9 @@ object StreamingReplayQueries {
         |GROUP BY user_id""".stripMargin) { (s, dir) =>
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
-      val rows = Tables.events(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("value"), col("ts"))
-        .orderBy("ts", "event_id")
-        .collect()
-        .map(r => RowImage(key = r.getLong(0), userId = r.getLong(1),
-          status = r.getString(2), amount = r.getDouble(3), ts = r.getLong(4)))
+      val rows = collectedEvents(s, dir)
+        .map(e => RowImage(key = e.eventId, userId = e.userId,
+          status = e.eventType, amount = e.value, ts = e.tsNs))
       val dest = java.nio.file.Files.createTempDirectory("t6-replay")
         .toString + "/balances"
       withShufflePartitions(s, 4) {
@@ -98,11 +115,9 @@ object StreamingReplayQueries {
         |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
-      val rows = Tables.events(s, dir)
-        .select(expr("ts div 1000").as("ts_us"), col("event_type"), col("value"))
-        .orderBy("ts_us", "event_type", "value")
-        .collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      val rows = collectedEvents(s, dir)
+        .map(e => (e.tsNs / 1000, e.eventType, e.value))
+        .sortBy(identity)
       val mem = MemoryStream[(Long, String, Double)]
       val agg = mem.toDS().toDF("ts_us", "event_type", "value")
         .withColumn("tss", timestamp_micros(col("ts_us")))
@@ -143,11 +158,9 @@ object StreamingReplayQueries {
         |FROM events""".stripMargin) { (s, dir) =>
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
-      val base = Tables.events(s, dir)
-        .select(col("event_id"), expr("ts div 1000").as("ts_us"))
-      val rows = base.unionByName(base) // the re-delivery
-        .orderBy("ts_us", "event_id")
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val base = collectedEvents(s, dir).map(e => (e.eventId, e.tsNs / 1000))
+      val rows = (base ++ base) // the re-delivery
+        .sortBy { case (id, us) => (us, id) }
       val mem = MemoryStream[(Long, Long)]
       val deduped = graft.ext.Dedup.streamingDedup(
         mem.toDS().toDF("event_id", "ts_us")
@@ -188,10 +201,9 @@ object StreamingReplayQueries {
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
       val sentinelUser = 999999L
-      val rows = Tables.events(s, dir).filter(col("user_id") < 10)
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
-        .orderBy("ts_us", "user_id")
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val rows = collectedEvents(s, dir).filter(_.userId < 10)
+        .map(e => (e.userId, e.tsNs / 1000))
+        .sortBy { case (uid, us) => (us, uid) }
       val mem = MemoryStream[(Long, Long)]
       val agg = mem.toDS().toDF("user_id", "ts_us")
         .withColumn("tss", timestamp_micros(col("ts_us")))
@@ -232,10 +244,9 @@ object StreamingReplayQueries {
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
       def side(eventType: String): Array[(Long, Long, Long)] =
-        Tables.events(s, dir).filter(col("event_type") === eventType)
-          .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"))
-          .orderBy("ts_us", "event_id")
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        collectedEvents(s, dir).filter(_.eventType == eventType)
+          .map(e => (e.userId, e.tsNs / 1000, e.eventId))
+          .sortBy { case (_, us, id) => (us, id) }
       val pMem = MemoryStream[(Long, Long, Long)]
       val vMem = MemoryStream[(Long, Long, Long)]
       def shape(df: org.apache.spark.sql.DataFrame, ts: String, id: String) =
