@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.ext.Similarity")
+
   /** dot(a, b) with a double accumulator in index order. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x: Column, y: Column) =>
@@ -486,6 +488,7 @@ object Similarity {
     assigned.select(col(idCol), col(vecCol), col("__cell"))
       .write.mode(SaveMode.Overwrite).partitionBy("__cell").parquet(indexDir)
     writeCentroids(embeddings.sparkSession, indexDir, centers)
+    writeCellStats(assigned, vecCol, centers, indexDir)
   }
 
   /** Shared coarse-quantizer fit for the IVF builds: returns the input
@@ -513,6 +516,29 @@ object Similarity {
       .toDF("cell", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(indexDir + "/_centroids")
+  }
+
+  /** Build-time per-cell assignment-quality baseline, persisted beside the
+    * centroids as `_cellstats` (underscore-prefixed — index scans ignore
+    * it): (cell, n, mean_dist), mean_dist being the mean L2 distance of
+    * the cell's build-time members to their assigned centroid.
+    * [[ivfIndexAppend]] compares every appended batch against this to
+    * surface coarse-quantizer drift — without it recall decays silently as
+    * the data distribution walks away from the frozen centroids. */
+  private def writeCellStats(assigned: DataFrame, vecCol: String,
+                             centers: Array[Array[Double]],
+                             indexDir: String): Unit = {
+    val centArr = array(centers.map(c => array(c.map(lit): _*)): _*)
+    assigned
+      .withColumn("__d", sqrt(aggregate(
+        zip_with(col(vecCol), element_at(centArr, col("__cell") + 1),
+          (x: Column, y: Column) =>
+            (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (a: Column, v: Column) => a + v)))
+      .groupBy(col("__cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("n"), avg("__d").as("mean_dist"))
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(indexDir + "/_cellstats")
   }
 
   /** The persisted `_centroids` table as ONE in-plan literal
@@ -566,6 +592,47 @@ object Similarity {
     ensureCached("ivf", embeddings, s"$idCol|$vecCol|$nLists|$seed")(
       buildIvfIndex(embeddings, idCol, vecCol, _, nLists, seed))
 
+  /** One cell's drift line in [[IvfAppendStats]]: the batch's mean
+    * assigned-centroid distance against the build-time baseline for the
+    * same cell. `baseN = 0` means the cell was empty at build time — any
+    * mass landing there is itself a distribution-shift signal. */
+  final case class IvfCellDrift(cell: Int, baseN: Long, baseMeanDist: Double,
+                                appendN: Long, appendMeanDist: Double) {
+    /** Batch/baseline mean-distance ratio; +∞ when there is no baseline
+      * to compare against (empty or degenerate build-time cell). */
+    def distRatio: Double =
+      if (baseN > 0L && baseMeanDist > 0.0) appendMeanDist / baseMeanDist
+      else Double.PositiveInfinity
+  }
+
+  /** The [[ivfIndexAppend]] drift ledger — the loud, programmatic signal
+    * that the frozen coarse quantizer no longer fits the arriving data
+    * (the [[graft.ext.Dedup.BandCapStats]] pattern: return the decision,
+    * never log-and-swallow). Bounded: one line per touched cell, ≤ nLists.
+    *
+    *  - `distRatio` — batch-wide mean assigned-centroid distance over the
+    *    build-time mean. Near 1.0 for in-distribution appends; grows as
+    *    arriving vectors sit ever farther from every centroid.
+    *  - `cellSkew` — (largest cell's share of the batch) × nCells; 1.0 is
+    *    perfectly uniform, nCells means the whole batch fell in one cell
+    *    (probes of that cell degrade toward brute force).
+    *
+    * `drifted()` folds both into the rebuild recommendation; thresholds
+    * are caller-tunable because "how stale is too stale" is a recall-SLA
+    * decision, not an index property. */
+  final case class IvfAppendStats(appended: Long, nCells: Int,
+                                  baseMeanDist: Double, appendMeanDist: Double,
+                                  maxCellShare: Double,
+                                  perCell: Seq[IvfCellDrift]) {
+    def distRatio: Double =
+      if (baseMeanDist > 0.0) appendMeanDist / baseMeanDist
+      else if (appendMeanDist == 0.0) 1.0
+      else Double.PositiveInfinity
+    def cellSkew: Double = maxCellShare * nCells
+    def drifted(maxDistRatio: Double = 1.5, maxSkew: Double = 4.0): Boolean =
+      appended > 0L && (distRatio > maxDistRatio || cellSkew > maxSkew)
+  }
+
   /** INCREMENTAL index maintenance: append a batch of new vectors to an
     * existing [[buildIvfIndex]] layout WITHOUT re-fitting the coarse
     * quantizer — the steady-state ingest path (a corpus that re-trains
@@ -574,12 +641,16 @@ object Similarity {
     * (scalar-sized); each new vector ranks all centroids in one fused
     * traversal and lands in its nearest cell; the batch is appended to the
     * cell partitions it touches (dynamic partition overwrite is NOT used —
-    * plain append never rewrites existing files). Centroids drift as the
-    * distribution shifts; callers monitoring recall rebuild when it decays
-    * — the standard IVF contract. */
+    * plain append never rewrites existing files).
+    *
+    * Returns the [[IvfAppendStats]] drift ledger, computed against the
+    * build-time `_cellstats` baseline in one bounded aggregation over the
+    * batch (≤ nLists rows collected — scalar-sized, like the centroid
+    * reads). Centroids DO drift as the distribution shifts; this is the
+    * signal to rebuild before recall decays silently. */
   def ivfIndexAppend(spark: SparkSession, indexDir: String,
                      newVectors: DataFrame, idCol: String,
-                     vecCol: String): Unit = {
+                     vecCol: String): IvfAppendStats = {
     // guard the PAYLOAD schema, not just _centroids presence: a quantized
     // layout also persists centroids, and appending float rows into it
     // would give later probes null __codes → silently invisible vectors
@@ -590,11 +661,53 @@ object Similarity {
     require(idxFields.contains(idCol) && idxFields.contains(vecCol),
       s"$indexDir schema (${idxFields.mkString(",")}) does not match " +
         s"($idCol, $vecCol)")
+    val statsPath = new Path(indexDir, "_cellstats")
+    val statsFs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(statsFs.exists(statsPath),
+      s"no _cellstats under $indexDir — the index predates the drift " +
+        "baseline; rebuild with buildIvfIndex before appending")
     val dists = centroidDists(col(vecCol), centroidsLit(spark, indexDir))
-    newVectors
+    // materialize the assignment ONCE: the partitioned append and the
+    // drift aggregation below both read it (recomputing the full centroid
+    // ranking per consumer would double the batch's dominant cost)
+    val assigned = newVectors
       .select(col(idCol), col(vecCol),
-        element_at(dists, 1).getField("cell").as("__cell"))
+        element_at(dists, 1).getField("cell").as("__cell"),
+        sqrt(element_at(dists, 1).getField("d")).as("__d"))
+      .localCheckpoint()
+    assigned.drop("__d")
       .write.mode(SaveMode.Append).partitionBy("__cell").parquet(indexDir)
+    val batch = assigned
+      .groupBy(col("__cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("an"), avg("__d").as("ad"))
+      .collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val base = spark.read.parquet(indexDir + "/_cellstats").collect()
+      .map(r => (r.getInt(r.fieldIndex("cell")),
+        (r.getLong(r.fieldIndex("n")), r.getDouble(r.fieldIndex("mean_dist")))))
+      .toMap
+    val appended = batch.valuesIterator.map(_._1).sum
+    val perCell = batch.toSeq.sortBy(_._1).map { case (cell, (an, ad)) =>
+      val (bn, bd) = base.getOrElse(cell, (0L, 0.0))
+      IvfCellDrift(cell, bn, bd, an, ad)
+    }
+    val baseN = base.valuesIterator.map(_._1).sum
+    val baseMean =
+      if (baseN > 0L) base.valuesIterator.map { case (n, d) => n * d }.sum / baseN
+      else 0.0
+    val appendMean =
+      if (appended > 0L) batch.valuesIterator.map { case (n, d) => n * d }.sum / appended
+      else 0.0
+    val maxShare =
+      if (appended > 0L) batch.valuesIterator.map(_._1).max.toDouble / appended
+      else 0.0
+    val stats = IvfAppendStats(appended, base.size.max(1), baseMean, appendMean,
+      maxShare, perCell)
+    if (stats.drifted())
+      log.warn(f"ivfIndexAppend($indexDir): drift signal — distRatio=" +
+        f"${stats.distRatio}%.3f cellSkew=${stats.cellSkew}%.2f over " +
+        s"$appended appended rows; consider rebuilding the index")
+    stats
   }
 
   /** Probe a [[buildIvfIndex]] layout: rank the persisted centroid list

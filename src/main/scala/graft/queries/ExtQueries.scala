@@ -41,6 +41,29 @@ object ExtQueries {
         col("self_found"))
   }
 
+  /** e2s's build-then-append index, once per fixture dir: IVF built on the
+    * vec_id < 400 slice, the held-out rest appended through the no-refit
+    * path. Cached so repeated gate/bench runs measure the steady-state
+    * probe, not a fresh KMeans fit per run (the ensure* pattern; an
+    * explicit temp dir because appending into the shared content-addressed
+    * cache would mutate the index e2d/e2g probe). */
+  private val appendedIvfCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, graft.ext.Similarity.IvfAppendStats)]()
+  private def appendedIvfIndex(s: org.apache.spark.sql.SparkSession,
+                               dir: String,
+                               emb: org.apache.spark.sql.DataFrame)
+      : (String, graft.ext.Similarity.IvfAppendStats) =
+    appendedIvfCache.computeIfAbsent(dir, { _ =>
+      val idx = java.nio.file.Files.createTempDirectory("e2s-ivf")
+        .toString + "/idx"
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") < 400),
+        "vec_id", "embedding", idx)
+      val stats = Similarity.ivfIndexAppend(s, idx,
+        emb.filter(col("vec_id") >= 400), "vec_id", "embedding")
+      (idx, stats)
+    })
+
   val defs: Map[String, Q] = Map(
 
     // E1 — exact dedup cardinality.
@@ -1569,6 +1592,36 @@ object ExtQueries {
         nProbe = 6)
       val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 10)
       recallContract(exact, qtop)
+    },
+
+    // E2 — APPEND-THEN-PROBE lifecycle gate: build the IVF index on a
+    // 400-vector base slice, append the held-out rest through
+    // ivfIndexAppend (no refit — centroids stay frozen), then probe for an
+    // APPENDED vector's neighborhood. Contract: recall holds over the
+    // full corpus (the appended mass is first-class index content), the
+    // probe finds the appended query itself, the drift ledger counted
+    // every appended row, and the in-distribution batch does NOT fire the
+    // drift signal. Build+append run once per fixture dir (cached —
+    // steady-state probes are the measured shape, as in e2d).
+    "e2s_ivf_append_recall" -> Q(
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 450),
+        |topk AS (SELECT vec_id FROM embeddings
+        |         ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) DESC,
+        |                  vec_id ASC LIMIT 10)
+        |SELECT count(*) AS k, CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS self_found,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id >= 400) AS appended,
+        |       CAST(0 AS BIGINT) AS drifted
+        |FROM topk""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val (idx, stats) = appendedIvfIndex(s, dir, emb)
+      val query = emb.filter(col("vec_id") === 450)
+        .select("embedding").first().getSeq[Float](0)
+      val ivf = Similarity.ivfProbe(s, idx, "vec_id", "embedding", query, 10,
+        nProbe = 6)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 10)
+      recallContract(exact, ivf, selfId = 450L)
+        .withColumn("appended", lit(stats.appended))
+        .withColumn("drifted", lit(if (stats.drifted()) 1L else 0L))
     },
 
     // E2 — int8-quantized LSH ANN: hamming-ball pruned probe over 1-byte

@@ -428,9 +428,14 @@ class ExtOpsSpec extends SparkSpec {
     val extra = emb.filter(col("vec_id") >= 400)
     val dir = java.nio.file.Files.createTempDirectory("ivf-append").toString + "/idx"
     Similarity.buildIvfIndex(base, "vec_id", "embedding", dir)
-    Similarity.ivfIndexAppend(spark, dir, extra, "vec_id", "embedding")
+    val stats = Similarity.ivfIndexAppend(spark, dir, extra, "vec_id", "embedding")
     // nothing lost: the index now holds the whole corpus
     assert(spark.read.parquet(dir).count() == emb.count())
+    // in-distribution append: the drift ledger counts every row and stays
+    // quiet (same fixture distribution as the build slice)
+    assert(stats.appended == extra.count())
+    assert(!stats.drifted(), s"benign append flagged as drift: $stats")
+    assert(stats.distRatio > 0.5 && stats.distRatio < 1.5, stats.distRatio)
     // full-coverage probe over the appended index == brute force over the
     // full corpus (candidate set is total, ranking math is shared)
     val query = emb.filter(col("vec_id") === 450)
@@ -445,6 +450,37 @@ class ExtOpsSpec extends SparkSpec {
     val self = Similarity.ivfProbe(spark, dir, "vec_id", "embedding",
         query, 1, nProbe = 1).as[(Long, Double)].collect()
     assert(self.headOption.map(_._1).contains(450L))
+  }
+
+  test("IVF append: an out-of-distribution batch fires the drift signal") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") < 400)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-drift").toString + "/idx"
+    Similarity.buildIvfIndex(base, "vec_id", "embedding", dir)
+    // shift the held-out slice far outside the training distribution:
+    // every component offset by +10 — each vector lands ~sqrt(64)*10 ≈ 80
+    // from EVERY centroid of a unit-ish fixture, so the batch mean
+    // assigned distance dwarfs the build-time baseline, and the constant
+    // offset funnels the batch into few cells (skew fires too)
+    val shifted = emb.filter(col("vec_id") >= 400)
+      .withColumn("embedding",
+        expr("transform(embedding, x -> cast(x + 10.0 as float))"))
+    val stats = Similarity.ivfIndexAppend(spark, dir, shifted, "vec_id", "embedding")
+    assert(stats.appended > 0)
+    assert(stats.drifted(), s"shifted batch did not fire the signal: $stats")
+    assert(stats.distRatio > 1.5, s"distRatio ${stats.distRatio}")
+    // the ledger is per-cell and bounded by nLists
+    assert(stats.perCell.nonEmpty && stats.perCell.size <= 16)
+    // appending to a pre-baseline index (no _cellstats) fails loud
+    val legacy = java.nio.file.Files.createTempDirectory("ivf-legacy").toString + "/idx"
+    Similarity.buildIvfIndex(base, "vec_id", "embedding", legacy)
+    val fs = new org.apache.hadoop.fs.Path(legacy).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(legacy, "_cellstats"), true)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfIndexAppend(spark, legacy, shifted, "vec_id", "embedding")
+    }
+    assert(err.getMessage.contains("_cellstats"))
   }
 
   test("LSH append: appended index probes identically to a full rebuild") {
