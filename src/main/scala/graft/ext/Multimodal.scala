@@ -112,4 +112,105 @@ object Multimodal {
       col("media_id"),
       md5(col("content")).as("content_hash"),
       col("meta.n_bytes").as("n_bytes"))
+
+  /** REAL codec for the E3 decode lane: PNG via `javax.imageio` — pure
+    * JVM, headless-safe, no native libraries. This is the honest
+    * end-to-end path the [[FakeDecoder]] stands in for when no codec
+    * exists: actual compressed image bytes in the opaque binary column,
+    * an actual decoder running inside the partition batch. */
+  object PngCodec {
+    javax.imageio.ImageIO.setUseCache(false) // never spill decode scratch to disk
+
+    /** Deterministic planted image for `id`: dimensions and every pixel
+      * channel are closed-form functions of (id, x, y), each bounded
+      * below 256 WITHOUT an inner modulo so the expected pixel sum has a
+      * closed form any SQL engine can recompute (the e3e oracle):
+      *   w = 4 + id%5, h = 3 + id%4,
+      *   r = id%200 + 3x + 5y, g = id%100 + x, b = id%50 + 7y. */
+    def plantedPng(id: Long): Array[Byte] = {
+      val w = (4 + id % 5).toInt
+      val h = (3 + id % 4).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = (id % 200 + 3 * x + 5 * y).toInt
+          val g = (id % 100 + x).toInt
+          val b = (id % 50 + 7 * y).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Decode one payload; None when the bytes are not a decodable image
+      * (ImageIO returns null / throws on truncated streams). */
+    def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (bytes == null) None
+      else try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Fixture adapter for the real-codec lane: PNG-encode a planted image
+    * per id (partition-batched — the encoder is itself a codec running in
+    * the decode lane's execution shape) into the media schema. */
+  def plantedPngMedia(ids: DataFrame, idCol: String): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = Multimodal.PngCodec.plantedPng(id)
+          Row(id, bytes, Row("image/png", bytes.length.toLong, "planted"))
+        }
+      }(encoder)
+  }
+
+  /** The E3 decode lane with a REAL codec: `javax.imageio` PNG decode in
+    * partition batches over the opaque binary column. Emits the decoded
+    * dimensions and the pixel channel sum (the downstream feature a
+    * resize/normalize stage would consume); undecodable payloads yield
+    * null width/height/px_sum — kept, not dropped, so corrupt media is
+    * visible to the caller rather than silently filtered. Same plumbing
+    * as [[extractFeatures]]: schema in, mapPartitions boundary,
+    * repartition knob bounding per-task batch memory. */
+  def decodeImages(media: DataFrame, batchPartitions: Option[Int] = None): DataFrame = {
+    val in = batchPartitions.map(media.repartition).getOrElse(media)
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true),
+      StructField("px_sum", LongType, nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    in.select("media_id", "content")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Multimodal.PngCodec.decode(r.getAs[Array[Byte]]("content")) match {
+            case Some(img) =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              Row(id, w.toLong, h.toLong, sum)
+            case None => Row(id, null, null, null)
+          }
+        }
+      }(encoder)
+  }
 }

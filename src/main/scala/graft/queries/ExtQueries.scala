@@ -301,6 +301,30 @@ object ExtQueries {
       feats.select(col("media_id") +: col("n_bytes") +: laneCols: _*)
     },
 
+    // E3 — REAL codec end-to-end: planted PNGs (dimensions and every pixel
+    // channel closed-form in doc_id — no inner modulo, so the pixel sum
+    // has an exact closed form) are ENCODED with javax.imageio inside one
+    // partition-batched lane and DECODED with javax.imageio in the other.
+    // The oracle never sees the bytes: it recomputes width/height/px_sum
+    // from doc_id alone, so a hash match proves actual compressed-image
+    // round-tripping through a real codec, not plumbing over a stub.
+    //   px_sum = Σ_{x<w,y<h} (id%200+3x+5y) + (id%100+x) + (id%50+7y)
+    //          = w·h·(id%200+id%100+id%50) + 2·h·w·(w−1) + 6·w·h·(h−1)
+    "e3e_png_decode" -> Q(
+      """SELECT doc_id AS media_id,
+        |       CAST(4 + doc_id % 5 AS BIGINT) AS width,
+        |       CAST(3 + doc_id % 4 AS BIGINT) AS height,
+        |       CAST((4 + doc_id % 5) * (3 + doc_id % 4)
+        |              * (doc_id % 200 + doc_id % 100 + doc_id % 50)
+        |            + 2 * (3 + doc_id % 4) * (4 + doc_id % 5) * (3 + doc_id % 5)
+        |            + 6 * (4 + doc_id % 5) * (3 + doc_id % 4) * (2 + doc_id % 4)
+        |         AS BIGINT) AS px_sum
+        |FROM documents WHERE doc_id < 200""".stripMargin) { (s, dir) =>
+      val media = Multimodal.plantedPngMedia(
+        Tables.documents(s, dir).filter(col("doc_id") < 200), "doc_id")
+      Multimodal.decodeImages(media, batchPartitions = Some(8))
+    },
+
     // E3 — frame sampling over the binary payload (every 4th 64-byte
     // frame). The oracle recomputes the frames from the text (ASCII fixture
     // ⇒ bytes == chars) and hashes them identically.

@@ -1026,4 +1026,31 @@ class ExtOpsSpec extends SparkSpec {
         .sortBy(_._1).toList
     assert(snapshot(4) == snapshot(2))
   }
+
+  test("PNG codec lane: real imageio round-trip matches the closed form; corrupt bytes yield nulls") {
+    import spark.implicits._
+    val ids = spark.range(0, 40).select(col("id").as("doc_id"))
+    val media = Multimodal.plantedPngMedia(ids, "doc_id")
+    // the payloads are REAL PNGs, not fixture text
+    val sig = media.select("content").first().getAs[Array[Byte]](0).take(8)
+    assert(sig.map(_ & 0xff).startsWith(Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt)))
+    val got = Multimodal.decodeImages(media, batchPartitions = Some(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toList
+    val want = (0L until 40L).map { id =>
+      val (w, h) = ((4 + id % 5), (3 + id % 4))
+      val a = id % 200 + id % 100 + id % 50
+      (id, w, h, w * h * a + 2 * h * w * (w - 1) + 6 * w * h * (h - 1))
+    }.toList
+    assert(got == want)
+    // an undecodable payload keeps its row with null decode columns
+    val corrupt = Seq((99L, Array[Byte](1, 2, 3), ("image/png", 3L, "bad")))
+      .toDF("media_id", "content", "m")
+      .select(col("media_id"), col("content"),
+        struct(col("m._1").as("mime"), col("m._2").as("n_bytes"),
+          col("m._3").as("source")).as("meta"))
+    val badRow = Multimodal.decodeImages(corrupt).first()
+    assert(badRow.getLong(0) == 99L && badRow.isNullAt(1) &&
+      badRow.isNullAt(2) && badRow.isNullAt(3))
+  }
 }
