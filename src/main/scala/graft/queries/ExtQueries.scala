@@ -1470,6 +1470,115 @@ object ExtQueries {
             TextAnalysis.tokenCount(col("text")).between(50L, 100000L)))
     },
 
+    // [EXT] — the curation pipeline under the FULL Gopher conjunction
+    // (e10 gates the composition with the n_tokens rule alone because the
+    // stopword-free fixture soup fails the stopword rule wholesale; here
+    // the corpus is CONSTRUCTED so every Gopher rule discriminates).
+    // Per-rule plants, all on top of a stopword pad (" the of and that
+    // have" ×12 — 60 tokens, 4 distinct stopwords) that makes the base
+    // variants pass every rule (margins verified against the fixture's
+    // n∈[10,98], mean-word-len∈[3.9,5.2] envelope):
+    //   +0      unchanged        → fails rule_stop (no stopwords in vocab)
+    //   +100000 padded           → passes ALL rules (the keep pool)
+    //   +200000 padded, 2×space  → exact_dup of its +100000 twin
+    //   +300000 padded+30-char tokens → fails ONLY rule_word_len (>10)
+    //   +400000 padded+15×'###'  → fails ONLY rule_symbol (alpha stays ≥.8)
+    //   +500000 padded+40×'12345'→ fails ONLY rule_alpha
+    //   +600000 'the of '+10 tokens → fails ONLY rule_n_tokens (<50)
+    // Near-dup edges: exact unigram-Jaccard pairs (threshold 0.8) so the
+    // oracle rebuilds the identical graph; verdict CASE identical to e10.
+    "e10b_curation_full_gopher" -> Q(
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, text FROM documents WHERE doc_id < 40
+        |      UNION ALL
+        |      SELECT doc_id + 100000, text || repeat(' the of and that have', 12)
+        |      FROM documents WHERE doc_id < 40
+        |      UNION ALL
+        |      SELECT doc_id + 200000,
+        |             regexp_replace(text || repeat(' the of and that have', 12), ' ', '  ', 'g')
+        |      FROM documents WHERE doc_id < 10
+        |      UNION ALL
+        |      SELECT doc_id + 300000, text || repeat(' the of and that have', 12)
+        |             || repeat(' abcdefghijklmnopqrstuvwxyzabcd', 60)
+        |      FROM documents WHERE doc_id < 5
+        |      UNION ALL
+        |      SELECT doc_id + 400000, text || repeat(' the of and that have', 12)
+        |             || repeat(' ###', 15)
+        |      FROM documents WHERE doc_id < 5
+        |      UNION ALL
+        |      SELECT doc_id + 500000, text || repeat(' the of and that have', 12)
+        |             || repeat(' 12345', 40)
+        |      FROM documents WHERE doc_id < 5
+        |      UNION ALL
+        |      SELECT doc_id + 600000,
+        |             'the of ' || array_to_string((regexp_split_to_array(text, '\s+'))[1:10], ' ')
+        |      FROM documents WHERE doc_id < 5),
+        |t AS (SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS ta FROM d),
+        |q AS (SELECT doc_id,
+        |        CAST(NOT (
+        |          CAST(len(ta) AS BIGINT) BETWEEN 50 AND 100000
+        |          AND round(list_sum(list_transform(ta, x -> length(x))) * 1.0 / len(ta), 6) BETWEEN 3 AND 10
+        |          AND round((length(text) - length(replace(text, '#', ''))
+        |                     + len(regexp_extract_all(text, '\.\.\.'))) * 1.0 / len(ta), 6) <= 0.1
+        |          AND round(len(list_filter(ta, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0 / len(ta), 6) >= 0.8
+        |          AND CAST(len(list_intersect(list_distinct(ta),
+        |               ['the','be','to','of','and','that','have','with'])) AS BIGINT) >= 2
+        |        ) AS BIGINT) AS bad_q
+        |      FROM t),
+        |p AS (SELECT doc_id FROM q WHERE bad_q = 0),
+        |fpk AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY
+        |          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS fp_keeper
+        |        FROM d WHERE doc_id IN (SELECT doc_id FROM p)),
+        |tok AS (SELECT DISTINCT doc_id, unnest(ta) AS token FROM t
+        |        WHERE doc_id IN (SELECT doc_id FROM p)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |          FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id FROM inter
+        |          JOIN sizes sa ON sa.doc_id = a_id
+        |          JOIN sizes sb ON sb.doc_id = b_id
+        |          WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.8),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT doc_id, doc_id FROM p
+        |  UNION
+        |  SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.node),
+        |comp AS (SELECT node AS doc_id, min(label) AS cluster_id
+        |         FROM reach GROUP BY node)
+        |SELECT q.doc_id,
+        |       CASE WHEN q.bad_q = 1 THEN 'quality'
+        |            WHEN f.fp_keeper <> q.doc_id THEN 'exact_dup'
+        |            WHEN c.cluster_id <> q.doc_id THEN 'near_dup'
+        |            ELSE 'kept' END AS drop_reason,
+        |       CAST(q.bad_q = 0 AND f.fp_keeper = q.doc_id
+        |            AND c.cluster_id = q.doc_id AS BIGINT) AS kept
+        |FROM q LEFT JOIN fpk f USING (doc_id) LEFT JOIN comp c USING (doc_id)""".stripMargin) {
+      (s, dir) =>
+        val base = Tables.documents(s, dir)
+          .filter(col("doc_id") < 40).select("doc_id", "text")
+        val pad = lit(" the of and that have" * 12)
+        def variant(maxId: Long, offset: Long)(
+            f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+          base.filter(col("doc_id") < maxId)
+            .select((col("doc_id") + offset).as("doc_id"),
+              f(col("text")).as("text"))
+        val corpus = base
+          .unionByName(variant(40, 100000)(t => concat(t, pad)))
+          .unionByName(variant(10, 200000)(t =>
+            regexp_replace(concat(t, pad), " ", "  ")))
+          .unionByName(variant(5, 300000)(t =>
+            concat(t, pad, lit(" abcdefghijklmnopqrstuvwxyzabcd" * 60))))
+          .unionByName(variant(5, 400000)(t => concat(t, pad, lit(" ###" * 15))))
+          .unionByName(variant(5, 500000)(t => concat(t, pad, lit(" 12345" * 40))))
+          .unionByName(variant(5, 600000)(t => concat(lit("the of "),
+            array_join(slice(split(t, "\\s+"), 1, 10), " "))))
+        val edges = Dedup.unigramJaccardPairs(corpus, "doc_id", "text",
+          threshold = 0.8)
+        Curation.curate(corpus, "doc_id", "text", edges) // default: FULL gopher
+    },
+
     // E1 — cross-table MinHash near-dup JOIN (entity linking): left = docs
     // [0,250), right = docs [100,350) under shifted ids. threshold = 1.0
     // makes the gate EXACT row equality, not a recall contract: identical

@@ -946,6 +946,55 @@ class ExtOpsSpec extends SparkSpec {
       3L -> ("quality", 0L), 4L -> ("near_dup", 0L)))
   }
 
+  test("e10b corpus: every Gopher rule discriminates (>=1 passer and >=1 sole failer)") {
+    // Reconstruct the e10b planted corpus and run the FULL rule set over
+    // it: each rule must have passing docs AND failing docs, and each of
+    // the four isolated plants must fail EXACTLY its targeted rule —
+    // otherwise the composed full-gopher gate exercises fewer rules than
+    // it claims.
+    val base = graft.core.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 40).select("doc_id", "text")
+    val pad = lit(" the of and that have" * 12)
+    def variant(maxId: Long, offset: Long)(
+        f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      base.filter(col("doc_id") < maxId)
+        .select((col("doc_id") + offset).as("doc_id"), f(col("text")).as("text"))
+    val corpus = base
+      .unionByName(variant(40, 100000)(t => concat(t, pad)))
+      .unionByName(variant(5, 300000)(t =>
+        concat(t, pad, lit(" abcdefghijklmnopqrstuvwxyzabcd" * 60))))
+      .unionByName(variant(5, 400000)(t => concat(t, pad, lit(" ###" * 15))))
+      .unionByName(variant(5, 500000)(t => concat(t, pad, lit(" 12345" * 40))))
+      .unionByName(variant(5, 600000)(t => concat(lit("the of "),
+        array_join(slice(split(t, "\\s+"), 1, 10), " "))))
+    val rules = Seq("rule_n_tokens", "rule_word_len", "rule_symbol",
+      "rule_alpha", "rule_stop")
+    val got = TextAnalysis.gopherRules(corpus, "doc_id", "text")
+      .select(col("doc_id") +: rules.map(col): _*)
+      .collect().map(r => r.getLong(0) -> rules.zipWithIndex
+        .map { case (n, i) => n -> r.getLong(i + 1) }.toMap).toMap
+    rules.foreach { r =>
+      assert(got.values.exists(_(r) == 1L), s"$r never passes")
+      assert(got.values.exists(_(r) == 0L), s"$r never fails")
+    }
+    // the padded pool passes everything...
+    (100000L until 100040L).filter(got.contains).foreach { id =>
+      assert(got(id).values.forall(_ == 1L), s"padded doc $id fails: ${got(id)}")
+    }
+    // ...and each plant fails exactly its targeted rule
+    def soleFailure(id: Long, r: String) = {
+      assert(got(id)(r) == 0L, s"doc $id passes $r")
+      assert(got(id).filter(_._1 != r).values.forall(_ == 1L),
+        s"doc $id fails more than $r: ${got(id)}")
+    }
+    (300000L until 300005L).foreach(soleFailure(_, "rule_word_len"))
+    (400000L until 400005L).foreach(soleFailure(_, "rule_symbol"))
+    (500000L until 500005L).foreach(soleFailure(_, "rule_alpha"))
+    (600000L until 600005L).foreach(soleFailure(_, "rule_n_tokens"))
+    // the unchanged fixture docs fail the stopword rule
+    (0L until 40L).foreach(id => assert(got(id)("rule_stop") == 0L))
+  }
+
   test("curation: NULL text fails quality, never falls through to kept") {
     val good = "the be to of and " + Seq.fill(55)("word").mkString(" ")
     val docs = Seq((1L, good), (2L, null.asInstanceOf[String]))
