@@ -9,6 +9,16 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Test-only: the DuckDB JDBC driver already present in the local coursier
+// cache (no resolution, no egress) lets DuckDbSyncSpec execute the
+// PostgreSQL dialect SQL (ON CONFLICT upsert, IF NOT EXISTS DDL) against
+// an in-process engine. Guarded so a missing cache degrades to the spec
+// skipping, never a broken build.
+Test / unmanagedJars ++= {
+  val cache = file(sys.props.getOrElse("user.home", "/root") + "/.cache/coursier")
+  val jars = if (cache.exists) (cache ** "duckdb_jdbc-*.jar").get() else Seq.empty
+  jars.headOption.map(Attributed.blank(_)).toSeq
+}
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

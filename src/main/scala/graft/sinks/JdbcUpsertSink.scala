@@ -79,8 +79,12 @@ object JdbcUpsertSink {
     * probe reads a live table as absent — and a dialect without CREATE
     * TABLE IF NOT EXISTS then fails the second run with already-exists. */
   private[graft] def tableExists(conn: Connection, name: String): Boolean = {
+    // both type labels: Derby/PG report "TABLE", information_schema-style
+    // drivers (DuckDB) report "BASE TABLE" — one-label filters miss live
+    // tables there and the create below would fail with already-exists
     def check(n: String): Boolean = {
-      val rs = conn.getMetaData.getTables(null, null, n, Array("TABLE"))
+      val rs = conn.getMetaData.getTables(null, null, n,
+        Array("TABLE", "BASE TABLE"))
       try rs.next() finally rs.close()
     }
     check(name) || check(name.toUpperCase) || check(name.toLowerCase)

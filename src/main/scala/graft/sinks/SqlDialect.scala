@@ -109,6 +109,14 @@ object SqlDialect {
     }
   }
 
+  /** DuckDB speaks the PostgreSQL dialect wholesale — `CREATE TABLE IF
+    * NOT EXISTS` with PKs, `INSERT ... ON CONFLICT (pk) DO UPDATE SET ...
+    * WHERE ...` with `EXCLUDED`, and the PG type aliases (TEXT, BYTEA,
+    * DOUBLE PRECISION, TIMESTAMPTZ) — so a DuckDB destination rides the
+    * native batched-upsert fast path, and the PG dialect SQL executes
+    * end-to-end in-process (DuckDbSyncSpec) without a live server. */
   def forUrl(url: String): SqlDialect =
-    if (url.startsWith("jdbc:postgresql")) Postgres else Generic
+    if (url.startsWith("jdbc:postgresql") || url.startsWith("jdbc:duckdb"))
+      Postgres
+    else Generic
 }

@@ -47,9 +47,13 @@ final class JdbcSource(url: String, props: Properties) {
     try f(conn) finally conn.close()
   }
 
-  /** S6 — verify connectivity and that `table` exists. */
+  /** S6 — verify connectivity and that `table` exists. Drivers disagree
+    * on the plain-table type label — Derby/PG say "TABLE", engines that
+    * mirror information_schema (DuckDB) say "BASE TABLE" — so the probe
+    * accepts both; a single-label filter reads a live table as absent. */
   def preflight(table: String): Unit = withConnection { conn =>
-    val rs = conn.getMetaData.getTables(null, null, table, Array("TABLE"))
+    val rs = conn.getMetaData.getTables(null, null, table,
+      Array("TABLE", "BASE TABLE"))
     try { if (!rs.next()) throw GraftError.MissingTable(table) }
     finally rs.close()
   }

@@ -36,8 +36,12 @@ trait JdbcSyncBehaviors { this: SparkSpec =>
   /** False → every shared test is skipped (assume), e.g. no live PG. */
   protected def dbAvailable: Boolean = true
 
+  /** Why this arm skips when [[dbAvailable]] is false. */
+  protected def unavailableReason: String =
+    "GRAFT_PG_URL not set — live-PostgreSQL arm skipped"
+
   private def skipUnlessAvailable(): Unit =
-    assume(dbAvailable, "GRAFT_PG_URL not set — live-PostgreSQL arm skipped")
+    assume(dbAvailable, unavailableReason)
 
   protected def exec(url: String, sql: String): Unit = {
     val conn = DriverManager.getConnection(url)
@@ -195,7 +199,10 @@ trait JdbcSyncBehaviors { this: SparkSpec =>
         estimatedRows = 61L, targetRowsPerSlice = 20L)
     assert(df.rdd.getNumPartitions == 4) // ceil(61/20) slices
     assert(df.count() == 61)
-    assert(df.agg(min("UPDATED"), max("UPDATED")).first().toSeq == Seq(200L, 800L))
+    // compare as longs: the JDBC schema's numeric box differs by driver
+    // (Derby BIGINT → Long, DuckDB's metadata maps through DECIMAL)
+    assert(df.agg(min("UPDATED"), max("UPDATED")).first().toSeq
+      .map(_.asInstanceOf[Number].longValue()) == Seq(200L, 800L))
   }
 
   test("S6 preflight: typed errors for missing table") {
@@ -292,4 +299,32 @@ class PostgresSyncSpec extends SparkSpec with JdbcSyncBehaviors {
     exec(url, s"CREATE SCHEMA $schema")
     url + (if (url.contains("?")) "&" else "?") + s"currentSchema=$schema"
   }
+}
+
+/** DuckDB arm: the SAME spec body against in-process DuckDB, which speaks
+  * the PostgreSQL dialect — so the native `INSERT ... ON CONFLICT DO
+  * UPDATE ... WHERE` fast path, the `IF NOT EXISTS` create-with-PK DDL,
+  * and the PG type names EXECUTE end-to-end without a live server or any
+  * egress (`SqlDialect.forUrl` routes `jdbc:duckdb` to the Postgres
+  * dialect for exactly this reason). File-backed per-test databases: an
+  * in-memory `jdbc:duckdb:` URL gives every `DriverManager.getConnection`
+  * its own private database, which the multi-connection sink/source
+  * protocol would never see twice. Gated on the driver jar being on the
+  * test classpath (pre-warmed local cache — skips cleanly when absent). */
+class DuckDbSyncSpec extends SparkSpec with JdbcSyncBehaviors {
+
+  override protected def dbAvailable: Boolean =
+    try { Class.forName("org.duckdb.DuckDBDriver"); true }
+    catch { case _: ClassNotFoundException => false }
+
+  override protected def unavailableReason: String =
+    "DuckDB JDBC driver not on the test classpath — DuckDB arm skipped"
+
+  override protected def doubleType: String = "DOUBLE PRECISION"
+
+  private lazy val dbRoot =
+    java.nio.file.Files.createTempDirectory("graft-duckdb").toString
+
+  override protected def freshDb(name: String): String =
+    s"jdbc:duckdb:$dbRoot/$name.duckdb"
 }
