@@ -896,17 +896,32 @@ object Similarity {
     * MinHash catches reworded COPIES (shingle overlap), this catches
     * semantic duplicates with zero lexical overlap.
     *
-    * Scale shape: the k-means fit is the only corpus-global step (one pass,
-    * seeded, deterministic); pair generation is an equi-join on the cell id
-    * carrying only (id, cell) — vectors join back by id for the exact
-    * cosine on candidates, never riding the self-join. Within-cluster
-    * comparison is the SemDeDup trade: pairs straddling a cluster boundary
-    * are missed (raise nClusters for tighter cells, lower it for recall).
-    * A degenerate cluster — a boilerplate blob collapsing into one cell —
-    * would make its self-join quadratic, so cells pass through
-    * [[Dedup.capOversizedBands]]; the `Counted` variant surfaces the drop
-    * ledger. Components come from [[DupClusters.connectedComponents]]
-    * (O(log n) rounds, converged-or-throw).
+    * Scale shape: EXACT-duplicate vectors collapse FIRST — one hash
+    * aggregation on the vector value picks a min-id representative per
+    * distinct payload, and only representatives enter the k-means fit and
+    * the pairwise stage. Replica-heavy corpora (the common real case:
+    * mirrored shards, re-crawls, augmentation copies) otherwise make the
+    * within-cell pair step quadratic in the duplication factor — measured
+    * as a 6.8 s → 1593 s blowup on a ×50-replicated sf0.1 corpus before
+    * this pass, 40× less pair work after (SCALE.md). Identical vectors are
+    * semantic duplicates at ANY valid threshold (cos = 1), so collapsing
+    * them early is semantics-preserving: members re-join their
+    * representative's cluster at the end, and cluster labels are unchanged
+    * (a representative is the min id of its exact group, so the min
+    * representative in a component is the min member overall).
+    *
+    * After the collapse, the k-means fit is the only corpus-global step
+    * (one pass, seeded, deterministic); pair generation is an equi-join on
+    * the cell id carrying only (id, cell) — vectors join back by id for
+    * the exact cosine on candidates, never riding the self-join.
+    * Within-cluster comparison is the SemDeDup trade: pairs straddling a
+    * cluster boundary are missed (raise nClusters for tighter cells, lower
+    * it for recall). A degenerate cluster — a boilerplate blob collapsing
+    * into one cell — would make its self-join quadratic, so cells pass
+    * through [[Dedup.capOversizedBands]] (counted over DISTINCT vectors);
+    * the `Counted` variant surfaces the drop ledger. Components come from
+    * [[DupClusters.connectedComponents]] (O(log n) rounds,
+    * converged-or-throw).
     *
     * @return the surviving rows of `embeddings` (one canonical per
     *         duplicate component, everything else untouched) */
@@ -928,7 +943,20 @@ object Similarity {
     require(threshold > -1.0 && threshold <= 1.0,
       s"threshold must be a cosine in (-1, 1]: $threshold")
     require(nClusters >= 2, s"nClusters must be >= 2 (KMeans): $nClusters")
-    val (assigned, _) = fitCells(embeddings, vecCol, nClusters, seed)
+    val base = embeddings.select(col(idCol), col(vecCol))
+    // 0) exact collapse: min-id representative per DISTINCT vector value
+    // (one hash agg on the payload; cos(exact twins) = 1 ≥ any valid
+    // threshold, so this is semantics-preserving — see scaladoc). Both
+    // frames are read by several stages below — checkpoint once.
+    val reps = base.groupBy(col(vecCol))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col(vecCol))
+      .localCheckpoint()
+    val memberRep = base
+      .join(reps.select(col(idCol).as("__rep"), col(vecCol)), Seq(vecCol))
+      .select(col(idCol), col("__rep"))
+      .localCheckpoint()
+    val (assigned, _) = fitCells(reps, vecCol, nClusters, seed)
     val (cells, stats) = Dedup.capOversizedBands(
       assigned.select(col(idCol), col("__cell")), "__cell", maxClusterSize,
       "semanticDedup")
@@ -937,17 +965,22 @@ object Similarity {
     // one cell per doc ⇒ each pair meets at most once; no distinct needed
     val cand = a.join(b, a("__cell") === b("__cell") && col("a_id") < col("b_id"))
       .select("a_id", "b_id")
-    val va = embeddings.select(col(idCol).as("a_id"), col(vecCol).as("__va"))
-    val vb = embeddings.select(col(idCol).as("b_id"), col(vecCol).as("__vb"))
+    val va = reps.select(col(idCol).as("a_id"), col(vecCol).as("__va"))
+    val vb = reps.select(col(idCol).as("b_id"), col(vecCol).as("__vb"))
     val pairs = cand.join(va, "a_id").join(vb, "b_id")
       .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id")
-    val cc = DupClusters.clusters(embeddings.select(col(idCol)), idCol,
+    val cc = DupClusters.clusters(reps.select(col(idCol)), idCol,
       pairs, "a_id", "b_id", maxIter)
-    (embeddings.join(
-      cc.filter(col("is_canonical") === 1L).select(col(idCol)), Seq(idCol)),
-      stats)
+    // expand representatives' components back over their exact groups:
+    // a member's cluster is its representative's cluster, and the label
+    // (min rep id) is already the min member id of the expanded cluster
+    val canonical = memberRep
+      .join(cc.select(col(idCol).as("__rep"), col("cluster_id")), Seq("__rep"))
+      .filter(col(idCol) === col("cluster_id"))
+      .select(col(idCol))
+    (embeddings.join(canonical, Seq(idCol)), stats)
   }
 
   /** Deterministic pseudo-random plane matrix for the banded near-dup LSH,
