@@ -657,26 +657,61 @@ object Similarity {
     val idxFields = spark.read.parquet(indexDir).schema.fieldNames.toSet
     require(!idxFields.contains("__codes"),
       s"$indexDir is a QUANTIZED layout — float append would corrupt it; " +
-        "quantize the batch and append through the quantized builder instead")
+        "use ivfIndexAppendQuantized instead")
     require(idxFields.contains(idCol) && idxFields.contains(vecCol),
       s"$indexDir schema (${idxFields.mkString(",")}) does not match " +
         s"($idCol, $vecCol)")
+    val assigned = assignToCells(spark, indexDir, newVectors, idCol, vecCol)
+    assigned.drop("__d")
+      .write.mode(SaveMode.Append).partitionBy("__cell").parquet(indexDir)
+    driftStats(spark, indexDir, assigned, "ivfIndexAppend")
+  }
+
+  /** [[ivfIndexAppend]]'s twin for [[buildIvfIndexQuantized]] layouts:
+    * assign to the frozen centroids, quantize the batch (the int8 grid is
+    * PER-VECTOR — each row's mn/scale derive from that row alone, so
+    * appended codes are exactly what a full rebuild would produce), append
+    * to the touched cell partitions, return the same drift ledger. */
+  def ivfIndexAppendQuantized(spark: SparkSession, indexDir: String,
+                              newVectors: DataFrame, idCol: String,
+                              vecCol: String): IvfAppendStats = {
+    val idxFields = spark.read.parquet(indexDir).schema.fieldNames.toSet
+    require(idxFields.contains("__codes"),
+      s"$indexDir is a FLOAT layout — use ivfIndexAppend instead")
+    require(idxFields.contains(idCol),
+      s"$indexDir schema (${idxFields.mkString(",")}) does not carry $idCol")
+    val assigned = assignToCells(spark, indexDir, newVectors, idCol, vecCol)
+    quantizedPayload(assigned, idCol, vecCol, keep = Seq("__cell"))
+      .write.mode(SaveMode.Append).partitionBy("__cell").parquet(indexDir)
+    driftStats(spark, indexDir, assigned, "ivfIndexAppendQuantized")
+  }
+
+  /** Shared append front half: nearest-cell assignment from the persisted
+    * centroids plus the assigned distance, materialized ONCE — the
+    * partitioned write and the drift aggregation both read it (recomputing
+    * the full centroid ranking per consumer would double the batch's
+    * dominant cost). Fails loud when `_cellstats` is absent: appending
+    * without a drift baseline is how recall decays silently. */
+  private def assignToCells(spark: SparkSession, indexDir: String,
+                            newVectors: DataFrame, idCol: String,
+                            vecCol: String): DataFrame = {
     val statsPath = new Path(indexDir, "_cellstats")
     val statsFs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(statsFs.exists(statsPath),
       s"no _cellstats under $indexDir — the index predates the drift " +
-        "baseline; rebuild with buildIvfIndex before appending")
+        "baseline; rebuild before appending")
     val dists = centroidDists(col(vecCol), centroidsLit(spark, indexDir))
-    // materialize the assignment ONCE: the partitioned append and the
-    // drift aggregation below both read it (recomputing the full centroid
-    // ranking per consumer would double the batch's dominant cost)
-    val assigned = newVectors
+    newVectors
       .select(col(idCol), col(vecCol),
         element_at(dists, 1).getField("cell").as("__cell"),
         sqrt(element_at(dists, 1).getField("d")).as("__d"))
       .localCheckpoint()
-    assigned.drop("__d")
-      .write.mode(SaveMode.Append).partitionBy("__cell").parquet(indexDir)
+  }
+
+  /** Shared append back half: the bounded drift aggregation (≤ nLists rows
+    * collected) compared against the build-time `_cellstats` baseline. */
+  private def driftStats(spark: SparkSession, indexDir: String,
+                         assigned: DataFrame, opName: String): IvfAppendStats = {
     val batch = assigned
       .groupBy(col("__cell").cast("int").as("cell"))
       .agg(count(lit(1)).as("an"), avg("__d").as("ad"))
@@ -704,7 +739,7 @@ object Similarity {
     val stats = IvfAppendStats(appended, base.size.max(1), baseMean, appendMean,
       maxShare, perCell)
     if (stats.drifted())
-      log.warn(f"ivfIndexAppend($indexDir): drift signal — distRatio=" +
+      log.warn(f"$opName($indexDir): drift signal — distRatio=" +
         f"${stats.distRatio}%.3f cellSkew=${stats.cellSkew}%.2f over " +
         s"$appended appended rows; consider rebuilding the index")
     stats
@@ -778,6 +813,7 @@ object Similarity {
     quantizedPayload(assigned, idCol, vecCol, keep = Seq("__cell"))
       .write.mode(SaveMode.Overwrite).partitionBy("__cell").parquet(indexDir)
     writeCentroids(embeddings.sparkSession, indexDir, centers)
+    writeCellStats(assigned, vecCol, centers, indexDir)
   }
 
   /** Project the quantized index row payload: id + dequantization scalars

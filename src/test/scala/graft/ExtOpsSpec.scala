@@ -483,6 +483,36 @@ class ExtOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("_cellstats"))
   }
 
+  test("quantized IVF append: appended index probes identically to a full rebuild") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") < 400)
+    val extra = emb.filter(col("vec_id") >= 400)
+    val work = java.nio.file.Files.createTempDirectory("ivfq-append").toString
+    Similarity.buildIvfIndexQuantized(base, "vec_id", "embedding", s"$work/inc")
+    val stats = Similarity.ivfIndexAppendQuantized(spark, s"$work/inc", extra,
+      "vec_id", "embedding")
+    assert(stats.appended == extra.count() && !stats.drifted())
+    // per-vector quantization ⇒ appended codes equal what a full rebuild
+    // produces, so full-coverage probes of the two layouts agree exactly
+    Similarity.buildIvfIndexQuantized(emb, "vec_id", "embedding", s"$work/full")
+    val query = emb.filter(col("vec_id") === 450)
+      .select("embedding").first().getSeq[Float](0)
+    def probe(dir: String) =
+      Similarity.ivfProbeQuantized(spark, dir, "vec_id", query, 10, nProbe = 16)
+        .as[(Long, Double)].collect().toSeq
+    assert(probe(s"$work/inc") == probe(s"$work/full"))
+    // layout direction guards: float append refuses the quantized layout
+    // and names the right API; quantized append refuses the float layout
+    val eF = intercept[IllegalArgumentException](
+      Similarity.ivfIndexAppend(spark, s"$work/inc", extra, "vec_id", "embedding"))
+    assert(eF.getMessage.contains("ivfIndexAppendQuantized"))
+    val floatDir = java.nio.file.Files.createTempDirectory("ivf-float").toString + "/idx"
+    Similarity.buildIvfIndex(base, "vec_id", "embedding", floatDir)
+    val eQ = intercept[IllegalArgumentException](
+      Similarity.ivfIndexAppendQuantized(spark, floatDir, extra, "vec_id", "embedding"))
+    assert(eQ.getMessage.contains("ivfIndexAppend"))
+  }
+
   test("LSH append: appended index probes identically to a full rebuild") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     val base = emb.filter(col("vec_id") < 400)
