@@ -1003,8 +1003,19 @@ object Similarity {
       .select("a_id", "b_id")
     val va = reps.select(col(idCol).as("a_id"), col(vecCol).as("__va"))
     val vb = reps.select(col(idCol).as("b_id"), col(vecCol).as("__vb"))
+    // the candidate cosine is the hot loop (pairs × dim): float embeddings
+    // ride the codegen'd native kernel (bit-identical to the HOF fold for
+    // the embeddings contract — equal lengths, no null elements, spec'd in
+    // CosineSimilaritySpec); other element types keep the HOF composition
+    val cosPair = embeddings.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) =>
+        graft.functions.GraftFunctions.register(embeddings.sparkSession)
+        expr("cosine_sim(__va, __vb)")
+      case _ => cosine(col("__va"), col("__vb"))
+    }
     val pairs = cand.join(va, "a_id").join(vb, "b_id")
-      .withColumn("cos", round(cosine(col("__va"), col("__vb")), 6))
+      .withColumn("cos", round(cosPair, 6))
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id")
     val cc = DupClusters.clusters(reps.select(col(idCol)), idCol,
