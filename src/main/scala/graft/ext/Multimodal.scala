@@ -173,6 +173,50 @@ object Multimodal {
       }(encoder)
   }
 
+  /** Image RESIZE in the codec lane (the mandate's resize verb, real):
+    * decode → deterministic nearest-neighbor downscale/upscale → re-encode
+    * PNG, all inside the partition batch. The sampling rule is explicit
+    * integer math — destination (x, y) reads source
+    * (x·srcW / dstW, y·srcH / dstH), floor division — rather than
+    * `AffineTransformOp`, whose rounding convention is implementation-
+    * defined; this keeps the output pixel-exactly reproducible by any
+    * engine (the e3f oracle recomputes the resized pixel sum in SQL).
+    * Undecodable payloads pass through with NULL content, mirroring
+    * [[decodeImages]]' corrupt-row contract. */
+  def resizeImages(media: DataFrame, width: Int, height: Int,
+                   batchPartitions: Option[Int] = None): DataFrame = {
+    require(width > 0 && height > 0, s"bad target size ${width}x$height")
+    val in = batchPartitions.map(media.repartition).getOrElse(media)
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    in.select("media_id", "content", "meta.source")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val srcName = r.getString(2)
+          Multimodal.PngCodec.decode(r.getAs[Array[Byte]](1)) match {
+            case Some(src) =>
+              val out = new java.awt.image.BufferedImage(
+                width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < height) {
+                var x = 0
+                while (x < width) {
+                  out.setRGB(x, y, src.getRGB(
+                    x * src.getWidth / width, y * src.getHeight / height))
+                  x += 1
+                }
+                y += 1
+              }
+              val buf = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", buf)
+              val bytes = buf.toByteArray
+              Row(id, bytes, Row("image/png", bytes.length.toLong, srcName))
+            case None => Row(id, null, Row("image/png", null, srcName))
+          }
+        }
+      }(encoder)
+  }
+
   /** The E3 decode lane with a REAL codec: `javax.imageio` PNG decode in
     * partition batches over the opaque binary column. Emits the decoded
     * dimensions and the pixel channel sum (the downstream feature a

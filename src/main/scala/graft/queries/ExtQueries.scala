@@ -325,6 +325,31 @@ object ExtQueries {
       Multimodal.decodeImages(media, batchPartitions = Some(8))
     },
 
+    // E3 — RESIZE through the real codec: planted PNGs decoded, resized
+    // 8×5 by the documented floor-division nearest-neighbor rule,
+    // re-encoded, then decoded AGAIN by the e3e lane. The oracle maps each
+    // destination pixel back to its source coordinate ((x·w)//8, (y·h)//5)
+    // and recomputes the resized pixel sum from doc_id alone — two full
+    // codec round-trips verified without the oracle seeing any bytes.
+    "e3f_png_resize" -> Q(
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |           FROM documents WHERE doc_id < 200),
+        |px AS (SELECT d.doc_id, d.w, d.h, X.x AS xx, Y.y AS yy
+        |       FROM d, unnest(range(8)) AS X(x), unnest(range(5)) AS Y(y)),
+        |m AS (SELECT doc_id,
+        |        (doc_id % 200 + 3 * ((xx * w) // 8) + 5 * ((yy * h) // 5))
+        |      + (doc_id % 100 + ((xx * w) // 8))
+        |      + (doc_id % 50 + 7 * ((yy * h) // 5)) AS v
+        |      FROM px)
+        |SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS width,
+        |       CAST(5 AS BIGINT) AS height, CAST(sum(v) AS BIGINT) AS px_sum
+        |FROM m GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.plantedPngMedia(
+        Tables.documents(s, dir).filter(col("doc_id") < 200), "doc_id")
+      Multimodal.decodeImages(
+        Multimodal.resizeImages(media, 8, 5, batchPartitions = Some(8)))
+    },
+
     // E3 — frame sampling over the binary payload (every 4th 64-byte
     // frame). The oracle recomputes the frames from the text (ASCII fixture
     // ⇒ bytes == chars) and hashes them identically.

@@ -1134,5 +1134,23 @@ class ExtOpsSpec extends SparkSpec {
     val badRow = Multimodal.decodeImages(corrupt).first()
     assert(badRow.getLong(0) == 99L && badRow.isNullAt(1) &&
       badRow.isNullAt(2) && badRow.isNullAt(3))
+    // resize: floor-division nearest-neighbor, re-encoded and re-decoded
+    // through the codec — dims are the target, pixel sum matches the
+    // driver-side recomputation of the same sampling rule
+    val resized = Multimodal.decodeImages(Multimodal.resizeImages(media, 8, 5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toList
+    val wantRs = (0L until 40L).map { id =>
+      val (w, h) = ((4 + id % 5).toInt, (3 + id % 4).toInt)
+      var sum = 0L
+      for (y <- 0 until 5; x <- 0 until 8) {
+        val (sx, sy) = (x * w / 8, y * h / 5)
+        sum += (id % 200 + 3 * sx + 5 * sy) + (id % 100 + sx) + (id % 50 + 7 * sy)
+      }
+      (id, 8L, 5L, sum)
+    }.toList
+    assert(resized == wantRs)
+    // corrupt rows pass through resize with null content
+    assert(Multimodal.resizeImages(corrupt, 8, 5).first().isNullAt(1))
   }
 }
