@@ -924,6 +924,11 @@ object Similarity {
     rerankExact(cand, corpus, idCol, vecCol, query, k)
   }
 
+  /** [[semanticDedup]]'s `nClusters` sentinel: size the k-means cell count
+    * from the DISTINCT corpus at fit time (~1k vectors per cell, clamped
+    * to [16, 4096]) instead of a caller-fixed k. */
+  val AutoClusters: Int = -1
+
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023): cluster the
     * corpus with a k-means coarse quantizer, compare pairs only WITHIN each
     * cluster (exact cosine), connect the ≥-threshold pairs into components,
@@ -978,7 +983,8 @@ object Similarity {
       : (DataFrame, Dedup.BandCapStats) = {
     require(threshold > -1.0 && threshold <= 1.0,
       s"threshold must be a cosine in (-1, 1]: $threshold")
-    require(nClusters >= 2, s"nClusters must be >= 2 (KMeans): $nClusters")
+    require(nClusters == AutoClusters || nClusters >= 2,
+      s"nClusters must be >= 2 (KMeans) or AutoClusters: $nClusters")
     val base = embeddings.select(col(idCol), col(vecCol))
     // 0) exact collapse: min-id representative per DISTINCT vector value
     // (one hash agg on the payload; cos(exact twins) = 1 ≥ any valid
@@ -992,7 +998,15 @@ object Similarity {
       .join(reps.select(col(idCol).as("__rep"), col(vecCol)), Seq(vecCol))
       .select(col(idCol), col("__rep"))
       .localCheckpoint()
-    val (assigned, _) = fitCells(reps, vecCol, nClusters, seed)
+    // AutoClusters: size cells to the DISTINCT corpus (~1k vectors/cell,
+    // clamped) — the within-cell pair stage is quadratic in cell size, so
+    // a fixed k over a growing corpus silently degrades toward all-pairs
+    // (the SCALE.md ×10 line). One count on the checkpointed reps frame.
+    val k =
+      if (nClusters == AutoClusters)
+        math.max(16L, math.min(4096L, reps.count() / 1000L)).toInt
+      else nClusters
+    val (assigned, _) = fitCells(reps, vecCol, k, seed)
     val (cells, stats) = Dedup.capOversizedBands(
       assigned.select(col(idCol), col("__cell")), "__cell", maxClusterSize,
       "semanticDedup")

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{GraftSession, Tables}
 import graft.ext.{Curation, Dedup, DupClusters, Similarity, TextAnalysis}
+import graft.sync.{SyncConfig, SyncJob}
 
 /** Scale-stress harness for the heavy [EXT] operators: replicate the
   * fixture corpus 1×/10×/50× with SEEDED perturbations and measure the
@@ -125,13 +126,13 @@ object ScaleStress {
         Seq("kept" -> kept.toString))
 
       // e2n shape — semantic dedup over the replicated embedding corpus.
-      // Cells scale with the corpus (≈1k vectors/cell): the within-cell
-      // candidate step is quadratic in cell size by design, and a real
-      // deployment sizes nClusters to the corpus exactly like this.
+      // AutoClusters sizes cells to the DISTINCT corpus (~1k vectors/cell)
+      // — the within-cell candidate step is quadratic in cell size by
+      // design, and a real deployment sizes cells exactly like this.
       val ((survivors, sdStats), tSd) = timed {
         val (s, st) = Similarity.semanticDedupCounted(emb, "vec_id",
           "embedding", threshold = 0.99,
-          nClusters = math.max(16, (nVecs / 1000).toInt))
+          nClusters = Similarity.AutoClusters)
         (s.localCheckpoint(), st)
       }
       jline("e2n_semantic_dedup", rep, tSd, survivors.count(),
@@ -150,6 +151,43 @@ object ScaleStress {
         TextAnalysis.zipfSlope(docs, "text").localCheckpoint()
       }
       jline("e4t_zipf_slope", rep, tZf, zipf.count())
+
+      // the SYNC pipeline (the reference's core operator) at scale:
+      // cold full sync, an idle poll (T5 no-op detection), and a 1%-delta
+      // incremental poll — the 100 TB claim for the merge path is exactly
+      // "incremental cost ∝ delta + tie range, not corpus", so measure it.
+      // Day-partitioned dest: only partitions holding updated keys rewrite.
+      {
+        val evDir = s"$work/events_x$rep"
+        val ev = Tables.events(spark, sfDir)
+        ev.crossJoin(spark.range(rep).select(col("id").as("__rep")))
+          .select((col("event_id") + col("__rep") * 1000000000L).as("event_id"),
+            col("ts"), (col("user_id") + col("__rep") * 1000000L).as("user_id"),
+            col("event_type"), col("value"),
+            expr("ts div 86400000000000").as("day"))
+          .write.mode(SaveMode.Overwrite).parquet(evDir)
+        val cfg = SyncConfig(Seq("event_id"), "ts",
+          partitionByCol = Some("day"))
+        val dest = s"$work/syncdest_x$rep"
+        def src() = spark.read.parquet(evDir)
+        val max1 = src().agg(max(col("ts"))).first().getLong(0)
+        val (r1, tCold) = timed(new SyncJob(spark, cfg).run(src(), dest, max1))
+        jline("sync_cold", rep, tCold, r1.candidateRows,
+          Seq("rows_per_sec" -> f"${r1.candidateRows / tCold}%.0f"))
+        val (r2, tIdle) = timed(new SyncJob(spark, cfg).run(src(), dest, max1))
+        jline("sync_idle_poll", rep, tIdle, r2.rowsWritten)
+        // 1% delta: later ts (fresh days), fresh ids — the steady-state poll
+        val span = 86400000000000L * 40L
+        src().filter(col("event_id") % 100 === 0)
+          .select((col("event_id") + 5000000000L).as("event_id"),
+            (col("ts") + span).as("ts"), col("user_id"), col("event_type"),
+            col("value"), expr("(ts + " + span + ") div 86400000000000").as("day"))
+          .write.mode(SaveMode.Append).parquet(evDir)
+        val max2 = src().agg(max(col("ts"))).first().getLong(0)
+        val (r3, tDelta) = timed(new SyncJob(spark, cfg).run(src(), dest, max2))
+        jline("sync_delta_poll", rep, tDelta, r3.candidateRows,
+          Seq("rows_written" -> r3.rowsWritten.toString))
+      }
 
       // hot-band cap under REAL skew: at this scale every document sits in
       // a replica cluster, so a tight cap must fire and return a non-empty

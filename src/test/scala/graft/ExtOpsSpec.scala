@@ -729,6 +729,13 @@ class ExtOpsSpec extends SparkSpec {
     assert(stats.droppedBands >= 1L && stats.droppedRows >= 50L)
     assert(surv2.select("vec_id").as[Long].collect().toSet ==
       emb.select("vec_id").as[Long].collect().toSet)
+    // AutoClusters sizes cells from the distinct corpus and keeps the
+    // same dedup result (100 distinct vectors → clamped floor of 16)
+    val survAuto = Similarity.semanticDedup(emb.unionByName(twins),
+        "vec_id", "embedding", threshold = 0.99,
+        nClusters = Similarity.AutoClusters)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survAuto == emb.select("vec_id").as[Long].collect().toSet)
     assertThrows[IllegalArgumentException](
       Similarity.semanticDedup(emb, "vec_id", "embedding", threshold = 1.5))
   }
