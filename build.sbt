@@ -17,7 +17,9 @@ libraryDependencies ++= Seq(
 Test / unmanagedJars ++= {
   val cache = file(sys.props.getOrElse("user.home", "/root") + "/.cache/coursier")
   val jars = if (cache.exists) (cache ** "duckdb_jdbc-*.jar").get() else Seq.empty
-  jars.headOption.map(Attributed.blank(_)).toSeq
+  // sort by name and take the last so a cache holding several driver
+  // versions picks one deterministically (highest-sorting name)
+  jars.sortBy(_.getName).lastOption.map(Attributed.blank(_)).toSeq
 }
 Test / fork := true
 run / fork := true

@@ -484,8 +484,13 @@ object Similarity {
   def buildIvfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
                     indexDir: String, nLists: Int = 16,
                     seed: Long = 42L): Unit = {
-    val (assigned, centers) = fitCells(embeddings, vecCol, nLists, seed)
-    assigned.select(col(idCol), col(vecCol), col("__cell"))
+    val (assigned0, centers) = fitCells(embeddings, vecCol, nLists, seed)
+    // materialized once: the partitioned write and the cell-stats baseline
+    // both read the assignment (recomputing the scan + KMeans transform
+    // per consumer would double the build's dominant cost)
+    val assigned = assigned0.select(col(idCol), col(vecCol), col("__cell"))
+      .localCheckpoint()
+    assigned
       .write.mode(SaveMode.Overwrite).partitionBy("__cell").parquet(indexDir)
     writeCentroids(embeddings.sparkSession, indexDir, centers)
     writeCellStats(assigned, vecCol, centers, indexDir)
@@ -721,6 +726,10 @@ object Similarity {
       .map(r => (r.getInt(r.fieldIndex("cell")),
         (r.getLong(r.fieldIndex("n")), r.getDouble(r.fieldIndex("mean_dist")))))
       .toMap
+    // nCells is the QUANTIZER's cell count (number of centroids), not the
+    // count of non-empty build-time cells — a sparse build (3 of 16 cells
+    // populated) must not deflate cellSkew below the firing threshold
+    val nCells = spark.read.parquet(indexDir + "/_centroids").count().toInt
     val appended = batch.valuesIterator.map(_._1).sum
     val perCell = batch.toSeq.sortBy(_._1).map { case (cell, (an, ad)) =>
       val (bn, bd) = base.getOrElse(cell, (0L, 0.0))
@@ -736,7 +745,7 @@ object Similarity {
     val maxShare =
       if (appended > 0L) batch.valuesIterator.map(_._1).max.toDouble / appended
       else 0.0
-    val stats = IvfAppendStats(appended, base.size.max(1), baseMean, appendMean,
+    val stats = IvfAppendStats(appended, nCells.max(1), baseMean, appendMean,
       maxShare, perCell)
     if (stats.drifted())
       log.warn(f"$opName($indexDir): drift signal — distRatio=" +
@@ -809,7 +818,9 @@ object Similarity {
   def buildIvfIndexQuantized(embeddings: DataFrame, idCol: String,
                              vecCol: String, indexDir: String,
                              nLists: Int = 16, seed: Long = 42L): Unit = {
-    val (assigned, centers) = fitCells(embeddings, vecCol, nLists, seed)
+    val (assigned0, centers) = fitCells(embeddings, vecCol, nLists, seed)
+    val assigned = assigned0.select(col(idCol), col(vecCol), col("__cell"))
+      .localCheckpoint() // see buildIvfIndex — two consumers, one pass
     quantizedPayload(assigned, idCol, vecCol, keep = Seq("__cell"))
       .write.mode(SaveMode.Overwrite).partitionBy("__cell").parquet(indexDir)
     writeCentroids(embeddings.sparkSession, indexDir, centers)
@@ -985,11 +996,26 @@ object Similarity {
       s"threshold must be a cosine in (-1, 1]: $threshold")
     require(nClusters == AutoClusters || nClusters >= 2,
       s"nClusters must be >= 2 (KMeans) or AutoClusters: $nClusters")
-    val base = embeddings.select(col(idCol), col(vecCol))
+    val base0 = embeddings.select(col(idCol), col(vecCol))
+    // Degenerate rows — NULL vectors and zero-norm vectors — bypass the
+    // whole pipeline as their own singletons: cosine is undefined for
+    // them (NULL / zero norm), so the pair stage never merged them before
+    // the exact-collapse existed, and collapsing identical zero vectors
+    // would silently drop rows the threshold semantics always kept.
+    // coalesce(true): a vector with NULL ELEMENTS yields a null norm —
+    // cosine is undefined for it too, so it passes through as a singleton
+    // rather than vanishing from both branches of the filter
+    val isDegenerate = col(vecCol).isNull ||
+      coalesce(aggregate(col(vecCol), lit(0.0),
+        (a: Column, x: Column) => a + x.cast("double") * x.cast("double")) === 0.0,
+        lit(true))
+    val degenerate = base0.filter(isDegenerate).select(col(idCol))
+    val base = base0.filter(!isDegenerate)
     // 0) exact collapse: min-id representative per DISTINCT vector value
     // (one hash agg on the payload; cos(exact twins) = 1 ≥ any valid
-    // threshold, so this is semantics-preserving — see scaladoc). Both
-    // frames are read by several stages below — checkpoint once.
+    // threshold given nonzero norms, so this is semantics-preserving —
+    // see scaladoc). Both frames are read by several stages below —
+    // checkpoint once.
     val reps = base.groupBy(col(vecCol))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col(vecCol))
@@ -1041,6 +1067,7 @@ object Similarity {
       .join(cc.select(col(idCol).as("__rep"), col("cluster_id")), Seq("__rep"))
       .filter(col(idCol) === col("cluster_id"))
       .select(col(idCol))
+      .unionByName(degenerate) // singletons: untouched by dedup, kept
     (embeddings.join(canonical, Seq(idCol)), stats)
   }
 

@@ -116,11 +116,27 @@ object JdbcUpsertSink {
         // columns from every same-named table in every schema/catalog
         // (e.g. a backup schema), which can raise phantom drift or mask a
         // real added column, and reads the whole catalog's metadata.
+        // Two filters close the remaining holes: rows are re-checked for
+        // EXACT (case-insensitive) TABLE_NAME equality, because the name
+        // argument is a JDBC metadata PATTERN where '_' is a single-char
+        // wildcard ('sync_dest' also matches 'syncXdest'); and when the
+        // driver reports a current schema, rows from other schemas are
+        // excluded (the backup-schema twin the unscoped scan unioned in).
+        val currentSchema =
+          try Option(conn.getSchema) catch { case _: Throwable => None }
         def columnsOf(n: String): Set[String] = {
           val rs = conn.getMetaData.getColumns(null, null, n, null)
           val cols = scala.collection.mutable.Set.empty[String]
           try {
-            while (rs.next()) cols += rs.getString("COLUMN_NAME").toLowerCase
+            while (rs.next()) {
+              val sameTable = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+              val sameSchema = currentSchema.forall { s =>
+                val ts = rs.getString("TABLE_SCHEM")
+                ts == null || ts.equalsIgnoreCase(s)
+              }
+              if (sameTable && sameSchema)
+                cols += rs.getString("COLUMN_NAME").toLowerCase
+            }
           } finally rs.close()
           cols.toSet
         }

@@ -110,8 +110,15 @@ object ParquetMergeSink {
       val removed = targetCols.filterNot(c => updateFold(c.toLowerCase)).toSeq
       if (added.nonEmpty || removed.nonEmpty)
         throw graft.core.GraftError.SchemaDrift(added, removed)
+      // Project by the UPDATES' actual column names aliased to the
+      // target's casing: resolving target-cased names against updates
+      // relies on spark.sql.caseSensitive=false — under a case-sensitive
+      // session a case-only rename that passed the folded drift check
+      // would otherwise die here as a raw AnalysisException.
+      val updatesByFold = updates.columns.map(c => c.toLowerCase -> c).toMap
       val tagged = updates.select(targetCols
-        .map(col).toIndexedSeq: _*).withColumn("__src", lit(1))
+        .map(tc => col(updatesByFold(tc.toLowerCase)).as(tc))
+        .toIndexedSeq: _*).withColumn("__src", lit(1))
 
       // Every extracted row has orderCol >= the batch minimum, so an
       // identical destination twin must sit in that same range: bounding the

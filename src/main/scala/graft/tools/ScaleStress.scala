@@ -176,10 +176,14 @@ object ScaleStress {
           Seq("rows_per_sec" -> f"${r1.candidateRows / tCold}%.0f"))
         val (r2, tIdle) = timed(new SyncJob(spark, cfg).run(src(), dest, max1))
         jline("sync_idle_poll", rep, tIdle, r2.rowsWritten)
-        // 1% delta: later ts (fresh days), fresh ids — the steady-state poll
+        // 1% delta: later ts (fresh days), fresh ids — the steady-state
+        // poll. The id offset sits beyond EVERY replica's range (replica r
+        // holds base + r·1e9, r < rep ≤ 50, base < 1e6 ⇒ max id < 51e9):
+        // a smaller offset would collide with live replica keys and turn
+        // the measurement into cross-partition key updates, not inserts.
         val span = 86400000000000L * 40L
         src().filter(col("event_id") % 100 === 0)
-          .select((col("event_id") + 5000000000L).as("event_id"),
+          .select((col("event_id") + 100000000000L).as("event_id"),
             (col("ts") + span).as("ts"), col("user_id"), col("event_type"),
             col("value"), expr("(ts + " + span + ") div 86400000000000").as("day"))
           .write.mode(SaveMode.Append).parquet(evDir)

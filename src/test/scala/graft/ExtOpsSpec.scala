@@ -469,8 +469,10 @@ class ExtOpsSpec extends SparkSpec {
     assert(stats.appended > 0)
     assert(stats.drifted(), s"shifted batch did not fire the signal: $stats")
     assert(stats.distRatio > 1.5, s"distRatio ${stats.distRatio}")
-    // the ledger is per-cell and bounded by nLists
+    // the ledger is per-cell and bounded by nLists; nCells is the
+    // QUANTIZER's cell count, not the count of non-empty build cells
     assert(stats.perCell.nonEmpty && stats.perCell.size <= 16)
+    assert(stats.nCells == 16)
     // appending to a pre-baseline index (no _cellstats) fails loud
     val legacy = java.nio.file.Files.createTempDirectory("ivf-legacy").toString + "/idx"
     Similarity.buildIvfIndex(base, "vec_id", "embedding", legacy)
@@ -738,6 +740,21 @@ class ExtOpsSpec extends SparkSpec {
     assert(survAuto == emb.select("vec_id").as[Long].collect().toSet)
     assertThrows[IllegalArgumentException](
       Similarity.semanticDedup(emb, "vec_id", "embedding", threshold = 1.5))
+  }
+
+  test("semantic dedup: null and zero vectors pass through as singletons") {
+    // cosine is undefined for null / zero-norm vectors, so the pair stage
+    // never merged them — the exact-collapse must not start merging them
+    val rows = Seq(
+      1L -> Seq(1f, 0f), 2L -> Seq(1f, 0f),  // exact twins → keep min id
+      3L -> Seq(0f, 0f), 4L -> Seq(0f, 0f),  // zero twins → BOTH kept
+      5L -> null.asInstanceOf[Seq[Float]],   // null vector → kept
+      6L -> Seq(0f, 1f), 7L -> Seq(1f, 1f)   // distinct singles → kept
+    ).toDF("vec_id", "embedding")
+    val surv = Similarity.semanticDedup(rows, "vec_id", "embedding",
+        threshold = 0.9, nClusters = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(surv == Set(1L, 3L, 4L, 5L, 6L, 7L))
   }
 
   test("token entropy: uniform doc hits log2(k), constant doc hits 0") {
