@@ -550,15 +550,23 @@ object Similarity {
     * (array<struct<cell, cv>>) — scalar-sized, like the watermark reads.
     * Shared by the batch probe and the incremental append so the two can
     * never disagree on what the quantizer is. */
-  private def centroidsLit(spark: SparkSession, indexDir: String): Column = {
+  /** Driver-side read of the tiny `_centroids` table (scalar-sized). */
+  private def readCentroids(spark: SparkSession,
+                            indexDir: String): Seq[(Int, Seq[Double])] = {
     val cents = spark.read.parquet(indexDir + "/_centroids").collect()
       .map(r => (r.getInt(r.fieldIndex("cell")),
         r.getSeq[Double](r.fieldIndex("centroid")))).toSeq
     require(cents.nonEmpty, s"no _centroids under $indexDir — not an IVF index")
+    cents
+  }
+
+  private def centroidsToLit(cents: Seq[(Int, Seq[Double])]): Column =
     array(cents.map { case (cell, cv) =>
       struct(lit(cell).as("cell"), array(cv.map(lit): _*).as("cv"))
     }: _*)
-  }
+
+  private def centroidsLit(spark: SparkSession, indexDir: String): Column =
+    centroidsToLit(readCentroids(spark, indexDir))
 
   /** Ascending (L2 distance, cell) ranking of every centroid for `vec` in
     * one fused traversal — the shared nearest-cell math for batch probe
@@ -666,10 +674,10 @@ object Similarity {
     require(idxFields.contains(idCol) && idxFields.contains(vecCol),
       s"$indexDir schema (${idxFields.mkString(",")}) does not match " +
         s"($idCol, $vecCol)")
-    val assigned = assignToCells(spark, indexDir, newVectors, idCol, vecCol)
+    val (assigned, nCells) = assignToCells(spark, indexDir, newVectors, idCol, vecCol)
     assigned.drop("__d")
       .write.mode(SaveMode.Append).partitionBy("__cell").parquet(indexDir)
-    driftStats(spark, indexDir, assigned, "ivfIndexAppend")
+    driftStats(spark, indexDir, assigned, nCells, "ivfIndexAppend")
   }
 
   /** [[ivfIndexAppend]]'s twin for [[buildIvfIndexQuantized]] layouts:
@@ -685,10 +693,10 @@ object Similarity {
       s"$indexDir is a FLOAT layout — use ivfIndexAppend instead")
     require(idxFields.contains(idCol),
       s"$indexDir schema (${idxFields.mkString(",")}) does not carry $idCol")
-    val assigned = assignToCells(spark, indexDir, newVectors, idCol, vecCol)
+    val (assigned, nCells) = assignToCells(spark, indexDir, newVectors, idCol, vecCol)
     quantizedPayload(assigned, idCol, vecCol, keep = Seq("__cell"))
       .write.mode(SaveMode.Append).partitionBy("__cell").parquet(indexDir)
-    driftStats(spark, indexDir, assigned, "ivfIndexAppendQuantized")
+    driftStats(spark, indexDir, assigned, nCells, "ivfIndexAppendQuantized")
   }
 
   /** Shared append front half: nearest-cell assignment from the persisted
@@ -699,24 +707,28 @@ object Similarity {
     * without a drift baseline is how recall decays silently. */
   private def assignToCells(spark: SparkSession, indexDir: String,
                             newVectors: DataFrame, idCol: String,
-                            vecCol: String): DataFrame = {
+                            vecCol: String): (DataFrame, Int) = {
     val statsPath = new Path(indexDir, "_cellstats")
     val statsFs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(statsFs.exists(statsPath),
       s"no _cellstats under $indexDir — the index predates the drift " +
         "baseline; rebuild before appending")
-    val dists = centroidDists(col(vecCol), centroidsLit(spark, indexDir))
-    newVectors
+    // one driver-side centroid read serves both the in-plan ranking and
+    // the ledger's quantizer cell count (no second parquet job)
+    val cents = readCentroids(spark, indexDir)
+    val dists = centroidDists(col(vecCol), centroidsToLit(cents))
+    (newVectors
       .select(col(idCol), col(vecCol),
         element_at(dists, 1).getField("cell").as("__cell"),
         sqrt(element_at(dists, 1).getField("d")).as("__d"))
-      .localCheckpoint()
+      .localCheckpoint(), cents.size)
   }
 
   /** Shared append back half: the bounded drift aggregation (≤ nLists rows
     * collected) compared against the build-time `_cellstats` baseline. */
   private def driftStats(spark: SparkSession, indexDir: String,
-                         assigned: DataFrame, opName: String): IvfAppendStats = {
+                         assigned: DataFrame, nCells: Int,
+                         opName: String): IvfAppendStats = {
     val batch = assigned
       .groupBy(col("__cell").cast("int").as("cell"))
       .agg(count(lit(1)).as("an"), avg("__d").as("ad"))
@@ -729,7 +741,6 @@ object Similarity {
     // nCells is the QUANTIZER's cell count (number of centroids), not the
     // count of non-empty build-time cells — a sparse build (3 of 16 cells
     // populated) must not deflate cellSkew below the firing threshold
-    val nCells = spark.read.parquet(indexDir + "/_centroids").count().toInt
     val appended = batch.valuesIterator.map(_._1).sum
     val perCell = batch.toSeq.sortBy(_._1).map { case (cell, (an, ad)) =>
       val (bn, bd) = base.getOrElse(cell, (0L, 0.0))
@@ -1009,7 +1020,11 @@ object Similarity {
       coalesce(aggregate(col(vecCol), lit(0.0),
         (a: Column, x: Column) => a + x.cast("double") * x.cast("double")) === 0.0,
         lit(true))
+    // checkpointed like reps/memberRep: the final union re-reads it, and a
+    // live source re-evaluated between the base and degenerate scans could
+    // otherwise put a changed row in both branches or neither
     val degenerate = base0.filter(isDegenerate).select(col(idCol))
+      .localCheckpoint()
     val base = base0.filter(!isDegenerate)
     // 0) exact collapse: min-id representative per DISTINCT vector value
     // (one hash agg on the payload; cos(exact twins) = 1 ≥ any valid
@@ -1024,6 +1039,11 @@ object Similarity {
       .join(reps.select(col(idCol).as("__rep"), col(vecCol)), Seq(vecCol))
       .select(col(idCol), col("__rep"))
       .localCheckpoint()
+    // an all-degenerate corpus leaves nothing to cluster — KMeans.fit on
+    // zero rows throws, and the contract ("degenerate rows pass through as
+    // singletons") must hold for it too
+    if (reps.isEmpty)
+      return (embeddings.join(degenerate, Seq(idCol)), Dedup.BandCapStats(0L, 0L))
     // AutoClusters: size cells to the DISTINCT corpus (~1k vectors/cell,
     // clamped) — the within-cell pair stage is quadratic in cell size, so
     // a fixed k over a growing corpus silently degrades toward all-pairs

@@ -81,11 +81,19 @@ object JdbcUpsertSink {
   private[graft] def tableExists(conn: Connection, name: String): Boolean = {
     // both type labels: Derby/PG report "TABLE", information_schema-style
     // drivers (DuckDB) report "BASE TABLE" — one-label filters miss live
-    // tables there and the create below would fail with already-exists
+    // tables there and the create below would fail with already-exists.
+    // Matched rows are re-checked for EXACT (case-insensitive) name
+    // equality: the name argument is a JDBC metadata PATTERN where '_'
+    // matches any character, so 'sync_dest' would otherwise read a lone
+    // 'syncXdest' as existence and skip the CREATE it must run.
     def check(n: String): Boolean = {
       val rs = conn.getMetaData.getTables(null, null, n,
         Array("TABLE", "BASE TABLE"))
-      try rs.next() finally rs.close()
+      try {
+        while (rs.next())
+          if (rs.getString("TABLE_NAME").equalsIgnoreCase(name)) return true
+        false
+      } finally rs.close()
     }
     check(name) || check(name.toUpperCase) || check(name.toLowerCase)
   }
@@ -124,13 +132,13 @@ object JdbcUpsertSink {
         // excluded (the backup-schema twin the unscoped scan unioned in).
         val currentSchema =
           try Option(conn.getSchema) catch { case _: Throwable => None }
-        def columnsOf(n: String): Set[String] = {
+        def columnsOf(n: String, schemaScoped: Boolean): Set[String] = {
           val rs = conn.getMetaData.getColumns(null, null, n, null)
           val cols = scala.collection.mutable.Set.empty[String]
           try {
             while (rs.next()) {
               val sameTable = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
-              val sameSchema = currentSchema.forall { s =>
+              val sameSchema = !schemaScoped || currentSchema.forall { s =>
                 val ts = rs.getString("TABLE_SCHEM")
                 ts == null || ts.equalsIgnoreCase(s)
               }
@@ -140,8 +148,18 @@ object JdbcUpsertSink {
           } finally rs.close()
           cols.toSet
         }
-        val destCols = Seq(table, table.toUpperCase, table.toLowerCase)
-          .distinct.iterator.map(columnsOf).find(_.nonEmpty).getOrElse(Set.empty)
+        val folds = Seq(table, table.toUpperCase, table.toLowerCase).distinct
+        // schema-scoped first; if that yields nothing, fall back to the
+        // name-only match — the table can legitimately live in a
+        // search_path schema other than current_schema (PG "$user",public
+        // with the dest in public), and an empty scoped result would
+        // otherwise silently skip the drift guard entirely
+        val destCols =
+          folds.iterator.map(columnsOf(_, schemaScoped = true))
+            .find(_.nonEmpty)
+            .orElse(folds.iterator.map(columnsOf(_, schemaScoped = false))
+              .find(_.nonEmpty))
+            .getOrElse(Set.empty)
         if (destCols.isEmpty)
           // Existing table but no column metadata under any case fold:
           // the drift guard cannot run, and proceeding would re-expose the

@@ -50,6 +50,25 @@ object ParquetMergeSink {
             partitionByCol: Option[String] = None,
             knownUpdateRows: Option[Long] = None): MergeResult = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
+    // Resolve caller-supplied names against each frame's ACTUAL casing
+    // once: StructType(name) lookups are always case-sensitive and column
+    // resolution is too under spark.sql.caseSensitive=true, so a
+    // case-only mismatch between caller args (or a renamed source) and a
+    // frame would otherwise die as a raw analysis error mid-merge. A
+    // frame carrying case-colliding columns (`value` AND `Value`) makes
+    // fold resolution ambiguous — refuse loudly rather than silently
+    // picking one and dropping the other's data.
+    def resolveAgainst(cols: Array[String], frame: String)(name: String): String = {
+      val hits = cols.filter(_.equalsIgnoreCase(name))
+      require(hits.length <= 1,
+        s"$frame carries case-colliding columns (${hits.mkString(", ")}) — " +
+          "merge cannot resolve them unambiguously")
+      hits.headOption.getOrElse(name)
+    }
+    val uResolve = resolveAgainst(updates.columns, "updates") _
+    val uOrder = uResolve(orderCol)
+    val uKeys = keyCols.map(uResolve)
+    val uPart = partitionByCol.map(uResolve)
     // The partitioned path's crash safety RESTS on the pending-merge marker
     // (dynamic partition overwrite is not atomic across partitions), and
     // the marker stores a numeric restart watermark. A non-numeric order
@@ -57,7 +76,7 @@ object ParquetMergeSink {
     // marker exists to close — so it is rejected up front; use the
     // unpartitioned atomic-swap merge for non-numeric watermarks.
     if (partitionByCol.isDefined) {
-      val dt = updates.schema(orderCol).dataType
+      val dt = updates.schema(uOrder).dataType
       require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
         s"partitioned merge requires a numeric order column for the " +
           s"crash-recovery marker; '$orderCol' is ${dt.simpleString} — " +
@@ -80,8 +99,8 @@ object ParquetMergeSink {
         // within the batch (a key may appear twice in one extract). A leftover
         // _temporary/ from a crashed first write is NOT data (hasData) — the
         // cold start simply re-runs.
-        val deduped = dedupe(updates.withColumn("__src", lit(1)), keyCols, orderCol)
-        write(deduped, targetDir, partitionByCol, Some(orderCol))
+        val deduped = dedupe(updates.withColumn("__src", lit(1)), uKeys, uOrder)
+        write(deduped, targetDir, uPart, Some(uOrder))
         clearPendingMerge(fs, targetDir)
         // counts only the files just written (metadata-weight scan)
         return MergeResult(countParquet(spark, targetDir), updateRows)
@@ -104,6 +123,16 @@ object ParquetMergeSink {
       // as the same column added AND removed; original casing is kept for
       // the error message.
       val targetCols = target.columns.filter(_ != "__src")
+      // case-colliding columns within one frame defeat fold comparison
+      // AND fold projection — refuse before any of it
+      Seq(updates.columns -> "updates", targetCols -> "target").foreach {
+        case (cols, frame) =>
+          val dups = cols.groupBy(_.toLowerCase).filter(_._2.length > 1)
+          require(dups.isEmpty,
+            s"$frame carries case-colliding columns " +
+              s"(${dups.values.flatten.mkString(", ")}) — merge cannot " +
+              "resolve them unambiguously")
+      }
       val targetFold = targetCols.map(_.toLowerCase).toSet
       val updateFold = updates.columns.map(_.toLowerCase).toSet
       val added = updates.columns.filterNot(c => targetFold(c.toLowerCase)).toSeq
@@ -114,17 +143,22 @@ object ParquetMergeSink {
       // target's casing: resolving target-cased names against updates
       // relies on spark.sql.caseSensitive=false — under a case-sensitive
       // session a case-only rename that passed the folded drift check
-      // would otherwise die here as a raw AnalysisException.
+      // would otherwise die here as a raw AnalysisException. The same
+      // applies to the key/order/partition columns against the
+      // target-cased frames below.
       val updatesByFold = updates.columns.map(c => c.toLowerCase -> c).toMap
       val tagged = updates.select(targetCols
         .map(tc => col(updatesByFold(tc.toLowerCase)).as(tc))
         .toIndexedSeq: _*).withColumn("__src", lit(1))
+      val tResolve = resolveAgainst(targetCols, "target") _
+      val tOrder = tResolve(orderCol)
+      val tKeys = keyCols.map(tResolve)
 
       // Every extracted row has orderCol >= the batch minimum, so an
       // identical destination twin must sit in that same range: bounding the
       // novelty scan to it lets parquet row-group stats skip the rest of the
       // destination (the tie range is a poll-sized sliver at 100 TB).
-      val tieLo = updates.agg(min(col(orderCol))).first().get(0)
+      val tieLo = updates.agg(min(col(uOrder))).first().get(0)
 
       // T3/T5 no-op detection: the inclusive lower bound re-extracts watermark
       // ties every poll; a re-extracted row IDENTICAL to its destination twin
@@ -136,7 +170,7 @@ object ParquetMergeSink {
       // read as novel: a spurious rewrite at worst, never a skipped change.)
       val dataCols = target.columns.filter(_ != "__src").toIndexedSeq
       val novelTarget =
-        if (tieLo == null) target else target.filter(col(orderCol) >= lit(tieLo))
+        if (tieLo == null) target else target.filter(col(tOrder) >= lit(tieLo))
       val novel = tagged.drop("__src")
         .join(novelTarget.drop("__src"), dataCols, "left_anti")
         .limit(1).count()
@@ -152,15 +186,17 @@ object ParquetMergeSink {
           // (like the watermark reads); target rows outside it are never read
           // or rewritten — the parquet analog of the reference's bounded
           // slices, and what keeps merge cost ∝ update locality at 100 TB.
-          val partVals = updates.select(col(p)).distinct().collect().map(_.get(0))
+          val tPart = tResolve(p)
+          val partVals = updates.select(col(uPart.getOrElse(p)))
+            .distinct().collect().map(_.get(0))
           val nonNull = partVals.filter(_ != null)
           // isin() never matches NULL — target rows in a null partition must
           // be kept explicitly or the dynamic overwrite would drop them
           val partPred =
-            if (nonNull.length == partVals.length) col(p).isin(nonNull.toIndexedSeq: _*)
-            else col(p).isin(nonNull.toIndexedSeq: _*) || col(p).isNull
+            if (nonNull.length == partVals.length) col(tPart).isin(nonNull.toIndexedSeq: _*)
+            else col(tPart).isin(nonNull.toIndexedSeq: _*) || col(tPart).isNull
           val affected = target.filter(partPred)
-          val merged = dedupe(affected.unionByName(tagged), keyCols, orderCol)
+          val merged = dedupe(affected.unionByName(tagged), tKeys, tOrder)
           // Can't overwrite partitions we are reading: stage affected rows,
           // then dynamic-partition-overwrite replaces only those partitions.
           val tmp = targetDir.stripSuffix("/") + ".__merge_tmp"
@@ -181,8 +217,8 @@ object ParquetMergeSink {
           val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
           spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
           try
-            staged.sortWithinPartitions(col(orderCol)) // row-group stats layout
-              .write.mode(SaveMode.Overwrite).partitionBy(p).parquet(targetDir)
+            staged.sortWithinPartitions(col(tOrder)) // row-group stats layout
+              .write.mode(SaveMode.Overwrite).partitionBy(tPart).parquet(targetDir)
           finally {
             prevMode match {
               case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
@@ -192,13 +228,13 @@ object ParquetMergeSink {
           }
           stagedRows
         case None =>
-          val merged = dedupe(target.unionByName(tagged), keyCols, orderCol)
+          val merged = dedupe(target.unionByName(tagged), tKeys, tOrder)
           // Parquet dirs can't be read and overwritten in one job: stage then
           // swap the whole directory (atomicSwap). rowsWritten = the staged
           // output's own count — never a re-scan of the destination after
           // the swap.
           val tmp = targetDir.stripSuffix("/") + ".__merge_tmp"
-          write(merged, tmp, None, Some(orderCol))
+          write(merged, tmp, None, Some(tOrder))
           val stagedRows = countParquet(spark, tmp)
           atomicSwap(fs, targetDir, tmp)
           stagedRows

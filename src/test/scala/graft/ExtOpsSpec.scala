@@ -755,6 +755,14 @@ class ExtOpsSpec extends SparkSpec {
         threshold = 0.9, nClusters = 2)
       .select("vec_id").as[Long].collect().toSet
     assert(surv == Set(1L, 3L, 4L, 5L, 6L, 7L))
+    // an ALL-degenerate corpus must return everything as singletons, not
+    // crash KMeans.fit on a zero-row training set
+    val allDegen = Seq(8L -> Seq(0f, 0f),
+      9L -> null.asInstanceOf[Seq[Float]]).toDF("vec_id", "embedding")
+    val survDegen = Similarity.semanticDedup(allDegen, "vec_id", "embedding",
+        threshold = 0.9, nClusters = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survDegen == Set(8L, 9L))
   }
 
   test("token entropy: uniform doc hits log2(k), constant doc hits 0") {
