@@ -193,6 +193,53 @@ object ScaleStress {
           Seq("rows_written" -> r3.rowsWritten.toString))
       }
 
+      // the STREAMING incremental-balance pipeline at scale: the full
+      // MemoryStream → stateful transitions → update-mode balance → merge
+      // sink path, replayed over the replicated events in 5 micro-batches.
+      // Bounded to ×10 (the replay harness collects to the driver by
+      // design — 1M rows ≈ tens of MB; production streams read a source).
+      // The final state must equal the one-shot batch aggregate — the
+      // batch-equivalence law, asserted here at 10× the fixture.
+      if (rep <= 10) {
+        import spark.implicits._
+        implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        // the sync arm above has already written (and delta-appended) this
+        // dir, so the replay covers base + delta rows
+        val evDir = s"$work/events_x$rep"
+        val rows = spark.read.parquet(evDir)
+          .orderBy("ts", "event_id")
+          .collect()
+          .map(r => graft.streaming.RowImage(
+            key = r.getAs[Long]("event_id"), userId = r.getAs[Long]("user_id"),
+            status = r.getAs[String]("event_type"),
+            amount = r.getAs[Double]("value"), ts = r.getAs[Long]("ts")))
+        val dest = s"$work/balances_x$rep"
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        val (_, tStream) = try timed {
+          val mem = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[graft.streaming.RowImage]
+          val q = graft.streaming.IncrementalBalance.run(mem.toDS(), dest)
+          try rows.grouped(math.max(1, rows.length / 5 + 1))
+            .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+          finally q.stop()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        val got = spark.read.parquet(dest)
+          .agg(count(lit(1)), round(sum("balance"), 2)).first()
+        val want = spark.read.parquet(evDir)
+          .filter(col("event_type") =!= "error")
+          .groupBy("user_id")
+          .agg(sum(expr("cast(value as decimal(18,2))")).as("b"))
+          .agg(count(lit(1)), round(sum("b").cast("double"), 2)).first()
+        val ok = got.getLong(0) == want.getLong(0) &&
+          math.abs(got.getDouble(1) - want.getDouble(1)) < 0.01
+        jline("stream_balance_replay", rep, tStream, rows.length,
+          Seq("rows_per_sec" -> f"${rows.length / tStream}%.0f",
+            "batch_equal" -> (if (ok) "1" else "0")))
+        if (!ok) sys.error(s"stream replay diverged from batch at x$rep: " +
+          s"got $got want $want")
+      }
+
       // hot-band cap under REAL skew: at this scale every document sits in
       // a replica cluster, so a tight cap must fire and return a non-empty
       // drop ledger (the programmatic truncation signal, never silent)
