@@ -37,6 +37,28 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** Cheap content stamp for one fixture table under `sfDir` — the max
+    * lastModified + total byte size + file count of `name.parquet`
+    * (file or directory). Process-lifetime caches keyed by fixture dir
+    * alone (the replay twins' collected feed, e2s's appended index) would
+    * silently serve stale rows if the fixture under that dir were
+    * regenerated within the same JVM; folding this stamp into the key
+    * makes a regenerated fixture a cache miss instead. Local-fs only —
+    * exactly what the gate/bench harness reads. */
+  def fixtureStamp(sfDir: String, name: String): String = {
+    val root = java.nio.file.Paths.get(s"$sfDir/$name.parquet")
+    if (!java.nio.file.Files.exists(root)) return "absent"
+    var (maxM, bytes, n) = (0L, 0L, 0L)
+    val it = java.nio.file.Files.walk(root)
+    try it.forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p)) {
+        maxM = math.max(maxM, java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        bytes += java.nio.file.Files.size(p); n += 1
+      }
+    } finally it.close()
+    s"$maxM-$bytes-$n"
+  }
+
   /** Epoch-nanos for a UTC date string — literal helper for ts predicates.
     * Predicates stay on the raw ns column (parquet row-group min/max pruning
     * + pushdown keep working); whole-second boundaries make the ns-vs-µs

@@ -626,9 +626,14 @@ object Similarity {
     *  - `distRatio` — batch-wide mean assigned-centroid distance over the
     *    build-time mean. Near 1.0 for in-distribution appends; grows as
     *    arriving vectors sit ever farther from every centroid.
-    *  - `cellSkew` — (largest cell's share of the batch) × nCells; 1.0 is
-    *    perfectly uniform, nCells means the whole batch fell in one cell
-    *    (probes of that cell degrade toward brute force).
+    *  - `cellSkew` — (largest cell's share of the batch) × the number of
+    *    cells the batch COULD have spread over, `min(appended, nCells)`;
+    *    1.0 is perfectly uniform, the max means the whole batch fell in
+    *    one cell (probes of that cell degrade toward brute force). The
+    *    min() is the small-batch normalization: a 3-row append over 16
+    *    cells has maxCellShare ≥ 1/3 no matter how healthy the quantizer
+    *    is, so raw share × nCells would read ≥ 5.3 and fire the default
+    *    4.0 threshold on every benign trickle append.
     *
     * `drifted()` folds both into the rebuild recommendation; thresholds
     * are caller-tunable because "how stale is too stale" is a recall-SLA
@@ -641,7 +646,7 @@ object Similarity {
       if (baseMeanDist > 0.0) appendMeanDist / baseMeanDist
       else if (appendMeanDist == 0.0) 1.0
       else Double.PositiveInfinity
-    def cellSkew: Double = maxCellShare * nCells
+    def cellSkew: Double = maxCellShare * math.min(appended, nCells.toLong)
     def drifted(maxDistRatio: Double = 1.5, maxSkew: Double = 4.0): Boolean =
       appended > 0L && (distRatio > maxDistRatio || cellSkew > maxSkew)
   }
@@ -1048,11 +1053,21 @@ object Similarity {
     // clamped) — the within-cell pair stage is quadratic in cell size, so
     // a fixed k over a growing corpus silently degrades toward all-pairs
     // (the SCALE.md ×10 line). One count on the checkpointed reps frame.
+    // The floor-16 clamp is itself capped at the representative count:
+    // Spark ML KMeans requires k ≥ 2 and its behavior for k > n training
+    // points is version-dependent, so a tiny distinct corpus (< 16 reps)
+    // must not inherit the floor. A single-rep corpus skips KMeans
+    // entirely — one cell holds everything and the pair stage is empty.
+    val repsCount = if (nClusters == AutoClusters) reps.count() else -1L
     val k =
       if (nClusters == AutoClusters)
-        math.max(16L, math.min(4096L, reps.count() / 1000L)).toInt
+        math.max(2L, math.min(
+          math.max(16L, math.min(4096L, repsCount / 1000L)), repsCount)).toInt
       else nClusters
-    val (assigned, _) = fitCells(reps, vecCol, k, seed)
+    val (assigned, _) =
+      if (nClusters == AutoClusters && repsCount < 2L)
+        (reps.withColumn("__cell", lit(0)), Array.empty[Array[Double]])
+      else fitCells(reps, vecCol, k, seed)
     val (cells, stats) = Dedup.capOversizedBands(
       assigned.select(col(idCol), col("__cell")), "__cell", maxClusterSize,
       "semanticDedup")

@@ -46,7 +46,9 @@ object ExtQueries {
     * path. Cached so repeated gate/bench runs measure the steady-state
     * probe, not a fresh KMeans fit per run (the ensure* pattern; an
     * explicit temp dir because appending into the shared content-addressed
-    * cache would mutate the index e2d/e2g probe). */
+    * cache would mutate the index e2d/e2g probe). Keyed by dir plus the
+    * fixture's content stamp so an embeddings regeneration under the same
+    * dir within one JVM rebuilds instead of probing a stale index. */
   private val appendedIvfCache =
     new java.util.concurrent.ConcurrentHashMap[
       String, (String, graft.ext.Similarity.IvfAppendStats)]()
@@ -54,7 +56,8 @@ object ExtQueries {
                                dir: String,
                                emb: org.apache.spark.sql.DataFrame)
       : (String, graft.ext.Similarity.IvfAppendStats) =
-    appendedIvfCache.computeIfAbsent(dir, { _ =>
+    appendedIvfCache.computeIfAbsent(
+      s"$dir@${Tables.fixtureStamp(dir, "embeddings")}", { _ =>
       val idx = java.nio.file.Files.createTempDirectory("e2s-ivf")
         .toString + "/idx"
       Similarity.buildIvfIndex(emb.filter(col("vec_id") < 400),

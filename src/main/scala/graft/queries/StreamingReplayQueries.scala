@@ -38,17 +38,20 @@ object StreamingReplayQueries {
   /** One collected superset of the events fixture, shared by all five
     * replay twins (each previously ran its own scan+sort+collect of the
     * same read-only parquet — five redundant Spark jobs per gate run).
-    * Keyed by fixture dir: the data is immutable test input, so any
-    * session reading the same dir sees the same rows. Each twin derives
-    * its feed (projection / filter / re-sort / doubling) driver-side from
-    * this array — same harness-bounded memory as before, 4 fewer jobs. */
+    * Keyed by fixture dir PLUS its content stamp ([[Tables.fixtureStamp]]):
+    * the fixture is immutable test input, but a regeneration under the
+    * same dir within one JVM must be a cache miss, not a stale replay.
+    * Each twin derives its feed (projection / filter / re-sort / doubling)
+    * driver-side from this array — same harness-bounded memory as before,
+    * 4 fewer jobs. */
   private final case class Ev(eventId: Long, userId: Long, eventType: String,
                               value: Double, tsNs: Long)
   private val fixtureCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Ev]]()
   private def collectedEvents(s: SparkSession, dir: String): Array[Ev] =
-    fixtureCache.computeIfAbsent(dir, d =>
-      Tables.events(s, d)
+    fixtureCache.computeIfAbsent(
+      s"$dir@${Tables.fixtureStamp(dir, "events")}", _ =>
+      Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), col("ts"))
         .orderBy("ts", "event_id")

@@ -50,12 +50,28 @@ final class JdbcSource(url: String, props: Properties) {
   /** S6 — verify connectivity and that `table` exists. Drivers disagree
     * on the plain-table type label — Derby/PG say "TABLE", engines that
     * mirror information_schema (DuckDB) say "BASE TABLE" — so the probe
-    * accepts both; a single-label filter reads a live table as absent. */
+    * accepts both; a single-label filter reads a live table as absent.
+    * Matched rows are re-checked for exact (case-insensitive) name
+    * equality: the name argument is a JDBC metadata PATTERN where '_'
+    * matches any character, so preflight("sync_dest") would otherwise
+    * accept a lone "syncXdest" and the real miss would surface later as
+    * a raw SQLException instead of GraftError.MissingTable. Probed under
+    * all three case folds (as-given / upper / lower) because catalogs
+    * fold unquoted identifiers differently AND some drivers (DuckDB)
+    * match the pattern case-sensitively — the JdbcUpsertSink.tableExists
+    * protocol. */
   def preflight(table: String): Unit = withConnection { conn =>
-    val rs = conn.getMetaData.getTables(null, null, table,
-      Array("TABLE", "BASE TABLE"))
-    try { if (!rs.next()) throw GraftError.MissingTable(table) }
-    finally rs.close()
+    def check(pattern: String): Boolean = {
+      val rs = conn.getMetaData.getTables(null, null, pattern,
+        Array("TABLE", "BASE TABLE"))
+      try {
+        while (rs.next())
+          if (rs.getString("TABLE_NAME").equalsIgnoreCase(table)) return true
+        false
+      } finally rs.close()
+    }
+    if (!check(table) && !check(table.toUpperCase) && !check(table.toLowerCase))
+      throw GraftError.MissingTable(table)
   }
 
   /** S2 — reflected primary-key columns in key-sequence order. */

@@ -452,6 +452,30 @@ class ExtOpsSpec extends SparkSpec {
     assert(self.headOption.map(_._1).contains(450L))
   }
 
+  test("IVF append: a benign trickle append does not fire the skew arm") {
+    // a 3-row in-distribution batch over 16 cells has maxCellShare >= 1/3
+    // structurally; raw share × nCells would read >= 5.3 and fire the 4.0
+    // default on EVERY small append — the skew normalization must use the
+    // number of cells the batch could actually spread over
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") < 400)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-trickle").toString + "/idx"
+    Similarity.buildIvfIndex(base, "vec_id", "embedding", dir)
+    val trickle = emb.filter(col("vec_id") >= 400 && col("vec_id") < 403)
+    val stats = Similarity.ivfIndexAppend(spark, dir, trickle, "vec_id", "embedding")
+    assert(stats.appended == 3L)
+    assert(stats.cellSkew <= 3.0, s"cellSkew ${stats.cellSkew} exceeds batch size")
+    assert(!stats.drifted(), s"benign trickle append flagged as drift: $stats")
+    // an out-of-distribution trickle still fires via the DISTANCE arm —
+    // the normalization must not silence real drift on small batches
+    val shiftedTrickle = trickle.withColumn("embedding",
+      expr("transform(embedding, x -> cast(x + 10.0 as float))"))
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val stats2 = Similarity.ivfIndexAppend(spark, dir, shiftedTrickle,
+      "vec_id", "embedding")
+    assert(stats2.drifted(), s"shifted trickle did not fire: $stats2")
+  }
+
   test("IVF append: an out-of-distribution batch fires the drift signal") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     val base = emb.filter(col("vec_id") < 400)
@@ -740,6 +764,29 @@ class ExtOpsSpec extends SparkSpec {
     assert(survAuto == emb.select("vec_id").as[Long].collect().toSet)
     assertThrows[IllegalArgumentException](
       Similarity.semanticDedup(emb, "vec_id", "embedding", threshold = 1.5))
+  }
+
+  test("semantic dedup: AutoClusters caps k at the distinct-rep count") {
+    // fewer than 16 distinct vectors must not inherit the floor-16 clamp —
+    // Spark ML KMeans requires k >= 2 and its k > n behavior is
+    // version-dependent, so the auto-sizing has to cap at the rep count
+    val tiny = Seq(
+      1L -> Seq(1f, 0f), 2L -> Seq(1f, 0f),   // exact twins
+      3L -> Seq(0f, 1f), 4L -> Seq(-1f, 0f),
+      5L -> Seq(0.9f, 0.1f)                   // cos vs 1/2 ≈ 0.994 < 0.999
+    ).toDF("vec_id", "embedding")
+    val surv = Similarity.semanticDedup(tiny, "vec_id", "embedding",
+        threshold = 0.999, nClusters = Similarity.AutoClusters)
+      .select("vec_id").as[Long].collect().toSet
+    assert(surv == Set(1L, 3L, 4L, 5L))
+    // a single distinct representative (plus degenerates) must skip KMeans
+    // entirely — k = min(floor, 1) is not a fittable model
+    val one = Seq(10L -> Seq(1f, 1f), 11L -> Seq(1f, 1f),
+      12L -> Seq(0f, 0f)).toDF("vec_id", "embedding")
+    val survOne = Similarity.semanticDedup(one, "vec_id", "embedding",
+        threshold = 0.9, nClusters = Similarity.AutoClusters)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survOne == Set(10L, 12L))
   }
 
   test("semantic dedup: null and zero vectors pass through as singletons") {

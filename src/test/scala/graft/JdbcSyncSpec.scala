@@ -212,6 +212,15 @@ trait JdbcSyncBehaviors { this: SparkSpec =>
     val src = new JdbcSource(url, new java.util.Properties())
     src.preflight(ident("T"))
     assertThrows[graft.core.GraftError.MissingTable](src.preflight("NOPE"))
+    // '_' is a single-char wildcard in the JDBC metadata PATTERN: a lone
+    // SYNCXDEST must NOT satisfy preflight("sync_dest") — the exact-name
+    // recheck has to reject the wildcard match and throw TYPED here, not
+    // let the caller die later on a raw SQLException
+    exec(url, "CREATE TABLE SYNCXDEST (ID BIGINT NOT NULL PRIMARY KEY)")
+    assertThrows[graft.core.GraftError.MissingTable](
+      src.preflight(ident("sync_dest")))
+    exec(url, "CREATE TABLE SYNC_DEST (ID BIGINT NOT NULL PRIMARY KEY)")
+    src.preflight(ident("sync_dest"))
   }
 
   test("S3 ensureTable: schema drift against an existing dest fails TYPED") {
