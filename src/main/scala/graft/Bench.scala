@@ -56,7 +56,11 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
       require(names.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but names no queries")
-      val unknown = names -- SparkEntry.queries.keySet
+      // "sync_merge_events" is the e2e sync arm below, not a queries entry —
+      // accepting it here lets local iteration re-measure the headline
+      // sync throughput alone (the drift-pinning protocol) without the
+      // other ~130 entries
+      val unknown = names -- SparkEntry.queries.keySet - "sync_merge_events"
       require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
     }
@@ -115,8 +119,10 @@ object Bench {
     // run, min wall-clock across runs.
     var syncRows = 0L
     // the sync e2e (and its events scan for maxTs) is skipped under the
-    // local-iteration filter too
-    val syncTimes = if (only.isDefined) Seq.empty[Double] else {
+    // local-iteration filter unless named explicitly
+    val syncTimes = if (only.exists(!_.contains("sync_merge_events")))
+      Seq.empty[Double]
+    else {
       val events = graft.core.Tables.events(spark, sfDir)
       val maxTs = events.agg(org.apache.spark.sql.functions.max("ts")).first().getLong(0)
       (1 to runs).map { _ =>

@@ -136,13 +136,15 @@ object StreamingReplayQueries {
           .format("memory").queryName(name).start()
         try {
           chunked(rows).foreach { b => mem.addData(b); q.processAllAvailable() }
-          // two sentinel batches: the first advances the watermark past every
-          // real window, the second triggers the batch that emits them
+          // ONE sentinel batch suffices to flush: its max event time advances
+          // the watermark past every real window at batch end, and Spark's
+          // no-data micro-batch (noDataMicroBatches, on by default) then runs
+          // the emitting batch before processAllAvailable returns — the
+          // second sentinel the harness used to feed only re-paid the batch
+          // cost for state that was already emitted
           val maxUs = rows.last._1
-          (1 to 2).foreach { i =>
-            mem.addData((maxUs + i * 7200000000L, "__sentinel", 0.0))
-            q.processAllAvailable()
-          }
+          mem.addData((maxUs + 7200000000L, "__sentinel", 0.0))
+          q.processAllAvailable()
         } finally q.stop()
       }
       s.table(name).filter(col("event_type") =!= "__sentinel")
@@ -222,13 +224,10 @@ object StreamingReplayQueries {
           .format("memory").queryName(name).start()
         try {
           chunked(rows).foreach { b => mem.addData(b); q.processAllAvailable() }
-          // two sentinels: advance the watermark past every real session's
-          // gap, then trigger the batch that emits them (the t7 protocol)
+          // one sentinel + the no-data micro-batch flush (the t7 protocol)
           val maxUs = rows.last._2
-          (1 to 2).foreach { i =>
-            mem.addData((sentinelUser, maxUs + i * 172800000000L))
-            q.processAllAvailable()
-          }
+          mem.addData((sentinelUser, maxUs + 172800000000L))
+          q.processAllAvailable()
         } finally q.stop()
       }
       s.table(name).filter(col("user_id") =!= sentinelUser)
