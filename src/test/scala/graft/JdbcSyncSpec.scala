@@ -94,6 +94,13 @@ trait JdbcSyncBehaviors { this: SparkSpec =>
 
   private val cfg = SyncConfig(keyCols = Seq("ID"), watermarkCol = "UPDATED")
 
+  /** Registers the shared spec body. Called from each arm's constructor —
+    * explicitly, so an arm whose database can NEVER be present in this
+    * environment (live PG in the zero-egress sandbox) can register one
+    * canceled marker instead of nine canceled twins of tests that are
+    * already green under Derby and DuckDB. */
+  protected final def sharedSyncTests(): Unit = {
+
   test("jdbc→jdbc: cold start reflects PK, creates dest, syncs all rows") {
     skipUnlessAvailable()
     val url = freshDb("cold")
@@ -264,6 +271,60 @@ trait JdbcSyncBehaviors { this: SparkSpec =>
       graft.sinks.JdbcUpsertSink.write(df, url, new java.util.Properties(),
         "NN", Seq("ID"), "UPDATED"))
   }
+
+  test("S3 drift guard: same-named drifted twin in ANOTHER schema raises no phantom drift") {
+    skipUnlessAvailable()
+    // the reference resolves the dest against the session's search_path
+    // (session.py:184-197); the guard's analog is scoping getColumns rows
+    // to the connection's current schema. A backup-schema twin with an
+    // extra column must NOT poison the comparison — an unscoped metadata
+    // scan unions its columns in and raises phantom drift on every poll.
+    val url = freshDb("scopeok")
+    exec(url, "CREATE TABLE SD (ID BIGINT NOT NULL PRIMARY KEY, " +
+      "UPDATED BIGINT NOT NULL)")
+    exec(url, s"CREATE SCHEMA ${ident("graftbackup")}")
+    exec(url, s"CREATE TABLE ${ident("graftbackup")}.SD " +
+      "(ID BIGINT NOT NULL PRIMARY KEY, UPDATED BIGINT NOT NULL, " +
+      "EXTRA BIGINT)")
+    import org.apache.spark.sql.types._
+    val same = StructType(Seq(StructField("id", LongType),
+      StructField("updated", LongType)))
+    // must pass: the current-schema table matches; the twin's EXTRA column
+    // sits in graftbackup and is out of scope
+    graft.sinks.JdbcUpsertSink.ensureTable(url, new java.util.Properties(),
+      ident("SD"), same, Seq("id"))
+    // and REAL drift on the current-schema table still fires
+    val widened = StructType(same.fields :+ StructField("region", StringType))
+    val e = intercept[graft.core.GraftError.SchemaDrift] {
+      graft.sinks.JdbcUpsertSink.ensureTable(url, new java.util.Properties(),
+        ident("SD"), widened, Seq("id"))
+    }
+    assert(e.getMessage.contains("region"))
+  }
+
+  test("S3 drift guard: dest only in a NON-current schema falls back to name-only scoping") {
+    skipUnlessAvailable()
+    // PG search_path can resolve the dest to a schema other than
+    // current_schema ("$user",public with the dest in public): the scoped
+    // metadata pass finds nothing there, and the guard must fall back to
+    // name-only matching rather than silently skip the drift check.
+    val url = freshDb("scopefb")
+    exec(url, s"CREATE SCHEMA ${ident("graftother")}")
+    exec(url, s"CREATE TABLE ${ident("graftother")}.FB " +
+      "(ID BIGINT NOT NULL PRIMARY KEY, UPDATED BIGINT NOT NULL)")
+    import org.apache.spark.sql.types._
+    val same = StructType(Seq(StructField("id", LongType),
+      StructField("updated", LongType)))
+    graft.sinks.JdbcUpsertSink.ensureTable(url, new java.util.Properties(),
+      ident("FB"), same, Seq("id"))
+    val narrowed = StructType(Seq(StructField("id", LongType)))
+    val e = intercept[graft.core.GraftError.SchemaDrift] {
+      graft.sinks.JdbcUpsertSink.ensureTable(url, new java.util.Properties(),
+        ident("FB"), narrowed, Seq("id"))
+    }
+    assert(e.getMessage.toLowerCase.contains("updated"))
+  }
+  }
 }
 
 /** Derby arm — always on (embedded, in the Spark jars). Derby folds
@@ -274,6 +335,8 @@ class JdbcSyncSpec extends SparkSpec with JdbcSyncBehaviors {
     s"jdbc:derby:memory:$name;create=true"
 
   override protected def ident(s: String): String = s.toUpperCase
+
+  sharedSyncTests()
 
   // pure option-set check has no dialect; lives in the Derby arm only
   test("S1 partitioned read options carry the slice plan") {
@@ -308,6 +371,15 @@ class PostgresSyncSpec extends SparkSpec with JdbcSyncBehaviors {
     exec(url, s"CREATE SCHEMA $schema")
     url + (if (url.contains("?")) "&" else "?") + s"currentSchema=$schema"
   }
+
+  // with a live PG, run the full shared body; without one, register a
+  // single canceled marker instead of nine canceled twins of scenarios
+  // that are green under the Derby and DuckDB arms — the cancellation
+  // records "a live wire would add coverage", once
+  if (dbAvailable) sharedSyncTests()
+  else test("live-PostgreSQL arm (full shared sync body)") {
+    cancel(unavailableReason)
+  }
 }
 
 /** DuckDB arm: the SAME spec body against in-process DuckDB, which speaks
@@ -336,4 +408,6 @@ class DuckDbSyncSpec extends SparkSpec with JdbcSyncBehaviors {
 
   override protected def freshDb(name: String): String =
     s"jdbc:duckdb:$dbRoot/$name.duckdb"
+
+  sharedSyncTests()
 }
