@@ -24,10 +24,18 @@ import graft.sync.{SyncConfig, SyncEndpoint, SyncPipeline, SyncReport}
   *   runMain graft.cli.Main curate --source <parquet docs> --dest <parquet out> \
   *     [--id-col doc_id] [--text-col text] [--jaccard 0.8] \
   *     [--min-tokens N] [--max-tokens N]
+  *   runMain graft.cli.Main neardup --source <parquet docs> --dest <parquet pairs> \
+  *     [--mode minhash|simhash|exact] [--id-col doc_id] [--text-col text] \
+  *     [--jaccard 0.8]
+  *   runMain graft.cli.Main semantic-dedup --source <parquet embeddings> \
+  *     --dest <parquet survivors> [--id-col vec_id] [--vector-col embedding] \
+  *     [--threshold 0.99]
+  *   runMain graft.cli.Main quality --source <parquet docs> --dest <parquet out> \
+  *     [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N]
   */
 object Main {
 
-  private case class Args(cmd: String, source: String, dest: String,
+  private[cli] case class Args(cmd: String, source: String, dest: String,
                           keys: Seq[String], watermark: String,
                           cut: Option[Long], delay: Long, iterations: Int,
                           partitionBy: Option[String], progress: Boolean,
@@ -35,13 +43,15 @@ object Main {
                           destUser: Option[String], destPassword: Option[String],
                           targetBytes: Option[Long],
                           idCol: String, textCol: String, jaccard: Double,
-                          minTokens: Option[Long], maxTokens: Option[Long])
+                          minTokens: Option[Long], maxTokens: Option[Long],
+                          mode: String, vectorCol: String, threshold: Double)
 
   private val boolFlags = Set("progress")
 
-  private def parse(argv: Array[String]): Args = {
-    if (argv.isEmpty || !Set("single", "continuous", "compact", "curate").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N]")
+  private[cli] def parse(argv: Array[String]): Args = {
+    if (argv.isEmpty || !Set("single", "continuous", "compact", "curate",
+        "neardup", "semantic-dedup", "quality").contains(argv(0)))
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact] [--id-col doc_id] [--text-col text] [--jaccard 0.8] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N]")
     val opts = scala.collection.mutable.Map.empty[String, String]
     var i = 1
     while (i < argv.length) {
@@ -88,7 +98,9 @@ object Main {
       opts.get("source-user"), opts.get("source-password"),
       opts.get("dest-user"), opts.get("dest-password"),
       opts.get("target-bytes").map(num("target-bytes", _, min = 1)),
-      opts.getOrElse("id-col", "doc_id"), opts.getOrElse("text-col", "text"),
+      opts.getOrElse("id-col",
+        if (argv(0) == "semantic-dedup") "vec_id" else "doc_id"),
+      opts.getOrElse("text-col", "text"),
       {
         val j = opts.getOrElse("jaccard", "0.8")
         val d = j.toDoubleOption.getOrElse(throw GraftError.InvalidConfig(
@@ -98,7 +110,23 @@ object Main {
         d
       },
       opts.get("min-tokens").map(num("min-tokens", _, min = 0)),
-      opts.get("max-tokens").map(num("max-tokens", _, min = 1))) match {
+      opts.get("max-tokens").map(num("max-tokens", _, min = 1)),
+      {
+        val m = opts.getOrElse("mode", "minhash")
+        if (!Set("minhash", "simhash", "exact").contains(m))
+          throw GraftError.InvalidConfig(
+            s"--mode must be minhash, simhash or exact, got '$m'")
+        m
+      },
+      opts.getOrElse("vector-col", "embedding"),
+      {
+        val t = opts.getOrElse("threshold", "0.99")
+        val d = t.toDoubleOption.getOrElse(throw GraftError.InvalidConfig(
+          s"--threshold expects a number in (0,1], got '$t'"))
+        if (d <= 0.0 || d > 1.0) throw GraftError.InvalidConfig(
+          s"--threshold must be in (0,1], got $d")
+        d
+      }) match {
       case a if a.minTokens.exists(mn => a.maxTokens.exists(_ < mn)) =>
         // a swapped range would silently quality-drop the whole corpus
         throw GraftError.InvalidConfig(
@@ -117,9 +145,14 @@ object Main {
       val a = parse(argv)
       val spark = GraftSession.local("graft-cli")
       try {
-        if (a.cmd == "compact") runCompact(spark, a)
-        else if (a.cmd == "curate") runCurate(spark, a)
-        else runSync(spark, a)
+        a.cmd match {
+          case "compact"        => runCompact(spark, a)
+          case "curate"         => runCurate(spark, a)
+          case "neardup"        => runNearDup(spark, a)
+          case "semantic-dedup" => runSemanticDedup(spark, a)
+          case "quality"        => runQuality(spark, a)
+          case _                => runSync(spark, a)
+        }
         0
       } finally spark.stop()
     } catch {
@@ -131,7 +164,7 @@ object Main {
     if (exit != 0) sys.exit(exit)
   }
 
-  private def runCompact(spark: org.apache.spark.sql.SparkSession, a: Args): Unit = {
+  private[cli] def runCompact(spark: org.apache.spark.sql.SparkSession, a: Args): Unit = {
     if (a.dest.startsWith("jdbc:"))
       throw GraftError.InvalidConfig("compact applies to parquet directories")
     val r = graft.sync.Compact.compact(spark, a.dest,
@@ -146,7 +179,7 @@ object Main {
     * MinHash-LSH near-dedup (the production edge generator), one verdict
     * row per doc written to parquet. Parquet-only: curation is a corpus
     * operation, not a sync. */
-  private def runCurate(spark: org.apache.spark.sql.SparkSession, a: Args): Unit = {
+  private[cli] def runCurate(spark: org.apache.spark.sql.SparkSession, a: Args): Unit = {
     import org.apache.spark.sql.functions.col
     if (a.source.startsWith("jdbc:") || a.dest.startsWith("jdbc:"))
       throw GraftError.InvalidConfig("curate applies to parquet paths")
@@ -166,6 +199,97 @@ object Main {
       .groupBy("drop_reason").count().collect()
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
     println(s"curated ${a.source}: $counts -> ${a.dest}")
+  }
+
+  /** Near-duplicate detection as a standalone verb: `minhash` runs the
+    * MinHash-LSH cascade (banded candidates → estimate filter → exact
+    * Jaccard verify ≥ --jaccard) and writes verified pairs; `simhash`
+    * writes pigeonhole-banded candidate pairs with their hamming
+    * distance; `exact` writes a (id, keeper_id) map — min-id keeper per
+    * identical text. The hot-band drop ledger prints when the cap
+    * truncated candidate generation (never silent). */
+  private[cli] def runNearDup(spark: org.apache.spark.sql.SparkSession,
+                              a: Args): Unit = {
+    import org.apache.spark.sql.functions.{col, min}
+    if (a.source.startsWith("jdbc:") || a.dest.startsWith("jdbc:"))
+      throw GraftError.InvalidConfig("neardup applies to parquet paths")
+    val docs = spark.read.parquet(a.source)
+    graft.functions.GraftFunctions.register(spark)
+    a.mode match {
+      case "minhash" =>
+        val (pairs, stats) = graft.ext.Dedup.minhashNearDupsCounted(
+          docs, a.idCol, a.textCol, threshold = a.jaccard,
+          nativeShingles = true)
+        pairs.write.mode("overwrite").parquet(a.dest)
+        val capped = if (stats.droppedBands > 0)
+          s" [capped: ${stats.droppedBands} bands / ${stats.droppedRows} rows dropped]"
+        else ""
+        println(s"neardup minhash ${a.source}: " +
+          s"${spark.read.parquet(a.dest).count()} pairs -> ${a.dest}$capped")
+      case "simhash" =>
+        val hashed = docs.select(col(a.idCol),
+          graft.ext.TextAnalysis.simhash64(col(a.textCol)).as("__simhash"))
+        graft.ext.TextAnalysis.simhashCandidates(hashed, a.idCol, "__simhash")
+          .select("a_id", "b_id", "hamming")
+          .write.mode("overwrite").parquet(a.dest)
+        println(s"neardup simhash ${a.source}: " +
+          s"${spark.read.parquet(a.dest).count()} pairs -> ${a.dest}")
+      case "exact" =>
+        val keeper = docs.groupBy(col(a.textCol))
+          .agg(min(col(a.idCol)).as("keeper_id"))
+        docs.select(col(a.idCol), col(a.textCol))
+          .join(keeper, a.textCol)
+          .select(col(a.idCol), col("keeper_id"))
+          .write.mode("overwrite").parquet(a.dest)
+        val out = spark.read.parquet(a.dest)
+        println(s"neardup exact ${a.source}: ${out.count()} docs, " +
+          s"${out.select("keeper_id").distinct().count()} keepers -> ${a.dest}")
+    }
+  }
+
+  /** Embedding-space dedup as a verb: one canonical survivor per
+    * cosine-similarity component at --threshold, cells auto-sized to the
+    * distinct corpus. Writes the surviving rows (schema unchanged). */
+  private[cli] def runSemanticDedup(spark: org.apache.spark.sql.SparkSession,
+                                    a: Args): Unit = {
+    if (a.source.startsWith("jdbc:") || a.dest.startsWith("jdbc:"))
+      throw GraftError.InvalidConfig("semantic-dedup applies to parquet paths")
+    val emb = spark.read.parquet(a.source)
+    graft.functions.GraftFunctions.register(spark)
+    val (survivors, stats) = graft.ext.Similarity.semanticDedupCounted(
+      emb, a.idCol, a.vectorCol, threshold = a.threshold,
+      nClusters = graft.ext.Similarity.AutoClusters)
+    survivors.write.mode("overwrite").parquet(a.dest)
+    val kept = spark.read.parquet(a.dest).count()
+    val capped = if (stats.droppedBands > 0)
+      s" [capped: ${stats.droppedBands} cells / ${stats.droppedRows} rows skipped pairing]"
+    else ""
+    println(s"semantic-dedup ${a.source}: kept $kept of ${emb.count()} " +
+      s"-> ${a.dest}$capped")
+  }
+
+  /** Per-document quality profile: the Gopher rule conjunction (measures +
+    * per-rule flags + gopher_pass) joined with the composite quality score
+    * and the n-gram language guess — the triage table a curation run
+    * starts from. */
+  private[cli] def runQuality(spark: org.apache.spark.sql.SparkSession,
+                              a: Args): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (a.source.startsWith("jdbc:") || a.dest.startsWith("jdbc:"))
+      throw GraftError.InvalidConfig("quality applies to parquet paths")
+    val docs = spark.read.parquet(a.source)
+    val rules = graft.ext.TextAnalysis.gopherRules(docs, a.idCol, a.textCol,
+      minTokens = a.minTokens.getOrElse(50L),
+      maxTokens = a.maxTokens.getOrElse(100000L))
+    rules.join(docs.select(col(a.idCol),
+        graft.ext.TextAnalysis.qualityScore(col(a.textCol)).as("quality_score"),
+        graft.ext.TextAnalysis.langId(col(a.textCol)).as("lang_guess")),
+        a.idCol)
+      .write.mode("overwrite").parquet(a.dest)
+    val out = spark.read.parquet(a.dest)
+    println(s"quality ${a.source}: " +
+      s"${out.filter(col("gopher_pass") === 1L).count()}/${out.count()} " +
+      s"pass gopher -> ${a.dest}")
   }
 
   private def runSync(spark: org.apache.spark.sql.SparkSession, a: Args): Unit = {
