@@ -54,7 +54,16 @@ object DupClusters {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val fromNeighbors = und.join(labels, col("src") === col("node"))
+      // SHUFFLE_HASH on the label side: the labels table (one row per
+      // node) usually exceeds the broadcast threshold, and the planner's
+      // sort-merge fallback then SORTS the edge side — |E| log |E| per
+      // round is where a 4× edge growth turned into ~10× wall on the
+      // ×100 scale probe. Hash-building on the small per-node side keeps
+      // every round's edge pass a linear stream. (At billions of nodes
+      // the per-partition hash build is still bounded: rows/partition,
+      // not total rows, and spills degrade gracefully.)
+      val fromNeighbors = und.join(labels.hint("shuffle_hash"),
+          col("src") === col("node"))
         .select(col("dst").as("node"), col("label"))
       val minned = labels.union(fromNeighbors)
         .groupBy("node").agg(min("label").as("label"))
@@ -66,7 +75,8 @@ object DupClusters {
       // self-join under as()/as() trips Catalyst constraint rewriting)
       val ptr = minned.select(col("node").as("__pnode"),
         col("label").as("__plabel"))
-      val next = minned.join(ptr, col("label") === col("__pnode"))
+      val next = minned.join(ptr.hint("shuffle_hash"),
+          col("label") === col("__pnode"))
         .select(col("node"), col("__plabel").as("label"))
         .localCheckpoint()
       val s = labelSum(next)

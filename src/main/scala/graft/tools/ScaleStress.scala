@@ -194,35 +194,43 @@ object ScaleStress {
       }
 
       // the STREAMING incremental-balance pipeline at scale: the full
-      // MemoryStream → stateful transitions → update-mode balance → merge
-      // sink path, replayed over the replicated events in 5 micro-batches.
-      // Bounded to ×10 (the replay harness collects to the driver by
-      // design — 1M rows ≈ tens of MB; production streams read a source).
-      // The final state must equal the one-shot batch aggregate — the
-      // batch-equivalence law, asserted here at 10× the fixture.
-      if (rep <= 10) {
+      // file-source readStream → stateful transitions → update-mode
+      // balance → merge sink path over the replicated events parquet.
+      // A FILE source (not MemoryStream) so the replay is unbounded by
+      // driver memory — exactly how a production stream arrives — with
+      // maxFilesPerTrigger slicing the backlog into ~5 micro-batches and
+      // Trigger.AvailableNow draining it to completion. Cross-batch file
+      // order is arbitrary; the replicated corpus is insert-only (unique
+      // keys), so the final state is order-independent — and it must
+      // equal the one-shot batch aggregate (the batch-equivalence law),
+      // asserted at EVERY scale including ×50 / 5M+ rows.
+      {
         import spark.implicits._
-        implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
         // the sync arm above has already written (and delta-appended) this
         // dir, so the replay covers base + delta rows
         val evDir = s"$work/events_x$rep"
-        val rows = spark.read.parquet(evDir)
-          .orderBy("ts", "event_id")
-          .collect()
-          .map(r => graft.streaming.RowImage(
-            key = r.getAs[Long]("event_id"), userId = r.getAs[Long]("user_id"),
-            status = r.getAs[String]("event_type"),
-            amount = r.getAs[Double]("value"), ts = r.getAs[Long]("ts")))
+        val evSchema = spark.read.parquet(evDir).schema
+        val nRows = spark.read.parquet(evDir).count()
+        val nFiles = spark.read.parquet(evDir).inputFiles.length
         val dest = s"$work/balances_x$rep"
+        val ckpt = s"$work/balances_ckpt_x$rep"
         val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "4")
         val (_, tStream) = try timed {
-          val mem = org.apache.spark.sql.execution.streaming.runtime
-            .MemoryStream[graft.streaming.RowImage]
-          val q = graft.streaming.IncrementalBalance.run(mem.toDS(), dest)
-          try rows.grouped(math.max(1, rows.length / 5 + 1))
-            .foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
-          finally q.stop()
+          val images = spark.readStream
+            .schema(evSchema)
+            .option("maxFilesPerTrigger", math.max(1, nFiles / 5))
+            .parquet(evDir)
+            .select(col("event_id").as("key"), col("user_id").as("userId"),
+              col("event_type").as("status"), col("value").as("amount"),
+              col("ts"))
+            .as[graft.streaming.RowImage]
+          val q = graft.streaming.IncrementalBalance.run(images, dest,
+            checkpointDir = Some(ckpt))
+          // processAllAvailable drains the whole backlog (respecting the
+          // per-trigger file cap) and returns; the query never "finishes"
+          // on its own — a file stream waits for new files forever
+          try q.processAllAvailable() finally q.stop()
         } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         val got = spark.read.parquet(dest)
           .agg(count(lit(1)), round(sum("balance"), 2)).first()
@@ -233,8 +241,8 @@ object ScaleStress {
           .agg(count(lit(1)), round(sum("b").cast("double"), 2)).first()
         val ok = got.getLong(0) == want.getLong(0) &&
           math.abs(got.getDouble(1) - want.getDouble(1)) < 0.01
-        jline("stream_balance_replay", rep, tStream, rows.length,
-          Seq("rows_per_sec" -> f"${rows.length / tStream}%.0f",
+        jline("stream_balance_replay", rep, tStream, nRows,
+          Seq("rows_per_sec" -> f"${nRows / tStream}%.0f",
             "batch_equal" -> (if (ok) "1" else "0")))
         if (!ok) sys.error(s"stream replay diverged from batch at x$rep: " +
           s"got $got want $want")
