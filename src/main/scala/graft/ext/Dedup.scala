@@ -130,6 +130,59 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** Build the reusable corpus-membership bloom artifact: a serialized
+    * [[org.apache.spark.util.sketch.BloomFilter]] over
+    * `xxhash64(fingerprint(text))` of `base`. One distributed aggregation
+    * (public `DataFrameStatFunctions.bloomFilter`, tree-merged partials),
+    * no shuffle of the corpus itself. The bytes are a durable artifact:
+    * build once when the corpus version is cut, persist next to it, reuse
+    * across every subsequent admission batch — the 100 TB story is
+    * "re-scan the corpus once per version, not once per drop".
+    *
+    * Sizing: ~`-1.44 · log2(fpp)` bits/item (≈9.6 at fpp 0.01), so 1e9
+    * items at 1% ≈ 1.2 GB. Keep fpp honest rather than tiny: every false
+    * positive only costs one row in the exact confirm join. */
+  def fingerprintBloom(base: DataFrame, textCol: String,
+                       expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    val filter = base
+      .select(xxhash64(TextAnalysis.fingerprint(col(textCol))).as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+    val out = new java.io.ByteArrayOutputStream()
+    filter.writeTo(out)
+    out.toByteArray
+  }
+
+  /** [[incrementalDedup]] with a bloom pre-filter: EXACTLY the same result
+    * (bloom misses are proofs of non-membership; bloom hits — true dups
+    * plus fpp·|new| false positives — are resolved by the same exact
+    * anti-join), but only the hit slice ever reaches the join's shuffle.
+    * With a daily drop that is mostly novel content, the shuffle input
+    * drops from |new| to ≈|true dups|, and the base side of the join is
+    * still only its distinct fingerprints.
+    *
+    * The filter bytes ride the plan as a constant (task binaries are
+    * broadcast, so executors fetch them once per stage); build them with
+    * [[fingerprintBloom]] — the key expression must match bit-for-bit.
+    *
+    * Shape note: `newDocs` is scanned twice (miss branch ∪ hit branch) —
+    * two cheap columnar scans in exchange for removing the miss slice
+    * from the shuffle; cache `newDocs` first when it is not a file scan. */
+  def incrementalDedupBloom(newDocs: DataFrame, base: DataFrame,
+                            textCol: String, bloomBytes: Array[Byte]): DataFrame = {
+    graft.functions.GraftFunctions.register(newDocs.sparkSession)
+    val flagged = newDocs
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__maybe",
+        call_function("bloom_might_contain", lit(bloomBytes),
+          xxhash64(col("__fp"))))
+    val definiteKeeps = flagged.filter(!col("__maybe")).drop("__maybe")
+    val candidates = flagged.filter(col("__maybe")).drop("__maybe")
+    val baseFp = base
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp")).distinct()
+    definiteKeeps.union(candidates.join(baseFp, Seq("__fp"), "left_anti"))
+      .drop("__fp")
+  }
+
   /** Word-level shingles (n-grams of tokens) as distinct strings. */
   def shingles(textCol: Column, n: Int = 3): Column = {
     val t = TextAnalysis.tokens(textCol)

@@ -182,11 +182,27 @@ object TextAnalysis {
     * (n_grams, n_unique) where `n_unique` counts grams appearing in NO
     * other document. One explode feeding one gram-keyed aggregation
     * (count + min id — the count-1 groups' min IS the owning doc), one
-    * tiny owner re-aggregation, one doc-sized left join. */
-  private def uniqueGramCounts(withSh: DataFrame, idCol: String): DataFrame = {
+    * tiny owner re-aggregation, one doc-sized left join.
+    *
+    * `hashedKeys` replaces the gram STRING with `xxhash64(gram)` before
+    * the explode — the aggregation/shuffle key shrinks from a ~n-char
+    * UTF8 payload to 8 fixed bytes, which is where the duplication
+    * measures' cost lives at scale (the char-16-gram frame is the
+    * library's largest; SCALE.md's steepest line). Distinctness per doc
+    * is preserved through the hash (injective on each doc's distinct
+    * set with P ≈ 1 − k²/2⁶⁵), and the global answer differs from the
+    * exact form only on a 64-bit collision between two DIFFERENT grams
+    * — P ≈ G²/2⁶⁵ for G distinct grams corpus-wide (≈6·10⁻¹⁰ at sf0.1),
+    * which the strict e6g2 oracle gate would surface as a hash
+    * mismatch. */
+  private def uniqueGramCounts(withSh: DataFrame, idCol: String,
+                               hashedKeys: Boolean = false): DataFrame = {
     val base = withSh.select(col(idCol),
       size(col("__sh")).cast("long").as("n_grams"))
-    val uniq = withSh.select(col(idCol), explode(col("__sh")).as("__g"))
+    val gramKey = if (hashedKeys) xxhash64(col("__raw")) else col("__raw")
+    val uniq = withSh
+      .select(col(idCol), explode(col("__sh")).as("__raw"))
+      .select(col(idCol), gramKey.as("__g"))
       .groupBy("__g")
       .agg(count(lit(1)).as("__c"), min(col(idCol)).as("__owner"))
       .filter(col("__c") === 1L)
@@ -244,10 +260,14 @@ object TextAnalysis {
     * `nativeGrams` swaps in the codegen'd single-pass kernel
     * (graft.functions.CharNgrams — HOFs run interpreted, and this is the
     * library's largest gram frame; requires GraftFunctions.register).
+    * `hashedKeys` shuffles `xxhash64(gram)` (8 bytes) instead of the gram
+    * string — the production switch for the 100 TB shape; see
+    * [[uniqueGramCounts]] for the collision accounting.
     *
     * @return idCol, n_grams, n_shared, dup_char_ngram_frac */
   def charNgramDupFraction(docs: DataFrame, idCol: String, textCol: String,
-                           n: Int = 16, nativeGrams: Boolean = false): DataFrame = {
+                           n: Int = 16, nativeGrams: Boolean = false,
+                           hashedKeys: Boolean = false): DataFrame = {
     require(n > 0, s"n must be positive: $n")
     val t = col(textCol)
     val gramsCol =
@@ -258,7 +278,7 @@ object TextAnalysis {
             i => t.substr(i, lit(n)))))
     val withSh = docs.select(col(idCol), gramsCol.as("__sh"))
       .filter(col("__sh").isNotNull).localCheckpoint()
-    uniqueGramCounts(withSh, idCol)
+    uniqueGramCounts(withSh, idCol, hashedKeys)
       .select(col(idCol), col("n_grams"),
         (col("n_grams") - col("n_unique")).as("n_shared"))
       .withColumn("dup_char_ngram_frac",

@@ -159,6 +159,21 @@ object GraftFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      exprs => {
+        require(exprs.length == 2, "bloom_might_contain takes (filter, key)")
+        exprs.head match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+              b: Array[Byte], org.apache.spark.sql.types.BinaryType) =>
+            BloomMightContain(b, exprs(1))
+          case other => throw new IllegalArgumentException(
+            "bloom_might_contain(filter, key) requires a literal binary " +
+              "filter (the pre-built bloom artifact is a plan constant, " +
+              s"not data), got: ${other.sql}")
+        }
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingles",
       exprs => {
         require(exprs.length == 2, "shingles takes (text, n)")

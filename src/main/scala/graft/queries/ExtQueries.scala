@@ -1199,6 +1199,31 @@ object ExtQueries {
           "doc_id", "text", nativeGrams = true)
     },
 
+    // E4 — the SAME char-16-gram duplication measure through hashed
+    // aggregation keys (`xxhash64(gram)` — 8-byte shuffle payloads
+    // instead of 16-char strings): the production switch for the
+    // library's largest gram frame. Equal to the exact form unless two
+    // distinct grams collide in 64 bits (P ≈ G²/2⁶⁵ ≈ 6·10⁻¹⁰ at sf0.1)
+    // — gated against the SAME exact oracle, so a collision would
+    // surface as a hash mismatch, not pass silently.
+    "e6g2_char_ngram_dup_hashed" -> Q(
+      """WITH g AS (SELECT doc_id,
+        |        CASE WHEN length(text) <= 16 THEN [text]
+        |             ELSE list_distinct(list_transform(range(1, length(text) - 14),
+        |                    i -> substr(text, i, 16))) END AS cg
+        |      FROM documents),
+        |e AS (SELECT doc_id, unnest(cg) AS gram FROM g),
+        |c AS (SELECT gram, count(*) AS docs_with FROM e GROUP BY 1)
+        |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(count(*) FILTER (WHERE c.docs_with > 1) AS BIGINT) AS n_shared,
+        |       round(count(*) FILTER (WHERE c.docs_with > 1) * 1.0 / count(*), 6) AS dup_char_ngram_frac
+        |FROM e JOIN c USING (gram) GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        graft.functions.GraftFunctions.register(s)
+        TextAnalysis.charNgramDupFraction(Tables.documents(s, dir),
+          "doc_id", "text", nativeGrams = true, hashedKeys = true)
+    },
+
     // [EXT] deterministic per-epoch shuffle order: the reproducible
     // "reshuffle each epoch" permutation (rank by md5(epoch:id)), assigned
     // through the two-phase GlobalRowNumber range shuffle — never a
@@ -1259,6 +1284,31 @@ object ExtQueries {
         val fresh = docs.filter(col("doc_id") >= 100 && col("doc_id") < 350)
           .select((col("doc_id") + 100000).as("doc_id"), col("text"))
         Dedup.incrementalDedup(fresh, base, "text").select("doc_id")
+    },
+
+    // E1 — the SAME admission gate through the bloom pre-filter: the
+    // corpus-membership bloom is built once over base (the durable
+    // artifact a 100 TB pipeline persists per corpus version), bloom
+    // misses skip the anti-join shuffle entirely, hits are confirmed
+    // exactly. No false negatives ⇒ identical rows to e1c — same oracle
+    // SQL, strict hash gate, not a recall gate.
+    "e1d_bloom_incremental_dedup" -> Q(
+      """WITH base AS (SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |              FROM documents WHERE doc_id < 250),
+        |fresh AS (SELECT doc_id + 100000 AS doc_id,
+        |                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |          FROM documents WHERE doc_id >= 100 AND doc_id < 350)
+        |SELECT f.doc_id FROM fresh f
+        |WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.fp = f.fp)""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val base = docs.filter(col("doc_id") < 250)
+        val fresh = docs.filter(col("doc_id") >= 100 && col("doc_id") < 350)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val bloom = Dedup.fingerprintBloom(base, "text",
+          expectedItems = 4096, fpp = 0.01)
+        Dedup.incrementalDedupBloom(fresh, base, "text", bloom)
+          .select("doc_id")
     },
 
     // E1 — END-TO-END fuzzy-dedup pipeline: minhash signatures → band

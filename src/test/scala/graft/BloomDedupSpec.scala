@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+
+/** The bloom-prefiltered admission gate: exact equality with the plain
+  * anti-join form (no false negatives by construction), real pruning (the
+  * miss branch carries most novel rows past the shuffle), and the
+  * codegen/interpreted agreement of the probe expression.
+  */
+class BloomDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val docs =
+    graft.core.Tables.documents(spark, sfDir).select("doc_id", "text").cache()
+
+  private lazy val base = docs.filter(col("doc_id") < 250)
+  private lazy val fresh = docs
+    .filter(col("doc_id") >= 100 && col("doc_id") < 350)
+    .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+  private lazy val bloom =
+    Dedup.fingerprintBloom(base, "text", expectedItems = 4096, fpp = 0.01)
+
+  test("bloom path returns exactly the plain incremental-dedup rows") {
+    val plain = Dedup.incrementalDedup(fresh, base, "text")
+      .select("doc_id").as[Long].collect().toSet
+    val bloomed = Dedup.incrementalDedupBloom(fresh, base, "text", bloom)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloomed == plain)
+    // fixture contract: [100,250) overlap dropped, [250,350) admitted
+    assert(plain == (100250L until 100350L).toSet)
+  }
+
+  test("probe prunes: most novel rows never reach the anti-join") {
+    graft.functions.GraftFunctions.register(spark)
+    val maybe = fresh
+      .withColumn("__h",
+        xxhash64(graft.ext.TextAnalysis.fingerprint(col("text"))))
+      .withColumn("maybe",
+        call_function("bloom_might_contain", lit(bloom), col("__h")))
+    val counts = maybe.groupBy("maybe").count()
+      .as[(Boolean, Long)].collect().toMap
+    val hits = counts.getOrElse(true, 0L)
+    val misses = counts.getOrElse(false, 0L)
+    assert(hits + misses == 250L)
+    // 150 true dups MUST hit; at fpp=0.01 the 100 novel docs produce only
+    // a few false positives — require at least 80 proven misses
+    assert(hits >= 150L, s"true duplicates missed the filter: hits=$hits")
+    assert(misses >= 80L, s"filter not pruning: misses=$misses")
+  }
+
+  test("probe expression: codegen and interpreted eval agree") {
+    val keyed = fresh.withColumn("__h",
+      xxhash64(graft.ext.TextAnalysis.fingerprint(col("text"))))
+    graft.functions.GraftFunctions.register(spark)
+    val viaCodegen = keyed
+      .withColumn("maybe", call_function("bloom_might_contain", lit(bloom), col("__h")))
+      .select("doc_id", "maybe").as[(Long, Boolean)].collect().toMap
+    // interpreted: evaluate the expression row by row on the driver
+    val probe = graft.functions.BloomMightContain(bloom,
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = keyed.select("doc_id", "__h").as[(Long, Long)].collect()
+    rows.foreach { case (id, h) =>
+      val interp = probe.eval(
+        org.apache.spark.sql.catalyst.InternalRow(h)).asInstanceOf[Boolean]
+      assert(interp == viaCodegen(id), s"doc $id: interp=$interp codegen=${viaCodegen(id)}")
+    }
+  }
+
+  test("serialized filter round-trips and keys on the exact expression") {
+    // a filter built over a DIFFERENT key expression must not be trusted:
+    // same bytes, probe with an offset hash → overlap docs can miss
+    val shifted = fresh
+      .withColumn("__h",
+        xxhash64(graft.ext.TextAnalysis.fingerprint(col("text"))) + 1L)
+    graft.functions.GraftFunctions.register(spark)
+    val hits = shifted
+      .filter(call_function("bloom_might_contain", lit(bloom), col("__h")))
+      .count()
+    assert(hits < 150L, "shifted keys should not reproduce the hit set")
+  }
+}

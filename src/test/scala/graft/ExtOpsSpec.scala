@@ -613,6 +613,17 @@ class ExtOpsSpec extends SparkSpec {
     assert(ids == (20L to 39L).toSet, "rebuilt index must hold the new corpus")
   }
 
+  test("hashed-key char-ngram duplication equals the exact-string form") {
+    graft.functions.GraftFunctions.register(spark)
+    val exact = TextAnalysis.charNgramDupFraction(docs, "doc_id", "text",
+        nativeGrams = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val hashed = TextAnalysis.charNgramDupFraction(docs, "doc_id", "text",
+        nativeGrams = true, hashedKeys = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hashed == exact)
+  }
+
   test("native shingles are bit-identical to the HOF form (corpus + edge strings)") {
     graft.functions.GraftFunctions.register(spark)
     // null text included: both forms must agree (null in, null out), and the
