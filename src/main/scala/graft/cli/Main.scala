@@ -32,6 +32,14 @@ import graft.sync.{SyncConfig, SyncEndpoint, SyncPipeline, SyncReport}
   *     [--threshold 0.99]
   *   runMain graft.cli.Main quality --source <parquet docs> --dest <parquet out> \
   *     [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N]
+  *   runMain graft.cli.Main admit --source <parquet fresh docs> \
+  *     --base <parquet corpus> --dest <parquet admitted> \
+  *     [--bloom PATH] [--expected-items N] [--fpp 0.01] \
+  *     [--id-col doc_id] [--text-col text]
+  *   runMain graft.cli.Main decontaminate --source <parquet corpus> \
+  *     --benchmark <parquet eval docs> --dest <parquet clean docs> \
+  *     [--report PATH] [--ngram 3] [--max-contamination 0.0] \
+  *     [--id-col doc_id] [--text-col text]
   */
 object Main {
 
@@ -44,14 +52,20 @@ object Main {
                           targetBytes: Option[Long],
                           idCol: String, textCol: String, jaccard: Double,
                           minTokens: Option[Long], maxTokens: Option[Long],
-                          mode: String, vectorCol: String, threshold: Double)
+                          mode: String, vectorCol: String, threshold: Double,
+                          base: String = "", benchmark: String = "",
+                          bloom: Option[String] = None,
+                          expectedItems: Option[Long] = None,
+                          fpp: Double = 0.01, report: Option[String] = None,
+                          ngramN: Int = 3, maxContamination: Double = 0.0)
 
   private val boolFlags = Set("progress")
 
   private[cli] def parse(argv: Array[String]): Args = {
     if (argv.isEmpty || !Set("single", "continuous", "compact", "curate",
-        "neardup", "semantic-dedup", "quality").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact] [--id-col doc_id] [--text-col text] [--jaccard 0.8] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N]")
+        "neardup", "semantic-dedup", "quality", "admit",
+        "decontaminate").contains(argv(0)))
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact] [--id-col doc_id] [--text-col text] [--jaccard 0.8] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--report PATH] [--ngram 3] [--max-contamination 0.0] [--id-col doc_id] [--text-col text]")
     val opts = scala.collection.mutable.Map.empty[String, String]
     var i = 1
     while (i < argv.length) {
@@ -131,7 +145,33 @@ object Main {
         // a swapped range would silently quality-drop the whole corpus
         throw GraftError.InvalidConfig(
           s"--min-tokens (${a.minTokens.get}) must be <= --max-tokens (${a.maxTokens.get})")
-      case a => a
+      case a => a.copy(
+        base = if (argv(0) == "admit") req("base")
+               else opts.getOrElse("base", ""),
+        benchmark = if (argv(0) == "decontaminate") req("benchmark")
+                    else opts.getOrElse("benchmark", ""),
+        bloom = opts.get("bloom"),
+        expectedItems =
+          opts.get("expected-items").map(num("expected-items", _, min = 1)),
+        fpp = {
+          val v = opts.getOrElse("fpp", "0.01")
+          val d = v.toDoubleOption.getOrElse(throw GraftError.InvalidConfig(
+            s"--fpp expects a number in (0,1), got '$v'"))
+          if (d <= 0.0 || d >= 1.0) throw GraftError.InvalidConfig(
+            s"--fpp must be in (0,1), got $d")
+          d
+        },
+        report = opts.get("report"),
+        ngramN = num("ngram", opts.getOrElse("ngram", "3"), min = 1,
+          max = 64).toInt,
+        maxContamination = {
+          val v = opts.getOrElse("max-contamination", "0.0")
+          val d = v.toDoubleOption.getOrElse(throw GraftError.InvalidConfig(
+            s"--max-contamination expects a number in [0,1], got '$v'"))
+          if (d < 0.0 || d > 1.0) throw GraftError.InvalidConfig(
+            s"--max-contamination must be in [0,1], got $d")
+          d
+        })
     }
   }
 
@@ -151,6 +191,8 @@ object Main {
           case "neardup"        => runNearDup(spark, a)
           case "semantic-dedup" => runSemanticDedup(spark, a)
           case "quality"        => runQuality(spark, a)
+          case "admit"          => runAdmit(spark, a)
+          case "decontaminate"  => runDecontaminate(spark, a)
           case _                => runSync(spark, a)
         }
         0
@@ -290,6 +332,71 @@ object Main {
     println(s"quality ${a.source}: " +
       s"${out.filter(col("gopher_pass") === 1L).count()}/${out.count()} " +
       s"pass gopher -> ${a.dest}")
+  }
+
+  /** Incremental admission as a verb: keep only the --source rows whose
+    * content fingerprint is not already in --base, through the bloom
+    * pre-filter (ext/Dedup.incrementalDedupBloom — misses skip the
+    * anti-join shuffle; the result is exactly the plain anti-join's).
+    * `--bloom PATH` makes the filter a durable artifact: loaded when the
+    * file exists, else built from --base and written there — so a daily
+    * admission job pays the base scan once per corpus version, not once
+    * per drop. */
+  private[cli] def runAdmit(spark: org.apache.spark.sql.SparkSession,
+                            a: Args): Unit = {
+    import java.nio.file.{Files, Paths}
+    if (a.source.startsWith("jdbc:") || a.dest.startsWith("jdbc:") ||
+        a.base.startsWith("jdbc:"))
+      throw GraftError.InvalidConfig("admit applies to parquet paths")
+    val fresh = spark.read.parquet(a.source)
+    val base = spark.read.parquet(a.base)
+    val (bloomBytes, bloomNote) = a.bloom match {
+      case Some(p) if Files.exists(Paths.get(p)) =>
+        (Files.readAllBytes(Paths.get(p)), s"loaded $p")
+      case other =>
+        val items = a.expectedItems.getOrElse(math.max(base.count(), 1024L))
+        val b = graft.ext.Dedup.fingerprintBloom(base, a.textCol, items, a.fpp)
+        other.foreach { p => Files.write(Paths.get(p), b); () }
+        (b, other.fold(s"built (${b.length} bytes)")(p =>
+          s"built -> $p (${b.length} bytes)"))
+    }
+    graft.ext.Dedup.incrementalDedupBloom(fresh, base, a.textCol, bloomBytes)
+      .write.mode("overwrite").parquet(a.dest)
+    val kept = spark.read.parquet(a.dest).count()
+    println(s"admit ${a.source}: kept $kept of ${fresh.count()} " +
+      s"-> ${a.dest} [bloom: $bloomNote]")
+  }
+
+  /** Train/benchmark decontamination as a verb: drop every --source doc
+    * whose distinct --ngram-shingle overlap with --benchmark exceeds
+    * --max-contamination (default 0 — any shared n-gram drops), write the
+    * surviving rows; `--report` additionally writes the per-doc
+    * contamination profile (ext/Dedup.contamination — benchmark shingles
+    * broadcast, corpus exploded once, never self-joined). */
+  private[cli] def runDecontaminate(spark: org.apache.spark.sql.SparkSession,
+                                    a: Args): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (a.source.startsWith("jdbc:") || a.dest.startsWith("jdbc:") ||
+        a.benchmark.startsWith("jdbc:"))
+      throw GraftError.InvalidConfig("decontaminate applies to parquet paths")
+    val corpus = spark.read.parquet(a.source)
+    val bench = spark.read.parquet(a.benchmark)
+    graft.functions.GraftFunctions.register(spark)
+    val profile = graft.ext.Dedup.contamination(corpus, bench, a.idCol,
+      a.textCol, shingleN = a.ngramN, nativeShingles = true)
+      .localCheckpoint() // read twice (report + keep-join), computed once
+    a.report.foreach(r => profile.write.mode("overwrite").parquet(r))
+    // null-text docs carry null contamination: no measurable overlap, keep
+    val keepIds = profile.filter(col("contamination").isNull ||
+        col("contamination") <= a.maxContamination)
+      .select(a.idCol)
+    corpus.join(keepIds, a.idCol)
+      .write.mode("overwrite").parquet(a.dest)
+    val kept = spark.read.parquet(a.dest).count()
+    println(s"decontaminate ${a.source}: kept $kept of ${corpus.count()} " +
+      s"(vs ${bench.count()} benchmark docs, n=${a.ngramN}, " +
+      s"max=${a.maxContamination}) -> ${a.dest}" +
+      a.report.fold("")(r => s" [report: $r]"))
   }
 
   private def runSync(spark: org.apache.spark.sql.SparkSession, a: Args): Unit = {

@@ -179,7 +179,11 @@ object Dedup {
     val candidates = flagged.filter(col("__maybe")).drop("__maybe")
     val baseFp = base
       .select(TextAnalysis.fingerprint(col(textCol)).as("__fp")).distinct()
-    definiteKeeps.union(candidates.join(baseFp, Seq("__fp"), "left_anti"))
+    // unionByName, NOT positional union: a using-column anti-join moves
+    // the key column to the front of its output, so the positional form
+    // would silently zip doc columns against the fingerprint
+    definiteKeeps
+      .unionByName(candidates.join(baseFp, Seq("__fp"), "left_anti"))
       .drop("__fp")
   }
 

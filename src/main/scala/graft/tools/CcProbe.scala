@@ -11,9 +11,17 @@ import graft.core.GraftSession
   * the 144-second minhash stage that feeds the real one.
   *
   * Usage: runMain graft.tools.CcProbe [nodes] [clusterSize]
+  *    or: runMain graft.tools.CcProbe skew [nodes]   — star-graph arm:
+  * one hot center holding nodes/2 spokes (a maximally skewed edge
+  * partition on the per-round neighbor join) run TWICE, with AQE skew
+  * thresholds at their defaults and forced low enough that
+  * OptimizeSkewedJoin actually splits the hot partition — evidence that
+  * the shuffle_hash hint and AQE skew handling compose at scale, not
+  * just that the hint wins on uniform clusters.
   */
 object CcProbe {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("skew")) return skewArm(args)
     val n = args.headOption.map(_.toLong).getOrElse(500000L)
     val cs = if (args.length > 1) args(1).toLong else 100L
     val spark = GraftSession.local("graft-cc-probe")
@@ -30,6 +38,46 @@ object CcProbe {
       pairs, "a_id", "b_id", maxIter = 40)
     val k = cc.filter(col("is_canonical") === 1L).count()
     println(f"[probe] clusters=$k sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    spark.stop()
+  }
+
+  private def skewArm(args: Array[String]): Unit = {
+    val n = if (args.length > 1) args(1).toLong else 500000L
+    val spark = GraftSession.local("graft-cc-skew-probe")
+    val nodes = spark.range(n).select(col("id").as("doc_id"))
+    // star 0—i for i<n/2 plus (i,i+1) chains-of-two above: expected
+    // clusters = 1 + n/4 (+ leftover isolated node when n/2 is odd)
+    val star = spark.range(1, n / 2)
+      .select(lit(0L).as("a_id"), col("id").as("b_id"))
+    val pairs = spark.range(n / 2, n - 1, 2)
+      .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+    val edges = star.union(pairs).localCheckpoint()
+    println(s"[probe] skew arm: nodes=$n edges=${edges.count()} (hot center degree ${n / 2 - 1})")
+    val expected = 1L + (n / 2 - (if (n % 2 == 0) 0 else 1)) / 2 +
+      (if ((n - n / 2) % 2 == 1) 1L else 0L)
+    def run(label: String): Unit = {
+      val t0 = System.nanoTime()
+      val cc = graft.ext.DupClusters.clusters(nodes, "doc_id",
+        edges, "a_id", "b_id", maxIter = 40)
+      val k = cc.filter(col("is_canonical") === 1L).count()
+      val center = cc.filter(col("doc_id") === 1L)
+        .select("cluster_id").first().getLong(0)
+      require(center == 0L, s"spoke mislabeled: $center")
+      require(k == expected, s"clusters=$k expected=$expected")
+      println(f"[probe] $label clusters=$k sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    run("default-thresholds")
+    // the hot partition here is only ~4 MB (250k edges), far below the
+    // 256 MB default skew threshold — drop the threshold under it and the
+    // advisory below it so OptimizeSkewedJoin actually splits; advisory
+    // stays at 1 MB (not KBs) so the forcing measures skew-split behavior,
+    // not a thousand-tiny-task coalesce regime. At production scale a
+    // genuinely hot key is GBs against the DEFAULT thresholds, so no
+    // forcing (and none of its overhead) applies.
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.5")
+    run("forced-skew-split")
     spark.stop()
   }
 }

@@ -29,6 +29,12 @@ import graft.sync.{SyncConfig, SyncJob}
   * cardinality, and the relevant drop ledger. Results land in SCALE.md.
   *
   * Usage: runMain graft.tools.ScaleStress [sfDir] [workDir] [reps,...]
+  *
+  * `SPARK_GRAFT_STRESS_ONLY` (comma list of group keys: `dedup` — the
+  * chained e6/e9c/e10/cap arm — `e2n`, `e6g`, `e6g2`, `e4t`, `sync` —
+  * which includes the streaming replay built on its output dir) runs a
+  * subset; fixture replication is skipped for inputs no selected group
+  * reads. Unset = everything, unchanged.
   */
 object ScaleStress {
 
@@ -80,19 +86,30 @@ object ScaleStress {
       else Seq(1, 10, 50)
     val spark = GraftSession.local("graft-scale-stress")
     graft.functions.GraftFunctions.register(spark)
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wants(groups: String*): Boolean =
+      only.forall(f => groups.exists(f.contains))
 
     reps.foreach { rep =>
       val docsDir = s"$work/docs_x$rep"
       val embDir = s"$work/emb_x$rep"
-      val (_, tPrepD) = timed(replicateDocs(spark, sfDir, rep, docsDir))
-      val (_, tPrepE) = timed(replicateEmbeddings(spark, sfDir, rep, embDir))
-      val docs = spark.read.parquet(docsDir)
-      val emb = spark.read.parquet(embDir)
-      val nDocs = docs.count()
-      val nVecs = emb.count()
+      val needDocs = wants("dedup", "e6g", "e6g2", "e4t")
+      val needEmb = wants("e2n")
+      val (_, tPrepD) =
+        if (needDocs) timed(replicateDocs(spark, sfDir, rep, docsDir))
+        else ((), 0.0)
+      val (_, tPrepE) =
+        if (needEmb) timed(replicateEmbeddings(spark, sfDir, rep, embDir))
+        else ((), 0.0)
+      lazy val docs = spark.read.parquet(docsDir)
+      lazy val emb = spark.read.parquet(embDir)
+      val nDocs = if (needDocs) docs.count() else 0L
+      val nVecs = if (needEmb) emb.count() else 0L
       jline("prepare", rep, tPrepD + tPrepE, nDocs,
         Seq("n_vectors" -> nVecs.toString))
 
+      if (wants("dedup")) {
       // e6 shape — banded minhash near-dup over the full replicated corpus
       val ((pairs, mhStats), tMh) = timed {
         val (p, st) = Dedup.minhashNearDupsCounted(docs, "doc_id", "text",
@@ -125,6 +142,24 @@ object ScaleStress {
       jline("e10_curation", rep, tCur, verdicts.count(),
         Seq("kept" -> kept.toString))
 
+      // hot-band cap under REAL skew: at this scale every document sits in
+      // a replica cluster, so a tight cap must fire and return a non-empty
+      // drop ledger (the programmatic truncation signal, never silent)
+      if (rep >= 10) {
+        val ((cappedPairs, capStats), tCap) = timed {
+          val (p, st) = Dedup.minhashNearDupsCounted(docs, "doc_id", "text",
+            threshold = 0.8, nativeShingles = true,
+            maxBandSize = rep / 2)
+          (p.localCheckpoint(), st)
+        }
+        jline("e6_minhash_capped", rep, tCap, cappedPairs.count(),
+          Seq("dropped_bands" -> capStats.droppedBands.toString,
+            "dropped_rows" -> capStats.droppedRows.toString,
+            "cap" -> (rep / 2).toString))
+      }
+      }
+
+      if (wants("e2n")) {
       // e2n shape — semantic dedup over the replicated embedding corpus.
       // AutoClusters sizes cells to the DISTINCT corpus (~1k vectors/cell)
       // — the within-cell candidate step is quadratic in cell size by
@@ -138,20 +173,37 @@ object ScaleStress {
       jline("e2n_semantic_dedup", rep, tSd, survivors.count(),
         Seq("dropped_cells" -> sdStats.droppedBands.toString,
           "dropped_rows" -> sdStats.droppedRows.toString))
+      }
 
+      if (wants("e6g")) {
       // e6g shape — corpus char-16-gram duplicated fraction (aggregate-only)
       val (dupFrac, tNg) = timed {
         TextAnalysis.charNgramDupFraction(docs, "doc_id", "text",
           nativeGrams = true).localCheckpoint()
       }
       jline("e6g_char_ngram_dup", rep, tNg, dupFrac.count())
+      }
 
+      if (wants("e6g2")) {
+      // e6g2 shape — the same measure through hashed aggregation keys
+      // (8-byte xxhash64 shuffle payloads instead of 16-char grams): the
+      // production switch for the library's largest gram frame
+      val (dupFracH, tNgH) = timed {
+        TextAnalysis.charNgramDupFraction(docs, "doc_id", "text",
+          nativeGrams = true, hashedKeys = true).localCheckpoint()
+      }
+      jline("e6g2_char_ngram_dup_hashed", rep, tNgH, dupFracH.count())
+      }
+
+      if (wants("e4t")) {
       // e4t shape — Zipf slope via the two-phase range-shuffle rank
       val (zipf, tZf) = timed {
         TextAnalysis.zipfSlope(docs, "text").localCheckpoint()
       }
       jline("e4t_zipf_slope", rep, tZf, zipf.count())
+      }
 
+      if (wants("sync")) {
       // the SYNC pipeline (the reference's core operator) at scale:
       // cold full sync, an idle poll (T5 no-op detection), and a 1%-delta
       // incremental poll — the 100 TB claim for the merge path is exactly
@@ -247,22 +299,7 @@ object ScaleStress {
         if (!ok) sys.error(s"stream replay diverged from batch at x$rep: " +
           s"got $got want $want")
       }
-
-      // hot-band cap under REAL skew: at this scale every document sits in
-      // a replica cluster, so a tight cap must fire and return a non-empty
-      // drop ledger (the programmatic truncation signal, never silent)
-      if (rep >= 10) {
-        val ((cappedPairs, capStats), tCap) = timed {
-          val (p, st) = Dedup.minhashNearDupsCounted(docs, "doc_id", "text",
-            threshold = 0.8, nativeShingles = true,
-            maxBandSize = rep / 2)
-          (p.localCheckpoint(), st)
-        }
-        jline("e6_minhash_capped", rep, tCap, cappedPairs.count(),
-          Seq("dropped_bands" -> capStats.droppedBands.toString,
-            "dropped_rows" -> capStats.droppedRows.toString,
-            "cap" -> (rep / 2).toString))
-      }
+      } // wants("sync")
     }
     spark.stop()
   }

@@ -33,6 +33,22 @@ class BloomDedupSpec extends SparkSpec {
     assert(plain == (100250L until 100350L).toSet)
   }
 
+  test("false positives resolve exactly, full rows intact (sloppy filter)") {
+    // fpp 0.45 makes bloom false positives near-certain among the 100
+    // novel docs, so the anti-join branch carries real rows — and ALL
+    // columns are materialized (no column pruning to hide a union
+    // misalignment between the keep branch and the anti-join branch,
+    // whose using-column join fronts the key column).
+    val sloppy = Dedup.fingerprintBloom(base, "text",
+      expectedItems = 4096, fpp = 0.45)
+    val got = Dedup.incrementalDedupBloom(fresh, base, "text", sloppy)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val want = Dedup.incrementalDedup(fresh, base, "text")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got == want)
+    assert(got.keySet == (100250L until 100350L).toSet)
+  }
+
   test("probe prunes: most novel rows never reach the anti-join") {
     graft.functions.GraftFunctions.register(spark)
     val maybe = fresh

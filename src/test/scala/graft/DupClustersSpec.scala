@@ -83,6 +83,43 @@ class DupClustersSpec extends SparkSpec {
     assert(viaLsh.values.toSet.size == viaExact.values.toSet.size)
   }
 
+  test("shuffle_hash rounds stay correct when AQE skew-splitting is forced") {
+    // NOTES r7 candidate: the per-round joins hint shuffle_hash — verify
+    // the hint coexists with AQE's skew-join optimization when it FIRES.
+    // A star graph makes the hot center's edge partition arbitrarily
+    // skewed; thresholds dropped to 1KB force OptimizeSkewedJoin to split
+    // it (Spark supports skew splits for shuffled-hash joins on the
+    // stream side). Correctness contract: one component labeled 0, plus
+    // untouched background pairs.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.1")
+      val n = 20000L
+      val nodes = (0L until n).toDF("id")
+      // star: 0—i for i in [1, n/2); pairs: (i, i+1) for even i >= n/2
+      val star = (1L until n / 2).map(i => (0L, i))
+      val pairs = (n / 2 until n - 1 by 2).map(i => (i, i + 1))
+      val got = DupClusters.connectedComponents(
+          nodes, "id", (star ++ pairs).toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got.size == n)
+      (0L until n / 2).foreach(i => assert(got(i) == 0L, s"star node $i"))
+      (n / 2 until n - 1 by 2).foreach { i =>
+        assert(got(i) == i && got(i + 1) == i, s"pair $i")
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("clusters over exact-Jaccard edges give every doc a canonical keeper") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
       .filter($"doc_id" < 50)

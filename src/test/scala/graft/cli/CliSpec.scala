@@ -21,6 +21,8 @@ class CliSpec extends SparkSpec {
       case "semantic-dedup" => Main.runSemanticDedup(spark, a)
       case "quality"        => Main.runQuality(spark, a)
       case "curate"         => Main.runCurate(spark, a)
+      case "admit"          => Main.runAdmit(spark, a)
+      case "decontaminate"  => Main.runDecontaminate(spark, a)
       case other            => fail(s"unexpected verb $other")
     }
     a
@@ -87,6 +89,54 @@ class CliSpec extends SparkSpec {
     assert(out.filter(col("gopher_pass") === 1L).count() == 0)
   }
 
+  test("admit drops base-overlap rows and persists the bloom artifact") {
+    val work = tmpDir("cli-admit")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    docs.filter(col("doc_id") < 250).write.parquet(s"$work/base")
+    docs.filter(col("doc_id") >= 100 && col("doc_id") < 350)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      .write.parquet(s"$work/fresh")
+    run("admit", "--source", s"$work/fresh", "--base", s"$work/base",
+      "--dest", s"$work/admitted", "--bloom", s"$work/corpus.bloom")
+    val got = spark.read.parquet(s"$work/admitted").select("doc_id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    assert(got == (100250L until 100350L).toSet)
+    // the artifact was written, and a second run (loading it) agrees
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$work/corpus.bloom")))
+    run("admit", "--source", s"$work/fresh", "--base", s"$work/base",
+      "--dest", s"$work/admitted2", "--bloom", s"$work/corpus.bloom")
+    val again = spark.read.parquet(s"$work/admitted2").select("doc_id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    assert(again == got)
+  }
+
+  test("decontaminate drops benchmark-overlapping docs and writes the report") {
+    val work = tmpDir("cli-decon")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // benchmark = docs [0,100); corpus = docs [100, 500). The 31-word soup
+    // overlaps heavily at 3-grams, so strict max=0 drops most of the
+    // corpus — loose max=1.0 keeps everything. Both bounds are checked.
+    docs.filter(col("doc_id") < 100).write.parquet(s"$work/bench")
+    docs.filter(col("doc_id") >= 100).write.parquet(s"$work/corpus")
+    run("decontaminate", "--source", s"$work/corpus",
+      "--benchmark", s"$work/bench", "--dest", s"$work/clean",
+      "--report", s"$work/report")
+    val nCorpus = spark.read.parquet(s"$work/corpus").count()
+    val kept = spark.read.parquet(s"$work/clean").count()
+    assert(kept < nCorpus, "strict zero-overlap must drop soup docs")
+    val report = spark.read.parquet(s"$work/report")
+    assert(report.count() == nCorpus)
+    assert(Set("doc_id", "n_shingles", "contaminated", "contamination")
+      .subsetOf(report.columns.toSet))
+    // kept docs are exactly the zero-contamination rows of the report
+    assert(kept == report.filter(col("contamination") === 0.0).count())
+    run("decontaminate", "--source", s"$work/corpus",
+      "--benchmark", s"$work/bench", "--dest", s"$work/clean_all",
+      "--max-contamination", "1.0")
+    assert(spark.read.parquet(s"$work/clean_all").count() == nCorpus)
+  }
+
   test("arg validation fails TYPED, not with a raw exception") {
     assertThrows[GraftError.InvalidConfig](Main.parse(Array("frobnicate")))
     assertThrows[GraftError.InvalidConfig](
@@ -103,5 +153,16 @@ class CliSpec extends SparkSpec {
       "--dest", "d")).idCol == "vec_id")
     assert(Main.parse(Array("neardup", "--source", "s",
       "--dest", "d")).idCol == "doc_id")
+    // admit requires --base; decontaminate requires --benchmark
+    assertThrows[GraftError.InvalidConfig](
+      Main.parse(Array("admit", "--source", "s", "--dest", "d")))
+    assertThrows[GraftError.InvalidConfig](
+      Main.parse(Array("decontaminate", "--source", "s", "--dest", "d")))
+    assertThrows[GraftError.InvalidConfig](
+      Main.parse(Array("admit", "--source", "s", "--base", "b",
+        "--dest", "d", "--fpp", "1.5")))
+    assertThrows[GraftError.InvalidConfig](
+      Main.parse(Array("decontaminate", "--source", "s", "--benchmark", "b",
+        "--dest", "d", "--max-contamination", "2")))
   }
 }
