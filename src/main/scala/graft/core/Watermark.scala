@@ -1,0 +1,62 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.{DataType, NumericType, TimestampNTZType, TimestampType}
+
+/** Canonical driver-side watermark representation (SURVEY §3.1 T1/T2).
+  *
+  * The sync lifecycle carries exactly two driver-side scalars — the T1
+  * starting point and the T2 snapshot cut — across restarts, crash markers
+  * and reports. Columns may be numeric epochs (the reference's data model,
+  * session.py:58) or genuine SQL timestamps (the fixture's `events.ts`,
+  * parquet TIMESTAMP(MICROS)); the driver-side canonical form is ONE type:
+  * epoch-micros Long for time-typed columns, the raw long for numeric ones.
+  * Everything that persists a watermark (SyncReport, the pending-merge
+  * marker, graft_sync_state) stores that Long; predicates against the
+  * column re-materialize it as a literal of the column's own type so
+  * parquet row-group pruning and filter pushdown keep seeing a plain
+  * comparison on the stored column.
+  */
+object Watermark {
+
+  /** Collapse a driver-side watermark scalar (from `first().get(0)` or a
+    * JDBC `getObject`) to canonical epoch-micros / raw long. */
+  def toMicros(v: Any): Option[Long] = v match {
+    case null                   => None
+    case n: java.lang.Number    => Some(n.longValue())
+    case t: java.sql.Timestamp  => Some(instantMicros(t.toInstant))
+    case i: java.time.Instant   => Some(instantMicros(i))
+    case l: java.time.LocalDateTime =>
+      // TIMESTAMP_NTZ external type; the engine runs UTC sessions (GraftSession)
+      Some(instantMicros(l.toInstant(java.time.ZoneOffset.UTC)))
+    case other => throw new IllegalArgumentException(
+      s"unsupported watermark scalar type: ${other.getClass.getName}")
+  }
+
+  private def instantMicros(i: java.time.Instant): Long =
+    Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+
+  /** A literal of the watermark COLUMN's type from the canonical long, so
+    * `col >= litFor(dt, wm)` stays a pushdown-able plain comparison. */
+  def litFor(dt: DataType, us: Long): Column = dt match {
+    case TimestampType =>
+      lit(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+    case TimestampNTZType =>
+      lit(java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L),
+        java.time.ZoneOffset.UTC))
+    case _: NumericType => lit(us)
+    case other => throw new IllegalArgumentException(
+      s"watermark column must be numeric or timestamp-typed; got ${other.simpleString}")
+  }
+
+  /** True when the type participates in the watermark protocol at all. */
+  def supported(dt: DataType): Boolean = dt match {
+    case TimestampType | TimestampNTZType => true
+    case _: NumericType                   => true
+    case _                                => false
+  }
+}
