@@ -124,7 +124,10 @@ object Bench {
       Seq.empty[Double]
     else {
       val events = graft.core.Tables.events(spark, sfDir)
-      val maxTs = events.agg(org.apache.spark.sql.functions.max("ts")).first().getLong(0)
+      // canonical epoch-micros whatever the fixture's physical ts type
+      // (ns-Long or TIMESTAMP_NTZ generations — core.Watermark)
+      val maxTs = graft.core.Watermark.toMicros(
+        events.agg(org.apache.spark.sql.functions.max("ts")).first().get(0)).get
       (1 to runs).map { _ =>
         val syncDest = java.nio.file.Files
           .createTempDirectory("bench-sync").toString + "/dest"

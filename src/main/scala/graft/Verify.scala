@@ -29,13 +29,28 @@ object Verify {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
     }
-    SparkEntry.queries
+    // A failing query must fail the GATE, not just print to stderr: a
+    // thrown build/run leaves a per-query failure marker (never a parquet
+    // dir the driver could mistake for data), is tallied, and flips the
+    // exit code — "silently absent from the report" is not an outcome
+    // (round-8 lesson: 27 analysis-broken queries read as 105/105 pass).
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    val failed = scala.collection.mutable.ListBuffer[String]()
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        val marker = Paths.get(s"$outDir/$name.FAILED")
+        Files.writeString(marker,
+          s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}\n")
+        // a stale parquet dir from an earlier run must not mask the failure
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.isDirectory) {
+          dir.listFiles().foreach(_.delete()); dir.delete()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -54,5 +69,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] FAILED ${failed.size}/${selected.size}: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
+    println(s"[verify] OK ${selected.size}/${selected.size}")
   }
 }

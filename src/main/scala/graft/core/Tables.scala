@@ -1,27 +1,35 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, lit, unix_micros}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Fixture-table loaders (SURVEY §5.3 / FIXTURES.md).
   *
   * Every loader takes the scale-factor directory so the same query code runs
   * on sf0.001 (smoke), sf0.01 (t2 oracle) and sf0.1 (bench).
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS); with
-  * `spark.sql.legacy.parquet.nanosAsLong` it loads as LongType epoch-nanos.
-  * Cross-engine convention (DuckDB truncates ns→µs on read): any ts value
-  * that leaves a query does so as epoch-micros (`ts div 1000`) or
-  * epoch-millis (`ts div 1000000`) — integer division, never double division
+  * `events.ts` is a SQL timestamp whose LOADED type depends on how the
+  * fixture generation wrote it — the driver has shipped both parquet
+  * TIMESTAMP(NANOS) (loads as LongType epoch-nanos under
+  * `spark.sql.legacy.parquet.nanosAsLong`) and TIMESTAMP(MICROS,
+  * isAdjustedToUTC=false) (loads as TIMESTAMP_NTZ). Query code therefore
+  * NEVER assumes the physical type: predicates use [[tsLit]] (a literal of
+  * the column's own type, so parquet row-group pruning and pushdown keep
+  * seeing a plain comparison on the stored column) and projections use
+  * [[tsUs]] (epoch-micros at the output edge). Cross-engine convention
+  * (DuckDB truncates ns→µs on read): any ts value that leaves a query does
+  * so as epoch-micros or epoch-millis — integer arithmetic, never double
   * (epoch-nanos exceeds 2^53 and is not representable in a double).
   */
 object Tables {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Defensive: the driver may hand us a session built without the one
-    // conf the fixtures REQUIRE (events.parquet is TIMESTAMP(NANOS) and
-    // unreadable without it). Only that conf is touched — the session's
-    // timezone etc. belong to the session owner (GraftSession sets UTC
-    // for sessions we create).
+    // conf an older fixture generation REQUIRED (parquet TIMESTAMP(NANOS)
+    // is unreadable without it; a no-op for µs fixtures). Only that conf
+    // is touched — the session's timezone etc. belong to the session owner
+    // (GraftSession sets UTC for sessions we create).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
@@ -64,9 +72,56 @@ object Tables {
     * + pushdown keep working); whole-second boundaries make the ns-vs-µs
     * truncation question moot. */
   def utcNanos(date: String): Long = {
-    val norm = if (date.contains(" ") || date.contains("T")) date.replace(' ', 'T')
-               else date + "T00:00:00"
-    java.time.LocalDateTime.parse(norm)
+    java.time.LocalDateTime.parse(normDate(date))
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L
+  }
+
+  /** Epoch-micros for a UTC date string — the canonical driver-side unit
+    * (core.Watermark); used wherever a query compares in µs space. */
+  def utcMicros(date: String): Long = utcNanos(date) / 1000L
+
+  private def normDate(date: String): String =
+    if (date.contains(" ") || date.contains("T")) date.replace(' ', 'T')
+    else date + "T00:00:00"
+
+  /** Epoch-micros projection of a time column, whatever its loaded type —
+    * the ONE place the fixture's physical ts representation is interpreted.
+    *
+    *  - `LongType`: legacy nanos-Long loading (parquet TIMESTAMP(NANOS)
+    *    under `nanosAsLong`) — integer `div 1000`.
+    *  - `TimestampType`: an absolute instant — `unix_micros` directly
+    *    (timezone-independent by definition).
+    *  - `TimestampNTZType` (parquet TIMESTAMP(isAdjustedToUTC=false), the
+    *    current fixture generation): wall-clock µs since the NTZ epoch via
+    *    `timestampdiff` — NTZ-to-NTZ arithmetic, so the result does not
+    *    depend on the session timezone (a cast to TIMESTAMP would).
+    *
+    * Use at the PROJECTION edge only; predicates belong on the native
+    * column via [[tsLit]] so parquet pushdown/row-group pruning survive. */
+  def tsUs(df: DataFrame, c: String = "ts"): Column = df.schema(c).dataType match {
+    case LongType          => expr(s"`$c` div 1000")
+    case TimestampType     => unix_micros(col(c))
+    case TimestampNTZType  =>
+      expr(s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', `$c`)")
+    case other => throw new IllegalArgumentException(
+      s"column '$c' is ${other.simpleString}; expected a time column " +
+        "(LongType epoch-nanos, TIMESTAMP or TIMESTAMP_NTZ)")
+  }
+
+  /** A literal of the time COLUMN's own loaded type for a UTC datetime
+    * string ("2024-01-10" or "2024-01-10 12:00:00"), so `col >= tsLit(...)`
+    * stays a pushdown-able plain comparison on the stored column. */
+  def tsLit(df: DataFrame, date: String, c: String = "ts"): Column =
+    tsLitFor(df.schema(c).dataType, date, c)
+
+  private[graft] def tsLitFor(dt: DataType, date: String, c: String): Column = {
+    val ldt = java.time.LocalDateTime.parse(normDate(date))
+    dt match {
+      case LongType         => lit(utcNanos(date))
+      case TimestampType    => lit(ldt.toInstant(java.time.ZoneOffset.UTC))
+      case TimestampNTZType => lit(ldt) // NTZ literal: wall-clock comparison
+      case other => throw new IllegalArgumentException(
+        s"column '$c' is ${other.simpleString}; expected a time column")
+    }
   }
 }

@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.types.{DataType, NumericType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 
 /** Canonical driver-side watermark representation (SURVEY §3.1 T1/T2).
   *
@@ -21,10 +21,18 @@ import org.apache.spark.sql.types.{DataType, NumericType, TimestampNTZType, Time
 object Watermark {
 
   /** Collapse a driver-side watermark scalar (from `first().get(0)` or a
-    * JDBC `getObject`) to canonical epoch-micros / raw long. */
+    * JDBC `getObject`) to canonical epoch-micros / raw long. Fractional
+    * numerics are rejected (matching [[supported]]): `Number.longValue()`
+    * would truncate sub-integer precision silently, and the T1 re-read
+    * contract is only provably loss-safe when the canonical form is exact. */
   def toMicros(v: Any): Option[Long] = v match {
     case null                   => None
-    case n: java.lang.Number    => Some(n.longValue())
+    case n @ (_: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+              _: java.lang.Byte) => Some(n.asInstanceOf[java.lang.Number].longValue())
+    case d: java.math.BigDecimal if d.stripTrailingZeros.scale <= 0 =>
+      Some(d.longValueExact())
+    case b: java.math.BigInteger => Some(b.longValueExact())
+    case d: scala.math.BigDecimal if d.isValidLong => Some(d.longValue)
     case t: java.sql.Timestamp  => Some(instantMicros(t.toInstant))
     case i: java.time.Instant   => Some(instantMicros(i))
     case l: java.time.LocalDateTime =>
@@ -48,15 +56,19 @@ object Watermark {
         java.time.Instant.ofEpochSecond(
           Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L),
         java.time.ZoneOffset.UTC))
-    case _: NumericType => lit(us)
+    case ByteType | ShortType | IntegerType | LongType => lit(us)
     case other => throw new IllegalArgumentException(
-      s"watermark column must be numeric or timestamp-typed; got ${other.simpleString}")
+      s"watermark column must be integral-numeric or timestamp-typed; got ${other.simpleString}")
   }
 
-  /** True when the type participates in the watermark protocol at all. */
+  /** True when the type participates in the watermark protocol at all.
+    * Integral numerics and SQL timestamps only: a fractional epoch column
+    * has no exact canonical-long form (truncation would silently lose
+    * sub-integer precision), so it is rejected up front rather than
+    * rounded behind the caller's back. */
   def supported(dt: DataType): Boolean = dt match {
     case TimestampType | TimestampNTZType => true
-    case _: NumericType                   => true
+    case ByteType | ShortType | IntegerType | LongType => true
     case _                                => false
   }
 }

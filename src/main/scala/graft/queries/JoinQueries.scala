@@ -194,8 +194,8 @@ object JoinQueries {
     // (graft.ops.AsOfJoin: one key shuffle + sort + running last, no
     // nested loop); DuckDB adjudicates with its native ASOF JOIN — two
     // entirely different algorithms required to agree row-for-row. Times
-    // compared at epoch-micros on both sides (events.ts is parquet ns;
-    // DuckDB truncates ns→µs on read). The right side is deduped to one
+    // compared at epoch-micros on both sides (Tables.tsUs normalizes
+    // whatever physical ts type the fixture shipped). The right side is deduped to one
     // row per (user, µs) by max event_id because ASOF leaves equal-time
     // winners unspecified — the dedup makes both engines deterministic.
     "j8_asof_join" -> Q(
@@ -206,12 +206,12 @@ object JoinQueries {
         |SELECT p.user_id, purchase_id, p_us, view_id, v_us
         |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.p_us >= v.v_us""".stripMargin) {
       (s, dir) =>
-        val ev = Tables.events(s, dir) // ts: LongType epoch-nanos
+        val ev = Tables.events(s, dir)
         val p = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id").as("purchase_id"),
-            expr("ts div 1000").as("p_us"))
+            Tables.tsUs(ev).as("p_us"))
         val v = ev.filter(col("event_type") === "view")
-          .groupBy(col("user_id"), expr("ts div 1000").as("v_us"))
+          .groupBy(col("user_id"), Tables.tsUs(ev).as("v_us"))
           .agg(max("event_id").as("view_id"))
         graft.ops.AsOfJoin.asOf(p, v, Seq("user_id"), "p_us", "v_us",
             Seq("view_id", "v_us"))

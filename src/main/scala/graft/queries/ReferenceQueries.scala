@@ -15,11 +15,15 @@ import graft.core.Tables
   */
 object ReferenceQueries {
 
-  // Shared literals (UTC, whole-second boundaries — ns-vs-µs truncation safe).
-  private val lo   = Tables.utcNanos("2024-01-10") // range-scan window
-  private val hi   = Tables.utcNanos("2024-01-20")
-  private val cut  = Tables.utcNanos("2024-01-25") // T2 snapshot cut
-  private val warm = Tables.utcNanos("2024-01-20") // T1 warm-start boundary
+  // Shared boundary dates (UTC, whole-second — ns-vs-µs truncation safe).
+  // Materialized per-query via Tables.tsLit (native-typed, pushdown-able)
+  // or Tables.utcMicros (µs-space arithmetic) — never pre-bound to one
+  // physical ts representation (the fixture has shipped both ns-Long and
+  // TIMESTAMP_NTZ generations).
+  private val loDate   = "2024-01-10" // range-scan window
+  private val hiDate   = "2024-01-20"
+  private val cutDate  = "2024-01-25" // T2 snapshot cut
+  private val warmUs   = Tables.utcMicros("2024-01-20") // T1 warm-start boundary
 
   /** DECIMAL-exact, order-independent money sum cast back to DOUBLE. */
   private def decSum(c: String, scale: Int = 2) =
@@ -34,10 +38,10 @@ object ReferenceQueries {
          |FROM events
          |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'""".stripMargin) {
       (s, dir) =>
-        Tables.events(s, dir)
-          .filter(col("ts").between(lo, hi))
-          .selectExpr("event_id", "ts div 1000 AS ts_us", "user_id",
-                      "event_type", "value", "props")
+        val e = Tables.events(s, dir)
+        e.filter(col("ts").between(Tables.tsLit(e, loDate), Tables.tsLit(e, hiDate)))
+          .select(col("event_id"), Tables.tsUs(e).as("ts_us"), col("user_id"),
+                  col("event_type"), col("value"), col("props"))
     },
 
     // S7 — plain file-source scan (driver fixtures; TESTDATA.md).
@@ -65,10 +69,10 @@ object ReferenceQueries {
       """SELECT event_id, epoch_us(ts) AS ts_us FROM events
         |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-22 00:00:00'""".stripMargin) {
       (s, dir) =>
-        Tables.events(s, dir)
-          .filter(col("ts") >= Tables.utcNanos("2024-01-15") &&
-                  col("ts") < Tables.utcNanos("2024-01-22"))
-          .selectExpr("event_id", "ts div 1000 AS ts_us")
+        val e = Tables.events(s, dir)
+        e.filter(col("ts") >= Tables.tsLit(e, "2024-01-15") &&
+                 col("ts") < Tables.tsLit(e, "2024-01-22"))
+          .select(col("event_id"), Tables.tsUs(e).as("ts_us"))
     },
 
     // F4 + W1 — ROW_NUMBER over total order, modulo picks window-boundary
@@ -80,7 +84,8 @@ object ReferenceQueries {
         |  FROM events) t
         |WHERE rn % 100 = 1""".stripMargin) {
       (s, dir) =>
-        val e = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+        val ev = Tables.events(s, dir)
+        val e = ev.withColumn("ts_us", Tables.tsUs(ev))
         val w = Window.orderBy(col("ts_us"), col("event_id"))
         e.withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") % 100 === 1)
@@ -122,12 +127,16 @@ object ReferenceQueries {
 
     // A1 — scalar MAX watermark (session.py:57-59).
     "a1_max_watermark" -> Q("SELECT epoch_us(max(ts)) AS wm_us FROM events") {
-      (s, dir) => Tables.events(s, dir).agg(expr("max(ts) div 1000").as("wm_us"))
+      (s, dir) =>
+        val e = Tables.events(s, dir)
+        e.agg(max(Tables.tsUs(e)).as("wm_us"))
     },
 
     // A2 — scalar MIN cold-start fallback (session.py:61-63).
     "a2_min_watermark" -> Q("SELECT epoch_us(min(ts)) AS wm_us FROM events") {
-      (s, dir) => Tables.events(s, dir).agg(expr("min(ts) div 1000").as("wm_us"))
+      (s, dir) =>
+        val e = Tables.events(s, dir)
+        e.agg(min(Tables.tsUs(e)).as("wm_us"))
     },
 
     // A3 — filtered COUNT(*) (README.md:217-220, status='BLOCKED').
@@ -162,11 +171,11 @@ object ReferenceQueries {
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY user_id""".stripMargin) {
       (s, dir) =>
-        Tables.events(s, dir)
-          .filter(col("event_type") === "purchase")
+        val e = Tables.events(s, dir)
+        e.filter(col("event_type") === "purchase")
           .groupBy("user_id")
           .agg(decSum("value").as("balance"),
-               expr("max(ts) div 1000").as("updated_us"))
+               max(Tables.tsUs(e)).as("updated_us"))
     },
 
     // W1 — partitioned ROW_NUMBER, the load-bearing S4-dedup form
@@ -179,7 +188,8 @@ object ReferenceQueries {
         |  FROM events) t
         |WHERE rn = 1""".stripMargin) {
       (s, dir) =>
-        val e = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+        val ev = Tables.events(s, dir)
+        val e = ev.withColumn("ts_us", Tables.tsUs(ev))
         val w = Window.partitionBy("user_id")
                       .orderBy(col("ts_us").desc, col("event_id").desc)
         e.withColumn("rn", row_number().over(w))
@@ -194,8 +204,8 @@ object ReferenceQueries {
         |  SELECT event_id, epoch_us(ts) AS ts_us FROM events) t
         |ORDER BY ts_us ASC, event_id ASC LIMIT 100""".stripMargin) {
       (s, dir) =>
-        Tables.events(s, dir)
-          .selectExpr("event_id", "ts div 1000 AS ts_us")
+        val e = Tables.events(s, dir)
+        e.select(col("event_id"), Tables.tsUs(e).as("ts_us"))
           .orderBy(col("ts_us").asc, col("event_id").asc)
           .limit(100)
     },
@@ -229,7 +239,8 @@ object ReferenceQueries {
     "x2_epoch_millis" -> Q(
       "SELECT event_id, epoch_ms(ts) AS ts_ms FROM events") {
       (s, dir) =>
-        Tables.events(s, dir).selectExpr("event_id", "ts div 1000000 AS ts_ms")
+        val e = Tables.events(s, dir)
+        e.select(col("event_id"), (Tables.tsUs(e) / 1000).cast("long").as("ts_ms"))
     },
 
     // X4 — modulo (session.py:292), as a bucketing aggregate.
@@ -248,10 +259,11 @@ object ReferenceQueries {
     "t1_watermark_recovery" -> Q(
       s"""SELECT count(*) AS cnt FROM events
          |WHERE epoch_us(ts) > (SELECT max(epoch_us(ts)) FROM events
-         |                      WHERE epoch_us(ts) < ${warm / 1000})""".stripMargin) {
+         |                      WHERE epoch_us(ts) < $warmUs)""".stripMargin) {
       (s, dir) =>
-        val e = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
-        val wm = e.filter(col("ts_us") < warm / 1000)
+        val ev = Tables.events(s, dir)
+        val e = ev.withColumn("ts_us", Tables.tsUs(ev))
+        val wm = e.filter(col("ts_us") < warmUs)
                   .agg(max("ts_us").as("wm_us"))
         e.crossJoin(wm).filter(col("ts_us") > col("wm_us"))
           .agg(count(lit(1)).as("cnt"))
@@ -263,7 +275,8 @@ object ReferenceQueries {
       s"""SELECT count(*) AS cnt FROM events
          |WHERE ts <= TIMESTAMP '2024-01-25 00:00:00'""".stripMargin) {
       (s, dir) =>
-        Tables.events(s, dir).filter(col("ts") <= cut)
+        val e = Tables.events(s, dir)
+        e.filter(col("ts") <= Tables.tsLit(e, cutDate))
           .agg(count(lit(1)).as("cnt"))
     },
 
@@ -273,7 +286,8 @@ object ReferenceQueries {
       """SELECT count(*) AS cnt FROM events
         |WHERE epoch_us(ts) >= (SELECT max(epoch_us(ts)) FROM events)""".stripMargin) {
       (s, dir) =>
-        val e = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+        val ev = Tables.events(s, dir)
+        val e = ev.withColumn("ts_us", Tables.tsUs(ev))
         val wm = e.agg(max("ts_us").as("wm_us"))
         e.crossJoin(wm).filter(col("ts_us") >= col("wm_us"))
           .agg(count(lit(1)).as("cnt"))

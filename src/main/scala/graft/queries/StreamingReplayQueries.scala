@@ -45,19 +45,19 @@ object StreamingReplayQueries {
     * driver-side from this array — same harness-bounded memory as before,
     * 4 fewer jobs. */
   private final case class Ev(eventId: Long, userId: Long, eventType: String,
-                              value: Double, tsNs: Long)
+                              value: Double, tsUs: Long)
   private val fixtureCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Ev]]()
   private def collectedEvents(s: SparkSession, dir: String): Array[Ev] =
     fixtureCache.computeIfAbsent(
       s"$dir@${Tables.fixtureStamp(dir, "events")}", _ =>
-      Tables.events(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("value"), col("ts"))
-        .orderBy("ts", "event_id")
-        .collect()
-        .map(r => Ev(r.getLong(0), r.getLong(1), r.getString(2),
-          r.getDouble(3), r.getLong(4))))
+      { val ev = Tables.events(s, dir)
+        ev.select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), Tables.tsUs(ev).as("ts_us"))
+          .orderBy("ts_us", "event_id")
+          .collect()
+          .map(r => Ev(r.getLong(0), r.getLong(1), r.getString(2),
+            r.getDouble(3), r.getLong(4))) })
 
   /** Run `body` with a reduced shuffle-partition count, restoring the
     * session's setting after. Stateful streaming ops commit one state-store
@@ -92,7 +92,7 @@ object StreamingReplayQueries {
       import s.implicits._
       val rows = collectedEvents(s, dir)
         .map(e => RowImage(key = e.eventId, userId = e.userId,
-          status = e.eventType, amount = e.value, ts = e.tsNs))
+          status = e.eventType, amount = e.value, ts = e.tsUs))
       val dest = java.nio.file.Files.createTempDirectory("t6-replay")
         .toString + "/balances"
       withShufflePartitions(s, 4) {
@@ -103,7 +103,7 @@ object StreamingReplayQueries {
       }
       s.read.parquet(dest).select(col("user_id"),
         round(col("balance"), 2).as("balance"),
-        expr("updated div 1000").as("updated_us"))
+        col("updated").as("updated_us"))
     },
 
     // T5/W6 — event-time tumbling-window aggregation replayed through a
@@ -119,7 +119,7 @@ object StreamingReplayQueries {
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
       val rows = collectedEvents(s, dir)
-        .map(e => (e.tsNs / 1000, e.eventType, e.value))
+        .map(e => (e.tsUs, e.eventType, e.value))
         .sortBy(identity)
       val mem = MemoryStream[(Long, String, Double)]
       val agg = mem.toDS().toDF("ts_us", "event_type", "value")
@@ -163,7 +163,7 @@ object StreamingReplayQueries {
         |FROM events""".stripMargin) { (s, dir) =>
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
-      val base = collectedEvents(s, dir).map(e => (e.eventId, e.tsNs / 1000))
+      val base = collectedEvents(s, dir).map(e => (e.eventId, e.tsUs))
       val rows = (base ++ base) // the re-delivery
         .sortBy { case (id, us) => (us, id) }
       val mem = MemoryStream[(Long, Long)]
@@ -207,7 +207,7 @@ object StreamingReplayQueries {
       import s.implicits._
       val sentinelUser = 999999L
       val rows = collectedEvents(s, dir).filter(_.userId < 10)
-        .map(e => (e.userId, e.tsNs / 1000))
+        .map(e => (e.userId, e.tsUs))
         .sortBy { case (uid, us) => (us, uid) }
       val mem = MemoryStream[(Long, Long)]
       val agg = mem.toDS().toDF("user_id", "ts_us")
@@ -247,7 +247,7 @@ object StreamingReplayQueries {
       import s.implicits._
       def side(eventType: String): Array[(Long, Long, Long)] =
         collectedEvents(s, dir).filter(_.eventType == eventType)
-          .map(e => (e.userId, e.tsNs / 1000, e.eventId))
+          .map(e => (e.userId, e.tsUs, e.eventId))
           .sortBy { case (_, us, id) => (us, id) }
       val pMem = MemoryStream[(Long, Long, Long)]
       val vMem = MemoryStream[(Long, Long, Long)]

@@ -26,7 +26,8 @@ object WindowQueries {
         |  FROM events) t
         |WHERE rn % 500 = 1""".stripMargin) {
       (s, dir) =>
-        val e = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+        val ev = Tables.events(s, dir)
+        val e = ev.withColumn("ts_us", Tables.tsUs(ev))
         val wAll = Window.orderBy(col("ts_us"), col("event_id"))
         val boundaries = e
           .withColumn("rn", row_number().over(wAll).cast("long"))
@@ -47,8 +48,8 @@ object WindowQueries {
         |  FROM events) t
         |WHERE rn % 100 = 1""".stripMargin) {
       (s, dir) =>
-        val e = Tables.events(s, dir)
-          .selectExpr("event_id", "ts div 1000 AS ts_us")
+        val ev = Tables.events(s, dir)
+        val e = ev.select(col("event_id"), Tables.tsUs(ev).as("ts_us"))
         graft.ops.GlobalRowNumber
           .withGlobalRowNumber(e, "rn", Seq(col("ts_us"), col("event_id")))
           .filter(col("rn") % 100 === 1)
@@ -65,9 +66,9 @@ object WindowQueries {
         |         AS running_total
         |FROM events WHERE user_id < 10""".stripMargin) {
       (s, dir) =>
-        val e = Tables.events(s, dir)
-          .filter(col("user_id") < 10)
-          .withColumn("ts_us", expr("ts div 1000"))
+        val ev = Tables.events(s, dir)
+        val e = ev.filter(col("user_id") < 10)
+          .withColumn("ts_us", Tables.tsUs(ev))
         val w = Window.partitionBy("user_id")
           .orderBy(col("ts_us"), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -83,8 +84,8 @@ object WindowQueries {
         |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events) t
         |WHERE user_id < 10""".stripMargin) {
       (s, dir) =>
-        val e = Tables.events(s, dir)
-          .selectExpr("event_id", "user_id", "ts div 1000 AS ts_us")
+        val ev = Tables.events(s, dir)
+        val e = ev.select(col("event_id"), col("user_id"), Tables.tsUs(ev).as("ts_us"))
           .filter(col("user_id") < 10)
         val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
         e.select(col("event_id"), col("user_id"),
@@ -130,8 +131,8 @@ object WindowQueries {
         |       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin) {
       (s, dir) =>
-        val e = Tables.events(s, dir)
-          .withColumn("tss", timestamp_micros(expr("ts div 1000")))
+        val ev = Tables.events(s, dir)
+        val e = ev.withColumn("tss", timestamp_micros(Tables.tsUs(ev)))
         e.groupBy(window(col("tss"), "1 hour").as("w"), col("event_type"))
           .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
           .select(unix_micros(col("w.start")).as("win_start_us"),
@@ -148,8 +149,8 @@ object WindowQueries {
         |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) AS ks
         |GROUP BY 1, 2""".stripMargin) {
       (s, dir) =>
-        val e = Tables.events(s, dir)
-          .withColumn("tss", timestamp_micros(expr("ts div 1000")))
+        val ev = Tables.events(s, dir)
+        val e = ev.withColumn("tss", timestamp_micros(Tables.tsUs(ev)))
         e.groupBy(window(col("tss"), "1 hour", "30 minutes").as("w"),
             col("event_type"))
           .agg(count(lit(1)).as("cnt"))
@@ -175,9 +176,9 @@ object WindowQueries {
         |SELECT user_id, min(us) AS session_start_us, count(*) AS n_events
         |FROM g GROUP BY user_id, grp""".stripMargin) {
       (s, dir) =>
-        val e = Tables.events(s, dir)
-          .filter(col("user_id") < 10)
-          .withColumn("tss", timestamp_micros(expr("ts div 1000")))
+        val ev = Tables.events(s, dir)
+        val e = ev.filter(col("user_id") < 10)
+          .withColumn("tss", timestamp_micros(Tables.tsUs(ev)))
         e.groupBy(session_window(col("tss"), "24 hours").as("w"), col("user_id"))
           .agg(count(lit(1)).as("n_events"))
           .select(col("user_id"),
@@ -202,8 +203,9 @@ object WindowQueries {
         // DECIMAL sum, not double: frame accumulation order differs between
         // engines (and with Spark's own partitioning on us-ties) — the
         // repo's money-sum parity rule applies inside window frames too
-        Tables.events(s, dir).filter(col("user_id") < 10)
-          .select(col("user_id"), expr("ts div 1000").as("us"), col("value"))
+        val ev = Tables.events(s, dir)
+        ev.filter(col("user_id") < 10)
+          .select(col("user_id"), Tables.tsUs(ev).as("us"), col("value"))
           .select(col("user_id"), col("us"),
             sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
               .as("trailing_24h"))
@@ -228,9 +230,10 @@ object WindowQueries {
         import org.apache.spark.sql.expressions.Window
         val w = Window.orderBy("hour")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.events(s, dir)
+        val ev = Tables.events(s, dir)
+        ev.withColumn("ts_us", Tables.tsUs(ev))
           .groupBy("user_id")
-          .agg(min(expr("(ts div 1000) div 3600000000")).as("hour"))
+          .agg(min(expr("ts_us div 3600000000")).as("hour"))
           .groupBy("hour").agg(count(lit(1)).as("new_users"))
           .withColumn("cum_users", sum("new_users").over(w))
     },

@@ -97,7 +97,21 @@ final class JdbcSource(url: String, props: Properties) {
       props)
     val row = df.first()
     if (row.isNullAt(0)) None
-    else Some((row.getAs[Number](0).longValue(), row.getAs[Number](1).longValue()))
+    else row.get(0) match {
+      // The JDBC extraction arm embeds the bounds as bare numerics in
+      // server-side SQL (countRange/rangeRead + the partitioned-read
+      // lower/upperBound) — the reference's numeric-epoch data model
+      // (session.py:58). A timestamp-typed watermark column would need
+      // dialect timestamp literals in FOUR places; until that lands it is
+      // a typed refusal, not a silently-wrong numeric comparison.
+      case _: java.lang.Number =>
+        Some((graft.core.Watermark.toMicros(row.get(0)).get,
+              graft.core.Watermark.toMicros(row.get(1)).get))
+      case other => throw graft.core.GraftError.InvalidConfig(
+        s"JDBC source watermark column '$watermarkCol' must be a numeric " +
+          s"epoch (reference data model); got ${other.getClass.getSimpleName}. " +
+          "Timestamp watermarks are supported on parquet/DataFrame sources.")
+    }
   }
 
   /** Exact server-side rowcount of a watermark range — the engine's

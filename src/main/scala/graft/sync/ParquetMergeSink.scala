@@ -71,15 +71,17 @@ object ParquetMergeSink {
     val uPart = partitionByCol.map(uResolve)
     // The partitioned path's crash safety RESTS on the pending-merge marker
     // (dynamic partition overwrite is not atomic across partitions), and
-    // the marker stores a numeric restart watermark. A non-numeric order
-    // column would silently skip the marker — the exact loss window the
-    // marker exists to close — so it is rejected up front; use the
-    // unpartitioned atomic-swap merge for non-numeric watermarks.
+    // the marker stores the canonical-long restart watermark (epoch-micros
+    // for time-typed order columns, the raw long for numeric ones —
+    // core.Watermark). An order column outside the watermark protocol
+    // would silently skip the marker — the exact loss window the marker
+    // exists to close — so it is rejected up front; use the unpartitioned
+    // atomic-swap merge for non-watermark order columns.
     if (partitionByCol.isDefined) {
       val dt = updates.schema(uOrder).dataType
-      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"partitioned merge requires a numeric order column for the " +
-          s"crash-recovery marker; '$orderCol' is ${dt.simpleString} — " +
+      require(graft.core.Watermark.supported(dt),
+        s"partitioned merge requires a numeric or timestamp order column " +
+          s"for the crash-recovery marker; '$orderCol' is ${dt.simpleString} — " +
           "drop partitionByCol to use the atomic whole-directory swap")
     }
     val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -209,10 +211,11 @@ object ParquetMergeSink {
           // batch's low watermark first; SyncJob treats a surviving marker as
           // "restart extraction from here" and the idempotent merge heals any
           // partial commit. Cleared only after a fully-committed overwrite.
-          tieLo match {
-            case n: Number => writePendingMerge(fs, targetDir, n.longValue())
-            case _ => () // all-null order column (numeric type enforced above):
-                         // rows without a watermark are outside the protocol
+          graft.core.Watermark.toMicros(tieLo) match {
+            case Some(lo) => writePendingMerge(fs, targetDir, lo)
+            case None => () // all-null order column (watermark type enforced
+                            // above): rows without a watermark are outside
+                            // the protocol
           }
           val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
           spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

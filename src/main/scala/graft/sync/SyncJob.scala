@@ -59,6 +59,18 @@ final class SyncJob(spark: SparkSession, cfg: SyncConfig) {
           onProgress: Progress => Unit = _ => ()): SyncReport = {
     val t0 = System.nanoTime()
     val wm = col(cfg.watermarkCol)
+    // The watermark protocol speaks ONE driver-side unit — canonical
+    // epoch-micros for time-typed columns, the raw long for numeric ones
+    // (core.Watermark). The column itself may be numeric-epoch (the
+    // reference's data model, session.py:58) or a SQL timestamp (the
+    // driver fixture's events.ts): scalars are collapsed via
+    // Watermark.toMicros and predicates re-materialized as literals of the
+    // column's own type (Watermark.litFor) so the extract filter stays a
+    // pushdown-able plain comparison on the stored column.
+    val wmType = source.schema(cfg.watermarkCol).dataType
+    require(graft.core.Watermark.supported(wmType),
+      s"watermark column '${cfg.watermarkCol}' must be numeric or " +
+        s"timestamp-typed; got ${wmType.simpleString}")
 
     // T1 — watermark recovery from destination state (self-describing
     // resumability: survives restarts with no checkpoint, README.md:90).
@@ -75,15 +87,14 @@ final class SyncJob(spark: SparkSession, cfg: SyncConfig) {
     val pendingRestart = ParquetMergeSink.pendingRestartPoint(fs, destDir)
     val startingPoint: Option[Long] =
       if (destExists) {
-        val destMax = Option(spark.read.parquet(destDir).agg(max(wm)).first().get(0))
-          .map(_.asInstanceOf[Number].longValue())
+        val destMax =
+          graft.core.Watermark.toMicros(spark.read.parquet(destDir).agg(max(wm)).first().get(0))
         (destMax, pendingRestart) match {
           case (Some(m), Some(p)) => Some(math.min(m, p))
           case (m, p)             => m.orElse(p)
         }
       } else
-        Option(source.agg(min(wm)).first().get(0))
-          .map(_.asInstanceOf[Number].longValue())
+        graft.core.Watermark.toMicros(source.agg(min(wm)).first().get(0))
 
     startingPoint match {
       case None =>
@@ -93,7 +104,9 @@ final class SyncJob(spark: SparkSession, cfg: SyncConfig) {
         // S1 extract: inclusive both ends (T3 lower, T2 upper). Persisted
         // once here so the count and every pass inside merge read the same
         // snapshot of a possibly-live source.
-        val extracted = source.filter(wm >= start && wm <= nowWatermark)
+        val extracted = source.filter(
+            wm >= graft.core.Watermark.litFor(wmType, start) &&
+            wm <= graft.core.Watermark.litFor(wmType, nowWatermark))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           // M1 table_total (one count, reused by the sink as updateRows; the

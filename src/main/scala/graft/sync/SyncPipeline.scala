@@ -68,7 +68,8 @@ object SyncPipeline {
         val df = spark.read.parquet(dir)
         val row = df.agg(min(col(cfg.watermarkCol)), max(col(cfg.watermarkCol))).first()
         if (row.isNullAt(0)) None
-        else Some((row.getAs[Number](0).longValue(), row.getAs[Number](1).longValue()))
+        else Some((graft.core.Watermark.toMicros(row.get(0)).get,
+                   graft.core.Watermark.toMicros(row.get(1)).get))
       case JdbcTable(url, table, props) =>
         val src = new JdbcSource(url, props)
         src.preflight(table)
@@ -135,9 +136,8 @@ object SyncPipeline {
         val start =
           if (destExists) {
             val wm = col(cfg.watermarkCol)
-            val destMax = Option(
+            val destMax = graft.core.Watermark.toMicros(
               spark.read.parquet(destDir).agg(max(wm)).first().get(0))
-              .map(_.asInstanceOf[Number].longValue())
             (destMax, pending) match {
               case (Some(m), Some(p)) => math.min(m, p)
               case (m, p)             => m.orElse(p).getOrElse(srcMin)
@@ -248,7 +248,7 @@ object SyncPipeline {
       val rs = st.executeQuery(sql)
       try {
         if (!rs.next()) None
-        else Option(rs.getObject(1)).map(_.asInstanceOf[Number].longValue())
+        else graft.core.Watermark.toMicros(rs.getObject(1))
       } finally rs.close()
     } finally st.close()
   }
@@ -261,7 +261,7 @@ object SyncPipeline {
       val rs = ps.executeQuery()
       try {
         if (!rs.next()) None
-        else Option(rs.getObject(1)).map(_.asInstanceOf[Number].longValue())
+        else graft.core.Watermark.toMicros(rs.getObject(1))
       } finally rs.close()
     } finally ps.close()
   }

@@ -212,11 +212,15 @@ object ScaleStress {
       {
         val evDir = s"$work/events_x$rep"
         val ev = Tables.events(spark, sfDir)
+        // replicated corpus carries ts as epoch-µs Long (Tables.tsUs
+        // normalizes whichever physical type the fixture shipped), so all
+        // downstream day/span arithmetic is plain integer µs
         ev.crossJoin(spark.range(rep).select(col("id").as("__rep")))
           .select((col("event_id") + col("__rep") * 1000000000L).as("event_id"),
-            col("ts"), (col("user_id") + col("__rep") * 1000000L).as("user_id"),
-            col("event_type"), col("value"),
-            expr("ts div 86400000000000").as("day"))
+            Tables.tsUs(ev).as("ts"),
+            (col("user_id") + col("__rep") * 1000000L).as("user_id"),
+            col("event_type"), col("value"))
+          .withColumn("day", expr("ts div 86400000000"))
           .write.mode(SaveMode.Overwrite).parquet(evDir)
         val cfg = SyncConfig(Seq("event_id"), "ts",
           partitionByCol = Some("day"))
@@ -233,11 +237,11 @@ object ScaleStress {
         // holds base + r·1e9, r < rep ≤ 50, base < 1e6 ⇒ max id < 51e9):
         // a smaller offset would collide with live replica keys and turn
         // the measurement into cross-partition key updates, not inserts.
-        val span = 86400000000000L * 40L
+        val span = 86400000000L * 40L // 40 days in µs
         src().filter(col("event_id") % 100 === 0)
           .select((col("event_id") + 100000000000L).as("event_id"),
             (col("ts") + span).as("ts"), col("user_id"), col("event_type"),
-            col("value"), expr("(ts + " + span + ") div 86400000000000").as("day"))
+            col("value"), expr("(ts + " + span + ") div 86400000000").as("day"))
           .write.mode(SaveMode.Append).parquet(evDir)
         val max2 = src().agg(max(col("ts"))).first().getLong(0)
         val (r3, tDelta) = timed(new SyncJob(spark, cfg).run(src(), dest, max2))

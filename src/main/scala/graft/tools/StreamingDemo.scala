@@ -22,8 +22,10 @@ object StreamingDemo {
     val srcDir = s"$work/incoming"
     val destDir = s"$work/balances"
 
-    // stage the fixture as the streaming source directory
-    val events = Tables.events(spark, sfDir)
+    // stage the fixture as the streaming source directory, ts normalized
+    // to epoch-µs Long (RowImage.ts) whatever the fixture's physical type
+    val raw = Tables.events(spark, sfDir)
+    val events = raw.withColumn("ts", Tables.tsUs(raw))
     events.write.parquet(srcDir)
 
     // RowImage.amount is a primitive Double: NULL values (allowed by the

@@ -23,7 +23,7 @@ object SyncDemo {
     val cfg = SyncConfig(keyCols = Seq("event_id"), watermarkCol = "ts")
 
     val Array(minTs, maxTs) = source.agg(min("ts"), max("ts")).first()
-      .toSeq.map(_.asInstanceOf[Long]).toArray
+      .toSeq.map(v => graft.core.Watermark.toMicros(v).get).toArray
     val midTs = minTs + (maxTs - minTs) / 2
     val job = new SyncJob(spark, cfg)
 

@@ -109,9 +109,9 @@ class AsOfJoinSpec extends SparkSpec {
   test("salted as-of equals the unsalted join (hot-key path)") {
     val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
     val p = ev.filter($"event_type" === "purchase")
-      .select($"user_id", $"event_id".as("pid"), expr("ts div 1000").as("pt"))
+      .select($"user_id", $"event_id".as("pid"), graft.core.Tables.tsUs(ev).as("pt"))
     val v = ev.filter($"event_type" === "view")
-      .groupBy($"user_id", expr("ts div 1000").as("vt"))
+      .groupBy($"user_id", graft.core.Tables.tsUs(ev).as("vt"))
       .agg(max("event_id").as("vid"))
     def collect(df: org.apache.spark.sql.DataFrame) =
       df.select("pid", "vid").as[(Long, Long)].collect().toSet
@@ -124,9 +124,9 @@ class AsOfJoinSpec extends SparkSpec {
   test("matches a brute-force as-of on the sf0.001 events fixture") {
     val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
     val p = ev.filter($"event_type" === "purchase")
-      .select($"user_id", $"event_id".as("pid"), expr("ts div 1000").as("pt"))
+      .select($"user_id", $"event_id".as("pid"), graft.core.Tables.tsUs(ev).as("pt"))
     val v = ev.filter($"event_type" === "view")
-      .groupBy($"user_id", expr("ts div 1000").as("vt"))
+      .groupBy($"user_id", graft.core.Tables.tsUs(ev).as("vt"))
       .agg(max("event_id").as("vid"))
     val got = AsOfJoin.asOf(p, v, Seq("user_id"), "pt", "vt", Seq("vid"))
       .select("pid", "vid").as[(Long, Long)].collect().toMap
