@@ -9,11 +9,11 @@ import org.apache.spark.sql.SparkSession
   *     SURVEY §7.3 determinism rule).
   *   - AQE on (runtime coalesce / skew-join handling — the 100 TB story is
   *     "declare the plan, let AQE re-plan at runtime").
-  *   - `spark.sql.legacy.parquet.nanosAsLong=true`: the driver fixture
-  *     `events.parquet` carries a TIMESTAMP(NANOS) column, which Spark's
-  *     parquet reader otherwise rejects ([PARQUET_TYPE_ILLEGAL]). Reading it
-  *     as epoch-nanos LongType matches the reference's own data model — a
-  *     numeric epoch watermark column (reference session.py:58, README.md:90).
+  *   - `spark.sql.legacy.parquet.nanosAsLong=true`: older driver fixture
+  *     generations carried a TIMESTAMP(NANOS) events.ts, which Spark's
+  *     parquet reader otherwise rejects ([PARQUET_TYPE_ILLEGAL]); a no-op
+  *     for the current TIMESTAMP(MICROS) generation. Query code adapts to
+  *     whichever type loads (core.Tables.tsUs/tsLit).
   *   - shuffle.partitions sized to the local core count, not 200; on a real
   *     cluster AQE coalesces from an intentionally-higher initial number.
   */

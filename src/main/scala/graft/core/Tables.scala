@@ -108,6 +108,21 @@ object Tables {
         "(LongType epoch-nanos, TIMESTAMP or TIMESTAMP_NTZ)")
   }
 
+  /** The time column as TIMESTAMP_NTZ (UTC wall-clock), whatever its loaded
+    * type — for queries whose OUTPUT is a genuine SQL timestamp (oracle
+    * compares timestamps directly, gating the physical-type seam itself).
+    * The Long branch is NTZ-to-NTZ arithmetic (timezone-independent); the
+    * TimestampType branch is a cast, correct under the engine's UTC
+    * sessions (GraftSession/Verify/Bench all pin UTC). */
+  def tsNtz(df: DataFrame, c: String = "ts"): Column = df.schema(c).dataType match {
+    case TimestampNTZType => col(c)
+    case TimestampType    => col(c).cast(TimestampNTZType)
+    case LongType         =>
+      expr(s"timestampadd(MICROSECOND, `$c` div 1000, TIMESTAMP_NTZ'1970-01-01 00:00:00')")
+    case other => throw new IllegalArgumentException(
+      s"column '$c' is ${other.simpleString}; expected a time column")
+  }
+
   /** A literal of the time COLUMN's own loaded type for a UTC datetime
     * string ("2024-01-10" or "2024-01-10 12:00:00"), so `col >= tsLit(...)`
     * stays a pushdown-able plain comparison on the stored column. */

@@ -285,6 +285,70 @@ object TextAnalysis {
         round(col("n_shared").cast("double") / col("n_grams"), 6))
   }
 
+  /** The SAMPLED scale path for [[charNgramDupFraction]] — the flattening
+    * NOTES.md proposed for the one super-linear SCALE.md curve: the
+    * duplicated-gram GROUPS double with the corpus (×2.5/doubling at
+    * ×100), so instead of shuffling every gram, shuffle a deterministic
+    * 16^-hexPrefixLen slice of the GRAM SPACE (grams whose md5 hex prefix
+    * is all zeros — the same subspace in any engine, so the estimate is
+    * still strictly oracle-gatable, unlike an HLL sketch whose merge
+    * order is implementation-defined). Within the slice the measure is
+    * EXACT; across it, each doc's sampled grams are a uniform hash-sample
+    * of its distinct grams, so `dup_frac_est` is an unbiased estimator of
+    * the true duplication fraction with per-doc sampled-count attached
+    * for confidence weighting (docs with 0 sampled grams report NULL,
+    * never a fabricated 0).
+    *
+    * Cost: the explode still walks every gram (map-side, codegen'd md5 +
+    * prefix test, no memory), but the SHUFFLE — the term that was
+    * super-linear — carries 1/16^len of the gram instances and the
+    * aggregation holds 1/16^len of the groups. hexPrefixLen=1 ⇒ 16×
+    * smaller gram frame; 2 ⇒ 256×.
+    *
+    * @return idCol, n_grams (exact, free from the array size),
+    *         n_grams_sampled, n_shared_sampled, dup_char_ngram_frac_est */
+  def charNgramDupFractionSampled(docs: DataFrame, idCol: String,
+                                  textCol: String, n: Int = 16,
+                                  hexPrefixLen: Int = 1,
+                                  nativeGrams: Boolean = false): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    require(hexPrefixLen > 0 && hexPrefixLen <= 8,
+      s"hexPrefixLen must be in [1,8]: $hexPrefixLen")
+    val t = col(textCol)
+    val gramsCol =
+      if (nativeGrams) call_function("char_ngrams", t, lit(n))
+      else array_distinct(
+        when(length(t) <= n, array(t))
+          .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
+            i => t.substr(i, lit(n)))))
+    val withSh = docs.select(col(idCol), gramsCol.as("__sh"))
+      .filter(col("__sh").isNotNull).localCheckpoint()
+    val base = withSh.select(col(idCol),
+      size(col("__sh")).cast("long").as("n_grams"))
+    val zeros = "0" * hexPrefixLen
+    val sampled = withSh
+      .select(col(idCol), explode(col("__sh")).as("__g"))
+      .filter(substring(md5(col("__g")), 1, hexPrefixLen) === zeros)
+    val perDoc = sampled.groupBy(idCol)
+      .agg(count(lit(1)).as("__n_sampled"))
+    val uniq = sampled
+      .groupBy("__g")
+      .agg(count(lit(1)).as("__c"), min(col(idCol)).as("__owner"))
+      .filter(col("__c") === 1L)
+      .groupBy("__owner").agg(count(lit(1)).as("__n_unique"))
+    base
+      .join(perDoc, Seq(idCol), "left")
+      .join(uniq, base(idCol) === col("__owner"), "left")
+      .select(base(idCol), col("n_grams"),
+        coalesce(col("__n_sampled"), lit(0L)).as("n_grams_sampled"),
+        (coalesce(col("__n_sampled"), lit(0L)) -
+          coalesce(col("__n_unique"), lit(0L))).as("n_shared_sampled"))
+      .withColumn("dup_char_ngram_frac_est",
+        when(col("n_grams_sampled") === 0L, lit(null).cast("double"))
+          .otherwise(round(
+            col("n_shared_sampled").cast("double") / col("n_grams_sampled"), 6)))
+  }
+
   /** Corpus-LM quality prior (the CCNet/Gopher-style "perplexity filter"
     * in its self-scored unigram form): fit an add-one-smoothed unigram
     * language model over the whole corpus, then score each document by its

@@ -9,7 +9,8 @@ import graft.core.Tables
   * parquet. Citations are into /root/reference/.
   *
   * The `transactions` stand-in is the `events` fixture (FIXTURES.md):
-  * `ts` plays `updated` (epoch-nanos long here, see core.Tables),
+  * `ts` plays `updated` (physical type varies by fixture generation —
+  * handled via Tables.tsUs/tsLit, see core.Tables),
   * `user_id` plays the uuid key, `value` plays `amount`,
   * `event_type='error'` plays `status='BLOCKED'`.
   */
@@ -42,6 +43,21 @@ object ReferenceQueries {
         e.filter(col("ts").between(Tables.tsLit(e, loDate), Tables.tsLit(e, hiDate)))
           .select(col("event_id"), Tables.tsUs(e).as("ts_us"), col("user_id"),
                   col("event_type"), col("value"), col("props"))
+    },
+
+    // S1b — the same extraction read with a NATIVE-timestamp output: the
+    // oracle compares SQL timestamps directly, so the engine's physical-ts
+    // handling (ns-Long vs TIMESTAMP_NTZ fixture generations) is itself
+    // oracle-gated — a future fixture type change fails THIS row loudly
+    // instead of silently changing µs semantics (the round-7/8 lesson).
+    "s1b_range_scan_ts" -> Q(
+      """SELECT event_id, ts FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-12 00:00:00' AND ts < TIMESTAMP '2024-01-18 00:00:00'""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.events(s, dir)
+        e.filter(col("ts") >= Tables.tsLit(e, "2024-01-12") &&
+                 col("ts") < Tables.tsLit(e, "2024-01-18"))
+          .select(col("event_id"), Tables.tsNtz(e).as("ts"))
     },
 
     // S7 — plain file-source scan (driver fixtures; TESTDATA.md).

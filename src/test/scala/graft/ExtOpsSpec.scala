@@ -624,6 +624,32 @@ class ExtOpsSpec extends SparkSpec {
     assert(hashed == exact)
   }
 
+  test("sampled char-ngram duplication is a consistent estimator of the exact form") {
+    graft.functions.GraftFunctions.register(spark)
+    val exact = TextAnalysis.charNgramDupFraction(docs, "doc_id", "text",
+        nativeGrams = true)
+      .agg(sum("n_shared").cast("double") / sum("n_grams")).first().getDouble(0)
+    val est = TextAnalysis.charNgramDupFractionSampled(docs, "doc_id", "text",
+      nativeGrams = true)
+    val rows = est.collect()
+    // per-doc invariants: sampled ≤ total, shared ≤ sampled, NULL (never a
+    // fabricated 0) when nothing sampled
+    rows.foreach { r =>
+      val (n, ns, sh) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ns <= n && sh <= ns && sh >= 0)
+      if (ns == 0) assert(r.isNullAt(4))
+    }
+    assert(rows.count(_.getLong(2) > 0) > rows.length / 2,
+      "1/16 gram sampling should reach most docs on the fixture")
+    // corpus-level: the hash-sampled slice estimates the global duplication
+    // mass; the fixture's gram population is large enough for a tight bound
+    val estGlobal = est.agg(
+      sum("n_shared_sampled").cast("double") / sum("n_grams_sampled"))
+      .first().getDouble(0)
+    assert(math.abs(estGlobal - exact) < 0.05,
+      s"sampled estimate $estGlobal vs exact $exact")
+  }
+
   test("native shingles are bit-identical to the HOF form (corpus + edge strings)") {
     graft.functions.GraftFunctions.register(spark)
     // null text included: both forms must agree (null in, null out), and the
