@@ -4,6 +4,36 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Dump each query's result to `outDir/<name>` parquet; returns the names
+    * that THREW. A failing query must fail the GATE, not just print to
+    * stderr: a thrown build/run leaves a per-query `.FAILED` marker (never
+    * a parquet dir the driver could mistake for data), removes any stale
+    * result dir from an earlier run, and is reported back so main flips the
+    * exit code — "silently absent from the report" is not an outcome
+    * (round-8 lesson: 27 analysis-broken queries read as 105/105 pass). */
+  private[graft] def dump(spark: SparkSession, sfDir: String, outDir: String,
+      queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame])
+      : Seq[String] = {
+    val failed = scala.collection.mutable.ListBuffer[String]()
+    queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        Files.writeString(Paths.get(s"$outDir/$name.FAILED"),
+          s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}\n")
+        // a stale parquet dir from an earlier run must not mask the failure
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.isDirectory) {
+          dir.listFiles().foreach(_.delete()); dir.delete()
+        }
+      }
+    }
+    failed.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -29,30 +59,9 @@ object Verify {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
     }
-    // A failing query must fail the GATE, not just print to stderr: a
-    // thrown build/run leaves a per-query failure marker (never a parquet
-    // dir the driver could mistake for data), is tallied, and flips the
-    // exit code — "silently absent from the report" is not an outcome
-    // (round-8 lesson: 27 analysis-broken queries read as 105/105 pass).
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val failed = scala.collection.mutable.ListBuffer[String]()
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
-        val marker = Paths.get(s"$outDir/$name.FAILED")
-        Files.writeString(marker,
-          s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}\n")
-        // a stale parquet dir from an earlier run must not mask the failure
-        val dir = new java.io.File(s"$outDir/$name")
-        if (dir.isDirectory) {
-          dir.listFiles().foreach(_.delete()); dir.delete()
-        }
-      }
-    }
+    val failed = dump(spark, sfDir, outDir, selected)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 
 /** Canonical driver-side watermark representation (SURVEY §3.1 T1/T2).
   *
@@ -57,6 +57,10 @@ object Watermark {
           Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L),
         java.time.ZoneOffset.UTC))
     case ByteType | ShortType | IntegerType | LongType => lit(us)
+    case d: DecimalType if d.scale == 0 => lit(us).cast(d) // integral decimal
+                                   // (e.g. a JDBC driver reporting BIGINT
+                                   // as DECIMAL(20,0)) — constant-folded,
+                                   // stays a plain pushdown-able compare
     case other => throw new IllegalArgumentException(
       s"watermark column must be integral-numeric or timestamp-typed; got ${other.simpleString}")
   }
@@ -69,6 +73,7 @@ object Watermark {
   def supported(dt: DataType): Boolean = dt match {
     case TimestampType | TimestampNTZType => true
     case ByteType | ShortType | IntegerType | LongType => true
+    case d: DecimalType if d.scale == 0   => true
     case _                                => false
   }
 }

@@ -25,6 +25,10 @@ sealed trait SqlDialect {
     * checks catalog existence first). */
   def createIfNotExists: Boolean
 
+  /** Render a UTC wall-clock 'yyyy-MM-dd HH:mm:ss.ffffff' string as a
+    * server-side TIMESTAMP literal this dialect parses. */
+  def timestampLiteral(wallClock: String): String
+
   /** S3 — create-table DDL preserving the primary key (Spark's JDBC
     * auto-create drops PKs, SURVEY §7.3). Pure builder. */
   def createTableSql(table: String, schema: StructType,
@@ -47,6 +51,8 @@ object SqlDialect {
   case object Postgres extends SqlDialect {
     val name = "postgresql"
     val createIfNotExists = true
+    def timestampLiteral(wallClock: String): String =
+      s"TIMESTAMP '$wallClock'"
 
     def upsertSql(table: String, columns: Seq[String], keyCols: Seq[String],
                   orderCol: Option[String]): Option[String] = {
@@ -88,6 +94,10 @@ object SqlDialect {
   case object Generic extends SqlDialect {
     val name = "generic"
     val createIfNotExists = false
+    // Derby rejects the ANSI TIMESTAMP literal; the JDBC {ts} escape is
+    // translated by any compliant driver
+    def timestampLiteral(wallClock: String): String =
+      s"{ts '$wallClock'}"
 
     def upsertSql(table: String, columns: Seq[String], keyCols: Seq[String],
                   orderCol: Option[String]): Option[String] = None

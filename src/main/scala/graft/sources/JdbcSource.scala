@@ -88,29 +88,26 @@ final class JdbcSource(url: String, props: Properties) {
   }
 
   /** A1/A2-style scalar bounds for the watermark column, pushed to the
-    * server (one-row aggregate — the only driver-side values in the plan). */
+    * server (one-row aggregate — the only driver-side values in the plan).
+    * Bounds come back as canonical epoch-micros (core.Watermark) plus the
+    * column KIND, so the extraction SQL can re-materialize them as
+    * literals of the column's own type (numeric epoch — the reference's
+    * data model, session.py:58 — or SQL TIMESTAMP via the JDBC `{ts ...}`
+    * escape every tested driver translates). TIMESTAMP-without-zone values
+    * are read as UTC wall-clock, matching the engine's UTC sessions. */
   def watermarkBounds(spark: SparkSession, table: String,
-                      watermarkCol: String): Option[(Long, Long)] = {
+      watermarkCol: String): Option[JdbcSource.WatermarkBounds] = {
     val df = spark.read.jdbc(url,
       s"(SELECT MIN($watermarkCol) AS lo, MAX($watermarkCol) AS hi " +
         s"FROM $table) AS t", // AS required by Derby, accepted everywhere
       props)
     val row = df.first()
     if (row.isNullAt(0)) None
-    else row.get(0) match {
-      // The JDBC extraction arm embeds the bounds as bare numerics in
-      // server-side SQL (countRange/rangeRead + the partitioned-read
-      // lower/upperBound) — the reference's numeric-epoch data model
-      // (session.py:58). A timestamp-typed watermark column would need
-      // dialect timestamp literals in FOUR places; until that lands it is
-      // a typed refusal, not a silently-wrong numeric comparison.
-      case _: java.lang.Number =>
-        Some((graft.core.Watermark.toMicros(row.get(0)).get,
-              graft.core.Watermark.toMicros(row.get(1)).get))
-      case other => throw graft.core.GraftError.InvalidConfig(
-        s"JDBC source watermark column '$watermarkCol' must be a numeric " +
-          s"epoch (reference data model); got ${other.getClass.getSimpleName}. " +
-          "Timestamp watermarks are supported on parquet/DataFrame sources.")
+    else {
+      val tsTyped = !row.get(0).isInstanceOf[java.lang.Number]
+      Some(JdbcSource.WatermarkBounds(
+        graft.core.Watermark.toMicros(row.get(0)).get,
+        graft.core.Watermark.toMicros(row.get(1)).get, tsTyped))
     }
   }
 
@@ -118,10 +115,11 @@ final class JdbcSource(url: String, props: Properties) {
     * replacement for the reference's EXPLAIN estimate (A6): affordable,
     * and sizes the partitioned read precisely. */
   def countRange(spark: SparkSession, table: String, watermarkCol: String,
-                 lo: Long, hi: Long): Long =
+                 lo: Long, hi: Long, timestampTyped: Boolean = false): Long =
     spark.read.jdbc(url,
       s"(SELECT COUNT(*) AS c FROM $table " +
-        s"WHERE $watermarkCol >= $lo AND $watermarkCol <= $hi) AS t",
+        s"WHERE $watermarkCol >= ${JdbcSource.wmSqlLiteral(lo, timestampTyped, url)} " +
+        s"AND $watermarkCol <= ${JdbcSource.wmSqlLiteral(hi, timestampTyped, url)}) AS t",
       props)
       .first().getAs[Number](0).longValue()
 
@@ -131,34 +129,72 @@ final class JdbcSource(url: String, props: Properties) {
   def rangeRead(spark: SparkSession, table: String, watermarkCol: String,
                 lo: Long, hi: Long, estimatedRows: Long,
                 targetRowsPerSlice: Long = 10000000L,
-                fetchSize: Int = 10000): DataFrame = {
+                fetchSize: Int = 10000,
+                timestampTyped: Boolean = false): DataFrame = {
     val reader = spark.read.format("jdbc").option("url", url)
     props.stringPropertyNames().forEach { k =>
       reader.option(k, props.getProperty(k)); ()
     }
     JdbcSource.rangeReadOptions(table, watermarkCol, lo, hi, estimatedRows,
-        targetRowsPerSlice, fetchSize)
+        targetRowsPerSlice, fetchSize, timestampTyped)
       .foreach { case (k, v) => reader.option(k, v); () }
-    reader.load()
-      .filter(s"$watermarkCol >= $lo AND $watermarkCol <= $hi")
+    val df = reader.load()
+    // Residual exact bound on the loaded column's OWN type (the partition
+    // options only shard the range; first/last slices are half-open on the
+    // far side). litFor keeps this a plain pushdown-able comparison for
+    // numeric AND timestamp watermarks alike.
+    val dt = df.schema(watermarkCol).dataType
+    df.filter(org.apache.spark.sql.functions.col(watermarkCol)
+        >= graft.core.Watermark.litFor(dt, lo) &&
+      org.apache.spark.sql.functions.col(watermarkCol)
+        <= graft.core.Watermark.litFor(dt, hi))
   }
 }
 
 object JdbcSource {
 
+  /** Watermark bounds in canonical epoch-micros plus the column KIND —
+    * `timestampTyped` drives how range literals render into server SQL. */
+  final case class WatermarkBounds(loUs: Long, hiUs: Long,
+                                   timestampTyped: Boolean)
+
+  private val TsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  private def usToLdt(us: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L),
+      java.time.ZoneOffset.UTC)
+
+  /** Canonical-µs watermark as a server-side SQL literal of the column's
+    * kind: a bare numeric, or a dialect-rendered TIMESTAMP literal (ANSI
+    * for PostgreSQL/DuckDB; the JDBC `{ts ...}` escape for Derby, which
+    * rejects the ANSI form). UTC wall-clock. */
+  private[sources] def wmSqlLiteral(us: Long, timestampTyped: Boolean,
+                                    url: String): String =
+    if (!timestampTyped) us.toString
+    else graft.sinks.SqlDialect.forUrl(url)
+      .timestampLiteral(TsFmt.format(usToLdt(us)))
+
   /** The partitioned-read option set — pure, plan-testable without a live
     * server: Spark turns these into per-slice range predicates, the exact
-    * analog of the reference's windowed extraction (session.py:242-308). */
+    * analog of the reference's windowed extraction (session.py:242-308).
+    * For timestamp watermarks the bounds render in the
+    * `java.sql.Timestamp.valueOf` format Spark's JDBC partitioner parses. */
   def rangeReadOptions(table: String, watermarkCol: String, lo: Long, hi: Long,
                        estimatedRows: Long,
                        targetRowsPerSlice: Long = 10000000L,
-                       fetchSize: Int = 10000): Map[String, String] = {
+                       fetchSize: Int = 10000,
+                       timestampTyped: Boolean = false): Map[String, String] = {
     val parts = SlicePlanner.numSlices(estimatedRows, targetRowsPerSlice)
+    def bound(us: Long): String =
+      if (timestampTyped) TsFmt.format(usToLdt(us)) else us.toString
     Map(
       "dbtable" -> table,
       "partitionColumn" -> watermarkCol,
-      "lowerBound" -> lo.toString,
-      "upperBound" -> hi.toString,
+      "lowerBound" -> bound(lo),
+      "upperBound" -> bound(hi),
       "numPartitions" -> parts.toString,
       "fetchsize" -> fetchSize.toString)
   }

@@ -62,14 +62,17 @@ object SyncPipeline {
     val t0 = System.nanoTime()
     def elapsed = (System.nanoTime() - t0) / 1000000
 
-    // --- source bounds (A1/A2 scalars — the only driver-side values)
-    val srcBounds: Option[(Long, Long)] = source match {
+    // --- source bounds (A1/A2 scalars — the only driver-side values),
+    // canonical epoch-µs + the column kind (numeric epoch vs SQL timestamp)
+    val srcBounds: Option[JdbcSource.WatermarkBounds] = source match {
       case ParquetDir(dir) =>
         val df = spark.read.parquet(dir)
         val row = df.agg(min(col(cfg.watermarkCol)), max(col(cfg.watermarkCol))).first()
         if (row.isNullAt(0)) None
-        else Some((graft.core.Watermark.toMicros(row.get(0)).get,
-                   graft.core.Watermark.toMicros(row.get(1)).get))
+        else Some(JdbcSource.WatermarkBounds(
+          graft.core.Watermark.toMicros(row.get(0)).get,
+          graft.core.Watermark.toMicros(row.get(1)).get,
+          timestampTyped = !row.get(0).isInstanceOf[java.lang.Number]))
       case JdbcTable(url, table, props) =>
         val src = new JdbcSource(url, props)
         src.preflight(table)
@@ -79,15 +82,15 @@ object SyncPipeline {
     srcBounds match {
       case None =>
         SyncReport(None, cut.getOrElse(0L), 0L, 0L, elapsed)
-      case Some((srcMin, srcMax)) =>
-        val cutV = cut.getOrElse(srcMax) // T2: frozen at run start
+      case Some(b) =>
+        val cutV = cut.getOrElse(b.hiUs) // T2: frozen at run start
         dest match {
           case ParquetDir(destDir) =>
-            runIntoParquet(spark, cfg, source, destDir, srcMin, cutV,
-              onProgress, elapsed _)
+            runIntoParquet(spark, cfg, source, destDir, b.loUs, cutV,
+              b.timestampTyped, onProgress, elapsed _)
           case JdbcTable(url, table, props) =>
-            runIntoJdbc(spark, cfg, source, url, table, props, srcMin, cutV,
-              onProgress, elapsed _)
+            runIntoJdbc(spark, cfg, source, url, table, props, b.loUs, cutV,
+              b.timestampTyped, onProgress, elapsed _)
         }
     }
   }
@@ -117,7 +120,7 @@ object SyncPipeline {
 
   private def runIntoParquet(spark: SparkSession, cfg: SyncConfig,
                              source: SyncEndpoint, destDir: String,
-                             srcMin: Long, cutV: Long,
+                             srcMin: Long, cutV: Long, wmTsTyped: Boolean,
                              onProgress: Progress => Unit,
                              elapsed: () => Long): SyncReport = {
     source match {
@@ -145,9 +148,10 @@ object SyncPipeline {
           } else srcMin
         if (start > cutV)
           return SyncReport(Some(start), cutV, 0L, 0L, elapsed())
-        val est = src.countRange(spark, table, cfg.watermarkCol, start, cutV)
+        val est = src.countRange(spark, table, cfg.watermarkCol, start, cutV,
+          wmTsTyped)
         val extracted = src.rangeRead(spark, table, cfg.watermarkCol,
-          start, cutV, est, cfg.targetRowsPerSlice)
+          start, cutV, est, cfg.targetRowsPerSlice, timestampTyped = wmTsTyped)
         val result = TaskProgressListener.withProgress(spark, est, onProgress) {
           ParquetMergeSink.merge(spark, destDir, extracted, cfg.keyCols,
             cfg.watermarkCol, cfg.partitionByCol, knownUpdateRows = Some(est))
@@ -162,21 +166,26 @@ object SyncPipeline {
   private def runIntoJdbc(spark: SparkSession, cfg: SyncConfig,
                           source: SyncEndpoint, url: String, table: String,
                           props: Properties, srcMin: Long, cutV: Long,
+                          wmTsTyped: Boolean,
                           onProgress: Progress => Unit,
                           elapsed: () => Long): SyncReport = {
     // Build the extraction lazily from the resolved start watermark.
     def extract(start: Long): (DataFrame, Long) = source match {
       case ParquetDir(srcDir) =>
         val wm = col(cfg.watermarkCol)
-        val df = spark.read.parquet(srcDir)
-          .filter(wm >= start && wm <= cutV)
+        val df0 = spark.read.parquet(srcDir)
+        val dt = df0.schema(cfg.watermarkCol).dataType
+        val df = df0
+          .filter(wm >= graft.core.Watermark.litFor(dt, start) &&
+                  wm <= graft.core.Watermark.litFor(dt, cutV))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (df, df.count())
       case JdbcTable(srcUrl, srcTable, srcProps) =>
         val src = new JdbcSource(srcUrl, srcProps)
-        val est = src.countRange(spark, srcTable, cfg.watermarkCol, start, cutV)
+        val est = src.countRange(spark, srcTable, cfg.watermarkCol, start, cutV,
+          wmTsTyped)
         (src.rangeRead(spark, srcTable, cfg.watermarkCol, start, cutV, est,
-          cfg.targetRowsPerSlice), est)
+          cfg.targetRowsPerSlice, timestampTyped = wmTsTyped), est)
     }
 
     // S3 — create destination table from the source schema when missing.
@@ -184,7 +193,8 @@ object SyncPipeline {
       case ParquetDir(srcDir) => spark.read.parquet(srcDir).schema
       case JdbcTable(srcUrl, srcTable, srcProps) =>
         new JdbcSource(srcUrl, srcProps)
-          .rangeRead(spark, srcTable, cfg.watermarkCol, 0L, 0L, 0L).schema
+          .rangeRead(spark, srcTable, cfg.watermarkCol, 0L, 0L, 0L,
+            timestampTyped = wmTsTyped).schema
     }
     JdbcUpsertSink.ensureTable(url, props, table, sourceSchema, cfg.keyCols)
 

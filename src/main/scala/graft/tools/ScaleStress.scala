@@ -31,7 +31,7 @@ import graft.sync.{SyncConfig, SyncJob}
   * Usage: runMain graft.tools.ScaleStress [sfDir] [workDir] [reps,...]
   *
   * `SPARK_GRAFT_STRESS_ONLY` (comma list of group keys: `dedup` — the
-  * chained e6/e9c/e10/cap arm — `e2n`, `e6g`, `e6g2`, `e4t`, `sync` —
+  * chained e6/e9c/e10/cap arm — `e2n`, `e6g`, `e6g2`, `e6g3`, `e4t`, `sync` —
   * which includes the streaming replay built on its output dir) runs a
   * subset; fixture replication is skipped for inputs no selected group
   * reads. Unset = everything, unchanged.
@@ -94,7 +94,7 @@ object ScaleStress {
     reps.foreach { rep =>
       val docsDir = s"$work/docs_x$rep"
       val embDir = s"$work/emb_x$rep"
-      val needDocs = wants("dedup", "e6g", "e6g2", "e4t")
+      val needDocs = wants("dedup", "e6g", "e6g2", "e6g3", "e4t")
       val needEmb = wants("e2n")
       val (_, tPrepD) =
         if (needDocs) timed(replicateDocs(spark, sfDir, rep, docsDir))
@@ -193,6 +193,17 @@ object ScaleStress {
           nativeGrams = true, hashedKeys = true).localCheckpoint()
       }
       jline("e6g2_char_ngram_dup_hashed", rep, tNgH, dupFracH.count())
+      }
+
+      if (wants("e6g3")) {
+      // e6g3 shape — the SAMPLED scale path (deterministic md5-hex-prefix
+      // 1/16 slice of the gram space): the flattening for the one
+      // super-linear curve; shuffle carries 16× fewer gram instances
+      val (dupFracS, tNgS) = timed {
+        TextAnalysis.charNgramDupFractionSampled(docs, "doc_id", "text",
+          nativeGrams = true).localCheckpoint()
+      }
+      jline("e6g3_char_ngram_dup_sampled", rep, tNgS, dupFracS.count())
       }
 
       if (wants("e4t")) {

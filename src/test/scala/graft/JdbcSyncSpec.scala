@@ -324,6 +324,54 @@ trait JdbcSyncBehaviors { this: SparkSpec =>
     }
     assert(e.getMessage.toLowerCase.contains("updated"))
   }
+
+  test("jdbc→parquet with a TIMESTAMP watermark column: cold, warm, idempotent") {
+    skipUnlessAvailable()
+    // The server-side column is a genuine SQL TIMESTAMP; bounds travel as
+    // canonical epoch-µs and re-materialize as ANSI TIMESTAMP literals in
+    // the extraction SQL / partitioned-read bounds (JdbcSource.wmSqlLiteral
+    // + rangeReadOptions timestampTyped). UTC wall-clock both sides.
+    val url = freshDb("tswm")
+    exec(url, "CREATE TABLE TSRC (ID BIGINT NOT NULL PRIMARY KEY, " +
+      s"UPDATED TIMESTAMP NOT NULL, AMOUNT $doubleType)")
+    def insertTs(rows: Seq[(Long, Long, Double)]): Unit =
+      // plain-SQL literals through the dialect renderer: driver support
+      // for timestamp bind parameters varies (DuckDB rejects the Calendar
+      // overload, Derby rejects setObject(LocalDateTime)); literal text is
+      // the one lane every arm parses
+      rows.foreach { case (id, us, amt) =>
+        val wall = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .format(java.time.LocalDateTime.ofInstant(
+            java.time.Instant.ofEpochSecond(us / 1000000L,
+              (us % 1000000L) * 1000L), java.time.ZoneOffset.UTC))
+        val lit = graft.sinks.SqlDialect.forUrl(url).timestampLiteral(wall)
+        exec(url, s"INSERT INTO TSRC VALUES ($id, $lit, $amt)")
+      }
+    val base = 1704067200000000L // 2024-01-01T00:00:00Z µs
+    insertTs(Seq((1L, base + 100000000L, 1.0), (2L, base + 200000000L, 2.0)))
+    val tcfg = SyncConfig(keyCols = Seq("ID"), watermarkCol = "UPDATED")
+    val src = SyncEndpoint.parse(s"$url#TSRC")
+    val destDir = tmpDir("jdbc-tswm") + "/dest"
+    val dst = SyncEndpoint.parse(destDir)
+    val r = SyncPipeline.run(spark, tcfg, src, dst)
+    assert(r.startingPoint.contains(base + 100000000L)) // canonical µs
+    assert(r.candidateRows == 2)
+    assert(spark.read.parquet(destDir).count() == 2)
+    // warm: bump row 1, insert row 3 — only those extract
+    exec(url, s"DELETE FROM TSRC WHERE ID = 1")
+    insertTs(Seq((1L, base + 600000000L, 11.0), (3L, base + 700000000L, 3.0)))
+    val r2 = SyncPipeline.run(spark, tcfg, src, dst)
+    assert(r2.startingPoint.contains(base + 200000000L)) // MAX(dest) µs
+    val dest = spark.read.parquet(destDir)
+    assert(dest.count() == 3)
+    val row1 = dest.filter(col("ID") === 1L).select("AMOUNT").first().getDouble(0)
+    assert(row1 == 11.0)
+    // idempotent re-run: nothing regresses
+    val r3 = SyncPipeline.run(spark, tcfg, src, dst)
+    assert(spark.read.parquet(destDir).count() == 3)
+    assert(r3.candidateRows >= 1) // inclusive tie re-read
+  }
   }
 }
 
