@@ -310,7 +310,8 @@ object TextAnalysis {
   def charNgramDupFractionSampled(docs: DataFrame, idCol: String,
                                   textCol: String, n: Int = 16,
                                   hexPrefixLen: Int = 1,
-                                  nativeGrams: Boolean = false): DataFrame = {
+                                  nativeGrams: Boolean = false,
+                                  hashedKeys: Boolean = false): DataFrame = {
     require(n > 0, s"n must be positive: $n")
     require(hexPrefixLen > 0 && hexPrefixLen <= 8,
       s"hexPrefixLen must be in [1,8]: $hexPrefixLen")
@@ -326,9 +327,17 @@ object TextAnalysis {
     val base = withSh.select(col(idCol),
       size(col("__sh")).cast("long").as("n_grams"))
     val zeros = "0" * hexPrefixLen
-    val sampled = withSh
-      .select(col(idCol), explode(col("__sh")).as("__g"))
-      .filter(substring(md5(col("__g")), 1, hexPrefixLen) === zeros)
+    val sampled0 = withSh
+      .select(col(idCol), explode(col("__sh")).as("__raw"))
+      .filter(substring(md5(col("__raw")), 1, hexPrefixLen) === zeros)
+    // `hashedKeys` composes with sampling the same way it does in the exact
+    // form (uniqueGramCounts): the sample predicate is md5 (cross-engine
+    // deterministic), but the aggregation KEY can still be xxhash64 — the
+    // sampled gram instances shuffle as 8-byte payloads. Counts per gram
+    // survive the hash injectively w.h.p., so the output equals the
+    // string-keyed form and the same exact oracle gates it.
+    val sampled = sampled0.select(col(idCol),
+      (if (hashedKeys) xxhash64(col("__raw")) else col("__raw")).as("__g"))
     val perDoc = sampled.groupBy(idCol)
       .agg(count(lit(1)).as("__n_sampled"))
     val uniq = sampled

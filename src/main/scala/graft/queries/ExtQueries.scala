@@ -1257,6 +1257,38 @@ object ExtQueries {
           "doc_id", "text", nativeGrams = true)
     },
 
+    // E4 — the sampled measure with HASHED aggregation keys: the md5
+    // sample predicate stays cross-engine-deterministic, but the sampled
+    // gram instances shuffle as 8-byte xxhash64 payloads (the e6g2
+    // production switch composed onto the 1/16 slice). Same exact oracle:
+    // a 64-bit collision would surface as a hash mismatch, never silently.
+    "e6g4_char_ngram_dup_sampled_hashed" -> Q(
+      """WITH g AS (SELECT doc_id,
+        |        CASE WHEN length(text) <= 16 THEN [text]
+        |             ELSE list_distinct(list_transform(range(1, length(text) - 14),
+        |                    i -> substr(text, i, 16))) END AS cg
+        |      FROM documents),
+        |b AS (SELECT doc_id, CAST(len(cg) AS BIGINT) AS n_grams FROM g),
+        |e AS (SELECT doc_id, unnest(cg) AS gram FROM g),
+        |sm AS (SELECT doc_id, gram FROM e WHERE substr(md5(gram), 1, 1) = '0'),
+        |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_s FROM sm GROUP BY 1),
+        |u AS (SELECT min(doc_id) AS owner, CAST(count(*) AS BIGINT) AS c
+        |      FROM sm GROUP BY gram),
+        |q AS (SELECT owner AS doc_id, CAST(count(*) AS BIGINT) AS n_u
+        |      FROM u WHERE c = 1 GROUP BY 1)
+        |SELECT b.doc_id, b.n_grams,
+        |       COALESCE(p.n_s, 0) AS n_grams_sampled,
+        |       COALESCE(p.n_s, 0) - COALESCE(q.n_u, 0) AS n_shared_sampled,
+        |       CASE WHEN COALESCE(p.n_s, 0) = 0 THEN NULL
+        |            ELSE round((COALESCE(p.n_s, 0) - COALESCE(q.n_u, 0)) * 1.0
+        |                       / p.n_s, 6) END AS dup_char_ngram_frac_est
+        |FROM b LEFT JOIN p USING (doc_id) LEFT JOIN q USING (doc_id)""".stripMargin) {
+      (s, dir) =>
+        graft.functions.GraftFunctions.register(s)
+        TextAnalysis.charNgramDupFractionSampled(Tables.documents(s, dir),
+          "doc_id", "text", nativeGrams = true, hashedKeys = true)
+    },
+
     // [EXT] deterministic per-epoch shuffle order: the reproducible
     // "reshuffle each epoch" permutation (rank by md5(epoch:id)), assigned
     // through the two-phase GlobalRowNumber range shuffle — never a

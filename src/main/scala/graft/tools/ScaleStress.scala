@@ -204,6 +204,11 @@ object ScaleStress {
           nativeGrams = true).localCheckpoint()
       }
       jline("e6g3_char_ngram_dup_sampled", rep, tNgS, dupFracS.count())
+      val (dupFracSH, tNgSH) = timed {
+        TextAnalysis.charNgramDupFractionSampled(docs, "doc_id", "text",
+          nativeGrams = true, hashedKeys = true).localCheckpoint()
+      }
+      jline("e6g4_char_ngram_dup_sampled_hashed", rep, tNgSH, dupFracSH.count())
       }
 
       if (wants("e4t")) {

@@ -648,6 +648,14 @@ class ExtOpsSpec extends SparkSpec {
       .first().getDouble(0)
     assert(math.abs(estGlobal - exact) < 0.05,
       s"sampled estimate $estGlobal vs exact $exact")
+    // hashed aggregation keys must not change a single row
+    val plain = rows.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val hashed = TextAnalysis.charNgramDupFractionSampled(docs, "doc_id",
+        "text", nativeGrams = true, hashedKeys = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(hashed == plain)
   }
 
   test("native shingles are bit-identical to the HOF form (corpus + edge strings)") {
