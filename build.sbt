@@ -39,4 +39,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDBC timestamp round-trips go through java.sql.Timestamp, whose
+  // wall-clock<->instant mapping uses the JVM default timezone; the
+  // engine's canonical-us watermark protocol assumes UTC end to end
+  // (GraftSession pins the SPARK session timezone, this pins the JVM's)
+  "-Duser.timezone=UTC",
 )

@@ -15,19 +15,33 @@ object Verify {
   private[graft] def dump(spark: SparkSession, sfDir: String, outDir: String,
       queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame])
       : Seq[String] = {
+    def deleteRecursively(f: java.io.File): Unit = {
+      // listFiles is null on a race with external cleanup; delete results
+      // are re-checked below rather than trusted per-call
+      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+      f.delete(); ()
+    }
     val failed = scala.collection.mutable.ListBuffer[String]()
     queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val marker = Paths.get(s"$outDir/$name.FAILED")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // the mirror staleness: a marker from an earlier RED run must not
+        // shadow this run's green result
+        Files.deleteIfExists(marker); ()
+      } catch { case e: Throwable =>
         failed += name
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
-        Files.writeString(Paths.get(s"$outDir/$name.FAILED"),
+        Files.writeString(marker,
           s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}\n")
         // a stale parquet dir from an earlier run must not mask the failure
+        // (recursive: an aborted job can leave a _temporary/ subtree)
         val dir = new java.io.File(s"$outDir/$name")
         if (dir.isDirectory) {
-          dir.listFiles().foreach(_.delete()); dir.delete()
+          deleteRecursively(dir)
+          if (dir.exists()) System.err.println(
+            s"[verify] WARNING: could not remove stale result dir $dir")
         }
       }
     }

@@ -336,8 +336,13 @@ object TextAnalysis {
     // sampled gram instances shuffle as 8-byte payloads. Counts per gram
     // survive the hash injectively w.h.p., so the output equals the
     // string-keyed form and the same exact oracle gates it.
+    // materialize the slice: perDoc and uniq below would otherwise each
+    // re-run the explode + md5 over the FULL gram frame — the dominant
+    // map-side cost — once per branch. The checkpoint holds only the
+    // 1/16^hexPrefixLen sample.
     val sampled = sampled0.select(col(idCol),
       (if (hashedKeys) xxhash64(col("__raw")) else col("__raw")).as("__g"))
+      .localCheckpoint()
     val perDoc = sampled.groupBy(idCol)
       .agg(count(lit(1)).as("__n_sampled"))
     val uniq = sampled

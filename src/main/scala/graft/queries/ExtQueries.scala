@@ -1236,7 +1236,8 @@ object ExtQueries {
         |             ELSE list_distinct(list_transform(range(1, length(text) - 14),
         |                    i -> substr(text, i, 16))) END AS cg
         |      FROM documents),
-        |b AS (SELECT doc_id, CAST(len(cg) AS BIGINT) AS n_grams FROM g),
+        |b AS (SELECT doc_id, CAST(len(cg) AS BIGINT) AS n_grams FROM g
+        |      WHERE cg IS NOT NULL),
         |e AS (SELECT doc_id, unnest(cg) AS gram FROM g),
         |sm AS (SELECT doc_id, gram FROM e WHERE substr(md5(gram), 1, 1) = '0'),
         |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_s FROM sm GROUP BY 1),
@@ -1268,7 +1269,8 @@ object ExtQueries {
         |             ELSE list_distinct(list_transform(range(1, length(text) - 14),
         |                    i -> substr(text, i, 16))) END AS cg
         |      FROM documents),
-        |b AS (SELECT doc_id, CAST(len(cg) AS BIGINT) AS n_grams FROM g),
+        |b AS (SELECT doc_id, CAST(len(cg) AS BIGINT) AS n_grams FROM g
+        |      WHERE cg IS NOT NULL),
         |e AS (SELECT doc_id, unnest(cg) AS gram FROM g),
         |sm AS (SELECT doc_id, gram FROM e WHERE substr(md5(gram), 1, 1) = '0'),
         |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_s FROM sm GROUP BY 1),

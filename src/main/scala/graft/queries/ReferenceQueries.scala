@@ -256,7 +256,9 @@ object ReferenceQueries {
       "SELECT event_id, epoch_ms(ts) AS ts_ms FROM events") {
       (s, dir) =>
         val e = Tables.events(s, dir)
-        e.select(col("event_id"), (Tables.tsUs(e) / 1000).cast("long").as("ts_ms"))
+        e.select(col("event_id"), Tables.tsUs(e).as("ts_us"))
+          .selectExpr("event_id", "ts_us div 1000 AS ts_ms") // integer div,
+          // never double: the repo's ts-arithmetic rule (core.Tables)
     },
 
     // X4 — modulo (session.py:292), as a bucketing aggregate.

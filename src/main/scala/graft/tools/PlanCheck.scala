@@ -15,6 +15,9 @@ object PlanCheck {
   private val expectations: Map[String, Seq[String]] = Map(
     "s1_range_scan"     -> Seq("PushedFilters: \\[.*GreaterThanOrEqual\\(ts",
                                "\\[codegen id : "), // whole-stage codegen span
+    // native-ts form: the tsLit literal must reach the parquet scan too —
+    // this is the row that proves the physical-type seam stays pushdown-able
+    "s1b_range_scan_ts" -> Seq("PushedFilters: \\[.*GreaterThanOrEqual\\(ts"),
     "f1_project"        -> Seq("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double>"),
     "f2_between"        -> Seq("PushedFilters: \\[.*GreaterThanOrEqual\\(l_quantity"),
     "j1_pricing_summary"-> Seq("HashAggregate", "PushedFilters: \\[.*LessThanOrEqual\\(l_shipdate"),

@@ -656,6 +656,14 @@ class ExtOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(hashed == plain)
+    // NULL-text docs are DROPPED (not emitted with null stats) — pinned
+    // because the DuckDB oracle's row set must agree on exactly this
+    import spark.implicits._
+    val withNull = Seq((1L, Option("abcdefghijklmnopqr")), (2L, None))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.charNgramDupFractionSampled(withNull, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L))
   }
 
   test("native shingles are bit-identical to the HOF form (corpus + edge strings)") {

@@ -113,6 +113,23 @@ class TimestampWatermarkSpec extends SparkSpec {
     assert(readDest(dest)(1L) == ((base + 600L, 9.0, "A")))
   }
 
+  test("T5 continuous polling converges on a timestamp watermark") {
+    val dest = tmpDir("tswm-t5") + "/dest"
+    val all = Seq(
+      (1L, base + 100L, 1.0, "A"), (2L, base + 200L, 2.0, "B"),
+      (3L, base + 300L, 3.0, "A"), (4L, base + 400L, 4.0, "B"))
+    // the "live" source grows one row per poll; cut = max seen so far
+    var visible = 1
+    def source() = src(all.take(visible): _*)
+    def cut() = all.take(visible).map(_._2).max
+    val reports = new graft.sync.ContinuousSync(spark, cfg).run(
+      () => { val s = source(); visible = math.min(visible + 1, all.size); s },
+      dest, () => cut(), delayMs = 0L, maxIterations = 5, sleep = _ => ())
+    assert(reports.size == 5)
+    assert(readDest(dest).keySet == Set(1L, 2L, 3L, 4L))
+    assert(readDest(dest)(4L) == ((base + 400L, 4.0, "B")))
+  }
+
   test("a fractional watermark column is rejected up front, not truncated") {
     val dest = tmpDir("tswm-frac") + "/dest"
     val s = Seq((1L, 100.5, 1.0, "A")).toDF("id", "updated", "amount", "status")

@@ -46,6 +46,17 @@ class VerifyGateSpec extends SparkSpec {
     assert(new java.io.File(s"$out/q.FAILED").isFile)
   }
 
+  test("a stale .FAILED marker cannot shadow a now-green query") {
+    val out = tmpDir("gate-heal")
+    // run 1: red — marker written
+    assert(Verify.dump(spark, "unused", out, Map(boom("q"))) == Seq("q"))
+    assert(new java.io.File(s"$out/q.FAILED").isFile)
+    // run 2: the query is fixed — the marker must be gone
+    assert(Verify.dump(spark, "unused", out, Map(ok("q"))).isEmpty)
+    assert(!new java.io.File(s"$out/q.FAILED").exists())
+    assert(new java.io.File(s"$out/q").isDirectory)
+  }
+
   test("a mid-job (runtime) failure is caught the same way") {
     val out = tmpDir("gate-runtime")
     val runtimeBoom = "rt" -> ((s: SparkSession, _: String) => {
