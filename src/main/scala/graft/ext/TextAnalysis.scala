@@ -363,6 +363,80 @@ object TextAnalysis {
             col("n_shared_sampled").cast("double") / col("n_grams_sampled"), 6)))
   }
 
+  /** Duplicated-SPAN coverage: per doc, how many of its CHARACTERS sit
+    * inside at least one cross-document duplicated n-char substring — the
+    * span-level form of exact-substring dedup (the "remove the duplicated
+    * span, keep the document" policy of training-data substring dedup, vs
+    * [[charNgramDupFraction]]'s gram-count fraction, which weights a doc
+    * by how many distinct grams repeat rather than by how much of its TEXT
+    * is duplicated). A char position is covered when any n-gram window
+    * containing it also occurs in another document; overlapping windows
+    * are merged into maximal intervals before counting, so coverage is a
+    * true character measure, never double-counted.
+    *
+    * Shape: one position explode (every char starts a gram; short docs
+    * contribute one whole-text gram so none are dropped), ONE shuffle
+    * keyed on the gram for the cross-doc occurrence count, a gram-keyed
+    * join back onto the position stream (same key — the exchange is
+    * reused), then a PER-DOC window pass for interval merging
+    * (gaps-and-islands: a window starts a new island when its start lies
+    * past the running max end of everything before it). The window is
+    * doc-partitioned — bounded by chars-per-doc, never corpus-sized — so
+    * the op scales exactly like the e6g gram aggregation it extends.
+    *
+    * `hashedKeys` shuffles `xxhash64(gram)` (8 bytes) instead of the gram
+    * string, the same production switch as [[charNgramDupFraction]]; the
+    * interval arithmetic never sees the key, so the output is equal
+    * unless two distinct grams collide in 64 bits (see
+    * [[uniqueGramCounts]] for the accounting) — and the exact oracle
+    * would surface such a collision as a hash mismatch, never silently.
+    *
+    * @return idCol, text_len, covered_chars, dup_span_frac */
+  def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 16, hashedKeys: Boolean = false): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    // one row per gram START POSITION (1-based, matching substr in both
+    // engines); short texts emit i=1 with the whole text as the gram
+    val withT = docs.select(col(idCol), col(textCol).as("__t"),
+        length(col(textCol)).as("__len"))
+      .filter(col("__t").isNotNull)
+    val nIdx = when(col("__len") <= n, lit(1)).otherwise(col("__len") - (n - 1))
+    val pos = withT.select(col(idCol), col("__t"), col("__len"),
+      explode(sequence(lit(1), nIdx)).as("__s"))
+    val gram = when(col("__len") <= n, col("__t"))
+      .otherwise(col("__t").substr(col("__s"), lit(n)))
+    val hits = pos.select(col(idCol), col("__s"),
+      when(col("__len") <= n, col("__len")).otherwise(col("__s") + (n - 1))
+        .as("__e"),
+      (if (hashedKeys) xxhash64(gram) else gram).as("__g"))
+    val dup = hits.groupBy("__g")
+      .agg(count_distinct(col(idCol)).as("__dw"))
+      .filter(col("__dw") > 1L).select("__g")
+    val dupHits = hits.join(dup, "__g").select(col(idCol), col("__s"), col("__e"))
+    // gaps-and-islands interval merge; __s is unique per doc (one gram per
+    // start position), so the ROWS frame below is a total order
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__s"), col("__e"))
+    val prevMaxEnd = max(col("__e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val covered = dupHits
+      .withColumn("__brk",
+        when(col("__s") > coalesce(prevMaxEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("__isl",
+        sum(col("__brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__s")).as("__gs"), max(col("__e")).as("__ge"))
+      .groupBy(idCol)
+      .agg(sum(col("__ge") - col("__gs") + 1).cast("long").as("__covered"))
+    withT.select(col(idCol), col("__len").cast("long").as("text_len"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("text_len"),
+        coalesce(col("__covered"), lit(0L)).as("covered_chars"))
+      .withColumn("dup_span_frac",
+        when(col("text_len") === 0L, lit(null).cast("double"))
+          .otherwise(round(
+            col("covered_chars").cast("double") / col("text_len"), 6)))
+  }
+
   /** Corpus-LM quality prior (the CCNet/Gopher-style "perplexity filter"
     * in its self-scored unigram form): fit an add-one-smoothed unigram
     * language model over the whole corpus, then score each document by its

@@ -1291,6 +1291,89 @@ object ExtQueries {
           "doc_id", "text", nativeGrams = true, hashedKeys = true)
     },
 
+    // E1/E4 — duplicated-SPAN coverage: per doc, the number of CHARACTERS
+    // lying inside at least one cross-document duplicated 16-char
+    // substring, overlapping windows merged into maximal intervals
+    // (gaps-and-islands) before counting — the span-level substring-dedup
+    // measure ("how much of this doc's TEXT is duplicated") vs e6g's
+    // gram-count fraction. Same position/gram construction both engines
+    // (1-based substr, whole-text fallback for short docs), identical
+    // ROWS-framed interval merge; all-integer until the final 6-dp round.
+    "e6i_dup_span_coverage" -> Q(
+      """WITH p AS (SELECT doc_id, text, length(text) AS len,
+        |        unnest(range(1, CASE WHEN length(text) <= 16 THEN 2
+        |                             ELSE length(text) - 14 END)) AS s
+        |      FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT doc_id, s,
+        |             CASE WHEN len <= 16 THEN len ELSE s + 15 END AS e,
+        |             CASE WHEN len <= 16 THEN text ELSE substr(text, s, 16) END AS gram
+        |      FROM p),
+        |dup AS (SELECT gram FROM h GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+        |dh AS (SELECT doc_id, s, e FROM h JOIN dup USING (gram)),
+        |isl AS (SELECT doc_id, s, e,
+        |        CASE WHEN s > COALESCE(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |             THEN 1 ELSE 0 END AS brk
+        |        FROM dh),
+        |g AS (SELECT doc_id, s, e,
+        |             sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+        |      FROM isl),
+        |m AS (SELECT doc_id, isl_id, min(s) AS gs, max(e) AS ge
+        |      FROM g GROUP BY 1, 2),
+        |c AS (SELECT doc_id, sum(ge - gs + 1) AS covered FROM m GROUP BY 1)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS text_len,
+        |       CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_chars,
+        |       CASE WHEN length(d.text) = 0 THEN NULL
+        |            ELSE round(COALESCE(c.covered, 0) * 1.0 / length(d.text), 6)
+        |       END AS dup_span_frac
+        |FROM documents d LEFT JOIN c USING (doc_id)
+        |WHERE d.text IS NOT NULL""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.dupSpanCoverage(Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    // E4 — the SAME span-coverage measure with HASHED aggregation keys
+    // (xxhash64(gram) — 8-byte shuffle payloads; the e6g2 production
+    // switch): the interval arithmetic never sees the key, so the result
+    // equals the exact form unless two distinct grams collide in 64 bits —
+    // gated against the SAME exact oracle, where a collision would surface
+    // as a hash mismatch, never silently.
+    "e6i2_dup_span_coverage_hashed" -> Q(
+      """WITH p AS (SELECT doc_id, text, length(text) AS len,
+        |        unnest(range(1, CASE WHEN length(text) <= 16 THEN 2
+        |                             ELSE length(text) - 14 END)) AS s
+        |      FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT doc_id, s,
+        |             CASE WHEN len <= 16 THEN len ELSE s + 15 END AS e,
+        |             CASE WHEN len <= 16 THEN text ELSE substr(text, s, 16) END AS gram
+        |      FROM p),
+        |dup AS (SELECT gram FROM h GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+        |dh AS (SELECT doc_id, s, e FROM h JOIN dup USING (gram)),
+        |isl AS (SELECT doc_id, s, e,
+        |        CASE WHEN s > COALESCE(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |             THEN 1 ELSE 0 END AS brk
+        |        FROM dh),
+        |g AS (SELECT doc_id, s, e,
+        |             sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+        |      FROM isl),
+        |m AS (SELECT doc_id, isl_id, min(s) AS gs, max(e) AS ge
+        |      FROM g GROUP BY 1, 2),
+        |c AS (SELECT doc_id, sum(ge - gs + 1) AS covered FROM m GROUP BY 1)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS text_len,
+        |       CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_chars,
+        |       CASE WHEN length(d.text) = 0 THEN NULL
+        |            ELSE round(COALESCE(c.covered, 0) * 1.0 / length(d.text), 6)
+        |       END AS dup_span_frac
+        |FROM documents d LEFT JOIN c USING (doc_id)
+        |WHERE d.text IS NOT NULL""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.dupSpanCoverage(Tables.documents(s, dir), "doc_id", "text",
+          hashedKeys = true)
+    },
+
     // [EXT] deterministic per-epoch shuffle order: the reproducible
     // "reshuffle each epoch" permutation (rank by md5(epoch:id)), assigned
     // through the two-phase GlobalRowNumber range shuffle — never a

@@ -624,6 +624,48 @@ class ExtOpsSpec extends SparkSpec {
     assert(hashed == exact)
   }
 
+  test("dup-span coverage merges overlapping windows and bounds the gram fraction") {
+    import spark.implicits._
+    // hand-built corpus: docs 1/2 share "ABCDEFGHIJKLMNOPQRST" (20 chars →
+    // five 16-gram windows at s=1..5, one merged island covering all 20);
+    // doc 3 is unique; doc 4 is a short (≤16) exact duplicate of doc 5.
+    val docs = Seq(
+      (1L, "ABCDEFGHIJKLMNOPQRSTuuuuuuuuuu"),
+      (2L, "xxxxxxxxxxABCDEFGHIJKLMNOPQRST"),
+      (3L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),
+      (4L, "shorttext"),
+      (5L, "shorttext")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dupSpanCoverage(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((30L, 20L)), s"doc 1: $out") // island [1,20]
+    assert(out(2L) == ((30L, 20L)), s"doc 2: $out") // island [11,30]
+    assert(out(3L) == ((30L, 0L)), s"doc 3: $out")  // no cross-doc gram
+    assert(out(4L) == ((9L, 9L)) && out(5L) == ((9L, 9L)),
+      s"short exact dups cover whole text: $out")
+    // fixture invariants: span coverage can only widen the duplicated
+    // region a gram hit implies — frac(span) >= frac(gram) per doc — and
+    // hashed keys must not change a single row
+    graft.functions.GraftFunctions.register(spark)
+    val spanByDoc = TextAnalysis.dupSpanCoverage(this.docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val gramFrac = TextAnalysis.charNgramDupFraction(this.docs, "doc_id",
+        "text", nativeGrams = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(spanByDoc.keySet == gramFrac.keySet)
+    spanByDoc.foreach { case (id, (len, cov, frac)) =>
+      assert(cov >= 0L && cov <= len, s"doc $id coverage out of range")
+      if (gramFrac(id) > 0.0)
+        assert(frac > 0.0, s"doc $id has shared grams but zero span coverage")
+    }
+    val hashed = TextAnalysis.dupSpanCoverage(this.docs, "doc_id", "text",
+        hashedKeys = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(hashed == spanByDoc)
+  }
+
   test("sampled char-ngram duplication is a consistent estimator of the exact form") {
     graft.functions.GraftFunctions.register(spark)
     val exact = TextAnalysis.charNgramDupFraction(docs, "doc_id", "text",
