@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Range-clustered table layout: the scan-pruning complement to
+  * [[Bucketing]] (which co-locates equi-JOINS by hash) and
+  * `sync.Compact` (which fixes file SIZES). Clustering rows into
+  * contiguous sort-key ranges is what makes range predicates cheap at
+  * 100 TB: a time-slice query touches only the buckets whose [min,max]
+  * intersect it, and inside each bucket the rows are sorted, so parquet
+  * row-group min/max statistics prune further. The per-bucket manifest
+  * (min/max/count of the sort key) is the table-level pruning index —
+  * tiny (one row per bucket), and written beside the data so a planner
+  * (or [[prunedRead]]) can select buckets without touching data files.
+  *
+  * Bucket boundaries are DETERMINISTIC, not sampled: the global rank from
+  * [[GlobalRowNumber]] (two-phase range shuffle — never a one-reducer
+  * window) splits the total order into `nBuckets` near-equal runs via
+  * exact integer arithmetic, `bucket = ((rn-1)·nBuckets) div total`. A
+  * plain `repartitionByRange` would cluster too, but its reservoir-sampled
+  * boundaries differ run to run — unacceptable for a layout that an
+  * external manifest (or an oracle) must reproduce, and its skew under
+  * heavy key repetition is unbounded, whereas rank-splitting bounds every
+  * bucket at ⌈total/nBuckets⌉ rows by construction.
+  */
+object RangeLayout {
+
+  /** Deterministic range-bucket assignment over the total order given by
+    * `sortCols` (include a tie-break column — same contract as
+    * [[GlobalRowNumber.withGlobalRowNumber]]). Adds `outCol` (LongType in
+    * [0, nBuckets)); every bucket holds ⌊total/nBuckets⌋ or
+    * ⌈total/nBuckets⌉ rows regardless of key skew. */
+  def withRangeBucket(df: DataFrame, sortCols: Seq[Column], nBuckets: Int,
+                      outCol: String = "bucket"): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val rn = GlobalRowNumber.withGlobalRowNumber(df, "__rn", sortCols)
+    // one-row aggregate over the checkpointed numbering — bounded collect
+    val total = Option(rn.agg(max(col("__rn"))).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (total == 0L) rn.withColumn(outCol, lit(0L)).drop("__rn")
+    else rn
+      // exact integer floor division in any engine — never a double ratio
+      // (a correctly-rounded a/b can land on the wrong side of an integer
+      // boundary; `div` cannot)
+      .withColumn(outCol, expr(s"((__rn - 1L) * ${nBuckets}L) div ${total}L"))
+      .drop("__rn")
+  }
+
+  /** The per-bucket pruning manifest: `bucketCol, n_rows, min_<statsCol>,
+    * max_<statsCol>`. One row per bucket — the table-level index a range
+    * scan consults instead of data files. */
+  def manifest(bucketed: DataFrame, bucketCol: String,
+               statsCol: String): DataFrame =
+    bucketed.groupBy(bucketCol)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(statsCol)).as(s"min_$statsCol"),
+        max(col(statsCol)).as(s"max_$statsCol"))
+
+  /** Sidecar location — underscore-prefixed, so parquet discovery over the
+    * table root never reads it as data (same visibility rule as _SUCCESS). */
+  def manifestPath(path: String): String =
+    path.stripSuffix("/") + "/_layout_manifest"
+
+  /** Write `df` range-clustered by `sortCol` (tie-broken by `tieBreak`)
+    * into `nBuckets` hive partitions `bucket=k/`, rows sorted within each
+    * bucket (parquet row-group stats stay tight), plus the manifest
+    * sidecar. The bucket column is already range-partitioned when it
+    * reaches the writer, so `partitionBy` splits each task into at most
+    * two bucket dirs — never the all-buckets-per-task small-file blowup a
+    * hash layout would produce. */
+  def writeClustered(df: DataFrame, path: String, sortCol: String,
+                     tieBreak: Seq[Column], nBuckets: Int): Unit = {
+    val bucketed = withRangeBucket(df, col(sortCol) +: tieBreak, nBuckets)
+    bucketed.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
+    manifest(bucketed, "bucket", sortCol)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(manifestPath(path))
+  }
+
+  /** Manifest-driven range scan of a [[writeClustered]] table: consult the
+    * sidecar for the buckets whose [min,max] intersects [lo,hi] (a
+    * bucket-count-bounded driver collect), then filter the table scan on
+    * those bucket VALUES — Spark's partition pruning drops the other
+    * `bucket=k/` dirs at planning time (`PartitionFilters` in the scan,
+    * asserted in RangeLayoutSpec) — and on the sort column itself, which
+    * parquet row-group stats serve inside the surviving buckets. `lo`/`hi`
+    * must be literals of the column's stored type (e.g. `Tables.tsLit`)
+    * so both prunings see plain comparisons. */
+  def prunedRead(spark: SparkSession, path: String, sortCol: String,
+                 lo: Column, hi: Column): DataFrame = {
+    val mf = spark.read.parquet(manifestPath(path))
+    val ids = mf.filter(col(s"min_$sortCol") <= hi && col(s"max_$sortCol") >= lo)
+      .select(col("bucket").cast("long")).collect().map(_.getLong(0))
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(ids.toIndexedSeq: _*))
+      .filter(col(sortCol) >= lo && col(sortCol) <= hi)
+  }
+}

@@ -1655,6 +1655,35 @@ object ExtQueries {
     // this corpus-policy choice. Near-dup edges are the EXACT Jaccard
     // pairs so DuckDB rebuilds the identical graph with a recursive CTE;
     // production passes minhashNearDups edges into the same curate().
+    // [EXT] range-clustered LAYOUT manifest (ops/RangeLayout): the
+    // per-bucket pruning index of events clustered by ts — deterministic
+    // rank-split buckets (((rn-1)·16) div total over the (ts, event_id)
+    // total order; exact integer arithmetic, identical in any engine —
+    // never repartitionByRange's run-varying sampled boundaries), with
+    // min/max/count of the sort key per bucket. The rank comes from the
+    // two-phase GlobalRowNumber range shuffle, never a one-reducer window;
+    // the manifest is what a 100 TB time-slice scan consults instead of
+    // data files (write/prune lifecycle spec'd in RangeLayoutSpec).
+    "e11_range_layout_manifest" -> Q(
+      """WITH r AS (SELECT epoch_us(ts) AS us, event_id,
+        |                  row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rn,
+        |                  count(*) OVER () AS total
+        |           FROM events),
+        |b AS (SELECT ((rn - 1) * 16) // total AS bucket, us FROM r)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(us) AS min_ts_us, max(us) AS max_ts_us
+        |FROM b GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        val withUs = ev.select(col("event_id"), Tables.tsUs(ev).as("us"))
+        val bucketed = graft.ops.RangeLayout.withRangeBucket(
+          withUs, Seq(col("us"), col("event_id")), 16)
+        graft.ops.RangeLayout.manifest(bucketed, "bucket", "us")
+          .select(col("bucket"), col("n_rows"),
+            col("min_us").as("min_ts_us"), col("max_us").as("max_ts_us"))
+    },
+
     "e10_curation_pipeline" -> Q(
       """WITH RECURSIVE
         |d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50
