@@ -40,6 +40,10 @@ import graft.sync.{SyncConfig, SyncEndpoint, SyncPipeline, SyncReport}
   *     --benchmark <parquet eval docs> --dest <parquet clean docs> \
   *     [--report PATH] [--ngram 3] [--max-contamination 0.0] \
   *     [--id-col doc_id] [--text-col text]
+  *   runMain graft.cli.Main spans --source <parquet docs> --dest <parquet out> \
+  *     [--id-col doc_id] [--text-col text] [--ngram 16]
+  *   runMain graft.cli.Main layout --source <parquet> --dest <parquet dir> \
+  *     --by COL --key TIEBREAK[,K2] [--buckets 16]
   */
 object Main {
 
@@ -57,15 +61,16 @@ object Main {
                           bloom: Option[String] = None,
                           expectedItems: Option[Long] = None,
                           fpp: Double = 0.01, report: Option[String] = None,
-                          ngramN: Int = 3, maxContamination: Double = 0.0)
+                          ngramN: Int = 3, maxContamination: Double = 0.0,
+                          by: String = "", buckets: Int = 16)
 
   private val boolFlags = Set("progress")
 
   private[cli] def parse(argv: Array[String]): Args = {
     if (argv.isEmpty || !Set("single", "continuous", "compact", "curate",
         "neardup", "semantic-dedup", "quality", "admit",
-        "decontaminate").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact] [--id-col doc_id] [--text-col text] [--jaccard 0.8] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--report PATH] [--ngram 3] [--max-contamination 0.0] [--id-col doc_id] [--text-col text]")
+        "decontaminate", "spans", "layout").contains(argv(0)))
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact] [--id-col doc_id] [--text-col text] [--jaccard 0.8] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--report PATH] [--ngram 3] [--max-contamination 0.0] [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL --key TIEBREAK[,K2] [--buckets 16]")
     val opts = scala.collection.mutable.Map.empty[String, String]
     var i = 1
     while (i < argv.length) {
@@ -162,8 +167,13 @@ object Main {
           d
         },
         report = opts.get("report"),
-        ngramN = num("ngram", opts.getOrElse("ngram", "3"), min = 1,
-          max = 64).toInt,
+        // spans works in exact-substring windows (chars), decontaminate in
+        // token shingles — different natural defaults for the same flag
+        ngramN = num("ngram", opts.getOrElse("ngram",
+          if (argv(0) == "spans") "16" else "3"), min = 1, max = 64).toInt,
+        by = if (argv(0) == "layout") req("by") else opts.getOrElse("by", ""),
+        buckets = num("buckets", opts.getOrElse("buckets", "16"),
+          min = 1, max = 1000000).toInt,
         maxContamination = {
           val v = opts.getOrElse("max-contamination", "0.0")
           val d = v.toDoubleOption.getOrElse(throw GraftError.InvalidConfig(
@@ -193,6 +203,8 @@ object Main {
           case "quality"        => runQuality(spark, a)
           case "admit"          => runAdmit(spark, a)
           case "decontaminate"  => runDecontaminate(spark, a)
+          case "spans"          => runSpans(spark, a)
+          case "layout"         => runLayout(spark, a)
           case _                => runSync(spark, a)
         }
         0
@@ -204,6 +216,49 @@ object Main {
       case e: Exception  => System.err.println(s"error: ${e.getMessage}"); 1
     }
     if (exit != 0) sys.exit(exit)
+  }
+
+  /** Duplicated-span coverage (ext/TextAnalysis.dupSpanCoverage) as a CLI
+    * verb: per-doc characters inside cross-document duplicated --ngram-char
+    * substrings, merged into maximal intervals. Runs the hashed-key
+    * production form (8-byte shuffle payloads); the oracle-gated exact
+    * twin is `e6i_dup_span_coverage`. */
+  private[cli] def runSpans(spark: org.apache.spark.sql.SparkSession, a: Args): Unit = {
+    import org.apache.spark.sql.functions.{avg, col, count, sum}
+    if (a.source.startsWith("jdbc:") || a.dest.startsWith("jdbc:"))
+      throw GraftError.InvalidConfig("spans applies to parquet paths")
+    val docs = spark.read.parquet(a.source)
+    graft.ext.TextAnalysis.dupSpanCoverage(docs, a.idCol, a.textCol,
+        n = a.ngramN, hashedKeys = true)
+      .write.mode("overwrite").parquet(a.dest)
+    val s = spark.read.parquet(a.dest).agg(
+      count(col(a.idCol)).as("docs"),
+      avg(col("dup_span_frac")).as("mean"),
+      sum((col("dup_span_frac") >= 0.5).cast("long")).as("heavy")).first()
+    println(f"span coverage ${a.source}: ${s.getLong(0)} docs, " +
+      f"mean frac ${s.getDouble(1)}%.4f, ${s.getLong(2)} docs >= 0.5 " +
+      s"-> ${a.dest}")
+  }
+
+  /** Range-clustered layout (ops/RangeLayout) as a CLI verb: rewrite a
+    * parquet corpus into deterministic rank-split `bucket=k/` dirs sorted
+    * by --by (tie-broken by --key), with the per-bucket min/max/count
+    * manifest sidecar a range scan prunes against. */
+  private[cli] def runLayout(spark: org.apache.spark.sql.SparkSession, a: Args): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (a.source.startsWith("jdbc:") || a.dest.startsWith("jdbc:"))
+      throw GraftError.InvalidConfig("layout applies to parquet paths")
+    if (a.keys.isEmpty)
+      throw GraftError.InvalidConfig(
+        "layout requires --key (tie-break column(s) completing the total order)")
+    val df = spark.read.parquet(a.source)
+    graft.ops.RangeLayout.writeClustered(df, a.dest, a.by,
+      a.keys.map(col), a.buckets)
+    val mf = spark.read.parquet(graft.ops.RangeLayout.manifestPath(a.dest))
+      .orderBy("bucket").collect()
+    println(s"layout ${a.source} by ${a.by}: ${mf.length} buckets -> ${a.dest}")
+    mf.foreach(r => println(
+      s"  bucket=${r.get(0)} rows=${r.get(1)} min=${r.get(2)} max=${r.get(3)}"))
   }
 
   private[cli] def runCompact(spark: org.apache.spark.sql.SparkSession, a: Args): Unit = {

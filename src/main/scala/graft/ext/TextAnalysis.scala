@@ -409,9 +409,14 @@ object TextAnalysis {
       when(col("__len") <= n, col("__len")).otherwise(col("__s") + (n - 1))
         .as("__e"),
       (if (hashedKeys) xxhash64(gram) else gram).as("__g"))
+    // cross-doc test as min≠max of the doc id, NOT count_distinct: a
+    // distinct count over (gram, doc) plans as TWO shuffle stages (expand
+    // then count), while min/max partial-aggregate map-side in one — and
+    // the single-row-per-gram result keeps the join-back explosion-free
+    // under hot grams (AQE skew-split still applies to the probe side)
     val dup = hits.groupBy("__g")
-      .agg(count_distinct(col(idCol)).as("__dw"))
-      .filter(col("__dw") > 1L).select("__g")
+      .agg(min(col(idCol)).as("__dmin"), max(col(idCol)).as("__dmax"))
+      .filter(col("__dmin") =!= col("__dmax")).select("__g")
     val dupHits = hits.join(dup, "__g").select(col(idCol), col("__s"), col("__e"))
     // gaps-and-islands interval merge; __s is unique per doc (one gram per
     // start position), so the ROWS frame below is a total order

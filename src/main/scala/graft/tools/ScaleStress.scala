@@ -94,7 +94,7 @@ object ScaleStress {
     reps.foreach { rep =>
       val docsDir = s"$work/docs_x$rep"
       val embDir = s"$work/emb_x$rep"
-      val needDocs = wants("dedup", "e6g", "e6g2", "e6g3", "e4t")
+      val needDocs = wants("dedup", "e6g", "e6g2", "e6g3", "e6i", "e4t")
       val needEmb = wants("e2n")
       val (_, tPrepD) =
         if (needDocs) timed(replicateDocs(spark, sfDir, rep, docsDir))
@@ -209,6 +209,20 @@ object ScaleStress {
           nativeGrams = true, hashedKeys = true).localCheckpoint()
       }
       jline("e6g4_char_ngram_dup_sampled_hashed", rep, tNgSH, dupFracSH.count())
+      }
+
+      if (wants("e6i")) {
+      // e6i shape — duplicated-SPAN coverage (hashed production form):
+      // POSITIONS shuffle (non-distinct grams + start offsets), gram-keyed
+      // join-back, doc-partitioned interval merge. The replicated corpus
+      // is the ADVERSARIAL case: every gram is cross-doc duplicated, so
+      // the join-back carries the full position stream and every doc's
+      // window pass merges its whole text into one island.
+      val (spanCov, tSp) = timed {
+        TextAnalysis.dupSpanCoverage(docs, "doc_id", "text",
+          hashedKeys = true).localCheckpoint()
+      }
+      jline("e6i2_dup_span_coverage_hashed", rep, tSp, spanCov.count())
       }
 
       if (wants("e4t")) {

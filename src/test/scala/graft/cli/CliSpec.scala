@@ -23,6 +23,8 @@ class CliSpec extends SparkSpec {
       case "curate"         => Main.runCurate(spark, a)
       case "admit"          => Main.runAdmit(spark, a)
       case "decontaminate"  => Main.runDecontaminate(spark, a)
+      case "spans"          => Main.runSpans(spark, a)
+      case "layout"         => Main.runLayout(spark, a)
       case other            => fail(s"unexpected verb $other")
     }
     a
@@ -137,6 +139,31 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$work/clean_all").count() == nCorpus)
   }
 
+  test("spans writes per-doc duplicated-span coverage") {
+    val dest = tmpDir("cli-spans") + "/spans"
+    run("spans", "--source", s"$sfDir/documents.parquet", "--dest", dest)
+    val out = spark.read.parquet(dest)
+    assert(out.columns.toSet ==
+      Set("doc_id", "text_len", "covered_chars", "dup_span_frac"))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(out.count() == nDocs)
+    assert(out.filter(col("covered_chars") > col("text_len")).count() == 0)
+  }
+
+  test("layout writes rank-split bucket dirs plus the manifest sidecar") {
+    val dest = tmpDir("cli-layout") + "/orders_by_date"
+    run("layout", "--source", s"$sfDir/orders.parquet", "--dest", dest,
+      "--by", "o_orderdate", "--key", "o_orderkey", "--buckets", "4")
+    val dirs = new java.io.File(dest).listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName).toSet
+    assert(dirs == Set("bucket=0", "bucket=1", "bucket=2", "bucket=3"))
+    val mf = spark.read.parquet(
+      graft.ops.RangeLayout.manifestPath(dest))
+    assert(mf.count() == 4)
+    val total = mf.agg(sum("n_rows")).first().getLong(0)
+    assert(total == spark.read.parquet(s"$sfDir/orders.parquet").count())
+  }
+
   test("arg validation fails TYPED, not with a raw exception") {
     assertThrows[GraftError.InvalidConfig](Main.parse(Array("frobnicate")))
     assertThrows[GraftError.InvalidConfig](
@@ -164,5 +191,15 @@ class CliSpec extends SparkSpec {
     assertThrows[GraftError.InvalidConfig](
       Main.parse(Array("decontaminate", "--source", "s", "--benchmark", "b",
         "--dest", "d", "--max-contamination", "2")))
+    // layout requires --by; spans defaults to 16-char windows while
+    // decontaminate keeps 3-token shingles under the same flag
+    assertThrows[GraftError.InvalidConfig](
+      Main.parse(Array("layout", "--source", "s", "--dest", "d")))
+    assert(Main.parse(Array("spans", "--source", "s", "--dest", "d"))
+      .ngramN == 16)
+    assert(Main.parse(Array("decontaminate", "--source", "s",
+      "--benchmark", "b", "--dest", "d")).ngramN == 3)
+    assert(Main.parse(Array("layout", "--source", "s", "--dest", "d",
+      "--by", "ts", "--key", "id")).buckets == 16)
   }
 }
