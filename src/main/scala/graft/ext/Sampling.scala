@@ -178,4 +178,19 @@ object Sampling {
       .when(nibble <= "d", "val")
       .otherwise("test")
   }
+
+  /** LEAKAGE-SAFE train/val/test split: [[hashSplit]] keyed on the
+    * duplicate-CLUSTER id instead of the doc id, so a near-duplicate pair
+    * can never straddle the split boundary (the eval-contamination path a
+    * doc-keyed split leaves open: train doc A, val doc A′ with 0.95
+    * Jaccard — the model is eval'd on its own training data). Takes the
+    * `(id, cluster_id)` frame from [[graft.ext.DupClusters.clusters]]
+    * (cluster_id = min member id, itself deterministic); assignment is
+    * per-row on that frame — no extra shuffle beyond what clustering
+    * already paid, and re-runnable: a grown corpus re-clusters, and only
+    * docs whose CLUSTER changed can move splits. */
+  def leakageSafeSplit(clusters: DataFrame, idCol: String = "doc_id",
+                       clusterCol: String = "cluster_id"): DataFrame =
+    clusters.select(col(idCol), col(clusterCol),
+      hashSplit(col(clusterCol)).as("split"))
 }

@@ -884,6 +884,47 @@ object ExtQueries {
           .groupBy("split").agg(count(lit(1)).as("cnt"))
     },
 
+    // [EXT] leakage-SAFE split: e7b's deterministic hash split keyed on
+    // the duplicate-CLUSTER id (e9's connected components over verified
+    // Jaccard-0.8 pairs) instead of the doc id — near-duplicates can never
+    // straddle train/val/test (the eval-contamination hole a doc-keyed
+    // split leaves open). The oracle recomputes the clusters independently
+    // (recursive CTE) and applies the same md5-nibble CASE, so both the
+    // clustering AND the assignment are gated. Same doc_id < 50 bound as
+    // e9 (the recursive oracle is the expensive side, not the op).
+    "e7h_cluster_safe_split" -> Q(
+      """WITH RECURSIVE
+        |tok AS (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+        |        FROM documents WHERE doc_id < 50),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |          FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id FROM inter
+        |          JOIN sizes sa ON sa.doc_id = a_id
+        |          JOIN sizes sb ON sb.doc_id = b_id
+        |          WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.8),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 50
+        |  UNION
+        |  SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.node),
+        |comp AS (SELECT node AS doc_id, min(label) AS cluster_id
+        |         FROM reach GROUP BY node)
+        |SELECT doc_id, cluster_id,
+        |       CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+        |            WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM comp""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.documents(s, dir).filter(col("doc_id") < 50)
+        val edges = Dedup.unigramJaccardPairs(docs, "doc_id", "text",
+          threshold = 0.8)
+        Sampling.leakageSafeSplit(
+          DupClusters.clusters(docs, "doc_id", edges, "a_id", "b_id"))
+    },
+
     // E1 — cross-corpus contamination (train/benchmark decontamination):
     // per corpus doc, how many of its distinct 3-gram shingles appear
     // anywhere in the "benchmark" slice (docs 0-99 stand in for a held-out

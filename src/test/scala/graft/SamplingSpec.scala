@@ -91,6 +91,39 @@ class SamplingSpec extends SparkSpec {
       Sampling.weightedSample(df, "doc_id", col("w"), k = 0))
   }
 
+  test("leakage-safe split never strands a near-dup pair across splits") {
+    // direct contract on a hand-built cluster frame: same cluster ⇒ same
+    // split, and the assignment is hashSplit of the CLUSTER id
+    val cl = Seq((1L, 1L), (2L, 1L), (3L, 3L), (7L, 3L), (9L, 9L))
+      .toDF("doc_id", "cluster_id")
+    val out = Sampling.leakageSafeSplit(cl)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L)._2 == out(2L)._2 && out(3L)._2 == out(7L)._2)
+    val expect = cl.select(col("doc_id"),
+        Sampling.hashSplit(col("cluster_id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.view.mapValues(_._2).toMap == expect)
+    // end-to-end on the fixture: no verified near-dup edge straddles the
+    // boundary (the exact leak a doc-keyed split permits)
+    val d = docs.filter(col("doc_id") < 50)
+    val edges = graft.ext.Dedup.unigramJaccardPairs(d, "doc_id", "text",
+      threshold = 0.8)
+    val split = Sampling.leakageSafeSplit(
+      graft.ext.DupClusters.clusters(d, "doc_id", edges, "a_id", "b_id"))
+    val leaks = edges
+      .join(split.select(col("doc_id").as("a_id"), col("split").as("sa")), "a_id")
+      .join(split.select(col("doc_id").as("b_id"), col("split").as("sb")), "b_id")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(leaks == 0L, s"$leaks near-dup edges straddle splits")
+    // ... while the doc-keyed split DOES leak on this corpus — the hole
+    // this op exists to close (guards the fixture staying adversarial)
+    val docKeyed = edges
+      .withColumn("sa", Sampling.hashSplit(col("a_id")))
+      .withColumn("sb", Sampling.hashSplit(col("b_id")))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(docKeyed > 0L, "fixture no longer exercises the leakage case")
+  }
+
   test("fraction 0 keeps nothing; fraction 1 keeps everything") {
     val none = Sampling.stratifiedSample(docs, "lang", "doc_id",
       Map.empty, default = 0.0).count()
