@@ -418,12 +418,29 @@ object TextAnalysis {
       .agg(min(col(idCol)).as("__dmin"), max(col(idCol)).as("__dmax"))
       .filter(col("__dmin") =!= col("__dmax")).select("__g")
     val dupHits = hits.join(dup, "__g").select(col(idCol), col("__s"), col("__e"))
-    // gaps-and-islands interval merge; __s is unique per doc (one gram per
-    // start position), so the ROWS frame below is a total order
+    val covered = mergedCoverage(dupHits, idCol)
+    withT.select(col(idCol), col("__len").cast("long").as("text_len"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("text_len"),
+        coalesce(col("__covered"), lit(0L)).as("covered_chars"))
+      .withColumn("dup_span_frac",
+        when(col("text_len") === 0L, lit(null).cast("double"))
+          .otherwise(round(
+            col("covered_chars").cast("double") / col("text_len"), 6)))
+  }
+
+  /** Gaps-and-islands interval merge shared by the span-coverage ops:
+    * per-doc total characters covered by the union of `[__s, __e]` hit
+    * intervals. `__s` is unique per doc (one gram per start position), so
+    * the ROWS frames below sit on a total order; a window starts a new
+    * island when its start lies past the running max end of everything
+    * before it. Doc-partitioned — bounded by chars/doc, never
+    * corpus-sized. @return idCol, __covered */
+  private def mergedCoverage(hits: DataFrame, idCol: String): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("__s"), col("__e"))
     val prevMaxEnd = max(col("__e"))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val covered = dupHits
+    hits
       .withColumn("__brk",
         when(col("__s") > coalesce(prevMaxEnd, lit(-1)), 1).otherwise(0))
       .withColumn("__isl",
@@ -432,11 +449,53 @@ object TextAnalysis {
       .agg(min(col("__s")).as("__gs"), max(col("__e")).as("__ge"))
       .groupBy(idCol)
       .agg(sum(col("__ge") - col("__gs") + 1).cast("long").as("__covered"))
-    withT.select(col(idCol), col("__len").cast("long").as("text_len"))
+  }
+
+  /** Benchmark span CONTAMINATION coverage: per corpus doc, how many of
+    * its characters sit inside an n-char substring that also occurs
+    * anywhere in a held-out benchmark corpus — the span-level
+    * decontamination measure (the "n-gram overlap with the eval set"
+    * rule of GPT-style training-data hygiene), where
+    * [[Dedup.contamination]] counts overlapping SHINGLES and this measures
+    * how much contiguous TEXT the overlap actually covers (a single quoted
+    * benchmark sentence reads as one merged island, not a shingle count).
+    *
+    * Shape: the benchmark side collapses to DISTINCT grams (benchmark ≪
+    * corpus — AQE broadcasts it under the threshold, else it is a plain
+    * gram-keyed shuffle join); the corpus side is the same position stream
+    * + doc-partitioned interval merge as [[dupSpanCoverage]]. `hashedKeys`
+    * is the same 8-byte xxhash64 production switch.
+    *
+    * @return idCol, text_len, covered_chars, contaminated_frac */
+  def contaminationSpanCoverage(docs: DataFrame, bench: DataFrame,
+                                idCol: String, textCol: String,
+                                n: Int = 16,
+                                hashedKeys: Boolean = false): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    def positions(src: DataFrame): DataFrame = {
+      val withT = src.select(col(idCol), col(textCol).as("__t"),
+          length(col(textCol)).as("__len"))
+        .filter(col("__t").isNotNull)
+      val nIdx = when(col("__len") <= n, lit(1)).otherwise(col("__len") - (n - 1))
+      val pos = withT.select(col(idCol), col("__t"), col("__len"),
+        explode(sequence(lit(1), nIdx)).as("__s"))
+      val gram = when(col("__len") <= n, col("__t"))
+        .otherwise(col("__t").substr(col("__s"), lit(n)))
+      pos.select(col(idCol), col("__s"),
+        when(col("__len") <= n, col("__len")).otherwise(col("__s") + (n - 1))
+          .as("__e"),
+        (if (hashedKeys) xxhash64(gram) else gram).as("__g"))
+    }
+    val benchGrams = positions(bench).select("__g").distinct()
+    val hits = positions(docs).join(benchGrams, "__g")
+      .select(col(idCol), col("__s"), col("__e"))
+    val covered = mergedCoverage(hits, idCol)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), length(col(textCol)).cast("long").as("text_len"))
       .join(covered, Seq(idCol), "left")
       .select(col(idCol), col("text_len"),
         coalesce(col("__covered"), lit(0L)).as("covered_chars"))
-      .withColumn("dup_span_frac",
+      .withColumn("contaminated_frac",
         when(col("text_len") === 0L, lit(null).cast("double"))
           .otherwise(round(
             col("covered_chars").cast("double") / col("text_len"), 6)))

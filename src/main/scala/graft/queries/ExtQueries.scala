@@ -1415,6 +1415,51 @@ object ExtQueries {
           hashedKeys = true)
     },
 
+    // E1/E4 — benchmark span CONTAMINATION: per corpus doc (>= 100), the
+    // characters inside a 16-char substring that also occurs anywhere in
+    // the benchmark slice (< 100, the e6c convention) — the span-level
+    // decontamination measure: e6c counts overlapping shingles, this
+    // measures how much contiguous TEXT the overlap covers (a quoted
+    // benchmark sentence = one merged island, not a shingle tally). Same
+    // position/gram construction and ROWS-framed interval merge as e6i.
+    "e6j_benchmark_span_contamination" -> Q(
+      """WITH p AS (SELECT doc_id, text, length(text) AS len,
+        |        unnest(range(1, CASE WHEN length(text) <= 16 THEN 2
+        |                             ELSE length(text) - 14 END)) AS s
+        |      FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT doc_id, s,
+        |             CASE WHEN len <= 16 THEN len ELSE s + 15 END AS e,
+        |             CASE WHEN len <= 16 THEN text ELSE substr(text, s, 16) END AS gram
+        |      FROM p),
+        |bg AS (SELECT DISTINCT gram FROM h WHERE doc_id < 100),
+        |dh AS (SELECT doc_id, s, e FROM h
+        |       WHERE doc_id >= 100 AND gram IN (SELECT gram FROM bg)),
+        |isl AS (SELECT doc_id, s, e,
+        |        CASE WHEN s > COALESCE(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |             THEN 1 ELSE 0 END AS brk
+        |        FROM dh),
+        |g AS (SELECT doc_id, s, e,
+        |             sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+        |      FROM isl),
+        |m AS (SELECT doc_id, isl_id, min(s) AS gs, max(e) AS ge
+        |      FROM g GROUP BY 1, 2),
+        |c AS (SELECT doc_id, sum(ge - gs + 1) AS covered FROM m GROUP BY 1)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS text_len,
+        |       CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_chars,
+        |       CASE WHEN length(d.text) = 0 THEN NULL
+        |            ELSE round(COALESCE(c.covered, 0) * 1.0 / length(d.text), 6)
+        |       END AS contaminated_frac
+        |FROM documents d LEFT JOIN c USING (doc_id)
+        |WHERE d.text IS NOT NULL AND d.doc_id >= 100""".stripMargin) {
+      (s, dir) =>
+        val all = Tables.documents(s, dir)
+        TextAnalysis.contaminationSpanCoverage(
+          all.filter(col("doc_id") >= 100), all.filter(col("doc_id") < 100),
+          "doc_id", "text")
+    },
+
     // [EXT] deterministic per-epoch shuffle order: the reproducible
     // "reshuffle each epoch" permutation (rank by md5(epoch:id)), assigned
     // through the two-phase GlobalRowNumber range shuffle — never a

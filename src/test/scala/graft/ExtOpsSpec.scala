@@ -666,6 +666,34 @@ class ExtOpsSpec extends SparkSpec {
     assert(hashed == spanByDoc)
   }
 
+  test("benchmark span contamination covers quoted spans, ignores benchmark-only text") {
+    import spark.implicits._
+    val bench = Seq((900L, "THEQUICKBROWNFOXJUMPSOVER"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // quotes the full 25-char benchmark string → island [6,30]
+      (1L, "aaaaaTHEQUICKBROWNFOXJUMPSOVERbbbbb"),
+      (2L, "no overlap with the benchmark here!"),
+      // quotes only a 16-char prefix window → island [1,16]
+      (3L, "THEQUICKBROWNFOXzzzzzzzzzzzzzzz")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.contaminationSpanCoverage(corpus, bench,
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((35L, 25L)), s"full quote: $out")
+    assert(out(2L) == ((35L, 0L)), s"clean doc: $out")
+    assert(out(3L) == ((31L, 16L)), s"prefix quote: $out")
+    // hashed keys must not change a row; self-contamination of the
+    // benchmark against itself covers every char
+    val hashed = TextAnalysis.contaminationSpanCoverage(corpus, bench,
+        "doc_id", "text", hashedKeys = true)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(hashed == out)
+    val self = TextAnalysis.contaminationSpanCoverage(bench, bench,
+      "doc_id", "text").first()
+    assert(self.getLong(1) == 25L && self.getLong(2) == 25L)
+  }
+
   test("sampled char-ngram duplication is a consistent estimator of the exact form") {
     graft.functions.GraftFunctions.register(spark)
     val exact = TextAnalysis.charNgramDupFraction(docs, "doc_id", "text",
