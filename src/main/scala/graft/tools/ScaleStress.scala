@@ -223,6 +223,17 @@ object ScaleStress {
           hashedKeys = true).localCheckpoint()
       }
       jline("e6i2_dup_span_coverage_hashed", rep, tSp, spanCov.count())
+      // e6j shape — benchmark span contamination against a FIXED-size
+      // benchmark (the sf0.1 doc_id < 100 slice): the benchmark gram set
+      // stays constant while the corpus position stream grows linearly —
+      // the curve should track the corpus, not the product.
+      val bench = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(org.apache.spark.sql.functions.col("doc_id") < 100)
+      val (contam, tCo) = timed {
+        TextAnalysis.contaminationSpanCoverage(docs, bench, "doc_id", "text",
+          hashedKeys = true).localCheckpoint()
+      }
+      jline("e6j_benchmark_span_contamination", rep, tCo, contam.count())
       }
 
       if (wants("e4t")) {
