@@ -38,8 +38,8 @@ import graft.sync.{SyncConfig, SyncEndpoint, SyncPipeline, SyncReport}
   *     [--id-col doc_id] [--text-col text]
   *   runMain graft.cli.Main decontaminate --source <parquet corpus> \
   *     --benchmark <parquet eval docs> --dest <parquet clean docs> \
-  *     [--report PATH] [--ngram 3] [--max-contamination 0.0] \
-  *     [--id-col doc_id] [--text-col text]
+  *     [--mode shingle|span] [--report PATH] [--ngram 3|16] \
+  *     [--max-contamination 0.0] [--id-col doc_id] [--text-col text]
   *   runMain graft.cli.Main spans --source <parquet docs> --dest <parquet out> \
   *     [--id-col doc_id] [--text-col text] [--ngram 16]
   *   runMain graft.cli.Main layout --source <parquet> --dest <parquet dir> \
@@ -70,7 +70,7 @@ object Main {
     if (argv.isEmpty || !Set("single", "continuous", "compact", "curate",
         "neardup", "semantic-dedup", "quality", "admit",
         "decontaminate", "spans", "layout").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact] [--id-col doc_id] [--text-col text] [--jaccard 0.8] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--report PATH] [--ngram 3] [--max-contamination 0.0] [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL --key TIEBREAK[,K2] [--buckets 16]")
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact] [--id-col doc_id] [--text-col text] [--jaccard 0.8] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL --key TIEBREAK[,K2] [--buckets 16]")
     val opts = scala.collection.mutable.Map.empty[String, String]
     var i = 1
     while (i < argv.length) {
@@ -131,10 +131,15 @@ object Main {
       opts.get("min-tokens").map(num("min-tokens", _, min = 0)),
       opts.get("max-tokens").map(num("max-tokens", _, min = 1)),
       {
-        val m = opts.getOrElse("mode", "minhash")
-        if (!Set("minhash", "simhash", "exact").contains(m))
+        // --mode is verb-scoped: neardup picks its cascade, decontaminate
+        // picks the overlap MEASURE (shingle tally vs merged span coverage)
+        val (dflt, allowed) =
+          if (argv(0) == "decontaminate") ("shingle", Set("shingle", "span"))
+          else ("minhash", Set("minhash", "simhash", "exact"))
+        val m = opts.getOrElse("mode", dflt)
+        if (!allowed.contains(m))
           throw GraftError.InvalidConfig(
-            s"--mode must be minhash, simhash or exact, got '$m'")
+            s"--mode must be one of ${allowed.mkString(", ")}, got '$m'")
         m
       },
       opts.getOrElse("vector-col", "embedding"),
@@ -167,10 +172,12 @@ object Main {
           d
         },
         report = opts.get("report"),
-        // spans works in exact-substring windows (chars), decontaminate in
-        // token shingles — different natural defaults for the same flag
+        // span modes work in exact-substring windows (chars), shingle
+        // decontamination in tokens — different natural defaults, one flag
         ngramN = num("ngram", opts.getOrElse("ngram",
-          if (argv(0) == "spans") "16" else "3"), min = 1, max = 64).toInt,
+          if (argv(0) == "spans" || (argv(0) == "decontaminate" &&
+            opts.get("mode").contains("span"))) "16" else "3"),
+          min = 1, max = 64).toInt,
         by = if (argv(0) == "layout") req("by") else opts.getOrElse("by", ""),
         buckets = num("buckets", opts.getOrElse("buckets", "16"),
           min = 1, max = 1000000).toInt,
@@ -437,20 +444,37 @@ object Main {
     val corpus = spark.read.parquet(a.source)
     val bench = spark.read.parquet(a.benchmark)
     graft.functions.GraftFunctions.register(spark)
-    val profile = graft.ext.Dedup.contamination(corpus, bench, a.idCol,
-      a.textCol, shingleN = a.ngramN, nativeShingles = true)
-      .localCheckpoint() // read twice (report + keep-join), computed once
-    a.report.foreach(r => profile.write.mode("overwrite").parquet(r))
-    // null-text docs carry null contamination: no measurable overlap, keep
-    val keepIds = profile.filter(col("contamination").isNull ||
-        col("contamination") <= a.maxContamination)
-      .select(a.idCol)
-    corpus.join(keepIds, a.idCol)
-      .write.mode("overwrite").parquet(a.dest)
+    if (a.mode == "span") {
+      // span mode: drop docs whose characters covered by benchmark-shared
+      // --ngram-char substrings exceed the threshold (the "n-char overlap
+      // with the eval set" hygiene rule); hashed production form
+      val profile = graft.ext.TextAnalysis.contaminationSpanCoverage(corpus,
+          bench, a.idCol, a.textCol, n = a.ngramN, hashedKeys = true)
+        .localCheckpoint() // read twice (report + drop-join), computed once
+      a.report.foreach(r => profile.write.mode("overwrite").parquet(r))
+      // anti-join on the DROP set: null-text docs (absent from the
+      // profile) keep, matching shingle mode's "no measurable overlap"
+      val dropIds = profile
+        .filter(col("contaminated_frac") > a.maxContamination)
+        .select(a.idCol)
+      corpus.join(dropIds, Seq(a.idCol), "left_anti")
+        .write.mode("overwrite").parquet(a.dest)
+    } else {
+      val profile = graft.ext.Dedup.contamination(corpus, bench, a.idCol,
+        a.textCol, shingleN = a.ngramN, nativeShingles = true)
+        .localCheckpoint() // read twice (report + keep-join), computed once
+      a.report.foreach(r => profile.write.mode("overwrite").parquet(r))
+      // null-text docs carry null contamination: no measurable overlap, keep
+      val keepIds = profile.filter(col("contamination").isNull ||
+          col("contamination") <= a.maxContamination)
+        .select(a.idCol)
+      corpus.join(keepIds, a.idCol)
+        .write.mode("overwrite").parquet(a.dest)
+    }
     val kept = spark.read.parquet(a.dest).count()
-    println(s"decontaminate ${a.source}: kept $kept of ${corpus.count()} " +
-      s"(vs ${bench.count()} benchmark docs, n=${a.ngramN}, " +
-      s"max=${a.maxContamination}) -> ${a.dest}" +
+    println(s"decontaminate ${a.source} [${a.mode}]: kept $kept of " +
+      s"${corpus.count()} (vs ${bench.count()} benchmark docs, " +
+      s"n=${a.ngramN}, max=${a.maxContamination}) -> ${a.dest}" +
       a.report.fold("")(r => s" [report: $r]"))
   }
 

@@ -139,6 +139,30 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$work/clean_all").count() == nCorpus)
   }
 
+  test("decontaminate --mode span drops docs by covered-char fraction") {
+    val work = tmpDir("cli-decon-span")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.filter(col("doc_id") < 100).write.parquet(s"$work/bench")
+    docs.filter(col("doc_id") >= 100).write.parquet(s"$work/corpus")
+    run("decontaminate", "--source", s"$work/corpus",
+      "--benchmark", s"$work/bench", "--dest", s"$work/clean",
+      "--mode", "span", "--report", s"$work/report")
+    val nCorpus = spark.read.parquet(s"$work/corpus").count()
+    val kept = spark.read.parquet(s"$work/clean").count()
+    val report = spark.read.parquet(s"$work/report")
+    assert(report.count() == nCorpus)
+    assert(Set("doc_id", "text_len", "covered_chars", "contaminated_frac")
+      .subsetOf(report.columns.toSet))
+    // kept docs are exactly the ones at or under the threshold (0.0)
+    assert(kept ==
+      report.filter(col("contaminated_frac") <= 0.0).count())
+    // loose threshold keeps everything
+    run("decontaminate", "--source", s"$work/corpus",
+      "--benchmark", s"$work/bench", "--dest", s"$work/clean_all",
+      "--mode", "span", "--max-contamination", "1.0")
+    assert(spark.read.parquet(s"$work/clean_all").count() == nCorpus)
+  }
+
   test("spans writes per-doc duplicated-span coverage") {
     val dest = tmpDir("cli-spans") + "/spans"
     run("spans", "--source", s"$sfDir/documents.parquet", "--dest", dest)
@@ -192,13 +216,23 @@ class CliSpec extends SparkSpec {
       Main.parse(Array("decontaminate", "--source", "s", "--benchmark", "b",
         "--dest", "d", "--max-contamination", "2")))
     // layout requires --by; spans defaults to 16-char windows while
-    // decontaminate keeps 3-token shingles under the same flag
+    // decontaminate keeps 3-token shingles under the same flag — unless
+    // its span mode flips the measure to char windows
     assertThrows[GraftError.InvalidConfig](
       Main.parse(Array("layout", "--source", "s", "--dest", "d")))
     assert(Main.parse(Array("spans", "--source", "s", "--dest", "d"))
       .ngramN == 16)
     assert(Main.parse(Array("decontaminate", "--source", "s",
       "--benchmark", "b", "--dest", "d")).ngramN == 3)
+    assert(Main.parse(Array("decontaminate", "--source", "s",
+      "--benchmark", "b", "--dest", "d", "--mode", "span")).ngramN == 16)
+    // mode vocab is verb-scoped: span is decontaminate-only
+    assertThrows[GraftError.InvalidConfig](
+      Main.parse(Array("decontaminate", "--source", "s", "--benchmark", "b",
+        "--dest", "d", "--mode", "minhash")))
+    assertThrows[GraftError.InvalidConfig](
+      Main.parse(Array("neardup", "--source", "s", "--dest", "d",
+        "--mode", "span")))
     assert(Main.parse(Array("layout", "--source", "s", "--dest", "d",
       "--by", "ts", "--key", "id")).buckets == 16)
   }
