@@ -87,6 +87,48 @@ object Sampling {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** TEMPERATURE-rebalanced corpus mixing (the multinomial
+    * source-sampling rule of multilingual/multi-source training recipes):
+    * stratum l's expected TOKEN contribution becomes proportional to
+    * `tot_l^alpha` — alpha = 1 keeps the natural mix, alpha → 0 equalizes
+    * sources, in between damps the head without starving the tail — with
+    * total expected budget `targetTokens`. Keep fraction per stratum =
+    * min(1, targetTokens · w_l / tot_l) with w_l = tot_l^α / Σ tot^α; the
+    * per-row decision is the same content-hashed hex-prefix coin as
+    * [[stratifiedSample]]/[[tokenQuotaSample]] (one grid — the three
+    * samplers compose), the cut derived IN-PLAN from the one-row-per-
+    * stratum totals aggregate. Nothing driver-side; the only scalar (Σ
+    * tot^α) is a one-row aggregate cross-joined back — broadcast by
+    * construction.
+    *
+    * Cross-engine determinism: `pow` is transcendental, so each stratum
+    * weight is ROUNDED to 6 dp and the cross-stratum sum runs in exact
+    * DECIMAL (order-free — a raw double Σ would depend on stratum order);
+    * the final fraction is the same left-associated IEEE chain in both
+    * engines, and the 6-dp re-round before the 65536 grid keeps a last-ulp
+    * pow() wobble from ever flipping a cut. */
+  def temperatureMix(df: DataFrame, strataCol: String, idCol: String,
+                     tokensExpr: Column, alpha: Double,
+                     targetTokens: Long): DataFrame = {
+    require(targetTokens > 0, s"targetTokens must be positive: $targetTokens")
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
+    val totals = df.groupBy(col(strataCol))
+      .agg(sum(tokensExpr.cast("long")).as("__tot"))
+      .withColumn("__w", round(pow(col("__tot").cast("double"), lit(alpha)), 6))
+    val sumW = totals.agg(
+      sum(col("__w").cast("decimal(28,6)")).cast("double").as("__sumw"))
+    val frac = round(
+      lit(targetTokens.toDouble) * col("__w") / col("__sumw") / col("__tot"), 6)
+    val cuts = totals.crossJoin(broadcast(sumW))
+      .select(col(strataCol).as("__strata"),
+        when(frac >= 1.0, lit("g")) // keep-all sentinel, as in stratifiedSample
+          .otherwise(lpad(lower(hex(floor(frac * 65536).cast("int"))), 4, "0"))
+          .as("__cut"))
+    df.join(broadcast(cuts), col(strataCol) <=> col("__strata"))
+      .filter(substring(hashPriority(col(idCol)), 1, 4) < col("__cut"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Deterministic WEIGHTED sample of k rows without replacement
     * (Efraimidis–Spirakis A-ES, the one-pass distributed form): each row
     * draws u ∈ (0, 1] from the shared content-hash coin — the first 13 hex

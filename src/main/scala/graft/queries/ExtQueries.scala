@@ -2267,6 +2267,36 @@ object ExtQueries {
           .select("doc_id", "lang")
     },
 
+    // [EXT] TEMPERATURE-rebalanced mixing (the multinomial source-sampling
+    // recipe): expected stratum contribution ∝ tot^α (α=0.5 here — damp
+    // the head, don't starve the tail) under a total token budget. pow is
+    // transcendental, so each stratum weight rounds to 6 dp and the
+    // cross-stratum sum runs in exact DECIMAL (order-free) on BOTH
+    // engines; the fraction re-rounds before the shared 65536 grid, and
+    // the same md5 coin decides each row — kept row set matches exactly.
+    "e7i_temperature_mix" -> Q(
+      """WITH tot AS (
+        |  SELECT lang, CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS tot
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT lang, tot, round(pow(CAST(tot AS DOUBLE), 0.5), 6) AS w
+        |      FROM tot),
+        |sw AS (SELECT CAST(sum(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS sumw
+        |       FROM w),
+        |cuts AS (
+        |  SELECT lang, CASE WHEN round(5000.0 * w / sumw / tot, 6) >= 1.0 THEN 'g'
+        |              ELSE lpad(lower(hex(CAST(floor(round(5000.0 * w / sumw / tot, 6) * 65536) AS INT))), 4, '0')
+        |              END AS cut
+        |  FROM w, sw)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN cuts c ON d.lang IS NOT DISTINCT FROM c.lang
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < cut""".stripMargin) {
+      (s, dir) =>
+        Sampling.temperatureMix(Tables.documents(s, dir), "lang", "doc_id",
+            TextAnalysis.tokenCount(col("text")), alpha = 0.5,
+            targetTokens = 5000L)
+          .select("doc_id", "lang")
+    },
+
     // E4 — Gopher quality RULE SET (Rae et al. 2021 §A1.1): the hard
     // pass/fail pre-filters — token-count bounds, mean-word-length bounds,
     // symbol-to-word ratio, alphabetic-word fraction, ≥2-stopword rule.

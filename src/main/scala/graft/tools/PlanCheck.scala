@@ -77,12 +77,14 @@ object PlanCheck {
     "e4r_gopher_rules"  -> Seq("Exchange"))
 
   /** Queries whose plan legitimately contains a broadcast nested-loop:
-    * the scalar-watermark crossJoins (one-row build side, T1/T3) and the
+    * the scalar-watermark crossJoins (one-row build side, T1/T3), the
     * corpus-totals broadcast in the unigram LM (one-row N+V aggregate
-    * joined onto the vocab table — a windowless scalar fan-out). */
+    * joined onto the vocab table — a windowless scalar fan-out), and the
+    * temperature mix's one-row Σtot^α aggregate joined onto the
+    * strata-count-sized cut table. */
   private val nestedLoopAllowed = Set(
     "t1_watermark_recovery", "t3_inclusive_reread", "e4p_unigram_logprob",
-    "e4q_kl_divergence")
+    "e4q_kl_divergence", "e7i_temperature_mix")
 
   /** Sweep every registered query for the silent scale killers: cartesian
     * products and unintended broadcast nested-loop joins. */

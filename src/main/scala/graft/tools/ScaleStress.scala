@@ -31,10 +31,11 @@ import graft.sync.{SyncConfig, SyncJob}
   * Usage: runMain graft.tools.ScaleStress [sfDir] [workDir] [reps,...]
   *
   * `SPARK_GRAFT_STRESS_ONLY` (comma list of group keys: `dedup` — the
-  * chained e6/e9c/e10/cap arm — `e2n`, `e6g`, `e6g2`, `e6g3`, `e4t`, `sync` —
-  * which includes the streaming replay built on its output dir) runs a
-  * subset; fixture replication is skipped for inputs no selected group
-  * reads. Unset = everything, unchanged.
+  * chained e6/e9c/e10/cap arm — `e2n`, `e6g`, `e6g2`, `e6g3`, `e6i` — the
+  * span-coverage pair — `e4t`, `layout`, `sync` — which includes the
+  * streaming replay built on its output dir) runs a subset; fixture
+  * replication is skipped for inputs no selected group reads. Unset =
+  * everything, unchanged.
   */
 object ScaleStress {
 
@@ -242,6 +243,38 @@ object ScaleStress {
         TextAnalysis.zipfSlope(docs, "text").localCheckpoint()
       }
       jline("e4t_zipf_slope", rep, tZf, zipf.count())
+      }
+
+      if (wants("layout")) {
+      // the RANGE-LAYOUT writer at scale: cluster the replicated event
+      // corpus by ts (GlobalRowNumber range shuffle → rank-split hive
+      // dirs → manifest sidecar), then read one middle day back through
+      // the manifest against a full-scan twin. The write is a global
+      // sort — its cost SHOULD track n·log(n)/partitions; the pruned
+      // read should track the SLICE, not the corpus.
+      val evDir = s"$work/layoutsrc_x$rep"
+      val ev = Tables.events(spark, sfDir)
+      ev.crossJoin(spark.range(rep).select(col("id").as("__rep")))
+        .select((col("event_id") + col("__rep") * 1000000000L).as("event_id"),
+          Tables.tsUs(ev).as("ts"), col("event_type"), col("value"))
+        .write.mode(SaveMode.Overwrite).parquet(evDir)
+      val src = spark.read.parquet(evDir)
+      val dest = s"$work/layout_x$rep"
+      val (_, tW) = timed(graft.ops.RangeLayout.writeClustered(
+        src, dest, "ts", Seq(col("event_id")), nBuckets = 64))
+      jline("layout_write", rep, tW, src.count())
+      val (lo, hi) = {
+        val r = src.agg(min(col("ts")), max(col("ts"))).first()
+        val mid = (r.getLong(0) + r.getLong(1)) / 2
+        (mid, mid + 86400000000L) // one day in µs
+      }
+      val (nP, tP) = timed(graft.ops.RangeLayout.prunedRead(
+        spark, dest, "ts", lit(lo), lit(hi)).count())
+      val (nF, tF) = timed(spark.read.parquet(dest)
+        .filter(col("ts") >= lo && col("ts") <= hi).count())
+      require(nP == nF, s"pruned read mismatch: $nP vs $nF")
+      jline("layout_pruned_read", rep, tP, nP,
+        Seq("full_scan_sec" -> f"$tF%.2f"))
       }
 
       if (wants("sync")) {

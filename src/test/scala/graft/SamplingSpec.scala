@@ -91,6 +91,51 @@ class SamplingSpec extends SparkSpec {
       Sampling.weightedSample(df, "doc_id", col("w"), k = 0))
   }
 
+  test("temperature mix rebalances toward tot^alpha and is budget-bounded") {
+    import graft.ext.TextAnalysis
+    val tokens = TextAnalysis.tokenCount(col("text"))
+    def mixTotals(alpha: Double, target: Long): Map[String, Long] =
+      Sampling.temperatureMix(docs, "lang", "doc_id", tokens, alpha, target)
+        .groupBy("lang").agg(sum(tokens).as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val natural = docs.groupBy("lang").agg(sum(tokens).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalTokens = natural.values.sum
+    // alpha = 1 with a budget >= the corpus keeps EVERYTHING (keep-all
+    // sentinel per stratum)
+    assert(mixTotals(1.0, totalTokens * 2) == natural)
+    // a binding budget samples DOWN: every stratum at or under natural,
+    // total near the budget (hash-coin expectation; generous tolerance)
+    val target = totalTokens / 4
+    val mixed = mixTotals(0.5, target)
+    assert(mixed.keySet == natural.keySet)
+    mixed.foreach { case (l, t) => assert(t <= natural(l), s"$l grew") }
+    val got = mixed.values.sum
+    assert(got > target / 2 && got < target * 2,
+      s"expected ~$target tokens, got $got")
+    // alpha = 0 equalizes EXPECTED contributions while alpha = 1 keeps
+    // the natural imbalance — proven on a strongly imbalanced synthetic
+    // corpus (9:1 token mass) where the gap dwarfs coin noise
+    val word = "w " * 99 + "w"
+    val syn = ((1L to 900L).map(i => (i, "A", word)) ++
+        (901L to 1000L).map(i => (i, "B", word)))
+      .toDF("doc_id", "lang", "text")
+    def synTotals(alpha: Double): Map[String, Long] =
+      Sampling.temperatureMix(syn, "lang", "doc_id", tokens, alpha, 10000L)
+        .groupBy("lang").agg(sum(tokens).as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val flat = synTotals(0.0)    // expect ~5000 / ~5000
+    val damped = synTotals(1.0)  // expect ~9000 / ~1000
+    assert(math.abs(flat("A") - flat("B")) < 3000L, s"alpha=0: $flat")
+    assert(damped("A") - damped("B") > 4000L, s"alpha=1: $damped")
+    // determinism: the kept ids are identical run to run
+    val a = Sampling.temperatureMix(docs, "lang", "doc_id", tokens, 0.5,
+      target).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureMix(docs, "lang", "doc_id", tokens, 0.5,
+      target).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("leakage-safe split never strands a near-dup pair across splits") {
     // direct contract on a hand-built cluster frame: same cluster ⇒ same
     // split, and the assignment is hashSplit of the CLUSTER id
