@@ -374,15 +374,20 @@ object TextAnalysis {
     * are merged into maximal intervals before counting, so coverage is a
     * true character measure, never double-counted.
     *
-    * Shape: one position explode (every char starts a gram; short docs
-    * contribute one whole-text gram so none are dropped), ONE shuffle
-    * keyed on the gram for the cross-doc occurrence count, a gram-keyed
-    * join back onto the position stream (same key — the exchange is
-    * reused), then a PER-DOC window pass for interval merging
-    * (gaps-and-islands: a window starts a new island when its start lies
-    * past the running max end of everything before it). The window is
-    * doc-partitioned — bounded by chars-per-doc, never corpus-sized — so
-    * the op scales exactly like the e6g gram aggregation it extends.
+    * Shape: a position explode (every char starts a gram; short docs
+    * contribute one whole-text gram so none are dropped) feeding ONE
+    * gram-keyed aggregation shuffle for the cross-doc test; the
+    * one-column duplicated-gram set then joins back onto a RECOMPUTED
+    * position stream (AQE broadcasts it when it fits — measured plan at
+    * sf0.1 — else it is a plain gram-keyed shuffle join); finally a
+    * PER-DOC window pass merges intervals (gaps-and-islands: a window
+    * starts a new island when its start lies past the running max end of
+    * everything before it). The explode deliberately runs twice rather
+    * than checkpointing the position stream: recomputing a codegen'd map
+    * pass is cheap at any scale, while materializing a corpus×grams-sized
+    * frame is not. The window is doc-partitioned — bounded by
+    * chars-per-doc, never corpus-sized — so the op scales exactly like
+    * the e6g gram aggregation it extends.
     *
     * `hashedKeys` shuffles `xxhash64(gram)` (8 bytes) instead of the gram
     * string, the same production switch as [[charNgramDupFraction]]; the
