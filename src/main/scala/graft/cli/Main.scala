@@ -44,6 +44,9 @@ import graft.sync.{SyncConfig, SyncEndpoint, SyncPipeline, SyncReport}
   *     [--id-col doc_id] [--text-col text] [--ngram 16]
   *   runMain graft.cli.Main layout --source <parquet> --dest <parquet dir> \
   *     --by COL --key TIEBREAK[,K2] [--buckets 16]
+  *   runMain graft.cli.Main mix --source <parquet docs> --dest <parquet out> \
+  *     --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) \
+  *     [--id-col doc_id] [--text-col text]
   */
 object Main {
 
@@ -62,15 +65,18 @@ object Main {
                           expectedItems: Option[Long] = None,
                           fpp: Double = 0.01, report: Option[String] = None,
                           ngramN: Int = 3, maxContamination: Double = 0.0,
-                          by: String = "", buckets: Int = 16)
+                          by: String = "", buckets: Int = 16,
+                          quotaTokens: Option[Long] = None,
+                          targetTokens: Option[Long] = None,
+                          alpha: Option[Double] = None)
 
   private val boolFlags = Set("progress")
 
   private[cli] def parse(argv: Array[String]): Args = {
     if (argv.isEmpty || !Set("single", "continuous", "compact", "curate",
         "neardup", "semantic-dedup", "quality", "admit",
-        "decontaminate", "spans", "layout").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact] [--id-col doc_id] [--text-col text] [--jaccard 0.8] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL --key TIEBREAK[,K2] [--buckets 16]")
+        "decontaminate", "spans", "layout", "mix").contains(argv(0)))
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact] [--id-col doc_id] [--text-col text] [--jaccard 0.8] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text]")
     val opts = scala.collection.mutable.Map.empty[String, String]
     var i = 1
     while (i < argv.length) {
@@ -178,9 +184,19 @@ object Main {
           if (argv(0) == "spans" || (argv(0) == "decontaminate" &&
             opts.get("mode").contains("span"))) "16" else "3"),
           min = 1, max = 64).toInt,
-        by = if (argv(0) == "layout") req("by") else opts.getOrElse("by", ""),
+        by = if (argv(0) == "layout" || argv(0) == "mix") req("by")
+             else opts.getOrElse("by", ""),
         buckets = num("buckets", opts.getOrElse("buckets", "16"),
           min = 1, max = 1000000).toInt,
+        quotaTokens = opts.get("quota-tokens").map(num("quota-tokens", _, min = 1)),
+        targetTokens = opts.get("target-tokens").map(num("target-tokens", _, min = 1)),
+        alpha = opts.get("alpha").map { v =>
+          val d = v.toDoubleOption.getOrElse(throw GraftError.InvalidConfig(
+            s"--alpha expects a number in [0,1], got '$v'"))
+          if (d < 0.0 || d > 1.0) throw GraftError.InvalidConfig(
+            s"--alpha must be in [0,1], got $d")
+          d
+        },
         maxContamination = {
           val v = opts.getOrElse("max-contamination", "0.0")
           val d = v.toDoubleOption.getOrElse(throw GraftError.InvalidConfig(
@@ -212,6 +228,7 @@ object Main {
           case "decontaminate"  => runDecontaminate(spark, a)
           case "spans"          => runSpans(spark, a)
           case "layout"         => runLayout(spark, a)
+          case "mix"            => runMix(spark, a)
           case _                => runSync(spark, a)
         }
         0
@@ -266,6 +283,37 @@ object Main {
     println(s"layout ${a.source} by ${a.by}: ${mf.length} buckets -> ${a.dest}")
     mf.foreach(r => println(
       s"  bucket=${r.get(0)} rows=${r.get(1)} min=${r.get(2)} max=${r.get(3)}"))
+  }
+
+  /** Corpus mixing (ext/Sampling) as a CLI verb: `--quota-tokens` caps
+    * each --by stratum's expected token contribution (tokenQuotaSample);
+    * `--alpha` + `--target-tokens` rebalances expected contributions to
+    * ∝ tot^α under the total budget (temperatureMix). Exactly one mode. */
+  private[cli] def runMix(spark: org.apache.spark.sql.SparkSession, a: Args): Unit = {
+    import org.apache.spark.sql.functions.{col, count, sum}
+    if (a.source.startsWith("jdbc:") || a.dest.startsWith("jdbc:"))
+      throw GraftError.InvalidConfig("mix applies to parquet paths")
+    // mode validation is config surface — it must fire (exit 2) before the
+    // source is even touched
+    type Mix = (org.apache.spark.sql.DataFrame,
+                org.apache.spark.sql.Column) => org.apache.spark.sql.DataFrame
+    val mode: Mix = (a.quotaTokens, a.alpha, a.targetTokens) match {
+      case (Some(q), None, None) =>
+        (d, t) => graft.ext.Sampling.tokenQuotaSample(d, a.by, a.idCol, t, q)
+      case (None, Some(al), Some(tt)) =>
+        (d, t) => graft.ext.Sampling.temperatureMix(d, a.by, a.idCol, t, al, tt)
+      case _ => throw GraftError.InvalidConfig(
+        "mix needs exactly one mode: --quota-tokens N, or --alpha A with --target-tokens N")
+    }
+    val docs = spark.read.parquet(a.source)
+    val tokens = graft.ext.TextAnalysis.tokenCount(col(a.textCol))
+    mode(docs, tokens).write.mode("overwrite").parquet(a.dest)
+    val s = spark.read.parquet(a.dest)
+      .groupBy(col(a.by)).agg(count(col(a.idCol)).as("docs"),
+        sum(tokens).as("tokens"))
+      .orderBy(col(a.by)).collect()
+    println(s"mix ${a.source} by ${a.by} -> ${a.dest}")
+    s.foreach(r => println(s"  ${r.get(0)}: docs=${r.get(1)} tokens=${r.get(2)}"))
   }
 
   private[cli] def runCompact(spark: org.apache.spark.sql.SparkSession, a: Args): Unit = {

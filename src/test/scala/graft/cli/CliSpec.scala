@@ -25,6 +25,7 @@ class CliSpec extends SparkSpec {
       case "decontaminate"  => Main.runDecontaminate(spark, a)
       case "spans"          => Main.runSpans(spark, a)
       case "layout"         => Main.runLayout(spark, a)
+      case "mix"            => Main.runMix(spark, a)
       case other            => fail(s"unexpected verb $other")
     }
     a
@@ -186,6 +187,38 @@ class CliSpec extends SparkSpec {
     assert(mf.count() == 4)
     val total = mf.agg(sum("n_rows")).first().getLong(0)
     assert(total == spark.read.parquet(s"$sfDir/orders.parquet").count())
+  }
+
+  test("mix rebalances by quota or temperature and rejects mixed flags") {
+    import graft.ext.TextAnalysis
+    val work = tmpDir("cli-mix")
+    run("mix", "--source", s"$sfDir/documents.parquet",
+      "--dest", s"$work/quota", "--by", "lang", "--quota-tokens", "1000")
+    val tokens = TextAnalysis.tokenCount(col("text"))
+    val quotaTotals = spark.read.parquet(s"$work/quota")
+      .groupBy("lang").agg(sum(tokens).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(quotaTotals.nonEmpty)
+    // expectation ≤ quota per stratum; hash-coin noise stays well inside 2×
+    quotaTotals.foreach { case (l, t) =>
+      assert(t <= 2000L, s"stratum $l blew its quota: $t") }
+    run("mix", "--source", s"$sfDir/documents.parquet",
+      "--dest", s"$work/temp", "--by", "lang",
+      "--alpha", "0.5", "--target-tokens", "5000")
+    assert(spark.read.parquet(s"$work/temp").count() > 0)
+    // exactly one mode, typed errors otherwise
+    assertThrows[GraftError.InvalidConfig](
+      Main.runMix(spark, Main.parse(Array("mix", "--source", "s",
+        "--dest", "d", "--by", "lang"))))
+    assertThrows[GraftError.InvalidConfig](
+      Main.runMix(spark, Main.parse(Array("mix", "--source", "s",
+        "--dest", "d", "--by", "lang", "--quota-tokens", "5",
+        "--alpha", "0.5", "--target-tokens", "10"))))
+    assertThrows[GraftError.InvalidConfig](
+      Main.parse(Array("mix", "--source", "s", "--dest", "d",
+        "--by", "lang", "--alpha", "1.5", "--target-tokens", "10")))
+    assertThrows[GraftError.InvalidConfig](
+      Main.parse(Array("mix", "--source", "s", "--dest", "d")))
   }
 
   test("arg validation fails TYPED, not with a raw exception") {
