@@ -710,6 +710,161 @@ object TextAnalysis {
           .as("p_cond"))
   }
 
+  /** Per-document bigram CROSS-ENTROPY under the corpus's own bigram LM —
+    * the model-based quality score run after [[gopherRules]]' hard filters
+    * (the CCNet recipe: score each document by an n-gram LM and keep the
+    * low-perplexity head; here the LM is [[bigramConditionals]]' corpus
+    * fit, so outlier docs — repetitive junk, wrong-language fragments,
+    * mojibake — surface as high cross-entropy against the corpus itself).
+    * H(doc) = Σ_bigram-occurrences −log2 p(w2|w1) / n_bigrams, in bits per
+    * bigram; perplexity = 2^H when wanted. Every doc bigram exists in the
+    * corpus LM by construction (the LM is trained on the same corpus), so
+    * no smoothing is needed; docs with < 2 tokens score NULL.
+    *
+    * Cross-engine determinism: each distinct bigram's term is the 6-dp
+    * ROUNDED −log2(cnt/c1) fixed as DECIMAL(18,6) (cnt and c1 are exact
+    * integers, the division + log2 have identical expression shape in both
+    * engines ⇒ bit-equal doubles), occurrence-weighted and summed in exact
+    * decimal — accumulation order can never move the result. The raw
+    * probability is NOT pre-rounded: a 6-dp-rounded p collapses to 0 for
+    * rare bigrams in a large corpus, and −log2(0) is +Inf. The per-doc
+    * AVERAGE is the [[unigramLogProb]] tie edge — sum/n sits exactly on a
+    * 6-dp half boundary whenever n | 2·sum (caught by the sf0.1 gate on
+    * this op's first cut) — so the half-up rounding runs in exact integer
+    * micro-bit arithmetic: floor((2·s + n) / (2·n)) with s the decimal sum
+    * scaled by 10⁶, both operands ≪ 2⁵³.
+    *
+    * Shape: the corpus bigram stream is consumed twice — once keyed on
+    * (w1, w2) for the LM counts (map-side-combined; prefix totals as a
+    * window over the vocab²-sized count table, never corpus rows), once
+    * keyed on (id, w1, w2) for per-doc occurrence counts. The LM side is
+    * vocabulary-bounded (Zipf in practice), so the term join is the small
+    * side — AQE broadcasts it at fixture scale; at 100 TB it is a shuffle
+    * join on the bigram key, both sides already aggregated. One doc-sized
+    * left join reattaches empty docs.
+    *
+    * @return idCol, n_bigrams, cross_entropy (bits/bigram, 6 dp; NULL for
+    *         docs with no bigram) */
+  def bigramCrossEntropy(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("w1"))
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+    val nBg = greatest(size(col("__t")) - 1, lit(0))
+    val bigrams = base.select(col(idCol),
+      explode(zip_with(
+        slice(col("__t"), lit(1), nBg), slice(col("__t"), lit(2), nBg),
+        (a: Column, b: Column) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val counts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val terms = counts
+      .withColumn("__c1", sum(col("cnt")).over(w))
+      .select(col("w1"), col("w2"),
+        round(-log2(col("cnt").cast("double") / col("__c1").cast("double")), 6)
+          .cast("decimal(18,6)").as("__term"))
+    val docBg = bigrams.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__n_occ"))
+    val perDoc = docBg.join(terms, Seq("w1", "w2"))
+      .groupBy(idCol)
+      .agg(sum(col("__n_occ")).cast("long").as("__n_bigrams"),
+        sum(col("__n_occ") * col("__term")).as("__tot"))
+    val s = (col("__tot") * 1000000).cast("long") // exact: 6-dp decimal sum
+    val n = col("__n_bigrams")
+    val micro = floor((s * 2 + n).cast("double") / (n * 2).cast("double"))
+    base.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("__n_bigrams").isNull, lit(null).cast("double"))
+          .otherwise(micro.cast("double") / 1000000.0)
+          .as("cross_entropy"))
+  }
+
+  /** Line-level cross-document duplication stats — the RefinedWeb/CCNet
+    * boilerplate signal: a LINE (trimmed, non-empty) that recurs across
+    * documents is navigation chrome, cookie banners, licence headers —
+    * content-free for training. Per doc: total non-empty lines, line
+    * occurrences whose trimmed value appears in ≥ 2 DISTINCT documents,
+    * and their fraction. Single-line docs are handled fine (the whole doc
+    * is its one line); docs whose every line is blank report 0 lines and
+    * NULL fraction.
+    *
+    * Shape (the e6i lesson): cross-doc duplication is min(doc) ≠ max(doc)
+    * per line value — ONE aggregation shuffle keyed on the line, never a
+    * two-stage count_distinct. The duplicated-line SET (aggregation
+    * output, boilerplate-sized — far smaller than the corpus) joins back
+    * onto a RECOMPUTED (doc, line) stream (recompute beats materializing
+    * the exploded frame; AQE broadcasts the dup set at fixture scale).
+    *
+    * @return idCol, n_lines, n_dup_lines, dup_line_frac (6 dp) */
+  def lineDupStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = docs
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("__raw"))
+      .select(col(idCol), trim(col("__raw")).as("__line"))
+      .filter(col("__line") =!= "")
+    val dup = lines.groupBy("__line")
+      .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select(col("__line").as("__dup_line"))
+    val perDoc = lines
+      .join(dup, lines("__line") === dup("__dup_line"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__n_lines"),
+        sum(when(col("__dup_line").isNotNull, 1L).otherwise(0L))
+          .as("__n_dup"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("__n_dup"), lit(0L)).as("n_dup_lines"),
+        when(coalesce(col("__n_lines"), lit(0L)) === 0L,
+          lit(null).cast("double"))
+          .otherwise(round(col("__n_dup").cast("double") / col("__n_lines"), 6))
+          .as("dup_line_frac"))
+  }
+
+  /** Line-level boilerplate REMOVAL: drop every line occurrence whose
+    * trimmed value appears in ≥ `minDocs` distinct documents, reassemble
+    * the survivors in original order — the transform [[lineDupStats]]
+    * measures for. Blank lines are dropped too (they carry no content and
+    * would otherwise all "duplicate" each other). Docs whose every line is
+    * removed keep their row with an empty string — dropping them is the
+    * quality filter's decision ([[gopherRules]]), not the deduper's.
+    *
+    * Shape: minDocs == 2 (the default) uses the one-shuffle min≠max form;
+    * larger thresholds pay a (line, doc)-distinct pre-aggregation before
+    * the per-line doc count (two shuffles of the line stream). The dup set
+    * then joins back onto the recomputed positioned stream and the
+    * survivors re-aggregate per doc — `array_agg` under a (doc, pos) sort
+    * via `sort_array` of (pos, line) structs, so reassembly needs no
+    * window.
+    *
+    * @return idCol, `textCol` (cleaned) */
+  def dropDuplicatedLines(docs: DataFrame, idCol: String, textCol: String,
+                          minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .select(col(idCol), col("pos"), trim(col("col")).as("__line"))
+      .filter(col("__line") =!= "")
+    val dup =
+      if (minDocs == 2)
+        lines.groupBy("__line")
+          .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+          .filter(col("__mn") =!= col("__mx"))
+          .select(col("__line").as("__dup_line"))
+      else
+        lines.select(col("__line"), col(idCol)).distinct()
+          .groupBy("__line").agg(count(lit(1)).as("__nd"))
+          .filter(col("__nd") >= minDocs.toLong)
+          .select(col("__line").as("__dup_line"))
+    val kept = lines
+      .join(dup, lines("__line") === dup("__dup_line"), "left_anti")
+      .groupBy(idCol)
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("__line")))),
+        s => s.getField("__line")), "\n").as("__clean"))
+    docs.select(col(idCol)).join(kept, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__clean"), lit("")).as(textCol))
+  }
+
   /** The Gopher stopword list used by [[gopherRules]]' "document must
     * contain ≥ 2 of these" rule (Rae et al. 2021, appendix A1.1). */
   val gopherStopwords: Seq[String] =

@@ -67,6 +67,20 @@ object ExtQueries {
       (idx, stats)
     })
 
+  /** e6k/e6k2's constructed MULTI-LINE corpus (the fixture text is
+    * single-line): first-40-chars line + planted boilerplate (every third
+    * doc) or unique marker + a blank line + the tail. A cheap narrow
+    * projection — derived inline, identical expression in the DuckDB
+    * oracle. */
+  private def linedCorpus(s: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), concat(
+      substring(col("text"), 1, 40), lit("\n"),
+      when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter"))
+        .otherwise(concat(lit("u"), col("doc_id").cast("string"))),
+      lit("\n"), lit("  "), lit("\n"),
+      expr("substring(text, 41)")).as("text"))
+
   /** e10/e10b's CONSTRUCTED corpora, localCheckpointed once per fixture
     * stamp: the bench re-runs each entry min-of-3 and the oracle pass adds
     * more, and each run re-derived the same multi-way union of pruned
@@ -2468,6 +2482,101 @@ object ExtQueries {
     // [EXT] stratified sampling — per-stratum fractions from the same
     // content-hash coin as e7/e7b (hex-prefix threshold, engine-portable):
     // 50% of English, 25% of Spanish, 10% of everything else.
+    // E4 — per-doc bigram CROSS-ENTROPY under the corpus's own bigram LM
+    // (the CCNet model-based quality score run after the Gopher hard
+    // rules): H(doc) = Σ occurrences of −log2 p(w2|w1) / n_bigrams, terms
+    // 6-dp-rounded and fixed as DECIMAL before the exact occurrence-
+    // weighted sum, so accumulation order can never move the result; the
+    // per-doc average goes through e4p's exact integer micro-bit half-up
+    // (sum/n lands exactly on 6-dp half boundaries — the sf0.1 gate caught
+    // the naive round on this op's first cut). Single-token docs score
+    // NULL; no smoothing is needed because the LM is trained on the same
+    // corpus it scores.
+    "e4v_bigram_cross_entropy" -> Q(
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ta FROM documents),
+        |bg AS (SELECT doc_id, unnest(ta[1:len(ta)-1]) AS w1, unnest(ta[2:len(ta)]) AS w2
+        |       FROM t WHERE len(ta) >= 2),
+        |c AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |p AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c1 FROM c GROUP BY 1),
+        |lm AS (SELECT c.w1, c.w2,
+        |              CAST(round(-log2(CAST(cnt AS DOUBLE) / CAST(c1 AS DOUBLE)), 6)
+        |                   AS DECIMAL(18,6)) AS term
+        |       FROM c JOIN p USING (w1)),
+        |db AS (SELECT doc_id, w1, w2, count(*) AS n_occ FROM bg GROUP BY 1, 2, 3),
+        |s AS (SELECT db.doc_id, CAST(sum(n_occ) AS BIGINT) AS n_bigrams,
+        |             CAST(sum(n_occ * term) * 1000000 AS BIGINT) AS s
+        |      FROM db JOIN lm ON db.w1 = lm.w1 AND db.w2 = lm.w2 GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       CASE WHEN s.n_bigrams IS NULL THEN NULL
+        |            ELSE floor(CAST(s.s * 2 + s.n_bigrams AS DOUBLE)
+        |                       / CAST(s.n_bigrams * 2 AS DOUBLE)) / 1000000.0
+        |       END AS cross_entropy
+        |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.bigramCrossEntropy(Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    // E1/E4 — LINE-level boilerplate duplication stats (RefinedWeb/CCNet:
+    // a trimmed line recurring across documents is chrome/banners/licence
+    // headers). The fixture corpus is single-line, so the gate CONSTRUCTS
+    // a multi-line corpus in-plan (the e10b pattern — identical
+    // construction both engines): line 1 = the doc's first 40 chars
+    // (natural cross-doc dups possible and fine), line 2 = a planted
+    // boilerplate line on every third doc / a per-doc unique marker
+    // otherwise, line 3 = blank (must be dropped), line 4 = the tail
+    // (empty for short docs — dropped). Cross-doc duplication is
+    // min(doc) ≠ max(doc) per line — ONE aggregation shuffle, never a
+    // two-stage count_distinct.
+    "e6k_line_boilerplate" -> Q(
+      """WITH c AS (SELECT doc_id,
+        |        substr(text, 1, 40) || chr(10) ||
+        |        CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter'
+        |             ELSE 'u' || CAST(doc_id AS VARCHAR) END || chr(10) ||
+        |        '  ' || chr(10) || substr(text, 41) AS text2
+        |      FROM documents),
+        |l0 AS (SELECT doc_id, trim(unnest(string_split(text2, chr(10)))) AS line FROM c),
+        |l AS (SELECT doc_id, line FROM l0 WHERE line <> ''),
+        |dup AS (SELECT line FROM l GROUP BY line HAVING min(doc_id) <> max(doc_id)),
+        |pd AS (SELECT l.doc_id, count(*) AS n_lines,
+        |              sum(CASE WHEN dup.line IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+        |       FROM l LEFT JOIN dup ON l.line = dup.line GROUP BY 1)
+        |SELECT c.doc_id, CAST(COALESCE(pd.n_lines, 0) AS BIGINT) AS n_lines,
+        |       CAST(COALESCE(pd.n_dup, 0) AS BIGINT) AS n_dup_lines,
+        |       CASE WHEN COALESCE(pd.n_lines, 0) = 0 THEN NULL
+        |            ELSE round(pd.n_dup * 1.0 / pd.n_lines, 6) END AS dup_line_frac
+        |FROM c LEFT JOIN pd ON c.doc_id = pd.doc_id""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.lineDupStats(linedCorpus(s, dir), "doc_id", "text")
+    },
+
+    // E1/E4 — the REMOVAL transform the e6k measure exists for: drop every
+    // line occurrence whose trimmed value appears in >= 2 distinct docs,
+    // reassemble survivors in original order (strict text equality, incl.
+    // the all-lines-removed -> '' docs). Same constructed corpus as e6k;
+    // DuckDB reassembles via ordered string_agg over the zipped-unnest
+    // position stream.
+    "e6k2_line_dedup_clean" -> Q(
+      """WITH c AS (SELECT doc_id,
+        |        substr(text, 1, 40) || chr(10) ||
+        |        CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter'
+        |             ELSE 'u' || CAST(doc_id AS VARCHAR) END || chr(10) ||
+        |        '  ' || chr(10) || substr(text, 41) AS text2
+        |      FROM documents),
+        |la AS (SELECT doc_id, string_split(text2, chr(10)) AS ls FROM c),
+        |l0 AS (SELECT doc_id, trim(unnest(ls)) AS line,
+        |              unnest(range(1, len(ls) + 1)) AS pos
+        |       FROM la),
+        |l AS (SELECT doc_id, pos, line FROM l0 WHERE line <> ''),
+        |dup AS (SELECT line FROM l GROUP BY line HAVING min(doc_id) <> max(doc_id)),
+        |kept AS (SELECT l.doc_id,
+        |                string_agg(l.line, chr(10) ORDER BY l.pos) AS text
+        |         FROM l ANTI JOIN dup ON l.line = dup.line GROUP BY 1)
+        |SELECT c.doc_id, COALESCE(kept.text, '') AS text
+        |FROM c LEFT JOIN kept ON c.doc_id = kept.doc_id""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.dropDuplicatedLines(linedCorpus(s, dir), "doc_id", "text")
+    },
+
     "e7c_stratified_sample" -> Q(
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <

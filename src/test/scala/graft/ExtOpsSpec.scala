@@ -1355,4 +1355,50 @@ class ExtOpsSpec extends SparkSpec {
     // corrupt rows pass through resize with null content
     assert(Multimodal.resizeImages(corrupt, 8, 5).first().isNullAt(1))
   }
+
+  test("bigram cross-entropy: hand-computed LM terms, occurrence weighting, empty docs NULL") {
+    // LM over the whole corpus: c(a,b)=4, c(a,c)=1, c(b,a)=1; c1(a)=5,
+    // c1(b)=1 → terms -log2: (a,b)=0.321928, (a,c)=2.321928, (b,a)=0
+    val corpus = Seq(
+      (0L, "a b"), (1L, "a b"), (2L, "a c"), (3L, "x"), (4L, "a b a b")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramCrossEntropy(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).sortBy(_._1).toList
+    assert(got == List(
+      (0L, 1L, 0.321928), (1L, 1L, 0.321928), (2L, 1L, 2.321928),
+      (3L, 0L, null), // single token: no bigram, NULL score
+      // doc4 bigrams (a,b),(b,a),(a,b): (2*0.321928 + 0)/3 — occurrence-
+      // weighted, not distinct-bigram-averaged
+      (4L, 3L, 0.214619)))
+    // the corpus scored by its own LM: every term is finite and >= 0
+    val fixture = TextAnalysis.bigramCrossEntropy(docs, "doc_id", "text")
+    assert(fixture.filter(col("n_bigrams") > 0 &&
+      (col("cross_entropy").isNull || col("cross_entropy") < 0)).count() == 0)
+  }
+
+  test("line dedup: cross-doc dups flagged after trim, within-doc repeats are not, blanks dropped") {
+    val corpus = Seq(
+      (0L, "common\nalpha"), (1L, " common \nbeta\n  "), (2L, "gamma"),
+      (3L, "solo\nsolo"), // within-doc repeat, no other doc: NOT boilerplate
+      (4L, "common"), (5L, " \n  ") // all-blank doc: 0 lines, NULL frac
+    ).toDF("doc_id", "text")
+    val stats = TextAnalysis.lineDupStats(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).sortBy(_._1).toList
+    assert(stats == List(
+      (0L, 2L, 1L, 0.5), (1L, 2L, 1L, 0.5), (2L, 1L, 0L, 0.0),
+      (3L, 2L, 0L, 0.0), (4L, 1L, 1L, 1.0), (5L, 0L, 0L, null)))
+    val clean = TextAnalysis.dropDuplicatedLines(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toList
+    assert(clean == List((0L, "alpha"), (1L, "beta"), (2L, "gamma"),
+      (3L, "solo\nsolo"), (4L, ""), (5L, "")))
+    // general-threshold path: "common" spans 3 distinct docs — dropped at
+    // minDocs=3, kept everywhere at minDocs=4
+    val at3 = TextAnalysis.dropDuplicatedLines(corpus, "doc_id", "text", minDocs = 3)
+      .filter(col("doc_id") === 4L).first().getString(1)
+    val at4 = TextAnalysis.dropDuplicatedLines(corpus, "doc_id", "text", minDocs = 4)
+      .filter(col("doc_id") === 4L).first().getString(1)
+    assert(at3 == "" && at4 == "common")
+  }
 }
