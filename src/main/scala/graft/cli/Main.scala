@@ -47,6 +47,9 @@ import graft.sync.{SyncConfig, SyncEndpoint, SyncPipeline, SyncReport}
   *   runMain graft.cli.Main mix --source <parquet docs> --dest <parquet out> \
   *     --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) \
   *     [--id-col doc_id] [--text-col text]
+  *   runMain graft.cli.Main dedup-lines --source <parquet docs> \
+  *     --dest <parquet cleaned> [--min-docs 2] [--report PATH] \
+  *     [--id-col doc_id] [--text-col text]
   */
 object Main {
 
@@ -68,15 +71,17 @@ object Main {
                           by: String = "", buckets: Int = 16,
                           quotaTokens: Option[Long] = None,
                           targetTokens: Option[Long] = None,
-                          alpha: Option[Double] = None)
+                          alpha: Option[Double] = None,
+                          minDocs: Int = 2)
 
   private val boolFlags = Set("progress")
 
   private[cli] def parse(argv: Array[String]): Args = {
     if (argv.isEmpty || !Set("single", "continuous", "compact", "curate",
         "neardup", "semantic-dedup", "quality", "admit",
-        "decontaminate", "spans", "layout", "mix").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact] [--id-col doc_id] [--text-col text] [--jaccard 0.8] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text]")
+        "decontaminate", "spans", "layout", "mix",
+        "dedup-lines").contains(argv(0)))
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact] [--id-col doc_id] [--text-col text] [--jaccard 0.8] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text]")
     val opts = scala.collection.mutable.Map.empty[String, String]
     var i = 1
     while (i < argv.length) {
@@ -190,6 +195,8 @@ object Main {
           min = 1, max = 1000000).toInt,
         quotaTokens = opts.get("quota-tokens").map(num("quota-tokens", _, min = 1)),
         targetTokens = opts.get("target-tokens").map(num("target-tokens", _, min = 1)),
+        minDocs = num("min-docs", opts.getOrElse("min-docs", "2"),
+          min = 2, max = Int.MaxValue).toInt,
         alpha = opts.get("alpha").map { v =>
           val d = v.toDoubleOption.getOrElse(throw GraftError.InvalidConfig(
             s"--alpha expects a number in [0,1], got '$v'"))
@@ -229,6 +236,7 @@ object Main {
           case "spans"          => runSpans(spark, a)
           case "layout"         => runLayout(spark, a)
           case "mix"            => runMix(spark, a)
+          case "dedup-lines"    => runDedupLines(spark, a)
           case _                => runSync(spark, a)
         }
         0
@@ -262,6 +270,34 @@ object Main {
     println(f"span coverage ${a.source}: ${s.getLong(0)} docs, " +
       f"mean frac ${s.getDouble(1)}%.4f, ${s.getLong(2)} docs >= 0.5 " +
       s"-> ${a.dest}")
+  }
+
+  /** Line-level boilerplate removal (ext/TextAnalysis.dropDuplicatedLines)
+    * as a CLI verb: drop every line occurrence whose trimmed value appears
+    * in ≥ --min-docs distinct documents, keep every other column of the
+    * doc row intact, and report how many line occurrences were removed.
+    * `--report PATH` additionally writes the per-doc lineDupStats measure
+    * the removal acts on. */
+  private[cli] def runDedupLines(spark: org.apache.spark.sql.SparkSession,
+                                 a: Args): Unit = {
+    import org.apache.spark.sql.functions.{col, sum}
+    if (a.source.startsWith("jdbc:") || a.dest.startsWith("jdbc:"))
+      throw GraftError.InvalidConfig("dedup-lines applies to parquet paths")
+    val docs = spark.read.parquet(a.source)
+    val stats = graft.ext.TextAnalysis.lineDupStats(docs, a.idCol, a.textCol)
+    a.report.foreach(p => stats.write.mode("overwrite").parquet(p))
+    val cleaned = graft.ext.TextAnalysis.dropDuplicatedLines(
+      docs, a.idCol, a.textCol, a.minDocs)
+    // cleaned text replaces the original column; every other column rides
+    // along untouched (one id-keyed join — the doc table is the big side)
+    docs.drop(a.textCol).join(cleaned, Seq(a.idCol))
+      .write.mode("overwrite").parquet(a.dest)
+    val t = stats.agg(sum(col("n_lines")).as("lines"),
+      sum(col("n_dup_lines")).as("dups")).first()
+    println(s"dedup-lines ${a.source}: ${t.get(0)} lines, " +
+      s"${t.get(1)} in cross-doc duplicates (dropped at min-docs=${a.minDocs} " +
+      s"where applicable) -> ${a.dest}" +
+      a.report.map(p => s", stats -> $p").getOrElse(""))
   }
 
   /** Range-clustered layout (ops/RangeLayout) as a CLI verb: rewrite a

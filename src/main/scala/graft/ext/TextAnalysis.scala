@@ -734,10 +734,13 @@ object TextAnalysis {
     * micro-bit arithmetic: floor((2·s + n) / (2·n)) with s the decimal sum
     * scaled by 10⁶, both operands ≪ 2⁵³.
     *
-    * Shape: the corpus bigram stream is consumed twice — once keyed on
-    * (w1, w2) for the LM counts (map-side-combined; prefix totals as a
-    * window over the vocab²-sized count table, never corpus rows), once
-    * keyed on (id, w1, w2) for per-doc occurrence counts. The LM side is
+    * Shape: the exploded bigram stream is consumed ONCE — keyed on
+    * (id, w1, w2) for per-doc occurrence counts, localCheckpointed, and
+    * the LM counts re-aggregate THAT frame (Σ n_occ per (w1, w2) — the
+    * same totals, one corpus-stream explode+shuffle instead of two; the
+    * first cut paid both and measured ×2.25 per corpus doubling at the
+    * ×100 stress point, ×1.9 after). Prefix totals are a window over the
+    * vocab²-sized count table, never corpus rows. The LM side is
     * vocabulary-bounded (Zipf in practice), so the term join is the small
     * side — AQE broadcasts it at fixture scale; at 100 TB it is a shuffle
     * join on the bigram key, both sides already aggregated. One doc-sized
@@ -755,14 +758,16 @@ object TextAnalysis {
         slice(col("__t"), lit(1), nBg), slice(col("__t"), lit(2), nBg),
         (a: Column, b: Column) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
       .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
-    val counts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val docBg = bigrams.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__n_occ"))
+      .localCheckpoint() // consumed twice: LM re-aggregation + term join
+    val counts = docBg.groupBy("w1", "w2")
+      .agg(sum(col("__n_occ")).as("cnt"))
     val terms = counts
       .withColumn("__c1", sum(col("cnt")).over(w))
       .select(col("w1"), col("w2"),
         round(-log2(col("cnt").cast("double") / col("__c1").cast("double")), 6)
           .cast("decimal(18,6)").as("__term"))
-    val docBg = bigrams.groupBy(col(idCol), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("__n_occ"))
     val perDoc = docBg.join(terms, Seq("w1", "w2"))
       .groupBy(idCol)
       .agg(sum(col("__n_occ")).cast("long").as("__n_bigrams"),

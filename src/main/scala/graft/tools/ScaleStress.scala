@@ -32,7 +32,8 @@ import graft.sync.{SyncConfig, SyncJob}
   *
   * `SPARK_GRAFT_STRESS_ONLY` (comma list of group keys: `dedup` — the
   * chained e6/e9c/e10/cap arm — `e2n`, `e6g`, `e6g2`, `e6g3`, `e6i` — the
-  * span-coverage pair — `e4t`, `layout`, `sync` — which includes the
+  * span-coverage pair — `e4t`, `e4v` (bigram cross-entropy), `e6k` (line
+  * dedup stats + removal), `layout`, `sync` — which includes the
   * streaming replay built on its output dir) runs a subset; fixture
   * replication is skipped for inputs no selected group reads. Unset =
   * everything, unchanged.
@@ -95,7 +96,8 @@ object ScaleStress {
     reps.foreach { rep =>
       val docsDir = s"$work/docs_x$rep"
       val embDir = s"$work/emb_x$rep"
-      val needDocs = wants("dedup", "e6g", "e6g2", "e6g3", "e6i", "e4t")
+      val needDocs = wants("dedup", "e6g", "e6g2", "e6g3", "e6i", "e4t",
+        "e4v", "e6k")
       val needEmb = wants("e2n")
       val (_, tPrepD) =
         if (needDocs) timed(replicateDocs(spark, sfDir, rep, docsDir))
@@ -243,6 +245,43 @@ object ScaleStress {
         TextAnalysis.zipfSlope(docs, "text").localCheckpoint()
       }
       jline("e4t_zipf_slope", rep, tZf, zipf.count())
+      }
+
+      if (wants("e4v")) {
+      // e4v shape — bigram cross-entropy: the LM side is vocab²-bounded
+      // (the 31-word fixture vocab keeps it ~1k rows at EVERY scale), so
+      // the curve should track the per-doc bigram stream alone — two
+      // bigram-keyed aggregations + a small-side join, linear in corpus
+      // tokens.
+      val (xent, tXe) = timed {
+        TextAnalysis.bigramCrossEntropy(docs, "doc_id", "text")
+          .localCheckpoint()
+      }
+      jline("e4v_bigram_cross_entropy", rep, tXe, xent.count())
+      }
+
+      if (wants("e6k")) {
+      // e6k shape — line-level boilerplate stats + removal over a
+      // constructed multi-line corpus (prefix line / boilerplate-or-unique
+      // marker / tail). Adversarial by replication: each original's prefix
+      // and tail lines recur across its replica cluster, and the planted
+      // boilerplate line recurs across a third of ALL docs — the dup-line
+      // set is corpus-sized/3, well past any broadcast threshold, so this
+      // measures the real shuffled join-back, not a broadcast shortcut.
+      val lined = docs.select(col("doc_id"), concat_ws("\n",
+        substring(col("text"), 1, 100),
+        when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter"))
+          .otherwise(concat(lit("u"), col("doc_id").cast("string"))),
+        expr("substring(text, 101)")).as("text"))
+      val (lstats, tLs) = timed {
+        TextAnalysis.lineDupStats(lined, "doc_id", "text").localCheckpoint()
+      }
+      jline("e6k_line_boilerplate", rep, tLs, lstats.count())
+      val (lclean, tLc) = timed {
+        TextAnalysis.dropDuplicatedLines(lined, "doc_id", "text")
+          .localCheckpoint()
+      }
+      jline("e6k2_line_dedup_clean", rep, tLc, lclean.count())
       }
 
       if (wants("layout")) {

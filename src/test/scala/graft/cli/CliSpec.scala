@@ -26,6 +26,7 @@ class CliSpec extends SparkSpec {
       case "spans"          => Main.runSpans(spark, a)
       case "layout"         => Main.runLayout(spark, a)
       case "mix"            => Main.runMix(spark, a)
+      case "dedup-lines"    => Main.runDedupLines(spark, a)
       case other            => fail(s"unexpected verb $other")
     }
     a
@@ -219,6 +220,38 @@ class CliSpec extends SparkSpec {
         "--by", "lang", "--alpha", "1.5", "--target-tokens", "10")))
     assertThrows[GraftError.InvalidConfig](
       Main.parse(Array("mix", "--source", "s", "--dest", "d")))
+  }
+
+  test("dedup-lines strips cross-doc boilerplate, keeps other columns, writes the report") {
+    import spark.implicits._
+    val work = tmpDir("cli-dedup-lines")
+    Seq((0L, "boiler\nalpha", "en"), (1L, "boiler\nbeta", "de"),
+        (2L, "gamma", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$work/in")
+    run("dedup-lines", "--source", s"$work/in", "--dest", s"$work/out",
+      "--report", s"$work/stats")
+    val out = spark.read.parquet(s"$work/out")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[String]("lang"))).sortBy(_._1).toList
+    // the boilerplate line is gone, the lang column rode along untouched
+    assert(out == List((0L, "alpha", "en"), (1L, "beta", "de"),
+      (2L, "gamma", "fr")))
+    val stats = spark.read.parquet(s"$work/stats")
+    assert(stats.filter(col("doc_id") === 0L).first()
+      .getAs[Long]("n_dup_lines") == 1L)
+    // --min-docs above the duplication degree keeps everything
+    run("dedup-lines", "--source", s"$work/in", "--dest", s"$work/out3",
+      "--min-docs", "3")
+    assert(spark.read.parquet(s"$work/out3")
+      .filter(col("text").contains("boiler")).count() == 2)
+    // typed config errors: bad threshold, jdbc endpoint
+    assertThrows[GraftError.InvalidConfig](
+      Main.parse(Array("dedup-lines", "--source", "s", "--dest", "d",
+        "--min-docs", "1")))
+    assertThrows[GraftError.InvalidConfig](
+      Main.runDedupLines(spark, Main.parse(Array("dedup-lines",
+        "--source", "jdbc:postgresql://h/db#t", "--dest", "d"))))
   }
 
   test("arg validation fails TYPED, not with a raw exception") {
