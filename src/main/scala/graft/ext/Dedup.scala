@@ -206,6 +206,86 @@ object Dedup {
   private def shingleCol(textCol: Column, n: Int, native: Boolean): Column =
     if (native) shinglesNative(textCol, n) else shingles(textCol, n)
 
+  /** CONTAINMENT near-dup pairs: |A∩B| / min(|A|, |B|) over distinct
+    * word-shingle sets — the ASYMMETRIC duplication signal Jaccard misses.
+    * A short document quoted wholesale inside a long one has containment 1
+    * but Jaccard |A∩B|/|A∪B| ≈ |short|/|long| → a 20-token press quote
+    * inside a 2000-token article scores J ≈ 0.01 and sails through every
+    * Jaccard threshold; containment catches exactly this (the dedup rule
+    * for quote farms, syndication wrappers, and scraped-page chrome around
+    * a shared body).
+    *
+    * Scale shape: never all-pairs. One shingle explode feeds (a) per-doc
+    * set sizes and (b) the inverted-index self-join ON THE SHINGLE (only
+    * docs sharing a shingle ever meet — the [[graft.ext.TextSimilarity]]
+    * join), with per-pair intersection counts as one (a, b)-keyed hash
+    * aggregation. The quadratic hazard is a stopword-grade shingle's
+    * posting list (|postings|² pair rows from one gram) — bounded by
+    * `maxDf` exactly like the TF-IDF join: shingles in more than maxDf
+    * docs are dropped BEFORE the join, the `Counted` variant returns how
+    * many (zero ⟺ exact containment over full sets). Unlike TF-IDF's
+    * near-zero-weight stopwords, a dropped shingle here can only LOWER a
+    * pair's measured containment — the cap is conservative (never
+    * fabricates a duplicate), and a 3-token shingle in >100k documents is
+    * boilerplate by definition.
+    *
+    * Determinism: shared and the set sizes are exact integers; the ratio
+    * is one double division rounded at 6 dp — identical in any engine.
+    *
+    * @return a_id, b_id, shared, n_a, n_b, containment — pairs with
+    *         containment ≥ `minContainment`, a_id < b_id */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       minContainment: Double, n: Int = 3,
+                       maxDf: Long = DefaultMaxBandSize,
+                       nativeShingles: Boolean = false): DataFrame =
+    containmentPairsCounted(docs, idCol, textCol, minContainment, n, maxDf,
+      nativeShingles)._1
+
+  /** [[containmentPairs]] plus the number of shingles dropped by the
+    * `maxDf` posting-list cap (zero ⟺ exact). */
+  def containmentPairsCounted(docs: DataFrame, idCol: String, textCol: String,
+                              minContainment: Double, n: Int = 3,
+                              maxDf: Long = DefaultMaxBandSize,
+                              nativeShingles: Boolean = false)
+      : (DataFrame, Long) = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0,1]: $minContainment")
+    require(maxDf > 0, s"maxDf must be positive: $maxDf")
+    val capped = maxDf != Long.MaxValue
+    val withSh = docs
+      .select(col(idCol).as("__doc"),
+        shingleCol(col(textCol), n, nativeShingles).as("__sh"))
+      .filter(col("__sh").isNotNull)
+      .localCheckpoint() // sizes + posting explode share one computation
+    val sizes = withSh.select(col("__doc"),
+      size(col("__sh")).cast("long").as("__n"))
+    val posts = withSh.select(col("__doc"), explode(col("__sh")).as("__g"))
+    val (pruned, dropped) = if (capped) {
+      val dfreq = posts.groupBy("__g").agg(count(lit(1)).as("__df"))
+        .localCheckpoint() // read twice: drop count + kept join
+      val d = dfreq
+        .agg(coalesce(sum(when(col("__df") > maxDf, 1L).otherwise(0L)), lit(0L)))
+        .first().getLong(0)
+      // NOT broadcast (the TextSimilarity rationale): kept is nearly the
+      // full shingle vocabulary; posts is already shuffled on the gram
+      (posts.join(dfreq.filter(col("__df") <= maxDf).select("__g"), "__g"), d)
+    } else (posts, 0L)
+    val shared = pruned.select(col("__doc").as("a_id"), col("__g"))
+      .join(pruned.select(col("__doc").as("b_id"), col("__g")), "__g")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+    val out = shared
+      .join(sizes.select(col("__doc").as("a_id"), col("__n").as("n_a")), "a_id")
+      .join(sizes.select(col("__doc").as("b_id"), col("__n").as("n_b")), "b_id")
+      .withColumn("containment",
+        round(col("shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 6))
+      .filter(col("containment") >= minContainment)
+      .select(col("a_id"), col("b_id"), col("shared").cast("long").as("shared"),
+        col("n_a"), col("n_b"), col("containment"))
+    (out, dropped)
+  }
+
   /** k-permutation MinHash signature over shingles, per-row (no shuffle):
     * hash_i(s) = xxhash64(s, i); signature[i] = min over shingles.
     * Estimates Jaccard: P[sig_a[i]=sig_b[i]] = J(a,b).

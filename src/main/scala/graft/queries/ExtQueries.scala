@@ -2516,6 +2516,50 @@ object ExtQueries {
         TextAnalysis.bigramCrossEntropy(Tables.documents(s, dir), "doc_id", "text")
     },
 
+    // E1 — CONTAINMENT near-dup pairs: |A∩B|/min(|A|,|B|) over distinct
+    // 3-gram shingle sets — the ASYMMETRIC signal Jaccard misses (a short
+    // doc quoted wholesale inside a long one scores J ≈ |short|/|long| but
+    // containment 1). Gate corpus = documents ∪ planted PREFIX QUOTES
+    // (doc_id+200000, the first 20 tokens): every plant's shingles are a
+    // contiguous subset of its source's, so at threshold 1.0 each plant
+    // must pair with its source (plus any genuine subset pairs — both
+    // engines recompute the same full pair set). DuckDB runs the identical
+    // inverted-index gram join; the ratio is exact-integer / exact-integer
+    // rounded once, no float edge.
+    "e6l_containment_pairs" -> Q(
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |         array_to_string((regexp_split_to_array(text, '\s+'))[1:20], ' ')
+        |  FROM documents),
+        |sh AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ta FROM corpus),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
+        |             ELSE list_distinct(list_transform(range(1, len(ta) - 1),
+        |                    i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2])) END AS sg
+        |      FROM sh),
+        |sz AS (SELECT doc_id, len(sg) AS n FROM g),
+        |e AS (SELECT doc_id, unnest(sg) AS gram FROM g),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+        |      FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT p.a_id, p.b_id, CAST(shared AS BIGINT) AS shared,
+        |       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+        |       round(shared * 1.0 / least(sa.n, sb.n), 6) AS containment
+        |FROM p JOIN sz sa ON p.a_id = sa.doc_id
+        |       JOIN sz sb ON p.b_id = sb.doc_id
+        |WHERE round(shared * 1.0 / least(sa.n, sb.n), 6) >= 1.0""".stripMargin) {
+      (s, dir) =>
+        graft.functions.GraftFunctions.register(s)
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val plants = docs.select((col("doc_id") + 200000).as("doc_id"),
+          concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 20))
+            .as("text"))
+        Dedup.containmentPairs(docs.unionByName(plants), "doc_id", "text",
+          minContainment = 1.0, nativeShingles = true)
+    },
+
     // E1/E4 — LINE-level boilerplate duplication stats (RefinedWeb/CCNet:
     // a trimmed line recurring across documents is chrome/banners/licence
     // headers). The fixture corpus is single-line, so the gate CONSTRUCTS

@@ -33,7 +33,7 @@ import graft.sync.{SyncConfig, SyncJob}
   * `SPARK_GRAFT_STRESS_ONLY` (comma list of group keys: `dedup` — the
   * chained e6/e9c/e10/cap arm — `e2n`, `e6g`, `e6g2`, `e6g3`, `e6i` — the
   * span-coverage pair — `e4t`, `e4v` (bigram cross-entropy), `e6k` (line
-  * dedup stats + removal), `layout`, `sync` — which includes the
+  * dedup stats + removal), `e6l` (containment pairs), `layout`, `sync` — which includes the
   * streaming replay built on its output dir) runs a subset; fixture
   * replication is skipped for inputs no selected group reads. Unset =
   * everything, unchanged.
@@ -97,7 +97,7 @@ object ScaleStress {
       val docsDir = s"$work/docs_x$rep"
       val embDir = s"$work/emb_x$rep"
       val needDocs = wants("dedup", "e6g", "e6g2", "e6g3", "e6i", "e4t",
-        "e4v", "e6k")
+        "e4v", "e6k", "e6l")
       val needEmb = wants("e2n")
       val (_, tPrepD) =
         if (needDocs) timed(replicateDocs(spark, sfDir, rep, docsDir))
@@ -245,6 +245,38 @@ object ScaleStress {
         TextAnalysis.zipfSlope(docs, "text").localCheckpoint()
       }
       jline("e4t_zipf_slope", rep, tZf, zipf.count())
+      }
+
+      if (wants("e6l")) {
+      // e6l shape — containment pairs via the inverted-index shingle join.
+      // Replication is QUADRATIC here by construction: every replica
+      // shares its shingles with every other replica of the same base, so
+      // posting lists grow ×rep and the per-gram pair mass ×rep² — the
+      // honest adversarial curve for an output-quadratic measure (e6's
+      // banding dodges this via signatures; containment is asymmetric and
+      // cannot). The maxDf cap is the production bound: rerun with a cap
+      // sized below the replica cluster and the curve flattens with a
+      // counted ledger.
+      val ((cPairs, cDrop), tCp) = timed {
+        val (p, d) = Dedup.containmentPairsCounted(docs, "doc_id", "text",
+          minContainment = 0.9, nativeShingles = true)
+        (p.localCheckpoint(), d)
+      }
+      jline("e6l_containment_pairs", rep, tCp, cPairs.count(),
+        Seq("dropped_grams" -> cDrop.toString))
+      // the production bound under degenerate duplication: a maxDf below
+      // the replicated posting size drops the boilerplate-grade shingles
+      // LOUDLY (counted) and collapses the join mass
+      if (rep >= 10) {
+        val ((cPairs2, cDrop2), tCp2) = timed {
+          val (p, d) = Dedup.containmentPairsCounted(docs, "doc_id", "text",
+            minContainment = 0.9, maxDf = 5L * rep, nativeShingles = true)
+          (p.localCheckpoint(), d)
+        }
+        jline("e6l_containment_capped", rep, tCp2, cPairs2.count(),
+          Seq("dropped_grams" -> cDrop2.toString,
+            "max_df" -> (5L * rep).toString))
+      }
       }
 
       if (wants("e4v")) {

@@ -1377,6 +1377,38 @@ class ExtOpsSpec extends SparkSpec {
       (col("cross_entropy").isNull || col("cross_entropy") < 0)).count() == 0)
   }
 
+  test("containment pairs: asymmetric quote found where Jaccard fails, cap ledger counts") {
+    // long doc (16 tokens) and its 6-token prefix quote: containment = 1,
+    // Jaccard = 4/14 ≈ 0.29 — the pair a 0.8-Jaccard pass misses
+    val long1 = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron pi"
+    val corpus = Seq(
+      (1L, long1), (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words here now")).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.containmentPairs(corpus, "doc_id", "text",
+        minContainment = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toList
+    assert(got == List((1L, 2L, 1.0)))
+    // ...and the same pair fails the Jaccard verify at 0.8
+    val j = graft.ext.Dedup.minhashNearDups(corpus, "doc_id", "text",
+      threshold = 0.8)
+    assert(j.filter(col("a_id") === 1L && col("b_id") === 2L).count() == 0)
+    // sub-1.0 threshold: dropping one plant token lowers containment but
+    // stays above 0.5
+    val corpus2 = corpus.unionByName(
+      Seq((4L, "alpha beta gamma delta epsilon PERTURBED"))
+        .toDF("doc_id", "text"))
+    val at05 = graft.ext.Dedup.containmentPairs(corpus2, "doc_id", "text",
+        minContainment = 0.5)
+      .filter(col("a_id") === 1L && col("b_id") === 4L).collect()
+    assert(at05.length == 1 && at05(0).getDouble(5) == 0.75) // 3 of 4 shingles
+    // the maxDf cap drops a stopword-grade shingle LOUDLY and only lowers
+    // containment: with every posting capped at 1 doc, no pair survives
+    val (capped, dropped) = graft.ext.Dedup.containmentPairsCounted(
+      corpus, "doc_id", "text", minContainment = 0.1, maxDf = 1L)
+    assert(capped.count() == 0 && dropped == 4L) // the 4 shared shingles
+  }
+
   test("line dedup: cross-doc dups flagged after trim, within-doc repeats are not, blanks dropped") {
     val corpus = Seq(
       (0L, "common\nalpha"), (1L, " common \nbeta\n  "), (2L, "gamma"),
