@@ -50,6 +50,9 @@ import graft.sync.{SyncConfig, SyncEndpoint, SyncPipeline, SyncReport}
   *   runMain graft.cli.Main dedup-lines --source <parquet docs> \
   *     --dest <parquet cleaned> [--min-docs 2] [--report PATH] \
   *     [--id-col doc_id] [--text-col text]
+  *   runMain graft.cli.Main dedup-spans --source <parquet docs> \
+  *     --dest <parquet cleaned> [--min-span 0] [--ngram 16] \
+  *     [--report PATH] [--id-col doc_id] [--text-col text]
   */
 object Main {
 
@@ -72,7 +75,8 @@ object Main {
                           quotaTokens: Option[Long] = None,
                           targetTokens: Option[Long] = None,
                           alpha: Option[Double] = None,
-                          minDocs: Int = 2)
+                          minDocs: Int = 2,
+                          minSpan: Int = 0)
 
   private val boolFlags = Set("progress")
 
@@ -80,8 +84,8 @@ object Main {
     if (argv.isEmpty || !Set("single", "continuous", "compact", "curate",
         "neardup", "semantic-dedup", "quality", "admit",
         "decontaminate", "spans", "layout", "mix",
-        "dedup-lines").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact] [--id-col doc_id] [--text-col text] [--jaccard 0.8] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text]")
+        "dedup-lines", "dedup-spans").contains(argv(0)))
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact] [--id-col doc_id] [--text-col text] [--jaccard 0.8] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text]")
     val opts = scala.collection.mutable.Map.empty[String, String]
     var i = 1
     while (i < argv.length) {
@@ -186,8 +190,9 @@ object Main {
         // span modes work in exact-substring windows (chars), shingle
         // decontamination in tokens — different natural defaults, one flag
         ngramN = num("ngram", opts.getOrElse("ngram",
-          if (argv(0) == "spans" || (argv(0) == "decontaminate" &&
-            opts.get("mode").contains("span"))) "16" else "3"),
+          if (argv(0) == "spans" || argv(0) == "dedup-spans" ||
+            (argv(0) == "decontaminate" &&
+              opts.get("mode").contains("span"))) "16" else "3"),
           min = 1, max = 64).toInt,
         by = if (argv(0) == "layout" || argv(0) == "mix") req("by")
              else opts.getOrElse("by", ""),
@@ -197,6 +202,8 @@ object Main {
         targetTokens = opts.get("target-tokens").map(num("target-tokens", _, min = 1)),
         minDocs = num("min-docs", opts.getOrElse("min-docs", "2"),
           min = 2, max = Int.MaxValue).toInt,
+        minSpan = num("min-span", opts.getOrElse("min-span", "0"),
+          min = 0, max = Int.MaxValue).toInt,
         alpha = opts.get("alpha").map { v =>
           val d = v.toDoubleOption.getOrElse(throw GraftError.InvalidConfig(
             s"--alpha expects a number in [0,1], got '$v'"))
@@ -237,6 +244,7 @@ object Main {
           case "layout"         => runLayout(spark, a)
           case "mix"            => runMix(spark, a)
           case "dedup-lines"    => runDedupLines(spark, a)
+          case "dedup-spans"    => runDedupSpans(spark, a)
           case _                => runSync(spark, a)
         }
         0
@@ -298,6 +306,35 @@ object Main {
       s"${t.get(1)} in cross-doc duplicates (dropped at min-docs=${a.minDocs} " +
       s"where applicable) -> ${a.dest}" +
       a.report.map(p => s", stats -> $p").getOrElse(""))
+  }
+
+  /** Duplicated-span removal (ext/TextAnalysis.removeDuplicatedSpans) as a
+    * CLI verb — the exact-substring-dedup transform: cut every merged
+    * cross-document duplicated island of ≥ --min-span chars (detected in
+    * --ngram-char windows) out of the text, keep every other column of the
+    * doc row intact. Runs the hashed-key production form; the oracle-gated
+    * exact twins are `e6i3`/`e6i4`. `--report PATH` writes the full
+    * per-doc removal frame (text_len, removed_chars, clean_text). */
+  private[cli] def runDedupSpans(spark: org.apache.spark.sql.SparkSession,
+                                 a: Args): Unit = {
+    import org.apache.spark.sql.functions.{col, sum}
+    if (a.source.startsWith("jdbc:") || a.dest.startsWith("jdbc:"))
+      throw GraftError.InvalidConfig("dedup-spans applies to parquet paths")
+    val docs = spark.read.parquet(a.source)
+    val removed = graft.ext.TextAnalysis.removeDuplicatedSpans(
+      docs, a.idCol, a.textCol, n = a.ngramN, minSpan = a.minSpan,
+      hashedKeys = true)
+    a.report.foreach(p => removed.write.mode("overwrite").parquet(p))
+    docs.drop(a.textCol)
+      .join(removed.select(col(a.idCol), col("clean_text").as(a.textCol)),
+        Seq(a.idCol))
+      .write.mode("overwrite").parquet(a.dest)
+    val t = removed.agg(sum(col("text_len")).as("chars"),
+      sum(col("removed_chars")).as("removed")).first()
+    println(s"dedup-spans ${a.source}: ${t.get(0)} chars, " +
+      s"${t.get(1)} removed in duplicated spans (ngram=${a.ngramN}, " +
+      s"min-span=${a.minSpan}) -> ${a.dest}" +
+      a.report.map(p => s", report -> $p").getOrElse(""))
   }
 
   /** Range-clustered layout (ops/RangeLayout) as a CLI verb: rewrite a

@@ -399,9 +399,32 @@ object TextAnalysis {
     * @return idCol, text_len, covered_chars, dup_span_frac */
   def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 16, hashedKeys: Boolean = false): DataFrame = {
+    val (withT, dupHits) = dupSpanHits(docs, idCol, textCol, n, hashedKeys)
+    val covered = mergedCoverage(dupHits, idCol)
+    withT.select(col(idCol), col("__len").cast("long").as("text_len"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("text_len"),
+        coalesce(col("__covered"), lit(0L)).as("covered_chars"))
+      .withColumn("dup_span_frac",
+        when(col("text_len") === 0L, lit(null).cast("double"))
+          .otherwise(round(
+            col("covered_chars").cast("double") / col("text_len"), 6)))
+  }
+
+  /** The shared front half of the span ops: (doc, text, len) plus the
+    * cross-document duplicated-gram hit stream `[__s, __e]` — one row per
+    * gram START POSITION (1-based, matching substr in both engines; short
+    * texts emit i=1 with the whole text as the gram).
+    *
+    * The cross-doc test is min≠max of the doc id, NOT count_distinct: a
+    * distinct count over (gram, doc) plans as TWO shuffle stages (expand
+    * then count), while min/max partial-aggregate map-side in one — and
+    * the single-row-per-gram result keeps the join-back explosion-free
+    * under hot grams (AQE skew-split still applies to the probe side). */
+  private def dupSpanHits(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int, hashedKeys: Boolean)
+      : (DataFrame, DataFrame) = {
     require(n > 0, s"n must be positive: $n")
-    // one row per gram START POSITION (1-based, matching substr in both
-    // engines); short texts emit i=1 with the whole text as the gram
     val withT = docs.select(col(idCol), col(textCol).as("__t"),
         length(col(textCol)).as("__len"))
       .filter(col("__t").isNotNull)
@@ -414,34 +437,21 @@ object TextAnalysis {
       when(col("__len") <= n, col("__len")).otherwise(col("__s") + (n - 1))
         .as("__e"),
       (if (hashedKeys) xxhash64(gram) else gram).as("__g"))
-    // cross-doc test as min≠max of the doc id, NOT count_distinct: a
-    // distinct count over (gram, doc) plans as TWO shuffle stages (expand
-    // then count), while min/max partial-aggregate map-side in one — and
-    // the single-row-per-gram result keeps the join-back explosion-free
-    // under hot grams (AQE skew-split still applies to the probe side)
     val dup = hits.groupBy("__g")
       .agg(min(col(idCol)).as("__dmin"), max(col(idCol)).as("__dmax"))
       .filter(col("__dmin") =!= col("__dmax")).select("__g")
     val dupHits = hits.join(dup, "__g").select(col(idCol), col("__s"), col("__e"))
-    val covered = mergedCoverage(dupHits, idCol)
-    withT.select(col(idCol), col("__len").cast("long").as("text_len"))
-      .join(covered, Seq(idCol), "left")
-      .select(col(idCol), col("text_len"),
-        coalesce(col("__covered"), lit(0L)).as("covered_chars"))
-      .withColumn("dup_span_frac",
-        when(col("text_len") === 0L, lit(null).cast("double"))
-          .otherwise(round(
-            col("covered_chars").cast("double") / col("text_len"), 6)))
+    (withT, dupHits)
   }
 
   /** Gaps-and-islands interval merge shared by the span-coverage ops:
-    * per-doc total characters covered by the union of `[__s, __e]` hit
-    * intervals. `__s` is unique per doc (one gram per start position), so
-    * the ROWS frames below sit on a total order; a window starts a new
-    * island when its start lies past the running max end of everything
-    * before it. Doc-partitioned — bounded by chars/doc, never
-    * corpus-sized. @return idCol, __covered */
-  private def mergedCoverage(hits: DataFrame, idCol: String): DataFrame = {
+    * per-doc MAXIMAL intervals `[__gs, __ge]` covered by the union of
+    * `[__s, __e]` hit intervals. `__s` is unique per doc (one gram per
+    * start position), so the ROWS frames below sit on a total order; a
+    * window starts a new island when its start lies past the running max
+    * end of everything before it. Doc-partitioned — bounded by chars/doc,
+    * never corpus-sized. @return idCol, __gs, __ge */
+  private def mergedIslands(hits: DataFrame, idCol: String): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("__s"), col("__e"))
     val prevMaxEnd = max(col("__e"))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -452,8 +462,64 @@ object TextAnalysis {
         sum(col("__brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col(idCol), col("__isl"))
       .agg(min(col("__s")).as("__gs"), max(col("__e")).as("__ge"))
+  }
+
+  /** Per-doc total characters covered by the merged islands.
+    * @return idCol, __covered */
+  private def mergedCoverage(hits: DataFrame, idCol: String): DataFrame =
+    mergedIslands(hits, idCol)
       .groupBy(idCol)
       .agg(sum(col("__ge") - col("__gs") + 1).cast("long").as("__covered"))
+
+  /** Duplicated-span REMOVAL: cut every merged cross-document duplicated
+    * island of at least `minSpan` characters out of the text and stitch
+    * the remainder back together — the exact-substring-dedup TRANSFORM
+    * that [[dupSpanCoverage]] measures for (the "deduplicating training
+    * data" policy of Lee et al. 2021: drop the repeated span, keep the
+    * document). `minSpan` is the production knob: raw n-gram matches are
+    * noisy at exactly n chars, so pipelines typically only cut spans well
+    * past the detection width (the paper uses ~50 tokens); `minSpan <= n`
+    * means every island is cut. The span is removed from EVERY document
+    * that carries it — the policy symmetric with [[dropDuplicatedLines]];
+    * keeping one canonical occurrence is a layer above (pick a keeper per
+    * duplicate CLUSTER via [[graft.ext.Dedup]], then run removal on the
+    * rest). Docs whose whole text is one duplicated island keep their row
+    * with an empty string, same contract as [[dropDuplicatedLines]].
+    *
+    * Shape: the same ONE gram-keyed aggregation + doc-partitioned interval
+    * merge as [[dupSpanCoverage]]; the cut itself is a per-doc fold over
+    * the doc's own sorted island array (`aggregate` HOF — interpreted, but
+    * bounded by islands/doc and only over docs that HAVE islands; every
+    * untouched doc passes through the left join with its text intact).
+    *
+    * @return idCol, text_len, removed_chars, clean_text */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 16, minSpan: Int = 0,
+                            hashedKeys: Boolean = false): DataFrame = {
+    val (withT, dupHits) = dupSpanHits(docs, idCol, textCol, n, hashedKeys)
+    val isl = mergedIslands(dupHits, idCol)
+      .filter(col("__ge") - col("__gs") + 1 >= minSpan)
+    val spans = isl.groupBy(idCol).agg(
+      sort_array(collect_list(struct(col("__gs").as("gs"), col("__ge").as("ge"))))
+        .as("__spans"),
+      sum(col("__ge") - col("__gs") + 1).cast("long").as("__rm"))
+    // fold the sorted, disjoint islands left-to-right: carry (next keep
+    // position, output so far); finish with the tail past the last island
+    val cut = aggregate(
+      col("__spans"),
+      struct(lit(1).as("p"), lit("").as("o")),
+      (acc, sp) => struct(
+        (sp.getField("ge") + 1).as("p"),
+        concat(acc.getField("o"),
+          col("__t").substr(acc.getField("p"),
+            sp.getField("gs") - acc.getField("p"))).as("o")),
+      acc => concat(acc.getField("o"),
+        col("__t").substr(acc.getField("p"),
+          col("__len") - acc.getField("p") + 1)))
+    withT.join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("__len").cast("long").as("text_len"),
+        coalesce(col("__rm"), lit(0L)).as("removed_chars"),
+        when(col("__spans").isNull, col("__t")).otherwise(cut).as("clean_text"))
   }
 
   /** Benchmark span CONTAMINATION coverage: per corpus doc, how many of

@@ -1474,6 +1474,106 @@ object ExtQueries {
           "doc_id", "text")
     },
 
+    // E1/E4 — duplicated-span REMOVAL: the exact-substring-dedup TRANSFORM
+    // e6i measures for (Lee et al. 2021: cut the repeated span, keep the
+    // doc). Same gram aggregation + interval merge; the cut is a per-doc
+    // fold over the doc's own sorted island array. Oracle rebuilds the
+    // text from the island complement (lag-gap pieces + tail) and
+    // string_aggs them back in position order — clean_text is compared
+    // EXACTLY, so the whole stitch path is gated character-for-character.
+    "e6i3_dup_span_removal" -> Q(
+      """WITH p AS (SELECT doc_id, text, length(text) AS len,
+        |        unnest(range(1, CASE WHEN length(text) <= 16 THEN 2
+        |                             ELSE length(text) - 14 END)) AS s
+        |      FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT doc_id, s,
+        |             CASE WHEN len <= 16 THEN len ELSE s + 15 END AS e,
+        |             CASE WHEN len <= 16 THEN text ELSE substr(text, s, 16) END AS gram
+        |      FROM p),
+        |dup AS (SELECT gram FROM h GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+        |dh AS (SELECT doc_id, s, e FROM h JOIN dup USING (gram)),
+        |isl AS (SELECT doc_id, s, e,
+        |        CASE WHEN s > COALESCE(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |             THEN 1 ELSE 0 END AS brk
+        |        FROM dh),
+        |g AS (SELECT doc_id, s, e,
+        |             sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+        |      FROM isl),
+        |m AS (SELECT doc_id, isl_id, min(s) AS gs, max(e) AS ge
+        |      FROM g GROUP BY 1, 2),
+        |seg AS (SELECT doc_id, gs, ge,
+        |               COALESCE(lag(ge) OVER (PARTITION BY doc_id ORDER BY gs), 0) AS pe
+        |        FROM m),
+        |tl AS (SELECT doc_id, max(ge) AS mge FROM m GROUP BY 1),
+        |pieces AS (SELECT doc_id, pe + 1 AS ps, gs - pe - 1 AS plen FROM seg
+        |           UNION ALL
+        |           SELECT t.doc_id, t.mge + 1, length(d.text) - t.mge
+        |           FROM tl t JOIN documents d USING (doc_id)),
+        |cl AS (SELECT pc.doc_id,
+        |              string_agg(substr(d.text, pc.ps, pc.plen), '' ORDER BY pc.ps) AS ct
+        |       FROM pieces pc JOIN documents d USING (doc_id) GROUP BY 1),
+        |rm AS (SELECT doc_id, sum(ge - gs + 1) AS removed FROM m GROUP BY 1)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS text_len,
+        |       CAST(COALESCE(rm.removed, 0) AS BIGINT) AS removed_chars,
+        |       COALESCE(cl.ct, d.text) AS clean_text
+        |FROM documents d LEFT JOIN cl USING (doc_id) LEFT JOIN rm USING (doc_id)
+        |WHERE d.text IS NOT NULL""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.removeDuplicatedSpans(Tables.documents(s, dir),
+          "doc_id", "text")
+    },
+
+    // E1/E4 — the SAME removal under the production minSpan knob: only
+    // merged islands of >= 24 chars are cut (raw 16-char matches are noisy
+    // at exactly the detection width; Lee et al. cut ~50-token spans).
+    // Gates the filter seam: islands in (16, 24) must survive verbatim.
+    "e6i4_dup_span_removal_min24" -> Q(
+      """WITH p AS (SELECT doc_id, text, length(text) AS len,
+        |        unnest(range(1, CASE WHEN length(text) <= 16 THEN 2
+        |                             ELSE length(text) - 14 END)) AS s
+        |      FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT doc_id, s,
+        |             CASE WHEN len <= 16 THEN len ELSE s + 15 END AS e,
+        |             CASE WHEN len <= 16 THEN text ELSE substr(text, s, 16) END AS gram
+        |      FROM p),
+        |dup AS (SELECT gram FROM h GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+        |dh AS (SELECT doc_id, s, e FROM h JOIN dup USING (gram)),
+        |isl AS (SELECT doc_id, s, e,
+        |        CASE WHEN s > COALESCE(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |             THEN 1 ELSE 0 END AS brk
+        |        FROM dh),
+        |g AS (SELECT doc_id, s, e,
+        |             sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+        |      FROM isl),
+        |m AS (SELECT doc_id, isl_id, min(s) AS gs, max(e) AS ge
+        |      FROM g GROUP BY 1, 2
+        |      HAVING max(e) - min(s) + 1 >= 24),
+        |seg AS (SELECT doc_id, gs, ge,
+        |               COALESCE(lag(ge) OVER (PARTITION BY doc_id ORDER BY gs), 0) AS pe
+        |        FROM m),
+        |tl AS (SELECT doc_id, max(ge) AS mge FROM m GROUP BY 1),
+        |pieces AS (SELECT doc_id, pe + 1 AS ps, gs - pe - 1 AS plen FROM seg
+        |           UNION ALL
+        |           SELECT t.doc_id, t.mge + 1, length(d.text) - t.mge
+        |           FROM tl t JOIN documents d USING (doc_id)),
+        |cl AS (SELECT pc.doc_id,
+        |              string_agg(substr(d.text, pc.ps, pc.plen), '' ORDER BY pc.ps) AS ct
+        |       FROM pieces pc JOIN documents d USING (doc_id) GROUP BY 1),
+        |rm AS (SELECT doc_id, sum(ge - gs + 1) AS removed FROM m GROUP BY 1)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS text_len,
+        |       CAST(COALESCE(rm.removed, 0) AS BIGINT) AS removed_chars,
+        |       COALESCE(cl.ct, d.text) AS clean_text
+        |FROM documents d LEFT JOIN cl USING (doc_id) LEFT JOIN rm USING (doc_id)
+        |WHERE d.text IS NOT NULL""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.removeDuplicatedSpans(Tables.documents(s, dir),
+          "doc_id", "text", minSpan = 24)
+    },
+
     // [EXT] deterministic per-epoch shuffle order: the reproducible
     // "reshuffle each epoch" permutation (rank by md5(epoch:id)), assigned
     // through the two-phase GlobalRowNumber range shuffle — never a

@@ -666,6 +666,71 @@ class ExtOpsSpec extends SparkSpec {
     assert(hashed == spanByDoc)
   }
 
+  test("dup-span removal cuts merged islands and stitches the remainder") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ABCDEFGHIJKLMNOPQRSTuuuuuuuuuu"), // island [1,20] → tail only
+      (2L, "xxxxxxxxxxABCDEFGHIJKLMNOPQRST"), // island [11,30] → head only
+      (3L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"), // unique → untouched
+      (4L, "shorttext"),                      // whole-text dup → ""
+      (5L, "shorttext")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.removeDuplicatedSpans(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((30L, 20L, "uuuuuuuuuu")), s"doc 1: $out")
+    assert(out(2L) == ((30L, 20L, "xxxxxxxxxx")), s"doc 2: $out")
+    assert(out(3L) == ((30L, 0L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzz")))
+    assert(out(4L) == ((9L, 9L, "")) && out(5L) == ((9L, 9L, "")),
+      "a whole-text duplicate keeps its row with empty text")
+
+    // a MIDDLE island must leave two pieces stitched across the gap
+    val mid = Seq(
+      (6L, "aaaaaSHAREDSPAN0123456789bbbbb"),
+      (7L, "cccccSHAREDSPAN0123456789ddddd")
+    ).toDF("doc_id", "text")
+    val midOut = TextAnalysis.removeDuplicatedSpans(mid, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(midOut(6L) == "aaaaabbbbb" && midOut(7L) == "cccccddddd",
+      s"middle cut must rejoin head+tail: $midOut")
+
+    // minSpan: the 20-char islands survive at 21, are cut at exactly 20
+    val keep = TextAnalysis.removeDuplicatedSpans(docs, "doc_id", "text",
+        minSpan = 21)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(keep(1L) == ((0L, "ABCDEFGHIJKLMNOPQRSTuuuuuuuuuu")),
+      s"sub-threshold island must survive verbatim: $keep")
+    assert(keep(4L) == ((0L, "shorttext")))
+    val cut20 = TextAnalysis.removeDuplicatedSpans(docs, "doc_id", "text",
+        minSpan = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cut20(1L) == 20L && cut20(4L) == 0L,
+      "minSpan is inclusive; the 9-char whole-text island stays below it")
+
+    // fixture invariants: removed == e6i's covered (same islands), the
+    // clean text is exactly len - removed chars, and hashed keys change
+    // nothing
+    val rm = TextAnalysis.removeDuplicatedSpans(this.docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val cov = TextAnalysis.dupSpanCoverage(this.docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rm.keySet == cov.keySet)
+    rm.foreach { case (id, (len, removed, clean)) =>
+      assert(removed == cov(id), s"doc $id: removed != covered")
+      assert(clean.length.toLong == len - removed, s"doc $id: stitch length")
+    }
+    val rmHashed = TextAnalysis.removeDuplicatedSpans(this.docs, "doc_id",
+        "text", hashedKeys = true)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(rmHashed == rm)
+  }
+
   test("benchmark span contamination covers quoted spans, ignores benchmark-only text") {
     import spark.implicits._
     val bench = Seq((900L, "THEQUICKBROWNFOXJUMPSOVER"))

@@ -27,6 +27,7 @@ class CliSpec extends SparkSpec {
       case "layout"         => Main.runLayout(spark, a)
       case "mix"            => Main.runMix(spark, a)
       case "dedup-lines"    => Main.runDedupLines(spark, a)
+      case "dedup-spans"    => Main.runDedupSpans(spark, a)
       case other            => fail(s"unexpected verb $other")
     }
     a
@@ -251,6 +252,35 @@ class CliSpec extends SparkSpec {
         "--min-docs", "1")))
     assertThrows[GraftError.InvalidConfig](
       Main.runDedupLines(spark, Main.parse(Array("dedup-lines",
+        "--source", "jdbc:postgresql://h/db#t", "--dest", "d"))))
+  }
+
+  test("dedup-spans cuts duplicated substrings, keeps other columns, honors min-span") {
+    import spark.implicits._
+    val work = tmpDir("cli-dedup-spans")
+    // docs 0/1 share a 20-char span; doc 2 is clean
+    Seq((0L, "ABCDEFGHIJKLMNOPQRSTuuuuuuuuuu", "en"),
+        (1L, "xxxxxxxxxxABCDEFGHIJKLMNOPQRST", "de"),
+        (2L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzz", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$work/in")
+    run("dedup-spans", "--source", s"$work/in", "--dest", s"$work/out",
+      "--report", s"$work/report")
+    val out = spark.read.parquet(s"$work/out")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[String]("lang"))).sortBy(_._1).toList
+    assert(out == List((0L, "uuuuuuuuuu", "en"), (1L, "xxxxxxxxxx", "de"),
+      (2L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzz", "fr")))
+    val rep = spark.read.parquet(s"$work/report")
+    assert(rep.filter(col("doc_id") === 0L).first()
+      .getAs[Long]("removed_chars") == 20L)
+    // --min-span above the island width keeps everything verbatim
+    run("dedup-spans", "--source", s"$work/in", "--dest", s"$work/out2",
+      "--min-span", "21")
+    assert(spark.read.parquet(s"$work/out2")
+      .filter(col("text").contains("ABCDEFGHIJKLMNOPQRST")).count() == 2)
+    assertThrows[GraftError.InvalidConfig](
+      Main.runDedupSpans(spark, Main.parse(Array("dedup-spans",
         "--source", "jdbc:postgresql://h/db#t", "--dest", "d"))))
   }
 
