@@ -187,6 +187,36 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** Snapshot DIFF between two corpus versions keyed on `idCol` — the
+    * corpus-versioning primitive (what changed between two crawls /
+    * pipeline runs): per id, `added` (only in `next`), `removed` (only in
+    * `prev`), `modified` (in both, content fingerprint differs) or
+    * `unchanged`. Content identity is [[TextAnalysis.fingerprint]] — the
+    * same whitespace-normalized md5 the whole dedup family keys on, so a
+    * reformatted-but-identical doc reads `unchanged`.
+    *
+    * Shape: each side projects to (id, 128-bit fingerprint) map-side —
+    * text never shuffles — then ONE id-keyed full outer join; at 100 TB
+    * both sides shuffle narrow fixed-width rows, and two snapshots
+    * bucketed on the id column co-locate entirely (zero shuffle). The
+    * fingerprint compare is null-safe: two null texts are `unchanged`,
+    * null vs text is `modified`.
+    *
+    * @return idCol, status */
+  def corpusDiff(prev: DataFrame, next: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val p = prev.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("__pfp"), lit(1).as("__inp"))
+    val n = next.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("__nfp"), lit(1).as("__inn"))
+    p.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__inp").isNull, lit("added"))
+          .when(col("__inn").isNull, lit("removed"))
+          .when(col("__pfp") <=> col("__nfp"), lit("unchanged"))
+          .otherwise(lit("modified")).as("status"))
+  }
+
   /** Word-level shingles (n-grams of tokens) as distinct strings. */
   def shingles(textCol: Column, n: Int = 3): Column = {
     val t = TextAnalysis.tokens(textCol)

@@ -1661,6 +1661,41 @@ object ExtQueries {
           .select("doc_id")
     },
 
+    // E1 — corpus snapshot DIFF: the corpus-versioning primitive (what
+    // changed between two crawls). prev = docs [0,250); next drops
+    // [50,100) and rewrites text for [0,50) — so the gate exercises all
+    // four statuses: modified [0,50), removed [50,100), unchanged
+    // [100,250), added [250,350). One id-keyed full outer join over
+    // map-side (id, fingerprint) projections; null-safe fp compare
+    // (IS NOT DISTINCT FROM ≡ <=>).
+    "e1e_corpus_diff" -> Q(
+      """WITH prev AS (SELECT doc_id,
+        |          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |        FROM documents WHERE doc_id < 250),
+        |nxt AS (SELECT doc_id,
+        |          md5(lower(trim(regexp_replace(
+        |            CASE WHEN doc_id < 50 THEN text || ' v2' ELSE text END,
+        |            '\s+', ' ', 'g')))) AS fp
+        |        FROM documents
+        |        WHERE doc_id < 350 AND (doc_id < 50 OR doc_id >= 100))
+        |SELECT COALESCE(p.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN p.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            WHEN p.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
+        |            ELSE 'modified' END AS status
+        |FROM prev p FULL OUTER JOIN nxt n ON p.doc_id = n.doc_id""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val prev = docs.filter(col("doc_id") < 250)
+        val next = docs
+          .filter(col("doc_id") < 350 &&
+            (col("doc_id") < 50 || col("doc_id") >= 100))
+          .select(col("doc_id"),
+            when(col("doc_id") < 50, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+        Dedup.corpusDiff(prev, next, "doc_id", "text")
+    },
+
     // E1 — END-TO-END fuzzy-dedup pipeline: minhash signatures → band
     // candidates → exact verify (threshold 1.0) → connected components →
     // canonical keeper, over a corpus with planted whitespace variants

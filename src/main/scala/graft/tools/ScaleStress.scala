@@ -237,6 +237,16 @@ object ScaleStress {
           hashedKeys = true).localCheckpoint()
       }
       jline("e6j_benchmark_span_contamination", rep, tCo, contam.count())
+      // e6i3 shape — duplicated-span REMOVAL: e6i's island pipeline plus
+      // the per-doc stitch fold. On the replicated corpus every doc
+      // collapses to ONE whole-text island, so the fold is a single
+      // substr per doc — the overhead vs e6i2 is the collect_list +
+      // left join carrying the island arrays.
+      val (spanRm, tRm) = timed {
+        TextAnalysis.removeDuplicatedSpans(docs, "doc_id", "text",
+          hashedKeys = true).localCheckpoint()
+      }
+      jline("e6i3_dup_span_removal_hashed", rep, tRm, spanRm.count())
       }
 
       if (wants("e4t")) {

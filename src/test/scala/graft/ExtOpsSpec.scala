@@ -1115,6 +1115,24 @@ class ExtOpsSpec extends SparkSpec {
     assert(got == Set(12L))
   }
 
+  test("corpus diff classifies added/removed/modified/unchanged, null-safe") {
+    val prev = Seq((1L, "alpha beta"), (2L, "gamma delta"),
+      (3L, "old text"), (4L, null.asInstanceOf[String]),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val next = Seq((1L, "ALPHA   beta"), (3L, "new text"),
+      (4L, null.asInstanceOf[String]), (5L, "now has text"),
+      (6L, "brand new")).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.corpusDiff(prev, next, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "unchanged", // whitespace/case variant → same fingerprint
+      2L -> "removed",
+      3L -> "modified",
+      4L -> "unchanged", // null text on both sides
+      5L -> "modified",  // null → text
+      6L -> "added"), s"got $got")
+  }
+
   test("minhash clusters: whitespace variants cluster with their originals") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a  b  c  d  e  f"),
       (3L, "q r s t u v")).toDF("doc_id", "text")
