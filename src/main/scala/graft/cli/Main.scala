@@ -53,6 +53,8 @@ import graft.sync.{SyncConfig, SyncEndpoint, SyncPipeline, SyncReport}
   *   runMain graft.cli.Main dedup-spans --source <parquet docs> \
   *     --dest <parquet cleaned> [--min-span 0] [--ngram 16] \
   *     [--report PATH] [--id-col doc_id] [--text-col text]
+  *   runMain graft.cli.Main diff --source <parquet new> --base <parquet prev> \
+  *     --dest <parquet statuses> [--id-col doc_id] [--text-col text]
   */
 object Main {
 
@@ -84,8 +86,8 @@ object Main {
     if (argv.isEmpty || !Set("single", "continuous", "compact", "curate",
         "neardup", "semantic-dedup", "quality", "admit",
         "decontaminate", "spans", "layout", "mix",
-        "dedup-lines", "dedup-spans").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact] [--id-col doc_id] [--text-col text] [--jaccard 0.8] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text]")
+        "dedup-lines", "dedup-spans", "diff").contains(argv(0)))
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact] [--id-col doc_id] [--text-col text] [--jaccard 0.8] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text]")
     val opts = scala.collection.mutable.Map.empty[String, String]
     var i = 1
     while (i < argv.length) {
@@ -171,7 +173,7 @@ object Main {
         throw GraftError.InvalidConfig(
           s"--min-tokens (${a.minTokens.get}) must be <= --max-tokens (${a.maxTokens.get})")
       case a => a.copy(
-        base = if (argv(0) == "admit") req("base")
+        base = if (argv(0) == "admit" || argv(0) == "diff") req("base")
                else opts.getOrElse("base", ""),
         benchmark = if (argv(0) == "decontaminate") req("benchmark")
                     else opts.getOrElse("benchmark", ""),
@@ -245,6 +247,7 @@ object Main {
           case "mix"            => runMix(spark, a)
           case "dedup-lines"    => runDedupLines(spark, a)
           case "dedup-spans"    => runDedupSpans(spark, a)
+          case "diff"           => runDiff(spark, a)
           case _                => runSync(spark, a)
         }
         0
@@ -335,6 +338,35 @@ object Main {
       s"${t.get(1)} removed in duplicated spans (ngram=${a.ngramN}, " +
       s"min-span=${a.minSpan}) -> ${a.dest}" +
       a.report.map(p => s", report -> $p").getOrElse(""))
+  }
+
+  /** Corpus snapshot diff (ext/Dedup.corpusDiff) as a CLI verb: classify
+    * every id across --base (previous version) and --source (new version)
+    * as added/removed/modified/unchanged by content fingerprint, write the
+    * per-id status frame, and print the summary counts a pipeline run
+    * report wants. */
+  private[cli] def runDiff(spark: org.apache.spark.sql.SparkSession,
+                           a: Args): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    if (a.source.startsWith("jdbc:") || a.dest.startsWith("jdbc:") ||
+        a.base.startsWith("jdbc:"))
+      throw GraftError.InvalidConfig("diff applies to parquet paths")
+    if (a.base.isEmpty)
+      throw GraftError.InvalidConfig("missing required option --base")
+    val prev = spark.read.parquet(a.base)
+    val next = spark.read.parquet(a.source)
+    val d = graft.ext.Dedup.corpusDiff(prev, next, a.idCol, a.textCol)
+    d.write.mode("overwrite").parquet(a.dest)
+    val s = spark.read.parquet(a.dest).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("status") === "added", 1L).otherwise(0L)).as("a"),
+      sum(when(col("status") === "removed", 1L).otherwise(0L)).as("r"),
+      sum(when(col("status") === "modified", 1L).otherwise(0L)).as("m"),
+      sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("u"))
+      .first()
+    println(s"diff ${a.base} -> ${a.source}: ${s.getLong(0)} ids " +
+      s"(${s.getLong(1)} added, ${s.getLong(2)} removed, " +
+      s"${s.getLong(3)} modified, ${s.getLong(4)} unchanged) -> ${a.dest}")
   }
 
   /** Range-clustered layout (ops/RangeLayout) as a CLI verb: rewrite a

@@ -217,6 +217,59 @@ object Dedup {
           .otherwise(lit("modified")).as("status"))
   }
 
+  /** Edit-distance near-dup pairs via two-key prefix/suffix BLOCKING —
+    * the record-linkage metric the token-set family (Jaccard/containment/
+    * minhash) cannot express: Levenshtein counts character EDITS, so a
+    * corrupted crawl variant (OCR noise, encoding damage, small in-place
+    * edits) scores close even when its token sets diverge. Candidates
+    * are pairs sharing the first OR last `blockLen` characters: a single
+    * edit span cannot touch both ends of a text longer than
+    * `2·blockLen + maxDist`, so coverage is exact for one contiguous
+    * edit and heuristic beyond (documented recall trade — full coverage
+    * is the all-pairs product nothing at 100 TB should pay).
+    *
+    * Shape: each doc emits ≤ 2 (block-key, id, text) rows; one key-keyed
+    * self equi-join (never all-pairs), a cheap `|len(a)−len(b)| ≤ maxDist`
+    * necessary-condition filter BEFORE the edit distance, then the
+    * threshold form `levenshtein(a, b, maxDist)` — O(len·maxDist) per
+    * pair instead of O(len²), the banded DP cutoff — evaluated map-side.
+    * The narrow (a, b, dist) output deduplicates pairs that met on both
+    * keys AFTER scoring, so text never re-shuffles. Degenerate blocks
+    * (boilerplate heads/tails) are dropped-with-ledger by the same
+    * [[capOversizedBands]] pass as the LSH joins.
+    *
+    * @return a_id, b_id, dist (a < b, dist ≤ maxDist) */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int = 4, blockLen: Int = 8,
+                        maxBlock: Int = DefaultMaxBandSize): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    require(blockLen > 0, s"blockLen must be positive: $blockLen")
+    val base = docs
+      .select(col(idCol), col(textCol).as("__t"),
+        length(col(textCol)).as("__len"))
+      .filter(col("__t").isNotNull)
+    val pre = base.select(col(idCol), col("__t"), col("__len"),
+      concat(lit("p:"), col("__t").substr(lit(1), lit(blockLen))).as("__bk"))
+    val suf = base.filter(col("__len") >= blockLen)
+      .select(col(idCol), col("__t"), col("__len"),
+        concat(lit("s:"), col("__t")
+          .substr(col("__len") - (blockLen - 1), lit(blockLen))).as("__bk"))
+    val (keyed, _) = capOversizedBands(pre.unionByName(suf), "__bk",
+      maxBlock, "editDistancePairs")
+    val a = keyed.select(col("__bk"), col(idCol).as("a_id"),
+      col("__t").as("__ta"), col("__len").as("__la"))
+    val b = keyed.select(col("__bk"), col(idCol).as("b_id"),
+      col("__t").as("__tb"), col("__len").as("__lb"))
+    a.join(b, Seq("__bk"))
+      .filter(col("a_id") < col("b_id") &&
+        abs(col("__la") - col("__lb")) <= maxDist)
+      .select(col("a_id"), col("b_id"),
+        expr(s"levenshtein(__ta, __tb, $maxDist)").as("__d"))
+      .filter(col("__d") >= 0)
+      .select(col("a_id"), col("b_id"), col("__d").cast("long").as("dist"))
+      .distinct()
+  }
+
   /** Word-level shingles (n-grams of tokens) as distinct strings. */
   def shingles(textCol: Column, n: Int = 3): Column = {
     val t = TextAnalysis.tokens(textCol)

@@ -572,6 +572,61 @@ object TextAnalysis {
             col("covered_chars").cast("double") / col("text_len"), 6)))
   }
 
+  /** BM25 relevance score of every document against a fixed query-term
+    * set — the retrieval scorer a curation pipeline uses to pull
+    * topic-relevant slices out of a web corpus (rank by BM25 against a
+    * topic seed query, keep the head). Standard Robertson/Lucene form:
+    * per matched term, `idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`
+    * with `idf = ln((N − df + 0.5)/(df + 0.5) + 1)` (always positive).
+    * Docs matching no term keep their row with score 0 — dropping is the
+    * ranking consumer's cut, not the scorer's.
+    *
+    * Cross-engine determinism (the e4p discipline): every per-(doc,term)
+    * score is one double expression of exact longs (identical shape in
+    * the oracle ⇒ identical IEEE result), rounded to 6 dp and fixed as
+    * DECIMAL(18,6) before the order-free per-doc sum.
+    *
+    * Shape: one explode filtered to the query terms (the stream collapses
+    * from corpus-tokens to matched-tokens map-side — the isin filter runs
+    * before the shuffle), one (doc,term) count, a ≤|terms|-row df table
+    * and a one-row (N, Σdl) totals aggregate both broadcast back, one
+    * per-doc aggregation. Linear in corpus tokens; every shuffle keys on
+    * (doc,term) or doc.
+    *
+    * @return idCol, n_tokens, bm25, n_terms_matched */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val dl = docs.select(col(idCol), tokenCount(col(textCol)).as("__dl"))
+    val totals = dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl"))
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .filter(col("__t").isin(terms: _*))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
+    val df = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
+    val idf = log((col("__n") - col("__df") + lit(0.5)) /
+      (col("__df") + lit(0.5)) + lit(1))
+    val term = round(idf * (col("__tf") * lit(k1 + 1)) /
+        (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) *
+          col("__dl").cast("double") / col("__avgdl"))), 6)
+      .cast("decimal(18,6)")
+    val scored = tf.join(broadcast(df), "__t")
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(totals))
+      .withColumn("__avgdl", avgdl)
+      .select(col(idCol), term.as("__term"))
+      .groupBy(idCol)
+      .agg(sum(col("__term")).cast("double").as("__bm25"),
+        count(lit(1)).cast("long").as("__nm"))
+    dl.select(col(idCol), col("__dl").cast("long").as("n_tokens"))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("__bm25"), lit(0.0)).as("bm25"),
+        coalesce(col("__nm"), lit(0L)).as("n_terms_matched"))
+  }
+
   /** Corpus-LM quality prior (the CCNet/Gopher-style "perplexity filter"
     * in its self-scored unigram form): fit an add-one-smoothed unigram
     * language model over the whole corpus, then score each document by its

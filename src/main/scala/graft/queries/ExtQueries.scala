@@ -573,6 +573,51 @@ object ExtQueries {
     // (n_docs recomputed by the oracle; the flag is the equivalence
     // contract). The per-doc signatures themselves are xxhash64-based and
     // not DuckDB-expressible (e5_simhash gates their semantic properties).
+    // E5 — edit-distance near-dup pairs (record-linkage metric: character
+    // EDITS, not token sets — catches OCR/encoding damage Jaccard misses)
+    // via prefix/suffix two-key blocking + banded levenshtein verify.
+    // Planted variants exercise both block keys: last-char edits pair
+    // through the PREFIX block, first-char edits through the SUFFIX
+    // block. Oracle recomputes the same blocking + distances row-exactly
+    // (the blocking recall trade is part of the operator contract, so the
+    // oracle speaks it too); corpus slice bounded (doc_id < 300) to keep
+    // the oracle's unthresholded O(len²) levenshtein tractable.
+    "e5d_editdist_pairs" -> Q(
+      """WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |d AS (SELECT doc_id, text FROM d0
+        |      UNION ALL
+        |      SELECT doc_id + 200000, substr(text, 1, length(text) - 1) || 'X'
+        |      FROM d0 WHERE length(text) >= 1
+        |      UNION ALL
+        |      SELECT doc_id + 300000, 'X' || substr(text, 2)
+        |      FROM d0 WHERE length(text) >= 1),
+        |k AS (SELECT doc_id, text, length(text) AS len,
+        |             'p:' || substr(text, 1, 8) AS bk FROM d
+        |      UNION ALL
+        |      SELECT doc_id, text, length(text),
+        |             's:' || substr(text, length(text) - 7, 8) FROM d
+        |      WHERE length(text) >= 8),
+        |c AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |             levenshtein(a.text, b.text) AS dist
+        |      FROM k a JOIN k b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        |                        AND abs(a.len - b.len) <= 4)
+        |SELECT a_id, b_id, CAST(dist AS BIGINT) AS dist
+        |FROM c WHERE dist <= 4""".stripMargin) {
+      (s, dir) =>
+        val d0 = Tables.documents(s, dir)
+          .filter(col("doc_id") < 300).select("doc_id", "text")
+        val lastEdit = d0.filter(length(col("text")) >= 1)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text").substr(lit(1), length(col("text")) - 1),
+              lit("X")).as("text"))
+        val firstEdit = d0.filter(length(col("text")) >= 1)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat(lit("X"),
+              col("text").substr(lit(2), length(col("text")))).as("text"))
+        Dedup.editDistancePairs(
+          d0.unionByName(lastEdit).unionByName(firstEdit), "doc_id", "text")
+    },
+
     "e5c_simhash_native" -> Q(
       """SELECT count(*) AS n_docs, CAST(1 AS BIGINT) AS native_matches_hof
         |FROM documents""".stripMargin) { (s, dir) =>
@@ -1841,6 +1886,46 @@ object ExtQueries {
       (s, dir) =>
         Packing.overlapChunks(Tables.documents(s, dir), "doc_id", "text",
           chunkSize = 32, stride = 16)
+    },
+
+    // E4 — BM25 relevance against a fixed topic query (mixed rare
+    // 'dup' + common 'the'/'join' terms exercises the idf spread): the
+    // retrieval scorer for pulling topic slices out of a corpus. Every
+    // per-(doc,term) score is ONE double expression of exact longs
+    // (identical shape both engines), 6-dp rounded, DECIMAL-summed;
+    // no-match docs keep their row at 0.
+    "e4y_bm25" -> Q(
+      """WITH dl AS (SELECT doc_id,
+        |          CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS dl
+        |        FROM documents),
+        |tot AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+        |tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS t
+        |        FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok
+        |       WHERE t IN ('dup', 'the', 'join') GROUP BY 1, 2),
+        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |         -- every literal forced to DOUBLE: DuckDB folds bare
+        |         -- decimal literals in DECIMAL arithmetic, Spark in
+        |         -- double — the shapes must match bit-for-bit
+        |         CAST(round(ln((CAST(tot.n - df.df AS DOUBLE) + 0.5)
+        |                       / (CAST(df.df AS DOUBLE) + 0.5) + 1)
+        |                * (tf.tf * (CAST(1.2 AS DOUBLE) + 1))
+        |                / (tf.tf + CAST(1.2 AS DOUBLE) *
+        |                    (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl.dl /
+        |                     (CAST(tot.sumdl AS DOUBLE) / tot.n))), 6)
+        |           AS DECIMAL(18,6)) AS term
+        |       FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN tot),
+        |agg AS (SELECT doc_id, CAST(sum(term) AS DOUBLE) AS bm25,
+        |               CAST(count(*) AS BIGINT) AS n_terms_matched
+        |        FROM sc GROUP BY 1)
+        |SELECT dl.doc_id, dl.dl AS n_tokens,
+        |       COALESCE(agg.bm25, 0.0) AS bm25,
+        |       COALESCE(agg.n_terms_matched, 0) AS n_terms_matched
+        |FROM dl LEFT JOIN agg USING (doc_id)""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.bm25(Tables.documents(s, dir), "doc_id", "text",
+          terms = Seq("dup", "the", "join"))
     },
 
     // E4 — per-group heavy hitters: top-5 tokens per language (the

@@ -84,7 +84,10 @@ object PlanCheck {
     * strata-count-sized cut table. */
   private val nestedLoopAllowed = Set(
     "t1_watermark_recovery", "t3_inclusive_reread", "e4p_unigram_logprob",
-    "e4q_kl_divergence", "e7i_temperature_mix")
+    "e4q_kl_divergence", "e7i_temperature_mix",
+    // BM25's one-row (N, Σdl) totals aggregate broadcast onto the
+    // matched-term stream — the same windowless scalar fan-out as e4p
+    "e4y_bm25")
 
   /** Sweep every registered query for the silent scale killers: cartesian
     * products and unintended broadcast nested-loop joins. */

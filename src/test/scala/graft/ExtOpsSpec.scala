@@ -1115,6 +1115,49 @@ class ExtOpsSpec extends SparkSpec {
     assert(got == Set(12L))
   }
 
+  test("edit-distance pairs: prefix/suffix blocking, banded verify, dedup") {
+    val docs = Seq(
+      (1L, "abcdefghijklmnop"),
+      (2L, "abcdefghijklmnoX"), // last-char edit → pairs via PREFIX block
+      (3L, "Xbcdefghijklmnop"), // first-char edit → pairs via SUFFIX block
+      (4L, "XbcdefghijklmnoX"), // both ends edited
+      (5L, "abcdefghijklmnop"), // exact dup of 1 (meets on BOTH keys)
+      (6L, "zzzzzzzzzzzzzzzz")
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.editDistancePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // (1,4)/(4,5)/(2,3) differ at BOTH ends → outside both blocks: the
+    // documented recall trade. (1,5) meets on both keys → ONE row.
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 1L), (1L, 5L, 0L),
+      (2L, 4L, 1L), (2L, 5L, 1L), (3L, 4L, 1L), (3L, 5L, 1L)), s"got $got")
+    val exact = graft.ext.Dedup.editDistancePairs(docs, "doc_id", "text",
+        maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact == Set((1L, 5L, 0L)), "maxDist=0 keeps only exact dups")
+  }
+
+  test("bm25 scores match the closed form; no-match docs keep row at 0") {
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "d d d d"),
+      (4L, "x y z")).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.bm25(docs, "doc_id", "text",
+        terms = Seq("a", "d"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    // N=4, dl=(3,2,4,3), avgdl=3.0; df(a)=2, df(d)=1
+    def idf(df: Long) = math.log((4L - df + 0.5) / (df + 0.5) + 1)
+    def score(df: Long, tf: Long, dl: Long) = {
+      val t = idf(df) * (tf * (1.2 + 1)) /
+        (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 3.0))
+      BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out(1L) == ((3L, score(2, 2, 3), 1L)), s"doc 1: $out")
+    assert(out(2L) == ((2L, score(2, 1, 2), 1L)), s"doc 2: $out")
+    assert(out(3L) == ((4L, score(1, 4, 4), 1L)), s"doc 3: $out")
+    assert(out(4L) == ((3L, 0.0, 0L)), "no-match doc rides along at 0")
+    // rarer terms must outscore common ones at equal tf/dl (idf ordering)
+    assert(idf(1) > idf(2))
+  }
+
   test("corpus diff classifies added/removed/modified/unchanged, null-safe") {
     val prev = Seq((1L, "alpha beta"), (2L, "gamma delta"),
       (3L, "old text"), (4L, null.asInstanceOf[String]),

@@ -28,6 +28,7 @@ class CliSpec extends SparkSpec {
       case "mix"            => Main.runMix(spark, a)
       case "dedup-lines"    => Main.runDedupLines(spark, a)
       case "dedup-spans"    => Main.runDedupSpans(spark, a)
+      case "diff"           => Main.runDiff(spark, a)
       case other            => fail(s"unexpected verb $other")
     }
     a
@@ -282,6 +283,23 @@ class CliSpec extends SparkSpec {
     assertThrows[GraftError.InvalidConfig](
       Main.runDedupSpans(spark, Main.parse(Array("dedup-spans",
         "--source", "jdbc:postgresql://h/db#t", "--dest", "d"))))
+  }
+
+  test("diff classifies snapshot changes and requires --base") {
+    import spark.implicits._
+    val work = tmpDir("cli-diff")
+    Seq((0L, "same"), (1L, "old"), (2L, "goes away"))
+      .toDF("doc_id", "text").write.parquet(s"$work/prev")
+    Seq((0L, "same"), (1L, "new"), (3L, "arrives"))
+      .toDF("doc_id", "text").write.parquet(s"$work/next")
+    run("diff", "--source", s"$work/next", "--base", s"$work/prev",
+      "--dest", s"$work/out")
+    val got = spark.read.parquet(s"$work/out")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(0L -> "unchanged", 1L -> "modified",
+      2L -> "removed", 3L -> "added"))
+    assertThrows[GraftError.InvalidConfig](
+      Main.parse(Array("diff", "--source", "s", "--dest", "d")))
   }
 
   test("arg validation fails TYPED, not with a raw exception") {
