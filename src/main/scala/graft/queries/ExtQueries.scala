@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ext.{Curation, Dedup, DupClusters, EmbeddingStats, Multimodal, Packing, Quantize, Sampling, Similarity, TextAnalysis, TextSimilarity}
+import graft.ops.PageRank
 
 /** [EXT] training-data-pipeline operators (SURVEY §2.9 E1–E4 + driver
   * mandate): dedup, similarity search, multimodal plumbing, text analysis.
@@ -13,6 +14,38 @@ import graft.ext.{Curation, Dedup, DupClusters, EmbeddingStats, Multimodal, Pack
   * Deeper properties live in ExtOpsSpec.
   */
 object ExtQueries {
+
+  /** DuckDB oracle for `e9d_pagerank`: the SAME fixed damped power
+    * iterations as [[graft.ops.PageRank]], UNROLLED as chained CTEs (one
+    * c/s/r block per iteration — SQL has no iteration, so the oracle
+    * speaks the loop explicitly). Every constant is forced to DOUBLE
+    * (DuckDB folds bare decimal literals in DECIMAL arithmetic, Spark in
+    * double) and each edge contribution is 12-dp rounded + DECIMAL-summed
+    * exactly like the Spark side, so the two engines agree bit-for-bit. */
+  private def pageRankOracleSql(iterations: Int): String = {
+    val head =
+      """WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b
+        |            FROM lineitem),
+        |e AS (SELECT a AS src, b AS dst FROM e0
+        |      UNION ALL SELECT b, a FROM e0),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, 1 / CAST(nn.n AS DOUBLE) AS rank
+        |       FROM nodes CROSS JOIN nn)""".stripMargin
+    val iters = (1 to iterations).map { k =>
+      s"""c$k AS (SELECT e.dst,
+         |        CAST(round(r${k - 1}.rank / deg.deg, 12) AS DECIMAL(28,12)) AS c
+         |      FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
+         |             JOIN deg ON e.src = deg.src),
+         |s$k AS (SELECT dst AS node, sum(c) AS s FROM c$k GROUP BY 1),
+         |r$k AS (SELECT nodes.node,
+         |        (1 - CAST(0.85 AS DOUBLE)) / nn.n +
+         |        CAST(0.85 AS DOUBLE) * COALESCE(CAST(s$k.s AS DOUBLE), 0) AS rank
+         |      FROM nodes CROSS JOIN nn LEFT JOIN s$k USING (node))""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"$head$iters\nSELECT node, round(rank, 10) AS rank FROM r$iterations"
+  }
 
   /** One-row recall gate for an approximate top-k vs its exact twin:
     * (k = |exact|, recall_ok = |ann ∩ exact| ≥ k/2 — or = k when
@@ -1776,6 +1809,25 @@ object ExtQueries {
         val edges = Dedup.minhashNearDups(corpus, "doc_id", "text",
           threshold = 1.0, nativeShingles = true)
         DupClusters.clusters(corpus, "doc_id", edges, "a_id", "b_id")
+    },
+
+    // E9 — iterative PageRank over the supplier↔part co-occurrence graph
+    // (undirected, both directed arcs — so out-degree ≥ 1 everywhere, no
+    // dangling mass): the graph-CENTRALITY layer above e9's components
+    // (rank within a graph, e.g. most-connected canonical doc). Fixed 5
+    // damped power iterations; each edge contribution rank/deg is 12-dp
+    // rounded and DECIMAL-summed (order-free — shuffle reduction order
+    // can never change a bit), the update is one double expression. The
+    // oracle UNROLLS the same 5 iterations as chained CTEs (generated by
+    // pageRankOracleSql) with every literal forced to DOUBLE.
+    "e9d_pagerank" -> Q(pageRankOracleSql(iterations = 5)) {
+      (s, dir) =>
+        val pairs = Tables.lineitem(s, dir)
+          .select((col("l_suppkey") * 2).as("a"),
+            (col("l_partkey") * 2 + 1).as("b")).distinct()
+        val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+        PageRank.pageRank(edges, "src", "dst", iterations = 5)
     },
 
     // E2 — cross-table SEMANTIC contamination join: which corpus vectors

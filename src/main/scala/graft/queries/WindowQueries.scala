@@ -185,6 +185,37 @@ object WindowQueries {
             unix_micros(col("w.start")).as("session_start_us"), col("n_events"))
     },
 
+    // W12 — strict-sequence FUNNEL (view → click → purchase): slot i takes
+    // the first step-i event strictly after slot i-1. Spark = one
+    // user-keyed shuffle + a time-ordered fold over the per-user event
+    // array; oracle = the equivalent min-ts join chain ("first X after Y"
+    // ≡ "min ts of X with ts > Y" — the two shapes gate each other).
+    "w12_funnel" -> Q(
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |s1 AS (SELECT user_id, min(us) AS s1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT ev.user_id, min(us) AS s2 FROM ev JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > s1 GROUP BY 1),
+        |s3 AS (SELECT ev.user_id, min(us) AS s3 FROM ev JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > s2 GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM ev)
+        |SELECT u.user_id,
+        |       CAST(CASE WHEN s3.s3 IS NOT NULL THEN 3
+        |                 WHEN s2.s2 IS NOT NULL THEN 2
+        |                 WHEN s1.s1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |         AS reached,
+        |       s1.s1 AS view_us, s2.s2 AS click_us, s3.s3 AS purchase_us
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |       LEFT JOIN s3 USING (user_id)""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        graft.ops.Funnel.funnel(ev, "user_id", Tables.tsUs(ev), "event_type",
+            Seq("view", "click", "purchase"))
+          .select(col("user_id"), col("reached"),
+            col("step_1").as("view_us"), col("step_2").as("click_us"),
+            col("step_3").as("purchase_us"))
+    },
+
     // RANGE-frame window (value-based, not row-based): trailing 24 h sum
     // per user — frames defined by the ORDER-BY VALUE interval, so equal
     // timestamps share a frame and gaps shrink it (w3's ROWS frame cannot

@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.PageRank
+
+/** PageRank vs an in-test reference power iteration using the exact same
+  * rounding protocol (12-dp HALF_UP per contribution, decimal sum, double
+  * update, final 10-dp) — the distributed plan must reproduce the scalar
+  * loop bit-for-bit, not approximately. */
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Scalar reference: directed edges, same arithmetic shape as the op. */
+  private def ref(edges: Seq[(Long, Long)], iters: Int,
+                  damping: Double = 0.85): Map[Long, Double] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    val n = nodes.size
+    val deg = e.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    def r12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val sums = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(t => r12(rank(t._1) / deg(t._1))).sum
+      }
+      rank = nodes.map { v =>
+        v -> ((1.0 - damping) / n +
+          damping * sums.get(v).map(_.toDouble).getOrElse(0.0))
+      }.toMap
+    }
+    rank.map { case (v, r) =>
+      v -> BigDecimal(r).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] =
+    PageRank.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("path graph: matches the scalar reference bit-for-bit; symmetry holds") {
+    // undirected path 1—2—3 as directed arcs
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    val got = run(edges, 5)
+    assert(got == ref(edges, 5), s"got $got\nref ${ref(edges, 5)}")
+    assert(got(1L) == got(3L), "symmetric endpoints must tie exactly")
+    assert(got(2L) > got(1L), "the center of a path outranks the endpoints")
+    assert(math.abs(got.values.sum - 1.0) < 1e-6,
+      "rank mass is conserved (no dangling nodes by construction)")
+  }
+
+  test("star + appendage: hub dominates; in-degree-0 handling via left join") {
+    // star 1→{2,3,4} plus back-arcs, and a directed-only arc 5→1 (node 5
+    // has NO in-edges: its rank must settle at the base (1-d)/N term path)
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L),
+      (4L, 1L), (5L, 1L))
+    val got = run(edges, 4)
+    assert(got == ref(edges, 4), s"got $got\nref ${ref(edges, 4)}")
+    assert(got(1L) > got(2L) && got(2L) == got(3L) && got(3L) == got(4L))
+    assert(got(5L) == ref(edges, 4)(5L) && got(5L) < got(2L))
+  }
+
+  test("iteration count is part of the contract") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    assert(run(edges, 1) == ref(edges, 1))
+    assert(run(edges, 1) != run(edges, 5), "more iterations move the ranks")
+  }
+}
