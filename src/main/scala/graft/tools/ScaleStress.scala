@@ -257,6 +257,27 @@ object ScaleStress {
       jline("e4t_zipf_slope", rep, tZf, zipf.count())
       }
 
+      if (wants("pagerank")) {
+      // e9d shape — iterative graph analytics at scale: 5 damped power
+      // iterations over a synthetic ring+chord digraph (out-degree ≥ 1
+      // everywhere by the ring arc — no dangling mass), nodes = rep·100k,
+      // edges ≈ 2·nodes. Per iteration: one rank⋈edge join + one
+      // target-keyed agg, rank checkpointed — the measured curve is the
+      // iterative-shuffle story itself, not lineage growth.
+      val nNodes = rep * 100000L
+      val ring = spark.range(nNodes).select(col("id").as("src"),
+        ((col("id") + 1) % nNodes).as("dst"))
+      val chords = spark.range(nNodes).select(col("id").as("src"),
+        ((col("id") * 48271L) % nNodes).as("dst"))
+      val gEdges = ring.unionByName(chords)
+        .filter(col("src") =!= col("dst"))
+      val (pr, tPr) = timed {
+        graft.ops.PageRank.pageRank(gEdges, "src", "dst", iterations = 5)
+          .localCheckpoint()
+      }
+      jline("e9d_pagerank_5it", rep, tPr, pr.count())
+      }
+
       if (wants("e6l")) {
       // e6l shape — containment pairs via the inverted-index shingle join.
       // Replication is QUADRATIC here by construction: every replica
