@@ -188,5 +188,12 @@ object GraftFunctions {
         Shingles(exprs.head, n)
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize",
+      exprs => {
+        require(exprs.length == 1, "nfc_normalize takes exactly 1 argument")
+        NfcNormalize(exprs.head)
+      },
+      "built-in")
   }
 }

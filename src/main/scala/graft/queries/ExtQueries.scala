@@ -1980,6 +1980,29 @@ object ExtQueries {
           terms = Seq("dup", "the", "join"))
     },
 
+    // E4 — Unicode NFC normalization (native codegen'd Expression; Spark
+    // has no built-in normalizer): the canonical-composition pass that
+    // must run BEFORE any fingerprint/shingle/dedup key, or the same
+    // sentence in NFC and NFD sails through exact dedup as two docs. The
+    // fixture corpus is ASCII (the no-op fast path), so the gate GROWS a
+    // decomposed e+U+0301 and a precomposed é onto every doc in-plan and
+    // checks both compose to the same bytes — DuckDB's nfc_normalize is
+    // the independent oracle.
+    "e4z_nfc_normalize" -> Q(
+      """SELECT doc_id,
+        |       nfc_normalize(text || 'e' || chr(769) || chr(233)) AS norm_text,
+        |       CAST(nfc_normalize(text || 'e' || chr(769) || chr(233)) =
+        |            (text || chr(233) || chr(233)) AS BIGINT) AS composed_ok
+        |FROM documents WHERE text IS NOT NULL""".stripMargin) {
+      (s, dir) =>
+        graft.functions.GraftFunctions.register(s)
+        val grown = "nfc_normalize(concat(text, 'éé'))"
+        Tables.documents(s, dir).filter(col("text").isNotNull)
+          .select(col("doc_id"), expr(grown).as("norm_text"),
+            (expr(grown) === concat(col("text"), lit("éé")))
+              .cast("long").as("composed_ok"))
+    },
+
     // E4 — per-group heavy hitters: top-5 tokens per language (the
     // per-stratum vocabulary report). Corpus reduces to (lang, token)
     // counts first; the ranking window runs over vocab-sized rows only.
