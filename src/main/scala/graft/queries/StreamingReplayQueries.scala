@@ -233,6 +233,58 @@ object StreamingReplayQueries {
       s.table(name).filter(col("user_id") =!= sentinelUser)
     },
 
+    // T5/W12 — the strict-sequence funnel replayed as a mapGroupsWithState
+    // state machine (custom per-user state — slots are write-once, so
+    // `reached` is monotone and the LAST update per user is the final
+    // state; max_by(…, reached) picks it from the update-mode table).
+    // Must hash-match the batch w12 oracle exactly.
+    "t11_funnel_replay" -> Q(
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |s1 AS (SELECT user_id, min(us) AS s1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT ev.user_id, min(us) AS s2 FROM ev JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > s1 GROUP BY 1),
+        |s3 AS (SELECT ev.user_id, min(us) AS s3 FROM ev JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > s2 GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM ev)
+        |SELECT u.user_id,
+        |       CAST(CASE WHEN s3.s3 IS NOT NULL THEN 3
+        |                 WHEN s2.s2 IS NOT NULL THEN 2
+        |                 WHEN s1.s1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |         AS reached,
+        |       s1.s1 AS view_us, s2.s2 AS click_us, s3.s3 AS purchase_us
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |       LEFT JOIN s3 USING (user_id)""".stripMargin) { (s, dir) =>
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import graft.streaming.StreamingFunnel
+      import graft.streaming.StreamingFunnel.FunnelEvent
+      val rows = collectedEvents(s, dir)
+        .map(e => FunnelEvent(e.userId, e.tsUs, e.eventType))
+      val mem = MemoryStream[FunnelEvent]
+      val upd = StreamingFunnel.updates(mem.toDS(),
+        Seq("view", "click", "purchase"))
+      val name = "t11_replay_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      withShufflePartitions(s, 4) {
+        val q = upd.writeStream.outputMode("update")
+          .format("memory").queryName(name).start()
+        try chunked(rows).foreach { b => mem.addData(b); q.processAllAvailable() }
+        finally q.stop()
+      }
+      def slot(i: Int) = {
+        val v = element_at(col("__fin.slots"), i)
+        when(v === -1L, lit(null).cast("long")).otherwise(v)
+      }
+      s.table(name)
+        .groupBy(col("userId").as("user_id"))
+        .agg(max_by(struct(col("reached"), col("slots")), col("reached"))
+          .as("__fin"))
+        .select(col("user_id"), col("__fin.reached").as("reached"),
+          slot(1).as("view_us"), slot(2).as("click_us"),
+          slot(3).as("purchase_us"))
+    },
+
     // T5/J — stream-stream interval join (view-before-purchase attribution)
     // replayed against the batch join oracle: each side arrives in its own
     // event-time order across micro-batches, state is bounded by

@@ -29,6 +29,53 @@ class FunnelSpec extends SparkSpec {
     assert(got(4L) == ((0L, None, None, None)))
   }
 
+  test("streaming funnel: final state equals the batch fold at ANY chunking") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{element_at, max_by, struct, when, lit}
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.FunnelEvent
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Seq(
+      FunnelEvent(1L, 10L, "view"), FunnelEvent(1L, 20L, "click"),
+      FunnelEvent(1L, 30L, "purchase"),
+      FunnelEvent(2L, 10L, "click"), FunnelEvent(2L, 20L, "view"),
+      FunnelEvent(2L, 30L, "click"),
+      FunnelEvent(3L, 10L, "view"), FunnelEvent(3L, 10L, "click"),
+      FunnelEvent(4L, 5L, "error"))
+    def replay(chunks: Int): Map[Long, (Long, Seq[Long])] = {
+      val mem = MemoryStream[FunnelEvent]
+      val name = "fs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = StreamingFunnel.updates(mem.toDS(),
+          Seq("view", "click", "purchase"))
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .start()
+      try events.grouped(math.max(1, events.size / chunks + 1))
+        .foreach { b => mem.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name)
+        .groupBy(col("userId"))
+        .agg(max_by(struct(col("reached"), col("slots")), col("reached"))
+          .as("f"))
+        .collect()
+        .map(r => r.getLong(0) -> {
+          val f = r.getStruct(1)
+          (f.getLong(0), f.getSeq[Long](1))
+        }).toMap
+    }
+    val one = replay(1)
+    val five = replay(5)
+    assert(one == five, s"chunking changed the outcome:\n$one\n$five")
+    val batch = Funnel.funnel(
+        events.map(e => (e.userId, e.tsUs, e.eventType))
+          .toDF("user_id", "us", "event_type"),
+        "user_id", col("us"), "event_type", Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        Seq(2, 3, 4).map(i => Option(r.get(i)).fold(-1L)(_.asInstanceOf[Long])))))
+      .toMap
+    assert(one == batch, s"stream final != batch fold:\n$one\n$batch")
+  }
+
   test("funnel validates steps") {
     val ev = Seq((1L, 1L, "a")).toDF("user_id", "us", "event_type")
     assertThrows[IllegalArgumentException](
