@@ -904,6 +904,71 @@ object TextAnalysis {
           .as("cross_entropy"))
   }
 
+  /** HELD-OUT bigram cross-entropy: fit the LM on the `trainPred` slice,
+    * score the complement — the full CCNet structure ([[bigramCrossEntropy]]
+    * is the self-scored degenerate case). Because scored docs now contain
+    * bigrams the LM never saw, the model is add-one (Laplace) smoothed
+    * over the TRAIN vocabulary: p(w2|w1) = (cnt+1)/(c1+V) with V the
+    * train-side distinct-token count — unseen (w1,w2) degrades to
+    * 1/(c1+V), unseen w1 to 1/V, never log(0).
+    *
+    * Determinism: identical discipline to [[bigramCrossEntropy]] — each
+    * distinct bigram's term is one double expression of exact longs
+    * ((cnt+1) and (c1+V) are exact; the division + log2 have identical
+    * shape in both engines), 6-dp rounded, DECIMAL-summed
+    * occurrence-weighted, micro-bit averaged.
+    *
+    * Shape: ONE corpus explode split by the train flag; the LM side is
+    * vocab²-bounded; V is a one-row broadcast (the e4p scalar fan-out —
+    * PlanCheck-allowlisted); score-side docs rejoin through (w1,w2) and
+    * w1 left joins (both against aggregated, vocabulary-sized tables).
+    *
+    * @return idCol (scored docs only), n_bigrams, cross_entropy */
+  def bigramCrossEntropyHeldOut(docs: DataFrame, idCol: String,
+                                textCol: String,
+                                trainPred: Column): DataFrame = {
+    val base = docs.select(col(idCol), trainPred.as("__train"),
+      tokens(col(textCol)).as("__t"))
+    val nBg = greatest(size(col("__t")) - 1, lit(0))
+    val bigrams = base.select(col(idCol), col("__train"),
+      explode(zip_with(
+        slice(col("__t"), lit(1), nBg), slice(col("__t"), lit(2), nBg),
+        (a: Column, b: Column) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col(idCol), col("__train"),
+        col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val trainBg = bigrams.filter(col("__train"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint() // consumed twice: the (w1,w2) join and the c1 agg
+    val c1t = trainBg.groupBy("w1").agg(sum(col("__cnt")).cast("long").as("__c1"))
+    val vocab = base.filter(col("__train"))
+      .select(explode(col("__t")).as("__tok"))
+      .agg(count_distinct(col("__tok")).as("__v"))
+    val scoreBg = bigrams.filter(!col("__train"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__n_occ"))
+    val p = (coalesce(col("__cnt"), lit(0L)) + lit(1L)).cast("double") /
+      (coalesce(col("__c1"), lit(0L)) + col("__v")).cast("double")
+    val term = round(-log2(p), 6).cast("decimal(18,6)")
+    val perDoc = scoreBg
+      .join(trainBg, Seq("w1", "w2"), "left")
+      .join(c1t, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), col("__n_occ"), term.as("__term"))
+      .groupBy(idCol)
+      .agg(sum(col("__n_occ")).cast("long").as("__n_bigrams"),
+        sum(col("__n_occ") * col("__term")).as("__tot"))
+    val s = (col("__tot") * 1000000).cast("long")
+    val n = col("__n_bigrams")
+    val micro = floor((s * 2 + n).cast("double") / (n * 2).cast("double"))
+    base.filter(!col("__train")).select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("__n_bigrams").isNull, lit(null).cast("double"))
+          .otherwise(micro.cast("double") / 1000000.0)
+          .as("cross_entropy"))
+  }
+
   /** Line-level cross-document duplication stats — the RefinedWeb/CCNet
     * boilerplate signal: a LINE (trimmed, non-empty) that recurs across
     * documents is navigation chrome, cookie banners, licence headers —

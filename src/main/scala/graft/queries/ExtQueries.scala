@@ -2811,6 +2811,44 @@ object ExtQueries {
         TextAnalysis.bigramCrossEntropy(Tables.documents(s, dir), "doc_id", "text")
     },
 
+    // E4 — HELD-OUT bigram cross-entropy: LM fit on even doc_ids,
+    // add-one-smoothed over the train vocabulary, scoring the odd docs —
+    // the full CCNet structure (e4v is the self-scored degenerate case).
+    // Unseen bigrams hit (0+1)/(c1+V); unseen first-words hit 1/V — the
+    // smoothing seam is what this gate exercises beyond e4v.
+    "e4v2_bigram_heldout" -> Q(
+      """WITH t AS (SELECT doc_id, doc_id % 2 = 0 AS train,
+        |                  regexp_split_to_array(text, '\s+') AS ta FROM documents),
+        |bg AS (SELECT doc_id, train, unnest(ta[1:len(ta)-1]) AS w1,
+        |              unnest(ta[2:len(ta)]) AS w2
+        |       FROM t WHERE len(ta) >= 2),
+        |tb AS (SELECT w1, w2, count(*) AS cnt FROM bg WHERE train GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c1 FROM tb GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM
+        |        (SELECT unnest(ta) AS tok FROM t WHERE train)),
+        |sb AS (SELECT doc_id, w1, w2, count(*) AS n_occ FROM bg
+        |       WHERE NOT train GROUP BY 1, 2, 3),
+        |tm AS (SELECT sb.doc_id, sb.n_occ,
+        |         CAST(round(-log2(CAST(COALESCE(tb.cnt, 0) + 1 AS DOUBLE)
+        |                          / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE)), 6)
+        |              AS DECIMAL(18,6)) AS term
+        |       FROM sb LEFT JOIN tb USING (w1, w2) LEFT JOIN c1 USING (w1)
+        |            CROSS JOIN v),
+        |s AS (SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS n_bigrams,
+        |             CAST(sum(n_occ * term) * 1000000 AS BIGINT) AS s
+        |      FROM tm GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       CASE WHEN s.n_bigrams IS NULL THEN NULL
+        |            ELSE floor(CAST(s.s * 2 + s.n_bigrams AS DOUBLE)
+        |                       / CAST(s.n_bigrams * 2 AS DOUBLE)) / 1000000.0
+        |       END AS cross_entropy
+        |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        |WHERE d.doc_id % 2 <> 0""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.bigramCrossEntropyHeldOut(Tables.documents(s, dir),
+          "doc_id", "text", col("doc_id") % 2 === 0)
+    },
+
     // E1 — CONTAINMENT near-dup pairs: |A∩B|/min(|A|,|B|) over distinct
     // 3-gram shingle sets — the ASYMMETRIC signal Jaccard misses (a short
     // doc quoted wholesale inside a long one scores J ≈ |short|/|long| but

@@ -87,7 +87,10 @@ object PlanCheck {
     "e4q_kl_divergence", "e7i_temperature_mix",
     // BM25's one-row (N, Σdl) totals aggregate broadcast onto the
     // matched-term stream — the same windowless scalar fan-out as e4p
-    "e4y_bm25")
+    "e4y_bm25",
+    // held-out LM: the one-row train-vocabulary count V broadcast onto
+    // the vocab²-bounded term stream
+    "e4v2_bigram_heldout")
 
   /** Sweep every registered query for the silent scale killers: cartesian
     * products and unintended broadcast nested-loop joins. */

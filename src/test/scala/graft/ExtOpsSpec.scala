@@ -1115,6 +1115,25 @@ class ExtOpsSpec extends SparkSpec {
     assert(got == Set(12L))
   }
 
+  test("held-out bigram cross-entropy: add-one smoothing on unseen mass") {
+    // train (even ids): "a b a b" → cnt(a,b)=2, cnt(b,a)=1; c1(a)=2,
+    // c1(b)=1; V={a,b}=2. Scored (odd ids):
+    //  "a b x": term(a,b)=-log2(3/4)=0.415037, term(b,x)=-log2(1/3)
+    //           =1.584963 → H=(0.415037+1.584963)/2 = 1.0 exactly
+    //  "z z":   unseen w1 → -log2(1/(0+2)) = 1.0 → H = 1.0
+    //  "q":     single token → 0 bigrams, NULL
+    val docs = Seq((0L, "a b a b"), (1L, "a b x"), (3L, "z z"), (5L, "q"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.bigramCrossEntropyHeldOut(
+        docs, "doc_id", "text", col("doc_id") % 2 === 0)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2))))).toMap
+    assert(got.keySet == Set(1L, 3L, 5L), "only held-out docs are scored")
+    assert(got(1L) == ((2L, Some(1.0))), s"got $got")
+    assert(got(3L) == ((1L, Some(1.0))), s"unseen-w1 smoothing: $got")
+    assert(got(5L) == ((0L, None)))
+  }
+
   test("edit-distance pairs: prefix/suffix blocking, banded verify, dedup") {
     val docs = Seq(
       (1L, "abcdefghijklmnop"),
