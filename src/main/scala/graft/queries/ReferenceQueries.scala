@@ -65,6 +65,29 @@ object ReferenceQueries {
       (s, dir) => Tables.lineitem(s, dir).agg(count(lit(1)).as("cnt"))
     },
 
+    // S8 — JSONL (newline-delimited JSON) source/sink ROUND TRIP: the
+    // interchange format crawl corpora actually ship in. The documents
+    // table is written as compressed JSONL and read back through Spark's
+    // json source with an EXPLICIT schema (schema inference is a full
+    // extra pass over the data at 100 TB — production readers declare the
+    // schema); the round trip must reproduce the parquet rows exactly, so
+    // the oracle is the plain parquet SELECT. The temp write is keyed by
+    // the fixture stamp — a regenerated fixture re-materializes instead of
+    // serving a stale copy (the e2s index-cache protocol).
+    "s8_jsonl_roundtrip" -> Q(
+      """SELECT doc_id, text, lang, source, n_chars FROM documents""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.documents(s, dir)
+        val stamp = Tables.fixtureStamp(dir, "documents")
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-jsonl-" +
+          Integer.toHexString(s"$dir@$stamp".hashCode)
+        if (!new java.io.File(out, "_SUCCESS").exists()) {
+          docs.write.mode("overwrite").option("compression", "gzip").json(out)
+        }
+        s.read.schema(docs.schema).json(out)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+    },
+
     // F1 — column projection (session.py:288).
     "f1_project" -> Q("SELECT l_orderkey, l_extendedprice FROM lineitem") {
       (s, dir) => Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice")
