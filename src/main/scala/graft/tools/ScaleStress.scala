@@ -278,6 +278,22 @@ object ScaleStress {
       jline("e9d_pagerank_5it", rep, tPr, pr.count())
       }
 
+      if (wants("funnel")) {
+      // w12 shape — strict-sequence funnel: ONE user-keyed shuffle + a
+      // per-user fold. Replicated events with shifted user ids: rows ×rep,
+      // users ×rep, events/user CONSTANT — the fold stays bounded, so the
+      // curve should track the shuffle mass linearly.
+      val fev = Tables.events(spark, sfDir)
+      val fRep = fev.crossJoin(spark.range(rep).select(col("id").as("__r")))
+        .select((col("user_id") + col("__r") * 1000000L).as("user_id"),
+          Tables.tsUs(fev).as("ts_us"), col("event_type"))
+      val (fu, tFu) = timed {
+        graft.ops.Funnel.funnel(fRep, "user_id", col("ts_us"), "event_type",
+          Seq("view", "click", "purchase")).localCheckpoint()
+      }
+      jline("w12_funnel", rep, tFu, fu.count())
+      }
+
       if (wants("e6l")) {
       // e6l shape — containment pairs via the inverted-index shingle join.
       // Replication is QUADRATIC here by construction: every replica
