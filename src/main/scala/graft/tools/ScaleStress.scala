@@ -97,7 +97,7 @@ object ScaleStress {
       val docsDir = s"$work/docs_x$rep"
       val embDir = s"$work/emb_x$rep"
       val needDocs = wants("dedup", "e6g", "e6g2", "e6g3", "e6i", "e4t",
-        "e4v", "e6k", "e6l")
+        "e4v", "e6k", "e6l", "e5d", "e5dcap")
       val needEmb = wants("e2n")
       val (_, tPrepD) =
         if (needDocs) timed(replicateDocs(spark, sfDir, rep, docsDir))
@@ -276,6 +276,32 @@ object ScaleStress {
           .localCheckpoint()
       }
       jline("e9d_pagerank_5it", rep, tPr, pr.count())
+      }
+
+      if (wants("e5d")) {
+      // e5d shape — edit-distance blocking join on the replicated corpus:
+      // ADVERSARIAL by construction (every replica shares both block keys
+      // and the exact length of its base → candidate and OUTPUT mass grow
+      // ×rep² per base doc, all at dist 0). The banded levenshtein keeps
+      // per-pair cost O(len·k); the production bound for boilerplate-grade
+      // blocks is the maxBlock cap (counted ledger, same as e6l's maxDf).
+      val (edp, tEd) = timed {
+        Dedup.editDistancePairs(docs, "doc_id", "text")
+          .localCheckpoint()
+      }
+      jline("e5d_editdist_pairs", rep, tEd, edp.count())
+      }
+
+      if (wants("e5dcap")) {
+      // the production bound alone: maxBlock caps boilerplate-grade
+      // blocks with a counted ledger (on the all-replica corpus the cap
+      // removes every block — the honest degenerate behavior, same as
+      // e6l's capped form)
+      val (edc, tEdc) = timed {
+        Dedup.editDistancePairs(docs, "doc_id", "text",
+          maxBlock = math.max(2, rep / 2)).localCheckpoint()
+      }
+      jline("e5d_editdist_capped", rep, tEdc, edc.count())
       }
 
       if (wants("funnel")) {
