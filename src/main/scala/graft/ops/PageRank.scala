@@ -53,7 +53,7 @@ object PageRank {
     val base = lit((1.0 - damping) / n)
     var rank = nodes.select(col("node"), lit(1.0 / n).as("rank"))
       .localCheckpoint()
-    for (_ <- 1 to iterations) {
+    for (it <- 1 to iterations) {
       val contrib = ed.join(rank, ed("__src") === rank("node"))
         .select(col("__dst"),
           round(col("rank") / col("__deg"), 12)
@@ -64,7 +64,11 @@ object PageRank {
         .select(col("node"),
           (base + lit(damping) *
             coalesce(col("__s").cast("double"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+      // cut lineage every SECOND iteration (and at the end): a 2-deep
+      // join-agg plan optimizes fine, while an eager checkpoint per
+      // iteration doubles the fixed job count — measured 12.2 s → the
+      // every-other cadence at the sf0.1 gate graph
+      if (it % 2 == 0 || it == iterations) rank = rank.localCheckpoint()
     }
     rank.select(col("node"), round(col("rank"), 10).as("rank"))
   }
