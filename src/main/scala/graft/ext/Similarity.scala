@@ -52,6 +52,44 @@ object Similarity {
       .limit(k)
   }
 
+  /** Reciprocal-rank FUSION of retriever shortlists — the hybrid-retrieval
+    * combiner (lexical BM25 ∪ dense cosine is the canonical pair): each
+    * retriever contributes `1/(k0 + rank)` for the ids on ITS shortlist,
+    * contributions sum per id, and the fused top-k is returned. Rank-based
+    * (not score-based) fusion needs no score calibration between signal
+    * types — the reason RRF is the default hybrid combiner.
+    *
+    * Shape: each shortlist is already a distributed top-k
+    * (TakeOrderedAndProject upstream — k rows, never corpus-sized), so
+    * the per-list ranking window runs on a k-row frame; lists union into
+    * one (id, contribution) stream and ONE id-keyed aggregation fuses
+    * them. Contributions are 12-dp rounded + DECIMAL-summed — with ≥ 3
+    * lists a double sum's grouping order could wobble the last bit; the
+    * decimal sum is order-free.
+    *
+    * @param shortlists (top-k frame, score column name) per retriever —
+    *                   each frame holds `idCol` + the score column
+    * @return idCol, rrf_score, n_lists (how many shortlists carried the id)
+    */
+  def rrfFuse(shortlists: Seq[(DataFrame, String)], idCol: String,
+              k0: Int = 60, topK: Int = 20): DataFrame = {
+    require(shortlists.nonEmpty, "rrfFuse needs at least one shortlist")
+    require(k0 > 0, s"k0 must be positive: $k0")
+    val contribs = shortlists.map { case (df, scoreCol) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(scoreCol).desc, col(idCol).asc)
+      df.select(col(idCol),
+        round(lit(1.0) / (lit(k0) + row_number().over(w)), 12)
+          .cast("decimal(18,12)").as("__rc"))
+    }
+    contribs.reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(sum(col("__rc")).cast("double").as("rrf_score"),
+        count(lit(1)).cast("long").as("n_lists"))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** One query of a bounded batch shard (the only thing ever collected to
     * the driver on the exact-batch paths): id, vector, label. */
   final case class VecQuery(qId: Long, vec: Seq[Float], label: Int)

@@ -2003,6 +2003,69 @@ object ExtQueries {
               .cast("long").as("composed_ok"))
     },
 
+    // E2/E4 — HYBRID retrieval via reciprocal-rank fusion: the lexical
+    // BM25 shortlist (e4y's scorer, docs) and the dense cosine shortlist
+    // (e2's scorer, embeddings; vec_id ≡ doc_id in the fixture) fuse as
+    // Σ 1/(60+rank) — rank-based, so no score calibration between signal
+    // types. Both shortlists are distributed top-100s; the ranking
+    // windows run on 100-row frames, fusion is ONE id-keyed aggregation
+    // of 12-dp DECIMAL contributions (order-free).
+    "e2t_rrf_fusion" -> Q(
+      """WITH dl AS (SELECT doc_id,
+        |          CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS dl
+        |        FROM documents),
+        |tot AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+        |tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS t
+        |        FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok
+        |       WHERE t IN ('dup', 'the', 'join') GROUP BY 1, 2),
+        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |         CAST(round(ln((CAST(tot.n - df.df AS DOUBLE) + 0.5)
+        |                       / (CAST(df.df AS DOUBLE) + 0.5) + 1)
+        |                * (tf.tf * (CAST(1.2 AS DOUBLE) + 1))
+        |                / (tf.tf + CAST(1.2 AS DOUBLE) *
+        |                    (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl.dl /
+        |                     (CAST(tot.sumdl AS DOUBLE) / tot.n))), 6)
+        |           AS DECIMAL(18,6)) AS term
+        |       FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN tot),
+        |agg AS (SELECT doc_id, CAST(sum(term) AS DOUBLE) AS bm25
+        |        FROM sc GROUP BY 1),
+        |bm AS (SELECT dl.doc_id AS id, COALESCE(agg.bm25, 0.0) AS s
+        |       FROM dl LEFT JOIN agg USING (doc_id)),
+        |bt AS (SELECT id, s FROM bm ORDER BY s DESC, id LIMIT 100),
+        |br AS (SELECT id, row_number() OVER (ORDER BY s DESC, id) AS r FROM bt),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        |      WHERE vec_id = 0),
+        |cs AS (SELECT vec_id AS id,
+        |              round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |                    (SELECT qv FROM q)), 6) AS s
+        |       FROM embeddings),
+        |ct AS (SELECT id, s FROM cs ORDER BY s DESC, id LIMIT 100),
+        |cr AS (SELECT id, row_number() OVER (ORDER BY s DESC, id) AS r FROM ct),
+        |u AS (SELECT id, CAST(round(CAST(1 AS DOUBLE) / (60 + r), 12)
+        |                 AS DECIMAL(18,12)) AS c FROM br
+        |      UNION ALL
+        |      SELECT id, CAST(round(CAST(1 AS DOUBLE) / (60 + r), 12)
+        |                 AS DECIMAL(18,12)) FROM cr),
+        |f AS (SELECT id, CAST(sum(c) AS DOUBLE) AS rrf_score,
+        |             CAST(count(*) AS BIGINT) AS n_lists FROM u GROUP BY 1)
+        |SELECT id, rrf_score, n_lists FROM f
+        |ORDER BY rrf_score DESC, id LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        val bm = TextAnalysis.bm25(Tables.documents(s, dir), "doc_id", "text",
+            terms = Seq("dup", "the", "join"))
+          .select(col("doc_id").as("id"), col("bm25"))
+          .orderBy(col("bm25").desc, col("id").asc).limit(100)
+        val emb = Tables.embeddings(s, dir)
+        val query = emb.filter(col("vec_id") === 0)
+          .select("embedding").first().getSeq[Float](0)
+        val cos = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+            query, 100)
+          .select(col("vec_id").as("id"), col("cos"))
+        Similarity.rrfFuse(Seq((bm, "bm25"), (cos, "cos")), "id")
+    },
+
     // E4 — per-group heavy hitters: top-5 tokens per language (the
     // per-stratum vocabulary report). Corpus reduces to (lang, token)
     // counts first; the ranking window runs over vocab-sized rows only.

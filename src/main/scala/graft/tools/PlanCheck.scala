@@ -90,7 +90,9 @@ object PlanCheck {
     "e4y_bm25",
     // held-out LM: the one-row train-vocabulary count V broadcast onto
     // the vocab²-bounded term stream
-    "e4v2_bigram_heldout")
+    "e4v2_bigram_heldout",
+    // hybrid RRF embeds the BM25 scorer and inherits its totals fan-out
+    "e2t_rrf_fusion")
 
   /** Sweep every registered query for the silent scale killers: cartesian
     * products and unintended broadcast nested-loop joins. */

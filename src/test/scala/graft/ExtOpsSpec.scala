@@ -1115,6 +1115,24 @@ class ExtOpsSpec extends SparkSpec {
     assert(got == Set(12L))
   }
 
+  test("rrf fusion: union of shortlists, rank-based, deterministic ties") {
+    val lexical = Seq((1L, 3.0), (2L, 2.0), (3L, 1.0)).toDF("id", "s1")
+    val dense = Seq((3L, 9.0), (4L, 8.0)).toDF("id", "s2")
+    val got = graft.ext.Similarity.rrfFuse(
+        Seq((lexical, "s1"), (dense, "s2")), "id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def c(r: Int) = BigDecimal(1.0 / (60 + r))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    // id 3 is rank 3 lexically AND rank 1 densely → fuses on top; ids 2
+    // and 4 tie exactly (both rank 2 in one list) → id order breaks it
+    val exp = Seq(
+      (3L, (c(3) + c(1)).toDouble, 2L),
+      (1L, c(1).toDouble, 1L),
+      (2L, c(2).toDouble, 1L),
+      (4L, c(2).toDouble, 1L))
+    assert(got.toSeq == exp, s"got ${got.toSeq}\nexp $exp")
+  }
+
   test("held-out bigram cross-entropy: add-one smoothing on unseen mass") {
     // train (even ids): "a b a b" → cnt(a,b)=2, cnt(b,a)=1; c1(a)=2,
     // c1(b)=1; V={a,b}=2. Scored (odd ids):
