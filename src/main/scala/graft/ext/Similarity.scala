@@ -37,6 +37,20 @@ object Similarity {
     cosineTopK(embeddings, idCol, col(vecCol), q, k)
   }
 
+  /** Brute-force squared-L2 top-k (ascending) — the exact twin the PQ/ADC
+    * probe is recall-gated against (PQ approximates L2, not cosine). */
+  def bruteForceTopKL2(embeddings: DataFrame, idCol: String, vecCol: String,
+                       query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val l2 = aggregate(
+      zip_with(transform(col(vecCol), x => x.cast("double")), q,
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    embeddings.select(col(idCol), round(l2, 6).as("l2"))
+      .orderBy(col("l2").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Brute-force top-k via the codegen'd native expression
     * (graft.functions.CosineSimilarity) — one fused loop per row instead of
     * the three-pass zip_with/aggregate composition; identical results. */

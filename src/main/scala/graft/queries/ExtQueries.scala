@@ -2473,6 +2473,35 @@ object ExtQueries {
     // every appended row, and the in-distribution batch does NOT fire the
     // drift signal. Build+append run once per fixture dir (cached —
     // steady-state probes are the measured shape, as in e2d).
+    // E2 — PRODUCT-QUANTIZED ANN, the production two-stage probe: m=16
+    // seeded per-subspace codebooks (k=16 → 64-dim float32 compresses
+    // 256 B → 16 nibble codes), ADC shortlists a pool of 50 via m table
+    // lookups per row, the float vectors of ONLY those candidates are
+    // fetched and exactly re-ranked. Raw ADC@10 on the structure-free
+    // fixture measures ~0.4 recall (PQ's worst case); pool+rerank
+    // recovers ~1.0 — the two-stage shape IS the operator. Gated as the
+    // recall contract vs the exact squared-L2 top-10 (PQ approximates
+    // L2, not cosine).
+    "e2u_pq_rerank_topk" -> Q(
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |topk AS (SELECT vec_id FROM embeddings
+        |         ORDER BY round(list_distance(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) ASC,
+        |                  vec_id ASC LIMIT 10)
+        |SELECT count(*) AS k, CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS self_found
+        |FROM topk""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0)
+      val model = Quantize.fitPq(emb, "embedding", m = 16, k = 16)
+      val encoded = emb.select(col("vec_id"),
+        Quantize.encodePq(col("embedding"), model).as("__pq"))
+      val approx = Quantize.pqTopKReranked(encoded, "vec_id", "__pq",
+        emb, "embedding", model, query, topK = 10, pool = 50)
+      val exact = Similarity.bruteForceTopKL2(emb, "vec_id", "embedding",
+        query, 10)
+      recallContract(exact, approx)
+    },
+
     "e2s_ivf_append_recall" -> Q(
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 450),
         |topk AS (SELECT vec_id FROM embeddings

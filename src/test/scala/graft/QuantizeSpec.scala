@@ -12,6 +12,45 @@ class QuantizeSpec extends SparkSpec {
 
   private def emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
 
+  test("product quantization: valid codes, self-recall, recall vs exact L2") {
+    val e = emb
+    val model = Quantize.fitPq(e, "embedding", m = 16, k = 16)
+    assert(model.codebooks.length == 16 && model.k == 16 && model.dsub == 4)
+    val encoded = e.select(col("vec_id"),
+      Quantize.encodePq(col("embedding"), model).as("pq"))
+    val codes = encoded.select(array_min(col("pq")).as("mn"),
+      array_max(col("pq")).as("mx"), size(col("pq")).as("m"))
+      .as[(Int, Int, Int)].collect()
+    codes.foreach { case (mn, mx, m) =>
+      assert(mn >= 0 && mx < 16 && m == 16, s"bad code row ($mn,$mx,$m)")
+    }
+    // encoding is deterministic: a second fit+encode reproduces the codes
+    val model2 = Quantize.fitPq(e, "embedding", m = 16, k = 16)
+    val enc2 = e.select(col("vec_id"),
+      Quantize.encodePq(col("embedding"), model2).as("pq"))
+    assert(encoded.collect().map(_.toString).sorted
+      .sameElements(enc2.collect().map(_.toString).sorted))
+    // recall against the exact squared-L2 top-10. Raw ADC@10 on these
+    // structure-free vectors is weak by nature (~0.4 measured) — the
+    // PRODUCTION two-stage probe (ADC pool-50 → exact rerank) is the
+    // contract the e2u gate enforces.
+    val query = e.filter(col("vec_id") === 0)
+      .select("embedding").first().getSeq[Float](0)
+    val exact10 = Similarity.bruteForceTopKL2(e, "vec_id", "embedding",
+        query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val pq10 = Quantize.pqTopK(encoded, "vec_id", "pq", model, query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(pq10.intersect(exact10).size >= 2,
+      s"raw ADC recall collapsed: ${pq10.intersect(exact10).size}/10")
+    assert(pq10.contains(0L), "query vector must find itself via raw ADC")
+    val rr10 = Quantize.pqTopKReranked(encoded, "vec_id", "pq",
+        e, "embedding", model, query, topK = 10, pool = 50)
+      .select("vec_id").as[Long].collect().toSet
+    assert(rr10.intersect(exact10).size >= 8,
+      s"reranked recall too low: ${rr10.intersect(exact10).size}/10")
+  }
+
   test("codes are in [0,255] and reconstruction error is within one grid step") {
     val q = Quantize.quantizeInt8(col("embedding"))
     val rows = emb.select(
