@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-ORDER (Morton-curve) layout over TWO dimensions — the
+  * multi-dimensional complement to [[RangeLayout]] (which clusters one
+  * sort key): each dimension is normalized to a 16-bit grid and their
+  * bits INTERLEAVED, so rows close in the z-value are close in BOTH
+  * dimensions at once. A table z-ordered on (user, day) prunes buckets
+  * for queries filtering EITHER column — the property single-key range
+  * clustering cannot give (sorting by user scatters time, and vice
+  * versa), and the reason lakehouse engines expose Z-ORDER BY for their
+  * OPTIMIZE/clustering commands.
+  *
+  * Everything is EXACT integer arithmetic, deterministic, and
+  * oracle-reproducible: grid = ((v − min)·65535) div span (floor
+  * division, never a double ratio), z = Σᵢ ((ga≫i)&1)≪2i | ((gb≫i)&1)≪(2i+1)
+  * (disjoint bits, so the sum is the OR), and the bucket split reuses
+  * [[RangeLayout.withRangeBucket]]'s rank-division (skew-proof
+  * ⌈n/buckets⌉ bound — a z-value histogram can be arbitrarily lumpy).
+  * The per-bucket manifest carries min/max of BOTH source columns; a
+  * pruned read consults it for whichever dimension the query constrains.
+  *
+  * Bounds are taken from the data in ONE aggregate (driver-side scalars —
+  * the same pattern as the PageRank node count); spans up to 2⁴⁷ stay
+  * exact under the ×65535 scaling in long arithmetic. */
+object ZOrder {
+
+  val GridBits = 16
+  val GridMax: Long = (1L << GridBits) - 1 // 65535
+
+  /** 16-bit grid coordinate of column `name` within [mn, mx] — exact
+    * floor division (`div`, never a double ratio); a degenerate dimension
+    * (mx == mn) collapses to grid 0. */
+  def gridCoord(name: String, mn: Long, mx: Long): Column =
+    if (mx == mn) lit(0L)
+    else expr(s"((`$name` - ${mn}L) * ${GridMax}L) div ${mx - mn}L")
+
+  /** Morton interleave of two 16-bit grid coordinates: dimension A takes
+    * the even bits, B the odd. Terms have disjoint bits, so the sum IS
+    * the bitwise OR — and `+` is what every engine folds exactly. */
+  def zValue(ga: Column, gb: Column): Column =
+    (0 until GridBits).map { i =>
+      shiftleft(shiftright(ga, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(gb, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** min/max bounds of both dimensions, one aggregate. */
+  def bounds(df: DataFrame, colA: String, colB: String): (Long, Long, Long, Long) = {
+    val r = df.agg(min(col(colA)), max(col(colA)),
+      min(col(colB)), max(col(colB))).first()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  /** `df` plus the z-value column for (colA, colB) under the given bounds. */
+  def withZ(df: DataFrame, colA: String, colB: String,
+            aMin: Long, aMax: Long, bMin: Long, bMax: Long,
+            outCol: String = "zval"): DataFrame =
+    df.withColumn("__za", col(colA).cast("long"))
+      .withColumn("__zb", col(colB).cast("long"))
+      .withColumn(outCol,
+        zValue(gridCoord("__za", aMin, aMax), gridCoord("__zb", bMin, bMax)))
+      .drop("__za", "__zb")
+
+  /** Write `df` z-ordered on (colA, colB) into `nBuckets` hive
+    * `bucket=k/` dirs (rank-split over the z total order, tie-broken by
+    * `tieBreak`), plus a manifest sidecar carrying per-bucket min/max of
+    * BOTH source columns. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    tieBreak: Seq[Column], nBuckets: Int): Unit = {
+    val (aMin, aMax, bMin, bMax) = bounds(df, colA, colB)
+    val z = withZ(df, colA, colB, aMin, aMax, bMin, bMax)
+    val bucketed = RangeLayout.withRangeBucket(z, col("zval") +: tieBreak,
+      nBuckets)
+    bucketed.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
+    bucketed.groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(colA)).as(s"min_$colA"), max(col(colA)).as(s"max_$colA"),
+        min(col(colB)).as(s"min_$colB"), max(col(colB)).as(s"max_$colB"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(RangeLayout.manifestPath(path))
+  }
+
+  /** Manifest-pruned range read on EITHER z-ordered dimension: buckets
+    * whose [min,max] of `dim` misses [lo, hi] are never opened
+    * (PartitionFilters at planning time); parquet row-group stats prune
+    * further inside survivors. */
+  def prunedRead(spark: SparkSession, path: String, dim: String,
+                 lo: Column, hi: Column): DataFrame = {
+    val mf = spark.read.parquet(RangeLayout.manifestPath(path))
+    val ids = mf.filter(col(s"min_$dim") <= hi && col(s"max_$dim") >= lo)
+      .select(col("bucket").cast("long")).collect().map(_.getLong(0))
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(ids.toIndexedSeq: _*))
+      .filter(col(dim) >= lo && col(dim) <= hi)
+  }
+}

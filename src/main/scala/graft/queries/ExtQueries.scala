@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ext.{Curation, Dedup, DupClusters, EmbeddingStats, Multimodal, Packing, Quantize, Sampling, Similarity, TextAnalysis, TextSimilarity}
-import graft.ops.PageRank
+import graft.ops.{PageRank, RangeLayout, ZOrder}
 
 /** [EXT] training-data-pipeline operators (SURVEY §2.9 E1–E4 + driver
   * mandate): dedup, similarity search, multimodal plumbing, text analysis.
@@ -45,6 +45,37 @@ object ExtQueries {
          |      FROM nodes CROSS JOIN nn LEFT JOIN s$k USING (node))""".stripMargin
     }.mkString(",\n", ",\n", "")
     s"$head$iters\nSELECT node, round(rank, 10) AS rank FROM r$iterations"
+  }
+
+  /** DuckDB oracle for `e12_zorder_assignment`: grid-normalize both
+    * dimensions with the SAME exact floor divisions as
+    * [[graft.ops.ZOrder]], unroll the 32-term Morton interleave (SQL has
+    * no loops — the PageRank-oracle technique), and rank-split into
+    * buckets. All integer arithmetic; compared exactly. */
+  private def zOrderOracleSql(nBuckets: Int): String = {
+    val terms = (0 until graft.ops.ZOrder.GridBits).map { i =>
+      s"(((ga >> $i) & 1) << ${2 * i}) + (((gb >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT event_id, user_id,
+       |            epoch_us(ts) // 86400000000 AS day FROM events),
+       |b AS (SELECT min(user_id) AS amn, max(user_id) AS amx,
+       |             min(day) AS bmn, max(day) AS bmx, count(*) AS total
+       |      FROM e),
+       |g AS (SELECT event_id,
+       |        CASE WHEN b.amx = b.amn THEN 0
+       |             ELSE ((user_id - b.amn) * 65535) // (b.amx - b.amn)
+       |        END AS ga,
+       |        CASE WHEN b.bmx = b.bmn THEN 0
+       |             ELSE ((day - b.bmn) * 65535) // (b.bmx - b.bmn)
+       |        END AS gb,
+       |        b.total AS total
+       |      FROM e CROSS JOIN b),
+       |z AS (SELECT event_id, total, $terms AS zval FROM g),
+       |r AS (SELECT event_id, zval, total,
+       |        row_number() OVER (ORDER BY zval, event_id) AS rn FROM z)
+       |SELECT event_id, CAST(zval AS BIGINT) AS zval,
+       |       CAST(((rn - 1) * $nBuckets) // total AS BIGINT) AS bucket
+       |FROM r""".stripMargin
   }
 
   /** One-row recall gate for an approximate top-k vs its exact twin:
@@ -2122,6 +2153,27 @@ object ExtQueries {
     // two-phase GlobalRowNumber range shuffle, never a one-reducer window;
     // the manifest is what a 100 TB time-slice scan consults instead of
     // data files (write/prune lifecycle spec'd in RangeLayoutSpec).
+    // E11/E12 — Z-ORDER (Morton) bucket assignment over (user_id, day):
+    // each dimension normalized to a 16-bit grid by exact floor division,
+    // bits INTERLEAVED (disjoint-bit sum ≡ OR), rank-split into 16
+    // buckets over the z total order. The oracle UNROLLS the 32-term
+    // interleave (generated by zOrderOracleSql) and recomputes grid,
+    // z-value and bucket from the same data-derived bounds — all integer
+    // arithmetic, compared exactly. The layout WRITER + either-dimension
+    // pruned read are driven in ZOrderSpec/ScaleStress.
+    "e12_zorder_assignment" -> Q(zOrderOracleSql(nBuckets = 16)) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        val withDay = ev.select(col("event_id"), col("user_id"),
+            Tables.tsUs(ev).as("ts_us"))
+          .withColumn("day", expr("ts_us div 86400000000"))
+        val (aMin, aMax, bMin, bMax) = ZOrder.bounds(withDay, "user_id", "day")
+        val z = ZOrder.withZ(withDay, "user_id", "day",
+          aMin, aMax, bMin, bMax)
+        RangeLayout.withRangeBucket(z, Seq(col("zval"), col("event_id")), 16)
+          .select(col("event_id"), col("zval"), col("bucket"))
+    },
+
     "e11_range_layout_manifest" -> Q(
       """WITH r AS (SELECT epoch_us(ts) AS us, event_id,
         |                  row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rn,
