@@ -131,6 +131,27 @@ object ExtQueries {
       (idx, stats)
     })
 
+  /** e2u's PQ model + encoded codes, once per fixture stamp: the fit is
+    * m seeded KMeans jobs and the encode an m·k-term HOF pass — build-once
+    * artifacts in production (codes are what the shard STORES), so
+    * repeated gate/bench runs must measure the probe, not a refit (the
+    * e2s protocol; SparkContext identity in the key because checkpointed
+    * frames die with their context). */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.ext.Quantize.PqModel, org.apache.spark.sql.DataFrame)]()
+  private def cachedPq(s: org.apache.spark.sql.SparkSession, dir: String,
+                       emb: org.apache.spark.sql.DataFrame)
+      : (graft.ext.Quantize.PqModel, org.apache.spark.sql.DataFrame) =
+    pqCache.computeIfAbsent(
+      s"${System.identityHashCode(s.sparkContext)}|$dir@" +
+        Tables.fixtureStamp(dir, "embeddings"), { _ =>
+      val model = Quantize.fitPq(emb, "embedding", m = 16, k = 16)
+      val encoded = emb.select(col("vec_id"),
+        Quantize.encodePq(col("embedding"), model).as("__pq"))
+        .localCheckpoint()
+      (model, encoded)
+    })
+
   /** e6k/e6k2's constructed MULTI-LINE corpus (the fixture text is
     * single-line): first-40-chars line + planted boilerplate (every third
     * doc) or unique marker + a blank line + the tail. A cheap narrow
@@ -2544,9 +2565,7 @@ object ExtQueries {
       val emb = Tables.embeddings(s, dir)
       val query = emb.filter(col("vec_id") === 0)
         .select("embedding").first().getSeq[Float](0)
-      val model = Quantize.fitPq(emb, "embedding", m = 16, k = 16)
-      val encoded = emb.select(col("vec_id"),
-        Quantize.encodePq(col("embedding"), model).as("__pq"))
+      val (model, encoded) = cachedPq(s, dir, emb)
       val approx = Quantize.pqTopKReranked(encoded, "vec_id", "__pq",
         emb, "embedding", model, query, topK = 10, pool = 50)
       val exact = Similarity.bruteForceTopKL2(emb, "vec_id", "embedding",
