@@ -421,6 +421,41 @@ object ScaleStress {
         Seq("full_scan_sec" -> f"$tF%.2f"))
       }
 
+      if (wants("zorder")) {
+      // the Z-ORDER writer at scale: Morton-cluster replicated events on
+      // (user_id, day) — users ×rep wide, days fixed — then read a
+      // narrow USER slice and a narrow DAY slice back through the
+      // manifest. The either-dimension pruning is the claim: both reads
+      // should track their slice, not the corpus.
+      val zSrcDir = s"$work/zordersrc_x$rep"
+      val zev = Tables.events(spark, sfDir)
+      zev.crossJoin(spark.range(rep).select(col("id").as("__rep")))
+        .select((col("event_id") + col("__rep") * 1000000000L).as("event_id"),
+          (col("user_id") + col("__rep") * 1000000L).as("user_id"),
+          Tables.tsUs(zev).as("ts_us"))
+        .withColumn("day", expr("ts_us div 86400000000"))
+        .write.mode(SaveMode.Overwrite).parquet(zSrcDir)
+      val zSrc = spark.read.parquet(zSrcDir)
+      val zDest = s"$work/zorder_x$rep"
+      val (_, tZw) = timed(graft.ops.ZOrder.writeZOrdered(
+        zSrc, zDest, "user_id", "day", Seq(col("event_id")), nBuckets = 64))
+      jline("zorder_write", rep, tZw, zSrc.count())
+      val (uMin, uMax, dMin, dMax) =
+        graft.ops.ZOrder.bounds(zSrc, "user_id", "day")
+      val uHi = uMin + math.max(1L, (uMax - uMin) / 16)
+      val dHi = dMin + math.max(1L, (dMax - dMin) / 16)
+      val (nU, tU) = timed(graft.ops.ZOrder.prunedRead(
+        spark, zDest, "user_id", lit(uMin), lit(uHi)).count())
+      val (nD, tD) = timed(graft.ops.ZOrder.prunedRead(
+        spark, zDest, "day", lit(dMin), lit(dHi)).count())
+      val nUf = zSrc.filter(col("user_id").between(uMin, uHi)).count()
+      val nDf = zSrc.filter(col("day").between(dMin, dHi)).count()
+      require(nU == nUf && nD == nDf,
+        s"z-order pruned reads mismatch: $nU/$nUf user, $nD/$nDf day")
+      jline("zorder_pruned_user", rep, tU, nU)
+      jline("zorder_pruned_day", rep, tD, nD)
+      }
+
       if (wants("sync")) {
       // the SYNC pipeline (the reference's core operator) at scale:
       // cold full sync, an idle poll (T5 no-op detection), and a 1%-delta
