@@ -43,7 +43,7 @@ import graft.sync.{SyncConfig, SyncEndpoint, SyncPipeline, SyncReport}
   *   runMain graft.cli.Main spans --source <parquet docs> --dest <parquet out> \
   *     [--id-col doc_id] [--text-col text] [--ngram 16]
   *   runMain graft.cli.Main layout --source <parquet> --dest <parquet dir> \
-  *     --by COL --key TIEBREAK[,K2] [--buckets 16]
+  *     --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16]
   *   runMain graft.cli.Main mix --source <parquet docs> --dest <parquet out> \
   *     --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) \
   *     [--id-col doc_id] [--text-col text]
@@ -87,7 +87,7 @@ object Main {
         "neardup", "semantic-dedup", "quality", "admit",
         "decontaminate", "spans", "layout", "mix",
         "dedup-lines", "dedup-spans", "diff").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact] [--id-col doc_id] [--text-col text] [--jaccard 0.8] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text]")
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact] [--id-col doc_id] [--text-col text] [--jaccard 0.8] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text]")
     val opts = scala.collection.mutable.Map.empty[String, String]
     var i = 1
     while (i < argv.length) {
@@ -380,14 +380,36 @@ object Main {
     if (a.keys.isEmpty)
       throw GraftError.InvalidConfig(
         "layout requires --key (tie-break column(s) completing the total order)")
+    // ONE --by column → range clustering; TWO (comma-separated) →
+    // Z-order: Morton-interleave both dimensions so scans on EITHER
+    // prune. Config validation fires BEFORE the source is touched (M3:
+    // a user error exits 2, never a runtime failure).
+    val byCols = a.by.split(",").map(_.trim).filter(_.nonEmpty)
+    if (byCols.length > 2) throw GraftError.InvalidConfig(
+      s"layout --by takes one column (range) or two (z-order), got ${byCols.length}")
     val df = spark.read.parquet(a.source)
-    graft.ops.RangeLayout.writeClustered(df, a.dest, a.by,
-      a.keys.map(col), a.buckets)
-    val mf = spark.read.parquet(graft.ops.RangeLayout.manifestPath(a.dest))
-      .orderBy("bucket").collect()
-    println(s"layout ${a.source} by ${a.by}: ${mf.length} buckets -> ${a.dest}")
-    mf.foreach(r => println(
-      s"  bucket=${r.get(0)} rows=${r.get(1)} min=${r.get(2)} max=${r.get(3)}"))
+    byCols match {
+      case Array(one) =>
+        graft.ops.RangeLayout.writeClustered(df, a.dest, one,
+          a.keys.map(col), a.buckets)
+        val mf = spark.read.parquet(graft.ops.RangeLayout.manifestPath(a.dest))
+          .orderBy("bucket").collect()
+        println(s"layout ${a.source} by $one: ${mf.length} buckets -> ${a.dest}")
+        mf.foreach(r => println(
+          s"  bucket=${r.get(0)} rows=${r.get(1)} min=${r.get(2)} max=${r.get(3)}"))
+      case Array(ca, cb) =>
+        graft.ops.ZOrder.writeZOrdered(df, a.dest, ca, cb,
+          a.keys.map(col), a.buckets)
+        val mf = spark.read.parquet(graft.ops.RangeLayout.manifestPath(a.dest))
+          .orderBy("bucket").collect()
+        println(s"layout ${a.source} z-order ($ca, $cb): ${mf.length} " +
+          s"buckets -> ${a.dest}")
+        mf.foreach(r => println(
+          s"  bucket=${r.get(0)} rows=${r.get(1)} $ca=[${r.get(2)},${r.get(3)}] " +
+            s"$cb=[${r.get(4)},${r.get(5)}]"))
+      case more => throw GraftError.InvalidConfig(
+        s"layout --by takes one column (range) or two (z-order), got ${more.length}")
+    }
   }
 
   /** Corpus mixing (ext/Sampling) as a CLI verb: `--quota-tokens` caps

@@ -124,6 +124,55 @@ object Quantize {
       .limit(topK)
   }
 
+  /** Persist the PQ index: one parquet table (id, codes, float vector —
+    * codes drive the ADC shortlist, the float column serves the rerank
+    * fetch from the SAME storage) plus the codebooks as an
+    * underscore-prefixed sidecar (`_codebooks` — scans of the index
+    * ignore it; the IVF `_centroids` convention). Build once, probe many:
+    * the fit is never paid at query time. */
+  def buildPqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+                   indexDir: String, m: Int = 16, k: Int = 16,
+                   seed: Long = 42L): PqModel = {
+    val model = fitPq(embeddings, vecCol, m, k, seed)
+    embeddings.select(col(idCol),
+        encodePq(col(vecCol), model).as("__codes"), col(vecCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(indexDir)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    model.codebooks.zipWithIndex.toSeq
+      .flatMap { case (book, s) =>
+        book.zipWithIndex.map { case (cw, j) => (s, j, cw.toSeq) }
+      }
+      .toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(indexDir + "/_codebooks")
+    model
+  }
+
+  /** Load the codebooks sidecar back into a [[PqModel]]. */
+  def loadPqModel(spark: org.apache.spark.sql.SparkSession,
+                  indexDir: String): PqModel = {
+    val rows = spark.read.parquet(indexDir + "/_codebooks")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val books = (0 until m).map { s =>
+      rows.filter(_._1 == s).sortBy(_._2).map(_._3)
+    }.toArray
+    PqModel(m, books.head.head.length, books)
+  }
+
+  /** Probe the persisted index: ADC shortlist from the stored codes,
+    * exact rerank from the stored float vectors — one table, no refit. */
+  def pqProbe(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+              idCol: String, vecCol: String, query: Seq[Float], topK: Int,
+              pool: Int = 50): DataFrame = {
+    val model = loadPqModel(spark, indexDir)
+    val idx = spark.read.parquet(indexDir)
+    pqTopKReranked(idx, idCol, "__codes", idx, vecCol, model, query,
+      topK, pool)
+  }
+
   /** The PRODUCTION PQ probe: ADC shortlists a `pool`-sized candidate set
     * from the codes (cheap — m lookups/row), then the float vectors of
     * ONLY those candidates are fetched and exactly re-ranked. On

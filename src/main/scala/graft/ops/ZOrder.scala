@@ -46,10 +46,15 @@ object ZOrder {
         shiftleft(shiftright(gb, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
 
-  /** min/max bounds of both dimensions, one aggregate. */
+  /** min/max bounds of both dimensions, one aggregate. Dimensions must be
+    * integer-valued (ids, epoch units, day numbers — cast dates/timestamps
+    * to an epoch unit first); the cast here widens int32s, it does not
+    * repair non-numeric columns. */
   def bounds(df: DataFrame, colA: String, colB: String): (Long, Long, Long, Long) = {
-    val r = df.agg(min(col(colA)), max(col(colA)),
-      min(col(colB)), max(col(colB))).first()
+    val r = df.agg(min(col(colA).cast("long")), max(col(colA).cast("long")),
+      min(col(colB).cast("long")), max(col(colB).cast("long"))).first()
+    require(!r.anyNull, s"z-order dimensions $colA/$colB must be " +
+      "non-null integer-valued columns")
     (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }
 

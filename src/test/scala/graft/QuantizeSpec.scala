@@ -49,6 +49,21 @@ class QuantizeSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(rr10.intersect(exact10).size >= 8,
       s"reranked recall too low: ${rr10.intersect(exact10).size}/10")
+    // persisted lifecycle: build → load → probe must equal the in-memory
+    // pipeline exactly (same seed, same codes, same rerank)
+    val dir = tmpDir("pq-index") + "/idx"
+    Quantize.buildPqIndex(e, "vec_id", "embedding", dir, m = 16, k = 16)
+    val loaded = Quantize.loadPqModel(spark, dir)
+    assert(loaded.m == model.m && loaded.k == model.k &&
+      loaded.dsub == model.dsub)
+    (0 until model.m).foreach { s =>
+      assert(loaded.codebooks(s).map(_.toSeq).toSeq ==
+        model.codebooks(s).map(_.toSeq).toSeq, s"codebook $s round trip")
+    }
+    val probed = Quantize.pqProbe(spark, dir, "vec_id", "embedding",
+        query, topK = 10, pool = 50)
+      .select("vec_id").as[Long].collect().toSet
+    assert(probed == rr10, "persisted probe must equal the in-memory probe")
   }
 
   test("codes are in [0,255] and reconstruction error is within one grid step") {

@@ -192,6 +192,24 @@ class CliSpec extends SparkSpec {
     assert(total == spark.read.parquet(s"$sfDir/orders.parquet").count())
   }
 
+  test("layout --by a,b z-orders with a two-dimension manifest") {
+    val dest = tmpDir("cli-zorder") + "/lineitem_z"
+    run("layout", "--source", s"$sfDir/lineitem.parquet", "--dest", dest,
+      "--by", "l_suppkey,l_partkey", "--key", "l_orderkey,l_linenumber",
+      "--buckets", "4")
+    val mf = spark.read.parquet(graft.ops.RangeLayout.manifestPath(dest))
+    assert(mf.count() == 4)
+    assert(mf.columns.toSet == Set("bucket", "n_rows",
+      "min_l_suppkey", "max_l_suppkey",
+      "min_l_partkey", "max_l_partkey"),
+      s"manifest must carry BOTH dimensions: ${mf.columns.toSet}")
+    assert(mf.agg(sum("n_rows")).first().getLong(0) ==
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count())
+    assertThrows[GraftError.InvalidConfig](
+      Main.runLayout(spark, Main.parse(Array("layout", "--source", "s",
+        "--dest", "d", "--by", "a,b,c", "--key", "k"))))
+  }
+
   test("mix rebalances by quota or temperature and rejects mixed flags") {
     import graft.ext.TextAnalysis
     val work = tmpDir("cli-mix")
