@@ -242,6 +242,52 @@ object WindowQueries {
               .as("trailing_24h"))
     },
 
+    // W13 — rolling Z-SCORE anomaly flag: each event scored against the
+    // trailing 24-event window of ITS USER's values — the streaming-ops
+    // monitoring primitive ("is this amount unusual for this account").
+    // Determinism: window SUM and SUM-OF-SQUARES run in exact DECIMAL
+    // (value is exact 2-dp money; its square exact 4-dp — frame
+    // accumulation order can never move a bit), mean/variance/z are then
+    // ONE double expression of those exact sums (identical shape both
+    // engines), z 6-dp rounded; a zero/negative variance (constant
+    // window, or the warm-up row alone) yields NULL, not NaN.
+    "w13_rolling_zscore" -> Q(
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |                  CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |w AS (SELECT event_id, user_id, us, v,
+        |        count(*) OVER win AS n,
+        |        sum(v) OVER win AS s,
+        |        sum(v * v) OVER win AS sq
+        |      FROM e
+        |      WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+        |                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, CAST(n AS BIGINT) AS n_window,
+        |       CASE WHEN (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE)
+        |                    * CAST(s AS DOUBLE) / n) / n <= 0 THEN NULL
+        |            ELSE round((CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / n)
+        |                 / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE)
+        |                           * CAST(s AS DOUBLE) / n) / n), 6)
+        |       END AS zscore
+        |FROM w""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+        val e = ev.select(col("event_id"), col("user_id"),
+          Tables.tsUs(ev).as("us"), col("value").cast("decimal(18,2)").as("v"))
+        val win = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id")).rowsBetween(-23, 0)
+        val n = count(lit(1)).over(win)
+        val sm = sum(col("v")).over(win)
+        val sq = sum(col("v") * col("v")).over(win)
+        val variance = (sq.cast("double") - sm.cast("double") *
+          sm.cast("double") / n) / n
+        val z = round((col("v").cast("double") - sm.cast("double") / n) /
+          sqrt(variance), 6)
+        e.select(col("event_id"), n.cast("long").as("n_window"),
+          when(variance <= 0, lit(null).cast("double")).otherwise(z)
+            .as("zscore"))
+    },
+
     // Cumulative DISTINCT users by hour — the "cumulative actives" curve.
     // A windowed COUNT(DISTINCT) doesn't exist distributed; the scale
     // shape is: per-user first-seen hour (one hash agg), new users per
