@@ -320,7 +320,7 @@ object Main {
     * per-doc removal frame (text_len, removed_chars, clean_text). */
   private[cli] def runDedupSpans(spark: org.apache.spark.sql.SparkSession,
                                  a: Args): Unit = {
-    import org.apache.spark.sql.functions.{col, sum}
+    import org.apache.spark.sql.functions.{coalesce, col, sum}
     if (a.source.startsWith("jdbc:") || a.dest.startsWith("jdbc:"))
       throw GraftError.InvalidConfig("dedup-spans applies to parquet paths")
     val docs = spark.read.parquet(a.source)
@@ -328,9 +328,15 @@ object Main {
       docs, a.idCol, a.textCol, n = a.ngramN, minSpan = a.minSpan,
       hashedKeys = true)
     a.report.foreach(p => removed.write.mode("overwrite").parquet(p))
-    docs.drop(a.textCol)
-      .join(removed.select(col(a.idCol), col("clean_text").as(a.textCol)),
-        Seq(a.idCol))
+    // LEFT join + coalesce: removeDuplicatedSpans only emits rows whose
+    // text is non-null, so an inner join here would silently drop
+    // null-text docs from the cleaned corpus. Every doc row rides through
+    // (null text stays null), matching dedup-lines' keep-every-row
+    // contract and the docstring's keep-every-other-column promise.
+    docs.join(removed.select(col(a.idCol), col("clean_text")),
+        Seq(a.idCol), "left")
+      .withColumn(a.textCol, coalesce(col("clean_text"), col(a.textCol)))
+      .drop("clean_text")
       .write.mode("overwrite").parquet(a.dest)
     val t = removed.agg(sum(col("text_len")).as("chars"),
       sum(col("removed_chars")).as("removed")).first()
@@ -347,7 +353,7 @@ object Main {
     * report wants. */
   private[cli] def runDiff(spark: org.apache.spark.sql.SparkSession,
                            a: Args): Unit = {
-    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
     if (a.source.startsWith("jdbc:") || a.dest.startsWith("jdbc:") ||
         a.base.startsWith("jdbc:"))
       throw GraftError.InvalidConfig("diff applies to parquet paths")
@@ -357,12 +363,14 @@ object Main {
     val next = spark.read.parquet(a.source)
     val d = graft.ext.Dedup.corpusDiff(prev, next, a.idCol, a.textCol)
     d.write.mode("overwrite").parquet(a.dest)
+    // coalesce: sum(...) over zero rows is NULL (both snapshots empty) —
+    // the summary must print "0 ids", not NPE after a successful write.
     val s = spark.read.parquet(a.dest).agg(
       count(lit(1)).as("n"),
-      sum(when(col("status") === "added", 1L).otherwise(0L)).as("a"),
-      sum(when(col("status") === "removed", 1L).otherwise(0L)).as("r"),
-      sum(when(col("status") === "modified", 1L).otherwise(0L)).as("m"),
-      sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("u"))
+      coalesce(sum(when(col("status") === "added", 1L).otherwise(0L)), lit(0L)).as("a"),
+      coalesce(sum(when(col("status") === "removed", 1L).otherwise(0L)), lit(0L)).as("r"),
+      coalesce(sum(when(col("status") === "modified", 1L).otherwise(0L)), lit(0L)).as("m"),
+      coalesce(sum(when(col("status") === "unchanged", 1L).otherwise(0L)), lit(0L)).as("u"))
       .first()
     println(s"diff ${a.base} -> ${a.source}: ${s.getLong(0)} ids " +
       s"(${s.getLong(1)} added, ${s.getLong(2)} removed, " +

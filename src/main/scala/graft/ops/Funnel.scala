@@ -29,8 +29,19 @@ object Funnel {
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
     val k = steps.size
     val stepsArr = array(steps.map(lit): _*)
-    val sorted = sort_array(collect_list(struct(tsUs.as("ts"),
-      col(typeCol).as("et"))))
+    // The -1L unfilled sentinel requires non-negative epoch-µs; a negative
+    // ts would alias the sentinel and silently corrupt slot state, so it
+    // fails loud here. Null-ts events carry no position in the funnel
+    // order and are dropped BEFORE the fold — otherwise a null ts of the
+    // first step type would fill slot 0 with null and permanently block
+    // every later (valid) step-1 event.
+    val checkedTs = when(tsUs < 0L, raise_error(concat(
+      lit("Funnel requires non-negative epoch-us timestamps, got "),
+      tsUs.cast("string")))).otherwise(tsUs)
+    val sorted = filter(
+      sort_array(collect_list(struct(checkedTs.as("ts"),
+        col(typeCol).as("et")))),
+      x => x.getField("ts").isNotNull)
     // acc: array of k slots, -1 = unfilled (epoch-µs are non-negative).
     // Slots fill strictly left-to-right: slot i admits an event only when
     // its type matches step i, the slot is empty, and slot i-1 is filled

@@ -30,12 +30,25 @@ object ZOrder {
   val GridBits = 16
   val GridMax: Long = (1L << GridBits) - 1 // 65535
 
+  /** Largest dimension span for which (v − mn) · GridMax stays inside a
+    * long (≈2⁴⁷). Spans beyond it would WRAP in the non-ANSI long multiply
+    * and emit negative grids / garbage z-values — enforced loudly in
+    * [[gridCoord]]/[[bounds]] instead of degrading the layout silently.
+    * Oversized dimensions (e.g. a raw epoch-µs column spanning decades)
+    * should be pre-scaled to a coarser unit (days, hours) by the caller. */
+  val MaxSpan: Long = Long.MaxValue / GridMax
+
   /** 16-bit grid coordinate of column `name` within [mn, mx] — exact
     * floor division (`div`, never a double ratio); a degenerate dimension
     * (mx == mn) collapses to grid 0. */
   def gridCoord(name: String, mn: Long, mx: Long): Column =
     if (mx == mn) lit(0L)
-    else expr(s"((`$name` - ${mn}L) * ${GridMax}L) div ${mx - mn}L")
+    else {
+      require(mx - mn <= MaxSpan, s"z-order dimension `$name` span " +
+        s"${mx - mn} exceeds the exact-arithmetic bound $MaxSpan (~2^47); " +
+        "rescale the column to a coarser unit first")
+      expr(s"((`$name` - ${mn}L) * ${GridMax}L) div ${mx - mn}L")
+    }
 
   /** Morton interleave of two 16-bit grid coordinates: dimension A takes
     * the even bits, B the odd. Terms have disjoint bits, so the sum IS
@@ -55,6 +68,12 @@ object ZOrder {
       min(col(colB).cast("long")), max(col(colB).cast("long"))).first()
     require(!r.anyNull, s"z-order dimensions $colA/$colB must be " +
       "non-null integer-valued columns")
+    Seq(colA -> (r.getLong(1) - r.getLong(0)),
+        colB -> (r.getLong(3) - r.getLong(2))).foreach { case (c, span) =>
+      require(span <= MaxSpan, s"z-order dimension `$c` span $span exceeds " +
+        s"the exact-arithmetic bound $MaxSpan (~2^47); rescale the column " +
+        "to a coarser unit first")
+    }
     (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }
 

@@ -83,4 +83,30 @@ class FunnelSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       Funnel.funnel(ev, "user_id", col("us"), "event_type", Seq("a", "a")))
   }
+
+  test("null-ts events are ignored, never poison a slot; negative ts fails loud") {
+    // user 1: a NULL-ts view arrives before a valid view+click — the null
+    // must not fill slot 0 (which would block the real view forever);
+    // user 2 has ONLY null-ts events and still gets a reached=0 row.
+    val ev = Seq(
+      (1L, None: Option[Long], "view"), (1L, Some(10L), "view"),
+      (1L, Some(20L), "click"),
+      (2L, None: Option[Long], "view")
+    ).toDF("user_id", "us", "event_type")
+    val got = Funnel.funnel(ev, "user_id", col("us"), "event_type",
+        Seq("view", "click"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(got(1L) == ((2L, Some(10L), Some(20L))),
+      s"null-ts view must not block slot 0: $got")
+    assert(got(2L) == ((0L, None, None)),
+      s"all-null user still reports reached=0: $got")
+    // -1L would alias the unfilled sentinel — the contract is enforced,
+    // not just documented
+    val neg = Seq((1L, -1L, "view")).toDF("user_id", "us", "event_type")
+    val ex = intercept[Exception](
+      Funnel.funnel(neg, "user_id", col("us"), "event_type", Seq("view"))
+        .collect())
+    assert(ex.getMessage != null)
+  }
 }

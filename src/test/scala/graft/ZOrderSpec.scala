@@ -27,6 +27,24 @@ class ZOrderSpec extends SparkSpec {
     assert(got == ((0L, 32767L, 65535L, 0L)), s"grid: $got")
   }
 
+  test("oversized dimension span fails loud, never wraps silently") {
+    // (v − mn) · 65535 wraps past ~2^47 — a raw epoch-µs column spanning
+    // decades. Both the Column builder and the data-driven bounds() must
+    // refuse, not emit negative grids.
+    val over = ZOrder.MaxSpan + 1
+    val exA = intercept[IllegalArgumentException](
+      ZOrder.gridCoord("v", 0L, over))
+    assert(exA.getMessage.contains("span"), exA.getMessage)
+    val wide = Seq((0L, 1L), (over, 2L)).toDF("a", "b")
+    val exB = intercept[IllegalArgumentException](
+      ZOrder.bounds(wide, "a", "b"))
+    assert(exB.getMessage.contains("span"), exB.getMessage)
+    // the bound itself is still usable: exactly MaxSpan passes
+    val ok = Seq((0L, 50L, 100L)).toDF("lo", "mid", "hi")
+      .select(ZOrder.gridCoord("lo", 0L, ZOrder.MaxSpan)).as[Long].head()
+    assert(ok == 0L)
+  }
+
   test("z-ordered layout prunes buckets on EITHER dimension, reads exact") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val df = ev.select(col("event_id"), col("user_id"),

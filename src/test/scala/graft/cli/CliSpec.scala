@@ -303,6 +303,39 @@ class CliSpec extends SparkSpec {
         "--source", "jdbc:postgresql://h/db#t", "--dest", "d"))))
   }
 
+  test("dedup-spans keeps null-text rows (keep-every-row contract)") {
+    import spark.implicits._
+    val work = tmpDir("cli-dedup-spans-null")
+    // doc 2 has NULL text: it must ride through to the cleaned corpus
+    // (text stays null), not vanish in the join against the span output
+    Seq((0L, Some("ABCDEFGHIJKLMNOPQRSTuuuuuuuuuu"), "en"),
+        (1L, Some("xxxxxxxxxxABCDEFGHIJKLMNOPQRST"), "de"),
+        (2L, None: Option[String], "fr"))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$work/in")
+    run("dedup-spans", "--source", s"$work/in", "--dest", s"$work/out")
+    val out = spark.read.parquet(s"$work/out")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        Option(r.getAs[String]("text")), r.getAs[String]("lang")))
+      .sortBy(_._1).toList
+    assert(out == List((0L, Some("uuuuuuuuuu"), "en"),
+      (1L, Some("xxxxxxxxxx"), "de"), (2L, None, "fr")), s"got $out")
+  }
+
+  test("diff on two empty snapshots prints 0 ids instead of NPEing") {
+    import spark.implicits._
+    val work = tmpDir("cli-diff-empty")
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .write.parquet(s"$work/prev")
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .write.parquet(s"$work/next")
+    // the summary after a successful zero-row write must not NPE on the
+    // NULL sums
+    run("diff", "--source", s"$work/next", "--base", s"$work/prev",
+      "--dest", s"$work/out")
+    assert(spark.read.parquet(s"$work/out").count() == 0)
+  }
+
   test("diff classifies snapshot changes and requires --base") {
     import spark.implicits._
     val work = tmpDir("cli-diff")
