@@ -25,7 +25,8 @@ import graft.sync.{SyncConfig, SyncEndpoint, SyncPipeline, SyncReport}
   *     [--id-col doc_id] [--text-col text] [--jaccard 0.8] \
   *     [--min-tokens N] [--max-tokens N]
   *   runMain graft.cli.Main neardup --source <parquet docs> --dest <parquet pairs> \
-  *     [--mode minhash|simhash|exact] [--id-col doc_id] [--text-col text] \
+  *     [--mode minhash|simhash|exact|containment|containment-sampled] \
+  *     [--id-col doc_id] [--text-col text] \
   *     [--jaccard 0.8]
   *   runMain graft.cli.Main semantic-dedup --source <parquet embeddings> \
   *     --dest <parquet survivors> [--id-col vec_id] [--vector-col embedding] \
@@ -87,7 +88,7 @@ object Main {
         "neardup", "semantic-dedup", "quality", "admit",
         "decontaminate", "spans", "layout", "mix",
         "dedup-lines", "dedup-spans", "diff").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact] [--id-col doc_id] [--text-col text] [--jaccard 0.8] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text]")
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text]")
     val opts = scala.collection.mutable.Map.empty[String, String]
     var i = 1
     while (i < argv.length) {
@@ -152,7 +153,8 @@ object Main {
         // picks the overlap MEASURE (shingle tally vs merged span coverage)
         val (dflt, allowed) =
           if (argv(0) == "decontaminate") ("shingle", Set("shingle", "span"))
-          else ("minhash", Set("minhash", "simhash", "exact"))
+          else ("minhash", Set("minhash", "simhash", "exact",
+            "containment", "containment-sampled"))
         val m = opts.getOrElse("mode", dflt)
         if (!allowed.contains(m))
           throw GraftError.InvalidConfig(
@@ -531,6 +533,32 @@ object Main {
         val out = spark.read.parquet(a.dest)
         println(s"neardup exact ${a.source}: ${out.count()} docs, " +
           s"${out.select("keeper_id").distinct().count()} keepers -> ${a.dest}")
+      case "containment" =>
+        // asymmetric quote/subset pairs at --threshold; the maxDf
+        // boilerplate-shingle cap is ON by default (opt out only in the
+        // library API) and its drop count prints — never a silent
+        // truncation, never an uncapped posting-list self-join
+        val (pairs, dropped) = graft.ext.Dedup.containmentPairsCounted(
+          docs, a.idCol, a.textCol, minContainment = a.threshold,
+          nativeShingles = true)
+        pairs.write.mode("overwrite").parquet(a.dest)
+        val capped = if (dropped > 0)
+          s" [capped: $dropped boilerplate shingles dropped]" else ""
+        println(s"neardup containment ${a.source}: " +
+          s"${spark.read.parquet(a.dest).count()} pairs -> ${a.dest}$capped")
+      case "containment-sampled" =>
+        // the 100 TB form: deterministic 1/16 gram-space slice bounds the
+        // pair-join mass by the sample rate even under degenerate
+        // duplication (hashed 8-byte join keys on top)
+        val (pairs, dropped) =
+          graft.ext.Dedup.containmentPairsSampledCounted(
+            docs, a.idCol, a.textCol, minContainment = a.threshold,
+            nativeShingles = true, hashedKeys = true)
+        pairs.write.mode("overwrite").parquet(a.dest)
+        val capped = if (dropped > 0)
+          s" [capped: $dropped sampled shingles dropped]" else ""
+        println(s"neardup containment-sampled ${a.source}: " +
+          s"${spark.read.parquet(a.dest).count()} pairs -> ${a.dest}$capped")
     }
   }
 

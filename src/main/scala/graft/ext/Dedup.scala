@@ -369,6 +369,94 @@ object Dedup {
     (out, dropped)
   }
 
+  /** The SAMPLED scale path for [[containmentPairs]] — the production
+    * form for corpora where even the maxDf-capped inverted-index join is
+    * too much pair mass (containment is output-quadratic under heavy
+    * duplication by construction; see ScaleStress's e6l curve). Only
+    * shingles whose md5 hex prefix is all-zero participate: a
+    * deterministic 1/16^hexPrefixLen slice of the GRAM SPACE, identical
+    * in any engine (the [[graft.ext.TextAnalysis.charNgramDupFractionSampled]]
+    * pattern), so the estimator itself is strictly oracle-gated — exact
+    * within the slice, never a probabilistic sketch. Posting lists,
+    * per-doc set sizes, and the pair join all shrink by the sample rate;
+    * the estimate is |A∩B∩S| / min(|A∩S|, |B∩S|) over the sampled space
+    * S. Docs with no sampled shingle drop out (they cannot join anyway);
+    * a pair whose sampled intersection is empty never surfaces — both
+    * engines drop it identically.
+    *
+    * `hashedKeys` composes the e6g2 switch onto the slice: the md5
+    * sample predicate stays cross-engine-deterministic, but sampled gram
+    * instances shuffle/join as 8-byte xxhash64 payloads.
+    *
+    * @return a_id, b_id, shared_sampled, n_a_sampled, n_b_sampled,
+    *         containment_est — pairs with estimate ≥ `minContainment`,
+    *         a_id < b_id */
+  def containmentPairsSampled(docs: DataFrame, idCol: String, textCol: String,
+                              minContainment: Double, n: Int = 3,
+                              maxDf: Long = DefaultMaxBandSize,
+                              hexPrefixLen: Int = 1,
+                              nativeShingles: Boolean = false,
+                              hashedKeys: Boolean = false): DataFrame =
+    containmentPairsSampledCounted(docs, idCol, textCol, minContainment, n,
+      maxDf, hexPrefixLen, nativeShingles, hashedKeys)._1
+
+  /** [[containmentPairsSampled]] plus the number of SAMPLED shingles
+    * dropped by the `maxDf` posting-list cap (zero ⟺ exact over the
+    * slice). */
+  def containmentPairsSampledCounted(docs: DataFrame, idCol: String,
+                                     textCol: String, minContainment: Double,
+                                     n: Int = 3,
+                                     maxDf: Long = DefaultMaxBandSize,
+                                     hexPrefixLen: Int = 1,
+                                     nativeShingles: Boolean = false,
+                                     hashedKeys: Boolean = false)
+      : (DataFrame, Long) = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0,1]: $minContainment")
+    require(maxDf > 0, s"maxDf must be positive: $maxDf")
+    require(hexPrefixLen > 0 && hexPrefixLen <= 8,
+      s"hexPrefixLen must be in [1,8]: $hexPrefixLen")
+    val zeros = "0" * hexPrefixLen
+    // materialize the slice once: sizes and postings both read it, and the
+    // explode + md5 over the FULL gram frame is the dominant map-side cost
+    val sampled = docs
+      .select(col(idCol).as("__doc"),
+        explode(shingleCol(col(textCol), n, nativeShingles)).as("__raw"))
+      .filter(substring(md5(col("__raw")), 1, hexPrefixLen) === zeros)
+      .select(col("__doc"),
+        (if (hashedKeys) xxhash64(col("__raw")) else col("__raw")).as("__g"))
+      .localCheckpoint()
+    val sizes = sampled.groupBy("__doc").agg(count(lit(1)).as("__n"))
+    val capped = maxDf != Long.MaxValue
+    val (pruned, dropped) = if (capped) {
+      val dfreq = sampled.groupBy("__g").agg(count(lit(1)).as("__df"))
+        .localCheckpoint()
+      val d = dfreq
+        .agg(coalesce(sum(when(col("__df") > maxDf, 1L).otherwise(0L)), lit(0L)))
+        .first().getLong(0)
+      (sampled.join(dfreq.filter(col("__df") <= maxDf).select("__g"), "__g"), d)
+    } else (sampled, 0L)
+    val shared = pruned.select(col("__doc").as("a_id"), col("__g"))
+      .join(pruned.select(col("__doc").as("b_id"), col("__g")), "__g")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared_sampled"))
+    val out = shared
+      .join(sizes.select(col("__doc").as("a_id"),
+        col("__n").as("n_a_sampled")), "a_id")
+      .join(sizes.select(col("__doc").as("b_id"),
+        col("__n").as("n_b_sampled")), "b_id")
+      .withColumn("containment_est",
+        round(col("shared_sampled").cast("double") /
+          least(col("n_a_sampled"), col("n_b_sampled")).cast("double"), 6))
+      .filter(col("containment_est") >= minContainment)
+      .select(col("a_id"), col("b_id"),
+        col("shared_sampled").cast("long").as("shared_sampled"),
+        col("n_a_sampled").cast("long").as("n_a_sampled"),
+        col("n_b_sampled").cast("long").as("n_b_sampled"),
+        col("containment_est"))
+    (out, dropped)
+  }
+
   /** k-permutation MinHash signature over shingles, per-row (no shuffle):
     * hash_i(s) = xxhash64(s, i); signature[i] = min over shingles.
     * Estimates Jaccard: P[sig_a[i]=sig_b[i]] = J(a,b).

@@ -3056,6 +3056,57 @@ object ExtQueries {
           minContainment = 1.0, nativeShingles = true)
     },
 
+    // E1 — the SAMPLED scale path for containment pairs (the e6g3 trick
+    // applied to the inverted-index pair join): only shingles whose md5
+    // hex prefix is '0' participate — a deterministic 1/16 slice of the
+    // GRAM SPACE, identical in both engines, so the estimator is strictly
+    // oracle-gated. Posting lists, set sizes, and the pair join all
+    // shrink ×16; planted pairs whose sampled intersection is empty drop
+    // out IDENTICALLY in both engines (the estimate is exact within the
+    // slice, never a sketch). hashedKeys: sampled grams shuffle/join as
+    // 8-byte xxhash64 payloads — the output exposes only counts, so the
+    // string-keyed oracle still gates it (a 64-bit collision would
+    // surface as a hash mismatch, never silently). Threshold 0.5 keeps
+    // the sampled estimate's variance visible instead of filtering it
+    // away. This is the production form ScaleStress's e6l curve demands:
+    // even maxDf-capped containment is output-quadratic under heavy
+    // duplication; the slice bounds the join mass by the sample rate.
+    "e6l2_containment_pairs_sampled" -> Q(
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |         array_to_string((regexp_split_to_array(text, '\s+'))[1:20], ' ')
+        |  FROM documents),
+        |sh AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ta FROM corpus),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
+        |             ELSE list_distinct(list_transform(range(1, len(ta) - 1),
+        |                    i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2])) END AS sg
+        |      FROM sh),
+        |e AS (SELECT doc_id, unnest(sg) AS gram FROM g),
+        |sm AS (SELECT doc_id, gram FROM e WHERE substr(md5(gram), 1, 1) = '0'),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sm GROUP BY 1),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+        |      FROM sm a JOIN sm b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT p.a_id, p.b_id, CAST(shared AS BIGINT) AS shared_sampled,
+        |       sa.n AS n_a_sampled, sb.n AS n_b_sampled,
+        |       round(shared * 1.0 / least(sa.n, sb.n), 6) AS containment_est
+        |FROM p JOIN sz sa ON p.a_id = sa.doc_id
+        |       JOIN sz sb ON p.b_id = sb.doc_id
+        |WHERE round(shared * 1.0 / least(sa.n, sb.n), 6) >= 0.5""".stripMargin) {
+      (s, dir) =>
+        graft.functions.GraftFunctions.register(s)
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val plants = docs.select((col("doc_id") + 200000).as("doc_id"),
+          concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 20))
+            .as("text"))
+        Dedup.containmentPairsSampled(docs.unionByName(plants), "doc_id",
+          "text", minContainment = 0.5, nativeShingles = true,
+          hashedKeys = true)
+    },
+
     // E1/E4 — LINE-level boilerplate duplication stats (RefinedWeb/CCNet:
     // a trimmed line recurring across documents is chrome/banners/licence
     // headers). The fixture corpus is single-line, so the gate CONSTRUCTS

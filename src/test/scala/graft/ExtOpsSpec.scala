@@ -1572,6 +1572,40 @@ class ExtOpsSpec extends SparkSpec {
     assert(capped.count() == 0 && dropped == 4L) // the 4 shared shingles
   }
 
+  test("sampled containment: exact within the md5 slice, hashed-key twin equal, cap counted") {
+    // identical docs share EVERY shingle, so whatever slice md5 selects,
+    // their sampled sets are identical → containment_est must be exactly
+    // 1.0 whenever at least one shingle lands in the slice (100 distinct
+    // tokens ≈ 98 shingles → the 1/16 slice is non-empty for this fixed
+    // text; md5 is deterministic, so the test is too)
+    val words = (0 until 100).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq((1L, words), (2L, words),
+      (3L, "entirely disjoint vocabulary over here friends"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.Dedup.containmentPairsSampled(corpus, "doc_id",
+        "text", minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toList
+    assert(got.length == 1 && got.head._1 == 1L && got.head._2 == 2L &&
+      got.head._6 == 1.0, s"got $got")
+    val nSampled = got.head._4
+    assert(nSampled > 0 && nSampled < 98,
+      s"slice should be a strict non-empty subset of ~98 shingles: $nSampled")
+    assert(got.head._3 == nSampled && got.head._5 == nSampled,
+      "identical docs: shared == both sampled sizes")
+    // the hashed-key production switch is bit-equal on the output counts
+    val hashed = graft.ext.Dedup.containmentPairsSampled(corpus, "doc_id",
+        "text", minContainment = 0.5, hashedKeys = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toList
+    assert(hashed == got, s"hashed-key twin diverged: $hashed vs $got")
+    // maxDf cap applies WITHIN the slice and is counted loudly
+    val (cap, drop) = graft.ext.Dedup.containmentPairsSampledCounted(
+      corpus, "doc_id", "text", minContainment = 0.1, maxDf = 1L)
+    assert(cap.count() == 0 && drop == nSampled,
+      s"every shared sampled gram capped: dropped=$drop want $nSampled")
+  }
+
   test("line dedup: cross-doc dups flagged after trim, within-doc repeats are not, blanks dropped") {
     val corpus = Seq(
       (0L, "common\nalpha"), (1L, " common \nbeta\n  "), (2L, "gamma"),

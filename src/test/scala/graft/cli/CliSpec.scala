@@ -303,6 +303,27 @@ class CliSpec extends SparkSpec {
         "--source", "jdbc:postgresql://h/db#t", "--dest", "d"))))
   }
 
+  test("neardup containment modes find the asymmetric quote pair, capped by default") {
+    import spark.implicits._
+    val work = tmpDir("cli-containment")
+    val long1 = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron pi"
+    Seq((1L, long1), (2L, "alpha beta gamma delta epsilon zeta"),
+        (3L, "totally different words here now"))
+      .toDF("doc_id", "text").write.parquet(s"$work/in")
+    run("neardup", "--source", s"$work/in", "--dest", s"$work/pairs",
+      "--mode", "containment", "--threshold", "1.0")
+    val got = spark.read.parquet(s"$work/pairs")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toList
+    assert(got == List((1L, 2L)), s"got $got")
+    // the sampled mode runs end-to-end and emits the estimator schema
+    run("neardup", "--source", s"$work/in", "--dest", s"$work/pairs2",
+      "--mode", "containment-sampled", "--threshold", "0.5")
+    assert(spark.read.parquet(s"$work/pairs2").columns.toSet ==
+      Set("a_id", "b_id", "shared_sampled", "n_a_sampled", "n_b_sampled",
+        "containment_est"))
+  }
+
   test("dedup-spans keeps null-text rows (keep-every-row contract)") {
     import spark.implicits._
     val work = tmpDir("cli-dedup-spans-null")
