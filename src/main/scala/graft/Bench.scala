@@ -65,12 +65,34 @@ object Bench {
         s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
     }
 
+    // Reclaim per-query harness state between entries. 161 queries in one
+    // 8 GiB JVM accumulate (a) the replay twins' memory-sink tables —
+    // DRIVER-heap copies of every emitted row, strongly referenced by the
+    // catalog until dropped — and (b) dead localCheckpoint blocks, which
+    // the ContextCleaner only unpersists after their RDD objects are
+    // GARBAGE-COLLECTED (weak references). Left alone, late-alphabet
+    // entries (the t6/t9/t10 replays) ran against a storage-memory-full
+    // session and measured ~2× their isolated cost (BENCH_r09 vs r06).
+    // The module-level caches that MUST survive (ExtQueries.pqCache /
+    // corpusCache, the parquet index dirs) hold strong references / live
+    // on disk, so neither step can evict them. GC only under pressure:
+    // a full collection costs ~100 ms and is pure waste while cached
+    // blocks are small.
+    def reclaimHarnessState(): Unit = {
+      spark.catalog.listTables().collect()
+        .filter(t => t.isTemporary && t.name.contains("_replay_"))
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      val cachedBytes = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+      if (cachedBytes > (1L << 30)) System.gc()
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val times = (1 to runsFor(name)).map { _ =>
         time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
       }.filter(_ >= 0)
+      reclaimHarnessState()
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
 
@@ -159,9 +181,21 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
-    println(s"""{"queries":$qs,"sync_rows":$syncRows,"runs_per_query":$runs,""" +
+    val line = s"""{"queries":$qs,"sync_rows":$syncRows,"runs_per_query":$runs,""" +
       s""""sf":"$sfDir","sync_rows_per_sec":${syncRps.round},""" +
-      s""""metric":"total","value":${r3(total)},"unit":"sec"}""")
+      s""""metric":"total","value":${r3(total)},"unit":"sec"}"""
+    println(line)
+    // also persist the line to a stable file: nine rounds of BENCH_r*.json
+    // carry "parsed": null despite a valid JSON line in the stdout tail —
+    // a file survives any tail truncation or log interleaving
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LINE.json"), line + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write BENCH_LINE.json: $e") }
     spark.stop()
+    // re-emit as the very LAST stdout line after Spark's shutdown logging:
+    // the driver keeps a bounded tail, and maximizing tail survival of the
+    // structured line is free
+    println(line)
   }
 }
