@@ -75,6 +75,79 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** FULL iterative BPE merge training (the real tokenizer-training
+    * primitive; [[bpePairStats]] is its first round's statistics): N
+    * rounds of count-adjacent-pairs → pick the argmax pair → merge it
+    * everywhere → recount. Returns the merge TABLE (round, pair, cnt) —
+    * the trained artifact a tokenizer applies.
+    *
+    * Scale shape: training runs on the DISTINCT-token frequency table
+    * (one corpus tokenize + count, vocab-bounded — never the raw token
+    * stream), so each round costs one pair explode + one map-side-combined
+    * aggregation + one argmax top-1 over the vocab table, exactly the
+    * classic word-frequency BPE formulation. The argmax is a one-row
+    * frame BROADCAST onto the merge rewrite (in-plan — no driver value
+    * round-trip), and the evolving vocab table is localCheckpoint'd per
+    * round (constant-depth plans, the PageRank discipline).
+    *
+    * Cross-engine determinism: token symbol state is encoded as a STRING
+    * with each symbol wrapped in U+0001 sentinels (`␁c␁␁a␁␁t␁`), so the
+    * merge is ONE standard left-to-right non-overlapping string
+    * `replace(enc, ␁a␁␁b␁ → ␁ab␁)` — identical greedy semantics in any
+    * engine, including the overlap case (`aaa` + merge (a,a) → `[aa,a]`)
+    * — and the oracle unrolls rounds as chained CTEs doing the same
+    * replace (the e9d technique). Pair identity is `a + ' ' + b` (symbols
+    * are whitespace-free by construction); the argmax total order is
+    * (cnt desc, pair asc). Tokens containing the sentinel are excluded by
+    * contract (filtered, with [[bpeTrainCounted]] returning how many).
+    *
+    * Rounds after pair exhaustion (vocab fully merged) emit no rows —
+    * the unioned output simply has fewer than `merges` rows, matching
+    * the oracle's empty tail CTEs.
+    *
+    * @return (round, pair, cnt) — one row per executed merge round */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame =
+    bpeTrainCounted(docs, textCol, merges)._1
+
+  /** [[bpeTrain]] plus the number of tokens excluded because they contain
+    * the U+0001 symbol sentinel (zero on any normal corpus). */
+  def bpeTrainCounted(docs: DataFrame, textCol: String, merges: Int)
+      : (DataFrame, Long) = {
+    require(merges >= 1, s"merges must be >= 1: $merges")
+    val SEP = "\u0001"
+    val tok = docs.select(explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) >= 2)
+    val excluded = tok.filter(col("token").contains(SEP)).count()
+    var t = tok.filter(!col("token").contains(SEP))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("token"), "(.)", s"$SEP$$1$SEP").as("enc"),
+        col("freq"))
+      .localCheckpoint()
+    val rounds = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (r <- 1 to merges) {
+      val syms = split(trim(col("enc"), SEP), SEP + SEP)
+      val pairs = t.select(col("freq"), explode(when(size(syms) >= 2,
+          transform(sequence(lit(1), size(syms) - 1),
+            i => concat(element_at(syms, i), lit(" "),
+              element_at(syms, i + 1))))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+      val best = pairs.groupBy("pair").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+        .select(lit(r).cast("long").as("round"), col("pair"),
+          col("cnt").cast("long").as("cnt"))
+        .localCheckpoint() // one row; also the per-round barrier
+      rounds += best
+      val a = split(col("pair"), " ").getItem(0)
+      val b = split(col("pair"), " ").getItem(1)
+      t = t.crossJoin(broadcast(best.select(
+          concat(lit(SEP), a, lit(SEP + SEP), b, lit(SEP)).as("__search"),
+          concat(lit(SEP), a, b, lit(SEP)).as("__repl"))))
+        .select(expr("replace(enc, __search, __repl)").as("enc"), col("freq"))
+        .localCheckpoint()
+    }
+    (rounds.reduce(_ unionByName _), excluded)
+  }
+
   /** Polynomial rolling hash over character codes, mod 1e9+7 (fits exact
     * integer arithmetic in any engine): h = fold(h*31 + code). The
     * order-sensitive cheap fingerprint (md5 twin: [[fingerprint]]). */

@@ -10,37 +10,54 @@ import org.apache.spark.sql.functions._
   * cluster, or weighting suppliers by how central their part overlap is).
   *
   * Fixed-iteration damped power method: r₀ = 1/N;
-  * rₖ₊₁(v) = (1−d)/N + d·Σ_{u→v} rₖ(u)/deg(u). No convergence test — a
-  * fixed iteration count is what makes the result EXACTLY reproducible
-  * (and oracle-checkable: the gate SQL unrolls the same iterations as
-  * chained CTEs). Dangling nodes are excluded by construction here:
-  * callers pass edge lists where every node has out-degree ≥ 1 (an
-  * undirected graph encoded as both directed arcs satisfies this).
+  * rₖ₊₁(v) = (1−d)/N + d·(Σ_{u→v} rₖ(u)/deg(u) + D_k/N), where D_k is the
+  * total rank mass sitting on DANGLING nodes (out-degree 0) at step k —
+  * redistributed uniformly, the standard random-surfer teleport. With
+  * `danglingMass = false` (the historical default) the D_k term is
+  * omitted; that is only mass-conserving when every node has out-degree
+  * ≥ 1 (an undirected graph encoded as both directed arcs satisfies
+  * this), and callers with genuinely directed graphs should pass
+  * `danglingMass = true`. No convergence test in this form — a fixed
+  * iteration count is what makes the result EXACTLY reproducible (and
+  * oracle-checkable: the gate SQL unrolls the same iterations as chained
+  * CTEs). [[pageRankConverged]] is the ε-terminated variant with an
+  * iteration cap for callers who want steady state over replayability.
   *
   * Cross-engine determinism (the e4p discipline): each edge contribution
   * `rank/deg` is one double division (identical shape both engines),
   * rounded to 12 dp and fixed as DECIMAL(28,12) BEFORE the per-target
   * sum — exact and order-free, so the reduction order Spark's shuffle
-  * picks can never change a bit. The per-iteration update is then one
-  * double expression of that exact sum.
+  * picks can never change a bit. The dangling mass D_k is the same
+  * 12-dp-round + DECIMAL sum over the dangling nodes' ranks (order-free
+  * again), and the per-iteration update is then one double expression of
+  * those exact sums.
   *
   * Shape per iteration: one broadcast-or-shuffle equi-join of the rank
   * table (N rows) onto the edge table (E rows, pre-joined ONCE with
   * out-degrees and checkpointed), one target-keyed aggregation, one left
-  * join back onto the node table for in-degree-0 nodes. Rank tables are
-  * localCheckpoint'd per iteration — constant-depth plans instead of a
-  * k-deep lineage (the classic iterative-Spark trap). Everything keys on
-  * node id; no driver-side loops over data, only over ITERATIONS.
+  * join back onto the node table for in-degree-0 nodes; with dangling
+  * redistribution, plus one anti-join + scalar DECIMAL aggregation whose
+  * single row broadcasts onto the update (the one-row broadcast-totals
+  * pattern — never a driver collect inside the loop). Rank tables are
+  * localCheckpoint'd on an every-other cadence — constant-depth plans
+  * instead of a k-deep lineage (the classic iterative-Spark trap).
+  * Everything keys on node id; no driver-side loops over data, only over
+  * ITERATIONS.
   *
   * @param edges directed edge table
   * @return node, rank (after `iterations` updates, 10-dp rounded)
   */
 object PageRank {
 
-  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int = 5, damping: Double = 0.85): DataFrame = {
-    require(iterations >= 1, s"iterations must be >= 1: $iterations")
-    require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
+  /** Per-iteration shared state: node table, checkpointed edge⋈degree,
+    * node count, and (when dangling redistribution is on) the fixed
+    * dangling-node table — the dangling SET never changes across
+    * iterations, only its mass does. */
+  private final case class Graph(nodes: DataFrame, ed: DataFrame, n: Long,
+                                 dangling: Option[DataFrame])
+
+  private def prepare(edges: DataFrame, srcCol: String, dstCol: String,
+                      danglingMass: Boolean): Graph = {
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .distinct()
     val nodes = e.select(col("__src").as("node"))
@@ -50,20 +67,53 @@ object PageRank {
     val deg = e.groupBy("__src").agg(count(lit(1)).as("__deg"))
     // edge ⋈ degree once; every iteration reuses this checkpointed frame
     val ed = e.join(deg, "__src").localCheckpoint()
-    val base = lit((1.0 - damping) / n)
-    var rank = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-      .localCheckpoint()
-    for (it <- 1 to iterations) {
-      val contrib = ed.join(rank, ed("__src") === rank("node"))
-        .select(col("__dst"),
-          round(col("rank") / col("__deg"), 12)
-            .cast("decimal(28,12)").as("__c"))
-      val sums = contrib.groupBy(col("__dst").as("node"))
-        .agg(sum(col("__c")).as("__s"))
-      rank = nodes.join(sums, Seq("node"), "left")
-        .select(col("node"),
+    val dangling = if (danglingMass)
+      Some(nodes.join(deg.select(col("__src").as("node")), Seq("node"),
+        "left_anti").localCheckpoint())
+    else None
+    Graph(nodes, ed, n, dangling)
+  }
+
+  /** One damped power-method update of `rank` over `g`. */
+  private def step(g: Graph, rank: DataFrame, damping: Double): DataFrame = {
+    val base = lit((1.0 - damping) / g.n)
+    val contrib = g.ed.join(rank, g.ed("__src") === rank("node"))
+      .select(col("__dst"),
+        round(col("rank") / col("__deg"), 12)
+          .cast("decimal(28,12)").as("__c"))
+    val sums = contrib.groupBy(col("__dst").as("node"))
+      .agg(sum(col("__c")).as("__s"))
+    val joined = g.nodes.join(sums, Seq("node"), "left")
+    g.dangling match {
+      case None =>
+        joined.select(col("node"),
           (base + lit(damping) *
             coalesce(col("__s").cast("double"), lit(0.0))).as("rank"))
+      case Some(dang) =>
+        // D_k: exact order-free DECIMAL sum of the dangling ranks; ONE
+        // row, broadcast onto every node's update (in-plan — no driver
+        // action inside the iteration loop)
+        val dm = dang.join(rank, "node")
+          .agg(coalesce(sum(round(col("rank"), 12).cast("decimal(28,12)")),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(28,12)")).as("__dm"))
+        joined.crossJoin(broadcast(dm))
+          .select(col("node"),
+            (base + lit(damping) *
+              (coalesce(col("__s").cast("double"), lit(0.0)) +
+                col("__dm").cast("double") / lit(g.n.toDouble))).as("rank"))
+    }
+  }
+
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 5, damping: Double = 0.85,
+               danglingMass: Boolean = false): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
+    val g = prepare(edges, srcCol, dstCol, danglingMass)
+    var rank = g.nodes
+      .select(col("node"), lit(1.0 / g.n).as("rank")).localCheckpoint()
+    for (it <- 1 to iterations) {
+      rank = step(g, rank, damping)
       // cut lineage every SECOND iteration (and at the end): a 2-deep
       // join-agg plan optimizes fine, while an eager checkpoint per
       // iteration doubles the fixed job count — measured 12.2 s → the
@@ -71,5 +121,41 @@ object PageRank {
       if (it % 2 == 0 || it == iterations) rank = rank.localCheckpoint()
     }
     rank.select(col("node"), round(col("rank"), 10).as("rank"))
+  }
+
+  /** ε-CONVERGENCE mode: iterate until max |rₖ₊₁ − rₖ| < `tol` or
+    * `maxIterations` is hit, whichever first. The termination test costs
+    * one extra node-keyed join + scalar aggregation per iteration (a
+    * bounded driver action — the price of a data-dependent stop), so the
+    * fixed-iteration [[pageRank]] stays the gate/replay form; this is the
+    * steady-state form for production ranking where the caller wants
+    * "converged" rather than "k steps". The iteration count it ran is
+    * returned so callers can REPLAY the exact result via
+    * `pageRank(..., iterations = ranIterations)` — the two forms share
+    * the step function, so the replay is bit-identical.
+    *
+    * @return (node/rank frame — 10-dp rounded, iterations actually run) */
+  def pageRankConverged(edges: DataFrame, srcCol: String, dstCol: String,
+                        tol: Double, maxIterations: Int = 50,
+                        damping: Double = 0.85,
+                        danglingMass: Boolean = true): (DataFrame, Int) = {
+    require(tol > 0, s"tol must be positive: $tol")
+    require(maxIterations >= 1, s"maxIterations must be >= 1: $maxIterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
+    val g = prepare(edges, srcCol, dstCol, danglingMass)
+    var rank = g.nodes
+      .select(col("node"), lit(1.0 / g.n).as("rank")).localCheckpoint()
+    var it = 0
+    var converged = false
+    while (it < maxIterations && !converged) {
+      val next = step(g, rank, damping).localCheckpoint()
+      val delta = next
+        .join(rank.select(col("node"), col("rank").as("__prev")), "node")
+        .agg(max(abs(col("rank") - col("__prev")))).first().getDouble(0)
+      rank = next
+      it += 1
+      if (delta < tol) converged = true
+    }
+    (rank.select(col("node"), round(col("rank"), 10).as("rank")), it)
   }
 }

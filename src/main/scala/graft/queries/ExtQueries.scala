@@ -47,6 +47,82 @@ object ExtQueries {
     s"$head$iters\nSELECT node, round(rank, 10) AS rank FROM r$iterations"
   }
 
+  /** DuckDB oracle for `e9d2_pagerank_dangling`: the DIRECTED
+    * supplier→part graph, where every part node is dangling (out-degree
+    * 0), so each unrolled iteration additionally computes the exact
+    * DECIMAL dangling mass d_k (12-dp-rounded ranks, order-free sum —
+    * the same discipline as the edge contributions) and redistributes it
+    * uniformly: r_k = (1−d)/N + d·(S_v + D/N). Matches
+    * [[graft.ops.PageRank.pageRank]] with `danglingMass = true`
+    * bit-for-bit. */
+  private def pageRankDanglingOracleSql(iterations: Int): String = {
+    val head =
+      """WITH e AS (SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+        |           FROM lineitem),
+        |nodes AS (SELECT DISTINCT node FROM
+        |          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |dang AS (SELECT nodes.node FROM nodes LEFT JOIN deg
+        |         ON nodes.node = deg.src WHERE deg.src IS NULL),
+        |r0 AS (SELECT node, 1 / CAST(nn.n AS DOUBLE) AS rank
+        |       FROM nodes CROSS JOIN nn)""".stripMargin
+    val iters = (1 to iterations).map { k =>
+      s"""c$k AS (SELECT e.dst,
+         |        CAST(round(r${k - 1}.rank / deg.deg, 12) AS DECIMAL(28,12)) AS c
+         |      FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
+         |             JOIN deg ON e.src = deg.src),
+         |s$k AS (SELECT dst AS node, sum(c) AS s FROM c$k GROUP BY 1),
+         |d$k AS (SELECT COALESCE(sum(CAST(round(rank, 12) AS DECIMAL(28,12))),
+         |                        CAST(0 AS DECIMAL(28,12))) AS dm
+         |      FROM r${k - 1} JOIN dang USING (node)),
+         |r$k AS (SELECT nodes.node,
+         |        (1 - CAST(0.85 AS DOUBLE)) / nn.n +
+         |        CAST(0.85 AS DOUBLE) * (COALESCE(CAST(s$k.s AS DOUBLE), 0) +
+         |                                CAST(d$k.dm AS DOUBLE) / nn.n) AS rank
+         |      FROM nodes CROSS JOIN nn CROSS JOIN d$k
+         |           LEFT JOIN s$k USING (node))""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"$head$iters\nSELECT node, round(rank, 10) AS rank FROM r$iterations"
+  }
+
+  /** DuckDB oracle for `e4w2_bpe_train`: the full iterative BPE trainer
+    * unrolled as chained CTEs (the e9d technique — SQL has no loops, so
+    * each merge round is its own sy/p/b/t block): count weighted adjacent
+    * pairs over the distinct-token frequency table, pick the (cnt desc,
+    * pair asc) argmax, apply it as the SAME left-to-right sentinel-string
+    * `replace` as [[graft.ext.TextAnalysis.bpeTrain]], recount. Rounds
+    * after pair exhaustion contribute no rows on either side. */
+  private def bpeOracleSql(merges: Int): String = {
+    val head =
+      """WITH tok0 AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+        |              FROM documents),
+        |tokf AS (SELECT token FROM tok0
+        |         WHERE length(token) >= 2 AND NOT contains(token, chr(1))),
+        |t0 AS (SELECT regexp_replace(token, '(.)', chr(1) || '\1' || chr(1), 'g') AS enc,
+        |              CAST(count(*) AS BIGINT) AS freq
+        |       FROM tokf GROUP BY token)""".stripMargin
+    val rounds = (1 to merges).map { k =>
+      s"""sy$k AS (SELECT string_split(trim(enc, chr(1)), chr(1) || chr(1)) AS l,
+         |               freq
+         |       FROM t${k - 1}),
+         |p$k AS (SELECT l[i] || ' ' || l[i + 1] AS pair, freq
+         |      FROM (SELECT l, freq, unnest(range(1, len(l))) AS i FROM sy$k)),
+         |b$k AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p$k
+         |      GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |t$k AS (SELECT replace(enc,
+         |          chr(1) || string_split(pair, ' ')[1] || chr(1) || chr(1) ||
+         |            string_split(pair, ' ')[2] || chr(1),
+         |          chr(1) || string_split(pair, ' ')[1] ||
+         |            string_split(pair, ' ')[2] || chr(1)) AS enc, freq
+         |      FROM t${k - 1} CROSS JOIN b$k)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val sel = (1 to merges)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS round, pair, cnt FROM b$k")
+      .mkString("\n", "\nUNION ALL ", "")
+    s"$head$rounds$sel"
+  }
+
   /** DuckDB oracle for `e12_zorder_assignment`: grid-normalize both
     * dimensions with the SAME exact floor divisions as
     * [[graft.ops.ZOrder]], unroll the 32-term Morton interleave (SQL has
@@ -1882,6 +1958,23 @@ object ExtQueries {
         PageRank.pageRank(edges, "src", "dst", iterations = 5)
     },
 
+    // E9 — PageRank over the DIRECTED supplier→part graph, where every
+    // part node is dangling (out-degree 0): the generalized form with
+    // uniform dangling-mass redistribution (random-surfer teleport) —
+    // without it ~half the rank mass would leak out of the system each
+    // iteration. The dangling mass is an exact order-free DECIMAL sum
+    // whose one-row aggregate broadcasts onto the update (never a driver
+    // collect inside the loop); the oracle unrolls the same 5 iterations
+    // with the same d_k CTEs, bit-for-bit.
+    "e9d2_pagerank_dangling" -> Q(pageRankDanglingOracleSql(iterations = 5)) {
+      (s, dir) =>
+        val edges = Tables.lineitem(s, dir)
+          .select((col("l_suppkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+        PageRank.pageRank(edges, "src", "dst", iterations = 5,
+          danglingMass = true)
+    },
+
     // E2 — cross-table SEMANTIC contamination join: which corpus vectors
     // duplicate a benchmark vector (embedding-level decontamination), via
     // the banded hyperplane JOIN — the embedding analog of e6d. Exact
@@ -2149,6 +2242,19 @@ object ExtQueries {
         |FROM p GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin) {
       (s, dir) =>
         TextAnalysis.bpePairStats(Tables.documents(s, dir), "text", topN = 20)
+    },
+
+    // E4 — the FULL iterative BPE trainer (e4w upgraded from first-merge
+    // statistics to the real tokenizer-training primitive): 6 rounds of
+    // weighted pair count → argmax → merge-everywhere → recount over the
+    // distinct-token frequency table (vocab-bounded — the corpus is
+    // touched once). Merge state is a U+0001-sentinel string so the merge
+    // is one cross-engine-identical left-to-right `replace`; the oracle
+    // unrolls the rounds as chained CTEs (the e9d technique) and must
+    // match the merge table row-for-row.
+    "e4w2_bpe_train" -> Q(bpeOracleSql(merges = 6)) {
+      (s, dir) =>
+        TextAnalysis.bpeTrain(Tables.documents(s, dir), "text", merges = 6)
     },
 
     // [EXT] — the COMPOSED curation pipeline: per-doc keep/drop verdict

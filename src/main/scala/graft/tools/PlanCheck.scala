@@ -92,7 +92,12 @@ object PlanCheck {
     // the vocab²-bounded term stream
     "e4v2_bigram_heldout",
     // hybrid RRF embeds the BM25 scorer and inherits its totals fan-out
-    "e2t_rrf_fusion")
+    "e2t_rrf_fusion",
+    // dangling-mass PageRank: the one-row exact-DECIMAL dangling-mass
+    // aggregate broadcasts onto the per-node update each iteration (the
+    // e7i one-row-totals pattern; the alternative is a driver collect
+    // inside the iteration loop)
+    "e9d2_pagerank_dangling")
 
   /** Sweep every registered query for the silent scale killers: cartesian
     * products and unintended broadcast nested-loop joins. */

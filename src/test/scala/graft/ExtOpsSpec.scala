@@ -1572,6 +1572,27 @@ class ExtOpsSpec extends SparkSpec {
     assert(capped.count() == 0 && dropped == 4L) // the 4 shared shingles
   }
 
+  test("BPE trainer: greedy left-to-right merges, weighted argmax, exhaustion tail") {
+    // tokens: aaab ×2, ab ×1.
+    // round 1: pairs (a,a) weight 4 vs (a,b) weight 3 → merge "a a";
+    //   greedy overlap: aaa → [aa, a], NOT [aa, aa] or [a, aa]
+    // round 2: (a,b) weight 3 vs (aa,a) weight 2 → merge "a b"
+    // round 3: only (aa,ab) weight 2 remains → merge it
+    // round 4: every token is a single symbol → NO row (exhaustion)
+    val docs = Seq((0L, "aaab aaab"), (1L, "ab")).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.bpeTrain(docs, "text", merges = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toList
+    assert(got == List((1L, "a a", 4L), (2L, "a b", 3L), (3L, "aa ab", 2L)),
+      s"got $got")
+    // tokens carrying the symbol sentinel are excluded and counted
+    val dirty = Seq((0L, "aaab \u0001bad aaab"), (1L, "ab"))
+      .toDF("doc_id", "text")
+    val (table, excluded) =
+      graft.ext.TextAnalysis.bpeTrainCounted(dirty, "text", merges = 1)
+    assert(excluded == 1L && table.count() == 1L)
+  }
+
   test("sampled containment: exact within the md5 slice, hashed-key twin equal, cap counted") {
     // identical docs share EVERY shingle, so whatever slice md5 selects,
     // their sampled sets are identical → containment_est must be exactly
