@@ -130,6 +130,16 @@ object Quantize {
     * underscore-prefixed sidecar (`_codebooks` — scans of the index
     * ignore it; the IVF `_centroids` convention). Build once, probe many:
     * the fit is never paid at query time. */
+  /** Build parameters persisted beside the codes/codebooks (the
+    * `_GRAFT_LSH_PARAMS` convention from [[graft.ext.Similarity]]): a
+    * probe whose pipeline assumes a DIFFERENT m/k/seed than the index was
+    * built with is a configuration drift that should fail loud at probe
+    * time, not surface as quietly degraded neighbors. */
+  val PqParamsFile = "_GRAFT_PQ_PARAMS"
+
+  private def pqParamsString(m: Int, k: Int, seed: Long): String =
+    s"m=$m,k=$k,seed=$seed"
+
   def buildPqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
                    indexDir: String, m: Int = 16, k: Int = 16,
                    seed: Long = 42L): PqModel = {
@@ -146,6 +156,8 @@ object Quantize {
       .toDF("sub", "code", "centroid")
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(indexDir + "/_codebooks")
+    graft.ops.RangeLayout.writeSidecar(spark, indexDir, PqParamsFile,
+      pqParamsString(m, k, seed))
     model
   }
 
@@ -166,8 +178,25 @@ object Quantize {
     * exact rerank from the stored float vectors — one table, no refit. */
   def pqProbe(spark: org.apache.spark.sql.SparkSession, indexDir: String,
               idCol: String, vecCol: String, query: Seq[Float], topK: Int,
-              pool: Int = 50): DataFrame = {
+              pool: Int = 50, m: Int = 16, k: Int = 16,
+              seed: Long = 42L): DataFrame = {
+    // params guard: validate the caller's expected parameterization
+    // against the PERSISTED build record, and the record against the
+    // codebooks actually loaded — an index dir built under a different
+    // config (or with a mangled sidecar) must refuse, not return quietly
+    // wrong neighbors
+    val expected = pqParamsString(m, k, seed)
+    val actual = graft.ops.RangeLayout.readSidecar(spark, indexDir,
+      PqParamsFile)
+    require(actual.contains(expected),
+      s"$indexDir was built with [${actual.getOrElse("no " + PqParamsFile)}]" +
+        s" but this probe expects [$expected]; rebuild the index or fix " +
+        "the probe configuration")
     val model = loadPqModel(spark, indexDir)
+    require(model.m == m && model.codebooks.head.length == k,
+      s"$indexDir codebooks (m=${model.m}, k=${model.codebooks.head.length})" +
+        s" disagree with its own $PqParamsFile [$expected] — the sidecar " +
+        "pair is corrupt; rebuild the index")
     val idx = spark.read.parquet(indexDir)
     pqTopKReranked(idx, idCol, "__codes", idx, vecCol, model, query,
       topK, pool)

@@ -62,6 +62,66 @@ object RangeLayout {
   def manifestPath(path: String): String =
     path.stripSuffix("/") + "/_layout_manifest"
 
+  /** Layout parameters persisted beside the manifest (the
+    * `_GRAFT_LSH_PARAMS` convention from graft.ext.Similarity): a pruned
+    * read against a layout written with a different kind / clustering
+    * column / grid would consult manifest columns that describe the WRONG
+    * order and silently return a wrong (partial) row set — the guard
+    * turns that into a loud refusal. Writers record their exact
+    * parameterization; readers validate before trusting the manifest. */
+  val ParamsFile = "_GRAFT_LAYOUT_PARAMS"
+
+  private[graft] def writeSidecar(spark: SparkSession, path: String,
+                                  name: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path.stripSuffix("/"), name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(content.getBytes("UTF-8"))
+    out.close()
+  }
+
+  private[graft] def readSidecar(spark: SparkSession, path: String,
+                                 name: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path.stripSuffix("/"), name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
+  private[ops] def writeParams(spark: SparkSession, path: String,
+                               params: String): Unit =
+    writeSidecar(spark, path, ParamsFile, params)
+
+  private[ops] def readParams(spark: SparkSession, path: String): Option[String] =
+    readSidecar(spark, path, ParamsFile)
+
+  private[ops] def parseParams(s: String): Map[String, String] =
+    s.split(",").map(_.split("=", 2))
+      .collect { case Array(k, v) => k -> v }.toMap
+
+  /** Read + parse the params sidecar, failing loud when absent (a layout
+    * without provenance cannot be trusted for pruning). */
+  private[ops] def loadParams(spark: SparkSession, path: String,
+                              wantKind: String): Map[String, String] = {
+    val raw = readParams(spark, path).getOrElse(throw new
+      IllegalArgumentException(s"$path has no $ParamsFile sidecar; refusing " +
+        "to prune against a layout of unknown provenance (rewrite it with " +
+        "writeClustered/writeZOrdered)"))
+    val params = parseParams(raw)
+    require(params.get("kind").contains(wantKind),
+      s"$path is a [${params.getOrElse("kind", "?")}] layout, not " +
+        s"[$wantKind]; its manifest describes a different clustering — " +
+        "refusing to prune")
+    params
+  }
+
+  private[ops] def rangeParamsString(sortCol: String, nBuckets: Int): String =
+    s"kind=range,by=$sortCol,buckets=$nBuckets"
+
   /** Write `df` range-clustered by `sortCol` (tie-broken by `tieBreak`)
     * into `nBuckets` hive partitions `bucket=k/`, rows sorted within each
     * bucket (parquet row-group stats stay tight), plus the manifest
@@ -76,6 +136,7 @@ object RangeLayout {
     manifest(bucketed, "bucket", sortCol)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(manifestPath(path))
+    writeParams(df.sparkSession, path, rangeParamsString(sortCol, nBuckets))
   }
 
   /** Manifest-driven range scan of a [[writeClustered]] table: consult the
@@ -89,6 +150,13 @@ object RangeLayout {
     * so both prunings see plain comparisons. */
   def prunedRead(spark: SparkSession, path: String, sortCol: String,
                  lo: Column, hi: Column): DataFrame = {
+    // params guard: pruning on a column the layout was NOT clustered by
+    // would consult manifest stats describing a different order and
+    // silently return a partial row set
+    val params = loadParams(spark, path, wantKind = "range")
+    require(params.get("by").contains(sortCol),
+      s"$path is range-clustered by [${params.getOrElse("by", "?")}], not " +
+        s"[$sortCol]; refusing a pruned read on the wrong column")
     val mf = spark.read.parquet(manifestPath(path))
     val ids = mf.filter(col(s"min_$sortCol") <= hi && col(s"max_$sortCol") >= lo)
       .select(col("bucket").cast("long")).collect().map(_.getLong(0))

@@ -105,6 +105,8 @@ object ZOrder {
       .coalesce(1)
       .write.mode(SaveMode.Overwrite)
       .parquet(RangeLayout.manifestPath(path))
+    RangeLayout.writeParams(df.sparkSession, path,
+      s"kind=zorder,a=$colA,b=$colB,gridBits=$GridBits,buckets=$nBuckets")
   }
 
   /** Manifest-pruned range read on EITHER z-ordered dimension: buckets
@@ -113,6 +115,19 @@ object ZOrder {
     * further inside survivors. */
   def prunedRead(spark: SparkSession, path: String, dim: String,
                  lo: Column, hi: Column): DataFrame = {
+    // params guard (the _GRAFT_LSH_PARAMS convention): a probe against a
+    // layout z-ordered on OTHER dimensions, a range layout, or a grid
+    // from a different library version must fail loud — its manifest
+    // describes a different clustering and pruning against it silently
+    // returns a partial row set
+    val params = RangeLayout.loadParams(spark, path, wantKind = "zorder")
+    require(params.get("a").contains(dim) || params.get("b").contains(dim),
+      s"$path is z-ordered on (${params.getOrElse("a", "?")}, " +
+        s"${params.getOrElse("b", "?")}); [$dim] is neither dimension — " +
+        "refusing a pruned read")
+    require(params.get("gridBits").contains(GridBits.toString),
+      s"$path was written with gridBits=${params.getOrElse("gridBits", "?")}" +
+        s"; this library prunes gridBits=$GridBits layouts only")
     val mf = spark.read.parquet(RangeLayout.manifestPath(path))
     val ids = mf.filter(col(s"min_$dim") <= hi && col(s"max_$dim") >= lo)
       .select(col("bucket").cast("long")).collect().map(_.getLong(0))

@@ -66,6 +66,36 @@ class QuantizeSpec extends SparkSpec {
     assert(probed == rr10, "persisted probe must equal the in-memory probe")
   }
 
+  test("pq params guard: mismatched expectation or missing sidecar refuses loud") {
+    val e = emb
+    val dir = tmpDir("pq-guard") + "/idx"
+    Quantize.buildPqIndex(e, "vec_id", "embedding", dir, m = 16, k = 16)
+    val query = e.filter(col("vec_id") === 0L)
+      .select("embedding").as[Seq[Float]].head()
+    // matching expectation probes fine
+    assert(Quantize.pqProbe(spark, dir, "vec_id", "embedding", query,
+      topK = 5, pool = 20).count() == 5)
+    // a probe configured for a different m / k / seed must refuse — the
+    // shortlist would be built from codebooks the caller's pipeline does
+    // not expect (quietly wrong neighbors, the exact failure the
+    // _GRAFT_LSH_PARAMS convention exists to kill)
+    Seq((8, 16, 42L), (16, 8, 42L), (16, 16, 7L)).foreach { case (m, k, s) =>
+      val ex = intercept[IllegalArgumentException](
+        Quantize.pqProbe(spark, dir, "vec_id", "embedding", query,
+          topK = 5, pool = 20, m = m, k = k, seed = s))
+      assert(ex.getMessage.contains("was built with"), ex.getMessage)
+    }
+    // an index without the params sidecar (foreign provenance) refuses too
+    val bare = tmpDir("pq-guard-bare") + "/idx"
+    Quantize.buildPqIndex(e, "vec_id", "embedding", bare, m = 16, k = 16)
+    new java.io.File(bare, Quantize.PqParamsFile).delete()
+    val ex2 = intercept[IllegalArgumentException](
+      Quantize.pqProbe(spark, bare, "vec_id", "embedding", query,
+        topK = 5, pool = 20))
+    assert(ex2.getMessage.contains("no " + Quantize.PqParamsFile),
+      ex2.getMessage)
+  }
+
   test("codes are in [0,255] and reconstruction error is within one grid step") {
     val q = Quantize.quantizeInt8(col("embedding"))
     val rows = emb.select(

@@ -71,6 +71,11 @@ class RangeLayoutSpec extends SparkSpec {
     // subset, and reading them touches fewer files than the full table
     val mfSel = mf.count(m => m._3 <= hi && m._4 >= lo)
     assert(mfSel < 8, s"test range should not span every bucket")
+    // params guard: pruning on a column the layout was not clustered by
+    // refuses loud (the manifest describes the us-order, not event_id)
+    val exCol = intercept[IllegalArgumentException](
+      RangeLayout.prunedRead(spark, path, "event_id", lit(0L), lit(10L)))
+    assert(exCol.getMessage.contains("range-clustered by"), exCol.getMessage)
   }
 
   test("prunedRead on an empty intersection returns zero rows, not a full scan") {

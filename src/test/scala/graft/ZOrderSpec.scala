@@ -76,5 +76,20 @@ class ZOrderSpec extends SparkSpec {
       == ids(df.filter(col("user_id").between(uMin, uHi))))
     assert(ids(ZOrder.prunedRead(spark, path, "day", lit(dMin), lit(dHi)))
       == ids(df.filter(col("day").between(dMin, dHi))))
+
+    // params guard: a dim that is NEITHER z-order dimension refuses loud
+    // (its manifest has no stats for it — pruning would be undefined),
+    // and a RANGE reader pointed at this z-order layout refuses on kind
+    val exDim = intercept[IllegalArgumentException](
+      ZOrder.prunedRead(spark, path, "event_id", lit(0L), lit(10L)))
+    assert(exDim.getMessage.contains("neither dimension"), exDim.getMessage)
+    val exKind = intercept[IllegalArgumentException](
+      RangeLayout.prunedRead(spark, path, "user_id", lit(uMin), lit(uHi)))
+    assert(exKind.getMessage.contains("zorder"), exKind.getMessage)
+    // a layout stripped of its params sidecar has unknown provenance
+    new java.io.File(path, RangeLayout.ParamsFile).delete()
+    val exGone = intercept[IllegalArgumentException](
+      ZOrder.prunedRead(spark, path, "user_id", lit(uMin), lit(uHi)))
+    assert(exGone.getMessage.contains(RangeLayout.ParamsFile), exGone.getMessage)
   }
 }
