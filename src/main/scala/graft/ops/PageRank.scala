@@ -74,10 +74,26 @@ object PageRank {
     Graph(nodes, ed, n, dangling)
   }
 
+  /** Node-count bound under which the rank table is broadcast into the
+    * edge join. A checkpointed rank frame reports the DEFAULT size
+    * estimate (effectively infinite), so without the hint Catalyst
+    * sort-merge-joins the E-row edge table against the N-row rank table
+    * EVERY iteration — re-shuffling the edges k times. N is known
+    * exactly (counted once in [[prepare]]), so the decision is made from
+    * real cardinality, not a stats guess: ≤ 2M nodes ≈ ≤ ~32 MB of
+    * (id, rank) pairs — comfortably a broadcast; above it the join
+    * falls back to shuffle, which is the right plan for a graph whose
+    * rank table doesn't fit an executor. Measured at the sf0.1 gate
+    * graph (21k nodes, 1M arcs): the broadcast path cuts e9d 12.3 s →
+    * 4.7 s (~2.6×); the ×100 stress graph (10M nodes) stays on the
+    * shuffle path by this bound, as it must. */
+  val BroadcastNodeLimit: Long = 2000000L
+
   /** One damped power-method update of `rank` over `g`. */
   private def step(g: Graph, rank: DataFrame, damping: Double): DataFrame = {
     val base = lit((1.0 - damping) / g.n)
-    val contrib = g.ed.join(rank, g.ed("__src") === rank("node"))
+    val rankSide = if (g.n <= BroadcastNodeLimit) broadcast(rank) else rank
+    val contrib = g.ed.join(rankSide, g.ed("__src") === rankSide("node"))
       .select(col("__dst"),
         round(col("rank") / col("__deg"), 12)
           .cast("decimal(28,12)").as("__c"))

@@ -329,14 +329,32 @@ object ScaleStress {
       // banding dodges this via signatures; containment is asymmetric and
       // cannot). The maxDf cap is the production bound: rerun with a cap
       // sized below the replica cluster and the curve flattens with a
-      // counted ledger.
-      val ((cPairs, cDrop), tCp) = timed {
-        val (p, d) = Dedup.containmentPairsCounted(docs, "doc_id", "text",
-          minContainment = 0.9, nativeShingles = true)
+      // counted ledger. The EXACT uncapped-in-effect form is bounded to
+      // ×10 here — r9 measured it needing a 32 GiB driver heap at ×50
+      // (off the default-8 GiB chart; SCALE.md) — which is exactly why
+      // the SAMPLED form below is the production path at scale.
+      if (rep <= 10) {
+        val ((cPairs, cDrop), tCp) = timed {
+          val (p, d) = Dedup.containmentPairsCounted(docs, "doc_id", "text",
+            minContainment = 0.9, nativeShingles = true)
+          (p.localCheckpoint(), d)
+        }
+        jline("e6l_containment_pairs", rep, tCp, cPairs.count(),
+          Seq("dropped_grams" -> cDrop.toString))
+      }
+      // the SAMPLED scale path (e6l2): deterministic 1/16 md5 slice of
+      // the gram space + hashed 8-byte join keys — pair-join mass drops
+      // by the sample rate, so the quadratic's constant shrinks ~16× and
+      // the ×100 point fits the default heap. Estimate exact within the
+      // slice (oracle-gated), threshold matched to the exact arm.
+      val ((sPairs, sDrop), tSp) = timed {
+        val (p, d) = Dedup.containmentPairsSampledCounted(docs, "doc_id",
+          "text", minContainment = 0.9, nativeShingles = true,
+          hashedKeys = true)
         (p.localCheckpoint(), d)
       }
-      jline("e6l_containment_pairs", rep, tCp, cPairs.count(),
-        Seq("dropped_grams" -> cDrop.toString))
+      jline("e6l2_containment_sampled", rep, tSp, sPairs.count(),
+        Seq("dropped_grams" -> sDrop.toString))
       // the production bound under degenerate duplication: a maxDf below
       // the replicated posting size drops the boilerplate-grade shingles
       // LOUDLY (counted) and collapses the join mass
