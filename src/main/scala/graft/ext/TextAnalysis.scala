@@ -148,6 +148,50 @@ object TextAnalysis {
     (rounds.reduce(_ unionByName _), excluded)
   }
 
+  /** Apply a trained BPE merge table ([[bpeTrain]]'s artifact) to the
+    * corpus: every token is re-wrapped in the U+0001 sentinel encoding
+    * and the merges are applied IN TRAINING ORDER as a chain of literal
+    * `replace` calls — one narrow projection, no joins, fully codegen'd
+    * (the merge table is a MODEL artifact like the IVF centroids: a
+    * bounded driver-side list, never a per-row join). Per doc the result
+    * is the whitespace token count and the post-merge SYMBOL count — the
+    * "tokens under the trained tokenizer" number a training-mix budget
+    * actually bills by (a merge-rich language costs fewer symbols per
+    * word; token counts alone misprice it).
+    *
+    * All tokens are encoded, including the length-1 tokens training
+    * skips (they encode to one symbol); tokens containing the sentinel
+    * are excluded exactly as in training.
+    *
+    * @param merges (left, right) symbol pairs in training order
+    * @return idCol, n_tokens, n_symbols */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val SEP = "\u0001"
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) >= 1 && !col("token").contains(SEP))
+    val enc0 = regexp_replace(col("token"), "(.)", s"$SEP$$1$SEP")
+    val enc = merges.foldLeft(enc0) { case (c, (a, b)) =>
+      call_function("replace", c,
+        lit(SEP + a + SEP + SEP + b + SEP), lit(SEP + a + b + SEP))
+    }
+    val syms = split(trim(enc, SEP), SEP + SEP)
+    tok.groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(size(syms).cast("long")).as("n_symbols"))
+  }
+
+  /** [[bpeEncode]] taking the merge table as [[bpeTrain]] returns it:
+    * collects the (round-ordered) pairs driver-side, then encodes. */
+  def bpeEncodeWith(docs: DataFrame, idCol: String, textCol: String,
+                    mergeTable: DataFrame): DataFrame = {
+    val merges = mergeTable.orderBy("round").collect().map { r =>
+      val Array(a, b) = r.getString(1).split(" ", 2)
+      (a, b)
+    }.toSeq
+    bpeEncode(docs, idCol, textCol, merges)
+  }
+
   /** Polynomial rolling hash over character codes, mod 1e9+7 (fits exact
     * integer arithmetic in any engine): h = fold(h*31 + code). The
     * order-sensitive cheap fingerprint (md5 twin: [[fingerprint]]). */

@@ -93,16 +93,17 @@ object ExtQueries {
     * pair asc) argmax, apply it as the SAME left-to-right sentinel-string
     * `replace` as [[graft.ext.TextAnalysis.bpeTrain]], recount. Rounds
     * after pair exhaustion contribute no rows on either side. */
-  private def bpeOracleSql(merges: Int): String = {
-    val head =
-      """WITH tok0 AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
-        |              FROM documents),
-        |tokf AS (SELECT token FROM tok0
-        |         WHERE length(token) >= 2 AND NOT contains(token, chr(1))),
-        |t0 AS (SELECT regexp_replace(token, '(.)', chr(1) || '\1' || chr(1), 'g') AS enc,
-        |              CAST(count(*) AS BIGINT) AS freq
-        |       FROM tokf GROUP BY token)""".stripMargin
-    val rounds = (1 to merges).map { k =>
+  private def bpeHeadSql: String =
+    """WITH tok0 AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+      |              FROM documents),
+      |tokf AS (SELECT token FROM tok0
+      |         WHERE length(token) >= 2 AND NOT contains(token, chr(1))),
+      |t0 AS (SELECT regexp_replace(token, '(.)', chr(1) || '\1' || chr(1), 'g') AS enc,
+      |              CAST(count(*) AS BIGINT) AS freq
+      |       FROM tokf GROUP BY token)""".stripMargin
+
+  private def bpeRoundsSql(merges: Int): String =
+    (1 to merges).map { k =>
       s"""sy$k AS (SELECT string_split(trim(enc, chr(1)), chr(1) || chr(1)) AS l,
          |               freq
          |       FROM t${k - 1}),
@@ -117,10 +118,41 @@ object ExtQueries {
          |            string_split(pair, ' ')[2] || chr(1)) AS enc, freq
          |      FROM t${k - 1} CROSS JOIN b$k)""".stripMargin
     }.mkString(",\n", ",\n", "")
+
+  private def bpeOracleSql(merges: Int): String = {
     val sel = (1 to merges)
       .map(k => s"SELECT CAST($k AS BIGINT) AS round, pair, cnt FROM b$k")
       .mkString("\n", "\nUNION ALL ", "")
-    s"$head$rounds$sel"
+    s"$bpeHeadSql${bpeRoundsSql(merges)}$sel"
+  }
+
+  /** DuckDB oracle for `e4w3_bpe_encode`: recompute the merge table (the
+    * [[bpeHeadSql]]/[[bpeRoundsSql]] chain), then APPLY the merges in
+    * training order to every token occurrence — each application round is
+    * one more replace CTE cross-joined with its b_k row — and count
+    * post-merge symbols per document. Length-1 tokens are encoded (one
+    * symbol each) exactly as in Spark's bpeEncode. */
+  private def bpeEncodeOracleSql(merges: Int): String = {
+    val apply = (1 to merges).map { k =>
+      s"""at$k AS (SELECT doc_id, replace(enc,
+         |          chr(1) || string_split(pair, ' ')[1] || chr(1) || chr(1) ||
+         |            string_split(pair, ' ')[2] || chr(1),
+         |          chr(1) || string_split(pair, ' ')[1] ||
+         |            string_split(pair, ' ')[2] || chr(1)) AS enc
+         |      FROM at${k - 1} CROSS JOIN b$k)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val head =
+      """,
+        |ad AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+        |       FROM documents),
+        |at0 AS (SELECT doc_id,
+        |          regexp_replace(token, '(.)', chr(1) || '\1' || chr(1), 'g') AS enc
+        |        FROM ad WHERE length(token) >= 1 AND NOT contains(token, chr(1)))""".stripMargin
+    s"""$bpeHeadSql${bpeRoundsSql(merges)}$head$apply
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |       CAST(sum(len(string_split(trim(enc, chr(1)), chr(1) || chr(1))))
+       |            AS BIGINT) AS n_symbols
+       |FROM at$merges GROUP BY 1""".stripMargin
   }
 
   /** DuckDB oracle for `e12_zorder_assignment`: grid-normalize both
@@ -2255,6 +2287,21 @@ object ExtQueries {
     "e4w2_bpe_train" -> Q(bpeOracleSql(merges = 6)) {
       (s, dir) =>
         TextAnalysis.bpeTrain(Tables.documents(s, dir), "text", merges = 6)
+    },
+
+    // E4 — BPE tokenizer APPLICATION (the complement of e4w2, closing the
+    // train→apply loop): the 6-round merge table is collected driver-side
+    // (a model artifact, like centroids) and applied to every token
+    // occurrence as a chain of literal replaces — one narrow codegen'd
+    // projection, no joins — yielding per-doc whitespace-token and
+    // post-merge SYMBOL counts (what a training-mix budget actually bills
+    // by). Oracle recomputes the merges AND the application as one
+    // generated CTE chain.
+    "e4w3_bpe_encode" -> Q(bpeEncodeOracleSql(merges = 6)) {
+      (s, dir) =>
+        val docs = Tables.documents(s, dir)
+        TextAnalysis.bpeEncodeWith(docs, "doc_id", "text",
+          TextAnalysis.bpeTrain(docs, "text", merges = 6))
     },
 
     // [EXT] — the COMPOSED curation pipeline: per-doc keep/drop verdict

@@ -1593,6 +1593,28 @@ class ExtOpsSpec extends SparkSpec {
     assert(excluded == 1L && table.count() == 1L)
   }
 
+  test("BPE encode: merges applied in training order; singles count as one symbol") {
+    val docs = Seq((0L, "aaab aaab"), (1L, "ab"), (2L, "x aaab"))
+      .toDF("doc_id", "text")
+    // merges trained on this corpus: (a,a) → (a,b) → (aa,ab).
+    // doc 0: aaab = [aa,a,b] → [aa,ab] → [aaab] = 1 symbol ×2 tokens = 2
+    // doc 1: ab = [a,b] → [ab] = 1 (the (a,b) merge applies on its round
+    //        even though (a,a) trained first — order matters)
+    // doc 2: x (len-1, encoded as ONE symbol — training skipped it,
+    //        encoding must not) + aaab → 1 + 1 = 2
+    val trained = graft.ext.TextAnalysis.bpeTrain(docs, "text", merges = 3)
+    val got = graft.ext.TextAnalysis.bpeEncodeWith(docs, "doc_id", "text",
+        trained)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toList
+    assert(got == List((0L, 2L, 2L), (1L, 1L, 1L), (2L, 2L, 2L)), s"got $got")
+    // with NO merges, symbols == characters of each token
+    val raw = graft.ext.TextAnalysis.bpeEncode(docs, "doc_id", "text",
+        Seq.empty)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toList
+    assert(raw == List((0L, 8L), (1L, 2L), (2L, 5L)), s"got $raw")
+  }
+
   test("sampled containment: exact within the md5 slice, hashed-key twin equal, cap counted") {
     // identical docs share EVERY shingle, so whatever slice md5 selects,
     // their sampled sets are identical → containment_est must be exactly
