@@ -79,16 +79,17 @@ object Main {
                           targetTokens: Option[Long] = None,
                           alpha: Option[Double] = None,
                           minDocs: Int = 2,
-                          minSpan: Int = 0)
+                          minSpan: Int = 0,
+                          applyChanges: Boolean = false)
 
-  private val boolFlags = Set("progress")
+  private val boolFlags = Set("progress", "apply")
 
   private[cli] def parse(argv: Array[String]): Args = {
     if (argv.isEmpty || !Set("single", "continuous", "compact", "curate",
         "neardup", "semantic-dedup", "quality", "admit",
         "decontaminate", "spans", "layout", "mix",
-        "dedup-lines", "dedup-spans", "diff").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text]")
+        "dedup-lines", "dedup-spans", "diff", "reconcile").contains(argv(0)))
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft reconcile --source (PATH|jdbc:...#table) --dest PATH --key K[,K2] [--report PATH] [--apply] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text]")
     val opts = scala.collection.mutable.Map.empty[String, String]
     var i = 1
     while (i < argv.length) {
@@ -208,6 +209,7 @@ object Main {
           min = 2, max = Int.MaxValue).toInt,
         minSpan = num("min-span", opts.getOrElse("min-span", "0"),
           min = 0, max = Int.MaxValue).toInt,
+        applyChanges = opts.contains("apply"),
         alpha = opts.get("alpha").map { v =>
           val d = v.toDoubleOption.getOrElse(throw GraftError.InvalidConfig(
             s"--alpha expects a number in [0,1], got '$v'"))
@@ -250,6 +252,7 @@ object Main {
           case "dedup-lines"    => runDedupLines(spark, a)
           case "dedup-spans"    => runDedupSpans(spark, a)
           case "diff"           => runDiff(spark, a)
+          case "reconcile"      => runReconcile(spark, a)
           case _                => runSync(spark, a)
         }
         0
@@ -377,6 +380,50 @@ object Main {
     println(s"diff ${a.base} -> ${a.source}: ${s.getLong(0)} ids " +
       s"(${s.getLong(1)} added, ${s.getLong(2)} removed, " +
       s"${s.getLong(3)} modified, ${s.getLong(4)} unchanged) -> ${a.dest}")
+  }
+
+  /** DELETE reconciliation (sync/Reconcile) as a CLI verb: report (and
+    * with `--apply`, drop) the destination keys an insert/update-only
+    * watermark sync has orphaned — the repair pass for the delete blind
+    * spot the reference shares (`session.py` syncs inserts/updates only).
+    * Source may be parquet or JDBC (key-only projection travels either
+    * way); `--apply` requires a parquet destination (staged rewrite +
+    * swap). */
+  private[cli] def runReconcile(spark: org.apache.spark.sql.SparkSession,
+                                a: Args): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (a.keys.isEmpty)
+      throw GraftError.InvalidConfig("reconcile requires --key K[,K2]")
+    if (a.dest.startsWith("jdbc:"))
+      throw GraftError.InvalidConfig(
+        "reconcile --dest must be a parquet dir (JDBC apply-side deletes " +
+          "belong to the upstream database's own lifecycle)")
+    val src = graft.sync.SyncEndpoint.parse(a.source, a.sourceUser,
+        a.sourcePassword) match {
+      case graft.sync.SyncEndpoint.ParquetDir(dir) =>
+        spark.read.parquet(dir).select(a.keys.map(col): _*)
+      case graft.sync.SyncEndpoint.JdbcTable(url, table, props) =>
+        // key-only projection pushed to the database — the orphan pass
+        // never moves wide rows
+        spark.read.jdbc(url,
+          s"(SELECT ${a.keys.mkString(", ")} FROM $table) graft_rc", props)
+    }
+    val dest = spark.read.parquet(a.dest)
+    val orphans = graft.sync.Reconcile.deletedKeys(src, dest, a.keys)
+      .localCheckpoint() // consumed up to three times: report, count, apply
+    a.report.foreach(p => orphans.write.mode("overwrite").parquet(p))
+    val n = orphans.count()
+    if (a.applyChanges) {
+      val (kept, dropped) = graft.sync.Reconcile.applyDeletes(
+        spark, a.dest, orphans, a.keys)
+      println(s"reconcile ${a.source} -> ${a.dest}: $n orphaned keys, " +
+        s"dropped $dropped rows, kept $kept" +
+        a.report.map(p => s", report -> $p").getOrElse(""))
+    } else {
+      println(s"reconcile ${a.source} -> ${a.dest}: $n orphaned keys " +
+        s"(dest rows absent upstream; rerun with --apply to drop them)" +
+        a.report.map(p => s", report -> $p").getOrElse(""))
+    }
   }
 
   /** Range-clustered layout (ops/RangeLayout) as a CLI verb: rewrite a

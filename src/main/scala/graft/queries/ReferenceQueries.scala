@@ -88,6 +88,24 @@ object ReferenceQueries {
           .select("doc_id", "text", "lang", "source", "n_chars")
     },
 
+    // S9 — DELETE reconciliation (sync/Reconcile): the repair pass for
+    // the delete blind spot every watermark sync shares with the
+    // reference (a deleted row touches no `updated` value, so the
+    // incremental slice never mentions it). The gate SIMULATES upstream
+    // deletes in-plan — source = events minus every 97th id, dest = the
+    // full events table — and the orphan set must equal the planted
+    // deletions via the key-only anti-join both engines run.
+    "s9_delete_reconcile" -> Q(
+      """WITH s AS (SELECT event_id FROM events WHERE event_id % 97 <> 0)
+        |SELECT d.event_id FROM (SELECT DISTINCT event_id FROM events) d
+        |LEFT JOIN s ON d.event_id = s.event_id
+        |WHERE s.event_id IS NULL""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        graft.sync.Reconcile.deletedKeys(
+          ev.filter(col("event_id") % 97 =!= 0), ev, Seq("event_id"))
+    },
+
     // F1 — column projection (session.py:288).
     "f1_project" -> Q("SELECT l_orderkey, l_extendedprice FROM lineitem") {
       (s, dir) => Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice")

@@ -1,0 +1,58 @@
+package graft.sync
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DELETE reconciliation for the watermark sync family: a watermark scan
+  * (S1/T1) structurally cannot see upstream deletes — a deleted row
+  * touches no `updated` value, so the incremental slice never mentions it
+  * and the destination keeps it forever (the reference has the same
+  * blind spot: `session.py` syncs inserts/updates only). Reconciliation
+  * is the periodic repair pass: project BOTH tables down to their key
+  * columns, anti-join dest-minus-source, and (optionally) drop the
+  * orphans from the destination.
+  *
+  * Scale shape: the pass inherently reads both key sets — there is no
+  * watermark shortcut for deletions without upstream CDC — but ONLY the
+  * key columns travel (parquet column pruning serves a key-only
+  * projection from footers; a JDBC source pushes `SELECT k FROM t`), and
+  * the anti-join is one key-partitioned shuffle with no wide rows.
+  * Run it at repair cadence (daily), not per sync tick.
+  */
+object Reconcile {
+
+  /** Keys present in `dest` but absent from `source` — the rows an
+    * insert/update-only sync has orphaned. Key-only projection on both
+    * sides; distinct BEFORE the join so replayed/duplicated key rows
+    * cannot inflate the orphan set. */
+  def deletedKeys(source: DataFrame, dest: DataFrame,
+                  keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "reconcile needs at least one key column")
+    dest.select(keys.map(col): _*).distinct()
+      .join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
+  }
+
+  /** Rewrite the parquet destination without the orphaned keys. Staged
+    * write: the cleaned rows land in `<dest>.reconcile.tmp` first and
+    * swap in only after the write fully commits, so a mid-write crash
+    * leaves the original destination intact (the ParquetMergeSink
+    * discipline).
+    * @return (rows kept, rows dropped) */
+  def applyDeletes(spark: SparkSession, destPath: String,
+                   orphans: DataFrame, keys: Seq[String]): (Long, Long) = {
+    val dest = spark.read.parquet(destPath)
+    val total = dest.count()
+    val kept = dest.join(orphans.select(keys.map(col): _*), keys, "left_anti")
+    val tmp = destPath.stripSuffix("/") + ".reconcile.tmp"
+    kept.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val keptRows = spark.read.parquet(tmp).count()
+    val fs = new org.apache.hadoop.fs.Path(destPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val destP = new org.apache.hadoop.fs.Path(destPath)
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
+    fs.delete(destP, true)
+    require(fs.rename(tmpP, destP),
+      s"could not swap $tmp into place at $destPath")
+    (keptRows, total - keptRows)
+  }
+}

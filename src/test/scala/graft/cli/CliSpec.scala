@@ -29,6 +29,7 @@ class CliSpec extends SparkSpec {
       case "dedup-lines"    => Main.runDedupLines(spark, a)
       case "dedup-spans"    => Main.runDedupSpans(spark, a)
       case "diff"           => Main.runDiff(spark, a)
+      case "reconcile"      => Main.runReconcile(spark, a)
       case other            => fail(s"unexpected verb $other")
     }
     a
@@ -372,6 +373,32 @@ class CliSpec extends SparkSpec {
       2L -> "removed", 3L -> "added"))
     assertThrows[GraftError.InvalidConfig](
       Main.parse(Array("diff", "--source", "s", "--dest", "d")))
+  }
+
+  test("reconcile reports orphans, --apply drops them, requires --key") {
+    import spark.implicits._
+    val work = tmpDir("cli-reconcile")
+    Seq((1L, "a"), (2L, "b")).toDF("event_id", "v")
+      .write.parquet(s"$work/src")
+    Seq((1L, "a"), (2L, "b"), (3L, "orphan"), (4L, "orphan"))
+      .toDF("event_id", "v").write.parquet(s"$work/dest")
+    // report-only: dest untouched, report written
+    run("reconcile", "--source", s"$work/src", "--dest", s"$work/dest",
+      "--key", "event_id", "--report", s"$work/orphans")
+    assert(spark.read.parquet(s"$work/orphans").as[Long].collect().sorted
+      .toList == List(3L, 4L))
+    assert(spark.read.parquet(s"$work/dest").count() == 4)
+    // --apply: staged rewrite drops exactly the orphans
+    run("reconcile", "--source", s"$work/src", "--dest", s"$work/dest",
+      "--key", "event_id", "--apply")
+    assert(spark.read.parquet(s"$work/dest")
+      .select("event_id").as[Long].collect().sorted.toList == List(1L, 2L))
+    assertThrows[GraftError.InvalidConfig](
+      Main.runReconcile(spark, Main.parse(Array("reconcile",
+        "--source", "s", "--dest", "d"))))
+    assertThrows[GraftError.InvalidConfig](
+      Main.runReconcile(spark, Main.parse(Array("reconcile", "--source", "s",
+        "--dest", "jdbc:postgresql://h/db#t", "--key", "k"))))
   }
 
   test("arg validation fails TYPED, not with a raw exception") {
