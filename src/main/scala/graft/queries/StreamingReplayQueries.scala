@@ -285,6 +285,50 @@ object StreamingReplayQueries {
           slot(3).as("purchase_us"))
     },
 
+    // T5/W13 — the rolling z-score anomaly scorer replayed as a
+    // flatMapGroupsWithState op with a BOUNDED per-user deque (the last
+    // 23 values — row-count frames are exactly what event-time window
+    // aggs can't express, so this is the custom-state layer again). Each
+    // event emits its own (n_window, zscore) row; the appended stream
+    // must hash-match the batch w13 window expression bit-for-bit.
+    "t12_rolling_zscore_replay" -> Q(
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |                  CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |w AS (SELECT event_id, user_id, us, v,
+        |        count(*) OVER win AS n,
+        |        sum(v) OVER win AS s,
+        |        sum(v * v) OVER win AS sq
+        |      FROM e
+        |      WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+        |                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, CAST(n AS BIGINT) AS n_window,
+        |       CASE WHEN (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE)
+        |                    * CAST(s AS DOUBLE) / n) / n <= 0 THEN NULL
+        |            ELSE round((CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / n)
+        |                 / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE)
+        |                           * CAST(s AS DOUBLE) / n) / n), 6)
+        |       END AS zscore
+        |FROM w""".stripMargin) { (s, dir) =>
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import graft.streaming.StreamingZScore
+      import graft.streaming.StreamingZScore.ZEvent
+      val rows = collectedEvents(s, dir)
+        .map(e => ZEvent(e.eventId, e.userId, e.tsUs, e.value))
+      val mem = MemoryStream[ZEvent]
+      val scored = StreamingZScore.updates(mem.toDS(), window = 24)
+      val name = "t12_replay_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      withShufflePartitions(s, 4) {
+        val q = scored.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try chunked(rows).foreach { b => mem.addData(b); q.processAllAvailable() }
+        finally q.stop()
+      }
+      s.table(name).select(col("eventId").as("event_id"),
+        col("nWindow").as("n_window"), col("zscore"))
+    },
+
     // T5/J — stream-stream interval join (view-before-purchase attribution)
     // replayed against the batch join oracle: each side arrives in its own
     // event-time order across micro-batches, state is bounded by

@@ -304,4 +304,38 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:00:00", 3.0, 2L),
       ("2024-01-01 10:05:00", 10.0, 1L)))
   }
+
+  test("streaming z-score: chunk-invariant, hand-checked values, null on zero variance") {
+    import graft.streaming.StreamingZScore
+    import graft.streaming.StreamingZScore.ZEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // user 1: three flat values (variance 0 → NULL) then a jump; user 2:
+    // a single event (n=1, variance 0 → NULL)
+    val events = Seq(
+      ZEvent(1L, 1L, 10L, 10.0), ZEvent(2L, 1L, 20L, 10.0),
+      ZEvent(3L, 1L, 30L, 10.0), ZEvent(4L, 1L, 40L, 20.0),
+      ZEvent(5L, 2L, 15L, 7.5))
+    def replay(chunks: Int): Map[Long, (Long, Option[Double])] = {
+      val mem = MemoryStream[ZEvent]
+      val name = "zs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = StreamingZScore.updates(mem.toDS(), window = 24)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .start()
+      try events.grouped(math.max(1, events.size / chunks + 1))
+        .foreach { b => mem.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    }
+    val one = replay(1)
+    // window [10,10,10,20]: n=4, mean 12.5, var (700−625)/4 = 18.75,
+    // z = 7.5/√18.75 = 1.732051 at 6 dp
+    assert(one(4L) == ((4L, Some(1.732051))), s"got ${one(4L)}")
+    assert(one(1L) == ((1L, None)) && one(2L) == ((2L, None)) &&
+      one(3L) == ((3L, None)), "flat window → NULL score")
+    assert(one(5L) == ((1L, None)), "single event → n=1, NULL score")
+    // micro-batch boundaries cannot change any emitted row
+    assert(replay(3) == one, "chunk-split must not change the stream")
+  }
 }
