@@ -56,6 +56,13 @@ import graft.sync.{SyncConfig, SyncEndpoint, SyncPipeline, SyncReport}
   *     [--report PATH] [--id-col doc_id] [--text-col text]
   *   runMain graft.cli.Main diff --source <parquet new> --base <parquet prev> \
   *     --dest <parquet statuses> [--id-col doc_id] [--text-col text]
+  *   runMain graft.cli.Main reconcile --source <parquet|jdbc:...#t> \
+  *     --dest <parquet synced copy> --key K[,K2] [--report PATH] [--apply]
+  *   runMain graft.cli.Main bpe-train --source <parquet docs> \
+  *     --dest <parquet merge table> --merges N [--text-col text]
+  *   runMain graft.cli.Main tokenize --source <parquet docs> \
+  *     --base <parquet merge table> --dest <parquet counts> \
+  *     [--id-col doc_id] [--text-col text]
   */
 object Main {
 
@@ -80,7 +87,8 @@ object Main {
                           alpha: Option[Double] = None,
                           minDocs: Int = 2,
                           minSpan: Int = 0,
-                          applyChanges: Boolean = false)
+                          applyChanges: Boolean = false,
+                          merges: Int = 6)
 
   private val boolFlags = Set("progress", "apply")
 
@@ -88,8 +96,9 @@ object Main {
     if (argv.isEmpty || !Set("single", "continuous", "compact", "curate",
         "neardup", "semantic-dedup", "quality", "admit",
         "decontaminate", "spans", "layout", "mix",
-        "dedup-lines", "dedup-spans", "diff", "reconcile").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft reconcile --source (PATH|jdbc:...#table) --dest PATH --key K[,K2] [--report PATH] [--apply] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text]")
+        "dedup-lines", "dedup-spans", "diff", "reconcile",
+        "bpe-train", "tokenize").contains(argv(0)))
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft reconcile --source (PATH|jdbc:...#table) --dest PATH --key K[,K2] [--report PATH] [--apply] | graft bpe-train --source PATH --dest PATH --merges N [--id-col doc_id] [--text-col text] | graft tokenize --source PATH --base MERGES_PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text]")
     val opts = scala.collection.mutable.Map.empty[String, String]
     var i = 1
     while (i < argv.length) {
@@ -176,7 +185,8 @@ object Main {
         throw GraftError.InvalidConfig(
           s"--min-tokens (${a.minTokens.get}) must be <= --max-tokens (${a.maxTokens.get})")
       case a => a.copy(
-        base = if (argv(0) == "admit" || argv(0) == "diff") req("base")
+        base = if (argv(0) == "admit" || argv(0) == "diff" ||
+                   argv(0) == "tokenize") req("base")
                else opts.getOrElse("base", ""),
         benchmark = if (argv(0) == "decontaminate") req("benchmark")
                     else opts.getOrElse("benchmark", ""),
@@ -210,6 +220,9 @@ object Main {
         minSpan = num("min-span", opts.getOrElse("min-span", "0"),
           min = 0, max = Int.MaxValue).toInt,
         applyChanges = opts.contains("apply"),
+        merges = num("merges", opts.getOrElse("merges",
+          if (argv(0) == "bpe-train") req("merges") else "6"),
+          min = 1, max = 65536).toInt,
         alpha = opts.get("alpha").map { v =>
           val d = v.toDoubleOption.getOrElse(throw GraftError.InvalidConfig(
             s"--alpha expects a number in [0,1], got '$v'"))
@@ -253,6 +266,8 @@ object Main {
           case "dedup-spans"    => runDedupSpans(spark, a)
           case "diff"           => runDiff(spark, a)
           case "reconcile"      => runReconcile(spark, a)
+          case "bpe-train"      => runBpeTrain(spark, a)
+          case "tokenize"       => runTokenize(spark, a)
           case _                => runSync(spark, a)
         }
         0
@@ -424,6 +439,42 @@ object Main {
         s"(dest rows absent upstream; rerun with --apply to drop them)" +
         a.report.map(p => s", report -> $p").getOrElse(""))
     }
+  }
+
+  /** BPE tokenizer TRAINING (ext/TextAnalysis.bpeTrain) as a CLI verb:
+    * run --merges rounds over the corpus and write the merge table
+    * (round, pair, cnt) — the model artifact `tokenize` applies. */
+  private[cli] def runBpeTrain(spark: org.apache.spark.sql.SparkSession,
+                               a: Args): Unit = {
+    if (a.source.startsWith("jdbc:") || a.dest.startsWith("jdbc:"))
+      throw GraftError.InvalidConfig("bpe-train applies to parquet paths")
+    val docs = spark.read.parquet(a.source)
+    val (table, excluded) = graft.ext.TextAnalysis.bpeTrainCounted(
+      docs, a.textCol, merges = a.merges)
+    table.coalesce(1).write.mode("overwrite").parquet(a.dest)
+    val n = spark.read.parquet(a.dest).count()
+    println(s"bpe-train ${a.source}: $n merges (asked ${a.merges}" +
+      (if (n < a.merges) ", pair space exhausted" else "") +
+      s")${if (excluded > 0) s", $excluded sentinel tokens excluded" else ""}" +
+      s" -> ${a.dest}")
+  }
+
+  /** BPE tokenizer APPLICATION (ext/TextAnalysis.bpeEncodeWith) as a CLI
+    * verb: apply the --base merge table in training order and write
+    * per-doc token/symbol counts. */
+  private[cli] def runTokenize(spark: org.apache.spark.sql.SparkSession,
+                               a: Args): Unit = {
+    import org.apache.spark.sql.functions.{col, sum}
+    if (a.source.startsWith("jdbc:") || a.dest.startsWith("jdbc:"))
+      throw GraftError.InvalidConfig("tokenize applies to parquet paths")
+    val docs = spark.read.parquet(a.source)
+    val mergeTable = spark.read.parquet(a.base)
+    graft.ext.TextAnalysis.bpeEncodeWith(docs, a.idCol, a.textCol, mergeTable)
+      .write.mode("overwrite").parquet(a.dest)
+    val t = spark.read.parquet(a.dest)
+      .agg(sum(col("n_tokens")), sum(col("n_symbols"))).first()
+    println(s"tokenize ${a.source}: ${t.get(0)} tokens -> ${t.get(1)} " +
+      s"symbols under ${mergeTable.count()} merges (${a.base}) -> ${a.dest}")
   }
 
   /** Range-clustered layout (ops/RangeLayout) as a CLI verb: rewrite a

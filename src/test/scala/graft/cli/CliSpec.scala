@@ -30,6 +30,8 @@ class CliSpec extends SparkSpec {
       case "dedup-spans"    => Main.runDedupSpans(spark, a)
       case "diff"           => Main.runDiff(spark, a)
       case "reconcile"      => Main.runReconcile(spark, a)
+      case "bpe-train"      => Main.runBpeTrain(spark, a)
+      case "tokenize"       => Main.runTokenize(spark, a)
       case other            => fail(s"unexpected verb $other")
     }
     a
@@ -399,6 +401,29 @@ class CliSpec extends SparkSpec {
     assertThrows[GraftError.InvalidConfig](
       Main.runReconcile(spark, Main.parse(Array("reconcile", "--source", "s",
         "--dest", "jdbc:postgresql://h/db#t", "--key", "k"))))
+  }
+
+  test("bpe-train writes the merge table; tokenize applies it") {
+    import spark.implicits._
+    val work = tmpDir("cli-bpe")
+    Seq((0L, "aaab aaab"), (1L, "ab"), (2L, "x aaab"))
+      .toDF("doc_id", "text").write.parquet(s"$work/in")
+    run("bpe-train", "--source", s"$work/in", "--dest", s"$work/merges",
+      "--merges", "3")
+    val merges = spark.read.parquet(s"$work/merges")
+      .orderBy("round").collect().map(_.getString(1)).toList
+    assert(merges == List("a a", "a b", "aa ab"), s"got $merges")
+    run("tokenize", "--source", s"$work/in", "--base", s"$work/merges",
+      "--dest", s"$work/out")
+    val got = spark.read.parquet(s"$work/out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toList
+    assert(got == List((0L, 2L, 2L), (1L, 1L, 1L), (2L, 2L, 2L)), s"got $got")
+    // --merges is required for training, --base for tokenize
+    assertThrows[GraftError.InvalidConfig](
+      Main.parse(Array("bpe-train", "--source", "s", "--dest", "d")))
+    assertThrows[GraftError.InvalidConfig](
+      Main.parse(Array("tokenize", "--source", "s", "--dest", "d")))
   }
 
   test("arg validation fails TYPED, not with a raw exception") {
