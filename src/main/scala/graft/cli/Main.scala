@@ -401,38 +401,45 @@ object Main {
     * with `--apply`, drop) the destination keys an insert/update-only
     * watermark sync has orphaned — the repair pass for the delete blind
     * spot the reference shares (`session.py` syncs inserts/updates only).
-    * Source may be parquet or JDBC (key-only projection travels either
-    * way); `--apply` requires a parquet destination (staged rewrite +
-    * swap). */
+    * Source AND destination may each be parquet or JDBC (the key-only
+    * projection travels either way); `--apply` is a staged rewrite + swap
+    * on a parquet destination and a batched keyed DELETE
+    * (JdbcUpsertSink.deleteByKeys, one transaction per partition) on a
+    * JDBC one. */
   private[cli] def runReconcile(spark: org.apache.spark.sql.SparkSession,
                                 a: Args): Unit = {
     import org.apache.spark.sql.functions.col
     if (a.keys.isEmpty)
       throw GraftError.InvalidConfig("reconcile requires --key K[,K2]")
-    if (a.dest.startsWith("jdbc:"))
-      throw GraftError.InvalidConfig(
-        "reconcile --dest must be a parquet dir (JDBC apply-side deletes " +
-          "belong to the upstream database's own lifecycle)")
-    val src = graft.sync.SyncEndpoint.parse(a.source, a.sourceUser,
-        a.sourcePassword) match {
+    // key-only projection on either kind of endpoint — the orphan pass
+    // never moves wide rows (parquet prunes columns from footers, JDBC
+    // pushes SELECT k FROM t)
+    def readKeys(ep: graft.sync.SyncEndpoint) = ep match {
       case graft.sync.SyncEndpoint.ParquetDir(dir) =>
         spark.read.parquet(dir).select(a.keys.map(col): _*)
       case graft.sync.SyncEndpoint.JdbcTable(url, table, props) =>
-        // key-only projection pushed to the database — the orphan pass
-        // never moves wide rows
         spark.read.jdbc(url,
           s"(SELECT ${a.keys.mkString(", ")} FROM $table) graft_rc", props)
     }
-    val dest = spark.read.parquet(a.dest)
-    val orphans = graft.sync.Reconcile.deletedKeys(src, dest, a.keys)
+    val srcEp = graft.sync.SyncEndpoint.parse(a.source, a.sourceUser,
+      a.sourcePassword)
+    val destEp = graft.sync.SyncEndpoint.parse(a.dest, a.destUser,
+      a.destPassword)
+    val orphans = graft.sync.Reconcile.deletedKeys(
+        readKeys(srcEp), readKeys(destEp), a.keys)
       .localCheckpoint() // consumed up to three times: report, count, apply
     a.report.foreach(p => orphans.write.mode("overwrite").parquet(p))
     val n = orphans.count()
     if (a.applyChanges) {
-      val (kept, dropped) = graft.sync.Reconcile.applyDeletes(
-        spark, a.dest, orphans, a.keys)
+      val dropped = destEp match {
+        case graft.sync.SyncEndpoint.ParquetDir(dir) =>
+          graft.sync.Reconcile.applyDeletes(spark, dir, orphans, a.keys)._2
+        case graft.sync.SyncEndpoint.JdbcTable(url, table, props) =>
+          graft.sinks.JdbcUpsertSink.deleteByKeys(
+            orphans, url, props, table, a.keys)
+      }
       println(s"reconcile ${a.source} -> ${a.dest}: $n orphaned keys, " +
-        s"dropped $dropped rows, kept $kept" +
+        s"dropped $dropped" +
         a.report.map(p => s", report -> $p").getOrElse(""))
     } else {
       println(s"reconcile ${a.source} -> ${a.dest}: $n orphaned keys " +

@@ -396,9 +396,10 @@ object Dedup {
                               maxDf: Long = DefaultMaxBandSize,
                               hexPrefixLen: Int = 1,
                               nativeShingles: Boolean = false,
-                              hashedKeys: Boolean = false): DataFrame =
+                              hashedKeys: Boolean = false,
+                              minSampled: Long = 1L): DataFrame =
     containmentPairsSampledCounted(docs, idCol, textCol, minContainment, n,
-      maxDf, hexPrefixLen, nativeShingles, hashedKeys)._1
+      maxDf, hexPrefixLen, nativeShingles, hashedKeys, minSampled)._1
 
   /** [[containmentPairsSampled]] plus the number of SAMPLED shingles
     * dropped by the `maxDf` posting-list cap (zero ⟺ exact over the
@@ -409,13 +410,15 @@ object Dedup {
                                      maxDf: Long = DefaultMaxBandSize,
                                      hexPrefixLen: Int = 1,
                                      nativeShingles: Boolean = false,
-                                     hashedKeys: Boolean = false)
+                                     hashedKeys: Boolean = false,
+                                     minSampled: Long = 1L)
       : (DataFrame, Long) = {
     require(minContainment > 0.0 && minContainment <= 1.0,
       s"minContainment must be in (0,1]: $minContainment")
     require(maxDf > 0, s"maxDf must be positive: $maxDf")
     require(hexPrefixLen > 0 && hexPrefixLen <= 8,
       s"hexPrefixLen must be in [1,8]: $hexPrefixLen")
+    require(minSampled >= 1, s"minSampled must be >= 1: $minSampled")
     val zeros = "0" * hexPrefixLen
     // materialize the slice once: sizes and postings both read it, and the
     // explode + md5 over the FULL gram frame is the dominant map-side cost
@@ -448,6 +451,11 @@ object Dedup {
       .withColumn("containment_est",
         round(col("shared_sampled").cast("double") /
           least(col("n_a_sampled"), col("n_b_sampled")).cast("double"), 6))
+      // variance knob: an estimate over a tiny sampled denominator is
+      // noisy (1/1 shared sampled gram reads as containment 1.0) — a
+      // production pass raises minSampled to demand statistical support;
+      // the gate keeps the default 1 so the oracle sees every pair
+      .filter(least(col("n_a_sampled"), col("n_b_sampled")) >= minSampled)
       .filter(col("containment_est") >= minContainment)
       .select(col("a_id"), col("b_id"),
         col("shared_sampled").cast("long").as("shared_sampled"),

@@ -349,6 +349,44 @@ object JdbcUpsertSink {
 
   /** One connection + one transaction per partition; rollback on failure;
     * connections actually closed (unlike reference session.py:109). */
+  /** Batched DELETE of the given key rows — the JDBC apply side of
+    * [[graft.sync.Reconcile]] (orphaned-key removal). Keys are deduped
+    * and key-repartitioned first, so each key is deleted by exactly one
+    * task and batches can be retried safely (a second DELETE of the same
+    * key is a no-op); one connection + one transaction per partition,
+    * `addBatch`/`executeBatch` in `batchSize` chunks — the S5 discipline.
+    * Returns the distinct orphan-key count submitted (driver counts from
+    * the database can be SUCCESS_NO_INFO on some drivers, so the applied
+    * number is the honest one to report). */
+  def deleteByKeys(orphans: DataFrame, url: String, props: Properties,
+                   table: String, keyCols: Seq[String],
+                   batchSize: Int = MaxBatchSize): Long = {
+    validateBatchSize(batchSize)
+    require(keyCols.nonEmpty, "deleteByKeys needs at least one key column")
+    val keyed = orphans.select(keyCols.map(col): _*).distinct()
+      .repartition(keyCols.map(col): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = keyed.count()
+      val where = keyCols.map(k => s"$k = ?").mkString(" AND ")
+      val sql = s"DELETE FROM $table WHERE $where"
+      runPerPartition(keyed, url, props) { (conn, rows) =>
+        val stmt = conn.prepareStatement(sql)
+        try {
+          var pending = 0
+          rows.foreach { row =>
+            bindRow(stmt, row, keyCols.indices)
+            stmt.addBatch()
+            pending += 1
+            if (pending >= batchSize) { stmt.executeBatch(); pending = 0 }
+          }
+          if (pending > 0) stmt.executeBatch()
+        } finally stmt.close()
+      }
+      n
+    } finally { keyed.unpersist(); () }
+  }
+
   private def runPerPartition(df: DataFrame, url: String, props: Properties)
                              (body: (Connection, Iterator[Row]) => Unit): Unit =
     df.foreachPartition { (rows: Iterator[Row]) =>

@@ -1647,6 +1647,13 @@ class ExtOpsSpec extends SparkSpec {
       corpus, "doc_id", "text", minContainment = 0.1, maxDf = 1L)
     assert(cap.count() == 0 && drop == nSampled,
       s"every shared sampled gram capped: dropped=$drop want $nSampled")
+    // the variance knob: demanding more sampled support than the slice
+    // holds suppresses the (otherwise-perfect) pair; at the actual
+    // support it survives
+    assert(graft.ext.Dedup.containmentPairsSampled(corpus, "doc_id", "text",
+      minContainment = 0.5, minSampled = nSampled + 1).count() == 0)
+    assert(graft.ext.Dedup.containmentPairsSampled(corpus, "doc_id", "text",
+      minContainment = 0.5, minSampled = nSampled).count() == 1)
   }
 
   test("line dedup: cross-doc dups flagged after trim, within-doc repeats are not, blanks dropped") {

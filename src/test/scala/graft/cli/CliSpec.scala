@@ -398,9 +398,30 @@ class CliSpec extends SparkSpec {
     assertThrows[GraftError.InvalidConfig](
       Main.runReconcile(spark, Main.parse(Array("reconcile",
         "--source", "s", "--dest", "d"))))
-    assertThrows[GraftError.InvalidConfig](
-      Main.runReconcile(spark, Main.parse(Array("reconcile", "--source", "s",
-        "--dest", "jdbc:postgresql://h/db#t", "--key", "k"))))
+  }
+
+  test("reconcile with a JDBC destination deletes orphans via batched DELETE") {
+    import spark.implicits._
+    val work = tmpDir("cli-reconcile-jdbc")
+    Seq((1L, "a"), (2L, "b")).toDF("event_id", "v")
+      .write.parquet(s"$work/src")
+    val url = s"jdbc:derby:memory:clirc${System.nanoTime()};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE DEST (EVENT_ID BIGINT PRIMARY KEY, V VARCHAR(10))")
+      Seq(1L, 2L, 3L, 4L).foreach(i =>
+        st.executeUpdate(s"INSERT INTO DEST VALUES ($i, 'x')"))
+      st.close()
+      run("reconcile", "--source", s"$work/src", "--dest", s"$url#DEST",
+        "--key", "EVENT_ID", "--apply")
+      val rs = conn.createStatement()
+        .executeQuery("SELECT EVENT_ID FROM DEST ORDER BY EVENT_ID")
+      val left = Iterator.continually(rs)
+        .takeWhile(_.next()).map(_.getLong(1)).toList
+      assert(left == List(1L, 2L), s"got $left")
+    } finally conn.close()
   }
 
   test("bpe-train writes the merge table; tokenize applies it") {
