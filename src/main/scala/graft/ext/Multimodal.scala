@@ -217,6 +217,82 @@ object Multimodal {
       }(encoder)
   }
 
+  /** PCM audio codec lane — the audio sibling of [[PngCodec]]: payloads
+    * are 16-bit SIGNED LITTLE-ENDIAN PCM (the WAV/flac-decoded interchange
+    * layout), planted as a closed-form function of the id so the oracle
+    * can recompute every feature from the id alone without ever seeing a
+    * byte: n = 50 + id%32 samples, sample i = (id%1000 − 2000) + 37·i —
+    * spans negative and positive amplitudes, stays far inside int16. */
+  object PcmCodec {
+
+    def plantedPcm(id: Long): Array[Byte] = {
+      val n = (50 + id % 32).toInt
+      val c = (id % 1000 - 2000).toInt
+      val buf = java.nio.ByteBuffer.allocate(n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < n) { buf.putShort((c + 37 * i).toShort); i += 1 }
+      buf.array()
+    }
+
+    /** Parse one payload into its exact integer moments; None when the
+      * bytes are not whole 16-bit frames (truncated stream). */
+    def parse(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+      if (bytes == null || bytes.length % 2 != 0) return None
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var (n, sum, sumSq, peak) = (0L, 0L, 0L, 0L)
+      while (buf.hasRemaining) {
+        val s = buf.getShort.toLong
+        n += 1; sum += s; sumSq += s * s
+        if (math.abs(s) > peak) peak = math.abs(s)
+      }
+      Some((n, sum, sumSq, peak))
+    }
+  }
+
+  /** Fixture adapter for the audio lane: planted PCM payloads per id in
+    * the media schema (partition-batched like [[plantedPngMedia]]). */
+  def plantedPcmMedia(ids: DataFrame, idCol: String): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = Multimodal.PcmCodec.plantedPcm(id)
+          Row(id, bytes, Row("audio/pcm", bytes.length.toLong, "planted"))
+        }
+      }(encoder)
+  }
+
+  /** Audio FEATURE extraction in the codec lane: parse the 16-bit LE PCM
+    * payload and emit its exact integer moments — sample count, sum, sum
+    * of squares (the RMS/loudness numerator downstream stages divide), and
+    * peak amplitude. All integers, so the features are bit-reproducible in
+    * any engine (no float accumulation order); truncated payloads (odd
+    * byte length) yield NULL features — kept, not dropped, the corrupt-row
+    * contract shared by [[decodeImages]]. */
+  def audioFeatures(media: DataFrame, batchPartitions: Option[Int] = None): DataFrame = {
+    val in = batchPartitions.map(media.repartition).getOrElse(media)
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("sum_samples", LongType, nullable = true),
+      StructField("sum_squares", LongType, nullable = true),
+      StructField("peak_abs", LongType, nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    in.select("media_id", "content")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Multimodal.PcmCodec.parse(r.getAs[Array[Byte]](1)) match {
+            case Some((n, sum, sq, peak)) => Row(id, n, sum, sq, peak)
+            case None => Row(id, null, null, null, null)
+          }
+        }
+      }(encoder)
+  }
+
   /** The E3 decode lane with a REAL codec: `javax.imageio` PNG decode in
     * partition batches over the opaque binary column. Emits the decoded
     * dimensions and the pixel channel sum (the downstream feature a

@@ -578,6 +578,32 @@ object ExtQueries {
         Multimodal.resizeImages(media, 8, 5, batchPartitions = Some(8)))
     },
 
+    // E3 — AUDIO feature extraction through the real PCM parser: planted
+    // 16-bit little-endian signed PCM payloads (closed-form samples
+    // (id%1000−2000)+37·i, spanning negative and positive amplitudes)
+    // parsed byte-for-byte in the codec lane into exact integer moments
+    // (count / sum / sum-of-squares / peak). The oracle recomputes every
+    // moment from the id alone via a generated sample list — the parser
+    // is verified without the oracle ever seeing a byte (the e3e/e3f
+    // pattern, audio edition).
+    "e3g_pcm_features" -> Q(
+      """WITH d AS (SELECT doc_id, 50 + doc_id % 32 AS n,
+        |                  doc_id % 1000 - 2000 AS c
+        |           FROM documents WHERE doc_id < 200),
+        |v AS (SELECT doc_id, n,
+        |        list_transform(range(n), i -> c + 37 * i) AS s FROM d)
+        |SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_samples,
+        |       CAST(list_sum(s) AS BIGINT) AS sum_samples,
+        |       CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT)
+        |         AS sum_squares,
+        |       CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT)
+        |         AS peak_abs
+        |FROM v""".stripMargin) { (s, dir) =>
+      val media = Multimodal.plantedPcmMedia(
+        Tables.documents(s, dir).filter(col("doc_id") < 200), "doc_id")
+      Multimodal.audioFeatures(media, batchPartitions = Some(8))
+    },
+
     // E3 — frame sampling over the binary payload (every 4th 64-byte
     // frame). The oracle recomputes the frames from the text (ASCII fixture
     // ⇒ bytes == chars) and hashes them identically.

@@ -1474,6 +1474,35 @@ class ExtOpsSpec extends SparkSpec {
     assert(snapshot(4) == snapshot(2))
   }
 
+  test("PCM codec lane: LE int16 parse matches the closed form; truncated bytes yield nulls") {
+    import spark.implicits._
+    val ids = spark.range(0, 40).select(col("id").as("doc_id"))
+    val media = Multimodal.plantedPcmMedia(ids, "doc_id")
+    // the payload really is little-endian int16: id 0 → c = −2000 =
+    // 0xF830 → bytes (0x30, 0xF8)
+    val b0 = media.filter(col("media_id") === 0L)
+      .select("content").first().getAs[Array[Byte]](0)
+    assert((b0(0) & 0xff) == 0x30 && (b0(1) & 0xff) == 0xF8, "not LE int16")
+    val got = Multimodal.audioFeatures(media, batchPartitions = Some(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toList
+    val want = (0L until 40L).map { id =>
+      val n = (50 + id % 32).toInt
+      val c = (id % 1000 - 2000).toInt
+      val s = (0 until n).map(i => (c + 37 * i).toLong)
+      (id, n.toLong, s.sum, s.map(v => v * v).sum, s.map(math.abs).max)
+    }.toList
+    assert(got == want)
+    // a truncated payload (odd byte count) keeps its row with nulls
+    val corrupt = Seq((99L, Array[Byte](1, 2, 3), ("audio/pcm", 3L, "bad")))
+      .toDF("media_id", "content", "m")
+      .select(col("media_id"), col("content"),
+        struct(col("m._1").as("mime"), col("m._2").as("n_bytes"),
+          col("m._3").as("source")).as("meta"))
+    val badRow = Multimodal.audioFeatures(corrupt).first()
+    assert(badRow.getLong(0) == 99L && (1 to 4).forall(badRow.isNullAt))
+  }
+
   test("PNG codec lane: real imageio round-trip matches the closed form; corrupt bytes yield nulls") {
     import spark.implicits._
     val ids = spark.range(0, 40).select(col("id").as("doc_id"))
