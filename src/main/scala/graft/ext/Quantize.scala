@@ -130,6 +130,22 @@ object Quantize {
     * underscore-prefixed sidecar (`_codebooks` — scans of the index
     * ignore it; the IVF `_centroids` convention). Build once, probe many:
     * the fit is never paid at query time. */
+  /** Exact per-vector PQ reconstruction error — Σ over subspaces of the
+    * squared-L2 distance to the NEAREST codeword (the quantity encodePq
+    * minimizes per subspace; equivalently the ADC distance of a vector to
+    * its own codes). The drift metric for appended batches: codebooks fit
+    * on the build corpus reconstruct a shifted distribution worse, and
+    * the ADC shortlist's recall decays with it. */
+  def pqReconError(vec: Column, model: PqModel): Column =
+    (0 until model.m).map { s =>
+      val sub = slice(asDouble(vec), s * model.dsub + 1, model.dsub)
+      array_min(array(model.codebooks(s).map { cw =>
+        val cwLit = array(cw.map(lit): _*)
+        aggregate(zip_with(sub, cwLit, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v)
+      }: _*))
+    }.reduce(_ + _)
+
   /** Build parameters persisted beside the codes/codebooks (the
     * `_GRAFT_LSH_PARAMS` convention from [[graft.ext.Similarity]]): a
     * probe whose pipeline assumes a DIFFERENT m/k/seed than the index was
@@ -158,7 +174,80 @@ object Quantize {
       .parquet(indexDir + "/_codebooks")
     graft.ops.RangeLayout.writeSidecar(spark, indexDir, PqParamsFile,
       pqParamsString(m, k, seed))
+    // drift baseline: the build corpus's mean reconstruction error —
+    // appends compare their batch against it (the IVF _cellstats role)
+    val base = embeddings
+      .agg(avg(pqReconError(col(vecCol), model)), count(lit(1))).first()
+    graft.ops.RangeLayout.writeSidecar(spark, indexDir, PqStatsFile,
+      s"mean_err=${base.getDouble(0)},n=${base.getLong(1)}")
     model
+  }
+
+  /** Drift-baseline sidecar written by [[buildPqIndex]]. */
+  val PqStatsFile = "_GRAFT_PQ_STATS"
+
+  /** Ledger returned by [[pqIndexAppend]]: how many rows were appended
+    * and how their reconstruction error compares to the build baseline. */
+  final case class PqAppendStats(appended: Long, batchMeanErr: Double,
+                                 baselineMeanErr: Double) {
+    /** Heuristic drift flag: the appended batch reconstructs ≥ `factor`×
+      * worse than the build corpus — time to refit the codebooks. */
+    def drifted(factor: Double = 2.0): Boolean =
+      baselineMeanErr > 0 && batchMeanErr > factor * baselineMeanErr
+  }
+
+  /** INCREMENTAL maintenance for a [[buildPqIndex]] layout: encode the
+    * new vectors with the FROZEN persisted codebooks — never a refit, so
+    * appended codes are exactly what encoding them at build time would
+    * have produced — and append (id, codes, float vector) rows to the
+    * same storage. The params guard validates the caller's expected
+    * (m, k, seed) against the persisted `_GRAFT_PQ_PARAMS` record first
+    * (the LSH-append convention: encoding against foreign codebooks files
+    * vectors the ADC table never scores correctly — silent recall loss,
+    * not an error), and an index without the `_GRAFT_PQ_STATS` drift
+    * baseline refuses: appending without a baseline is how shortlist
+    * recall decays silently.
+    * @return [[PqAppendStats]] — appended count, batch vs baseline mean
+    *         reconstruction error */
+  def pqIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                    indexDir: String, newVectors: DataFrame, idCol: String,
+                    vecCol: String, m: Int = 16, k: Int = 16,
+                    seed: Long = 42L): PqAppendStats = {
+    val expected = pqParamsString(m, k, seed)
+    val actual = graft.ops.RangeLayout.readSidecar(spark, indexDir,
+      PqParamsFile)
+    require(actual.contains(expected),
+      s"$indexDir was built with [${actual.getOrElse("no " + PqParamsFile)}]" +
+        s" but this append expects [$expected]; encoding against foreign " +
+        "codebooks silently corrupts probe recall — rebuild or fix config")
+    val stats = graft.ops.RangeLayout.readSidecar(spark, indexDir, PqStatsFile)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no $PqStatsFile under $indexDir — the index predates the drift " +
+          "baseline; rebuild before appending"))
+    val baseline = stats.split(",").map(_.split("=", 2))
+      .collectFirst { case Array("mean_err", v) => v.toDouble }
+      .getOrElse(throw new IllegalArgumentException(
+        s"unparseable $PqStatsFile under $indexDir: $stats"))
+    val model = loadPqModel(spark, indexDir)
+    require(model.m == m && model.codebooks.head.length == k,
+      s"$indexDir codebooks disagree with its own $PqParamsFile — rebuild")
+    // one pass serves both the appended payload and the drift aggregate
+    val encoded = newVectors.select(col(idCol),
+        encodePq(col(vecCol), model).as("__codes"), col(vecCol),
+        pqReconError(col(vecCol), model).as("__err"))
+      .localCheckpoint()
+    encoded.select(col(idCol), col("__codes"), col(vecCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(indexDir)
+    val row = encoded.agg(count(lit(1)), avg(col("__err"))).first()
+    val out = PqAppendStats(row.getLong(0),
+      if (row.isNullAt(1)) 0.0 else row.getDouble(1), baseline)
+    if (out.drifted())
+      org.slf4j.LoggerFactory.getLogger("graft.ext.Quantize").warn(
+        s"pqIndexAppend: batch mean reconstruction error " +
+          f"${out.batchMeanErr}%.6f is ${out.batchMeanErr / baseline}%.1fx " +
+          f"the build baseline $baseline%.6f — consider refitting the " +
+          "codebooks")
+    out
   }
 
   /** Load the codebooks sidecar back into a [[PqModel]]. */

@@ -239,6 +239,29 @@ object ExtQueries {
       (idx, stats)
     })
 
+  /** e2v's build-then-append PQ index, once per fixture dir: codebooks
+    * fit on the vec_id < 400 slice, the held-out rest appended through
+    * the frozen-codebook no-refit path (the appendedIvfIndex protocol —
+    * an explicit temp dir so the append never mutates a shared cache;
+    * keyed by the fixture content stamp). */
+  private val appendedPqCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, graft.ext.Quantize.PqAppendStats)]()
+  private def appendedPqIndex(s: org.apache.spark.sql.SparkSession,
+                              dir: String,
+                              emb: org.apache.spark.sql.DataFrame)
+      : (String, graft.ext.Quantize.PqAppendStats) =
+    appendedPqCache.computeIfAbsent(
+      s"$dir@${Tables.fixtureStamp(dir, "embeddings")}", { _ =>
+      val idx = java.nio.file.Files.createTempDirectory("e2v-pq")
+        .toString + "/idx"
+      Quantize.buildPqIndex(emb.filter(col("vec_id") < 400),
+        "vec_id", "embedding", idx)
+      val stats = Quantize.pqIndexAppend(s, idx,
+        emb.filter(col("vec_id") >= 400), "vec_id", "embedding")
+      (idx, stats)
+    })
+
   /** e2u's PQ model + encoded codes, once per fixture stamp: the fit is
     * m seeded KMeans jobs and the encode an m·k-term HOF pass — build-once
     * artifacts in production (codes are what the shard STORES), so
@@ -2769,6 +2792,35 @@ object ExtQueries {
         nProbe = 6)
       val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 10)
       recallContract(exact, ivf, selfId = 450L)
+        .withColumn("appended", lit(stats.appended))
+        .withColumn("drifted", lit(if (stats.drifted()) 1L else 0L))
+    },
+
+    // E2 — PQ index APPEND lifecycle (the e2s protocol on the product-
+    // quantized layout): codebooks fit on the vec_id<400 slice, the rest
+    // encoded with the FROZEN codebooks and appended (no refit), then the
+    // full index probed around an APPENDED vector (450). The recall
+    // contract runs against exact L2 (what PQ approximates); the drift
+    // ledger rides as columns — near-identically-distributed fixture
+    // halves must not trip the 2× reconstruction-error flag.
+    "e2v_pq_append_recall" -> Q(
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 450),
+        |topk AS (SELECT vec_id FROM embeddings
+        |         ORDER BY round(list_distance(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) ASC,
+        |                  vec_id ASC LIMIT 10)
+        |SELECT count(*) AS k, CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS self_found,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id >= 400) AS appended,
+        |       CAST(0 AS BIGINT) AS drifted
+        |FROM topk""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val (idx, stats) = appendedPqIndex(s, dir, emb)
+      val query = emb.filter(col("vec_id") === 450)
+        .select("embedding").first().getSeq[Float](0)
+      val approx = Quantize.pqProbe(s, idx, "vec_id", "embedding", query,
+        topK = 10, pool = 50)
+      val exact = Similarity.bruteForceTopKL2(emb, "vec_id", "embedding",
+        query, 10)
+      recallContract(exact, approx, selfId = 450L)
         .withColumn("appended", lit(stats.appended))
         .withColumn("drifted", lit(if (stats.drifted()) 1L else 0L))
     },

@@ -96,6 +96,47 @@ class QuantizeSpec extends SparkSpec {
       ex2.getMessage)
   }
 
+  test("pq append: frozen-codebook encode, drift ledger, guards refuse") {
+    val e = emb
+    val dir = tmpDir("pq-append") + "/idx"
+    val model = Quantize.buildPqIndex(e.filter(col("vec_id") < 400),
+      "vec_id", "embedding", dir)
+    val stats = Quantize.pqIndexAppend(spark, dir,
+      e.filter(col("vec_id") >= 400), "vec_id", "embedding")
+    assert(stats.appended == e.filter(col("vec_id") >= 400).count())
+    // appended codes equal an in-memory encode with the SAME (frozen)
+    // codebooks — the no-refit law
+    val idx = spark.read.parquet(dir)
+    val want = e.filter(col("vec_id") >= 400)
+      .select(col("vec_id"), Quantize.encodePq(col("embedding"), model)
+        .as("__codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val got = idx.filter(col("vec_id") >= 400)
+      .select("vec_id", "__codes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(got == want, "appended codes must be the frozen-codebook encode")
+    // the two fixture halves share a distribution: no drift flag, sane
+    // baseline
+    assert(stats.baselineMeanErr > 0 && !stats.drifted(),
+      s"near-iid halves must not trip the drift flag: $stats")
+    // a probe around an APPENDED vector sees it
+    val q450 = e.filter(col("vec_id") === 450L)
+      .select("embedding").as[Seq[Float]].head()
+    val top = Quantize.pqProbe(spark, dir, "vec_id", "embedding", q450,
+        topK = 5, pool = 20)
+      .select("vec_id").as[Long].collect()
+    assert(top.contains(450L), s"appended vector invisible to probe: ${top.toList}")
+    // guards: foreign params refuse; a baseline-less index refuses
+    val exP = intercept[IllegalArgumentException](
+      Quantize.pqIndexAppend(spark, dir, e.limit(1), "vec_id", "embedding",
+        m = 8))
+    assert(exP.getMessage.contains("was built with"), exP.getMessage)
+    new java.io.File(dir, Quantize.PqStatsFile).delete()
+    val exS = intercept[IllegalArgumentException](
+      Quantize.pqIndexAppend(spark, dir, e.limit(1), "vec_id", "embedding"))
+    assert(exS.getMessage.contains(Quantize.PqStatsFile), exS.getMessage)
+  }
+
   test("codes are in [0,255] and reconstruction error is within one grid step") {
     val q = Quantize.quantizeInt8(col("embedding"))
     val rows = emb.select(
