@@ -32,8 +32,11 @@ import graft.sync.{SyncConfig, SyncJob}
   *
   * `SPARK_GRAFT_STRESS_ONLY` (comma list of group keys: `dedup` — the
   * chained e6/e9c/e10/cap arm — `e2n`, `e6g`, `e6g2`, `e6g3`, `e6i` — the
-  * span-coverage pair — `e4t`, `e4v` (bigram cross-entropy), `e6k` (line
-  * dedup stats + removal), `e6l` (containment pairs), `layout`, `sync` — which includes the
+  * span-coverage pair — `e4t`, `e4v` (bigram cross-entropy), `e4w` (BPE
+  * trainer — the vocab-bounded claim), `e6k` (line dedup stats +
+  * removal), `e6l` (containment pairs, exact-to-×10 + sampled + capped),
+  * `pagerank` (ring+chord plus the dangling-mass digraph), `e5d`,
+  * `e5dcap`, `funnel`, `layout`, `zorder`, `sync` — which includes the
   * streaming replay built on its output dir) runs a subset; fixture
   * replication is skipped for inputs no selected group reads. Unset =
   * everything, unchanged.
@@ -97,7 +100,7 @@ object ScaleStress {
       val docsDir = s"$work/docs_x$rep"
       val embDir = s"$work/emb_x$rep"
       val needDocs = wants("dedup", "e6g", "e6g2", "e6g3", "e6i", "e4t",
-        "e4v", "e6k", "e6l", "e5d", "e5dcap")
+        "e4v", "e4w", "e6k", "e6l", "e5d", "e5dcap")
       val needEmb = wants("e2n")
       val (_, tPrepD) =
         if (needDocs) timed(replicateDocs(spark, sfDir, rep, docsDir))
@@ -257,6 +260,19 @@ object ScaleStress {
       jline("e4t_zipf_slope", rep, tZf, zipf.count())
       }
 
+      if (wants("e4w")) {
+      // e4w2 shape — the iterative BPE trainer's VOCAB-BOUNDED claim,
+      // measured: training runs on the distinct-token frequency table,
+      // so after the one corpus-linear tokenize+count, the per-round
+      // cost tracks the VOCABULARY (which grows only by the ~rep
+      // distinct "replicaN" markers under replication), not the corpus.
+      // The curve should be nearly flat past the initial count.
+      val (bpe, tBpe) = timed {
+        TextAnalysis.bpeTrain(docs, "text", merges = 6).localCheckpoint()
+      }
+      jline("e4w2_bpe_train", rep, tBpe, bpe.count())
+      }
+
       if (wants("pagerank")) {
       // e9d shape — iterative graph analytics at scale: 5 damped power
       // iterations over a synthetic ring+chord digraph (out-degree ≥ 1
@@ -276,6 +292,18 @@ object ScaleStress {
           .localCheckpoint()
       }
       jline("e9d_pagerank_5it", rep, tPr, pr.count())
+      // e9d2 shape — the DANGLING-mass form on the chords-only digraph
+      // (targets that are never sources are dangling — a large fraction
+      // at every scale): adds the per-iteration dangling anti-join + the
+      // one-row exact-DECIMAL mass broadcast. Also exercises the
+      // broadcast-vs-shuffle rank-join bound: ≤ 2M nodes (rep ≤ 20)
+      // broadcast, above it the shuffle path.
+      val (pd, tPd) = timed {
+        graft.ops.PageRank.pageRank(chords.filter(col("src") =!= col("dst")),
+            "src", "dst", iterations = 5, danglingMass = true)
+          .localCheckpoint()
+      }
+      jline("e9d2_pagerank_dangling_5it", rep, tPd, pd.count())
       }
 
       if (wants("e5d")) {
