@@ -1622,6 +1622,69 @@ class ExtOpsSpec extends SparkSpec {
     assert(excluded == 1L && table.count() == 1L)
   }
 
+  test("BPE trainer equals a scalar reference on seeded random corpora") {
+    // independent reference implementation: list-walk merges (greedy
+    // left-to-right, non-overlapping — the same semantics the sentinel
+    // string replace encodes), sliding pair counts weighted by token
+    // frequency, (cnt desc, pair asc) argmax
+    def applyMerge(syms: List[String], a: String, b: String): List[String] = {
+      val buf = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          buf += (a + b); i += 2
+        } else { buf += syms(i); i += 1 }
+      }
+      buf.toList
+    }
+    def refBpe(docs: Seq[String], merges: Int): List[(Long, String, Long)] = {
+      var vocab: List[(List[String], Long)] = docs
+        .flatMap(_.split("\\s+")).filter(_.length >= 2)
+        .groupBy(identity).map { case (t, xs) =>
+          t.toList.map(_.toString) -> xs.size.toLong }.toList
+      val out = scala.collection.mutable.ListBuffer[(Long, String, Long)]()
+      var r = 1
+      var exhausted = false
+      while (r <= merges && !exhausted) {
+        val pc = scala.collection.mutable.Map[(String, String), Long]()
+          .withDefaultValue(0L)
+        vocab.foreach { case (syms, f) =>
+          syms.sliding(2).foreach {
+            case List(a, b) => pc((a, b)) += f
+            case _ =>
+          }
+        }
+        if (pc.isEmpty) exhausted = true
+        else {
+          val ((a, b), cnt) = pc.toSeq
+            .minBy { case ((x, y), c) => (-c, x + " " + y) }
+          out += ((r.toLong, s"$a $b", cnt))
+          vocab = vocab.map { case (s, f) => (applyMerge(s, a, b), f) }
+          r += 1
+        }
+      }
+      out.toList
+    }
+    val rnd = new scala.util.Random(421)
+    val alphabet = "abc"
+    (1 to 8).foreach { trial =>
+      val docs = (0 until 2 + rnd.nextInt(3)).map { i =>
+        val tokens = (0 until 3 + rnd.nextInt(6)).map { _ =>
+          (0 until 2 + rnd.nextInt(5))
+            .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        }
+        (i.toLong, tokens.mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.ext.TextAnalysis.bpeTrain(df, "text", merges = 4)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toList
+      val want = refBpe(docs.map(_._2), merges = 4)
+      assert(got == want,
+        s"trial $trial diverged on ${docs.map(_._2)}:\n got $got\nwant $want")
+    }
+  }
+
   test("BPE encode: merges applied in training order; singles count as one symbol") {
     val docs = Seq((0L, "aaab aaab"), (1L, "ab"), (2L, "x aaab"))
       .toDF("doc_id", "text")
