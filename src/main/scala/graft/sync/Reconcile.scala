@@ -33,26 +33,25 @@ object Reconcile {
   }
 
   /** Rewrite the parquet destination without the orphaned keys. Staged
-    * write: the cleaned rows land in `<dest>.reconcile.tmp` first and
-    * swap in only after the write fully commits, so a mid-write crash
-    * leaves the original destination intact (the ParquetMergeSink
-    * discipline).
+    * write + [[ParquetMergeSink.atomicSwap]]: the cleaned rows land in
+    * `<dest>.reconcile.tmp` first and swap in via the backup-rename
+    * protocol, so a crash at ANY point leaves either the original or the
+    * cleaned table recoverable (an interrupted swap is healed by
+    * [[ParquetMergeSink.recoverInterruptedSwap]], which this and every
+    * merge entry point run first).
     * @return (rows kept, rows dropped) */
   def applyDeletes(spark: SparkSession, destPath: String,
                    orphans: DataFrame, keys: Seq[String]): (Long, Long) = {
+    val fs = new org.apache.hadoop.fs.Path(destPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ParquetMergeSink.recoverInterruptedSwap(fs, destPath)
     val dest = spark.read.parquet(destPath)
     val total = dest.count()
     val kept = dest.join(orphans.select(keys.map(col): _*), keys, "left_anti")
     val tmp = destPath.stripSuffix("/") + ".reconcile.tmp"
     kept.write.mode(SaveMode.Overwrite).parquet(tmp)
     val keptRows = spark.read.parquet(tmp).count()
-    val fs = new org.apache.hadoop.fs.Path(destPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val destP = new org.apache.hadoop.fs.Path(destPath)
-    val tmpP = new org.apache.hadoop.fs.Path(tmp)
-    fs.delete(destP, true)
-    require(fs.rename(tmpP, destP),
-      s"could not swap $tmp into place at $destPath")
+    ParquetMergeSink.atomicSwap(fs, destPath, tmp)
     (keptRows, total - keptRows)
   }
 }
