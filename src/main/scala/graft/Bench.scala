@@ -65,34 +65,15 @@ object Bench {
         s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
     }
 
-    // Reclaim per-query harness state between entries. 161 queries in one
-    // 8 GiB JVM accumulate (a) the replay twins' memory-sink tables —
-    // DRIVER-heap copies of every emitted row, strongly referenced by the
-    // catalog until dropped — and (b) dead localCheckpoint blocks, which
-    // the ContextCleaner only unpersists after their RDD objects are
-    // GARBAGE-COLLECTED (weak references). Left alone, late-alphabet
-    // entries (the t6/t9/t10 replays) ran against a storage-memory-full
-    // session and measured ~2× their isolated cost (BENCH_r09 vs r06).
-    // The module-level caches that MUST survive (ExtQueries.pqCache /
-    // corpusCache, the parquet index dirs) hold strong references / live
-    // on disk, so neither step can evict them. GC only under pressure:
-    // a full collection costs ~100 ms and is pure waste while cached
-    // blocks are small.
-    def reclaimHarnessState(): Unit = {
-      spark.catalog.listTables().collect()
-        .filter(t => t.isTemporary && t.name.contains("_replay_"))
-        .foreach(t => spark.catalog.dropTempView(t.name))
-      val cachedBytes = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
-      if (cachedBytes > (1L << 30)) System.gc()
-    }
-
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val times = (1 to runsFor(name)).map { _ =>
         time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
       }.filter(_ >= 0)
-      reclaimHarnessState()
+      // see HarnessState: drop replay sink views, GC under cached-block
+      // pressure — late entries must not run against a storage-full session
+      HarnessState.reclaim(spark)
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
 

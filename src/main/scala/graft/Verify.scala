@@ -44,16 +44,9 @@ object Verify {
             s"[verify] WARNING: could not remove stale result dir $dir")
         }
       }
-      // reclaim per-query harness state (the Bench protocol): drop the
-      // replay twins' driver-heap memory-sink tables, and under cached-
-      // block pressure let a GC hand dead localCheckpoints to the
-      // ContextCleaner — 161 queries in one JVM otherwise run the late
-      // entries against a storage-full session
-      spark.catalog.listTables().collect()
-        .filter(t => t.isTemporary && t.name.contains("_replay_"))
-        .foreach(t => spark.catalog.dropTempView(t.name))
-      if (spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum > (1L << 30))
-        System.gc()
+      // see HarnessState: drop replay sink views, GC under cached-block
+      // pressure — late entries must not run against a storage-full session
+      HarnessState.reclaim(spark)
     }
     failed.toSeq
   }

@@ -115,11 +115,17 @@ object TextAnalysis {
       : (DataFrame, Long) = {
     require(merges >= 1, s"merges must be >= 1: $merges")
     val SEP = "\u0001"
-    val tok = docs.select(explode(tokens(col(textCol))).as("token"))
+    // ONE corpus pass: the frequency groupBy is the only corpus-linear
+    // job; the sentinel-exclusion ledger and the training table both read
+    // the (vocab-sized) checkpointed result — counting exclusions with a
+    // separate pre-pass used to re-explode the whole corpus
+    val grouped = docs.select(explode(tokens(col(textCol))).as("token"))
       .filter(length(col("token")) >= 2)
-    val excluded = tok.filter(col("token").contains(SEP)).count()
-    var t = tok.filter(!col("token").contains(SEP))
       .groupBy("token").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    val excluded = grouped.filter(col("token").contains(SEP))
+      .agg(coalesce(sum(col("freq")), lit(0L))).first().getLong(0)
+    var t = grouped.filter(!col("token").contains(SEP))
       .select(regexp_replace(col("token"), "(.)", s"$SEP$$1$SEP").as("enc"),
         col("freq"))
       .localCheckpoint()

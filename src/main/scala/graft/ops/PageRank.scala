@@ -147,14 +147,17 @@ object PageRank {
     * steady-state form for production ranking where the caller wants
     * "converged" rather than "k steps". The iteration count it ran is
     * returned so callers can REPLAY the exact result via
-    * `pageRank(..., iterations = ranIterations)` — the two forms share
-    * the step function, so the replay is bit-identical.
+    * `pageRank(..., iterations = ranIterations)` WITH THE SAME
+    * `danglingMass` setting — the two entry points share the step
+    * function AND their defaults, so an argument-for-argument replay is
+    * bit-identical (a replay that flips danglingMass is a different
+    * recurrence and silently diverges on any graph with dangling nodes).
     *
     * @return (node/rank frame — 10-dp rounded, iterations actually run) */
   def pageRankConverged(edges: DataFrame, srcCol: String, dstCol: String,
                         tol: Double, maxIterations: Int = 50,
                         damping: Double = 0.85,
-                        danglingMass: Boolean = true): (DataFrame, Int) = {
+                        danglingMass: Boolean = false): (DataFrame, Int) = {
     require(tol > 0, s"tol must be positive: $tol")
     require(maxIterations >= 1, s"maxIterations must be >= 1: $maxIterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")

@@ -44,10 +44,17 @@ object ZOrder {
   def gridCoord(name: String, mn: Long, mx: Long): Column =
     if (mx == mn) lit(0L)
     else {
-      require(mx - mn <= MaxSpan, s"z-order dimension `$name` span " +
-        s"${mx - mn} exceeds the exact-arithmetic bound $MaxSpan (~2^47); " +
-        "rescale the column to a coarser unit first")
-      expr(s"((`$name` - ${mn}L) * ${GridMax}L) div ${mx - mn}L")
+      // mx ≥ mn is the caller contract, so a NEGATIVE difference can only
+      // mean either swapped bounds or a span past 2^63 that wrapped the
+      // subtraction itself (e.g. a Long.MinValue sentinel row) — both must
+      // refuse, or the guard fails OPEN on exactly the overflow it exists
+      // to stop
+      val span = mx - mn
+      require(span >= 0 && span <= MaxSpan,
+        s"z-order dimension `$name` bounds [$mn, $mx] give span $span — " +
+          s"outside [0, $MaxSpan] (~2^47): swapped bounds, a sentinel " +
+          "value, or a span needing a coarser unit")
+      expr(s"((`$name` - ${mn}L) * ${GridMax}L) div ${span}L")
     }
 
   /** Morton interleave of two 16-bit grid coordinates: dimension A takes
@@ -70,9 +77,13 @@ object ZOrder {
       "non-null integer-valued columns")
     Seq(colA -> (r.getLong(1) - r.getLong(0)),
         colB -> (r.getLong(3) - r.getLong(2))).foreach { case (c, span) =>
-      require(span <= MaxSpan, s"z-order dimension `$c` span $span exceeds " +
-        s"the exact-arithmetic bound $MaxSpan (~2^47); rescale the column " +
-        "to a coarser unit first")
+      // min ≤ max by construction here, so span < 0 ⟺ the true span
+      // overflowed the Long subtraction (a Long.MinValue sentinel row) —
+      // refuse rather than fail open into wrapped grid coordinates
+      require(span >= 0 && span <= MaxSpan,
+        s"z-order dimension `$c` span $span is outside [0, $MaxSpan] " +
+          "(~2^47): a sentinel/extreme value or a span needing a coarser " +
+          "unit — rescale the column first")
     }
     (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }

@@ -133,13 +133,20 @@ object ExtQueries {
     * post-merge symbols per document. Length-1 tokens are encoded (one
     * symbol each) exactly as in Spark's bpeEncode. */
   private def bpeEncodeOracleSql(merges: Int): String = {
+    // LEFT JOIN ON TRUE, not CROSS JOIN: when the corpus exhausts its
+    // pair space before round k, b$k is EMPTY — a cross join would empty
+    // the whole apply chain (0 output rows) while the Spark side still
+    // encodes every doc with the merges that DO exist. With the left
+    // join, an absent merge row passes enc through unchanged — the same
+    // "apply only the existing merges" semantics.
     val apply = (1 to merges).map { k =>
-      s"""at$k AS (SELECT doc_id, replace(enc,
+      s"""at$k AS (SELECT doc_id,
+         |        CASE WHEN pair IS NULL THEN enc ELSE replace(enc,
          |          chr(1) || string_split(pair, ' ')[1] || chr(1) || chr(1) ||
          |            string_split(pair, ' ')[2] || chr(1),
          |          chr(1) || string_split(pair, ' ')[1] ||
-         |            string_split(pair, ' ')[2] || chr(1)) AS enc
-         |      FROM at${k - 1} CROSS JOIN b$k)""".stripMargin
+         |            string_split(pair, ' ')[2] || chr(1)) END AS enc
+         |      FROM at${k - 1} LEFT JOIN b$k ON TRUE)""".stripMargin
     }.mkString(",\n", ",\n", "")
     val head =
       """,

@@ -349,6 +349,21 @@ object JdbcUpsertSink {
 
   /** One connection + one transaction per partition; rollback on failure;
     * connections actually closed (unlike reference session.py:109). */
+  private def runPerPartition(df: DataFrame, url: String, props: Properties)
+                             (body: (Connection, Iterator[Row]) => Unit): Unit =
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        val conn = DriverManager.getConnection(url, props)
+        try {
+          conn.setAutoCommit(false)
+          body(conn, rows)
+          conn.commit()
+        } catch {
+          case t: Throwable => conn.rollback(); throw t
+        } finally conn.close()
+      }
+    }
+
   /** Batched DELETE of the given key rows — the JDBC apply side of
     * [[graft.sync.Reconcile]] (orphaned-key removal). Keys are deduped
     * and key-repartitioned first, so each key is deleted by exactly one
@@ -386,19 +401,4 @@ object JdbcUpsertSink {
       n
     } finally { keyed.unpersist(); () }
   }
-
-  private def runPerPartition(df: DataFrame, url: String, props: Properties)
-                             (body: (Connection, Iterator[Row]) => Unit): Unit =
-    df.foreachPartition { (rows: Iterator[Row]) =>
-      if (rows.hasNext) {
-        val conn = DriverManager.getConnection(url, props)
-        try {
-          conn.setAutoCommit(false)
-          body(conn, rows)
-          conn.commit()
-        } catch {
-          case t: Throwable => conn.rollback(); throw t
-        } finally conn.close()
-      }
-    }
 }
