@@ -251,6 +251,41 @@ object WindowQueries {
     // ONE double expression of those exact sums (identical shape both
     // engines), z 6-dp rounded; a zero/negative variance (constant
     // window, or the warm-up row alone) yields NULL, not NaN.
+    // Per-user EWMA (exponential smoothing, α=0.3) — the trend/decay
+    // summary every monitoring stack keeps next to the w13 z-score. The
+    // recurrence s_i = α·x_i + (1−α)·s_{i−1} is ORDER-SENSITIVE and has
+    // no closed window-function form, so both engines run the same
+    // left-to-right fold over the user's (us, event_id)-ordered value
+    // array (bounded by events/user — the funnel-family state contract):
+    // Spark `aggregate` seeded with the first element, DuckDB
+    // `list_reduce` (first element is the init by definition). Each step
+    // is the same two IEEE multiplies + one add in the same operand
+    // order, so the fold is bit-identical; one 6-dp round at the end.
+    "w14_ewma" -> Q(
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value
+        |           FROM events),
+        |a AS (SELECT user_id,
+        |        list(value ORDER BY us, event_id) AS vs
+        |      FROM e GROUP BY 1)
+        |SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+        |       round(list_reduce(vs,
+        |         (acc, x) -> CAST(0.7 AS DOUBLE) * acc +
+        |                     CAST(0.3 AS DOUBLE) * x), 6) AS ewma
+        |FROM a""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val sorted = sort_array(collect_list(struct(
+        Tables.tsUs(ev).as("us"), col("event_id"), col("value"))))
+      val vals = transform(col("__a"), x => x.getField("value"))
+      ev.groupBy("user_id")
+        .agg(sorted.as("__a"))
+        .select(col("user_id"),
+          size(col("__a")).cast("long").as("n_events"),
+          round(aggregate(
+            expr("slice(transform(__a, x -> x.value), 2, size(__a) - 1)"),
+            element_at(vals, 1),
+            (acc, x) => lit(0.7) * acc + lit(0.3) * x), 6).as("ewma"))
+    },
+
     "w13_rolling_zscore" -> Q(
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
         |                  CAST(value AS DECIMAL(18,2)) AS v FROM events),
