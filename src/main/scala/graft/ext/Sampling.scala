@@ -235,4 +235,26 @@ object Sampling {
                        clusterCol: String = "cluster_id"): DataFrame =
     clusters.select(col(idCol), col(clusterCol),
       hashSplit(col(clusterCol)).as("split"))
+
+  /** K-FOLD generalization of [[leakageSafeSplit]] (cross-validation
+    * folds that near-duplicates can never straddle): fold = the first
+    * md5 hex nibble of the CLUSTER id, integer-divided into k equal
+    * ranges — the same deterministic hash-coin grid as every split/
+    * sample in this module, reproducible in any engine without a shared
+    * hash function. Every member of a duplicate cluster lands in the
+    * same fold by construction. `k` must divide 16 (2, 4, 8, 16) so the
+    * nibble ranges are exactly equal — an uneven division would bias
+    * fold sizes silently.
+    * @return idCol, clusterCol, fold (0 until k) */
+  def leakageSafeFolds(clusters: DataFrame, k: Int,
+                       idCol: String = "doc_id",
+                       clusterCol: String = "cluster_id"): DataFrame = {
+    require(k >= 2 && 16 % k == 0,
+      s"k must be a divisor of 16 >= 2 (2, 4, 8, 16): $k")
+    val fold = expr(
+      s"(instr('0123456789abcdef', substring(md5(cast($clusterCol as " +
+        s"string)), 1, 1)) - 1) div ${16 / k}")
+    clusters.select(col(idCol), col(clusterCol),
+      fold.cast("long").as("fold"))
+  }
 }

@@ -1233,6 +1233,46 @@ object ExtQueries {
           DupClusters.clusters(docs, "doc_id", edges, "a_id", "b_id"))
     },
 
+    // E7 — K-FOLD leakage-safe cross-validation assignment (e7h
+    // generalized): folds keyed on the duplicate-CLUSTER id, so
+    // near-duplicates can never straddle a fold boundary; fold = the
+    // cluster id's first md5 hex nibble div (16/k) — the hash-coin grid
+    // every split in the family uses, engine-reproducible without a
+    // shared hash function. The oracle recomputes clusters recursively
+    // AND the fold rule (k=4).
+    "e7j_cluster_kfold" -> Q(
+      """WITH RECURSIVE
+        |tok AS (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+        |        FROM documents WHERE doc_id < 50),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |          FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id FROM inter
+        |          JOIN sizes sa ON sa.doc_id = a_id
+        |          JOIN sizes sb ON sb.doc_id = b_id
+        |          WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.8),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 50
+        |  UNION
+        |  SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.node),
+        |comp AS (SELECT node AS doc_id, min(label) AS cluster_id
+        |         FROM reach GROUP BY node)
+        |SELECT doc_id, cluster_id,
+        |       CAST((strpos('0123456789abcdef',
+        |               substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) - 1)
+        |            // 4 AS BIGINT) AS fold
+        |FROM comp""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.documents(s, dir).filter(col("doc_id") < 50)
+        val edges = Dedup.unigramJaccardPairs(docs, "doc_id", "text",
+          threshold = 0.8)
+        Sampling.leakageSafeFolds(
+          DupClusters.clusters(docs, "doc_id", edges, "a_id", "b_id"), k = 4)
+    },
+
     // E1 — cross-corpus contamination (train/benchmark decontamination):
     // per corpus doc, how many of its distinct 3-gram shingles appear
     // anywhere in the "benchmark" slice (docs 0-99 stand in for a held-out

@@ -169,6 +169,32 @@ class SamplingSpec extends SparkSpec {
     assert(docKeyed > 0L, "fixture no longer exercises the leakage case")
   }
 
+  test("k-fold folds: cluster-coherent, in range, equal nibble ranges, k validated") {
+    val cl = Seq((1L, 1L), (2L, 1L), (3L, 3L), (7L, 3L), (9L, 9L))
+      .toDF("doc_id", "cluster_id")
+    Seq(2, 4, 8, 16).foreach { k =>
+      val out = Sampling.leakageSafeFolds(cl, k)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(out(1L)._2 == out(2L)._2 && out(3L)._2 == out(7L)._2,
+        s"k=$k: same cluster must share a fold")
+      assert(out.values.forall { case (_, f) => f >= 0 && f < k },
+        s"k=$k: fold out of range: $out")
+    }
+    // the fold is a pure function of the CLUSTER id: md5 nibble div 16/k
+    val nib = Sampling.leakageSafeFolds(cl, 16)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val quad = Sampling.leakageSafeFolds(cl, 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    nib.foreach { case (c, n16) =>
+      assert(quad(c) == n16 / 4, s"fold grids must nest: $c") }
+    // k not dividing 16 refuses (silent fold-size bias otherwise)
+    Seq(0, 1, 3, 5, 17).foreach { bad =>
+      assertThrows[IllegalArgumentException](
+        Sampling.leakageSafeFolds(cl, bad))
+    }
+  }
+
   test("fraction 0 keeps nothing; fraction 1 keeps everything") {
     val none = Sampling.stratifiedSample(docs, "lang", "doc_id",
       Map.empty, default = 0.0).count()
