@@ -65,7 +65,17 @@ object Bench {
         s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // gate stat is the MIN of n runs (steady-state cost, BASELINE.md's
+    // comparison number); the MEDIAN rides along because round-over-round
+    // sync-throughput swings (131–162k rows/s across r06–r10 with no code
+    // change on the path) are indistinguishable from regressions without
+    // a second, noise-damped statistic to cross-check against
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val resultsFull = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val times = (1 to runsFor(name)).map { _ =>
@@ -74,8 +84,10 @@ object Bench {
       // see HarnessState: drop replay sink views, GC under cached-block
       // pressure — late entries must not run against a storage-full session
       HarnessState.reclaim(spark)
-      name -> (if (times.isEmpty) -1.0 else times.min)
+      name -> (if (times.isEmpty) (-1.0, -1.0)
+               else (times.min, median(times)))
     }
+    val results = resultsFull.map { case (n, (mn, _)) => n -> mn }
 
     // Probe-only ANN timings: the e2b/e2d gate queries pay for their exact
     // brute-force twin + recall agg by construction, which hides the
@@ -144,8 +156,12 @@ object Bench {
     }
     val syncSec = if (syncTimes.isEmpty) -1.0 else syncTimes.min
     val syncRps = if (syncSec > 0) syncRows / syncSec else 0.0
+    val syncMedian = if (syncTimes.isEmpty) -1.0 else median(syncTimes)
+    val syncRpsMedian = if (syncMedian > 0) syncRows / syncMedian else 0.0
 
     val all = results ++ probeResults :+ ("sync_merge_events" -> syncSec)
+    val medians = resultsFull.map { case (n, (_, md)) => n -> md } :+
+      ("sync_merge_events" -> syncMedian)
     // ms precision keeps the line short, and the headline metric/value
     // fields go LAST: the driver records only a bounded tail of stdout, so
     // with ~95 queries a front-loaded summary gets truncated away. The
@@ -158,25 +174,45 @@ object Bench {
     def r3(v: Double): String =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = all.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
+    def jsonMap(kvs: Seq[(String, Double)]): String = kvs
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val bySlowest = all.sortBy { case (_, v) =>
+      if (v < 0) Double.MaxValue else v }
+    val qs = jsonMap(bySlowest)
     val total = all.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"queries":$qs,"sync_rows":$syncRows,"runs_per_query":$runs,""" +
+    // the FULL record: every entry's gate min plus the per-entry medians
+    // (gate number = min; median is the noise cross-check — BASELINE.md
+    // "which stat is the gate" note). Persisted to BENCH_LINE.json, which
+    // survives any stdout-tail truncation.
+    val line = s"""{"queries":$qs,"queries_median":${jsonMap(medians)},""" +
+      s""""sync_rows":$syncRows,"runs_per_query":$runs,""" +
       s""""sf":"$sfDir","sync_rows_per_sec":${syncRps.round},""" +
-      s""""metric":"total","value":${r3(total)},"unit":"sec"}"""
+      s""""sync_rows_per_sec_median":${syncRpsMedian.round},""" +
+      s""""gate_stat":"min","metric":"total","value":${r3(total)},""" +
+      s""""unit":"sec"}"""
     println(line)
-    // also persist the line to a stable file: nine rounds of BENCH_r*.json
-    // carry "parsed": null despite a valid JSON line in the stdout tail —
-    // a file survives any tail truncation or log interleaving
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LINE.json"), line + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write BENCH_LINE.json: $e") }
     spark.stop()
-    // re-emit as the very LAST stdout line after Spark's shutdown logging:
-    // the driver keeps a bounded tail, and maximizing tail survival of the
-    // structured line is free
-    println(line)
+    // The very LAST stdout line is a COMPACT summary sized for the
+    // driver's bounded (~2000-char) tail: the full line above is ~9 KB,
+    // so nine rounds of BENCH_r*.json carried "parsed": null — the tail
+    // kept the line's END but lost its HEAD. This one carries the
+    // headline totals plus only the 15 slowest entries (the ones worth
+    // reading; the full per-query map lives in BENCH_LINE.json).
+    val slowest = bySlowest.takeRight(15)
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""sf":"$sfDir","n_queries":${all.size},"runs_per_query":$runs,""" +
+      s""""gate_stat":"min","sync_rows":$syncRows,""" +
+      s""""sync_rows_per_sec":${syncRps.round},""" +
+      s""""sync_rows_per_sec_median":${syncRpsMedian.round},""" +
+      s""""full_map":"BENCH_LINE.json","queries":${jsonMap(slowest)}}"""
+    if (compact.length > 1900)
+      System.err.println(s"[bench] compact line is ${compact.length} chars" +
+        " — trim the slowest-entries list before it outgrows the tail")
+    println(compact)
   }
 }

@@ -159,6 +159,13 @@ object Quantize {
   def buildPqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
                    indexDir: String, m: Int = 16, k: Int = 16,
                    seed: Long = 42L): PqModel = {
+    // fail loud BEFORE any write: an empty build corpus would otherwise
+    // NPE on the drift-baseline aggregate (avg over zero rows is NULL)
+    // AFTER the index parquet landed, leaving a baseline-less index that
+    // pqIndexAppend then refuses — a half-written artifact, the exact
+    // state the sidecar protocol exists to prevent
+    require(!embeddings.isEmpty,
+      s"buildPqIndex: embeddings input is empty; refusing to write $indexDir")
     val model = fitPq(embeddings, vecCol, m, k, seed)
     embeddings.select(col(idCol),
         encodePq(col(vecCol), model).as("__codes"), col(vecCol))
@@ -248,6 +255,42 @@ object Quantize {
           f"the build baseline $baseline%.6f — consider refitting the " +
           "codebooks")
     out
+  }
+
+  /** One-shot MIGRATION stamp for a PQ index persisted before the params
+    * + drift sidecars existed (pqProbe/pqIndexAppend now hard-refuse
+    * sidecar-less indexes; this is the no-rebuild path for old
+    * artifacts). The index parquet stores the FLOAT vectors alongside the
+    * codes and the codebooks live in `_codebooks`, so provenance can be
+    * re-derived rather than trusted: the loaded codebooks must agree with
+    * the claimed (m, k), and the drift baseline is recomputed exactly as
+    * [[buildPqIndex]] would have (mean reconstruction error over the
+    * stored vectors). `seed` is the caller's claim — it is not
+    * recoverable from the artifact, but it only guards future probes'
+    * expected-params strings, never the stored codes. Refuses if a params
+    * sidecar already exists. */
+  def stampExistingPqIndex(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String, vecCol: String, m: Int = 16,
+                           k: Int = 16, seed: Long = 42L): Unit = {
+    require(graft.ops.RangeLayout.readSidecar(spark, indexDir,
+        PqParamsFile).isEmpty,
+      s"$indexDir already has a $PqParamsFile sidecar; refusing to re-stamp")
+    val model = loadPqModel(spark, indexDir)
+    require(model.m == m && model.codebooks.head.length == k,
+      s"$indexDir codebooks are (m=${model.m}, " +
+        s"k=${model.codebooks.head.length}), not the claimed (m=$m, k=$k)" +
+        " — refusing to stamp a false provenance")
+    val idx = spark.read.parquet(indexDir)
+    require(idx.columns.contains(vecCol),
+      s"$indexDir stores [${idx.columns.mkString(", ")}]; no [$vecCol] " +
+        "vector column to recompute the drift baseline from")
+    val base = idx.agg(avg(pqReconError(col(vecCol), model)),
+      count(lit(1))).first()
+    require(!base.isNullAt(0), s"$indexDir is empty — nothing to stamp")
+    graft.ops.RangeLayout.writeSidecar(spark, indexDir, PqParamsFile,
+      pqParamsString(m, k, seed))
+    graft.ops.RangeLayout.writeSidecar(spark, indexDir, PqStatsFile,
+      s"mean_err=${base.getDouble(0)},n=${base.getLong(1)}")
   }
 
   /** Load the codebooks sidecar back into a [[PqModel]]. */

@@ -164,4 +164,38 @@ object RangeLayout {
       .filter(col("bucket").isin(ids.toIndexedSeq: _*))
       .filter(col(sortCol) >= lo && col(sortCol) <= hi)
   }
+
+  /** One-shot MIGRATION stamp for a range layout persisted BEFORE the
+    * params sidecar existed: pruned reads now hard-refuse sidecar-less
+    * layouts (unknown provenance), which is deliberate fail-loud but left
+    * pre-existing on-disk artifacts unreadable short of a full rewrite.
+    * The caller asserts the layout's provenance (the clustering column
+    * and bucket count it was written with); this verifies that claim
+    * against the persisted manifest — the manifest must exist, carry
+    * min/max stats for EXACTLY the claimed column, and use bucket ids
+    * consistent with the claimed count — then writes the sidecar the
+    * current readers require. Refuses if a sidecar is already present
+    * (stamping over live provenance is never a migration) or if the
+    * manifest contradicts the claim (a mis-stamped layout would prune
+    * wrongly — the exact silent corruption the sidecar prevents). */
+  def stampExistingLayout(spark: SparkSession, path: String,
+                          sortCol: String, nBuckets: Int): Unit = {
+    require(readParams(spark, path).isEmpty,
+      s"$path already has a $ParamsFile sidecar; refusing to re-stamp")
+    val mf = try spark.read.parquet(manifestPath(path))
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"$path has no readable manifest at ${manifestPath(path)} — not " +
+            "a writeClustered layout; rewrite instead of stamping", e) }
+    val cols = mf.columns.toSet
+    require(cols.contains(s"min_$sortCol") && cols.contains(s"max_$sortCol"),
+      s"$path manifest has stats for [${cols.mkString(", ")}], not for " +
+        s"[$sortCol] — the layout was clustered by a different column; " +
+        "refusing to stamp a false provenance")
+    val maxBucket = mf.agg(max(col("bucket").cast("long"))).first().getLong(0)
+    require(maxBucket < nBuckets,
+      s"$path manifest has bucket ids up to $maxBucket, inconsistent with " +
+        s"claimed nBuckets=$nBuckets")
+    writeParams(spark, path, rangeParamsString(sortCol, nBuckets))
+  }
 }

@@ -146,4 +146,37 @@ object ZOrder {
       .filter(col("bucket").isin(ids.toIndexedSeq: _*))
       .filter(col(dim) >= lo && col(dim) <= hi)
   }
+
+  /** One-shot MIGRATION stamp for a z-order layout persisted before the
+    * params sidecar existed (the [[RangeLayout.stampExistingLayout]]
+    * twin). Verifies the caller's provenance claim against the persisted
+    * manifest — stats for BOTH claimed dimensions must be present, bucket
+    * ids consistent with the claimed count — then writes the sidecar.
+    * `gridBits` is stamped at the CURRENT library constant: a layout
+    * written under a different grid cannot be detected from the manifest
+    * alone, so the caller must only stamp layouts they know this library
+    * version wrote. Refuses if a sidecar already exists. */
+  def stampExistingLayout(spark: SparkSession, path: String, colA: String,
+                          colB: String, nBuckets: Int): Unit = {
+    require(RangeLayout.readParams(spark, path).isEmpty,
+      s"$path already has a ${RangeLayout.ParamsFile} sidecar; refusing " +
+        "to re-stamp")
+    val mf = try spark.read.parquet(RangeLayout.manifestPath(path))
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"$path has no readable manifest — not a writeZOrdered layout; " +
+            "rewrite instead of stamping", e) }
+    val cols = mf.columns.toSet
+    val need = Seq(s"min_$colA", s"max_$colA", s"min_$colB", s"max_$colB")
+    require(need.forall(cols.contains),
+      s"$path manifest has [${cols.mkString(", ")}]; a z-order layout on " +
+        s"($colA, $colB) needs [${need.mkString(", ")}] — refusing to " +
+        "stamp a false provenance")
+    val maxBucket = mf.agg(max(col("bucket").cast("long"))).first().getLong(0)
+    require(maxBucket < nBuckets,
+      s"$path manifest has bucket ids up to $maxBucket, inconsistent with " +
+        s"claimed nBuckets=$nBuckets")
+    RangeLayout.writeParams(spark, path,
+      s"kind=zorder,a=$colA,b=$colB,gridBits=$GridBits,buckets=$nBuckets")
+  }
 }

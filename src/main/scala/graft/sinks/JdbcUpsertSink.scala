@@ -370,9 +370,11 @@ object JdbcUpsertSink {
     * task and batches can be retried safely (a second DELETE of the same
     * key is a no-op); one connection + one transaction per partition,
     * `addBatch`/`executeBatch` in `batchSize` chunks — the S5 discipline.
-    * Returns the distinct orphan-key count submitted (driver counts from
-    * the database can be SUCCESS_NO_INFO on some drivers, so the applied
-    * number is the honest one to report). */
+    * Returns rows the database ACTUALLY deleted (summed `executeBatch`
+    * update counts), so already-deleted keys report 0, not the submitted
+    * count. Drivers that answer `SUCCESS_NO_INFO` for any batch element
+    * give no per-row truth, so the submitted distinct-key count is the
+    * fallback for exactly that case — the only one where it's honest. */
   def deleteByKeys(orphans: DataFrame, url: String, props: Properties,
                    table: String, keyCols: Seq[String],
                    batchSize: Int = MaxBatchSize): Long = {
@@ -381,24 +383,32 @@ object JdbcUpsertSink {
     val keyed = orphans.select(keyCols.map(col): _*).distinct()
       .repartition(keyCols.map(col): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val sc = orphans.sparkSession.sparkContext
+    val applied = sc.longAccumulator("reconcile.deleted")
+    val noInfo = sc.longAccumulator("reconcile.deleteNoInfo")
     try {
       val n = keyed.count()
       val where = keyCols.map(k => s"$k = ?").mkString(" AND ")
       val sql = s"DELETE FROM $table WHERE $where"
       runPerPartition(keyed, url, props) { (conn, rows) =>
         val stmt = conn.prepareStatement(sql)
+        def flush(): Unit = stmt.executeBatch().foreach {
+          case java.sql.Statement.SUCCESS_NO_INFO => noInfo.add(1L)
+          case c if c > 0                         => applied.add(c.toLong)
+          case _                                  => () // 0 = key already gone
+        }
         try {
           var pending = 0
           rows.foreach { row =>
             bindRow(stmt, row, keyCols.indices)
             stmt.addBatch()
             pending += 1
-            if (pending >= batchSize) { stmt.executeBatch(); pending = 0 }
+            if (pending >= batchSize) { flush(); pending = 0 }
           }
-          if (pending > 0) stmt.executeBatch()
+          if (pending > 0) flush()
         } finally stmt.close()
       }
-      n
+      if (noInfo.value > 0L) n else applied.value
     } finally { keyed.unpersist(); () }
   }
 }

@@ -49,10 +49,14 @@ object StreamingZScore {
               .bigDecimal.unscaledValue().longValueExact()
             val w = win :+ cents
             val n = w.size
-            val s = w.sum
-            val sq = w.map(c => c * c).sum
-            val sD = java.math.BigDecimal.valueOf(s, 2).doubleValue()
-            val sqD = java.math.BigDecimal.valueOf(sq, 4).doubleValue()
+            val s = w.map(BigInt(_)).sum
+            // sum-of-squares in BigInt: a single cents² term overflows Long
+            // once |value| exceeds ~$30M (3e9 cents squared > Long.MaxValue),
+            // and the window sum would silently diverge from the DECIMAL
+            // batch w13 oracle this module promises bit-parity with
+            val sq = w.map(c => BigInt(c) * c).sum
+            val sD = new java.math.BigDecimal(s.bigInteger, 2).doubleValue()
+            val sqD = new java.math.BigDecimal(sq.bigInteger, 4).doubleValue()
             val vD = java.math.BigDecimal.valueOf(cents, 2).doubleValue()
             val varD = (sqD - sD * sD / n) / n
             win = w.takeRight(window - 1)

@@ -24,11 +24,21 @@ object Reconcile {
   /** Keys present in `dest` but absent from `source` — the rows an
     * insert/update-only sync has orphaned. Key-only projection on both
     * sides; distinct BEFORE the join so replayed/duplicated key rows
-    * cannot inflate the orphan set. */
+    * cannot inflate the orphan set.
+    *
+    * NULL-keyed dest rows are EXCLUDED from the orphan set: equality
+    * anti-join would report them (NULL matches nothing on the source
+    * side), but neither apply path can act on them — [[applyDeletes]]'
+    * left_anti keeps them and the JDBC `k = ?` DELETE never matches NULL
+    * — so reporting them would promise a deletion the apply pass cannot
+    * perform. A sync key is a PK in every supported dialect (NOT NULL by
+    * definition), so NULL keys only arise on corrupt/foreign dest data;
+    * they are left in place rather than misreported. */
   def deletedKeys(source: DataFrame, dest: DataFrame,
                   keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "reconcile needs at least one key column")
-    dest.select(keys.map(col): _*).distinct()
+    val nonNull = keys.map(k => col(k).isNotNull).reduce(_ && _)
+    dest.select(keys.map(col): _*).filter(nonNull).distinct()
       .join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
   }
 

@@ -96,6 +96,62 @@ class QuantizeSpec extends SparkSpec {
       ex2.getMessage)
   }
 
+  test("empty build corpus refuses BEFORE writing; stamp migrates old indexes") {
+    val e = emb
+    // an empty input must fail loud up front, not NPE on the drift
+    // aggregate after the index parquet already landed (half-written
+    // artifact that pqIndexAppend then refuses)
+    val emptyDir = tmpDir("pq-empty") + "/idx"
+    val ex = intercept[IllegalArgumentException](
+      Quantize.buildPqIndex(e.filter(col("vec_id") < 0L), "vec_id",
+        "embedding", emptyDir, m = 16, k = 16))
+    assert(ex.getMessage.contains("empty"), ex.getMessage)
+    assert(!new java.io.File(emptyDir).exists(),
+      "a refused build must not leave a partial index on disk")
+
+    // MIGRATION: an index persisted before the params/stats sidecars
+    // (simulated by stripping both) stamps back to fully usable — the
+    // recomputed drift baseline equals what buildPqIndex wrote, because
+    // both are the mean reconstruction error over the same stored vectors
+    val dir = tmpDir("pq-stamp") + "/idx"
+    Quantize.buildPqIndex(e, "vec_id", "embedding", dir, m = 16, k = 16)
+    val builtStats = graft.ops.RangeLayout.readSidecar(spark, dir,
+      Quantize.PqStatsFile).get
+    assert(new java.io.File(dir, Quantize.PqParamsFile).delete())
+    assert(new java.io.File(dir, Quantize.PqStatsFile).delete())
+    // false (m, k) claims refuse against the persisted codebooks
+    val exClaim = intercept[IllegalArgumentException](
+      Quantize.stampExistingPqIndex(spark, dir, "embedding", m = 8, k = 16))
+    assert(exClaim.getMessage.contains("false provenance"), exClaim.getMessage)
+    Quantize.stampExistingPqIndex(spark, dir, "embedding", m = 16, k = 16)
+    val stamped = graft.ops.RangeLayout.readSidecar(spark, dir,
+      Quantize.PqStatsFile).get
+    // the baseline is re-derived from the same stored vectors, but the
+    // index parquet partitions differently than the build corpus, so the
+    // double avg's combine order (hence last ulps) may differ — compare
+    // the parsed values, not the strings
+    def parse(s: String): (Double, Long) = {
+      val kv = s.split(",").map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+      (kv("mean_err").toDouble, kv("n").toLong)
+    }
+    val (bErr, bN) = parse(builtStats)
+    val (sErr, sN) = parse(stamped)
+    assert(sN == bN && math.abs(sErr - bErr) <= 1e-9 * math.max(1.0, bErr),
+      s"recomputed baseline [$stamped] != built [$builtStats]")
+    // probe and append both work again after the stamp
+    val query = e.filter(col("vec_id") === 0L)
+      .select("embedding").as[Seq[Float]].head()
+    assert(Quantize.pqProbe(spark, dir, "vec_id", "embedding", query,
+      topK = 5, pool = 20).count() == 5)
+    val st = Quantize.pqIndexAppend(spark, dir, e.limit(1), "vec_id",
+      "embedding")
+    assert(st.appended == 1L)
+    // one-shot: an index with live sidecars refuses a re-stamp
+    val exDup = intercept[IllegalArgumentException](
+      Quantize.stampExistingPqIndex(spark, dir, "embedding"))
+    assert(exDup.getMessage.contains("re-stamp"), exDup.getMessage)
+  }
+
   test("pq append: frozen-codebook encode, drift ledger, guards refuse") {
     val e = emb
     val dir = tmpDir("pq-append") + "/idx"

@@ -88,4 +88,41 @@ class RangeLayoutSpec extends SparkSpec {
       lit(maxUs + 1000000L), lit(maxUs + 2000000L))
     assert(out.count() == 0L)
   }
+
+  test("stampExistingLayout migrates a pre-sidecar layout; false claims refuse") {
+    val ev = Tables.events(spark, sfDir)
+    val withUs = ev.select(col("event_id"), Tables.tsUs(ev).as("us"))
+    val path = tmpDir("range-layout-stamp") + "/t"
+    RangeLayout.writeClustered(withUs, path, "us", Seq(col("event_id")), 4)
+    // simulate a layout persisted before the params sidecar existed
+    assert(new java.io.File(path, RangeLayout.ParamsFile).delete())
+    intercept[IllegalArgumentException](
+      RangeLayout.prunedRead(spark, path, "us", lit(0L), lit(10L)))
+    // false provenance claims refuse BEFORE anything is written: wrong
+    // clustering column (manifest has no stats for it), wrong bucket count
+    val exCol = intercept[IllegalArgumentException](
+      RangeLayout.stampExistingLayout(spark, path, "event_id", 4))
+    assert(exCol.getMessage.contains("different column"), exCol.getMessage)
+    val exN = intercept[IllegalArgumentException](
+      RangeLayout.stampExistingLayout(spark, path, "us", 2))
+    assert(exN.getMessage.contains("inconsistent"), exN.getMessage)
+    assert(!new java.io.File(path, RangeLayout.ParamsFile).exists(),
+      "a refused stamp must not leave a sidecar behind")
+    // the true claim stamps, and pruned reads work again — byte-identical
+    // provenance to what writeClustered records
+    RangeLayout.stampExistingLayout(spark, path, "us", 4)
+    val lo = withUs.agg(min("us")).first().getLong(0)
+    val got = RangeLayout.prunedRead(spark, path, "us", lit(lo), lit(lo))
+    assert(got.count() >= 1L)
+    // one-shot: stamping over live provenance refuses
+    val exDup = intercept[IllegalArgumentException](
+      RangeLayout.stampExistingLayout(spark, path, "us", 4))
+    assert(exDup.getMessage.contains("refusing to re-stamp"), exDup.getMessage)
+    // a dir with no manifest at all is not a layout — refuse, don't stamp
+    val bare = tmpDir("range-layout-stamp") + "/bare"
+    withUs.write.parquet(bare)
+    val exMf = intercept[IllegalArgumentException](
+      RangeLayout.stampExistingLayout(spark, bare, "us", 4))
+    assert(exMf.getMessage.contains("manifest"), exMf.getMessage)
+  }
 }

@@ -68,4 +68,57 @@ class ReconcileSpec extends SparkSpec {
       assert(got == List(9L), s"got $got")
     } finally conn.close()
   }
+
+  test("NULL-keyed dest rows are never reported: report and apply agree") {
+    // equality anti-join would report a NULL key as an orphan (it matches
+    // nothing on the source side), but neither apply path can delete it —
+    // applyDeletes' left_anti keeps it and the JDBC `k = ?` never matches
+    // NULL — so the report must not promise it
+    val source = Seq(Some(1L), Some(2L)).toDF("id")
+    val dest = Seq(Some(1L), Some(2L), Some(7L), None).toDF("id")
+    val orphans = Reconcile.deletedKeys(source, dest, Seq("id"))
+    assert(orphans.as[Long].collect().toList == List(7L),
+      "only the real orphan; the NULL-keyed row is excluded")
+    // composite: NULL in ANY key component excludes the row
+    val src2 = Seq((Some(1L), Some("a"))).toDF("k1", "k2")
+    val dst2 = Seq((Some(1L), Some("a")), (Some(2L), None),
+      (None, Some("b")), (Some(3L), Some("c"))).toDF("k1", "k2")
+    val got2 = Reconcile.deletedKeys(src2, dst2, Seq("k1", "k2"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toList
+    assert(got2 == List((3L, "c")), s"got $got2")
+    // end-to-end agreement: applying the report drops EXACTLY the
+    // reported rows (the NULL-keyed row rides through untouched)
+    val work = tmpDir("reconcile-null")
+    dst2.write.parquet(s"$work/dest")
+    val (kept, dropped) = Reconcile.applyDeletes(spark, s"$work/dest",
+      Reconcile.deletedKeys(src2, spark.read.parquet(s"$work/dest"),
+        Seq("k1", "k2")).localCheckpoint(), Seq("k1", "k2"))
+    assert(kept == 3L && dropped == 1L, s"kept=$kept dropped=$dropped")
+  }
+
+  test("deleteByKeys reports rows the database ACTUALLY deleted (Derby)") {
+    val url = s"jdbc:derby:memory:recdel${System.nanoTime()};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE T (ID BIGINT PRIMARY KEY, V VARCHAR(5))")
+      Seq(1L, 2L, 3L).foreach(i =>
+        st.executeUpdate(s"INSERT INTO T VALUES ($i, 'x')"))
+      st.close()
+      // submit 3 distinct keys of which only 2 exist: Derby reports real
+      // per-statement counts, so the return is 2 — not the submitted 3
+      // the pre-fix code would have claimed
+      val keys = Seq(2L, 3L, 99L).toDF("ID")
+      val n = graft.sinks.JdbcUpsertSink.deleteByKeys(
+        keys, url, new java.util.Properties(), "T", Seq("ID"))
+      assert(n == 2L, s"expected 2 actually-deleted rows, got $n")
+      // second pass over the same keys: everything already gone → 0
+      val again = graft.sinks.JdbcUpsertSink.deleteByKeys(
+        keys, url, new java.util.Properties(), "T", Seq("ID"))
+      assert(again == 0L, s"re-delete of absent keys reported $again")
+      val left = spark.read.jdbc(url, "T", new java.util.Properties())
+        .select("ID").as[Long].collect().toList
+      assert(left == List(1L), s"got $left")
+    } finally conn.close()
+  }
 }

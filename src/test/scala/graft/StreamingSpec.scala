@@ -338,4 +338,38 @@ class StreamingSpec extends SparkSpec {
     // micro-batch boundaries cannot change any emitted row
     assert(replay(3) == one, "chunk-split must not change the stream")
   }
+
+  test("streaming z-score survives values whose squared cents exceed Long") {
+    import graft.streaming.StreamingZScore
+    import graft.streaming.StreamingZScore.ZEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // $100M = 1e10 cents; squared is 1e20 > Long.MaxValue (~9.2e18) — a
+    // Long sum-of-squares accumulator overflows on the FIRST term and the
+    // score silently diverges; BigInt accumulation must stay exact
+    val big = 1.0e8
+    val events = Seq(
+      ZEvent(1L, 1L, 10L, big), ZEvent(2L, 1L, 20L, big),
+      ZEvent(3L, 1L, 30L, big + 40.0))
+    val mem = MemoryStream[ZEvent]
+    val name = "zs_big_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = StreamingZScore.updates(mem.toDS(), window = 24)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try { mem.addData(events); q.processAllAvailable() } finally q.stop()
+    val out = spark.table(name).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None
+                                 else Some(r.getDouble(2)))).toMap
+    assert(out(1L).isEmpty && out(2L).isEmpty, "flat prefix → NULL score")
+    // window [big, big, big+40]: exact var is 3200/9 ≈ 355.556 (z = √2 ≈
+    // 1.414214), but the CONTRACT is bit-parity with batch w13, which
+    // sums in DECIMAL exactly and then evaluates (sq − s²/n)/n in
+    // doubles — at 1e16-magnitude sums that cancellation floors var to
+    // 356.0 and z to 1.413331. The streaming side runs the identical
+    // exact-sums-then-double-formula pipeline, so it must land on the
+    // SAME value: a Long overflow in sumSq (pre-fix: first term already
+    // exceeds Long.MaxValue) lands far away or NULL, and a "more exact"
+    // variance path would betray the parity promise in the other
+    // direction. Both wrong answers fail this pin.
+    assert(out(3L) == Some(1.413331), s"got ${out(3L)}")
+  }
 }

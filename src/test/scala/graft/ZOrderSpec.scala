@@ -91,5 +91,20 @@ class ZOrderSpec extends SparkSpec {
     val exGone = intercept[IllegalArgumentException](
       ZOrder.prunedRead(spark, path, "user_id", lit(uMin), lit(uHi)))
     assert(exGone.getMessage.contains(RangeLayout.ParamsFile), exGone.getMessage)
+
+    // MIGRATION: the sidecar-less layout (pre-params on-disk artifact)
+    // stamps back to readable given a TRUE provenance claim; dimensions
+    // the manifest has no stats for refuse before writing anything
+    val exBad = intercept[IllegalArgumentException](
+      ZOrder.stampExistingLayout(spark, path, "user_id", "event_id", 16))
+    assert(exBad.getMessage.contains("refusing"), exBad.getMessage)
+    assert(!new java.io.File(path, RangeLayout.ParamsFile).exists())
+    ZOrder.stampExistingLayout(spark, path, "user_id", "day", 16)
+    assert(ids(ZOrder.prunedRead(spark, path, "day", lit(dMin), lit(dHi)))
+      == ids(df.filter(col("day").between(dMin, dHi))),
+      "stamped layout prunes exactly as the originally-written one")
+    val exDup = intercept[IllegalArgumentException](
+      ZOrder.stampExistingLayout(spark, path, "user_id", "day", 16))
+    assert(exDup.getMessage.contains("re-stamp"), exDup.getMessage)
   }
 }
