@@ -63,6 +63,12 @@ import graft.sync.{SyncConfig, SyncEndpoint, SyncPipeline, SyncReport}
   *   runMain graft.cli.Main tokenize --source <parquet docs> \
   *     --base <parquet merge table> --dest <parquet counts> \
   *     [--id-col doc_id] [--text-col text]
+  *   runMain graft.cli.Main pipeline --source <parquet docs> \
+  *     --benchmark <parquet eval docs> --dest <work dir> --by STRATACOL \
+  *     (--quota-tokens N | --alpha A --target-tokens N) \
+  *     [--min-span 24] [--min-docs 2] [--min-tokens N] [--max-tokens N] \
+  *     [--max-contamination 0.0] [--shards 16] [--capacity 2048] \
+  *     [--id-col doc_id] [--text-col text]
   */
 object Main {
 
@@ -88,7 +94,9 @@ object Main {
                           minDocs: Int = 2,
                           minSpan: Int = 0,
                           applyChanges: Boolean = false,
-                          merges: Int = 6)
+                          merges: Int = 6,
+                          shards: Int = 16,
+                          capacity: Long = 2048L)
 
   private val boolFlags = Set("progress", "apply")
 
@@ -97,8 +105,8 @@ object Main {
         "neardup", "semantic-dedup", "quality", "admit",
         "decontaminate", "spans", "layout", "mix",
         "dedup-lines", "dedup-spans", "diff", "reconcile",
-        "bpe-train", "tokenize").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft reconcile --source (PATH|jdbc:...#table) --dest PATH --key K[,K2] [--report PATH] [--apply] | graft bpe-train --source PATH --dest PATH --merges N [--id-col doc_id] [--text-col text] | graft tokenize --source PATH --base MERGES_PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text]")
+        "bpe-train", "tokenize", "pipeline").contains(argv(0)))
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft reconcile --source (PATH|jdbc:...#table) --dest PATH --key K[,K2] [--report PATH] [--apply] | graft bpe-train --source PATH --dest PATH --merges N [--id-col doc_id] [--text-col text] | graft tokenize --source PATH --base MERGES_PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text] | graft pipeline --source PATH --benchmark PATH --dest WORKDIR --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--min-span 24] [--min-docs 2] [--min-tokens N] [--max-tokens N] [--max-contamination 0.0] [--shards 16] [--capacity 2048] [--id-col doc_id] [--text-col text]")
     val opts = scala.collection.mutable.Map.empty[String, String]
     var i = 1
     while (i < argv.length) {
@@ -188,7 +196,8 @@ object Main {
         base = if (argv(0) == "admit" || argv(0) == "diff" ||
                    argv(0) == "tokenize") req("base")
                else opts.getOrElse("base", ""),
-        benchmark = if (argv(0) == "decontaminate") req("benchmark")
+        benchmark = if (argv(0) == "decontaminate" ||
+                        argv(0) == "pipeline") req("benchmark")
                     else opts.getOrElse("benchmark", ""),
         bloom = opts.get("bloom"),
         expectedItems =
@@ -209,7 +218,8 @@ object Main {
             (argv(0) == "decontaminate" &&
               opts.get("mode").contains("span"))) "16" else "3"),
           min = 1, max = 64).toInt,
-        by = if (argv(0) == "layout" || argv(0) == "mix") req("by")
+        by = if (argv(0) == "layout" || argv(0) == "mix" ||
+                 argv(0) == "pipeline") req("by")
              else opts.getOrElse("by", ""),
         buckets = num("buckets", opts.getOrElse("buckets", "16"),
           min = 1, max = 1000000).toInt,
@@ -217,12 +227,20 @@ object Main {
         targetTokens = opts.get("target-tokens").map(num("target-tokens", _, min = 1)),
         minDocs = num("min-docs", opts.getOrElse("min-docs", "2"),
           min = 2, max = Int.MaxValue).toInt,
-        minSpan = num("min-span", opts.getOrElse("min-span", "0"),
+        // pipeline defaults to the Lee-et-al 24-char span floor (the e6i4
+        // production form); the standalone dedup-spans verb keeps 0 (cut
+        // every detected window) for backward compatibility
+        minSpan = num("min-span", opts.getOrElse("min-span",
+          if (argv(0) == "pipeline") "24" else "0"),
           min = 0, max = Int.MaxValue).toInt,
         applyChanges = opts.contains("apply"),
         merges = num("merges", opts.getOrElse("merges",
           if (argv(0) == "bpe-train") req("merges") else "6"),
           min = 1, max = 65536).toInt,
+        shards = num("shards", opts.getOrElse("shards", "16"),
+          min = 1, max = 1000000).toInt,
+        capacity = num("capacity", opts.getOrElse("capacity", "2048"),
+          min = 1),
         alpha = opts.get("alpha").map { v =>
           val d = v.toDoubleOption.getOrElse(throw GraftError.InvalidConfig(
             s"--alpha expects a number in [0,1], got '$v'"))
@@ -267,6 +285,7 @@ object Main {
           case "diff"           => runDiff(spark, a)
           case "reconcile"      => runReconcile(spark, a)
           case "bpe-train"      => runBpeTrain(spark, a)
+          case "pipeline"       => runPipeline(spark, a)
           case "tokenize"       => runTokenize(spark, a)
           case _                => runSync(spark, a)
         }
@@ -566,6 +585,91 @@ object Main {
       a.partitionBy)
     println(s"compacted ${a.dest}: ${r.filesBefore} -> ${r.filesAfter} " +
       s"files (${r.rows} rows)")
+  }
+
+  /** The END-TO-END curation pipeline as ONE command — the pass a corpus
+    * owner runs over a raw crawl before training: exact-substring span
+    * removal, cross-doc line boilerplate removal, the gopher quality
+    * gate, benchmark decontamination, temperature (or quota) mixing, and
+    * no-split sequence packing — six stages chained through parquet
+    * working dirs under --dest (01_despanned … 06_packed), each stage
+    * printing its own ledger line plus a final per-stage row summary.
+    *
+    * Stage semantics ARE the standalone verbs' (dedup-spans, dedup-lines,
+    * decontaminate, mix are invoked directly; quality and packing inline
+    * the same library calls those verbs wrap), so every stage keeps its
+    * oracle-gated contract; the stage n-grams are pinned to each verb's
+    * production default (16-char windows for spans, 3-token shingles for
+    * decontamination) — to tune a single stage, run its verb standalone.
+    * Working dirs are real parquet (restart-friendly: a failed stage
+    * leaves every earlier stage's output on disk), and per-stage rows are
+    * counted from what landed on disk, not from the plan. */
+  private[cli] def runPipeline(spark: org.apache.spark.sql.SparkSession,
+                               a: Args): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (a.source.startsWith("jdbc:") || a.dest.startsWith("jdbc:") ||
+        a.benchmark.startsWith("jdbc:"))
+      throw GraftError.InvalidConfig("pipeline applies to parquet paths")
+    val work = a.dest.stripSuffix("/")
+    val t0 = System.nanoTime()
+    val inRows = spark.read.parquet(a.source).count()
+    var last = a.source
+    val ledger = scala.collection.mutable.ArrayBuffer[(String, Long, Double)]()
+    def stage(name: String, out: String)(body: String => Unit): Unit = {
+      val s0 = System.nanoTime()
+      body(out)
+      val rows = spark.read.parquet(out).count()
+      val sec = (System.nanoTime() - s0) / 1e9
+      ledger += ((name, rows, sec))
+      last = out
+    }
+    stage("dedup-spans", s"$work/01_despanned")(o =>
+      runDedupSpans(spark, a.copy(source = last, dest = o, ngramN = 16,
+        report = None)))
+    stage("dedup-lines", s"$work/02_delined")(o =>
+      runDedupLines(spark, a.copy(source = last, dest = o, report = None)))
+    stage("quality", s"$work/03_quality") { o =>
+      // the quality VERB writes a verdict frame; the pipeline stage FILTERS
+      // — kept rows only. Rule selection follows the curate verb's
+      // convention: an explicit --min/--max-tokens means a token-range
+      // gate (the right floor for a corpus whose style the gopher
+      // heuristics weren't tuned for); neither flag means the full
+      // gopher rule-set.
+      val docs = spark.read.parquet(last)
+      val passIds = (a.minTokens, a.maxTokens) match {
+        case (None, None) =>
+          graft.ext.TextAnalysis.gopherRules(docs, a.idCol, a.textCol)
+            .filter(col("gopher_pass") === 1L).select(a.idCol)
+        case (mn, mx) =>
+          docs.filter(graft.ext.TextAnalysis.tokenCount(col(a.textCol))
+              .between(mn.getOrElse(0L), mx.getOrElse(Long.MaxValue)))
+            .select(a.idCol)
+      }
+      docs.join(passIds, Seq(a.idCol), "left_semi")
+        .write.mode("overwrite").parquet(o)
+    }
+    stage("decontaminate", s"$work/04_decontaminated")(o =>
+      runDecontaminate(spark, a.copy(source = last, dest = o,
+        mode = "shingle", ngramN = 3, report = None)))
+    stage("mix", s"$work/05_mixed")(o =>
+      runMix(spark, a.copy(source = last, dest = o)))
+    stage("pack", s"$work/06_packed") { o =>
+      val docs = spark.read.parquet(last)
+      val (packed, dropped) = graft.ext.Packing.packBinsCounted(docs,
+        a.idCol, graft.ext.TextAnalysis.tokenCount(col(a.textCol)),
+        nShards = a.shards, capacity = a.capacity)
+      packed.write.mode("overwrite").parquet(o)
+      if (dropped.value > 0L)
+        println(s"pipeline[pack] dropped ${dropped.value} unpackable rows" +
+          " (null/malformed id) — see Packing.packBinsCounted")
+    }
+    val packs = spark.read.parquet(last)
+      .select("shard", "pack_id").distinct().count()
+    val total = (System.nanoTime() - t0) / 1e9
+    println(s"pipeline ${a.source} -> $work: $inRows docs in")
+    ledger.foreach { case (name, rows, sec) =>
+      println(f"  $name%-14s rows=$rows%-9d ${sec}%6.1f s") }
+    println(f"pipeline done: $packs packs in $last, ${total}%.1f s total")
   }
 
   /** The composed training-data curation pass (ext/Curation) as a CLI

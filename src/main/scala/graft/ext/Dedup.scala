@@ -217,6 +217,40 @@ object Dedup {
           .otherwise(lit("modified")).as("status"))
   }
 
+  /** PRIORITY union of two corpus versions — the merge step of corpus
+    * versioning ([[corpusDiff]]'s complement, the "base wins" admission
+    * rule): keep exactly one row per distinct content fingerprint across
+    * base ∪ fresh, preferring the BASE copy when both corpora carry the
+    * same content (re-crawls must not displace the already-curated row —
+    * provenance, splits, and downstream caches key on the original id),
+    * and the min-id row among same-priority duplicates (deterministic,
+    * the [[byFingerprint]] keeper rule).
+    *
+    * Scale shape: each side projects map-side to (id, 128-bit
+    * fingerprint, priority) — text never shuffles — then ONE
+    * fingerprint-keyed `min_by` aggregation (partial maps combine
+    * map-side; the struct ordering (priority, id) is total so the keeper
+    * is unique). At 100 TB this is the same narrow-row shuffle as
+    * [[corpusDiff]]; no join at all.
+    *
+    * @return idCol, origin ('base' | 'fresh') — the surviving rows */
+  def unionWithPriority(base: DataFrame, fresh: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val b = base.select(col(idCol).cast("long").as(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("__fp"),
+      lit(0).as("__pri"))
+    val f = fresh.select(col(idCol).cast("long").as(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("__fp"),
+      lit(1).as("__pri"))
+    b.unionByName(f)
+      .groupBy("__fp")
+      .agg(min_by(struct(col(idCol), col("__pri")),
+        struct(col("__pri"), col(idCol))).as("__k"))
+      .select(col(s"__k.$idCol").as(idCol),
+        when(col("__k.__pri") === 0, lit("base")).otherwise(lit("fresh"))
+          .as("origin"))
+  }
+
   /** Edit-distance near-dup pairs via two-key prefix/suffix BLOCKING —
     * the record-linkage metric the token-set family (Jaccard/containment/
     * minhash) cannot express: Levenshtein counts character EDITS, so a

@@ -357,6 +357,28 @@ object ExtQueries {
         Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 10)
     },
 
+    // E2 — METADATA-FILTERED vector search (the "filtered ANN" shape every
+    // retrieval stack needs: restrict by attribute, THEN rank by
+    // similarity). The filter composes BEFORE the distance work — Catalyst
+    // pushes `label = 3` into the parquet scan (PlanCheck asserts
+    // PushedFilters), so the ranking pass touches ~1/10 of the corpus; at
+    // 100 TB the same shape rides partition pruning on a label-partitioned
+    // layout. Exactness baseline: brute-force over the filtered set (the
+    // IVF/LSH probes compose with the same filter, pruned-scan-then-rank).
+    "e2w_filtered_topk" -> Q(
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) AS cos
+        |FROM embeddings WHERE label = 3
+        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin) {
+      (s, dir) =>
+        val emb = Tables.embeddings(s, dir)
+        val query = emb.filter(col("vec_id") === 0)
+          .select("embedding").first().getSeq[Float](0)
+        Similarity.bruteForceTopK(emb.filter(col("label") === 3),
+          "vec_id", "embedding", query, 10)
+    },
+
     // E2 — same top-k through the codegen'd native CosineSimilarity
     // Expression (graft.functions): must hash-match the same oracle as e2
     // (identical formula + traversal order → bit-identical doubles).
@@ -2028,6 +2050,34 @@ object ExtQueries {
             when(col("doc_id") < 50, concat(col("text"), lit(" v2")))
               .otherwise(col("text")).as("text"))
         Dedup.corpusDiff(prev, next, "doc_id", "text")
+    },
+
+    // E1 — priority union of two corpus versions (corpus versioning's
+    // merge step): one keeper per distinct content fingerprint across
+    // base ∪ fresh, base copy preferred on content collision (a re-crawl
+    // must not displace the curated row), min id among equals. Fixture:
+    // fresh re-ids docs [200,500) to +100000 — [200,300) collide with
+    // base content (base wins), [300,500) are net-new (fresh kept).
+    "e1g_union_priority" -> Q(
+      """WITH b AS (SELECT doc_id,
+        |             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |             0 AS pri
+        |           FROM documents WHERE doc_id < 300),
+        |f AS (SELECT doc_id + 100000 AS doc_id,
+        |        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |        1 AS pri
+        |      FROM documents WHERE doc_id >= 200 AND doc_id < 500),
+        |u AS (SELECT * FROM b UNION ALL SELECT * FROM f)
+        |SELECT doc_id, CASE WHEN pri = 0 THEN 'base' ELSE 'fresh' END AS origin
+        |FROM u
+        |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY pri, doc_id) = 1""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val base = docs.filter(col("doc_id") < 300)
+        val fresh = docs
+          .filter(col("doc_id") >= 200 && col("doc_id") < 500)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        Dedup.unionWithPriority(base, fresh, "doc_id", "text")
     },
 
     // E1 — END-TO-END fuzzy-dedup pipeline: minhash signatures → band

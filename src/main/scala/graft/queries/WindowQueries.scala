@@ -382,6 +382,42 @@ object WindowQueries {
         Skew.saltedSum(Tables.events(s, dir), Seq("event_type"), "value", salts = 16)
           .select(col("event_type"),
             round(col("sum_value"), 2).as("sum_value"), col("cnt"))
+    },
+
+    // Rolling MEDIAN over the trailing 24-row per-user window — the
+    // robust-center complement to the w13 z-score (a monitoring stat the
+    // mean-based family can't substitute for under outliers). Spark has
+    // no exact windowed median, so compose one: collect the frame into an
+    // array, sort, index the middle — bounded by the FRAME SIZE (24), not
+    // the partition, so the state per row is constant and the shape holds
+    // at any scale (same bounded-frame argument as the w13 sums). DuckDB's
+    // windowed median interpolates even-count frames as the two-middle
+    // mean in DOUBLE; both sides cast to double first so the interpolation
+    // arithmetic is identical.
+    "w15_rolling_median" -> Q(
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |                  CAST(value AS DOUBLE) AS v FROM events)
+        |SELECT event_id, CAST(count(*) OVER win AS BIGINT) AS n_window,
+        |       round(median(v) OVER win, 6) AS med
+        |FROM e
+        |WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+        |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+        val e = ev.select(col("event_id"), col("user_id"),
+          Tables.tsUs(ev).as("us"), col("value").cast("double").as("v"))
+        val win = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id")).rowsBetween(-23, 0)
+        val arr = sort_array(collect_list(col("v")).over(win))
+        val n = size(arr)
+        val med = when(n % 2 === 1,
+            element_at(arr, ((n + 1) / 2).cast("int")))
+          .otherwise((element_at(arr, (n / 2).cast("int")) +
+            element_at(arr, (n / 2 + 1).cast("int"))) / 2.0)
+        e.select(col("event_id"), n.cast("long").as("n_window"),
+          when(n > 0, round(med, 6)).otherwise(lit(null).cast("double"))
+            .as("med"))
     }
   )
 }

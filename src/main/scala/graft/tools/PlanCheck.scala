@@ -28,6 +28,10 @@ object PlanCheck {
     // ANN probes must hit the index layout with directory-level pruning,
     // never a full-corpus scan
     "e2b_ann_topk"      -> Seq("PartitionFilters: \\[.*bucket"),
+    // filtered ANN: the metadata predicate must reach the parquet scan so
+    // the ranking pass touches only the filtered slice
+    "e2w_filtered_topk" -> Seq("PushedFilters: \\[.*EqualTo\\(label,3\\)",
+                               "TakeOrderedAndProject"),
     "e2d_ivf_topk"      -> Seq("PartitionFilters: \\[.*__cell"),
     "e2k_ivf_quantized_topk" -> Seq("PartitionFilters: \\[.*__cell"),
     "e2l_lsh_quantized_topk" -> Seq("PartitionFilters: \\[.*bucket"),

@@ -1213,6 +1213,23 @@ class ExtOpsSpec extends SparkSpec {
       6L -> "added"), s"got $got")
   }
 
+  test("union with priority: base wins content collisions, min id among equals") {
+    val base = Seq((10L, "alpha beta"), (11L, "gamma delta"),
+      (12L, "shared text"), (13L, "shared text")).toDF("doc_id", "text")
+    val fresh = Seq((100L, "ALPHA   beta"), // whitespace/case twin → base 10 wins
+      (101L, "brand new"),                  // net-new content → kept as fresh
+      (102L, "also new"), (103L, "also new") // fresh-internal dup → min id 102
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.unionWithPriority(base, fresh, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      10L -> "base",    // collision: base copy kept, fresh 100 displaced
+      11L -> "base",
+      12L -> "base",    // base-internal dup: min id keeper
+      101L -> "fresh",
+      102L -> "fresh"), s"got $got")
+  }
+
   test("minhash clusters: whitespace variants cluster with their originals") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a  b  c  d  e  f"),
       (3L, "q r s t u v")).toDF("doc_id", "text")

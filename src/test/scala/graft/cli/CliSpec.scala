@@ -32,6 +32,7 @@ class CliSpec extends SparkSpec {
       case "reconcile"      => Main.runReconcile(spark, a)
       case "bpe-train"      => Main.runBpeTrain(spark, a)
       case "tokenize"       => Main.runTokenize(spark, a)
+      case "pipeline"       => Main.runPipeline(spark, a)
       case other            => fail(s"unexpected verb $other")
     }
     a
@@ -494,5 +495,66 @@ class CliSpec extends SparkSpec {
         "--mode", "span")))
     assert(Main.parse(Array("layout", "--source", "s", "--dest", "d",
       "--by", "ts", "--key", "id")).buckets == 16)
+  }
+
+  test("pipeline chains spans→lines→quality→decontaminate→mix→pack end-to-end") {
+    val work = tmpDir("cli-pipeline")
+    // a benchmark disjoint from nothing — drawn FROM the corpus, so the
+    // decontamination stage has real overlap to act on
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .limit(20).select("doc_id", "text")
+      .write.parquet(s"$work/bench")
+    run("pipeline", "--source", s"$sfDir/documents.parquet",
+      "--benchmark", s"$work/bench", "--dest", s"$work/out",
+      "--by", "lang", "--alpha", "0.5", "--target-tokens", "20000",
+      "--min-tokens", "5", "--min-span", "100",
+      "--max-contamination", "0.5", "--shards", "4", "--capacity", "64")
+    // every stage left its parquet working dir behind (restartability)
+    val stages = Seq("01_despanned", "02_delined", "03_quality",
+      "04_decontaminated", "05_mixed", "06_packed")
+    stages.foreach(s => assert(
+      spark.read.parquet(s"$work/out/$s").count() > 0, s"stage $s empty"))
+    val in = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    // span/line removal keep every row (transforms, not filters)
+    assert(spark.read.parquet(s"$work/out/01_despanned").count() == in)
+    assert(spark.read.parquet(s"$work/out/02_delined").count() == in)
+    // the gated stages only ever shrink, in order
+    val counts = Seq("03_quality", "04_decontaminated", "05_mixed")
+      .map(s => spark.read.parquet(s"$work/out/$s").count())
+    assert(counts.zip(in +: counts).forall { case (c, prev) => c <= prev },
+      s"stage counts must be monotone non-increasing: in=$in $counts")
+    // the packed layout covers exactly the mixed survivors, within capacity
+    val packed = spark.read.parquet(s"$work/out/06_packed")
+    assert(packed.count() == counts.last)
+    assert(packed.columns.toSet ==
+      Set("doc_id", "shard", "n_tokens", "pack_id"))
+    val overCap = packed.groupBy("shard", "pack_id")
+      .agg(sum("n_tokens").as("t"), count(lit(1)).as("n"))
+      .filter(col("t") > 64L && col("n") > 1L).count()
+    assert(overCap == 0L, "a multi-doc pack exceeded --capacity")
+    // stage params are the verbs' production defaults: spans cut 16-char
+    // windows at >= --min-span; the despanned text is never longer
+    val grew = spark.read.parquet(s"$work/out/01_despanned")
+      .select(col("doc_id"), length(col("text")).as("l"))
+      .join(spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), length(col("text")).as("l0")), "doc_id")
+      .filter(col("l") > col("l0")).count()
+    assert(grew == 0L, "span removal must never grow a text")
+    // config surface: benchmark and by are required, capacity validates
+    assertThrows[GraftError.InvalidConfig](
+      Main.parse(Array("pipeline", "--source", "s", "--dest", "d",
+        "--by", "lang")))
+    assertThrows[GraftError.InvalidConfig](
+      Main.parse(Array("pipeline", "--source", "s", "--benchmark", "b",
+        "--dest", "d")))
+    assertThrows[GraftError.InvalidConfig](
+      Main.parse(Array("pipeline", "--source", "s", "--benchmark", "b",
+        "--dest", "d", "--by", "lang", "--capacity", "0")))
+    // pipeline's span floor defaults to the Lee-et-al 24; dedup-spans
+    // keeps its backward-compatible 0
+    assert(Main.parse(Array("pipeline", "--source", "s", "--benchmark", "b",
+      "--dest", "d", "--by", "lang")).minSpan == 24)
+    assert(Main.parse(Array("dedup-spans", "--source", "s",
+      "--dest", "d")).minSpan == 0)
   }
 }
