@@ -102,11 +102,11 @@ object Bench {
       val lshDir = graft.ext.Similarity.ensureLshIndex(emb, "vec_id", "embedding",
         dim = 64, nPlanes = 8)
       val ivfDir = graft.ext.Similarity.ensureIvfIndex(emb, "vec_id", "embedding")
-      def probeTime(f: => org.apache.spark.sql.DataFrame): Double = {
+      def probeTime(f: => org.apache.spark.sql.DataFrame): (Double, Double) = {
         val ts = (1 to runs).map { _ =>
           time(f.write.format("noop").mode("overwrite").save())
         }.filter(_ >= 0)
-        if (ts.isEmpty) -1.0 else ts.min
+        if (ts.isEmpty) (-1.0, -1.0) else (ts.min, median(ts))
       }
       val ivfqDir = graft.ext.Similarity.ensureIvfIndexQuantized(
         emb, "vec_id", "embedding")
@@ -126,8 +126,9 @@ object Bench {
           graft.ext.Similarity.annProbeQuantized(spark, lshqDir, "vec_id",
             query, 10, dim = 64, nPlanes = 8, probeHamming = 3)))
     } catch { case scala.util.control.NonFatal(_) =>
-      Seq("e2b_ann_probe_only" -> -1.0, "e2d_ivf_probe_only" -> -1.0,
-        "e2k_ivfq_probe_only" -> -1.0, "e2l_lshq_probe_only" -> -1.0) }
+      Seq("e2b_ann_probe_only", "e2d_ivf_probe_only",
+        "e2k_ivfq_probe_only", "e2l_lshq_probe_only")
+        .map(_ -> ((-1.0, -1.0))) }
 
     // end-to-end sync-merge throughput on the events twin-table fixture
     // (BASELINE.md comparable (a)): cold-start full sync, fresh dest per
@@ -159,8 +160,12 @@ object Bench {
     val syncMedian = if (syncTimes.isEmpty) -1.0 else median(syncTimes)
     val syncRpsMedian = if (syncMedian > 0) syncRows / syncMedian else 0.0
 
-    val all = results ++ probeResults :+ ("sync_merge_events" -> syncSec)
-    val medians = resultsFull.map { case (n, (_, md)) => n -> md } :+
+    val all = results ++ probeResults.map { case (n, (mn, _)) => n -> mn } :+
+      ("sync_merge_events" -> syncSec)
+    // medians mirror `queries` KEY-FOR-KEY (probe entries included) so the
+    // min-vs-median noise cross-check never hits a missing key
+    val medians = resultsFull.map { case (n, (_, md)) => n -> md } ++
+      probeResults.map { case (n, (_, md)) => n -> md } :+
       ("sync_merge_events" -> syncMedian)
     // ms precision keeps the line short, and the headline metric/value
     // fields go LAST: the driver records only a bounded tail of stdout, so

@@ -610,6 +610,15 @@ object Main {
     if (a.source.startsWith("jdbc:") || a.dest.startsWith("jdbc:") ||
         a.benchmark.startsWith("jdbc:"))
       throw GraftError.InvalidConfig("pipeline applies to parquet paths")
+    // the mix stage runs FIFTH — its mode contract (exactly one of
+    // --quota-tokens | --alpha + --target-tokens) must refuse here, before
+    // four stages of real work, not when runMix finally fires (config
+    // validation is exit-2 surface, per runMix's own rule)
+    (a.quotaTokens, a.alpha, a.targetTokens) match {
+      case (Some(_), None, None) | (None, Some(_), Some(_)) => ()
+      case _ => throw GraftError.InvalidConfig(
+        "pipeline needs exactly one mix mode: --quota-tokens N, or --alpha A with --target-tokens N")
+    }
     val work = a.dest.stripSuffix("/")
     val t0 = System.nanoTime()
     val inRows = spark.read.parquet(a.source).count()

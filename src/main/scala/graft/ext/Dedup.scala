@@ -236,10 +236,13 @@ object Dedup {
     * @return idCol, origin ('base' | 'fresh') — the surviving rows */
   def unionWithPriority(base: DataFrame, fresh: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
-    val b = base.select(col(idCol).cast("long").as(idCol),
+    // id type is PRESERVED (the [[corpusDiff]] contract — string-keyed
+    // corpora must not silently null out under a numeric cast); a type
+    // mismatch between the two sides fails loudly in unionByName
+    val b = base.select(col(idCol),
       TextAnalysis.fingerprint(col(textCol)).as("__fp"),
       lit(0).as("__pri"))
-    val f = fresh.select(col(idCol).cast("long").as(idCol),
+    val f = fresh.select(col(idCol),
       TextAnalysis.fingerprint(col(textCol)).as("__fp"),
       lit(1).as("__pri"))
     b.unionByName(f)

@@ -165,6 +165,34 @@ object RangeLayout {
       .filter(col(sortCol) >= lo && col(sortCol) <= hi)
   }
 
+  /** The rank-split bucket distribution is fully determined by (total
+    * rows, nBuckets): bucket b holds exactly
+    * ceil((b+1)·total/n) − ceil(b·total/n) rows (see [[withRangeBucket]]).
+    * A stamp claim is verified by recomputing that distribution from the
+    * manifest's n_rows sum and requiring exact equality — an inflated or
+    * deflated nBuckets claim CANNOT reproduce the observed per-bucket
+    * counts, so false provenance refuses instead of landing in the params
+    * sidecar. Bounded: the manifest has one row per bucket (CLI-capped at
+    * 1e6) and the expected-share loop runs on the claimed nBuckets. */
+  private[ops] def verifyRankSplit(mf: DataFrame, nBuckets: Int,
+                                   path: String): Unit = {
+    val got = mf.select(col("bucket").cast("long"), col("n_rows").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = BigInt(got.values.sum)
+    def ceilDiv(a: BigInt, b: BigInt): Long = ((a + b - 1) / b).toLong
+    val n = BigInt(nBuckets)
+    require(total > 0,
+      s"$path manifest is empty — an empty layout carries no provenance " +
+        "evidence to verify a stamp against; rewrite instead of stamping")
+    val expected = (0 until nBuckets).iterator.map { b =>
+      b.toLong -> (ceilDiv((b + 1) * total, n) - ceilDiv(b * total, n))
+    }.filter(_._2 > 0).toMap
+    require(got == expected,
+      s"$path manifest bucket counts do not match a $nBuckets-way " +
+        s"rank-split of ${total} rows — the layout was written with a " +
+        "different bucket count; refusing to stamp a false provenance")
+  }
+
   /** One-shot MIGRATION stamp for a range layout persisted BEFORE the
     * params sidecar existed: pruned reads now hard-refuse sidecar-less
     * layouts (unknown provenance), which is deliberate fail-loud but left
@@ -187,15 +215,16 @@ object RangeLayout {
         throw new IllegalArgumentException(
           s"$path has no readable manifest at ${manifestPath(path)} — not " +
             "a writeClustered layout; rewrite instead of stamping", e) }
+    // EXACT column-set match: a z-order manifest (stats for two dims) or
+    // any foreign shape must refuse — containment alone would let a
+    // z-order layout stamp as range and then prune wrongly
     val cols = mf.columns.toSet
-    require(cols.contains(s"min_$sortCol") && cols.contains(s"max_$sortCol"),
-      s"$path manifest has stats for [${cols.mkString(", ")}], not for " +
-        s"[$sortCol] — the layout was clustered by a different column; " +
-        "refusing to stamp a false provenance")
-    val maxBucket = mf.agg(max(col("bucket").cast("long"))).first().getLong(0)
-    require(maxBucket < nBuckets,
-      s"$path manifest has bucket ids up to $maxBucket, inconsistent with " +
-        s"claimed nBuckets=$nBuckets")
+    val want = Set("bucket", "n_rows", s"min_$sortCol", s"max_$sortCol")
+    require(cols == want,
+      s"$path manifest has [${cols.mkString(", ")}], not exactly " +
+        s"[${want.mkString(", ")}] — not a writeClustered($sortCol) " +
+        "manifest; refusing to stamp a false provenance")
+    verifyRankSplit(mf, nBuckets, path)
     writeParams(spark, path, rangeParamsString(sortCol, nBuckets))
   }
 }

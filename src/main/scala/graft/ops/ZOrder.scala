@@ -117,8 +117,16 @@ object ZOrder {
       .write.mode(SaveMode.Overwrite)
       .parquet(RangeLayout.manifestPath(path))
     RangeLayout.writeParams(df.sparkSession, path,
-      s"kind=zorder,a=$colA,b=$colB,gridBits=$GridBits,buckets=$nBuckets")
+      zorderParamsString(colA, colB, nBuckets))
   }
+
+  /** The exact sidecar content [[writeZOrdered]] records and
+    * [[prunedRead]] string-matches — ONE definition so the migration
+    * stamp can never drift from the writer (the
+    * [[RangeLayout.rangeParamsString]] rule). */
+  private[ops] def zorderParamsString(colA: String, colB: String,
+                                      nBuckets: Int): String =
+    s"kind=zorder,a=$colA,b=$colB,gridBits=$GridBits,buckets=$nBuckets"
 
   /** Manifest-pruned range read on EITHER z-ordered dimension: buckets
     * whose [min,max] of `dim` misses [lo, hi] are never opened
@@ -166,17 +174,20 @@ object ZOrder {
         throw new IllegalArgumentException(
           s"$path has no readable manifest — not a writeZOrdered layout; " +
             "rewrite instead of stamping", e) }
+    require(colA != colB,
+      s"z-order dimensions must differ, got ($colA, $colB)")
+    // EXACT column-set match (the RangeLayout.stampExistingLayout rule):
+    // a range manifest, a z-order on other dims, or any foreign shape
+    // refuses — containment alone would stamp false provenance
     val cols = mf.columns.toSet
-    val need = Seq(s"min_$colA", s"max_$colA", s"min_$colB", s"max_$colB")
-    require(need.forall(cols.contains),
-      s"$path manifest has [${cols.mkString(", ")}]; a z-order layout on " +
-        s"($colA, $colB) needs [${need.mkString(", ")}] — refusing to " +
-        "stamp a false provenance")
-    val maxBucket = mf.agg(max(col("bucket").cast("long"))).first().getLong(0)
-    require(maxBucket < nBuckets,
-      s"$path manifest has bucket ids up to $maxBucket, inconsistent with " +
-        s"claimed nBuckets=$nBuckets")
+    val want = Set("bucket", "n_rows",
+      s"min_$colA", s"max_$colA", s"min_$colB", s"max_$colB")
+    require(cols == want,
+      s"$path manifest has [${cols.mkString(", ")}], not exactly " +
+        s"[${want.mkString(", ")}] — not a writeZOrdered($colA, $colB) " +
+        "manifest; refusing to stamp a false provenance")
+    RangeLayout.verifyRankSplit(mf, nBuckets, path)
     RangeLayout.writeParams(spark, path,
-      s"kind=zorder,a=$colA,b=$colB,gridBits=$GridBits,buckets=$nBuckets")
+      zorderParamsString(colA, colB, nBuckets))
   }
 }

@@ -410,12 +410,18 @@ object WindowQueries {
         val win = Window.partitionBy("user_id")
           .orderBy(col("us"), col("event_id")).rowsBetween(-23, 0)
         val arr = sort_array(collect_list(col("v")).over(win))
+        // n indexes the NULL-free array (collect_list drops NULLs —
+        // matching DuckDB's median, which ignores them); n_window counts
+        // FRAME ROWS like the oracle's count(*), NULLs included (the w13
+        // count(lit(1)) parity rule — size(arr) would silently diverge
+        // the first time a fixture generation ships a NULL value)
         val n = size(arr)
         val med = when(n % 2 === 1,
             element_at(arr, ((n + 1) / 2).cast("int")))
           .otherwise((element_at(arr, (n / 2).cast("int")) +
             element_at(arr, (n / 2 + 1).cast("int"))) / 2.0)
-        e.select(col("event_id"), n.cast("long").as("n_window"),
+        e.select(col("event_id"),
+          count(lit(1)).over(win).as("n_window"),
           when(n > 0, round(med, 6)).otherwise(lit(null).cast("double"))
             .as("med"))
     }

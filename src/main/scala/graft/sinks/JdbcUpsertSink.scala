@@ -374,7 +374,10 @@ object JdbcUpsertSink {
     * update counts), so already-deleted keys report 0, not the submitted
     * count. Drivers that answer `SUCCESS_NO_INFO` for any batch element
     * give no per-row truth, so the submitted distinct-key count is the
-    * fallback for exactly that case — the only one where it's honest. */
+    * fallback for that case — and likewise when any task attempt was a
+    * retry or speculation is enabled (the credited attempt may be the
+    * duplicate that matched zero already-deleted rows — a silent
+    * undercount otherwise). */
   def deleteByKeys(orphans: DataFrame, url: String, props: Properties,
                    table: String, keyCols: Seq[String],
                    batchSize: Int = MaxBatchSize): Long = {
@@ -386,11 +389,23 @@ object JdbcUpsertSink {
     val sc = orphans.sparkSession.sparkContext
     val applied = sc.longAccumulator("reconcile.deleted")
     val noInfo = sc.longAccumulator("reconcile.deleteNoInfo")
+    // Accumulator-based row attribution is only trustworthy when every
+    // partition ran EXACTLY once: after a task retry (first attempt
+    // committed its DELETEs, then died before crediting) or under
+    // speculative duplicates, the credited attempt may be the one that
+    // matched zero already-deleted rows — an undercount. Detect both and
+    // fall back to the submitted distinct-key count (the conservative
+    // pre-attribution semantics) rather than report a silent floor.
+    val retried = sc.longAccumulator("reconcile.deleteRetriedTasks")
+    val speculative = sc.getConf.getBoolean("spark.speculation",
+      defaultValue = false)
     try {
       val n = keyed.count()
       val where = keyCols.map(k => s"$k = ?").mkString(" AND ")
       val sql = s"DELETE FROM $table WHERE $where"
       runPerPartition(keyed, url, props) { (conn, rows) =>
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null && tc.attemptNumber() > 0) retried.add(1L)
         val stmt = conn.prepareStatement(sql)
         def flush(): Unit = stmt.executeBatch().foreach {
           case java.sql.Statement.SUCCESS_NO_INFO => noInfo.add(1L)
@@ -408,7 +423,8 @@ object JdbcUpsertSink {
           if (pending > 0) flush()
         } finally stmt.close()
       }
-      if (noInfo.value > 0L) n else applied.value
+      if (noInfo.value > 0L || retried.value > 0L || speculative) n
+      else applied.value
     } finally { keyed.unpersist(); () }
   }
 }

@@ -1230,6 +1230,15 @@ class ExtOpsSpec extends SparkSpec {
       102L -> "fresh"), s"got $got")
   }
 
+  test("union with priority preserves string ids (no silent numeric cast)") {
+    val base = Seq(("doc-a", "alpha beta")).toDF("doc_id", "text")
+    val fresh = Seq(("doc-b", "ALPHA beta"), ("doc-c", "net new"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.Dedup.unionWithPriority(base, fresh, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("doc-a" -> "base", "doc-c" -> "fresh"), s"got $got")
+  }
+
   test("minhash clusters: whitespace variants cluster with their originals") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a  b  c  d  e  f"),
       (3L, "q r s t u v")).toDF("doc_id", "text")

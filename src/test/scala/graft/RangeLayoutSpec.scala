@@ -102,10 +102,16 @@ class RangeLayoutSpec extends SparkSpec {
     // clustering column (manifest has no stats for it), wrong bucket count
     val exCol = intercept[IllegalArgumentException](
       RangeLayout.stampExistingLayout(spark, path, "event_id", 4))
-    assert(exCol.getMessage.contains("different column"), exCol.getMessage)
+    assert(exCol.getMessage.contains("false provenance"), exCol.getMessage)
     val exN = intercept[IllegalArgumentException](
       RangeLayout.stampExistingLayout(spark, path, "us", 2))
-    assert(exN.getMessage.contains("inconsistent"), exN.getMessage)
+    assert(exN.getMessage.contains("different bucket count"), exN.getMessage)
+    // an INFLATED count claim refuses too — the rank-split distribution
+    // check, not just a max-bucket bound (999 would have passed that)
+    val exInfl = intercept[IllegalArgumentException](
+      RangeLayout.stampExistingLayout(spark, path, "us", 999))
+    assert(exInfl.getMessage.contains("different bucket count"),
+      exInfl.getMessage)
     assert(!new java.io.File(path, RangeLayout.ParamsFile).exists(),
       "a refused stamp must not leave a sidecar behind")
     // the true claim stamps, and pruned reads work again — byte-identical

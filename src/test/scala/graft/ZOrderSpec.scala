@@ -99,6 +99,21 @@ class ZOrderSpec extends SparkSpec {
       ZOrder.stampExistingLayout(spark, path, "user_id", "event_id", 16))
     assert(exBad.getMessage.contains("refusing"), exBad.getMessage)
     assert(!new java.io.File(path, RangeLayout.ParamsFile).exists())
+    // CROSS-KIND false provenance: this z-order manifest (stats for TWO
+    // dims) must not stamp as a range layout — containment of min/max for
+    // one dim is not enough, the column set must match exactly
+    val exKindStamp = intercept[IllegalArgumentException](
+      RangeLayout.stampExistingLayout(spark, path, "user_id", 16))
+    assert(exKindStamp.getMessage.contains("false provenance"),
+      exKindStamp.getMessage)
+    // degenerate dims and an inflated bucket-count claim refuse too
+    intercept[IllegalArgumentException](
+      ZOrder.stampExistingLayout(spark, path, "user_id", "user_id", 16))
+    val exInfl = intercept[IllegalArgumentException](
+      ZOrder.stampExistingLayout(spark, path, "user_id", "day", 9999))
+    assert(exInfl.getMessage.contains("different bucket count"),
+      exInfl.getMessage)
+    assert(!new java.io.File(path, RangeLayout.ParamsFile).exists())
     ZOrder.stampExistingLayout(spark, path, "user_id", "day", 16)
     assert(ids(ZOrder.prunedRead(spark, path, "day", lit(dMin), lit(dHi)))
       == ids(df.filter(col("day").between(dMin, dHi))),

@@ -550,6 +550,16 @@ class CliSpec extends SparkSpec {
     assertThrows[GraftError.InvalidConfig](
       Main.parse(Array("pipeline", "--source", "s", "--benchmark", "b",
         "--dest", "d", "--by", "lang", "--capacity", "0")))
+    // a missing mix mode must refuse BEFORE stage 1 runs (four stages of
+    // real work would otherwise burn before runMix's own check fires) —
+    // no working dir may exist after the refusal
+    val early = s"$work/early"
+    assertThrows[GraftError.InvalidConfig](
+      Main.runPipeline(spark, Main.parse(Array("pipeline",
+        "--source", s"$sfDir/documents.parquet",
+        "--benchmark", s"$work/bench", "--dest", early, "--by", "lang"))))
+    assert(!new java.io.File(early).exists(),
+      "a refused pipeline must not have started stage 1")
     // pipeline's span floor defaults to the Lee-et-al 24; dedup-spans
     // keeps its backward-compatible 0
     assert(Main.parse(Array("pipeline", "--source", "s", "--benchmark", "b",
