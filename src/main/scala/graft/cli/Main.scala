@@ -606,7 +606,7 @@ object Main {
     * counted from what landed on disk, not from the plan. */
   private[cli] def runPipeline(spark: org.apache.spark.sql.SparkSession,
                                a: Args): Unit = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, count, expr, lit, when}
     if (a.source.startsWith("jdbc:") || a.dest.startsWith("jdbc:") ||
         a.benchmark.startsWith("jdbc:"))
       throw GraftError.InvalidConfig("pipeline applies to parquet paths")
@@ -619,16 +619,46 @@ object Main {
       case _ => throw GraftError.InvalidConfig(
         "pipeline needs exactly one mix mode: --quota-tokens N, or --alpha A with --target-tokens N")
     }
+    // the benchmark corpus is first touched by stage 4 — a typo'd path
+    // must refuse at t=0, not after three stages of real work (the same
+    // before-stage-1 rule as the mix-mode check above)
+    try spark.read.parquet(a.benchmark).schema
+    catch { case e: org.apache.spark.sql.AnalysisException =>
+      throw GraftError.InvalidConfig(
+        s"pipeline --benchmark ${a.benchmark} is not readable parquet: " +
+          e.getMessage) }
     val work = a.dest.stripSuffix("/")
     val t0 = System.nanoTime()
-    val inRows = spark.read.parquet(a.source).count()
+    val src = spark.read.parquet(a.source)
+    for (c <- Seq(a.idCol, a.textCol) if !src.columns.contains(c))
+      throw GraftError.InvalidConfig(
+        s"pipeline source ${a.source} has no `$c` column " +
+          s"(has [${src.columns.mkString(", ")}])")
+    // the PACK stage (sixth) keys its bins on try_cast(id AS bigint) and
+    // drops null/non-castable ids — fine as the standalone verb's counted-
+    // drop contract, but a string-keyed corpus would sail through five
+    // stages and land an EMPTY final artifact with exit 0. The pipeline is
+    // all-or-nothing: probe id packability in the same t=0 pass that
+    // counts the input, and refuse before stage 1 if ANY row would drop.
+    val firstPass = src.agg(count(lit(1)),
+      count(when(col(a.idCol).isNull ||
+        expr(s"try_cast(`${a.idCol}` as bigint)").isNull, lit(1)))).first()
+    val inRows = firstPass.getLong(0)
+    val badIds = firstPass.getLong(1)
+    if (badIds > 0L) throw GraftError.InvalidConfig(
+      s"pipeline pack needs non-null bigint-castable ids in --id-col " +
+        s"${a.idCol}; $badIds of $inRows rows are not — clean the corpus " +
+        "first, or run the individual verbs (pack alone has counted-drop " +
+        "semantics)")
     var last = a.source
     val ledger = scala.collection.mutable.ArrayBuffer[(String, Long, Double)]()
     def stage(name: String, out: String)(body: String => Unit): Unit = {
       val s0 = System.nanoTime()
       body(out)
-      val rows = spark.read.parquet(out).count()
+      // seconds BEFORE the on-disk recount: the ledger attributes each
+      // stage's own cost, and the recount is bookkeeping, not stage work
       val sec = (System.nanoTime() - s0) / 1e9
+      val rows = spark.read.parquet(out).count()
       ledger += ((name, rows, sec))
       last = out
     }

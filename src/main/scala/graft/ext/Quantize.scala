@@ -287,10 +287,15 @@ object Quantize {
     val base = idx.agg(avg(pqReconError(col(vecCol), model)),
       count(lit(1))).first()
     require(!base.isNullAt(0), s"$indexDir is empty — nothing to stamp")
-    graft.ops.RangeLayout.writeSidecar(spark, indexDir, PqParamsFile,
-      pqParamsString(m, k, seed))
+    // stats FIRST, params LAST: the re-stamp guard above keys on the
+    // params file, so params is the commit marker — a crash between the
+    // two writes leaves a stats-only index that a re-run stamp repairs,
+    // instead of a params-only index that pqIndexAppend refuses (missing
+    // baseline) AND this stamp refuses (sidecar exists): bricked
     graft.ops.RangeLayout.writeSidecar(spark, indexDir, PqStatsFile,
       s"mean_err=${base.getDouble(0)},n=${base.getLong(1)}")
+    graft.ops.RangeLayout.writeSidecar(spark, indexDir, PqParamsFile,
+      pqParamsString(m, k, seed))
   }
 
   /** Load the codebooks sidecar back into a [[PqModel]]. */

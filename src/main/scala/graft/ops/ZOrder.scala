@@ -187,6 +187,33 @@ object ZOrder {
         s"[${want.mkString(", ")}] — not a writeZOrdered($colA, $colB) " +
         "manifest; refusing to stamp a false provenance")
     RangeLayout.verifyRankSplit(mf, nBuckets, path)
+    // The manifest's column set is SYMMETRIC in (a, b), so a dimension-
+    // SWAPPED claim survives every check above yet records a false
+    // interleave order (a takes the even Morton bits, b the odd). Verify
+    // the order against the DATA: recompute z under the claimed (a, b)
+    // and require the persisted buckets to be contiguous z-ranges — the
+    // rank-split [[writeZOrdered]] produced (boundary ties allowed: the
+    // writer tie-breaks inside equal z). A swapped claim interleaves the
+    // other way, so its z-order disagrees with the stored bucket order —
+    // except when both orders genuinely coincide (a degenerate
+    // dimension), where either claim describes the layout equally well
+    // and stamping is harmless. Bounded: one two-column scan + an
+    // nBuckets-row collect, acceptable for a one-shot migration tool.
+    val data = spark.read.parquet(path)
+    val (aMin, aMax, bMin, bMax) = bounds(data, colA, colB)
+    val zb = withZ(data, colA, colB, aMin, aMax, bMin, bMax)
+      .groupBy(col("bucket").cast("long").as("__b"))
+      .agg(min("zval").as("zmin"), max("zval").as("zmax"))
+      .orderBy("__b").collect()
+    zb.sliding(2).foreach {
+      case Array(p, n) =>
+        require(p.getLong(2) <= n.getLong(1),
+          s"$path bucket order disagrees with a ($colA, $colB) z-order " +
+            s"(bucket ${p.getLong(0)} has max z ${p.getLong(2)} > bucket " +
+            s"${n.getLong(0)}'s min z ${n.getLong(1)}) — the dimensions " +
+            "are likely swapped; refusing to stamp a false interleave order")
+      case _ => () // single bucket: any interleave order is consistent
+    }
     RangeLayout.writeParams(spark, path,
       zorderParamsString(colA, colB, nBuckets))
   }

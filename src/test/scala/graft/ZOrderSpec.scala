@@ -113,6 +113,12 @@ class ZOrderSpec extends SparkSpec {
       ZOrder.stampExistingLayout(spark, path, "user_id", "day", 9999))
     assert(exInfl.getMessage.contains("different bucket count"),
       exInfl.getMessage)
+    // a dimension-SWAPPED claim passes the symmetric column-set check but
+    // records a FALSE interleave order (a=even bits, b=odd) — the
+    // data-derived z-order check must refuse it
+    val exSwap = intercept[IllegalArgumentException](
+      ZOrder.stampExistingLayout(spark, path, "day", "user_id", 16))
+    assert(exSwap.getMessage.contains("swapped"), exSwap.getMessage)
     assert(!new java.io.File(path, RangeLayout.ParamsFile).exists())
     ZOrder.stampExistingLayout(spark, path, "user_id", "day", 16)
     assert(ids(ZOrder.prunedRead(spark, path, "day", lit(dMin), lit(dHi)))

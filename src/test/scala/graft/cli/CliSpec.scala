@@ -560,6 +560,31 @@ class CliSpec extends SparkSpec {
         "--benchmark", s"$work/bench", "--dest", early, "--by", "lang"))))
     assert(!new java.io.File(early).exists(),
       "a refused pipeline must not have started stage 1")
+    // a typo'd --benchmark path refuses at t=0 too — stage 4 would
+    // otherwise be the first to touch it, after three stages of work
+    val earlyB = s"$work/earlyB"
+    val exBench = intercept[GraftError.InvalidConfig](
+      Main.runPipeline(spark, Main.parse(Array("pipeline",
+        "--source", s"$sfDir/documents.parquet",
+        "--benchmark", s"$work/no-such-bench", "--dest", earlyB,
+        "--by", "lang", "--quota-tokens", "1000"))))
+    assert(exBench.getMessage.contains("benchmark"), exBench.getMessage)
+    assert(!new java.io.File(earlyB).exists())
+    // a string-keyed corpus refuses at t=0: the pack stage keys bins on
+    // try_cast(id AS bigint) and would otherwise silently drop EVERY row
+    // after five stages of real work — empty final artifact, exit 0
+    locally {
+      import spark.implicits._
+      Seq(("doc-a", "alpha beta gamma", "en"), ("doc-b", "delta", "en"))
+        .toDF("doc_id", "text", "lang").write.parquet(s"$work/strids")
+    }
+    val earlyS = s"$work/earlyS"
+    val exIds = intercept[GraftError.InvalidConfig](
+      Main.runPipeline(spark, Main.parse(Array("pipeline",
+        "--source", s"$work/strids", "--benchmark", s"$work/bench",
+        "--dest", earlyS, "--by", "lang", "--quota-tokens", "1000"))))
+    assert(exIds.getMessage.contains("bigint-castable"), exIds.getMessage)
+    assert(!new java.io.File(earlyS).exists())
     // pipeline's span floor defaults to the Lee-et-al 24; dedup-spans
     // keeps its backward-compatible 0
     assert(Main.parse(Array("pipeline", "--source", "s", "--benchmark", "b",
