@@ -39,8 +39,9 @@ import graft.sync.{SyncConfig, SyncEndpoint, SyncPipeline, SyncReport}
   *     [--id-col doc_id] [--text-col text]
   *   runMain graft.cli.Main decontaminate --source <parquet corpus> \
   *     --benchmark <parquet eval docs> --dest <parquet clean docs> \
-  *     [--mode shingle|span] [--report PATH] [--ngram 3|16] \
-  *     [--max-contamination 0.0] [--id-col doc_id] [--text-col text]
+  *     [--mode shingle|span|jaccard|containment] [--report PATH] \
+  *     [--ngram 3|16] [--max-contamination 0.0] [--jaccard 0.8] \
+  *     [--threshold 0.99 for containment] [--id-col doc_id] [--text-col text]
   *   runMain graft.cli.Main spans --source <parquet docs> --dest <parquet out> \
   *     [--id-col doc_id] [--text-col text] [--ngram 16]
   *   runMain graft.cli.Main layout --source <parquet> --dest <parquet dir> \
@@ -106,7 +107,7 @@ object Main {
         "decontaminate", "spans", "layout", "mix",
         "dedup-lines", "dedup-spans", "diff", "reconcile",
         "bpe-train", "tokenize", "pipeline").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft reconcile --source (PATH|jdbc:...#table) --dest PATH --key K[,K2] [--report PATH] [--apply] | graft bpe-train --source PATH --dest PATH --merges N [--id-col doc_id] [--text-col text] | graft tokenize --source PATH --base MERGES_PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text] | graft pipeline --source PATH --benchmark PATH --dest WORKDIR --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--min-span 24] [--min-docs 2] [--min-tokens N] [--max-tokens N] [--max-contamination 0.0] [--shards 16] [--capacity 2048] [--id-col doc_id] [--text-col text]")
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span|jaccard|containment] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--jaccard 0.8] [--threshold 0.99 for containment] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft reconcile --source (PATH|jdbc:...#table) --dest PATH --key K[,K2] [--report PATH] [--apply] | graft bpe-train --source PATH --dest PATH --merges N [--id-col doc_id] [--text-col text] | graft tokenize --source PATH --base MERGES_PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text] | graft pipeline --source PATH --benchmark PATH --dest WORKDIR --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--min-span 24] [--min-docs 2] [--min-tokens N] [--max-tokens N] [--max-contamination 0.0] [--shards 16] [--capacity 2048] [--id-col doc_id] [--text-col text]")
     val opts = scala.collection.mutable.Map.empty[String, String]
     var i = 1
     while (i < argv.length) {
@@ -170,7 +171,8 @@ object Main {
         // --mode is verb-scoped: neardup picks its cascade, decontaminate
         // picks the overlap MEASURE (shingle tally vs merged span coverage)
         val (dflt, allowed) =
-          if (argv(0) == "decontaminate") ("shingle", Set("shingle", "span"))
+          if (argv(0) == "decontaminate")
+            ("shingle", Set("shingle", "span", "jaccard", "containment"))
           else ("minhash", Set("minhash", "simhash", "exact",
             "containment", "containment-sampled"))
         val m = opts.getOrElse("mode", dflt)
@@ -893,7 +895,10 @@ object Main {
     * --max-contamination (default 0 — any shared n-gram drops), write the
     * surviving rows; `--report` additionally writes the per-doc
     * contamination profile (ext/Dedup.contamination — benchmark shingles
-    * broadcast, corpus exploded once, never self-joined). */
+    * broadcast, corpus exploded once, never self-joined). `--mode span`
+    * measures merged character-span coverage instead of shingle tally;
+    * `--mode jaccard` applies the per-benchmark-ITEM rule (drop on exact
+    * pairwise Jaccard ≥ --jaccard against any single example). */
   private[cli] def runDecontaminate(spark: org.apache.spark.sql.SparkSession,
                                     a: Args): Unit = {
     import org.apache.spark.sql.functions.col
@@ -918,6 +923,27 @@ object Main {
         .select(a.idCol)
       corpus.join(dropIds, Seq(a.idCol), "left_anti")
         .write.mode("overwrite").parquet(a.dest)
+    } else if (a.mode == "jaccard" || a.mode == "containment") {
+      // per-benchmark-ITEM rules (ext/Dedup.contaminationPairs): `jaccard`
+      // drops every doc whose exact shingle-set Jaccard against ANY single
+      // benchmark example reaches --jaccard — the pooled modes can miss a
+      // verbatim copy of ONE example inside a large benchmark (its
+      // shingles are a small fraction of the pooled union). `containment`
+      // scores |A∩B| / |example| against --threshold instead — catching a
+      // full example EMBEDDED in a longer page, where Jaccard dilutes.
+      // Both attribute the matched example in the report.
+      val pairs = graft.ext.Dedup.contaminationPairs(
+          corpus, a.idCol,
+          bench.withColumnRenamed(a.idCol, "bench_id"), "bench_id",
+          a.textCol, shingleN = a.ngramN,
+          threshold = if (a.mode == "jaccard") a.jaccard else a.threshold,
+          nativeShingles = true, metric = a.mode)
+        .localCheckpoint() // read twice (report + drop-join), computed once
+      a.report.foreach(r => pairs.write.mode("overwrite").parquet(r))
+      // null-text docs have no shingles, match nothing, keep — the span
+      // mode's "no measurable overlap" rule
+      corpus.join(pairs.select(a.idCol).distinct(), Seq(a.idCol), "left_anti")
+        .write.mode("overwrite").parquet(a.dest)
     } else {
       val profile = graft.ext.Dedup.contamination(corpus, bench, a.idCol,
         a.textCol, shingleN = a.ngramN, nativeShingles = true)
@@ -931,9 +957,14 @@ object Main {
         .write.mode("overwrite").parquet(a.dest)
     }
     val kept = spark.read.parquet(a.dest).count()
+    val thr = a.mode match {
+      case "jaccard"     => s"jaccard>=${a.jaccard}"
+      case "containment" => s"containment>=${a.threshold}"
+      case _             => s"max=${a.maxContamination}"
+    }
     println(s"decontaminate ${a.source} [${a.mode}]: kept $kept of " +
       s"${corpus.count()} (vs ${bench.count()} benchmark docs, " +
-      s"n=${a.ngramN}, max=${a.maxContamination}) -> ${a.dest}" +
+      s"n=${a.ngramN}, $thr) -> ${a.dest}" +
       a.report.fold("")(r => s" [report: $r]"))
   }
 

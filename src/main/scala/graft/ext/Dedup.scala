@@ -747,6 +747,76 @@ object Dedup {
         col("contamination"))
   }
 
+  /** PER-BENCHMARK-ITEM contamination: every (corpus doc, benchmark doc)
+    * pair whose exact distinct-shingle Jaccard meets `threshold` — the
+    * "drop any doc near-duplicating an eval EXAMPLE" rule, with the
+    * matched example attributed. [[contamination]]'s pooled fraction
+    * cannot express this: a doc sharing common shingles across MANY
+    * benchmark items pools a high fraction without near-duplicating any
+    * single one, and a verbatim copy of one eval example among a large
+    * benchmark pools a LOW fraction of the union — the pairwise form is
+    * the published decontamination contract (per-example n-gram overlap).
+    *
+    * Exact by construction, not LSH: the benchmark side is SMALL (eval
+    * sets are thousands of examples, the corpus is the 100 TB side), so
+    * the exploded benchmark shingles broadcast and recall is 1 — no
+    * banding probability to reason about. Scale shape: corpus explodes
+    * ONCE carrying its per-doc set size; the INNER broadcast join keeps
+    * only shingles the benchmark contains (the overwhelming corpus
+    * majority flows straight to nothing); one hash aggregation on
+    * (doc, bench) pairs that actually share a shingle. Never all-pairs,
+    * never a corpus self-join. NULL-text docs on either side have no
+    * shingles and cannot match — correctly absent from a matches-only
+    * output (contrast [[contamination]], which keeps them with null
+    * stats because it profiles EVERY doc). */
+  def contaminationPairs(corpus: DataFrame, idCol: String,
+                         benchmark: DataFrame, benchIdCol: String,
+                         textCol: String, shingleN: Int = 3,
+                         threshold: Double = 0.8,
+                         nativeShingles: Boolean = false,
+                         metric: String = "jaccard"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold — 0 would emit every " +
+        "pair sharing a single common shingle")
+    // `containment` scores |A∩B| / |B| — the fraction of the benchmark
+    // EXAMPLE's shingles the doc contains. A full eval example embedded in
+    // a 10× longer page has J ≈ 0.1 (sails under any Jaccard threshold)
+    // but containment 1.0 — the same asymmetric signal
+    // [[containmentPairs]] argues for in dedup, aimed at the benchmark
+    require(metric == "jaccard" || metric == "containment",
+      s"metric must be 'jaccard' or 'containment', got '$metric'")
+    require(benchIdCol != idCol,
+      s"benchmark id column must differ from the corpus one ('$idCol') — " +
+        "the output carries both; rename one side first")
+    import org.apache.spark.sql.functions.broadcast
+    // shingle array materialized BELOW the explode (the [[contamination]]
+    // plan note: size() beside explode() recomputes the set per exploded
+    // row — measured 30× slower)
+    val withSh = corpus.select(col(idCol),
+      shingleCol(col(textCol), shingleN, nativeShingles).as("__sha"))
+    val corpusEx = withSh.select(col(idCol),
+      size(col("__sha")).cast("long").as("__na"),
+      explode(col("__sha")).as("__sh"))
+    val benchSh = benchmark.select(col(benchIdCol),
+      shingleCol(col(textCol), shingleN, nativeShingles).as("__shb"))
+    val benchEx = benchSh.select(col(benchIdCol),
+      size(col("__shb")).cast("long").as("__nb"),
+      explode(col("__shb")).as("__sh"))
+    val scoreCol = metric // the output column carries the metric's name
+    val denom =
+      if (metric == "jaccard") col("__na") + col("__nb") - col("__inter")
+      else col("__nb")
+    corpusEx.join(broadcast(benchEx), Seq("__sh"))
+      .groupBy(col(idCol), col(benchIdCol), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("__inter")) // shingles are distinct per doc →
+                                        // one row per shared shingle = |A∩B|
+      .withColumn(scoreCol,
+        round(col("__inter").cast("double") / denom, 6))
+      .filter(col(scoreCol) >= threshold)
+      .select(col(idCol), col(benchIdCol),
+        col("__inter").as("shared_shingles"), col(scoreCol))
+  }
+
   /** Exact shingle-set Jaccard between candidate id pairs — the verify
     * stage after LSH banding, in the same shingle space the signatures
     * were built from (`shingleN = 1` → word sets). `pairs` has

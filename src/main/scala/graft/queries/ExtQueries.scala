@@ -1326,6 +1326,122 @@ object ExtQueries {
           "doc_id", "text", shingleN = 3, nativeShingles = true)
     },
 
+    // E1 — PER-BENCHMARK-ITEM contamination (Dedup.contaminationPairs):
+    // every (corpus doc, benchmark doc) pair at exact 3-gram-shingle
+    // Jaccard >= 0.8 — the published "drop any doc near-duplicating an
+    // eval EXAMPLE" rule, which e6c's pooled fraction cannot attribute
+    // (a verbatim copy of ONE example pools a low fraction of the
+    // benchmark's shingle UNION). Contamination is PLANTED so matches are
+    // guaranteed and the threshold seam is exercised: docs < 50 re-enter
+    // the corpus as whitespace variants (identical word shingles → J = 1
+    // vs their bench originals, found) AND as half-truncations (shingle
+    // containment ≈ 0.5 → J < 0.8, correctly excluded). Exact both
+    // engines — no LSH recall to reason about: the benchmark side is the
+    // SMALL side by construction (bench shingles broadcast; the corpus
+    // explodes once and inner-joins away everything unshared).
+    "e6m_contamination_pairs" -> Q(
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |corp0 AS (
+        |  SELECT doc_id, text FROM d WHERE doc_id >= 100
+        |  UNION ALL
+        |  SELECT doc_id + 100000, regexp_replace(text, ' ', '  ', 'g')
+        |  FROM d WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |         array_to_string((regexp_split_to_array(text, '\s+'))[
+        |           1:greatest(len(regexp_split_to_array(text, '\s+')) // 2, 1)], ' ')
+        |  FROM d WHERE doc_id < 50),
+        |bench0 AS (SELECT doc_id AS bench_id, text FROM d WHERE doc_id < 100),
+        |cs AS (SELECT doc_id,
+        |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM corp0)),
+        |bs AS (SELECT bench_id,
+        |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+        |  FROM (SELECT bench_id, regexp_split_to_array(text, '\s+') AS t FROM bench0)),
+        |cx AS (SELECT doc_id, len(sh) AS na, unnest(sh) AS s FROM cs),
+        |bx AS (SELECT bench_id, len(sh) AS nb, unnest(sh) AS s FROM bs),
+        |j AS (SELECT doc_id, bench_id, na, nb, count(*) AS inter
+        |      FROM cx JOIN bx USING (s) GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, bench_id, CAST(inter AS BIGINT) AS shared_shingles,
+        |       round(inter * 1.0 / (na + nb - inter), 6) AS jaccard
+        |FROM j
+        |WHERE round(inter * 1.0 / (na + nb - inter), 6) >= 0.8""".stripMargin) {
+      (s, dir) =>
+        graft.functions.GraftFunctions.register(s) // native shingles
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val toks = split(col("text"), "\\s+")
+        val half = array_join(
+          slice(toks, lit(1), greatest((size(toks) / 2).cast("int"), lit(1))),
+          " ")
+        val corp = d.filter(col("doc_id") >= 100)
+          .unionByName(d.filter(col("doc_id") < 50)
+            .select((col("doc_id") + 100000L).as("doc_id"),
+              regexp_replace(col("text"), " ", "  ").as("text")))
+          .unionByName(d.filter(col("doc_id") < 50)
+            .select((col("doc_id") + 200000L).as("doc_id"), half.as("text")))
+        val bench = d.filter(col("doc_id") < 100)
+          .select(col("doc_id").as("bench_id"), col("text"))
+        Dedup.contaminationPairs(corp, "doc_id", bench, "bench_id", "text",
+          shingleN = 3, threshold = 0.8, nativeShingles = true)
+    },
+
+    // E1 — CONTAINMENT contamination (contaminationPairs metric =
+    // containment): score |A∩B| / |bench shingles| — the asymmetric rule
+    // that catches a full eval example EMBEDDED inside a longer page,
+    // where e6m's Jaccard fails (an example inside a 2× longer doc has
+    // J ≈ 0.5 — under any strict threshold — but containment exactly 1.0:
+    // every 3-gram of a contiguously-embedded text survives in the host's
+    // shingle set). Planted: docs < 50 re-enter as CONCATENATIONS with a
+    // disjoint sibling doc (text_a ⊕ ' ' ⊕ text_{a+50}) — containment 1.0
+    // vs BOTH originals, guaranteed matches on an attribution the jaccard
+    // form provably misses. Same exact broadcast shape as e6m.
+    "e6m2_contamination_containment" -> Q(
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |emb AS (SELECT a.doc_id + 300000 AS doc_id,
+        |               a.text || ' ' || b.text AS text
+        |        FROM d a JOIN d b ON b.doc_id = a.doc_id + 50
+        |        WHERE a.doc_id < 50),
+        |corp0 AS (SELECT doc_id, text FROM d WHERE doc_id >= 100
+        |          UNION ALL SELECT doc_id, text FROM emb),
+        |bench0 AS (SELECT doc_id AS bench_id, text FROM d WHERE doc_id < 100),
+        |cs AS (SELECT doc_id,
+        |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM corp0)),
+        |bs AS (SELECT bench_id,
+        |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh
+        |  FROM (SELECT bench_id, regexp_split_to_array(text, '\s+') AS t FROM bench0)),
+        |cx AS (SELECT doc_id, unnest(sh) AS s FROM cs),
+        |bx AS (SELECT bench_id, len(sh) AS nb, unnest(sh) AS s FROM bs),
+        |j AS (SELECT doc_id, bench_id, nb, count(*) AS inter
+        |      FROM cx JOIN bx USING (s) GROUP BY 1, 2, 3)
+        |SELECT doc_id, bench_id, CAST(inter AS BIGINT) AS shared_shingles,
+        |       round(inter * 1.0 / nb, 6) AS containment
+        |FROM j
+        |WHERE round(inter * 1.0 / nb, 6) >= 0.9""".stripMargin) {
+      (s, dir) =>
+        graft.functions.GraftFunctions.register(s) // native shingles
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val emb = d.filter(col("doc_id") < 50).alias("a")
+          .join(d.alias("b"),
+            col("b.doc_id") === col("a.doc_id") + lit(50L))
+          .select((col("a.doc_id") + 300000L).as("doc_id"),
+            concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+        val corp = d.filter(col("doc_id") >= 100).unionByName(emb)
+        val bench = d.filter(col("doc_id") < 100)
+          .select(col("doc_id").as("bench_id"), col("text"))
+        Dedup.contaminationPairs(corp, "doc_id", bench, "bench_id", "text",
+          shingleN = 3, threshold = 0.9, nativeShingles = true,
+          metric = "containment")
+    },
+
     // E4 — PER-GROUP quantile contract (e4l grouped by language): the
     // per-stratum length cutoffs curation uses for balanced filtering.
     // Exact interpolated percentiles both engines; flag asserts the

@@ -69,6 +69,12 @@ object PlanCheck {
     "e6f_tfidf_cosine"  -> Seq("HashAggregate"),
     // A-ES weighted sampling is a distributed top-k, never a global sort
     "e7e_weighted_sample" -> Seq("TakeOrderedAndProject"),
+    // per-example contamination: the SMALL benchmark shingle side must
+    // broadcast onto the corpus explode (the corpus never shuffles until
+    // the per-pair aggregation)
+    "e6m_contamination_pairs" -> Seq("BroadcastHashJoin", "HashAggregate"),
+    "e6m2_contamination_containment" ->
+      Seq("BroadcastHashJoin", "HashAggregate"),
     "a1_max_watermark"  -> Seq("HashAggregate"))
 
   /** Patterns that must NOT appear — the plan shapes each encoding exists

@@ -99,8 +99,8 @@ object ScaleStress {
     reps.foreach { rep =>
       val docsDir = s"$work/docs_x$rep"
       val embDir = s"$work/emb_x$rep"
-      val needDocs = wants("dedup", "e6g", "e6g2", "e6g3", "e6i", "e4t",
-        "e4v", "e4w", "e6k", "e6l", "e5d", "e5dcap")
+      val needDocs = wants("dedup", "e6g", "e6g2", "e6g3", "e6i", "e6m",
+        "e4t", "e4v", "e4w", "e6k", "e6l", "e5d", "e5dcap")
       val needEmb = wants("e2n")
       val (_, tPrepD) =
         if (needDocs) timed(replicateDocs(spark, sfDir, rep, docsDir))
@@ -215,6 +215,29 @@ object ScaleStress {
           nativeGrams = true, hashedKeys = true).localCheckpoint()
       }
       jline("e6g4_char_ngram_dup_sampled_hashed", rep, tNgSH, dupFracSH.count())
+      }
+
+      if (wants("e6m")) {
+      // e6m shape — per-benchmark-item contamination pairs: the FIXED
+      // benchmark (base-corpus docs < 100) scores against the ×rep corpus.
+      // Bench shingles broadcast; the corpus explodes once and inner-joins
+      // away everything unshared — cost should scale with the corpus scan,
+      // flat in the benchmark
+      val bench = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val (pairsJ, tCpJ) = timed {
+        Dedup.contaminationPairs(docs, "doc_id", bench, "bench_id", "text",
+          shingleN = 3, threshold = 0.8, nativeShingles = true)
+          .localCheckpoint()
+      }
+      jline("e6m_contamination_pairs", rep, tCpJ, pairsJ.count())
+      val (pairsC, tCpC) = timed {
+        Dedup.contaminationPairs(docs, "doc_id", bench, "bench_id", "text",
+          shingleN = 3, threshold = 0.9, nativeShingles = true,
+          metric = "containment").localCheckpoint()
+      }
+      jline("e6m2_contamination_containment", rep, tCpC, pairsC.count())
       }
 
       if (wants("e6i")) {

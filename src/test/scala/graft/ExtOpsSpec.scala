@@ -1239,6 +1239,46 @@ class ExtOpsSpec extends SparkSpec {
     assert(got == Map("doc-a" -> "base", "doc-c" -> "fresh"), s"got $got")
   }
 
+  test("contamination pairs: per-benchmark-item jaccard with attribution") {
+    val corpus = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"),
+      (102L, "the  quick  brown  fox  jumps  over  the  lazy  dog"),
+      (103L, "completely different words entirely here now")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "unrelated benchmark example text")
+    ).toDF("bench_id", "text")
+    val got = graft.ext.Dedup.contaminationPairs(corpus, "doc_id", bench,
+        "bench_id", "text", shingleN = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    // the verbatim copy AND the whitespace variant both attribute to bench
+    // example 1 at J=1; the unrelated doc matches nothing
+    assert(got == Set((101L, 1L, 1.0), (102L, 1L, 1.0)), s"got $got")
+    // threshold 0 would emit every pair sharing one common shingle — refuse
+    intercept[IllegalArgumentException](
+      graft.ext.Dedup.contaminationPairs(corpus, "doc_id", bench,
+        "bench_id", "text", threshold = 0.0))
+    // CONTAINMENT catches an example EMBEDDED in a longer host doc: all of
+    // the example's 3-gram shingles survive the concatenation (containment
+    // 1.0) while Jaccard dilutes below any strict threshold
+    val host = Seq((201L, "the quick brown fox jumps over the lazy dog " +
+      "plus a much longer unrelated tail of filler words that keeps " +
+      "growing and growing far past the embedded example"))
+      .toDF("doc_id", "text")
+    val jac = graft.ext.Dedup.contaminationPairs(host, "doc_id", bench,
+      "bench_id", "text", shingleN = 3, threshold = 0.8).count()
+    assert(jac == 0L, "jaccard dilutes on the long host — no match at 0.8")
+    val con = graft.ext.Dedup.contaminationPairs(host, "doc_id", bench,
+        "bench_id", "text", shingleN = 3, threshold = 0.99,
+        metric = "containment")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(con.toSeq == Seq((201L, 1L, 1.0)), s"got ${con.toSeq}")
+    intercept[IllegalArgumentException](
+      graft.ext.Dedup.contaminationPairs(host, "doc_id", bench, "bench_id",
+        "text", metric = "dice"))
+  }
+
   test("minhash clusters: whitespace variants cluster with their originals") {
     val docs = Seq((1L, "a b c d e f"), (2L, "a  b  c  d  e  f"),
       (3L, "q r s t u v")).toDF("doc_id", "text")

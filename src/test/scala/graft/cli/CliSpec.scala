@@ -147,6 +147,60 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$work/clean_all").count() == nCorpus)
   }
 
+  test("decontaminate --mode jaccard drops per-example near-duplicates") {
+    val work = tmpDir("cli-decon-jacc")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    docs.filter(col("doc_id") < 100).write.parquet(s"$work/bench")
+    // corpus = docs >= 100 plus PLANTED whitespace variants of non-null
+    // bench docs < 20 (identical word shingles → J = 1 vs their original)
+    val planted = docs.filter(col("doc_id") < 20 && col("text").isNotNull)
+    val nPlanted = planted.count()
+    docs.filter(col("doc_id") >= 100)
+      .unionByName(planted.select((col("doc_id") + 100000L).as("doc_id"),
+        regexp_replace(col("text"), " ", "  ").as("text")))
+      .write.parquet(s"$work/corpus")
+    run("decontaminate", "--source", s"$work/corpus",
+      "--benchmark", s"$work/bench", "--dest", s"$work/clean",
+      "--mode", "jaccard", "--jaccard", "0.8", "--report", s"$work/report")
+    val kept = spark.read.parquet(s"$work/clean")
+    assert(kept.count() > 0, "the disjoint tail of the corpus must survive")
+    assert(kept.filter(col("doc_id") >= 100000L).count() == 0,
+      "every planted variant near-duplicates a benchmark example — dropped")
+    // the report attributes each variant to its own bench original at J=1
+    val rep = spark.read.parquet(s"$work/report")
+    assert(Set("doc_id", "bench_id", "shared_shingles", "jaccard")
+      .subsetOf(rep.columns.toSet))
+    assert(rep.filter(col("doc_id") >= 100000L)
+      .filter(col("doc_id") - 100000L === col("bench_id") &&
+        col("jaccard") === 1.0).count() == nPlanted)
+    // containment mode catches an example EMBEDDED in a longer host doc
+    // (jaccard dilutes there): hosts concatenate a bench doc (>= 3 tokens,
+    // so every one of its 3-gram shingles survives contiguously) with a
+    // disjoint non-bench sibling
+    val emb = docs.filter(col("doc_id") < 10 && col("text").isNotNull &&
+        size(split(col("text"), "\\s+")) >= 3).alias("a")
+      .join(docs.alias("b"), col("b.doc_id") === col("a.doc_id") + 150)
+      .select((col("a.doc_id") + 200000L).as("doc_id"),
+        concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+    val nEmb = emb.count()
+    assert(nEmb > 0)
+    docs.filter(col("doc_id") >= 100).unionByName(emb)
+      .write.parquet(s"$work/corpus2")
+    run("decontaminate", "--source", s"$work/corpus2",
+      "--benchmark", s"$work/bench", "--dest", s"$work/clean2",
+      "--mode", "containment", "--threshold", "0.99",
+      "--report", s"$work/report2")
+    assert(spark.read.parquet(s"$work/clean2")
+      .filter(col("doc_id") >= 200000L).count() == 0,
+      "every embedded-example host is dropped by containment")
+    assert(spark.read.parquet(s"$work/report2")
+      .filter(col("doc_id") >= 200000L)
+      .filter(col("doc_id") - 200000L === col("bench_id") &&
+        col("containment") === 1.0).count() == nEmb,
+      "each host attributes its embedded example at containment 1.0")
+  }
+
   test("decontaminate --mode span drops docs by covered-char fraction") {
     val work = tmpDir("cli-decon-span")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
