@@ -75,4 +75,44 @@ object EmbeddingStats {
         min(col("__cos")).cast("double").as("cos_min"),
         max(col("__cos")).cast("double").as("cos_max"))
   }
+
+  /** Per-label OUTLIERS — the k members FARTHEST from their own label
+    * centroid (lowest cosine), the shortlist a labeling-QA pass reviews
+    * first. Shares [[labelCohesion]]'s determinism contract exactly: the
+    * same decimal-exact centroids, the same e2-shaped cosine fixed at
+    * DECIMAL(18,6), and a total rank order (cos asc, id asc) so equal-
+    * cosine members can't flap across engines. Zero-norm members are
+    * excluded here too — they're a SEPARATE defect class (failed encodes)
+    * already counted by cohesion's n_zero_norm, and ranking them "most
+    * anomalous" would bury the genuinely mislabeled members this
+    * shortlist exists to surface.
+    *
+    * Scale shape: centroid table broadcast (labels × dim), one narrow
+    * scoring pass, then a per-label top-k — rank over a label-partitioned
+    * window whose partitions are label-sized; with heavy per-label skew
+    * you'd swap in the bounded-heap top-k (Similarity's pattern), but the
+    * output is ≤ labels × k either way.
+    *
+    * @return (labelCol, idCol, cos, rk) — rk 1..k, rank 1 = farthest */
+  def labelOutliers(df: DataFrame, labelCol: String, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    require(k > 0, s"labelOutliers: k must be positive, got $k")
+    val cents = labelCentroids(df, labelCol, vecCol)
+      .groupBy(col(labelCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("centroid")))),
+        e => e.getField("centroid")).as("__cvec"))
+    val zero = Similarity.dot(col(vecCol), col(vecCol)) === 0.0
+    val scored = df.join(broadcast(cents), Seq(labelCol))
+      .filter(!zero)
+      .select(col(labelCol), col(idCol),
+        round(Similarity.cosine(col(vecCol), col("__cvec")), 6)
+          .cast("decimal(18,6)").as("__cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(labelCol).orderBy(col("__cos").asc, col(idCol).asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(labelCol), col(idCol),
+        col("__cos").cast("double").as("cos"), col("rk"))
+  }
 }

@@ -3130,6 +3130,34 @@ object ExtQueries {
           "label", "embedding")
     },
 
+    // E2 — per-label outlier shortlist (labeling QA's action item after
+    // e2o flags a class): the 5 members FARTHEST from their own label
+    // centroid, ranked (cos asc, vec_id asc) so equal-cosine members are
+    // deterministic. Shares e2j's centroids and e2o's fixed-decimal
+    // cosine; zero-norm members are excluded (counted by e2o, not
+    // rankable — no direction). Oracle hard-codes dim=64 like e2j/e2o.
+    "e2x_label_outliers" -> Q(
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        |c AS (SELECT label, i AS pos,
+        |             CAST(sum(CAST(x[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS cv
+        |      FROM v, range(1, 65) t(i) GROUP BY 1, 2),
+        |cent AS (SELECT label, list(cv ORDER BY pos) AS cvec FROM c GROUP BY 1),
+        |m AS (SELECT v.label, v.vec_id,
+        |             CAST(round(list_cosine_similarity(v.x, cent.cvec), 6)
+        |                  AS DECIMAL(18,6)) AS cos
+        |      FROM v JOIN cent USING (label)
+        |      WHERE list_sum(list_transform(v.x, e -> e * e)) <> 0),
+        |r AS (SELECT label, vec_id, cos,
+        |             row_number() OVER (PARTITION BY label
+        |                                ORDER BY cos ASC, vec_id ASC) AS rk
+        |      FROM m)
+        |SELECT label, vec_id, CAST(cos AS DOUBLE) AS cos, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 5""".stripMargin) {
+      (s, dir) =>
+        EmbeddingStats.labelOutliers(Tables.embeddings(s, dir),
+          "label", "vec_id", "embedding", k = 5)
+    },
+
     // [EXT] NO-SPLIT bin packing (e8's SFT variant): greedy sequential
     // fill per shard, documents never straddle packs. The Spark side is
     // the one justified mapPartitions (per-shard sequential state); DuckDB

@@ -267,6 +267,182 @@ object JoinQueries {
               unix_millis(col("o_orderdate").cast("timestamp")))
           .filter(col("wait_ms") > 5184000000L) // > 60 days
           .select("o_orderkey", "l_linenumber", "wait_ms")
+    },
+
+    // TPC-H Q11 shape — grouped value with a HAVING over a GLOBAL total
+    // (brands whose revenue exceeds 1/25 of all revenue). The global
+    // scalar is a one-row aggregate of the already-grouped frame, joined
+    // back by broadcast — the grouped frame is computed ONCE and reused
+    // for both sides (no second fact scan), and the threshold compare is
+    // decimal-exact on both engines so the boundary row can't flap.
+    // At 100 TB the fact scan happens once; everything after it is
+    // brand-cardinality sized.
+    "j11_brand_value_share" -> Q(
+      """WITH b AS (
+        |  SELECT p_brand,
+        |         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS value
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand)
+        |SELECT p_brand, CAST(value AS DOUBLE) AS value
+        |FROM b
+        |WHERE value * CAST(25 AS DECIMAL(2,0)) >
+        |      (SELECT CAST(sum(value) AS DECIMAL(32,4)) FROM b)
+        |ORDER BY value DESC, p_brand ASC""".stripMargin) {
+      (s, dir) =>
+        val b = Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(18,4)")).cast("decimal(28,4)").as("value"))
+        val tot = b.agg(sum(col("value")).cast("decimal(32,4)").as("__tot"))
+        b.join(broadcast(tot))
+          .filter(col("value") * lit(25).cast("decimal(2,0)") > col("__tot"))
+          .select(col("p_brand"), col("value").cast("double").as("value"))
+          .orderBy(col("value").desc, col("p_brand").asc)
+    },
+
+    // TPC-H Q17 shape — per-brand revenue from lineitems whose quantity
+    // sits below 20% of that part's average quantity. The correlated
+    // "avg per part" subquery becomes an aggregate-then-broadcast-join
+    // (part-cardinality rows), and the fraction test is rewritten
+    // multiplication-only (qty*5*cnt < sum_qty) so it stays decimal-exact
+    // on both engines — no double division on the predicate boundary.
+    "j12_small_qty_revenue" -> Q(
+      """WITH a AS (SELECT l_partkey AS pk,
+        |                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sq,
+        |                  count(*) AS cnt
+        |           FROM lineitem GROUP BY 1)
+        |SELECT p_brand,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS lost_revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN a ON l_partkey = pk
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * CAST(5 AS DECIMAL(1,0)) * cnt < sq
+        |GROUP BY p_brand
+        |ORDER BY p_brand ASC""".stripMargin) {
+      (s, dir) =>
+        val li = Tables.lineitem(s, dir)
+        val a = li.groupBy(col("l_partkey").as("pk"))
+          .agg(sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("decimal(28,2)").as("sq"),
+            count(lit(1)).as("cnt"))
+        li.join(broadcast(Tables.part(s, dir)),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(a), col("l_partkey") === col("pk"))
+          .filter(col("l_quantity").cast("decimal(18,2)") *
+            lit(5).cast("decimal(1,0)") * col("cnt") < col("sq"))
+          .groupBy("p_brand")
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("double").as("lost_revenue"),
+            count(lit(1)).as("n"))
+          .orderBy(col("p_brand").asc)
+    },
+
+    // TPC-H Q15 shape — supplier(s) with the maximum quarterly revenue:
+    // grouped revenue, then an equality against the global max. The max
+    // is a one-row broadcast over the grouped frame (reused, not
+    // rescanned) and the equality is decimal-exact, so multi-way ties
+    // come back deterministically on both engines.
+    "j13_top_supplier" -> Q(
+      """WITH r AS (SELECT l_suppkey,
+        |                  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS total_rev
+        |           FROM lineitem
+        |           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |             AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |           GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+        |FROM supplier JOIN r ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM r)
+        |ORDER BY s_suppkey ASC""".stripMargin) {
+      (s, dir) =>
+        val r = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= expr("timestamp'1997-01-01 00:00:00'") &&
+                  col("l_shipdate") < expr("timestamp'1997-04-01 00:00:00'"))
+          .groupBy("l_suppkey")
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(18,4)")).cast("decimal(28,4)").as("total_rev"))
+        val mx = r.agg(max(col("total_rev")).as("__mx"))
+        r.join(broadcast(mx)).filter(col("total_rev") === col("__mx"))
+          .join(broadcast(Tables.supplier(s, dir)),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("total_rev").cast("double").as("total_rev"))
+          .orderBy(col("s_suppkey").asc)
+    },
+
+    // TPC-H Q14 shape — promotional revenue share for one ship month:
+    // conditional aggregation over the part join, one row out. Both
+    // branches of the CASE stay DECIMAL(18,4) so the conditional sum is
+    // exact; the share itself is left to the consumer (double division
+    // on a one-row result is presentation, not plumbing).
+    "j14_promo_revenue" -> Q(
+      """SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+        |       count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin) {
+      (s, dir) =>
+        val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= expr("timestamp'1997-09-01 00:00:00'") &&
+                  col("l_shipdate") < expr("timestamp'1997-10-01 00:00:00'"))
+          .join(broadcast(Tables.part(s, dir)),
+            col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(0).cast("decimal(18,4)"))).cast("double")
+              .as("promo_revenue"),
+            sum(rev).cast("double").as("total_revenue"),
+            count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q8 shape — one nation's revenue share inside a region's
+    // customer base, per order year: a 5-way snowflake where every
+    // dimension (region→nation→customer) collapses into one broadcast
+    // build side against the orders⋈lineitem fact spine, then a
+    // year-cardinality conditional rollup. Per-year share is emitted as
+    // exact numerator/denominator pairs (the j14 rule: division is
+    // presentation).
+    "j15_nation_market_share" -> Q(
+      """WITH rev AS (
+        |  SELECT year(o_orderdate) AS yr, n_name,
+        |         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'AMERICA'
+        |  GROUP BY 1, 2)
+        |SELECT yr,
+        |       CAST(sum(CASE WHEN n_name = 'NATION_1' THEN rev
+        |                     ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) AS nation_rev,
+        |       CAST(sum(rev) AS DOUBLE) AS total_rev
+        |FROM rev GROUP BY yr ORDER BY yr ASC""".stripMargin) {
+      (s, dir) =>
+        val dims = Tables.customer(s, dir)
+          .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+          .join(Tables.region(s, dir).filter(col("r_name") === "AMERICA"),
+            col("n_regionkey") === col("r_regionkey"))
+        val rev = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+          .groupBy(year(col("o_orderdate")).as("yr"), col("n_name"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("decimal(28,4)").as("rev"))
+        rev.groupBy("yr")
+          .agg(
+            sum(when(col("n_name") === "NATION_1", col("rev"))
+              .otherwise(lit(0).cast("decimal(28,4)"))).cast("double")
+              .as("nation_rev"),
+            sum(col("rev")).cast("double").as("total_rev"))
+          .orderBy(col("yr").asc)
     }
   )
 }

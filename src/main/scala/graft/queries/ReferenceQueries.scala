@@ -88,6 +88,55 @@ object ReferenceQueries {
           .select("doc_id", "text", "lang", "source", "n_chars")
     },
 
+    // S10 — ORC round trip (source/sink breadth beside s8's JSONL): write
+    // the documents table to ORC, read it back, and hand the oracle the
+    // identity projection — any column the writer or reader mangles
+    // hash-mismatches. ORC is the second columnar interchange format a
+    // Spark shop meets (Hive-era warehouses); the write is keyed by the
+    // fixture stamp so regenerated testdata can't serve a stale copy.
+    "s10_orc_roundtrip" -> Q(
+      """SELECT doc_id, text, lang, source, n_chars FROM documents""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.documents(s, dir)
+        val stamp = Tables.fixtureStamp(dir, "documents")
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-orc-" +
+          Integer.toHexString(s"$dir@$stamp".hashCode)
+        if (!new java.io.File(out, "_SUCCESS").exists()) {
+          docs.write.mode("overwrite").orc(out)
+        }
+        s.read.schema(docs.schema).orc(out)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+    },
+
+    // S11 — CSV round trip over events. Text-format hazards are handled
+    // explicitly: RFC4180 quote-doubling (escape = quote) so the JSON in
+    // `props` survives its own quotes; ts carried as epoch-µs (a Long —
+    // CSV timestamp formats are lossy below millis); doubles round-trip
+    // via Java's shortest-representation toString. multiLine on the read
+    // arm keeps the reader correct even if a future fixture ships
+    // embedded newlines (at 100 TB you'd pre-split such files — CSV is
+    // the INTERCHANGE lane here, parquet stays the performance lane).
+    "s11_csv_roundtrip" -> Q(
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+        |FROM events""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        val flat = ev.select(col("event_id"), Tables.tsUs(ev).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        val stamp = Tables.fixtureStamp(dir, "events")
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-csv-" +
+          Integer.toHexString(s"$dir@$stamp".hashCode)
+        if (!new java.io.File(out, "_SUCCESS").exists()) {
+          flat.write.mode("overwrite")
+            .option("header", "true").option("escape", "\"")
+            .csv(out)
+        }
+        s.read.schema(flat.schema)
+          .option("header", "true").option("escape", "\"")
+          .option("multiLine", "true")
+          .csv(out)
+    },
+
     // S9 — DELETE reconciliation (sync/Reconcile): the repair pass for
     // the delete blind spot every watermark sync shares with the
     // reference (a deleted row touches no `updated` value, so the
@@ -233,6 +282,39 @@ object ReferenceQueries {
           .groupBy("user_id")
           .agg(decSum("value").as("balance"),
                max(Tables.tsUs(e)).as("updated_us"))
+    },
+
+    // A7 — batch IVM (sync/AggMaintenance): the rollup maintained across
+    // THREE contiguous watermark slices must equal the one-shot groupBy the
+    // oracle runs — the slice decomposition is invisible in the result or
+    // the maintenance is wrong. Slice cuts derive from the fixture's own
+    // µs range (thirds), the table dir is fixtureStamp-keyed, and re-runs
+    // ride the replay no-op (hi ≤ stored watermark) — the gate re-reads the
+    // same committed rollup, which is itself the idempotence contract.
+    "a7_agg_maintenance" -> Q(
+      """SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |       CAST(min(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS min_value,
+        |       CAST(max(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS max_value
+        |FROM events GROUP BY event_type""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        val us = Tables.tsUs(ev)
+        val b = ev.agg(min(us).as("lo"), max(us).as("hi")).collect().head
+        val lo = b.getLong(0); val hi = b.getLong(1) + 1
+        val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * ((hi - lo) / 3)
+        val stamp = Tables.fixtureStamp(dir, "events")
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-aggivm-" +
+          Integer.toHexString(s"$dir@$stamp".hashCode)
+        Seq((lo, cut1), (cut1, cut2), (cut2, hi)).foreach { case (l, h) =>
+          graft.sync.AggMaintenance.applySlice(
+            s, out, ev, "ts", Seq("event_type"), "value", l, h)
+        }
+        graft.sync.AggMaintenance.read(s, out)
+          .select(col("event_type"), col("cnt"),
+            col("sum_val").cast("double").as("sum_value"),
+            col("min_val").cast("double").as("min_value"),
+            col("max_val").cast("double").as("max_value"))
     },
 
     // W1 — partitioned ROW_NUMBER, the load-bearing S4-dedup form

@@ -424,6 +424,86 @@ object WindowQueries {
           count(lit(1)).over(win).as("n_window"),
           when(n > 0, round(med, 6)).otherwise(lit(null).cast("double"))
             .as("med"))
+    },
+
+    // SCD2 interval build — the slowly-changing-dimension form a sync
+    // engine materializes from a change stream: per user, collapse
+    // consecutive equal event_type values into islands and emit one
+    // validity interval per island (valid_from = first change instant,
+    // valid_to = next island's start, NULL while current). Classic
+    // gaps-and-islands: a lag-change marker, a running sum for the island
+    // id (these two share ONE (user_id → ts,event_id) shuffle+sort), one
+    // grouped min/max that shrinks the frame to island-cardinality, then
+    // lead for the closing edge over the already-small grouped frame.
+    // Total order inside a user is (µs, event_id); ties can't flap the
+    // island assignment.
+    "w16_scd2_intervals" -> Q(
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |           FROM events),
+        |m AS (SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |                     THEN 1 ELSE 0 END AS chg
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |i AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS island
+        |      FROM m),
+        |g AS (SELECT user_id, island, min(event_type) AS event_type,
+        |             min(us) AS valid_from_us, count(*) AS n_events
+        |      FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(island AS BIGINT) AS island, event_type,
+        |       valid_from_us,
+        |       lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY island) AS valid_to_us,
+        |       n_events
+        |FROM g""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+        val e = ev.select(col("user_id"), col("event_type"),
+          Tables.tsUs(ev).as("us"), col("event_id"))
+        val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        // null-safe inequality: the first row per user (lag = NULL) and a
+        // NULL event_type both count as changes, exactly like the
+        // oracle's IS DISTINCT FROM
+        val m = e.withColumn("chg",
+          when(!(lag(col("event_type"), 1).over(w) <=> col("event_type")), 1L)
+            .otherwise(0L))
+        val i = m.withColumn("island",
+          sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        val g = i.groupBy("user_id", "island")
+          .agg(min(col("event_type")).as("event_type"),
+            min(col("us")).as("valid_from_us"),
+            count(lit(1)).as("n_events"))
+        val wi = Window.partitionBy("user_id").orderBy(col("island"))
+        g.select(col("user_id"), col("island").cast("long").as("island"),
+          col("event_type"), col("valid_from_us"),
+          lead(col("valid_from_us"), 1).over(wi).as("valid_to_us"),
+          col("n_events"))
+    },
+
+    // Cohort retention matrix — the growth-analytics staple: users
+    // cohorted by first-active day, counted at each day-age they return.
+    // Three group-cardinality stages after one dedup shuffle: distinct
+    // (user, day) → per-user min day (cohort) → count per (cohort, age).
+    // The cohort table joins back on user_id, the same key the dedup
+    // already hashed on — co-located, no extra fact shuffle; each (user,
+    // day) is distinct so the per-cell count needs no count_distinct (the
+    // e6i lesson: count_distinct plans a second shuffle stage).
+    "w17_retention_cohorts" -> Q(
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |                   epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
+        |SELECT c.cohort_day, ud.day - c.cohort_day AS age_days,
+        |       count(*) AS n_users
+        |FROM ud JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        val ud = ev.select(col("user_id"), Tables.tsUs(ev).as("us"))
+          .withColumn("day", expr("us div 86400000000")).drop("us")
+          .distinct()
+        val c = ud.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+        ud.join(c, Seq("user_id"))
+          .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age_days"))
+          .agg(count(lit(1)).as("n_users"))
     }
   )
 }

@@ -1,0 +1,217 @@
+package graft.sync
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Watermark
+
+/** Incremental maintenance of a materialized GROUPED AGGREGATE (batch IVM)
+  * — the complement to [[ParquetMergeSink]]'s row-level merge: where the
+  * merge sink keeps a row-for-row mirror of the source, this keeps only a
+  * (group → cnt/sum/min/max) rollup, updated one watermark slice at a time
+  * without ever rescanning history. At 100 TB the difference is the whole
+  * point: a nightly "balance per account" table costs one slice scan plus
+  * a group-cardinality shuffle, not a full-corpus re-aggregation. The
+  * streaming twin is `streaming/IncrementalBalance` (A5/T6); this is the
+  * batch lane for stores that arrive as watermark extracts (the reference's
+  * own data model, session.py:58).
+  *
+  * Only DISTRIBUTIVE aggregates are maintained (cnt, sum, min, max — each
+  * merges by re-aggregating partials). The combine is a UNION + one grouped
+  * re-aggregation, NEVER a join: union-then-groupBy is null-safe on group
+  * keys for free (NULL groups flow through like any other value, no
+  * null-safe-equality join pitfall — the Reconcile lesson) and plans as one
+  * shuffle keyed on the group columns whose input is group-cardinality ×2,
+  * not slice-sized. Sums accumulate in exact DECIMAL so slice order and
+  * partial/final splits can never move a bit (the engine-wide a4 rule).
+  *
+  * Exactly-once protocol: the applied-watermark sidecar `_GRAFT_AGG_WM`
+  * (epoch-µs canonical long — core.Watermark) lives INSIDE the table
+  * directory and is staged together with the data, so the atomic swap
+  * commits rollup and watermark as one unit — there is no window where a
+  * crash leaves new data with an old watermark (double-count on replay) or
+  * vice versa (silent skip). Slices must be applied contiguously: a replay
+  * (`hi` ≤ stored) is a reported no-op, a gap (`lo` ≠ stored) is a typed
+  * refusal — silently skipping [stored, lo) would undercount forever.
+  * Hadoop parquet readers ignore `_`-prefixed files, so the sidecar rides
+  * invisibly beside the data files.
+  */
+object AggMaintenance {
+
+  /** @param groupsWritten groups materialized by THIS apply (full rollup
+    *                      size for a data-bearing slice — the rewrite is
+    *                      whole-directory — 0 for no-op replays and
+    *                      empty-slice watermark advances; the MergeResult
+    *                      convention: never derived by re-scanning).
+    * @param sliceRows     rows the slice contributed.
+    * @param applied       false only for the replay no-op.
+    * @param watermarkUs   the stored watermark after this call. */
+  final case class AggResult(groupsWritten: Long, sliceRows: Long,
+                             applied: Boolean, watermarkUs: Long)
+
+  private val WmFile = "_GRAFT_AGG_WM"
+  /** Rollup schema as Catalyst JSON — an empty rollup writes NO parquet
+    * part files (Spark skips empty partitions), so the schema must ride a
+    * sidecar for [[read]] to serve the schema-correct empty frame. */
+  private val SchemaFile = "_GRAFT_AGG_SCHEMA"
+  /** Exact accumulation type for the maintained sum (the a4 DECIMAL rule;
+    * 28 integral digits absorbs ~1e24 of 4-dp mass before overflow). */
+  private val SumType = "decimal(28,4)"
+  private val ValType = "decimal(18,4)"
+
+  /** The applied watermark (canonical µs), None before the first apply. */
+  def watermark(spark: SparkSession, targetDir: String): Option[Long] = {
+    val fs = new Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readWm(fs, new Path(targetDir, WmFile))
+  }
+
+  /** Apply the half-open slice [lo, hi) of `source` (canonical-µs bounds
+    * over `orderCol`) to the rollup at `targetDir`, maintaining per-group
+    * (cnt, sum_val, min_val, max_val) over `valueCol`.
+    *
+    * Cold start (no data at targetDir) creates the rollup from this slice;
+    * `lo` is the caller's T2-style starting cut. Replays no-op; gaps refuse
+    * typed (`GraftError.InvalidConfig`). An EMPTY slice still advances the
+    * watermark (single sidecar rewrite, data untouched) — an idle poll must
+    * not wedge the contiguity chain. */
+  def applySlice(spark: SparkSession, targetDir: String, source: DataFrame,
+                 orderCol: String, groupCols: Seq[String], valueCol: String,
+                 lo: Long, hi: Long): AggResult = {
+    require(groupCols.nonEmpty, "applySlice requires at least one group column")
+    require(hi >= lo, s"applySlice: hi ($hi) must be >= lo ($lo)")
+    val wmType = source.schema(orderCol).dataType
+    require(Watermark.supported(wmType),
+      s"order column '$orderCol' must be integral-numeric or timestamp-typed; " +
+        s"got ${wmType.simpleString}")
+
+    val fs = new Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ParquetMergeSink.recoverInterruptedSwap(fs, targetDir)
+    val dst = new Path(targetDir)
+    val exists = ParquetMergeSink.hasData(fs, dst)
+    val stored = readWm(fs, new Path(dst, WmFile))
+    require(exists == stored.isDefined || !exists,
+      s"rollup at $targetDir has data but no $WmFile sidecar — not an " +
+        "AggMaintenance table (refusing to merge into an unknown layout)")
+
+    stored match {
+      case Some(wm) if hi <= wm => // replay — already folded in
+        return AggResult(0L, 0L, applied = false, watermarkUs = wm)
+      case Some(wm) =>
+        if (lo != wm) throw graft.core.GraftError.InvalidConfig(
+          s"non-contiguous slice: stored watermark is $wm but slice starts " +
+            s"at $lo — applying it would silently lose [$wm, $lo)")
+      case None => // cold start: lo is the caller's opening cut
+    }
+
+    val slice = source.filter(
+      col(orderCol) >= Watermark.litFor(wmType, lo) &&
+      col(orderCol) < Watermark.litFor(wmType, hi))
+    val partial = slice.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(valueCol).cast(ValType)).cast(SumType).as("sum_val"),
+        min(col(valueCol).cast(ValType)).as("min_val"),
+        max(col(valueCol).cast(ValType)).as("max_val"))
+      .persist()
+    try {
+      if (partial.isEmpty) {
+        // idle poll with a moving cut: advance the watermark, leave the
+        // data files untouched (a one-file overwrite; replay-safe — a
+        // crash mid-write just re-runs the same advance). Cold start on an
+        // empty opening slice first materializes an empty rollup so the
+        // table is readable (schema-bearing) from its first poll on.
+        if (!exists && !fs.exists(new Path(dst, SchemaFile))) {
+          // an empty write leaves no part files — the schema sidecar is
+          // what makes the cold empty rollup readable (the dir itself may
+          // pre-exist, e.g. a fresh mkdtemp)
+          val empty = emptyRollup(spark, source, groupCols)
+          empty.write.mode("overwrite").parquet(targetDir)
+          writeText(fs, new Path(dst, SchemaFile), empty.schema.json)
+        }
+        writeWm(fs, new Path(dst, WmFile), hi)
+        return AggResult(0L, 0L, applied = true, watermarkUs = hi)
+      }
+
+      val merged =
+        if (!exists) partial // includes the empty-rollup cold-start successor
+        else {
+          val existing = spark.read.parquet(targetDir)
+            .select((groupCols.map(col) ++ Seq(col("cnt"),
+              col("sum_val").cast(SumType), col("min_val").cast(ValType),
+              col("max_val").cast(ValType))): _*)
+          existing.unionByName(partial)
+            .groupBy(groupCols.map(col): _*)
+            .agg(sum(col("cnt")).cast("long").as("cnt"),
+              sum(col("sum_val")).cast(SumType).as("sum_val"),
+              min(col("min_val")).as("min_val"),
+              max(col("max_val")).as("max_val"))
+        }
+
+      val tmp = targetDir.stripSuffix("/") + ".__agg_tmp"
+      val tmpPath = new Path(tmp)
+      if (fs.exists(tmpPath)) fs.delete(tmpPath, true) // stale crash debris
+      merged.write.mode("overwrite").parquet(tmp)
+      val groups = spark.read.parquet(tmp).count()
+      writeText(fs, new Path(tmpPath, SchemaFile), merged.schema.json)
+      writeWm(fs, new Path(tmpPath, WmFile), hi) // watermark rides the swap
+      // swap whenever the destination DIRECTORY exists (it may hold only
+      // the sidecar of an empty cold start — still must be displaced
+      // atomically); plain rename only onto a truly absent path
+      if (fs.exists(dst)) ParquetMergeSink.atomicSwap(fs, targetDir, tmp)
+      else if (!fs.rename(tmpPath, dst))
+        throw new java.io.IOException(s"rename $tmp -> $targetDir failed")
+      val rows = slice.count()
+      AggResult(groups, rows, applied = true, watermarkUs = hi)
+    } finally { partial.unpersist(); () }
+  }
+
+  /** Read the full rollup (groupCols..., cnt, sum_val, min_val, max_val).
+    * An empty rollup (no part files yet) is served schema-correct from the
+    * schema sidecar. */
+  def read(spark: SparkSession, targetDir: String): DataFrame = {
+    val fs = new Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (ParquetMergeSink.hasData(fs, new Path(targetDir)))
+      spark.read.parquet(targetDir)
+    else {
+      val sj = readText(fs, new Path(targetDir, SchemaFile)).getOrElse(
+        throw graft.core.GraftError.InvalidConfig(
+          s"no rollup at $targetDir (no data files and no $SchemaFile)"))
+      val schema = org.apache.spark.sql.types.DataType.fromJson(sj)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+  }
+
+  private def emptyRollup(spark: SparkSession, source: DataFrame,
+                          groupCols: Seq[String]): DataFrame =
+    source.select(groupCols.map(col): _*).limit(0)
+      .withColumn("cnt", lit(0L))
+      .withColumn("sum_val", lit(null).cast(SumType))
+      .withColumn("min_val", lit(null).cast(ValType))
+      .withColumn("max_val", lit(null).cast(ValType))
+
+  private def readWm(fs: FileSystem, p: Path): Option[Long] =
+    readText(fs, p).flatMap(_.trim.toLongOption)
+
+  private def writeWm(fs: FileSystem, p: Path, wm: Long): Unit =
+    writeText(fs, p, wm.toString)
+
+  private def readText(fs: FileSystem, p: Path): Option[String] = {
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  private def writeText(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}

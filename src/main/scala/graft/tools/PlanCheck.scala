@@ -75,6 +75,24 @@ object PlanCheck {
     "e6m_contamination_pairs" -> Seq("BroadcastHashJoin", "HashAggregate"),
     "e6m2_contamination_containment" ->
       Seq("BroadcastHashJoin", "HashAggregate"),
+    // Q17 shape: the per-part avg-quantity table and part dims broadcast
+    // onto the fact scan — one lineitem shuffle total
+    "j12_small_qty_revenue" -> Seq("BroadcastHashJoin", "HashAggregate"),
+    // Q14 shape: part broadcast, ship-month filter pushed to the scan
+    "j14_promo_revenue" -> Seq("BroadcastHashJoin",
+                               "PushedFilters: \\[.*GreaterThanOrEqual\\(l_shipdate"),
+    // per-label outlier shortlist: centroids broadcast, label-partitioned
+    // rank (never a global window)
+    "e2x_label_outliers" -> Seq("BroadcastHashJoin", "Window"),
+    // SCD2 islands: lag + running-sum share one (user_id) shuffle; the
+    // closing-edge lead runs over the island-cardinality grouped frame
+    "w16_scd2_intervals" -> Seq("Window"),
+    // Q8 shape: the whole region→nation→customer snowflake collapses into
+    // ONE broadcast build side against the orders⋈lineitem spine
+    "j15_nation_market_share" -> Seq("BroadcastHashJoin"),
+    // retention: cohort join re-uses the user_id hash the dedup made;
+    // per-cell count is a plain count (never count_distinct's 2nd shuffle)
+    "w17_retention_cohorts" -> Seq("HashAggregate"),
     "a1_max_watermark"  -> Seq("HashAggregate"))
 
   /** Patterns that must NOT appear — the plan shapes each encoding exists
@@ -107,7 +125,11 @@ object PlanCheck {
     // aggregate broadcasts onto the per-node update each iteration (the
     // e7i one-row-totals pattern; the alternative is a driver collect
     // inside the iteration loop)
-    "e9d2_pagerank_dangling")
+    "e9d2_pagerank_dangling",
+    // Q11/Q15 shapes: the one-row global total / global max of the
+    // already-grouped frame broadcast back onto it (brand- or
+    // supplier-cardinality probe side — the e4p scalar fan-out)
+    "j11_brand_value_share", "j13_top_supplier")
 
   /** Sweep every registered query for the silent scale killers: cartesian
     * products and unintended broadcast nested-loop joins. */

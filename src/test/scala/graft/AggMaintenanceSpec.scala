@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sync.AggMaintenance
+
+/** sync/AggMaintenance — batch IVM for grouped distributive aggregates:
+  * slice-by-slice equivalence to the full re-aggregation, the exactly-once
+  * contracts (replay no-op, gap refusal, empty-slice advance), NULL group
+  * keys, and crash-debris recovery. */
+class AggMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(r: (Long, String, Double)*) =
+    r.toSeq.toDF("us", "grp", "v")
+
+  private def snapshot(dir: String): Map[String, (Long, Double, Double, Double)] =
+    AggMaintenance.read(spark, dir)
+      .collect().map(r => Option(r.getString(0)).getOrElse("<null>") ->
+        ((r.getLong(1), r.getDecimal(2).doubleValue,
+          r.getDecimal(3).doubleValue, r.getDecimal(4).doubleValue))).toMap
+
+  test("three slices fold to exactly the full groupBy; watermark tracks hi") {
+    val src = rows(
+      (10L, "a", 1.5), (20L, "b", 2.0), (30L, "a", -1.0),
+      (40L, "b", 4.25), (50L, "a", 0.25), (60L, "c", 9.0))
+    val dir = tmpDir("agg-ivm")
+    assert(AggMaintenance.watermark(spark, dir).isEmpty)
+    val r1 = AggMaintenance.applySlice(spark, dir, src, "us", Seq("grp"), "v", 0L, 25L)
+    assert(r1.applied && r1.sliceRows == 2 && r1.watermarkUs == 25L)
+    val r2 = AggMaintenance.applySlice(spark, dir, src, "us", Seq("grp"), "v", 25L, 45L)
+    val r3 = AggMaintenance.applySlice(spark, dir, src, "us", Seq("grp"), "v", 45L, 100L)
+    assert(r2.sliceRows == 2 && r3.sliceRows == 2)
+    assert(AggMaintenance.watermark(spark, dir).contains(100L))
+    assert(snapshot(dir) == Map(
+      "a" -> ((3L, 0.75, -1.0, 1.5)),
+      "b" -> ((2L, 6.25, 2.0, 4.25)),
+      "c" -> ((1L, 9.0, 9.0, 9.0))))
+  }
+
+  test("replay is a no-op; a gap refuses typed; empty slice advances") {
+    val src = rows((10L, "a", 1.0), (90L, "a", 2.0))
+    val dir = tmpDir("agg-ivm")
+    AggMaintenance.applySlice(spark, dir, src, "us", Seq("grp"), "v", 0L, 20L)
+    val before = snapshot(dir)
+    // replay of the same slice: reported not-applied, rollup untouched
+    val rp = AggMaintenance.applySlice(spark, dir, src, "us", Seq("grp"), "v", 0L, 20L)
+    assert(!rp.applied && rp.groupsWritten == 0 && rp.watermarkUs == 20L)
+    assert(snapshot(dir) == before)
+    // a gap (lo=30 over stored 20) must refuse — [20,30) would vanish
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySlice(spark, dir, src, "us", Seq("grp"), "v", 30L, 40L))
+    // an EMPTY contiguous slice advances the watermark, data untouched
+    val em = AggMaintenance.applySlice(spark, dir, src, "us", Seq("grp"), "v", 20L, 80L)
+    assert(em.applied && em.sliceRows == 0 && em.groupsWritten == 0)
+    assert(AggMaintenance.watermark(spark, dir).contains(80L))
+    assert(snapshot(dir) == before)
+    // and the chain continues from the advanced cut
+    AggMaintenance.applySlice(spark, dir, src, "us", Seq("grp"), "v", 80L, 95L)
+    assert(snapshot(dir)("a") == ((2L, 3.0, 1.0, 2.0)))
+  }
+
+  test("NULL group keys are a real group (union+groupBy, never a join)") {
+    val src = Seq((10L, Option("a"), 1.0), (20L, Option.empty[String], 2.0),
+      (30L, Option.empty[String], 3.0)).toDF("us", "grp", "v")
+    val dir = tmpDir("agg-ivm")
+    AggMaintenance.applySlice(spark, dir, src, "us", Seq("grp"), "v", 0L, 25L)
+    AggMaintenance.applySlice(spark, dir, src, "us", Seq("grp"), "v", 25L, 50L)
+    assert(snapshot(dir)("<null>") == ((2L, 5.0, 2.0, 3.0)))
+  }
+
+  test("stale staging debris from a crashed apply is cleared, not merged") {
+    val src = rows((10L, "a", 1.0), (30L, "a", 2.0))
+    val dir = tmpDir("agg-ivm")
+    AggMaintenance.applySlice(spark, dir, src, "us", Seq("grp"), "v", 0L, 20L)
+    // simulate a crash that left a staging dir behind
+    val tmp = new java.io.File(dir + ".__agg_tmp")
+    assert(tmp.mkdirs())
+    java.nio.file.Files.writeString(tmp.toPath.resolve("junk"), "debris")
+    val r = AggMaintenance.applySlice(spark, dir, src, "us", Seq("grp"), "v", 20L, 40L)
+    assert(r.applied && snapshot(dir)("a") == ((2L, 3.0, 1.0, 2.0)))
+  }
+
+  test("cold start on an empty opening slice creates an empty rollup") {
+    val src = rows((100L, "a", 1.0))
+    val dir = tmpDir("agg-ivm")
+    val r = AggMaintenance.applySlice(spark, dir, src, "us", Seq("grp"), "v", 0L, 50L)
+    assert(r.applied && r.sliceRows == 0)
+    assert(AggMaintenance.watermark(spark, dir).contains(50L))
+    assert(AggMaintenance.read(spark, dir).count() == 0)
+    AggMaintenance.applySlice(spark, dir, src, "us", Seq("grp"), "v", 50L, 200L)
+    assert(snapshot(dir)("a") == ((1L, 1.0, 1.0, 1.0)))
+  }
+
+  test("timestamp order column: bounds are canonical µs, filter on native type") {
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+    val us = graft.core.Tables.tsUs(ev)
+    val b = ev.agg(min(us).as("lo"), max(us).as("hi")).collect().head
+    val lo = b.getLong(0); val hi = b.getLong(1) + 1
+    val mid = lo + (hi - lo) / 2
+    val dir = tmpDir("agg-ivm-ts")
+    AggMaintenance.applySlice(spark, dir, ev, "ts", Seq("event_type"), "value", lo, mid)
+    AggMaintenance.applySlice(spark, dir, ev, "ts", Seq("event_type"), "value", mid, hi)
+    val got = AggMaintenance.read(spark, dir)
+      .select(col("event_type"), col("cnt"), col("sum_val").cast("double"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val want = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == want)
+  }
+}

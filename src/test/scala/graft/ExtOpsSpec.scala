@@ -1050,6 +1050,30 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(2) == ((2L, 1L, 1.0, 1.0, 1.0)))
   }
 
+  test("label outliers: rank 1 is farthest, ties break on id, zero-norm excluded") {
+    val rows = Seq(
+      (10L, 0, Seq(1.0f, 0.0f)), (11L, 0, Seq(1.0f, 0.0f)), // identical: tie on cos 1
+      (20L, 1, Seq(1.0f, 0.0f)), (21L, 1, Seq(0.0f, 1.0f)), // symmetric: tie on .707107
+      (30L, 2, Seq(1.0f, 0.0f)), (31L, 2, Seq(0.0f, 0.0f))) // 31 is zero-norm
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val k1 = graft.ext.EmbeddingStats.labelOutliers(
+        df, "label", "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // equal cosines rank by id asc — deterministic shortlist
+    assert(k1(0) == ((10L, 1.0)))
+    assert(k1(1) == ((20L, 0.707107)))
+    // the zero-norm member is NOT "most anomalous" — it's excluded
+    // (cohesion's n_zero_norm ledgers it); label 2's shortlist is its
+    // one real member
+    assert(k1(2) == ((30L, 1.0)))
+    val all = graft.ext.EmbeddingStats.labelOutliers(
+      df, "label", "vec_id", "embedding", k = 10).collect()
+    assert(all.length == 5 && !all.map(_.getLong(1)).contains(31L))
+    assertThrows[IllegalArgumentException] {
+      graft.ext.EmbeddingStats.labelOutliers(df, "label", "vec_id", "embedding", 0)
+    }
+  }
+
   test("zipf slope is null, not NaN, for a single-entry vocabulary") {
     val out = graft.ext.TextAnalysis.zipfSlope(
         Seq((1L, "a a a"), (2L, "a")).toDF("doc_id", "text"), "text")
