@@ -70,6 +70,9 @@ import graft.sync.{SyncConfig, SyncEndpoint, SyncPipeline, SyncReport}
   *     [--min-span 24] [--min-docs 2] [--min-tokens N] [--max-tokens N] \
   *     [--max-contamination 0.0] [--shards 16] [--capacity 2048] \
   *     [--id-col doc_id] [--text-col text]
+  *   runMain graft.cli.Main agg --source <parquet|jdbc:...#t> \
+  *     --dest <rollup dir> --by GROUPCOL[,G2] --watermark W \
+  *     [--value-col value] [--cut N]
   */
 object Main {
 
@@ -97,7 +100,8 @@ object Main {
                           applyChanges: Boolean = false,
                           merges: Int = 6,
                           shards: Int = 16,
-                          capacity: Long = 2048L)
+                          capacity: Long = 2048L,
+                          valueCol: String = "value")
 
   private val boolFlags = Set("progress", "apply")
 
@@ -106,8 +110,8 @@ object Main {
         "neardup", "semantic-dedup", "quality", "admit",
         "decontaminate", "spans", "layout", "mix",
         "dedup-lines", "dedup-spans", "diff", "reconcile",
-        "bpe-train", "tokenize", "pipeline").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span|jaccard|containment] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--jaccard 0.8] [--threshold 0.99 for containment] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft reconcile --source (PATH|jdbc:...#table) --dest PATH --key K[,K2] [--report PATH] [--apply] | graft bpe-train --source PATH --dest PATH --merges N [--id-col doc_id] [--text-col text] | graft tokenize --source PATH --base MERGES_PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text] | graft pipeline --source PATH --benchmark PATH --dest WORKDIR --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--min-span 24] [--min-docs 2] [--min-tokens N] [--max-tokens N] [--max-contamination 0.0] [--shards 16] [--capacity 2048] [--id-col doc_id] [--text-col text]")
+        "bpe-train", "tokenize", "pipeline", "agg").contains(argv(0)))
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span|jaccard|containment] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--jaccard 0.8] [--threshold 0.99 for containment] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft reconcile --source (PATH|jdbc:...#table) --dest PATH --key K[,K2] [--report PATH] [--apply] | graft bpe-train --source PATH --dest PATH --merges N [--id-col doc_id] [--text-col text] | graft tokenize --source PATH --base MERGES_PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text] | graft pipeline --source PATH --benchmark PATH --dest WORKDIR --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--min-span 24] [--min-docs 2] [--min-tokens N] [--max-tokens N] [--max-contamination 0.0] [--shards 16] [--capacity 2048] [--id-col doc_id] [--text-col text] | graft agg --source (PATH|jdbc:...#table) --dest PATH --by GROUPCOL[,G2] --watermark W [--value-col value] [--cut N]")
     val opts = scala.collection.mutable.Map.empty[String, String]
     var i = 1
     while (i < argv.length) {
@@ -142,7 +146,8 @@ object Main {
       req("dest"),
       opts.get("key").map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
         .getOrElse(Nil),
-      if (syncCmd) req("watermark") else opts.getOrElse("watermark", ""),
+      if (syncCmd || argv(0) == "agg") req("watermark")
+      else opts.getOrElse("watermark", ""),
       opts.get("cut").map(num("cut", _)),
       num("delay", opts.getOrElse("delay", "5"), min = 0) * 1000,
       // max bound before toInt: a Long above Int.MaxValue would silently
@@ -221,7 +226,7 @@ object Main {
               opts.get("mode").contains("span"))) "16" else "3"),
           min = 1, max = 64).toInt,
         by = if (argv(0) == "layout" || argv(0) == "mix" ||
-                 argv(0) == "pipeline") req("by")
+                 argv(0) == "pipeline" || argv(0) == "agg") req("by")
              else opts.getOrElse("by", ""),
         buckets = num("buckets", opts.getOrElse("buckets", "16"),
           min = 1, max = 1000000).toInt,
@@ -243,6 +248,7 @@ object Main {
           min = 1, max = 1000000).toInt,
         capacity = num("capacity", opts.getOrElse("capacity", "2048"),
           min = 1),
+        valueCol = opts.getOrElse("value-col", "value"),
         alpha = opts.get("alpha").map { v =>
           val d = v.toDoubleOption.getOrElse(throw GraftError.InvalidConfig(
             s"--alpha expects a number in [0,1], got '$v'"))
@@ -289,6 +295,7 @@ object Main {
           case "bpe-train"      => runBpeTrain(spark, a)
           case "pipeline"       => runPipeline(spark, a)
           case "tokenize"       => runTokenize(spark, a)
+          case "agg"            => runAgg(spark, a)
           case _                => runSync(spark, a)
         }
         0
@@ -467,6 +474,57 @@ object Main {
         s"(dest rows absent upstream; rerun with --apply to drop them)" +
         a.report.map(p => s", report -> $p").getOrElse(""))
     }
+  }
+
+  /** Batch IVM (sync/AggMaintenance) as a CLI verb: fold the source's
+    * newest watermark slice into the grouped rollup at --dest. The slice
+    * is [stored watermark, --cut) — or [source min, source max] bounds on
+    * a cold start / absent --cut — so a cron-style re-invocation is the
+    * whole maintenance loop: each run folds exactly the rows that arrived
+    * since the last, a re-run of an already-folded cut is a reported
+    * no-op, and the rollup always equals the one-shot groupBy (the a7
+    * oracle contract). Source may be parquet or JDBC; the slice predicate
+    * pushes down either way. */
+  private[cli] def runAgg(spark: org.apache.spark.sql.SparkSession,
+                          a: Args): Unit = {
+    import org.apache.spark.sql.functions.{col, min, max}
+    val groupCols = a.by.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    if (groupCols.isEmpty)
+      throw GraftError.InvalidConfig("agg requires --by GROUPCOL[,G2]")
+    val srcEp = SyncEndpoint.parse(a.source, a.sourceUser, a.sourcePassword)
+    val source = srcEp match {
+      case SyncEndpoint.ParquetDir(dir) => spark.read.parquet(dir)
+      case SyncEndpoint.JdbcTable(url, table, props) =>
+        spark.read.jdbc(url, table, props)
+    }
+    val stored = graft.sync.AggMaintenance.watermark(spark, a.dest)
+    // one bounds pass over the (pushdown-pruned) order column; absent on
+    // an empty source
+    val b = source.agg(min(col(a.watermark)).as("lo"),
+      max(col(a.watermark)).as("hi")).first()
+    val srcLo = graft.core.Watermark.toMicros(b.get(0))
+    val srcHi = graft.core.Watermark.toMicros(b.get(1))
+    val lo = stored.orElse(srcLo).getOrElse {
+      println(s"agg ${a.source} -> ${a.dest}: source empty and no rollup " +
+        "yet; nothing to do"); return
+    }
+    // --cut is the caller's T2-style snapshot cut; the default folds
+    // through the source's current max (half-open, hence +1)
+    val hi = a.cut.getOrElse(srcHi.map(_ + 1L).getOrElse(lo))
+    if (hi <= lo) {
+      println(s"agg ${a.source} -> ${a.dest}: up to date " +
+        s"(watermark $lo, cut $hi)")
+      return
+    }
+    val r = graft.sync.AggMaintenance.applySlice(
+      spark, a.dest, source, a.watermark, groupCols, a.valueCol, lo, hi)
+    if (!r.applied)
+      println(s"agg ${a.source} -> ${a.dest}: replay no-op " +
+        s"(stored watermark ${r.watermarkUs} >= cut $hi)")
+    else
+      println(s"agg ${a.source} -> ${a.dest}: folded [$lo, $hi) " +
+        s"sliceRows=${r.sliceRows} groups=${r.groupsWritten} " +
+        s"watermark=${r.watermarkUs}")
   }
 
   /** BPE tokenizer TRAINING (ext/TextAnalysis.bpeTrain) as a CLI verb:

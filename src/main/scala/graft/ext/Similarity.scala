@@ -51,6 +51,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Matryoshka-style coarse-to-fine top-k: score every vector on only the
+    * first `prefixDim` components (MRL-trained embeddings front-load
+    * information, so the prefix is a cheap proxy), keep the best `kPrime`
+    * by prefix cosine, then exact-rerank that shortlist on the FULL vector.
+    * Per-row work in the scan drops from O(d) to O(prefixDim); the full-d
+    * cosine runs on kPrime rows only. Both stages are distributed top-ks
+    * (TakeOrderedAndProject — k rows cross the wire, never the corpus) and
+    * both orders carry the 6-dp-rounded DECIMAL score + id tie-break, so
+    * the shortlist boundary is deterministic across engines and retries.
+    * Exactness contract: recall vs brute force depends on how front-loaded
+    * the embedding actually is (kPrime is the knob); the OPERATOR is
+    * deterministic regardless — the e2y gate pins the two-stage semantics
+    * itself, not a recall bound. */
+  def prefixRerankTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                       query: Seq[Float], k: Int, kPrime: Int,
+                       prefixDim: Int): DataFrame = {
+    require(prefixDim > 0 && prefixDim <= query.length,
+      s"prefixDim must be in [1, ${query.length}], got $prefixDim")
+    require(kPrime >= k, s"kPrime ($kPrime) must be >= k ($k)")
+    val qPre = array(query.take(prefixDim).map(v => lit(v.toDouble)): _*)
+    val qFull = array(query.map(v => lit(v.toDouble)): _*)
+    val pre = embeddings.select(col(idCol), col(vecCol),
+        round(cosine(slice(col(vecCol), 1, prefixDim), qPre), 6)
+          .cast("decimal(18,6)").as("pcos"))
+      .orderBy(col("pcos").desc, col(idCol).asc)
+      .limit(kPrime)
+    pre.select(col(idCol),
+        round(cosine(col(vecCol), qFull), 6).cast("double").as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Brute-force top-k via the codegen'd native expression
     * (graft.functions.CosineSimilarity) — one fused loop per row instead of
     * the three-pass zip_with/aggregate composition; identical results. */

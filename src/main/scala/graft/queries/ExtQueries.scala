@@ -3158,6 +3158,34 @@ object ExtQueries {
           "label", "vec_id", "embedding", k = 5)
     },
 
+    // E2 — Matryoshka-style coarse-to-fine retrieval: prefix-16 cosine
+    // shortlist (O(prefixDim) per row instead of O(d)) → exact full-dim
+    // rerank of the 50 survivors. The gate pins the TWO-STAGE semantics
+    // itself (DuckDB re-runs both stages with list slicing), not a recall
+    // bound — recall vs brute force is a property of how front-loaded the
+    // embedding is, the operator's determinism isn't. Both stage orders
+    // carry 6-dp DECIMAL scores + id tie-breaks so the shortlist boundary
+    // can't flap across engines.
+    "e2y_matryoshka_rerank" -> Q(
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        |q AS (SELECT x AS qx FROM v WHERE vec_id = 0),
+        |pre AS (SELECT vec_id, x,
+        |               CAST(round(list_cosine_similarity(x[1:16],
+        |                    (SELECT qx[1:16] FROM q)), 6) AS DECIMAL(18,6)) AS pcos
+        |        FROM v),
+        |short AS (SELECT vec_id, x FROM pre
+        |          ORDER BY pcos DESC, vec_id ASC LIMIT 50)
+        |SELECT vec_id,
+        |       round(list_cosine_similarity(x, (SELECT qx FROM q)), 6) AS cos
+        |FROM short ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin) {
+      (s, dir) =>
+        val emb = Tables.embeddings(s, dir)
+        val query = emb.filter(col("vec_id") === 0)
+          .select("embedding").first().getSeq[Float](0)
+        Similarity.prefixRerankTopK(emb, "vec_id", "embedding", query,
+          k = 10, kPrime = 50, prefixDim = 16)
+    },
+
     // [EXT] NO-SPLIT bin packing (e8's SFT variant): greedy sequential
     // fill per shard, documents never straddle packs. The Spark side is
     // the one justified mapPartitions (per-shard sequential state); DuckDB

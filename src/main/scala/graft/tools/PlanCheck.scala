@@ -84,6 +84,9 @@ object PlanCheck {
     // per-label outlier shortlist: centroids broadcast, label-partitioned
     // rank (never a global window)
     "e2x_label_outliers" -> Seq("BroadcastHashJoin", "Window"),
+    // matryoshka rerank: BOTH stages are distributed top-ks — k rows
+    // cross the wire, never the corpus
+    "e2y_matryoshka_rerank" -> Seq("TakeOrderedAndProject"),
     // SCD2 islands: lag + running-sum share one (user_id) shuffle; the
     // closing-edge lead runs over the island-cardinality grouped frame
     "w16_scd2_intervals" -> Seq("Window"),

@@ -37,7 +37,9 @@ import graft.sync.{SyncConfig, SyncJob}
   * removal), `e6l` (containment pairs, exact-to-×10 + sampled + capped),
   * `pagerank` (ring+chord plus the dangling-mass digraph), `e5d`,
   * `e5dcap`, `funnel`, `layout`, `zorder`, `sync` — which includes the
-  * streaming replay built on its output dir) runs a subset; fixture
+  * streaming replay built on its output dir — `aggivm` (batch IVM: 10
+  * contiguous slice applies, per-slice flat-cost curve + one-shot
+  * equality)) runs a subset; fixture
   * replication is skipped for inputs no selected group reads. Unset =
   * everything, unchanged.
   */
@@ -626,6 +628,59 @@ object ScaleStress {
           s"got $got want $want")
       }
       } // wants("sync")
+
+      if (wants("aggivm")) {
+      // batch IVM (sync/AggMaintenance) at scale: fold the replicated
+      // corpus in 10 contiguous watermark slices and measure EACH apply.
+      // The 100 TB claim is that slice i's cost is slice-scan + rollup
+      // rewrite (group cardinality), NOT accumulated history — so the
+      // per-slice curve must stay flat as i grows while the rollup holds
+      // every previous slice's mass. Grouping by user_id makes the rollup
+      // itself scale with rep (150×rep groups), so the rewrite term is
+      // exercised too, not just the scan.
+      {
+        val evDir = s"$work/aggivm_events_x$rep"
+        val ev = Tables.events(spark, sfDir)
+        ev.crossJoin(spark.range(rep).select(col("id").as("__rep")))
+          .select((col("event_id") + col("__rep") * 1000000000L).as("event_id"),
+            Tables.tsUs(ev).as("ts"),
+            (col("user_id") + col("__rep") * 1000000L).as("user_id"),
+            col("event_type"), col("value"))
+          .write.mode(SaveMode.Overwrite).parquet(evDir)
+        val src = spark.read.parquet(evDir)
+        val bounds = src.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+          .first()
+        val lo = bounds.getLong(0); val hi = bounds.getLong(1) + 1
+        val nSlices = 10
+        val step = (hi - lo + nSlices - 1) / nSlices
+        val dest = s"$work/aggivm_rollup_x$rep"
+        var total = 0.0
+        (0 until nSlices).foreach { i =>
+          val l = lo + i * step; val h = math.min(hi, l + step)
+          val (r, t) = timed(graft.sync.AggMaintenance.applySlice(
+            spark, dest, src, "ts", Seq("user_id"), "value", l, h))
+          total += t
+          jline("aggivm_slice", rep, t, r.sliceRows,
+            Seq("slice" -> i.toString, "groups" -> r.groupsWritten.toString))
+        }
+        // batch-equivalence law: the 10-slice rollup must equal the
+        // one-shot groupBy row-for-row (bounded frames — group cardinality)
+        val rollup = graft.sync.AggMaintenance.read(spark, dest)
+          .select(col("user_id"), col("cnt"),
+            col("sum_val").cast("decimal(28,4)").as("sum_val"))
+        val oneShot = src.groupBy("user_id")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,4)"))
+              .cast("decimal(28,4)").as("sum_val"))
+        val diff = rollup.exceptAll(oneShot).count() +
+          oneShot.exceptAll(rollup).count()
+        jline("aggivm_total", rep, total, src.count(),
+          Seq("groups" -> oneShot.count().toString,
+            "batch_equal" -> (if (diff == 0) "1" else "0")))
+        if (diff != 0) sys.error(
+          s"aggivm rollup diverged from one-shot groupBy at x$rep: $diff rows")
+      }
+      } // wants("aggivm")
     }
     spark.stop()
   }

@@ -33,6 +33,7 @@ class CliSpec extends SparkSpec {
       case "bpe-train"      => Main.runBpeTrain(spark, a)
       case "tokenize"       => Main.runTokenize(spark, a)
       case "pipeline"       => Main.runPipeline(spark, a)
+      case "agg"            => Main.runAgg(spark, a)
       case other            => fail(s"unexpected verb $other")
     }
     a
@@ -430,6 +431,35 @@ class CliSpec extends SparkSpec {
       2L -> "removed", 3L -> "added"))
     assertThrows[GraftError.InvalidConfig](
       Main.parse(Array("diff", "--source", "s", "--dest", "d")))
+  }
+
+  test("agg folds watermark slices into a rollup that equals the one-shot groupBy") {
+    import spark.implicits._
+    val work = tmpDir("cli-agg")
+    val rollup = s"$work/rollup"
+    // first batch arrives, gets folded through its max
+    Seq((10L, "a", 1.5), (20L, "b", 2.0), (30L, "a", -1.0))
+      .toDF("us", "grp", "v").write.parquet(s"$work/src")
+    run("agg", "--source", s"$work/src", "--dest", rollup,
+      "--by", "grp", "--watermark", "us", "--value-col", "v")
+    assert(graft.sync.AggMaintenance.watermark(spark, rollup).contains(31L))
+    // re-invoking on an unchanged source is the replay/up-to-date no-op
+    run("agg", "--source", s"$work/src", "--dest", rollup,
+      "--by", "grp", "--watermark", "us", "--value-col", "v")
+    // late-arriving batch extends the source; the next run folds ONLY it
+    Seq((40L, "b", 4.25), (50L, "c", 9.0)).toDF("us", "grp", "v")
+      .write.mode("append").parquet(s"$work/src")
+    run("agg", "--source", s"$work/src", "--dest", rollup,
+      "--by", "grp", "--watermark", "us", "--value-col", "v")
+    val got = graft.sync.AggMaintenance.read(spark, rollup)
+      .select(col("grp"), col("cnt"), col("sum_val").cast("double"))
+      .as[(String, Long, Double)].collect()
+      .map { case (k, c, s0) => k -> ((c, s0)) }.toMap
+    assert(got == Map("a" -> ((2L, 0.5)), "b" -> ((2L, 6.25)), "c" -> ((1L, 9.0))))
+    // --by is required
+    assertThrows[GraftError.InvalidConfig](
+      Main.parse(Array("agg", "--source", "s", "--dest", "d",
+        "--watermark", "us")))
   }
 
   test("reconcile reports orphans, --apply drops them, requires --key") {
