@@ -317,6 +317,37 @@ object ReferenceQueries {
             col("max_val").cast("double").as("max_value"))
     },
 
+    // A8 — the bucket-PARTITIONED batch IVM (billion-group form): same
+    // three-slice ≡ one-shot contract as a7, but grouped by user_id (1.5k
+    // groups at sf0.01) over a 16-bucket `__bucket=K/` layout where one
+    // apply rewrites only touched buckets. Re-runs ride the replay no-op;
+    // the params stamp refuses foreign bucket counts.
+    "a8_agg_maintenance_partitioned" -> Q(
+      """SELECT user_id, count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |       CAST(min(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS min_value,
+        |       CAST(max(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS max_value
+        |FROM events GROUP BY user_id""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        val us = Tables.tsUs(ev)
+        val b = ev.agg(min(us).as("lo"), max(us).as("hi")).collect().head
+        val lo = b.getLong(0); val hi = b.getLong(1) + 1
+        val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * ((hi - lo) / 3)
+        val stamp = Tables.fixtureStamp(dir, "events")
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-aggivmp-" +
+          Integer.toHexString(s"$dir@$stamp".hashCode)
+        Seq((lo, cut1), (cut1, cut2), (cut2, hi)).foreach { case (l, h) =>
+          graft.sync.AggMaintenance.applySlicePartitioned(
+            s, out, ev, "ts", Seq("user_id"), "value", l, h, nBuckets = 16)
+        }
+        graft.sync.AggMaintenance.read(s, out)
+          .select(col("user_id"), col("cnt"),
+            col("sum_val").cast("double").as("sum_value"),
+            col("min_val").cast("double").as("min_value"),
+            col("max_val").cast("double").as("max_value"))
+    },
+
     // W1 — partitioned ROW_NUMBER, the load-bearing S4-dedup form
     // (SURVEY §2.5): latest row per key, last-writer-wins.
     "w1_latest_per_key" -> Q(

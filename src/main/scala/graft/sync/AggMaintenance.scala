@@ -54,6 +54,9 @@ object AggMaintenance {
     * part files (Spark skips empty partitions), so the schema must ride a
     * sidecar for [[read]] to serve the schema-correct empty frame. */
   private val SchemaFile = "_GRAFT_AGG_SCHEMA"
+  /** Layout stamp of a PARTITIONED rollup (bucket count + columns) — the
+    * params-guard convention: a foreign parameterization refuses loud. */
+  private val ParamsFile = "_GRAFT_AGG_PARAMS"
   /** Exact accumulation type for the maintained sum (the a4 DECIMAL rule;
     * 28 integral digits absorbs ~1e24 of 4-dp mass before overflow). */
   private val SumType = "decimal(28,4)"
@@ -89,6 +92,10 @@ object AggMaintenance {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     ParquetMergeSink.recoverInterruptedSwap(fs, targetDir)
     val dst = new Path(targetDir)
+    if (fs.exists(new Path(dst, ParamsFile)))
+      throw graft.core.GraftError.InvalidConfig(
+        s"rollup at $targetDir is bucket-partitioned ($ParamsFile present); " +
+          "use applySlicePartitioned")
     val exists = ParquetMergeSink.hasData(fs, dst)
     val stored = readWm(fs, new Path(dst, WmFile))
     require(exists == stored.isDefined || !exists,
@@ -166,13 +173,188 @@ object AggMaintenance {
     } finally { partial.unpersist(); () }
   }
 
+  /** Bucket-PARTITIONED slice apply — the billion-group form of
+    * [[applySlice]]. The whole-directory swap above rewrites the full
+    * rollup every slice: O(groups) per apply, fine to ~1e8 groups, wrong
+    * at per-document granularity on a 100 TB corpus. Here the rollup is
+    * laid out as `__bucket=K/` partitions (K = pmod(hash(group key), n))
+    * and one apply rewrites ONLY the buckets the slice actually touched —
+    * per-apply cost is slice-scan + (touched buckets × bucket size), and
+    * a delta that touches few groups leaves the rest of a billion-group
+    * rollup untouched on disk.
+    *
+    * Exactly-once gets harder than the whole-dir case because bucket
+    * commits can't be one atomic rename, so the protocol is two-level:
+    *   - each bucket's data + its OWN `_GRAFT_AGG_WM` sidecar commit
+    *     together by one per-bucket rename swap (staging and backup live
+    *     OUTSIDE the root — `<root>.__agg_tmp` / `<root>.__agg_bak` — so
+    *     partition discovery can never see half-swapped debris as data);
+    *   - the ROOT watermark commits only after every touched bucket did.
+    * A crash mid-loop leaves root wm = lo and a mix of bucket wms; the
+    * re-run recomputes the same slice and SKIPS buckets whose wm already
+    * reached `hi` (their data already includes this slice — re-merging
+    * would double-count) while finishing the rest. Replays after the root
+    * commit no-op exactly like the whole-dir path.
+    *
+    * The layout is stamped by a `_GRAFT_AGG_PARAMS` sidecar (bucket count,
+    * group/value/order columns). A mismatched parameterization — or
+    * pointing the partitioned apply at a whole-dir rollup or vice versa —
+    * refuses loud instead of silently mixing hash spaces (the engine-wide
+    * params-guard convention from the ANN index family).
+    *
+    * Sizing: the whole-dir [[applySlice]] is the right tool to ~1e8 groups
+    * (one rewrite job, no per-bucket constants); beyond that, partition
+    * with roughly √(groups) buckets so a single bucket's rewrite stays
+    * executor-memory-sized while a small delta still prunes most of them. */
+  def applySlicePartitioned(spark: SparkSession, targetDir: String,
+                            source: DataFrame, orderCol: String,
+                            groupCols: Seq[String], valueCol: String,
+                            lo: Long, hi: Long, nBuckets: Int): AggResult = {
+    require(groupCols.nonEmpty,
+      "applySlicePartitioned requires at least one group column")
+    require(hi >= lo, s"applySlicePartitioned: hi ($hi) must be >= lo ($lo)")
+    require(nBuckets >= 1 && nBuckets <= 65536,
+      s"nBuckets must be in [1, 65536], got $nBuckets")
+    val wmType = source.schema(orderCol).dataType
+    require(Watermark.supported(wmType),
+      s"order column '$orderCol' must be integral-numeric or timestamp-typed; " +
+        s"got ${wmType.simpleString}")
+
+    val fs = new Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(targetDir)
+    healBuckets(fs, targetDir)
+    val params = paramsString(nBuckets, groupCols, valueCol, orderCol)
+    val storedParams = readText(fs, new Path(dst, ParamsFile))
+    val stored = readWm(fs, new Path(dst, WmFile))
+    storedParams match {
+      case Some(p) if p != params =>
+        throw graft.core.GraftError.InvalidConfig(
+          s"rollup at $targetDir was built with different parameters " +
+            s"($p); refusing to apply $params — hash spaces would mix")
+      case None if stored.isDefined =>
+        throw graft.core.GraftError.InvalidConfig(
+          s"rollup at $targetDir is a whole-directory rollup (no " +
+            s"$ParamsFile); use applySlice, or rebuild partitioned")
+      case None if ParquetMergeSink.hasData(fs, dst) =>
+        throw graft.core.GraftError.InvalidConfig(
+          s"$targetDir holds data but no $ParamsFile/$WmFile — not an " +
+            "AggMaintenance table (refusing to merge into an unknown layout)")
+      case _ =>
+    }
+
+    stored match {
+      case Some(wm) if hi <= wm =>
+        return AggResult(0L, 0L, applied = false, watermarkUs = wm)
+      case Some(wm) =>
+        if (lo != wm) throw graft.core.GraftError.InvalidConfig(
+          s"non-contiguous slice: stored watermark is $wm but slice starts " +
+            s"at $lo — applying it would silently lose [$wm, $lo)")
+      case None =>
+    }
+
+    val slice = source.filter(
+      col(orderCol) >= Watermark.litFor(wmType, lo) &&
+      col(orderCol) < Watermark.litFor(wmType, hi))
+    val bucketOf = pmod(hash(groupCols.map(col): _*), lit(nBuckets))
+    val partial = slice.groupBy((groupCols.map(col) :+
+        bucketOf.as("__bucket")): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(valueCol).cast(ValType)).cast(SumType).as("sum_val"),
+        min(col(valueCol).cast(ValType)).as("min_val"),
+        max(col(valueCol).cast(ValType)).as("max_val"))
+      .persist()
+    try {
+      if (stored.isEmpty) { // cold start: stamp the layout before any data
+        fs.mkdirs(dst)
+        writeText(fs, new Path(dst, ParamsFile), params)
+        writeText(fs, new Path(dst, SchemaFile),
+          partial.drop("__bucket").schema.json)
+      }
+      if (partial.isEmpty) {
+        writeWm(fs, new Path(dst, WmFile), hi)
+        return AggResult(0L, 0L, applied = true, watermarkUs = hi)
+      }
+
+      // touched buckets, minus any whose own watermark already reached hi
+      // (a crashed previous attempt committed them — re-merging the same
+      // partial would double-count)
+      val touched = partial.select("__bucket").distinct()
+        .collect().map(_.getInt(0)).sorted
+      val pending = touched.filterNot { b =>
+        readWm(fs, new Path(dst, s"__bucket=$b/$WmFile")).exists(_ >= hi)
+      }
+      val sliceRows = slice.count()
+      if (pending.isEmpty) { // every bucket committed before the crash
+        writeWm(fs, new Path(dst, WmFile), hi)
+        return AggResult(0L, sliceRows, applied = true, watermarkUs = hi)
+      }
+
+      // ONE job merges every pending bucket into the staging root,
+      // partitioned by __bucket; the commit loop below is renames only
+      val tmpRoot = targetDir.stripSuffix("/") + ".__agg_tmp"
+      val tmpPath = new Path(tmpRoot)
+      if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+      val pendingSet = pending.toSet
+      val pendingPartial = partial.filter(
+        col("__bucket").isin(pendingSet.toSeq: _*))
+      val existing = pending.filter(b =>
+          ParquetMergeSink.hasData(fs, new Path(dst, s"__bucket=$b")))
+        .map { b =>
+          spark.read.parquet(s"$targetDir/__bucket=$b")
+            .select((groupCols.map(col) ++ Seq(lit(b).as("__bucket"),
+              col("cnt"), col("sum_val").cast(SumType),
+              col("min_val").cast(ValType),
+              col("max_val").cast(ValType))): _*)
+        }
+        .reduceOption(_ unionByName _)
+      val merged = existing match {
+        case None => pendingPartial
+        case Some(ex) =>
+          ex.unionByName(pendingPartial
+              .select((groupCols.map(col) ++ Seq(col("__bucket"), col("cnt"),
+                col("sum_val"), col("min_val"), col("max_val"))): _*))
+            .groupBy((groupCols.map(col) :+ col("__bucket")): _*)
+            .agg(sum(col("cnt")).cast("long").as("cnt"),
+              sum(col("sum_val")).cast(SumType).as("sum_val"),
+              min(col("min_val")).as("min_val"),
+              max(col("max_val")).as("max_val"))
+      }
+      merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmpRoot)
+      val groups = spark.read.parquet(tmpRoot).count()
+
+      // commit loop: per-bucket (data + bucket wm) swap, root wm LAST
+      pending.foreach { b =>
+        val staged = new Path(tmpRoot, s"__bucket=$b")
+        if (!fs.exists(staged)) fs.mkdirs(staged) // all-NULL-group slice edge
+        writeWm(fs, new Path(staged, WmFile), hi)
+        swapBucket(fs, targetDir, s"__bucket=$b", staged)
+      }
+      fs.delete(tmpPath, true)
+      writeWm(fs, new Path(dst, WmFile), hi)
+      AggResult(groups, sliceRows, applied = true, watermarkUs = hi)
+    } finally { partial.unpersist(); () }
+  }
+
   /** Read the full rollup (groupCols..., cnt, sum_val, min_val, max_val).
     * An empty rollup (no part files yet) is served schema-correct from the
-    * schema sidecar. */
+    * schema sidecar. Partitioned rollups are healed (interrupted bucket
+    * swaps restored) and served without the internal `__bucket` column. */
   def read(spark: SparkSession, targetDir: String): DataFrame = {
     val fs = new Path(targetDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (ParquetMergeSink.hasData(fs, new Path(targetDir)))
+    val root = new Path(targetDir)
+    val partitioned = fs.exists(new Path(root, ParamsFile))
+    // partition dirs carry "=" so Spark's hidden-path filter keeps them
+    // (`__bucket=3` is data; `_GRAFT_AGG_WM` is not) — but hasData's plain
+    // underscore test would miss them, hence the explicit branch
+    val hasBuckets = partitioned && {
+      healBuckets(fs, targetDir) // restore any interrupted bucket swap first
+      fs.exists(root) && fs.listStatus(root).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("__bucket="))
+    }
+    if (hasBuckets) spark.read.parquet(targetDir).drop("__bucket")
+    else if (!partitioned && ParquetMergeSink.hasData(fs, root))
       spark.read.parquet(targetDir)
     else {
       val sj = readText(fs, new Path(targetDir, SchemaFile)).getOrElse(
@@ -183,6 +365,54 @@ object AggMaintenance {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
+  }
+
+  private def paramsString(nBuckets: Int, groupCols: Seq[String],
+                           valueCol: String, orderCol: String): String =
+    s"v1 buckets=$nBuckets group=${groupCols.mkString("+")} " +
+      s"value=$valueCol order=$orderCol"
+
+  private def bakRoot(targetDir: String): String =
+    targetDir.stripSuffix("/") + ".__agg_bak"
+
+  /** Swap `targetDir/bucketName` for `staged` through a backup OUTSIDE the
+    * rollup root, so partition discovery can never parse swap debris as a
+    * partition value. A crash between the two renames is healed by
+    * [[healBuckets]] on the next apply or read. */
+  private def swapBucket(fs: FileSystem, targetDir: String,
+                         bucketName: String, staged: Path): Unit = {
+    val dst = new Path(targetDir, bucketName)
+    val bak = new Path(bakRoot(targetDir), bucketName)
+    fs.mkdirs(bak.getParent)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(dst) && !fs.rename(dst, bak))
+      throw new java.io.IOException(s"bucket swap: rename $dst -> $bak failed")
+    if (!fs.rename(staged, dst)) {
+      if (fs.exists(bak)) fs.rename(bak, dst) // restore; best effort
+      throw new java.io.IOException(
+        s"bucket swap: rename $staged -> $dst failed (backup restored)")
+    }
+    fs.delete(bak, true)
+    ()
+  }
+
+  /** Restore interrupted bucket swaps: a backup whose bucket dir is gone
+    * IS the previous committed state (the crash hit between the two
+    * renames) — put it back; one whose bucket dir exists lost after the
+    * forward rename — drop it. */
+  private def healBuckets(fs: FileSystem, targetDir: String): Unit = {
+    val bk = new Path(bakRoot(targetDir))
+    if (!fs.exists(bk)) return
+    fs.listStatus(bk).foreach { st =>
+      val dst = new Path(targetDir, st.getPath.getName)
+      if (!fs.exists(dst)) {
+        if (!fs.rename(st.getPath, dst))
+          throw new java.io.IOException(
+            s"bucket recovery: rename ${st.getPath} -> $dst failed")
+      } else { fs.delete(st.getPath, true); () }
+    }
+    fs.delete(bk, true)
+    ()
   }
 
   private def emptyRollup(spark: SparkSession, source: DataFrame,

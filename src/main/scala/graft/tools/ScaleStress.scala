@@ -679,6 +679,45 @@ object ScaleStress {
             "batch_equal" -> (if (diff == 0) "1" else "0")))
         if (diff != 0) sys.error(
           s"aggivm rollup diverged from one-shot groupBy at x$rep: $diff rows")
+
+        // the PARTITIONED form's pruning claim: a small delta (5 users)
+        // rewrites only the buckets those users hash into, while the
+        // whole-dir form rewrites all `groups` rows every time. Build the
+        // 64-bucket rollup in one opening slice, then time the same delta
+        // against both layouts.
+        val pdest = s"$work/aggivm_prollup_x$rep"
+        val (_, tBuild) = timed(graft.sync.AggMaintenance
+          .applySlicePartitioned(spark, pdest, src, "ts", Seq("user_id"),
+            "value", lo, hi, nBuckets = 64))
+        jline("aggivm_part_build", rep, tBuild, src.count())
+        val span = hi - lo
+        val deltaUsers = (0 until 5).map(_ * 30L + 1L)
+        val delta = src.filter(col("user_id").isin(deltaUsers: _*))
+          .withColumn("ts", col("ts") + lit(span))
+        val (rF, tFlatDelta) = timed(graft.sync.AggMaintenance.applySlice(
+          spark, dest, delta, "ts", Seq("user_id"), "value", hi, hi + span))
+        jline("aggivm_delta_flat", rep, tFlatDelta, rF.sliceRows,
+          Seq("groups_rewritten" -> rF.groupsWritten.toString))
+        val (rP, tPartDelta) = timed(graft.sync.AggMaintenance
+          .applySlicePartitioned(spark, pdest, delta, "ts", Seq("user_id"),
+            "value", hi, hi + span, nBuckets = 64))
+        jline("aggivm_delta_partitioned", rep, tPartDelta, rP.sliceRows,
+          Seq("groups_rewritten" -> rP.groupsWritten.toString))
+        // and the partitioned rollup still equals the one-shot groupBy
+        // over base + delta
+        val pRoll = graft.sync.AggMaintenance.read(spark, pdest)
+          .select(col("user_id"), col("cnt"),
+            col("sum_val").cast("decimal(28,4)").as("sum_val"))
+        val pWant = src.unionByName(delta).groupBy("user_id")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,4)"))
+              .cast("decimal(28,4)").as("sum_val"))
+        val pDiff = pRoll.exceptAll(pWant).count() +
+          pWant.exceptAll(pRoll).count()
+        jline("aggivm_part_equal", rep, 0.0, pRoll.count(),
+          Seq("batch_equal" -> (if (pDiff == 0) "1" else "0")))
+        if (pDiff != 0) sys.error(
+          s"partitioned aggivm diverged from one-shot at x$rep: $pDiff rows")
       }
       } // wants("aggivm")
     }

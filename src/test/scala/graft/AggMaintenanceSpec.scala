@@ -92,6 +92,106 @@ class AggMaintenanceSpec extends SparkSpec {
     assert(snapshot(dir)("a") == ((1L, 1.0, 1.0, 1.0)))
   }
 
+  // pmod(hash(grp), 8) as the ENGINE computes it — the tests that reason
+  // about which bucket moved pick collision-free group names with it
+  private def bucketOf(g: String): Int =
+    spark.range(1).select(
+      pmod(hash(lit(g)), lit(8))).first().getInt(0)
+
+  test("partitioned: slices fold to the full groupBy; untouched buckets keep their files") {
+    // three groups in three DISTINCT buckets (names chosen at runtime so a
+    // murmur3 collision can't silently weaken the untouched-bucket claim)
+    val gA = "a"
+    val gB = ('b' to 'z').map(_.toString)
+      .find(g => bucketOf(g) != bucketOf(gA)).get
+    val gC = ('b' to 'z').map(_.toString)
+      .find(g => bucketOf(g) != bucketOf(gA) && bucketOf(g) != bucketOf(gB)).get
+    val src = rows(
+      (10L, gA, 1.5), (20L, gB, 2.0), (30L, gA, -1.0),
+      (40L, gB, 4.25), (50L, gA, 0.25), (60L, gC, 9.0))
+    val dir = tmpDir("agg-part")
+    def apply(l: Long, h: Long) = AggMaintenance.applySlicePartitioned(
+      spark, dir, src, "us", Seq("grp"), "v", l, h, nBuckets = 8)
+    apply(0L, 25L); apply(25L, 45L); apply(45L, 100L)
+    assert(AggMaintenance.watermark(spark, dir).contains(100L))
+    assert(snapshot(dir) == Map(
+      gA -> ((3L, 0.75, -1.0, 1.5)),
+      gB -> ((2L, 6.25, 2.0, 4.25)),
+      gC -> ((1L, 9.0, 9.0, 9.0))))
+    // a delta touching ONLY gC must leave gA/gB's bucket files alone
+    val before = bucketFiles(dir)
+    val cOnly = rows((110L, gC, 1.0))
+    AggMaintenance.applySlicePartitioned(
+      spark, dir, cOnly, "us", Seq("grp"), "v", 100L, 120L, nBuckets = 8)
+    val after = bucketFiles(dir)
+    assert(after(s"__bucket=${bucketOf(gC)}") != before(s"__bucket=${bucketOf(gC)}"))
+    Seq(gA, gB).foreach { g =>
+      assert(after(s"__bucket=${bucketOf(g)}") == before(s"__bucket=${bucketOf(g)}"),
+        s"bucket of $g was rewritten by a slice that never touched it")
+    }
+    assert(snapshot(dir)(gC) == ((2L, 10.0, 1.0, 9.0)))
+    assert(snapshot(dir)(gA) == ((3L, 0.75, -1.0, 1.5)))
+  }
+
+  test("partitioned: replay no-ops, params mismatch and layout mixing refuse") {
+    val src = rows((10L, "a", 1.0), (90L, "b", 2.0))
+    val dir = tmpDir("agg-part")
+    AggMaintenance.applySlicePartitioned(
+      spark, dir, src, "us", Seq("grp"), "v", 0L, 50L, nBuckets = 8)
+    val rp = AggMaintenance.applySlicePartitioned(
+      spark, dir, src, "us", Seq("grp"), "v", 0L, 50L, nBuckets = 8)
+    assert(!rp.applied && rp.watermarkUs == 50L)
+    // a different bucket count is a different hash space — refuse
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySlicePartitioned(
+        spark, dir, src, "us", Seq("grp"), "v", 50L, 95L, nBuckets = 16))
+    // the whole-dir API must not merge into a partitioned layout
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySlice(spark, dir, src, "us", Seq("grp"), "v", 50L, 95L))
+    // and the partitioned API must not merge into a whole-dir rollup
+    val flat = tmpDir("agg-flat")
+    AggMaintenance.applySlice(spark, flat, src, "us", Seq("grp"), "v", 0L, 50L)
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySlicePartitioned(
+        spark, flat, src, "us", Seq("grp"), "v", 50L, 95L, nBuckets = 8))
+  }
+
+  test("partitioned: a bucket already committed by a crashed attempt is not re-merged") {
+    // distinct-bucket group names, computed like the engine computes them
+    val gA = "a"
+    val gB = ('b' to 'z').map(_.toString)
+      .find(g => bucketOf(g) != bucketOf(gA)).get
+    val src = rows((10L, gA, 1.0), (20L, gB, 2.0), (60L, gA, 3.0), (70L, gB, 4.0))
+    val dir = tmpDir("agg-part")
+    AggMaintenance.applySlicePartitioned(
+      spark, dir, src, "us", Seq("grp"), "v", 0L, 50L, nBuckets = 8)
+    // simulate the crash window of slice [50,100): gA's bucket committed
+    // (data + bucket watermark) but the process died before the ROOT
+    // watermark moved. Build that state through the real API — fold gA's
+    // rows of the slice — then rewind only the root watermark.
+    AggMaintenance.applySlicePartitioned(
+      spark, dir, src.filter(col("grp") === gA),
+      "us", Seq("grp"), "v", 50L, 100L, nBuckets = 8)
+    // rewind outside the Hadoop fs → drop its checksum sidecar too
+    java.nio.file.Files.deleteIfExists(
+      new java.io.File(dir, "._GRAFT_AGG_WM.crc").toPath)
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "_GRAFT_AGG_WM").toPath, "50")
+    // the re-run of the FULL slice must skip gA's bucket (its watermark
+    // already reads 100 — re-merging would double-count) and fold only gB
+    AggMaintenance.applySlicePartitioned(
+      spark, dir, src, "us", Seq("grp"), "v", 50L, 100L, nBuckets = 8)
+    assert(snapshot(dir) == Map(
+      gA -> ((2L, 4.0, 1.0, 3.0)),
+      gB -> ((2L, 6.0, 2.0, 4.0))))
+    assert(AggMaintenance.watermark(spark, dir).contains(100L))
+  }
+
+  private def bucketFiles(dir: String): Map[String, Set[String]] =
+    new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith("__bucket="))
+      .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+
   test("timestamp order column: bounds are canonical µs, filter on native type") {
     val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
     val us = graft.core.Tables.tsUs(ev)

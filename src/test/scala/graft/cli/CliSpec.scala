@@ -460,6 +460,16 @@ class CliSpec extends SparkSpec {
     assertThrows[GraftError.InvalidConfig](
       Main.parse(Array("agg", "--source", "s", "--dest", "d",
         "--watermark", "us")))
+    // --partitioned drives the bucket layout end-to-end
+    val prollup = s"$work/prollup"
+    run("agg", "--source", s"$work/src", "--dest", prollup,
+      "--by", "grp", "--watermark", "us", "--value-col", "v",
+      "--partitioned", "--buckets", "8")
+    val pgot = graft.sync.AggMaintenance.read(spark, prollup)
+      .select(col("grp"), col("cnt")).as[(String, Long)].collect().toMap
+    assert(pgot == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+    assert(new java.io.File(prollup).listFiles()
+      .exists(_.getName.startsWith("__bucket=")))
   }
 
   test("reconcile reports orphans, --apply drops them, requires --key") {
