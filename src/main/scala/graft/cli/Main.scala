@@ -229,8 +229,11 @@ object Main {
         by = if (argv(0) == "layout" || argv(0) == "mix" ||
                  argv(0) == "pipeline" || argv(0) == "agg") req("by")
              else opts.getOrElse("by", ""),
-        buckets = num("buckets", opts.getOrElse("buckets", "16"),
-          min = 1, max = 1000000).toInt,
+        // agg's partitioned rollup caps buckets where the engine does
+        // (65536) and defaults to the documented 64; layout keeps 16
+        buckets = num("buckets", opts.getOrElse("buckets",
+            if (argv(0) == "agg") "64" else "16"),
+          min = 1, max = if (argv(0) == "agg") 65536 else 1000000).toInt,
         quotaTokens = opts.get("quota-tokens").map(num("quota-tokens", _, min = 1)),
         targetTokens = opts.get("target-tokens").map(num("target-tokens", _, min = 1)),
         minDocs = num("min-docs", opts.getOrElse("min-docs", "2"),

@@ -497,8 +497,13 @@ object WindowQueries {
         |GROUP BY 1, 2""".stripMargin) {
       (s, dir) =>
         val ev = Tables.events(s, dir)
+        // FLOOR division to match the oracle's `//` — Spark's `div`
+        // truncates toward zero, which diverges on pre-1970 µs; pmod
+        // makes the subtraction land on an exact multiple for any sign
         val ud = ev.select(col("user_id"), Tables.tsUs(ev).as("us"))
-          .withColumn("day", expr("us div 86400000000")).drop("us")
+          .withColumn("day",
+            expr("(us - pmod(us, 86400000000)) div 86400000000"))
+          .drop("us")
           .distinct()
         val c = ud.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
         ud.join(c, Seq("user_id"))

@@ -62,10 +62,13 @@ object AggMaintenance {
   private val SumType = "decimal(28,4)"
   private val ValType = "decimal(18,4)"
 
-  /** The applied watermark (canonical µs), None before the first apply. */
+  /** The applied watermark (canonical µs), None before the first apply.
+    * Heals a whole-dir swap crash first so the answer reflects the
+    * committed state, not the mid-rename window. */
   def watermark(spark: SparkSession, targetDir: String): Option[Long] = {
     val fs = new Path(targetDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healWholeDir(fs, targetDir)
     readWm(fs, new Path(targetDir, WmFile))
   }
 
@@ -90,7 +93,7 @@ object AggMaintenance {
 
     val fs = new Path(targetDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    ParquetMergeSink.recoverInterruptedSwap(fs, targetDir)
+    healWholeDir(fs, targetDir)
     val dst = new Path(targetDir)
     if (fs.exists(new Path(dst, ParamsFile)))
       throw graft.core.GraftError.InvalidConfig(
@@ -98,9 +101,10 @@ object AggMaintenance {
           "use applySlicePartitioned")
     val exists = ParquetMergeSink.hasData(fs, dst)
     val stored = readWm(fs, new Path(dst, WmFile))
-    require(exists == stored.isDefined || !exists,
-      s"rollup at $targetDir has data but no $WmFile sidecar — not an " +
-        "AggMaintenance table (refusing to merge into an unknown layout)")
+    if (exists && stored.isEmpty)
+      throw graft.core.GraftError.InvalidConfig(
+        s"rollup at $targetDir has data but no $WmFile sidecar — not an " +
+          "AggMaintenance table (refusing to merge into an unknown layout)")
 
     stored match {
       case Some(wm) if hi <= wm => // replay — already folded in
@@ -162,13 +166,10 @@ object AggMaintenance {
       val groups = spark.read.parquet(tmp).count()
       writeText(fs, new Path(tmpPath, SchemaFile), merged.schema.json)
       writeWm(fs, new Path(tmpPath, WmFile), hi) // watermark rides the swap
-      // swap whenever the destination DIRECTORY exists (it may hold only
-      // the sidecar of an empty cold start — still must be displaced
-      // atomically); plain rename only onto a truly absent path
-      if (fs.exists(dst)) ParquetMergeSink.atomicSwap(fs, targetDir, tmp)
-      else if (!fs.rename(tmpPath, dst))
-        throw new java.io.IOException(s"rename $tmp -> $targetDir failed")
-      val rows = slice.count()
+      // sliceRows from the already-persisted partial — never a second
+      // slice scan just to report a number
+      val rows = partial.agg(sum(col("cnt"))).first().getLong(0)
+      swapWholeDir(fs, targetDir, tmpPath)
       AggResult(groups, rows, applied = true, watermarkUs = hi)
     } finally { partial.unpersist(); () }
   }
@@ -253,6 +254,27 @@ object AggMaintenance {
       case None =>
     }
 
+    // Finish any CRASHED ATTEMPT whose cut differs from this one before
+    // touching data: a bucket watermark strictly inside (lo, hi) means an
+    // earlier apply committed that bucket through [lo, w) and died — the
+    // bucket-skip test below is only sound when every committed bucket
+    // holds EXACTLY this slice, so the apply is split at each interior
+    // watermark (re-running the crashed attempt's own cut first, where
+    // its buckets skip cleanly, then continuing). Without the split, a
+    // re-run with a larger cut would re-merge [lo, w) into those buckets —
+    // silent double-count (self-review round-11 finding #1).
+    val interior = bucketWms(fs, targetDir)
+      .filter(w => w > lo && w < hi).distinct.sorted
+    if (interior.nonEmpty) {
+      val mid = interior.head
+      val r1 = applySlicePartitioned(spark, targetDir, source, orderCol,
+        groupCols, valueCol, lo, mid, nBuckets)
+      val r2 = applySlicePartitioned(spark, targetDir, source, orderCol,
+        groupCols, valueCol, mid, hi, nBuckets)
+      return AggResult(r2.groupsWritten, r1.sliceRows + r2.sliceRows,
+        applied = true, watermarkUs = r2.watermarkUs)
+    }
+
     val slice = source.filter(
       col(orderCol) >= Watermark.litFor(wmType, lo) &&
       col(orderCol) < Watermark.litFor(wmType, hi))
@@ -284,7 +306,8 @@ object AggMaintenance {
       val pending = touched.filterNot { b =>
         readWm(fs, new Path(dst, s"__bucket=$b/$WmFile")).exists(_ >= hi)
       }
-      val sliceRows = slice.count()
+      // sliceRows from the persisted partial — never a second slice scan
+      val sliceRows = partial.agg(sum(col("cnt"))).first().getLong(0)
       if (pending.isEmpty) { // every bucket committed before the crash
         writeWm(fs, new Path(dst, WmFile), hi)
         return AggResult(0L, sliceRows, applied = true, watermarkUs = hi)
@@ -353,6 +376,7 @@ object AggMaintenance {
       fs.exists(root) && fs.listStatus(root).exists(st =>
         st.isDirectory && st.getPath.getName.startsWith("__bucket="))
     }
+    if (!partitioned) healWholeDir(fs, targetDir) // a reader after a crash
     if (hasBuckets) spark.read.parquet(targetDir).drop("__bucket")
     else if (!partitioned && ParquetMergeSink.hasData(fs, root))
       spark.read.parquet(targetDir)
@@ -375,6 +399,45 @@ object AggMaintenance {
   private def bakRoot(targetDir: String): String =
     targetDir.stripSuffix("/") + ".__agg_bak"
 
+  /** Whole-dir swap with RECOVERABLE crash semantics: every committed
+    * AggMaintenance state carries `_GRAFT_AGG_WM`, so [[healWholeDir]]
+    * can always decide which side of the two renames a crash hit — unlike
+    * a data-file test, which is blind to the sidecar-only (empty cold
+    * start) rollup and would silently reset the watermark chain. */
+  private def swapWholeDir(fs: FileSystem, targetDir: String,
+                           staged: Path): Unit = {
+    val dst = new Path(targetDir)
+    val bak = new Path(bakRoot(targetDir) + "_dir")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(dst) && !fs.rename(dst, bak))
+      throw new java.io.IOException(s"swap: rename $dst -> $bak failed")
+    if (!fs.rename(staged, dst)) {
+      if (fs.exists(bak)) fs.rename(bak, dst) // restore; best effort
+      throw new java.io.IOException(
+        s"swap: rename $staged -> $dst failed (backup restored)")
+    }
+    fs.delete(bak, true)
+    ()
+  }
+
+  /** Heal a [[swapWholeDir]] crash window: the destination lacking its
+    * watermark sidecar while a backup exists means the crash hit between
+    * the two renames — the backup IS the committed state; restore it. A
+    * destination that has its sidecar means the forward rename completed —
+    * drop the leftover backup. */
+  private def healWholeDir(fs: FileSystem, targetDir: String): Unit = {
+    val bak = new Path(bakRoot(targetDir) + "_dir")
+    if (!fs.exists(bak)) return
+    val committed = fs.exists(new Path(targetDir, WmFile))
+    if (!committed) {
+      val dst = new Path(targetDir)
+      if (fs.exists(dst)) fs.delete(dst, true)
+      if (!fs.rename(bak, dst))
+        throw new java.io.IOException(
+          s"recovery: rename $bak -> $dst failed; manual intervention needed")
+    } else { fs.delete(bak, true); () }
+  }
+
   /** Swap `targetDir/bucketName` for `staged` through a backup OUTSIDE the
     * rollup root, so partition discovery can never parse swap debris as a
     * partition value. A crash between the two renames is healed by
@@ -394,6 +457,16 @@ object AggMaintenance {
     }
     fs.delete(bak, true)
     ()
+  }
+
+  /** Every bucket's applied watermark (driver-side file reads, bounded by
+    * the bucket count). */
+  private def bucketWms(fs: FileSystem, targetDir: String): Seq[Long] = {
+    val root = new Path(targetDir)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bucket="))
+      .flatMap(st => readWm(fs, new Path(st.getPath, WmFile)))
   }
 
   /** Restore interrupted bucket swaps: a backup whose bucket dir is gone

@@ -187,6 +187,38 @@ class AggMaintenanceSpec extends SparkSpec {
     assert(AggMaintenance.watermark(spark, dir).contains(100L))
   }
 
+  test("partitioned: a crashed attempt is finished first when the re-run cut MOVED") {
+    // the round-11 self-review finding: a bucket committed at hi'=100 by a
+    // crashed attempt, then the next cron run computes hi=150 from a grown
+    // source. The naive skip test (bucket wm >= hi) would re-merge that
+    // bucket's [50,100) rows — the apply must instead split at the
+    // interior watermark and finish the crashed cut first.
+    val gA = "a"
+    val gB = ('b' to 'z').map(_.toString)
+      .find(g => bucketOf(g) != bucketOf(gA)).get
+    val base = rows((10L, gA, 1.0), (20L, gB, 2.0), (60L, gA, 3.0), (70L, gB, 4.0))
+    val dir = tmpDir("agg-part")
+    AggMaintenance.applySlicePartitioned(
+      spark, dir, base, "us", Seq("grp"), "v", 0L, 50L, nBuckets = 8)
+    // crash window of slice [50,100): gA's bucket committed, root did not
+    AggMaintenance.applySlicePartitioned(
+      spark, dir, base.filter(col("grp") === gA),
+      "us", Seq("grp"), "v", 50L, 100L, nBuckets = 8)
+    java.nio.file.Files.deleteIfExists(
+      new java.io.File(dir, "._GRAFT_AGG_WM.crc").toPath)
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "_GRAFT_AGG_WM").toPath, "50")
+    // the source grew; the re-run folds [50, 150) in one call
+    val grown = base.unionByName(rows((110L, gA, 10.0), (120L, gB, 20.0)))
+    val r = AggMaintenance.applySlicePartitioned(
+      spark, dir, grown, "us", Seq("grp"), "v", 50L, 150L, nBuckets = 8)
+    assert(r.applied && r.watermarkUs == 150L)
+    assert(snapshot(dir) == Map(
+      gA -> ((3L, 14.0, 1.0, 10.0)),   // 1.0 + 3.0 + 10.0 — no double count
+      gB -> ((3L, 26.0, 2.0, 20.0))))  // 2.0 + 4.0 + 20.0
+    assert(AggMaintenance.watermark(spark, dir).contains(150L))
+  }
+
   private def bucketFiles(dir: String): Map[String, Set[String]] =
     new java.io.File(dir).listFiles().filter(_.isDirectory)
       .filter(_.getName.startsWith("__bucket="))
