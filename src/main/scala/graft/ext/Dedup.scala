@@ -854,4 +854,151 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
+
+  // --------------------------------------------------- persisted MinHash index
+  //
+  // The build-once artifact for CONTINUOUS near-dedup admission: signature
+  // computation (shingling + k hashes over full text) is the expensive
+  // term of every minhashJoin, and re-running it over a 100 TB base for
+  // every incoming crawl batch is the scale killer. The index persists the
+  // base's signatures and band rows ONCE; a probe computes signatures only
+  // for the BATCH, broadcasts its band rows onto the streamed base band
+  // table, and exact-verifies the survivors against caller-supplied text.
+  // The text-dedup analog of the ANN family's build/append/probe split
+  // (e2s/e2v), with the same params-guard convention: k/bands/shingleN/
+  // hashing are FROZEN in `_GRAFT_MH_PARAMS` at build time and every
+  // append/probe re-derives them from the stamp — a caller cannot diverge.
+
+  final case class MinhashIndexParams(k: Int, bands: Int, shingleN: Int,
+                                      native: Boolean, maxBandSize: Int)
+
+  private val MhParamsFile = "_GRAFT_MH_PARAMS"
+
+  private def mhParamsString(p: MinhashIndexParams): String =
+    s"v1 k=${p.k} bands=${p.bands} shingleN=${p.shingleN} " +
+      s"native=${p.native} maxBandSize=${p.maxBandSize}"
+
+  private def mhReadParams(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): MinhashIndexParams = {
+    val path = new org.apache.hadoop.fs.Path(dir, MhParamsFile)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path))
+      throw graft.core.GraftError.InvalidConfig(
+        s"no committed MinHash index at $dir (missing $MhParamsFile)")
+    val in = fs.open(path)
+    val s = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
+    val kv = s.split(' ').drop(1).map(_.split('=')).map(a => a(0) -> a(1)).toMap
+    MinhashIndexParams(kv("k").toInt, kv("bands").toInt,
+      kv("shingleN").toInt, kv("native").toBoolean, kv("maxBandSize").toInt)
+  }
+
+  private def mhSigs(docs: DataFrame, idCol: String, textCol: String,
+                     p: MinhashIndexParams): DataFrame =
+    docs.select(col(idCol).as("__id"),
+      minhashSignature(col(textCol), p.k, p.shingleN, p.native).as("__sig"))
+
+  /** Build the persisted index at `dir`: `sigs/` (id, signature) and
+    * `bands/` (id, band) parquet, params stamp written LAST — its
+    * presence is the commit marker, so a crashed build reads as absent.
+    * Returns the base side's hot-band cap ledger. */
+  def buildMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
+                        dir: String, k: Int = 32, bands: Int = 8,
+                        shingleN: Int = 3, nativeShingles: Boolean = true,
+                        maxBandSize: Int = DefaultMaxBandSize): BandCapStats = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val p = MinhashIndexParams(k, bands, shingleN, nativeShingles, maxBandSize)
+    if (nativeShingles)
+      graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sigs = mhSigs(docs, idCol, textCol, p).localCheckpoint()
+    val (banded, stats) = capOversizedBands(
+      bandExplode(sigs, "__id", k, bands), "band", maxBandSize,
+      "buildMinhashIndex")
+    sigs.write.mode("overwrite").parquet(s"$dir/sigs")
+    banded.select(col("__id"), col("band.band_id").as("band_id"),
+        col("band.band_val").as("band_val"))
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    val path = new org.apache.hadoop.fs.Path(dir, MhParamsFile)
+    val fs = path.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(mhParamsString(p).getBytes(
+      java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    stats
+  }
+
+  /** Append a new batch to a committed index under its FROZEN params.
+    * The id column's type must match the index (a silent parquet schema
+    * mix would corrupt later probes — checked against the stored sigs).
+    * Caller guarantees id disjointness, as with every append-only corpus
+    * feed (replayed ids are the fingerprint family's job to drop). */
+  def minhashIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, newDocs: DataFrame, idCol: String,
+                         textCol: String): BandCapStats = {
+    val p = mhReadParams(spark, dir)
+    if (p.native) graft.functions.GraftFunctions.register(spark)
+    val storedIdType = spark.read.parquet(s"$dir/sigs").schema("__id").dataType
+    val newIdType = newDocs.schema(idCol).dataType
+    if (storedIdType != newIdType)
+      throw graft.core.GraftError.InvalidConfig(
+        s"index id type is ${storedIdType.simpleString} but the batch's " +
+          s"$idCol is ${newIdType.simpleString} — a mixed-schema append " +
+          "would corrupt later probes")
+    val sigs = mhSigs(newDocs, idCol, textCol, p).localCheckpoint()
+    val (banded, stats) = capOversizedBands(
+      bandExplode(sigs, "__id", p.k, p.bands), "band", p.maxBandSize,
+      "minhashIndexAppend")
+    sigs.write.mode("append").parquet(s"$dir/sigs")
+    banded.select(col("__id"), col("band.band_id").as("band_id"),
+        col("band.band_val").as("band_val"))
+      .write.mode("append").parquet(s"$dir/bands")
+    stats
+  }
+
+  /** Probe a batch against the index: batch signatures/bands computed
+    * under the index's frozen params, batch band rows BROADCAST onto the
+    * streamed base band table (the base never shuffles), signature-
+    * agreement prefilter, then exact Jaccard verify against caller-
+    * supplied text on both sides (the index stores no text). Returns
+    * (base_id, q_id, jaccard) with jaccard ≥ threshold.
+    *
+    * @param baseText the base corpus (idCol + textCol) for the verify
+    *                 join — column-pruned to two columns; only candidate
+    *                 ids' texts are ever shuffled. */
+  def minhashIndexProbe(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, queries: DataFrame, queryIdCol: String,
+                        textCol: String, baseText: DataFrame,
+                        baseIdCol: String, threshold: Double,
+                        estSlack: Double = 0.2): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val p = mhReadParams(spark, dir)
+    if (p.native) graft.functions.GraftFunctions.register(spark)
+    val qSigs = mhSigs(queries, queryIdCol, textCol, p)
+      .withColumnRenamed("__id", "q_id").localCheckpoint()
+    val (qBanded0, _) = capOversizedBands(
+      bandExplode(qSigs.withColumnRenamed("q_id", "__id"), "__id",
+        p.k, p.bands), "band", p.maxBandSize, "minhashIndexProbe")
+    val qBanded = qBanded0.select(col("__id").as("q_id"),
+      col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
+    val baseBands = spark.read.parquet(s"$dir/bands")
+    val cand = baseBands
+      .join(broadcast(qBanded), Seq("band_id", "band_val"))
+      .select(col("__id").as("base_id"), col("q_id")).distinct()
+    val baseSigs = spark.read.parquet(s"$dir/sigs")
+      .select(col("__id").as("base_id"), col("__sig").as("b_sig"))
+    val est = cand
+      .join(baseSigs, "base_id")
+      .join(qSigs.select(col("q_id"), col("__sig").as("q_sig")), "q_id")
+      .withColumn("est", sigAgreementEst(col("b_sig"), col("q_sig"), p.k))
+      .filter(col("est") >= threshold - estSlack)
+      .select("base_id", "q_id")
+    val bt = baseText.select(col(baseIdCol).as("base_id"),
+      shingleCol(col(textCol), p.shingleN, p.native).as("b_toks"))
+    val qt = queries.select(col(queryIdCol).as("q_id"),
+      shingleCol(col(textCol), p.shingleN, p.native).as("q_toks"))
+    est.join(bt, "base_id").join(qt, "q_id")
+      .withColumn("jaccard", jaccardExpr(col("b_toks"), col("q_toks")))
+      .filter(col("jaccard") >= threshold)
+      .select("base_id", "q_id", "jaccard")
+  }
 }

@@ -2196,6 +2196,58 @@ object ExtQueries {
         Dedup.unionWithPriority(base, fresh, "doc_id", "text")
     },
 
+    // E1 — PERSISTED MinHash index, build → append → probe in one gate
+    // (the text-dedup analog of e2s/e2v): base [0,300) is built once,
+    // [300,400) appended under the frozen params stamp, and a batch of
+    // whitespace variants of [0,50) probed at threshold 1.0 — where the
+    // LSH stage is exhaustively exact (J=1 ⟺ identical shingle sets ⟺
+    // identical signatures ⟺ collide in every band; the verify kills
+    // J<1), so the probe result equals DuckDB's cross-join of identical
+    // sorted-shingle-set keys, strict row equality. The index dir is
+    // fixtureStamp-keyed; re-runs skip build+append (params stamp =
+    // commit marker) and re-probe the same committed artifact.
+    "e1h_minhash_index_probe" -> Q(
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+        |q AS (SELECT doc_id + 200000 AS doc_id,
+        |             regexp_replace(text, ' ', '  ', 'g') AS text
+        |      FROM documents WHERE doc_id < 50),
+        |bsh AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ta FROM base),
+        |bsg AS (SELECT doc_id,
+        |          CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
+        |               ELSE list_distinct(list_transform(range(1, len(ta) - 1),
+        |                      i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2])) END AS sa
+        |        FROM bsh),
+        |bk AS (SELECT doc_id, array_to_string(list_sort(sa), chr(30)) AS sk FROM bsg),
+        |qsh AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ta FROM q),
+        |qsg AS (SELECT doc_id,
+        |          CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
+        |               ELSE list_distinct(list_transform(range(1, len(ta) - 1),
+        |                      i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2])) END AS sa
+        |        FROM qsh),
+        |qk AS (SELECT doc_id, array_to_string(list_sort(sa), chr(30)) AS sk FROM qsg)
+        |SELECT b.doc_id AS base_id, q.doc_id AS q_id, CAST(1 AS DOUBLE) AS jaccard
+        |FROM bk b JOIN qk q USING (sk)""".stripMargin) {
+      (s, dir) =>
+        graft.functions.GraftFunctions.register(s)
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val base = docs.filter(col("doc_id") < 400)
+        val batch = docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            regexp_replace(col("text"), " ", "  ").as("text"))
+        val stamp = Tables.fixtureStamp(dir, "documents")
+        val idx = s"${System.getProperty("java.io.tmpdir")}/graft-mhidx-" +
+          Integer.toHexString(s"$dir@$stamp".hashCode)
+        if (!new java.io.File(idx, "_GRAFT_MH_PARAMS").exists()) {
+          Dedup.buildMinhashIndex(docs.filter(col("doc_id") < 300),
+            "doc_id", "text", idx)
+          Dedup.minhashIndexAppend(s, idx,
+            docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+            "doc_id", "text")
+        }
+        Dedup.minhashIndexProbe(s, idx, batch, "doc_id", "text",
+          base, "doc_id", threshold = 1.0)
+    },
+
     // E1 — END-TO-END fuzzy-dedup pipeline: minhash signatures → band
     // candidates → exact verify (threshold 1.0) → connected components →
     // canonical keeper, over a corpus with planted whitespace variants

@@ -402,6 +402,39 @@ object JoinQueries {
             count(lit(1)).as("n"))
     },
 
+    // TPC-H Q19 shape — DISJUNCTIVE predicate join: three OR-branches,
+    // each an AND of part attributes and a lineitem quantity range. The
+    // part-side disjuncts (brand/size) stay on the broadcast build side;
+    // Catalyst extracts the common `l_quantity <= 36` conjunct for scan
+    // pushdown while the full OR evaluates post-join — the shape that
+    // breaks naive single-conjunct pushdown logic.
+    "j16_disjunctive_revenue" -> Q(
+      """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 16 AND 30
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 31 AND 50
+        |       AND l_quantity BETWEEN 26 AND 36)""".stripMargin) {
+      (s, dir) =>
+        val li = Tables.lineitem(s, dir)
+        val joined = li.join(broadcast(Tables.part(s, dir)),
+          col("l_partkey") === col("p_partkey"))
+        val branch = (brand: String, sLo: Int, sHi: Int, qLo: Int, qHi: Int) =>
+          col("p_brand") === brand &&
+            col("p_size").between(sLo, sHi) &&
+            col("l_quantity").between(qLo, qHi)
+        joined.filter(
+            branch("Brand#12", 1, 15, 1, 11) ||
+            branch("Brand#23", 16, 30, 10, 20) ||
+            branch("Brand#34", 31, 50, 26, 36))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(18,4)")).cast("double").as("revenue"),
+            count(lit(1)).as("n"))
+    },
+
     // TPC-H Q8 shape — one nation's revenue share inside a region's
     // customer base, per order year: a 5-way snowflake where every
     // dimension (region→nation→customer) collapses into one broadcast

@@ -231,6 +231,30 @@ object ReferenceQueries {
           .filter(col("value") > 100)
     },
 
+    // F8 — IN-list membership, pushed to the scan as one `In` filter
+    // (PlanCheck pins it): the discrete-set slice every partition-subset
+    // or event-type-family extract runs.
+    "f8_in_list" -> Q(
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_type IN ('signup', 'purchase')""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .filter(col("event_type").isin("signup", "purchase"))
+          .select("event_id", "user_id", "event_type")
+    },
+
+    // F9 — string-prefix predicate, pushed as StringStartsWith so parquet
+    // row groups prune on min/max string stats — the LIKE form that stays
+    // sargable (a '%x' suffix match would not).
+    "f9_prefix_like" -> Q(
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE p_brand LIKE 'Brand#1%'""".stripMargin) {
+      (s, dir) =>
+        Tables.part(s, dir)
+          .filter(col("p_brand").startsWith("Brand#1"))
+          .select("p_partkey", "p_name", "p_brand")
+    },
+
     // A1 — scalar MAX watermark (session.py:57-59).
     "a1_max_watermark" -> Q("SELECT epoch_us(max(ts)) AS wm_us FROM events") {
       (s, dir) =>

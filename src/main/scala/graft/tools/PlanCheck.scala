@@ -87,6 +87,19 @@ object PlanCheck {
     // matryoshka rerank: BOTH stages are distributed top-ks — k rows
     // cross the wire, never the corpus
     "e2y_matryoshka_rerank" -> Seq("TakeOrderedAndProject"),
+    // persisted minhash index probe: the small batch's band rows
+    // broadcast onto the streamed base band table — the base never
+    // shuffles for candidate generation
+    "e1h_minhash_index_probe" -> Seq("BroadcastHashJoin"),
+    // discrete-set and prefix predicates stay sargable at the scan
+    "f8_in_list"      -> Seq("PushedFilters: \\[.*In\\(event_type"),
+    "f9_prefix_like"  -> Seq("PushedFilters: \\[.*StringStartsWith\\(p_brand"),
+    // Q19 disjunction: Catalyst pushes each side's OR-projection to ITS
+    // scan (quantity ranges to lineitem, brand/size to part) — both row
+    // groups prune even though no single conjunct spans the tables
+    "j16_disjunctive_revenue" -> Seq("BroadcastHashJoin",
+      "PushedFilters: \\[.*Or\\(.*GreaterThanOrEqual\\(l_quantity",
+      "PushedFilters: \\[.*Or\\(.*EqualTo\\(p_brand"),
     // SCD2 islands: lag + running-sum share one (user_id) shuffle; the
     // closing-edge lead runs over the island-cardinality grouped frame
     "w16_scd2_intervals" -> Seq("Window"),

@@ -65,6 +65,43 @@ class ExtOpsSpec extends SparkSpec {
     assert(recall > 0.9, s"minhash twin recall $recall")
   }
 
+  test("persisted minhash index: build/append/probe matches the direct join; guards refuse") {
+    val dir = tmpDir("mh-index")
+    // base built in two generations: [0,100) built, [100,200) appended
+    val base = docs.filter(col("doc_id") < 200)
+    Dedup.buildMinhashIndex(docs.filter(col("doc_id") < 100),
+      "doc_id", "text", dir)
+    Dedup.minhashIndexAppend(spark, dir,
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 200), "doc_id", "text")
+    // probe a near-dup batch (one appended token) at threshold 0.5 — the
+    // probe must agree with the direct two-sided minhashJoin pair-for-pair
+    val batch = base.select((col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" perturbedtoken")).as("text"))
+    val probed = Dedup.minhashIndexProbe(spark, dir, batch, "doc_id", "text",
+        base, "doc_id", threshold = 0.5)
+      .select("base_id", "q_id").as[(Long, Long)].collect().toSet
+    val direct = Dedup.minhashJoin(base, "doc_id", batch, "doc_id", "text",
+        threshold = 0.5, nativeShingles = true)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(probed == direct, "probe diverged from the direct minhashJoin")
+    val twins = base.select("doc_id").as[Long].collect()
+      .map(i => (i, i + 100000)).toSet
+    val recall = twins.count(probed.contains).toDouble / twins.size
+    assert(recall > 0.9, s"index probe twin recall $recall")
+    // an id-type mismatch must refuse — a mixed-schema parquet append
+    // would silently corrupt later probes
+    assertThrows[graft.core.GraftError.InvalidConfig] {
+      Dedup.minhashIndexAppend(spark, dir,
+        base.select(col("doc_id").cast("string").as("doc_id"), col("text")),
+        "doc_id", "text")
+    }
+    // probing an uncommitted dir must refuse, not half-read
+    assertThrows[graft.core.GraftError.InvalidConfig] {
+      Dedup.minhashIndexProbe(spark, tmpDir("mh-none"), batch, "doc_id",
+        "text", base, "doc_id", threshold = 0.5)
+    }
+  }
+
   test("minhashNearDups cascade finds the twins in shingle space") {
     val all = docs.unionByName(perturbed)
     val found = Dedup.minhashNearDups(all, "doc_id", "text", threshold = 0.8)
