@@ -39,7 +39,8 @@ import graft.sync.{SyncConfig, SyncJob}
   * `e5dcap`, `funnel`, `layout`, `zorder`, `sync` — which includes the
   * streaming replay built on its output dir — `aggivm` (batch IVM: 10
   * contiguous slice applies, per-slice flat-cost curve + one-shot
-  * equality)) runs a subset; fixture
+  * equality), `mhindex` (persisted MinHash index: build-once cost vs
+  * per-probe cost vs the fresh two-sided join)) runs a subset; fixture
   * replication is skipped for inputs no selected group reads. Unset =
   * everything, unchanged.
   */
@@ -720,6 +721,41 @@ object ScaleStress {
           s"partitioned aggivm diverged from one-shot at x$rep: $pDiff rows")
       }
       } // wants("aggivm")
+
+      if (wants("mhindex")) {
+      // the persisted MinHash index (e1h) at scale: the claim is that
+      // signature computation — the expensive term of every minhashJoin —
+      // is paid ONCE at build, and a probe's cost is batch-signatures +
+      // one broadcast join over the streamed base band table. So the
+      // probe curve should grow only with the base SCAN (no shuffle of
+      // the base, no base re-signing), while a fresh two-sided
+      // minhashJoin pays the full base signature cost every call.
+      {
+        val docsDir2 = s"$work/mh_docs_x$rep"
+        replicateDocs(spark, sfDir, rep, docsDir2)
+        val base = spark.read.parquet(docsDir2)
+        val idx = s"$work/mh_index_x$rep"
+        val (bStats, tBuild) = timed(Dedup.buildMinhashIndex(
+          base, "doc_id", "text", idx))
+        jline("mhindex_build", rep, tBuild, base.count(),
+          Seq("dropped_bands" -> bStats.droppedBands.toString))
+        // constant-size probe batch: near-dup variants of 100 base docs
+        val batch = base.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 900000000L).as("doc_id"),
+            concat(col("text"), lit(" probetoken")).as("text"))
+          .localCheckpoint()
+        val (probed, tProbe) = timed {
+          Dedup.minhashIndexProbe(spark, idx, batch, "doc_id", "text",
+            base, "doc_id", threshold = 0.5).localCheckpoint()
+        }
+        jline("mhindex_probe", rep, tProbe, probed.count())
+        val (direct, tDirect) = timed {
+          Dedup.minhashJoin(base, "doc_id", batch, "doc_id", "text",
+            threshold = 0.5, nativeShingles = true).localCheckpoint()
+        }
+        jline("mhindex_direct_join", rep, tDirect, direct.count())
+      }
+      } // wants("mhindex")
     }
     spark.stop()
   }
