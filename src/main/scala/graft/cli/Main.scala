@@ -489,7 +489,13 @@ object Main {
     * since the last, a re-run of an already-folded cut is a reported
     * no-op, and the rollup always equals the one-shot groupBy (the a7
     * oracle contract). Source may be parquet or JDBC; the slice predicate
-    * pushes down either way. */
+    * pushes down either way.
+    *
+    * `--partitioned` defaults to 64 buckets; a rollup built under a
+    * DIFFERENT count must be invoked with its own `--buckets N` — the
+    * params stamp refuses a mismatch loudly rather than mixing hash
+    * spaces (the stamp records the build-time count; there is no silent
+    * migration). */
   private[cli] def runAgg(spark: org.apache.spark.sql.SparkSession,
                           a: Args): Unit = {
     import org.apache.spark.sql.functions.{col, min, max}

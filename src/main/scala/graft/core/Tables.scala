@@ -53,6 +53,14 @@ object Tables {
     * regenerated within the same JVM; folding this stamp into the key
     * makes a regenerated fixture a cache miss instead. Local-fs only —
     * exactly what the gate/bench harness reads. */
+  /** Best-effort recursive delete of a LOCAL staging path (harness temp
+    * artifacts only — never a data destination; those go through the
+    * sinks' staged-swap protocols). No-op on a missing path. */
+  def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
   def fixtureStamp(sfDir: String, name: String): String = {
     val root = java.nio.file.Paths.get(s"$sfDir/$name.parquet")
     if (!java.nio.file.Files.exists(root)) return "absent"

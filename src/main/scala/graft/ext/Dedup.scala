@@ -880,17 +880,25 @@ object Dedup {
 
   private def mhReadParams(spark: org.apache.spark.sql.SparkSession,
                            dir: String): MinhashIndexParams = {
-    val path = new org.apache.hadoop.fs.Path(dir, MhParamsFile)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path))
-      throw graft.core.GraftError.InvalidConfig(
-        s"no committed MinHash index at $dir (missing $MhParamsFile)")
-    val in = fs.open(path)
-    val s = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
-    val kv = s.split(' ').drop(1).map(_.split('=')).map(a => a(0) -> a(1)).toMap
-    MinhashIndexParams(kv("k").toInt, kv("bands").toInt,
-      kv("shingleN").toInt, kv("native").toBoolean, kv("maxBandSize").toInt)
+    val s = graft.ops.RangeLayout.readSidecar(spark, dir, MhParamsFile)
+      .getOrElse(throw graft.core.GraftError.InvalidConfig(
+        s"no committed MinHash index at $dir (missing $MhParamsFile)"))
+      .trim
+    // malformed content is a TYPED refusal, not an array-index crash —
+    // the stamp is caller-visible state (writeSidecar's atomic rename
+    // makes truncation unreachable going forward, but a stamp is still
+    // just a file someone can corrupt)
+    try {
+      val kv = s.split(' ').drop(1).map(_.split('='))
+        .map(a => a(0) -> a(1)).toMap
+      MinhashIndexParams(kv("k").toInt, kv("bands").toInt,
+        kv("shingleN").toInt, kv("native").toBoolean, kv("maxBandSize").toInt)
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        throw graft.core.GraftError.InvalidConfig(
+          s"unparseable $MhParamsFile at $dir: '$s' — not a committed " +
+            "MinHash index (delete the directory and rebuild)")
+    }
   }
 
   private def mhSigs(docs: DataFrame, idCol: String, textCol: String,
@@ -907,9 +915,16 @@ object Dedup {
                         shingleN: Int = 3, nativeShingles: Boolean = true,
                         maxBandSize: Int = DefaultMaxBandSize): BandCapStats = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val spark = docs.sparkSession
+    // REBUILD discipline: drop any existing stamp FIRST, so a rebuild
+    // that crashes between the two data writes reads as ABSENT (the
+    // stamp-written-last invariant would otherwise be false exactly for
+    // rebuilds — new sigs under the old stamp probe silently wrong)
+    val stampPath = new org.apache.hadoop.fs.Path(dir, MhParamsFile)
+    val fs = stampPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(stampPath)) fs.delete(stampPath, false)
     val p = MinhashIndexParams(k, bands, shingleN, nativeShingles, maxBandSize)
-    if (nativeShingles)
-      graft.functions.GraftFunctions.register(docs.sparkSession)
+    if (nativeShingles) graft.functions.GraftFunctions.register(spark)
     val sigs = mhSigs(docs, idCol, textCol, p).localCheckpoint()
     val (banded, stats) = capOversizedBands(
       bandExplode(sigs, "__id", k, bands), "band", maxBandSize,
@@ -918,11 +933,10 @@ object Dedup {
     banded.select(col("__id"), col("band.band_id").as("band_id"),
         col("band.band_val").as("band_val"))
       .write.mode("overwrite").parquet(s"$dir/bands")
-    val path = new org.apache.hadoop.fs.Path(dir, MhParamsFile)
-    val fs = path.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(path, true)
-    try out.write(mhParamsString(p).getBytes(
-      java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    // stamp LAST, atomically (writeSidecar renames into place): its
+    // presence IS the commit marker
+    graft.ops.RangeLayout.writeSidecar(spark, dir, MhParamsFile,
+      mhParamsString(p))
     stats
   }
 
@@ -930,7 +944,15 @@ object Dedup {
     * The id column's type must match the index (a silent parquet schema
     * mix would corrupt later probes — checked against the stored sigs).
     * Caller guarantees id disjointness, as with every append-only corpus
-    * feed (replayed ids are the fingerprint family's job to drop). */
+    * feed (replayed ids are the fingerprint family's job to drop).
+    *
+    * Crash contract: BANDS append before SIGS, and a failed append is
+    * RETRIED. Bands-without-sigs (crash between the writes) is inert —
+    * such candidates drop at the probe's inner signature join — and the
+    * retry completes the batch; the retry's duplicate band rows dedupe in
+    * the probe's DISTINCT candidate step, and its duplicate sig rows
+    * dedupe in the probe's per-id signature dedup. The failure direction
+    * is always "batch not yet searchable", never wrong pairs. */
   def minhashIndexAppend(spark: org.apache.spark.sql.SparkSession,
                          dir: String, newDocs: DataFrame, idCol: String,
                          textCol: String): BandCapStats = {
@@ -947,10 +969,10 @@ object Dedup {
     val (banded, stats) = capOversizedBands(
       bandExplode(sigs, "__id", p.k, p.bands), "band", p.maxBandSize,
       "minhashIndexAppend")
-    sigs.write.mode("append").parquet(s"$dir/sigs")
     banded.select(col("__id"), col("band.band_id").as("band_id"),
         col("band.band_val").as("band_val"))
       .write.mode("append").parquet(s"$dir/bands")
+    sigs.write.mode("append").parquet(s"$dir/sigs")
     stats
   }
 
@@ -981,11 +1003,25 @@ object Dedup {
     val qBanded = qBanded0.select(col("__id").as("q_id"),
       col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
     val baseBands = spark.read.parquet(s"$dir/bands")
-    val cand = baseBands
+    // the stored band table was capped PER GENERATION (build + each
+    // append), so a band value can accumulate past maxBandSize across
+    // appends — re-cap the MATCHED slice here (only rows colliding with
+    // the query's band values are counted, so the guard costs one window
+    // over the matched subset, not a shuffle of the base table)
+    val matched = baseBands
+      .join(broadcast(qBanded.select("band_id", "band_val").distinct()),
+        Seq("band_id", "band_val"))
+      .withColumn("band", struct(col("band_id"), col("band_val")))
+    val (matchedCapped, _) = capOversizedBands(matched, "band",
+      p.maxBandSize, "minhashIndexProbe base side")
+    val cand = matchedCapped
       .join(broadcast(qBanded), Seq("band_id", "band_val"))
       .select(col("__id").as("base_id"), col("q_id")).distinct()
+    // per-id dedup: a retried append may have written a doc's signature
+    // twice; without this the est join fans out per duplicate row
     val baseSigs = spark.read.parquet(s"$dir/sigs")
       .select(col("__id").as("base_id"), col("__sig").as("b_sig"))
+      .dropDuplicates("base_id")
     val est = cand
       .join(baseSigs, "base_id")
       .join(qSigs.select(col("q_id"), col("__sig").as("q_sig")), "q_id")

@@ -73,11 +73,19 @@ object RangeLayout {
 
   private[graft] def writeSidecar(spark: SparkSession, path: String,
                                   name: String, content: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path.stripSuffix("/"), name)
+    // write-temp-then-rename: several sidecars double as COMMIT MARKERS
+    // (their presence means "artifact complete"), so a crash mid-write
+    // must never leave a present-but-truncated stamp that readers parse
+    // as committed garbage — the rename makes presence ⇒ whole content
+    val dir = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    out.write(content.getBytes("UTF-8"))
-    out.close()
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"sidecar commit: rename $tmp -> $p failed")
   }
 
   private[graft] def readSidecar(spark: SparkSession, path: String,

@@ -2238,11 +2238,20 @@ object ExtQueries {
         val idx = s"${System.getProperty("java.io.tmpdir")}/graft-mhidx-" +
           Integer.toHexString(s"$dir@$stamp".hashCode)
         if (!new java.io.File(idx, "_GRAFT_MH_PARAMS").exists()) {
+          // build + append land in a staging dir and move into place by
+          // ONE rename: an interruption between the two calls must not
+          // leave a committed-looking index that silently lacks the
+          // appended [300,400) slice on every later (skipping) run
+          val staging = idx + ".tmp"
+          graft.core.Tables.deleteRecursively(new java.io.File(staging))
           Dedup.buildMinhashIndex(docs.filter(col("doc_id") < 300),
-            "doc_id", "text", idx)
-          Dedup.minhashIndexAppend(s, idx,
+            "doc_id", "text", staging)
+          Dedup.minhashIndexAppend(s, staging,
             docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
             "doc_id", "text")
+          graft.core.Tables.deleteRecursively(new java.io.File(idx))
+          if (!new java.io.File(staging).renameTo(new java.io.File(idx)))
+            sys.error(s"e1h: rename $staging -> $idx failed")
         }
         Dedup.minhashIndexProbe(s, idx, batch, "doc_id", "text",
           base, "doc_id", threshold = 1.0)

@@ -63,13 +63,17 @@ object AggMaintenance {
   private val ValType = "decimal(18,4)"
 
   /** The applied watermark (canonical µs), None before the first apply.
-    * Heals a whole-dir swap crash first so the answer reflects the
-    * committed state, not the mid-rename window. */
+    * READ-ONLY: inside a whole-dir swap crash window (destination without
+    * its sidecar, backup present) the answer comes from the BACKUP — the
+    * committed state — without mutating anything, so a concurrent apply's
+    * in-flight swap can never be broken by a reader. Healing itself is
+    * the next apply's job (single-writer). */
   def watermark(spark: SparkSession, targetDir: String): Option[Long] = {
     val fs = new Path(targetDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    healWholeDir(fs, targetDir)
     readWm(fs, new Path(targetDir, WmFile))
+      .orElse(readWm(fs,
+        new Path(bakRoot(targetDir) + "_dir", WmFile)))
   }
 
   /** Apply the half-open slice [lo, hi) of `source` (canonical-µs bounds
@@ -271,7 +275,10 @@ object AggMaintenance {
         groupCols, valueCol, lo, mid, nBuckets)
       val r2 = applySlicePartitioned(spark, targetDir, source, orderCol,
         groupCols, valueCol, mid, hi, nBuckets)
-      return AggResult(r2.groupsWritten, r1.sliceRows + r2.sliceRows,
+      // groupsWritten is "groups materialized by THIS apply" — both
+      // segments did real rewrites, so the work sums
+      return AggResult(r1.groupsWritten + r2.groupsWritten,
+        r1.sliceRows + r2.sliceRows,
         applied = true, watermarkUs = r2.watermarkUs)
     }
 
@@ -368,26 +375,54 @@ object AggMaintenance {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = new Path(targetDir)
     val partitioned = fs.exists(new Path(root, ParamsFile))
-    // partition dirs carry "=" so Spark's hidden-path filter keeps them
-    // (`__bucket=3` is data; `_GRAFT_AGG_WM` is not) — but hasData's plain
-    // underscore test would miss them, hence the explicit branch
-    val hasBuckets = partitioned && {
-      healBuckets(fs, targetDir) // restore any interrupted bucket swap first
-      fs.exists(root) && fs.listStatus(root).exists(st =>
-        st.isDirectory && st.getPath.getName.startsWith("__bucket="))
-    }
-    if (!partitioned) healWholeDir(fs, targetDir) // a reader after a crash
-    if (hasBuckets) spark.read.parquet(targetDir).drop("__bucket")
-    else if (!partitioned && ParquetMergeSink.hasData(fs, root))
-      spark.read.parquet(targetDir)
-    else {
-      val sj = readText(fs, new Path(targetDir, SchemaFile)).getOrElse(
-        throw graft.core.GraftError.InvalidConfig(
+    // READ-ONLY crash tolerance: a reader never renames anything (a
+    // concurrent apply may be mid-swap — healing here could break its
+    // forward rename); instead it READS AROUND the window. Whole-dir: the
+    // backup IS the committed state when the destination lacks its
+    // sidecar. Partitioned: any backed-up bucket missing from the root is
+    // unioned back in. Healing the filesystem stays the next apply's job
+    // (single-writer).
+    def emptyFromSchema(): DataFrame = {
+      val sj = readText(fs, new Path(targetDir, SchemaFile))
+        .orElse(readText(fs,
+          new Path(bakRoot(targetDir) + "_dir", SchemaFile)))
+        .getOrElse(throw graft.core.GraftError.InvalidConfig(
           s"no rollup at $targetDir (no data files and no $SchemaFile)"))
       val schema = org.apache.spark.sql.types.DataType.fromJson(sj)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    if (partitioned) {
+      // partition dirs carry "=" so Spark's hidden-path filter keeps them
+      // (`__bucket=3` is data; `_GRAFT_AGG_WM` is not)
+      val rootBuckets =
+        if (!fs.exists(root)) Set.empty[String]
+        else fs.listStatus(root).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("__bucket="))
+          .map(_.getPath.getName).toSet
+      val bk = new Path(bakRoot(targetDir))
+      val bakKids =
+        if (!fs.exists(bk)) Seq.empty
+        else fs.listStatus(bk).toSeq
+          .filter(st => !rootBuckets.contains(st.getPath.getName))
+          .map(_.getPath)
+      val rootDf =
+        if (rootBuckets.isEmpty) None
+        else Some(spark.read.parquet(targetDir).drop("__bucket"))
+      val bakDfs = bakKids.map(p => spark.read.parquet(p.toString))
+      (rootDf.toSeq ++ bakDfs).reduceOption(_ unionByName _)
+        .getOrElse(emptyFromSchema())
+    }
+    else if (ParquetMergeSink.hasData(fs, root)) spark.read.parquet(targetDir)
+    else {
+      val bak = new Path(bakRoot(targetDir) + "_dir")
+      val inCrashWindow = !fs.exists(new Path(root, WmFile)) &&
+        fs.exists(new Path(bak, WmFile))
+      if (inCrashWindow && ParquetMergeSink.hasData(fs, bak))
+        spark.read.parquet(bak.toString)
+      else emptyFromSchema()
     }
   }
 

@@ -219,6 +219,48 @@ class AggMaintenanceSpec extends SparkSpec {
     assert(AggMaintenance.watermark(spark, dir).contains(150L))
   }
 
+  test("readers serve the committed state through a crash window WITHOUT healing") {
+    val src = rows((10L, "a", 1.0), (20L, "b", 2.0))
+    val dir = tmpDir("agg-crashread")
+    AggMaintenance.applySlice(spark, dir, src, "us", Seq("grp"), "v", 0L, 50L)
+    val committed = snapshot(dir)
+    // simulate the swapWholeDir crash window: destination renamed to the
+    // backup, staged dir never moved in
+    val bak = new java.io.File(dir + ".__agg_bak_dir")
+    assert(new java.io.File(dir).renameTo(bak))
+    // a reader mid-window sees the committed watermark and rows, and
+    // must NOT mutate the filesystem (a concurrent apply may own it)
+    assert(AggMaintenance.watermark(spark, dir).contains(50L))
+    assert(AggMaintenance.read(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      committed.map { case (k, v) => k -> v._1 })
+    assert(bak.exists(), "reader healed (renamed) — reads must be read-only")
+    // the next APPLY heals and continues the chain
+    val r = AggMaintenance.applySlice(
+      spark, dir, rows((60L, "a", 3.0)), "us", Seq("grp"), "v", 50L, 80L)
+    assert(r.applied && snapshot(dir)("a") == ((2L, 4.0, 1.0, 3.0)))
+    assert(!bak.exists())
+  }
+
+  test("partitioned reader unions a backed-up bucket missing from the root") {
+    val gA = "a"
+    val gB = ('b' to 'z').map(_.toString)
+      .find(g => bucketOf(g) != bucketOf(gA)).get
+    val src = rows((10L, gA, 1.0), (20L, gB, 2.0))
+    val dir = tmpDir("agg-crashread-part")
+    AggMaintenance.applySlicePartitioned(
+      spark, dir, src, "us", Seq("grp"), "v", 0L, 50L, nBuckets = 8)
+    val committed = snapshot(dir)
+    // simulate swapBucket's crash window for gA's bucket: renamed to the
+    // backup root, staged never moved in
+    val name = s"__bucket=${bucketOf(gA)}"
+    val bakKid = new java.io.File(dir + ".__agg_bak", name)
+    assert(bakKid.getParentFile.mkdirs() || bakKid.getParentFile.isDirectory)
+    assert(new java.io.File(dir, name).renameTo(bakKid))
+    assert(snapshot(dir) == committed) // read-around, nothing lost
+    assert(bakKid.exists(), "partitioned reader must not heal")
+  }
+
   private def bucketFiles(dir: String): Map[String, Set[String]] =
     new java.io.File(dir).listFiles().filter(_.isDirectory)
       .filter(_.getName.startsWith("__bucket="))

@@ -100,6 +100,24 @@ class ExtOpsSpec extends SparkSpec {
       Dedup.minhashIndexProbe(spark, tmpDir("mh-none"), batch, "doc_id",
         "text", base, "doc_id", threshold = 0.5)
     }
+    // a RETRIED append (duplicate sig/band rows for the same ids) must
+    // not fan probe output out into duplicate pairs
+    Dedup.minhashIndexAppend(spark, dir,
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 200), "doc_id", "text")
+    val probed2 = Dedup.minhashIndexProbe(spark, dir, batch, "doc_id",
+        "text", base, "doc_id", threshold = 0.5)
+      .select("base_id", "q_id").collect()
+    assert(probed2.length == probed2.distinct.length,
+      "duplicate pairs after a retried append")
+    assert(probed2.map(r => (r.getLong(0), r.getLong(1))).toSet == probed)
+    // a REBUILD over the committed dir re-stamps cleanly (the stamp is
+    // dropped first, so a crashed rebuild reads as absent, never as the
+    // old params over new data)
+    Dedup.buildMinhashIndex(base, "doc_id", "text", dir)
+    val probed3 = Dedup.minhashIndexProbe(spark, dir, batch, "doc_id",
+        "text", base, "doc_id", threshold = 0.5)
+      .select("base_id", "q_id").as[(Long, Long)].collect().toSet
+    assert(probed3 == probed)
   }
 
   test("minhashNearDups cascade finds the twins in shingle space") {
