@@ -308,6 +308,22 @@ object ReferenceQueries {
                max(Tables.tsUs(e)).as("updated_us"))
     },
 
+    // A9 — exact grouped COUNT(DISTINCT): a single distinct plans as
+    // FOUR hash aggregates across TWO exchanges — dedup on (group, key),
+    // then the per-group count (the second shuffle is exactly what w11
+    // avoids on the big-fact path; PlanCheck pins the shape). At 100 TB
+    // you reach for this only when the distinct count must be exact and
+    // per-group.
+    "a9_count_distinct" -> Q(
+      """SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(count_distinct(col("user_id")).as("users"),
+            count(lit(1)).as("n"))
+    },
+
     // A7 — batch IVM (sync/AggMaintenance): the rollup maintained across
     // THREE contiguous watermark slices must equal the one-shot groupBy the
     // oracle runs — the slice decomposition is invisible in the result or

@@ -509,6 +509,40 @@ object WindowQueries {
         ud.join(c, Seq("user_id"))
           .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age_days"))
           .agg(count(lit(1)).as("n_users"))
+    },
+
+    // Longest consecutive-active-day streak per user — the engagement
+    // metric behind "7-day streak" features: distinct (user, day), then
+    // the classic `day − row_number` island key (constant within a
+    // consecutive run, distinct across gaps), one grouped count per
+    // island, max per user. Same single dedup shuffle as w17; every
+    // later stage is user- or island-cardinality.
+    "w18_longest_streak" -> Q(
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |                   epoch_us(ts) // 86400000000 AS day FROM events),
+        |i AS (SELECT user_id, day,
+        |             day - row_number() OVER (PARTITION BY user_id
+        |                                      ORDER BY day) AS island
+        |      FROM ud),
+        |s AS (SELECT user_id, island, count(*) AS streak
+        |      FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(max(streak) AS BIGINT) AS longest_streak,
+        |       count(*) AS n_streaks
+        |FROM s GROUP BY user_id""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+        val ud = ev.select(col("user_id"), Tables.tsUs(ev).as("us"))
+          .withColumn("day",
+            expr("(us - pmod(us, 86400000000)) div 86400000000"))
+          .drop("us")
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy(col("day"))
+        val i = ud.withColumn("island", col("day") - row_number().over(w))
+        i.groupBy("user_id", "island").agg(count(lit(1)).as("streak"))
+          .groupBy("user_id")
+          .agg(max(col("streak")).cast("long").as("longest_streak"),
+            count(lit(1)).as("n_streaks"))
     }
   )
 }

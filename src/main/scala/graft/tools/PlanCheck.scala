@@ -109,6 +109,14 @@ object PlanCheck {
     // retention: cohort join re-uses the user_id hash the dedup made;
     // per-cell count is a plain count (never count_distinct's 2nd shuffle)
     "w17_retention_cohorts" -> Seq("HashAggregate"),
+    // the NAMED distinct-agg form: a single distinct plans as FOUR hash
+    // aggregates across TWO exchanges (dedup on (group, key), then the
+    // per-group count) — the second shuffle is the cost w11 avoids
+    "a9_count_distinct" -> Seq(
+      "(?s)HashAggregate.*Exchange.*HashAggregate.*HashAggregate.*Exchange.*HashAggregate"),
+    // streaks: one (user_id) dedup shuffle; the island window and both
+    // rollups run on user-/island-cardinality frames
+    "w18_longest_streak" -> Seq("Window", "HashAggregate"),
     "a1_max_watermark"  -> Seq("HashAggregate"))
 
   /** Patterns that must NOT appear — the plan shapes each encoding exists
