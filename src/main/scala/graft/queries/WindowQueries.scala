@@ -13,6 +13,23 @@ import graft.ops.Skew
   */
 object WindowQueries {
 
+  /** Distinct (user_id, day) activity pairs — the shared first stage of
+    * the day-granular engagement queries (w17 cohorts, w18 streaks).
+    * Day is FLOOR division of epoch-µs, matching the oracle's `//` —
+    * Spark's `div` truncates toward zero, which diverges on pre-1970 µs;
+    * subtracting pmod lands the numerator on an exact multiple for any
+    * sign. One place, so the two entries' day bucketing can never
+    * silently diverge. */
+  private def distinctUserDays(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.select(col("user_id"), Tables.tsUs(ev).as("us"))
+      .withColumn("day",
+        expr("(us - pmod(us, 86400000000)) div 86400000000"))
+      .drop("us")
+      .distinct()
+  }
+
   val defs: Map[String, Q] = Map(
 
     // W2 — window-boundary derivation (session.py:295-308): every 500th row
@@ -486,7 +503,8 @@ object WindowQueries {
     // The cohort table joins back on user_id, the same key the dedup
     // already hashed on — co-located, no extra fact shuffle; each (user,
     // day) is distinct so the per-cell count needs no count_distinct (the
-    // e6i lesson: count_distinct plans a second shuffle stage).
+    // e6i lesson: count_distinct plans a second shuffle stage; a9 gates
+    // that shape by name).
     "w17_retention_cohorts" -> Q(
       """WITH ud AS (SELECT DISTINCT user_id,
         |                   epoch_us(ts) // 86400000000 AS day FROM events),
@@ -496,15 +514,7 @@ object WindowQueries {
         |FROM ud JOIN c USING (user_id)
         |GROUP BY 1, 2""".stripMargin) {
       (s, dir) =>
-        val ev = Tables.events(s, dir)
-        // FLOOR division to match the oracle's `//` — Spark's `div`
-        // truncates toward zero, which diverges on pre-1970 µs; pmod
-        // makes the subtraction land on an exact multiple for any sign
-        val ud = ev.select(col("user_id"), Tables.tsUs(ev).as("us"))
-          .withColumn("day",
-            expr("(us - pmod(us, 86400000000)) div 86400000000"))
-          .drop("us")
-          .distinct()
+        val ud = distinctUserDays(s, dir)
         val c = ud.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
         ud.join(c, Seq("user_id"))
           .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age_days"))
@@ -515,8 +525,11 @@ object WindowQueries {
     // metric behind "7-day streak" features: distinct (user, day), then
     // the classic `day − row_number` island key (constant within a
     // consecutive run, distinct across gaps), one grouped count per
-    // island, max per user. Same single dedup shuffle as w17; every
-    // later stage is user- or island-cardinality.
+    // island, max per user. TWO fact-frame exchanges, not one: the
+    // dedup hashes on (user_id, day), which cannot serve the window's
+    // user_id clustering, so the window re-shuffles — on the already-
+    // deduped (user, day) frame, not the raw events. Stages after that
+    // are user-/island-cardinality.
     "w18_longest_streak" -> Q(
       """WITH ud AS (SELECT DISTINCT user_id,
         |                   epoch_us(ts) // 86400000000 AS day FROM events),
@@ -531,12 +544,7 @@ object WindowQueries {
         |FROM s GROUP BY user_id""".stripMargin) {
       (s, dir) =>
         import org.apache.spark.sql.expressions.Window
-        val ev = Tables.events(s, dir)
-        val ud = ev.select(col("user_id"), Tables.tsUs(ev).as("us"))
-          .withColumn("day",
-            expr("(us - pmod(us, 86400000000)) div 86400000000"))
-          .drop("us")
-          .distinct()
+        val ud = distinctUserDays(s, dir)
         val w = Window.partitionBy("user_id").orderBy(col("day"))
         val i = ud.withColumn("island", col("day") - row_number().over(w))
         i.groupBy("user_id", "island").agg(count(lit(1)).as("streak"))

@@ -111,11 +111,17 @@ object PlanCheck {
     "w17_retention_cohorts" -> Seq("HashAggregate"),
     // the NAMED distinct-agg form: a single distinct plans as FOUR hash
     // aggregates across TWO exchanges (dedup on (group, key), then the
-    // per-group count) — the second shuffle is the cost w11 avoids
+    // per-group count) — the second shuffle is the cost w11 avoids.
+    // Matched on the DETAILS section's numbered nodes ("(N) Exchange"
+    // appears once per exchange; tree lines print "Exchange (N)" and so
+    // can't double-count) plus the partial-distinct marker — a rewrite
+    // to one shuffle or approx_count_distinct must flip this to MISS
     "a9_count_distinct" -> Seq(
-      "(?s)HashAggregate.*Exchange.*HashAggregate.*HashAggregate.*Exchange.*HashAggregate"),
-    // streaks: one (user_id) dedup shuffle; the island window and both
-    // rollups run on user-/island-cardinality frames
+      "(?s)\\(\\d+\\) Exchange.*\\(\\d+\\) Exchange",
+      "partial_count\\(distinct"),
+    // streaks: the (user_id, day) dedup shuffle plus the window's
+    // user_id re-shuffle — two exchanges, the second over the already-
+    // deduped frame; rollups after run on user-/island-cardinality
     "w18_longest_streak" -> Seq("Window", "HashAggregate"),
     "a1_max_watermark"  -> Seq("HashAggregate"))
 
