@@ -139,6 +139,25 @@ object WindowQueries {
           .except(c.filter(col("c_custkey").between(70, 80)).select("c_custkey"))
     },
 
+    // Set ops, part 2 — INTERSECT (set semantics: the duplicate rows the
+    // UNION ALL manufactures must collapse) between a key-range slice and
+    // the purchase-active user set; plans as a left-semi join + distinct,
+    // no full materialization of either side.
+    "set2_intersect" -> Q(
+      """SELECT user_id FROM (
+        |  SELECT user_id FROM events WHERE user_id < 100
+        |  UNION ALL
+        |  SELECT user_id FROM events WHERE user_id < 100) u
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.events(s, dir)
+        val lo = e.filter(col("user_id") < 100).select("user_id")
+        lo.union(lo)
+          .intersect(e.filter(col("event_type") === "purchase")
+            .select("user_id"))
+    },
+
     // Event-time tumbling window (SURVEY §2.8 note: absent from the
     // reference, declared [EXT] harness coverage): the batch twin of the
     // streaming `window()` aggregation. Spark's 1-hour windows align to the
