@@ -23,6 +23,19 @@ Test / unmanagedJars ++= {
 }
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench …"`
+// as JSON. Two sbt behaviors have defeated that for 11 rounds:
+// (1) forked-process output is routed through the logger, prefixing every
+//     line with "[info] " — StdoutOutput streams it raw instead;
+// (2) sbt prints "[success] Total time: …" AFTER the run, displacing the
+//     JSON from the final line — showSuccess := false suppresses it.
+// (A shutdown hook inside Bench can't fix this: run/fork means the bench
+// JVM exits — hooks and all — BEFORE sbt prints its epilogue.)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not by another setting —
+// silence the false-positive unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

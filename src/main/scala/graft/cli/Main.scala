@@ -73,6 +73,8 @@ import graft.sync.{SyncConfig, SyncEndpoint, SyncPipeline, SyncReport}
   *   runMain graft.cli.Main agg --source <parquet|jdbc:...#t> \
   *     --dest <rollup dir> --by GROUPCOL[,G2] --watermark W \
   *     [--value-col value] [--cut N] [--partitioned] [--buckets 64]
+  *     (default cut assumes a QUIESCED source; for a concurrently
+  *     appended source pass an explicit --cut — see runAgg's contract)
   */
 object Main {
 
@@ -490,6 +492,19 @@ object Main {
     * no-op, and the rollup always equals the one-shot groupBy (the a7
     * oracle contract). Source may be parquet or JDBC; the slice predicate
     * pushes down either way.
+    *
+    * CONCURRENCY CONTRACT — the default cut requires a QUIESCED source.
+    * The default (srcMax+1) is derived in a bounds pass SEPARATE from the
+    * slice scan; on a source being appended concurrently, rows committed
+    * between the two reads with ts <= srcMax are nondeterministically
+    * included, and any missed sit permanently below the advanced
+    * watermark — a silent undercount the gap refusal cannot catch. For a
+    * live source pass an explicit `--cut` at a boundary known complete
+    * (the T2 snapshot-cut discipline); `reconcile` remains the repair
+    * pass. (Holding the default back to [stored, srcMax) was considered
+    * and rejected: it only protects monotone-commit appenders, and on a
+    * source that stops growing the final tick would defer forever — the
+    * cron loop would never converge to the one-shot groupBy.)
     *
     * `--partitioned` defaults to 64 buckets; a rollup built under a
     * DIFFERENT count must be invoked with its own `--buckets N` — the

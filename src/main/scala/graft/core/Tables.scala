@@ -45,14 +45,6 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** Cheap content stamp for one fixture table under `sfDir` — the max
-    * lastModified + total byte size + file count of `name.parquet`
-    * (file or directory). Process-lifetime caches keyed by fixture dir
-    * alone (the replay twins' collected feed, e2s's appended index) would
-    * silently serve stale rows if the fixture under that dir were
-    * regenerated within the same JVM; folding this stamp into the key
-    * makes a regenerated fixture a cache miss instead. Local-fs only —
-    * exactly what the gate/bench harness reads. */
   /** Best-effort recursive delete of a LOCAL staging path (harness temp
     * artifacts only — never a data destination; those go through the
     * sinks' staged-swap protocols). No-op on a missing path. */
@@ -61,6 +53,14 @@ object Tables {
     f.delete(); ()
   }
 
+  /** Cheap content stamp for one fixture table under `sfDir` — the max
+    * lastModified + total byte size + file count of `name.parquet`
+    * (file or directory). Process-lifetime caches keyed by fixture dir
+    * alone (the replay twins' collected feed, e2s's appended index) would
+    * silently serve stale rows if the fixture under that dir were
+    * regenerated within the same JVM; folding this stamp into the key
+    * makes a regenerated fixture a cache miss instead. Local-fs only —
+    * exactly what the gate/bench harness reads. */
   def fixtureStamp(sfDir: String, name: String): String = {
     val root = java.nio.file.Paths.get(s"$sfDir/$name.parquet")
     if (!java.nio.file.Files.exists(root)) return "absent"

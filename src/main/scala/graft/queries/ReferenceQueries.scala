@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
@@ -124,16 +125,27 @@ object ReferenceQueries {
         val flat = ev.select(col("event_id"), Tables.tsUs(ev).as("ts_us"),
           col("user_id"), col("event_type"), col("value"), col("props"))
         val stamp = Tables.fixtureStamp(dir, "events")
+        // "v2" = the explicit nullValue/emptyValue format rev — folded into
+        // the cache key so a CSV dir written by the v1 defaults (null → "")
+        // on this machine can't be read back with the v2 options
         val out = s"${System.getProperty("java.io.tmpdir")}/graft-csv-" +
-          Integer.toHexString(s"$dir@$stamp".hashCode)
+          Integer.toHexString(s"$dir@$stamp@v2".hashCode)
+        // nullValue/emptyValue pinned EXPLICITLY on both arms: Spark's
+        // defaults write null as "" and read empty fields back as null,
+        // which is only lossless while no text column carries a genuine
+        // empty string. Distinct tokens (null → unquoted \N, empty → "")
+        // keep null and "" distinguishable if a future fixture ships
+        // either — the silent-coalescing hazard, not today's data.
         if (!new java.io.File(out, "_SUCCESS").exists()) {
           flat.write.mode("overwrite")
             .option("header", "true").option("escape", "\"")
+            .option("nullValue", "\\N").option("emptyValue", "\"\"")
             .csv(out)
         }
         s.read.schema(flat.schema)
           .option("header", "true").option("escape", "\"")
           .option("multiLine", "true")
+          .option("nullValue", "\\N").option("emptyValue", "")
           .csv(out)
     },
 
@@ -386,6 +398,96 @@ object ReferenceQueries {
             col("sum_val").cast("double").as("sum_value"),
             col("min_val").cast("double").as("min_value"),
             col("max_val").cast("double").as("max_value"))
+    },
+
+    // A10 — v2 multi-value batch IVM with maintained MOMENTS (the
+    // trigger-maintained aggregate of README.md:156-198 generalized
+    // beyond SUM): the rollup keeps exact DECIMAL (cnt, sum, sumsq, min,
+    // max) per group for TWO value columns across three contiguous
+    // slices; avg and sample variance DERIVE from the stored moments —
+    // no history rescan, the 100 TB point. The avg/var double chain is
+    // readDerived's documented contract (each exact DECIMAL cast once to
+    // double, fixed operation order), so the DuckDB oracle reproduces it
+    // bit-for-bit; an in-plan exceptAll pins the maintained moments
+    // against an INDEPENDENT one-shot aggregation before returning.
+    // (Oracle squares cast to DECIMAL(19,4): same value at scale 4, but
+    // width 19 forces DuckDB onto int128 storage — the (18,4)² multiply
+    // overflows its int64 lane. Spark's (18,4)² already computes wide.)
+    "a10_agg_maintenance_v2" -> Q(
+      """WITH g AS (
+        |  SELECT l_returnflag, count(*) AS cnt,
+        |         count(l_quantity) AS n_q, count(l_extendedprice) AS n_p,
+        |         sum(CAST(l_quantity AS DECIMAL(18,4))) AS s_q,
+        |         sum(CAST(l_quantity AS DECIMAL(19,4))
+        |             * CAST(l_quantity AS DECIMAL(19,4))) AS sq_q,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS s_p,
+        |         sum(CAST(l_extendedprice AS DECIMAL(19,4))
+        |             * CAST(l_extendedprice AS DECIMAL(19,4))) AS sq_p,
+        |         CAST(min(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS min_qty,
+        |         CAST(max(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS max_qty
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, cnt,
+        |       CAST(s_q AS DOUBLE) / CAST(n_q AS DOUBLE) AS avg_qty,
+        |       CASE WHEN n_q > 1 THEN
+        |         (CAST(sq_q AS DOUBLE)
+        |          - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE) / CAST(n_q AS DOUBLE))
+        |         / (CAST(n_q AS DOUBLE) - 1.0) END AS var_qty,
+        |       CAST(s_p AS DOUBLE) / CAST(n_p AS DOUBLE) AS avg_price,
+        |       CASE WHEN n_p > 1 THEN
+        |         (CAST(sq_p AS DOUBLE)
+        |          - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE) / CAST(n_p AS DOUBLE))
+        |         / (CAST(n_p AS DOUBLE) - 1.0) END AS var_price,
+        |       min_qty, max_qty
+        |FROM g""".stripMargin) {
+      (s, dir) =>
+        val li = Tables.lineitem(s, dir)
+        val vals = Seq("l_quantity", "l_extendedprice")
+        val us = Tables.tsUs(li, "l_shipdate")
+        val b = li.agg(min(us).as("lo"), max(us).as("hi")).collect().head
+        val lo = b.getLong(0); val hi = b.getLong(1) + 1
+        val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * ((hi - lo) / 3)
+        val stamp = Tables.fixtureStamp(dir, "lineitem")
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-aggivm2-" +
+          Integer.toHexString(s"$dir@$stamp@m2".hashCode)
+        Seq((lo, cut1), (cut1, cut2), (cut2, hi)).foreach { case (l, h) =>
+          graft.sync.AggMaintenance.applySliceV2(
+            s, out, li, "l_shipdate", Seq("l_returnflag"), vals, l, h)
+        }
+        val derived = graft.sync.AggMaintenance.readDerived(s, out)
+        // independent one-shot twin: ONE aggregation over the raw rows
+        // (never through AggMaintenance), same exact types + double chain
+        def moments(v: String): Seq[Column] = {
+          val c = col(v).cast("decimal(18,4)")
+          Seq(count(c).as(s"cntv_$v"),
+            sum(c).cast("decimal(28,4)").as(s"sum_$v"),
+            sum((c * c).cast("decimal(38,8)")).cast("decimal(38,8)")
+              .as(s"sumsq_$v"),
+            min(c).as(s"min_$v"), max(c).as(s"max_$v"))
+        }
+        val oneShot = vals.foldLeft(
+          li.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"),
+            vals.flatMap(moments): _*)) { (df, v) =>
+          val nD = col(s"cntv_$v").cast("double")
+          val sumD = col(s"sum_$v").cast("double")
+          val sqD = col(s"sumsq_$v").cast("double")
+          df.withColumn(s"avg_$v",
+              when(col(s"cntv_$v") > 0, sumD / nD)
+                .otherwise(lit(null).cast("double")))
+            .withColumn(s"var_$v",
+              when(col(s"cntv_$v") > 1,
+                (sqD - sumD * sumD / nD) / (nD - lit(1.0)))
+                .otherwise(lit(null).cast("double")))
+        }
+        require(derived.exceptAll(oneShot).isEmpty &&
+          oneShot.exceptAll(derived).isEmpty,
+          "a10: maintained v2 moments diverge from the one-shot aggregation")
+        derived.select(col("l_returnflag"), col("cnt"),
+          col("avg_l_quantity").as("avg_qty"),
+          col("var_l_quantity").as("var_qty"),
+          col("avg_l_extendedprice").as("avg_price"),
+          col("var_l_extendedprice").as("var_price"),
+          col("min_l_quantity").cast("double").as("min_qty"),
+          col("max_l_quantity").cast("double").as("max_qty"))
     },
 
     // W1 — partitioned ROW_NUMBER, the load-bearing S4-dedup form

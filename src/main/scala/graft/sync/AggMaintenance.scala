@@ -1,7 +1,7 @@
 package graft.sync
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Watermark
 
@@ -61,6 +61,54 @@ object AggMaintenance {
     * 28 integral digits absorbs ~1e24 of 4-dp mass before overflow). */
   private val SumType = "decimal(28,4)"
   private val ValType = "decimal(18,4)"
+  /** Exact sum-of-squares type (v2): (18,4)² is (37,8); summing in
+    * decimal(38,8) leaves 30 integral digits — ~1e30 of squared mass —
+    * the same overflow headroom analysis as StreamingZScore's BigInt
+    * sum-of-squares, kept in DECIMAL here so DuckDB reproduces it. */
+  private val SqType = "decimal(38,8)"
+
+  /** One maintained metric column of a whole-directory rollup: stored
+    * name + exact type, the slice-scan aggregation producing it, the
+    * union-merge aggregation folding old+new partials, and the literal
+    * for the schema-bearing empty cold start. v1 (single value column:
+    * cnt/sum_val/min_val/max_val) and v2 (multi-column + sum-of-squares)
+    * differ ONLY in this list — the exactly-once protocol is shared. */
+  private final case class Metric(name: String, typ: String,
+                                  partial: Column, merge: Column,
+                                  emptyLit: Column)
+
+  private def cntMetric: Metric = Metric("cnt", "long",
+    count(lit(1)), sum(col("cnt")).cast("long"), lit(0L))
+
+  private def v1Metrics(valueCol: String): Seq[Metric] = {
+    val c = col(valueCol).cast(ValType)
+    Seq(cntMetric,
+      Metric("sum_val", SumType, sum(c).cast(SumType),
+        sum(col("sum_val")).cast(SumType), lit(null).cast(SumType)),
+      Metric("min_val", ValType, min(c),
+        min(col("min_val")), lit(null).cast(ValType)),
+      Metric("max_val", ValType, max(c),
+        max(col("max_val")), lit(null).cast(ValType)))
+  }
+
+  private def v2Metrics(valueCols: Seq[String]): Seq[Metric] =
+    cntMetric +: valueCols.flatMap { v =>
+      val c = col(v).cast(ValType)
+      Seq(
+        // per-column NON-NULL count: cnt counts rows, but a NULL value
+        // contributes nothing to sum/sumsq — deriving avg/var over the
+        // row count would silently dilute them on a nullable column
+        Metric(s"cntv_$v", "long", count(c),
+          sum(col(s"cntv_$v")).cast("long"), lit(0L)),
+        Metric(s"sum_$v", SumType, sum(c).cast(SumType),
+          sum(col(s"sum_$v")).cast(SumType), lit(null).cast(SumType)),
+        Metric(s"sumsq_$v", SqType, sum((c * c).cast(SqType)).cast(SqType),
+          sum(col(s"sumsq_$v")).cast(SqType), lit(null).cast(SqType)),
+        Metric(s"min_$v", ValType, min(c),
+          min(col(s"min_$v")), lit(null).cast(ValType)),
+        Metric(s"max_$v", ValType, max(c),
+          max(col(s"max_$v")), lit(null).cast(ValType)))
+    }
 
   /** The applied watermark (canonical µs), None before the first apply.
     * READ-ONLY: inside a whole-dir swap crash window (destination without
@@ -90,19 +138,83 @@ object AggMaintenance {
                  lo: Long, hi: Long): AggResult = {
     require(groupCols.nonEmpty, "applySlice requires at least one group column")
     require(hi >= lo, s"applySlice: hi ($hi) must be >= lo ($lo)")
+    val fs = new Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healWholeDir(fs, targetDir)
+    readText(fs, new Path(targetDir, ParamsFile)) match {
+      case Some(p) if p.startsWith("v2 ") =>
+        throw graft.core.GraftError.InvalidConfig(
+          s"rollup at $targetDir is a v2 multi-value rollup ($p); " +
+            "use applySliceV2 — the v1 schema has no sumsq columns to fold")
+      case Some(_) =>
+        throw graft.core.GraftError.InvalidConfig(
+          s"rollup at $targetDir is bucket-partitioned ($ParamsFile present); " +
+            "use applySlicePartitioned")
+      case None =>
+    }
+    applyWholeDir(spark, targetDir, source, orderCol, groupCols,
+      v1Metrics(valueCol), stamp = None, lo, hi)
+  }
+
+  /** v2 multi-value rollup: per group, `cnt` plus — for EACH value column
+    * v — exact `sum_v` / `sumsq_v` (DECIMAL) and `min_v` / `max_v`. The
+    * sum-of-squares is what [[readDerived]] turns into avg/variance
+    * WITHOUT rescanning history: maintained moments, the trigger-
+    * maintained aggregate of README.md:156-198 generalized beyond SUM.
+    * Same exactly-once whole-directory protocol as [[applySlice]]; the
+    * layout is stamped `v2 …` in `_GRAFT_AGG_PARAMS` (riding the swap, so
+    * stamp and data commit together) and every cross-parameterization —
+    * v1 apply on a v2 table, v2 apply on a v1 or partitioned table, a v2
+    * apply with different value/group/order columns — refuses typed. */
+  def applySliceV2(spark: SparkSession, targetDir: String, source: DataFrame,
+                   orderCol: String, groupCols: Seq[String],
+                   valueCols: Seq[String], lo: Long, hi: Long): AggResult = {
+    require(groupCols.nonEmpty,
+      "applySliceV2 requires at least one group column")
+    require(valueCols.nonEmpty,
+      "applySliceV2 requires at least one value column")
+    require(valueCols.distinct == valueCols,
+      s"duplicate value columns: ${valueCols.mkString(", ")}")
+    require(hi >= lo, s"applySliceV2: hi ($hi) must be >= lo ($lo)")
+    val fs = new Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healWholeDir(fs, targetDir)
+    val params = paramsStringV2(groupCols, valueCols, orderCol)
+    readText(fs, new Path(targetDir, ParamsFile)) match {
+      case Some(p) if p.startsWith("v1 ") =>
+        throw graft.core.GraftError.InvalidConfig(
+          s"rollup at $targetDir is bucket-partitioned v1 ($p); " +
+            "use applySlicePartitioned, or rebuild as v2")
+      case Some(p) if p != params =>
+        throw graft.core.GraftError.InvalidConfig(
+          s"rollup at $targetDir was built with different parameters " +
+            s"($p); refusing to apply $params — column sets would mix")
+      case None if ParquetMergeSink.hasData(fs, new Path(targetDir)) ||
+          readWm(fs, new Path(targetDir, WmFile)).isDefined =>
+        throw graft.core.GraftError.InvalidConfig(
+          s"rollup at $targetDir has no v2 stamp — a v1 whole-directory " +
+            "rollup or an unknown layout; use applySlice, or rebuild as v2")
+      case _ =>
+    }
+    applyWholeDir(spark, targetDir, source, orderCol, groupCols,
+      v2Metrics(valueCols), stamp = Some(params), lo, hi)
+  }
+
+  /** The shared whole-directory exactly-once core — v1 and v2 differ only
+    * in their [[Metric]] list and optional params stamp. See [[applySlice]]
+    * for the protocol contract. */
+  private def applyWholeDir(spark: SparkSession, targetDir: String,
+                            source: DataFrame, orderCol: String,
+                            groupCols: Seq[String], metrics: Seq[Metric],
+                            stamp: Option[String],
+                            lo: Long, hi: Long): AggResult = {
     val wmType = source.schema(orderCol).dataType
     require(Watermark.supported(wmType),
       s"order column '$orderCol' must be integral-numeric or timestamp-typed; " +
         s"got ${wmType.simpleString}")
-
     val fs = new Path(targetDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    healWholeDir(fs, targetDir)
     val dst = new Path(targetDir)
-    if (fs.exists(new Path(dst, ParamsFile)))
-      throw graft.core.GraftError.InvalidConfig(
-        s"rollup at $targetDir is bucket-partitioned ($ParamsFile present); " +
-          "use applySlicePartitioned")
     val exists = ParquetMergeSink.hasData(fs, dst)
     val stored = readWm(fs, new Path(dst, WmFile))
     if (exists && stored.isEmpty)
@@ -124,10 +236,8 @@ object AggMaintenance {
       col(orderCol) >= Watermark.litFor(wmType, lo) &&
       col(orderCol) < Watermark.litFor(wmType, hi))
     val partial = slice.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("cnt"),
-        sum(col(valueCol).cast(ValType)).cast(SumType).as("sum_val"),
-        min(col(valueCol).cast(ValType)).as("min_val"),
-        max(col(valueCol).cast(ValType)).as("max_val"))
+      .agg(metrics.head.partial.as(metrics.head.name),
+        metrics.tail.map(m => m.partial.as(m.name)): _*)
       .persist()
     try {
       if (partial.isEmpty) {
@@ -140,9 +250,10 @@ object AggMaintenance {
           // an empty write leaves no part files — the schema sidecar is
           // what makes the cold empty rollup readable (the dir itself may
           // pre-exist, e.g. a fresh mkdtemp)
-          val empty = emptyRollup(spark, source, groupCols)
+          val empty = emptyRollup(spark, source, groupCols, metrics)
           empty.write.mode("overwrite").parquet(targetDir)
           writeText(fs, new Path(dst, SchemaFile), empty.schema.json)
+          stamp.foreach(writeText(fs, new Path(dst, ParamsFile), _))
         }
         writeWm(fs, new Path(dst, WmFile), hi)
         return AggResult(0L, 0L, applied = true, watermarkUs = hi)
@@ -152,15 +263,12 @@ object AggMaintenance {
         if (!exists) partial // includes the empty-rollup cold-start successor
         else {
           val existing = spark.read.parquet(targetDir)
-            .select((groupCols.map(col) ++ Seq(col("cnt"),
-              col("sum_val").cast(SumType), col("min_val").cast(ValType),
-              col("max_val").cast(ValType))): _*)
+            .select((groupCols.map(col) ++
+              metrics.map(m => col(m.name).cast(m.typ))): _*)
           existing.unionByName(partial)
             .groupBy(groupCols.map(col): _*)
-            .agg(sum(col("cnt")).cast("long").as("cnt"),
-              sum(col("sum_val")).cast(SumType).as("sum_val"),
-              min(col("min_val")).as("min_val"),
-              max(col("max_val")).as("max_val"))
+            .agg(metrics.head.merge.as(metrics.head.name),
+              metrics.tail.map(m => m.merge.as(m.name)): _*)
         }
 
       val tmp = targetDir.stripSuffix("/") + ".__agg_tmp"
@@ -169,6 +277,8 @@ object AggMaintenance {
       merged.write.mode("overwrite").parquet(tmp)
       val groups = spark.read.parquet(tmp).count()
       writeText(fs, new Path(tmpPath, SchemaFile), merged.schema.json)
+      // the v2 stamp rides the swap: stamp and data commit as one unit
+      stamp.foreach(writeText(fs, new Path(tmpPath, ParamsFile), _))
       writeWm(fs, new Path(tmpPath, WmFile), hi) // watermark rides the swap
       // sliceRows from the already-persisted partial — never a second
       // slice scan just to report a number
@@ -374,7 +484,10 @@ object AggMaintenance {
     val fs = new Path(targetDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = new Path(targetDir)
-    val partitioned = fs.exists(new Path(root, ParamsFile))
+    // a ParamsFile alone no longer implies partitioned (v2 whole-dir
+    // tables are stamped too) — key off the v1-partitioned prefix
+    val partitioned = readText(fs, new Path(root, ParamsFile))
+      .exists(_.startsWith("v1 buckets="))
     // READ-ONLY crash tolerance: a reader never renames anything (a
     // concurrent apply may be mid-swap — healing here could break its
     // forward rename); instead it READS AROUND the window. Whole-dir: the
@@ -430,6 +543,62 @@ object AggMaintenance {
                            valueCol: String, orderCol: String): String =
     s"v1 buckets=$nBuckets group=${groupCols.mkString("+")} " +
       s"value=$valueCol order=$orderCol"
+
+  /** Read a v2 rollup with avg/variance DERIVED from the maintained exact
+    * moments — per value column v, appends `avg_v` and `var_v` (sample
+    * variance) as DOUBLE. The arithmetic chain is a CONTRACT, not an
+    * implementation detail: every operand is an exactly-maintained
+    * DECIMAL cast once to double (correctly rounded in any engine), and
+    * the chain is fixed as (n = cntv_v, the NON-NULL count of v)
+    *   avg_v = double(sum_v) / double(n),  NULL when n = 0
+    *   var_v = (double(sumsq_v) − double(sum_v)·double(sum_v)/double(n))
+    *           / (double(n) − 1),  NULL when n ≤ 1
+    * so any engine replaying the same IEEE-754 operations over the same
+    * exact moments — DuckDB in the a10 oracle, a one-shot Spark
+    * aggregation in the gate's exceptAll contract — reproduces it BIT
+    * FOR BIT. (Spark's own var_samp is a streaming central-moment fold
+    * whose double result depends on partition merge order — fine within
+    * tolerance, unusable under hash equality; the spec checks it at 1e-9.)
+    * Refuses typed on anything but a v2 table: v1 rollups keep no
+    * sum-of-squares, so a derived variance there would be a lie. */
+  def readDerived(spark: SparkSession, targetDir: String): DataFrame = {
+    val fs = new Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val params = readText(fs, new Path(targetDir, ParamsFile))
+      .orElse(readText(fs, new Path(bakRoot(targetDir) + "_dir", ParamsFile)))
+      .getOrElse(throw graft.core.GraftError.InvalidConfig(
+        s"rollup at $targetDir carries no $ParamsFile stamp — a v1 " +
+          "whole-directory rollup maintains no sumsq; rebuild with " +
+          "applySliceV2 to derive avg/var"))
+    if (!params.startsWith("v2 "))
+      throw graft.core.GraftError.InvalidConfig(
+        s"rollup at $targetDir is '$params', not a v2 multi-value rollup")
+    val valueCols = params.split(' ')
+      .find(_.startsWith("values=")).map(_.stripPrefix("values="))
+      .getOrElse(throw graft.core.GraftError.InvalidConfig(
+        s"malformed v2 stamp at $targetDir: '$params'"))
+      .split('+').toSeq
+    valueCols.foldLeft(read(spark, targetDir)) { (df, v) =>
+      val nD = col(s"cntv_$v").cast("double")
+      val sumD = col(s"sum_$v").cast("double")
+      val sqD = col(s"sumsq_$v").cast("double")
+      df.withColumn(s"avg_$v",
+          when(col(s"cntv_$v") > 0, sumD / nD)
+            .otherwise(lit(null).cast("double")))
+        .withColumn(s"var_$v",
+          when(col(s"cntv_$v") > 1,
+            (sqD - sumD * sumD / nD) / (nD - lit(1.0)))
+            .otherwise(lit(null).cast("double")))
+    }
+  }
+
+  /** v2 stamp: no `buckets=` token — [[read]] keys partitioned-ness off
+    * the `v1 buckets=` prefix, so a v2 whole-dir table reads through the
+    * whole-dir (backup-aware) branch. */
+  private def paramsStringV2(groupCols: Seq[String], valueCols: Seq[String],
+                             orderCol: String): String =
+    s"v2 flat group=${groupCols.mkString("+")} " +
+      s"values=${valueCols.mkString("+")} order=$orderCol"
 
   private def bakRoot(targetDir: String): String =
     targetDir.stripSuffix("/") + ".__agg_bak"
@@ -524,12 +693,11 @@ object AggMaintenance {
   }
 
   private def emptyRollup(spark: SparkSession, source: DataFrame,
-                          groupCols: Seq[String]): DataFrame =
-    source.select(groupCols.map(col): _*).limit(0)
-      .withColumn("cnt", lit(0L))
-      .withColumn("sum_val", lit(null).cast(SumType))
-      .withColumn("min_val", lit(null).cast(ValType))
-      .withColumn("max_val", lit(null).cast(ValType))
+                          groupCols: Seq[String],
+                          metrics: Seq[Metric]): DataFrame =
+    metrics.foldLeft(source.select(groupCols.map(col): _*).limit(0)) {
+      (df, m) => df.withColumn(m.name, m.emptyLit)
+    }
 
   private def readWm(fs: FileSystem, p: Path): Option[Long] =
     readText(fs, p).flatMap(_.trim.toLongOption)
@@ -548,8 +716,21 @@ object AggMaintenance {
   }
 
   private def writeText(fs: FileSystem, p: Path, s: String): Unit = {
-    val out = fs.create(p, true)
+    // write-temp-then-rename (the RangeLayout.writeSidecar pattern): the
+    // _GRAFT_AGG_WM / _GRAFT_AGG_PARAMS / _GRAFT_AGG_SCHEMA sidecars are
+    // COMMIT MARKERS, and the empty-slice watermark advance and the
+    // partitioned root-wm commit rewrite them IN PLACE. A truncate-then-
+    // write (fs.create(p, true)) crashed mid-write destroys the previously
+    // committed watermark — readWm parses the truncated file as None and
+    // the whole-dir path wedges with the typed "has data but no sidecar"
+    // refusal. Rename makes presence ⇒ whole content: a crash leaves
+    // either the old stamp or the new one, never a torn one.
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"sidecar commit: rename $tmp -> $p failed")
   }
 }

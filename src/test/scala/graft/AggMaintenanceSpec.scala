@@ -266,6 +266,129 @@ class AggMaintenanceSpec extends SparkSpec {
       .filter(_.getName.startsWith("__bucket="))
       .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
 
+  // ——— v2 multi-value rollups (maintained moments) ———
+
+  private def rows2(r: (Long, String, Double, Double)*) =
+    r.toSeq.toDF("us", "grp", "x", "y")
+
+  test("v2: slices fold to the one-shot; derived avg/var match var_samp") {
+    val src = rows2(
+      (10L, "a", 1.5, 10.0), (20L, "b", 2.0, -3.0), (30L, "a", -1.0, 4.5),
+      (40L, "b", 4.25, 0.5), (50L, "a", 0.25, 2.0), (60L, "c", 9.0, 7.0))
+    val dir = tmpDir("agg-v2")
+    def apply(l: Long, h: Long) = AggMaintenance.applySliceV2(
+      spark, dir, src, "us", Seq("grp"), Seq("x", "y"), l, h)
+    apply(0L, 25L); apply(25L, 45L); apply(45L, 100L)
+    assert(AggMaintenance.watermark(spark, dir).contains(100L))
+    // replay no-op
+    val rp = apply(0L, 100L)
+    assert(!rp.applied && rp.watermarkUs == 100L)
+    // stored moments equal the one-shot exact aggregation
+    val got = AggMaintenance.read(spark, dir).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), r.getDecimal(3).doubleValue, r.getDecimal(4).doubleValue,
+        r.getLong(7), r.getDecimal(8).doubleValue))).toMap
+    assert(got("a") == ((3L, 3L, 0.75, 1.5 * 1.5 + 1.0 + 0.25 * 0.25, 3L, 16.5)))
+    assert(got("c") == ((1L, 1L, 9.0, 81.0, 1L, 7.0)))
+    // derived avg/var agree with Spark's own avg/var_samp to 1e-9 —
+    // var_samp's streaming double fold is merge-order-dependent, so this
+    // is a tolerance check, never hash equality (readDerived's scaladoc)
+    val derived = AggMaintenance.readDerived(spark, dir)
+      .select("grp", "avg_x", "var_x", "avg_y", "var_y")
+      .filter(col("grp") =!= "c") // single-row group: var is NULL, below
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val want = src.filter(col("grp") =!= "c").groupBy("grp")
+      .agg(avg("x").as("ax"), var_samp("x").as("vx"),
+        avg("y").as("ay"), var_samp("y").as("vy"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    for (g <- Seq("a", "b")) {
+      val (ax, vx, ay, vy) = derived(g); val (wax, wvx, way, wvy) = want(g)
+      assert(math.abs(ax - wax) < 1e-9 && math.abs(vx - wvx) < 1e-9 &&
+        math.abs(ay - way) < 1e-9 && math.abs(vy - wvy) < 1e-9,
+        s"derived moments for $g: ($ax,$vx,$ay,$vy) vs ($wax,$wvx,$way,$wvy)")
+    }
+    // single-row group: variance is NULL (n ≤ 1), avg is the value
+    val c = AggMaintenance.readDerived(spark, dir)
+      .filter(col("grp") === "c").select("avg_x", "var_x").collect().head
+    assert(c.getDouble(0) == 9.0 && c.isNullAt(1))
+  }
+
+  test("v2: NULL values feed cntv, not cnt — avg/var stay undiluted") {
+    val src = Seq(
+      (10L, "a", Option(2.0), Option(1.0)),
+      (20L, "a", Option.empty[Double], Option(3.0)),
+      (30L, "a", Option(4.0), Option.empty[Double]))
+      .toDF("us", "grp", "x", "y")
+    val dir = tmpDir("agg-v2-null")
+    AggMaintenance.applySliceV2(
+      spark, dir, src, "us", Seq("grp"), Seq("x", "y"), 0L, 25L)
+    AggMaintenance.applySliceV2(
+      spark, dir, src, "us", Seq("grp"), Seq("x", "y"), 25L, 50L)
+    val r = AggMaintenance.readDerived(spark, dir)
+      .select("cnt", "cntv_x", "avg_x", "var_x", "cntv_y", "avg_y")
+      .collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2 && r.getLong(4) == 2)
+    assert(r.getDouble(2) == 3.0, "avg over the NON-NULL count")
+    assert(math.abs(r.getDouble(3) - 2.0) < 1e-12) // var_samp of {2,4}
+    assert(r.getDouble(5) == 2.0)
+  }
+
+  test("v2: empty slice advances; empty cold start is readable and stamped") {
+    val src = rows2((100L, "a", 1.0, 2.0))
+    val dir = tmpDir("agg-v2-cold")
+    val r = AggMaintenance.applySliceV2(
+      spark, dir, src, "us", Seq("grp"), Seq("x", "y"), 0L, 50L)
+    assert(r.applied && r.sliceRows == 0)
+    assert(AggMaintenance.watermark(spark, dir).contains(50L))
+    assert(AggMaintenance.readDerived(spark, dir).count() == 0)
+    // the stamp was written with the cold start: a v1 apply refuses NOW,
+    // not only after the first data-bearing slice
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySlice(spark, dir, src, "us", Seq("grp"), "x", 50L, 200L))
+    AggMaintenance.applySliceV2(
+      spark, dir, src, "us", Seq("grp"), Seq("x", "y"), 50L, 200L)
+    val m = AggMaintenance.readDerived(spark, dir).collect().head
+    assert(m.getLong(1) == 1 && m.getAs[java.math.BigDecimal]("sum_x")
+      .doubleValue == 1.0)
+  }
+
+  test("v2/v1 cross-parameterizations refuse typed in every direction") {
+    val src = rows2((10L, "a", 1.0, 2.0), (90L, "b", 3.0, 4.0))
+    // v2 table: v1 apply refuses, foreign v2 column sets refuse
+    val v2dir = tmpDir("agg-v2-x")
+    AggMaintenance.applySliceV2(
+      spark, v2dir, src, "us", Seq("grp"), Seq("x", "y"), 0L, 50L)
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySlice(spark, v2dir, src, "us", Seq("grp"), "x", 50L, 95L))
+    assertThrows[graft.core.GraftError.InvalidConfig]( // different values
+      AggMaintenance.applySliceV2(
+        spark, v2dir, src, "us", Seq("grp"), Seq("x"), 50L, 95L))
+    assertThrows[graft.core.GraftError.InvalidConfig]( // different order col
+      AggMaintenance.applySliceV2(
+        spark, v2dir, src.withColumn("us2", col("us")), "us2",
+        Seq("grp"), Seq("x", "y"), 50L, 95L))
+    // v1 whole-dir table: v2 apply and readDerived refuse
+    val v1dir = tmpDir("agg-v1-x")
+    AggMaintenance.applySlice(spark, v1dir, src, "us", Seq("grp"), "x", 0L, 50L)
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySliceV2(
+        spark, v1dir, src, "us", Seq("grp"), Seq("x", "y"), 50L, 95L))
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.readDerived(spark, v1dir))
+    // v1 partitioned table: v2 apply refuses on the v1 stamp
+    val pdir = tmpDir("agg-p-x")
+    AggMaintenance.applySlicePartitioned(
+      spark, pdir, src, "us", Seq("grp"), "x", 0L, 50L, nBuckets = 8)
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySliceV2(
+        spark, pdir, src, "us", Seq("grp"), Seq("x", "y"), 50L, 95L))
+    // and readDerived refuses the partitioned (v1) stamp too
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.readDerived(spark, pdir))
+  }
+
   test("timestamp order column: bounds are canonical µs, filter on native type") {
     val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
     val us = graft.core.Tables.tsUs(ev)
