@@ -567,12 +567,17 @@ object Similarity {
     * per query. Seeded — deterministic across runs. */
   def buildIvfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
                     indexDir: String, nLists: Int = 16,
-                    seed: Long = 42L): Unit = {
+                    seed: Long = 42L, metaCols: Seq[String] = Nil): Unit = {
     val (assigned0, centers) = fitCells(embeddings, vecCol, nLists, seed)
     // materialized once: the partitioned write and the cell-stats baseline
     // both read the assignment (recomputing the scan + KMeans transform
-    // per consumer would double the build's dominant cost)
-    val assigned = assigned0.select(col(idCol), col(vecCol), col("__cell"))
+    // per consumer would double the build's dominant cost).
+    // metaCols ride INSIDE the cell files so a filtered probe pushes its
+    // metadata predicate into the pruned scan (PushedFilters beside the
+    // __cell PartitionFilters) — the "search within a date range" shape;
+    // without them a filtered probe would need a join back to the corpus.
+    val assigned = assigned0.select(
+        (col(idCol) +: metaCols.map(col)) ++ Seq(col(vecCol), col("__cell")): _*)
       .localCheckpoint()
     assigned
       .write.mode(SaveMode.Overwrite).partitionBy("__cell").parquet(indexDir)
@@ -683,11 +688,17 @@ object Similarity {
       .take(nProbe).map(_._1).toIndexedSeq
   }
 
-  /** Build-if-absent into the content-addressed cache; returns the dir. */
+  /** Build-if-absent into the content-addressed cache; returns the dir.
+    * metaCols extend the cache key only when present, so pre-existing
+    * metadata-free indexes stay cache hits. */
   def ensureIvfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
-                     nLists: Int = 16, seed: Long = 42L): String =
-    ensureCached("ivf", embeddings, s"$idCol|$vecCol|$nLists|$seed")(
-      buildIvfIndex(embeddings, idCol, vecCol, _, nLists, seed))
+                     nLists: Int = 16, seed: Long = 42L,
+                     metaCols: Seq[String] = Nil): String = {
+    val metaKey =
+      if (metaCols.isEmpty) "" else s"|meta=${metaCols.mkString("+")}"
+    ensureCached("ivf", embeddings, s"$idCol|$vecCol|$nLists|$seed$metaKey")(
+      buildIvfIndex(embeddings, idCol, vecCol, _, nLists, seed, metaCols))
+  }
 
   /** One cell's drift line in [[IvfAppendStats]]: the batch's mean
     * assigned-centroid distance against the build-time baseline for the
@@ -856,15 +867,24 @@ object Similarity {
 
   /** Probe a [[buildIvfIndex]] layout: rank the persisted centroid list
     * driver-side (scalar-sized), read ONLY the nProbe nearest cell
-    * partitions, exact cosine top-k on candidates. No training stage. */
+    * partitions, exact cosine top-k on candidates. No training stage.
+    *
+    * `filter` restricts candidates by metadata BEFORE the distance work —
+    * it composes with the partition pruning: the predicate lands in the
+    * pruned cells' parquet scan as PushedFilters (row-group min/max
+    * pruning) beside the `__cell` PartitionFilters, so a selective
+    * "within this label/date range" probe reads a fraction of even the
+    * probed cells. The filtered columns must have been built into the
+    * index via `metaCols` — filtering on an absent column fails loudly at
+    * analysis (there is nothing to silently mis-filter). */
   def ivfProbe(spark: SparkSession, indexDir: String, idCol: String,
                vecCol: String, query: Seq[Float], k: Int,
-               nProbe: Int = 4): DataFrame = {
+               nProbe: Int = 4, filter: Option[Column] = None): DataFrame = {
     val probes = nearestCells(spark, indexDir, query, nProbe)
     val qLit = array(query.map(v => lit(v.toDouble)): _*)
-    cosineTopK(
-      spark.read.parquet(indexDir).filter(col("__cell").isin(probes: _*)),
-      idCol, col(vecCol), qLit, k)
+    val cells = spark.read.parquet(indexDir)
+      .filter(col("__cell").isin(probes: _*))
+    cosineTopK(filter.fold(cells)(cells.filter), idCol, col(vecCol), qLit, k)
   }
 
   /** Batch ANN over a [[buildIvfIndex]] layout: top-k for EVERY query row

@@ -379,6 +379,35 @@ object ExtQueries {
           "vec_id", "embedding", query, 10)
     },
 
+    // E2 — filtered ANN on the INDEXED path with a RANGE predicate: e2w
+    // proves the equality filter reaches the brute-force scan; this one
+    // proves a `label BETWEEN` predicate composes with the IVF layout's
+    // partition pruning — the probe reads only the nProbe nearest
+    // `__cell=K/` partitions (PartitionFilters) AND pushes the range into
+    // those cells' parquet scan (PushedFilters; PlanCheck pins both).
+    // The "search within a date range" production shape: metadata rides
+    // the index via metaCols, no join back to the corpus. Approximate ⇒
+    // recall-contract gate against the filtered exact top-k (e2b's form).
+    "e2w2_filtered_range_ivf" -> Q(
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |topk AS (SELECT vec_id FROM embeddings WHERE label BETWEEN 2 AND 5
+        |         ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) DESC,
+        |                  vec_id ASC LIMIT 10)
+        |SELECT count(*) AS k, CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS self_found
+        |FROM topk""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0)
+      val idx = Similarity.ensureIvfIndex(emb, "vec_id", "embedding",
+        metaCols = Seq("label"))
+      val ann = Similarity.ivfProbe(s, idx, "vec_id", "embedding", query, 10,
+        nProbe = 6, filter = Some(col("label").between(2, 5)))
+      val exact = Similarity.bruteForceTopK(
+        emb.filter(col("label").between(2, 5)), "vec_id", "embedding",
+        query, 10)
+      recallContract(exact, ann)
+    },
+
     // E2 — same top-k through the codegen'd native CosineSimilarity
     // Expression (graft.functions): must hash-match the same oracle as e2
     // (identical formula + traversal order → bit-identical doubles).
@@ -1183,6 +1212,18 @@ object ExtQueries {
       (s, dir) =>
         Tables.documents(s, dir)
           .cube("lang", "source").agg(count(lit(1)).as("cnt"))
+    },
+
+    // E4 — ROLLUP (the hierarchical grouping-sets twin of e4i's CUBE:
+    // (lang, source) → (lang) → () — no (source)-only stratum). Same
+    // single-pass expand+aggregate plan; with CUBE this closes the
+    // grouping-sets family §2.6 claims from built-ins.
+    "e4i2_rollup_counts" -> Q(
+      """SELECT lang, source, count(*) AS cnt
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin) {
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .rollup("lang", "source").agg(count(lit(1)).as("cnt"))
     },
 
     // [EXT] deterministic per-group sampling: k docs per language by

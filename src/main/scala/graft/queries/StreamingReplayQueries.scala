@@ -370,6 +370,85 @@ object StreamingReplayQueries {
         } finally q.stop()
       }
       s.table(name)
+    },
+
+    // T13 — batch IVM driven AS A STREAMING SINK: each micro-batch folds
+    // into the AggMaintenance rollup through the same applySlice contract
+    // the a7 gate exercises (contiguous [stored wm, batch max+1) slices,
+    // replay no-op, exactly-once swap), and the final rollup must
+    // hash-match a7's one-shot oracle — gating that the batch-IVM and
+    // streaming-agg lanes AGREE, not merely that each matches its own
+    // oracle. foreachBatch is the production shape for this (stream →
+    // incremental materialized view); the per-batch watermark read + fold
+    // is exactly the cron loop of `cli.Main runAgg`, driven by triggers
+    // instead of cron. Chunks split on ts BOUNDARIES: two rows sharing a
+    // ts must never straddle batches, or the half-open slice would drop
+    // the tail rows (the fixture has unique ts; the harness must not
+    // depend on that).
+    "t13_agg_maintenance_replay" -> Q(
+      """SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |       CAST(min(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS min_value,
+        |       CAST(max(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS max_value
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import graft.sync.AggMaintenance
+      val rows = collectedEvents(s, dir) // (ts_us, event_id)-ordered
+      // ts-boundary-safe chunking: extend each chunk until the ts changes
+      val safeChunks: Seq[Seq[Ev]] = {
+        // a plain foreach, NOT a for-comprehension with a `chunk = …`
+        // definition: that desugars to a .map evaluated over ALL chunks
+        // BEFORE the body's carry mutation runs, so every spill would be
+        // computed against the initial empty carry and silently dropped
+        val out = Seq.newBuilder[Seq[Ev]]
+        var carry = Seq.empty[Ev]
+        chunked(rows).foreach { c =>
+          val chunk = carry ++ c
+          if (chunk.nonEmpty) {
+            val lastTs = chunk.last.tsUs
+            // rows are ts-sorted, so the last-ts rows form the SUFFIX;
+            // they spill to the next chunk. A chunk that is ALL one ts
+            // keeps accumulating (the run may continue into the next).
+            val (keep, spill) = chunk.partition(_.tsUs != lastTs)
+            if (keep.isEmpty) carry = chunk
+            else { out += keep; carry = spill }
+          }
+        }
+        if (carry.nonEmpty) out += carry
+        out.result()
+      }
+      val rollup = java.nio.file.Files
+        .createTempDirectory("t13-replay").toString + "/rollup"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("t13-ckpt").toString
+      withShufflePartitions(s, 4) {
+        val mem = MemoryStream[Ev]
+        val fold: (org.apache.spark.sql.Dataset[Ev], Long) => Unit =
+          (batch, _) => {
+            val b = batch.persist()
+            try {
+              val bounds = b.agg(min(col("tsUs")), max(col("tsUs"))).head()
+              if (!bounds.isNullAt(0)) {
+                val lo = AggMaintenance.watermark(s, rollup)
+                  .getOrElse(bounds.getLong(0))
+                AggMaintenance.applySlice(s, rollup, b.toDF(), "tsUs",
+                  Seq("eventType"), "value", lo, bounds.getLong(1) + 1)
+                ()
+              }
+            } finally { b.unpersist(); () }
+          }
+        val q = mem.toDS().writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch(fold).start()
+        try safeChunks.foreach { b => mem.addData(b); q.processAllAvailable() }
+        finally q.stop()
+      }
+      AggMaintenance.read(s, rollup)
+        .select(col("eventType").as("event_type"), col("cnt"),
+          col("sum_val").cast("double").as("sum_value"),
+          col("min_val").cast("double").as("min_value"),
+          col("max_val").cast("double").as("max_value"))
     }
   )
 }

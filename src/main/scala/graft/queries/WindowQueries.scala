@@ -158,6 +158,51 @@ object WindowQueries {
             .select("user_id"))
     },
 
+    // Set ops, part 3 — EXCEPT ALL (MULTISET semantics: each right-side
+    // occurrence cancels exactly ONE left-side occurrence, never the
+    // whole key). The doubled left feed manufactures per-key
+    // multiplicities 2×n(u); the right side subtracts the purchase count,
+    // so surviving multiplicities (2·n − purchases) are only computable
+    // under bag semantics — a set-based EXCEPT would return nothing
+    // distinguishable. Spark's exceptAll plans this without materializing
+    // either multiset row-by-row: a ±1-tagged union, per-key running
+    // counts, generate to re-expand — one shuffle on the key.
+    "set3_except_all" -> Q(
+      """SELECT user_id FROM (
+        |  SELECT user_id FROM events WHERE user_id < 50
+        |  UNION ALL
+        |  SELECT user_id FROM events WHERE user_id < 50) u
+        |EXCEPT ALL
+        |SELECT user_id FROM events
+        |WHERE user_id < 50 AND event_type = 'purchase'""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.events(s, dir)
+        val lo = e.filter(col("user_id") < 50).select("user_id")
+        lo.union(lo)
+          .exceptAll(e.filter(col("user_id") < 50 &&
+            col("event_type") === "purchase").select("user_id"))
+    },
+
+    // Set ops, part 4 — INTERSECT ALL (multiset: per key,
+    // min(left count, right count) copies survive; the doubled left side
+    // makes min(2·n(u), purchases(u)) distinguishable from plain
+    // INTERSECT's 0/1). Closes §2.6's set-op family: plain + ALL forms of
+    // EXCEPT and INTERSECT all gated.
+    "set4_intersect_all" -> Q(
+      """SELECT user_id FROM (
+        |  SELECT user_id FROM events WHERE user_id < 50
+        |  UNION ALL
+        |  SELECT user_id FROM events WHERE user_id < 50) u
+        |INTERSECT ALL
+        |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.events(s, dir)
+        val lo = e.filter(col("user_id") < 50).select("user_id")
+        lo.union(lo)
+          .intersectAll(e.filter(col("event_type") === "purchase")
+            .select("user_id"))
+    },
+
     // Event-time tumbling window (SURVEY §2.8 note: absent from the
     // reference, declared [EXT] harness coverage): the batch twin of the
     // streaming `window()` aggregation. Spark's 1-hour windows align to the

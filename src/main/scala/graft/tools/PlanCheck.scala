@@ -33,6 +33,11 @@ object PlanCheck {
     "e2w_filtered_topk" -> Seq("PushedFilters: \\[.*EqualTo\\(label,3\\)",
                                "TakeOrderedAndProject"),
     "e2d_ivf_topk"      -> Seq("PartitionFilters: \\[.*__cell"),
+    // range-filtered IVF probe: the label range must land in the PRUNED
+    // cells' parquet scan — BOTH pruning layers in one scan node
+    "e2w2_filtered_range_ivf" -> Seq(
+      "(?s)PartitionFilters: \\[.*__cell.*PushedFilters: \\[.*GreaterThanOrEqual\\(label,2\\)" +
+        "|(?s)PushedFilters: \\[.*GreaterThanOrEqual\\(label,2\\).*PartitionFilters: \\[.*__cell"),
     "e2k_ivf_quantized_topk" -> Seq("PartitionFilters: \\[.*__cell"),
     "e2l_lsh_quantized_topk" -> Seq("PartitionFilters: \\[.*bucket"),
     // batch ANN: queries broadcast onto the index (corpus never shuffles)
