@@ -189,6 +189,77 @@ object JoinQueries {
           .limit(20)
     },
 
+    // TPC-H Q13 shape — customer order-count DISTRIBUTION: the LEFT OUTER
+    // join that must PRESERVE zero-order customers (an inner join would
+    // silently drop the c_count=0 stratum — the whole point of the query),
+    // followed by a second aggregation over the first's counts. Plan: the
+    // filtered orders side shuffles on custkey once; customer is kept on
+    // the probe side (outer-preserved); the distribution re-agg is
+    // count-cardinality sized. count(o_orderkey) (not count(*)) encodes
+    // the no-match → 0 semantics in both engines.
+    "j17_order_count_distribution" -> Q(
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) c
+        |GROUP BY c_count""".stripMargin) {
+      (s, dir) =>
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_custkey", "o_orderkey")
+        Tables.customer(s, dir).select("c_custkey")
+          .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+    },
+
+    // TPC-H Q18 shape — large-volume customers: the HAVING-subquery
+    // semi-join. The qualifying-order set (sum qty > 300 — the genuine
+    // TPC-H threshold, top ~0.2% of orders here) is computed by one
+    // grouped agg over the fact table and is TINY, so it broadcasts back
+    // onto orders/lineitem — the fact table shuffles once (the HAVING
+    // agg), never for the semi-join. Quantities are integral doubles, so
+    // the >300 boundary cannot flap cross-engine.
+    "j18_large_volume_customer" -> Q(
+      """SELECT c_custkey, o_orderkey,
+        |       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |GROUP BY c_custkey, o_orderkey, o_totalprice""".stripMargin) {
+      (s, dir) =>
+        val li = Tables.lineitem(s, dir)
+        // one fact shuffle computes the qualifying-order set (tiny)
+        val big = li.groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("__sq"))
+          .filter(col("__sq") > 300)
+          .select(col("l_orderkey").as("__big_ok"))
+        // orders and customer are NOT broadcast-able at fact scale —
+        // instead the TINY qualifying set broadcasts onto each in turn,
+        // and only the tiny enriched result broadcasts onto the fact scan
+        val bigOrders = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .join(broadcast(big), col("o_orderkey") === col("__big_ok"),
+            "left_semi")
+        val withCust = Tables.customer(s, dir).select("c_custkey")
+          .join(broadcast(bigOrders), col("c_custkey") === col("o_custkey"))
+        // inner join against the tiny set doubles as the IN semi-join
+        li.select("l_orderkey", "l_quantity")
+          .join(broadcast(withCust), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+          .agg(sum("l_quantity").cast("double").as("sum_qty"))
+          .select(col("c_custkey"), col("o_orderkey"),
+            col("o_totalprice").cast("double").as("o_totalprice"),
+            col("sum_qty"))
+    },
+
     // As-of join — the point-in-time enrichment join (latest view before
     // each purchase, per user). Spark side is the merge-style encoding
     // (graft.ops.AsOfJoin: one key shuffle + sort + running last, no

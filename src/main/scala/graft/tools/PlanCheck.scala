@@ -25,6 +25,12 @@ object PlanCheck {
     "j3_local_supplier_volume" -> Seq("BroadcastHashJoin"),
     "j4_semi_exists"    -> Seq("(?s)(BroadcastHashJoin|SortMergeJoin).*LeftSemi|LeftSemi.*(BroadcastHashJoin|SortMergeJoin)"),
     "o2_topk"           -> Seq("TakeOrderedAndProject"),
+    // Q13 shape: the zero-order stratum only exists if the join stays
+    // LEFT OUTER (an inner join would type-check and silently drop it)
+    "j17_order_count_distribution" -> Seq("LeftOuter"),
+    // Q18 shape: the tiny qualifying-order set broadcasts — the fact
+    // table must never shuffle for the semi-join (only the HAVING agg)
+    "j18_large_volume_customer" -> Seq("BroadcastHashJoin"),
     // ANN probes must hit the index layout with directory-level pruning,
     // never a full-corpus scan
     "e2b_ann_topk"      -> Seq("PartitionFilters: \\[.*bucket"),

@@ -39,7 +39,9 @@ import graft.sync.{SyncConfig, SyncJob}
   * `e5dcap`, `funnel`, `layout`, `zorder`, `sync` — which includes the
   * streaming replay built on its output dir — `aggivm` (batch IVM: 10
   * contiguous slice applies, per-slice flat-cost curve + one-shot
-  * equality), `mhindex` (persisted MinHash index: build-once cost vs
+  * equality; includes the v2 MOMENTS form — two value columns, derived
+  * avg/var vs the one-shot same-chain aggregation, v1-vs-v2 surcharge),
+  * `mhindex` (persisted MinHash index: build-once cost vs
   * per-probe cost vs the fresh two-sided join)) runs a subset; fixture
   * replication is skipped for inputs no selected group reads. Unset =
   * everything, unchanged.
@@ -719,6 +721,58 @@ object ScaleStress {
           Seq("batch_equal" -> (if (pDiff == 0) "1" else "0")))
         if (pDiff != 0) sys.error(
           s"partitioned aggivm diverged from one-shot at x$rep: $pDiff rows")
+
+        // v2 MOMENTS form over the same sliced source, TWO value columns
+        // (cnt + per-column cntv/sum/sumsq/min/max): the claim is a
+        // constant column-width surcharge over the v1 slices above — no
+        // new scale term — with derived avg/var equal to the one-shot
+        // same-chain aggregation at every scale (the a10 contract).
+        val src2 = src.withColumn("value2", col("value") * 2.0 + 1.0)
+        val dest2 = s"$work/aggivm2_rollup_x$rep"
+        var total2 = 0.0
+        (0 until nSlices).foreach { i =>
+          val l = lo + i * step; val h = math.min(hi, l + step)
+          val (r, t) = timed(graft.sync.AggMaintenance.applySliceV2(
+            spark, dest2, src2, "ts", Seq("user_id"),
+            Seq("value", "value2"), l, h))
+          total2 += t
+          jline("aggivm2_slice", rep, t, r.sliceRows,
+            Seq("slice" -> i.toString))
+        }
+        val derived2 = graft.sync.AggMaintenance.readDerived(spark, dest2)
+          .select("user_id", "cnt", "avg_value", "var_value",
+            "avg_value2", "var_value2")
+        val oneShot2 = {
+          def m(v: String): Seq[org.apache.spark.sql.Column] = {
+            val c = col(v).cast("decimal(18,4)")
+            Seq(count(c).as(s"cntv_$v"),
+              sum(c).cast("decimal(28,4)").as(s"sum_$v"),
+              sum((c * c).cast("decimal(38,8)")).cast("decimal(38,8)")
+                .as(s"sumsq_$v"))
+          }
+          Seq("value", "value2").foldLeft(
+            src2.groupBy("user_id").agg(count(lit(1)).as("cnt"),
+              (m("value") ++ m("value2")): _*)) { (df, v) =>
+            val nD = col(s"cntv_$v").cast("double")
+            val sD = col(s"sum_$v").cast("double")
+            val qD = col(s"sumsq_$v").cast("double")
+            df.withColumn(s"avg_$v",
+                when(col(s"cntv_$v") > 0, sD / nD)
+                  .otherwise(lit(null).cast("double")))
+              .withColumn(s"var_$v",
+                when(col(s"cntv_$v") > 1,
+                  (qD - sD * sD / nD) / (nD - lit(1.0)))
+                  .otherwise(lit(null).cast("double")))
+          }.select("user_id", "cnt", "avg_value", "var_value",
+            "avg_value2", "var_value2")
+        }
+        val d2 = derived2.exceptAll(oneShot2).count() +
+          oneShot2.exceptAll(derived2).count()
+        jline("aggivm2_total", rep, total2, src.count(),
+          Seq("v1_total" -> f"$total%.2f",
+            "batch_equal" -> (if (d2 == 0) "1" else "0")))
+        if (d2 != 0) sys.error(
+          s"v2 aggivm derived diverged from one-shot at x$rep: $d2 rows")
       }
       } // wants("aggivm")
 

@@ -472,6 +472,47 @@ class CliSpec extends SparkSpec {
       .exists(_.getName.startsWith("__bucket=")))
   }
 
+  test("agg --moments / multi-column --value-col drives the v2 lane") {
+    import spark.implicits._
+    val work = tmpDir("cli-agg-v2")
+    Seq((10L, "a", 1.0, 4.0), (20L, "a", 3.0, 8.0), (30L, "b", 5.0, 1.0))
+      .toDF("us", "grp", "x", "y").write.parquet(s"$work/src")
+    // comma-separated --value-col selects v2 implicitly
+    val v2 = s"$work/v2"
+    run("agg", "--source", s"$work/src", "--dest", v2,
+      "--by", "grp", "--watermark", "us", "--value-col", "x,y")
+    val d = graft.sync.AggMaintenance.readDerived(spark, v2)
+      .select(col("grp"), col("cnt"), col("avg_x"), col("var_x"),
+        col("avg_y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]), r.getDouble(4))))
+      .toMap
+    assert(d("a") == ((2L, 2.0, Some(2.0), 6.0))) // var_samp{1,3} = 2
+    assert(d("b") == ((1L, 5.0, None, 1.0)))      // n=1 → var NULL
+    // replay no-op then a late batch folds incrementally (the cron loop)
+    Seq((40L, "b", 7.0, 3.0)).toDF("us", "grp", "x", "y")
+      .write.mode("append").parquet(s"$work/src")
+    run("agg", "--source", s"$work/src", "--dest", v2,
+      "--by", "grp", "--watermark", "us", "--value-col", "x,y")
+    val b2 = graft.sync.AggMaintenance.readDerived(spark, v2)
+      .filter(col("grp") === "b").select("cnt", "avg_x", "var_x")
+      .collect().head
+    assert(b2.getLong(0) == 2 && b2.getDouble(1) == 6.0 &&
+      b2.getDouble(2) == 2.0) // var_samp{5,7} = 2
+    // --moments forces v2 for a single column
+    val v2b = s"$work/v2single"
+    run("agg", "--source", s"$work/src", "--dest", v2b,
+      "--by", "grp", "--watermark", "us", "--value-col", "x", "--moments")
+    assert(graft.sync.AggMaintenance.readDerived(spark, v2b)
+      .columns.contains("var_x"))
+    // v2 has no partitioned form — refuse loud
+    assertThrows[GraftError.InvalidConfig](
+      run("agg", "--source", s"$work/src", "--dest", s"$work/vp",
+        "--by", "grp", "--watermark", "us", "--value-col", "x,y",
+        "--partitioned"))
+  }
+
   test("reconcile reports orphans, --apply drops them, requires --key") {
     import spark.implicits._
     val work = tmpDir("cli-reconcile")
