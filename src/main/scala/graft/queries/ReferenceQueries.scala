@@ -410,19 +410,26 @@ object ReferenceQueries {
     // double, fixed operation order), so the DuckDB oracle reproduces it
     // bit-for-bit; an in-plan exceptAll pins the maintained moments
     // against an INDEPENDENT one-shot aggregation before returning.
-    // (Oracle squares cast to DECIMAL(19,4): same value at scale 4, but
-    // width 19 forces DuckDB onto int128 storage — the (18,4)² multiply
-    // overflows its int64 lane. Spark's (18,4)² already computes wide.)
+    // CROSS-ENGINE HASH SAFETY: DuckDB's decimal→double cast can DOUBLE-
+    // ROUND ((double)int128 then ÷10^scale — two roundings) once the
+    // unscaled value passes 2^53, while Spark's BigDecimal.doubleValue
+    // rounds once — a 1-ulp flap (hit by a11's var_price at sf0.01, first
+    // caught 2026-08-15). So the HASHED columns use only decimals whose
+    // unscaled form stays far under 2^53: quantity moments at SCALE 0
+    // (quantities are integral — exact; sumsq ≤ ~5e8 per group) and the
+    // price SUM at SCALE 2 (prices are 2-dp — exact; unscaled ≤ ~1e12),
+    // where both engines' casts are exact-or-single-rounded and therefore
+    // identical. var_price (sumsq_p unscaled ≥ 5e16 at gate SFs) is NOT
+    // hash-gated: it is pinned by the in-plan exceptAll below and the
+    // spec's 1e-9 tolerance vs var_samp.
     "a10_agg_maintenance_v2" -> Q(
       """WITH g AS (
         |  SELECT l_returnflag, count(*) AS cnt,
         |         count(l_quantity) AS n_q, count(l_extendedprice) AS n_p,
-        |         sum(CAST(l_quantity AS DECIMAL(18,4))) AS s_q,
-        |         sum(CAST(l_quantity AS DECIMAL(19,4))
-        |             * CAST(l_quantity AS DECIMAL(19,4))) AS sq_q,
-        |         sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS s_p,
-        |         sum(CAST(l_extendedprice AS DECIMAL(19,4))
-        |             * CAST(l_extendedprice AS DECIMAL(19,4))) AS sq_p,
+        |         sum(CAST(l_quantity AS DECIMAL(19,0))) AS s_q,
+        |         sum(CAST(l_quantity AS DECIMAL(19,0))
+        |             * CAST(l_quantity AS DECIMAL(19,0))) AS sq_q,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS s_p,
         |         CAST(min(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS min_qty,
         |         CAST(max(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS max_qty
         |  FROM lineitem GROUP BY l_returnflag)
@@ -433,10 +440,6 @@ object ReferenceQueries {
         |          - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE) / CAST(n_q AS DOUBLE))
         |         / (CAST(n_q AS DOUBLE) - 1.0) END AS var_qty,
         |       CAST(s_p AS DOUBLE) / CAST(n_p AS DOUBLE) AS avg_price,
-        |       CASE WHEN n_p > 1 THEN
-        |         (CAST(sq_p AS DOUBLE)
-        |          - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE) / CAST(n_p AS DOUBLE))
-        |         / (CAST(n_p AS DOUBLE) - 1.0) END AS var_price,
         |       min_qty, max_qty
         |FROM g""".stripMargin) {
       (s, dir) =>
@@ -481,13 +484,81 @@ object ReferenceQueries {
         require(derived.exceptAll(oneShot).isEmpty &&
           oneShot.exceptAll(derived).isEmpty,
           "a10: maintained v2 moments diverge from the one-shot aggregation")
-        derived.select(col("l_returnflag"), col("cnt"),
-          col("avg_l_quantity").as("avg_qty"),
-          col("var_l_quantity").as("var_qty"),
-          col("avg_l_extendedprice").as("avg_price"),
-          col("var_l_extendedprice").as("var_price"),
+        // hashed output recomputes the chain from the STORED moments with
+        // EXACT down-casts first (quantities integral → scale 0, price
+        // sums 2-dp → scale 2), keeping every hashed decimal's unscaled
+        // form under 2^53 — see the oracle comment (DuckDB double-rounds
+        // above it). The casts are value-preserving, so this equals
+        // readDerived's numbers wherever both are exact.
+        val st = graft.sync.AggMaintenance.read(s, out)
+        val nQ = col("cntv_l_quantity").cast("double")
+        val sQ = col("sum_l_quantity").cast("decimal(28,0)").cast("double")
+        val qQ = col("sumsq_l_quantity").cast("decimal(38,0)").cast("double")
+        val nP = col("cntv_l_extendedprice").cast("double")
+        val sP = col("sum_l_extendedprice").cast("decimal(28,2)").cast("double")
+        st.select(col("l_returnflag"), col("cnt"),
+          (sQ / nQ).as("avg_qty"),
+          when(col("cntv_l_quantity") > 1,
+            (qQ - sQ * sQ / nQ) / (nQ - lit(1.0)))
+            .otherwise(lit(null).cast("double")).as("var_qty"),
+          (sP / nP).as("avg_price"),
           col("min_l_quantity").cast("double").as("min_qty"),
           col("max_l_quantity").cast("double").as("max_qty"))
+    },
+
+    // A11 — the bucket-PARTITIONED v2 moments rollup (a8's billion-group
+    // layout × a10's maintained moments): per-supplier avg/variance of
+    // two measures maintained across three shipdate slices over a
+    // 16-bucket `__bucket=K/` layout — per-entity statistics at corpus
+    // scale, one apply rewrites only touched buckets, derived stats come
+    // from the stored exact moments via a10's fixed double chain.
+    "a11_agg_maintenance_v2_partitioned" -> Q(
+      """WITH g AS (
+        |  SELECT l_suppkey, count(*) AS cnt,
+        |         count(l_quantity) AS n_q,
+        |         sum(CAST(l_quantity AS DECIMAL(19,0))) AS s_q,
+        |         sum(CAST(l_quantity AS DECIMAL(19,0))
+        |             * CAST(l_quantity AS DECIMAL(19,0))) AS sq_q,
+        |         count(l_extendedprice) AS n_p,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS s_p
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT l_suppkey, cnt,
+        |       CAST(s_q AS DOUBLE) / CAST(n_q AS DOUBLE) AS avg_qty,
+        |       CASE WHEN n_q > 1 THEN
+        |         (CAST(sq_q AS DOUBLE)
+        |          - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE) / CAST(n_q AS DOUBLE))
+        |         / (CAST(n_q AS DOUBLE) - 1.0) END AS var_qty,
+        |       CAST(s_p AS DOUBLE) / CAST(n_p AS DOUBLE) AS avg_price
+        |FROM g""".stripMargin) {
+      (s, dir) =>
+        val li = Tables.lineitem(s, dir)
+        val vals = Seq("l_quantity", "l_extendedprice")
+        val us = Tables.tsUs(li, "l_shipdate")
+        val b = li.agg(min(us).as("lo"), max(us).as("hi")).collect().head
+        val lo = b.getLong(0); val hi = b.getLong(1) + 1
+        val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * ((hi - lo) / 3)
+        val stamp = Tables.fixtureStamp(dir, "lineitem")
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-aggivm2p-" +
+          Integer.toHexString(s"$dir@$stamp".hashCode)
+        Seq((lo, cut1), (cut1, cut2), (cut2, hi)).foreach { case (l, h) =>
+          graft.sync.AggMaintenance.applySlicePartitionedV2(
+            s, out, li, "l_shipdate", Seq("l_suppkey"), vals, l, h,
+            nBuckets = 16)
+        }
+        // same exact-down-cast hash chain as a10 (2^53 rule); var_price
+        // stays un-hashed — it is spec-pinned at 1e-9 vs var_samp
+        val st = graft.sync.AggMaintenance.read(s, out)
+        val nQ = col("cntv_l_quantity").cast("double")
+        val sQ = col("sum_l_quantity").cast("decimal(28,0)").cast("double")
+        val qQ = col("sumsq_l_quantity").cast("decimal(38,0)").cast("double")
+        val nP = col("cntv_l_extendedprice").cast("double")
+        val sP = col("sum_l_extendedprice").cast("decimal(28,2)").cast("double")
+        st.select(col("l_suppkey"), col("cnt"),
+          (sQ / nQ).as("avg_qty"),
+          when(col("cntv_l_quantity") > 1,
+            (qQ - sQ * sQ / nQ) / (nQ - lit(1.0)))
+            .otherwise(lit(null).cast("double")).as("var_qty"),
+          (sP / nP).as("avg_price"))
     },
 
     // W1 — partitioned ROW_NUMBER, the load-bearing S4-dedup form

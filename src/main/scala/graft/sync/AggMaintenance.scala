@@ -142,6 +142,10 @@ object AggMaintenance {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     healWholeDir(fs, targetDir)
     readText(fs, new Path(targetDir, ParamsFile)) match {
+      case Some(p) if p.startsWith("v2 buckets=") =>
+        throw graft.core.GraftError.InvalidConfig(
+          s"rollup at $targetDir is bucket-partitioned v2 ($p); " +
+            "use applySlicePartitionedV2")
       case Some(p) if p.startsWith("v2 ") =>
         throw graft.core.GraftError.InvalidConfig(
           s"rollup at $targetDir is a v2 multi-value rollup ($p); " +
@@ -185,6 +189,10 @@ object AggMaintenance {
         throw graft.core.GraftError.InvalidConfig(
           s"rollup at $targetDir is bucket-partitioned v1 ($p); " +
             "use applySlicePartitioned, or rebuild as v2")
+      case Some(p) if p.startsWith("v2 buckets=") =>
+        throw graft.core.GraftError.InvalidConfig(
+          s"rollup at $targetDir is bucket-partitioned v2 ($p); " +
+            "use applySlicePartitionedV2")
       case Some(p) if p != params =>
         throw graft.core.GraftError.InvalidConfig(
           s"rollup at $targetDir was built with different parameters " +
@@ -325,24 +333,61 @@ object AggMaintenance {
                             source: DataFrame, orderCol: String,
                             groupCols: Seq[String], valueCol: String,
                             lo: Long, hi: Long, nBuckets: Int): AggResult = {
-    require(groupCols.nonEmpty,
-      "applySlicePartitioned requires at least one group column")
-    require(hi >= lo, s"applySlicePartitioned: hi ($hi) must be >= lo ($lo)")
-    require(nBuckets >= 1 && nBuckets <= 65536,
-      s"nBuckets must be in [1, 65536], got $nBuckets")
-    val wmType = source.schema(orderCol).dataType
-    require(Watermark.supported(wmType),
-      s"order column '$orderCol' must be integral-numeric or timestamp-typed; " +
-        s"got ${wmType.simpleString}")
+    val params = paramsString(nBuckets, groupCols, valueCol, orderCol)
+    validatePartitioned("applySlicePartitioned", spark, targetDir, params,
+      v2 = false)
+    applyPartitionedCore(spark, targetDir, source, orderCol, groupCols,
+      v1Metrics(valueCol), params, lo, hi, nBuckets)
+  }
 
+  /** The bucket-partitioned form of [[applySliceV2]]: multi-value MOMENTS
+    * (cnt + per-column non-null count / exact sum / sum-of-squares /
+    * min / max) over the `__bucket=K/` layout — per-DOCUMENT statistics
+    * at corpus scale, where one apply rewrites only the buckets the
+    * slice touched and [[readDerived]] serves avg/variance without a
+    * history rescan. Same two-level exactly-once protocol as the v1
+    * partitioned form (per-bucket wm swaps, root wm last, interior-
+    * watermark split recovery); stamped `v2 buckets=…` and cross-refusing
+    * every other parameterization. */
+  def applySlicePartitionedV2(spark: SparkSession, targetDir: String,
+                              source: DataFrame, orderCol: String,
+                              groupCols: Seq[String], valueCols: Seq[String],
+                              lo: Long, hi: Long,
+                              nBuckets: Int): AggResult = {
+    require(valueCols.nonEmpty,
+      "applySlicePartitionedV2 requires at least one value column")
+    require(valueCols.distinct == valueCols,
+      s"duplicate value columns: ${valueCols.mkString(", ")}")
+    val params = paramsStringV2Part(nBuckets, groupCols, valueCols, orderCol)
+    validatePartitioned("applySlicePartitionedV2", spark, targetDir, params,
+      v2 = true)
+    applyPartitionedCore(spark, targetDir, source, orderCol, groupCols,
+      v2Metrics(valueCols), params, lo, hi, nBuckets)
+  }
+
+  /** Shared stamp validation for the partitioned fronts — version-aware
+    * refusal messages; the core below never re-validates. */
+  private def validatePartitioned(op: String, spark: SparkSession,
+                                  targetDir: String, params: String,
+                                  v2: Boolean): Unit = {
     val fs = new Path(targetDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = new Path(targetDir)
     healBuckets(fs, targetDir)
-    val params = paramsString(nBuckets, groupCols, valueCol, orderCol)
-    val storedParams = readText(fs, new Path(dst, ParamsFile))
     val stored = readWm(fs, new Path(dst, WmFile))
-    storedParams match {
+    readText(fs, new Path(dst, ParamsFile)) match {
+      case Some(p) if v2 && p.startsWith("v1 ") =>
+        throw graft.core.GraftError.InvalidConfig(
+          s"rollup at $targetDir is partitioned v1 ($p); use " +
+            "applySlicePartitioned, or rebuild as v2")
+      case Some(p) if v2 && p.startsWith("v2 flat") =>
+        throw graft.core.GraftError.InvalidConfig(
+          s"rollup at $targetDir is a whole-directory v2 rollup ($p); " +
+            "use applySliceV2, or rebuild partitioned")
+      case Some(p) if !v2 && p.startsWith("v2 ") =>
+        throw graft.core.GraftError.InvalidConfig(
+          s"rollup at $targetDir is a v2 rollup ($p); use " +
+            "applySlicePartitionedV2 / applySliceV2")
       case Some(p) if p != params =>
         throw graft.core.GraftError.InvalidConfig(
           s"rollup at $targetDir was built with different parameters " +
@@ -357,6 +402,28 @@ object AggMaintenance {
             "AggMaintenance table (refusing to merge into an unknown layout)")
       case _ =>
     }
+  }
+
+  private def applyPartitionedCore(spark: SparkSession, targetDir: String,
+                                   source: DataFrame, orderCol: String,
+                                   groupCols: Seq[String],
+                                   metrics: Seq[Metric], params: String,
+                                   lo: Long, hi: Long,
+                                   nBuckets: Int): AggResult = {
+    require(groupCols.nonEmpty,
+      "partitioned apply requires at least one group column")
+    require(hi >= lo, s"partitioned apply: hi ($hi) must be >= lo ($lo)")
+    require(nBuckets >= 1 && nBuckets <= 65536,
+      s"nBuckets must be in [1, 65536], got $nBuckets")
+    val wmType = source.schema(orderCol).dataType
+    require(Watermark.supported(wmType),
+      s"order column '$orderCol' must be integral-numeric or timestamp-typed; " +
+        s"got ${wmType.simpleString}")
+
+    val fs = new Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(targetDir)
+    val stored = readWm(fs, new Path(dst, WmFile))
 
     stored match {
       case Some(wm) if hi <= wm =>
@@ -381,10 +448,10 @@ object AggMaintenance {
       .filter(w => w > lo && w < hi).distinct.sorted
     if (interior.nonEmpty) {
       val mid = interior.head
-      val r1 = applySlicePartitioned(spark, targetDir, source, orderCol,
-        groupCols, valueCol, lo, mid, nBuckets)
-      val r2 = applySlicePartitioned(spark, targetDir, source, orderCol,
-        groupCols, valueCol, mid, hi, nBuckets)
+      val r1 = applyPartitionedCore(spark, targetDir, source, orderCol,
+        groupCols, metrics, params, lo, mid, nBuckets)
+      val r2 = applyPartitionedCore(spark, targetDir, source, orderCol,
+        groupCols, metrics, params, mid, hi, nBuckets)
       // groupsWritten is "groups materialized by THIS apply" — both
       // segments did real rewrites, so the work sums
       return AggResult(r1.groupsWritten + r2.groupsWritten,
@@ -398,10 +465,8 @@ object AggMaintenance {
     val bucketOf = pmod(hash(groupCols.map(col): _*), lit(nBuckets))
     val partial = slice.groupBy((groupCols.map(col) :+
         bucketOf.as("__bucket")): _*)
-      .agg(count(lit(1)).as("cnt"),
-        sum(col(valueCol).cast(ValType)).cast(SumType).as("sum_val"),
-        min(col(valueCol).cast(ValType)).as("min_val"),
-        max(col(valueCol).cast(ValType)).as("max_val"))
+      .agg(metrics.head.partial.as(metrics.head.name),
+        metrics.tail.map(m => m.partial.as(m.name)): _*)
       .persist()
     try {
       if (stored.isEmpty) { // cold start: stamp the layout before any data
@@ -442,23 +507,19 @@ object AggMaintenance {
           ParquetMergeSink.hasData(fs, new Path(dst, s"__bucket=$b")))
         .map { b =>
           spark.read.parquet(s"$targetDir/__bucket=$b")
-            .select((groupCols.map(col) ++ Seq(lit(b).as("__bucket"),
-              col("cnt"), col("sum_val").cast(SumType),
-              col("min_val").cast(ValType),
-              col("max_val").cast(ValType))): _*)
+            .select((groupCols.map(col) ++ (lit(b).as("__bucket") +:
+              metrics.map(m => col(m.name).cast(m.typ)))): _*)
         }
         .reduceOption(_ unionByName _)
       val merged = existing match {
         case None => pendingPartial
         case Some(ex) =>
           ex.unionByName(pendingPartial
-              .select((groupCols.map(col) ++ Seq(col("__bucket"), col("cnt"),
-                col("sum_val"), col("min_val"), col("max_val"))): _*))
+              .select((groupCols.map(col) ++ (col("__bucket") +:
+                metrics.map(m => col(m.name)))): _*))
             .groupBy((groupCols.map(col) :+ col("__bucket")): _*)
-            .agg(sum(col("cnt")).cast("long").as("cnt"),
-              sum(col("sum_val")).cast(SumType).as("sum_val"),
-              min(col("min_val")).as("min_val"),
-              max(col("max_val")).as("max_val"))
+            .agg(metrics.head.merge.as(metrics.head.name),
+              metrics.tail.map(m => m.merge.as(m.name)): _*)
       }
       merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmpRoot)
       val groups = spark.read.parquet(tmpRoot).count()
@@ -485,9 +546,9 @@ object AggMaintenance {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = new Path(targetDir)
     // a ParamsFile alone no longer implies partitioned (v2 whole-dir
-    // tables are stamped too) — key off the v1-partitioned prefix
+    // tables are stamped too) — key off the `… buckets=` stamp prefixes
     val partitioned = readText(fs, new Path(root, ParamsFile))
-      .exists(_.startsWith("v1 buckets="))
+      .exists(p => p.startsWith("v1 buckets=") || p.startsWith("v2 buckets="))
     // READ-ONLY crash tolerance: a reader never renames anything (a
     // concurrent apply may be mid-swap — healing here could break its
     // forward rename); instead it READS AROUND the window. Whole-dir: the
@@ -554,11 +615,18 @@ object AggMaintenance {
     *   var_v = (double(sumsq_v) − double(sum_v)·double(sum_v)/double(n))
     *           / (double(n) − 1),  NULL when n ≤ 1
     * so any engine replaying the same IEEE-754 operations over the same
-    * exact moments — DuckDB in the a10 oracle, a one-shot Spark
-    * aggregation in the gate's exceptAll contract — reproduces it BIT
-    * FOR BIT. (Spark's own var_samp is a streaming central-moment fold
-    * whose double result depends on partition merge order — fine within
-    * tolerance, unusable under hash equality; the spec checks it at 1e-9.)
+    * exact moments — a one-shot Spark aggregation in the a10 gate's
+    * exceptAll contract — reproduces it bit for bit. (Spark's own
+    * var_samp is a streaming central-moment fold whose double result
+    * depends on partition merge order — fine within tolerance, unusable
+    * under hash equality; the spec checks it at 1e-9.) CROSS-ENGINE
+    * caveat: the decimal→double cast itself is only engine-identical
+    * while the decimal's UNSCALED form stays under 2^53 — above that,
+    * engines that cast via (double)unscaled ÷ 10^scale (DuckDB) round
+    * TWICE where BigDecimal.doubleValue rounds once, a 1-ulp flap (hit
+    * by a11's price sum-of-squares, scale 8, unscaled ~5e16). The a10/a11
+    * gates therefore hash only moments exact-down-cast below that bound;
+    * this method keeps the generic chain for in-engine use.
     * Refuses typed on anything but a v2 table: v1 rollups keep no
     * sum-of-squares, so a derived variance there would be a lie. */
   def readDerived(spark: SparkSession, targetDir: String): DataFrame = {
@@ -592,12 +660,18 @@ object AggMaintenance {
     }
   }
 
-  /** v2 stamp: no `buckets=` token — [[read]] keys partitioned-ness off
-    * the `v1 buckets=` prefix, so a v2 whole-dir table reads through the
-    * whole-dir (backup-aware) branch. */
+  /** v2 flat stamp: no `buckets=` token — [[read]] keys partitioned-ness
+    * off the `… buckets=` prefixes, so a v2 whole-dir table reads through
+    * the whole-dir (backup-aware) branch. */
   private def paramsStringV2(groupCols: Seq[String], valueCols: Seq[String],
                              orderCol: String): String =
     s"v2 flat group=${groupCols.mkString("+")} " +
+      s"values=${valueCols.mkString("+")} order=$orderCol"
+
+  private def paramsStringV2Part(nBuckets: Int, groupCols: Seq[String],
+                                 valueCols: Seq[String],
+                                 orderCol: String): String =
+    s"v2 buckets=$nBuckets group=${groupCols.mkString("+")} " +
       s"values=${valueCols.mkString("+")} order=$orderCol"
 
   private def bakRoot(targetDir: String): String =

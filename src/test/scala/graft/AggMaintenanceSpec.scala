@@ -389,6 +389,83 @@ class AggMaintenanceSpec extends SparkSpec {
       AggMaintenance.readDerived(spark, pdir))
   }
 
+  test("v2 partitioned: slices fold to the one-shot; only touched buckets rewrite") {
+    val gA = "a"
+    val gB = ('b' to 'z').map(_.toString)
+      .find(g => bucketOf(g) != bucketOf(gA)).get
+    val src = rows2(
+      (10L, gA, 1.0, 4.0), (20L, gB, 2.0, -1.0),
+      (60L, gA, 3.0, 8.0), (70L, gB, 4.0, 0.5))
+    val dir = tmpDir("agg-v2-part")
+    def apply(d: org.apache.spark.sql.DataFrame, l: Long, h: Long) =
+      AggMaintenance.applySlicePartitionedV2(
+        spark, dir, d, "us", Seq("grp"), Seq("x", "y"), l, h, nBuckets = 8)
+    apply(src, 0L, 50L); apply(src, 50L, 100L)
+    assert(AggMaintenance.watermark(spark, dir).contains(100L))
+    // derived stats equal Spark's own avg/var_samp (tolerance — see v2 flat)
+    val d = AggMaintenance.readDerived(spark, dir)
+      .select("grp", "cnt", "avg_x", "var_x", "avg_y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(d(gA)._1 == 2 && d(gA)._2 == 2.0 &&
+      math.abs(d(gA)._3 - 2.0) < 1e-9 && d(gA)._4 == 6.0)
+    assert(d(gB)._1 == 2 && d(gB)._2 == 3.0 &&
+      math.abs(d(gB)._3 - 2.0) < 1e-9 && d(gB)._4 == -0.25)
+    // replay no-op
+    val rp = apply(src, 0L, 100L)
+    assert(!rp.applied && rp.watermarkUs == 100L)
+    // a delta touching ONLY gB leaves gA's bucket files untouched
+    val before = bucketFiles(dir)
+    apply(rows2((110L, gB, 6.0, 1.0)), 100L, 120L)
+    val after = bucketFiles(dir)
+    assert(after(s"__bucket=${bucketOf(gB)}") != before(s"__bucket=${bucketOf(gB)}"))
+    assert(after(s"__bucket=${bucketOf(gA)}") == before(s"__bucket=${bucketOf(gA)}"),
+      "untouched bucket rewritten by a v2 partitioned delta")
+    val b2 = AggMaintenance.readDerived(spark, dir)
+      .filter(col("grp") === gB).select("cnt", "avg_x", "var_x")
+      .collect().head
+    assert(b2.getLong(0) == 3 && b2.getDouble(1) == 4.0 &&
+      math.abs(b2.getDouble(2) - 4.0) < 1e-9) // var_samp{2,4,6} = 4
+  }
+
+  test("v2 partitioned: every cross-parameterization refuses typed") {
+    val src = rows2((10L, "a", 1.0, 2.0), (90L, "b", 3.0, 4.0))
+    val v2p = tmpDir("agg-v2p-x")
+    AggMaintenance.applySlicePartitionedV2(
+      spark, v2p, src, "us", Seq("grp"), Seq("x", "y"), 0L, 50L, nBuckets = 8)
+    // v1 partitioned, v1 flat, and v2 flat all refuse on the v2-part stamp
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySlicePartitioned(
+        spark, v2p, src, "us", Seq("grp"), "x", 50L, 95L, nBuckets = 8))
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySlice(spark, v2p, src, "us", Seq("grp"), "x", 50L, 95L))
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySliceV2(
+        spark, v2p, src, "us", Seq("grp"), Seq("x", "y"), 50L, 95L))
+    // foreign bucket count and foreign value set refuse
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySlicePartitionedV2(
+        spark, v2p, src, "us", Seq("grp"), Seq("x", "y"), 50L, 95L,
+        nBuckets = 16))
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySlicePartitionedV2(
+        spark, v2p, src, "us", Seq("grp"), Seq("x"), 50L, 95L, nBuckets = 8))
+    // and the v2 partitioned apply refuses v1 layouts in both directions
+    val v1p = tmpDir("agg-v1p-x")
+    AggMaintenance.applySlicePartitioned(
+      spark, v1p, src, "us", Seq("grp"), "x", 0L, 50L, nBuckets = 8)
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySlicePartitionedV2(
+        spark, v1p, src, "us", Seq("grp"), Seq("x", "y"), 50L, 95L,
+        nBuckets = 8))
+    val v1flat = tmpDir("agg-v1f-x")
+    AggMaintenance.applySlice(spark, v1flat, src, "us", Seq("grp"), "x", 0L, 50L)
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySlicePartitionedV2(
+        spark, v1flat, src, "us", Seq("grp"), Seq("x", "y"), 50L, 95L,
+        nBuckets = 8))
+  }
+
   test("timestamp order column: bounds are canonical µs, filter on native type") {
     val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
     val us = graft.core.Tables.tsUs(ev)
