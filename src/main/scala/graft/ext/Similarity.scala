@@ -774,7 +774,20 @@ object Similarity {
     require(idxFields.contains(idCol) && idxFields.contains(vecCol),
       s"$indexDir schema (${idxFields.mkString(",")}) does not match " +
         s"($idCol, $vecCol)")
-    val (assigned, nCells) = assignToCells(spark, indexDir, newVectors, idCol, vecCol)
+    // an index built with metaCols carries those columns IN the cell
+    // files (the filtered-probe contract); an append that omitted them
+    // would write rows whose metadata reads NULL under schema merge —
+    // every filtered probe would silently never return appended vectors
+    // (the same silent-invisibility class as the __codes guard above)
+    val metaCols = (idxFields -- Set(idCol, vecCol, "__cell")).toSeq.sorted
+    val missing = metaCols.filterNot(newVectors.columns.contains)
+    require(missing.isEmpty,
+      s"$indexDir carries metadata columns (${metaCols.mkString(", ")}) " +
+        s"for filtered probes; the append batch lacks " +
+        s"${missing.mkString(", ")} — appended vectors would read NULL " +
+        "metadata and silently drop out of every filtered probe")
+    val (assigned, nCells) =
+      assignToCells(spark, indexDir, newVectors, idCol, vecCol, metaCols)
     assigned.drop("__d")
       .write.mode(SaveMode.Append).partitionBy("__cell").parquet(indexDir)
     driftStats(spark, indexDir, assigned, nCells, "ivfIndexAppend")
@@ -807,7 +820,8 @@ object Similarity {
     * without a drift baseline is how recall decays silently. */
   private def assignToCells(spark: SparkSession, indexDir: String,
                             newVectors: DataFrame, idCol: String,
-                            vecCol: String): (DataFrame, Int) = {
+                            vecCol: String,
+                            metaCols: Seq[String] = Nil): (DataFrame, Int) = {
     val statsPath = new Path(indexDir, "_cellstats")
     val statsFs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(statsFs.exists(statsPath),
@@ -818,9 +832,9 @@ object Similarity {
     val cents = readCentroids(spark, indexDir)
     val dists = centroidDists(col(vecCol), centroidsToLit(cents))
     (newVectors
-      .select(col(idCol), col(vecCol),
+      .select((col(idCol) +: metaCols.map(col)) ++ Seq(col(vecCol),
         element_at(dists, 1).getField("cell").as("__cell"),
-        sqrt(element_at(dists, 1).getField("d")).as("__d"))
+        sqrt(element_at(dists, 1).getField("d")).as("__d")): _*)
       .localCheckpoint(), cents.size)
   }
 

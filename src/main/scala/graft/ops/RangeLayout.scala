@@ -83,9 +83,14 @@ object RangeLayout {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"sidecar commit: rename $tmp -> $p failed")
+    // OVERWRITE-rename (FileContext), not delete-then-rename: the latter
+    // has a crash window between the two calls that leaves NO sidecar —
+    // for an in-place stamp rewrite that is a permanent wedge, the very
+    // hazard this helper exists to close
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, fs.getConf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private[graft] def readSidecar(spark: SparkSession, path: String,

@@ -388,16 +388,24 @@ object ExtQueries {
     // The "search within a date range" production shape: metadata rides
     // the index via metaCols, no join back to the corpus. Approximate ⇒
     // recall-contract gate against the filtered exact top-k (e2b's form).
+    // The query vector is the FIRST vector inside the filtered stratum
+    // (min vec_id with label in range), not a hardcoded id: self_found=1
+    // is only meaningful when the query can appear in its own filtered
+    // result set, and pinning vec_id 0 would make the gate depend on
+    // fixture luck (label(0) happening to fall in [2,5]).
     "e2w2_filtered_range_ivf" -> Q(
-      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+      """WITH qid AS (SELECT min(vec_id) AS qid FROM embeddings WHERE label BETWEEN 2 AND 5),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = (SELECT qid FROM qid)),
         |topk AS (SELECT vec_id FROM embeddings WHERE label BETWEEN 2 AND 5
         |         ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) DESC,
         |                  vec_id ASC LIMIT 10)
         |SELECT count(*) AS k, CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS self_found
         |FROM topk""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val query = emb.filter(col("vec_id") === 0)
-        .select("embedding").first().getSeq[Float](0)
+      val q0 = emb.filter(col("label").between(2, 5))
+        .orderBy("vec_id").select("vec_id", "embedding").first()
+      val qid = q0.getLong(0)
+      val query = q0.getSeq[Float](1)
       val idx = Similarity.ensureIvfIndex(emb, "vec_id", "embedding",
         metaCols = Seq("label"))
       val ann = Similarity.ivfProbe(s, idx, "vec_id", "embedding", query, 10,
@@ -405,7 +413,7 @@ object ExtQueries {
       val exact = Similarity.bruteForceTopK(
         emb.filter(col("label").between(2, 5)), "vec_id", "embedding",
         query, 10)
-      recallContract(exact, ann)
+      recallContract(exact, ann, selfId = qid)
     },
 
     // E2 — same top-k through the codegen'd native CosineSimilarity

@@ -467,20 +467,12 @@ object ReferenceQueries {
               .as(s"sumsq_$v"),
             min(c).as(s"min_$v"), max(c).as(s"max_$v"))
         }
-        val oneShot = vals.foldLeft(
+        // derived columns via the ONE shared chain (deriveMomentCols) —
+        // a hand-copied fold here could reorder an IEEE op and break the
+        // exceptAll below by 1 ulp
+        val oneShot = graft.sync.AggMaintenance.deriveMomentCols(
           li.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"),
-            vals.flatMap(moments): _*)) { (df, v) =>
-          val nD = col(s"cntv_$v").cast("double")
-          val sumD = col(s"sum_$v").cast("double")
-          val sqD = col(s"sumsq_$v").cast("double")
-          df.withColumn(s"avg_$v",
-              when(col(s"cntv_$v") > 0, sumD / nD)
-                .otherwise(lit(null).cast("double")))
-            .withColumn(s"var_$v",
-              when(col(s"cntv_$v") > 1,
-                (sqD - sumD * sumD / nD) / (nD - lit(1.0)))
-                .otherwise(lit(null).cast("double")))
-        }
+            vals.flatMap(moments): _*), vals)
         require(derived.exceptAll(oneShot).isEmpty &&
           oneShot.exceptAll(derived).isEmpty,
           "a10: maintained v2 moments diverge from the one-shot aggregation")

@@ -646,11 +646,24 @@ object AggMaintenance {
       .getOrElse(throw graft.core.GraftError.InvalidConfig(
         s"malformed v2 stamp at $targetDir: '$params'"))
       .split('+').toSeq
-    valueCols.foldLeft(read(spark, targetDir)) { (df, v) =>
+    deriveMomentCols(read(spark, targetDir), valueCols)
+  }
+
+  /** The contractual avg/var derivation fold over v2 moment columns
+    * (`cntv_v` / `sum_v` / `sumsq_v` → `avg_v` / `var_v`) — ONE
+    * definition shared by [[readDerived]], the a10 gate's independent
+    * one-shot twin, and the ScaleStress equality arm. The chain is
+    * bit-for-bit identity-critical (see [[readDerived]]'s scaladoc): a
+    * reordered copy would break the exceptAll gates by 1 ulp with
+    * nothing pointing at the drifted duplicate, so there must be no
+    * duplicate to drift. */
+  private[graft] def deriveMomentCols(df: DataFrame,
+                                      valueCols: Seq[String]): DataFrame =
+    valueCols.foldLeft(df) { (d, v) =>
       val nD = col(s"cntv_$v").cast("double")
       val sumD = col(s"sum_$v").cast("double")
       val sqD = col(s"sumsq_$v").cast("double")
-      df.withColumn(s"avg_$v",
+      d.withColumn(s"avg_$v",
           when(col(s"cntv_$v") > 0, sumD / nD)
             .otherwise(lit(null).cast("double")))
         .withColumn(s"var_$v",
@@ -658,7 +671,6 @@ object AggMaintenance {
             (sqD - sumD * sumD / nD) / (nD - lit(1.0)))
             .otherwise(lit(null).cast("double")))
     }
-  }
 
   /** v2 flat stamp: no `buckets=` token — [[read]] keys partitioned-ness
     * off the `… buckets=` prefixes, so a v2 whole-dir table reads through
@@ -790,21 +802,26 @@ object AggMaintenance {
   }
 
   private def writeText(fs: FileSystem, p: Path, s: String): Unit = {
-    // write-temp-then-rename (the RangeLayout.writeSidecar pattern): the
-    // _GRAFT_AGG_WM / _GRAFT_AGG_PARAMS / _GRAFT_AGG_SCHEMA sidecars are
-    // COMMIT MARKERS, and the empty-slice watermark advance and the
-    // partitioned root-wm commit rewrite them IN PLACE. A truncate-then-
-    // write (fs.create(p, true)) crashed mid-write destroys the previously
-    // committed watermark — readWm parses the truncated file as None and
-    // the whole-dir path wedges with the typed "has data but no sidecar"
-    // refusal. Rename makes presence ⇒ whole content: a crash leaves
-    // either the old stamp or the new one, never a torn one.
+    // write-temp-then-OVERWRITE-rename: the _GRAFT_AGG_WM /
+    // _GRAFT_AGG_PARAMS / _GRAFT_AGG_SCHEMA sidecars are COMMIT MARKERS,
+    // and the empty-slice watermark advance and the partitioned root-wm
+    // commit rewrite them IN PLACE. A truncate-then-write (fs.create(p,
+    // true)) crashed mid-write destroys the previously committed
+    // watermark — readWm parses the truncated file as None and the
+    // whole-dir path wedges with the typed "has data but no sidecar"
+    // refusal. The rename must be the FileContext OVERWRITE form: a
+    // delete-then-FileSystem.rename pair re-opens the same wedge in the
+    // gap between the two calls (crash after delete, before rename →
+    // NO sidecar at all). Overwrite-rename is one atomic step on local
+    // fs and HDFS: a crash leaves either the old stamp or the new one,
+    // never a torn or missing one.
     val tmp = new Path(p.getParent, s".${p.getName}.tmp")
     val out = fs.create(tmp, true)
     try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"sidecar commit: rename $tmp -> $p failed")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, fs.getConf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 }

@@ -40,10 +40,15 @@ object PlanCheck {
                                "TakeOrderedAndProject"),
     "e2d_ivf_topk"      -> Seq("PartitionFilters: \\[.*__cell"),
     // range-filtered IVF probe: the label range must land in the PRUNED
-    // cells' parquet scan — BOTH pruning layers in one scan node
+    // cells' parquet scan — BOTH pruning layers in ONE scan node. The
+    // tempered dot ((?:(?!Scan parquet).)*) forbids crossing into another
+    // scan's attribute block, so a regression that splits the probe into
+    // a pruned-but-unfiltered scan plus a filtered full scan cannot
+    // satisfy the pin (formatted explain lists PartitionFilters before
+    // PushedFilters within a node).
     "e2w2_filtered_range_ivf" -> Seq(
-      "(?s)PartitionFilters: \\[.*__cell.*PushedFilters: \\[.*GreaterThanOrEqual\\(label,2\\)" +
-        "|(?s)PushedFilters: \\[.*GreaterThanOrEqual\\(label,2\\).*PartitionFilters: \\[.*__cell"),
+      "(?s)Scan parquet(?:(?!Scan parquet).)*PartitionFilters: \\[[^\\]]*__cell" +
+        "(?:(?!Scan parquet).)*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(label,2\\)"),
     "e2k_ivf_quantized_topk" -> Seq("PartitionFilters: \\[.*__cell"),
     "e2l_lsh_quantized_topk" -> Seq("PartitionFilters: \\[.*bucket"),
     // batch ANN: queries broadcast onto the index (corpus never shuffles)

@@ -750,21 +750,13 @@ object ScaleStress {
               sum((c * c).cast("decimal(38,8)")).cast("decimal(38,8)")
                 .as(s"sumsq_$v"))
           }
-          Seq("value", "value2").foldLeft(
+          // the ONE shared derivation chain — see deriveMomentCols
+          graft.sync.AggMaintenance.deriveMomentCols(
             src2.groupBy("user_id").agg(count(lit(1)).as("cnt"),
-              (m("value") ++ m("value2")): _*)) { (df, v) =>
-            val nD = col(s"cntv_$v").cast("double")
-            val sD = col(s"sum_$v").cast("double")
-            val qD = col(s"sumsq_$v").cast("double")
-            df.withColumn(s"avg_$v",
-                when(col(s"cntv_$v") > 0, sD / nD)
-                  .otherwise(lit(null).cast("double")))
-              .withColumn(s"var_$v",
-                when(col(s"cntv_$v") > 1,
-                  (qD - sD * sD / nD) / (nD - lit(1.0)))
-                  .otherwise(lit(null).cast("double")))
-          }.select("user_id", "cnt", "avg_value", "var_value",
-            "avg_value2", "var_value2")
+              (m("value") ++ m("value2")): _*),
+            Seq("value", "value2"))
+            .select("user_id", "cnt", "avg_value", "var_value",
+              "avg_value2", "var_value2")
         }
         val d2 = derived2.exceptAll(oneShot2).count() +
           oneShot2.exceptAll(derived2).count()

@@ -477,6 +477,34 @@ class ExtOpsSpec extends SparkSpec {
     assert(deviates, "int8 grid left every top-10 cosine untouched — fixture too easy")
   }
 
+  test("IVF append onto a metaCols index carries the metadata; a meta-less batch refuses") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") < 400)
+    val extra = emb.filter(col("vec_id") >= 400)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf-append-meta").toString + "/idx"
+    Similarity.buildIvfIndex(base, "vec_id", "embedding", dir,
+      metaCols = Seq("label"))
+    // a batch WITHOUT the metadata column must refuse loudly — appended
+    // rows would read NULL label and silently vanish from filtered probes
+    assertThrows[IllegalArgumentException](
+      Similarity.ivfIndexAppend(spark, dir,
+        extra.drop("label"), "vec_id", "embedding"))
+    // a batch WITH it appends, and a filtered probe can find an appended
+    // vector through its metadata predicate
+    Similarity.ivfIndexAppend(spark, dir, extra, "vec_id", "embedding")
+    assert(spark.read.parquet(dir).filter(col("label").isNull).count() == 0,
+      "appended rows lost their metadata")
+    val q = extra.orderBy("vec_id")
+      .select("vec_id", "label", "embedding").first()
+    val found = Similarity.ivfProbe(spark, dir, "vec_id", "embedding",
+        q.getSeq[Float](2), 10, nProbe = 16,
+        filter = Some(col("label") === q.getInt(1)))
+      .collect().map(_.getLong(0))
+    assert(found.contains(q.getLong(0)),
+      "appended vector invisible to the filtered probe")
+  }
+
   test("IVF append: new vectors land in their nearest existing cell, no refit, nothing lost") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
     val base = emb.filter(col("vec_id") < 400)
