@@ -553,6 +553,44 @@ object ReferenceQueries {
           (sP / nP).as("avg_price"))
     },
 
+    // A12 — v3 DISTINCT-COUNT IVM: exact COUNT(DISTINCT) is not
+    // distributive (maintaining it means keeping every distinct value),
+    // so the maintained form is one HLL sketch per group — mergeable
+    // register-wise, the only distinct count that survives slice-by-slice
+    // maintenance at 100 TB. Sketch estimates are approximate and their
+    // merged form is estimator-path-dependent (readDistinct's scaladoc),
+    // so the gate is a TOLERANCE CONTRACT (the e4c pattern): the
+    // maintained estimate must sit within max(5%, 2) of the exact
+    // per-group distinct count both engines can compute; DuckDB emits the
+    // same constant-1 flag over the exact counts.
+    "a12_agg_maintenance_distinct" -> Q(
+      """SELECT event_type, count(*) AS cnt, CAST(1 AS BIGINT) AS est_ok
+        |FROM events GROUP BY event_type""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        val us = Tables.tsUs(ev)
+        val b = ev.agg(min(us).as("lo"), max(us).as("hi")).collect().head
+        val lo = b.getLong(0); val hi = b.getLong(1) + 1
+        val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * ((hi - lo) / 3)
+        val stamp = Tables.fixtureStamp(dir, "events")
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-aggivm3-" +
+          Integer.toHexString(s"$dir@$stamp".hashCode)
+        Seq((lo, cut1), (cut1, cut2), (cut2, hi)).foreach { case (l, h) =>
+          graft.sync.AggMaintenance.applySliceDistinct(
+            s, out, ev, "ts", Seq("event_type"), Seq("user_id"), l, h)
+        }
+        val est = graft.sync.AggMaintenance.readDistinct(s, out)
+          .select(col("event_type"), col("cnt"),
+            col("approx_distinct_user_id").as("est"))
+        val exact = ev.groupBy("event_type")
+          .agg(count_distinct(col("user_id")).as("exact"))
+        est.join(exact, "event_type")
+          .select(col("event_type"), col("cnt"),
+            when(abs(col("est") - col("exact")).cast("double") <=
+              greatest(col("exact").cast("double") * 0.05, lit(2.0)), 1L)
+              .otherwise(0L).as("est_ok"))
+    },
+
     // W1 — partitioned ROW_NUMBER, the load-bearing S4-dedup form
     // (SURVEY §2.5): latest row per key, last-writer-wins.
     "w1_latest_per_key" -> Q(

@@ -91,6 +91,26 @@ object AggMaintenance {
         max(col("max_val")), lit(null).cast(ValType)))
   }
 
+  /** v3 DISTINCT-COUNT lane: per group, `cnt` plus one Apache DataSketches
+    * HLL sketch per distinct-counted column. Exact COUNT(DISTINCT) is not
+    * distributive — maintaining it would mean keeping every distinct
+    * value — but HLL sketches ARE mergeable (register-wise max), so the
+    * union+regroup combine maintains them slice-by-slice like any sum:
+    * the only distinct-count that survives incremental maintenance at
+    * 100 TB. Estimates come out via [[readDistinct]]; typical error at
+    * the default lgConfigK is ~1.6%, and the merged estimate is NOT
+    * byte-identical to a one-shot sketch (DataSketches' HIP estimator is
+    * stream-order-dependent; unions fall back to the composite
+    * estimator) — contracts gate it against EXACT distinct counts with
+    * tolerance, never by hash. */
+  private def v3Metrics(distinctCols: Seq[String]): Seq[Metric] =
+    cntMetric +: distinctCols.map { v =>
+      Metric(s"hll_$v", "binary",
+        hll_sketch_agg(col(v)),
+        hll_union_agg(col(s"hll_$v")),
+        lit(null).cast("binary"))
+    }
+
   private def v2Metrics(valueCols: Seq[String]): Seq[Metric] =
     cntMetric +: valueCols.flatMap { v =>
       val c = col(v).cast(ValType)
@@ -150,6 +170,10 @@ object AggMaintenance {
         throw graft.core.GraftError.InvalidConfig(
           s"rollup at $targetDir is a v2 multi-value rollup ($p); " +
             "use applySliceV2 — the v1 schema has no sumsq columns to fold")
+      case Some(p) if p.startsWith("v3 ") =>
+        throw graft.core.GraftError.InvalidConfig(
+          s"rollup at $targetDir is a v3 distinct-count rollup ($p); " +
+            "use applySliceDistinct — its sketches are not v1 columns")
       case Some(_) =>
         throw graft.core.GraftError.InvalidConfig(
           s"rollup at $targetDir is bucket-partitioned ($ParamsFile present); " +
@@ -193,6 +217,10 @@ object AggMaintenance {
         throw graft.core.GraftError.InvalidConfig(
           s"rollup at $targetDir is bucket-partitioned v2 ($p); " +
             "use applySlicePartitionedV2")
+      case Some(p) if p.startsWith("v3 ") =>
+        throw graft.core.GraftError.InvalidConfig(
+          s"rollup at $targetDir is a v3 distinct-count rollup ($p); " +
+            "use applySliceDistinct")
       case Some(p) if p != params =>
         throw graft.core.GraftError.InvalidConfig(
           s"rollup at $targetDir was built with different parameters " +
@@ -208,9 +236,81 @@ object AggMaintenance {
       v2Metrics(valueCols), stamp = Some(params), lo, hi)
   }
 
-  /** The shared whole-directory exactly-once core — v1 and v2 differ only
-    * in their [[Metric]] list and optional params stamp. See [[applySlice]]
-    * for the protocol contract. */
+  /** v3 whole-directory rollup maintaining per-group HLL DISTINCT-COUNT
+    * sketches (see [[v3Metrics]] for why sketches are the only
+    * slice-maintainable distinct count). Same exactly-once protocol and
+    * stamp discipline as [[applySliceV2]]; stamped `v3 flat …`, every
+    * cross-parameterization refusing typed. Estimates via
+    * [[readDistinct]]. */
+  def applySliceDistinct(spark: SparkSession, targetDir: String,
+                         source: DataFrame, orderCol: String,
+                         groupCols: Seq[String], distinctCols: Seq[String],
+                         lo: Long, hi: Long): AggResult = {
+    require(groupCols.nonEmpty,
+      "applySliceDistinct requires at least one group column")
+    require(distinctCols.nonEmpty,
+      "applySliceDistinct requires at least one distinct-count column")
+    require(distinctCols.distinct == distinctCols,
+      s"duplicate distinct columns: ${distinctCols.mkString(", ")}")
+    require(hi >= lo, s"applySliceDistinct: hi ($hi) must be >= lo ($lo)")
+    val fs = new Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healWholeDir(fs, targetDir)
+    val params = paramsStringV3(groupCols, distinctCols, orderCol)
+    readText(fs, new Path(targetDir, ParamsFile)) match {
+      case Some(p) if p.startsWith("v1 ") || p.startsWith("v2 ") =>
+        throw graft.core.GraftError.InvalidConfig(
+          s"rollup at $targetDir is '$p', not a v3 distinct-count rollup; " +
+            "use the matching applySlice* variant, or rebuild as v3")
+      case Some(p) if p != params =>
+        throw graft.core.GraftError.InvalidConfig(
+          s"rollup at $targetDir was built with different parameters " +
+            s"($p); refusing to apply $params — column sets would mix")
+      case None if ParquetMergeSink.hasData(fs, new Path(targetDir)) ||
+          readWm(fs, new Path(targetDir, WmFile)).isDefined =>
+        throw graft.core.GraftError.InvalidConfig(
+          s"rollup at $targetDir has no v3 stamp — a v1 whole-directory " +
+            "rollup or an unknown layout; refusing to merge into it")
+      case _ =>
+    }
+    applyWholeDir(spark, targetDir, source, orderCol, groupCols,
+      v3Metrics(distinctCols), stamp = Some(params), lo, hi)
+  }
+
+  /** Read a v3 rollup with per-column `approx_distinct_v` estimates
+    * (BIGINT) appended from the maintained sketches. A group whose column
+    * was all-NULL in every slice reads 0 — hll_sketch_agg emits an EMPTY
+    * sketch for zero non-null inputs, and 0 is exactly SQL's
+    * COUNT(DISTINCT) over an all-NULL group; the coalesce additionally
+    * covers a null sketch cell (unreachable through the apply path, but
+    * total is better than almost-total). Refuses typed on non-v3
+    * tables. */
+  def readDistinct(spark: SparkSession, targetDir: String): DataFrame = {
+    val fs = new Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val params = readText(fs, new Path(targetDir, ParamsFile))
+      .orElse(readText(fs, new Path(bakRoot(targetDir) + "_dir", ParamsFile)))
+      .getOrElse(throw graft.core.GraftError.InvalidConfig(
+        s"rollup at $targetDir carries no $ParamsFile stamp — not a v3 " +
+          "distinct-count rollup"))
+    if (!params.startsWith("v3 "))
+      throw graft.core.GraftError.InvalidConfig(
+        s"rollup at $targetDir is '$params', not a v3 distinct-count rollup")
+    val distinctCols = params.split(' ')
+      .find(_.startsWith("distinct=")).map(_.stripPrefix("distinct="))
+      .getOrElse(throw graft.core.GraftError.InvalidConfig(
+        s"malformed v3 stamp at $targetDir: '$params'"))
+      .split('+').toSeq
+    distinctCols.foldLeft(read(spark, targetDir)) { (df, v) =>
+      df.withColumn(s"approx_distinct_$v",
+        coalesce(when(col(s"hll_$v").isNotNull,
+            hll_sketch_estimate(col(s"hll_$v"))), lit(0L)))
+    }
+  }
+
+  /** The shared whole-directory exactly-once core — v1, v2 and v3 differ
+    * only in their [[Metric]] list and optional params stamp. See
+    * [[applySlice]] for the protocol contract. */
   private def applyWholeDir(spark: SparkSession, targetDir: String,
                             source: DataFrame, orderCol: String,
                             groupCols: Seq[String], metrics: Seq[Metric],
@@ -685,6 +785,12 @@ object AggMaintenance {
                                  orderCol: String): String =
     s"v2 buckets=$nBuckets group=${groupCols.mkString("+")} " +
       s"values=${valueCols.mkString("+")} order=$orderCol"
+
+  private def paramsStringV3(groupCols: Seq[String],
+                             distinctCols: Seq[String],
+                             orderCol: String): String =
+    s"v3 flat group=${groupCols.mkString("+")} " +
+      s"distinct=${distinctCols.mkString("+")} order=$orderCol"
 
   private def bakRoot(targetDir: String): String =
     targetDir.stripSuffix("/") + ".__agg_bak"

@@ -466,6 +466,75 @@ class AggMaintenanceSpec extends SparkSpec {
         nBuckets = 8))
   }
 
+  // ——— v3 distinct-count rollups (maintained HLL sketches) ———
+
+  test("v3: maintained sketch estimates match exact distinct counts; replay no-ops") {
+    import spark.implicits._
+    // 3 groups × known distinct cardinalities, fed across two slices with
+    // heavy cross-slice overlap (the case exact per-slice counting gets
+    // WRONG and mergeable sketches get right)
+    val src = (1 to 600).map { i =>
+      val grp = s"g${i % 3}"
+      val user = (i % 50).toLong // 50 distinct users per group, repeated
+      (i.toLong, grp, user)
+    }.toDF("us", "grp", "user")
+    val dir = tmpDir("agg-v3")
+    def apply(l: Long, h: Long) = AggMaintenance.applySliceDistinct(
+      spark, dir, src, "us", Seq("grp"), Seq("user"), l, h)
+    apply(0L, 300L); apply(300L, 700L)
+    assert(AggMaintenance.watermark(spark, dir).contains(700L))
+    val rp = apply(0L, 700L)
+    assert(!rp.applied && rp.watermarkUs == 700L)
+    val got = AggMaintenance.readDistinct(spark, dir)
+      .select("grp", "cnt", "approx_distinct_user")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val exact = src.groupBy("grp")
+      .agg(count(lit(1)).as("c"), countDistinct("user").as("d"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for ((g, (c, d)) <- exact) {
+      assert(got(g)._1 == c, s"row count for $g")
+      val est = got(g)._2
+      assert(math.abs(est - d) <= math.max(0.05 * d, 2.0),
+        s"estimate $est too far from exact $d for $g")
+    }
+  }
+
+  test("v3: all-NULL distinct column reads 0 (SQL COUNT DISTINCT); cross-refusals") {
+    val src = Seq((10L, "a", Option(1L)), (20L, "a", Option.empty[Long]),
+      (30L, "b", Option.empty[Long]))
+      .toDF("us", "grp", "user")
+    val dir = tmpDir("agg-v3-null")
+    AggMaintenance.applySliceDistinct(
+      spark, dir, src, "us", Seq("grp"), Seq("user"), 0L, 50L)
+    val rows = AggMaintenance.readDistinct(spark, dir)
+      .select("grp", "cnt", "approx_distinct_user")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows("a") == ((2L, 1L)))
+    // hll_sketch_agg emits an EMPTY sketch for zero non-null inputs —
+    // the estimate reads 0, which IS SQL's count(distinct) here
+    assert(rows("b") == ((1L, 0L)))
+    // every other lane refuses the v3 stamp, and v3 refuses theirs
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySlice(spark, dir, src, "us", Seq("grp"), "us", 50L, 95L))
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySliceV2(
+        spark, dir, src, "us", Seq("grp"), Seq("us"), 50L, 95L))
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.readDerived(spark, dir))
+    assertThrows[graft.core.GraftError.InvalidConfig]( // foreign columns
+      AggMaintenance.applySliceDistinct(
+        spark, dir, src, "us", Seq("grp"), Seq("us"), 50L, 95L))
+    val v1dir = tmpDir("agg-v3-on-v1")
+    AggMaintenance.applySlice(
+      spark, v1dir, rows2((10L, "a", 1.0, 2.0)), "us", Seq("grp"), "x", 0L, 50L)
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySliceDistinct(
+        spark, v1dir, src, "us", Seq("grp"), Seq("user"), 50L, 95L))
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.readDistinct(spark, v1dir))
+  }
+
   test("timestamp order column: bounds are canonical µs, filter on native type") {
     val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
     val us = graft.core.Tables.tsUs(ev)
