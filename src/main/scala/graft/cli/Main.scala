@@ -522,17 +522,11 @@ object Main {
       throw GraftError.InvalidConfig("agg requires --by GROUPCOL[,G2]")
     // v2 MOMENTS lane: `--moments`, or a comma-separated --value-col list,
     // maintains per-column (non-null count, exact sum, sum-of-squares,
-    // min, max) so avg/variance derive without a history rescan. The
-    // flag-conflict refusal runs BEFORE the watermark-state early returns:
-    // an invalid flag set must fail on every invocation, not only once new
-    // rows arrive (a misconfigured cron job would otherwise look healthy
-    // until data showed up).
+    // min, max) so avg/variance derive without a history rescan; with
+    // --partitioned it rides the bucket layout (applySlicePartitionedV2 —
+    // per-entity statistics at billion-group scale).
     val valueCols = a.valueCol.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
     val useV2 = a.moments || valueCols.size > 1
-    if (useV2 && a.partitioned)
-      throw GraftError.InvalidConfig(
-        "--moments / multi-column --value-col has no --partitioned form; " +
-          "drop --partitioned or use the single-value v1 lane")
     val srcEp = SyncEndpoint.parse(a.source, a.sourceUser, a.sourcePassword)
     val source = srcEp match {
       case SyncEndpoint.ParquetDir(dir) => spark.read.parquet(dir)
@@ -559,7 +553,11 @@ object Main {
       return
     }
     val r =
-      if (useV2) graft.sync.AggMaintenance.applySliceV2(
+      if (useV2 && a.partitioned)
+        graft.sync.AggMaintenance.applySlicePartitionedV2(
+          spark, a.dest, source, a.watermark, groupCols, valueCols, lo, hi,
+          nBuckets = a.buckets)
+      else if (useV2) graft.sync.AggMaintenance.applySliceV2(
         spark, a.dest, source, a.watermark, groupCols, valueCols, lo, hi)
       else if (a.partitioned) graft.sync.AggMaintenance.applySlicePartitioned(
         spark, a.dest, source, a.watermark, groupCols, a.valueCol, lo, hi,

@@ -79,18 +79,11 @@ object RangeLayout {
     // as committed garbage — the rename makes presence ⇒ whole content
     val dir = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
     val p = new org.apache.hadoop.fs.Path(dir, name)
-    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(tmp, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-    // OVERWRITE-rename (FileContext), not delete-then-rename: the latter
-    // has a crash window between the two calls that leaves NO sidecar —
-    // for an in-place stamp rewrite that is a permanent wedge, the very
-    // hazard this helper exists to close
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      fs.getUri, fs.getConf)
-    fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // every crash-window subtlety (torn write, missing-after-delete,
+    // non-atomic local FileContext rename, checksum-twin staleness)
+    // lives in ONE place — core.SidecarIO's scaladoc is the argument
+    graft.core.SidecarIO.write(fs, p, content)
   }
 
   private[graft] def readSidecar(spark: SparkSession, path: String,

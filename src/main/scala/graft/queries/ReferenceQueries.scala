@@ -31,6 +31,26 @@ object ReferenceQueries {
   private def decSum(c: String, scale: Int = 2) =
     sum(col(c).cast(s"decimal(18,$scale)")).cast("double")
 
+  /** a10/a11's shared HASH-SAFE derived select over stored lineitem v2
+    * moments: exact down-casts keep every gated decimal's unscaled form
+    * under 2^53 (quantities are integral → scale 0; 2-dp price sums →
+    * scale 2), where both engines' decimal→double casts agree — see the
+    * a10 oracle comment for why (DuckDB double-rounds above 2^53). ONE
+    * definition so a later scale edit cannot drift between the gates
+    * (the deriveMomentCols rule applied to the hash chain too). */
+  private def lineitemMomentHashCols(): Seq[Column] = {
+    val nQ = col("cntv_l_quantity").cast("double")
+    val sQ = col("sum_l_quantity").cast("decimal(28,0)").cast("double")
+    val qQ = col("sumsq_l_quantity").cast("decimal(38,0)").cast("double")
+    val nP = col("cntv_l_extendedprice").cast("double")
+    val sP = col("sum_l_extendedprice").cast("decimal(28,2)").cast("double")
+    Seq((sQ / nQ).as("avg_qty"),
+      when(col("cntv_l_quantity") > 1,
+        (qQ - sQ * sQ / nQ) / (nQ - lit(1.0)))
+        .otherwise(lit(null).cast("double")).as("var_qty"),
+      (sP / nP).as("avg_price"))
+  }
+
   val defs: Map[String, Q] = Map(
 
     // S1 — the per-slice extraction read: closed range on the watermark col
@@ -476,26 +496,14 @@ object ReferenceQueries {
         require(derived.exceptAll(oneShot).isEmpty &&
           oneShot.exceptAll(derived).isEmpty,
           "a10: maintained v2 moments diverge from the one-shot aggregation")
-        // hashed output recomputes the chain from the STORED moments with
-        // EXACT down-casts first (quantities integral → scale 0, price
-        // sums 2-dp → scale 2), keeping every hashed decimal's unscaled
-        // form under 2^53 — see the oracle comment (DuckDB double-rounds
-        // above it). The casts are value-preserving, so this equals
-        // readDerived's numbers wherever both are exact.
-        val st = graft.sync.AggMaintenance.read(s, out)
-        val nQ = col("cntv_l_quantity").cast("double")
-        val sQ = col("sum_l_quantity").cast("decimal(28,0)").cast("double")
-        val qQ = col("sumsq_l_quantity").cast("decimal(38,0)").cast("double")
-        val nP = col("cntv_l_extendedprice").cast("double")
-        val sP = col("sum_l_extendedprice").cast("decimal(28,2)").cast("double")
-        st.select(col("l_returnflag"), col("cnt"),
-          (sQ / nQ).as("avg_qty"),
-          when(col("cntv_l_quantity") > 1,
-            (qQ - sQ * sQ / nQ) / (nQ - lit(1.0)))
-            .otherwise(lit(null).cast("double")).as("var_qty"),
-          (sP / nP).as("avg_price"),
-          col("min_l_quantity").cast("double").as("min_qty"),
-          col("max_l_quantity").cast("double").as("max_qty"))
+        // hashed output via the ONE shared hash-safe chain (value-
+        // preserving exact down-casts — equals readDerived's numbers
+        // wherever both are exact; see lineitemMomentHashCols)
+        graft.sync.AggMaintenance.read(s, out)
+          .select((col("l_returnflag") +: col("cnt") +:
+            lineitemMomentHashCols()) ++ Seq(
+            col("min_l_quantity").cast("double").as("min_qty"),
+            col("max_l_quantity").cast("double").as("max_qty")): _*)
     },
 
     // A11 — the bucket-PARTITIONED v2 moments rollup (a8's billion-group
@@ -537,20 +545,12 @@ object ReferenceQueries {
             s, out, li, "l_shipdate", Seq("l_suppkey"), vals, l, h,
             nBuckets = 16)
         }
-        // same exact-down-cast hash chain as a10 (2^53 rule); var_price
-        // stays un-hashed — it is spec-pinned at 1e-9 vs var_samp
-        val st = graft.sync.AggMaintenance.read(s, out)
-        val nQ = col("cntv_l_quantity").cast("double")
-        val sQ = col("sum_l_quantity").cast("decimal(28,0)").cast("double")
-        val qQ = col("sumsq_l_quantity").cast("decimal(38,0)").cast("double")
-        val nP = col("cntv_l_extendedprice").cast("double")
-        val sP = col("sum_l_extendedprice").cast("decimal(28,2)").cast("double")
-        st.select(col("l_suppkey"), col("cnt"),
-          (sQ / nQ).as("avg_qty"),
-          when(col("cntv_l_quantity") > 1,
-            (qQ - sQ * sQ / nQ) / (nQ - lit(1.0)))
-            .otherwise(lit(null).cast("double")).as("var_qty"),
-          (sP / nP).as("avg_price"))
+        // the ONE shared hash-safe chain (2^53 rule — see
+        // lineitemMomentHashCols); var_price stays un-hashed, spec-pinned
+        // at 1e-9 vs var_samp
+        graft.sync.AggMaintenance.read(s, out)
+          .select(col("l_suppkey") +: col("cnt") +:
+            lineitemMomentHashCols(): _*)
     },
 
     // A12 — v3 DISTINCT-COUNT IVM: exact COUNT(DISTINCT) is not

@@ -474,7 +474,9 @@ object AggMaintenance {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = new Path(targetDir)
     healBuckets(fs, targetDir)
-    val stored = readWm(fs, new Path(dst, WmFile))
+    // presence check only — the core re-reads the VALUE itself (it must:
+    // the interior-watermark split recursion advances it mid-apply)
+    val wmExists = fs.exists(new Path(dst, WmFile))
     readText(fs, new Path(dst, ParamsFile)) match {
       case Some(p) if v2 && p.startsWith("v1 ") =>
         throw graft.core.GraftError.InvalidConfig(
@@ -492,7 +494,7 @@ object AggMaintenance {
         throw graft.core.GraftError.InvalidConfig(
           s"rollup at $targetDir was built with different parameters " +
             s"($p); refusing to apply $params — hash spaces would mix")
-      case None if stored.isDefined =>
+      case None if wmExists =>
         throw graft.core.GraftError.InvalidConfig(
           s"rollup at $targetDir is a whole-directory rollup (no " +
             s"$ParamsFile); use applySlice, or rebuild partitioned")
@@ -907,27 +909,12 @@ object AggMaintenance {
     }
   }
 
-  private def writeText(fs: FileSystem, p: Path, s: String): Unit = {
-    // write-temp-then-OVERWRITE-rename: the _GRAFT_AGG_WM /
-    // _GRAFT_AGG_PARAMS / _GRAFT_AGG_SCHEMA sidecars are COMMIT MARKERS,
-    // and the empty-slice watermark advance and the partitioned root-wm
-    // commit rewrite them IN PLACE. A truncate-then-write (fs.create(p,
-    // true)) crashed mid-write destroys the previously committed
-    // watermark — readWm parses the truncated file as None and the
-    // whole-dir path wedges with the typed "has data but no sidecar"
-    // refusal. The rename must be the FileContext OVERWRITE form: a
-    // delete-then-FileSystem.rename pair re-opens the same wedge in the
-    // gap between the two calls (crash after delete, before rename →
-    // NO sidecar at all). Overwrite-rename is one atomic step on local
-    // fs and HDFS: a crash leaves either the old stamp or the new one,
-    // never a torn or missing one.
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      fs.getUri, fs.getConf)
-    fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+  private def writeText(fs: FileSystem, p: Path, s: String): Unit =
+    // the _GRAFT_AGG_WM / _GRAFT_AGG_PARAMS / _GRAFT_AGG_SCHEMA sidecars
+    // are COMMIT MARKERS rewritten IN PLACE by the empty-slice watermark
+    // advance and the partitioned root-wm commit — every crash-window
+    // subtlety (torn write, missing-after-delete, non-atomic local
+    // FileContext rename, checksum-twin staleness) lives in ONE place:
+    // core.SidecarIO's scaladoc is the full argument.
+    graft.core.SidecarIO.write(fs, p, s)
 }

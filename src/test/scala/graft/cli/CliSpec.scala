@@ -506,11 +506,25 @@ class CliSpec extends SparkSpec {
       "--by", "grp", "--watermark", "us", "--value-col", "x", "--moments")
     assert(graft.sync.AggMaintenance.readDerived(spark, v2b)
       .columns.contains("var_x"))
-    // v2 has no partitioned form — refuse loud
+    // --partitioned + v2 rides the bucket layout end-to-end
+    val vp = s"$work/vp"
+    run("agg", "--source", s"$work/src", "--dest", vp,
+      "--by", "grp", "--watermark", "us", "--value-col", "x,y",
+      "--partitioned", "--buckets", "8")
+    assert(new java.io.File(vp).listFiles()
+      .exists(_.getName.startsWith("__bucket=")))
+    val pb = graft.sync.AggMaintenance.readDerived(spark, vp)
+      .filter(col("grp") === "b").select("cnt", "avg_x").collect().head
+    assert(pb.getLong(0) == 2 && pb.getDouble(1) == 6.0)
+    // and a v1 partitioned apply refuses the v2-partitioned stamp (the
+    // source grows first — an up-to-date invocation early-returns before
+    // any lane touches the stamp)
+    Seq((50L, "c", 1.0, 1.0)).toDF("us", "grp", "x", "y")
+      .write.mode("append").parquet(s"$work/src")
     assertThrows[GraftError.InvalidConfig](
-      run("agg", "--source", s"$work/src", "--dest", s"$work/vp",
-        "--by", "grp", "--watermark", "us", "--value-col", "x,y",
-        "--partitioned"))
+      run("agg", "--source", s"$work/src", "--dest", vp,
+        "--by", "grp", "--watermark", "us", "--value-col", "x",
+        "--partitioned", "--buckets", "8"))
   }
 
   test("reconcile reports orphans, --apply drops them, requires --key") {
