@@ -72,7 +72,7 @@ import graft.sync.{SyncConfig, SyncEndpoint, SyncPipeline, SyncReport}
   *     [--id-col doc_id] [--text-col text]
   *   runMain graft.cli.Main agg --source <parquet|jdbc:...#t> \
   *     --dest <rollup dir> --by GROUPCOL[,G2] --watermark W \
-  *     [--value-col value | --value-col V1,V2 | --moments] \
+  *     [--value-col value | --value-col V1,V2 | --moments | --distinct C] \
   *     [--cut N] [--partitioned] [--buckets 64]
   *     (default cut assumes a QUIESCED source; for a concurrently
   *     appended source pass an explicit --cut — see runAgg's contract)
@@ -106,7 +106,8 @@ object Main {
                           capacity: Long = 2048L,
                           valueCol: String = "value",
                           partitioned: Boolean = false,
-                          moments: Boolean = false)
+                          moments: Boolean = false,
+                          distinctCols: String = "")
 
   private val boolFlags = Set("progress", "apply", "partitioned", "moments")
 
@@ -116,7 +117,7 @@ object Main {
         "decontaminate", "spans", "layout", "mix",
         "dedup-lines", "dedup-spans", "diff", "reconcile",
         "bpe-train", "tokenize", "pipeline", "agg").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span|jaccard|containment] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--jaccard 0.8] [--threshold 0.99 for containment] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft reconcile --source (PATH|jdbc:...#table) --dest PATH --key K[,K2] [--report PATH] [--apply] | graft bpe-train --source PATH --dest PATH --merges N [--id-col doc_id] [--text-col text] | graft tokenize --source PATH --base MERGES_PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text] | graft pipeline --source PATH --benchmark PATH --dest WORKDIR --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--min-span 24] [--min-docs 2] [--min-tokens N] [--max-tokens N] [--max-contamination 0.0] [--shards 16] [--capacity 2048] [--id-col doc_id] [--text-col text] | graft agg --source (PATH|jdbc:...#table) --dest PATH --by GROUPCOL[,G2] --watermark W [--value-col value | --value-col V1,V2 | --moments] [--cut N] [--partitioned] [--buckets 64]")
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span|jaccard|containment] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--jaccard 0.8] [--threshold 0.99 for containment] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft reconcile --source (PATH|jdbc:...#table) --dest PATH --key K[,K2] [--report PATH] [--apply] | graft bpe-train --source PATH --dest PATH --merges N [--id-col doc_id] [--text-col text] | graft tokenize --source PATH --base MERGES_PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text] | graft pipeline --source PATH --benchmark PATH --dest WORKDIR --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--min-span 24] [--min-docs 2] [--min-tokens N] [--max-tokens N] [--max-contamination 0.0] [--shards 16] [--capacity 2048] [--id-col doc_id] [--text-col text] | graft agg --source (PATH|jdbc:...#table) --dest PATH --by GROUPCOL[,G2] --watermark W [--value-col value | --value-col V1,V2 | --moments | --distinct C[,C2]] [--cut N] [--partitioned] [--buckets 64]")
     val opts = scala.collection.mutable.Map.empty[String, String]
     var i = 1
     while (i < argv.length) {
@@ -259,6 +260,7 @@ object Main {
         valueCol = opts.getOrElse("value-col", "value"),
         partitioned = opts.contains("partitioned"),
         moments = opts.contains("moments"),
+        distinctCols = opts.getOrElse("distinct", ""),
         alpha = opts.get("alpha").map { v =>
           val d = v.toDoubleOption.getOrElse(throw GraftError.InvalidConfig(
             s"--alpha expects a number in [0,1], got '$v'"))
@@ -525,8 +527,20 @@ object Main {
     // min, max) so avg/variance derive without a history rescan; with
     // --partitioned it rides the bucket layout (applySlicePartitionedV2 —
     // per-entity statistics at billion-group scale).
+    // v3 DISTINCT lane: `--distinct C[,C2]` maintains per-group HLL
+    // distinct-count sketches instead (the only slice-maintainable
+    // distinct count). The lane-conflict refusal runs BEFORE the
+    // watermark-state early returns: an invalid flag set must fail on
+    // every invocation, not only once new rows arrive.
     val valueCols = a.valueCol.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
     val useV2 = a.moments || valueCols.size > 1
+    val distinctCols =
+      a.distinctCols.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    val useV3 = distinctCols.nonEmpty
+    if (useV3 && useV2)
+      throw GraftError.InvalidConfig(
+        "--distinct maintains sketches, --moments/multi-column --value-col " +
+          "maintains moments — one rollup holds one lane; run two rollups")
     val srcEp = SyncEndpoint.parse(a.source, a.sourceUser, a.sourcePassword)
     val source = srcEp match {
       case SyncEndpoint.ParquetDir(dir) => spark.read.parquet(dir)
@@ -553,7 +567,13 @@ object Main {
       return
     }
     val r =
-      if (useV2 && a.partitioned)
+      if (useV3 && a.partitioned)
+        graft.sync.AggMaintenance.applySlicePartitionedDistinct(
+          spark, a.dest, source, a.watermark, groupCols, distinctCols,
+          lo, hi, nBuckets = a.buckets)
+      else if (useV3) graft.sync.AggMaintenance.applySliceDistinct(
+        spark, a.dest, source, a.watermark, groupCols, distinctCols, lo, hi)
+      else if (useV2 && a.partitioned)
         graft.sync.AggMaintenance.applySlicePartitionedV2(
           spark, a.dest, source, a.watermark, groupCols, valueCols, lo, hi,
           nBuckets = a.buckets)

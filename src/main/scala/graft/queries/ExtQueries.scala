@@ -1234,6 +1234,20 @@ object ExtQueries {
           .rollup("lang", "source").agg(count(lit(1)).as("cnt"))
     },
 
+    // E4 — explicit GROUPING SETS ((lang), (source)): the irregular
+    // stratum set neither CUBE nor ROLLUP can express (no (lang,source)
+    // pair stratum, no grand total). Same single-pass Expand plan;
+    // with e4i/e4i2 this closes the grouping-sets family exhaustively.
+    "e4i3_grouping_sets_counts" -> Q(
+      """SELECT lang, source, count(*) AS cnt
+        |FROM documents GROUP BY GROUPING SETS ((lang), (source))""".stripMargin) {
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .groupingSets(Seq(Seq(col("lang")), Seq(col("source"))),
+            col("lang"), col("source"))
+          .agg(count(lit(1)).as("cnt"))
+    },
+
     // [EXT] deterministic per-group sampling: k docs per language by
     // content-hash priority (reservoir-equivalent, engine-independent).
     "e7_deterministic_sample" -> Q(

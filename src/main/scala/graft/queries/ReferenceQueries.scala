@@ -591,6 +591,41 @@ object ReferenceQueries {
               .otherwise(0L).as("est_ok"))
     },
 
+    // A13 — the bucket-PARTITIONED v3 distinct-count rollup (a8's layout
+    // × a12's sketches): per-USER distinct event types maintained over a
+    // 16-bucket `__bucket=K/` layout, three ts slices — per-entity
+    // distinct counts at billion-group scale, touched buckets only. Tiny
+    // per-group cardinalities (≤5 event types) keep the HLL in its exact
+    // sparse regime, so the tolerance contract is deterministic here.
+    "a13_agg_maintenance_distinct_partitioned" -> Q(
+      """SELECT user_id, count(*) AS cnt, CAST(1 AS BIGINT) AS est_ok
+        |FROM events GROUP BY user_id""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        val us = Tables.tsUs(ev)
+        val b = ev.agg(min(us).as("lo"), max(us).as("hi")).collect().head
+        val lo = b.getLong(0); val hi = b.getLong(1) + 1
+        val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * ((hi - lo) / 3)
+        val stamp = Tables.fixtureStamp(dir, "events")
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-aggivm3p-" +
+          Integer.toHexString(s"$dir@$stamp".hashCode)
+        Seq((lo, cut1), (cut1, cut2), (cut2, hi)).foreach { case (l, h) =>
+          graft.sync.AggMaintenance.applySlicePartitionedDistinct(
+            s, out, ev, "ts", Seq("user_id"), Seq("event_type"), l, h,
+            nBuckets = 16)
+        }
+        val est = graft.sync.AggMaintenance.readDistinct(s, out)
+          .select(col("user_id"), col("cnt"),
+            col("approx_distinct_event_type").as("est"))
+        val exact = ev.groupBy("user_id")
+          .agg(count_distinct(col("event_type")).as("exact"))
+        est.join(exact, "user_id")
+          .select(col("user_id"), col("cnt"),
+            when(abs(col("est") - col("exact")).cast("double") <=
+              greatest(col("exact").cast("double") * 0.05, lit(2.0)), 1L)
+              .otherwise(0L).as("est_ok"))
+    },
+
     // W1 — partitioned ROW_NUMBER, the load-bearing S4-dedup form
     // (SURVEY §2.5): latest row per key, last-writer-wins.
     "w1_latest_per_key" -> Q(

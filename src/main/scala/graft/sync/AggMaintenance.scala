@@ -434,8 +434,7 @@ object AggMaintenance {
                             groupCols: Seq[String], valueCol: String,
                             lo: Long, hi: Long, nBuckets: Int): AggResult = {
     val params = paramsString(nBuckets, groupCols, valueCol, orderCol)
-    validatePartitioned("applySlicePartitioned", spark, targetDir, params,
-      v2 = false)
+    validatePartitioned("applySlicePartitioned", spark, targetDir, params)
     applyPartitionedCore(spark, targetDir, source, orderCol, groupCols,
       v1Metrics(valueCol), params, lo, hi, nBuckets)
   }
@@ -459,17 +458,39 @@ object AggMaintenance {
     require(valueCols.distinct == valueCols,
       s"duplicate value columns: ${valueCols.mkString(", ")}")
     val params = paramsStringV2Part(nBuckets, groupCols, valueCols, orderCol)
-    validatePartitioned("applySlicePartitionedV2", spark, targetDir, params,
-      v2 = true)
+    validatePartitioned("applySlicePartitionedV2", spark, targetDir, params)
     applyPartitionedCore(spark, targetDir, source, orderCol, groupCols,
       v2Metrics(valueCols), params, lo, hi, nBuckets)
   }
 
-  /** Shared stamp validation for the partitioned fronts — version-aware
-    * refusal messages; the core below never re-validates. */
+  /** The bucket-partitioned form of [[applySliceDistinct]]: per-group HLL
+    * distinct-count sketches over the `__bucket=K/` layout — per-entity
+    * approximate distinct counts at billion-group scale, touched buckets
+    * only. Stamped `v3 buckets=…`; [[readDistinct]] serves estimates. */
+  def applySlicePartitionedDistinct(spark: SparkSession, targetDir: String,
+                                    source: DataFrame, orderCol: String,
+                                    groupCols: Seq[String],
+                                    distinctCols: Seq[String],
+                                    lo: Long, hi: Long,
+                                    nBuckets: Int): AggResult = {
+    require(distinctCols.nonEmpty,
+      "applySlicePartitionedDistinct requires at least one distinct column")
+    require(distinctCols.distinct == distinctCols,
+      s"duplicate distinct columns: ${distinctCols.mkString(", ")}")
+    val params = s"v3 buckets=$nBuckets group=${groupCols.mkString("+")} " +
+      s"distinct=${distinctCols.mkString("+")} order=$orderCol"
+    validatePartitioned("applySlicePartitionedDistinct", spark, targetDir,
+      params)
+    applyPartitionedCore(spark, targetDir, source, orderCol, groupCols,
+      v3Metrics(distinctCols), params, lo, hi, nBuckets)
+  }
+
+  /** Shared stamp validation for the partitioned fronts. A mismatched
+    * stamp names the lane that CAN apply it (the full v1/v2/v3 ×
+    * flat/partitioned matrix in one place); the core below never
+    * re-validates. */
   private def validatePartitioned(op: String, spark: SparkSession,
-                                  targetDir: String, params: String,
-                                  v2: Boolean): Unit = {
+                                  targetDir: String, params: String): Unit = {
     val fs = new Path(targetDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = new Path(targetDir)
@@ -478,22 +499,10 @@ object AggMaintenance {
     // the interior-watermark split recursion advances it mid-apply)
     val wmExists = fs.exists(new Path(dst, WmFile))
     readText(fs, new Path(dst, ParamsFile)) match {
-      case Some(p) if v2 && p.startsWith("v1 ") =>
-        throw graft.core.GraftError.InvalidConfig(
-          s"rollup at $targetDir is partitioned v1 ($p); use " +
-            "applySlicePartitioned, or rebuild as v2")
-      case Some(p) if v2 && p.startsWith("v2 flat") =>
-        throw graft.core.GraftError.InvalidConfig(
-          s"rollup at $targetDir is a whole-directory v2 rollup ($p); " +
-            "use applySliceV2, or rebuild partitioned")
-      case Some(p) if !v2 && p.startsWith("v2 ") =>
-        throw graft.core.GraftError.InvalidConfig(
-          s"rollup at $targetDir is a v2 rollup ($p); use " +
-            "applySlicePartitionedV2 / applySliceV2")
       case Some(p) if p != params =>
         throw graft.core.GraftError.InvalidConfig(
-          s"rollup at $targetDir was built with different parameters " +
-            s"($p); refusing to apply $params — hash spaces would mix")
+          s"rollup at $targetDir was built as '$p'; $op expects " +
+            s"'$params' — use ${laneFor(p)}, or rebuild")
       case None if wmExists =>
         throw graft.core.GraftError.InvalidConfig(
           s"rollup at $targetDir is a whole-directory rollup (no " +
@@ -504,6 +513,16 @@ object AggMaintenance {
             "AggMaintenance table (refusing to merge into an unknown layout)")
       case _ =>
     }
+  }
+
+  /** The apply lane that matches a stored stamp — for refusal messages. */
+  private def laneFor(p: String): String = p match {
+    case s if s.startsWith("v1 buckets=") => "applySlicePartitioned"
+    case s if s.startsWith("v2 buckets=") => "applySlicePartitionedV2"
+    case s if s.startsWith("v3 buckets=") => "applySlicePartitionedDistinct"
+    case s if s.startsWith("v2 flat")     => "applySliceV2"
+    case s if s.startsWith("v3 flat")     => "applySliceDistinct"
+    case _                                => "the matching applySlice* lane"
   }
 
   private def applyPartitionedCore(spark: SparkSession, targetDir: String,
@@ -647,10 +666,10 @@ object AggMaintenance {
     val fs = new Path(targetDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = new Path(targetDir)
-    // a ParamsFile alone no longer implies partitioned (v2 whole-dir
-    // tables are stamped too) — key off the `… buckets=` stamp prefixes
+    // a ParamsFile alone no longer implies partitioned (v2/v3 whole-dir
+    // tables are stamped too) — key off the `… buckets=` stamp token
     val partitioned = readText(fs, new Path(root, ParamsFile))
-      .exists(p => p.startsWith("v1 buckets=") || p.startsWith("v2 buckets="))
+      .exists(_.contains(" buckets="))
     // READ-ONLY crash tolerance: a reader never renames anything (a
     // concurrent apply may be mid-swap — healing here could break its
     // forward rename); instead it READS AROUND the window. Whole-dir: the

@@ -535,6 +535,44 @@ class AggMaintenanceSpec extends SparkSpec {
       AggMaintenance.readDistinct(spark, v1dir))
   }
 
+  test("v3 partitioned: sketches fold per bucket; untouched buckets keep files; refusals") {
+    import spark.implicits._
+    val gA = "a"
+    val gB = ('b' to 'z').map(_.toString)
+      .find(g => bucketOf(g) != bucketOf(gA)).get
+    val src = Seq(
+      (10L, gA, 1L), (20L, gB, 2L), (60L, gA, 2L), (70L, gB, 2L),
+      (80L, gA, 1L)) // gA: users {1,2}; gB: {2}
+      .toDF("us", "grp", "user")
+    val dir = tmpDir("agg-v3-part")
+    def apply(d: org.apache.spark.sql.DataFrame, l: Long, h: Long) =
+      AggMaintenance.applySlicePartitionedDistinct(
+        spark, dir, d, "us", Seq("grp"), Seq("user"), l, h, nBuckets = 8)
+    apply(src, 0L, 50L); apply(src, 50L, 100L)
+    val got = AggMaintenance.readDistinct(spark, dir)
+      .select("grp", "cnt", "approx_distinct_user")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(gA) == ((3L, 2L)) && got(gB) == ((2L, 1L)),
+      s"tiny cardinalities are HLL-exact; got $got")
+    // a delta touching ONLY gB leaves gA's bucket files untouched
+    val before = bucketFiles(dir)
+    apply(Seq((110L, gB, 9L)).toDF("us", "grp", "user"), 100L, 120L)
+    val after = bucketFiles(dir)
+    assert(after(s"__bucket=${bucketOf(gA)}") == before(s"__bucket=${bucketOf(gA)}"))
+    assert(AggMaintenance.readDistinct(spark, dir)
+      .filter(col("grp") === gB).select("approx_distinct_user")
+      .first().getLong(0) == 2L)
+    // the refusal matrix names the matching lane
+    val e = intercept[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySlicePartitioned(
+        spark, dir, rows((130L, gA, 1.0)), "us", Seq("grp"), "v", 120L, 140L,
+        nBuckets = 8))
+    assert(e.getMessage.contains("applySlicePartitionedDistinct"))
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySliceDistinct( // flat lane on a partitioned table
+        spark, dir, src, "us", Seq("grp"), Seq("user"), 120L, 140L))
+  }
+
   test("timestamp order column: bounds are canonical µs, filter on native type") {
     val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
     val us = graft.core.Tables.tsUs(ev)

@@ -527,6 +527,29 @@ class CliSpec extends SparkSpec {
         "--partitioned", "--buckets", "8"))
   }
 
+  test("agg --distinct drives the v3 sketch lane, flat and partitioned") {
+    import spark.implicits._
+    val work = tmpDir("cli-agg-v3")
+    Seq((10L, "a", 1L), (20L, "a", 2L), (30L, "b", 2L), (40L, "a", 1L))
+      .toDF("us", "grp", "user").write.parquet(s"$work/src")
+    run("agg", "--source", s"$work/src", "--dest", s"$work/v3",
+      "--by", "grp", "--watermark", "us", "--distinct", "user")
+    val d = graft.sync.AggMaintenance.readDistinct(spark, s"$work/v3")
+      .select("grp", "cnt", "approx_distinct_user")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(d == Map("a" -> ((3L, 2L)), "b" -> ((1L, 1L))))
+    run("agg", "--source", s"$work/src", "--dest", s"$work/v3p",
+      "--by", "grp", "--watermark", "us", "--distinct", "user",
+      "--partitioned", "--buckets", "8")
+    assert(new java.io.File(s"$work/v3p").listFiles()
+      .exists(_.getName.startsWith("__bucket=")))
+    // one rollup holds one lane: --distinct + --moments refuses up front
+    assertThrows[GraftError.InvalidConfig](
+      run("agg", "--source", s"$work/src", "--dest", s"$work/vx",
+        "--by", "grp", "--watermark", "us", "--distinct", "user",
+        "--moments"))
+  }
+
   test("reconcile reports orphans, --apply drops them, requires --key") {
     import spark.implicits._
     val work = tmpDir("cli-reconcile")
