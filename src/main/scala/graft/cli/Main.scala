@@ -72,7 +72,7 @@ import graft.sync.{SyncConfig, SyncEndpoint, SyncPipeline, SyncReport}
   *     [--id-col doc_id] [--text-col text]
   *   runMain graft.cli.Main agg --source <parquet|jdbc:...#t> \
   *     --dest <rollup dir> --by GROUPCOL[,G2] --watermark W \
-  *     [--value-col value | --value-col V1,V2 | --moments | --distinct C] \
+  *     [--value-col value | --value-col V1,V2 | --moments | --distinct C[,C2]] \
   *     [--cut N] [--partitioned] [--buckets 64]
   *     (default cut assumes a QUIESCED source; for a concurrently
   *     appended source pass an explicit --cut — see runAgg's contract)
@@ -107,7 +107,8 @@ object Main {
                           valueCol: String = "value",
                           partitioned: Boolean = false,
                           moments: Boolean = false,
-                          distinctCols: String = "")
+                          distinctCols: Option[String] = None,
+                          valueColSet: Boolean = false)
 
   private val boolFlags = Set("progress", "apply", "partitioned", "moments")
 
@@ -260,7 +261,8 @@ object Main {
         valueCol = opts.getOrElse("value-col", "value"),
         partitioned = opts.contains("partitioned"),
         moments = opts.contains("moments"),
-        distinctCols = opts.getOrElse("distinct", ""),
+        distinctCols = opts.get("distinct"),
+        valueColSet = opts.contains("value-col"),
         alpha = opts.get("alpha").map { v =>
           val d = v.toDoubleOption.getOrElse(throw GraftError.InvalidConfig(
             s"--alpha expects a number in [0,1], got '$v'"))
@@ -534,13 +536,18 @@ object Main {
     // every invocation, not only once new rows arrive.
     val valueCols = a.valueCol.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
     val useV2 = a.moments || valueCols.size > 1
-    val distinctCols =
-      a.distinctCols.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
-    val useV3 = distinctCols.nonEmpty
-    if (useV3 && useV2)
+    val distinctCols = a.distinctCols
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+    distinctCols.filter(_.isEmpty).foreach { _ =>
       throw GraftError.InvalidConfig(
-        "--distinct maintains sketches, --moments/multi-column --value-col " +
-          "maintains moments — one rollup holds one lane; run two rollups")
+        "--distinct was given but names no columns") }
+    val useV3 = distinctCols.exists(_.nonEmpty)
+    // any explicit value-lane flag beside --distinct refuses — a silently
+    // ignored --value-col would build a different rollup than asked for
+    if (useV3 && (a.moments || a.valueColSet))
+      throw GraftError.InvalidConfig(
+        "--distinct maintains sketches; --moments/--value-col maintains " +
+          "sums or moments — one rollup holds one lane; run two rollups")
     val srcEp = SyncEndpoint.parse(a.source, a.sourceUser, a.sourcePassword)
     val source = srcEp match {
       case SyncEndpoint.ParquetDir(dir) => spark.read.parquet(dir)
@@ -569,10 +576,11 @@ object Main {
     val r =
       if (useV3 && a.partitioned)
         graft.sync.AggMaintenance.applySlicePartitionedDistinct(
-          spark, a.dest, source, a.watermark, groupCols, distinctCols,
+          spark, a.dest, source, a.watermark, groupCols, distinctCols.get,
           lo, hi, nBuckets = a.buckets)
       else if (useV3) graft.sync.AggMaintenance.applySliceDistinct(
-        spark, a.dest, source, a.watermark, groupCols, distinctCols, lo, hi)
+        spark, a.dest, source, a.watermark, groupCols, distinctCols.get,
+        lo, hi)
       else if (useV2 && a.partitioned)
         graft.sync.AggMaintenance.applySlicePartitionedV2(
           spark, a.dest, source, a.watermark, groupCols, valueCols, lo, hi,

@@ -161,24 +161,12 @@ object AggMaintenance {
     val fs = new Path(targetDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     healWholeDir(fs, targetDir)
-    readText(fs, new Path(targetDir, ParamsFile)) match {
-      case Some(p) if p.startsWith("v2 buckets=") =>
-        throw graft.core.GraftError.InvalidConfig(
-          s"rollup at $targetDir is bucket-partitioned v2 ($p); " +
-            "use applySlicePartitionedV2")
-      case Some(p) if p.startsWith("v2 ") =>
-        throw graft.core.GraftError.InvalidConfig(
-          s"rollup at $targetDir is a v2 multi-value rollup ($p); " +
-            "use applySliceV2 — the v1 schema has no sumsq columns to fold")
-      case Some(p) if p.startsWith("v3 ") =>
-        throw graft.core.GraftError.InvalidConfig(
-          s"rollup at $targetDir is a v3 distinct-count rollup ($p); " +
-            "use applySliceDistinct — its sketches are not v1 columns")
-      case Some(_) =>
-        throw graft.core.GraftError.InvalidConfig(
-          s"rollup at $targetDir is bucket-partitioned ($ParamsFile present); " +
-            "use applySlicePartitioned")
-      case None =>
+    // a v1 whole-dir rollup is the ONLY unstamped layout: any stamp at
+    // all means some other lane owns this table — laneFor names it
+    readText(fs, new Path(targetDir, ParamsFile)).foreach { p =>
+      throw graft.core.GraftError.InvalidConfig(
+        s"rollup at $targetDir is stamped '$p', not a v1 whole-directory " +
+          s"rollup; use ${laneFor(p)}, or rebuild")
     }
     applyWholeDir(spark, targetDir, source, orderCol, groupCols,
       v1Metrics(valueCol), stamp = None, lo, hi)
@@ -208,32 +196,34 @@ object AggMaintenance {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     healWholeDir(fs, targetDir)
     val params = paramsStringV2(groupCols, valueCols, orderCol)
+    validateStampedFlat("applySliceV2", fs, targetDir, params)
+    applyWholeDir(spark, targetDir, source, orderCol, groupCols,
+      v2Metrics(valueCols), stamp = Some(params), lo, hi)
+  }
+
+  /** Shared stamp validation for the STAMPED whole-directory fronts
+    * (v2 moments / v3 distinct). A wrong-lane stamp names the lane that
+    * owns it ([[laneFor]]); a same-lane parameter mismatch says so
+    * without suggesting the op the caller just invoked. */
+  private def validateStampedFlat(op: String, fs: FileSystem,
+                                  targetDir: String, params: String): Unit = {
     readText(fs, new Path(targetDir, ParamsFile)) match {
-      case Some(p) if p.startsWith("v1 ") =>
+      case Some(p) if p == params =>
+      case Some(p) if laneFor(p) != op =>
         throw graft.core.GraftError.InvalidConfig(
-          s"rollup at $targetDir is bucket-partitioned v1 ($p); " +
-            "use applySlicePartitioned, or rebuild as v2")
-      case Some(p) if p.startsWith("v2 buckets=") =>
-        throw graft.core.GraftError.InvalidConfig(
-          s"rollup at $targetDir is bucket-partitioned v2 ($p); " +
-            "use applySlicePartitionedV2")
-      case Some(p) if p.startsWith("v3 ") =>
-        throw graft.core.GraftError.InvalidConfig(
-          s"rollup at $targetDir is a v3 distinct-count rollup ($p); " +
-            "use applySliceDistinct")
-      case Some(p) if p != params =>
+          s"rollup at $targetDir is stamped '$p'; use ${laneFor(p)}, " +
+            "or rebuild")
+      case Some(p) =>
         throw graft.core.GraftError.InvalidConfig(
           s"rollup at $targetDir was built with different parameters " +
             s"($p); refusing to apply $params — column sets would mix")
       case None if ParquetMergeSink.hasData(fs, new Path(targetDir)) ||
           readWm(fs, new Path(targetDir, WmFile)).isDefined =>
         throw graft.core.GraftError.InvalidConfig(
-          s"rollup at $targetDir has no v2 stamp — a v1 whole-directory " +
-            "rollup or an unknown layout; use applySlice, or rebuild as v2")
-      case _ =>
+          s"rollup at $targetDir has no stamp — a v1 whole-directory " +
+            s"rollup or an unknown layout; $op refuses to merge into it")
+      case None =>
     }
-    applyWholeDir(spark, targetDir, source, orderCol, groupCols,
-      v2Metrics(valueCols), stamp = Some(params), lo, hi)
   }
 
   /** v3 whole-directory rollup maintaining per-group HLL DISTINCT-COUNT
@@ -257,22 +247,7 @@ object AggMaintenance {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     healWholeDir(fs, targetDir)
     val params = paramsStringV3(groupCols, distinctCols, orderCol)
-    readText(fs, new Path(targetDir, ParamsFile)) match {
-      case Some(p) if p.startsWith("v1 ") || p.startsWith("v2 ") =>
-        throw graft.core.GraftError.InvalidConfig(
-          s"rollup at $targetDir is '$p', not a v3 distinct-count rollup; " +
-            "use the matching applySlice* variant, or rebuild as v3")
-      case Some(p) if p != params =>
-        throw graft.core.GraftError.InvalidConfig(
-          s"rollup at $targetDir was built with different parameters " +
-            s"($p); refusing to apply $params — column sets would mix")
-      case None if ParquetMergeSink.hasData(fs, new Path(targetDir)) ||
-          readWm(fs, new Path(targetDir, WmFile)).isDefined =>
-        throw graft.core.GraftError.InvalidConfig(
-          s"rollup at $targetDir has no v3 stamp — a v1 whole-directory " +
-            "rollup or an unknown layout; refusing to merge into it")
-      case _ =>
-    }
+    validateStampedFlat("applySliceDistinct", fs, targetDir, params)
     applyWholeDir(spark, targetDir, source, orderCol, groupCols,
       v3Metrics(distinctCols), stamp = Some(params), lo, hi)
   }
@@ -477,8 +452,8 @@ object AggMaintenance {
       "applySlicePartitionedDistinct requires at least one distinct column")
     require(distinctCols.distinct == distinctCols,
       s"duplicate distinct columns: ${distinctCols.mkString(", ")}")
-    val params = s"v3 buckets=$nBuckets group=${groupCols.mkString("+")} " +
-      s"distinct=${distinctCols.mkString("+")} order=$orderCol"
+    val params = paramsStringV3Part(nBuckets, groupCols, distinctCols,
+      orderCol)
     validatePartitioned("applySlicePartitionedDistinct", spark, targetDir,
       params)
     applyPartitionedCore(spark, targetDir, source, orderCol, groupCols,
@@ -499,10 +474,14 @@ object AggMaintenance {
     // the interior-watermark split recursion advances it mid-apply)
     val wmExists = fs.exists(new Path(dst, WmFile))
     readText(fs, new Path(dst, ParamsFile)) match {
-      case Some(p) if p != params =>
+      case Some(p) if p != params && laneFor(p) != op =>
         throw graft.core.GraftError.InvalidConfig(
-          s"rollup at $targetDir was built as '$p'; $op expects " +
-            s"'$params' — use ${laneFor(p)}, or rebuild")
+          s"rollup at $targetDir is stamped '$p'; use ${laneFor(p)}, " +
+            "or rebuild")
+      case Some(p) if p != params => // same lane, foreign parameters
+        throw graft.core.GraftError.InvalidConfig(
+          s"rollup at $targetDir was built with different parameters " +
+            s"($p); refusing to apply $params — hash spaces would mix")
       case None if wmExists =>
         throw graft.core.GraftError.InvalidConfig(
           s"rollup at $targetDir is a whole-directory rollup (no " +
@@ -667,9 +646,11 @@ object AggMaintenance {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = new Path(targetDir)
     // a ParamsFile alone no longer implies partitioned (v2/v3 whole-dir
-    // tables are stamped too) — key off the `… buckets=` stamp token
+    // tables are stamped too) — key off the stamp's SECOND token exactly:
+    // a substring test could false-positive on a column name that itself
+    // contains " buckets=" (column names ride inside group=/order= tokens)
     val partitioned = readText(fs, new Path(root, ParamsFile))
-      .exists(_.contains(" buckets="))
+      .exists(_.split(' ').lift(1).exists(_.startsWith("buckets=")))
     // READ-ONLY crash tolerance: a reader never renames anything (a
     // concurrent apply may be mid-swap — healing here could break its
     // forward rename); instead it READS AROUND the window. Whole-dir: the
@@ -811,6 +792,12 @@ object AggMaintenance {
                              distinctCols: Seq[String],
                              orderCol: String): String =
     s"v3 flat group=${groupCols.mkString("+")} " +
+      s"distinct=${distinctCols.mkString("+")} order=$orderCol"
+
+  private def paramsStringV3Part(nBuckets: Int, groupCols: Seq[String],
+                                 distinctCols: Seq[String],
+                                 orderCol: String): String =
+    s"v3 buckets=$nBuckets group=${groupCols.mkString("+")} " +
       s"distinct=${distinctCols.mkString("+")} order=$orderCol"
 
   private def bakRoot(targetDir: String): String =

@@ -543,11 +543,22 @@ class CliSpec extends SparkSpec {
       "--partitioned", "--buckets", "8")
     assert(new java.io.File(s"$work/v3p").listFiles()
       .exists(_.getName.startsWith("__bucket=")))
-    // one rollup holds one lane: --distinct + --moments refuses up front
+    // one rollup holds one lane: --distinct + --moments refuses up front,
+    // and so does an EXPLICIT --value-col (silently ignoring it would
+    // build a different rollup than asked for)
     assertThrows[GraftError.InvalidConfig](
       run("agg", "--source", s"$work/src", "--dest", s"$work/vx",
         "--by", "grp", "--watermark", "us", "--distinct", "user",
         "--moments"))
+    assertThrows[GraftError.InvalidConfig](
+      run("agg", "--source", s"$work/src", "--dest", s"$work/vx",
+        "--by", "grp", "--watermark", "us", "--distinct", "user",
+        "--value-col", "user"))
+    // a --distinct that names no columns refuses instead of silently
+    // falling through to the v1 lane
+    assertThrows[GraftError.InvalidConfig](
+      run("agg", "--source", s"$work/src", "--dest", s"$work/vx",
+        "--by", "grp", "--watermark", "us", "--distinct", ","))
   }
 
   test("reconcile reports orphans, --apply drops them, requires --key") {
