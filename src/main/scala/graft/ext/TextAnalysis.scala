@@ -534,6 +534,88 @@ object TextAnalysis {
             col("covered_chars").cast("double") / col("text_len"), 6)))
   }
 
+  /** The SAMPLED scale path for [[dupSpanCoverage]] — the deterministic
+    * md5-prefix GRAM-SPACE slice of [[charNgramDupFractionSampled]]
+    * applied to the span measure. Sampling is BY GRAM (the md5 hex prefix
+    * of the gram string must be all zeros), so every occurrence of a
+    * sampled gram — across all documents — survives into the slice
+    * together: the cross-doc min≠max test is EXACT for sampled grams,
+    * never an estimate of an estimate. Within the slice the measure is
+    * exact and strictly oracle-gatable (DuckDB computes the identical
+    * subspace); across it, a doc's sampled windows are a uniform hash
+    * sample of its gram windows, so `dup_window_frac_est` is an unbiased
+    * estimator of the doc's duplicated-window fraction, and
+    * `covered_chars_sampled` (the merged coverage of the sampled dup
+    * hits) is a certified LOWER BOUND on the exact form's covered_chars —
+    * every sampled dup window lies inside a true duplicated span.
+    *
+    * Cost: the explode still walks every position map-side (codegen'd
+    * md5 + prefix test, no memory), but the SHUFFLE — the corpus-sized
+    * term — carries 1/16^hexPrefixLen of the position stream and the
+    * interval merge sees only sampled dup hits; the ×100-on-default-heap
+    * path, same as e6g3/e6l2. `minSampled` is the support knob: a doc
+    * with fewer sampled windows reports NULL instead of a noise-dominated
+    * estimate (never a fabricated 0). `hashedKeys` composes as in
+    * [[charNgramDupFractionSampled]]: the sample predicate stays md5 of
+    * the gram string, the aggregation key may be xxhash64 (8-byte shuffle
+    * payloads).
+    *
+    * @return idCol, text_len, n_windows (exact), n_windows_sampled,
+    *         n_dup_sampled, covered_chars_sampled, dup_window_frac_est */
+  def dupSpanCoverageSampled(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int = 16, hexPrefixLen: Int = 1,
+                             minSampled: Long = 1L,
+                             hashedKeys: Boolean = false): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    require(hexPrefixLen > 0 && hexPrefixLen <= 8,
+      s"hexPrefixLen must be in [1,8]: $hexPrefixLen")
+    require(minSampled >= 1L, s"minSampled must be >= 1: $minSampled")
+    val withT = docs.select(col(idCol), col(textCol).as("__t"),
+        length(col(textCol)).as("__len"))
+      .filter(col("__t").isNotNull)
+    val nIdx = when(col("__len") <= n, lit(1)).otherwise(col("__len") - (n - 1))
+    val pos = withT.select(col(idCol), col("__t"), col("__len"),
+      explode(sequence(lit(1), nIdx)).as("__s"))
+    val gram = when(col("__len") <= n, col("__t"))
+      .otherwise(col("__t").substr(col("__s"), lit(n)))
+    val zeros = "0" * hexPrefixLen
+    // materialize the slice: the dup aggregation, the per-doc sampled
+    // count and the join-back would otherwise each re-run the full-corpus
+    // explode + md5; the checkpoint holds only 1/16^hexPrefixLen of the
+    // position stream
+    val sampledHits = pos
+      .filter(substring(md5(gram), 1, hexPrefixLen) === zeros)
+      .select(col(idCol), col("__s"),
+        when(col("__len") <= n, col("__len")).otherwise(col("__s") + (n - 1))
+          .as("__e"),
+        (if (hashedKeys) xxhash64(gram) else gram).as("__g"))
+      .localCheckpoint()
+    val dup = sampledHits.groupBy("__g")
+      .agg(min(col(idCol)).as("__dmin"), max(col(idCol)).as("__dmax"))
+      .filter(col("__dmin") =!= col("__dmax")).select("__g")
+    val dupHits = sampledHits.join(dup, "__g")
+      .select(col(idCol), col("__s"), col("__e"))
+    val perDoc = sampledHits.groupBy(idCol)
+      .agg(count(lit(1)).as("__n_sampled"))
+    val nDup = dupHits.groupBy(idCol).agg(count(lit(1)).as("__n_dup"))
+    val covered = mergedCoverage(dupHits, idCol)
+    withT.select(col(idCol), col("__len").cast("long").as("text_len"),
+        when(col("__len") <= n, lit(1L))
+          .otherwise((col("__len") - (n - 1)).cast("long")).as("n_windows"))
+      .join(perDoc, Seq(idCol), "left")
+      .join(nDup, Seq(idCol), "left")
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("text_len"), col("n_windows"),
+        coalesce(col("__n_sampled"), lit(0L)).as("n_windows_sampled"),
+        coalesce(col("__n_dup"), lit(0L)).as("n_dup_sampled"),
+        coalesce(col("__covered"), lit(0L)).as("covered_chars_sampled"))
+      .withColumn("dup_window_frac_est",
+        when(col("n_windows_sampled") < minSampled, lit(null).cast("double"))
+          .otherwise(round(
+            col("n_dup_sampled").cast("double") / col("n_windows_sampled"),
+            6)))
+  }
+
   /** The shared front half of the span ops: (doc, text, len) plus the
     * cross-document duplicated-gram hit stream `[__s, __e]` — one row per
     * gram START POSITION (1-based, matching substr in both engines; short

@@ -1964,6 +1964,61 @@ object ExtQueries {
           hashedKeys = true)
     },
 
+    // E4 — the SAMPLED scale path for span coverage (the e6g3/e6l2
+    // deterministic gram-space slice applied to e6i): only positions whose
+    // gram's md5 hex prefix is '0' ride the shuffle — 1/16 of the position
+    // stream — and sampling is BY GRAM, so the cross-doc test is exact
+    // within the slice (every occurrence of a sampled gram is sampled
+    // together). Output: exact n_windows, sampled window/dup counts, the
+    // merged coverage of sampled dup hits (a certified lower bound on
+    // e6i's covered_chars), and the unbiased dup-window-fraction estimate
+    // (NULL below minSampled support, never a fabricated 0). Both engines
+    // compute the identical md5 subspace — strictly hash-gated.
+    "e6i5_dup_span_coverage_sampled" -> Q(
+      """WITH p AS (SELECT doc_id, text, length(text) AS len,
+        |        unnest(range(1, CASE WHEN length(text) <= 16 THEN 2
+        |                             ELSE length(text) - 14 END)) AS s
+        |      FROM documents WHERE text IS NOT NULL),
+        |h0 AS (SELECT doc_id, s,
+        |             CASE WHEN len <= 16 THEN len ELSE s + 15 END AS e,
+        |             CASE WHEN len <= 16 THEN text ELSE substr(text, s, 16) END AS gram
+        |      FROM p),
+        |h AS (SELECT * FROM h0 WHERE substr(md5(gram), 1, 1) = '0'),
+        |dup AS (SELECT gram FROM h GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+        |dh AS (SELECT doc_id, s, e FROM h JOIN dup USING (gram)),
+        |isl AS (SELECT doc_id, s, e,
+        |        CASE WHEN s > COALESCE(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |             THEN 1 ELSE 0 END AS brk
+        |        FROM dh),
+        |g AS (SELECT doc_id, s, e,
+        |             sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+        |      FROM isl),
+        |m AS (SELECT doc_id, isl_id, min(s) AS gs, max(e) AS ge
+        |      FROM g GROUP BY 1, 2),
+        |c AS (SELECT doc_id, sum(ge - gs + 1) AS covered FROM m GROUP BY 1),
+        |pd AS (SELECT doc_id, count(*) AS n_sampled FROM h GROUP BY 1),
+        |nd AS (SELECT doc_id, count(*) AS n_dup FROM dh GROUP BY 1)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS text_len,
+        |       CAST(CASE WHEN length(d.text) <= 16 THEN 1
+        |                 ELSE length(d.text) - 15 END AS BIGINT) AS n_windows,
+        |       CAST(COALESCE(pd.n_sampled, 0) AS BIGINT) AS n_windows_sampled,
+        |       CAST(COALESCE(nd.n_dup, 0) AS BIGINT) AS n_dup_sampled,
+        |       CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_chars_sampled,
+        |       CASE WHEN COALESCE(pd.n_sampled, 0) < 1 THEN NULL
+        |            ELSE round(COALESCE(nd.n_dup, 0) * 1.0 / pd.n_sampled, 6)
+        |       END AS dup_window_frac_est
+        |FROM documents d
+        |LEFT JOIN pd USING (doc_id)
+        |LEFT JOIN nd USING (doc_id)
+        |LEFT JOIN c USING (doc_id)
+        |WHERE d.text IS NOT NULL""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.dupSpanCoverageSampled(Tables.documents(s, dir),
+          "doc_id", "text", hashedKeys = true)
+    },
+
     // E1/E4 — benchmark span CONTAMINATION: per corpus doc (>= 100), the
     // characters inside a 16-char substring that also occurs anywhere in
     // the benchmark slice (< 100, the e6c convention) — the span-level

@@ -884,6 +884,44 @@ class ExtOpsSpec extends SparkSpec {
     assert(out == Set(1L))
   }
 
+  test("sampled dup-span coverage lower-bounds the exact form, exact within the slice") {
+    val exact = TextAnalysis.dupSpanCoverage(this.docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val est = TextAnalysis.dupSpanCoverageSampled(this.docs, "doc_id", "text")
+    val rows = est.collect()
+    assert(rows.map(_.getLong(0)).toSet == exact.keySet)
+    rows.foreach { r =>
+      val (id, len, nw, nws, nd, cov) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val (exLen, exCov) = exact(id)
+      assert(len == exLen, s"doc $id text_len")
+      assert(nws <= nw && nd <= nws, s"doc $id sampled counts out of order")
+      // sampling BY GRAM ⇒ a sampled dup window sits inside a true dup
+      // span: the sampled coverage is a certified lower bound
+      assert(cov <= exCov && cov <= len, s"doc $id coverage bound")
+      if (nd > 0) assert(cov > 0, s"doc $id dup hits but no coverage")
+      if (nws == 0) assert(r.isNullAt(6), s"doc $id must report NULL est")
+    }
+    assert(rows.count(_.getLong(3) > 0) > rows.length / 2,
+      "1/16 gram sampling should reach most docs on the fixture")
+    // hashed aggregation keys must not change a single row
+    val plain = rows.map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4),
+      r.getLong(5)))).toMap
+    val hashed = TextAnalysis.dupSpanCoverageSampled(this.docs, "doc_id",
+        "text", hashedKeys = true)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4),
+        r.getLong(5)))).toMap
+    assert(hashed == plain)
+    // minSampled is the support knob: an absurd floor turns every
+    // estimate NULL while the counts stay untouched
+    val floored = TextAnalysis.dupSpanCoverageSampled(this.docs, "doc_id",
+        "text", minSampled = 1000000L)
+      .collect()
+    assert(floored.forall(_.isNullAt(6)))
+    assert(floored.map(r => r.getLong(0) -> r.getLong(3)).toMap ==
+      rows.map(r => r.getLong(0) -> r.getLong(3)).toMap)
+  }
+
   test("native shingles are bit-identical to the HOF form (corpus + edge strings)") {
     graft.functions.GraftFunctions.register(spark)
     // null text included: both forms must agree (null in, null out), and the
