@@ -626,6 +626,94 @@ object ReferenceQueries {
               .otherwise(0L).as("est_ok"))
     },
 
+    // A14 — the IVM's APPEND-ONLY CONTRACT, pinned the way T4 pins the
+    // watermark's documented miss: the reference's sync handles UPDATEs as
+    // the same PK re-arriving in a later extract with a bumped `updated`
+    // (session.py:135-151 — ON CONFLICT DO UPDATE makes the re-arrival
+    // overwrite), but AggMaintenance folds slices as pure EVENT streams —
+    // a re-synced row is new mass, so an updated row counts TWICE in the
+    // rollup. That is the correct semantics for event/transaction tables
+    // (the README.md:146-151 balance use-case: each row is a transaction,
+    // re-arrival IS new mass) and the documented-wrong one for row-mirror
+    // rollups; this gate makes the contract honest by pinning the double
+    // count against an oracle that aggregates the same multiset (base
+    // UNION ALL re-arrivals). Every 10th event re-arrives one span later
+    // with the SAME value — the bumped-watermark touch shape.
+    "a14_agg_maintenance_update_replay" -> Q(
+      """WITH src AS (
+        |  SELECT user_id, value FROM events
+        |  UNION ALL
+        |  SELECT user_id, value FROM events WHERE event_id % 10 = 0)
+        |SELECT user_id, count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM src GROUP BY user_id""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        val base = ev.select(col("event_id"), col("user_id"), col("value"),
+          Tables.tsUs(ev).as("ts"))
+        val b = base.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+          .collect().head
+        val lo = b.getLong(0); val hi = b.getLong(1) + 1
+        val span = hi - lo
+        // the reference's UPDATE shape: same PK, watermark bumped past the
+        // first extract's cut, value unchanged (a touch) — lands wholly in
+        // the second slice
+        val updated = base.filter(col("event_id") % 10 === 0)
+          .withColumn("ts", col("ts") + lit(span))
+        val src = base.unionByName(updated)
+        val stamp = Tables.fixtureStamp(dir, "events")
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-aggivmu-" +
+          Integer.toHexString(s"$dir@$stamp".hashCode)
+        Seq((lo, hi), (hi, hi + span)).foreach { case (l, h) =>
+          graft.sync.AggMaintenance.applySlice(
+            s, out, src, "ts", Seq("user_id"), "value", l, h)
+        }
+        graft.sync.AggMaintenance.read(s, out)
+          .select(col("user_id"), col("cnt"),
+            col("sum_val").cast("double").as("sum_value"))
+    },
+
+    // A15 — WINDOWED rollup IVM: the v1 core is group-generic, so a
+    // (user, tumbling-window-start) grouped rollup maintains slice-by-
+    // slice with NO new machinery — group cols = user_id + the hour
+    // bucket derived from ts (exact long arithmetic, w6's window shape).
+    // Slice cuts deliberately straddle window boundaries: a window whose
+    // rows arrive across two slices accumulates through the union+regroup
+    // combine like any other group — the streaming-window use-case
+    // (README.md:156-198 generalized to time buckets) carried by the
+    // batch IVM matrix. Contract: three contiguous slices ≡ the one-shot
+    // windowed aggregate, hash-exact.
+    "a15_agg_maintenance_windowed" -> Q(
+      """SELECT user_id,
+        |       (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        // hour-aligned window start in exact long µs (never a double
+        // division — a rounded quotient could flap the floor at bucket
+        // edges)
+        val base = ev.select(col("user_id"), col("value"),
+            Tables.tsUs(ev).as("ts"))
+          .withColumn("win_start_us",
+            col("ts") - (col("ts") % lit(3600000000L)))
+        val b = base.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+          .collect().head
+        val lo = b.getLong(0); val hi = b.getLong(1) + 1
+        val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * ((hi - lo) / 3)
+        val stamp = Tables.fixtureStamp(dir, "events")
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-aggivmw-" +
+          Integer.toHexString(s"$dir@$stamp".hashCode)
+        Seq((lo, cut1), (cut1, cut2), (cut2, hi)).foreach { case (l, h) =>
+          graft.sync.AggMaintenance.applySlice(
+            s, out, base, "ts", Seq("user_id", "win_start_us"), "value", l, h)
+        }
+        graft.sync.AggMaintenance.read(s, out)
+          .select(col("user_id"), col("win_start_us"), col("cnt"),
+            col("sum_val").cast("double").as("sum_value"))
+    },
+
     // W1 — partitioned ROW_NUMBER, the load-bearing S4-dedup form
     // (SURVEY §2.5): latest row per key, last-writer-wins.
     "w1_latest_per_key" -> Q(

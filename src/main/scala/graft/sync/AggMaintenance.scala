@@ -16,6 +16,17 @@ import graft.core.Watermark
   * batch lane for stores that arrive as watermark extracts (the reference's
   * own data model, session.py:58).
   *
+  * APPEND-ONLY CONTRACT: slices are folded as pure EVENT streams. The
+  * reference's row sync treats a re-arriving PK with a bumped `updated` as
+  * an UPDATE (session.py:135-151 — ON CONFLICT DO UPDATE overwrites); this
+  * rollup has no PK concept, so the same re-arrival is NEW MASS and the
+  * row counts twice. Correct for event/transaction tables (the
+  * README.md:146-151 balance use-case — every arrival IS a transaction);
+  * documented-wrong for row-mirror rollups over keyed, updated-in-place
+  * sources — maintain those through ParquetMergeSink and aggregate the
+  * mirror instead. The a14 gate pins this double-count semantics the way
+  * the T4 fixture pins the watermark's documented miss.
+  *
   * Only DISTRIBUTIVE aggregates are maintained (cnt, sum, min, max — each
   * merges by re-aggregating partials). The combine is a UNION + one grouped
   * re-aggregation, NEVER a join: union-then-groupBy is null-safe on group
@@ -34,7 +45,14 @@ import graft.core.Watermark
   * (`hi` ≤ stored) is a reported no-op, a gap (`lo` ≠ stored) is a typed
   * refusal — silently skipping [stored, lo) would undercount forever.
   * Hadoop parquet readers ignore `_`-prefixed files, so the sidecar rides
-  * invisibly beside the data files.
+  * invisibly beside the data files. Store caveat: the sidecar rewrites the
+  * protocol leans on (empty-slice watermark advance, partitioned root-wm
+  * commit) are crash-atomic only where SidecarIO has an atomic path —
+  * local NIO and HDFS FileContext; on schemes without an
+  * AbstractFileSystem binding (s3a, custom stores) SidecarIO falls back to
+  * delete-then-rename, so a crash there can leave the marker absent — see
+  * core.SidecarIO's scaladoc before arguing exactly-once on object
+  * stores.
   */
 object AggMaintenance {
 
@@ -600,31 +618,46 @@ object AggMaintenance {
       val tmpRoot = targetDir.stripSuffix("/") + ".__agg_tmp"
       val tmpPath = new Path(tmpRoot)
       if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
-      val pendingSet = pending.toSet
       val pendingPartial = partial.filter(
-        col("__bucket").isin(pendingSet.toSeq: _*))
-      val existing = pending.filter(b =>
-          ParquetMergeSink.hasData(fs, new Path(dst, s"__bucket=$b")))
-        .map { b =>
-          spark.read.parquet(s"$targetDir/__bucket=$b")
-            .select((groupCols.map(col) ++ (lit(b).as("__bucket") +:
+        col("__bucket").isin(pending.toSeq: _*))
+      // The existing side is ONE partition-pruned read of the rollup root
+      // — never a per-pending-bucket union. Plan size must stay O(1) in
+      // the touched-bucket count: at this form's own design point
+      // (~√groups buckets ⇒ ~31k buckets for 1e9 groups) a wide slice
+      // touches most of them, and a union of tens of thousands of scan
+      // nodes blows up driver-side analysis long before the data is the
+      // problem. Partition discovery turns isin(pending) into
+      // PartitionFilters on `__bucket` — the same touched-buckets-only
+      // scan, a single node (proven at 1,024 buckets × all-touched in
+      // ScaleStress `aggivmwide`). The short-circuiting exists() probe
+      // below only decides whether the root holds ANY prior data for the
+      // pending set (a cold first data slice has no parquet files at all,
+      // where a root read could not infer a schema).
+      val anyExisting = pending.exists(b =>
+        ParquetMergeSink.hasData(fs, new Path(dst, s"__bucket=$b")))
+      val merged =
+        if (!anyExisting) pendingPartial
+        else {
+          val ex = spark.read.parquet(targetDir)
+            .filter(col("__bucket").isin(pending.toSeq: _*))
+            .select((groupCols.map(col) ++ (col("__bucket").cast("int") +:
               metrics.map(m => col(m.name).cast(m.typ)))): _*)
-        }
-        .reduceOption(_ unionByName _)
-      val merged = existing match {
-        case None => pendingPartial
-        case Some(ex) =>
           ex.unionByName(pendingPartial
               .select((groupCols.map(col) ++ (col("__bucket") +:
                 metrics.map(m => col(m.name)))): _*))
             .groupBy((groupCols.map(col) :+ col("__bucket")): _*)
             .agg(metrics.head.merge.as(metrics.head.name),
               metrics.tail.map(m => m.merge.as(m.name)): _*)
-      }
+        }
       merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmpRoot)
       val groups = spark.read.parquet(tmpRoot).count()
 
-      // commit loop: per-bucket (data + bucket wm) swap, root wm LAST
+      // commit loop: per-bucket (data + bucket wm) swap, root wm LAST.
+      // Driver-side and O(touched buckets) in rename RPCs — metadata-only
+      // ops (no data moves), so tens of thousands of buckets cost seconds
+      // of namenode traffic, not a data rewrite; the crash-recovery
+      // contract (bucket-wm skip + interior-watermark split above) is
+      // what the strict ordering buys.
       pending.foreach { b =>
         val staged = new Path(tmpRoot, s"__bucket=$b")
         if (!fs.exists(staged)) fs.mkdirs(staged) // all-NULL-group slice edge
@@ -729,6 +762,14 @@ object AggMaintenance {
     * by a11's price sum-of-squares, scale 8, unscaled ~5e16). The a10/a11
     * gates therefore hash only moments exact-down-cast below that bound;
     * this method keeps the generic chain for in-engine use.
+    * NUMERICAL caveat: the moments are exact, but the textbook
+    * (sumsq − sum²/n)/(n−1) chain in doubles can catastrophically cancel
+    * for a near-constant, high-magnitude column — var_v may then come out
+    * as a TINY NEGATIVE number (≈ −1e-10 · mean²) where true variance is
+    * ~0. The chain is deliberately NOT reordered or clamped here (it is a
+    * cross-engine bit-identity contract — the a10 exceptAll gate replays
+    * the exact IEEE ops); callers that need mathematical validity over
+    * bit-identity should wrap it in greatest(var_v, 0.0).
     * Refuses typed on anything but a v2 table: v1 rollups keep no
     * sum-of-squares, so a derived variance there would be a lie. */
   def readDerived(spark: SparkSession, targetDir: String): DataFrame = {

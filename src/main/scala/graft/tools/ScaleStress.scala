@@ -41,6 +41,9 @@ import graft.sync.{SyncConfig, SyncJob}
   * contiguous slice applies, per-slice flat-cost curve + one-shot
   * equality; includes the v2 MOMENTS form — two value columns, derived
   * avg/var vs the one-shot same-chain aggregation, v1-vs-v2 surcharge),
+  * `aggivmwide` (partitioned IVM at 1,024 buckets with per-event groups —
+  * the all-buckets-touched merge slice whose existing side must be ONE
+  * partition-pruned read, never a per-bucket union),
   * `mhindex` (persisted MinHash index: build-once cost vs
   * per-probe cost vs the fresh two-sided join)) runs a subset; fixture
   * replication is skipped for inputs no selected group reads. Unset =
@@ -104,7 +107,7 @@ object ScaleStress {
     reps.foreach { rep =>
       val docsDir = s"$work/docs_x$rep"
       val embDir = s"$work/emb_x$rep"
-      val needDocs = wants("dedup", "e6g", "e6g2", "e6g3", "e6i", "e6m",
+      val needDocs = wants("dedup", "e6g", "e6g2", "e6g3", "e6i", "e6i5", "e6m",
         "e4t", "e4v", "e4w", "e6k", "e6l", "e5d", "e5dcap")
       val needEmb = wants("e2n")
       val (_, tPrepD) =
@@ -278,6 +281,19 @@ object ScaleStress {
           hashedKeys = true).localCheckpoint()
       }
       jline("e6i3_dup_span_removal_hashed", rep, tRm, spanRm.count())
+      }
+
+      if (wants("e6i", "e6i5")) {
+      // e6i5 shape — the SAMPLED production form: the shuffle carries the
+      // 1/16 md5-prefix gram-space slice of the position stream, so the
+      // curve should sit well under e6i2's at every scale — the
+      // ×100-on-default-heap path for the span measure. Own group key so
+      // it can be measured without re-running the exact family.
+      val (spanSm, tSm) = timed {
+        TextAnalysis.dupSpanCoverageSampled(docs, "doc_id", "text",
+          hashedKeys = true).localCheckpoint()
+      }
+      jline("e6i5_dup_span_coverage_sampled", rep, tSm, spanSm.count())
       }
 
       if (wants("e4t")) {
@@ -767,6 +783,56 @@ object ScaleStress {
           s"v2 aggivm derived diverged from one-shot at x$rep: $d2 rows")
       }
       } // wants("aggivm")
+
+      if (wants("aggivmwide")) {
+      // WIDE-bucket partitioned IVM: 1,024 buckets with per-EVENT groups
+      // (every row its own group — the per-document billion-group shape)
+      // so a slice touches essentially every bucket. This is the case
+      // that used to build a per-pending-bucket union — 1,024 scan nodes
+      // here, ~31k at the form's √groups design point — and blow up
+      // driver-side analysis; the merge input is now ONE partition-pruned
+      // read, so the arm pins (a) the all-buckets cold build, (b) the
+      // all-buckets MERGE slice (existing side = the pruned root read),
+      // and (c) one-shot equality.
+      {
+        val evDir = s"$work/aggivmw_events_x$rep"
+        val ev = Tables.events(spark, sfDir)
+        ev.crossJoin(spark.range(rep).select(col("id").as("__rep")))
+          .select(
+            (col("event_id") + col("__rep") * 1000000000L).as("event_id"),
+            Tables.tsUs(ev).as("ts"), col("value"))
+          .write.mode(SaveMode.Overwrite).parquet(evDir)
+        val src = spark.read.parquet(evDir)
+        val bounds = src.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+          .first()
+        val lo = bounds.getLong(0); val hi = bounds.getLong(1) + 1
+        val mid = lo + (hi - lo) / 2
+        val dest = s"$work/aggivmw_rollup_x$rep"
+        val nB = 1024
+        val (r1, t1) = timed(graft.sync.AggMaintenance.applySlicePartitioned(
+          spark, dest, src, "ts", Seq("event_id"), "value", lo, mid, nB))
+        jline("aggivmwide_build", rep, t1, r1.sliceRows,
+          Seq("buckets" -> nB.toString,
+            "groups" -> r1.groupsWritten.toString))
+        val (r2, t2) = timed(graft.sync.AggMaintenance.applySlicePartitioned(
+          spark, dest, src, "ts", Seq("event_id"), "value", mid, hi, nB))
+        jline("aggivmwide_merge_slice", rep, t2, r2.sliceRows,
+          Seq("buckets" -> nB.toString,
+            "groups" -> r2.groupsWritten.toString))
+        val roll = graft.sync.AggMaintenance.read(spark, dest)
+          .select(col("event_id"), col("cnt"),
+            col("sum_val").cast("decimal(28,4)").as("sum_val"))
+        val want = src.groupBy("event_id")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,4)"))
+              .cast("decimal(28,4)").as("sum_val"))
+        val diff = roll.exceptAll(want).count() + want.exceptAll(roll).count()
+        jline("aggivmwide_equal", rep, 0.0, roll.count(),
+          Seq("batch_equal" -> (if (diff == 0) "1" else "0")))
+        if (diff != 0) sys.error(
+          s"wide-bucket aggivm diverged from one-shot at x$rep: $diff rows")
+      }
+      } // wants("aggivmwide")
 
       if (wants("mhindex")) {
       // the persisted MinHash index (e1h) at scale: the claim is that
