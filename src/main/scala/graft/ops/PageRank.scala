@@ -40,7 +40,11 @@ import org.apache.spark.sql.functions._
   * single row broadcasts onto the update (the one-row broadcast-totals
   * pattern — never a driver collect inside the loop). Rank tables are
   * localCheckpoint'd on an every-other cadence — constant-depth plans
-  * instead of a k-deep lineage (the classic iterative-Spark trap).
+  * instead of a k-deep lineage (the classic iterative-Spark trap) — and
+  * every superseded checkpoint's blocks are RELEASED the moment its
+  * successor is materialized ([[release]]), so a call leaves exactly one
+  * cached frame behind instead of one per cut: deterministic block-manager
+  * footprint, deterministic run cost (the r12 e9d bench-variance fix).
   * Everything keys on node id; no driver-side loops over data, only over
   * ITERATIONS.
   *
@@ -54,22 +58,28 @@ object PageRank {
     * dangling-node table — the dangling SET never changes across
     * iterations, only its mass does. */
   private final case class Graph(nodes: DataFrame, ed: DataFrame, n: Long,
-                                 dangling: Option[DataFrame])
+                                 dangling: Option[DataFrame]) {
+    /** Release the shared per-iteration frames once the final rank is
+      * materialized — see [[PageRank.eager]]/[[PageRank.release]]. */
+    def release(): Unit = {
+      PageRank.release(nodes); PageRank.release(ed)
+      dangling.foreach(PageRank.release)
+    }
+  }
 
   private def prepare(edges: DataFrame, srcCol: String, dstCol: String,
                       danglingMass: Boolean): Graph = {
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .distinct()
-    val nodes = e.select(col("__src").as("node"))
-      .union(e.select(col("__dst").as("node"))).distinct()
-      .localCheckpoint()
+    val nodes = eager(e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct())
     val n = nodes.count()
     val deg = e.groupBy("__src").agg(count(lit(1)).as("__deg"))
-    // edge ⋈ degree once; every iteration reuses this checkpointed frame
-    val ed = e.join(deg, "__src").localCheckpoint()
+    // edge ⋈ degree once; every iteration reuses this materialized frame
+    val ed = eager(e.join(deg, "__src"))
     val dangling = if (danglingMass)
-      Some(nodes.join(deg.select(col("__src").as("node")), Seq("node"),
-        "left_anti").localCheckpoint())
+      Some(eager(nodes.join(deg.select(col("__src").as("node")), Seq("node"),
+        "left_anti")))
     else None
     Graph(nodes, ed, n, dangling)
   }
@@ -126,17 +136,49 @@ object PageRank {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
     val g = prepare(edges, srcCol, dstCol, danglingMass)
-    var rank = g.nodes
-      .select(col("node"), lit(1.0 / g.n).as("rank")).localCheckpoint()
+    var rank = eager(g.nodes.select(col("node"), lit(1.0 / g.n).as("rank")))
+    // superseded materialized frames, RELEASED as soon as their successor
+    // is materialized: localCheckpoint blocks can only be freed by JVM
+    // GC, so repeated calls in one session (the bench's min-of-3 loop)
+    // accumulated block-manager pressure and made run cost depend on GC
+    // timing — the r12 e9d min-vs-median variance. persist+count gives
+    // the same eager materialization with a deterministic release point;
+    // only the FINAL rank frame stays cached for the caller.
+    var live: List[DataFrame] = List(rank)
     for (it <- 1 to iterations) {
       rank = step(g, rank, damping)
-      // cut lineage every SECOND iteration (and at the end): a 2-deep
-      // join-agg plan optimizes fine, while an eager checkpoint per
-      // iteration doubles the fixed job count — measured 12.2 s → the
-      // every-other cadence at the sf0.1 gate graph
-      if (it % 2 == 0 || it == iterations) rank = rank.localCheckpoint()
+      // materialize every SECOND iteration (and at the end): a 2-deep
+      // join-agg plan optimizes fine, while an eager cut per iteration
+      // doubles the fixed job count — measured 12.2 s → the every-other
+      // cadence at the sf0.1 gate graph
+      if (it % 2 == 0 || it == iterations) {
+        rank = eager(rank)
+        live.foreach(release); live = List(rank)
+      }
     }
+    g.release()
     rank.select(col("node"), round(col("rank"), 10).as("rank"))
+  }
+
+  /** Eager lineage cut. localCheckpoint is the right primitive for an
+    * iterative loop (it TRUNCATES the plan — a persist keeps the k-deep
+    * lineage and the plan/CacheManager cost grows with the iteration
+    * count, measured as an explain-string OOM at pageRankConverged's
+    * 50-iteration cap), but its blocks are only freed by JVM GC of the
+    * dataset reference — so repeated calls in one session (the bench's
+    * min-of-3 loop) accumulated block-manager pressure and made run cost
+    * depend on GC timing (the r12 e9d min-vs-median variance). [[release]]
+    * is the missing half: an explicit unpersist of the checkpointed RDD
+    * behind a frame, called the moment its successor is materialized. */
+  private def eager(df: DataFrame): DataFrame = df.localCheckpoint()
+
+  /** Free a [[eager]] frame's checkpointed blocks NOW instead of at GC.
+    * Only call once nothing will read the frame again: a localCheckpoint
+    * has no lineage to recompute from, so a released frame is gone. */
+  private def release(df: DataFrame): Unit = df.queryExecution.logical match {
+    case lr: org.apache.spark.sql.execution.LogicalRDD =>
+      lr.rdd.unpersist(blocking = false); ()
+    case _ => ()
   }
 
   /** ε-CONVERGENCE mode: iterate until max |rₖ₊₁ − rₖ| < `tol` or
@@ -162,19 +204,20 @@ object PageRank {
     require(maxIterations >= 1, s"maxIterations must be >= 1: $maxIterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
     val g = prepare(edges, srcCol, dstCol, danglingMass)
-    var rank = g.nodes
-      .select(col("node"), lit(1.0 / g.n).as("rank")).localCheckpoint()
+    var rank = eager(g.nodes.select(col("node"), lit(1.0 / g.n).as("rank")))
     var it = 0
     var converged = false
     while (it < maxIterations && !converged) {
-      val next = step(g, rank, damping).localCheckpoint()
+      val next = eager(step(g, rank, damping))
       val delta = next
         .join(rank.select(col("node"), col("rank").as("__prev")), "node")
         .agg(max(abs(col("rank") - col("__prev")))).first().getDouble(0)
+      release(rank) // delta consumed it; only `next` stays live
       rank = next
       it += 1
       if (delta < tol) converged = true
     }
+    g.release()
     (rank.select(col("node"), round(col("rank"), 10).as("rank")), it)
   }
 }
