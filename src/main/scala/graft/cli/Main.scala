@@ -534,13 +534,25 @@ object Main {
     // distinct count). The lane-conflict refusal runs BEFORE the
     // watermark-state early returns: an invalid flag set must fail on
     // every invocation, not only once new rows arrive.
-    val valueCols = a.valueCol.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    // lane selection keys off "more than one --value-col segment", so an
+    // EMPTY segment (trailing comma: `--value-col x,`) must refuse rather
+    // than be dropped — dropping it would silently run the v1 single-
+    // column lane where the caller asked for a v2 multi-column rollup
+    val valueColSegs = a.valueCol.split(",", -1).toSeq.map(_.trim)
+    if (a.valueColSet && valueColSegs.exists(_.isEmpty))
+      throw GraftError.InvalidConfig(
+        s"--value-col '${a.valueCol}' contains an empty segment — name " +
+          "each column exactly (a malformed list must not quietly build " +
+          "a different rollup lane)")
+    val valueCols = valueColSegs.filter(_.nonEmpty)
     val useV2 = a.moments || valueCols.size > 1
     val distinctCols = a.distinctCols
-      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
-    distinctCols.filter(_.isEmpty).foreach { _ =>
+      .map(_.split(",", -1).toSeq.map(_.trim))
+    distinctCols.filter(_.exists(_.isEmpty)).foreach { d =>
       throw GraftError.InvalidConfig(
-        "--distinct was given but names no columns") }
+        if (d.forall(_.isEmpty)) "--distinct was given but names no columns"
+        else s"--distinct '${a.distinctCols.get}' contains an empty " +
+          "segment — name each column exactly") }
     val useV3 = distinctCols.exists(_.nonEmpty)
     // any explicit value-lane flag beside --distinct refuses — a silently
     // ignored --value-col would build a different rollup than asked for

@@ -337,7 +337,10 @@ object Similarity {
   private def markCommitted(spark: SparkSession, dir: String): Unit = {
     val p = new Path(dir, CommitMarker)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.create(p, true).close()
+    // presence-only marker, but committed through the ONE sidecar write
+    // path anyway (core.SidecarIO) — a raw truncate-create here was the
+    // last writer outside the module
+    graft.core.SidecarIO.write(fs, p, "")
   }
 
   /** Plane parameters persisted beside an LSH layout so incremental
@@ -353,9 +356,10 @@ object Similarity {
                              dim: Int, nPlanes: Int, seed: Int): Unit = {
     val p = new Path(dir, LshParamsFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    out.write(lshParamsString(dim, nPlanes, seed).getBytes("UTF-8"))
-    out.close()
+    // params stamps double as commit evidence — a torn stamp must be
+    // unreachable, so the write goes through core.SidecarIO like every
+    // other `_GRAFT_*` sidecar
+    graft.core.SidecarIO.write(fs, p, lshParamsString(dim, nPlanes, seed))
   }
 
   private def readLshParams(spark: SparkSession, dir: String): Option[String] = {

@@ -289,11 +289,11 @@ object ParquetMergeSink {
     }
   }
 
-  private def writePendingMerge(fs: FileSystem, targetDir: String, lo: Long): Unit = {
-    val out = fs.create(pendingPath(targetDir), true)
-    try out.write(lo.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  private def writePendingMerge(fs: FileSystem, targetDir: String, lo: Long): Unit =
+    // the restart-point marker is parsed with toLongOption, so a torn
+    // truncate-in-place write would silently read as "no pending merge" —
+    // exactly the class of window core.SidecarIO exists to close
+    graft.core.SidecarIO.write(fs, pendingPath(targetDir), lo.toString)
 
   private def clearPendingMerge(fs: FileSystem, targetDir: String): Unit = {
     val p = pendingPath(targetDir)

@@ -47,4 +47,20 @@ class SidecarIOSpec extends SparkSpec {
     // no temp debris left behind
     assert(!new java.io.File(dir, "._GRAFT_TEST_WM.tmp").exists())
   }
+
+  test("empty-content marker (the Similarity _GRAFT_COMMITTED shape) commits") {
+    // after the r13 adoption sweep, presence-only commit markers also go
+    // through SidecarIO — an empty write must land as a present, empty,
+    // readable file (presence IS the payload), with no temp debris
+    val dir = tmpDir("sidecar-io-marker")
+    val p = new Path(dir, "_GRAFT_COMMITTED")
+    val fs = fsFor(p)
+    fs.mkdirs(new Path(dir))
+    graft.core.SidecarIO.write(fs, p, "")
+    assert(fs.exists(p))
+    val in = fs.open(p)
+    val got = try in.readAllBytes() finally in.close()
+    assert(got.isEmpty)
+    assert(!new java.io.File(dir, "._GRAFT_COMMITTED.tmp").exists())
+  }
 }

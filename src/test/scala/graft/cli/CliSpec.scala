@@ -525,6 +525,14 @@ class CliSpec extends SparkSpec {
       run("agg", "--source", s"$work/src", "--dest", vp,
         "--by", "grp", "--watermark", "us", "--value-col", "x",
         "--partitioned", "--buckets", "8"))
+    // a malformed multi-column list (trailing comma — the typo that would
+    // otherwise silently select the v1 single-column lane) refuses loud
+    assertThrows[GraftError.InvalidConfig](
+      run("agg", "--source", s"$work/src", "--dest", s"$work/vbad",
+        "--by", "grp", "--watermark", "us", "--value-col", "x,"))
+    assertThrows[GraftError.InvalidConfig](
+      run("agg", "--source", s"$work/src", "--dest", s"$work/vbad",
+        "--by", "grp", "--watermark", "us", "--value-col", ""))
   }
 
   test("agg --distinct drives the v3 sketch lane, flat and partitioned") {
@@ -559,6 +567,11 @@ class CliSpec extends SparkSpec {
     assertThrows[GraftError.InvalidConfig](
       run("agg", "--source", s"$work/src", "--dest", s"$work/vx",
         "--by", "grp", "--watermark", "us", "--distinct", ","))
+    // and a trailing comma refuses too — dropping the empty segment would
+    // quietly maintain fewer sketch columns than asked for
+    assertThrows[GraftError.InvalidConfig](
+      run("agg", "--source", s"$work/src", "--dest", s"$work/vx",
+        "--by", "grp", "--watermark", "us", "--distinct", "user,"))
   }
 
   test("reconcile reports orphans, --apply drops them, requires --key") {
