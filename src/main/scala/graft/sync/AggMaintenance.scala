@@ -602,10 +602,10 @@ object AggMaintenance {
       // (a crashed previous attempt committed them — re-merging the same
       // partial would double-count)
       val touched = partial.select("__bucket").distinct()
-        .collect().map(_.getInt(0)).sorted
-      val pending = touched.filterNot { b =>
-        readWm(fs, new Path(dst, s"__bucket=$b/$WmFile")).exists(_ >= hi)
-      }
+        .collect().map(_.getInt(0)).sorted.toSeq
+      val pending = parMap(touched)(b =>
+          (b, readWm(fs, new Path(dst, s"__bucket=$b/$WmFile"))))
+        .collect { case (b, wm) if !wm.exists(_ >= hi) => b }
       // sliceRows from the persisted partial — never a second slice scan
       val sliceRows = partial.agg(sum(col("cnt"))).first().getLong(0)
       if (pending.isEmpty) { // every bucket committed before the crash
@@ -649,16 +649,27 @@ object AggMaintenance {
             .agg(metrics.head.merge.as(metrics.head.name),
               metrics.tail.map(m => m.merge.as(m.name)): _*)
         }
-      merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmpRoot)
+      // repartition BY BUCKET before the partitionBy write: without it,
+      // every shuffle task writes a file into every bucket it happens to
+      // hold — O(shuffle.partitions × touched buckets) small files per
+      // slice (~1M at the ~31k-bucket design point). Hash-repartitioning
+      // on __bucket gives each bucket exactly one owning task ⇒ one file
+      // per bucket per slice; the extra shuffle moves only
+      // group-cardinality rows, and a bucket is executor-memory-sized by
+      // the layout's own sizing rule (~√groups buckets).
+      merged.repartition(col("__bucket"))
+        .write.mode("overwrite").partitionBy("__bucket").parquet(tmpRoot)
       val groups = spark.read.parquet(tmpRoot).count()
 
       // commit loop: per-bucket (data + bucket wm) swap, root wm LAST.
       // Driver-side and O(touched buckets) in rename RPCs — metadata-only
-      // ops (no data moves), so tens of thousands of buckets cost seconds
-      // of namenode traffic, not a data rewrite; the crash-recovery
-      // contract (bucket-wm skip + interior-watermark split above) is
-      // what the strict ordering buys.
-      pending.foreach { b =>
+      // ops (no data moves), run 16-way parallel ([[parMap]]): bucket
+      // swaps are mutually independent, only the ROOT watermark write
+      // must come after every one of them. A crash mid-commit leaves an
+      // arbitrary committed subset — exactly the state the bucket-wm skip
+      // + interior-watermark split above recover from, same as the
+      // sequential loop.
+      parMap(pending) { b =>
         val staged = new Path(tmpRoot, s"__bucket=$b")
         if (!fs.exists(staged)) fs.mkdirs(staged) // all-NULL-group slice edge
         writeWm(fs, new Path(staged, WmFile), hi)
@@ -904,14 +915,47 @@ object AggMaintenance {
     ()
   }
 
+  /** Bounded-parallel map over driver-side METADATA ops (sidecar reads,
+    * rename swaps). The partitioned form's per-apply bookkeeping is
+    * O(touched buckets) filesystem RPCs in three places (bucket-wm scan,
+    * crashed-attempt skip probe, commit loop); sequential at the layout's
+    * ~√groups design point (~31k buckets, 1–5 ms/RPC on HDFS) that is
+    * minutes of driver wall per slice — parallel at 16 it is seconds.
+    * Every call is independent (Hadoop FileSystem objects are
+    * thread-safe); result order is preserved; the first failure rethrows
+    * its original exception. */
+  private def parMap[A, B](items: Seq[A])(f: A => B): Seq[B] =
+    if (items.lengthCompare(2) < 0) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, items.size))
+      try {
+        val futures = items.map { a =>
+          pool.submit(new java.util.concurrent.Callable[B] {
+            def call(): B = f(a)
+          })
+        }
+        futures.map { fu =>
+          try fu.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
+      } finally { pool.shutdown(); () }
+    }
+
   /** Every bucket's applied watermark (driver-side file reads, bounded by
-    * the bucket count). */
+    * the bucket count; parallel — see [[parMap]]). */
   private def bucketWms(fs: FileSystem, targetDir: String): Seq[Long] = {
     val root = new Path(targetDir)
     if (!fs.exists(root)) Nil
-    else fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bucket="))
-      .flatMap(st => readWm(fs, new Path(st.getPath, WmFile)))
+    else {
+      val dirs = fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("__bucket="))
+      parMap(dirs)(st => readWm(fs, new Path(st.getPath, WmFile))).flatten
+    }
   }
 
   /** Restore interrupted bucket swaps: a backup whose bucket dir is gone
