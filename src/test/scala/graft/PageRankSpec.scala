@@ -108,4 +108,23 @@ class PageRankSpec extends SparkSpec {
       maxIterations = 3, danglingMass = false)
     assert(capped == 3)
   }
+
+  test("superseded checkpoints are released: one live frame per call") {
+    // the r13 variance fix frees a superseded localCheckpoint's RDD blocks
+    // via its LogicalRDD the moment the successor materializes; the match
+    // is deliberately total (`case _ => ()`), so if a Spark upgrade ever
+    // changes the checkpoint plan shape this would silently regress to
+    // GC-timed frees — this test makes that loud. A 5-iteration dangling
+    // run materializes init + it2 + it4 + it5 + nodes/ed/dangling = 8
+    // checkpoints; all but the final rank must be unpersisted by return.
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+    PageRank.pageRank(edges.toDF("src", "dst"), "src", "dst",
+      iterations = 5, danglingMass = true).collect()
+    val after = sc.getPersistentRDDs.size
+    assert(after <= before + 1,
+      s"expected at most one live checkpoint after pageRank, " +
+        s"got $before -> $after")
+  }
 }
