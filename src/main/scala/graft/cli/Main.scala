@@ -599,11 +599,15 @@ object Main {
           nBuckets = a.buckets)
       else if (useV2) graft.sync.AggMaintenance.applySliceV2(
         spark, a.dest, source, a.watermark, groupCols, valueCols, lo, hi)
+      // v1 lanes take the TRIMMED single column — lane selection and the
+      // empty-segment refusal both ran on trimmed segments, so handing
+      // the raw flag value (possibly with tolerated whitespace) to column
+      // resolution would fail exactly the inputs validation accepted
       else if (a.partitioned) graft.sync.AggMaintenance.applySlicePartitioned(
-        spark, a.dest, source, a.watermark, groupCols, a.valueCol, lo, hi,
+        spark, a.dest, source, a.watermark, groupCols, valueCols.head, lo, hi,
         nBuckets = a.buckets)
       else graft.sync.AggMaintenance.applySlice(
-        spark, a.dest, source, a.watermark, groupCols, a.valueCol, lo, hi)
+        spark, a.dest, source, a.watermark, groupCols, valueCols.head, lo, hi)
     if (!r.applied)
       println(s"agg ${a.source} -> ${a.dest}: replay no-op " +
         s"(stored watermark ${r.watermarkUs} >= cut $hi)")

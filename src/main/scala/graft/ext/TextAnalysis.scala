@@ -522,7 +522,7 @@ object TextAnalysis {
     * @return idCol, text_len, covered_chars, dup_span_frac */
   def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 16, hashedKeys: Boolean = false): DataFrame = {
-    val (withT, dupHits) = dupSpanHits(docs, idCol, textCol, n, hashedKeys)
+    val (withT, _, dupHits) = dupSpanHits(docs, idCol, textCol, n, hashedKeys)
     val covered = mergedCoverage(dupHits, idCol)
     withT.select(col(idCol), col("__len").cast("long").as("text_len"))
       .join(covered, Seq(idCol), "left")
@@ -570,31 +570,10 @@ object TextAnalysis {
     require(hexPrefixLen > 0 && hexPrefixLen <= 8,
       s"hexPrefixLen must be in [1,8]: $hexPrefixLen")
     require(minSampled >= 1L, s"minSampled must be >= 1: $minSampled")
-    val withT = docs.select(col(idCol), col(textCol).as("__t"),
-        length(col(textCol)).as("__len"))
-      .filter(col("__t").isNotNull)
-    val nIdx = when(col("__len") <= n, lit(1)).otherwise(col("__len") - (n - 1))
-    val pos = withT.select(col(idCol), col("__t"), col("__len"),
-      explode(sequence(lit(1), nIdx)).as("__s"))
-    val gram = when(col("__len") <= n, col("__t"))
-      .otherwise(col("__t").substr(col("__s"), lit(n)))
-    val zeros = "0" * hexPrefixLen
-    // materialize the slice: the dup aggregation, the per-doc sampled
-    // count and the join-back would otherwise each re-run the full-corpus
-    // explode + md5; the checkpoint holds only 1/16^hexPrefixLen of the
-    // position stream
-    val sampledHits = pos
-      .filter(substring(md5(gram), 1, hexPrefixLen) === zeros)
-      .select(col(idCol), col("__s"),
-        when(col("__len") <= n, col("__len")).otherwise(col("__s") + (n - 1))
-          .as("__e"),
-        (if (hashedKeys) xxhash64(gram) else gram).as("__g"))
-      .localCheckpoint()
-    val dup = sampledHits.groupBy("__g")
-      .agg(min(col(idCol)).as("__dmin"), max(col(idCol)).as("__dmax"))
-      .filter(col("__dmin") =!= col("__dmax")).select("__g")
-    val dupHits = sampledHits.join(dup, "__g")
-      .select(col(idCol), col("__s"), col("__e"))
+    // ONE shared front half with the exact form (dupSpanHits) — only the
+    // sample prefix differs; the helper checkpoints the sampled slice
+    val (withT, sampledHits, dupHits) = dupSpanHits(docs, idCol, textCol,
+      n, hashedKeys, sampleHexPrefixLen = hexPrefixLen)
     val perDoc = sampledHits.groupBy(idCol)
       .agg(count(lit(1)).as("__n_sampled"))
     val nDup = dupHits.groupBy(idCol).agg(count(lit(1)).as("__n_dup"))
@@ -617,18 +596,30 @@ object TextAnalysis {
   }
 
   /** The shared front half of the span ops: (doc, text, len) plus the
-    * cross-document duplicated-gram hit stream `[__s, __e]` — one row per
-    * gram START POSITION (1-based, matching substr in both engines; short
-    * texts emit i=1 with the whole text as the gram).
+    * (possibly gram-space-sampled) hit stream and the cross-document
+    * duplicated-gram hit stream `[__s, __e]` — one row per gram START
+    * POSITION (1-based, matching substr in both engines; short texts emit
+    * i=1 with the whole text as the gram).
     *
     * The cross-doc test is min≠max of the doc id, NOT count_distinct: a
     * distinct count over (gram, doc) plans as TWO shuffle stages (expand
     * then count), while min/max partial-aggregate map-side in one — and
     * the single-row-per-gram result keeps the join-back explosion-free
-    * under hot grams (AQE skew-split still applies to the probe side). */
+    * under hot grams (AQE skew-split still applies to the probe side).
+    *
+    * `sampleHexPrefixLen > 0` keeps only positions whose gram's md5 hex
+    * prefix is all zeros (the e6g3 gram-space slice) and CHECKPOINTS the
+    * slice — the dup aggregation, per-doc counts and join-back would
+    * otherwise each re-run the full-corpus explode + md5, and the
+    * checkpoint holds only 1/16^len of the stream. The exact form (len
+    * 0) deliberately stays un-checkpointed: recomputing a codegen'd map
+    * pass is cheap at any scale, materializing a corpus×grams frame is
+    * not. ONE definition for both forms — a drifted copy of the window
+    * arithmetic would silently split the exact and sampled semantics. */
   private def dupSpanHits(docs: DataFrame, idCol: String, textCol: String,
-                          n: Int, hashedKeys: Boolean)
-      : (DataFrame, DataFrame) = {
+                          n: Int, hashedKeys: Boolean,
+                          sampleHexPrefixLen: Int = 0)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(n > 0, s"n must be positive: $n")
     val withT = docs.select(col(idCol), col(textCol).as("__t"),
         length(col(textCol)).as("__len"))
@@ -638,15 +629,20 @@ object TextAnalysis {
       explode(sequence(lit(1), nIdx)).as("__s"))
     val gram = when(col("__len") <= n, col("__t"))
       .otherwise(col("__t").substr(col("__s"), lit(n)))
-    val hits = pos.select(col(idCol), col("__s"),
+    val posKept =
+      if (sampleHexPrefixLen <= 0) pos
+      else pos.filter(substring(md5(gram), 1, sampleHexPrefixLen) ===
+        "0" * sampleHexPrefixLen)
+    val hits0 = posKept.select(col(idCol), col("__s"),
       when(col("__len") <= n, col("__len")).otherwise(col("__s") + (n - 1))
         .as("__e"),
       (if (hashedKeys) xxhash64(gram) else gram).as("__g"))
+    val hits = if (sampleHexPrefixLen > 0) hits0.localCheckpoint() else hits0
     val dup = hits.groupBy("__g")
       .agg(min(col(idCol)).as("__dmin"), max(col(idCol)).as("__dmax"))
       .filter(col("__dmin") =!= col("__dmax")).select("__g")
     val dupHits = hits.join(dup, "__g").select(col(idCol), col("__s"), col("__e"))
-    (withT, dupHits)
+    (withT, hits, dupHits)
   }
 
   /** Gaps-and-islands interval merge shared by the span-coverage ops:
@@ -701,7 +697,7 @@ object TextAnalysis {
   def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                             n: Int = 16, minSpan: Int = 0,
                             hashedKeys: Boolean = false): DataFrame = {
-    val (withT, dupHits) = dupSpanHits(docs, idCol, textCol, n, hashedKeys)
+    val (withT, _, dupHits) = dupSpanHits(docs, idCol, textCol, n, hashedKeys)
     val isl = mergedIslands(dupHits, idCol)
       .filter(col("__ge") - col("__gs") + 1 >= minSpan)
     val spans = isl.groupBy(idCol).agg(

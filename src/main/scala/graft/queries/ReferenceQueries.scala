@@ -693,11 +693,13 @@ object ReferenceQueries {
         val ev = Tables.events(s, dir)
         // hour-aligned window start in exact long µs (never a double
         // division — a rounded quotient could flap the floor at bucket
-        // edges)
+        // edges). pmod, not %: the oracle's `//` and Spark's window()
+        // both FLOOR, while % follows the dividend's sign — a pre-1970
+        // timestamp would diverge under truncating modulo
         val base = ev.select(col("user_id"), col("value"),
             Tables.tsUs(ev).as("ts"))
           .withColumn("win_start_us",
-            col("ts") - (col("ts") % lit(3600000000L)))
+            col("ts") - pmod(col("ts"), lit(3600000000L)))
         val b = base.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
           .collect().head
         val lo = b.getLong(0); val hi = b.getLong(1) + 1

@@ -603,9 +603,21 @@ object AggMaintenance {
       // partial would double-count)
       val touched = partial.select("__bucket").distinct()
         .collect().map(_.getInt(0)).sorted.toSeq
-      val pending = parMap(touched)(b =>
-          (b, readWm(fs, new Path(dst, s"__bucket=$b/$WmFile"))))
-        .collect { case (b, wm) if !wm.exists(_ >= hi) => b }
+      // ONE parallel metadata pass answers both questions per touched
+      // bucket: its committed watermark (the crashed-attempt skip) and
+      // whether it holds prior data (which buckets the merge must read)
+      val probes = parMap(touched) { b =>
+        val bp = new Path(dst, s"__bucket=$b")
+        (b, readWm(fs, new Path(bp, WmFile)),
+          ParquetMergeSink.hasData(fs, bp))
+      }
+      val pending = probes.collect {
+        case (b, wm, _) if !wm.exists(_ >= hi) => b
+      }
+      val existingDirs = probes.collect {
+        case (b, wm, hd) if !wm.exists(_ >= hi) && hd =>
+          s"${targetDir.stripSuffix("/")}/__bucket=$b"
+      }
       // sliceRows from the persisted partial — never a second slice scan
       val sliceRows = partial.agg(sum(col("cnt"))).first().getLong(0)
       if (pending.isEmpty) { // every bucket committed before the crash
@@ -620,26 +632,25 @@ object AggMaintenance {
       if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
       val pendingPartial = partial.filter(
         col("__bucket").isin(pending.toSeq: _*))
-      // The existing side is ONE partition-pruned read of the rollup root
-      // — never a per-pending-bucket union. Plan size must stay O(1) in
-      // the touched-bucket count: at this form's own design point
-      // (~√groups buckets ⇒ ~31k buckets for 1e9 groups) a wide slice
-      // touches most of them, and a union of tens of thousands of scan
-      // nodes blows up driver-side analysis long before the data is the
-      // problem. Partition discovery turns isin(pending) into
-      // PartitionFilters on `__bucket` — the same touched-buckets-only
-      // scan, a single node (proven at 1,024 buckets × all-touched in
-      // ScaleStress `aggivmwide`). The short-circuiting exists() probe
-      // below only decides whether the root holds ANY prior data for the
-      // pending set (a cold first data slice has no parquet files at all,
-      // where a root read could not infer a schema).
-      val anyExisting = pending.exists(b =>
-        ParquetMergeSink.hasData(fs, new Path(dst, s"__bucket=$b")))
+      // The existing side is ONE multi-path read of exactly the pending
+      // data-bearing bucket dirs — never a per-pending-bucket union, and
+      // never a full-root read. Plan size must stay O(1) in the
+      // touched-bucket count: at this form's own design point (~√groups
+      // buckets ⇒ ~31k buckets for 1e9 groups) a wide slice touches most
+      // of them, and a union of tens of thousands of scan nodes blows up
+      // driver-side analysis long before the data is the problem
+      // (r12 VERDICT #1); N paths into one spark.read is still a SINGLE
+      // relation/scan node (proven at 1,024 buckets × all-touched in
+      // ScaleStress `aggivmwide`). Listing only the pending dirs also
+      // keeps file discovery O(touched), where a root read re-lists
+      // every bucket of the rollup on every slice — O(total buckets) for
+      // a 50-bucket delta. `basePath` keeps `__bucket` a partition
+      // column even though the paths point below it.
       val merged =
-        if (!anyExisting) pendingPartial
+        if (existingDirs.isEmpty) pendingPartial
         else {
-          val ex = spark.read.parquet(targetDir)
-            .filter(col("__bucket").isin(pending.toSeq: _*))
+          val ex = spark.read.option("basePath", targetDir)
+            .parquet(existingDirs: _*)
             .select((groupCols.map(col) ++ (col("__bucket").cast("int") +:
               metrics.map(m => col(m.name).cast(m.typ)))): _*)
           ex.unionByName(pendingPartial
@@ -927,20 +938,34 @@ object AggMaintenance {
   private def parMap[A, B](items: Seq[A])(f: A => B): Seq[B] =
     if (items.lengthCompare(2) < 0) items.map(f)
     else {
+      // daemon threads: a hung filesystem RPC must not block JVM exit
+      val tf = new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-agg-meta-${n.incrementAndGet()}")
+          t.setDaemon(true); t
+        }
+      }
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(16, items.size))
+        math.min(16, items.size), tf)
       try {
         val futures = items.map { a =>
           pool.submit(new java.util.concurrent.Callable[B] {
             def call(): B = f(a)
           })
         }
-        futures.map { fu =>
-          try fu.get()
-          catch {
-            case e: java.util.concurrent.ExecutionException =>
-              throw e.getCause
-          }
+        try futures.map(_.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            // cancel queued work and WAIT OUT in-flight tasks before
+            // rethrowing: a straggler swap still mutating the rollup
+            // after this method has thrown would race the caller's
+            // retry/healing pass (delete staged dirs under a live swap,
+            // heal backups a swap is concurrently creating)
+            pool.shutdownNow()
+            pool.awaitTermination(60,
+              java.util.concurrent.TimeUnit.SECONDS)
+            throw e.getCause
         }
       } finally { pool.shutdown(); () }
     }
