@@ -213,6 +213,9 @@ object AggMaintenance {
     val fs = new Path(targetDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     healWholeDir(fs, targetDir)
+    requireStampSafe("group", groupCols)
+    requireStampSafe("value", valueCols)
+    requireStampSafe("order", Seq(orderCol))
     val params = paramsStringV2(groupCols, valueCols, orderCol)
     validateStampedFlat("applySliceV2", fs, targetDir, params)
     applyWholeDir(spark, targetDir, source, orderCol, groupCols,
@@ -264,6 +267,9 @@ object AggMaintenance {
     val fs = new Path(targetDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     healWholeDir(fs, targetDir)
+    requireStampSafe("group", groupCols)
+    requireStampSafe("distinct", distinctCols)
+    requireStampSafe("order", Seq(orderCol))
     val params = paramsStringV3(groupCols, distinctCols, orderCol)
     validateStampedFlat("applySliceDistinct", fs, targetDir, params)
     applyWholeDir(spark, targetDir, source, orderCol, groupCols,
@@ -426,6 +432,9 @@ object AggMaintenance {
                             source: DataFrame, orderCol: String,
                             groupCols: Seq[String], valueCol: String,
                             lo: Long, hi: Long, nBuckets: Int): AggResult = {
+    requireStampSafe("group", groupCols)
+    requireStampSafe("value", Seq(valueCol))
+    requireStampSafe("order", Seq(orderCol))
     val params = paramsString(nBuckets, groupCols, valueCol, orderCol)
     validatePartitioned("applySlicePartitioned", spark, targetDir, params)
     applyPartitionedCore(spark, targetDir, source, orderCol, groupCols,
@@ -450,6 +459,9 @@ object AggMaintenance {
       "applySlicePartitionedV2 requires at least one value column")
     require(valueCols.distinct == valueCols,
       s"duplicate value columns: ${valueCols.mkString(", ")}")
+    requireStampSafe("group", groupCols)
+    requireStampSafe("value", valueCols)
+    requireStampSafe("order", Seq(orderCol))
     val params = paramsStringV2Part(nBuckets, groupCols, valueCols, orderCol)
     validatePartitioned("applySlicePartitionedV2", spark, targetDir, params)
     applyPartitionedCore(spark, targetDir, source, orderCol, groupCols,
@@ -470,6 +482,9 @@ object AggMaintenance {
       "applySlicePartitionedDistinct requires at least one distinct column")
     require(distinctCols.distinct == distinctCols,
       s"duplicate distinct columns: ${distinctCols.mkString(", ")}")
+    requireStampSafe("group", groupCols)
+    requireStampSafe("distinct", distinctCols)
+    requireStampSafe("order", Seq(orderCol))
     val params = paramsStringV3Part(nBuckets, groupCols, distinctCols,
       orderCol)
     validatePartitioned("applySlicePartitionedDistinct", spark, targetDir,
@@ -757,6 +772,24 @@ object AggMaintenance {
     }
   }
 
+  /** Stamp-safety guard: column names ride inside `_GRAFT_AGG_PARAMS`
+    * tokens joined by ' ' and '+', so a name containing a delimiter would
+    * make two DIFFERENT parameterizations stamp identically —
+    * Seq("a","b+c") and Seq("a+b","c") both stamp `group=a+b+c` — and the
+    * cross-parameterization refusal would then ACCEPT a foreign layout
+    * (or readDerived/readDistinct would split the stamp into wrong
+    * column names). Refuse such names typed at the front door instead of
+    * escaping: an escape scheme would have to be honored by every stamp
+    * parser forever. */
+  private def requireStampSafe(role: String, cols: Seq[String]): Unit =
+    cols.foreach { c =>
+      if (c.isEmpty || c.exists(ch => ch == ' ' || ch == '+' || ch == '='))
+        throw graft.core.GraftError.InvalidConfig(
+          s"$role column '$c' is empty or contains a params-stamp " +
+            "delimiter (space, '+', '=') — different parameterizations " +
+            "could stamp identically; rename the column")
+    }
+
   private def paramsString(nBuckets: Int, groupCols: Seq[String],
                            valueCol: String, orderCol: String): String =
     s"v1 buckets=$nBuckets group=${groupCols.mkString("+")} " +
@@ -956,16 +989,26 @@ object AggMaintenance {
         }
         try futures.map(_.get())
         catch {
-          case e: java.util.concurrent.ExecutionException =>
-            // cancel queued work and WAIT OUT in-flight tasks before
-            // rethrowing: a straggler swap still mutating the rollup
-            // after this method has thrown would race the caller's
-            // retry/healing pass (delete staged dirs under a live swap,
-            // heal backups a swap is concurrently creating)
+          // ANY failure of the wait — a task error (ExecutionException) or
+          // the caller being interrupted (job kill) — must cancel queued
+          // work and WAIT OUT in-flight tasks before rethrowing: a
+          // straggler swap still mutating the rollup after this method has
+          // thrown would race the caller's retry/healing pass (delete
+          // staged dirs under a live swap, heal backups a swap is
+          // concurrently creating). InterruptedException clears the
+          // interrupt flag, so the drain below can proceed; the flag is
+          // restored before rethrowing.
+          case e: Throwable =>
             pool.shutdownNow()
             pool.awaitTermination(60,
               java.util.concurrent.TimeUnit.SECONDS)
-            throw e.getCause
+            e match {
+              case ee: java.util.concurrent.ExecutionException =>
+                throw ee.getCause
+              case ie: InterruptedException =>
+                Thread.currentThread().interrupt(); throw ie
+              case other => throw other
+            }
         }
       } finally { pool.shutdown(); () }
     }

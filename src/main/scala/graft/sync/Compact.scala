@@ -38,7 +38,20 @@ object Compact {
     val nOut = math.max(1L, math.ceil(totalBytes.toDouble / targetBytes).toLong).toInt
     val df = spark.read.parquet(dir)
     val tmp = dir.stripSuffix("/") + ".__merge_tmp"
-    partitionByCol match {
+    // an omitted partitionByCol must not FLATTEN a partitioned table: the
+    // layout is detectable from the listing, so auto-preserve it (and
+    // refuse a foreign multi-column layout rather than guess)
+    val effPart = partitionByCol.orElse {
+      ParquetMergeSink.partitionColsOf(fs, dir) match {
+        case Seq()  => None
+        case Seq(p) => Some(p)
+        case many => throw graft.core.GraftError.InvalidConfig(
+          s"$dir carries multiple partition column layouts " +
+            s"(${many.mkString(", ")}) — not a merge-sink table; refusing " +
+            "to compact it")
+      }
+    }
+    effPart match {
       case Some(p) =>
         df.repartition(nOut, col(p))
           .write.mode(SaveMode.Overwrite).partitionBy(p).parquet(tmp)

@@ -98,14 +98,28 @@ object ParquetMergeSink {
       val updateRows = knownUpdateRows.getOrElse(updates.count())
       if (!exists) {
         // S3 create-dest-from-source-schema (session.py:194-197): still dedup
-        // within the batch (a key may appear twice in one extract). A leftover
-        // _temporary/ from a crashed first write is NOT data (hasData) — the
-        // cold start simply re-runs.
+        // within the batch (a key may appear twice in one extract). STAGED,
+        // then made visible by one rename: Spark's job commit moves task
+        // files into the target sequentially, so a driver crash mid-commit
+        // would leave SOME part files visible — hasData would then read
+        // true and the next run would trust the partial destination's
+        // MAX(watermark), silently skipping the crashed batch's lost rows
+        // forever. (A leftover _temporary/ or a half-staged tmp is NOT
+        // data; the cold start simply re-runs.)
         val deduped = dedupe(updates.withColumn("__src", lit(1)), uKeys, uOrder)
-        write(deduped, targetDir, uPart, Some(uOrder))
-        clearPendingMerge(fs, targetDir)
+        val tmp = targetDir.stripSuffix("/") + ".__merge_tmp"
+        if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
+        write(deduped, tmp, uPart, Some(uOrder))
         // counts only the files just written (metadata-weight scan)
-        return MergeResult(countParquet(spark, targetDir), updateRows)
+        val written = countParquet(spark, tmp)
+        val dst = new Path(targetDir)
+        // hasData said false, so anything here is crashed-first-write debris
+        if (fs.exists(dst)) fs.delete(dst, true)
+        if (!fs.rename(new Path(tmp), dst))
+          throw new java.io.IOException(
+            s"cold merge: rename $tmp -> $dst failed")
+        clearPendingMerge(fs, targetDir)
+        return MergeResult(written, updateRows)
       }
       if (updateRows == 0) {
         // idle poll (T5): nothing extracted → never touch the destination
@@ -300,6 +314,24 @@ object ParquetMergeSink {
     if (fs.exists(p)) { fs.delete(p, false); () }
   }
 
+  /** Distinct hive partition column names of a single-level `col=value/`
+    * layout at `dir` (the merge sink's own partitioned shape) — empty for
+    * an unpartitioned table. Maintenance rewrites (Reconcile, Compact)
+    * consult this so they PRESERVE the layout instead of silently
+    * flattening a partitioned destination (which the next dynamic
+    * partition overwrite would then corrupt into mixed root-files-plus-
+    * partition-dirs). */
+  private[sync] def partitionColsOf(fs: org.apache.hadoop.fs.FileSystem,
+                                    dir: String): Seq[String] = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("=") &&
+        !st.getPath.getName.startsWith(".")) // swap/stage debris is not layout
+      .map(_.getPath.getName.split("=", 2)(0))
+      .distinct
+  }
+
   /** True when the path holds actual table data — at least one entry that
     * is not a hidden/metadata artifact (`_temporary`, `_SUCCESS`, dotfiles).
     * A crashed first write leaves only such artifacts and must read as
@@ -311,7 +343,11 @@ object ParquetMergeSink {
     }
 
   /** Heal a crash window between the two swap renames: destination gone but
-    * backup present → the backup IS the previous destination; restore it. */
+    * backup present → the backup IS the previous destination; restore it.
+    * Destination healthy with a backup still present → the crash hit after
+    * the forward rename; the backup is stale — DROP it (it is a full table
+    * copy, and an idle destination whose polls keep early-returning would
+    * otherwise carry it forever; same rule as AggMaintenance.healWholeDir). */
   private[sync] def recoverInterruptedSwap(fs: org.apache.hadoop.fs.FileSystem,
                                            targetDir: String): Unit = {
     val dst = new Path(targetDir)
@@ -321,6 +357,9 @@ object ParquetMergeSink {
       if (!fs.rename(bak, dst))
         throw new java.io.IOException(
           s"merge recovery: rename $bak -> $dst failed; manual intervention needed")
+    } else if (hasData(fs, dst) && fs.exists(bak)) {
+      fs.delete(bak, true)
+      ()
     }
   }
 

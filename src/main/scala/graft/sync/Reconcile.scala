@@ -59,7 +59,24 @@ object Reconcile {
     val total = dest.count()
     val kept = dest.join(orphans.select(keys.map(col): _*), keys, "left_anti")
     val tmp = destPath.stripSuffix("/") + ".reconcile.tmp"
-    kept.write.mode(SaveMode.Overwrite).parquet(tmp)
+    // PRESERVE a hive-partitioned layout: a flat rewrite of a partitioned
+    // merge destination would land everything in root-level files, and
+    // the next partitioned merge's dynamic overwrite never touches those
+    // — mixed layout, broken partition discovery. Single-level layouts
+    // are the merge sink's own shape; anything deeper is foreign and
+    // refuses rather than guessing.
+    ParquetMergeSink.partitionColsOf(fs, destPath) match {
+      case Seq() =>
+        kept.write.mode(SaveMode.Overwrite).parquet(tmp)
+      case Seq(p) =>
+        kept.repartition(col(p))
+          .write.mode(SaveMode.Overwrite).partitionBy(p).parquet(tmp)
+      case many =>
+        throw graft.core.GraftError.InvalidConfig(
+          s"$destPath carries multiple partition column layouts " +
+            s"(${many.mkString(", ")}) — not a merge-sink table; refusing " +
+            "to rewrite it")
+    }
     val keptRows = spark.read.parquet(tmp).count()
     ParquetMergeSink.atomicSwap(fs, destPath, tmp)
     (keptRows, total - keptRows)

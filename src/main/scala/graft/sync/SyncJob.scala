@@ -91,7 +91,14 @@ final class SyncJob(spark: SparkSession, cfg: SyncConfig) {
           graft.core.Watermark.toMicros(spark.read.parquet(destDir).agg(max(wm)).first().get(0))
         (destMax, pendingRestart) match {
           case (Some(m), Some(p)) => Some(math.min(m, p))
-          case (m, p)             => m.orElse(p)
+          case (None, None) =>
+            // destination exists but every row carries a NULL watermark
+            // (a foreign writer, or a merge of all-null-wm rows): treat
+            // it as a cold start from the source MIN — reporting "empty
+            // source" here would wedge the sync forever while the source
+            // has rows (runIntoParquet's twin already falls back this way)
+            graft.core.Watermark.toMicros(source.agg(min(wm)).first().get(0))
+          case (m, p) => m.orElse(p)
         }
       } else
         graft.core.Watermark.toMicros(source.agg(min(wm)).first().get(0))
@@ -139,11 +146,25 @@ final class ContinuousSync(spark: SparkSession, cfg: SyncConfig) {
           shouldStop: SyncReport => Boolean = _ => false,
           sleep: Long => Unit = Thread.sleep): Vector[SyncReport] = {
     val job = new SyncJob(spark, cfg)
+    ContinuousSync.loop(delayMs, maxIterations, shouldStop, sleep)(
+      () => job.run(source(), destDir, nowWatermark()))
+  }
+}
+
+object ContinuousSync {
+  /** THE polling loop — one definition shared by [[ContinuousSync.run]]
+    * and [[SyncPipeline.continuous]], so stop/sleep ordering and report
+    * accumulation can never drift between the file and endpoint fronts:
+    * run, record, test stop, sleep only if another iteration follows. */
+  private[sync] def loop(delayMs: Long, maxIterations: Int,
+                         shouldStop: SyncReport => Boolean,
+                         sleep: Long => Unit)
+                        (runOnce: () => SyncReport): Vector[SyncReport] = {
     val reports = Vector.newBuilder[SyncReport]
     var i = 0
     var stop = false
     while (i < maxIterations && !stop) {
-      val r = job.run(source(), destDir, nowWatermark())
+      val r = runOnce()
       reports += r
       stop = shouldStop(r)
       i += 1

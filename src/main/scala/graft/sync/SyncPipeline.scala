@@ -102,19 +102,9 @@ object SyncPipeline {
                  maxIterations: Int = Int.MaxValue,
                  shouldStop: SyncReport => Boolean = _ => false,
                  sleep: Long => Unit = Thread.sleep,
-                 onProgress: Progress => Unit = _ => ()): Vector[SyncReport] = {
-    val reports = Vector.newBuilder[SyncReport]
-    var i = 0
-    var stop = false
-    while (i < maxIterations && !stop) {
-      val r = run(spark, cfg, source, dest, cut = None, onProgress)
-      reports += r
-      stop = shouldStop(r)
-      i += 1
-      if (i < maxIterations && !stop) sleep(delayMs)
-    }
-    reports.result()
-  }
+                 onProgress: Progress => Unit = _ => ()): Vector[SyncReport] =
+    ContinuousSync.loop(delayMs, maxIterations, shouldStop, sleep)(
+      () => run(spark, cfg, source, dest, cut = None, onProgress))
 
   // ------------------------------------------------------------- parquet dest
 
@@ -277,11 +267,26 @@ object SyncPipeline {
   }
 
   private def writeMarker(conn: Connection, table: String, wm: Long): Unit = {
-    clearMarker(conn, table)
-    val ps = conn.prepareStatement(
-      s"INSERT INTO $StateTable (table_name, restart_wm) VALUES (?, ?)")
-    try { ps.setString(1, table); ps.setLong(2, wm); ps.executeUpdate(); () }
-    finally ps.close()
+    // DELETE + INSERT must commit as ONE transaction: in autocommit a
+    // crash between the two statements erases the restart marker and
+    // permanently loses the interrupted batch it protects — the next run
+    // would trust dest MAX(wm) alone and skip everything the crashed
+    // batch never applied below it
+    val wasAuto = conn.getAutoCommit
+    conn.setAutoCommit(false)
+    try {
+      clearMarker(conn, table)
+      val ps = conn.prepareStatement(
+        s"INSERT INTO $StateTable (table_name, restart_wm) VALUES (?, ?)")
+      try { ps.setString(1, table); ps.setLong(2, wm); ps.executeUpdate(); () }
+      finally ps.close()
+      conn.commit()
+    } catch {
+      case t: Throwable =>
+        try conn.rollback()
+        catch { case _: java.sql.SQLException => () }
+        throw t
+    } finally conn.setAutoCommit(wasAuto)
   }
 
   private def clearMarker(conn: Connection, table: String): Unit = {

@@ -156,6 +156,25 @@ class AggMaintenanceSpec extends SparkSpec {
         spark, flat, src, "us", Seq("grp"), "v", 50L, 95L, nBuckets = 8))
   }
 
+  test("stamped lanes refuse column names carrying stamp delimiters") {
+    // Seq("a","b+c") and Seq("a+b","c") would stamp identically
+    // (group=a+b+c) — the cross-parameterization guard would then accept
+    // a foreign layout, so delimiter-carrying names refuse at the front
+    val src = rows((10L, "a", 1.0)).withColumnRenamed("grp", "g+h")
+    val dir = tmpDir("agg-stampsafe")
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySlicePartitioned(
+        spark, dir, src, "us", Seq("g+h"), "v", 0L, 50L, nBuckets = 8))
+    val src2 = rows((10L, "a", 1.0)).withColumnRenamed("v", "v w")
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySliceV2(
+        spark, dir, src2, "us", Seq("grp"), Seq("v w"), 0L, 50L))
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySliceDistinct(
+        spark, dir, rows((10L, "a", 1.0)).withColumnRenamed("v", "v=x"),
+        "us", Seq("grp"), Seq("v=x"), 0L, 50L))
+  }
+
   test("partitioned: a bucket already committed by a crashed attempt is not re-merged") {
     // distinct-bucket group names, computed like the engine computes them
     val gA = "a"

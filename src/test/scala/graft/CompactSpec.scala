@@ -62,4 +62,24 @@ class CompactSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(got == data.map { case (i, b, x) => (i, b.toLong, x) }.toSet)
   }
+
+  test("omitted partitionByCol AUTO-PRESERVES a partitioned layout") {
+    // flattening a partitioned merge destination would make the next
+    // dynamic partition overwrite corrupt it (root files + partition
+    // dirs); the layout is detectable from the listing, so compact must
+    // keep it even when the caller forgets --partition-by
+    val dir = tmpDir("compact-autopart") + "/t"
+    val data = (1L to 200L).map(i => (i, i % 4, i * 1.5))
+    data.toDF("id", "bucket", "x")
+      .repartition(8).write.partitionBy("bucket").parquet(dir)
+    val r = Compact.compact(spark, dir, targetBytes = 1L << 30)
+    assert(r.rows == 200)
+    (0 to 3).foreach { b =>
+      assert(new java.io.File(s"$dir/bucket=$b").isDirectory,
+        s"bucket=$b flattened away")
+      assert(files(s"$dir/bucket=$b").size == 1, s"bucket=$b not compacted")
+    }
+    assert(files(dir).forall(_.getParentFile.getName.startsWith("bucket=")),
+      "root-level data files would corrupt the next partitioned merge")
+  }
 }

@@ -51,6 +51,29 @@ class ReconcileSpec extends SparkSpec {
     assert(!new java.io.File(s"$work/dest.reconcile.tmp").exists())
   }
 
+  test("applyDeletes preserves a hive-partitioned destination layout") {
+    val work = tmpDir("reconcile-part")
+    Seq((1L, 0L, "keep"), (2L, 1L, "keep"), (3L, 0L, "drop"), (4L, 1L, "drop"))
+      .toDF("id", "p", "payload")
+      .write.partitionBy("p").parquet(s"$work/dest")
+    val source = Seq(1L, 2L).toDF("id")
+    val dest = spark.read.parquet(s"$work/dest")
+    val orphans = Reconcile.deletedKeys(source, dest, Seq("id"))
+      .localCheckpoint()
+    val (kept, dropped) = Reconcile.applyDeletes(
+      spark, s"$work/dest", orphans, Seq("id"))
+    assert(kept == 2L && dropped == 2L)
+    // the rewrite must keep the p=X/ dirs — a flat rewrite would be
+    // corrupted by the next partitioned merge's dynamic overwrite
+    Seq(0L, 1L).foreach { p =>
+      assert(new java.io.File(s"$work/dest/p=$p").isDirectory,
+        s"partition p=$p flattened away")
+    }
+    val after = spark.read.parquet(s"$work/dest")
+      .select(col("id")).as[Long].collect().toSet
+    assert(after == Set(1L, 2L))
+  }
+
   test("JDBC source arm: key-only projection from Derby drives the orphan set") {
     val url = s"jdbc:derby:memory:reconcile${System.nanoTime()};create=true"
     val conn = java.sql.DriverManager.getConnection(url)

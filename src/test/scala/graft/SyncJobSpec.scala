@@ -37,6 +37,37 @@ class SyncJobSpec extends SparkSpec {
       1L -> ((100L, 10.0, "A")), 2L -> ((200L, 20.0, "B")), 3L -> ((300L, 30.0, "A"))))
   }
 
+  test("all-NULL-watermark destination falls back to the source MIN, never wedges") {
+    // a foreign writer (or a merge of null-wm rows) can leave a dest whose
+    // MAX(updated) is NULL: reporting "empty source" there would stall the
+    // sync forever while the source has rows — the run must treat it as a
+    // cold start instead
+    val dest = tmpDir("sync-nullwm") + "/dest"
+    Seq((99L, Option.empty[Long], 0.0, "X"))
+      .toDF("id", "updated", "amount", "status").write.parquet(dest)
+    val s = src((1L, 100L, 10.0, "A"), (2L, 200L, 20.0, "B"))
+    val report = new SyncJob(spark, cfg).run(s, dest, nowWatermark = 1000L)
+    assert(report.startingPoint.contains(100L),
+      s"expected cold-start fallback, got $report")
+    val after = readDest(dest)
+    assert(after.contains(1L) && after.contains(2L))
+  }
+
+  test("a stale swap backup beside a healthy destination is dropped on the next run") {
+    // crash after the forward rename leaves <dest>.__merge_old holding a
+    // full table copy; an idle table would otherwise carry it forever
+    val work = tmpDir("sync-stalebak")
+    val dest = work + "/dest"
+    val s = src((1L, 100L, 10.0, "A"))
+    new SyncJob(spark, cfg).run(s, dest, nowWatermark = 1000L)
+    // simulate the crash window: a leftover backup with data
+    s.write.parquet(dest + ".__merge_old")
+    new SyncJob(spark, cfg).run(s, dest, nowWatermark = 1000L)
+    assert(!new java.io.File(dest + ".__merge_old").exists(),
+      "stale backup survived a subsequent run")
+    assert(readDest(dest) == Map(1L -> ((100L, 10.0, "A"))))
+  }
+
   test("warm incremental: T1 = MAX(dest); updates overwrite, inserts append") {
     val dest = tmpDir("sync-warm") + "/dest"
     val job = new SyncJob(spark, cfg)
