@@ -124,9 +124,14 @@ object Dedup {
   def incrementalDedup(newDocs: DataFrame, base: DataFrame,
                        textCol: String): DataFrame = {
     val baseFp = base
-      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp")).distinct()
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__bfp")).distinct()
+    // null-SAFE anti-join (<=>): fingerprint(NULL text) is NULL, and the
+    // family treats null texts as equal content (byFingerprint groups
+    // them, corpusDiff reads two nulls as `unchanged`) — a plain
+    // equi-join would re-admit a null-text doc on every drop forever
+    // even when the base already holds one
     newDocs.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
-      .join(baseFp, Seq("__fp"), "left_anti")
+      .join(baseFp, col("__fp") <=> col("__bfp"), "left_anti")
       .drop("__fp")
   }
 
@@ -173,17 +178,23 @@ object Dedup {
     val flagged = newDocs
       .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
       .withColumn("__maybe",
-        call_function("bloom_might_contain", lit(bloomBytes),
-          xxhash64(col("__fp"))))
+        // a NULL fingerprint (null text) nulls the bloom test, and both
+        // filter branches would then DROP the row entirely; coalesce to
+        // "might be a member" so the exact null-safe anti-join below
+        // decides — keeping this path row-identical to incrementalDedup
+        coalesce(call_function("bloom_might_contain", lit(bloomBytes),
+          xxhash64(col("__fp"))), lit(true)))
     val definiteKeeps = flagged.filter(!col("__maybe")).drop("__maybe")
     val candidates = flagged.filter(col("__maybe")).drop("__maybe")
     val baseFp = base
-      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp")).distinct()
-    // unionByName, NOT positional union: a using-column anti-join moves
-    // the key column to the front of its output, so the positional form
-    // would silently zip doc columns against the fingerprint
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__bfp")).distinct()
+    // unionByName, NOT positional union: an anti-join can reorder the
+    // output columns, so the positional form would silently zip doc
+    // columns against the fingerprint; join is null-SAFE like
+    // incrementalDedup's (null texts are equal content)
     definiteKeeps
-      .unionByName(candidates.join(baseFp, Seq("__fp"), "left_anti"))
+      .unionByName(candidates.join(baseFp, col("__fp") <=> col("__bfp"),
+        "left_anti"))
       .drop("__fp")
   }
 
@@ -990,14 +1001,29 @@ object Dedup {
                         dir: String, queries: DataFrame, queryIdCol: String,
                         textCol: String, baseText: DataFrame,
                         baseIdCol: String, threshold: Double,
-                        estSlack: Double = 0.2): DataFrame = {
+                        estSlack: Double = 0.2): DataFrame =
+    minhashIndexProbeCounted(spark, dir, queries, queryIdCol, textCol,
+      baseText, baseIdCol, threshold, estSlack)._1
+
+  /** [[minhashIndexProbe]] with the hot-band cap LEDGER returned (the
+    * family's *Counted convention): a boilerplate-heavy probe batch can
+    * collapse past maxBandSize and have its candidate generation
+    * truncated — the log line alone is not a programmatic signal, so
+    * pipelines that must alert on truncated admission dedup call this
+    * form. The stats sum BOTH cap sites (query bands + matched-base
+    * re-cap). */
+  def minhashIndexProbeCounted(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, queries: DataFrame, queryIdCol: String,
+                        textCol: String, baseText: DataFrame,
+                        baseIdCol: String, threshold: Double,
+                        estSlack: Double = 0.2): (DataFrame, BandCapStats) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val p = mhReadParams(spark, dir)
     if (p.native) graft.functions.GraftFunctions.register(spark)
     val qSigs = mhSigs(queries, queryIdCol, textCol, p)
       .withColumnRenamed("__id", "q_id").localCheckpoint()
-    val (qBanded0, _) = capOversizedBands(
+    val (qBanded0, qStats) = capOversizedBands(
       bandExplode(qSigs.withColumnRenamed("q_id", "__id"), "__id",
         p.k, p.bands), "band", p.maxBandSize, "minhashIndexProbe")
     val qBanded = qBanded0.select(col("__id").as("q_id"),
@@ -1012,7 +1038,7 @@ object Dedup {
       .join(broadcast(qBanded.select("band_id", "band_val").distinct()),
         Seq("band_id", "band_val"))
       .withColumn("band", struct(col("band_id"), col("band_val")))
-    val (matchedCapped, _) = capOversizedBands(matched, "band",
+    val (matchedCapped, bStats) = capOversizedBands(matched, "band",
       p.maxBandSize, "minhashIndexProbe base side")
     val cand = matchedCapped
       .join(broadcast(qBanded), Seq("band_id", "band_val"))
@@ -1032,9 +1058,11 @@ object Dedup {
       shingleCol(col(textCol), p.shingleN, p.native).as("b_toks"))
     val qt = queries.select(col(queryIdCol).as("q_id"),
       shingleCol(col(textCol), p.shingleN, p.native).as("q_toks"))
-    est.join(bt, "base_id").join(qt, "q_id")
+    val out = est.join(bt, "base_id").join(qt, "q_id")
       .withColumn("jaccard", jaccardExpr(col("b_toks"), col("q_toks")))
       .filter(col("jaccard") >= threshold)
       .select("base_id", "q_id", "jaccard")
+    (out, BandCapStats(qStats.droppedBands + bStats.droppedBands,
+      qStats.droppedRows + bStats.droppedRows))
   }
 }

@@ -102,6 +102,12 @@ object Quantize {
     * @return idCol, adc (ascending = nearest), top-k rows */
   def pqTopK(encoded: DataFrame, idCol: String, codesCol: String,
              model: PqModel, query: Seq[Float], topK: Int): DataFrame = {
+    // an over-long query would be silently TRUNCATED by the slice below
+    // (quietly wrong neighbors); a short one would die as a raw
+    // IndexOutOfBounds deep in table construction — fail typed instead
+    require(query.length == model.m * model.dsub,
+      s"query dimension ${query.length} does not match the PQ model's " +
+        s"m×dsub = ${model.m}×${model.dsub} = ${model.m * model.dsub}")
     val table: Array[Array[Double]] = (0 until model.m).map { s =>
       val qSub = query.slice(s * model.dsub, (s + 1) * model.dsub)
         .map(_.toDouble)
@@ -120,7 +126,10 @@ object Quantize {
         (c, s) => element_at(element_at(tLit, s + lit(1)), c + lit(1))),
       lit(0.0), (acc, v) => acc + v)
     encoded.select(col(idCol), round(adc, 6).as("adc"))
-      .orderBy(col("adc").asc, col(idCol).asc)
+      // asc_nulls_LAST: a row whose codes carry a null element yields
+      // adc = NULL, and default NULLS FIRST would hand it a shortlist
+      // slot ahead of every real candidate
+      .orderBy(col("adc").asc_nulls_last, col(idCol).asc)
       .limit(topK)
   }
 
@@ -179,14 +188,18 @@ object Quantize {
       .toDF("sub", "code", "centroid")
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(indexDir + "/_codebooks")
-    graft.ops.RangeLayout.writeSidecar(spark, indexDir, PqParamsFile,
-      pqParamsString(m, k, seed))
-    // drift baseline: the build corpus's mean reconstruction error —
-    // appends compare their batch against it (the IVF _cellstats role)
+    // drift baseline FIRST, params LAST — the stampExistingPqIndex commit
+    // order: the params stamp is the commit marker probes trust, and a
+    // crash during the (full-corpus) baseline aggregate between an
+    // inverted pair of writes would leave params-without-stats — an index
+    // pqProbe accepts, pqIndexAppend refuses, and stampExistingPqIndex
+    // cannot repair (its own "bricked" state)
     val base = embeddings
       .agg(avg(pqReconError(col(vecCol), model)), count(lit(1))).first()
     graft.ops.RangeLayout.writeSidecar(spark, indexDir, PqStatsFile,
       s"mean_err=${base.getDouble(0)},n=${base.getLong(1)}")
+    graft.ops.RangeLayout.writeSidecar(spark, indexDir, PqParamsFile,
+      pqParamsString(m, k, seed))
     model
   }
 

@@ -47,7 +47,10 @@ object Similarity {
         (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
     embeddings.select(col(idCol), round(l2, 6).as("l2"))
-      .orderBy(col("l2").asc, col(idCol).asc)
+      // asc_nulls_LAST: a NULL or dim-mismatched vector yields l2 = NULL,
+      // and Spark's default NULLS FIRST would hand it a top-k slot —
+      // poisoning the very oracle the PQ probes are recall-gated against
+      .orderBy(col("l2").asc_nulls_last, col(idCol).asc)
       .limit(k)
   }
 
@@ -334,14 +337,11 @@ object Similarity {
     fs.exists(new Path(p, CommitMarker))
   }
 
-  private def markCommitted(spark: SparkSession, dir: String): Unit = {
-    val p = new Path(dir, CommitMarker)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // presence-only marker, but committed through the ONE sidecar write
-    // path anyway (core.SidecarIO) — a raw truncate-create here was the
-    // last writer outside the module
-    graft.core.SidecarIO.write(fs, p, "")
-  }
+  private def markCommitted(spark: SparkSession, dir: String): Unit =
+    // presence-only marker, committed through the ONE shared sidecar
+    // helper (RangeLayout.writeSidecar → core.SidecarIO) so any future
+    // hardening of the sidecar path covers this file too
+    graft.ops.RangeLayout.writeSidecar(spark, dir, CommitMarker, "")
 
   /** Plane parameters persisted beside an LSH layout so incremental
     * appends can VALIDATE they bucket with the same planes the index was
@@ -353,25 +353,15 @@ object Similarity {
     s"dim=$dim,nPlanes=$nPlanes,seed=$seed"
 
   private def writeLshParams(spark: SparkSession, dir: String,
-                             dim: Int, nPlanes: Int, seed: Int): Unit = {
-    val p = new Path(dir, LshParamsFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // params stamps double as commit evidence — a torn stamp must be
-    // unreachable, so the write goes through core.SidecarIO like every
-    // other `_GRAFT_*` sidecar
-    graft.core.SidecarIO.write(fs, p, lshParamsString(dim, nPlanes, seed))
-  }
+                             dim: Int, nPlanes: Int, seed: Int): Unit =
+    // the ONE shared sidecar write path (RangeLayout.writeSidecar →
+    // core.SidecarIO): a torn stamp must be unreachable, and hand-rolled
+    // twins of the helper would silently miss its future hardening
+    graft.ops.RangeLayout.writeSidecar(spark, dir, LshParamsFile,
+      lshParamsString(dim, nPlanes, seed))
 
-  private def readLshParams(spark: SparkSession, dir: String): Option[String] = {
-    val p = new Path(dir, LshParamsFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
-      finally in.close()
-    }
-  }
+  private def readLshParams(spark: SparkSession, dir: String): Option[String] =
+    graft.ops.RangeLayout.readSidecar(spark, dir, LshParamsFile)
 
   /** The shared build-if-absent protocol for every index kind: resolve the
     * content-addressed dir, run `build` only when no committed index
@@ -501,6 +491,23 @@ object Similarity {
       .write.mode(SaveMode.Append).partitionBy("bucket").parquet(indexDir)
   }
 
+  /** Probe-side params guard — [[lshIndexAppend]]'s stamp check applied to
+    * every probe entry point: probing with foreign planes enumerates a
+    * hamming ball over the WRONG bucket space and returns quietly
+    * near-empty neighbors (the exact "silent recall loss, not an error"
+    * the `_GRAFT_LSH_PARAMS` stamp exists to prevent). An unstamped
+    * layout refuses too: the ensure* builders always stamp, so no stamp
+    * means an unknown layout. */
+  private def validateLshProbe(spark: SparkSession, indexDir: String,
+                               dim: Int, nPlanes: Int, seed: Int): Unit = {
+    val expected = lshParamsString(dim, nPlanes, seed)
+    val actual = readLshParams(spark, indexDir)
+    require(actual.contains(expected),
+      s"$indexDir was built with [${actual.getOrElse("no " + LshParamsFile)}] " +
+        s"but the probe was called with [$expected] — the hamming ball " +
+        "would enumerate the wrong bucket space (silent recall loss)")
+  }
+
   /** All bucket values within `radius` sign-flips of `center`: the
     * multi-probe set, enumerated driver-side (C(nPlanes, ≤radius) values —
     * a scalar-sized list, like the watermark reads). */
@@ -525,6 +532,7 @@ object Similarity {
                vecCol: String, query: Seq[Float], k: Int, dim: Int,
                nPlanes: Int = 8, probeHamming: Int = 2,
                seed: Int = 42): DataFrame = {
+    validateLshProbe(spark, indexDir, dim, nPlanes, seed)
     val qBucket = spark.range(1).select(
       lshBucket(array(query.map(v => lit(v.toDouble)): _*), dim, nPlanes, seed))
       .first().getLong(0)
@@ -547,6 +555,7 @@ object Similarity {
                     dim: Int, nPlanes: Int = 8, probeHamming: Int = 2,
                     seed: Int = 42): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    validateLshProbe(spark, indexDir, dim, nPlanes, seed)
     val masks = hammingBall(0L, nPlanes, probeHamming) // center 0 → raw masks
     val masksLit = array(masks.map(lit): _*)
     val probed = queries
@@ -685,6 +694,12 @@ object Similarity {
       .collect()
       .map { r =>
         val c = r.getSeq[Double](r.fieldIndex("centroid"))
+        // zip would silently TRUNCATE a dim mismatch and rank plausible-
+        // but-wrong cells; the in-plan twin (centroidDists) nulls instead
+        // — both are wrong answers, so fail loud before either
+        require(c.length == q.length,
+          s"query dimension ${q.length} does not match index dimension " +
+            s"${c.length} at $indexDir")
         val d = c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
         (r.getInt(r.fieldIndex("cell")), d)
       }
@@ -1026,6 +1041,7 @@ object Similarity {
                         query: Seq[Float], k: Int, dim: Int,
                         nPlanes: Int = 8, probeHamming: Int = 2,
                         seed: Int = 42): DataFrame = {
+    validateLshProbe(spark, indexDir, dim, nPlanes, seed)
     val qBucket = spark.range(1).select(
       lshBucket(array(query.map(v => lit(v.toDouble)): _*), dim, nPlanes, seed))
       .first().getLong(0)
@@ -1180,14 +1196,18 @@ object Similarity {
     // points is version-dependent, so a tiny distinct corpus (< 16 reps)
     // must not inherit the floor. A single-rep corpus skips KMeans
     // entirely — one cell holds everything and the pair stage is empty.
-    val repsCount = if (nClusters == AutoClusters) reps.count() else -1L
+    // the k-vs-reps clamp applies to the EXPLICIT path too: KMeans with
+    // k > n training points is the version-dependent condition the auto
+    // path's comment guards against, and an explicit nClusters=16 over a
+    // 5-distinct-vector corpus hits it just the same
+    val repsCount = reps.count()
     val k =
       if (nClusters == AutoClusters)
         math.max(2L, math.min(
           math.max(16L, math.min(4096L, repsCount / 1000L)), repsCount)).toInt
-      else nClusters
+      else math.max(2L, math.min(nClusters.toLong, repsCount)).toInt
     val (assigned, _) =
-      if (nClusters == AutoClusters && repsCount < 2L)
+      if (repsCount < 2L)
         (reps.withColumn("__cell", lit(0)), Array.empty[Array[Double]])
       else fitCells(reps, vecCol, k, seed)
     val (cells, stats) = Dedup.capOversizedBands(

@@ -98,4 +98,33 @@ class BloomDedupSpec extends SparkSpec {
       .count()
     assert(hits < 150L, "shifted keys should not reproduce the hit set")
   }
+
+  test("null texts are equal content: admission agrees with the batch family") {
+    // byFingerprint collapses null-text rows into one and corpusDiff reads
+    // two nulls as `unchanged`; the admission gate must agree — a base
+    // holding a null-text row rejects incoming null-text docs (null-safe
+    // anti-join), and the bloom path returns the identical row set
+    // instead of dropping null-fp rows in both filter branches
+    val nbase = Seq((1L, Option("alpha")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val ndocs = Seq((10L, Option("alpha")), (11L, Option.empty[String]),
+      (12L, Option("novel"))).toDF("doc_id", "text")
+    val plain = Dedup.incrementalDedup(ndocs, nbase, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(plain == Set(12L), s"got $plain")
+    val nbloom = Dedup.fingerprintBloom(nbase, "text", expectedItems = 64)
+    val bloomed = Dedup.incrementalDedupBloom(ndocs, nbase, "text", nbloom)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloomed == plain, s"bloom path diverged: $bloomed vs $plain")
+    // a base WITHOUT a null-text row still admits one (and only the join
+    // decides — never a silent drop)
+    val noNullBase = nbase.filter(col("text").isNotNull)
+    val admitted = Dedup.incrementalDedup(ndocs, noNullBase, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(11L, 12L), s"got $admitted")
+    val admittedB = Dedup.incrementalDedupBloom(ndocs, noNullBase, "text",
+        Dedup.fingerprintBloom(noNullBase, "text", expectedItems = 64))
+      .select("doc_id").as[Long].collect().toSet
+    assert(admittedB == admitted)
+  }
 }

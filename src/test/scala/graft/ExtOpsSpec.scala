@@ -260,6 +260,15 @@ class ExtOpsSpec extends SparkSpec {
       query, 10, dim = 64, nPlanes = 8, probeHamming = 3)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), plan.take(500))
+    // the probe-side params guard: foreign planes would enumerate a
+    // hamming ball over the WRONG bucket space — quietly near-empty
+    // neighbors, so the stamp mismatch must refuse loud
+    assertThrows[IllegalArgumentException](
+      Similarity.annProbe(spark, dir, "vec_id", "embedding",
+        query, 10, dim = 64, nPlanes = 12, probeHamming = 3))
+    assertThrows[IllegalArgumentException](
+      Similarity.annProbe(spark, dir, "vec_id", "embedding",
+        query, 10, dim = 64, nPlanes = 8, probeHamming = 3, seed = 7))
   }
 
   test("hammingBall enumerates exactly the bucket values within radius") {

@@ -193,6 +193,37 @@ class QuantizeSpec extends SparkSpec {
     assert(exS.getMessage.contains(Quantize.PqStatsFile), exS.getMessage)
   }
 
+  test("null/garbage vectors never take exact-L2 or ADC top-k slots; dims refuse") {
+    val e = emb
+    val query = e.filter(col("vec_id") === 0)
+      .select("embedding").first().getSeq[Float](0)
+    // a NULL-vector row yields l2 = NULL; default NULLS FIRST would hand
+    // it the top slot and poison the recall oracle PQ gates rank against
+    val withNull = e.select(col("vec_id"), col("embedding"))
+      .unionByName(Seq((999999L, Option.empty[Seq[Float]]))
+        .toDF("vec_id", "embedding"))
+    val top = Similarity.bruteForceTopKL2(withNull, "vec_id", "embedding",
+        query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!top.contains(999999L), "null vector took an exact-L2 slot")
+    assert(top == Similarity.bruteForceTopKL2(e, "vec_id", "embedding",
+      query, 10).select("vec_id").as[Long].collect().toSet)
+    // ADC: a null codes element nulls the row's distance — nulls last too
+    val model = Quantize.fitPq(e, "embedding", m = 16, k = 16)
+    val encoded = e.select(col("vec_id"),
+        Quantize.encodePq(col("embedding"), model).as("pq"))
+      .unionByName(Seq((999999L, Option.empty[Seq[Int]]))
+        .toDF("vec_id", "pq"))
+    val adc = Quantize.pqTopK(encoded, "vec_id", "pq", model, query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!adc.contains(999999L), "null-codes row took an ADC slot")
+    // dimension mismatches refuse typed instead of truncating/crashing raw
+    assertThrows[IllegalArgumentException](
+      Quantize.pqTopK(encoded, "vec_id", "pq", model, query ++ query, 10))
+    assertThrows[IllegalArgumentException](
+      Quantize.pqTopK(encoded, "vec_id", "pq", model, query.take(48), 10))
+  }
+
   test("codes are in [0,255] and reconstruction error is within one grid step") {
     val q = Quantize.quantizeInt8(col("embedding"))
     val rows = emb.select(
