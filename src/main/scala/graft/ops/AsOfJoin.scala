@@ -57,9 +57,12 @@ object AsOfJoin {
     // partitioning would happily group the null-key rows together, so
     // null-key rights are dropped (they can never match) and null-key
     // lefts have their match voided after the window (kept for "left",
-    // dropped by "inner" — same as a real join).
+    // dropped by "inner" — same as a real join). A NULL TIME on the right
+    // is dropped for the same reason: `NULL <= t` is unknown in SQL, but
+    // ascending-nulls-first window order would make the null-time row the
+    // "latest" match for every probe that precedes all real right rows.
     val keyNull = keyCols.map(col(_).isNull).reduce(_ || _)
-    val rU = right.filter(!keyNull).select(
+    val rU = right.filter(!keyNull && col(rightTimeCol).isNotNull).select(
       keyCols.map(col) ++ Seq(
         col(rightTimeCol).as("__t"), lit(rTag).as("__tag"),
         lit(null).cast(lType).as("__lrow"),

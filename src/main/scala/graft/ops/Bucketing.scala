@@ -24,7 +24,12 @@ object Bucketing {
   }
 
   /** True when the physical plan of `df` contains no shuffle exchange —
-    * the property bucketing buys. */
+    * the property bucketing buys. Walks the plan for ShuffleExchangeLike
+    * nodes rather than string-matching "Exchange hashpartitioning": a
+    * range (sort) or single-partition exchange is just as much a shuffle,
+    * and a broadcast exchange deliberately is not. */
   def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+    df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.isEmpty
 }

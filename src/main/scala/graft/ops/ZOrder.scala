@@ -108,7 +108,13 @@ object ZOrder {
     val z = withZ(df, colA, colB, aMin, aMax, bMin, bMax)
     val bucketed = RangeLayout.withRangeBucket(z, col("zval") +: tieBreak,
       nBuckets)
-    bucketed.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
+    // the z-value is ENGINEERING, not data: it decided the bucket and its
+    // job is done — persisting it would widen every row by 8 bytes and
+    // break schema comparisons against the source (the writeClustered
+    // __rn rule; stampExistingLayout recomputes zval from data, so
+    // nothing reads a stored copy)
+    bucketed.drop("zval")
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
     bucketed.groupBy("bucket")
       .agg(count(lit(1)).as("n_rows"),
         min(col(colA)).as(s"min_$colA"), max(col(colA)).as(s"max_$colA"),

@@ -66,8 +66,15 @@ object JdbcUpsertSink {
   /** Per-key last-writer-wins dedup + co-location shuffle — the pre-write
     * normalization (SURVEY §2.1 S4 Spark mapping). */
   def normalize(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
+    // deterministic tie-break on equal watermarks: orderCol alone would
+    // let row_number pick by shuffle arrival order, so a retry/re-run
+    // could crown a different winner and the destination's final value
+    // would depend on scheduling (the ParquetMergeSink (orderCol, __src)
+    // discipline; rows equal on the FULL payload are interchangeable)
+    val payload = struct(
+      df.columns.filterNot(keyCols.contains).map(col).toIndexedSeq: _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(orderCol).desc)
+      .orderBy(col(orderCol).desc, payload.desc)
     df.repartition(keyCols.map(col): _*)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -61,16 +61,10 @@ final class JdbcSource(url: String, props: Properties) {
     * match the pattern case-sensitively — the JdbcUpsertSink.tableExists
     * protocol. */
   def preflight(table: String): Unit = withConnection { conn =>
-    def check(pattern: String): Boolean = {
-      val rs = conn.getMetaData.getTables(null, null, pattern,
-        Array("TABLE", "BASE TABLE"))
-      try {
-        while (rs.next())
-          if (rs.getString("TABLE_NAME").equalsIgnoreCase(table)) return true
-        false
-      } finally rs.close()
-    }
-    if (!check(table) && !check(table.toUpperCase) && !check(table.toLowerCase))
+    // ONE definition of the case-fold/type-label probe (the sink's
+    // tableExists) — a copy here would silently miss any future driver
+    // quirk fix applied to the other
+    if (!graft.sinks.JdbcUpsertSink.tableExists(conn, table))
       throw GraftError.MissingTable(table)
   }
 

@@ -56,7 +56,11 @@ object IncrementalBalance {
       .flatMapGroupsWithState[RowImage, Change](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Long, rows: Iterator[RowImage], state: GroupState[RowImage]) =>
-          val sorted = rows.toSeq.sortBy(r => (r.ts, r.amount))
+          // status joins the sort key: (ts, amount) ties with different
+          // statuses would otherwise order by shuffle arrival, making the
+          // reconstructed transition sequence — and the final state image
+          // — run-dependent (the batch-equivalence contract forbids that)
+          val sorted = rows.toSeq.sortBy(r => (r.ts, r.amount, r.status))
           val out = Vector.newBuilder[Change]
           var prev = state.getOption
           sorted.foreach { r =>

@@ -43,6 +43,14 @@ object StreamJoin {
       s"right stream shares non-key columns with left: " +
         s"${overlap.mkString(", ")} — rename them before joining")
     val rTs = if (rightTs == leftTs) s"${rightTs}_r" else rightTs
+    // the overlap guard above deliberately exempts the right TIME column
+    // (a same-named one is renamed to <ts>_r), so the surviving name must
+    // itself be absent from the left — otherwise the timeBound's col(rTs)
+    // is ambiguous at analysis, the exact failure the guard exists to
+    // front-run
+    require(!left.columns.contains(rTs),
+      s"left stream already carries a column named '$rTs' — the right " +
+        "time column would be ambiguous; rename one side before joining")
     // renames happen BEFORE the watermark so event-time tracking follows
     // the surviving column
     val rRenamed = keyCols.foldLeft(

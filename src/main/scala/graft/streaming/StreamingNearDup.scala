@@ -104,7 +104,12 @@ object StreamingNearDup {
             val wm = state.getCurrentWatermarkMs()
             entries = entries.filter(_._3 >= wm - horizonMs)
             state.update(BandBuffer(entries))
-            state.setTimeoutTimestamp(maxTs + horizonMs)
+            // clamp ABOVE the watermark: flatMapGroupsWithState does not
+            // auto-drop late rows, so a group fed only a doc with
+            // tsMs ≤ wm − horizon would compute a timeout ≤ wm — which
+            // GroupState rejects with IllegalArgumentException, killing
+            // the whole query over one late document
+            state.setTimeoutTimestamp(math.max(maxTs + horizonMs, wm + 1))
             out.result().iterator
           }
       }
