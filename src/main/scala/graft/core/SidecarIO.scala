@@ -56,8 +56,19 @@ private[graft] object SidecarIO {
         case c: ChecksumFileSystem => c.getRawFileSystem
         case other                 => other
       }
-      val out = raw.create(tmp, true) // raw: no .crc twin to orphan
-      try out.write(bytes) finally out.close()
+      val tmpNio = java.nio.file.Paths.get(
+        raw.makeQualified(tmp).toUri.getPath)
+      // SYNC write: the bytes must be durable BEFORE the rename — on
+      // ext4/xfs a power loss can journal the rename ahead of the data
+      // pages, leaving the destination name pointing at torn content,
+      // the exact state this module's contract forbids. (The raw fs, not
+      // the checksum wrapper, so no .crc twin is orphaned — tmpNio is
+      // plain NIO anyway.)
+      java.nio.file.Files.write(tmpNio, bytes,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.SYNC)
       // stale checksum from a pre-SidecarIO writer: remove BEFORE the
       // move (see scaladoc for the crash-window argument)
       fs match {
@@ -66,11 +77,20 @@ private[graft] object SidecarIO {
           if (raw.exists(crc)) raw.delete(crc, false)
         case _ =>
       }
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(tmp.toUri.getPath),
+      java.nio.file.Files.move(tmpNio,
         java.nio.file.Paths.get(p.toUri.getPath),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // fsync the parent directory so the RENAME itself is durable (a
+      // power loss could otherwise revert to the old name — acceptable —
+      // or, combined with later writes, reorder against them). Best
+      // effort: directory fds are not force()-able on every platform.
+      try {
+        val dir = java.nio.channels.FileChannel.open(
+          java.nio.file.Paths.get(p.getParent.toUri.getPath),
+          java.nio.file.StandardOpenOption.READ)
+        try dir.force(true) finally dir.close()
+      } catch { case _: Exception => () }
       ()
     } else {
       val out = fs.create(tmp, true)

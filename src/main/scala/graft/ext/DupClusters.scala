@@ -42,14 +42,23 @@ object DupClusters {
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
+    var labels = nodes
+      .select(col(idCol).cast("long").as("node"), col(idCol).cast("long").as("label"))
+      .localCheckpoint()
+    // edges are restricted to the NODES universe: an endpoint absent from
+    // `nodes` (a stale pair row from before an upstream filter) would
+    // otherwise enter the label table as a GHOST member — emitted in the
+    // output, electable as a cluster_id, keying leakageSafeSplit on an id
+    // that exists nowhere and starving clustersKeepBest's keeper join.
+    // Two narrow semi-joins, paid once before the iteration loop.
+    val nodeIds = labels.select(col("node"))
     val und = edges
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(edges
         .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .join(nodeIds.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(nodeIds.select(col("node").as("dst")), Seq("dst"), "left_semi")
       .localCheckpoint() // re-read every round; never recompute the pair gen
-    var labels = nodes
-      .select(col(idCol).cast("long").as("node"), col(idCol).cast("long").as("label"))
-      .localCheckpoint()
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0

@@ -78,8 +78,13 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("content")
-          Row(r.getAs[Long]("media_id"), r.getAs[Long]("n_bytes"),
-            FakeDecoder.decode(bytes))
+          // NULL-check before the primitive read: getAs[Long] unboxes a
+          // SQL NULL to 0, which would report "unknown size" as "empty
+          // payload" — the schema declares the field nullable for a reason
+          val nBytes: java.lang.Long =
+            if (r.isNullAt(r.fieldIndex("n_bytes"))) null
+            else java.lang.Long.valueOf(r.getAs[Long]("n_bytes"))
+          Row(r.getAs[Long]("media_id"), nBytes, FakeDecoder.decode(bytes))
         }
       }(encoder)
   }
@@ -94,10 +99,14 @@ object Multimodal {
                    everyNth: Int = 4): DataFrame = {
     require(frameBytes > 0 && everyNth > 0)
     media
-      .filter(col("meta.n_bytes") > 0)
+      // frame windows derive from the ACTUAL payload length, never the
+      // n_bytes metadata: a NULL n_bytes silently produced zero frames,
+      // and an overstated one emitted empty frames whose identical md5
+      // (d41d8cd9…) poisons the downstream frame_hash exact-dedup
+      .filter(length(col("content")) > 0)
       .select(col("media_id"), posexplode(expr(
         s"""transform(
-           |  sequence(0, cast(ceil(meta.n_bytes / $frameBytes.0) as int) - 1),
+           |  sequence(0, cast(ceil(length(content) / $frameBytes.0) as int) - 1),
            |  i -> substring(content, i * $frameBytes + 1, $frameBytes))""".stripMargin))
         .as(Seq("frame_idx", "frame")))
       .filter(col("frame_idx") % everyNth === 0)

@@ -79,7 +79,12 @@ object Sampling {
     // null-unsafe equi-join (stratifiedSample applies its default to
     // unknown strata; parity demands the null stratum survive here too)
     val cuts = totals.select(col(strataCol).as("__strata"),
-      when(frac >= 1.0, lit("g")) // keep-all sentinel, as in stratifiedSample
+      // a stratum with 0/NULL token mass costs nothing against the quota
+      // and must keep everything: quota/0 is NULL in Spark, and a NULL
+      // cut would fail the filter for EVERY row of the stratum — the
+      // silent-vanish this op's own null-safe join exists to prevent
+      when(col("__tot").isNull || col("__tot") <= 0L, lit("g"))
+        .when(frac >= 1.0, lit("g")) // keep-all sentinel, as in stratifiedSample
         .otherwise(lpad(lower(hex(floor(frac * 65536).cast("int"))), 4, "0"))
         .as("__cut"))
     df.join(broadcast(cuts), col(strataCol) <=> col("__strata"))
@@ -121,7 +126,11 @@ object Sampling {
       lit(targetTokens.toDouble) * col("__w") / col("__sumw") / col("__tot"), 6)
     val cuts = totals.crossJoin(broadcast(sumW))
       .select(col(strataCol).as("__strata"),
-        when(frac >= 1.0, lit("g")) // keep-all sentinel, as in stratifiedSample
+        // 0/NULL-token strata keep everything (they cost no budget) — see
+        // tokenQuotaSample: a NULL fraction would otherwise drop the
+        // whole stratum through the NULL cut
+        when(col("__tot").isNull || col("__tot") <= 0L, lit("g"))
+          .when(frac >= 1.0, lit("g")) // keep-all sentinel, as in stratifiedSample
           .otherwise(lpad(lower(hex(floor(frac * 65536).cast("int"))), 4, "0"))
           .as("__cut"))
     df.join(broadcast(cuts), col(strataCol) <=> col("__strata"))

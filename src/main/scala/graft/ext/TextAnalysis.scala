@@ -388,17 +388,21 @@ object TextAnalysis {
     * [[uniqueGramCounts]] for the collision accounting.
     *
     * @return idCol, n_grams, n_shared, dup_char_ngram_frac */
+  /** Distinct char n-grams of `t` (whole-text fallback for short docs) —
+    * ONE definition shared by the exact and sampled dup-fraction forms;
+    * `native` swaps in the codegen'd single-pass kernel. */
+  private def charGramsCol(t: Column, n: Int, native: Boolean): Column =
+    if (native) call_function("char_ngrams", t, lit(n))
+    else array_distinct(
+      when(length(t) <= n, array(t))
+        .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
+          i => t.substr(i, lit(n)))))
+
   def charNgramDupFraction(docs: DataFrame, idCol: String, textCol: String,
                            n: Int = 16, nativeGrams: Boolean = false,
                            hashedKeys: Boolean = false): DataFrame = {
     require(n > 0, s"n must be positive: $n")
-    val t = col(textCol)
-    val gramsCol =
-      if (nativeGrams) call_function("char_ngrams", t, lit(n))
-      else array_distinct(
-        when(length(t) <= n, array(t))
-          .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
-            i => t.substr(i, lit(n)))))
+    val gramsCol = charGramsCol(col(textCol), n, nativeGrams)
     val withSh = docs.select(col(idCol), gramsCol.as("__sh"))
       .filter(col("__sh").isNotNull).localCheckpoint()
     uniqueGramCounts(withSh, idCol, hashedKeys)
@@ -438,13 +442,7 @@ object TextAnalysis {
     require(n > 0, s"n must be positive: $n")
     require(hexPrefixLen > 0 && hexPrefixLen <= 8,
       s"hexPrefixLen must be in [1,8]: $hexPrefixLen")
-    val t = col(textCol)
-    val gramsCol =
-      if (nativeGrams) call_function("char_ngrams", t, lit(n))
-      else array_distinct(
-        when(length(t) <= n, array(t))
-          .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
-            i => t.substr(i, lit(n)))))
+    val gramsCol = charGramsCol(col(textCol), n, nativeGrams)
     val withSh = docs.select(col(idCol), gramsCol.as("__sh"))
       .filter(col("__sh").isNotNull).localCheckpoint()
     val base = withSh.select(col(idCol),
@@ -616,14 +614,24 @@ object TextAnalysis {
     * pass is cheap at any scale, materializing a corpus×grams frame is
     * not. ONE definition for both forms — a drifted copy of the window
     * arithmetic would silently split the exact and sampled semantics. */
-  private def dupSpanHits(docs: DataFrame, idCol: String, textCol: String,
-                          n: Int, hashedKeys: Boolean,
-                          sampleHexPrefixLen: Int = 0)
-      : (DataFrame, DataFrame, DataFrame) = {
-    require(n > 0, s"n must be positive: $n")
-    val withT = docs.select(col(idCol), col(textCol).as("__t"),
+  /** (id, __t, __len) with null texts dropped — the span ops' doc frame. */
+  private def spanDocFrame(src: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    src.select(col(idCol), col(textCol).as("__t"),
         length(col(textCol)).as("__len"))
       .filter(col("__t").isNotNull)
+
+  /** THE position/window arithmetic — one row per gram start position of
+    * `withT` as (idCol, __s, __e, __g): 1-based substr, short-text
+    * whole-doc fallback, optional md5-prefix gram-space sampling (the
+    * slice is checkpointed — its consumers would otherwise each re-run
+    * the full-corpus explode). ONE definition for every span op
+    * (coverage/removal/sampled/contamination): a drifted copy of this
+    * arithmetic would silently split the measures. */
+  private def positionHits(withT: DataFrame, idCol: String, n: Int,
+                           hashedKeys: Boolean,
+                           sampleHexPrefixLen: Int = 0): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
     val nIdx = when(col("__len") <= n, lit(1)).otherwise(col("__len") - (n - 1))
     val pos = withT.select(col(idCol), col("__t"), col("__len"),
       explode(sequence(lit(1), nIdx)).as("__s"))
@@ -633,11 +641,19 @@ object TextAnalysis {
       if (sampleHexPrefixLen <= 0) pos
       else pos.filter(substring(md5(gram), 1, sampleHexPrefixLen) ===
         "0" * sampleHexPrefixLen)
-    val hits0 = posKept.select(col(idCol), col("__s"),
+    val hits = posKept.select(col(idCol), col("__s"),
       when(col("__len") <= n, col("__len")).otherwise(col("__s") + (n - 1))
         .as("__e"),
       (if (hashedKeys) xxhash64(gram) else gram).as("__g"))
-    val hits = if (sampleHexPrefixLen > 0) hits0.localCheckpoint() else hits0
+    if (sampleHexPrefixLen > 0) hits.localCheckpoint() else hits
+  }
+
+  private def dupSpanHits(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int, hashedKeys: Boolean,
+                          sampleHexPrefixLen: Int = 0)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val withT = spanDocFrame(docs, idCol, textCol)
+    val hits = positionHits(withT, idCol, n, hashedKeys, sampleHexPrefixLen)
     val dup = hits.groupBy("__g")
       .agg(min(col(idCol)).as("__dmin"), max(col(idCol)).as("__dmax"))
       .filter(col("__dmin") =!= col("__dmax")).select("__g")
@@ -744,20 +760,10 @@ object TextAnalysis {
                                 n: Int = 16,
                                 hashedKeys: Boolean = false): DataFrame = {
     require(n > 0, s"n must be positive: $n")
-    def positions(src: DataFrame): DataFrame = {
-      val withT = src.select(col(idCol), col(textCol).as("__t"),
-          length(col(textCol)).as("__len"))
-        .filter(col("__t").isNotNull)
-      val nIdx = when(col("__len") <= n, lit(1)).otherwise(col("__len") - (n - 1))
-      val pos = withT.select(col(idCol), col("__t"), col("__len"),
-        explode(sequence(lit(1), nIdx)).as("__s"))
-      val gram = when(col("__len") <= n, col("__t"))
-        .otherwise(col("__t").substr(col("__s"), lit(n)))
-      pos.select(col(idCol), col("__s"),
-        when(col("__len") <= n, col("__len")).otherwise(col("__s") + (n - 1))
-          .as("__e"),
-        (if (hashedKeys) xxhash64(gram) else gram).as("__g"))
-    }
+    // the ONE shared position/window builder (positionHits) — this used
+    // to be the third inline copy of the arithmetic
+    def positions(src: DataFrame): DataFrame =
+      positionHits(spanDocFrame(src, idCol, textCol), idCol, n, hashedKeys)
     val benchGrams = positions(bench).select("__g").distinct()
     val hits = positions(docs).join(benchGrams, "__g")
       .select(col(idCol), col("__s"), col("__e"))
@@ -856,6 +862,10 @@ object TextAnalysis {
     * collected; every shuffle keys on token or doc id, so the op scales
     * like the other corpus-level E4 aggregations.
     *
+    * ROW-SET contract (shared with the DuckDB oracle): a doc whose text
+    * is NULL tokenizes to nothing and produces NO output row in either
+    * engine — compose with a left join from the doc list when every id
+    * must appear (the bm25/lineDupStats reattachment pattern).
     * @return idCol, n_tokens, bits_per_token */
   def unigramLogProb(docs: DataFrame, idCol: String,
                      textCol: String): DataFrame = {
@@ -898,6 +908,10 @@ object TextAnalysis {
     * total broadcast; one per-doc aggregation. Every shuffle keys on doc
     * id, (doc,token) or token — linear in corpus tokens at any scale.
     *
+    * ROW-SET contract (shared with the DuckDB oracle): a doc whose text
+    * is NULL tokenizes to nothing and produces NO output row in either
+    * engine — compose with a left join from the doc list when every id
+    * must appear (the bm25/lineDupStats reattachment pattern).
     * @return idCol, n_tokens, kl_bits */
   def klDivergence(docs: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
@@ -908,10 +922,17 @@ object TextAnalysis {
       .withColumn("n_d", sum(col("c_dt")).over(w))
     val corpus = toks.groupBy("token").agg(count(lit(1)).as("c_t"))
     val totals = toks.agg(count(lit(1)).as("n_total"))
+    // each count casts to double BEFORE the multiply: c_dt·n_total in
+    // LONG overflows once corpus tokens × a degenerate doc's top count
+    // passes 2^63 (~2.5e13 × 4e5 — the documented 100 TB shape), wrapping
+    // negative → log2 → NaN → a silently wrong score for exactly the
+    // spam doc the filter exists to catch. Double products are exact for
+    // any operand pair under 2^53, so the fixture-scale chain (and the
+    // oracle's identical double-first form) is bit-unchanged.
     val term = round(
       col("c_dt").cast("double") / col("n_d").cast("double") *
-        log2((col("c_dt") * col("n_total")).cast("double") /
-          (col("n_d") * col("c_t")).cast("double")), 6)
+        log2(col("c_dt").cast("double") * col("n_total").cast("double") /
+          (col("n_d").cast("double") * col("c_t").cast("double"))), 6)
       .cast("decimal(18,6)")
     docTok.join(corpus, "token").crossJoin(broadcast(totals))
       .select(col(idCol), col("n_d"), term.as("term"))
@@ -937,6 +958,10 @@ object TextAnalysis {
     * the same doc-keyed stream, one per-doc aggregation — every shuffle
     * keys on doc id or (doc,token), linear in corpus tokens.
     *
+    * ROW-SET contract (shared with the DuckDB oracle): a doc whose text
+    * is NULL tokenizes to nothing and produces NO output row in either
+    * engine — compose with a left join from the doc list when every id
+    * must appear (the bm25/lineDupStats reattachment pattern).
     * @return idCol, n_tokens, entropy_bits */
   def tokenEntropy(docs: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
@@ -1128,7 +1153,13 @@ object TextAnalysis {
   def bigramCrossEntropyHeldOut(docs: DataFrame, idCol: String,
                                 textCol: String,
                                 trainPred: Column): DataFrame = {
-    val base = docs.select(col(idCol), trainPred.as("__train"),
+    // a NULL predicate result scores as NON-train (coalesce false): both
+    // `filter(p)` and `filter(!p)` exclude NULL, so a doc whose trainPred
+    // is NULL (e.g. `source === "wiki"` over a NULL source) would
+    // otherwise be neither fitted on nor scored — silently absent from
+    // the output the contract calls "the complement"
+    val base = docs.select(col(idCol),
+      coalesce(trainPred, lit(false)).as("__train"),
       tokens(col(textCol)).as("__t"))
     val nBg = greatest(size(col("__t")) - 1, lit(0))
     val bigrams = base.select(col(idCol), col("__train"),

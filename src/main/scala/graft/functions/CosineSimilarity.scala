@@ -91,6 +91,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * `rolling_hash64(text)`, `shingles(text, n)` and the bounded top-k
   * aggregate `topk_pairs(ord, id, k)` are usable from SQL and `expr(...)`. */
 object GraftFunctions {
+  /** Literal-Int extraction shared by every width/bound argument below:
+    * the value is part of the PLAN (it shapes the expression tree), not
+    * data — one definition instead of four drift-prone copies. */
+  private def literalInt(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                         usage: String, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)
+      if v.isValidInt => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$usage requires a literal integer (the $what is part of the " +
+        s"plan, not data), got: ${other.sql}")
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
@@ -117,45 +130,25 @@ object GraftFunctions {
       "minhash_sig",
       exprs => {
         require(exprs.length == 2, "minhash_sig takes (shingles, k)")
-        val k = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)
-            if v.isValidInt => v.toInt
-          case other => throw new IllegalArgumentException(
-            "minhash_sig(shingles, k) requires a literal integer k (the " +
-              s"signature width is part of the plan, not data), got: ${other.sql}")
-        }
-        MinHashSig(exprs.head, k)
+        MinHashSig(exprs.head,
+          literalInt(exprs(1), "minhash_sig(shingles, k)", "signature width"))
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "char_ngrams",
       exprs => {
         require(exprs.length == 2, "char_ngrams takes (text, n)")
-        val n = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)
-            if v.isValidInt => v.toInt
-          case other => throw new IllegalArgumentException(
-            "char_ngrams(text, n) requires a literal integer n (the gram " +
-              s"width is part of the plan, not data), got: ${other.sql}")
-        }
-        CharNgrams(exprs.head, n)
+        CharNgrams(exprs.head,
+          literalInt(exprs(1), "char_ngrams(text, n)", "gram width"))
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_pairs",
       exprs => {
         require(exprs.length == 3, "topk_pairs takes (ord, id, k)")
-        val k = exprs(2) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)
-            if v.isValidInt => v.toInt
-          case other => throw new IllegalArgumentException(
-            "topk_pairs(ord, id, k) requires a literal integer k (the " +
-              s"result bound is part of the plan, not data), got: ${other.sql}")
-        }
-        TopKPairs(exprs.head, exprs(1), k).toAggregateExpression()
+        TopKPairs(exprs.head, exprs(1),
+          literalInt(exprs(2), "topk_pairs(ord, id, k)", "result bound"))
+          .toAggregateExpression()
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -177,15 +170,8 @@ object GraftFunctions {
       "shingles",
       exprs => {
         require(exprs.length == 2, "shingles takes (text, n)")
-        val n = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)
-            if v.isValidInt => v.toInt
-          case other => throw new IllegalArgumentException(
-            "shingles(text, n) requires a literal integer n (the shingle " +
-              s"width is part of the plan, not data), got: ${other.sql}")
-        }
-        Shingles(exprs.head, n)
+        Shingles(exprs.head,
+          literalInt(exprs(1), "shingles(text, n)", "shingle width"))
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -1705,8 +1705,8 @@ object ExtQueries {
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok),
         |term AS (SELECT doc_id, n_d,
         |                CAST(round(CAST(c_dt AS DOUBLE) / CAST(n_d AS DOUBLE) *
-        |                     log2(CAST(c_dt * n_total AS DOUBLE) /
-        |                          CAST(n_d * c_t AS DOUBLE)), 6)
+        |                     log2(CAST(c_dt AS DOUBLE) * CAST(n_total AS DOUBLE) /
+        |                          (CAST(n_d AS DOUBLE) * CAST(c_t AS DOUBLE))), 6)
         |                     AS DECIMAL(18,6)) AS term
         |         FROM d JOIN ct USING (token), tot)
         |SELECT doc_id, CAST(max(n_d) AS BIGINT) AS n_tokens,

@@ -29,6 +29,18 @@ class DupClustersSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 99L -> 99L))
   }
 
+  test("edges referencing ids outside the node universe are ignored, never ghosts") {
+    // a stale pair row (generated before an upstream filter) must not
+    // insert its ghost endpoint into the output or get ELECTED as a
+    // cluster_id that exists nowhere
+    val got = cc(
+      nodes = Seq(5L, 6L, 7L),
+      edges = Seq((5L, 6L), (5L, 1L), (1L, 7L))) // 1 is not a node
+    assert(got.keySet == Set(5L, 6L, 7L), s"ghost id emitted: $got")
+    assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 7L),
+      s"ghost id influenced labels: $got")
+  }
+
   test("a 30-node chain converges to a single component") {
     val nodes = (0L until 30L).toSeq
     val edges = (0L until 29L).map(i => (i, i + 1))

@@ -65,6 +65,23 @@ class SamplingSpec extends SparkSpec {
         quotaTokens = 300L)
       .filter(col("lang").isNull).count()
     assert(keptNull == 1L)
+    // a ZERO-token stratum costs nothing against the quota and must keep
+    // everything: quota/0 is NULL in Spark and a NULL cut used to drop
+    // the whole stratum silently
+    val withZero = df.unionByName(
+      Seq((300L, "empty", ""), (301L, "empty", ""))
+        .toDF("doc_id", "lang", "text"))
+    val keptZero = graft.ext.Sampling.tokenQuotaSample(withZero, "lang",
+        "doc_id", graft.ext.TextAnalysis.tokenCount(col("text")),
+        quotaTokens = 300L)
+      .filter(col("lang") === "empty").count()
+    assert(keptZero == 2L, s"zero-token stratum silently vanished: $keptZero")
+    val keptZeroT = graft.ext.Sampling.temperatureMix(withZero, "lang",
+        "doc_id", graft.ext.TextAnalysis.tokenCount(col("text")),
+        alpha = 0.5, targetTokens = 300L)
+      .filter(col("lang") === "empty").count()
+    assert(keptZeroT == 2L,
+      s"zero-token stratum vanished from temperature mix: $keptZeroT")
   }
 
   test("weighted sample: deterministic, k rows, biased toward heavy weights") {
