@@ -267,26 +267,27 @@ object SyncPipeline {
   }
 
   private def writeMarker(conn: Connection, table: String, wm: Long): Unit = {
-    // DELETE + INSERT must commit as ONE transaction: in autocommit a
-    // crash between the two statements erases the restart marker and
-    // permanently loses the interrupted batch it protects — the next run
-    // would trust dest MAX(wm) alone and skip everything the crashed
-    // batch never applied below it
-    val wasAuto = conn.getAutoCommit
-    conn.setAutoCommit(false)
-    try {
-      clearMarker(conn, table)
+    // UPDATE-else-INSERT, never DELETE+INSERT: in autocommit a crash
+    // between a delete and its re-insert would erase the restart marker
+    // and permanently lose the interrupted batch it protects (the next
+    // run trusts dest MAX(wm) alone), and wrapping the pair in a
+    // transaction trips DuckDB's documented ART-index limitation
+    // (delete + re-insert of the same key in one transaction reads as a
+    // duplicate-PK violation). Each statement here is atomic on its own:
+    // an existing marker is one UPDATE; a missing one is one INSERT, and
+    // a crash before it leaves the same no-marker state the call began
+    // with — the protected merge has not started yet.
+    val up = conn.prepareStatement(
+      s"UPDATE $StateTable SET restart_wm = ? WHERE table_name = ?")
+    val updated =
+      try { up.setLong(1, wm); up.setString(2, table); up.executeUpdate() }
+      finally up.close()
+    if (updated == 0) {
       val ps = conn.prepareStatement(
         s"INSERT INTO $StateTable (table_name, restart_wm) VALUES (?, ?)")
       try { ps.setString(1, table); ps.setLong(2, wm); ps.executeUpdate(); () }
       finally ps.close()
-      conn.commit()
-    } catch {
-      case t: Throwable =>
-        try conn.rollback()
-        catch { case _: java.sql.SQLException => () }
-        throw t
-    } finally conn.setAutoCommit(wasAuto)
+    }
   }
 
   private def clearMarker(conn: Connection, table: String): Unit = {
