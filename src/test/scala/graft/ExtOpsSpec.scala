@@ -993,6 +993,30 @@ class ExtOpsSpec extends SparkSpec {
     // sampling keeps exactly the 0-mod-N frames
     val sampled = Multimodal.sampleFrames(media, frameBytes = 16, everyNth = 4)
     assert(sampled.filter(col("frame_idx") % 4 =!= 0).count() == 0)
+    // frame windows derive from the PAYLOAD, never the metadata: a row
+    // whose n_bytes metadata is NULL still frames (it used to silently
+    // produce no frames), and overstated metadata can no longer emit
+    // empty frames whose identical md5 poisons frame_hash dedup
+    val weird = Seq(
+      (900L, "abcdefghijklmnopqrstuvwxyz012345".getBytes("UTF-8"),
+        Option.empty[Long]),
+      (901L, "0123456789abcdef".getBytes("UTF-8"), Option(999999L)))
+      .toDF("media_id", "content", "nb")
+      .select(col("media_id"), col("content"),
+        struct(lit("application/octet-stream").as("mime"),
+          col("nb").as("n_bytes"), lit("t").as("source")).as("meta"))
+    val wf = Multimodal.sampleFrames(weird, frameBytes = 16, everyNth = 1)
+      .collect().groupBy(_.getLong(0))
+    assert(wf(900L).length == 2, "NULL n_bytes row produced no frames")
+    assert(wf(901L).length == 1 &&
+      wf(901L).forall(_.getAs[Array[Byte]]("frame").nonEmpty),
+      "overstated n_bytes emitted empty frames")
+    // NULL metadata n_bytes survives feature extraction as NULL, not 0
+    val feats = Multimodal.extractFeatures(weird)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(feats(900L).isEmpty, "NULL n_bytes unboxed to a value")
+    assert(feats(901L).contains(999999L))
   }
 
   test("gopher rules: planted degenerate docs fail the right rules; flags compose") {
