@@ -8,7 +8,9 @@ import graft.sync.{SyncConfig, SyncEndpoint, SyncPipeline, SyncReport}
   * one watermark-driven incremental sync, `continuous` polls every
   * `--delay` seconds (reference default 5, cli.py:72-74). Strict layering
   * kept from the reference (cli → api → engine): this file only parses
-  * args, renders progress (M2), and maps typed errors to exit code 1 (M3).
+  * args, renders progress (M2), and maps errors to exit codes (M3:
+  * typed GraftError → 2, engine/runtime failure → 1 — distinct,
+  * scriptable codes).
   *
   * Endpoints are parquet directories or JDBC tables
   * (`jdbc:postgresql://host:port/db#table` — table after `#`, credentials
@@ -156,7 +158,10 @@ object Main {
       if (syncCmd || argv(0) == "agg") req("watermark")
       else opts.getOrElse("watermark", ""),
       opts.get("cut").map(num("cut", _)),
-      num("delay", opts.getOrElse("delay", "5"), min = 0) * 1000,
+      // max bound before ×1000: an absurd-but-parsed delay would wrap
+      // negative and die at runtime (exit 1) instead of as config (exit 2)
+      num("delay", opts.getOrElse("delay", "5"), min = 0,
+        max = Long.MaxValue / 1000) * 1000,
       // max bound before toInt: a Long above Int.MaxValue would silently
       // wrap through toInt, defeating the exit-2 validation it sits inside
       num("iterations", opts.getOrElse("iterations", Int.MaxValue.toString),
@@ -329,17 +334,22 @@ object Main {
     * production form (8-byte shuffle payloads); the oracle-gated exact
     * twin is `e6i_dup_span_coverage`. */
   private[cli] def runSpans(spark: org.apache.spark.sql.SparkSession, a: Args): Unit = {
-    import org.apache.spark.sql.functions.{avg, col, count, sum}
+    import org.apache.spark.sql.functions.{avg, coalesce, col, count, lit, sum}
     if (a.source.startsWith("jdbc:") || a.dest.startsWith("jdbc:"))
       throw GraftError.InvalidConfig("spans applies to parquet paths")
     val docs = spark.read.parquet(a.source)
     graft.ext.TextAnalysis.dupSpanCoverage(docs, a.idCol, a.textCol,
         n = a.ngramN, hashedKeys = true)
       .write.mode("overwrite").parquet(a.dest)
+    // coalesce the summary scalars: avg/sum over an empty (or
+    // all-NULL-frac) result are SQL NULL, and getDouble/getLong on NULL
+    // would crash a command whose write already SUCCEEDED (the runDiff
+    // rule)
     val s = spark.read.parquet(a.dest).agg(
       count(col(a.idCol)).as("docs"),
-      avg(col("dup_span_frac")).as("mean"),
-      sum((col("dup_span_frac") >= 0.5).cast("long")).as("heavy")).first()
+      coalesce(avg(col("dup_span_frac")), lit(0.0)).as("mean"),
+      coalesce(sum((col("dup_span_frac") >= 0.5).cast("long")), lit(0L))
+        .as("heavy")).first()
     println(f"span coverage ${a.source}: ${s.getLong(0)} docs, " +
       f"mean frac ${s.getDouble(1)}%.4f, ${s.getLong(2)} docs >= 0.5 " +
       s"-> ${a.dest}")
@@ -353,7 +363,7 @@ object Main {
     * the removal acts on. */
   private[cli] def runDedupLines(spark: org.apache.spark.sql.SparkSession,
                                  a: Args): Unit = {
-    import org.apache.spark.sql.functions.{col, sum}
+    import org.apache.spark.sql.functions.{col, explode, split, sum, trim}
     if (a.source.startsWith("jdbc:") || a.dest.startsWith("jdbc:"))
       throw GraftError.InvalidConfig("dedup-lines applies to parquet paths")
     val docs = spark.read.parquet(a.source)
@@ -365,11 +375,22 @@ object Main {
     // along untouched (one id-keyed join — the doc table is the big side)
     docs.drop(a.textCol).join(cleaned, Seq(a.idCol))
       .write.mode("overwrite").parquet(a.dest)
+    // the printed DROP count is what the removal actually removed at
+    // --min-docs (derived from the before/after line totals), never the
+    // ≥2-docs stats measure — at --min-docs 5 the stats frame can show
+    // heavy duplication that was deliberately NOT acted on
     val t = stats.agg(sum(col("n_lines")).as("lines"),
       sum(col("n_dup_lines")).as("dups")).first()
-    println(s"dedup-lines ${a.source}: ${t.get(0)} lines, " +
-      s"${t.get(1)} in cross-doc duplicates (dropped at min-docs=${a.minDocs} " +
-      s"where applicable) -> ${a.dest}" +
+    // same line convention as lineDupStats (trimmed, empties excluded),
+    // so the before/after difference is exactly the removed occurrences
+    val keptLines = cleaned
+      .select(explode(split(col(a.textCol), "\n")).as("__l"))
+      .filter(trim(col("__l")) =!= "").count()
+    val totalLines = Option(t.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    println(s"dedup-lines ${a.source}: $totalLines lines, " +
+      s"${Option(t.get(1)).getOrElse(0L)} in >=2-doc duplicates (measure); " +
+      s"dropped ${math.max(0L, totalLines - keptLines)} line occurrences " +
+      s"at min-docs=${a.minDocs} -> ${a.dest}" +
       a.report.map(p => s", stats -> $p").getOrElse(""))
   }
 
@@ -567,12 +588,15 @@ object Main {
         spark.read.jdbc(url, table, props)
     }
     val stored = graft.sync.AggMaintenance.watermark(spark, a.dest)
-    // one bounds pass over the (pushdown-pruned) order column; absent on
-    // an empty source
-    val b = source.agg(min(col(a.watermark)).as("lo"),
+    // bounds pass over the order column, LAZY: a warm rollup with an
+    // explicit --cut needs neither bound, and the steady-state cron tick
+    // must not pay a full min/max scan it never reads (Option.orElse /
+    // getOrElse take their alternative by name, so `lazy val` defers the
+    // job until a bound is actually consumed; absent on an empty source)
+    lazy val b = source.agg(min(col(a.watermark)).as("lo"),
       max(col(a.watermark)).as("hi")).first()
-    val srcLo = graft.core.Watermark.toMicros(b.get(0))
-    val srcHi = graft.core.Watermark.toMicros(b.get(1))
+    lazy val srcLo = graft.core.Watermark.toMicros(b.get(0))
+    lazy val srcHi = graft.core.Watermark.toMicros(b.get(1))
     val lo = stored.orElse(srcLo).getOrElse {
       println(s"agg ${a.source} -> ${a.dest}: source empty and no rollup " +
         "yet; nothing to do"); return

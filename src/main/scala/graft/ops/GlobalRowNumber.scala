@@ -39,7 +39,25 @@ object GlobalRowNumber {
     * @param partitions range-partition count; defaults to the session's
     *                   shuffle parallelism */
   def withGlobalRowNumber(df: DataFrame, outCol: String, sortCols: Seq[Column],
-                          partitions: Option[Int] = None): DataFrame = {
+                          partitions: Option[Int] = None): DataFrame =
+    withGlobalRowNumberCounted(df, outCol, sortCols, partitions)._1
+
+  /** [[withGlobalRowNumber]] plus the TOTAL row count, which the
+    * numbering pass already derived on the driver (the per-partition
+    * counts sum) — callers that need `total` (rank-split bucketing)
+    * must not pay a second full pass to re-aggregate max(rn). */
+  def withGlobalRowNumberCounted(df: DataFrame, outCol: String,
+                                 sortCols: Seq[Column],
+                                 partitions: Option[Int] = None)
+      : (DataFrame, Long) = {
+    // the helper column is overwritten and then STRIPPED from the output —
+    // a caller's same-named column would be silently destroyed, and a
+    // same-named outCol would collide with it
+    require(!df.columns.contains("__pid") && outCol != "__pid",
+      s"input already carries the internal column '__pid' (or outCol " +
+        "names it) — rename it before numbering")
+    require(!df.columns.contains(outCol),
+      s"input already carries a column named '$outCol'")
     val n = partitions.getOrElse(df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt)
     // localCheckpoint (eager): materializes the ranged+sorted shuffle ONCE
@@ -69,7 +87,7 @@ object GlobalRowNumber {
     val outSchema = org.apache.spark.sql.types.StructType(
       ranged.schema.filterNot(_.name == "__pid").toIndexedSeq)
       .add(outCol, LongType, nullable = false)
-    ranged.mapPartitions { rows =>
+    val numbered = ranged.mapPartitions { rows =>
       var curPid = Int.MinValue
       var rn = 0L
       rows.map { r =>
@@ -79,5 +97,6 @@ object GlobalRowNumber {
         Row.fromSeq(r.toSeq.patch(pidIdx, Nil, 1) :+ rn)
       }
     }(Encoders.row(outSchema))
+    (numbered, counts.map(_._2).sum)
   }
 }

@@ -34,10 +34,19 @@ object RangeLayout {
   def withRangeBucket(df: DataFrame, sortCols: Seq[Column], nBuckets: Int,
                       outCol: String = "bucket"): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
-    val rn = GlobalRowNumber.withGlobalRowNumber(df, "__rn", sortCols)
-    // one-row aggregate over the checkpointed numbering — bounded collect
-    val total = Option(rn.agg(max(col("__rn"))).first().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    require(!df.columns.contains(outCol),
+      s"input already carries a column named '$outCol'")
+    // the numbering pass already summed the per-partition counts on the
+    // driver — total comes for free, never a second full max(__rn) pass
+    val (rn, total) =
+      GlobalRowNumber.withGlobalRowNumberCounted(df, "__rn", sortCols)
+    // the (rn−1)·nBuckets product must stay in Long range, or non-ANSI
+    // Spark wraps it NEGATIVE and the layout silently writes bucket=-k
+    // dirs (verifyRankSplit guards the same arithmetic with BigInt) —
+    // refuse loud at the genuinely absurd scale instead
+    require(total <= Long.MaxValue / nBuckets,
+      s"rank-split arithmetic would overflow: $total rows × $nBuckets " +
+        "buckets exceeds Long range — lower nBuckets")
     if (total == 0L) rn.withColumn(outCol, lit(0L)).drop("__rn")
     else rn
       // exact integer floor division in any engine — never a double ratio
