@@ -90,7 +90,12 @@ private[graft] object SidecarIO {
           java.nio.file.Paths.get(p.getParent.toUri.getPath),
           java.nio.file.StandardOpenOption.READ)
         try dir.force(true) finally dir.close()
-      } catch { case _: Exception => () }
+      } catch {
+        // best-effort, but never eat an interrupt: parMap callers
+        // (AggMaintenance) rely on the flag to stop their drain loops
+        case _: InterruptedException => Thread.currentThread().interrupt()
+        case _: Exception => ()
+      }
       ()
     } else {
       val out = fs.create(tmp, true)

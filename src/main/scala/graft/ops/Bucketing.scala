@@ -27,9 +27,26 @@ object Bucketing {
     * the property bucketing buys. Walks the plan for ShuffleExchangeLike
     * nodes rather than string-matching "Exchange hashpartitioning": a
     * range (sort) or single-partition exchange is just as much a shuffle,
-    * and a broadcast exchange deliberately is not. */
+    * and a broadcast exchange deliberately is not.
+    *
+    * With AQE on (every graft session), the top node is an
+    * AdaptiveSparkPlanExec — a LEAF as far as collect is concerned — so a
+    * plain collect over executedPlan sees no exchange in ANY plan and the
+    * check passes vacuously. Recurse into the adaptive plan's current
+    * physical plan, and recurse through EVERY (leaf) QueryStageExec: once
+    * AQE has run, the whole final plan hides under a ResultQueryStageExec
+    * and each materialized exchange under a ShuffleQueryStageExec — a
+    * plain ShuffleExchangeLike match sees neither. */
   def isShuffleFree(df: DataFrame): Boolean =
-    df.queryExecution.executedPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
-    }.isEmpty
+    !hasShuffle(df.queryExecution.executedPlan)
+
+  private def hasShuffle(plan: org.apache.spark.sql.execution.SparkPlan): Boolean =
+    plan.collect {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+      case _: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => true
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        hasShuffle(q.plan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        hasShuffle(a.executedPlan)
+    }.contains(true)
 }

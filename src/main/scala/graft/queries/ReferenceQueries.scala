@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
@@ -30,6 +30,19 @@ object ReferenceQueries {
   /** DECIMAL-exact, order-independent money sum cast back to DOUBLE. */
   private def decSum(c: String, scale: Int = 2) =
     sum(col(c).cast(s"decimal(18,$scale)")).cast("double")
+
+  /** Per-JVM temp dir for the MUTABLE IVM rollups the a7–a15 gates build.
+    * Unlike the read-only format-roundtrip caches (s8/s10/s11: idempotent
+    * content behind a _SUCCESS guard), these dirs are stateful targets of
+    * repeated applySlice — a path keyed only by fixture dir+stamp would
+    * let two concurrent suite runs race the same rollup mid-swap, and
+    * would silently resume from a crashed prior process's partial state.
+    * applicationId scopes the dir to this JVM; within one app the path is
+    * stable so Bench's min-of-3 reuse (idempotent re-apply via the
+    * applied-watermark skip) still works. */
+  private def ivmTmp(s: SparkSession, tag: String, key: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-$tag-" +
+      Integer.toHexString(key.hashCode) + "-" + s.sparkContext.applicationId
 
   /** a10/a11's shared HASH-SAFE derived select over stored lineitem v2
     * moments: exact down-casts keep every gated decimal's unscaled form
@@ -376,8 +389,7 @@ object ReferenceQueries {
         val lo = b.getLong(0); val hi = b.getLong(1) + 1
         val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * ((hi - lo) / 3)
         val stamp = Tables.fixtureStamp(dir, "events")
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft-aggivm-" +
-          Integer.toHexString(s"$dir@$stamp".hashCode)
+        val out = ivmTmp(s, "aggivm", s"$dir@$stamp")
         Seq((lo, cut1), (cut1, cut2), (cut2, hi)).foreach { case (l, h) =>
           graft.sync.AggMaintenance.applySlice(
             s, out, ev, "ts", Seq("event_type"), "value", l, h)
@@ -407,8 +419,7 @@ object ReferenceQueries {
         val lo = b.getLong(0); val hi = b.getLong(1) + 1
         val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * ((hi - lo) / 3)
         val stamp = Tables.fixtureStamp(dir, "events")
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft-aggivmp-" +
-          Integer.toHexString(s"$dir@$stamp".hashCode)
+        val out = ivmTmp(s, "aggivmp", s"$dir@$stamp")
         Seq((lo, cut1), (cut1, cut2), (cut2, hi)).foreach { case (l, h) =>
           graft.sync.AggMaintenance.applySlicePartitioned(
             s, out, ev, "ts", Seq("user_id"), "value", l, h, nBuckets = 16)
@@ -470,8 +481,7 @@ object ReferenceQueries {
         val lo = b.getLong(0); val hi = b.getLong(1) + 1
         val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * ((hi - lo) / 3)
         val stamp = Tables.fixtureStamp(dir, "lineitem")
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft-aggivm2-" +
-          Integer.toHexString(s"$dir@$stamp@m2".hashCode)
+        val out = ivmTmp(s, "aggivm2", s"$dir@$stamp@m2")
         Seq((lo, cut1), (cut1, cut2), (cut2, hi)).foreach { case (l, h) =>
           graft.sync.AggMaintenance.applySliceV2(
             s, out, li, "l_shipdate", Seq("l_returnflag"), vals, l, h)
@@ -538,8 +548,7 @@ object ReferenceQueries {
         val lo = b.getLong(0); val hi = b.getLong(1) + 1
         val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * ((hi - lo) / 3)
         val stamp = Tables.fixtureStamp(dir, "lineitem")
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft-aggivm2p-" +
-          Integer.toHexString(s"$dir@$stamp".hashCode)
+        val out = ivmTmp(s, "aggivm2p", s"$dir@$stamp")
         Seq((lo, cut1), (cut1, cut2), (cut2, hi)).foreach { case (l, h) =>
           graft.sync.AggMaintenance.applySlicePartitionedV2(
             s, out, li, "l_shipdate", Seq("l_suppkey"), vals, l, h,
@@ -573,8 +582,7 @@ object ReferenceQueries {
         val lo = b.getLong(0); val hi = b.getLong(1) + 1
         val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * ((hi - lo) / 3)
         val stamp = Tables.fixtureStamp(dir, "events")
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft-aggivm3-" +
-          Integer.toHexString(s"$dir@$stamp".hashCode)
+        val out = ivmTmp(s, "aggivm3", s"$dir@$stamp")
         Seq((lo, cut1), (cut1, cut2), (cut2, hi)).foreach { case (l, h) =>
           graft.sync.AggMaintenance.applySliceDistinct(
             s, out, ev, "ts", Seq("event_type"), Seq("user_id"), l, h)
@@ -607,8 +615,7 @@ object ReferenceQueries {
         val lo = b.getLong(0); val hi = b.getLong(1) + 1
         val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * ((hi - lo) / 3)
         val stamp = Tables.fixtureStamp(dir, "events")
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft-aggivm3p-" +
-          Integer.toHexString(s"$dir@$stamp".hashCode)
+        val out = ivmTmp(s, "aggivm3p", s"$dir@$stamp")
         Seq((lo, cut1), (cut1, cut2), (cut2, hi)).foreach { case (l, h) =>
           graft.sync.AggMaintenance.applySlicePartitionedDistinct(
             s, out, ev, "ts", Seq("user_id"), Seq("event_type"), l, h,
@@ -662,14 +669,69 @@ object ReferenceQueries {
           .withColumn("ts", col("ts") + lit(span))
         val src = base.unionByName(updated)
         val stamp = Tables.fixtureStamp(dir, "events")
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft-aggivmu-" +
-          Integer.toHexString(s"$dir@$stamp".hashCode)
+        val out = ivmTmp(s, "aggivmu", s"$dir@$stamp")
         Seq((lo, hi), (hi, hi + span)).foreach { case (l, h) =>
           graft.sync.AggMaintenance.applySlice(
             s, out, src, "ts", Seq("user_id"), "value", l, h)
         }
         graft.sync.AggMaintenance.read(s, out)
           .select(col("user_id"), col("cnt"),
+            col("sum_val").cast("double").as("sum_value"))
+    },
+
+    // A16 — KEYED (last-writer-wins) rollup IVM: the row-mirror
+    // complement to a14. There the same re-arrival shape (same PK, bumped
+    // watermark) counts TWICE by contract; here it REPLACES — the rollup
+    // tracks the aggregate of the latest-per-key mirror, the reference's
+    // own target-table shape (session.py:135-151 ON CONFLICT DO UPDATE)
+    // joined to its Q2 aggregation (README.md:146-151). The fixture makes
+    // replacement observable three ways at once: every 10th event
+    // re-arrives one span later with its value DOUBLED (sum must move by
+    // +value, not +2·value), in a NEW group 'moved' (cnt must shift
+    // across groups: retract from the old event_type, add to 'moved'),
+    // across a second slice (the retraction reads the key-state store,
+    // not the slice). Oracle: aggregate the latest-per-key multiset.
+    "a16_agg_maintenance_keyed" -> Q(
+      """WITH src AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id,
+        |         epoch_us(ts) + (SELECT max(epoch_us(ts)) - min(epoch_us(ts)) + 1
+        |                         FROM events) AS ts_us,
+        |         'moved' AS event_type, value * 2 AS value
+        |  FROM events WHERE event_id % 10 = 0),
+        |latest AS (
+        |  SELECT event_id, event_type, value FROM (
+        |    SELECT src.*, row_number() OVER (PARTITION BY event_id
+        |                                     ORDER BY ts_us DESC) AS rn
+        |    FROM src) t
+        |  WHERE rn = 1)
+        |SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM latest GROUP BY event_type""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        val base = ev.select(col("event_id"), col("event_type"),
+          col("value"), Tables.tsUs(ev).as("ts"))
+        val b = base.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+          .collect().head
+        val lo = b.getLong(0); val hi = b.getLong(1) + 1
+        val span = hi - lo
+        val updated = base.filter(col("event_id") % 10 === 0)
+          .withColumn("ts", col("ts") + lit(span))
+          .withColumn("event_type", lit("moved"))
+          .withColumn("value", col("value") * 2) // ×2 is float-exact
+        val src = base.unionByName(updated)
+        val stamp = Tables.fixtureStamp(dir, "events")
+        val out = ivmTmp(s, "aggivmk", s"$dir@$stamp")
+        Seq((lo, hi), (hi, hi + span)).foreach { case (l, h) =>
+          graft.sync.AggMaintenance.applySliceKeyed(
+            s, out, src, "ts", Seq("event_id"), Seq("event_type"), "value",
+            l, h)
+        }
+        graft.sync.AggMaintenance.read(s, out)
+          .select(col("event_type"), col("cnt"),
             col("sum_val").cast("double").as("sum_value"))
     },
 
@@ -705,8 +767,7 @@ object ReferenceQueries {
         val lo = b.getLong(0); val hi = b.getLong(1) + 1
         val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * ((hi - lo) / 3)
         val stamp = Tables.fixtureStamp(dir, "events")
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft-aggivmw-" +
-          Integer.toHexString(s"$dir@$stamp".hashCode)
+        val out = ivmTmp(s, "aggivmw", s"$dir@$stamp")
         Seq((lo, cut1), (cut1, cut2), (cut2, hi)).foreach { case (l, h) =>
           graft.sync.AggMaintenance.applySlice(
             s, out, base, "ts", Seq("user_id", "win_start_us"), "value", l, h)

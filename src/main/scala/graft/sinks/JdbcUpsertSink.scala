@@ -70,11 +70,27 @@ object JdbcUpsertSink {
     // let row_number pick by shuffle arrival order, so a retry/re-run
     // could crown a different winner and the destination's final value
     // would depend on scheduling (the ParquetMergeSink (orderCol, __src)
-    // discipline; rows equal on the FULL payload are interchangeable)
-    val payload = struct(
-      df.columns.filterNot(keyCols.contains).map(col).toIndexedSeq: _*)
+    // discipline). Break ties on xxhash64 of the payload, not the payload
+    // struct itself: a struct of ALL non-key columns puts entire wide text
+    // payloads into the sort key of every dedup shuffle, and fails at
+    // analysis for unorderable payload types (MapType). Hash collisions
+    // are fine — equal-hash rows are near-certainly identical payloads,
+    // and exact ties are interchangeable. Map-bearing columns are excluded
+    // from the hash (xxhash64 rejects MapType at analysis, same as the
+    // ordering did); ties then break on the remaining columns — rows equal
+    // on orderCol AND every non-map column are treated as interchangeable.
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val hashCols = df.schema.fields.toIndexedSeq
+      .filterNot(f => keyCols.contains(f.name))
+      .filter(f => hashable(f.dataType)).map(f => col(f.name))
+    val payloadHash = if (hashCols.isEmpty) lit(0L) else xxhash64(hashCols: _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(orderCol).desc, payload.desc)
+      .orderBy(col(orderCol).desc, payloadHash.desc)
     df.repartition(keyCols.map(col): _*)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -23,9 +23,12 @@ import graft.core.Watermark
   * row counts twice. Correct for event/transaction tables (the
   * README.md:146-151 balance use-case — every arrival IS a transaction);
   * documented-wrong for row-mirror rollups over keyed, updated-in-place
-  * sources — maintain those through ParquetMergeSink and aggregate the
-  * mirror instead. The a14 gate pins this double-count semantics the way
-  * the T4 fixture pins the watermark's documented miss.
+  * sources — maintain those through [[applySliceKeyed]] (the
+  * last-writer-wins lane, which retracts a re-arriving key's prior
+  * contribution), or through ParquetMergeSink + a full regroup of the
+  * mirror. The a14 gate pins this double-count semantics the way the T4
+  * fixture pins the watermark's documented miss; a16 pins the keyed
+  * lane's replace semantics against the same re-arrival shape.
   *
   * Only DISTRIBUTIVE aggregates are maintained (cnt, sum, min, max — each
   * merges by re-aggregating partials). The combine is a UNION + one grouped
@@ -75,6 +78,10 @@ object AggMaintenance {
   /** Layout stamp of a PARTITIONED rollup (bucket count + columns) — the
     * params-guard convention: a foreign parameterization refuses loud. */
   private val ParamsFile = "_GRAFT_AGG_PARAMS"
+  /** Key-state store of the KEYED lane (inside the rollup dir — the `_`
+    * prefix hides it from the rollup's own parquet listing, and the
+    * whole-dir swap commits state+rollup+watermark as one unit). */
+  private val StateDir = "_GRAFT_AGG_STATE"
   /** Exact accumulation type for the maintained sum (the a4 DECIMAL rule;
     * 28 integral digits absorbs ~1e24 of 4-dp mass before overflow). */
   private val SumType = "decimal(28,4)"
@@ -307,6 +314,213 @@ object AggMaintenance {
     }
   }
 
+  /** KEYED (last-writer-wins) rollup IVM — the row-mirror complement to
+    * [[applySlice]]'s append-only contract. The reference's own sync
+    * target is a keyed mirror: a re-arriving PK with a bumped `updated`
+    * REPLACES its prior row (reference session.py:135-151 — ON CONFLICT
+    * DO UPDATE), so a rollup over that mirror must count each key ONCE at
+    * its latest value — exactly what the a14 gate pins the append-only
+    * lane as NOT doing. This lane maintains per-group
+    * (`cnt` = live keys, `sum_val` = exact sum of latest values) such
+    * that after every apply the rollup equals
+    * `SELECT group, count(*), sum(value) FROM latest_per_key(mirror)`
+    * without ever re-aggregating the mirror.
+    *
+    * Mechanics: beside the rollup lives a KEY-STATE store
+    * (`_GRAFT_AGG_STATE/` — hidden from the rollup read by the `_`
+    * prefix; key → group cols + value of the key's latest arrival), the
+    * minimal projection of the mirror that retraction needs. A slice
+    * folds as:
+    *   1. latest-per-key WITHIN the slice (row_number over the order
+    *      column, deterministic payload-hash tie-break — the normalize
+    *      discipline). The state needs NO timestamp: contiguous half-open
+    *      slices guarantee every re-arrival outranks every stored row.
+    *   2. delta = (+1, +value) per arriving key in its NEW group and
+    *      (−1, −old value) per already-known key in its OLD group (the
+    *      state lookup) — a key that changes group retracts from one
+    *      group and adds to the other for free.
+    *   3. rollup ← union(rollup, grouped delta) re-aggregated (the same
+    *      group-cardinality union+regroup combine as every lane; the
+    *      DECIMAL sums cancel exactly), dropping groups whose live-key
+    *      count reached zero; state ← (state anti-join slice keys) ∪
+    *      slice-latest.
+    *
+    * Scale shape (100 TB): the state lookup and the state rewrite are
+    * keyed equi-joins DRIVEN by the slice — the arriving key set is
+    * broadcast when small (the steady-state delta), so the big state is
+    * scanned once and never shuffled; past the broadcast cutoff AQE plans
+    * the shuffle join a bulk slice genuinely needs. Only cnt/sum are
+    * maintained: min/max are NOT retractable without per-group value
+    * history (a 2-heap / segment-tree structure — scoped out, NOTES.md).
+    *
+    * Same whole-directory exactly-once protocol as [[applySlice]]: state,
+    * rollup, stamp and watermark stage together and commit by ONE atomic
+    * swap, so mirror-state and rollup can never diverge across a crash.
+    * Stamped `keyed flat …`; every cross-lane / cross-parameterization
+    * apply refuses typed (and the append-only lanes refuse this table —
+    * the two contracts cannot mix silently). Key columns must be
+    * non-NULL: a NULL key never equi-joins its own prior arrival, so its
+    * retraction would silently miss — a slice carrying one refuses
+    * typed. */
+  def applySliceKeyed(spark: SparkSession, targetDir: String,
+                      source: DataFrame, orderCol: String,
+                      keyCols: Seq[String], groupCols: Seq[String],
+                      valueCol: String, lo: Long, hi: Long): AggResult = {
+    require(keyCols.nonEmpty,
+      "applySliceKeyed requires at least one key column")
+    require(groupCols.nonEmpty,
+      "applySliceKeyed requires at least one group column")
+    require(keyCols.distinct == keyCols,
+      s"duplicate key columns: ${keyCols.mkString(", ")}")
+    require(groupCols.distinct == groupCols,
+      s"duplicate group columns: ${groupCols.mkString(", ")}")
+    require(!(keyCols ++ groupCols).contains(valueCol),
+      s"value column '$valueCol' is also a key/group column — aggregate a " +
+        "copy under a different name")
+    require(!(keyCols ++ groupCols).contains(orderCol) && orderCol != valueCol,
+      s"order column '$orderCol' cannot also be a key/group/value column " +
+        "in the keyed lane (a group that moves on every touch has no " +
+        "stable retraction target)")
+    require(hi >= lo, s"applySliceKeyed: hi ($hi) must be >= lo ($lo)")
+    val wmType = source.schema(orderCol).dataType
+    require(Watermark.supported(wmType),
+      s"order column '$orderCol' must be integral-numeric or timestamp-typed; " +
+        s"got ${wmType.simpleString}")
+    val fs = new Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healWholeDir(fs, targetDir)
+    requireStampSafe("key", keyCols)
+    requireStampSafe("group", groupCols)
+    requireStampSafe("value", Seq(valueCol))
+    requireStampSafe("order", Seq(orderCol))
+    val params = paramsStringKeyed(keyCols, groupCols, valueCol, orderCol)
+    validateStampedFlat("applySliceKeyed", fs, targetDir, params)
+
+    val dst = new Path(targetDir)
+    val exists = ParquetMergeSink.hasData(fs, dst)
+    val stored = readWm(fs, new Path(dst, WmFile))
+    if (exists && stored.isEmpty)
+      throw graft.core.GraftError.InvalidConfig(
+        s"rollup at $targetDir has data but no $WmFile sidecar — not an " +
+          "AggMaintenance table (refusing to merge into an unknown layout)")
+    stored match {
+      case Some(wm) if hi <= wm => // replay — already folded in
+        return AggResult(0L, 0L, applied = false, watermarkUs = wm)
+      case Some(wm) =>
+        if (lo != wm) throw graft.core.GraftError.InvalidConfig(
+          s"non-contiguous slice: stored watermark is $wm but slice starts " +
+            s"at $lo — applying it would silently lose [$wm, $lo)")
+      case None => // cold start: lo is the caller's opening cut
+    }
+
+    val statePath = new Path(dst, StateDir)
+    // existence, not hasData: the empty-slice cold start materializes an
+    // empty state dir (no part files) beside the empty rollup
+    if (exists && !fs.exists(statePath))
+      throw graft.core.GraftError.InvalidConfig(
+        s"keyed rollup at $targetDir has data but no $StateDir store — " +
+          "state and rollup commit together, so this is not a layout the " +
+          "keyed lane wrote; rebuild")
+    val valC = col(valueCol).cast(ValType)
+    val emptyState = source
+      .select((keyCols ++ groupCols).map(col) :+ valC.as(valueCol): _*)
+      .limit(0)
+    // committed state, or the schema-correct empty frame before the first
+    // data-bearing slice (cold start / empty-slice-only cold start)
+    val state =
+      if (ParquetMergeSink.hasData(fs, statePath))
+        spark.read.parquet(statePath.toString)
+      else emptyState
+
+    val slice = source.filter(
+      col(orderCol) >= Watermark.litFor(wmType, lo) &&
+      col(orderCol) < Watermark.litFor(wmType, hi))
+    // latest-per-key within the slice; deterministic tie-break on the
+    // payload hash so a retry can never crown a different winner
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol).desc,
+        xxhash64((groupCols.map(col) :+ valC): _*).desc)
+    val ranked = slice
+      .select((keyCols ++ groupCols).map(col) ++
+        Seq(valC.as(valueCol), col(orderCol)): _*)
+      .withColumn("__rn", row_number().over(w))
+      .persist()
+    try {
+      val rawRows = ranked.count()
+      if (rawRows == 0L) {
+        // idle poll: advance the watermark only (the applyWholeDir
+        // empty-slice contract); cold start materializes the readable
+        // empty rollup + stamp first
+        if (!exists && !fs.exists(new Path(dst, SchemaFile))) {
+          val empty = source.select(groupCols.map(col): _*).limit(0)
+            .withColumn("cnt", lit(0L))
+            .withColumn("sum_val", lit(null).cast(SumType))
+          empty.write.mode("overwrite").parquet(targetDir)
+          emptyState.write.mode("overwrite").parquet(statePath.toString)
+          writeText(fs, new Path(dst, SchemaFile), empty.schema.json)
+          writeText(fs, new Path(dst, ParamsFile), params)
+        }
+        writeWm(fs, new Path(dst, WmFile), hi)
+        return AggResult(0L, 0L, applied = true, watermarkUs = hi)
+      }
+      val nullKeys = ranked
+        .filter(keyCols.map(col(_).isNull).reduce(_ || _)).count()
+      if (nullKeys > 0L)
+        throw graft.core.GraftError.InvalidConfig(
+          s"slice [$lo, $hi) carries $nullKeys row(s) with a NULL key " +
+            s"(${keyCols.mkString(", ")}) — a NULL key cannot be matched " +
+            "to its prior arrival, so last-writer-wins semantics are " +
+            "undefined; filter or repair the source")
+
+      val latest = ranked.filter(col("__rn") === 1)
+        .drop("__rn", orderCol)
+      val keysOnly0 = latest.select(keyCols.map(col): _*)
+      val keysOnly =
+        if (rawRows <= 1000000L) broadcast(keysOnly0) else keysOnly0
+      // old contributions of re-arriving keys, retracted from their OLD
+      // group at their OLD value
+      val minus = state.join(keysOnly, keyCols, "inner")
+        .select(groupCols.map(col) :+ col(valueCol): _*)
+        .withColumn("__sign", lit(-1L))
+      val plus = latest.select(groupCols.map(col) :+ col(valueCol): _*)
+        .withColumn("__sign", lit(1L))
+      val delta = plus.unionByName(minus)
+        .groupBy(groupCols.map(col): _*)
+        .agg(sum(col("__sign")).cast("long").as("cnt"),
+          sum((col(valueCol) * col("__sign")).cast(SumType))
+            .cast(SumType).as("sum_val"))
+
+      val merged0 =
+        if (!exists) delta
+        else spark.read.parquet(targetDir)
+          .select(groupCols.map(col) ++
+            Seq(col("cnt").cast("long"), col("sum_val").cast(SumType)): _*)
+          .unionByName(delta)
+          .groupBy(groupCols.map(col): _*)
+          .agg(sum(col("cnt")).cast("long").as("cnt"),
+            sum(col("sum_val")).cast(SumType).as("sum_val"))
+      // a group whose last live key moved away reads cnt=0 — the live
+      // mirror has no such row, so neither does the rollup
+      val merged = merged0.filter(col("cnt") > 0L)
+      val newState = state.join(keysOnly, keyCols, "left_anti")
+        .unionByName(latest)
+
+      val tmp = targetDir.stripSuffix("/") + ".__agg_tmp"
+      val tmpPath = new Path(tmp)
+      if (fs.exists(tmpPath)) fs.delete(tmpPath, true) // stale crash debris
+      merged.write.mode("overwrite").parquet(tmp)
+      newState.write.mode("overwrite")
+        .parquet(tmp + "/" + StateDir)
+      val groups = spark.read.parquet(tmp).count()
+      writeText(fs, new Path(tmpPath, SchemaFile), merged.schema.json)
+      writeText(fs, new Path(tmpPath, ParamsFile), params)
+      writeWm(fs, new Path(tmpPath, WmFile), hi)
+      swapWholeDir(fs, targetDir, tmpPath)
+      AggResult(groups, rawRows, applied = true, watermarkUs = hi)
+    } finally { ranked.unpersist(); () }
+  }
+
   /** The shared whole-directory exactly-once core — v1, v2 and v3 differ
     * only in their [[Metric]] list and optional params stamp. See
     * [[applySlice]] for the protocol contract. */
@@ -534,6 +748,7 @@ object AggMaintenance {
     case s if s.startsWith("v3 buckets=") => "applySlicePartitionedDistinct"
     case s if s.startsWith("v2 flat")     => "applySliceV2"
     case s if s.startsWith("v3 flat")     => "applySliceDistinct"
+    case s if s.startsWith("keyed flat")  => "applySliceKeyed"
     case _                                => "the matching applySlice* lane"
   }
 
@@ -873,6 +1088,11 @@ object AggMaintenance {
   /** v2 flat stamp: no `buckets=` token — [[read]] keys partitioned-ness
     * off the `… buckets=` prefixes, so a v2 whole-dir table reads through
     * the whole-dir (backup-aware) branch. */
+  private def paramsStringKeyed(keyCols: Seq[String], groupCols: Seq[String],
+                                valueCol: String, orderCol: String): String =
+    s"keyed flat key=${keyCols.mkString("+")} " +
+      s"group=${groupCols.mkString("+")} value=$valueCol order=$orderCol"
+
   private def paramsStringV2(groupCols: Seq[String], valueCols: Seq[String],
                              orderCol: String): String =
     s"v2 flat group=${groupCols.mkString("+")} " +
@@ -1000,8 +1220,18 @@ object AggMaintenance {
           // restored before rethrowing.
           case e: Throwable =>
             pool.shutdownNow()
-            pool.awaitTermination(60,
+            val drained = pool.awaitTermination(60,
               java.util.concurrent.TimeUnit.SECONDS)
+            if (!drained)
+              // the quiesced-before-rethrow contract is VIOLATED: a swap
+              // hung past the drain window (filesystem RPC stall) may
+              // still be mutating the rollup. Say so loudly rather than
+              // rethrow as if quiesced — the caller's heal pass must not
+              // assume exclusive ownership of staged dirs.
+              System.err.println(
+                "[graft] WARN: AggMaintenance.parMap drain timed out after " +
+                "60s — in-flight bucket swaps may still be running; do not " +
+                "run a heal/retry pass until they quiesce")
             e match {
               case ee: java.util.concurrent.ExecutionException =>
                 throw ee.getCause

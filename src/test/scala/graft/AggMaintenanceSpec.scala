@@ -592,6 +592,166 @@ class AggMaintenanceSpec extends SparkSpec {
         spark, dir, src, "us", Seq("grp"), Seq("user"), 120L, 140L))
   }
 
+  // ---- keyed (last-writer-wins) lane ----
+
+  private def rowsK(r: (Long, Long, String, java.lang.Double)*) =
+    r.toSeq.toDF("us", "k", "grp", "v")
+
+  private def snapshotK(dir: String): Map[String, (Long, Option[Double])] =
+    AggMaintenance.read(spark, dir)
+      .collect().map(r => Option(r.getString(0)).getOrElse("<null>") ->
+        ((r.getLong(1),
+          Option(r.getDecimal(2)).map(_.doubleValue)))).toMap
+
+  private def applyK(dir: String, src: org.apache.spark.sql.DataFrame,
+                     lo: Long, hi: Long) =
+    AggMaintenance.applySliceKeyed(
+      spark, dir, src, "us", Seq("k"), Seq("grp"), "v", lo, hi)
+
+  test("keyed: re-arrivals replace — value update, group move, within-slice dup") {
+    val src = rowsK(
+      (10L, 1L, "a", 1.0), (20L, 2L, "a", 2.0), (30L, 3L, "b", 4.0),
+      // slice 2: key 1 re-arrives with a new value (same group); key 3
+      // MOVES group b→c; key 4 arrives twice WITHIN the slice (latest wins)
+      (110L, 1L, "a", 10.0), (120L, 3L, "c", 5.0),
+      (130L, 4L, "b", 7.0), (140L, 4L, "b", 8.5))
+    val dir = tmpDir("agg-keyed")
+    val r1 = applyK(dir, src, 0L, 100L)
+    assert(r1.applied && r1.sliceRows == 3 && r1.watermarkUs == 100L)
+    assert(snapshotK(dir) == Map(
+      "a" -> ((2L, Some(3.0))), "b" -> ((1L, Some(4.0)))))
+    val r2 = applyK(dir, src, 100L, 200L)
+    assert(r2.sliceRows == 4)
+    // mirror is now: 1→(a,10), 2→(a,2), 3→(c,5), 4→(b,8.5)
+    assert(snapshotK(dir) == Map(
+      "a" -> ((2L, Some(12.0))),   // key 1 replaced 1.0 → 10.0, NOT added
+      "b" -> ((1L, Some(8.5))),    // key 3 left; key 4 deduped to 8.5
+      "c" -> ((1L, Some(5.0)))))   // key 3 arrived with its old mass gone
+    assert(AggMaintenance.watermark(spark, dir).contains(200L))
+  }
+
+  test("keyed: a group whose last key departs is REMOVED, not left at 0") {
+    val src = rowsK((10L, 1L, "solo", 3.0), (110L, 1L, "other", 3.0))
+    val dir = tmpDir("agg-keyed")
+    applyK(dir, src, 0L, 100L)
+    assert(snapshotK(dir).keySet == Set("solo"))
+    applyK(dir, src, 100L, 200L)
+    assert(snapshotK(dir) == Map("other" -> ((1L, Some(3.0)))))
+  }
+
+  test("keyed: NULL values count the key but not the sum, both directions") {
+    val src = rowsK(
+      (10L, 1L, "a", 5.0), (20L, 2L, "a", null),
+      // key 1: value → NULL (sum loses 5, cnt keeps the key);
+      // key 2: NULL → 6 (sum gains 6)
+      (110L, 1L, "a", null), (120L, 2L, "a", 6.0))
+    val dir = tmpDir("agg-keyed")
+    applyK(dir, src, 0L, 100L)
+    assert(snapshotK(dir) == Map("a" -> ((2L, Some(5.0)))))
+    applyK(dir, src, 100L, 200L)
+    assert(snapshotK(dir) == Map("a" -> ((2L, Some(6.0)))))
+  }
+
+  test("keyed: NULL group is a real group; NULL key refuses typed") {
+    val src = rowsK((10L, 1L, null, 2.0), (20L, 2L, "a", 1.0))
+    val dir = tmpDir("agg-keyed")
+    applyK(dir, src, 0L, 100L)
+    assert(snapshotK(dir) ==
+      Map("<null>" -> ((1L, Some(2.0))), "a" -> ((1L, Some(1.0)))))
+    // and a key moving OUT of the NULL group retracts from it
+    applyK(dir, rowsK((110L, 1L, "a", 2.0)), 100L, 200L)
+    assert(snapshotK(dir) == Map("a" -> ((2L, Some(3.0)))))
+    val nullKey = Seq((210L, null.asInstanceOf[java.lang.Long], "a",
+      java.lang.Double.valueOf(1.0))).toDF("us", "k", "grp", "v")
+    val e = intercept[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySliceKeyed(
+        spark, dir, nullKey, "us", Seq("k"), Seq("grp"), "v", 200L, 300L))
+    assert(e.getMessage.contains("NULL key"))
+  }
+
+  test("keyed: replay no-ops, gap refuses, empty slice advances, cold empty readable") {
+    val src = rowsK((10L, 1L, "a", 1.0))
+    val dir = tmpDir("agg-keyed")
+    // empty-slice COLD start: readable empty rollup, stamped
+    val em = applyK(dir, src, 100L, 200L)
+    assert(em.applied && em.sliceRows == 0)
+    assert(AggMaintenance.read(spark, dir).count() == 0)
+    assert(AggMaintenance.watermark(spark, dir).contains(200L))
+    // gap refuses
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      applyK(dir, src, 300L, 400L))
+    // contiguous data-bearing slice over a key that predates the cut: the
+    // source row at us=10 is OUTSIDE [200,400) — not folded
+    val more = rowsK((10L, 1L, "a", 1.0), (250L, 2L, "b", 2.0))
+    applyK(dir, more, 200L, 400L)
+    assert(snapshotK(dir) == Map("b" -> ((1L, Some(2.0)))))
+    // replay no-op
+    val before = snapshotK(dir)
+    val rp = applyK(dir, more, 200L, 400L)
+    assert(!rp.applied && snapshotK(dir) == before)
+  }
+
+  test("keyed: cross-lane and cross-parameterization refusals, both directions") {
+    val src = rowsK((10L, 1L, "a", 1.0))
+    val dir = tmpDir("agg-keyed")
+    applyK(dir, src, 0L, 100L)
+    // v1 apply on a keyed table names the owning lane
+    val e1 = intercept[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySlice(
+        spark, dir, rows((110L, "a", 1.0)), "us", Seq("grp"), "v", 100L, 200L))
+    assert(e1.getMessage.contains("applySliceKeyed"))
+    // v2 apply on a keyed table refuses too
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySliceV2(
+        spark, dir, src, "us", Seq("grp"), Seq("v"), 100L, 200L))
+    // keyed apply with different parameters refuses
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySliceKeyed(
+        spark, dir, src.withColumn("v2", col("v")), "us",
+        Seq("k"), Seq("grp"), "v2", 100L, 200L))
+    // keyed apply on a v1 table refuses
+    val v1dir = tmpDir("agg-ivm")
+    AggMaintenance.applySlice(
+      spark, v1dir, rows((10L, "a", 1.0)), "us", Seq("grp"), "v", 0L, 100L)
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      applyK(v1dir, src, 100L, 200L))
+    // a keyed table missing its state store refuses rather than treating
+    // every arrival as new mass (state and rollup commit together — a
+    // missing store is foreign surgery, not a crash window)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_GRAFT_AGG_STATE"), true)
+    val e2 = intercept[graft.core.GraftError.InvalidConfig](
+      applyK(dir, rowsK((110L, 1L, "a", 2.0)), 100L, 200L))
+    assert(e2.getMessage.contains("_GRAFT_AGG_STATE"))
+  }
+
+  test("keyed: slices fold to the latest-per-key groupBy on real data") {
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+    val us = graft.core.Tables.tsUs(ev)
+    val src = ev.select(col("event_id").as("k"), col("event_type").as("grp"),
+      col("value").as("v"), us.as("us"))
+    val b = src.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      .collect().head
+    val lo = b.getLong(0); val hi = b.getLong(1) + 1
+    val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * ((hi - lo) / 3)
+    val dir = tmpDir("agg-keyed-ev")
+    Seq((lo, cut1), (cut1, cut2), (cut2, hi)).foreach { case (l, h) =>
+      applyK(dir, src, l, h) }
+    // event_id is unique in the fixture → latest-per-key == all rows,
+    // so the keyed rollup must equal the plain groupBy exactly
+    val want = src.groupBy("grp")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("v").cast("decimal(18,4)")).cast("double").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val got = AggMaintenance.read(spark, dir)
+      .select(col("grp"), col("cnt"), col("sum_val").cast("double"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got == want)
+  }
+
   test("timestamp order column: bounds are canonical µs, filter on native type") {
     val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
     val us = graft.core.Tables.tsUs(ev)

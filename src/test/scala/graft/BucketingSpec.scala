@@ -32,6 +32,21 @@ class BucketingSpec extends SparkSpec {
       assert(Bucketing.isShuffleFree(joinOnly),
         s"bucketed join should have no Exchange:\n${joinOnly.queryExecution.executedPlan}")
 
+      // negative control: the same join over the UNBUCKETED parquet tables
+      // must report a shuffle, or isShuffleFree is vacuously true (the AQE
+      // wrapper trap: AdaptiveSparkPlanExec is a leaf, so a non-recursive
+      // collect sees no exchange in any plan)
+      val unbucketed = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      assert(!Bucketing.isShuffleFree(unbucketed),
+        "unbucketed SMJ must report a shuffle — isShuffleFree is vacuous")
+      // and the check must stay honest AFTER execution, when AQE has
+      // replaced exchanges with (leaf) ShuffleQueryStageExec nodes
+      // (collect, not count: count()/select() build NEW plans — only
+      // executing THIS df's plan materializes its adaptive query stages)
+      unbucketed.collect()
+      assert(!Bucketing.isShuffleFree(unbucketed),
+        "post-execution adaptive plan must still report its shuffle stages")
+
       // and it computes the same thing as the plain join
       val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))

@@ -646,6 +646,13 @@ class CliSpec extends SparkSpec {
 
   test("arg validation fails TYPED, not with a raw exception") {
     assertThrows[GraftError.InvalidConfig](Main.parse(Array("frobnicate")))
+    // the usage text an operator actually reads must carry the object-
+    // store sidecar caveat (SidecarIO's no-AbstractFileSystem fallback is
+    // delete-then-rename — the one non-atomic commit path left)
+    val usage = intercept[GraftError.InvalidConfig](
+      Main.parse(Array("frobnicate"))).getMessage
+    assert(usage.contains("delete-then-rename"),
+      "usage text must surface the object-store sidecar crash window")
     assertThrows[GraftError.InvalidConfig](
       Main.parse(Array("neardup", "--source", "s", "--dest", "d",
         "--mode", "fuzzy")))

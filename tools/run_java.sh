@@ -1,0 +1,15 @@
+#!/bin/bash
+# Run a graft main with the same JVM flags sbt's fork uses (build.sbt) —
+# bare java keeps sbt's build lock free and exposes real exit codes.
+CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+OPENS=""
+for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect \
+         java.base/java.io java.base/java.net java.base/java.nio java.base/java.util \
+         java.base/java.util.concurrent java.base/java.util.concurrent.atomic \
+         java.base/sun.nio.ch java.base/sun.nio.cs java.base/sun.security.action \
+         java.base/sun.util.calendar; do
+  OPENS="$OPENS --add-opens $p=ALL-UNNAMED"
+done
+exec java -cp "$CP" $OPENS -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC -Duser.timezone=UTC \
+  -Xmx${SPARK_DRIVER_MEM:-8g} "$@"
