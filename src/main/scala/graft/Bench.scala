@@ -209,12 +209,28 @@ object Bench {
     // headline totals plus only the 15 slowest entries (the ones worth
     // reading; the full per-query map lives in BENCH_LINE.json).
     val slowest = bySlowest.takeRight(15)
+    // medians for the same 15 slowest entries, IN THE TAIL LINE: the r13
+    // verdict could not adjudicate the e9d min-regression without the
+    // medians, which lived only in BENCH_LINE.json — carry the min/median
+    // pair for every slow entry so noise (min≪median) and regression
+    // (min AND median up) are distinguishable from the tail alone
+    val medByName = medians.toMap
+    val slowestMed = slowest.map { case (n, _) =>
+      n -> medByName.getOrElse(n, -1.0) }
+    // proof the PageRank eager-release fired in THIS run (r13 verdict #1:
+    // the unpersist was asserted from specs, never from the gate session)
+    System.err.println(s"[bench] pagerank releases fired=" +
+      s"${graft.ops.PageRank.releasesFired.get}" +
+      s" missed=${graft.ops.PageRank.releasesMissed.get}")
     val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""sf":"$sfDir","n_queries":${all.size},"runs_per_query":$runs,""" +
       s""""gate_stat":"min","sync_rows":$syncRows,""" +
       s""""sync_rows_per_sec":${syncRps.round},""" +
       s""""sync_rows_per_sec_median":${syncRpsMedian.round},""" +
-      s""""full_map":"BENCH_LINE.json","queries":${jsonMap(slowest)}}"""
+      s""""pagerank_releases":${graft.ops.PageRank.releasesFired.get},""" +
+      s""""pagerank_release_misses":${graft.ops.PageRank.releasesMissed.get},""" +
+      s""""full_map":"BENCH_LINE.json","queries":${jsonMap(slowest)},""" +
+      s""""queries_median":${jsonMap(slowestMed)}}"""
     if (compact.length > 1900)
       System.err.println(s"[bench] compact line is ${compact.length} chars" +
         " — trim the slowest-entries list before it outgrows the tail")

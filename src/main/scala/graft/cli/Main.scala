@@ -119,8 +119,9 @@ object Main {
         "neardup", "semantic-dedup", "quality", "admit",
         "decontaminate", "spans", "layout", "mix",
         "dedup-lines", "dedup-spans", "diff", "reconcile",
-        "bpe-train", "tokenize", "pipeline", "agg").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span|jaccard|containment] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--jaccard 0.8] [--threshold 0.99 for containment] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft reconcile --source (PATH|jdbc:...#table) --dest PATH --key K[,K2] [--report PATH] [--apply] | graft bpe-train --source PATH --dest PATH --merges N [--id-col doc_id] [--text-col text] | graft tokenize --source PATH --base MERGES_PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text] | graft pipeline --source PATH --benchmark PATH --dest WORKDIR --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--min-span 24] [--min-docs 2] [--min-tokens N] [--max-tokens N] [--max-contamination 0.0] [--shards 16] [--capacity 2048] [--id-col doc_id] [--text-col text] | graft agg --source (PATH|jdbc:...#table) --dest PATH --by GROUPCOL[,G2] --watermark W [--value-col value | --value-col V1,V2 | --moments | --distinct C[,C2]] [--cut N] [--partitioned] [--buckets 64]. Note: agg and reconcile commit their watermark/state sidecars via atomic rename; object stores with no AbstractFileSystem binding (e.g. s3a) fall back to delete-then-rename, leaving a small crash window where the sidecar is absent and the rollup refuses reads until the slice is re-applied")
+        "bpe-train", "tokenize", "pipeline", "agg",
+        "rebucket").contains(argv(0)))
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span|jaccard|containment] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--jaccard 0.8] [--threshold 0.99 for containment] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft reconcile --source (PATH|jdbc:...#table) --dest PATH --key K[,K2] [--report PATH] [--apply] | graft bpe-train --source PATH --dest PATH --merges N [--id-col doc_id] [--text-col text] | graft tokenize --source PATH --base MERGES_PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text] | graft pipeline --source PATH --benchmark PATH --dest WORKDIR --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--min-span 24] [--min-docs 2] [--min-tokens N] [--max-tokens N] [--max-contamination 0.0] [--shards 16] [--capacity 2048] [--id-col doc_id] [--text-col text] | graft agg --source (PATH|jdbc:...#table) --dest PATH --by GROUPCOL[,G2] --watermark W [--key K[,K2] last-writer-wins keyed lane] [--value-col value | --value-col V1,V2 | --moments | --distinct C[,C2]] [--cut N] [--partitioned] [--buckets 64] | graft rebucket --dest PATH --buckets N. Note: agg and reconcile commit their watermark/state sidecars via atomic rename; object stores with no AbstractFileSystem binding (e.g. s3a) fall back to delete-then-rename, leaving a small crash window where the sidecar is absent and the rollup refuses reads until the slice is re-applied")
     val opts = scala.collection.mutable.Map.empty[String, String]
     var i = 1
     while (i < argv.length) {
@@ -150,8 +151,10 @@ object Main {
     // compact is a dest-only maintenance verb (no source/key/watermark);
     // curate takes source+dest but no watermark
     val syncCmd = argv(0) == "single" || argv(0) == "continuous"
+    if (argv(0) == "rebucket") req("buckets")
     Args(argv(0),
-      if (argv(0) == "compact") opts.getOrElse("source", "") else req("source"),
+      if (argv(0) == "compact" || argv(0) == "rebucket")
+        opts.getOrElse("source", "") else req("source"),
       req("dest"),
       opts.get("key").map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
         .getOrElse(Nil),
@@ -244,7 +247,8 @@ object Main {
         // (65536) and defaults to the documented 64; layout keeps 16
         buckets = num("buckets", opts.getOrElse("buckets",
             if (argv(0) == "agg") "64" else "16"),
-          min = 1, max = if (argv(0) == "agg") 65536 else 1000000).toInt,
+          min = 1, max = if (argv(0) == "agg" || argv(0) == "rebucket")
+            65536 else 1000000).toInt,
         quotaTokens = opts.get("quota-tokens").map(num("quota-tokens", _, min = 1)),
         targetTokens = opts.get("target-tokens").map(num("target-tokens", _, min = 1)),
         minDocs = num("min-docs", opts.getOrElse("min-docs", "2"),
@@ -315,6 +319,7 @@ object Main {
           case "pipeline"       => runPipeline(spark, a)
           case "tokenize"       => runTokenize(spark, a)
           case "agg"            => runAgg(spark, a)
+          case "rebucket"       => runRebucket(spark, a)
           case _                => runSync(spark, a)
         }
         0
@@ -581,6 +586,20 @@ object Main {
       throw GraftError.InvalidConfig(
         "--distinct maintains sketches; --moments/--value-col maintains " +
           "sums or moments — one rollup holds one lane; run two rollups")
+    // KEYED lane (--key): last-writer-wins rollup over a keyed mirror —
+    // a re-arriving PK replaces its prior contribution. cnt/sum only
+    // (min/max are not retractable), single value column, flat layout;
+    // any other lane flag beside --key refuses rather than being ignored
+    val useKeyed = a.keys.nonEmpty
+    if (useKeyed && (a.moments || useV3 || valueCols.size > 1))
+      throw GraftError.InvalidConfig(
+        "--key maintains the last-writer-wins keyed lane (cnt/sum over " +
+          "one value column); --moments/--distinct/multi-column " +
+          "--value-col are append-only lanes — one rollup holds one lane")
+    if (useKeyed && a.partitioned)
+      throw GraftError.InvalidConfig(
+        "--key is a whole-directory lane (no partitioned keyed layout " +
+          "yet); drop --partitioned or use the append-only lanes")
     val srcEp = SyncEndpoint.parse(a.source, a.sourceUser, a.sourcePassword)
     val source = srcEp match {
       case SyncEndpoint.ParquetDir(dir) => spark.read.parquet(dir)
@@ -610,7 +629,10 @@ object Main {
       return
     }
     val r =
-      if (useV3 && a.partitioned)
+      if (useKeyed) graft.sync.AggMaintenance.applySliceKeyed(
+        spark, a.dest, source, a.watermark, a.keys, groupCols,
+        valueCols.head, lo, hi)
+      else if (useV3 && a.partitioned)
         graft.sync.AggMaintenance.applySlicePartitionedDistinct(
           spark, a.dest, source, a.watermark, groupCols, distinctCols.get,
           lo, hi, nBuckets = a.buckets)
@@ -639,6 +661,21 @@ object Main {
       println(s"agg ${a.source} -> ${a.dest}: folded [$lo, $hi) " +
         s"sliceRows=${r.sliceRows} groups=${r.groupsWritten} " +
         s"watermark=${r.watermarkUs}")
+  }
+
+  /** Bucket-count growth for a partitioned rollup (AggMaintenance
+    * .rebucket) as a dest-only maintenance verb — the relabeling pass
+    * that unfreezes the stamp's `buckets=` as the group count grows.
+    * Requires an explicit --buckets (a silent default would relabel a
+    * production layout to an arbitrary size). */
+  private[cli] def runRebucket(spark: org.apache.spark.sql.SparkSession,
+                               a: Args): Unit = {
+    if (a.dest.startsWith("jdbc:"))
+      throw GraftError.InvalidConfig("rebucket applies to parquet rollups")
+    graft.sync.AggMaintenance.rebucket(spark, a.dest, a.buckets)
+    println(s"rebucket ${a.dest}: now ${a.buckets} buckets " +
+      s"(watermark ${graft.sync.AggMaintenance.watermark(spark, a.dest)
+        .getOrElse(-1L)})")
   }
 
   /** BPE tokenizer TRAINING (ext/TextAnalysis.bpeTrain) as a CLI verb:

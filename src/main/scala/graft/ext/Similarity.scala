@@ -366,8 +366,10 @@ object Similarity {
   /** The shared build-if-absent protocol for every index kind: resolve the
     * content-addressed dir, run `build` only when no committed index
     * exists, and write the commit marker AFTER the build fully finishes.
-    * One definition so the commit protocol cannot fork across kinds. */
-  private def ensureCached(kind: String, source: DataFrame, params: String)
+    * One definition so the commit protocol cannot fork across kinds
+    * (package-visible: TextAnalysis caches its benchmark-gram set through
+    * the same protocol). */
+  private[ext] def ensureCached(kind: String, source: DataFrame, params: String)
                           (build: String => Unit): String = {
     val dir = cachedIndexDir(kind, source, params)
     if (!hasIndex(source.sparkSession, dir)) {

@@ -172,13 +172,23 @@ object PageRank {
     * behind a frame, called the moment its successor is materialized. */
   private def eager(df: DataFrame): DataFrame = df.localCheckpoint()
 
+  /** Release bookkeeping, readable by the bench/specs: the LogicalRDD
+    * match below is deliberately total, so a Spark upgrade changing the
+    * checkpoint plan shape would silently regress eager frees to GC
+    * timing (the r12 e9d variance). These counters make "did the
+    * unpersist actually fire inside THIS session" a checkable fact
+    * instead of an inference (Bench prints them after the run). */
+  private[graft] val releasesFired = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val releasesMissed = new java.util.concurrent.atomic.AtomicLong
+
   /** Free a [[eager]] frame's checkpointed blocks NOW instead of at GC.
     * Only call once nothing will read the frame again: a localCheckpoint
     * has no lineage to recompute from, so a released frame is gone. */
   private def release(df: DataFrame): Unit = df.queryExecution.logical match {
     case lr: org.apache.spark.sql.execution.LogicalRDD =>
-      lr.rdd.unpersist(blocking = false); ()
-    case _ => ()
+      lr.rdd.unpersist(blocking = false)
+      releasesFired.incrementAndGet(); ()
+    case _ => releasesMissed.incrementAndGet(); ()
   }
 
   /** ε-CONVERGENCE mode: iterate until max |rₖ₊₁ − rₖ| < `tol` or

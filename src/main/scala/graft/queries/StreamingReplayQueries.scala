@@ -59,6 +59,33 @@ object StreamingReplayQueries {
           .map(r => Ev(r.getLong(0), r.getLong(1), r.getString(2),
             r.getDouble(3), r.getLong(4))) })
 
+  /** ts-boundary-safe chunking for the IVM replay twins (t13/t14): extend
+    * each chunk until the ts changes, so two rows sharing a ts can never
+    * straddle micro-batches — the half-open applySlice slice would drop
+    * the tail rows otherwise (the fixture has unique ts; the harness must
+    * not depend on that). A plain foreach, NOT a for-comprehension with a
+    * `chunk = …` definition: that desugars to a .map evaluated over ALL
+    * chunks BEFORE the body's carry mutation runs, so every spill would be
+    * computed against the initial empty carry and silently dropped. */
+  private def tsBoundaryChunks(rows: Array[Ev]): Seq[Seq[Ev]] = {
+    val out = Seq.newBuilder[Seq[Ev]]
+    var carry = Seq.empty[Ev]
+    chunked(rows).foreach { c =>
+      val chunk = carry ++ c
+      if (chunk.nonEmpty) {
+        val lastTs = chunk.last.tsUs
+        // rows are ts-sorted, so the last-ts rows form the SUFFIX; they
+        // spill to the next chunk. A chunk that is ALL one ts keeps
+        // accumulating (the run may continue into the next).
+        val (keep, spill) = chunk.partition(_.tsUs != lastTs)
+        if (keep.isEmpty) carry = chunk
+        else { out += keep; carry = spill }
+      }
+    }
+    if (carry.nonEmpty) out += carry
+    out.result()
+  }
+
   /** Run `body` with a reduced shuffle-partition count, restoring the
     * session's setting after. Stateful streaming ops commit one state-store
     * instance PER shuffle partition PER micro-batch; a gate replay with a
@@ -394,30 +421,7 @@ object StreamingReplayQueries {
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
       import graft.sync.AggMaintenance
-      val rows = collectedEvents(s, dir) // (ts_us, event_id)-ordered
-      // ts-boundary-safe chunking: extend each chunk until the ts changes
-      val safeChunks: Seq[Seq[Ev]] = {
-        // a plain foreach, NOT a for-comprehension with a `chunk = …`
-        // definition: that desugars to a .map evaluated over ALL chunks
-        // BEFORE the body's carry mutation runs, so every spill would be
-        // computed against the initial empty carry and silently dropped
-        val out = Seq.newBuilder[Seq[Ev]]
-        var carry = Seq.empty[Ev]
-        chunked(rows).foreach { c =>
-          val chunk = carry ++ c
-          if (chunk.nonEmpty) {
-            val lastTs = chunk.last.tsUs
-            // rows are ts-sorted, so the last-ts rows form the SUFFIX;
-            // they spill to the next chunk. A chunk that is ALL one ts
-            // keeps accumulating (the run may continue into the next).
-            val (keep, spill) = chunk.partition(_.tsUs != lastTs)
-            if (keep.isEmpty) carry = chunk
-            else { out += keep; carry = spill }
-          }
-        }
-        if (carry.nonEmpty) out += carry
-        out.result()
-      }
+      val safeChunks = tsBoundaryChunks(collectedEvents(s, dir))
       val rollup = java.nio.file.Files
         .createTempDirectory("t13-replay").toString + "/rollup"
       val ckpt = java.nio.file.Files
@@ -449,6 +453,81 @@ object StreamingReplayQueries {
           col("sum_val").cast("double").as("sum_value"),
           col("min_val").cast("double").as("min_value"),
           col("max_val").cast("double").as("max_value"))
+    },
+
+    // T14 — the v2 MOMENTS lane driven as a streaming sink: t13 proves the
+    // foreachBatch fold for the v1 rollup only, while the moments lane
+    // claims the same contract — this twin closes that gap. Each
+    // micro-batch folds through applySliceV2 (same contiguous-slice /
+    // exactly-once protocol); the final rollup's DERIVED avg/var must
+    // equal the one-shot moments aggregation IN-PLAN (exceptAll both ways
+    // through the ONE shared deriveMomentCols chain — the a10 discipline),
+    // and the hash gate covers the 2^53-safe columns (cnt, cntv, exact
+    // sum/min/max and the avg double chain; var is exceptAll-pinned, not
+    // hash-gated — sumsq's DECIMAL(38,8) unscaled form exceeds 2^53 where
+    // DuckDB's decimal→double cast double-rounds, the a11 1-ulp flap).
+    "t14_agg_maintenance_v2_replay" -> Q(
+      """SELECT event_type, count(*) AS cnt, count(value) AS cntv,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |         / CAST(count(value) AS DOUBLE) AS avg_value,
+        |       CAST(min(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS min_value,
+        |       CAST(max(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS max_value
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import graft.sync.AggMaintenance
+      val safeChunks = tsBoundaryChunks(collectedEvents(s, dir))
+      val rollup = java.nio.file.Files
+        .createTempDirectory("t14-replay").toString + "/rollup"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("t14-ckpt").toString
+      withShufflePartitions(s, 4) {
+        val mem = MemoryStream[Ev]
+        val fold: (org.apache.spark.sql.Dataset[Ev], Long) => Unit =
+          (batch, _) => {
+            val b = batch.persist()
+            try {
+              val bounds = b.agg(min(col("tsUs")), max(col("tsUs"))).head()
+              if (!bounds.isNullAt(0)) {
+                val lo = AggMaintenance.watermark(s, rollup)
+                  .getOrElse(bounds.getLong(0))
+                AggMaintenance.applySliceV2(s, rollup, b.toDF(), "tsUs",
+                  Seq("eventType"), Seq("value"), lo, bounds.getLong(1) + 1)
+                ()
+              }
+            } finally { b.unpersist(); () }
+          }
+        val q = mem.toDS().writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch(fold).start()
+        try safeChunks.foreach { b => mem.addData(b); q.processAllAvailable() }
+        finally q.stop()
+      }
+      // in-plan equality of the REPLAYED rollup's derived moments vs the
+      // one-shot aggregation over the raw fixture (never through
+      // AggMaintenance) — the maintained-moments contract itself
+      val ev = Tables.events(s, dir)
+      val c = col("value").cast("decimal(18,4)")
+      val oneShot = AggMaintenance.deriveMomentCols(
+        ev.groupBy(col("event_type").as("eventType"))
+          .agg(count(lit(1)).as("cnt"),
+            count(c).as("cntv_value"),
+            sum(c).cast("decimal(28,4)").as("sum_value"),
+            sum((c * c).cast("decimal(38,8)")).cast("decimal(38,8)")
+              .as("sumsq_value"),
+            min(c).as("min_value"), max(c).as("max_value")),
+        Seq("value"))
+      val derived = AggMaintenance.readDerived(s, rollup)
+      require(derived.exceptAll(oneShot).isEmpty &&
+        oneShot.exceptAll(derived).isEmpty,
+        "t14: replayed v2 moments diverge from the one-shot aggregation")
+      derived.select(col("eventType").as("event_type"), col("cnt"),
+        col("cntv_value").as("cntv"),
+        col("sum_value").cast("double").as("sum_value"),
+        col("avg_value"),
+        col("min_value").cast("double").as("min_value"),
+        col("max_value").cast("double").as("max_value"))
     }
   )
 }

@@ -716,6 +716,10 @@ object AggMaintenance {
     val fs = new Path(targetDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = new Path(targetDir)
+    // a crashed [[rebucket]] commits via the whole-dir swap — heal that
+    // window first (restores the pre-rebucket layout), then any
+    // interrupted per-bucket swaps
+    healWholeDir(fs, targetDir)
     healBuckets(fs, targetDir)
     // presence check only — the core re-reads the VALUE itself (it must:
     // the interior-watermark split recursion advances it mid-apply)
@@ -922,6 +926,92 @@ object AggMaintenance {
     } finally { partial.unpersist(); () }
   }
 
+  /** Change a partitioned rollup's bucket count in ONE maintenance pass —
+    * the growth path the frozen `buckets=` stamp otherwise forecloses: a
+    * rollup sized for 1e6 groups that grows to 1e9 is stuck with buckets
+    * 1000× their design size (each rewrite job must fit a bucket in
+    * executor memory), and the only alternative is a full rebuild plus a
+    * watermark-chain reset. Rebucket is a pure RELABELING — groups are
+    * unique across buckets, so no re-aggregation happens: one read of the
+    * rollup (group-cardinality rows, not history), one
+    * repartition-by-new-bucket write (one file per bucket), stamp and
+    * per-bucket watermarks rewritten, all committed by the same atomic
+    * whole-dir swap as the flat lanes ([[swapWholeDir]]; the partitioned
+    * entry points heal its crash window before touching data, so a
+    * crashed rebucket rolls back to the OLD layout, never a mixed hash
+    * space). After the swap, applies carrying the old bucket count refuse
+    * on the params stamp exactly like any foreign parameterization.
+    *
+    * Refuses when an in-flight slice is detected (a bucket watermark past
+    * the root watermark — a crashed apply mid-commit): relabeling those
+    * buckets would erase the per-bucket watermarks the interior-split
+    * recovery needs, silently double-counting the slice on the re-run.
+    * Re-run the crashed apply first, then rebucket.
+    *
+    * Single-writer like every apply; O(groups) data movement with ONE
+    * shuffle keyed on the new bucket id. */
+  def rebucket(spark: SparkSession, targetDir: String,
+               newBuckets: Int): Unit = {
+    require(newBuckets >= 1 && newBuckets <= 65536,
+      s"newBuckets must be in [1, 65536], got $newBuckets")
+    val fs = new Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(targetDir)
+    healWholeDir(fs, targetDir)
+    healBuckets(fs, targetDir)
+    val params = readText(fs, new Path(dst, ParamsFile)).getOrElse(
+      throw graft.core.GraftError.InvalidConfig(
+        s"no $ParamsFile at $targetDir — not a partitioned rollup"))
+    val tokens = params.split(' ')
+    val oldBuckets = tokens.lift(1).filter(_.startsWith("buckets="))
+      .map(_.stripPrefix("buckets=").toInt).getOrElse(
+        throw graft.core.GraftError.InvalidConfig(
+          s"rollup at $targetDir is stamped '$params' — rebucket applies " +
+            "only to bucket-partitioned layouts"))
+    val groupCols = tokens.find(_.startsWith("group="))
+      .map(_.stripPrefix("group=").split('+').toSeq).getOrElse(
+        throw graft.core.GraftError.InvalidConfig(
+          s"malformed partitioned stamp at $targetDir: '$params'"))
+    if (oldBuckets == newBuckets) return // relabeling to itself: no-op
+    val wm = readWm(fs, new Path(dst, WmFile)).getOrElse(
+      throw graft.core.GraftError.InvalidConfig(
+        s"rollup at $targetDir has no root watermark — not a committed " +
+          "AggMaintenance table"))
+    if (bucketWms(fs, targetDir).exists(_ > wm))
+      throw graft.core.GraftError.InvalidConfig(
+        s"rollup at $targetDir has bucket watermarks past the root " +
+          s"watermark $wm — a crashed apply is mid-slice; re-run that " +
+          "apply to completion first, then rebucket")
+
+    val newParams = (tokens.take(1) :+ s"buckets=$newBuckets") ++
+      tokens.drop(2)
+    val tmpRoot = targetDir.stripSuffix("/") + ".__agg_tmp"
+    val tmpPath = new Path(tmpRoot)
+    if (fs.exists(tmpPath)) fs.delete(tmpPath, true) // stale crash debris
+    val hasRows = fs.exists(dst) && fs.listStatus(dst).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("__bucket="))
+    if (hasRows) {
+      spark.read.parquet(targetDir).drop("__bucket")
+        .withColumn("__bucket",
+          pmod(hash(groupCols.map(col): _*), lit(newBuckets)))
+        .repartition(col("__bucket"))
+        .write.mode("overwrite").partitionBy("__bucket").parquet(tmpRoot)
+    } else fs.mkdirs(tmpPath)
+    // every written bucket restarts its watermark chain at the root wm
+    val written =
+      if (!hasRows) Seq.empty
+      else fs.listStatus(tmpPath).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("__bucket="))
+        .map(_.getPath)
+    parMap(written) { bp => writeWm(fs, new Path(bp, WmFile), wm) }
+    readText(fs, new Path(dst, SchemaFile)).foreach(
+      writeText(fs, new Path(tmpPath, SchemaFile), _))
+    writeText(fs, new Path(tmpPath, ParamsFile), newParams.mkString(" "))
+    writeWm(fs, new Path(tmpPath, WmFile), wm)
+    swapWholeDir(fs, targetDir, tmpPath)
+  }
+
   /** Read the full rollup (groupCols..., cnt, sum_val, min_val, max_val).
     * An empty rollup (no part files yet) is served schema-correct from the
     * schema sidecar. Partitioned rollups are healed (interrupted bucket
@@ -933,8 +1023,13 @@ object AggMaintenance {
     // a ParamsFile alone no longer implies partitioned (v2/v3 whole-dir
     // tables are stamped too) — key off the stamp's SECOND token exactly:
     // a substring test could false-positive on a column name that itself
-    // contains " buckets=" (column names ride inside group=/order= tokens)
+    // contains " buckets=" (column names ride inside group=/order= tokens).
+    // The stamp falls back to the whole-dir BACKUP: inside a rebucket's
+    // swap crash window the root itself is absent, and a partitioned
+    // table must not be misread through the flat branch (whose backup
+    // read would surface the internal __bucket partition column).
     val partitioned = readText(fs, new Path(root, ParamsFile))
+      .orElse(readText(fs, new Path(bakRoot(targetDir) + "_dir", ParamsFile)))
       .exists(_.split(' ').lift(1).exists(_.startsWith("buckets=")))
     // READ-ONLY crash tolerance: a reader never renames anything (a
     // concurrent apply may be mid-swap — healing here could break its
@@ -955,11 +1050,21 @@ object AggMaintenance {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
     if (partitioned) {
+      // rebucket's whole-dir swap crash window: root lacking its
+      // watermark sidecar while the whole-dir backup has one means the
+      // backup IS the committed (pre-rebucket) layout — serve it, exactly
+      // like the flat branch below (read-only; healing is the next
+      // apply's job)
+      val wholeBak = new Path(bakRoot(targetDir) + "_dir")
+      val serveRoot =
+        if (!fs.exists(new Path(root, WmFile)) &&
+            fs.exists(new Path(wholeBak, WmFile))) wholeBak
+        else root
       // partition dirs carry "=" so Spark's hidden-path filter keeps them
       // (`__bucket=3` is data; `_GRAFT_AGG_WM` is not)
       val rootBuckets =
-        if (!fs.exists(root)) Set.empty[String]
-        else fs.listStatus(root).toSeq
+        if (!fs.exists(serveRoot)) Set.empty[String]
+        else fs.listStatus(serveRoot).toSeq
           .filter(st => st.isDirectory &&
             st.getPath.getName.startsWith("__bucket="))
           .map(_.getPath.getName).toSet
@@ -971,7 +1076,7 @@ object AggMaintenance {
           .map(_.getPath)
       val rootDf =
         if (rootBuckets.isEmpty) None
-        else Some(spark.read.parquet(targetDir).drop("__bucket"))
+        else Some(spark.read.parquet(serveRoot.toString).drop("__bucket"))
       val bakDfs = bakKids.map(p => spark.read.parquet(p.toString))
       (rootDf.toSeq ++ bakDfs).reduceOption(_ unionByName _)
         .getOrElse(emptyFromSchema())
@@ -1085,14 +1190,15 @@ object AggMaintenance {
             .otherwise(lit(null).cast("double")))
     }
 
-  /** v2 flat stamp: no `buckets=` token — [[read]] keys partitioned-ness
-    * off the `… buckets=` prefixes, so a v2 whole-dir table reads through
-    * the whole-dir (backup-aware) branch. */
+  /** keyed flat stamp (no `buckets=` token, same reason as v2 flat). */
   private def paramsStringKeyed(keyCols: Seq[String], groupCols: Seq[String],
                                 valueCol: String, orderCol: String): String =
     s"keyed flat key=${keyCols.mkString("+")} " +
       s"group=${groupCols.mkString("+")} value=$valueCol order=$orderCol"
 
+  /** v2 flat stamp: no `buckets=` token — [[read]] keys partitioned-ness
+    * off the `… buckets=` prefixes, so a v2 whole-dir table reads through
+    * the whole-dir (backup-aware) branch. */
   private def paramsStringV2(groupCols: Seq[String], valueCols: Seq[String],
                              orderCol: String): String =
     s"v2 flat group=${groupCols.mkString("+")} " +

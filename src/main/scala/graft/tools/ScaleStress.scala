@@ -806,19 +806,34 @@ object ScaleStress {
         val bounds = src.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
           .first()
         val lo = bounds.getLong(0); val hi = bounds.getLong(1) + 1
-        val mid = lo + (hi - lo) / 2
+        val cut1 = lo + (hi - lo) / 3
+        val cut2 = lo + 2 * ((hi - lo) / 3)
         val dest = s"$work/aggivmw_rollup_x$rep"
         val nB = 1024
         val (r1, t1) = timed(graft.sync.AggMaintenance.applySlicePartitioned(
-          spark, dest, src, "ts", Seq("event_id"), "value", lo, mid, nB))
+          spark, dest, src, "ts", Seq("event_id"), "value", lo, cut1, nB))
         jline("aggivmwide_build", rep, t1, r1.sliceRows,
           Seq("buckets" -> nB.toString,
             "groups" -> r1.groupsWritten.toString))
         val (r2, t2) = timed(graft.sync.AggMaintenance.applySlicePartitioned(
-          spark, dest, src, "ts", Seq("event_id"), "value", mid, hi, nB))
+          spark, dest, src, "ts", Seq("event_id"), "value", cut1, cut2, nB))
         jline("aggivmwide_merge_slice", rep, t2, r2.sliceRows,
           Seq("buckets" -> nB.toString,
             "groups" -> r2.groupsWritten.toString))
+        // the growth path: relabel 1,024 → 4,096 buckets (one read, one
+        // repartition-by-new-bucket write, stamp swap), then prove the
+        // chain continues — a post-rebucket slice applies under the new
+        // count and the final rollup still equals the one-shot
+        val nB2 = 4096
+        val (_, t3) = timed(
+          graft.sync.AggMaintenance.rebucket(spark, dest, nB2))
+        jline("aggivmwide_rebucket", rep, t3, r1.groupsWritten,
+          Seq("buckets" -> s"$nB->$nB2"))
+        val (r4, t4) = timed(graft.sync.AggMaintenance.applySlicePartitioned(
+          spark, dest, src, "ts", Seq("event_id"), "value", cut2, hi, nB2))
+        jline("aggivmwide_post_rebucket_slice", rep, t4, r4.sliceRows,
+          Seq("buckets" -> nB2.toString,
+            "groups" -> r4.groupsWritten.toString))
         val roll = graft.sync.AggMaintenance.read(spark, dest)
           .select(col("event_id"), col("cnt"),
             col("sum_val").cast("decimal(28,4)").as("sum_val"))

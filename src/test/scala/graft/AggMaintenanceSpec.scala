@@ -592,6 +592,110 @@ class AggMaintenanceSpec extends SparkSpec {
         spark, dir, src, "us", Seq("grp"), Seq("user"), 120L, 140L))
   }
 
+  // ---- rebucket (bucket-count growth path) ----
+
+  test("rebucket: relabeled rollup reads identically; old stamp refuses; chain continues") {
+    val src = rows(
+      (10L, "a", 1.5), (20L, "b", 2.0), (30L, "c", -1.0),
+      (40L, "d", 4.25), (110L, "a", 0.25), (120L, "e", 9.0))
+    val dir = tmpDir("agg-rebkt")
+    AggMaintenance.applySlicePartitioned(
+      spark, dir, src, "us", Seq("grp"), "v", 0L, 100L, nBuckets = 4)
+    val before = AggMaintenance.read(spark, dir).collect().map(_.toString).toSet
+    AggMaintenance.rebucket(spark, dir, 16)
+    // pure relabeling: same rows, same watermark
+    assert(AggMaintenance.read(spark, dir)
+      .collect().map(_.toString).toSet == before)
+    assert(AggMaintenance.watermark(spark, dir).contains(100L))
+    // an apply carrying the OLD bucket count refuses on the stamp
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySlicePartitioned(
+        spark, dir, src, "us", Seq("grp"), "v", 100L, 200L, nBuckets = 4))
+    // the chain continues under the NEW count and folds to the full groupBy
+    AggMaintenance.applySlicePartitioned(
+      spark, dir, src, "us", Seq("grp"), "v", 100L, 200L, nBuckets = 16)
+    val got = AggMaintenance.read(spark, dir)
+      .select(col("grp"), col("cnt"), col("sum_val").cast("double"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val want = src.groupBy("grp")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("v").cast("decimal(18,4)")).cast("double").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got == want)
+    // rebucket to the current count is a no-op, and a flat rollup refuses
+    AggMaintenance.rebucket(spark, dir, 16)
+    val flat = tmpDir("agg-ivm")
+    AggMaintenance.applySlice(
+      spark, flat, src, "us", Seq("grp"), "v", 0L, 100L)
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.rebucket(spark, flat, 8))
+  }
+
+  test("rebucket: refuses while a crashed apply is mid-slice (bucket wm past root)") {
+    val src = rows((10L, "a", 1.0), (20L, "b", 2.0))
+    val dir = tmpDir("agg-rebkt")
+    AggMaintenance.applySlicePartitioned(
+      spark, dir, src, "us", Seq("grp"), "v", 0L, 100L, nBuckets = 4)
+    // simulate the crash: one bucket committed through a LATER slice
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucket = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(_.getPath.getName.startsWith("__bucket=")).head.getPath
+    graft.core.SidecarIO.write(fs,
+      new org.apache.hadoop.fs.Path(bucket, "_GRAFT_AGG_WM"), "150")
+    val e = intercept[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.rebucket(spark, dir, 16))
+    assert(e.getMessage.contains("mid-slice"))
+    // finishing the slice (the interior-split recovery) unblocks it
+    AggMaintenance.applySlicePartitioned(
+      spark, dir, src, "us", Seq("grp"), "v", 100L, 150L, nBuckets = 4)
+    AggMaintenance.rebucket(spark, dir, 16)
+    assert(AggMaintenance.watermark(spark, dir).contains(150L))
+  }
+
+  test("rebucket: v2 moments layout relabels and keeps derived reads working") {
+    val src = rows2((10L, "a", 1.0, 2.0), (20L, "b", 3.0, 4.0),
+      (110L, "a", 5.0, 6.0))
+    val dir = tmpDir("agg-rebkt-v2")
+    AggMaintenance.applySlicePartitionedV2(
+      spark, dir, src, "us", Seq("grp"), Seq("x", "y"), 0L, 100L,
+      nBuckets = 2)
+    val before = AggMaintenance.readDerived(spark, dir)
+      .collect().map(_.toString).toSet
+    AggMaintenance.rebucket(spark, dir, 8)
+    assert(AggMaintenance.readDerived(spark, dir)
+      .collect().map(_.toString).toSet == before)
+    AggMaintenance.applySlicePartitionedV2(
+      spark, dir, src, "us", Seq("grp"), Seq("x", "y"), 100L, 200L,
+      nBuckets = 8)
+    assert(AggMaintenance.read(spark, dir)
+      .filter(col("grp") === "a").select(col("cnt"))
+      .first().getLong(0) == 2L)
+  }
+
+  test("rebucket: a swap crash window rolls back to the OLD layout on next touch") {
+    val src = rows((10L, "a", 1.0), (20L, "b", 2.0), (110L, "c", 3.0))
+    val dir = tmpDir("agg-rebkt")
+    AggMaintenance.applySlicePartitioned(
+      spark, dir, src, "us", Seq("grp"), "v", 0L, 100L, nBuckets = 4)
+    val before = AggMaintenance.read(spark, dir).collect().map(_.toString).toSet
+    // simulate a crash BETWEEN the two swap renames: root moved to the
+    // whole-dir backup, staged dir never moved in
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".__agg_bak_dir")))
+    // a reader inside the window serves the committed (old) state
+    assert(AggMaintenance.read(spark, dir)
+      .collect().map(_.toString).toSet == before)
+    // the next apply heals (restores the OLD 4-bucket layout) and folds
+    AggMaintenance.applySlicePartitioned(
+      spark, dir, src, "us", Seq("grp"), "v", 100L, 200L, nBuckets = 4)
+    assert(AggMaintenance.read(spark, dir).count() == 3)
+  }
+
   // ---- keyed (last-writer-wins) lane ----
 
   private def rowsK(r: (Long, Long, String, java.lang.Double)*) =

@@ -119,6 +119,8 @@ class PageRankSpec extends SparkSpec {
     // checkpoints; all but the final rank must be unpersisted by return.
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.size
+    val firedBefore = PageRank.releasesFired.get
+    val missedBefore = PageRank.releasesMissed.get
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
     PageRank.pageRank(edges.toDF("src", "dst"), "src", "dst",
       iterations = 5, danglingMass = true).collect()
@@ -126,5 +128,11 @@ class PageRankSpec extends SparkSpec {
     assert(after <= before + 1,
       s"expected at most one live checkpoint after pageRank, " +
         s"got $before -> $after")
+    // and the instrumented counters (what Bench prints as gate evidence)
+    // must agree: every release attempt matched the LogicalRDD shape
+    assert(PageRank.releasesFired.get > firedBefore,
+      "release counter did not advance — the unpersist never fired")
+    assert(PageRank.releasesMissed.get == missedBefore,
+      "release fell through the LogicalRDD match — blocks now free at GC")
   }
 }

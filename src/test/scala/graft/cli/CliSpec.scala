@@ -34,6 +34,7 @@ class CliSpec extends SparkSpec {
       case "tokenize"       => Main.runTokenize(spark, a)
       case "pipeline"       => Main.runPipeline(spark, a)
       case "agg"            => Main.runAgg(spark, a)
+      case "rebucket"       => Main.runRebucket(spark, a)
       case other            => fail(s"unexpected verb $other")
     }
     a
@@ -533,6 +534,60 @@ class CliSpec extends SparkSpec {
     assertThrows[GraftError.InvalidConfig](
       run("agg", "--source", s"$work/src", "--dest", s"$work/vbad",
         "--by", "grp", "--watermark", "us", "--value-col", ""))
+  }
+
+  test("agg --key drives the keyed last-writer-wins lane; rebucket grows a layout") {
+    import spark.implicits._
+    val work = tmpDir("cli-agg-keyed")
+    Seq((10L, 1L, "a", 1.0), (20L, 2L, "a", 2.0), (30L, 3L, "b", 4.0))
+      .toDF("us", "k", "grp", "v").write.parquet(s"$work/src")
+    run("agg", "--source", s"$work/src", "--dest", s"$work/keyed",
+      "--by", "grp", "--watermark", "us", "--key", "k", "--value-col", "v")
+    // key 1 re-arrives with a new value — REPLACES, never double-counts
+    Seq((40L, 1L, "a", 10.0)).toDF("us", "k", "grp", "v")
+      .write.mode("append").parquet(s"$work/src")
+    run("agg", "--source", s"$work/src", "--dest", s"$work/keyed",
+      "--by", "grp", "--watermark", "us", "--key", "k", "--value-col", "v")
+    val d = graft.sync.AggMaintenance.read(spark, s"$work/keyed")
+      .select(col("grp"), col("cnt"), col("sum_val").cast("double"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(d == Map("a" -> ((2L, 12.0)), "b" -> ((1L, 4.0))))
+    // one rollup holds one lane: --key beside any append-only lane flag
+    // refuses, and the keyed lane has no partitioned layout
+    assertThrows[GraftError.InvalidConfig](
+      run("agg", "--source", s"$work/src", "--dest", s"$work/kx",
+        "--by", "grp", "--watermark", "us", "--key", "k", "--value-col", "v", "--moments"))
+    assertThrows[GraftError.InvalidConfig](
+      run("agg", "--source", s"$work/src", "--dest", s"$work/kx",
+        "--by", "grp", "--watermark", "us", "--key", "k",
+        "--distinct", "grp"))
+    assertThrows[GraftError.InvalidConfig](
+      run("agg", "--source", s"$work/src", "--dest", s"$work/kx",
+        "--by", "grp", "--watermark", "us", "--key", "k", "--value-col", "v", "--partitioned"))
+
+    // rebucket: grow a partitioned rollup's bucket count, chain continues
+    val pr = s"$work/part"
+    run("agg", "--source", s"$work/src", "--dest", pr,
+      "--by", "grp", "--watermark", "us", "--value-col", "v", "--partitioned", "--buckets", "4")
+    val before = graft.sync.AggMaintenance.read(spark, pr)
+      .collect().map(_.toString).toSet
+    run("rebucket", "--dest", pr, "--buckets", "16")
+    assert(graft.sync.AggMaintenance.read(spark, pr)
+      .collect().map(_.toString).toSet == before)
+    // old bucket count now refuses; the new one folds the next batch
+    Seq((50L, 4L, "c", 7.0)).toDF("us", "k", "grp", "v")
+      .write.mode("append").parquet(s"$work/src")
+    assertThrows[GraftError.InvalidConfig](
+      run("agg", "--source", s"$work/src", "--dest", pr,
+        "--by", "grp", "--watermark", "us", "--value-col", "v", "--partitioned",
+        "--buckets", "4"))
+    run("agg", "--source", s"$work/src", "--dest", pr,
+      "--by", "grp", "--watermark", "us", "--value-col", "v", "--partitioned", "--buckets", "16")
+    assert(graft.sync.AggMaintenance.read(spark, pr).count() == 3)
+    // --buckets is REQUIRED for rebucket (no silent default relabeling)
+    assertThrows[GraftError.InvalidConfig](
+      Main.parse(Array("rebucket", "--dest", pr)))
   }
 
   test("agg --distinct drives the v3 sketch lane, flat and partitioned") {
