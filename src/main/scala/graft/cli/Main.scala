@@ -75,7 +75,7 @@ import graft.sync.{SyncConfig, SyncEndpoint, SyncPipeline, SyncReport}
   *   runMain graft.cli.Main agg --source <parquet|jdbc:...#t> \
   *     --dest <rollup dir> --by GROUPCOL[,G2] --watermark W \
   *     [--value-col value | --value-col V1,V2 | --moments | --distinct C[,C2]] \
-  *     [--cut N] [--partitioned] [--buckets 64]
+  *     [--cut N] [--partitioned] [--buckets 64] [--kbuckets M]
   *     (default cut assumes a QUIESCED source; for a concurrently
   *     appended source pass an explicit --cut — see runAgg's contract)
   */
@@ -110,7 +110,8 @@ object Main {
                           partitioned: Boolean = false,
                           moments: Boolean = false,
                           distinctCols: Option[String] = None,
-                          valueColSet: Boolean = false)
+                          valueColSet: Boolean = false,
+                          kbuckets: Int = 0)
 
   private val boolFlags = Set("progress", "apply", "partitioned", "moments")
 
@@ -121,7 +122,7 @@ object Main {
         "dedup-lines", "dedup-spans", "diff", "reconcile",
         "bpe-train", "tokenize", "pipeline", "agg",
         "rebucket").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span|jaccard|containment] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--jaccard 0.8] [--threshold 0.99 for containment] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft reconcile --source (PATH|jdbc:...#table) --dest PATH --key K[,K2] [--report PATH] [--apply] | graft bpe-train --source PATH --dest PATH --merges N [--id-col doc_id] [--text-col text] | graft tokenize --source PATH --base MERGES_PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text] | graft pipeline --source PATH --benchmark PATH --dest WORKDIR --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--min-span 24] [--min-docs 2] [--min-tokens N] [--max-tokens N] [--max-contamination 0.0] [--shards 16] [--capacity 2048] [--id-col doc_id] [--text-col text] | graft agg --source (PATH|jdbc:...#table) --dest PATH --by GROUPCOL[,G2] --watermark W [--key K[,K2] last-writer-wins keyed lane] [--value-col value | --value-col V1,V2 | --moments | --distinct C[,C2]] [--cut N] [--partitioned] [--buckets 64] | graft rebucket --dest PATH --buckets N. Note: agg and reconcile commit their watermark/state sidecars via atomic rename; object stores with no AbstractFileSystem binding (e.g. s3a) fall back to delete-then-rename, leaving a small crash window where the sidecar is absent and the rollup refuses reads until the slice is re-applied")
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span|jaccard|containment] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--jaccard 0.8] [--threshold 0.99 for containment] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft reconcile --source (PATH|jdbc:...#table) --dest PATH --key K[,K2] [--report PATH] [--apply] | graft bpe-train --source PATH --dest PATH --merges N [--id-col doc_id] [--text-col text] | graft tokenize --source PATH --base MERGES_PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text] | graft pipeline --source PATH --benchmark PATH --dest WORKDIR --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--min-span 24] [--min-docs 2] [--min-tokens N] [--max-tokens N] [--max-contamination 0.0] [--shards 16] [--capacity 2048] [--id-col doc_id] [--text-col text] | graft agg --source (PATH|jdbc:...#table) --dest PATH --by GROUPCOL[,G2] --watermark W [--key K[,K2] last-writer-wins keyed lane] [--value-col value | --value-col V1,V2 | --moments | --distinct C[,C2]] [--cut N] [--partitioned] [--buckets 64] [--kbuckets 4x-buckets, keyed state store] | graft rebucket --dest PATH --buckets N. Note: agg and reconcile commit their watermark/state sidecars via atomic rename; object stores with no AbstractFileSystem binding (e.g. s3a) fall back to delete-then-rename, leaving a small crash window where the sidecar is absent and the rollup refuses reads until the slice is re-applied")
     val opts = scala.collection.mutable.Map.empty[String, String]
     var i = 1
     while (i < argv.length) {
@@ -249,6 +250,10 @@ object Main {
             if (argv(0) == "agg") "64" else "16"),
           min = 1, max = if (argv(0) == "agg" || argv(0) == "rebucket")
             65536 else 1000000).toInt,
+        // keyed-partitioned state bucket count; 0 = derive (4 × --buckets:
+        // keys are finer-grained than groups)
+        kbuckets = num("kbuckets", opts.getOrElse("kbuckets", "0"),
+          min = 0, max = 65536).toInt,
         quotaTokens = opts.get("quota-tokens").map(num("quota-tokens", _, min = 1)),
         targetTokens = opts.get("target-tokens").map(num("target-tokens", _, min = 1)),
         minDocs = num("min-docs", opts.getOrElse("min-docs", "2"),
@@ -596,10 +601,12 @@ object Main {
         "--key maintains the last-writer-wins keyed lane (cnt/sum over " +
           "one value column); --moments/--distinct/multi-column " +
           "--value-col are append-only lanes — one rollup holds one lane")
-    if (useKeyed && a.partitioned)
+    // --kbuckets only makes sense for the keyed partitioned layout; a
+    // silently ignored flag would hide a misconfigured invocation
+    if (a.kbuckets != 0 && !(useKeyed && a.partitioned))
       throw GraftError.InvalidConfig(
-        "--key is a whole-directory lane (no partitioned keyed layout " +
-          "yet); drop --partitioned or use the append-only lanes")
+        "--kbuckets sizes the keyed partitioned lane's state store; it " +
+          "requires both --key and --partitioned")
     val srcEp = SyncEndpoint.parse(a.source, a.sourceUser, a.sourcePassword)
     val source = srcEp match {
       case SyncEndpoint.ParquetDir(dir) => spark.read.parquet(dir)
@@ -629,7 +636,15 @@ object Main {
       return
     }
     val r =
-      if (useKeyed) graft.sync.AggMaintenance.applySliceKeyed(
+      if (useKeyed && a.partitioned)
+        // keyed partitioned: rollup buckets from --buckets; state buckets
+        // from --kbuckets, defaulting to 4× (keys outnumber groups)
+        graft.sync.AggMaintenance.applySliceKeyedPartitioned(
+          spark, a.dest, source, a.watermark, a.keys, groupCols,
+          valueCols.head, lo, hi, nBuckets = a.buckets,
+          nKeyBuckets = if (a.kbuckets > 0) a.kbuckets
+            else math.min(65536, a.buckets * 4))
+      else if (useKeyed) graft.sync.AggMaintenance.applySliceKeyed(
         spark, a.dest, source, a.watermark, a.keys, groupCols,
         valueCols.head, lo, hi)
       else if (useV3 && a.partitioned)

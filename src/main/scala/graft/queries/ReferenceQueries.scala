@@ -735,6 +735,61 @@ object ReferenceQueries {
             col("sum_val").cast("double").as("sum_value"))
     },
 
+    // A17 — the bucket-PARTITIONED keyed rollup (a16's last-writer-wins
+    // contract × a8's layout): the flat keyed lane rewrites the whole
+    // rollup AND the whole key-state store per slice — O(mirror), the one
+    // cost that grows with the synced table instead of the slice. Here
+    // the rollup is bucketed on the GROUP hash and the key state on the
+    // KEY hash (independent spaces, sized separately), so a slice touches
+    // only the buckets its keys/groups land in; commit order (rollup
+    // buckets, then state buckets, root wm last) + per-bucket watermarks
+    // carry exactly-once across crashes without a cross-bucket
+    // transaction. Same fixture and oracle as a16 — the layout must be
+    // invisible to the result.
+    "a17_agg_maintenance_keyed_partitioned" -> Q(
+      """WITH src AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id,
+        |         epoch_us(ts) + (SELECT max(epoch_us(ts)) - min(epoch_us(ts)) + 1
+        |                         FROM events) AS ts_us,
+        |         'moved' AS event_type, value * 2 AS value
+        |  FROM events WHERE event_id % 10 = 0),
+        |latest AS (
+        |  SELECT event_id, event_type, value FROM (
+        |    SELECT src.*, row_number() OVER (PARTITION BY event_id
+        |                                     ORDER BY ts_us DESC) AS rn
+        |    FROM src) t
+        |  WHERE rn = 1)
+        |SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM latest GROUP BY event_type""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        val base = ev.select(col("event_id"), col("event_type"),
+          col("value"), Tables.tsUs(ev).as("ts"))
+        val b = base.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+          .collect().head
+        val lo = b.getLong(0); val hi = b.getLong(1) + 1
+        val span = hi - lo
+        val updated = base.filter(col("event_id") % 10 === 0)
+          .withColumn("ts", col("ts") + lit(span))
+          .withColumn("event_type", lit("moved"))
+          .withColumn("value", col("value") * 2) // ×2 is float-exact
+        val src = base.unionByName(updated)
+        val stamp = Tables.fixtureStamp(dir, "events")
+        val out = ivmTmp(s, "aggivmkp", s"$dir@$stamp")
+        Seq((lo, hi), (hi, hi + span)).foreach { case (l, h) =>
+          graft.sync.AggMaintenance.applySliceKeyedPartitioned(
+            s, out, src, "ts", Seq("event_id"), Seq("event_type"), "value",
+            l, h, nBuckets = 16, nKeyBuckets = 32)
+        }
+        graft.sync.AggMaintenance.read(s, out)
+          .select(col("event_type"), col("cnt"),
+            col("sum_val").cast("double").as("sum_value"))
+    },
+
     // A15 — WINDOWED rollup IVM: the v1 core is group-generic, so a
     // (user, tumbling-window-start) grouped rollup maintains slice-by-
     // slice with NO new machinery — group cols = user_id + the hour

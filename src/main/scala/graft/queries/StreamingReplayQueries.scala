@@ -528,6 +528,62 @@ object StreamingReplayQueries {
         col("avg_value"),
         col("min_value").cast("double").as("min_value"),
         col("max_value").cast("double").as("max_value"))
+    },
+
+    // T15 — the v3 HLL DISTINCT lane driven as a streaming sink, closing
+    // the last lane of the foreachBatch matrix (t13 = v1, t14 = v2
+    // moments). Micro-batches fold through applySliceDistinct; the gate
+    // is a12's tolerance contract, NOT a hash of the sketches — HLL
+    // estimates are estimator-path-dependent (a union over stream-sized
+    // slices need not be byte-identical to a 3-slice batch fold), but the
+    // ESTIMATE must sit within max(5%, 2) of the exact per-group distinct
+    // count regardless of how many micro-batches carried it. DuckDB emits
+    // the same constant-1 flag over the exact counts.
+    "t15_agg_maintenance_v3_replay" -> Q(
+      """SELECT event_type, count(*) AS cnt, CAST(1 AS BIGINT) AS est_ok
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import graft.sync.AggMaintenance
+      val safeChunks = tsBoundaryChunks(collectedEvents(s, dir))
+      val rollup = java.nio.file.Files
+        .createTempDirectory("t15-replay").toString + "/rollup"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("t15-ckpt").toString
+      withShufflePartitions(s, 4) {
+        val mem = MemoryStream[Ev]
+        val fold: (org.apache.spark.sql.Dataset[Ev], Long) => Unit =
+          (batch, _) => {
+            val b = batch.persist()
+            try {
+              val bounds = b.agg(min(col("tsUs")), max(col("tsUs"))).head()
+              if (!bounds.isNullAt(0)) {
+                val lo = AggMaintenance.watermark(s, rollup)
+                  .getOrElse(bounds.getLong(0))
+                AggMaintenance.applySliceDistinct(s, rollup, b.toDF(),
+                  "tsUs", Seq("eventType"), Seq("userId"), lo,
+                  bounds.getLong(1) + 1)
+                ()
+              }
+            } finally { b.unpersist(); () }
+          }
+        val q = mem.toDS().writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch(fold).start()
+        try safeChunks.foreach { b => mem.addData(b); q.processAllAvailable() }
+        finally q.stop()
+      }
+      val ev = Tables.events(s, dir)
+      val est = AggMaintenance.readDistinct(s, rollup)
+        .select(col("eventType").as("event_type"), col("cnt"),
+          col("approx_distinct_userId").as("est"))
+      val exact = ev.groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("exact"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("cnt"),
+          when(abs(col("est") - col("exact")).cast("double") <=
+            greatest(col("exact").cast("double") * 0.05, lit(2.0)), 1L)
+            .otherwise(0L).as("est_ok"))
     }
   )
 }

@@ -707,6 +707,314 @@ object AggMaintenance {
       v3Metrics(distinctCols), params, lo, hi, nBuckets)
   }
 
+  /** The bucket-partitioned form of [[applySliceKeyed]] — last-writer-wins
+    * rollup maintenance at billion-KEY scale. The flat keyed lane rewrites
+    * the whole rollup AND the whole key-state store on every slice —
+    * O(keys) per apply, the one cost that grows with the mirror, not the
+    * slice. Here both sides are hash-bucketed INDEPENDENTLY:
+    *
+    *   - rollup: `__bucket=K/` on the GROUP hash (the a8 layout) — a
+    *     slice rewrites only the buckets its delta touches;
+    *   - key state: `_GRAFT_AGG_STATE/__kbucket=K/` on the KEY hash
+    *     (xxhash64; keys are ~orders of magnitude finer than groups, so
+    *     `nKeyBuckets` is sized separately) — the retraction lookup reads
+    *     and the state rewrite touches only the buckets where the slice's
+    *     arriving keys land. Steady-state cost is O(slice + touched
+    *     buckets), never O(mirror).
+    *
+    * Exactly-once across crashes WITHOUT a cross-bucket transaction, by
+    * commit ORDER: stage everything first (one job for the merged rollup
+    * buckets, one for the rewritten state buckets), then swap rollup
+    * buckets (per-bucket wm = hi), THEN state buckets, root wm last.
+    *   - A crash during the rollup phase leaves the state store fully
+    *     OLD, so a re-run recomputes the identical deltas (the
+    *     latest-per-key window is deterministic: payload-hash tie-break)
+    *     and per-bucket watermarks skip the already-committed buckets.
+    *   - A crash during the state phase means EVERY rollup bucket
+    *     committed — the re-run's delta is discarded wholesale (each
+    *     touched bucket skips on wm), and the state rewrite is
+    *     IDEMPOTENT per bucket: (state ∖ sliceKeys) ∪ sliceLatest maps
+    *     an already-rewritten bucket to itself. The delta a re-run
+    *     derives from a half-new state store can only touch groups the
+    *     original attempt touched (old-group rows retract into original
+    *     minus-groups, new-group rows into original plus-groups), so no
+    *     unswapped bucket can receive a corrupt merge — and an invariant
+    *     check below turns any violation of the ordering into a typed
+    *     error instead of silent double-count.
+    *   - A crashed attempt with a DIFFERENT cut splits at interior
+    *     bucket watermarks exactly like the append-only core (the wm set
+    *     is the union over rollup and state buckets).
+    *
+    * cnt/sum only, same contract surface as the flat lane (NULL-key
+    * refusal, cnt=0 group removal, `keyed buckets=… kbuckets=…` stamp
+    * cross-refusing every other lane). [[rebucket]] grows the ROLLUP
+    * bucket count (state rides across unchanged — independent hash
+    * spaces). */
+  def applySliceKeyedPartitioned(spark: SparkSession, targetDir: String,
+                                 source: DataFrame, orderCol: String,
+                                 keyCols: Seq[String],
+                                 groupCols: Seq[String], valueCol: String,
+                                 lo: Long, hi: Long, nBuckets: Int,
+                                 nKeyBuckets: Int): AggResult = {
+    require(keyCols.nonEmpty,
+      "applySliceKeyedPartitioned requires at least one key column")
+    require(groupCols.nonEmpty,
+      "applySliceKeyedPartitioned requires at least one group column")
+    require(keyCols.distinct == keyCols,
+      s"duplicate key columns: ${keyCols.mkString(", ")}")
+    require(groupCols.distinct == groupCols,
+      s"duplicate group columns: ${groupCols.mkString(", ")}")
+    require(!(keyCols ++ groupCols).contains(valueCol),
+      s"value column '$valueCol' is also a key/group column — aggregate a " +
+        "copy under a different name")
+    require(!(keyCols ++ groupCols).contains(orderCol) && orderCol != valueCol,
+      s"order column '$orderCol' cannot also be a key/group/value column " +
+        "in the keyed lane (a group that moves on every touch has no " +
+        "stable retraction target)")
+    require(hi >= lo, s"applySliceKeyedPartitioned: hi ($hi) must be >= lo ($lo)")
+    require(nBuckets >= 1 && nBuckets <= 65536,
+      s"nBuckets must be in [1, 65536], got $nBuckets")
+    require(nKeyBuckets >= 1 && nKeyBuckets <= 65536,
+      s"nKeyBuckets must be in [1, 65536], got $nKeyBuckets")
+    val wmType = source.schema(orderCol).dataType
+    require(Watermark.supported(wmType),
+      s"order column '$orderCol' must be integral-numeric or timestamp-typed; " +
+        s"got ${wmType.simpleString}")
+    requireStampSafe("key", keyCols)
+    requireStampSafe("group", groupCols)
+    requireStampSafe("value", Seq(valueCol))
+    requireStampSafe("order", Seq(orderCol))
+    val params = paramsStringKeyedPart(nBuckets, nKeyBuckets, keyCols,
+      groupCols, valueCol, orderCol)
+    validatePartitioned("applySliceKeyedPartitioned", spark, targetDir,
+      params)
+    val fs = new Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(targetDir)
+    val stateRoot = new Path(dst, StateDir)
+    // validatePartitioned healed the whole-dir window and the rollup
+    // buckets; the state store has its own bucket namespace to heal
+    healBuckets(fs, stateRoot.toString)
+
+    val stored = readWm(fs, new Path(dst, WmFile))
+    stored match {
+      case Some(wm) if hi <= wm =>
+        return AggResult(0L, 0L, applied = false, watermarkUs = wm)
+      case Some(wm) =>
+        if (lo != wm) throw graft.core.GraftError.InvalidConfig(
+          s"non-contiguous slice: stored watermark is $wm but slice starts " +
+            s"at $lo — applying it would silently lose [$wm, $lo)")
+      case None =>
+    }
+
+    // a crashed attempt at a DIFFERENT cut: split at each interior bucket
+    // watermark (rollup AND state buckets), replaying the crashed
+    // attempt's own cut first — see applyPartitionedCore's contract
+    val interior = (bucketWms(fs, targetDir) ++
+        bucketWms(fs, stateRoot.toString, "__kbucket="))
+      .filter(w => w > lo && w < hi).distinct.sorted
+    if (interior.nonEmpty) {
+      val mid = interior.head
+      val r1 = applySliceKeyedPartitioned(spark, targetDir, source, orderCol,
+        keyCols, groupCols, valueCol, lo, mid, nBuckets, nKeyBuckets)
+      val r2 = applySliceKeyedPartitioned(spark, targetDir, source, orderCol,
+        keyCols, groupCols, valueCol, mid, hi, nBuckets, nKeyBuckets)
+      return AggResult(r1.groupsWritten + r2.groupsWritten,
+        r1.sliceRows + r2.sliceRows,
+        applied = true, watermarkUs = r2.watermarkUs)
+    }
+
+    if (stored.isEmpty) { // cold start: stamp the layout before any data
+      fs.mkdirs(dst)
+      fs.mkdirs(stateRoot)
+      writeText(fs, new Path(dst, ParamsFile), params)
+      writeText(fs, new Path(dst, SchemaFile),
+        source.select(groupCols.map(col): _*).limit(0)
+          .withColumn("cnt", lit(0L))
+          .withColumn("sum_val", lit(null).cast(SumType)).schema.json)
+    }
+
+    val valC = col(valueCol).cast(ValType)
+    val kbucketOf = pmod(xxhash64(keyCols.map(col): _*),
+      lit(nKeyBuckets.toLong)).cast("int")
+    val slice = source.filter(
+      col(orderCol) >= Watermark.litFor(wmType, lo) &&
+      col(orderCol) < Watermark.litFor(wmType, hi))
+    // latest-per-key within the slice; deterministic payload-hash
+    // tie-break (the flat lane's discipline) so a crash re-run can never
+    // crown a different winner
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol).desc,
+        xxhash64((groupCols.map(col) :+ valC): _*).desc)
+    val ranked = slice
+      .select((keyCols ++ groupCols).map(col) ++
+        Seq(valC.as(valueCol), col(orderCol)): _*)
+      .withColumn("__rn", row_number().over(w))
+      .persist()
+    var delta: Option[DataFrame] = None
+    try {
+      val rawRows = ranked.count()
+      if (rawRows == 0L) { // idle poll: watermark advance only
+        writeWm(fs, new Path(dst, WmFile), hi)
+        return AggResult(0L, 0L, applied = true, watermarkUs = hi)
+      }
+      val nullKeys = ranked
+        .filter(keyCols.map(col(_).isNull).reduce(_ || _)).count()
+      if (nullKeys > 0L)
+        throw graft.core.GraftError.InvalidConfig(
+          s"slice [$lo, $hi) carries $nullKeys row(s) with a NULL key " +
+            s"(${keyCols.mkString(", ")}) — a NULL key cannot be matched " +
+            "to its prior arrival, so last-writer-wins semantics are " +
+            "undefined; filter or repair the source")
+
+      val latest = ranked.filter(col("__rn") === 1)
+        .drop("__rn", orderCol)
+      val keysOnly0 = latest.select(keyCols.map(col): _*)
+      val keysOnly =
+        if (rawRows <= 1000000L) broadcast(keysOnly0) else keysOnly0
+
+      // which state buckets the slice's keys land in — the ONLY state the
+      // retraction lookup and the state rewrite ever read
+      val touchedK = latest.select(kbucketOf.as("__kbucket")).distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      val probesK = parMap(touchedK) { k =>
+        val kp = new Path(stateRoot, s"__kbucket=$k")
+        (k, readWm(fs, new Path(kp, WmFile)), ParquetMergeSink.hasData(fs, kp))
+      }
+      val stateCols = (keyCols ++ groupCols).map(col) :+ col(valueCol)
+      val emptyState = ranked.select(stateCols: _*).limit(0)
+      def readStateDirs(dirs: Seq[String]): DataFrame =
+        if (dirs.isEmpty) emptyState
+        else spark.read.option("basePath", stateRoot.toString)
+          .parquet(dirs: _*)
+          .select((keyCols ++ groupCols).map(col) :+
+            col(valueCol).cast(ValType).as(valueCol): _*)
+      def kDir(k: Int): String = s"${stateRoot.toString}/__kbucket=$k"
+
+      // retraction source: every touched data-bearing state bucket — on a
+      // clean run all are pre-slice (wm < hi); see the invariant below
+      val stateTouched = readStateDirs(
+        probesK.collect { case (k, _, hd) if hd => kDir(k) })
+      val minus = stateTouched.join(keysOnly, keyCols, "inner")
+        .select(groupCols.map(col) :+ col(valueCol): _*)
+        .withColumn("__sign", lit(-1L))
+      val plus = latest.select(groupCols.map(col) :+ col(valueCol): _*)
+        .withColumn("__sign", lit(1L))
+      val deltaDf = plus.unionByName(minus)
+        .groupBy(groupCols.map(col): _*)
+        .agg(sum(col("__sign")).cast("long").as("cnt"),
+          sum((col(valueCol) * col("__sign")).cast(SumType))
+            .cast(SumType).as("sum_val"))
+        .withColumn("__bucket", pmod(hash(groupCols.map(col): _*),
+          lit(nBuckets)))
+        .persist()
+      delta = Some(deltaDf)
+
+      val touchedB = deltaDf.select("__bucket").distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      val probesB = parMap(touchedB) { b =>
+        val bp = new Path(dst, s"__bucket=$b")
+        (b, readWm(fs, new Path(bp, WmFile)), ParquetMergeSink.hasData(fs, bp))
+      }
+      val pendingB = probesB.collect {
+        case (b, wm, _) if !wm.exists(_ >= hi) => b
+      }
+      val pendingK = probesK.collect {
+        case (k, wm, _) if !wm.exists(_ >= hi) => k
+      }
+      // commit-order invariant: state buckets swap strictly AFTER every
+      // rollup bucket — a committed state bucket beside a pending rollup
+      // bucket means the retraction source above was half-new and the
+      // delta is untrustworthy. Single-writer discipline makes this
+      // unreachable; refuse loudly rather than double-count if it is ever
+      // violated (concurrent writers, manual surgery).
+      if (pendingB.nonEmpty && probesK.exists(_._2.exists(_ >= hi)))
+        throw graft.core.GraftError.InvalidConfig(
+          s"rollup at $targetDir has state buckets committed at $hi while " +
+            "rollup buckets are still pending — commit-order invariant " +
+            "violated (concurrent writer?); rebuild the rollup")
+
+      if (pendingB.isEmpty && pendingK.isEmpty) {
+        writeWm(fs, new Path(dst, WmFile), hi)
+        return AggResult(0L, rawRows, applied = true, watermarkUs = hi)
+      }
+
+      // ---- stage (no commits yet) ----
+      val tmpRoot = targetDir.stripSuffix("/") + ".__agg_tmp"
+      val tmpPath = new Path(tmpRoot)
+      if (fs.exists(tmpPath)) fs.delete(tmpPath, true) // stale crash debris
+      val tmpState = new Path(tmpPath, StateDir)
+      var groups = 0L
+      if (pendingB.nonEmpty) {
+        val existingBDirs = probesB.collect {
+          case (b, wm, hd) if !wm.exists(_ >= hi) && hd =>
+            s"${targetDir.stripSuffix("/")}/__bucket=$b"
+        }
+        val pendingDelta = deltaDf.filter(
+          col("__bucket").isin(pendingB: _*))
+        // ONE multi-path read of exactly the pending data-bearing rollup
+        // buckets (plan size O(1) in touched buckets — the r12 lesson)
+        val merged0 =
+          if (existingBDirs.isEmpty) pendingDelta
+          else spark.read.option("basePath", targetDir)
+            .parquet(existingBDirs: _*)
+            .select(groupCols.map(col) ++ Seq(col("__bucket").cast("int"),
+              col("cnt").cast("long"), col("sum_val").cast(SumType)): _*)
+            .unionByName(pendingDelta
+              .select(groupCols.map(col) ++ Seq(col("__bucket"),
+                col("cnt"), col("sum_val")): _*))
+            .groupBy((groupCols.map(col) :+ col("__bucket")): _*)
+            .agg(sum(col("cnt")).cast("long").as("cnt"),
+              sum(col("sum_val")).cast(SumType).as("sum_val"))
+        // a group whose last live key moved away reads cnt=0 — gone
+        val merged = merged0.filter(col("cnt") > 0L)
+        // one owning task per bucket ⇒ one file per bucket per slice
+        merged.repartition(col("__bucket"))
+          .write.mode("overwrite").partitionBy("__bucket").parquet(tmpRoot)
+        // the state subdir below is '_'-hidden, so this counts rollup only
+        groups = spark.read.parquet(tmpRoot).count()
+      } else fs.mkdirs(tmpPath)
+      if (pendingK.nonEmpty) {
+        val existingKPendingDirs = probesK.collect {
+          case (k, wm, hd) if !wm.exists(_ >= hi) && hd => kDir(k)
+        }
+        val statePending = readStateDirs(existingKPendingDirs)
+        val latestPendingK = latest
+          .select(stateCols: _*)
+          .withColumn("__kbucket", kbucketOf)
+          .filter(col("__kbucket").isin(pendingK: _*))
+        val newState = statePending.join(keysOnly, keyCols, "left_anti")
+          .withColumn("__kbucket", kbucketOf)
+          .unionByName(latestPendingK)
+        newState.repartition(col("__kbucket"))
+          .write.mode("overwrite").partitionBy("__kbucket")
+          .parquet(tmpState.toString)
+      }
+
+      // ---- commit: rollup buckets, THEN state buckets, root wm LAST ----
+      parMap(pendingB) { b =>
+        val staged = new Path(tmpRoot, s"__bucket=$b")
+        if (!fs.exists(staged)) fs.mkdirs(staged) // bucket fully vacated
+        writeWm(fs, new Path(staged, WmFile), hi)
+        swapBucket(fs, targetDir, s"__bucket=$b", staged)
+      }
+      parMap(pendingK) { k =>
+        val staged = new Path(tmpState, s"__kbucket=$k")
+        if (!fs.exists(staged)) fs.mkdirs(staged)
+        writeWm(fs, new Path(staged, WmFile), hi)
+        swapBucket(fs, stateRoot.toString, s"__kbucket=$k", staged)
+      }
+      fs.delete(tmpPath, true)
+      writeWm(fs, new Path(dst, WmFile), hi)
+      AggResult(groups, rawRows, applied = true, watermarkUs = hi)
+    } finally {
+      ranked.unpersist()
+      delta.foreach(_.unpersist())
+      ()
+    }
+  }
+
   /** Shared stamp validation for the partitioned fronts. A mismatched
     * stamp names the lane that CAN apply it (the full v1/v2/v3 ×
     * flat/partitioned matrix in one place); the core below never
@@ -750,9 +1058,10 @@ object AggMaintenance {
     case s if s.startsWith("v1 buckets=") => "applySlicePartitioned"
     case s if s.startsWith("v2 buckets=") => "applySlicePartitionedV2"
     case s if s.startsWith("v3 buckets=") => "applySlicePartitionedDistinct"
-    case s if s.startsWith("v2 flat")     => "applySliceV2"
-    case s if s.startsWith("v3 flat")     => "applySliceDistinct"
-    case s if s.startsWith("keyed flat")  => "applySliceKeyed"
+    case s if s.startsWith("v2 flat")        => "applySliceV2"
+    case s if s.startsWith("v3 flat")        => "applySliceDistinct"
+    case s if s.startsWith("keyed buckets=") => "applySliceKeyedPartitioned"
+    case s if s.startsWith("keyed flat")     => "applySliceKeyed"
     case _                                => "the matching applySlice* lane"
   }
 
@@ -977,7 +1286,11 @@ object AggMaintenance {
       throw graft.core.GraftError.InvalidConfig(
         s"rollup at $targetDir has no root watermark — not a committed " +
           "AggMaintenance table"))
-    if (bucketWms(fs, targetDir).exists(_ > wm))
+    val stateRoot = new Path(dst, StateDir)
+    val keyed = tokens.headOption.contains("keyed")
+    if (keyed) healBuckets(fs, stateRoot.toString)
+    if (bucketWms(fs, targetDir).exists(_ > wm) ||
+        bucketWms(fs, stateRoot.toString, "__kbucket=").exists(_ > wm))
       throw graft.core.GraftError.InvalidConfig(
         s"rollup at $targetDir has bucket watermarks past the root " +
           s"watermark $wm — a crashed apply is mid-slice; re-run that " +
@@ -1005,6 +1318,31 @@ object AggMaintenance {
           st.getPath.getName.startsWith("__bucket="))
         .map(_.getPath)
     parMap(written) { bp => writeWm(fs, new Path(bp, WmFile), wm) }
+    // KEYED layout: the key-state store rides inside the rollup dir, so
+    // the whole-dir swap below would silently DROP it — rewrite it into
+    // the staged root (kbucket labels unchanged: the state hash space is
+    // independent of the rollup bucket count; per-kbucket watermarks
+    // restart at the root wm like the rollup buckets). A crash anywhere
+    // still lands on a complete layout: the old dir keeps its state until
+    // the swap, the staged dir carries its own copy.
+    if (keyed) {
+      val tmpState = new Path(tmpPath, StateDir)
+      val hasStateRows = fs.exists(stateRoot) &&
+        fs.listStatus(stateRoot).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("__kbucket="))
+      if (hasStateRows) {
+        spark.read.option("basePath", stateRoot.toString)
+          .parquet(stateRoot.toString)
+          .repartition(col("__kbucket"))
+          .write.mode("overwrite").partitionBy("__kbucket")
+          .parquet(tmpState.toString)
+        val kWritten = fs.listStatus(tmpState).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("__kbucket="))
+          .map(_.getPath)
+        parMap(kWritten) { kp => writeWm(fs, new Path(kp, WmFile), wm) }
+      } else fs.mkdirs(tmpState)
+    }
     readText(fs, new Path(dst, SchemaFile)).foreach(
       writeText(fs, new Path(tmpPath, SchemaFile), _))
     writeText(fs, new Path(tmpPath, ParamsFile), newParams.mkString(" "))
@@ -1196,6 +1534,18 @@ object AggMaintenance {
     s"keyed flat key=${keyCols.mkString("+")} " +
       s"group=${groupCols.mkString("+")} value=$valueCol order=$orderCol"
 
+  /** keyed partitioned stamp: `buckets=` MUST be the second token ([[read]]
+    * keys the partitioned branch off it, [[rebucket]] rewrites it);
+    * `kbuckets=` fixes the independent key-state hash space. */
+  private def paramsStringKeyedPart(nBuckets: Int, nKeyBuckets: Int,
+                                    keyCols: Seq[String],
+                                    groupCols: Seq[String],
+                                    valueCol: String,
+                                    orderCol: String): String =
+    s"keyed buckets=$nBuckets kbuckets=$nKeyBuckets " +
+      s"key=${keyCols.mkString("+")} group=${groupCols.mkString("+")} " +
+      s"value=$valueCol order=$orderCol"
+
   /** v2 flat stamp: no `buckets=` token — [[read]] keys partitioned-ness
     * off the `… buckets=` prefixes, so a v2 whole-dir table reads through
     * the whole-dir (backup-aware) branch. */
@@ -1350,14 +1700,17 @@ object AggMaintenance {
     }
 
   /** Every bucket's applied watermark (driver-side file reads, bounded by
-    * the bucket count; parallel — see [[parMap]]). */
-  private def bucketWms(fs: FileSystem, targetDir: String): Seq[Long] = {
+    * the bucket count; parallel — see [[parMap]]). `prefix` selects the
+    * partition namespace: rollup buckets (`__bucket=`) or the keyed
+    * lane's state buckets (`__kbucket=`). */
+  private def bucketWms(fs: FileSystem, targetDir: String,
+                        prefix: String = "__bucket="): Seq[Long] = {
     val root = new Path(targetDir)
     if (!fs.exists(root)) Nil
     else {
       val dirs = fs.listStatus(root).toSeq
         .filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith("__bucket="))
+          st.getPath.getName.startsWith(prefix))
       parMap(dirs)(st => readWm(fs, new Path(st.getPath, WmFile))).flatten
     }
   }

@@ -849,6 +849,88 @@ object ScaleStress {
       }
       } // wants("aggivmwide")
 
+      if (wants("aggivmkeyed")) {
+      // KEYED (last-writer-wins) IVM at scale: the flat lane rewrites the
+      // whole rollup AND the whole key-state store per slice — O(mirror)
+      // — while the partitioned lane's claim is O(slice + touched
+      // buckets). The arm builds both layouts over the replicated mirror
+      // (key = event_id, group = user_id), then times an UPDATE-shaped 1%
+      // delta (re-arrived keys, value changed, every 5th moves group)
+      // against each; the partitioned delta must stay flat as rep grows
+      // while the flat delta grows with the mirror. Equality gate:
+      // partitioned ≡ flat ≡ latest-per-key one-shot.
+      {
+        val evDir = s"$work/aggivmk_events_x$rep"
+        val ev = Tables.events(spark, sfDir)
+        ev.crossJoin(spark.range(rep).select(col("id").as("__rep")))
+          .select(
+            (col("event_id") + col("__rep") * 1000000000L).as("event_id"),
+            Tables.tsUs(ev).as("ts"),
+            (col("user_id") + col("__rep") * 1000000L).as("user_id"),
+            col("value"))
+          .write.mode(SaveMode.Overwrite).parquet(evDir)
+        val src = spark.read.parquet(evDir)
+        val bounds = src.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+          .first()
+        val lo = bounds.getLong(0); val hi = bounds.getLong(1) + 1
+        val span = hi - lo
+        val fdest = s"$work/aggivmk_flat_x$rep"
+        val pdest = s"$work/aggivmk_part_x$rep"
+        val nB = 64; val nKB = 256
+        val (rf, tfBuild) = timed(graft.sync.AggMaintenance.applySliceKeyed(
+          spark, fdest, src, "ts", Seq("event_id"), Seq("user_id"), "value",
+          lo, hi))
+        jline("aggivmkeyed_flat_build", rep, tfBuild, rf.sliceRows)
+        val (rp, tpBuild) = timed(
+          graft.sync.AggMaintenance.applySliceKeyedPartitioned(
+            spark, pdest, src, "ts", Seq("event_id"), Seq("user_id"),
+            "value", lo, hi, nB, nKB))
+        jline("aggivmkeyed_part_build", rep, tpBuild, rp.sliceRows,
+          Seq("buckets" -> nB.toString, "kbuckets" -> nKB.toString))
+        // the reference's UPDATE shape: 1% of keys re-arrive one span
+        // later with a new value; every 5th of those also moves group
+        val delta = src.filter(col("event_id") % 100 === 0)
+          .withColumn("ts", col("ts") + lit(span))
+          .withColumn("value", col("value") * 2)
+          .withColumn("user_id",
+            when(col("event_id") % 500 === 0, col("user_id") + 7L)
+              .otherwise(col("user_id")))
+        val (rfd, tfDelta) = timed(graft.sync.AggMaintenance.applySliceKeyed(
+          spark, fdest, delta, "ts", Seq("event_id"), Seq("user_id"),
+          "value", hi, hi + span))
+        jline("aggivmkeyed_delta_flat", rep, tfDelta, rfd.sliceRows)
+        val (rpd, tpDelta) = timed(
+          graft.sync.AggMaintenance.applySliceKeyedPartitioned(
+            spark, pdest, delta, "ts", Seq("event_id"), Seq("user_id"),
+            "value", hi, hi + span, nB, nKB))
+        jline("aggivmkeyed_delta_partitioned", rep, tpDelta, rpd.sliceRows,
+          Seq("groups_rewritten" -> rpd.groupsWritten.toString))
+        // equality: both layouts ≡ the latest-per-key one-shot groupBy
+        val all = src.unionByName(delta)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_id").orderBy(col("ts").desc)
+        val want = all.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,4)"))
+              .cast("decimal(28,4)").as("sum_val"))
+        def roll(d: String) = graft.sync.AggMaintenance.read(spark, d)
+          .select(col("user_id"), col("cnt"),
+            col("sum_val").cast("decimal(28,4)").as("sum_val"))
+        val dF = roll(fdest).exceptAll(want).count() +
+          want.exceptAll(roll(fdest)).count()
+        val dP = roll(pdest).exceptAll(want).count() +
+          want.exceptAll(roll(pdest)).count()
+        jline("aggivmkeyed_equal", rep, 0.0, want.count(),
+          Seq("flat_equal" -> (if (dF == 0) "1" else "0"),
+            "part_equal" -> (if (dP == 0) "1" else "0")))
+        if (dF != 0 || dP != 0) sys.error(
+          s"keyed aggivm diverged from latest-per-key one-shot at x$rep: " +
+            s"flat=$dF part=$dP rows")
+      }
+      } // wants("aggivmkeyed")
+
       if (wants("mhindex")) {
       // the persisted MinHash index (e1h) at scale: the claim is that
       // signature computation — the expensive term of every minhashJoin —

@@ -856,6 +856,216 @@ class AggMaintenanceSpec extends SparkSpec {
     assert(got == want)
   }
 
+  // ---- keyed PARTITIONED lane (bucketed rollup + bucketed key state) ----
+
+  private def applyKP(dir: String, src: org.apache.spark.sql.DataFrame,
+                      lo: Long, hi: Long, nBuckets: Int = 8,
+                      nKeyBuckets: Int = 8) =
+    AggMaintenance.applySliceKeyedPartitioned(
+      spark, dir, src, "us", Seq("k"), Seq("grp"), "v", lo, hi,
+      nBuckets, nKeyBuckets)
+
+  private def copyDir(from: String, to: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(from).getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(from),
+      fs, new org.apache.hadoop.fs.Path(to), false, conf)
+    ()
+  }
+
+  test("keyed partitioned: folds equal the flat keyed lane; untouched buckets keep files") {
+    val s1 = rowsK(
+      (10L, 1L, "a", 1.0), (20L, 2L, "a", 2.0), (30L, 3L, "b", 4.0),
+      (40L, 4L, "c", 8.0))
+    val s2 = rowsK(
+      // key 1 value update, key 3 group move b→d, key 5 new, key 4
+      // re-arrives twice within the slice (latest wins)
+      (110L, 1L, "a", 10.0), (120L, 3L, "d", 5.0), (130L, 5L, "b", 7.0),
+      (140L, 4L, "c", 1.0), (150L, 4L, "c", 2.5))
+    val src = s1.unionByName(s2)
+    val flat = tmpDir("agg-keyed-flat")
+    val part = tmpDir("agg-keyed-part")
+    Seq((0L, 100L), (100L, 200L)).foreach { case (l, h) =>
+      applyK(flat, src, l, h)
+      val r = applyKP(part, src, l, h)
+      assert(r.applied)
+    }
+    assert(snapshotK(part) == snapshotK(flat))
+    assert(snapshotK(part) == Map(
+      "a" -> ((2L, Some(12.0))), "b" -> ((1L, Some(7.0))),
+      "c" -> ((1L, Some(2.5))), "d" -> ((1L, Some(5.0)))))
+    // an untouched bucket's files survive byte-identically: fold a third
+    // slice touching ONLY group "a" (key 1 again) and assert every bucket
+    // not holding "a"/key-1 kept its exact file set
+    val before = bucketFiles(part)
+    val s3 = rowsK((210L, 1L, "a", 3.0))
+    applyKP(part, s3, 200L, 300L)
+    val after = bucketFiles(part)
+    val aBucket = "__bucket=" + bucketOf("a")
+    before.keys.filterNot(_ == aBucket).foreach { b =>
+      assert(after(b) == before(b), s"untouched $b was rewritten") }
+    assert(after(aBucket) != before(aBucket))
+    assert(snapshotK(part)("a") == ((2L, Some(5.0))))
+  }
+
+  test("keyed partitioned: replay no-ops, gap refuses, empty slice advances, cold empty readable") {
+    val dir = tmpDir("agg-keyed-part")
+    val em = applyKP(dir, rowsK((10L, 1L, "a", 1.0)), 100L, 200L)
+    assert(em.applied && em.sliceRows == 0)
+    assert(AggMaintenance.read(spark, dir).count() == 0)
+    assert(AggMaintenance.watermark(spark, dir).contains(200L))
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      applyKP(dir, rowsK((310L, 1L, "a", 1.0)), 300L, 400L))
+    val more = rowsK((250L, 2L, "b", 2.0))
+    applyKP(dir, more, 200L, 400L)
+    assert(snapshotK(dir) == Map("b" -> ((1L, Some(2.0)))))
+    val before = snapshotK(dir)
+    val rp = applyKP(dir, more, 200L, 400L)
+    assert(!rp.applied && snapshotK(dir) == before)
+    // NULL key refuses typed (same contract as the flat lane)
+    val nullKey = Seq((410L, null.asInstanceOf[java.lang.Long], "a",
+      java.lang.Double.valueOf(1.0))).toDF("us", "k", "grp", "v")
+    val e = intercept[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySliceKeyedPartitioned(
+        spark, dir, nullKey, "us", Seq("k"), Seq("grp"), "v", 400L, 500L,
+        8, 8))
+    assert(e.getMessage.contains("NULL key"))
+    // a group vacated across buckets disappears from the read
+    applyKP(dir, rowsK((450L, 2L, "c", 2.0)), 400L, 500L)
+    assert(snapshotK(dir) == Map("c" -> ((1L, Some(2.0)))))
+  }
+
+  test("keyed partitioned: crash windows replay to the exact same state") {
+    val s1 = rowsK(
+      (10L, 1L, "a", 1.0), (20L, 2L, "b", 2.0), (30L, 3L, "c", 4.0))
+    val s2 = rowsK(
+      (110L, 1L, "b", 10.0), (120L, 4L, "a", 5.0), (130L, 2L, "b", 3.0))
+    val src = s1.unionByName(s2)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // the fully-applied truth
+    val want = tmpDir("agg-kp-want")
+    applyKP(want, src, 0L, 100L); applyKP(want, src, 100L, 200L)
+    val wantSnap = snapshotK(want)
+
+    // crash window 1: every bucket committed, root wm not yet written —
+    // the re-run must no-op the merges and just advance the root wm
+    val d1 = tmpDir("agg-kp-c1")
+    applyKP(d1, src, 0L, 100L); applyKP(d1, src, 100L, 200L)
+    val fs1 = new org.apache.hadoop.fs.Path(d1).getFileSystem(conf)
+    graft.core.SidecarIO.write(fs1,
+      new org.apache.hadoop.fs.Path(d1, "_GRAFT_AGG_WM"), "100")
+    val r1 = applyKP(d1, src, 100L, 200L)
+    assert(r1.applied && r1.watermarkUs == 200L)
+    assert(snapshotK(d1) == wantSnap)
+
+    // crash window 2: all ROLLUP buckets committed, ONE state bucket
+    // still old, root wm old — the state rewrite must be idempotent and
+    // the stale delta discarded wholesale
+    val d2 = tmpDir("agg-kp-c2")
+    applyKP(d2, src, 0L, 100L)
+    val pre2 = tmpDir("agg-kp-c2-pre") + "/copy"
+    copyDir(d2, pre2)
+    applyKP(d2, src, 100L, 200L)
+    val fs2 = new org.apache.hadoop.fs.Path(d2).getFileSystem(conf)
+    // key 1's state bucket: holds key 1 BEFORE the slice and is rewritten
+    // BY it (key 1 re-arrives in s2) — the rollback below must bite
+    val victim = "__kbucket=" + spark.range(1).select(
+      pmod(xxhash64(lit(1L)), lit(8L)).cast("int")).first().getInt(0)
+    assert(new java.io.File(pre2, s"_GRAFT_AGG_STATE/$victim").isDirectory)
+    val dstK = new org.apache.hadoop.fs.Path(d2, s"_GRAFT_AGG_STATE/$victim")
+    fs2.delete(dstK, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs2,
+      new org.apache.hadoop.fs.Path(pre2, s"_GRAFT_AGG_STATE/$victim"),
+      fs2, dstK, false, conf)
+    graft.core.SidecarIO.write(fs2,
+      new org.apache.hadoop.fs.Path(d2, "_GRAFT_AGG_WM"), "100")
+    val r2 = applyKP(d2, src, 100L, 200L)
+    assert(r2.applied && snapshotK(d2) == wantSnap)
+    // and the repaired state store retracts correctly on the NEXT slice
+    applyKP(d2, rowsK((210L, 1L, "c", 1.0)), 200L, 300L)
+    val want3 = tmpDir("agg-kp-want3")
+    applyKP(want3, src, 0L, 100L); applyKP(want3, src, 100L, 200L)
+    applyKP(want3, rowsK((210L, 1L, "c", 1.0)), 200L, 300L)
+    assert(snapshotK(d2) == snapshotK(want3))
+
+    // crash window 3: ONE rollup bucket and ALL state buckets still old
+    // (crash mid-rollup-phase) — per-bucket wms skip the committed
+    // buckets and the old state reproduces the identical delta
+    val d3 = tmpDir("agg-kp-c3")
+    applyKP(d3, src, 0L, 100L)
+    val pre3 = tmpDir("agg-kp-c3-pre") + "/copy"
+    copyDir(d3, pre3)
+    applyKP(d3, src, 100L, 200L)
+    val fs3 = new org.apache.hadoop.fs.Path(d3).getFileSystem(conf)
+    // roll the whole state store AND one rollup bucket back to pre-slice
+    fs3.delete(new org.apache.hadoop.fs.Path(d3, "_GRAFT_AGG_STATE"), true)
+    org.apache.hadoop.fs.FileUtil.copy(fs3,
+      new org.apache.hadoop.fs.Path(pre3, "_GRAFT_AGG_STATE"), fs3,
+      new org.apache.hadoop.fs.Path(d3, "_GRAFT_AGG_STATE"), false, conf)
+    // group b's bucket: existed before the slice (key 2 is in b) and the
+    // slice rewrites it (key 1 moves a→b, key 2's value changes) — the
+    // rollback must bite
+    val victimB = "__bucket=" + bucketOf("b")
+    assert(new java.io.File(pre3, victimB).isDirectory)
+    val dstB = new org.apache.hadoop.fs.Path(d3, victimB)
+    fs3.delete(dstB, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs3,
+      new org.apache.hadoop.fs.Path(pre3, victimB), fs3, dstB, false, conf)
+    graft.core.SidecarIO.write(fs3,
+      new org.apache.hadoop.fs.Path(d3, "_GRAFT_AGG_WM"), "100")
+    val r3 = applyKP(d3, src, 100L, 200L)
+    assert(r3.applied && snapshotK(d3) == wantSnap)
+  }
+
+  test("keyed partitioned: cross-lane / cross-parameterization refusals") {
+    val src = rowsK((10L, 1L, "a", 1.0))
+    val dir = tmpDir("agg-keyed-part")
+    applyKP(dir, src, 0L, 100L)
+    // flat keyed on a partitioned keyed table names the owning lane
+    val e1 = intercept[graft.core.GraftError.InvalidConfig](
+      applyK(dir, src, 100L, 200L))
+    assert(e1.getMessage.contains("applySliceKeyedPartitioned"))
+    // append-only partitioned lanes refuse it too
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySlicePartitioned(
+        spark, dir, rows((110L, "a", 1.0)), "us", Seq("grp"), "v",
+        100L, 200L, nBuckets = 8))
+    // different bucket / kbucket counts are foreign parameterizations
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      applyKP(dir, src, 100L, 200L, nBuckets = 16))
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      applyKP(dir, src, 100L, 200L, nKeyBuckets = 16))
+    // partitioned keyed on a FLAT keyed table refuses
+    val flat = tmpDir("agg-keyed-flat")
+    applyK(flat, src, 0L, 100L)
+    val e2 = intercept[graft.core.GraftError.InvalidConfig](
+      applyKP(flat, src, 100L, 200L))
+    assert(e2.getMessage.contains("applySliceKeyed"))
+  }
+
+  test("keyed partitioned: rebucket carries the key-state store across the swap") {
+    val s1 = rowsK(
+      (10L, 1L, "a", 1.0), (20L, 2L, "b", 2.0), (30L, 3L, "c", 4.0))
+    val dir = tmpDir("agg-keyed-part")
+    applyKP(dir, s1, 0L, 100L, nBuckets = 4, nKeyBuckets = 4)
+    val before = snapshotK(dir)
+    AggMaintenance.rebucket(spark, dir, 16)
+    assert(snapshotK(dir) == before, "relabeled rollup must read identically")
+    assert(new java.io.File(dir, "_GRAFT_AGG_STATE").isDirectory,
+      "rebucket must carry the state store across the whole-dir swap")
+    // the old bucket count refuses on the stamp
+    val e = intercept[graft.core.GraftError.InvalidConfig](
+      applyKP(dir, rowsK((110L, 1L, "b", 9.0)), 100L, 200L,
+        nBuckets = 4, nKeyBuckets = 4))
+    assert(e.getMessage.contains("different parameters"))
+    // and the carried state still RETRACTS: key 1 moves a→b with a new
+    // value — sum must move by replacement, group a must disappear
+    applyKP(dir, rowsK((110L, 1L, "b", 9.0)), 100L, 200L,
+      nBuckets = 16, nKeyBuckets = 4)
+    assert(snapshotK(dir) == Map(
+      "b" -> ((2L, Some(11.0))), "c" -> ((1L, Some(4.0)))))
+  }
+
   test("timestamp order column: bounds are canonical µs, filter on native type") {
     val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
     val us = graft.core.Tables.tsUs(ev)

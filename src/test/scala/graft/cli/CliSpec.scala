@@ -554,7 +554,7 @@ class CliSpec extends SparkSpec {
       .toMap
     assert(d == Map("a" -> ((2L, 12.0)), "b" -> ((1L, 4.0))))
     // one rollup holds one lane: --key beside any append-only lane flag
-    // refuses, and the keyed lane has no partitioned layout
+    // refuses
     assertThrows[GraftError.InvalidConfig](
       run("agg", "--source", s"$work/src", "--dest", s"$work/kx",
         "--by", "grp", "--watermark", "us", "--key", "k", "--value-col", "v", "--moments"))
@@ -562,9 +562,30 @@ class CliSpec extends SparkSpec {
       run("agg", "--source", s"$work/src", "--dest", s"$work/kx",
         "--by", "grp", "--watermark", "us", "--key", "k",
         "--distinct", "grp"))
+    // --key + --partitioned drives the bucketed keyed lane end-to-end and
+    // must read identically to the flat keyed rollup above
+    run("agg", "--source", s"$work/src", "--dest", s"$work/keyedp",
+      "--by", "grp", "--watermark", "us", "--key", "k", "--value-col", "v",
+      "--partitioned", "--buckets", "4", "--kbuckets", "8")
+    val dp = graft.sync.AggMaintenance.read(spark, s"$work/keyedp")
+      .select(col("grp"), col("cnt"), col("sum_val").cast("double"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(dp == d)
+    assert(new java.io.File(s"$work/keyedp").listFiles()
+      .exists(_.getName.startsWith("__bucket=")))
+    assert(new java.io.File(s"$work/keyedp/_GRAFT_AGG_STATE").listFiles()
+      .exists(_.getName.startsWith("__kbucket=")))
+    // --kbuckets outside the keyed partitioned lane refuses (a silently
+    // ignored sizing flag would hide a misconfigured invocation)
     assertThrows[GraftError.InvalidConfig](
       run("agg", "--source", s"$work/src", "--dest", s"$work/kx",
-        "--by", "grp", "--watermark", "us", "--key", "k", "--value-col", "v", "--partitioned"))
+        "--by", "grp", "--watermark", "us", "--value-col", "v",
+        "--partitioned", "--kbuckets", "8"))
+    assertThrows[GraftError.InvalidConfig](
+      run("agg", "--source", s"$work/src", "--dest", s"$work/kx",
+        "--by", "grp", "--watermark", "us", "--key", "k", "--value-col", "v",
+        "--kbuckets", "8"))
 
     // rebucket: grow a partitioned rollup's bucket count, chain continues
     val pr = s"$work/part"
