@@ -1258,11 +1258,20 @@ object AggMaintenance {
     * Re-run the crashed apply first, then rebucket.
     *
     * Single-writer like every apply; O(groups) data movement with ONE
-    * shuffle keyed on the new bucket id. */
+    * shuffle keyed on the new bucket id.
+    *
+    * KEYED layouts: the key-state store rides across the swap (rewritten
+    * into the staged root — dropping it would sever every future
+    * retraction), and `newKeyBuckets` optionally grows the state store's
+    * own frozen `kbuckets=` hash space in the same pass (relabeled on the
+    * same xxhash64 key hash the apply lane uses; 0 keeps the old count).
+    * O(groups + keys) data movement for a keyed relabel. */
   def rebucket(spark: SparkSession, targetDir: String,
-               newBuckets: Int): Unit = {
+               newBuckets: Int, newKeyBuckets: Int = 0): Unit = {
     require(newBuckets >= 1 && newBuckets <= 65536,
       s"newBuckets must be in [1, 65536], got $newBuckets")
+    require(newKeyBuckets >= 0 && newKeyBuckets <= 65536,
+      s"newKeyBuckets must be in [0, 65536] (0 = keep), got $newKeyBuckets")
     val fs = new Path(targetDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = new Path(targetDir)
@@ -1281,13 +1290,31 @@ object AggMaintenance {
       .map(_.stripPrefix("group=").split('+').toSeq).getOrElse(
         throw graft.core.GraftError.InvalidConfig(
           s"malformed partitioned stamp at $targetDir: '$params'"))
-    if (oldBuckets == newBuckets) return // relabeling to itself: no-op
+    val keyed = tokens.headOption.contains("keyed")
+    if (newKeyBuckets > 0 && !keyed)
+      throw graft.core.GraftError.InvalidConfig(
+        s"rollup at $targetDir is stamped '$params' — newKeyBuckets " +
+          "resizes the keyed lane's state store; this layout has none")
+    // the keyed state store's own growth path: its kbuckets= hash space
+    // is as frozen as the rollup's buckets= — a mirror that outgrows it
+    // would be stuck with executor-memory-sized state buckets forever
+    val oldKb = if (!keyed) 0 else tokens.lift(2)
+      .filter(_.startsWith("kbuckets="))
+      .map(_.stripPrefix("kbuckets=").toInt).getOrElse(
+        throw graft.core.GraftError.InvalidConfig(
+          s"malformed keyed partitioned stamp at $targetDir: '$params'"))
+    val kb = if (newKeyBuckets > 0) newKeyBuckets else oldKb
+    val keyCols = if (!keyed) Seq.empty[String] else
+      tokens.find(_.startsWith("key="))
+        .map(_.stripPrefix("key=").split('+').toSeq).getOrElse(
+          throw graft.core.GraftError.InvalidConfig(
+            s"malformed keyed partitioned stamp at $targetDir: '$params'"))
+    if (oldBuckets == newBuckets && kb == oldKb) return // no-op relabel
     val wm = readWm(fs, new Path(dst, WmFile)).getOrElse(
       throw graft.core.GraftError.InvalidConfig(
         s"rollup at $targetDir has no root watermark — not a committed " +
           "AggMaintenance table"))
     val stateRoot = new Path(dst, StateDir)
-    val keyed = tokens.headOption.contains("keyed")
     if (keyed) healBuckets(fs, stateRoot.toString)
     if (bucketWms(fs, targetDir).exists(_ > wm) ||
         bucketWms(fs, stateRoot.toString, "__kbucket=").exists(_ > wm))
@@ -1296,8 +1323,10 @@ object AggMaintenance {
           s"watermark $wm — a crashed apply is mid-slice; re-run that " +
           "apply to completion first, then rebucket")
 
-    val newParams = (tokens.take(1) :+ s"buckets=$newBuckets") ++
-      tokens.drop(2)
+    val newParams =
+      if (!keyed) (tokens.take(1) :+ s"buckets=$newBuckets") ++ tokens.drop(2)
+      else (tokens.take(1) :+ s"buckets=$newBuckets" :+ s"kbuckets=$kb") ++
+        tokens.drop(3)
     val tmpRoot = targetDir.stripSuffix("/") + ".__agg_tmp"
     val tmpPath = new Path(tmpRoot)
     if (fs.exists(tmpPath)) fs.delete(tmpPath, true) // stale crash debris
@@ -1331,9 +1360,15 @@ object AggMaintenance {
         fs.listStatus(stateRoot).exists(st =>
           st.isDirectory && st.getPath.getName.startsWith("__kbucket="))
       if (hasStateRows) {
-        spark.read.option("basePath", stateRoot.toString)
+        // kbuckets unchanged → pure rewrite preserving labels; changed →
+        // relabel on the SAME xxhash64 key hash the apply lane uses
+        val st0 = spark.read.option("basePath", stateRoot.toString)
           .parquet(stateRoot.toString)
-          .repartition(col("__kbucket"))
+        val st =
+          if (kb == oldKb) st0
+          else st0.drop("__kbucket").withColumn("__kbucket",
+            pmod(xxhash64(keyCols.map(col): _*), lit(kb.toLong)).cast("int"))
+        st.repartition(col("__kbucket"))
           .write.mode("overwrite").partitionBy("__kbucket")
           .parquet(tmpState.toString)
         val kWritten = fs.listStatus(tmpState).toSeq

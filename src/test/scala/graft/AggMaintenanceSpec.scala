@@ -1064,6 +1064,24 @@ class AggMaintenanceSpec extends SparkSpec {
       nBuckets = 16, nKeyBuckets = 4)
     assert(snapshotK(dir) == Map(
       "b" -> ((2L, Some(11.0))), "c" -> ((1L, Some(4.0)))))
+    // the state store's OWN growth path: kbuckets 4 → 16 relabels on the
+    // key hash; the old kbucket count then refuses, and retraction still
+    // works through the relabeled store (key 2 changes value in place)
+    AggMaintenance.rebucket(spark, dir, 16, newKeyBuckets = 16)
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      applyKP(dir, rowsK((210L, 2L, "b", 5.0)), 200L, 300L,
+        nBuckets = 16, nKeyBuckets = 4))
+    applyKP(dir, rowsK((210L, 2L, "b", 5.0)), 200L, 300L,
+      nBuckets = 16, nKeyBuckets = 16)
+    assert(snapshotK(dir) == Map(
+      "b" -> ((2L, Some(14.0))), "c" -> ((1L, Some(4.0)))))
+    // newKeyBuckets on a non-keyed layout refuses
+    val plain = tmpDir("agg-ivm-part")
+    AggMaintenance.applySlicePartitioned(spark, plain,
+      rows((10L, "a", 1.0)), "us", Seq("grp"), "v", 0L, 100L, nBuckets = 4)
+    val e2 = intercept[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.rebucket(spark, plain, 8, newKeyBuckets = 16))
+    assert(e2.getMessage.contains("state store"))
   }
 
   test("timestamp order column: bounds are canonical µs, filter on native type") {
