@@ -596,11 +596,21 @@ object Main {
     // (min/max are not retractable), single value column, flat layout;
     // any other lane flag beside --key refuses rather than being ignored
     val useKeyed = a.keys.nonEmpty
-    if (useKeyed && (a.moments || useV3 || valueCols.size > 1))
+    // keyed + distinct can never compose: HLL sketches are not
+    // retractable, so a last-writer-wins distinct rollup has no
+    // incremental form
+    if (useKeyed && useV3)
       throw GraftError.InvalidConfig(
-        "--key maintains the last-writer-wins keyed lane (cnt/sum over " +
-          "one value column); --moments/--distinct/multi-column " +
-          "--value-col are append-only lanes — one rollup holds one lane")
+        "--key maintains the last-writer-wins keyed lane; --distinct " +
+          "maintains HLL sketches, which cannot RETRACT a replaced key's " +
+          "contribution — keyed distinct counts need a full regroup")
+    // keyed MOMENTS ride the partitioned layout only (the production
+    // shape; a flat keyed-moments rewrite would be O(mirror) per slice)
+    if (useKeyed && (a.moments || valueCols.size > 1) && !a.partitioned)
+      throw GraftError.InvalidConfig(
+        "--key with --moments/multi-column --value-col is the keyed " +
+          "moments lane, which is partitioned-only; add --partitioned " +
+          "[--buckets N] [--kbuckets M]")
     // --kbuckets only makes sense for the keyed partitioned layout; a
     // silently ignored flag would hide a misconfigured invocation
     if (a.kbuckets != 0 && !(useKeyed && a.partitioned))
@@ -635,15 +645,22 @@ object Main {
         s"(watermark $lo, cut $hi)")
       return
     }
+    val kBuckets =
+      if (a.kbuckets > 0) a.kbuckets else math.min(65536, a.buckets * 4)
     val r =
-      if (useKeyed && a.partitioned)
+      if (useKeyed && a.partitioned && (a.moments || valueCols.size > 1))
+        // keyed MOMENTS: retraction-capable cnt/cntv/sum/sumsq per value
+        // column over the keyed mirror; avg/var via readDerived
+        graft.sync.AggMaintenance.applySliceKeyedPartitionedV2(
+          spark, a.dest, source, a.watermark, a.keys, groupCols,
+          valueCols, lo, hi, nBuckets = a.buckets, nKeyBuckets = kBuckets)
+      else if (useKeyed && a.partitioned)
         // keyed partitioned: rollup buckets from --buckets; state buckets
         // from --kbuckets, defaulting to 4× (keys outnumber groups)
         graft.sync.AggMaintenance.applySliceKeyedPartitioned(
           spark, a.dest, source, a.watermark, a.keys, groupCols,
           valueCols.head, lo, hi, nBuckets = a.buckets,
-          nKeyBuckets = if (a.kbuckets > 0) a.kbuckets
-            else math.min(65536, a.buckets * 4))
+          nKeyBuckets = kBuckets)
       else if (useKeyed) graft.sync.AggMaintenance.applySliceKeyed(
         spark, a.dest, source, a.watermark, a.keys, groupCols,
         valueCols.head, lo, hi)

@@ -790,6 +790,90 @@ object ReferenceQueries {
             col("sum_val").cast("double").as("sum_value"))
     },
 
+    // A18 — keyed MOMENTS IVM (a17's layout × a10's moment set): avg and
+    // variance of the CURRENT keyed mirror, maintained last-writer-wins —
+    // a re-arrival retracts its old (v, v²) contribution exactly (DECIMAL
+    // cancellation) and adds the new one. min/max deliberately absent
+    // (not retractable — NOTES 2-heap scope-out). Gate: the replayed
+    // rollup's derived avg/var equals the one-shot latest-per-key moments
+    // aggregation IN-PLAN (exceptAll both ways through the ONE shared
+    // deriveMomentCols chain — the a10/t14 discipline); the DuckDB hash
+    // covers the 2^53-safe columns (cnt/cntv/sum/avg; var is
+    // exceptAll-pinned — sumsq's DECIMAL(38,8) unscaled form exceeds 2^53
+    // where DuckDB double-rounds, the a11 flap). Fixture: a16's
+    // re-arrival shape (value doubled, group moved, across a slice).
+    "a18_agg_maintenance_keyed_moments" -> Q(
+      """WITH src AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id,
+        |         epoch_us(ts) + (SELECT max(epoch_us(ts)) - min(epoch_us(ts)) + 1
+        |                         FROM events) AS ts_us,
+        |         'moved' AS event_type, value * 2 AS value
+        |  FROM events WHERE event_id % 10 = 0),
+        |latest AS (
+        |  SELECT event_id, event_type, value FROM (
+        |    SELECT src.*, row_number() OVER (PARTITION BY event_id
+        |                                     ORDER BY ts_us DESC) AS rn
+        |    FROM src) t
+        |  WHERE rn = 1)
+        |SELECT event_type, count(*) AS cnt, count(value) AS cntv,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |         / CAST(count(value) AS DOUBLE) AS avg_value
+        |FROM latest GROUP BY event_type""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        val base = ev.select(col("event_id"), col("event_type"),
+          col("value"), Tables.tsUs(ev).as("ts"))
+        val b = base.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+          .collect().head
+        val lo = b.getLong(0); val hi = b.getLong(1) + 1
+        val span = hi - lo
+        val updated = base.filter(col("event_id") % 10 === 0)
+          .withColumn("ts", col("ts") + lit(span))
+          .withColumn("event_type", lit("moved"))
+          .withColumn("value", col("value") * 2)
+        val src = base.unionByName(updated)
+        val stamp = Tables.fixtureStamp(dir, "events")
+        val out = ivmTmp(s, "aggivmkm", s"$dir@$stamp")
+        Seq((lo, hi), (hi, hi + span)).foreach { case (l, h) =>
+          graft.sync.AggMaintenance.applySliceKeyedPartitionedV2(
+            s, out, src, "ts", Seq("event_id"), Seq("event_type"),
+            Seq("value"), l, h, nBuckets = 16, nKeyBuckets = 32)
+        }
+        // in-plan: derived avg/var of the maintained rollup ≡ the
+        // one-shot latest-per-key moments aggregation, shared chain
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_id").orderBy(col("ts").desc)
+        val latest = src.withColumn("__rn",
+            org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("__rn") === 1)
+        val c = col("value").cast("decimal(18,4)")
+        val oneShot = graft.sync.AggMaintenance.deriveMomentCols(
+          latest.groupBy("event_type").agg(
+            count(lit(1)).as("cnt"),
+            count(c).as("cntv_value"),
+            sum(c).cast("decimal(28,4)").as("sum_value"),
+            sum((c * c).cast("decimal(38,8)")).cast("decimal(38,8)")
+              .as("sumsq_value")),
+          Seq("value"))
+        val derived = graft.sync.AggMaintenance.readDerived(s, out)
+          .select("event_type", "cnt", "cntv_value", "sum_value",
+            "sumsq_value", "avg_value", "var_value")
+        val oneShotSel = oneShot.select("event_type", "cnt", "cntv_value",
+          "sum_value", "sumsq_value", "avg_value", "var_value")
+        require(derived.exceptAll(oneShotSel).isEmpty &&
+          oneShotSel.exceptAll(derived).isEmpty,
+          "a18: maintained keyed moments diverge from the one-shot " +
+            "latest-per-key aggregation")
+        derived.select(col("event_type"), col("cnt"),
+          col("cntv_value").as("cntv"),
+          col("sum_value").cast("double").as("sum_value"),
+          col("avg_value"))
+    },
+
     // A15 — WINDOWED rollup IVM: the v1 core is group-generic, so a
     // (user, tumbling-window-start) grouped rollup maintains slice-by-
     // slice with NO new machinery — group cols = user_id + the hour

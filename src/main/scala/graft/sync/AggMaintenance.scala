@@ -755,23 +755,111 @@ object AggMaintenance {
                                  keyCols: Seq[String],
                                  groupCols: Seq[String], valueCol: String,
                                  lo: Long, hi: Long, nBuckets: Int,
-                                 nKeyBuckets: Int): AggResult = {
-    require(keyCols.nonEmpty,
-      "applySliceKeyedPartitioned requires at least one key column")
-    require(groupCols.nonEmpty,
-      "applySliceKeyedPartitioned requires at least one group column")
+                                 nKeyBuckets: Int): AggResult =
+    applyKeyedPartitionedCore(spark, targetDir, source, orderCol, keyCols,
+      groupCols, Seq(valueCol), keyedV1Metrics(valueCol),
+      paramsStringKeyedPart(nBuckets, nKeyBuckets, keyCols, groupCols,
+        valueCol, orderCol),
+      "applySliceKeyedPartitioned", lo, hi, nBuckets, nKeyBuckets)
+
+  /** The keyed MOMENTS lane: avg/variance over a live keyed mirror,
+    * maintained last-writer-wins at bucket-partitioned scale. Per value
+    * column the rollup keeps the RETRACTION-CAPABLE moment set — cntv
+    * (non-null count), exact DECIMAL sum and sum-of-squares — plus the
+    * shared live-key cnt; a re-arrival retracts its old (v, v²)
+    * contribution and adds the new one, so [[readDerived]] serves
+    * avg/var of the CURRENT mirror without ever rescanning it. min/max
+    * are deliberately absent: they are not retractable without per-group
+    * value history (the NOTES 2-heap scope-out) — a keyed-moments caller
+    * who needs them maintains a separate append-only v2 rollup and
+    * accepts its event-stream semantics. Same layout, commit order and
+    * crash contract as [[applySliceKeyedPartitioned]]; stamped
+    * `keyedv2 buckets=… kbuckets=…`, cross-refusing every other lane. */
+  def applySliceKeyedPartitionedV2(spark: SparkSession, targetDir: String,
+                                   source: DataFrame, orderCol: String,
+                                   keyCols: Seq[String],
+                                   groupCols: Seq[String],
+                                   valueCols: Seq[String],
+                                   lo: Long, hi: Long, nBuckets: Int,
+                                   nKeyBuckets: Int): AggResult = {
+    require(valueCols.nonEmpty,
+      "applySliceKeyedPartitionedV2 requires at least one value column")
+    applyKeyedPartitionedCore(spark, targetDir, source, orderCol, keyCols,
+      groupCols, valueCols, keyedV2Metrics(valueCols),
+      paramsStringKeyedV2Part(nBuckets, nKeyBuckets, keyCols, groupCols,
+        valueCols, orderCol),
+      "applySliceKeyedPartitionedV2", lo, hi, nBuckets, nKeyBuckets)
+  }
+
+  /** One maintained metric of a KEYED rollup. `delta` aggregates the
+    * signed latest/retraction union (rows carry `__sign` = ±1 plus the
+    * state-typed value columns); `merge` re-folds old bucket content with
+    * the delta; `emptyLit` types the cold-start schema sidecar. Every
+    * keyed metric is a sum of signed contributions BY CONSTRUCTION —
+    * that is what makes it retractable; min/max cannot be expressed here
+    * and that is the point. */
+  private final case class KeyedMetric(name: String, typ: String,
+                                       delta: Column, merge: Column,
+                                       emptyLit: Column)
+
+  private def keyedCntMetric: KeyedMetric = KeyedMetric("cnt", "long",
+    sum(col("__sign")).cast("long"), sum(col("cnt")).cast("long"), lit(0L))
+
+  private def keyedV1Metrics(valueCol: String): Seq[KeyedMetric] =
+    Seq(keyedCntMetric,
+      KeyedMetric("sum_val", SumType,
+        sum((col(valueCol) * col("__sign")).cast(SumType)).cast(SumType),
+        sum(col("sum_val")).cast(SumType), lit(null).cast(SumType)))
+
+  private def keyedV2Metrics(valueCols: Seq[String]): Seq[KeyedMetric] =
+    keyedCntMetric +: valueCols.flatMap { vc =>
+      val v = col(vc) // already ValType in the signed union
+      // sign application by NEGATION, not multiplication: decimal×long
+      // re-derives precision/scale and can silently cap at 38 — negation
+      // preserves the operand type exactly
+      def signed(x: Column): Column =
+        when(col("__sign") < 0L, -x).otherwise(x)
+      Seq(
+        KeyedMetric(s"cntv_$vc", "long",
+          sum(when(v.isNotNull, col("__sign")).otherwise(lit(0L)))
+            .cast("long"),
+          sum(col(s"cntv_$vc")).cast("long"), lit(0L)),
+        KeyedMetric(s"sum_$vc", SumType,
+          sum(signed(v.cast(SumType))).cast(SumType),
+          sum(col(s"sum_$vc")).cast(SumType), lit(null).cast(SumType)),
+        KeyedMetric(s"sumsq_$vc", SqType,
+          sum(signed((v * v).cast(SqType))).cast(SqType),
+          sum(col(s"sumsq_$vc")).cast(SqType), lit(null).cast(SqType)))
+    }
+
+  private def applyKeyedPartitionedCore(spark: SparkSession,
+                                        targetDir: String,
+                                        source: DataFrame, orderCol: String,
+                                        keyCols: Seq[String],
+                                        groupCols: Seq[String],
+                                        valueCols: Seq[String],
+                                        metrics: Seq[KeyedMetric],
+                                        params: String, op: String,
+                                        lo: Long, hi: Long, nBuckets: Int,
+                                        nKeyBuckets: Int): AggResult = {
+    require(keyCols.nonEmpty, s"$op requires at least one key column")
+    require(groupCols.nonEmpty, s"$op requires at least one group column")
     require(keyCols.distinct == keyCols,
       s"duplicate key columns: ${keyCols.mkString(", ")}")
     require(groupCols.distinct == groupCols,
       s"duplicate group columns: ${groupCols.mkString(", ")}")
-    require(!(keyCols ++ groupCols).contains(valueCol),
-      s"value column '$valueCol' is also a key/group column — aggregate a " +
-        "copy under a different name")
-    require(!(keyCols ++ groupCols).contains(orderCol) && orderCol != valueCol,
+    require(valueCols.distinct == valueCols,
+      s"duplicate value columns: ${valueCols.mkString(", ")}")
+    valueCols.foreach { valueCol =>
+      require(!(keyCols ++ groupCols).contains(valueCol),
+        s"value column '$valueCol' is also a key/group column — aggregate " +
+          "a copy under a different name") }
+    require(!(keyCols ++ groupCols).contains(orderCol) &&
+        !valueCols.contains(orderCol),
       s"order column '$orderCol' cannot also be a key/group/value column " +
         "in the keyed lane (a group that moves on every touch has no " +
         "stable retraction target)")
-    require(hi >= lo, s"applySliceKeyedPartitioned: hi ($hi) must be >= lo ($lo)")
+    require(hi >= lo, s"$op: hi ($hi) must be >= lo ($lo)")
     require(nBuckets >= 1 && nBuckets <= 65536,
       s"nBuckets must be in [1, 65536], got $nBuckets")
     require(nKeyBuckets >= 1 && nKeyBuckets <= 65536,
@@ -782,12 +870,9 @@ object AggMaintenance {
         s"got ${wmType.simpleString}")
     requireStampSafe("key", keyCols)
     requireStampSafe("group", groupCols)
-    requireStampSafe("value", Seq(valueCol))
+    requireStampSafe("value", valueCols)
     requireStampSafe("order", Seq(orderCol))
-    val params = paramsStringKeyedPart(nBuckets, nKeyBuckets, keyCols,
-      groupCols, valueCol, orderCol)
-    validatePartitioned("applySliceKeyedPartitioned", spark, targetDir,
-      params)
+    validatePartitioned(op, spark, targetDir, params)
     val fs = new Path(targetDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = new Path(targetDir)
@@ -815,10 +900,12 @@ object AggMaintenance {
       .filter(w => w > lo && w < hi).distinct.sorted
     if (interior.nonEmpty) {
       val mid = interior.head
-      val r1 = applySliceKeyedPartitioned(spark, targetDir, source, orderCol,
-        keyCols, groupCols, valueCol, lo, mid, nBuckets, nKeyBuckets)
-      val r2 = applySliceKeyedPartitioned(spark, targetDir, source, orderCol,
-        keyCols, groupCols, valueCol, mid, hi, nBuckets, nKeyBuckets)
+      val r1 = applyKeyedPartitionedCore(spark, targetDir, source, orderCol,
+        keyCols, groupCols, valueCols, metrics, params, op,
+        lo, mid, nBuckets, nKeyBuckets)
+      val r2 = applyKeyedPartitionedCore(spark, targetDir, source, orderCol,
+        keyCols, groupCols, valueCols, metrics, params, op,
+        mid, hi, nBuckets, nKeyBuckets)
       return AggResult(r1.groupsWritten + r2.groupsWritten,
         r1.sliceRows + r2.sliceRows,
         applied = true, watermarkUs = r2.watermarkUs)
@@ -829,12 +916,12 @@ object AggMaintenance {
       fs.mkdirs(stateRoot)
       writeText(fs, new Path(dst, ParamsFile), params)
       writeText(fs, new Path(dst, SchemaFile),
-        source.select(groupCols.map(col): _*).limit(0)
-          .withColumn("cnt", lit(0L))
-          .withColumn("sum_val", lit(null).cast(SumType)).schema.json)
+        metrics.foldLeft(source.select(groupCols.map(col): _*).limit(0)) {
+          (df, m) => df.withColumn(m.name, m.emptyLit)
+        }.schema.json)
     }
 
-    val valC = col(valueCol).cast(ValType)
+    val valCs = valueCols.map(v => col(v).cast(ValType).as(v))
     val kbucketOf = pmod(xxhash64(keyCols.map(col): _*),
       lit(nKeyBuckets.toLong)).cast("int")
     val slice = source.filter(
@@ -846,10 +933,10 @@ object AggMaintenance {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(orderCol).desc,
-        xxhash64((groupCols.map(col) :+ valC): _*).desc)
+        xxhash64((groupCols.map(col) ++
+          valueCols.map(v => col(v).cast(ValType))): _*).desc)
     val ranked = slice
-      .select((keyCols ++ groupCols).map(col) ++
-        Seq(valC.as(valueCol), col(orderCol)): _*)
+      .select((keyCols ++ groupCols).map(col) ++ valCs :+ col(orderCol): _*)
       .withColumn("__rn", row_number().over(w))
       .persist()
     var delta: Option[DataFrame] = None
@@ -882,30 +969,30 @@ object AggMaintenance {
         val kp = new Path(stateRoot, s"__kbucket=$k")
         (k, readWm(fs, new Path(kp, WmFile)), ParquetMergeSink.hasData(fs, kp))
       }
-      val stateCols = (keyCols ++ groupCols).map(col) :+ col(valueCol)
+      val stateCols = (keyCols ++ groupCols ++ valueCols).map(col)
       val emptyState = ranked.select(stateCols: _*).limit(0)
       def readStateDirs(dirs: Seq[String]): DataFrame =
         if (dirs.isEmpty) emptyState
         else spark.read.option("basePath", stateRoot.toString)
           .parquet(dirs: _*)
-          .select((keyCols ++ groupCols).map(col) :+
-            col(valueCol).cast(ValType).as(valueCol): _*)
+          .select((keyCols ++ groupCols).map(col) ++
+            valueCols.map(v => col(v).cast(ValType).as(v)): _*)
       def kDir(k: Int): String = s"${stateRoot.toString}/__kbucket=$k"
 
       // retraction source: every touched data-bearing state bucket — on a
       // clean run all are pre-slice (wm < hi); see the invariant below
       val stateTouched = readStateDirs(
         probesK.collect { case (k, _, hd) if hd => kDir(k) })
+      val deltaCols = (groupCols ++ valueCols).map(col)
       val minus = stateTouched.join(keysOnly, keyCols, "inner")
-        .select(groupCols.map(col) :+ col(valueCol): _*)
+        .select(deltaCols: _*)
         .withColumn("__sign", lit(-1L))
-      val plus = latest.select(groupCols.map(col) :+ col(valueCol): _*)
+      val plus = latest.select(deltaCols: _*)
         .withColumn("__sign", lit(1L))
       val deltaDf = plus.unionByName(minus)
         .groupBy(groupCols.map(col): _*)
-        .agg(sum(col("__sign")).cast("long").as("cnt"),
-          sum((col(valueCol) * col("__sign")).cast(SumType))
-            .cast(SumType).as("sum_val"))
+        .agg(metrics.head.delta.as(metrics.head.name),
+          metrics.tail.map(m => m.delta.as(m.name)): _*)
         .withColumn("__bucket", pmod(hash(groupCols.map(col): _*),
           lit(nBuckets)))
         .persist()
@@ -959,14 +1046,14 @@ object AggMaintenance {
           if (existingBDirs.isEmpty) pendingDelta
           else spark.read.option("basePath", targetDir)
             .parquet(existingBDirs: _*)
-            .select(groupCols.map(col) ++ Seq(col("__bucket").cast("int"),
-              col("cnt").cast("long"), col("sum_val").cast(SumType)): _*)
+            .select(groupCols.map(col) ++ (col("__bucket").cast("int") +:
+              metrics.map(m => col(m.name).cast(m.typ))): _*)
             .unionByName(pendingDelta
-              .select(groupCols.map(col) ++ Seq(col("__bucket"),
-                col("cnt"), col("sum_val")): _*))
+              .select(groupCols.map(col) ++ (col("__bucket") +:
+                metrics.map(m => col(m.name))): _*))
             .groupBy((groupCols.map(col) :+ col("__bucket")): _*)
-            .agg(sum(col("cnt")).cast("long").as("cnt"),
-              sum(col("sum_val")).cast(SumType).as("sum_val"))
+            .agg(metrics.head.merge.as(metrics.head.name),
+              metrics.tail.map(m => m.merge.as(m.name)): _*)
         // a group whose last live key moved away reads cnt=0 — gone
         val merged = merged0.filter(col("cnt") > 0L)
         // one owning task per bucket ⇒ one file per bucket per slice
@@ -1061,6 +1148,8 @@ object AggMaintenance {
     case s if s.startsWith("v2 flat")        => "applySliceV2"
     case s if s.startsWith("v3 flat")        => "applySliceDistinct"
     case s if s.startsWith("keyed buckets=") => "applySliceKeyedPartitioned"
+    case s if s.startsWith("keyedv2 buckets=") =>
+      "applySliceKeyedPartitionedV2"
     case s if s.startsWith("keyed flat")     => "applySliceKeyed"
     case _                                => "the matching applySlice* lane"
   }
@@ -1290,7 +1379,7 @@ object AggMaintenance {
       .map(_.stripPrefix("group=").split('+').toSeq).getOrElse(
         throw graft.core.GraftError.InvalidConfig(
           s"malformed partitioned stamp at $targetDir: '$params'"))
-    val keyed = tokens.headOption.contains("keyed")
+    val keyed = tokens.headOption.exists(t => t == "keyed" || t == "keyedv2")
     if (newKeyBuckets > 0 && !keyed)
       throw graft.core.GraftError.InvalidConfig(
         s"rollup at $targetDir is stamped '$params' — newKeyBuckets " +
@@ -1529,9 +1618,11 @@ object AggMaintenance {
         s"rollup at $targetDir carries no $ParamsFile stamp — a v1 " +
           "whole-directory rollup maintains no sumsq; rebuild with " +
           "applySliceV2 to derive avg/var"))
-    if (!params.startsWith("v2 "))
+    // the append-only v2 lanes AND the keyed moments lane maintain the
+    // same cntv/sum/sumsq moment set, so both derive through this chain
+    if (!params.startsWith("v2 ") && !params.startsWith("keyedv2 "))
       throw graft.core.GraftError.InvalidConfig(
-        s"rollup at $targetDir is '$params', not a v2 multi-value rollup")
+        s"rollup at $targetDir is '$params', not a v2/keyedv2 moments rollup")
     val valueCols = params.split(' ')
       .find(_.startsWith("values=")).map(_.stripPrefix("values="))
       .getOrElse(throw graft.core.GraftError.InvalidConfig(
@@ -1580,6 +1671,15 @@ object AggMaintenance {
     s"keyed buckets=$nBuckets kbuckets=$nKeyBuckets " +
       s"key=${keyCols.mkString("+")} group=${groupCols.mkString("+")} " +
       s"value=$valueCol order=$orderCol"
+
+  private def paramsStringKeyedV2Part(nBuckets: Int, nKeyBuckets: Int,
+                                      keyCols: Seq[String],
+                                      groupCols: Seq[String],
+                                      valueCols: Seq[String],
+                                      orderCol: String): String =
+    s"keyedv2 buckets=$nBuckets kbuckets=$nKeyBuckets " +
+      s"key=${keyCols.mkString("+")} group=${groupCols.mkString("+")} " +
+      s"values=${valueCols.mkString("+")} order=$orderCol"
 
   /** v2 flat stamp: no `buckets=` token — [[read]] keys partitioned-ness
     * off the `… buckets=` prefixes, so a v2 whole-dir table reads through

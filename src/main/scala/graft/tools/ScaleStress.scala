@@ -876,7 +876,10 @@ object ScaleStress {
         val span = hi - lo
         val fdest = s"$work/aggivmk_flat_x$rep"
         val pdest = s"$work/aggivmk_part_x$rep"
-        val nB = 64; val nKB = 256
+        // kbuckets at the layout's design point (state bucket ≈ a few
+        // thousand keys): a slice prunes to the buckets its keys hash
+        // into, so the win shows when |slice keys| ≪ kbuckets
+        val nB = 64; val nKB = 1024
         val (rf, tfBuild) = timed(graft.sync.AggMaintenance.applySliceKeyed(
           spark, fdest, src, "ts", Seq("event_id"), Seq("user_id"), "value",
           lo, hi))
@@ -905,8 +908,28 @@ object ScaleStress {
             "value", hi, hi + span, nB, nKB))
         jline("aggivmkeyed_delta_partitioned", rep, tpDelta, rpd.sliceRows,
           Seq("groups_rewritten" -> rpd.groupsWritten.toString))
+        // SMALL delta: 100 FIXED keys (the "one customer's rows touched"
+        // steady-state poll). The 1% delta above is the partitioned
+        // lane's adversarial case — a hashed key set that size touches
+        // every bucket, so it measures pure overhead; here the state
+        // read/rewrite prunes to ≤100 of the 1,024 kbuckets while the
+        // flat lane still rewrites the whole mirror. The flat curve must
+        // grow with rep, the partitioned one must not.
+        val small = src.filter(col("event_id") < 100)
+          .withColumn("ts", col("ts") + lit(2L * span))
+          .withColumn("value", col("value") * 3)
+        val (rfs, tfSmall) = timed(graft.sync.AggMaintenance.applySliceKeyed(
+          spark, fdest, small, "ts", Seq("event_id"), Seq("user_id"),
+          "value", hi + span, hi + 2L * span))
+        jline("aggivmkeyed_small_flat", rep, tfSmall, rfs.sliceRows)
+        val (rps, tpSmall) = timed(
+          graft.sync.AggMaintenance.applySliceKeyedPartitioned(
+            spark, pdest, small, "ts", Seq("event_id"), Seq("user_id"),
+            "value", hi + span, hi + 2L * span, nB, nKB))
+        jline("aggivmkeyed_small_partitioned", rep, tpSmall, rps.sliceRows,
+          Seq("groups_rewritten" -> rps.groupsWritten.toString))
         // equality: both layouts ≡ the latest-per-key one-shot groupBy
-        val all = src.unionByName(delta)
+        val all = src.unionByName(delta).unionByName(small)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("event_id").orderBy(col("ts").desc)
         val want = all.withColumn("__rn", row_number().over(w))

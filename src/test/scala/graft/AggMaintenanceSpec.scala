@@ -1084,6 +1084,85 @@ class AggMaintenanceSpec extends SparkSpec {
     assert(e2.getMessage.contains("state store"))
   }
 
+  // ---- keyed MOMENTS lane (retraction-capable cnt/cntv/sum/sumsq) ----
+
+  private def applyKM(dir: String, src: org.apache.spark.sql.DataFrame,
+                      lo: Long, hi: Long, nBuckets: Int = 8,
+                      nKeyBuckets: Int = 8) =
+    AggMaintenance.applySliceKeyedPartitionedV2(
+      spark, dir, src, "us", Seq("k"), Seq("grp"), Seq("v"), lo, hi,
+      nBuckets, nKeyBuckets)
+
+  private def momentsOneShot(mirror: org.apache.spark.sql.DataFrame) = {
+    val c = col("v").cast("decimal(18,4)")
+    AggMaintenance.deriveMomentCols(
+      mirror.groupBy("grp").agg(
+        count(lit(1)).as("cnt"),
+        count(c).as("cntv_v"),
+        sum(c).cast("decimal(28,4)").as("sum_v"),
+        sum((c * c).cast("decimal(38,8)")).cast("decimal(38,8)")
+          .as("sumsq_v")),
+      Seq("v"))
+      .select("grp", "cnt", "cntv_v", "sum_v", "sumsq_v", "avg_v", "var_v")
+  }
+
+  test("keyed moments: re-arrivals retract (v, v²) exactly; derived avg/var match one-shot") {
+    val s1 = rowsK(
+      (10L, 1L, "a", 3.0), (20L, 2L, "a", 5.0), (30L, 3L, "b", 4.0),
+      (40L, 4L, "a", null))
+    val s2 = rowsK(
+      // key 1: value 3→7 in place; key 3 moves b→a; key 4 NULL→6;
+      // key 2: value 5→NULL (cntv/sum/sumsq retract, cnt keeps the key)
+      (110L, 1L, "a", 7.0), (120L, 3L, "a", 2.0), (130L, 4L, "a", 6.0),
+      (140L, 2L, "a", null))
+    val src = s1.unionByName(s2)
+    val dir = tmpDir("agg-keyed-mom")
+    applyKM(dir, src, 0L, 100L)
+    applyKM(dir, src, 100L, 200L)
+    // live mirror: 1→(a,7), 2→(a,NULL), 3→(a,2), 4→(a,6) — group b gone
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("us").desc)
+    val mirror = src.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val want = momentsOneShot(mirror)
+    val got = AggMaintenance.readDerived(spark, dir)
+      .select("grp", "cnt", "cntv_v", "sum_v", "sumsq_v", "avg_v", "var_v")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() == 1) // group b vacated and removed
+    // replay no-op
+    val rp = applyKM(dir, src, 100L, 200L)
+    assert(!rp.applied)
+  }
+
+  test("keyed moments: cross-lane refusals and rebucket state carry") {
+    val src = rowsK((10L, 1L, "a", 1.0), (20L, 2L, "b", 2.0))
+    val dir = tmpDir("agg-keyed-mom")
+    applyKM(dir, src, 0L, 100L)
+    // keyed v1 partitioned on a keyedv2 table names the owning lane
+    val e1 = intercept[graft.core.GraftError.InvalidConfig](
+      applyKP(dir, src, 100L, 200L))
+    assert(e1.getMessage.contains("applySliceKeyedPartitionedV2"))
+    // and the reverse: keyedv2 on a keyed v1 table
+    val v1dir = tmpDir("agg-keyed-part")
+    applyKP(v1dir, src, 0L, 100L)
+    val e2 = intercept[graft.core.GraftError.InvalidConfig](
+      applyKM(v1dir, src, 100L, 200L))
+    assert(e2.getMessage.contains("applySliceKeyedPartitioned"))
+    // readDerived serves the keyedv2 stamp but refuses keyed v1
+    assert(AggMaintenance.readDerived(spark, dir).columns.contains("avg_v"))
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.readDerived(spark, v1dir))
+    // rebucket (rollup AND state space) keeps retraction working
+    AggMaintenance.rebucket(spark, dir, 16, newKeyBuckets = 16)
+    applyKM(dir, rowsK((110L, 1L, "b", 9.0)), 100L, 200L,
+      nBuckets = 16, nKeyBuckets = 16)
+    val got = AggMaintenance.read(spark, dir)
+      .select(col("grp"), col("cnt"), col("sum_v").cast("double"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got == Map("b" -> ((2L, 11.0)))) // group a vacated and removed
+  }
+
   test("timestamp order column: bounds are canonical µs, filter on native type") {
     val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
     val us = graft.core.Tables.tsUs(ev)

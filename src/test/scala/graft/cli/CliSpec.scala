@@ -576,6 +576,22 @@ class CliSpec extends SparkSpec {
       .exists(_.getName.startsWith("__bucket=")))
     assert(new java.io.File(s"$work/keyedp/_GRAFT_AGG_STATE").listFiles()
       .exists(_.getName.startsWith("__kbucket=")))
+    // keyed MOMENTS: --key + --moments + --partitioned maintains
+    // retraction-capable cnt/cntv/sum/sumsq; avg derives via readDerived
+    run("agg", "--source", s"$work/src", "--dest", s"$work/keyedm",
+      "--by", "grp", "--watermark", "us", "--key", "k", "--value-col", "v",
+      "--moments", "--partitioned", "--buckets", "4")
+    val dm = graft.sync.AggMaintenance.readDerived(spark, s"$work/keyedm")
+      .select(col("grp"), col("cnt"), col("avg_v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(dm == Map("a" -> ((2L, 6.0)), "b" -> ((1L, 4.0))))
+    // keyed moments without --partitioned refuses (flat keyed moments
+    // would be O(mirror) per slice — partitioned-only by design)
+    assertThrows[GraftError.InvalidConfig](
+      run("agg", "--source", s"$work/src", "--dest", s"$work/kx",
+        "--by", "grp", "--watermark", "us", "--key", "k", "--value-col", "v",
+        "--moments"))
     // --kbuckets outside the keyed partitioned lane refuses (a silently
     // ignored sizing flag would hide a misconfigured invocation)
     assertThrows[GraftError.InvalidConfig](
