@@ -584,6 +584,92 @@ object StreamingReplayQueries {
           when(abs(col("est") - col("exact")).cast("double") <=
             greatest(col("exact").cast("double") * 0.05, lit(2.0)), 1L)
             .otherwise(0L).as("est_ok"))
+    },
+
+    // T16 — the KEYED (last-writer-wins) lane driven as a streaming sink:
+    // the most production-shaped twin of the matrix — a live stream of
+    // UPSERTS (every 10th event re-arrives later with a doubled value in
+    // a new group, the a16 fixture) maintaining a mirror rollup through
+    // the bucket-partitioned keyed fold. Re-arrivals land in LATER
+    // micro-batches than their originals, so the retraction must come
+    // from the persisted key-state store, never from batch-local memory;
+    // the final rollup must hash-match the latest-per-key aggregate
+    // (a16's oracle) regardless of micro-batch boundaries.
+    "t16_agg_maintenance_keyed_replay" -> Q(
+      """WITH src AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+        |  FROM events WHERE event_id % 4 = 0
+        |  UNION ALL
+        |  SELECT event_id,
+        |         epoch_us(ts) + (SELECT max(epoch_us(ts)) - min(epoch_us(ts)) + 1
+        |                         FROM events) AS ts_us,
+        |         'moved' AS event_type, value * 2 AS value
+        |  FROM events WHERE event_id % 20 = 0),
+        |latest AS (
+        |  SELECT event_id, event_type, value FROM (
+        |    SELECT src.*, row_number() OVER (PARTITION BY event_id
+        |                                     ORDER BY ts_us DESC) AS rn
+        |    FROM src) t
+        |  WHERE rn = 1)
+        |SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM latest GROUP BY event_type""".stripMargin) { (s, dir) =>
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import graft.sync.AggMaintenance
+      // a16's fixture shape as an ordered upsert stream: base events plus
+      // every 10th re-arriving one span later, value doubled, group moved
+      // a QUARTER of the fixture (event_id % 4) keeps this — the
+      // costliest fold of the matrix, two keyed applies of state
+      // machinery per micro-batch — in line with the other twins; the
+      // span rides the FULL fixture's bounds so the oracle subquery
+      // (over all events) derives the identical shift
+      val ev = Tables.events(s, dir)
+      val baseAll = ev.select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"), Tables.tsUs(ev).as("ts_us"))
+      val b0 = baseAll.agg(min(col("ts_us")), max(col("ts_us"))).head()
+      val span = b0.getLong(1) - b0.getLong(0) + 1
+      val base = baseAll.filter(col("event_id") % 4 === 0)
+      val updated = base.filter(col("event_id") % 10 === 0)
+        .withColumn("ts_us", col("ts_us") + lit(span))
+        .withColumn("event_type", lit("moved"))
+        .withColumn("value", col("value") * 2)
+      val rows = base.unionByName(updated)
+        .orderBy("ts_us", "event_id").collect()
+        .map(r => Ev(r.getLong(0), r.getLong(1), r.getString(2),
+          r.getDouble(3), r.getLong(4)))
+      val safeChunks = tsBoundaryChunks(rows)
+      val rollup = java.nio.file.Files
+        .createTempDirectory("t16-replay").toString + "/rollup"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("t16-ckpt").toString
+      withShufflePartitions(s, 4) {
+        val mem = MemoryStream[Ev]
+        val fold: (org.apache.spark.sql.Dataset[Ev], Long) => Unit =
+          (batch, _) => {
+            val bt = batch.persist()
+            try {
+              val bounds = bt.agg(min(col("tsUs")), max(col("tsUs"))).head()
+              if (!bounds.isNullAt(0)) {
+                val lo = AggMaintenance.watermark(s, rollup)
+                  .getOrElse(bounds.getLong(0))
+                AggMaintenance.applySliceKeyedPartitioned(s, rollup,
+                  bt.toDF(), "tsUs", Seq("eventId"), Seq("eventType"),
+                  "value", lo, bounds.getLong(1) + 1, nBuckets = 8,
+                  nKeyBuckets = 16)
+                ()
+              }
+            } finally { bt.unpersist(); () }
+          }
+        val q = mem.toDS().writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch(fold).start()
+        try safeChunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+        finally q.stop()
+      }
+      AggMaintenance.read(s, rollup)
+        .select(col("eventType").as("event_type"), col("cnt"),
+          col("sum_val").cast("double").as("sum_value"))
     }
   )
 }
