@@ -891,6 +891,18 @@ object AggMaintenance {
             s"at $lo — applying it would silently lose [$wm, $lo)")
       case None =>
     }
+    // a keyed rollup holding data without its state store is FOREIGN
+    // SURGERY, not a crash window (state and rollup buckets commit inside
+    // one apply; the state root itself is created at cold start before
+    // any data): folding into it would silently treat every re-arrival
+    // as new mass — the flat lane's refusal, applied to this layout
+    if (stored.isDefined && !fs.exists(stateRoot) &&
+        fs.exists(dst) && fs.listStatus(dst).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("__bucket=")))
+      throw graft.core.GraftError.InvalidConfig(
+        s"keyed rollup at $targetDir has data but no $StateDir store — " +
+          "state and rollup commit together, so this is not a layout the " +
+          "keyed lane wrote; rebuild")
 
     // a crashed attempt at a DIFFERENT cut: split at each interior bucket
     // watermark (rollup AND state buckets), replaying the crashed
@@ -1059,8 +1071,17 @@ object AggMaintenance {
         // one owning task per bucket ⇒ one file per bucket per slice
         merged.repartition(col("__bucket"))
           .write.mode("overwrite").partitionBy("__bucket").parquet(tmpRoot)
-        // the state subdir below is '_'-hidden, so this counts rollup only
-        groups = spark.read.parquet(tmpRoot).count()
+        // the state subdir below is '_'-hidden, so this counts rollup
+        // only. Guarded on staged bucket dirs: a crash-replay whose
+        // pending buckets ALL end fully vacated writes an empty frame —
+        // no partition dirs, nothing for schema inference — yet the
+        // empty swap below is exactly the right commit (the buckets'
+        // groups are gone)
+        if (!fs.exists(tmpPath)) fs.mkdirs(tmpPath)
+        val stagedBuckets = fs.listStatus(tmpPath).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("__bucket="))
+        groups =
+          if (stagedBuckets) spark.read.parquet(tmpRoot).count() else 0L
       } else fs.mkdirs(tmpPath)
       if (pendingK.nonEmpty) {
         val existingKPendingDirs = probesK.collect {

@@ -1017,6 +1017,53 @@ class AggMaintenanceSpec extends SparkSpec {
     assert(r3.applied && snapshotK(d3) == wantSnap)
   }
 
+  test("keyed partitioned: a deleted state store refuses; all-vacated crash replay commits empty") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    // (1) missing-state refusal — foreign surgery, not a crash window
+    val d0 = tmpDir("agg-kp-nostate")
+    applyKP(d0, rowsK((10L, 1L, "a", 1.0)), 0L, 100L)
+    val fs0 = new org.apache.hadoop.fs.Path(d0).getFileSystem(conf)
+    fs0.delete(new org.apache.hadoop.fs.Path(d0, "_GRAFT_AGG_STATE"), true)
+    val e = intercept[graft.core.GraftError.InvalidConfig](
+      applyKP(d0, rowsK((110L, 1L, "b", 2.0)), 100L, 200L))
+    assert(e.getMessage.contains("_GRAFT_AGG_STATE"))
+
+    // (2) a crash replay whose ONLY pending rollup bucket ends fully
+    // vacated: the staged merge is EMPTY (no partition dirs at all) and
+    // the empty swap must still commit — the bucket's group is gone.
+    // Groups g1/g2 chosen to hash to different buckets so the vacated
+    // bucket is pending alone while the gaining bucket stays committed.
+    val g1 = "a"
+    val g2 = Seq("b", "c", "d", "e", "f")
+      .find(g => bucketOf(g) != bucketOf(g1)).get
+    val src = rowsK((10L, 1L, g1, 1.0), (110L, 1L, g2, 2.0))
+    val want = tmpDir("agg-kp-vac-want")
+    applyKP(want, src, 0L, 100L); applyKP(want, src, 100L, 200L)
+    val d = tmpDir("agg-kp-vac")
+    applyKP(d, src, 0L, 100L)
+    val pre = tmpDir("agg-kp-vac-pre") + "/copy"
+    copyDir(d, pre)
+    applyKP(d, src, 100L, 200L)
+    val fs = new org.apache.hadoop.fs.Path(d).getFileSystem(conf)
+    // roll back: group g1's bucket (now empty) AND the whole state store
+    // to pre-slice; g2's bucket stays committed at wm=200; root wm back
+    val vb = s"__bucket=${bucketOf(g1)}"
+    fs.delete(new org.apache.hadoop.fs.Path(d, vb), true)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(pre, vb), fs,
+      new org.apache.hadoop.fs.Path(d, vb), false, conf)
+    fs.delete(new org.apache.hadoop.fs.Path(d, "_GRAFT_AGG_STATE"), true)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(pre, "_GRAFT_AGG_STATE"), fs,
+      new org.apache.hadoop.fs.Path(d, "_GRAFT_AGG_STATE"), false, conf)
+    graft.core.SidecarIO.write(fs,
+      new org.apache.hadoop.fs.Path(d, "_GRAFT_AGG_WM"), "100")
+    val r = applyKP(d, src, 100L, 200L)
+    assert(r.applied && r.groupsWritten == 0L)
+    assert(snapshotK(d) == snapshotK(want))
+    assert(snapshotK(d) == Map(g2 -> ((1L, Some(2.0)))))
+  }
+
   test("keyed partitioned: cross-lane / cross-parameterization refusals") {
     val src = rowsK((10L, 1L, "a", 1.0))
     val dir = tmpDir("agg-keyed-part")
