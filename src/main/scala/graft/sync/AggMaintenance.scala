@@ -447,7 +447,14 @@ object AggMaintenance {
       .withColumn("__rn", row_number().over(w))
       .persist()
     try {
-      val rawRows = ranked.count()
+      // ONE pass over the persisted frame answers both admission
+      // questions — row count and NULL-key count (two separate count
+      // jobs used to cost a fixed job latency each, per micro-batch in
+      // the streaming fold)
+      val admission = ranked.agg(count(lit(1)).as("n"),
+        count(when(keyCols.map(col(_).isNull).reduce(_ || _), lit(1)))
+          .as("nullk")).first()
+      val rawRows = admission.getLong(0)
       if (rawRows == 0L) {
         // idle poll: advance the watermark only (the applyWholeDir
         // empty-slice contract); cold start materializes the readable
@@ -464,8 +471,7 @@ object AggMaintenance {
         writeWm(fs, new Path(dst, WmFile), hi)
         return AggResult(0L, 0L, applied = true, watermarkUs = hi)
       }
-      val nullKeys = ranked
-        .filter(keyCols.map(col(_).isNull).reduce(_ || _)).count()
+      val nullKeys = admission.getLong(1)
       if (nullKeys > 0L)
         throw graft.core.GraftError.InvalidConfig(
           s"slice [$lo, $hi) carries $nullKeys row(s) with a NULL key " +
@@ -953,13 +959,16 @@ object AggMaintenance {
       .persist()
     var delta: Option[DataFrame] = None
     try {
-      val rawRows = ranked.count()
+      // one pass for both admission questions (see the flat lane)
+      val admission = ranked.agg(count(lit(1)).as("n"),
+        count(when(keyCols.map(col(_).isNull).reduce(_ || _), lit(1)))
+          .as("nullk")).first()
+      val rawRows = admission.getLong(0)
       if (rawRows == 0L) { // idle poll: watermark advance only
         writeWm(fs, new Path(dst, WmFile), hi)
         return AggResult(0L, 0L, applied = true, watermarkUs = hi)
       }
-      val nullKeys = ranked
-        .filter(keyCols.map(col(_).isNull).reduce(_ || _)).count()
+      val nullKeys = admission.getLong(1)
       if (nullKeys > 0L)
         throw graft.core.GraftError.InvalidConfig(
           s"slice [$lo, $hi) carries $nullKeys row(s) with a NULL key " +
