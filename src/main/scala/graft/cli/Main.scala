@@ -603,7 +603,10 @@ object Main {
       throw GraftError.InvalidConfig(
         "--key maintains the last-writer-wins keyed lane; --distinct " +
           "maintains HLL sketches, which cannot RETRACT a replaced key's " +
-          "contribution — keyed distinct counts need a full regroup")
+          "contribution. For an EXACT keyed distinct count, add the " +
+          "distinct column to --by (the rollup's live (group, value) " +
+          "pairs ARE the distinct set) and count rows per group at read " +
+          "time")
     // keyed MOMENTS ride the partitioned layout only (the production
     // shape; a flat keyed-moments rewrite would be O(mirror) per slice)
     if (useKeyed && (a.moments || valueCols.size > 1) && !a.partitioned)

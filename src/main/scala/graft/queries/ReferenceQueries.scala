@@ -874,6 +874,66 @@ object ReferenceQueries {
           col("avg_value"))
     },
 
+    // A19 — keyed EXACT DISTINCT by composition: HLL sketches cannot
+    // retract, so a last-writer-wins distinct-count has no sketch form
+    // (the CLI refusal) — but the keyed lane maintains it EXACTLY with
+    // no new machinery: group the keyed rollup by (G, distinctCol), and
+    // the distinct count per G is the number of live groups (cnt>0 rows
+    // are exactly the (G, d) pairs with ≥1 live key; the lane already
+    // removes vacated groups). Retraction falls out: a key whose user
+    // moves or whose type changes retracts its old (G, d) pair, and the
+    // pair disappears when its last key leaves. The read-side regroup is
+    // group-cardinality, not history. Fixture: a16's re-arrival shape —
+    // moved keys must vanish from their old type's distinct set.
+    "a19_agg_maintenance_keyed_distinct" -> Q(
+      """WITH src AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, event_type, user_id
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id,
+        |         epoch_us(ts) + (SELECT max(epoch_us(ts)) - min(epoch_us(ts)) + 1
+        |                         FROM events) AS ts_us,
+        |         'moved' AS event_type, user_id
+        |  FROM events WHERE event_id % 10 = 0),
+        |latest AS (
+        |  SELECT event_id, event_type, user_id FROM (
+        |    SELECT src.*, row_number() OVER (PARTITION BY event_id
+        |                                     ORDER BY ts_us DESC) AS rn
+        |    FROM src) t
+        |  WHERE rn = 1)
+        |SELECT event_type, count(DISTINCT user_id) AS distinct_users,
+        |       count(*) AS cnt
+        |FROM latest GROUP BY event_type""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        val base = ev.select(col("event_id"), col("event_type"),
+          col("user_id"), Tables.tsUs(ev).as("ts"))
+          // the keyed lane wants a value column distinct from key/group;
+          // the distinct-count composition carries no real measure, so a
+          // constant rides along (cnt is the live-key count per pair)
+          .withColumn("one", lit(1.0))
+        val b = base.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+          .collect().head
+        val lo = b.getLong(0); val hi = b.getLong(1) + 1
+        val span = hi - lo
+        val updated = base.filter(col("event_id") % 10 === 0)
+          .withColumn("ts", col("ts") + lit(span))
+          .withColumn("event_type", lit("moved"))
+        val src = base.unionByName(updated)
+        val stamp = Tables.fixtureStamp(dir, "events")
+        val out = ivmTmp(s, "aggivmkd", s"$dir@$stamp")
+        Seq((lo, hi), (hi, hi + span)).foreach { case (l, h) =>
+          graft.sync.AggMaintenance.applySliceKeyedPartitioned(
+            s, out, src, "ts", Seq("event_id"),
+            Seq("event_type", "user_id"), "one", l, h,
+            nBuckets = 16, nKeyBuckets = 32)
+        }
+        graft.sync.AggMaintenance.read(s, out)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("distinct_users"),
+            sum(col("cnt")).cast("long").as("cnt"))
+    },
+
     // A15 — WINDOWED rollup IVM: the v1 core is group-generic, so a
     // (user, tumbling-window-start) grouped rollup maintains slice-by-
     // slice with NO new machinery — group cols = user_id + the hour
