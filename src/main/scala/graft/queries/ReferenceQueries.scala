@@ -928,10 +928,10 @@ object ReferenceQueries {
             Seq("event_type", "user_id"), "one", l, h,
             nBuckets = 16, nKeyBuckets = 32)
         }
-        graft.sync.AggMaintenance.read(s, out)
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("distinct_users"),
-            sum(col("cnt")).cast("long").as("cnt"))
+        graft.sync.AggMaintenance
+          .readKeyedDistinct(s, out, Seq("event_type"))
+          .select(col("event_type"),
+            col("distinct_groups").as("distinct_users"), col("cnt"))
     },
 
     // A15 — WINDOWED rollup IVM: the v1 core is group-generic, so a

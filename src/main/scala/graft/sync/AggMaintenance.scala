@@ -1584,6 +1584,55 @@ object AggMaintenance {
     }
   }
 
+  /** EXACT keyed distinct counts — the a19 composition as a first-class
+    * read. A last-writer-wins distinct count has no sketch form (HLL
+    * cannot retract a replaced key's contribution), but a keyed rollup
+    * GROUPED BY (outer..., distinctCol...) maintains it exactly: its
+    * cnt>0 rows are precisely the group tuples with ≥1 live key (the
+    * lane removes vacated groups), so the distinct count per outer
+    * prefix is a count of live groups — a group-cardinality regroup at
+    * read time, never a history rescan. `outerGroupCols` must be a
+    * proper non-empty prefix-set of the stored group columns; the
+    * remaining group columns are the distinct-counted tuple. Returns
+    * (outer..., distinct_groups, cnt) where `cnt` is the live-key total
+    * per outer prefix. */
+  def readKeyedDistinct(spark: SparkSession, targetDir: String,
+                        outerGroupCols: Seq[String]): DataFrame = {
+    require(outerGroupCols.nonEmpty,
+      "readKeyedDistinct requires at least one outer group column")
+    val fs = new Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val params = readText(fs, new Path(targetDir, ParamsFile))
+      .orElse(readText(fs, new Path(bakRoot(targetDir) + "_dir", ParamsFile)))
+      .getOrElse(throw graft.core.GraftError.InvalidConfig(
+        s"rollup at $targetDir carries no params stamp — not a keyed " +
+          "rollup; build one with a keyed apply lane"))
+    if (!params.startsWith("keyed ") && !params.startsWith("keyed flat") &&
+        !params.startsWith("keyedv2 "))
+      throw graft.core.GraftError.InvalidConfig(
+        s"rollup at $targetDir is '$params' — readKeyedDistinct needs a " +
+          "KEYED rollup (append-only lanes double-count re-arrivals, so " +
+          "their group set is not a distinct set of the mirror)")
+    val stored = params.split(' ').find(_.startsWith("group="))
+      .map(_.stripPrefix("group=").split('+').toSeq)
+      .getOrElse(throw graft.core.GraftError.InvalidConfig(
+        s"malformed keyed stamp at $targetDir: '$params'"))
+    val missing = outerGroupCols.filterNot(stored.contains)
+    if (missing.nonEmpty)
+      throw graft.core.GraftError.InvalidConfig(
+        s"outer group column(s) ${missing.mkString(", ")} are not group " +
+          s"columns of this rollup (stored: ${stored.mkString(", ")})")
+    if (outerGroupCols.size >= stored.size)
+      throw graft.core.GraftError.InvalidConfig(
+        "outer group columns cover every stored group column — nothing " +
+          "is left to count distinct; rebuild the rollup with the " +
+          "distinct column appended to its group columns")
+    read(spark, targetDir)
+      .groupBy(outerGroupCols.map(col): _*)
+      .agg(count(lit(1)).as("distinct_groups"),
+        sum(col("cnt")).cast("long").as("cnt"))
+  }
+
   /** Stamp-safety guard: column names ride inside `_GRAFT_AGG_PARAMS`
     * tokens joined by ' ' and '+', so a name containing a delimiter would
     * make two DIFFERENT parameterizations stamp identically —

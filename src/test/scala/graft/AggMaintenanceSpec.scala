@@ -1210,6 +1210,38 @@ class AggMaintenanceSpec extends SparkSpec {
     assert(got == Map("b" -> ((2L, 11.0)))) // group a vacated and removed
   }
 
+  test("readKeyedDistinct: live (G,d) groups are the distinct set; refusals typed") {
+    // keys 1..4; user moves and type changes retract old pairs exactly
+    val src = Seq(
+      (10L, 1L, "a", 100L), (20L, 2L, "a", 100L), (30L, 3L, "a", 200L),
+      (40L, 4L, "b", 100L),
+      // slice 2: key 1 changes type a→b (user 100 leaves a's set only if
+      // no other live key has (a,100) — key 2 still does); key 3 changes
+      // user 200→300 within a (distinct stays 2: {100,300})
+      (110L, 1L, "b", 100L), (120L, 3L, "a", 300L))
+      .toDF("us", "k", "grp", "u").withColumn("one", lit(1.0))
+    val dir = tmpDir("agg-keyed-dist")
+    Seq((0L, 100L), (100L, 200L)).foreach { case (l, h) =>
+      AggMaintenance.applySliceKeyedPartitioned(spark, dir, src, "us",
+        Seq("k"), Seq("grp", "u"), "one", l, h, 8, 8) }
+    val got = AggMaintenance.readKeyedDistinct(spark, dir, Seq("grp"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // mirror: 1→(b,100), 2→(a,100), 3→(a,300), 4→(b,100)
+    assert(got == Map("a" -> ((2L, 2L)), "b" -> ((1L, 2L))))
+    // outer cols must be a proper subset of the stored group columns
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.readKeyedDistinct(spark, dir, Seq("grp", "u")))
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.readKeyedDistinct(spark, dir, Seq("nope")))
+    // append-only rollups refuse — their group set double-counts
+    val v1dir = tmpDir("agg-ivm-dist")
+    AggMaintenance.applySlice(spark, v1dir, rows((10L, "a", 1.0)), "us",
+      Seq("grp"), "v", 0L, 100L)
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.readKeyedDistinct(spark, v1dir, Seq("grp")))
+  }
+
   test("timestamp order column: bounds are canonical µs, filter on native type") {
     val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
     val us = graft.core.Tables.tsUs(ev)
