@@ -1507,7 +1507,17 @@ object AggMaintenance {
   /** Read the full rollup (groupCols..., cnt, sum_val, min_val, max_val).
     * An empty rollup (no part files yet) is served schema-correct from the
     * schema sidecar. Partitioned rollups are healed (interrupted bucket
-    * swaps restored) and served without the internal `__bucket` column. */
+    * swaps restored) and served without the internal `__bucket` column.
+    *
+    * ISOLATION: reads are BUCKET-atomic, not slice-atomic. A reader
+    * concurrent with an apply's commit loop can observe a torn slice —
+    * some buckets already folded through [lo, hi), others not yet (the
+    * whole-dir lanes are slice-atomic: one swap). Crash DEBRIS never
+    * tears a read (the read-around logic below serves the committed side
+    * of every interrupted swap); only a LIVE writer does. Callers who
+    * need slice-consistent analytics over a partitioned rollup should
+    * read between applies (the cron shape) or snapshot the directory —
+    * the same contract as any multi-file commit without a manifest. */
   def read(spark: SparkSession, targetDir: String): DataFrame = {
     val fs = new Path(targetDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
