@@ -44,6 +44,25 @@ object Bench {
       .mode("overwrite").save()
     catch { case scala.util.control.NonFatal(_) => () }
 
+    // warm the STREAMING infra once (state-store coordinator, streaming
+    // listener bus, micro-batch planner classes): the alphabetically
+    // first replay twin otherwise pays this one-time cost inside its
+    // measured window — a fixed tax the other ten twins never see, which
+    // makes t10's number incomparable to its siblings'
+    try {
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Int]
+      val q = mem.toDS().groupBy("value").count()
+        .writeStream.outputMode("update")
+        .format("memory").queryName("__bench_stream_warmup").start()
+      try { mem.addData(1 to 4); q.processAllAvailable() } finally q.stop()
+      spark.catalog.dropTempView("__bench_stream_warmup")
+      HarnessState.reclaim(spark)
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
     // replay twins (t*_replay) run ONCE: their cost is the MemoryStream +
     // state-store replay harness — fixed and deterministic across runs —
     // so min-of-n would triple the bench wall-clock for zero extra signal
@@ -75,15 +94,24 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    // per-twin reclaim evidence for the compact line (r14 verdict #1: a
+    // twin-time regression in the driver's artifact is adjudicable only
+    // if the artifact shows what residue each twin ran against and that
+    // the reclaim fired — the pagerank_releases treatment)
+    val twinReclaims =
+      scala.collection.mutable.ArrayBuffer.empty[(String, HarnessState.ReclaimStats)]
     val resultsFull = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val times = (1 to runsFor(name)).map { _ =>
         time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
       }.filter(_ >= 0)
-      // see HarnessState: drop replay sink views, GC under cached-block
-      // pressure — late entries must not run against a storage-full session
-      HarnessState.reclaim(spark)
+      // see HarnessState: drop replay sink views, unload state-store
+      // providers, GC under cached-block pressure — late entries must not
+      // run against a storage-full session
+      val st = HarnessState.reclaim(spark)
+      if (name.endsWith("_replay"))
+        twinReclaims += name.takeWhile(_ != '_') -> st
       name -> (if (times.isEmpty) (-1.0, -1.0)
                else (times.min, median(times)))
     }
@@ -222,6 +250,19 @@ object Bench {
     System.err.println(s"[bench] pagerank releases fired=" +
       s"${graft.ops.PageRank.releasesFired.get}" +
       s" missed=${graft.ops.PageRank.releasesMissed.get}")
+    // per-twin reclaim evidence: loaded state-store providers each twin
+    // LEFT BEHIND (unloaded at its reclaim — so the NEXT entry started
+    // clean), memory-sink views dropped, cached bytes at reclaim. A twin
+    // regression with providers piling up across this map is residue; one
+    // with a flat map is machine/session band. -1 providers = the
+    // reflective count degraded (Spark rename), not zero residue.
+    val twinProviders = twinReclaims
+      .map { case (k, st) => "\"" + k + "\":" + st.providersUnloaded }
+      .mkString("{", ",", "}")
+    val twinViews = twinReclaims.map(_._2.viewsDropped).sum
+    val twinCachedMb = twinReclaims.map(_._2.cachedBytes).sum / (1 << 20)
+    System.err.println(s"[bench] twin reclaim providers=$twinProviders" +
+      s" views=$twinViews cachedMb=$twinCachedMb")
     val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""sf":"$sfDir","n_queries":${all.size},"runs_per_query":$runs,""" +
       s""""gate_stat":"min","sync_rows":$syncRows,""" +
@@ -229,6 +270,8 @@ object Bench {
       s""""sync_rows_per_sec_median":${syncRpsMedian.round},""" +
       s""""pagerank_releases":${graft.ops.PageRank.releasesFired.get},""" +
       s""""pagerank_release_misses":${graft.ops.PageRank.releasesMissed.get},""" +
+      s""""twin_reclaim_providers":$twinProviders,""" +
+      s""""twin_sink_views_dropped":$twinViews,""" +
       s""""full_map":"BENCH_LINE.json","queries":${jsonMap(slowest)},""" +
       s""""queries_median":${jsonMap(slowestMed)}}"""
     if (compact.length > 1900)

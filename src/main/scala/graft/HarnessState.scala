@@ -19,10 +19,22 @@ private[graft] object HarnessState {
 
   val GcPressureBytes: Long = 1L << 30
 
-  def reclaim(spark: SparkSession): Unit = {
-    spark.catalog.listTables().collect()
+  /** Per-call reclaim evidence, surfaced by Bench on the compact line
+    * per replay twin (the pagerank_releases treatment, r14 verdict #1):
+    * a twin-time regression in the gate artifact is adjudicable only if
+    * the artifact itself shows whether the reclaim FIRED and how much
+    * residue it found. `providersUnloaded` = loaded state-store
+    * providers at reclaim time (-1 when the reflective count failed —
+    * visible degradation, never a silent zero); `cachedBytes` = block-
+    * manager storage memory at reclaim time; `gcFired` = the pressure
+    * GC ran. */
+  final case class ReclaimStats(viewsDropped: Int, providersUnloaded: Int,
+                                cachedBytes: Long, gcFired: Boolean)
+
+  def reclaim(spark: SparkSession): ReclaimStats = {
+    val views = spark.catalog.listTables().collect()
       .filter(t => t.isTemporary && t.name.contains("_replay_"))
-      .foreach(t => spark.catalog.dropTempView(t.name))
+    views.foreach(t => spark.catalog.dropTempView(t.name))
     // The replay twins leave two further residues that the temp-view drop
     // misses (BENCH_r11: the six twins in-gate measured 1.5–2.3× their
     // r10 times with no code change on those paths):
@@ -38,15 +50,28 @@ private[graft] object HarnessState {
     // keeps this HARNESS-ONLY escape hatch out of any production path —
     // operators never touch loaded providers. Best-effort: a Spark
     // upgrade that renames it degrades to the pre-r12 behavior (slower
-    // late-gate twins), never to a wrong answer.
-    try {
+    // late-gate twins, providersUnloaded=-1 on the bench line), never to
+    // a wrong answer.
+    val providers = try {
       val cls = Class.forName(
         "org.apache.spark.sql.execution.streaming.state.StateStore$")
       val module = cls.getField("MODULE$").get(null)
+      val n = try {
+        val f = cls.getDeclaredField("loadedProviders")
+        f.setAccessible(true)
+        f.get(module) match {
+          case m: scala.collection.Map[_, _] => m.size
+          case m: java.util.Map[_, _]        => m.size
+          case _                             => -1
+        }
+      } catch { case scala.util.control.NonFatal(_) => -1 }
       cls.getMethod("unloadAll").invoke(module)
-    } catch { case scala.util.control.NonFatal(_) => () }
+      n
+    } catch { case scala.util.control.NonFatal(_) => -1 }
     spark.streams.resetTerminated()
     val cachedBytes = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
-    if (cachedBytes > GcPressureBytes) System.gc()
+    val gc = cachedBytes > GcPressureBytes
+    if (gc) System.gc()
+    ReclaimStats(views.length, providers, cachedBytes, gc)
   }
 }
