@@ -37,15 +37,63 @@ import org.apache.hadoop.fs.{ChecksumFileSystem, FileContext, FileSystem, Option
   *    cache AbstractFileSystem instances, and the partitioned IVM's
   *    commit loop writes one sidecar per touched bucket.
   *  - Anything else (object stores without an AbstractFileSystem
-  *    binding): best-effort delete-then-rename through the FileSystem
-  *    API, keeping those schemes WORKING as before this module; their
-  *    residual crash window is documented rather than hidden — object
-  *    stores have no atomic rename to offer at all.
+  *    binding): a TWO-PHASE commit through the FileSystem API. The
+  *    earlier delete-then-rename fallback left a window where the
+  *    sidecar was simply ABSENT (crash between the delete and the
+  *    rename) — readers then refused the whole table until repair. Now
+  *    the new content is staged to a `.name.new` twin BEFORE the old
+  *    sidecar is touched, and the commit rule is: **the committed value
+  *    is `p`; when `p` is absent (or unreadable mid-copy), it is
+  *    `.name.new`** — [[read]] implements exactly that rule, so at
+  *    every crash point a reader sees either the complete old or the
+  *    complete new content, never nothing:
+  *      1. heal a prior crash (`p` absent, `.new` present → finish the
+  *         old commit's rename first);
+  *      2. stage bytes to `.name.tmp`; drop a stale `.new` (it is
+  *         uncommitted while `p` exists);
+  *      3. rename tmp → `.new` (new content now complete and durable,
+  *         still uncommitted);
+  *      4. delete `p` — THE COMMIT POINT (reads switch to `.new`);
+  *      5. rename `.new` → `p` (finalize; reads prefer `p` again).
+  *    Residual exposure: a store whose rename is a non-atomic
+  *    copy+delete AND a crash inside step 1/5's copy can leave a
+  *    partially-copied `p` beside the complete `.new`; [[read]] falls
+  *    back to `.new` when opening `p` fails, and real object stores
+  *    copy atomically (a destination object appears only whole), so the
+  *    torn-visible-copy case needs a scheme with neither atomic rename
+  *    nor atomic copy — strictly narrower than the absence window this
+  *    replaces.
   */
 private[graft] object SidecarIO {
 
   private val fcCache =
     new java.util.concurrent.ConcurrentHashMap[java.net.URI, FileContext]()
+
+  private def newTwin(p: Path): Path =
+    new Path(p.getParent, s".${p.getName}.new")
+
+  /** Read the COMMITTED sidecar content under the two-phase rule: `p`
+    * when present and readable, else the staged `.name.new` twin (the
+    * committed value inside a fallback-scheme crash window), else None.
+    * On the atomic-rename schemes `.new` never exists and this is a
+    * plain read. */
+  def read(fs: FileSystem, p: Path): Option[String] = {
+    def slurp(path: Path): String = {
+      val in = fs.open(path)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val twin = newTwin(p)
+    if (fs.exists(p)) {
+      try Some(slurp(p))
+      catch {
+        case _: java.io.IOException if fs.exists(twin) => Some(slurp(twin))
+      }
+    }
+    else if (fs.exists(twin)) Some(slurp(twin))
+    else None
+  }
 
   /** Write `content` to `p` with the commit contract above. */
   def write(fs: FileSystem, p: Path, content: String): Unit = {
@@ -107,13 +155,28 @@ private[graft] object SidecarIO {
           Options.Rename.OVERWRITE)
       } catch {
         case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-          // no AbstractFileSystem binding (s3a, custom stores): fall back
-          // to the FileSystem API so the scheme keeps working; the
-          // delete→rename gap is the documented residual window here
-          if (fs.exists(p)) fs.delete(p, false)
-          if (!fs.rename(tmp, p))
+          // no AbstractFileSystem binding (s3a, custom stores): the
+          // two-phase FileSystem-API commit (scaladoc steps 1–5). The
+          // staged .new twin carries the committed value across the
+          // only instant where p is absent, and read() knows to serve it.
+          val twin = newTwin(p)
+          if (!fs.exists(p) && fs.exists(twin)) {
+            // step 1: a prior commit crashed between its steps 4 and 5 —
+            // its .new IS the committed value; finish its rename before
+            // staging ours (so step 2's stale-twin delete can never drop
+            // a committed value)
+            if (!fs.rename(twin, p))
+              throw new java.io.IOException(
+                s"sidecar commit: heal rename $twin -> $p failed")
+          }
+          if (fs.exists(twin)) fs.delete(twin, false) // step 2: uncommitted
+          if (!fs.rename(tmp, twin))                  // step 3: stage
             throw new java.io.IOException(
-              s"sidecar commit: rename $tmp -> $p failed")
+              s"sidecar commit: rename $tmp -> $twin failed")
+          if (fs.exists(p)) fs.delete(p, false)       // step 4: COMMIT
+          if (!fs.rename(twin, p))                    // step 5: finalize
+            throw new java.io.IOException(
+              s"sidecar commit: rename $twin -> $p failed")
       }
     }
   }

@@ -99,12 +99,9 @@ object RangeLayout {
                                  name: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(path.stripSuffix("/"), name)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
-      finally in.close()
-    }
+    // committed-content read (SidecarIO two-phase crash window on
+    // no-AbstractFileSystem schemes — the stamp may live in `.new`)
+    graft.core.SidecarIO.read(fs, p)
   }
 
   private[ops] def writeParams(spark: SparkSession, path: String,

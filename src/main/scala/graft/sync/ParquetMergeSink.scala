@@ -292,16 +292,11 @@ object ParquetMergeSink {
     * committed. SyncJob's T1 recovery takes `min(dest MAX, this)` so the
     * interrupted batch is re-extracted in full (idempotent merge heals any
     * mix of old and new partitions). */
-  private[sync] def pendingRestartPoint(fs: FileSystem, targetDir: String): Option[Long] = {
-    val p = pendingPath(targetDir)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
-      finally in.close()
-    }
-  }
+  private[sync] def pendingRestartPoint(fs: FileSystem, targetDir: String): Option[Long] =
+    // committed-content read (SidecarIO two-phase crash window on
+    // no-AbstractFileSystem schemes — the marker may live in `.new`)
+    graft.core.SidecarIO.read(fs, pendingPath(targetDir))
+      .flatMap(_.trim.toLongOption)
 
   private def writePendingMerge(fs: FileSystem, targetDir: String, lo: Long): Unit =
     // the restart-point marker is parsed with toLongOption, so a torn

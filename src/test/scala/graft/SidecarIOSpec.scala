@@ -48,6 +48,62 @@ class SidecarIOSpec extends SparkSpec {
     assert(!new java.io.File(dir, "._GRAFT_TEST_WM.tmp").exists())
   }
 
+  test("fallback scheme (no AbstractFileSystem): committed value readable at every crash point") {
+    // The no-AbstractFileSystem fallback (s3a-shaped stores) commits in
+    // two phases: stage `.name.new` → delete p (commit) → rename to p.
+    // This arm proves the contract the old delete-then-rename could not:
+    // at EVERY intermediate state a reader through SidecarIO.read sees
+    // either the complete old or the complete new content — never
+    // nothing, never torn.
+    val dir = tmpDir("sidecar-io-mock")
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftmock.impl",
+      classOf[graft.MockStoreFileSystem].getName)
+    val p = new Path(s"graftmock:$dir/_GRAFT_TEST_WM")
+    val fs = fsFor(p)
+    // fixture assumption: this scheme really has no AbstractFileSystem
+    // binding, so SidecarIO takes the fallback branch, not FileContext
+    assertThrows[org.apache.hadoop.fs.UnsupportedFileSystemException](
+      org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf))
+    def readBack: Option[String] = graft.core.SidecarIO.read(fs, p)
+
+    // clean writes round-trip and leave no staging debris
+    graft.core.SidecarIO.write(fs, p, "old")
+    assert(readBack.contains("old"))
+    assert(!new java.io.File(dir, "._GRAFT_TEST_WM.new").exists())
+    assert(!new java.io.File(dir, "._GRAFT_TEST_WM.tmp").exists())
+    graft.core.SidecarIO.write(fs, p, "new")
+    assert(readBack.contains("new"))
+
+    val pFile = new java.io.File(dir, "_GRAFT_TEST_WM")
+    val twin = new java.io.File(dir, "._GRAFT_TEST_WM.new")
+    def state(pContent: Option[String], twinContent: Option[String]): Unit = {
+      pFile.delete(); twin.delete()
+      pContent.foreach(c =>
+        java.nio.file.Files.writeString(pFile.toPath, c))
+      twinContent.foreach(c =>
+        java.nio.file.Files.writeString(twin.toPath, c))
+      ()
+    }
+    // crash after step 3 (staged, not committed): reader serves OLD
+    state(Some("old"), Some("next"))
+    assert(readBack.contains("old"))
+    // crash between steps 4 and 5 — THE window the old fallback lost the
+    // sidecar in entirely: p absent, staged twin complete → reader
+    // serves NEW (the committed value)
+    state(None, Some("next"))
+    assert(readBack.contains("next"))
+    // a fresh write over that crash state heals first (step 1), then
+    // commits its own content; the healed-then-replaced chain must end
+    // clean: p carries the latest value, no staging debris
+    graft.core.SidecarIO.write(fs, p, "after-heal")
+    assert(readBack.contains("after-heal"))
+    assert(pFile.exists() && !twin.exists())
+    // genuine absence (no sidecar was ever committed) stays None
+    state(None, None)
+    assert(readBack.isEmpty)
+  }
+
   test("empty-content marker (the Similarity _GRAFT_COMMITTED shape) commits") {
     // after the r13 adoption sweep, presence-only commit markers also go
     // through SidecarIO — an empty write must land as a present, empty,
