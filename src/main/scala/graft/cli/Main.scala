@@ -111,9 +111,11 @@ object Main {
                           moments: Boolean = false,
                           distinctCols: Option[String] = None,
                           valueColSet: Boolean = false,
-                          kbuckets: Int = 0)
+                          kbuckets: Int = 0,
+                          minmax: Boolean = false)
 
-  private val boolFlags = Set("progress", "apply", "partitioned", "moments")
+  private val boolFlags =
+    Set("progress", "apply", "partitioned", "moments", "minmax")
 
   private[cli] def parse(argv: Array[String]): Args = {
     if (argv.isEmpty || !Set("single", "continuous", "compact", "curate",
@@ -122,7 +124,7 @@ object Main {
         "dedup-lines", "dedup-spans", "diff", "reconcile",
         "bpe-train", "tokenize", "pipeline", "agg",
         "rebucket").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span|jaccard|containment] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--jaccard 0.8] [--threshold 0.99 for containment] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft reconcile --source (PATH|jdbc:...#table) --dest PATH --key K[,K2] [--report PATH] [--apply] | graft bpe-train --source PATH --dest PATH --merges N [--id-col doc_id] [--text-col text] | graft tokenize --source PATH --base MERGES_PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text] | graft pipeline --source PATH --benchmark PATH --dest WORKDIR --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--min-span 24] [--min-docs 2] [--min-tokens N] [--max-tokens N] [--max-contamination 0.0] [--shards 16] [--capacity 2048] [--id-col doc_id] [--text-col text] | graft agg --source (PATH|jdbc:...#table) --dest PATH --by GROUPCOL[,G2] --watermark W [--key K[,K2] last-writer-wins keyed lane] [--value-col value | --value-col V1,V2 | --moments | --distinct C[,C2]] [--cut N] [--partitioned] [--buckets 64] [--kbuckets 4x-buckets, keyed state store] | graft rebucket --dest PATH --buckets N [--kbuckets M, keyed layouts only]. Note: agg and reconcile commit their watermark/state sidecars via atomic rename; object stores with no AbstractFileSystem binding (e.g. s3a) fall back to delete-then-rename, leaving a small crash window where the sidecar is absent and the rollup refuses reads until the slice is re-applied")
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span|jaccard|containment] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--jaccard 0.8] [--threshold 0.99 for containment] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft reconcile --source (PATH|jdbc:...#table) --dest PATH --key K[,K2] [--report PATH] [--apply] | graft bpe-train --source PATH --dest PATH --merges N [--id-col doc_id] [--text-col text] | graft tokenize --source PATH --base MERGES_PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text] | graft pipeline --source PATH --benchmark PATH --dest WORKDIR --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--min-span 24] [--min-docs 2] [--min-tokens N] [--max-tokens N] [--max-contamination 0.0] [--shards 16] [--capacity 2048] [--id-col doc_id] [--text-col text] | graft agg --source (PATH|jdbc:...#table) --dest PATH --by GROUPCOL[,G2] --watermark W [--key K[,K2] last-writer-wins keyed lane] [--value-col value | --value-col V1,V2 | --moments | --distinct C[,C2]] [--cut N] [--partitioned] [--buckets 64] [--kbuckets 4x-buckets, keyed state store] | graft rebucket --dest PATH --buckets N [--kbuckets M, keyed layouts only]. Note: agg and reconcile commit their watermark/state sidecars via atomic rename; object stores with no AbstractFileSystem binding (e.g. s3a) use a staged two-phase commit (.new twin written before the old sidecar is touched) so readers see a committed value at every crash point")
     val opts = scala.collection.mutable.Map.empty[String, String]
     var i = 1
     while (i < argv.length) {
@@ -275,6 +277,7 @@ object Main {
         valueCol = opts.getOrElse("value-col", "value"),
         partitioned = opts.contains("partitioned"),
         moments = opts.contains("moments"),
+        minmax = opts.contains("minmax"),
         distinctCols = opts.get("distinct"),
         valueColSet = opts.contains("value-col"),
         alpha = opts.get("alpha").map { v =>
@@ -607,6 +610,27 @@ object Main {
           "distinct column to --by (the rollup's live (group, value) " +
           "pairs ARE the distinct set) and count rows per group at read " +
           "time")
+    // --minmax is a teaching flag: no apply lane takes it, and the two
+    // refusals say where min/max actually live. Keyed: the lanes refuse
+    // to MAINTAIN extrema (a replaced key's old value cannot be
+    // retracted from a running min/max without per-group value history),
+    // but the a19/a20 composition makes them EXACT with no new
+    // machinery. Append-only: v1 maintains min/max already.
+    if (a.minmax && useKeyed)
+      throw GraftError.InvalidConfig(
+        "--key cannot maintain min/max directly (a replaced key's old " +
+          "value is not retractable from a running extremum). EXACT " +
+          "keyed min/max composes instead: append the value column to " +
+          "--by (the rollup's live (group, value) pairs ARE the " +
+          "mirror's value set, and a vacated value disappears with its " +
+          "last key), keep a constant --value-col, and read with " +
+          "readKeyedMinMax(outerGroups, valueColumn)")
+    if (a.minmax)
+      throw GraftError.InvalidConfig(
+        "the append-only v1 lane maintains min/max already (cnt, " +
+          "sum_val, min_val, max_val) — drop --minmax and read the " +
+          "rollup; --minmax exists only to route keyed-lane callers to " +
+          "the composition")
     // keyed MOMENTS ride the partitioned layout only (the production
     // shape; a flat keyed-moments rewrite would be O(mirror) per slice)
     if (useKeyed && (a.moments || valueCols.size > 1) && !a.partitioned)
@@ -648,8 +672,14 @@ object Main {
         s"(watermark $lo, cut $hi)")
       return
     }
-    val kBuckets =
-      if (a.kbuckets > 0) a.kbuckets else math.min(65536, a.buckets * 4)
+    // default --kbuckets: the stored stamp's kbuckets= on a warm rollup
+    // (a rebucket --buckets N keeps the state space — re-deriving
+    // 4×buckets would mismatch it and refuse forever after), falling
+    // back to 4× --buckets only on cold start (keys outnumber groups)
+    lazy val kBuckets =
+      if (a.kbuckets > 0) a.kbuckets
+      else graft.sync.AggMaintenance.storedKeyBuckets(spark, a.dest)
+        .getOrElse(math.min(65536, a.buckets * 4))
     val r =
       if (useKeyed && a.partitioned && (a.moments || valueCols.size > 1))
         // keyed MOMENTS: retraction-capable cnt/cntv/sum/sumsq per value

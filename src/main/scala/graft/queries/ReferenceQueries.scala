@@ -934,6 +934,66 @@ object ReferenceQueries {
             col("distinct_groups").as("distinct_users"), col("cnt"))
     },
 
+    // A20 — keyed EXACT MIN/MAX by composition: the keyed apply lanes
+    // refuse min/max (a replaced key's old value cannot be retracted
+    // from a running extremum without per-group value history), but the
+    // a19 pattern closes the gap with no new machinery — a keyed rollup
+    // grouped by (G, value) carries the live mirror's exact value SET
+    // per G, so min/max over LIVE groups IS min/max of the mirror:
+    // exact, retractable (a vacated value disappears with its last key),
+    // and a group-cardinality regroup at read time. Fixture: a16's
+    // update-heavy shape — moved keys DOUBLE their value and leave their
+    // old group, so both the old type's max (shrinks when its largest
+    // key moves away) and 'moved''s extrema (doubled values) change
+    // across the slice boundary, and both must come out exact.
+    "a20_agg_maintenance_keyed_minmax" -> Q(
+      """WITH src AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id,
+        |         epoch_us(ts) + (SELECT max(epoch_us(ts)) - min(epoch_us(ts)) + 1
+        |                         FROM events) AS ts_us,
+        |         'moved' AS event_type, value * 2 AS value
+        |  FROM events WHERE event_id % 10 = 0),
+        |latest AS (
+        |  SELECT event_id, event_type, value FROM (
+        |    SELECT src.*, row_number() OVER (PARTITION BY event_id
+        |                                     ORDER BY ts_us DESC) AS rn
+        |    FROM src) t
+        |  WHERE rn = 1)
+        |SELECT event_type, min(value) AS min_value, max(value) AS max_value,
+        |       count(*) AS cnt
+        |FROM latest GROUP BY event_type""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        val base = ev.select(col("event_id"), col("event_type"),
+          col("value"), Tables.tsUs(ev).as("ts"))
+          // the value rides as a GROUP column (the composition); the
+          // lane's measure slot carries a constant like a19's
+          .withColumn("one", lit(1.0))
+        val b = base.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+          .collect().head
+        val lo = b.getLong(0); val hi = b.getLong(1) + 1
+        val span = hi - lo
+        val updated = base.filter(col("event_id") % 10 === 0)
+          .withColumn("ts", col("ts") + lit(span))
+          .withColumn("event_type", lit("moved"))
+          .withColumn("value", col("value") * 2) // ×2 is float-exact
+        val src = base.unionByName(updated)
+        val stamp = Tables.fixtureStamp(dir, "events")
+        val out = ivmTmp(s, "aggivmkx", s"$dir@$stamp")
+        Seq((lo, hi), (hi, hi + span)).foreach { case (l, h) =>
+          graft.sync.AggMaintenance.applySliceKeyed(
+            s, out, src, "ts", Seq("event_id"),
+            Seq("event_type", "value"), "one", l, h)
+        }
+        graft.sync.AggMaintenance
+          .readKeyedMinMax(s, out, Seq("event_type"), "value")
+          .select(col("event_type"), col("min_value"), col("max_value"),
+            col("cnt"))
+    },
+
     // A15 — WINDOWED rollup IVM: the v1 core is group-generic, so a
     // (user, tumbling-window-start) grouped rollup maintains slice-by-
     // slice with NO new machinery — group cols = user_id + the hour

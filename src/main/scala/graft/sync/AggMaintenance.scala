@@ -48,14 +48,14 @@ import graft.core.Watermark
   * (`hi` ≤ stored) is a reported no-op, a gap (`lo` ≠ stored) is a typed
   * refusal — silently skipping [stored, lo) would undercount forever.
   * Hadoop parquet readers ignore `_`-prefixed files, so the sidecar rides
-  * invisibly beside the data files. Store caveat: the sidecar rewrites the
+  * invisibly beside the data files. Store note: the sidecar rewrites the
   * protocol leans on (empty-slice watermark advance, partitioned root-wm
-  * commit) are crash-atomic only where SidecarIO has an atomic path —
-  * local NIO and HDFS FileContext; on schemes without an
-  * AbstractFileSystem binding (s3a, custom stores) SidecarIO falls back to
-  * delete-then-rename, so a crash there can leave the marker absent — see
-  * core.SidecarIO's scaladoc before arguing exactly-once on object
-  * stores.
+  * commit) are crash-atomic where SidecarIO has an atomic path (local
+  * NIO, HDFS FileContext); on schemes without an AbstractFileSystem
+  * binding (s3a, custom stores) SidecarIO stages a two-phase commit and
+  * every sidecar read here goes through SidecarIO.read, which serves the
+  * committed value at every crash point — see core.SidecarIO's scaladoc
+  * for the full argument.
   */
 object AggMaintenance {
 
@@ -483,7 +483,8 @@ object AggMaintenance {
         .drop("__rn", orderCol)
       val keysOnly0 = latest.select(keyCols.map(col): _*)
       val keysOnly =
-        if (rawRows <= 1000000L) broadcast(keysOnly0) else keysOnly0
+        if (rawRows <= broadcastKeyRowCutoff(keyCols)) broadcast(keysOnly0)
+        else keysOnly0
       // old contributions of re-arriving keys, retracted from their OLD
       // group at their OLD value
       val minus = state.join(keysOnly, keyCols, "inner")
@@ -980,7 +981,8 @@ object AggMaintenance {
         .drop("__rn", orderCol)
       val keysOnly0 = latest.select(keyCols.map(col): _*)
       val keysOnly =
-        if (rawRows <= 1000000L) broadcast(keysOnly0) else keysOnly0
+        if (rawRows <= broadcastKeyRowCutoff(keyCols)) broadcast(keysOnly0)
+        else keysOnly0
 
       // which state buckets the slice's keys land in — the ONLY state the
       // retraction lookup and the state rewrite ever read
@@ -1608,8 +1610,99 @@ object AggMaintenance {
     * per outer prefix. */
   def readKeyedDistinct(spark: SparkSession, targetDir: String,
                         outerGroupCols: Seq[String]): DataFrame = {
+    val stored = keyedGroupColsFor(spark, targetDir, "readKeyedDistinct",
+      outerGroupCols)
+    if (outerGroupCols.size >= stored.size)
+      throw graft.core.GraftError.InvalidConfig(
+        "outer group columns cover every stored group column — nothing " +
+          "is left to count distinct; rebuild the rollup with the " +
+          "distinct column appended to its group columns")
+    read(spark, targetDir)
+      .groupBy(outerGroupCols.map(col): _*)
+      .agg(count(lit(1)).as("distinct_groups"),
+        sum(col("cnt")).cast("long").as("cnt"))
+  }
+
+  /** EXACT keyed MIN/MAX — the composition the apply lanes refuse to fake.
+    * The keyed lanes cannot MAINTAIN min/max: a replaced key's old value
+    * cannot be retracted from a running min/max without per-group value
+    * history (the NOTES 2-heap scope-out). But a keyed rollup GROUPED BY
+    * (outer..., valueGroupCol) carries the live mirror's exact value SET
+    * per outer prefix — its cnt>0 rows are precisely the (outer, value)
+    * pairs with ≥1 live key, and the lane removes a pair when its last
+    * key leaves — so min/max of the live mirror IS min/max over live
+    * groups: exact, retractable, bucketed, a group-cardinality regroup at
+    * read time (the readKeyedDistinct pattern). `valueGroupCol` must be
+    * one of the rollup's GROUP columns (outside the outer prefix): it is
+    * the dimension whose live values are folded. Returns
+    * (outer..., min_<v>, max_<v>, cnt) where `cnt` is the live-key total
+    * per outer prefix. */
+  def readKeyedMinMax(spark: SparkSession, targetDir: String,
+                      outerGroupCols: Seq[String],
+                      valueGroupCol: String): DataFrame = {
+    val stored = keyedGroupColsFor(spark, targetDir, "readKeyedMinMax",
+      outerGroupCols)
+    if (!stored.contains(valueGroupCol))
+      throw graft.core.GraftError.InvalidConfig(
+        s"value column '$valueGroupCol' is not a group column of this " +
+          s"rollup (stored: ${stored.mkString(", ")}) — keyed min/max " +
+          "reads fold the LIVE GROUP values; rebuild the rollup with the " +
+          "value column appended to its group columns")
+    if (outerGroupCols.contains(valueGroupCol))
+      throw graft.core.GraftError.InvalidConfig(
+        s"value column '$valueGroupCol' is also an outer group column — " +
+          "a min/max over a column the result is grouped by is the " +
+          "column itself")
+    read(spark, targetDir)
+      .groupBy(outerGroupCols.map(col): _*)
+      .agg(min(col(valueGroupCol)).as(s"min_$valueGroupCol"),
+        max(col(valueGroupCol)).as(s"max_$valueGroupCol"),
+        sum(col("cnt")).cast("long").as("cnt"))
+  }
+
+  /** The stored keyed state-store bucket count (the stamp's `kbuckets=`
+    * token) of a warm partitioned keyed rollup, if any. The CLI derives
+    * its default `--kbuckets` from here: after a `rebucket --buckets N`
+    * (which keeps the stored kbuckets), a re-derived 4×buckets default
+    * would differ from the stored space and hit the
+    * foreign-parameterization refusal on every subsequent default-flag
+    * apply — the stamp, not the derivation, is the truth on a warm
+    * rollup. */
+  def storedKeyBuckets(spark: SparkSession, targetDir: String): Option[Int] = {
+    val fs = new Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readText(fs, new Path(targetDir, ParamsFile))
+      .orElse(readText(fs, new Path(bakRoot(targetDir) + "_dir", ParamsFile)))
+      .flatMap(_.split(' ').find(_.startsWith("kbuckets="))
+        .flatMap(_.stripPrefix("kbuckets=").toIntOption))
+  }
+
+  /** Slice-row cutoff below which the keyed lanes broadcast the arriving
+    * key set into the state lookup/rewrite joins. Scaled by KEY WIDTH,
+    * not a flat row count (r14 verdict #8): a 1M-row × four-column-key
+    * frame is ~4× the broadcast bytes of the single-column case the flat
+    * 1M cutoff was sized for, and an oversized explicit broadcast() hint
+    * bypasses autoBroadcastJoinThreshold entirely. One column keeps the
+    * measured 1M; each extra key column shrinks it proportionally. Past
+    * the cutoff AQE plans the shuffle join a bulk slice genuinely needs
+    * (the kbucket-pruning note below). */
+  private def broadcastKeyRowCutoff(keyCols: Seq[String]): Long =
+    1000000L / math.max(1, keyCols.size)
+
+  /** Shared admission for the keyed composition readers: the stamp must
+    * be a keyed lane's (append-only lanes double-count re-arrivals, so
+    * their live group set reflects history, not the mirror), and the
+    * outer prefix must be distinct, non-empty, and drawn from the stored
+    * group columns. Returns the stored group-column list. */
+  private def keyedGroupColsFor(spark: SparkSession, targetDir: String,
+                                reader: String,
+                                outerGroupCols: Seq[String]): Seq[String] = {
     require(outerGroupCols.nonEmpty,
-      "readKeyedDistinct requires at least one outer group column")
+      s"$reader requires at least one outer group column")
+    // a duplicated outer column would pass membership checks and emit a
+    // result with two identically-named ambiguous columns
+    require(outerGroupCols.distinct == outerGroupCols,
+      s"duplicate outer group columns: ${outerGroupCols.mkString(", ")}")
     val fs = new Path(targetDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val params = readText(fs, new Path(targetDir, ParamsFile))
@@ -1620,9 +1713,9 @@ object AggMaintenance {
     if (!params.startsWith("keyed ") && !params.startsWith("keyed flat") &&
         !params.startsWith("keyedv2 "))
       throw graft.core.GraftError.InvalidConfig(
-        s"rollup at $targetDir is '$params' — readKeyedDistinct needs a " +
+        s"rollup at $targetDir is '$params' — $reader needs a " +
           "KEYED rollup (append-only lanes double-count re-arrivals, so " +
-          "their group set is not a distinct set of the mirror)")
+          "their group set is not a live set of the mirror)")
     val stored = params.split(' ').find(_.startsWith("group="))
       .map(_.stripPrefix("group=").split('+').toSeq)
       .getOrElse(throw graft.core.GraftError.InvalidConfig(
@@ -1632,15 +1725,7 @@ object AggMaintenance {
       throw graft.core.GraftError.InvalidConfig(
         s"outer group column(s) ${missing.mkString(", ")} are not group " +
           s"columns of this rollup (stored: ${stored.mkString(", ")})")
-    if (outerGroupCols.size >= stored.size)
-      throw graft.core.GraftError.InvalidConfig(
-        "outer group columns cover every stored group column — nothing " +
-          "is left to count distinct; rebuild the rollup with the " +
-          "distinct column appended to its group columns")
-    read(spark, targetDir)
-      .groupBy(outerGroupCols.map(col): _*)
-      .agg(count(lit(1)).as("distinct_groups"),
-        sum(col("cnt")).cast("long").as("cnt"))
+    stored
   }
 
   /** Stamp-safety guard: column names ride inside `_GRAFT_AGG_PARAMS`
@@ -1971,15 +2056,11 @@ object AggMaintenance {
   private def writeWm(fs: FileSystem, p: Path, wm: Long): Unit =
     writeText(fs, p, wm.toString)
 
-  private def readText(fs: FileSystem, p: Path): Option[String] = {
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally in.close()
-    }
-  }
+  private def readText(fs: FileSystem, p: Path): Option[String] =
+    // committed-content read: on no-AbstractFileSystem schemes the value
+    // may live in SidecarIO's staged `.new` twin inside the two-phase
+    // commit's crash window — read() serves whichever is committed
+    graft.core.SidecarIO.read(fs, p)
 
   private def writeText(fs: FileSystem, p: Path, s: String): Unit =
     // the _GRAFT_AGG_WM / _GRAFT_AGG_PARAMS / _GRAFT_AGG_SCHEMA sidecars

@@ -1240,6 +1240,46 @@ class AggMaintenanceSpec extends SparkSpec {
       Seq("grp"), "v", 0L, 100L)
     assertThrows[graft.core.GraftError.InvalidConfig](
       AggMaintenance.readKeyedDistinct(spark, v1dir, Seq("grp")))
+    // a duplicated outer column passes membership but would emit two
+    // identically-named ambiguous result columns — refuse up front
+    assertThrows[IllegalArgumentException](
+      AggMaintenance.readKeyedDistinct(spark, dir, Seq("grp", "grp")))
+  }
+
+  test("readKeyedMinMax: live (G,v) groups carry the mirror's extrema; refusals typed") {
+    // keys 1..4; slice 2 moves key 3 (a's max, 9.0) to b DOUBLED and
+    // bumps key 1's value — a's max must SHRINK to a surviving value
+    // (retraction a running max cannot do), b's must grow
+    val src = Seq(
+      (10L, 1L, "a", 2.0), (20L, 2L, "a", 5.0), (30L, 3L, "a", 9.0),
+      (40L, 4L, "b", 1.0),
+      (110L, 3L, "b", 18.0), (120L, 1L, "a", 3.0))
+      .toDF("us", "k", "grp", "v").withColumn("one", lit(1.0))
+    val dir = tmpDir("agg-keyed-minmax")
+    Seq((0L, 100L), (100L, 200L)).foreach { case (l, h) =>
+      AggMaintenance.applySliceKeyed(spark, dir, src, "us",
+        Seq("k"), Seq("grp", "v"), "one", l, h) }
+    val got = AggMaintenance.readKeyedMinMax(spark, dir, Seq("grp"), "v")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    // mirror: 1→(a,3.0), 2→(a,5.0), 3→(b,18.0), 4→(b,1.0)
+    assert(got == Map("a" -> ((3.0, 5.0, 2L)), "b" -> ((1.0, 18.0, 2L))))
+    // the value column must be a stored group column outside the outer set
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.readKeyedMinMax(spark, dir, Seq("grp"), "one"))
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.readKeyedMinMax(spark, dir, Seq("grp", "v"), "v"))
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.readKeyedMinMax(spark, dir, Seq("nope"), "v"))
+    assertThrows[IllegalArgumentException](
+      AggMaintenance.readKeyedMinMax(spark, dir, Seq("grp", "grp"), "v"))
+    // append-only rollups refuse — their live groups reflect history
+    val v1dir = tmpDir("agg-ivm-minmax")
+    AggMaintenance.applySlice(spark, v1dir, rows((10L, "a", 1.0)), "us",
+      Seq("grp"), "v", 0L, 100L)
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.readKeyedMinMax(spark, v1dir, Seq("grp"), "v"))
   }
 
   test("timestamp order column: bounds are canonical µs, filter on native type") {

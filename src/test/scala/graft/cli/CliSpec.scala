@@ -602,6 +602,36 @@ class CliSpec extends SparkSpec {
       run("agg", "--source", s"$work/src", "--dest", s"$work/kx",
         "--by", "grp", "--watermark", "us", "--key", "k", "--value-col", "v",
         "--kbuckets", "8"))
+    // --minmax is a teaching flag: the keyed arm routes to the a20
+    // composition (readKeyedMinMax over a (G, value)-grouped rollup),
+    // the append-only arm says v1 maintains min/max already
+    val keyedMinmax = intercept[GraftError.InvalidConfig](
+      run("agg", "--source", s"$work/src", "--dest", s"$work/kx",
+        "--by", "grp", "--watermark", "us", "--key", "k", "--value-col", "v",
+        "--minmax"))
+    assert(keyedMinmax.getMessage.contains("readKeyedMinMax"))
+    val v1Minmax = intercept[GraftError.InvalidConfig](
+      run("agg", "--source", s"$work/src", "--dest", s"$work/kx",
+        "--by", "grp", "--watermark", "us", "--value-col", "v", "--minmax"))
+    assert(v1Minmax.getMessage.contains("maintains min/max already"))
+    // default --kbuckets on a WARM keyed-partitioned rollup comes from
+    // the stored stamp (kbuckets=8 here), not the 4×--buckets derivation
+    // (which would be 16 and hit the foreign-parameterization refusal) —
+    // a default-flag steady-state apply must keep working
+    run("agg", "--source", s"$work/src", "--dest", s"$work/keyedp",
+      "--by", "grp", "--watermark", "us", "--key", "k", "--value-col", "v",
+      "--partitioned", "--buckets", "4")
+    // and after a rollup-only rebucket (state kbuckets kept at 8), the
+    // stamp still drives the default — the ADVICE r14 trap was exactly a
+    // default-flag apply refusing forever after `rebucket --buckets N`
+    run("rebucket", "--dest", s"$work/keyedp", "--buckets", "8")
+    run("agg", "--source", s"$work/src", "--dest", s"$work/keyedp",
+      "--by", "grp", "--watermark", "us", "--key", "k", "--value-col", "v",
+      "--partitioned", "--buckets", "8")
+    assert(graft.sync.AggMaintenance.read(spark, s"$work/keyedp")
+      .select(col("grp"), col("cnt"), col("sum_val").cast("double"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap == d)
 
     // rebucket: grow a partitioned rollup's bucket count, chain continues
     val pr = s"$work/part"
@@ -739,12 +769,13 @@ class CliSpec extends SparkSpec {
   test("arg validation fails TYPED, not with a raw exception") {
     assertThrows[GraftError.InvalidConfig](Main.parse(Array("frobnicate")))
     // the usage text an operator actually reads must carry the object-
-    // store sidecar caveat (SidecarIO's no-AbstractFileSystem fallback is
-    // delete-then-rename — the one non-atomic commit path left)
+    // store sidecar story (SidecarIO's no-AbstractFileSystem fallback is
+    // now a staged two-phase commit — readers see a committed value at
+    // every crash point)
     val usage = intercept[GraftError.InvalidConfig](
       Main.parse(Array("frobnicate"))).getMessage
-    assert(usage.contains("delete-then-rename"),
-      "usage text must surface the object-store sidecar crash window")
+    assert(usage.contains("two-phase commit"),
+      "usage text must surface the object-store sidecar commit story")
     assertThrows[GraftError.InvalidConfig](
       Main.parse(Array("neardup", "--source", "s", "--dest", "d",
         "--mode", "fuzzy")))
