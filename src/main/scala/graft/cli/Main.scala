@@ -123,8 +123,8 @@ object Main {
         "decontaminate", "spans", "layout", "mix",
         "dedup-lines", "dedup-spans", "diff", "reconcile",
         "bpe-train", "tokenize", "pipeline", "agg",
-        "rebucket").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span|jaccard|containment] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--jaccard 0.8] [--threshold 0.99 for containment] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft reconcile --source (PATH|jdbc:...#table) --dest PATH --key K[,K2] [--report PATH] [--apply] | graft bpe-train --source PATH --dest PATH --merges N [--id-col doc_id] [--text-col text] | graft tokenize --source PATH --base MERGES_PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text] | graft pipeline --source PATH --benchmark PATH --dest WORKDIR --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--min-span 24] [--min-docs 2] [--min-tokens N] [--max-tokens N] [--max-contamination 0.0] [--shards 16] [--capacity 2048] [--id-col doc_id] [--text-col text] | graft agg --source (PATH|jdbc:...#table) --dest PATH --by GROUPCOL[,G2] --watermark W [--key K[,K2] last-writer-wins keyed lane] [--value-col value | --value-col V1,V2 | --moments | --distinct C[,C2]] [--cut N] [--partitioned] [--buckets 64] [--kbuckets 4x-buckets, keyed state store] | graft rebucket --dest PATH --buckets N [--kbuckets M, keyed layouts only]. Note: agg and reconcile commit their watermark/state sidecars via atomic rename; object stores with no AbstractFileSystem binding (e.g. s3a) use a staged two-phase commit (.new twin written before the old sidecar is touched) so readers see a committed value at every crash point")
+        "agg-read", "rebucket").contains(argv(0)))
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span|jaccard|containment] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--jaccard 0.8] [--threshold 0.99 for containment] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft reconcile --source (PATH|jdbc:...#table) --dest PATH --key K[,K2] [--report PATH] [--apply] | graft bpe-train --source PATH --dest PATH --merges N [--id-col doc_id] [--text-col text] | graft tokenize --source PATH --base MERGES_PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text] | graft pipeline --source PATH --benchmark PATH --dest WORKDIR --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--min-span 24] [--min-docs 2] [--min-tokens N] [--max-tokens N] [--max-contamination 0.0] [--shards 16] [--capacity 2048] [--id-col doc_id] [--text-col text] | graft agg --source (PATH|jdbc:...#table) --dest PATH --by GROUPCOL[,G2] --watermark W [--key K[,K2] last-writer-wins keyed lane] [--value-col value | --value-col V1,V2 | --moments | --distinct C[,C2]] [--cut N] [--partitioned] [--buckets 64] [--kbuckets 4x-buckets, keyed state store] | graft agg-read --source ROLLUP_DIR --dest OUT_PARQUET [--mode plain|derived|distinct|minmax] [--by G[,G2] outer groups, composition modes only] [--value-col V, minmax only] | graft rebucket --dest PATH --buckets N [--kbuckets M, keyed layouts only]. Note: agg and reconcile commit their watermark/state sidecars via atomic rename; object stores with no AbstractFileSystem binding (e.g. s3a) use a staged two-phase commit (.new twin written before the old sidecar is touched) so readers see a committed value at every crash point")
     val opts = scala.collection.mutable.Map.empty[String, String]
     var i = 1
     while (i < argv.length) {
@@ -196,6 +196,8 @@ object Main {
         val (dflt, allowed) =
           if (argv(0) == "decontaminate")
             ("shingle", Set("shingle", "span", "jaccard", "containment"))
+          else if (argv(0) == "agg-read")
+            ("plain", Set("plain", "derived", "distinct", "minmax"))
           else ("minhash", Set("minhash", "simhash", "exact",
             "containment", "containment-sampled"))
         val m = opts.getOrElse("mode", dflt)
@@ -327,6 +329,7 @@ object Main {
           case "pipeline"       => runPipeline(spark, a)
           case "tokenize"       => runTokenize(spark, a)
           case "agg"            => runAgg(spark, a)
+          case "agg-read"       => runAggRead(spark, a)
           case "rebucket"       => runRebucket(spark, a)
           case _                => runSync(spark, a)
         }
@@ -726,6 +729,57 @@ object Main {
       println(s"agg ${a.source} -> ${a.dest}: folded [$lo, $hi) " +
         s"sliceRows=${r.sliceRows} groups=${r.groupsWritten} " +
         s"watermark=${r.watermarkUs}")
+  }
+
+  /** Rollup READ as a CLI verb — the missing read half of `agg`: every
+    * lane the CLI can build, it can now serve without a line of Scala.
+    * `--mode plain` reads the rollup's own groups (any lane; crash-
+    * window-tolerant through AggMaintenance.read), `derived` the v2/
+    * keyed-moments avg/variance chain, and `distinct`/`minmax` the
+    * keyed COMPOSITION reads the apply-side refusals teach
+    * (readKeyedDistinct / readKeyedMinMax over a (G, value)-grouped
+    * keyed rollup). Flags are mode-scoped and refuse when silently
+    * ignorable — an unused `--by` or `--value-col` is a misconfigured
+    * invocation, not noise. */
+  private[cli] def runAggRead(spark: org.apache.spark.sql.SparkSession,
+                              a: Args): Unit = {
+    if (a.source.startsWith("jdbc:") || a.dest.startsWith("jdbc:"))
+      throw GraftError.InvalidConfig(
+        "agg-read reads a parquet rollup into a parquet output")
+    val composition = a.mode == "distinct" || a.mode == "minmax"
+    val outerCols = a.by.split(",", -1).toSeq.map(_.trim)
+    if (composition && (a.by.isEmpty || outerCols.exists(_.isEmpty)))
+      throw GraftError.InvalidConfig(
+        s"--mode ${a.mode} needs --by OUTERCOL[,G2] — the outer groups " +
+          "the live-group fold is keyed by (exact names, no empty " +
+          "segments)")
+    if (!composition && a.by.nonEmpty)
+      throw GraftError.InvalidConfig(
+        s"--by applies to the composition modes (distinct|minmax); " +
+          s"--mode ${a.mode} reads the rollup's own groups")
+    if (a.mode == "minmax" && !a.valueColSet)
+      throw GraftError.InvalidConfig(
+        "--mode minmax needs an explicit --value-col naming the GROUP " +
+          "column whose live values are folded (a silent default could " +
+          "coincide with the wrong column)")
+    if (a.mode != "minmax" && a.valueColSet)
+      throw GraftError.InvalidConfig(
+        s"--value-col applies to --mode minmax only; --mode ${a.mode} " +
+          "does not fold a value column")
+    import graft.sync.AggMaintenance
+    val df = a.mode match {
+      case "plain"    => AggMaintenance.read(spark, a.source)
+      case "derived"  => AggMaintenance.readDerived(spark, a.source)
+      case "distinct" => AggMaintenance.readKeyedDistinct(
+        spark, a.source, outerCols)
+      case "minmax"   => AggMaintenance.readKeyedMinMax(
+        spark, a.source, outerCols, a.valueCol)
+    }
+    df.write.mode("overwrite").parquet(a.dest)
+    val n = spark.read.parquet(a.dest).count()
+    println(s"agg-read ${a.source} [${a.mode}]: $n rows -> ${a.dest} " +
+      s"(watermark ${AggMaintenance.watermark(spark, a.source)
+        .getOrElse(-1L)})")
   }
 
   /** Bucket-count growth for a partitioned rollup (AggMaintenance

@@ -34,6 +34,7 @@ class CliSpec extends SparkSpec {
       case "tokenize"       => Main.runTokenize(spark, a)
       case "pipeline"       => Main.runPipeline(spark, a)
       case "agg"            => Main.runAgg(spark, a)
+      case "agg-read"       => Main.runAggRead(spark, a)
       case "rebucket"       => Main.runRebucket(spark, a)
       case other            => fail(s"unexpected verb $other")
     }
@@ -655,6 +656,66 @@ class CliSpec extends SparkSpec {
     // --buckets is REQUIRED for rebucket (no silent default relabeling)
     assertThrows[GraftError.InvalidConfig](
       Main.parse(Array("rebucket", "--dest", pr)))
+  }
+
+  test("agg-read serves every lane: plain, derived, and the keyed compositions") {
+    import spark.implicits._
+    val work = tmpDir("cli-agg-read")
+    Seq((10L, 1L, "a", 2.0, 1.0), (20L, 2L, "a", 9.0, 1.0),
+      (30L, 3L, "b", 4.0, 1.0))
+      .toDF("us", "k", "grp", "v", "one").write.parquet(s"$work/src")
+    // v1 flat rollup → plain read (default mode)
+    run("agg", "--source", s"$work/src", "--dest", s"$work/v1",
+      "--by", "grp", "--watermark", "us", "--value-col", "v")
+    run("agg-read", "--source", s"$work/v1", "--dest", s"$work/out_plain")
+    val plain = spark.read.parquet(s"$work/out_plain")
+    assert(plain.count() == 2 && plain.columns.contains("sum_val"))
+    // keyed moments → derived read (avg/var chain)
+    run("agg", "--source", s"$work/src", "--dest", s"$work/km",
+      "--by", "grp", "--watermark", "us", "--key", "k", "--value-col", "v",
+      "--moments", "--partitioned", "--buckets", "4")
+    run("agg-read", "--source", s"$work/km", "--dest", s"$work/out_der",
+      "--mode", "derived")
+    assert(spark.read.parquet(s"$work/out_der").columns.contains("avg_v"))
+    // keyed rollup grouped by (grp, v) with a constant measure — the
+    // composition shape the --key refusal matrix teaches
+    run("agg", "--source", s"$work/src", "--dest", s"$work/kc",
+      "--by", "grp,v", "--watermark", "us", "--key", "k",
+      "--value-col", "one")
+    run("agg-read", "--source", s"$work/kc", "--dest", s"$work/out_mm",
+      "--mode", "minmax", "--by", "grp", "--value-col", "v")
+    val mm = spark.read.parquet(s"$work/out_mm")
+      .select("grp", "min_v", "max_v", "cnt").collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(mm == Map("a" -> ((2.0, 9.0, 2L)), "b" -> ((4.0, 4.0, 1L))))
+    run("agg-read", "--source", s"$work/kc", "--dest", s"$work/out_dc",
+      "--mode", "distinct", "--by", "grp")
+    val dc = spark.read.parquet(s"$work/out_dc")
+      .select("grp", "distinct_groups").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dc == Map("a" -> 2L, "b" -> 1L))
+    // mode-scoped flag refusals: nothing silently ignorable
+    assertThrows[GraftError.InvalidConfig](
+      run("agg-read", "--source", s"$work/kc", "--dest", s"$work/x",
+        "--mode", "minmax", "--by", "grp")) // no --value-col
+    assertThrows[GraftError.InvalidConfig](
+      run("agg-read", "--source", s"$work/kc", "--dest", s"$work/x",
+        "--mode", "distinct")) // no --by
+    assertThrows[GraftError.InvalidConfig](
+      run("agg-read", "--source", s"$work/v1", "--dest", s"$work/x",
+        "--by", "grp")) // --by on plain
+    assertThrows[GraftError.InvalidConfig](
+      run("agg-read", "--source", s"$work/v1", "--dest", s"$work/x",
+        "--mode", "distinct", "--by", "grp", "--value-col", "v"))
+    assertThrows[GraftError.InvalidConfig](
+      Main.parse(Array("agg-read", "--source", "s", "--dest", "d",
+        "--mode", "fuzzy")))
+    // composition reads refuse non-keyed rollups typed (library guard
+    // surfaces through the verb)
+    assertThrows[GraftError.InvalidConfig](
+      run("agg-read", "--source", s"$work/v1", "--dest", s"$work/x",
+        "--mode", "distinct", "--by", "grp"))
   }
 
   test("agg --distinct drives the v3 sketch lane, flat and partitioned") {
