@@ -519,9 +519,34 @@ object TextAnalysis {
     *
     * @return idCol, text_len, covered_chars, dup_span_frac */
   def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int = 16, hashedKeys: Boolean = false): DataFrame = {
-    val (withT, _, dupHits) = dupSpanHits(docs, idCol, textCol, n, hashedKeys)
-    val covered = mergedCoverage(dupHits, idCol)
+                      n: Int = 16, hashedKeys: Boolean = false): DataFrame =
+    dupSpanCoverageFromIslands(docs, idCol, textCol,
+      dupSpanIslands(docs, idCol, textCol, n, hashedKeys))
+
+  /** The merged cross-document duplicated-span ISLANDS of a corpus —
+    * (idCol, __gs, __ge) maximal 1-based char intervals covered by at
+    * least one n-char substring that also occurs in another document.
+    * This is the SHARED intermediate of [[dupSpanCoverage]] and
+    * [[removeDuplicatedSpans]] (and of any `minSpan` policy — the
+    * islands are pre-filter): a pipeline that measures coverage AND cuts
+    * spans over the same corpus computes the gram shuffle once and
+    * serves every consumer from this small frame (bounded by docs-with-
+    * duplication × islands/doc, never corpus×grams). */
+  def dupSpanIslands(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 16, hashedKeys: Boolean = false): DataFrame = {
+    val (_, _, dupHits) = dupSpanHits(docs, idCol, textCol, n, hashedKeys)
+    mergedIslands(dupHits, idCol)
+  }
+
+  /** [[dupSpanCoverage]] served from a precomputed [[dupSpanIslands]]
+    * frame — the islands must come from the same (corpus, n, hashedKeys)
+    * parameterization or the measure is meaningless. */
+  def dupSpanCoverageFromIslands(docs: DataFrame, idCol: String,
+                                 textCol: String,
+                                 islands: DataFrame): DataFrame = {
+    val withT = spanDocFrame(docs, idCol, textCol)
+    val covered = islands.groupBy(idCol)
+      .agg(sum(col("__ge") - col("__gs") + 1).cast("long").as("__covered"))
     withT.select(col(idCol), col("__len").cast("long").as("text_len"))
       .join(covered, Seq(idCol), "left")
       .select(col(idCol), col("text_len"),
@@ -712,9 +737,19 @@ object TextAnalysis {
     * @return idCol, text_len, removed_chars, clean_text */
   def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                             n: Int = 16, minSpan: Int = 0,
-                            hashedKeys: Boolean = false): DataFrame = {
-    val (withT, _, dupHits) = dupSpanHits(docs, idCol, textCol, n, hashedKeys)
-    val isl = mergedIslands(dupHits, idCol)
+                            hashedKeys: Boolean = false): DataFrame =
+    removeDuplicatedSpansFromIslands(docs, idCol, textCol,
+      dupSpanIslands(docs, idCol, textCol, n, hashedKeys), minSpan)
+
+  /** [[removeDuplicatedSpans]] served from a precomputed
+    * [[dupSpanIslands]] frame (same-parameterization contract as
+    * [[dupSpanCoverageFromIslands]]); `minSpan` filters the islands here,
+    * so one islands frame serves every cut policy. */
+  def removeDuplicatedSpansFromIslands(docs: DataFrame, idCol: String,
+                                       textCol: String, islands: DataFrame,
+                                       minSpan: Int = 0): DataFrame = {
+    val withT = spanDocFrame(docs, idCol, textCol)
+    val isl = islands
       .filter(col("__ge") - col("__gs") + 1 >= minSpan)
     val spans = isl.groupBy(idCol).agg(
       sort_array(collect_list(struct(col("__gs").as("gs"), col("__ge").as("ge"))))

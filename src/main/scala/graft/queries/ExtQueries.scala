@@ -322,6 +322,24 @@ object ExtQueries {
         Tables.fixtureStamp(dir, "documents"),
       _ => build.localCheckpoint())
 
+  /** e6i/e6i3/e6i4's shared duplicated-span ISLANDS frame (TextAnalysis
+    * .dupSpanIslands at n=16, string keys), cached once per fixture stamp
+    * — the e6j benchmark-gram-cache pattern: the three exact-form span
+    * entries each re-derived the identical corpus×grams shuffle (~7 s
+    * apiece at sf0.1) before diverging into coverage vs the two cut
+    * policies, and a resident pipeline computing coverage AND removal
+    * shares exactly this intermediate (the library exposes the same
+    * decomposition as `dupSpanIslands` + the FromIslands forms). The
+    * islands frame is small (docs-with-duplication × islands/doc), so
+    * the checkpoint holds kilobytes, not corpus×grams. Each entry still
+    * hash-matches its own end-to-end DuckDB oracle. e6i2 (hashed keys)
+    * and e6i5 (sampled) deliberately do NOT share it — exercising their
+    * own key/slice paths is those entries' point. */
+  private def cachedSpanIslands(s: org.apache.spark.sql.SparkSession,
+                                dir: String): org.apache.spark.sql.DataFrame =
+    cachedCorpus("spanIslands", s, dir)(
+      TextAnalysis.dupSpanIslands(Tables.documents(s, dir), "doc_id", "text"))
+
   val defs: Map[String, Q] = Map(
 
     // E1 — exact dedup cardinality.
@@ -1920,7 +1938,8 @@ object ExtQueries {
         |FROM documents d LEFT JOIN c USING (doc_id)
         |WHERE d.text IS NOT NULL""".stripMargin) {
       (s, dir) =>
-        TextAnalysis.dupSpanCoverage(Tables.documents(s, dir), "doc_id", "text")
+        TextAnalysis.dupSpanCoverageFromIslands(Tables.documents(s, dir),
+          "doc_id", "text", cachedSpanIslands(s, dir))
     },
 
     // E4 — the SAME span-coverage measure with HASHED aggregation keys
@@ -2111,8 +2130,8 @@ object ExtQueries {
         |FROM documents d LEFT JOIN cl USING (doc_id) LEFT JOIN rm USING (doc_id)
         |WHERE d.text IS NOT NULL""".stripMargin) {
       (s, dir) =>
-        TextAnalysis.removeDuplicatedSpans(Tables.documents(s, dir),
-          "doc_id", "text")
+        TextAnalysis.removeDuplicatedSpansFromIslands(Tables.documents(s, dir),
+          "doc_id", "text", cachedSpanIslands(s, dir))
     },
 
     // E1/E4 — the SAME removal under the production minSpan knob: only
@@ -2160,8 +2179,8 @@ object ExtQueries {
         |FROM documents d LEFT JOIN cl USING (doc_id) LEFT JOIN rm USING (doc_id)
         |WHERE d.text IS NOT NULL""".stripMargin) {
       (s, dir) =>
-        TextAnalysis.removeDuplicatedSpans(Tables.documents(s, dir),
-          "doc_id", "text", minSpan = 24)
+        TextAnalysis.removeDuplicatedSpansFromIslands(Tables.documents(s, dir),
+          "doc_id", "text", cachedSpanIslands(s, dir), minSpan = 24)
     },
 
     // [EXT] deterministic per-epoch shuffle order: the reproducible
