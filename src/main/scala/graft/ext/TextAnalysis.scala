@@ -774,6 +774,130 @@ object TextAnalysis {
         when(col("__spans").isNull, col("__t")).otherwise(cut).as("clean_text"))
   }
 
+  // ---- persisted GRAM index: the span family's ADMISSION shape ----
+  // A 100 TB corpus cannot re-run the corpus×grams shuffle for every
+  // ingest batch. The index persists the base corpus's DISTINCT n-gram
+  // set once, bucketed by gram hash; a probe computes positions only for
+  // the BATCH and takes a semi-join against the index — "how much of
+  // this new document's text duplicates the existing corpus", the
+  // admission-side form of [[dupSpanCoverage]] (intra-batch duplication
+  // stays that function's job, run on the batch alone). The text-dedup
+  // analog of the MinHash index's build/append/probe split
+  // (Dedup.buildMinhashIndex), with the same params-guard convention:
+  // n / key hashing / bucket count are FROZEN in `_GRAFT_GRAM_PARAMS` at
+  // build time (written LAST — its presence is the commit marker) and
+  // every append/probe re-derives them from the stamp.
+
+  final case class GramIndexParams(n: Int, hashed: Boolean, nBuckets: Int)
+
+  private val GramParamsFile = "_GRAFT_GRAM_PARAMS"
+
+  private def gramParamsString(p: GramIndexParams): String =
+    s"v1 n=${p.n} hashed=${p.hashed} buckets=${p.nBuckets}"
+
+  private def gramReadParams(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): GramIndexParams = {
+    val s = graft.ops.RangeLayout.readSidecar(spark, dir, GramParamsFile)
+      .getOrElse(throw graft.core.GraftError.InvalidConfig(
+        s"no committed gram index at $dir (missing $GramParamsFile)"))
+      .trim
+    try {
+      val kv = s.split(' ').drop(1).map(_.split('='))
+        .map(a => a(0) -> a(1)).toMap
+      GramIndexParams(kv("n").toInt, kv("hashed").toBoolean,
+        kv("buckets").toInt)
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        throw graft.core.GraftError.InvalidConfig(
+          s"unparseable $GramParamsFile at $dir: '$s' — not a committed " +
+            "gram index (delete the directory and rebuild)")
+    }
+  }
+
+  /** `__gbucket` for a gram key (string or xxhash64 long — the same
+    * expression serves both, deterministically on both the build and
+    * probe sides). */
+  private def gramBucketCol(g: org.apache.spark.sql.Column,
+                            nBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(g), lit(nBuckets.toLong)).cast("int")
+
+  /** Build the persisted gram index at `dir`: the base corpus's distinct
+    * n-gram keys under `grams/__gbucket=K/`, params stamp written LAST.
+    * `hashedKeys` stores xxhash64(gram) (8 bytes/row — the production
+    * default; the e6g2/e6i2 switch) instead of the gram string. Refuses
+    * an empty base corpus typed — an all-novel day-0 batch needs no
+    * probe, and an empty bucketed parquet table is unreadable. */
+  def buildGramIndex(docs: DataFrame, idCol: String, textCol: String,
+                     dir: String, n: Int = 16, hashedKeys: Boolean = true,
+                     nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1 && nBuckets <= 65536,
+      s"nBuckets must be in [1, 65536]: $nBuckets")
+    val spark = docs.sparkSession
+    // rebuild discipline (the MinHash index rule): drop any existing
+    // stamp FIRST so a rebuild that crashes mid-write reads as ABSENT
+    val stampPath = new org.apache.hadoop.fs.Path(dir, GramParamsFile)
+    val fs = stampPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(stampPath)) fs.delete(stampPath, false)
+    val p = GramIndexParams(n, hashedKeys, nBuckets)
+    val withT = spanDocFrame(docs, idCol, textCol)
+    val grams = positionHits(withT, idCol, n, hashedKeys)
+      .select(col("__g")).distinct()
+      .withColumn("__gbucket", gramBucketCol(col("__g"), nBuckets))
+    grams.write.mode("overwrite").partitionBy("__gbucket")
+      .parquet(s"$dir/grams")
+    if (!fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/grams"))
+        .exists(_.getPath.getName.startsWith("__gbucket=")))
+      throw graft.core.GraftError.InvalidConfig(
+        "buildGramIndex: the base corpus has no text rows — an empty " +
+          "index serves no probe; build once the corpus is non-empty")
+    graft.ops.RangeLayout.writeSidecar(spark, dir, GramParamsFile,
+      gramParamsString(p))
+  }
+
+  /** Append a batch's grams to a committed index under its FROZEN
+    * params. No base anti-join: the probe's membership test is a
+    * SEMI-join, so duplicate gram rows across generations are harmless
+    * (never fan out) — an append costs O(batch grams), not O(index).
+    * Crash contract: a torn append leaves only extra (possibly
+    * incomplete) gram rows in some buckets; the failure direction is
+    * "batch not yet fully searchable", never wrong coverage for
+    * committed generations. Retry the append to complete it. */
+  def gramIndexAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      newDocs: DataFrame, idCol: String,
+                      textCol: String): Unit = {
+    val p = gramReadParams(spark, dir)
+    val withT = spanDocFrame(newDocs, idCol, textCol)
+    positionHits(withT, idCol, p.n, p.hashed)
+      .select(col("__g")).distinct()
+      .withColumn("__gbucket", gramBucketCol(col("__g"), p.nBuckets))
+      .write.mode("append").partitionBy("__gbucket").parquet(s"$dir/grams")
+  }
+
+  /** Admission-side span coverage: per BATCH doc, the characters lying
+    * inside at least one n-char substring that occurs in the INDEXED
+    * base corpus — [[dupSpanCoverage]]'s columns (text_len,
+    * covered_chars, dup_span_frac), computed without touching base text.
+    * The batch's position stream semi-joins the index on
+    * (__gbucket, __g): when the batch's gram set is small the join
+    * partition-prunes the index buckets (dynamic pruning), else it is a
+    * plain bucket-aligned shuffle join — either way the base corpus is
+    * never re-exploded. Intra-batch duplication is deliberately NOT
+    * counted (run [[dupSpanCoverage]] on the batch for that); the two
+    * measures compose into the full base∪batch picture. */
+  def gramIndexSpanCoverage(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, batch: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    val p = gramReadParams(spark, dir)
+    val withT = spanDocFrame(batch, idCol, textCol)
+    val hits = positionHits(withT, idCol, p.n, p.hashed)
+      .withColumn("__gbucket", gramBucketCol(col("__g"), p.nBuckets))
+    val index = spark.read.parquet(s"$dir/grams")
+    val dupHits = hits.join(index, Seq("__gbucket", "__g"), "left_semi")
+      .select(col(idCol), col("__s"), col("__e"))
+    dupSpanCoverageFromIslands(batch, idCol, textCol,
+      mergedIslands(dupHits, idCol))
+  }
+
   /** Benchmark span CONTAMINATION coverage: per corpus doc, how many of
     * its characters sit inside an n-char substring that also occurs
     * anywhere in a held-out benchmark corpus — the span-level

@@ -823,6 +823,63 @@ class ExtOpsSpec extends SparkSpec {
     assert(rmHashed == rm)
   }
 
+  test("gram index: admission probe equals recompute; append folds in; params guarded") {
+    import spark.implicits._
+    val base1 = Seq(
+      (1L, "ABCDEFGHIJKLMNOPQRSTuuuuuuuuuu"),
+      (3L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzz")).toDF("doc_id", "text")
+    val base2 = Seq((4L, "shorttext")).toDF("doc_id", "text")
+    val batch = Seq(
+      // shares the 20-char run with base doc 1 → island [11,30]
+      (10L, "xxxxxxxxxxABCDEFGHIJKLMNOPQRST"),
+      (11L, "wwwwwwwwwwwwwwwwwwwwwwwwwwwwww"), // novel
+      (12L, "shorttext"),                      // whole-text hit on base2
+      // intra-BATCH duplicates with no base occurrence: the admission
+      // measure must NOT count them (dupSpanCoverage on the batch does)
+      (13L, "qqqqqqqqqqqqqqqqqqqqqqqqqqqqqq"),
+      (14L, "qqqqqqqqqqqqqqqqqqqqqqqqqqqqqq")).toDF("doc_id", "text")
+    val dir = tmpDir("gram-index") + "/idx"
+    TextAnalysis.buildGramIndex(base1.unionByName(base2), "doc_id", "text",
+      dir, hashedKeys = false)
+    def probe(d: String, hashed: Boolean = false) =
+      TextAnalysis.gramIndexSpanCoverage(spark, d, batch, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    val got = probe(dir)
+    assert(got == Map(10L -> ((30L, 20L)), 11L -> ((30L, 0L)),
+      12L -> ((9L, 9L)), 13L -> ((30L, 0L)), 14L -> ((30L, 0L))),
+      s"admission coverage wrong: $got")
+    // append path: build on base1 only, fold base2 in — the probe must
+    // equal the one-shot build over base1 ∪ base2
+    val dir2 = tmpDir("gram-index-app") + "/idx"
+    TextAnalysis.buildGramIndex(base1, "doc_id", "text", dir2,
+      hashedKeys = false)
+    val before = probe(dir2)
+    assert(before(12L) == ((9L, 0L)), "batch doc 12 must be novel pre-append")
+    TextAnalysis.gramIndexAppend(spark, dir2, base2, "doc_id", "text")
+    assert(probe(dir2) == got, "append must equal the one-shot build")
+    // hashed-key production switch: identical output (xxhash64 keys)
+    val dirH = tmpDir("gram-index-h") + "/idx"
+    TextAnalysis.buildGramIndex(base1.unionByName(base2), "doc_id", "text",
+      dirH, hashedKeys = true)
+    assert(probe(dirH) == got, "hashed index must probe identically")
+    // params guard: no stamp / corrupt stamp refuse typed
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      TextAnalysis.gramIndexSpanCoverage(spark, tmpDir("gram-none"),
+        batch, "doc_id", "text"))
+    val bad = tmpDir("gram-bad")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(bad, "_GRAFT_GRAM_PARAMS"), "garbage")
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      TextAnalysis.gramIndexSpanCoverage(spark, bad, batch,
+        "doc_id", "text"))
+    // empty base refuses typed (an empty bucketed table serves no probe)
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      TextAnalysis.buildGramIndex(base1.filter(col("doc_id") < 0),
+        "doc_id", "text", tmpDir("gram-empty") + "/idx",
+        hashedKeys = false))
+  }
+
   test("benchmark span contamination covers quoted spans, ignores benchmark-only text") {
     import spark.implicits._
     val bench = Seq((900L, "THEQUICKBROWNFOXJUMPSOVER"))
