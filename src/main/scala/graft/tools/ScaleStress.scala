@@ -108,7 +108,7 @@ object ScaleStress {
       val docsDir = s"$work/docs_x$rep"
       val embDir = s"$work/emb_x$rep"
       val needDocs = wants("dedup", "e6g", "e6g2", "e6g3", "e6i", "e6i5", "e6m",
-        "e4t", "e4v", "e4w", "e6k", "e6l", "e5d", "e5dcap")
+        "e4t", "e4v", "e4w", "e6k", "e6l", "e5d", "e5dcap", "gramidx")
       val needEmb = wants("e2n")
       val (_, tPrepD) =
         if (needDocs) timed(replicateDocs(spark, sfDir, rep, docsDir))
@@ -988,6 +988,44 @@ object ScaleStress {
         jline("mhindex_direct_join", rep, tDirect, direct.count())
       }
       } // wants("mhindex")
+
+      if (wants("gramidx")) {
+      // the persisted GRAM index (e6i6) at scale: the claim is that the
+      // corpus×grams explode — the dominant term of every span-dedup
+      // call — is paid ONCE at build, and an admission probe costs only
+      // batch-positions + a semi-join against the stored gram set. So
+      // the probe curve should grow only with the index SCAN, while the
+      // recompute path (a fresh dupSpanCoverage over base ∪ batch, what
+      // a pipeline without the index pays per ingest) re-explodes the
+      // whole base every call. The direct form also counts intra-batch
+      // duplication (a semantic superset) — the comparison is of the
+      // COST of the shared base-membership term, which dominates both.
+      {
+        val base = docs // the replicated corpus prepared above
+        val idx = s"$work/gram_index_x$rep"
+        val (_, tBuild) = timed(graft.ext.TextAnalysis.buildGramIndex(
+          base, "doc_id", "text", idx))
+        jline("gramidx_build", rep, tBuild, base.count())
+        // constant-size probe batch at every scale: 100 docs quoting a
+        // base doc's full text plus a novel tail (spans hit, tail novel)
+        val batch = base.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 900000000L).as("doc_id"),
+            concat(col("text"), lit(" freshnovelprobetail")).as("text"))
+          .localCheckpoint()
+        val (probed, tProbe) = timed {
+          graft.ext.TextAnalysis.gramIndexSpanCoverage(
+            spark, idx, batch, "doc_id", "text").localCheckpoint()
+        }
+        jline("gramidx_probe", rep, tProbe, probed.count())
+        val (direct, tDirect) = timed {
+          graft.ext.TextAnalysis.dupSpanCoverage(
+            base.select("doc_id", "text").unionByName(batch),
+            "doc_id", "text", hashedKeys = true)
+            .filter(col("doc_id") >= 900000000L).localCheckpoint()
+        }
+        jline("gramidx_direct_recompute", rep, tDirect, direct.count())
+      }
+      } // wants("gramidx")
     }
     spark.stop()
   }
