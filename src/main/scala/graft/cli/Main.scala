@@ -123,8 +123,8 @@ object Main {
         "decontaminate", "spans", "layout", "mix",
         "dedup-lines", "dedup-spans", "diff", "reconcile",
         "bpe-train", "tokenize", "pipeline", "agg",
-        "agg-read", "rebucket").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span|jaccard|containment] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--jaccard 0.8] [--threshold 0.99 for containment] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft reconcile --source (PATH|jdbc:...#table) --dest PATH --key K[,K2] [--report PATH] [--apply] | graft bpe-train --source PATH --dest PATH --merges N [--id-col doc_id] [--text-col text] | graft tokenize --source PATH --base MERGES_PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text] | graft pipeline --source PATH --benchmark PATH --dest WORKDIR --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--min-span 24] [--min-docs 2] [--min-tokens N] [--max-tokens N] [--max-contamination 0.0] [--shards 16] [--capacity 2048] [--id-col doc_id] [--text-col text] | graft agg --source (PATH|jdbc:...#table) --dest PATH --by GROUPCOL[,G2] --watermark W [--key K[,K2] last-writer-wins keyed lane] [--value-col value | --value-col V1,V2 | --moments | --distinct C[,C2]] [--cut N] [--partitioned] [--buckets 64] [--kbuckets 4x-buckets, keyed state store] | graft agg-read --source ROLLUP_DIR --dest OUT_PARQUET [--mode plain|derived|distinct|minmax] [--by G[,G2] outer groups, composition modes only] [--value-col V, minmax only] | graft rebucket --dest PATH --buckets N [--kbuckets M, keyed layouts only]. Note: agg and reconcile commit their watermark/state sidecars via atomic rename; object stores with no AbstractFileSystem binding (e.g. s3a) use a staged two-phase commit (.new twin written before the old sidecar is touched) so readers see a committed value at every crash point")
+        "agg-read", "rebucket", "span-index").contains(argv(0)))
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span|jaccard|containment] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--jaccard 0.8] [--threshold 0.99 for containment] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft reconcile --source (PATH|jdbc:...#table) --dest PATH --key K[,K2] [--report PATH] [--apply] | graft bpe-train --source PATH --dest PATH --merges N [--id-col doc_id] [--text-col text] | graft tokenize --source PATH --base MERGES_PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text] | graft pipeline --source PATH --benchmark PATH --dest WORKDIR --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--min-span 24] [--min-docs 2] [--min-tokens N] [--max-tokens N] [--max-contamination 0.0] [--shards 16] [--capacity 2048] [--id-col doc_id] [--text-col text] | graft agg --source (PATH|jdbc:...#table) --dest PATH --by GROUPCOL[,G2] --watermark W [--key K[,K2] last-writer-wins keyed lane] [--value-col value | --value-col V1,V2 | --moments | --distinct C[,C2]] [--cut N] [--partitioned] [--buckets 64] [--kbuckets 4x-buckets, keyed state store] | graft agg-read --source ROLLUP_DIR --dest OUT_PARQUET [--mode plain|derived|distinct|minmax] [--by G[,G2] outer groups, composition modes only] [--value-col V, minmax only] | graft rebucket --dest PATH --buckets N [--kbuckets M, keyed layouts only] | graft span-index --mode build|append|probe --source PATH --dest (INDEX_DIR for build/append, OUT_PARQUET for probe) [--base INDEX_DIR, probe only] [--ngram 16] [--buckets 64] [--id-col doc_id] [--text-col text]. Note: agg and reconcile commit their watermark/state sidecars via atomic rename; object stores with no AbstractFileSystem binding (e.g. s3a) use a staged two-phase commit (.new twin written before the old sidecar is touched) so readers see a committed value at every crash point")
     val opts = scala.collection.mutable.Map.empty[String, String]
     var i = 1
     while (i < argv.length) {
@@ -198,6 +198,8 @@ object Main {
             ("shingle", Set("shingle", "span", "jaccard", "containment"))
           else if (argv(0) == "agg-read")
             ("plain", Set("plain", "derived", "distinct", "minmax"))
+          else if (argv(0) == "span-index")
+            ("build", Set("build", "append", "probe"))
           else ("minhash", Set("minhash", "simhash", "exact",
             "containment", "containment-sampled"))
         val m = opts.getOrElse("mode", dflt)
@@ -242,6 +244,7 @@ object Main {
         // decontamination in tokens — different natural defaults, one flag
         ngramN = num("ngram", opts.getOrElse("ngram",
           if (argv(0) == "spans" || argv(0) == "dedup-spans" ||
+            argv(0) == "span-index" ||
             (argv(0) == "decontaminate" &&
               opts.get("mode").contains("span"))) "16" else "3"),
           min = 1, max = 64).toInt,
@@ -251,7 +254,7 @@ object Main {
         // agg's partitioned rollup caps buckets where the engine does
         // (65536) and defaults to the documented 64; layout keeps 16
         buckets = num("buckets", opts.getOrElse("buckets",
-            if (argv(0) == "agg") "64" else "16"),
+            if (argv(0) == "agg" || argv(0) == "span-index") "64" else "16"),
           min = 1, max = if (argv(0) == "agg" || argv(0) == "rebucket")
             65536 else 1000000).toInt,
         // keyed-partitioned state bucket count; 0 = derive (4 × --buckets:
@@ -331,6 +334,7 @@ object Main {
           case "agg"            => runAgg(spark, a)
           case "agg-read"       => runAggRead(spark, a)
           case "rebucket"       => runRebucket(spark, a)
+          case "span-index"     => runSpanIndex(spark, a)
           case _                => runSync(spark, a)
         }
         0
@@ -780,6 +784,42 @@ object Main {
     println(s"agg-read ${a.source} [${a.mode}]: $n rows -> ${a.dest} " +
       s"(watermark ${AggMaintenance.watermark(spark, a.source)
         .getOrElse(-1L)})")
+  }
+
+  /** The persisted gram index (TextAnalysis.buildGramIndex family) as a
+    * CLI verb — the span family's incremental-admission shape: `build`
+    * persists the base corpus's distinct n-gram set, `append` folds an
+    * ingest batch in at O(batch grams), `probe` writes per-batch-doc
+    * span coverage against the EXISTING corpus (text_len, covered_chars,
+    * dup_span_frac) without re-exploding base text. Index params are
+    * frozen in the build's stamp; append/probe re-derive them. */
+  private[cli] def runSpanIndex(spark: org.apache.spark.sql.SparkSession,
+                                a: Args): Unit = {
+    if (a.source.startsWith("jdbc:") || a.dest.startsWith("jdbc:"))
+      throw GraftError.InvalidConfig("span-index applies to parquet paths")
+    val docs = spark.read.parquet(a.source)
+    a.mode match {
+      case "build" =>
+        graft.ext.TextAnalysis.buildGramIndex(docs, a.idCol, a.textCol,
+          a.dest, n = a.ngramN, nBuckets = a.buckets)
+        println(s"span-index build ${a.source}: n=${a.ngramN} " +
+          s"buckets=${a.buckets} -> ${a.dest}")
+      case "append" =>
+        graft.ext.TextAnalysis.gramIndexAppend(spark, a.dest, docs,
+          a.idCol, a.textCol)
+        println(s"span-index append ${a.source} -> ${a.dest}")
+      case "probe" =>
+        if (a.base.isEmpty)
+          throw GraftError.InvalidConfig(
+            "span-index --mode probe needs --base INDEX_DIR (the " +
+              "committed index; --dest is the coverage output)")
+        val out = graft.ext.TextAnalysis.gramIndexSpanCoverage(
+          spark, a.base, docs, a.idCol, a.textCol)
+        out.write.mode("overwrite").parquet(a.dest)
+        val n = spark.read.parquet(a.dest).count()
+        println(s"span-index probe ${a.source} vs ${a.base}: " +
+          s"$n docs -> ${a.dest}")
+    }
   }
 
   /** Bucket-count growth for a partitioned rollup (AggMaintenance

@@ -36,6 +36,7 @@ class CliSpec extends SparkSpec {
       case "agg"            => Main.runAgg(spark, a)
       case "agg-read"       => Main.runAggRead(spark, a)
       case "rebucket"       => Main.runRebucket(spark, a)
+      case "span-index"     => Main.runSpanIndex(spark, a)
       case other            => fail(s"unexpected verb $other")
     }
     a
@@ -716,6 +717,42 @@ class CliSpec extends SparkSpec {
     assertThrows[GraftError.InvalidConfig](
       run("agg-read", "--source", s"$work/v1", "--dest", s"$work/x",
         "--mode", "distinct", "--by", "grp"))
+  }
+
+  test("span-index drives build, append, and the admission probe") {
+    import spark.implicits._
+    val work = tmpDir("cli-span-index")
+    Seq((1L, "ABCDEFGHIJKLMNOPQRSTuuuuuuuuuu"),
+      (3L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"))
+      .toDF("doc_id", "text").write.parquet(s"$work/base1")
+    Seq((4L, "shorttext")).toDF("doc_id", "text")
+      .write.parquet(s"$work/base2")
+    Seq((10L, "xxxxxxxxxxABCDEFGHIJKLMNOPQRST"), // base span hit [11,30]
+      (12L, "shorttext"))                        // hit only after append
+      .toDF("doc_id", "text").write.parquet(s"$work/batch")
+    run("span-index", "--source", s"$work/base1", "--dest", s"$work/idx")
+    run("span-index", "--mode", "probe", "--source", s"$work/batch",
+      "--base", s"$work/idx", "--dest", s"$work/cov1")
+    def cov(p: String) = spark.read.parquet(p)
+      .select("doc_id", "covered_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cov(s"$work/cov1") == Map(10L -> 20L, 12L -> 0L))
+    run("span-index", "--mode", "append", "--source", s"$work/base2",
+      "--dest", s"$work/idx")
+    run("span-index", "--mode", "probe", "--source", s"$work/batch",
+      "--base", s"$work/idx", "--dest", s"$work/cov2")
+    assert(cov(s"$work/cov2") == Map(10L -> 20L, 12L -> 9L),
+      "appended base2 must make the short doc a whole-text hit")
+    // probe without --base refuses; jdbc paths refuse
+    assertThrows[GraftError.InvalidConfig](
+      run("span-index", "--mode", "probe", "--source", s"$work/batch",
+        "--dest", s"$work/x"))
+    assertThrows[GraftError.InvalidConfig](
+      run("span-index", "--source", "jdbc:postgresql://h/db#t",
+        "--dest", s"$work/x"))
+    assertThrows[GraftError.InvalidConfig](
+      Main.parse(Array("span-index", "--source", "s", "--dest", "d",
+        "--mode", "rebuild")))
   }
 
   test("agg --distinct drives the v3 sketch lane, flat and partitioned") {
