@@ -255,8 +255,8 @@ object Main {
         // (65536) and defaults to the documented 64; layout keeps 16
         buckets = num("buckets", opts.getOrElse("buckets",
             if (argv(0) == "agg" || argv(0) == "span-index") "64" else "16"),
-          min = 1, max = if (argv(0) == "agg" || argv(0) == "rebucket")
-            65536 else 1000000).toInt,
+          min = 1, max = if (argv(0) == "agg" || argv(0) == "rebucket" ||
+            argv(0) == "span-index") 65536 else 1000000).toInt,
         // keyed-partitioned state bucket count; 0 = derive (4 × --buckets:
         // keys are finer-grained than groups)
         kbuckets = num("kbuckets", opts.getOrElse("kbuckets", "0"),
@@ -770,6 +770,13 @@ object Main {
       throw GraftError.InvalidConfig(
         s"--value-col applies to --mode minmax only; --mode ${a.mode} " +
           "does not fold a value column")
+    // the agg verb's LANE flags are meaningless on a read and almost
+    // certainly mean a --mode was intended — refuse, never ignore
+    if (a.minmax || a.moments || a.partitioned || a.distinctCols.nonEmpty)
+      throw GraftError.InvalidConfig(
+        "--minmax/--moments/--partitioned/--distinct select agg's APPLY " +
+          "lanes; agg-read reads a committed rollup — pick the read with " +
+          "--mode plain|derived|distinct|minmax")
     import graft.sync.AggMaintenance
     val df = a.mode match {
       case "plain"    => AggMaintenance.read(spark, a.source)

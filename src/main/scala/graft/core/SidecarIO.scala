@@ -73,10 +73,15 @@ private[graft] object SidecarIO {
     new Path(p.getParent, s".${p.getName}.new")
 
   /** Read the COMMITTED sidecar content under the two-phase rule: `p`
-    * when present and readable, else the staged `.name.new` twin (the
-    * committed value inside a fallback-scheme crash window), else None.
-    * On the atomic-rename schemes `.new` never exists and this is a
-    * plain read. */
+    * when present, else the staged `.name.new` twin (the committed value
+    * inside a fallback-scheme crash window), else None. On the
+    * atomic-rename schemes `.new` never exists and this is a plain read.
+    * A read error on a PRESENT `p` propagates — between steps 3 and 4
+    * the twin is staged but UNCOMMITTED, so falling back to it on a
+    * transient store error would serve a value that was never committed
+    * (e.g. a watermark above the last folded slice); the torn-copy heal
+    * case (scaladoc residual) therefore fails loud rather than guessing,
+    * and the next write's heal step repairs it. */
   def read(fs: FileSystem, p: Path): Option[String] = {
     def slurp(path: Path): String = {
       val in = fs.open(path)
@@ -84,15 +89,31 @@ private[graft] object SidecarIO {
         java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
     }
-    val twin = newTwin(p)
-    if (fs.exists(p)) {
-      try Some(slurp(p))
-      catch {
-        case _: java.io.IOException if fs.exists(twin) => Some(slurp(twin))
-      }
-    }
-    else if (fs.exists(twin)) Some(slurp(twin))
+    if (fs.exists(p)) Some(slurp(p))
+    else if (fs.exists(newTwin(p))) Some(slurp(newTwin(p)))
     else None
+  }
+
+  /** Is a committed sidecar present under the two-phase rule? `p` OR its
+    * staged twin (p absent + twin present = committed, steps 4→5). Every
+    * commit-marker existence probe must use this, not raw `fs.exists` —
+    * a raw check reads "absent" inside the window and can roll back
+    * committed state (the healWholeDir hazard). */
+  def exists(fs: FileSystem, p: Path): Boolean =
+    fs.exists(p) || fs.exists(newTwin(p))
+
+  /** Remove a sidecar AND its staged twin. A plain `fs.delete(p)` leaves
+    * a committed-in-twin value behind (p absent + twin present still
+    * READS as committed), so every sidecar removal — clear-marker paths,
+    * rebuild-discipline stamp drops — must go through here. */
+  def delete(fs: FileSystem, p: Path): Unit = {
+    // twin FIRST: a crash between the two deletes then leaves p alone
+    // ("delete didn't happen yet" — retryable), never the p-absent/
+    // twin-present state that READS as a resurrected commit
+    val t = newTwin(p)
+    if (fs.exists(t)) fs.delete(t, false)
+    if (fs.exists(p)) fs.delete(p, false)
+    ()
   }
 
   /** Write `content` to `p` with the commit contract above. */

@@ -930,10 +930,13 @@ object Dedup {
     // REBUILD discipline: drop any existing stamp FIRST, so a rebuild
     // that crashes between the two data writes reads as ABSENT (the
     // stamp-written-last invariant would otherwise be false exactly for
-    // rebuilds — new sigs under the old stamp probe silently wrong)
+    // rebuilds — new sigs under the old stamp probe silently wrong).
+    // Through SidecarIO.delete: on fallback schemes the stamp may live
+    // (only) in its staged `.new` twin, which a raw delete would leave
+    // behind still READING as committed.
     val stampPath = new org.apache.hadoop.fs.Path(dir, MhParamsFile)
     val fs = stampPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(stampPath)) fs.delete(stampPath, false)
+    graft.core.SidecarIO.delete(fs, stampPath)
     val p = MinhashIndexParams(k, bands, shingleN, nativeShingles, maxBandSize)
     if (nativeShingles) graft.functions.GraftFunctions.register(spark)
     val sigs = mhSigs(docs, idCol, textCol, p).localCheckpoint()

@@ -834,10 +834,13 @@ object TextAnalysis {
       s"nBuckets must be in [1, 65536]: $nBuckets")
     val spark = docs.sparkSession
     // rebuild discipline (the MinHash index rule): drop any existing
-    // stamp FIRST so a rebuild that crashes mid-write reads as ABSENT
+    // stamp FIRST so a rebuild that crashes mid-write reads as ABSENT —
+    // through SidecarIO.delete, which also removes the staged `.new`
+    // twin a crashed fallback-scheme commit may have left (a raw delete
+    // would leave the stale params READING as committed over new data)
     val stampPath = new org.apache.hadoop.fs.Path(dir, GramParamsFile)
     val fs = stampPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(stampPath)) fs.delete(stampPath, false)
+    graft.core.SidecarIO.delete(fs, stampPath)
     val p = GramIndexParams(n, hashedKeys, nBuckets)
     val withT = spanDocFrame(docs, idCol, textCol)
     val grams = positionHits(withT, idCol, n, hashedKeys)

@@ -1149,8 +1149,10 @@ object AggMaintenance {
     healWholeDir(fs, targetDir)
     healBuckets(fs, targetDir)
     // presence check only — the core re-reads the VALUE itself (it must:
-    // the interior-watermark split recursion advances it mid-apply)
-    val wmExists = fs.exists(new Path(dst, WmFile))
+    // the interior-watermark split recursion advances it mid-apply);
+    // SidecarIO.exists so a twin-committed wm (fallback-scheme window)
+    // counts as present
+    val wmExists = graft.core.SidecarIO.exists(fs, new Path(dst, WmFile))
     readText(fs, new Path(dst, ParamsFile)) match {
       case Some(p) if p != params && laneFor(p) != op =>
         throw graft.core.GraftError.InvalidConfig(
@@ -1561,8 +1563,9 @@ object AggMaintenance {
       // apply's job)
       val wholeBak = new Path(bakRoot(targetDir) + "_dir")
       val serveRoot =
-        if (!fs.exists(new Path(root, WmFile)) &&
-            fs.exists(new Path(wholeBak, WmFile))) wholeBak
+        if (!graft.core.SidecarIO.exists(fs, new Path(root, WmFile)) &&
+            graft.core.SidecarIO.exists(fs, new Path(wholeBak, WmFile)))
+          wholeBak
         else root
       // partition dirs carry "=" so Spark's hidden-path filter keeps them
       // (`__bucket=3` is data; `_GRAFT_AGG_WM` is not)
@@ -1588,8 +1591,9 @@ object AggMaintenance {
     else if (ParquetMergeSink.hasData(fs, root)) spark.read.parquet(targetDir)
     else {
       val bak = new Path(bakRoot(targetDir) + "_dir")
-      val inCrashWindow = !fs.exists(new Path(root, WmFile)) &&
-        fs.exists(new Path(bak, WmFile))
+      val inCrashWindow =
+        !graft.core.SidecarIO.exists(fs, new Path(root, WmFile)) &&
+        graft.core.SidecarIO.exists(fs, new Path(bak, WmFile))
       if (inCrashWindow && ParquetMergeSink.hasData(fs, bak))
         spark.read.parquet(bak.toString)
       else emptyFromSchema()
@@ -1913,7 +1917,13 @@ object AggMaintenance {
   private def healWholeDir(fs: FileSystem, targetDir: String): Unit = {
     val bak = new Path(bakRoot(targetDir) + "_dir")
     if (!fs.exists(bak)) return
-    val committed = fs.exists(new Path(targetDir, WmFile))
+    // SidecarIO.exists, not raw fs.exists: on fallback schemes an
+    // in-place wm advance crashed mid two-phase commit leaves the wm
+    // committed only in its `.new` twin — a raw probe would read
+    // "uncommitted", delete the CURRENT destination, and restore the
+    // older backup, rolling back committed state
+    val committed = graft.core.SidecarIO.exists(fs,
+      new Path(targetDir, WmFile))
     if (!committed) {
       val dst = new Path(targetDir)
       if (fs.exists(dst)) fs.delete(dst, true)

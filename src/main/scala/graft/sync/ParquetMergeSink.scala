@@ -304,10 +304,12 @@ object ParquetMergeSink {
     // exactly the class of window core.SidecarIO exists to close
     graft.core.SidecarIO.write(fs, pendingPath(targetDir), lo.toString)
 
-  private def clearPendingMerge(fs: FileSystem, targetDir: String): Unit = {
-    val p = pendingPath(targetDir)
-    if (fs.exists(p)) { fs.delete(p, false); () }
-  }
+  private def clearPendingMerge(fs: FileSystem, targetDir: String): Unit =
+    // through SidecarIO.delete, not a raw fs.delete: on fallback schemes
+    // the marker may live (only) in its staged `.new` twin, and a raw
+    // delete of the primary name would leave a stale committed restart
+    // point that pendingRestartPoint serves forever after
+    graft.core.SidecarIO.delete(fs, pendingPath(targetDir))
 
   /** Distinct hive partition column names of a single-level `col=value/`
     * layout at `dir` (the merge sink's own partitioned shape) — empty for

@@ -102,6 +102,17 @@ class SidecarIOSpec extends SparkSpec {
     // genuine absence (no sidecar was ever committed) stays None
     state(None, None)
     assert(readBack.isEmpty)
+
+    // the companion primitives honor the twin rule: exists() sees a
+    // twin-committed value; delete() removes BOTH names (a raw
+    // fs.delete(p) would leave a committed-in-twin value resurrectable)
+    state(None, Some("twin-only"))
+    assert(graft.core.SidecarIO.exists(fs, p))
+    graft.core.SidecarIO.delete(fs, p)
+    assert(!graft.core.SidecarIO.exists(fs, p) && readBack.isEmpty)
+    state(Some("both"), Some("staged"))
+    graft.core.SidecarIO.delete(fs, p)
+    assert(!pFile.exists() && !twin.exists())
   }
 
   test("empty-content marker (the Similarity _GRAFT_COMMITTED shape) commits") {

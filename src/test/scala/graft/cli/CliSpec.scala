@@ -709,6 +709,13 @@ class CliSpec extends SparkSpec {
     assertThrows[GraftError.InvalidConfig](
       run("agg-read", "--source", s"$work/v1", "--dest", s"$work/x",
         "--mode", "distinct", "--by", "grp", "--value-col", "v"))
+    // agg's APPLY-lane flags refuse on a read (the user meant --mode)
+    assertThrows[GraftError.InvalidConfig](
+      run("agg-read", "--source", s"$work/kc", "--dest", s"$work/x",
+        "--minmax"))
+    assertThrows[GraftError.InvalidConfig](
+      run("agg-read", "--source", s"$work/kc", "--dest", s"$work/x",
+        "--distinct", "v"))
     assertThrows[GraftError.InvalidConfig](
       Main.parse(Array("agg-read", "--source", "s", "--dest", "d",
         "--mode", "fuzzy")))
@@ -753,6 +760,10 @@ class CliSpec extends SparkSpec {
     assertThrows[GraftError.InvalidConfig](
       Main.parse(Array("span-index", "--source", "s", "--dest", "d",
         "--mode", "rebuild")))
+    // buckets above the engine cap fail TYPED at parse, like agg/rebucket
+    assertThrows[GraftError.InvalidConfig](
+      Main.parse(Array("span-index", "--source", "s", "--dest", "d",
+        "--buckets", "70000")))
   }
 
   test("agg --distinct drives the v3 sketch lane, flat and partitioned") {
