@@ -1282,6 +1282,78 @@ class AggMaintenanceSpec extends SparkSpec {
       AggMaintenance.readKeyedMinMax(spark, v1dir, Seq("grp"), "v"))
   }
 
+  test("keyed lane property: seeded-random upsert streams fold to latest-per-key under any slicing") {
+    import spark.implicits._
+    // deterministic pseudo-random scenarios (seeded — never flaky): the
+    // hand-built arms pin specific behaviors; this arm sweeps the space
+    // of re-arrival patterns × slice cuts the fixtures can't enumerate.
+    // Each event gets a DISTINCT ts so the brute-force latest-per-key is
+    // unambiguous (within-slice ts ties have their own tie-break arm).
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val nEvents = 120 + rnd.nextInt(80)
+      val nKeys = 10 + rnd.nextInt(20)
+      val groups = Seq("a", "b", "c", "d")
+      val events = (1 to nEvents).map { ts =>
+        (ts.toLong, (1 + rnd.nextInt(nKeys)).toLong,
+          groups(rnd.nextInt(groups.size)),
+          math.round(rnd.nextDouble() * 1000) / 10.0)
+      }
+      val src = events.toDF("us", "k", "grp", "v")
+      val cuts = (Seq(1L, nEvents + 1L) ++
+        Seq.fill(2 + rnd.nextInt(4))(1L + rnd.nextInt(nEvents).toLong))
+        .distinct.sorted
+      val dir = tmpDir(s"agg-keyed-prop$trial")
+      cuts.sliding(2).foreach { case Seq(l, h) =>
+        if (trial == 2)
+          AggMaintenance.applySliceKeyedPartitioned(spark, dir, src, "us",
+            Seq("k"), Seq("grp"), "v", l, h, 8, 16)
+        else
+          AggMaintenance.applySliceKeyed(spark, dir, src, "us",
+            Seq("k"), Seq("grp"), "v", l, h)
+        ()
+      }
+      val got = AggMaintenance.read(spark, dir)
+        .select(col("grp"), col("cnt"),
+          col("sum_val").cast("decimal(28,4)").as("sum_val"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("us").desc)
+      val latest = src.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+      val want = latest.groupBy("grp")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("v").cast("decimal(18,4)")).cast("decimal(28,4)")
+            .as("sum_val"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"trial $trial (cuts ${cuts.mkString(",")}) diverged from " +
+          "latest-per-key")
+      if (trial == 1) {
+        // the composition readers over the same stream: a (grp, v)-
+        // grouped keyed rollup's live groups must carry the mirror's
+        // exact distinct counts and extrema
+        val cdir = tmpDir("agg-keyed-prop-comp")
+        val csrc = src.withColumn("one", lit(1.0))
+        cuts.sliding(2).foreach { case Seq(l, h) =>
+          AggMaintenance.applySliceKeyed(spark, cdir, csrc, "us",
+            Seq("k"), Seq("grp", "v"), "one", l, h)
+          ()
+        }
+        val mm = AggMaintenance.readKeyedMinMax(spark, cdir, Seq("grp"), "v")
+          .select(col("grp"), col("min_v"), col("max_v"))
+        val mmWant = latest.groupBy("grp")
+          .agg(min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        assert(mm.exceptAll(mmWant).isEmpty && mmWant.exceptAll(mm).isEmpty,
+          "composition min/max diverged from the mirror")
+        val dc = AggMaintenance.readKeyedDistinct(spark, cdir, Seq("grp"))
+          .select(col("grp"), col("distinct_groups"))
+        val dcWant = latest.groupBy("grp")
+          .agg(count_distinct(col("v")).as("distinct_groups"))
+        assert(dc.exceptAll(dcWant).isEmpty && dcWant.exceptAll(dc).isEmpty,
+          "composition distinct diverged from the mirror")
+      }
+    }
+  }
+
   test("timestamp order column: bounds are canonical µs, filter on native type") {
     val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
     val us = graft.core.Tables.tsUs(ev)
