@@ -1282,6 +1282,50 @@ class AggMaintenanceSpec extends SparkSpec {
       AggMaintenance.readKeyedMinMax(spark, v1dir, Seq("grp"), "v"))
   }
 
+  test("heal honors a twin-committed watermark: stacked crash windows never roll back") {
+    // Fallback-scheme stacked windows: (1) an old whole-dir swap left its
+    // backup behind; (2) a later in-place wm advance crashed between the
+    // two-phase commit's steps 4 and 5, leaving the root's wm committed
+    // only in SidecarIO's `.new` twin. The heal's committed-probe must
+    // count the twin (SidecarIO.exists) — a raw fs.exists would read the
+    // newer root as UNCOMMITTED, delete it, and restore the OLDER backup.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    def copyTree(src: String, dst: String): Unit = {
+      val s = Paths.get(src); val d = Paths.get(dst)
+      Files.walk(s).forEach { p =>
+        val t = d.resolve(s.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else { Files.createDirectories(t.getParent)
+          Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING); () }
+      }
+    }
+    val work = tmpDir("agg-heal-twin")
+    val dir = s"$work/roll"
+    AggMaintenance.applySlice(spark, dir, rows((10L, "a", 1.0)), "us",
+      Seq("grp"), "v", 0L, 100L)
+    copyTree(dir, s"$work/slice1copy") // the would-be stale backup
+    AggMaintenance.applySlice(spark, dir, rows((110L, "b", 2.0)), "us",
+      Seq("grp"), "v", 100L, 200L)
+    // stage the stacked crash: stale backup beside the root, root's wm
+    // committed only in its `.new` twin
+    copyTree(s"$work/slice1copy", s"$dir.__agg_bak_dir")
+    Files.move(Paths.get(dir, "_GRAFT_AGG_WM"),
+      Paths.get(dir, "._GRAFT_AGG_WM.new"))
+    // reads serve the TWIN-committed state (wm 200, both slices)
+    assert(AggMaintenance.watermark(spark, dir).contains(200L))
+    assert(snapshot(dir).keySet == Set("a", "b"))
+    // the next apply heals: root kept (its wm is committed), backup
+    // dropped, and the chain continues from 200 — a rollback to the
+    // backup would make this slice non-contiguous and throw
+    AggMaintenance.applySlice(spark, dir, rows((210L, "a", 5.0)), "us",
+      Seq("grp"), "v", 200L, 300L)
+    assert(!Files.exists(Paths.get(s"$dir.__agg_bak_dir")),
+      "stale backup must be dropped, not restored")
+    val got = snapshot(dir)
+    assert(got("a") == ((2L, 6.0, 1.0, 5.0)) &&
+      got("b") == ((1L, 2.0, 2.0, 2.0)), s"state rolled back: $got")
+  }
+
   test("keyed lane property: seeded-random upsert streams fold to latest-per-key under any slicing") {
     import spark.implicits._
     // deterministic pseudo-random scenarios (seeded — never flaky): the
