@@ -112,7 +112,8 @@ object Main {
                           distinctCols: Option[String] = None,
                           valueColSet: Boolean = false,
                           kbuckets: Int = 0,
-                          minmax: Boolean = false)
+                          minmax: Boolean = false,
+                          tombstone: Option[String] = None)
 
   private val boolFlags =
     Set("progress", "apply", "partitioned", "moments", "minmax")
@@ -124,7 +125,7 @@ object Main {
         "dedup-lines", "dedup-spans", "diff", "reconcile",
         "bpe-train", "tokenize", "pipeline", "agg",
         "agg-read", "rebucket", "span-index").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span|jaccard|containment] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--jaccard 0.8] [--threshold 0.99 for containment] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft reconcile --source (PATH|jdbc:...#table) --dest PATH --key K[,K2] [--report PATH] [--apply] | graft bpe-train --source PATH --dest PATH --merges N [--id-col doc_id] [--text-col text] | graft tokenize --source PATH --base MERGES_PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text] | graft pipeline --source PATH --benchmark PATH --dest WORKDIR --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--min-span 24] [--min-docs 2] [--min-tokens N] [--max-tokens N] [--max-contamination 0.0] [--shards 16] [--capacity 2048] [--id-col doc_id] [--text-col text] | graft agg --source (PATH|jdbc:...#table) --dest PATH --by GROUPCOL[,G2] --watermark W [--key K[,K2] last-writer-wins keyed lane] [--value-col value | --value-col V1,V2 | --moments | --distinct C[,C2]] [--cut N] [--partitioned] [--buckets 64] [--kbuckets 4x-buckets, keyed state store] | graft agg-read --source ROLLUP_DIR --dest OUT_PARQUET [--mode plain|derived|distinct|minmax] [--by G[,G2] outer groups, composition modes only] [--value-col V, minmax only] | graft rebucket --dest PATH --buckets N [--kbuckets M, keyed layouts only] | graft span-index --mode build|append|probe --source PATH --dest (INDEX_DIR for build/append, OUT_PARQUET for probe) [--base INDEX_DIR, probe only] [--ngram 16] [--buckets 64] [--id-col doc_id] [--text-col text]. Note: agg and reconcile commit their watermark/state sidecars via atomic rename; object stores with no AbstractFileSystem binding (e.g. s3a) use a staged two-phase commit (.new twin written before the old sidecar is touched) so readers see a committed value at every crash point")
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span|jaccard|containment] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--jaccard 0.8] [--threshold 0.99 for containment] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft reconcile --source (PATH|jdbc:...#table) --dest PATH --key K[,K2] [--report PATH] [--apply] | graft bpe-train --source PATH --dest PATH --merges N [--id-col doc_id] [--text-col text] | graft tokenize --source PATH --base MERGES_PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text] | graft pipeline --source PATH --benchmark PATH --dest WORKDIR --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--min-span 24] [--min-docs 2] [--min-tokens N] [--max-tokens N] [--max-contamination 0.0] [--shards 16] [--capacity 2048] [--id-col doc_id] [--text-col text] | graft agg --source (PATH|jdbc:...#table) --dest PATH --by GROUPCOL[,G2] --watermark W [--key K[,K2] last-writer-wins keyed lane] [--tombstone COL, keyed CDC deletes] [--value-col value | --value-col V1,V2 | --moments | --distinct C[,C2]] [--cut N] [--partitioned] [--buckets 64] [--kbuckets 4x-buckets, keyed state store] | graft agg-read --source ROLLUP_DIR --dest OUT_PARQUET [--mode plain|derived|distinct|minmax] [--by G[,G2] outer groups, composition modes only] [--value-col V, minmax only] | graft rebucket --dest PATH --buckets N [--kbuckets M, keyed layouts only] | graft span-index --mode build|append|probe --source PATH --dest (INDEX_DIR for build/append, OUT_PARQUET for probe) [--base INDEX_DIR, probe only] [--ngram 16] [--buckets 64] [--id-col doc_id] [--text-col text]. Note: agg and reconcile commit their watermark/state sidecars via atomic rename; object stores with no AbstractFileSystem binding (e.g. s3a) use a staged two-phase commit (.new twin written before the old sidecar is touched) so readers see a committed value at every crash point")
     val opts = scala.collection.mutable.Map.empty[String, String]
     var i = 1
     while (i < argv.length) {
@@ -283,6 +284,7 @@ object Main {
         partitioned = opts.contains("partitioned"),
         moments = opts.contains("moments"),
         minmax = opts.contains("minmax"),
+        tombstone = opts.get("tombstone"),
         distinctCols = opts.get("distinct"),
         valueColSet = opts.contains("value-col"),
         alpha = opts.get("alpha").map { v =>
@@ -645,6 +647,13 @@ object Main {
         "--key with --moments/multi-column --value-col is the keyed " +
           "moments lane, which is partitioned-only; add --partitioned " +
           "[--buckets N] [--kbuckets M]")
+    // --tombstone marks CDC delete rows; only the keyed lanes can
+    // retract a key, so anywhere else the flag would be silently ignored
+    if (a.tombstone.nonEmpty && !useKeyed)
+      throw GraftError.InvalidConfig(
+        "--tombstone marks rows that DELETE their key from the keyed " +
+          "mirror; it requires --key (append-only lanes have no key to " +
+          "retract)")
     // --kbuckets only makes sense for the keyed partitioned layout; a
     // silently ignored flag would hide a misconfigured invocation
     if (a.kbuckets != 0 && !(useKeyed && a.partitioned))
@@ -693,17 +702,18 @@ object Main {
         // column over the keyed mirror; avg/var via readDerived
         graft.sync.AggMaintenance.applySliceKeyedPartitionedV2(
           spark, a.dest, source, a.watermark, a.keys, groupCols,
-          valueCols, lo, hi, nBuckets = a.buckets, nKeyBuckets = kBuckets)
+          valueCols, lo, hi, nBuckets = a.buckets, nKeyBuckets = kBuckets,
+          tombstoneCol = a.tombstone)
       else if (useKeyed && a.partitioned)
         // keyed partitioned: rollup buckets from --buckets; state buckets
         // from --kbuckets, defaulting to 4× (keys outnumber groups)
         graft.sync.AggMaintenance.applySliceKeyedPartitioned(
           spark, a.dest, source, a.watermark, a.keys, groupCols,
           valueCols.head, lo, hi, nBuckets = a.buckets,
-          nKeyBuckets = kBuckets)
+          nKeyBuckets = kBuckets, tombstoneCol = a.tombstone)
       else if (useKeyed) graft.sync.AggMaintenance.applySliceKeyed(
         spark, a.dest, source, a.watermark, a.keys, groupCols,
-        valueCols.head, lo, hi)
+        valueCols.head, lo, hi, tombstoneCol = a.tombstone)
       else if (useV3 && a.partitioned)
         graft.sync.AggMaintenance.applySlicePartitionedDistinct(
           spark, a.dest, source, a.watermark, groupCols, distinctCols.get,

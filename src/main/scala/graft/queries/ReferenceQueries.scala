@@ -994,6 +994,63 @@ object ReferenceQueries {
             col("cnt"))
     },
 
+    // A21 — keyed IVM with DELETE TOMBSTONES (the CDC shape): a key whose
+    // upstream row is deleted must LEAVE the mirror — retraction with no
+    // replacement, the one re-arrival the upsert-only keyed lane cannot
+    // express. Every 20th key receives a payload-FREE tombstone (NULL
+    // group, NULL value — delete feeds rarely carry payloads) one span
+    // later, across the slice boundary, so the retraction reads the
+    // persisted key-state store and the key must vanish from its group's
+    // cnt/sum (a group whose last key dies disappears). Oracle: the
+    // latest-per-key mirror EXCLUDING deleted keys.
+    "a21_agg_maintenance_keyed_tombstone" -> Q(
+      """WITH src AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, event_type, value,
+        |         FALSE AS del
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id,
+        |         epoch_us(ts) + (SELECT max(epoch_us(ts)) - min(epoch_us(ts)) + 1
+        |                         FROM events) AS ts_us,
+        |         CAST(NULL AS VARCHAR) AS event_type,
+        |         CAST(NULL AS DOUBLE) AS value, TRUE AS del
+        |  FROM events WHERE event_id % 20 = 0),
+        |latest AS (
+        |  SELECT event_id, event_type, value, del FROM (
+        |    SELECT src.*, row_number() OVER (PARTITION BY event_id
+        |                                     ORDER BY ts_us DESC) AS rn
+        |    FROM src) t
+        |  WHERE rn = 1)
+        |SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM latest WHERE NOT del GROUP BY event_type""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        val base = ev.select(col("event_id"), col("event_type"),
+          col("value"), Tables.tsUs(ev).as("ts"))
+          .withColumn("del", lit(false))
+        val b = base.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+          .collect().head
+        val lo = b.getLong(0); val hi = b.getLong(1) + 1
+        val span = hi - lo
+        val tombs = base.filter(col("event_id") % 20 === 0)
+          .withColumn("ts", col("ts") + lit(span))
+          .withColumn("event_type", lit(null).cast("string"))
+          .withColumn("value", lit(null).cast("double"))
+          .withColumn("del", lit(true))
+        val src = base.unionByName(tombs)
+        val stamp = Tables.fixtureStamp(dir, "events")
+        val out = ivmTmp(s, "aggivmkt", s"$dir@$stamp")
+        Seq((lo, hi), (hi, hi + span)).foreach { case (l, h) =>
+          graft.sync.AggMaintenance.applySliceKeyed(
+            s, out, src, "ts", Seq("event_id"), Seq("event_type"), "value",
+            l, h, tombstoneCol = Some("del"))
+        }
+        graft.sync.AggMaintenance.read(s, out)
+          .select(col("event_type"), col("cnt"),
+            col("sum_val").cast("double").as("sum_value"))
+    },
+
     // A15 — WINDOWED rollup IVM: the v1 core is group-generic, so a
     // (user, tumbling-window-start) grouped rollup maintains slice-by-
     // slice with NO new machinery — group cols = user_id + the hour

@@ -361,11 +361,24 @@ object AggMaintenance {
     * the two contracts cannot mix silently). Key columns must be
     * non-NULL: a NULL key never equi-joins its own prior arrival, so its
     * retraction would silently miss — a slice carrying one refuses
-    * typed. */
+    * typed.
+    *
+    * `tombstoneCol` (CDC deletes): when set, a slice row whose tombstone
+    * column is true is a DELETE of its key — the key's prior
+    * contribution retracts (group vanishes with its last key, exactly
+    * like a move-away) and the key leaves the state store; its payload
+    * columns may be NULL (delete feeds rarely carry one). NULL tombstone
+    * reads as false (the common CDC shape). A tombstone for a never-seen
+    * key is an idempotent no-op. The column is part of the rollup's
+    * frozen parameterization (`tomb=` stamp token): mixing tombstoned
+    * and tombstone-blind applies against one rollup would silently treat
+    * delete markers as upserts, so it refuses like any other foreign
+    * parameterization. */
   def applySliceKeyed(spark: SparkSession, targetDir: String,
                       source: DataFrame, orderCol: String,
                       keyCols: Seq[String], groupCols: Seq[String],
-                      valueCol: String, lo: Long, hi: Long): AggResult = {
+                      valueCol: String, lo: Long, hi: Long,
+                      tombstoneCol: Option[String] = None): AggResult = {
     require(keyCols.nonEmpty,
       "applySliceKeyed requires at least one key column")
     require(groupCols.nonEmpty,
@@ -381,6 +394,14 @@ object AggMaintenance {
       s"order column '$orderCol' cannot also be a key/group/value column " +
         "in the keyed lane (a group that moves on every touch has no " +
         "stable retraction target)")
+    tombstoneCol.foreach { t =>
+      require(!(keyCols ++ groupCols).contains(t) && t != valueCol &&
+          t != orderCol,
+        s"tombstone column '$t' cannot also be a key/group/value/order " +
+          "column (a delete marker that moves the group it deletes from " +
+          "is unresolvable)")
+      requireStampSafe("tombstone", Seq(t))
+    }
     require(hi >= lo, s"applySliceKeyed: hi ($hi) must be >= lo ($lo)")
     val wmType = source.schema(orderCol).dataType
     require(Watermark.supported(wmType),
@@ -393,7 +414,8 @@ object AggMaintenance {
     requireStampSafe("group", groupCols)
     requireStampSafe("value", Seq(valueCol))
     requireStampSafe("order", Seq(orderCol))
-    val params = paramsStringKeyed(keyCols, groupCols, valueCol, orderCol)
+    val params = paramsStringKeyed(keyCols, groupCols, valueCol, orderCol) +
+      tombstoneCol.map(t => s" tomb=$t").getOrElse("")
     validateStampedFlat("applySliceKeyed", fs, targetDir, params)
 
     val dst = new Path(targetDir)
@@ -437,13 +459,21 @@ object AggMaintenance {
       col(orderCol) < Watermark.litFor(wmType, hi))
     // latest-per-key within the slice; deterministic tie-break on the
     // payload hash so a retry can never crown a different winner
+    // NULL tombstone reads as false; the normalized flag (selected
+    // FIRST, so the window hashes the post-projection column) joins the
+    // tie-break hash so a same-ts delete/upsert pair ranks
+    // deterministically
+    val tombC = tombstoneCol.map(t =>
+      coalesce(col(t).cast("boolean"), lit(false)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(orderCol).desc,
-        xxhash64((groupCols.map(col) :+ valC): _*).desc)
+        xxhash64((groupCols.map(col) :+ col(valueCol)) ++
+          tombstoneCol.map(_ => col("__tomb")).toSeq: _*).desc)
     val ranked = slice
       .select((keyCols ++ groupCols).map(col) ++
-        Seq(valC.as(valueCol), col(orderCol)): _*)
+        Seq(valC.as(valueCol), col(orderCol)) ++
+        tombC.map(_.as("__tomb")).toSeq: _*)
       .withColumn("__rn", row_number().over(w))
       .persist()
     try {
@@ -481,6 +511,11 @@ object AggMaintenance {
 
       val latest = ranked.filter(col("__rn") === 1)
         .drop("__rn", orderCol)
+      // a tombstoned key retracts (its key is in keysOnly) but never
+      // re-adds and leaves the state — deletion is "move away from every
+      // group"
+      val live = if (tombstoneCol.isEmpty) latest
+        else latest.filter(!col("__tomb"))
       val keysOnly0 = latest.select(keyCols.map(col): _*)
       val keysOnly =
         if (rawRows <= broadcastKeyRowCutoff(keyCols)) broadcast(keysOnly0)
@@ -490,7 +525,7 @@ object AggMaintenance {
       val minus = state.join(keysOnly, keyCols, "inner")
         .select(groupCols.map(col) :+ col(valueCol): _*)
         .withColumn("__sign", lit(-1L))
-      val plus = latest.select(groupCols.map(col) :+ col(valueCol): _*)
+      val plus = live.select(groupCols.map(col) :+ col(valueCol): _*)
         .withColumn("__sign", lit(1L))
       val delta = plus.unionByName(minus)
         .groupBy(groupCols.map(col): _*)
@@ -511,7 +546,8 @@ object AggMaintenance {
       // mirror has no such row, so neither does the rollup
       val merged = merged0.filter(col("cnt") > 0L)
       val newState = state.join(keysOnly, keyCols, "left_anti")
-        .unionByName(latest)
+        .unionByName(live.select(
+          (keyCols ++ groupCols).map(col) :+ col(valueCol): _*))
 
       val tmp = targetDir.stripSuffix("/") + ".__agg_tmp"
       val tmpPath = new Path(tmp)
@@ -762,12 +798,16 @@ object AggMaintenance {
                                  keyCols: Seq[String],
                                  groupCols: Seq[String], valueCol: String,
                                  lo: Long, hi: Long, nBuckets: Int,
-                                 nKeyBuckets: Int): AggResult =
+                                 nKeyBuckets: Int,
+                                 tombstoneCol: Option[String] = None)
+      : AggResult =
     applyKeyedPartitionedCore(spark, targetDir, source, orderCol, keyCols,
       groupCols, Seq(valueCol), keyedV1Metrics(valueCol),
       paramsStringKeyedPart(nBuckets, nKeyBuckets, keyCols, groupCols,
-        valueCol, orderCol),
-      "applySliceKeyedPartitioned", lo, hi, nBuckets, nKeyBuckets)
+        valueCol, orderCol) +
+        tombstoneCol.map(t => s" tomb=$t").getOrElse(""),
+      "applySliceKeyedPartitioned", lo, hi, nBuckets, nKeyBuckets,
+      tombstoneCol)
 
   /** The keyed MOMENTS lane: avg/variance over a live keyed mirror,
     * maintained last-writer-wins at bucket-partitioned scale. Per value
@@ -788,14 +828,18 @@ object AggMaintenance {
                                    groupCols: Seq[String],
                                    valueCols: Seq[String],
                                    lo: Long, hi: Long, nBuckets: Int,
-                                   nKeyBuckets: Int): AggResult = {
+                                   nKeyBuckets: Int,
+                                   tombstoneCol: Option[String] = None)
+      : AggResult = {
     require(valueCols.nonEmpty,
       "applySliceKeyedPartitionedV2 requires at least one value column")
     applyKeyedPartitionedCore(spark, targetDir, source, orderCol, keyCols,
       groupCols, valueCols, keyedV2Metrics(valueCols),
       paramsStringKeyedV2Part(nBuckets, nKeyBuckets, keyCols, groupCols,
-        valueCols, orderCol),
-      "applySliceKeyedPartitionedV2", lo, hi, nBuckets, nKeyBuckets)
+        valueCols, orderCol) +
+        tombstoneCol.map(t => s" tomb=$t").getOrElse(""),
+      "applySliceKeyedPartitionedV2", lo, hi, nBuckets, nKeyBuckets,
+      tombstoneCol)
   }
 
   /** One maintained metric of a KEYED rollup. `delta` aggregates the
@@ -848,7 +892,9 @@ object AggMaintenance {
                                         metrics: Seq[KeyedMetric],
                                         params: String, op: String,
                                         lo: Long, hi: Long, nBuckets: Int,
-                                        nKeyBuckets: Int): AggResult = {
+                                        nKeyBuckets: Int,
+                                        tombstoneCol: Option[String] = None)
+      : AggResult = {
     require(keyCols.nonEmpty, s"$op requires at least one key column")
     require(groupCols.nonEmpty, s"$op requires at least one group column")
     require(keyCols.distinct == keyCols,
@@ -866,6 +912,14 @@ object AggMaintenance {
       s"order column '$orderCol' cannot also be a key/group/value column " +
         "in the keyed lane (a group that moves on every touch has no " +
         "stable retraction target)")
+    tombstoneCol.foreach { t =>
+      require(!(keyCols ++ groupCols).contains(t) &&
+          !valueCols.contains(t) && t != orderCol,
+        s"tombstone column '$t' cannot also be a key/group/value/order " +
+          "column (a delete marker that moves the group it deletes from " +
+          "is unresolvable)")
+      requireStampSafe("tombstone", Seq(t))
+    }
     require(hi >= lo, s"$op: hi ($hi) must be >= lo ($lo)")
     require(nBuckets >= 1 && nBuckets <= 65536,
       s"nBuckets must be in [1, 65536], got $nBuckets")
@@ -921,10 +975,10 @@ object AggMaintenance {
       val mid = interior.head
       val r1 = applyKeyedPartitionedCore(spark, targetDir, source, orderCol,
         keyCols, groupCols, valueCols, metrics, params, op,
-        lo, mid, nBuckets, nKeyBuckets)
+        lo, mid, nBuckets, nKeyBuckets, tombstoneCol)
       val r2 = applyKeyedPartitionedCore(spark, targetDir, source, orderCol,
         keyCols, groupCols, valueCols, metrics, params, op,
-        mid, hi, nBuckets, nKeyBuckets)
+        mid, hi, nBuckets, nKeyBuckets, tombstoneCol)
       return AggResult(r1.groupsWritten + r2.groupsWritten,
         r1.sliceRows + r2.sliceRows,
         applied = true, watermarkUs = r2.watermarkUs)
@@ -949,13 +1003,19 @@ object AggMaintenance {
     // latest-per-key within the slice; deterministic payload-hash
     // tie-break (the flat lane's discipline) so a crash re-run can never
     // crown a different winner
+    // NULL tombstone reads as false; the normalized flag (selected
+    // FIRST, so the window hashes the post-projection column) joins the
+    // tie-break hash (the flat lane's discipline)
+    val tombC = tombstoneCol.map(t =>
+      coalesce(col(t).cast("boolean"), lit(false)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(orderCol).desc,
-        xxhash64((groupCols.map(col) ++
-          valueCols.map(v => col(v).cast(ValType))): _*).desc)
+        xxhash64((groupCols.map(col) ++ valueCols.map(col)) ++
+          tombstoneCol.map(_ => col("__tomb")).toSeq: _*).desc)
     val ranked = slice
-      .select((keyCols ++ groupCols).map(col) ++ valCs :+ col(orderCol): _*)
+      .select(((keyCols ++ groupCols).map(col) ++ valCs :+ col(orderCol)) ++
+        tombC.map(_.as("__tomb")).toSeq: _*)
       .withColumn("__rn", row_number().over(w))
       .persist()
     var delta: Option[DataFrame] = None
@@ -979,6 +1039,10 @@ object AggMaintenance {
 
       val latest = ranked.filter(col("__rn") === 1)
         .drop("__rn", orderCol)
+      // a tombstoned key retracts (its key is in keysOnly) but never
+      // re-adds and leaves the state (the flat lane's delete semantics)
+      val live = if (tombstoneCol.isEmpty) latest
+        else latest.filter(!col("__tomb"))
       val keysOnly0 = latest.select(keyCols.map(col): _*)
       val keysOnly =
         if (rawRows <= broadcastKeyRowCutoff(keyCols)) broadcast(keysOnly0)
@@ -1010,7 +1074,7 @@ object AggMaintenance {
       val minus = stateTouched.join(keysOnly, keyCols, "inner")
         .select(deltaCols: _*)
         .withColumn("__sign", lit(-1L))
-      val plus = latest.select(deltaCols: _*)
+      val plus = live.select(deltaCols: _*)
         .withColumn("__sign", lit(1L))
       val deltaDf = plus.unionByName(minus)
         .groupBy(groupCols.map(col): _*)
@@ -1099,7 +1163,7 @@ object AggMaintenance {
           case (k, wm, hd) if !wm.exists(_ >= hi) && hd => kDir(k)
         }
         val statePending = readStateDirs(existingKPendingDirs)
-        val latestPendingK = latest
+        val latestPendingK = live
           .select(stateCols: _*)
           .withColumn("__kbucket", kbucketOf)
           .filter(col("__kbucket").isin(pendingK: _*))

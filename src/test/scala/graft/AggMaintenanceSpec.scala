@@ -1282,6 +1282,57 @@ class AggMaintenanceSpec extends SparkSpec {
       AggMaintenance.readKeyedMinMax(spark, v1dir, Seq("grp"), "v"))
   }
 
+  test("keyed tombstones: deletes retract keys, vacate groups, and round-trip reinserts") {
+    import spark.implicits._
+    def rowsT(r: (Long, Long, String, java.lang.Double, Boolean)*) =
+      r.toSeq.toDF("us", "k", "grp", "v", "del")
+    val base = rowsT(
+      (10L, 1L, "a", 2.0, false), (20L, 2L, "a", 5.0, false),
+      (30L, 3L, "b", 4.0, false))
+    // slice 2: key 1 deleted (payload-free: NULL group/value), key 9
+    // deleted though never seen (idempotent no-op), key 3 deleted AND
+    // reinserted later in the SAME slice (latest wins: stays live)
+    val s2 = rowsT(
+      (110L, 1L, null, null, true), (120L, 9L, null, null, true),
+      (130L, 3L, null, null, true), (140L, 3L, "b", 7.0, false))
+    val all = base.unionByName(s2)
+    val flat = tmpDir("agg-keyed-tomb-flat")
+    val part = tmpDir("agg-keyed-tomb-part")
+    Seq((0L, 100L), (100L, 200L)).foreach { case (l, h) =>
+      AggMaintenance.applySliceKeyed(spark, flat, all, "us", Seq("k"),
+        Seq("grp"), "v", l, h, tombstoneCol = Some("del"))
+      AggMaintenance.applySliceKeyedPartitioned(spark, part, all, "us",
+        Seq("k"), Seq("grp"), "v", l, h, 8, 16, tombstoneCol = Some("del"))
+      ()
+    }
+    // mirror: key 1 gone, key 2 → (a, 5), key 3 → (b, 7)
+    val want = Map("a" -> ((1L, Some(5.0))), "b" -> ((1L, Some(7.0))))
+    assert(snapshotK(flat) == want, s"flat: ${snapshotK(flat)}")
+    assert(snapshotK(part) == want, s"partitioned: ${snapshotK(part)}")
+    // slice 3: group a's LAST key deleted — the group must vanish; a
+    // deleted key REINSERTS later as a brand-new arrival
+    val s3 = rowsT((210L, 2L, null, null, true), (220L, 1L, "c", 9.0, false))
+    val all3 = all.unionByName(s3)
+    AggMaintenance.applySliceKeyed(spark, flat, all3, "us", Seq("k"),
+      Seq("grp"), "v", 200L, 300L, tombstoneCol = Some("del"))
+    AggMaintenance.applySliceKeyedPartitioned(spark, part, all3, "us",
+      Seq("k"), Seq("grp"), "v", 200L, 300L, 8, 16,
+      tombstoneCol = Some("del"))
+    val want3 = Map("b" -> ((1L, Some(7.0))), "c" -> ((1L, Some(9.0))))
+    assert(snapshotK(flat) == want3 && snapshotK(part) == want3)
+    // the tombstone column is part of the frozen parameterization: a
+    // tombstone-blind apply against this rollup refuses (it would treat
+    // delete markers as upserts)
+    assertThrows[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySliceKeyed(spark, flat, all3, "us", Seq("k"),
+        Seq("grp"), "v", 300L, 400L))
+    // tombstone col can't double as a key/group/value/order column
+    assertThrows[IllegalArgumentException](
+      AggMaintenance.applySliceKeyed(spark, tmpDir("agg-tomb-bad"), all3,
+        "us", Seq("k"), Seq("grp"), "v", 0L, 100L,
+        tombstoneCol = Some("grp")))
+  }
+
   test("heal honors a twin-committed watermark: stacked crash windows never roll back") {
     // Fallback-scheme stacked windows: (1) an old whole-dir swap left its
     // backup behind; (2) a later in-place wm advance crashed between the

@@ -604,6 +604,28 @@ class CliSpec extends SparkSpec {
       run("agg", "--source", s"$work/src", "--dest", s"$work/kx",
         "--by", "grp", "--watermark", "us", "--key", "k", "--value-col", "v",
         "--kbuckets", "8"))
+    // --tombstone drives keyed CDC deletes end-to-end: key 1's delete
+    // marker removes it from the mirror (and the flag refuses without
+    // --key — nothing to retract in the append-only lanes)
+    Seq((50L, 2L, "a", 0.0, true)).toDF("us", "k", "grp", "v", "del")
+      .write.mode("append").parquet(s"$work/srcdel")
+    Seq((10L, 1L, "a", 1.0, false), (20L, 2L, "a", 2.0, false),
+      (30L, 3L, "b", 4.0, false))
+      .toDF("us", "k", "grp", "v", "del")
+      .write.mode("append").parquet(s"$work/srcdel")
+    run("agg", "--source", s"$work/srcdel", "--dest", s"$work/keyedt",
+      "--by", "grp", "--watermark", "us", "--key", "k", "--value-col", "v",
+      "--tombstone", "del")
+    val dt = graft.sync.AggMaintenance.read(spark, s"$work/keyedt")
+      .select(col("grp"), col("cnt"), col("sum_val").cast("double"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(dt == Map("a" -> ((1L, 1.0)), "b" -> ((1L, 4.0))),
+      s"tombstoned key must be absent: $dt")
+    assertThrows[GraftError.InvalidConfig](
+      run("agg", "--source", s"$work/srcdel", "--dest", s"$work/kx",
+        "--by", "grp", "--watermark", "us", "--value-col", "v",
+        "--tombstone", "del"))
     // --minmax is a teaching flag: the keyed arm routes to the a20
     // composition (readKeyedMinMax over a (G, value)-grouped rollup),
     // the append-only arm says v1 maintains min/max already
