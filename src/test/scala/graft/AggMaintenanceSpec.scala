@@ -1389,12 +1389,17 @@ class AggMaintenanceSpec extends SparkSpec {
       val nEvents = 120 + rnd.nextInt(80)
       val nKeys = 10 + rnd.nextInt(20)
       val groups = Seq("a", "b", "c", "d")
+      // trial 3 interleaves ~12% CDC tombstones among the upserts — the
+      // brute-force mirror is then "latest per key, excluding deleted"
+      val withTombs = trial == 3
       val events = (1 to nEvents).map { ts =>
         (ts.toLong, (1 + rnd.nextInt(nKeys)).toLong,
           groups(rnd.nextInt(groups.size)),
-          math.round(rnd.nextDouble() * 1000) / 10.0)
+          math.round(rnd.nextDouble() * 1000) / 10.0,
+          withTombs && rnd.nextInt(8) == 0)
       }
-      val src = events.toDF("us", "k", "grp", "v")
+      val src = events.toDF("us", "k", "grp", "v", "del")
+      val tomb = if (withTombs) Some("del") else None
       val cuts = (Seq(1L, nEvents + 1L) ++
         Seq.fill(2 + rnd.nextInt(4))(1L + rnd.nextInt(nEvents).toLong))
         .distinct.sorted
@@ -1405,7 +1410,7 @@ class AggMaintenanceSpec extends SparkSpec {
             Seq("k"), Seq("grp"), "v", l, h, 8, 16)
         else
           AggMaintenance.applySliceKeyed(spark, dir, src, "us",
-            Seq("k"), Seq("grp"), "v", l, h)
+            Seq("k"), Seq("grp"), "v", l, h, tombstoneCol = tomb)
         ()
       }
       val got = AggMaintenance.read(spark, dir)
@@ -1415,6 +1420,7 @@ class AggMaintenanceSpec extends SparkSpec {
         .partitionBy("k").orderBy(col("us").desc)
       val latest = src.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
+        .filter(if (withTombs) !col("del") else lit(true))
       val want = latest.groupBy("grp")
         .agg(count(lit(1)).as("cnt"),
           sum(col("v").cast("decimal(18,4)")).cast("decimal(28,4)")
