@@ -1333,6 +1333,34 @@ class AggMaintenanceSpec extends SparkSpec {
         tombstoneCol = Some("grp")))
   }
 
+  test("keyed moments tombstones: a deleted key's (v, v²) leaves the derived stats") {
+    import spark.implicits._
+    val src = Seq(
+      (10L, 1L, "a", java.lang.Double.valueOf(2.0), false),
+      (20L, 2L, "a", java.lang.Double.valueOf(6.0), false),
+      (30L, 3L, "a", java.lang.Double.valueOf(10.0), false),
+      // slice 2: key 3 (the avg-dominating value) deleted payload-free
+      (110L, 3L, null.asInstanceOf[String],
+        null.asInstanceOf[java.lang.Double], true))
+      .toDF("us", "k", "grp", "v", "del")
+    val dir = tmpDir("agg-keyed-tomb-moments")
+    Seq((0L, 100L), (100L, 200L)).foreach { case (l, h) =>
+      AggMaintenance.applySliceKeyedPartitionedV2(spark, dir, src, "us",
+        Seq("k"), Seq("grp"), Seq("v"), l, h, 4, 8,
+        tombstoneCol = Some("del"))
+      ()
+    }
+    val got = AggMaintenance.readDerived(spark, dir)
+      .select(col("grp"), col("cnt"), col("cntv_v"), col("avg_v"),
+        col("var_v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // mirror after the delete: {2.0, 6.0} → avg 4, sample var 8
+    assert(got == Map("a" -> ((2L, 2L, 4.0, 8.0))),
+      s"moments must exclude the deleted key's contribution: $got")
+  }
+
   test("heal honors a twin-committed watermark: stacked crash windows never roll back") {
     // Fallback-scheme stacked windows: (1) an old whole-dir swap left its
     // backup behind; (2) a later in-place wm advance crashed between the
