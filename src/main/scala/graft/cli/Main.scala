@@ -782,11 +782,12 @@ object Main {
           "does not fold a value column")
     // the agg verb's LANE flags are meaningless on a read and almost
     // certainly mean a --mode was intended — refuse, never ignore
-    if (a.minmax || a.moments || a.partitioned || a.distinctCols.nonEmpty)
+    if (a.minmax || a.moments || a.partitioned ||
+        a.distinctCols.nonEmpty || a.tombstone.nonEmpty)
       throw GraftError.InvalidConfig(
-        "--minmax/--moments/--partitioned/--distinct select agg's APPLY " +
-          "lanes; agg-read reads a committed rollup — pick the read with " +
-          "--mode plain|derived|distinct|minmax")
+        "--minmax/--moments/--partitioned/--distinct/--tombstone select " +
+          "agg's APPLY lanes; agg-read reads a committed rollup — pick " +
+          "the read with --mode plain|derived|distinct|minmax")
     import graft.sync.AggMaintenance
     val df = a.mode match {
       case "plain"    => AggMaintenance.read(spark, a.source)

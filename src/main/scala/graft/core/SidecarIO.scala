@@ -43,8 +43,8 @@ import org.apache.hadoop.fs.{ChecksumFileSystem, FileContext, FileSystem, Option
   *    rename) — readers then refused the whole table until repair. Now
   *    the new content is staged to a `.name.new` twin BEFORE the old
   *    sidecar is touched, and the commit rule is: **the committed value
-  *    is `p`; when `p` is absent (or unreadable mid-copy), it is
-  *    `.name.new`** — [[read]] implements exactly that rule, so at
+  *    is `p`; when `p` is absent, it is `.name.new`** — [[read]]
+  *    implements exactly that rule, so at
   *    every crash point a reader sees either the complete old or the
   *    complete new content, never nothing:
   *      1. heal a prior crash (`p` absent, `.new` present → finish the
@@ -57,12 +57,15 @@ import org.apache.hadoop.fs.{ChecksumFileSystem, FileContext, FileSystem, Option
   *      5. rename `.new` → `p` (finalize; reads prefer `p` again).
   *    Residual exposure: a store whose rename is a non-atomic
   *    copy+delete AND a crash inside step 1/5's copy can leave a
-  *    partially-copied `p` beside the complete `.new`; [[read]] falls
-  *    back to `.new` when opening `p` fails, and real object stores
-  *    copy atomically (a destination object appears only whole), so the
-  *    torn-visible-copy case needs a scheme with neither atomic rename
-  *    nor atomic copy — strictly narrower than the absence window this
-  *    replaces.
+  *    partially-copied `p` beside the complete `.new`; [[read]] then
+  *    FAILS LOUD on the torn `p` (it deliberately never falls back to a
+  *    twin while `p` exists — between steps 3 and 4 the twin is
+  *    uncommitted, and guessing could serve a never-committed value),
+  *    and the next write's heal step repairs the state. Real object
+  *    stores copy atomically (a destination object appears only whole),
+  *    so the torn-visible-copy case needs a scheme with neither atomic
+  *    rename nor atomic copy — strictly narrower than the absence
+  *    window this replaces.
   */
 private[graft] object SidecarIO {
 

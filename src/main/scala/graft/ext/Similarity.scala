@@ -330,11 +330,15 @@ object Similarity {
     * commit and the centroid write must read as "not built". */
   private val CommitMarker = "_GRAFT_COMMITTED"
 
-  /** True when `dir` holds a fully-committed index. */
+  /** True when `dir` holds a fully-committed index. SidecarIO.exists,
+    * not raw fs.exists: on a no-AbstractFileSystem scheme the marker can
+    * sit committed in its staged `.new` twin (the two-phase window), and
+    * a raw probe reading "absent" would silently turn build-once into
+    * refit-per-call over an already-committed index. */
   private def hasIndex(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(new Path(p, CommitMarker))
+    graft.core.SidecarIO.exists(fs, new Path(p, CommitMarker))
   }
 
   private def markCommitted(spark: SparkSession, dir: String): Unit =

@@ -739,6 +739,9 @@ class CliSpec extends SparkSpec {
       run("agg-read", "--source", s"$work/kc", "--dest", s"$work/x",
         "--distinct", "v"))
     assertThrows[GraftError.InvalidConfig](
+      run("agg-read", "--source", s"$work/kc", "--dest", s"$work/x",
+        "--tombstone", "del"))
+    assertThrows[GraftError.InvalidConfig](
       Main.parse(Array("agg-read", "--source", "s", "--dest", "d",
         "--mode", "fuzzy")))
     // composition reads refuse non-keyed rollups typed (library guard
