@@ -66,6 +66,19 @@ import org.apache.hadoop.fs.{ChecksumFileSystem, FileContext, FileSystem, Option
   *    so the torn-visible-copy case needs a scheme with neither atomic
   *    rename nor atomic copy — strictly narrower than the absence
   *    window this replaces.
+  *
+  * Torn payloads are DETECTABLE, not just unlikely: [[write]] frames the
+  * content as `v1 <byte-length> <payload>` so [[read]] can verify the
+  * payload arrived whole. Without the frame, a truncated numeric sidecar
+  * is INDISTINGUISHABLE from a committed smaller value — a watermark
+  * `12345` torn to `123` parses as a valid long and silently ROLLS THE
+  * WATERMARK BACK (re-folding slices, or worse for params stamps). With
+  * it, a torn `p` beside a complete `.new` (the copy+delete residual
+  * above) fails loud instead of serving garbage. Files without the frame
+  * prefix (see [[FramePrefix]] — a control char leads it, so no text
+  * payload collides) are legacy pre-frame sidecars and are served as-is —
+  * for those the truncation residual remains silent (documented here, not
+  * claimed closed); every new write upgrades the file to the framed form.
   */
 private[graft] object SidecarIO {
 
@@ -82,19 +95,70 @@ private[graft] object SidecarIO {
     * A read error on a PRESENT `p` propagates — between steps 3 and 4
     * the twin is staged but UNCOMMITTED, so falling back to it on a
     * transient store error would serve a value that was never committed
-    * (e.g. a watermark above the last folded slice); the torn-copy heal
-    * case (scaladoc residual) therefore fails loud rather than guessing,
-    * and the next write's heal step repairs it. */
+    * (e.g. a watermark above the last folded slice); a TORN framed `p`
+    * (scaladoc residual) therefore fails loud rather than guessing, and
+    * the next write's heal step repairs it.
+    *
+    * One benign race IS retried: a concurrent writer's step-4 delete can
+    * remove `p` between this reader's `exists(p)` and `open(p)` —
+    * FileNotFoundException on a name that existed an instant ago. That
+    * is not a torn read: `p` being GONE means the commit point passed,
+    * so the twin-aware resolution is re-run once (twin present ⇒ it is
+    * the committed value; both absent ⇒ None). The no-guess rule is
+    * preserved — the retry only ever reads state the commit protocol
+    * defines as committed. */
   def read(fs: FileSystem, p: Path): Option[String] = {
     def slurp(path: Path): String = {
       val in = fs.open(path)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
+      try unframe(path, new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
       finally in.close()
     }
-    if (fs.exists(p)) Some(slurp(p))
-    else if (fs.exists(newTwin(p))) Some(slurp(newTwin(p)))
-    else None
+    def resolve(): Option[String] =
+      if (fs.exists(p)) Some(slurp(p))
+      else if (fs.exists(newTwin(p))) Some(slurp(newTwin(p)))
+      else None
+    try resolve()
+    catch { case _: java.io.FileNotFoundException => resolve() }
+  }
+
+  /** SOH control char + tag: no TEXT payload can begin with \u0001, so
+    * prefix sniffing can never misread a legacy unframed file as framed.
+    * (A bare "v1 " tag would collide: AggMaintenance's params stamps
+    * legitimately START with "v1 buckets=…".) */
+  private val FramePrefix = "\u0001v1 "
+
+  /** `<SOH>v1 <byte-length> <payload>`; payload bytes verified against
+    * the recorded length (see the framing scaladoc above). */
+  private def frame(payload: Array[Byte]): Array[Byte] = {
+    val head = (FramePrefix + payload.length + " ")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    head ++ payload
+  }
+
+  private def unframe(path: Path, content: String): String = {
+    if (!content.startsWith(FramePrefix)) return content // legacy, unframed
+    val rest = content.drop(FramePrefix.length)
+    val sp = rest.indexOf(' ')
+    val declared =
+      if (sp < 0) None else rest.take(sp).toIntOption
+    declared match {
+      case Some(n) =>
+        val payload = rest.drop(sp + 1)
+        val actual = payload
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+        if (actual != n)
+          throw new java.io.IOException(
+            s"torn sidecar $path: framed length $n but $actual payload " +
+              "byte(s) present — refusing to serve a partial commit " +
+              "(rewrite the sidecar to repair)")
+        payload
+      case None =>
+        // "v1 <garbage>" — a frame header torn inside the length digits
+        throw new java.io.IOException(
+          s"torn sidecar $path: unparseable frame header — refusing to " +
+            "serve a partial commit (rewrite the sidecar to repair)")
+    }
   }
 
   /** Is a committed sidecar present under the two-phase rule? `p` OR its
@@ -119,9 +183,12 @@ private[graft] object SidecarIO {
     ()
   }
 
-  /** Write `content` to `p` with the commit contract above. */
+  /** Write `content` to `p` with the commit contract above (framed — see
+    * [[frame]]; [[read]] unframes symmetrically, so callers never see
+    * the header). */
   def write(fs: FileSystem, p: Path, content: String): Unit = {
-    val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bytes = frame(
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val tmp = new Path(p.getParent, s".${p.getName}.tmp")
     if (isLocal(fs)) {
       val raw = fs match {

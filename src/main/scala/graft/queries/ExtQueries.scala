@@ -350,17 +350,23 @@ object ExtQueries {
   private val gramIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def cachedGramIndex(s: org.apache.spark.sql.SparkSession,
-                              dir: String): String =
+                              dir: String): String = {
+    val stamp = Tables.fixtureStamp(dir, "documents")
     gramIndexCache.computeIfAbsent(
-      s"${System.identityHashCode(s.sparkContext)}|$dir@" +
-        Tables.fixtureStamp(dir, "documents"), { _ =>
-      val d = java.nio.file.Files.createTempDirectory("graft-gramidx")
-        .toString + "/idx"
+      s"${System.identityHashCode(s.sparkContext)}|$dir@$stamp", { _ =>
+      // deterministic path keyed by the fixture stamp — rebuilds (new
+      // JVMs, new SparkContexts in one JVM) OVERWRITE the same directory
+      // instead of accumulating a fresh createTempDirectory copy per run
+      // under /tmp (r15 advice); buildGramIndex's rebuild discipline
+      // (stamp dropped first, written last) makes the overwrite safe
+      val d = s"${System.getProperty("java.io.tmpdir")}/graft-gramidx-" +
+        Integer.toHexString(s"$dir@$stamp".hashCode) + "/idx"
       TextAnalysis.buildGramIndex(
         Tables.documents(s, dir).filter(col("doc_id") % 4 =!= 0),
         "doc_id", "text", d, hashedKeys = false)
       d
     })
+  }
 
   val defs: Map[String, Q] = Map(
 

@@ -401,6 +401,7 @@ object AggMaintenance {
           "column (a delete marker that moves the group it deletes from " +
           "is unresolvable)")
       requireStampSafe("tombstone", Seq(t))
+      requireTombstoneType(source, t)
     }
     require(hi >= lo, s"applySliceKeyed: hi ($hi) must be >= lo ($lo)")
     val wmType = source.schema(orderCol).dataType
@@ -463,8 +464,17 @@ object AggMaintenance {
     // FIRST, so the window hashes the post-projection column) joins the
     // tie-break hash so a same-ts delete/upsert pair ranks
     // deterministically
+    // try_cast, not cast: under ANSI (the Spark 4 default) a malformed
+    // string flag would kill the job as a raw cast error mid-shuffle;
+    // try_cast yields NULL either way, which the __tombBad gate below
+    // turns into the typed refusal
     val tombC = tombstoneCol.map(t =>
-      coalesce(col(t).cast("boolean"), lit(false)))
+      coalesce(col(t).try_cast("boolean"), lit(false)))
+    // the data half of requireTombstoneType: a raw non-NULL flag whose
+    // boolean cast is NULL (a malformed string CDC marker) must refuse,
+    // not silently read as "upsert"
+    val tombBadC = tombstoneCol.map(t =>
+      (col(t).isNotNull && col(t).try_cast("boolean").isNull).as("__tombBad"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(orderCol).desc,
@@ -473,17 +483,19 @@ object AggMaintenance {
     val ranked = slice
       .select((keyCols ++ groupCols).map(col) ++
         Seq(valC.as(valueCol), col(orderCol)) ++
-        tombC.map(_.as("__tomb")).toSeq: _*)
+        tombC.map(_.as("__tomb")).toSeq ++ tombBadC.toSeq: _*)
       .withColumn("__rn", row_number().over(w))
       .persist()
     try {
-      // ONE pass over the persisted frame answers both admission
-      // questions — row count and NULL-key count (two separate count
-      // jobs used to cost a fixed job latency each, per micro-batch in
-      // the streaming fold)
+      // ONE pass over the persisted frame answers every admission
+      // question — row count, NULL-key count, malformed-tombstone count
+      // (separate count jobs used to cost a fixed job latency each, per
+      // micro-batch in the streaming fold)
       val admission = ranked.agg(count(lit(1)).as("n"),
         count(when(keyCols.map(col(_).isNull).reduce(_ || _), lit(1)))
-          .as("nullk")).first()
+          .as("nullk"),
+        (if (tombstoneCol.isDefined) count(when(col("__tombBad"), lit(1)))
+         else count(when(lit(false), lit(1)))).as("badtomb")).first()
       val rawRows = admission.getLong(0)
       if (rawRows == 0L) {
         // idle poll: advance the watermark only (the applyWholeDir
@@ -508,9 +520,17 @@ object AggMaintenance {
             s"(${keyCols.mkString(", ")}) — a NULL key cannot be matched " +
             "to its prior arrival, so last-writer-wins semantics are " +
             "undefined; filter or repair the source")
+      val badTomb = admission.getLong(2)
+      if (badTomb > 0L)
+        throw graft.core.GraftError.InvalidConfig(
+          s"slice [$lo, $hi) carries $badTomb row(s) whose tombstone " +
+            s"'${tombstoneCol.get}' does not cast to boolean — treating " +
+            "malformed delete markers as upserts would silently mix " +
+            "tombstoned and tombstone-blind semantics; repair the source " +
+            "or cast the column explicitly")
 
       val latest = ranked.filter(col("__rn") === 1)
-        .drop("__rn", orderCol)
+        .drop("__rn", orderCol, "__tombBad")
       // a tombstoned key retracts (its key is in keysOnly) but never
       // re-adds and leaves the state — deletion is "move away from every
       // group"
@@ -919,6 +939,7 @@ object AggMaintenance {
           "column (a delete marker that moves the group it deletes from " +
           "is unresolvable)")
       requireStampSafe("tombstone", Seq(t))
+      requireTombstoneType(source, t)
     }
     require(hi >= lo, s"$op: hi ($hi) must be >= lo ($lo)")
     require(nBuckets >= 1 && nBuckets <= 65536,
@@ -1006,8 +1027,11 @@ object AggMaintenance {
     // NULL tombstone reads as false; the normalized flag (selected
     // FIRST, so the window hashes the post-projection column) joins the
     // tie-break hash (the flat lane's discipline)
+    // try_cast + __tombBad gate: see the flat lane
     val tombC = tombstoneCol.map(t =>
-      coalesce(col(t).cast("boolean"), lit(false)))
+      coalesce(col(t).try_cast("boolean"), lit(false)))
+    val tombBadC = tombstoneCol.map(t =>
+      (col(t).isNotNull && col(t).try_cast("boolean").isNull).as("__tombBad"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(orderCol).desc,
@@ -1015,15 +1039,17 @@ object AggMaintenance {
           tombstoneCol.map(_ => col("__tomb")).toSeq: _*).desc)
     val ranked = slice
       .select(((keyCols ++ groupCols).map(col) ++ valCs :+ col(orderCol)) ++
-        tombC.map(_.as("__tomb")).toSeq: _*)
+        tombC.map(_.as("__tomb")).toSeq ++ tombBadC.toSeq: _*)
       .withColumn("__rn", row_number().over(w))
       .persist()
     var delta: Option[DataFrame] = None
     try {
-      // one pass for both admission questions (see the flat lane)
+      // one pass for every admission question (see the flat lane)
       val admission = ranked.agg(count(lit(1)).as("n"),
         count(when(keyCols.map(col(_).isNull).reduce(_ || _), lit(1)))
-          .as("nullk")).first()
+          .as("nullk"),
+        (if (tombstoneCol.isDefined) count(when(col("__tombBad"), lit(1)))
+         else count(when(lit(false), lit(1)))).as("badtomb")).first()
       val rawRows = admission.getLong(0)
       if (rawRows == 0L) { // idle poll: watermark advance only
         writeWm(fs, new Path(dst, WmFile), hi)
@@ -1036,9 +1062,17 @@ object AggMaintenance {
             s"(${keyCols.mkString(", ")}) — a NULL key cannot be matched " +
             "to its prior arrival, so last-writer-wins semantics are " +
             "undefined; filter or repair the source")
+      val badTomb = admission.getLong(2)
+      if (badTomb > 0L)
+        throw graft.core.GraftError.InvalidConfig(
+          s"slice [$lo, $hi) carries $badTomb row(s) whose tombstone " +
+            s"'${tombstoneCol.get}' does not cast to boolean — treating " +
+            "malformed delete markers as upserts would silently mix " +
+            "tombstoned and tombstone-blind semantics; repair the source " +
+            "or cast the column explicitly")
 
       val latest = ranked.filter(col("__rn") === 1)
-        .drop("__rn", orderCol)
+        .drop("__rn", orderCol, "__tombBad")
       // a tombstoned key retracts (its key is in keysOnly) but never
       // re-adds and leaves the state (the flat lane's delete semantics)
       val live = if (tombstoneCol.isEmpty) latest
@@ -1805,6 +1839,29 @@ object AggMaintenance {
     * column names). Refuse such names typed at the front door instead of
     * escaping: an escape scheme would have to be honored by every stamp
     * parser forever. */
+  /** Tombstone flags are read as `coalesce(cast('boolean'), false)`, so
+    * any value whose boolean cast yields NULL would silently read as
+    * "upsert" — a delete marker quietly becoming a re-insert, exactly the
+    * tombstone-blind mixing the `tomb=` stamp refusal exists to prevent
+    * (r15 advice). Two gates close it: this schema-level one (only types
+    * with a total-or-checkable boolean cast are admitted — boolean is
+    * identity, numerics cast as `!= 0` and never NULL a non-NULL value,
+    * strings are checkable per row), and the per-slice data gate in the
+    * admission pass (a non-NULL raw value whose cast is NULL refuses
+    * typed — see `__tombBad`). */
+  private[graft] def requireTombstoneType(source: DataFrame,
+                                          t: String): Unit =
+    source.schema(t).dataType match {
+      case org.apache.spark.sql.types.BooleanType => ()
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case org.apache.spark.sql.types.StringType => ()
+      case other => throw graft.core.GraftError.InvalidConfig(
+        s"tombstone column '$t' is ${other.simpleString} — only boolean, " +
+          "numeric, or string columns can mark CDC deletes (the flag is " +
+          "read via a boolean cast, which this type does not support " +
+          "losslessly); cast the column explicitly in the source")
+    }
+
   private def requireStampSafe(role: String, cols: Seq[String]): Unit =
     cols.foreach { c =>
       if (c.isEmpty || c.exists(ch => ch == ' ' || ch == '+' || ch == '='))

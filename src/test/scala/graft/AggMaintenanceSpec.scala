@@ -1333,6 +1333,52 @@ class AggMaintenanceSpec extends SparkSpec {
         tombstoneCol = Some("grp")))
   }
 
+  test("tombstone flags that cannot be read as boolean refuse (r15 advice)") {
+    import spark.implicits._
+    // schema gate: a type with no meaningful boolean cast refuses before
+    // any job runs (an array tombstone is always operator error)
+    val arr = Seq((10L, 1L, "a", 2.0, Seq(true)))
+      .toDF("us", "k", "grp", "v", "del")
+    val e = intercept[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySliceKeyed(spark, tmpDir("agg-tomb-type"), arr,
+        "us", Seq("k"), Seq("grp"), "v", 0L, 100L,
+        tombstoneCol = Some("del")))
+    assert(e.getMessage.contains("boolean"))
+    // data gate: a STRING tombstone is admissible ("true"/"0"/... cast
+    // fine, NULL reads as false), but a malformed value whose cast is
+    // NULL must refuse — silently reading "deleted" as an upsert is the
+    // mixing the tomb= stamp exists to prevent
+    val str = Seq(
+      (10L, 1L, "a", 2.0, "true"),
+      (20L, 2L, "a", 5.0, null.asInstanceOf[String]),
+      (30L, 3L, "b", 4.0, "deleted"))
+      .toDF("us", "k", "grp", "v", "del")
+    val e2 = intercept[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySliceKeyed(spark, tmpDir("agg-tomb-data"), str,
+        "us", Seq("k"), Seq("grp"), "v", 0L, 100L,
+        tombstoneCol = Some("del")))
+    assert(e2.getMessage.contains("does not cast to boolean"))
+    val e3 = intercept[graft.core.GraftError.InvalidConfig](
+      AggMaintenance.applySliceKeyedPartitioned(spark,
+        tmpDir("agg-tomb-data-p"), str, "us", Seq("k"), Seq("grp"), "v",
+        0L, 100L, 8, 16, tombstoneCol = Some("del")))
+    assert(e3.getMessage.contains("does not cast to boolean"))
+    // well-formed string flags DO work: "true" deletes, NULL/"false" keep
+    val ok = Seq(
+      (10L, 1L, "a", java.lang.Double.valueOf(2.0), "false"),
+      (20L, 2L, "a", java.lang.Double.valueOf(5.0), null.asInstanceOf[String]),
+      (110L, 1L, null.asInstanceOf[String],
+        null.asInstanceOf[java.lang.Double], "true"))
+      .toDF("us", "k", "grp", "v", "del")
+    val d = tmpDir("agg-tomb-str-ok")
+    Seq((0L, 100L), (100L, 200L)).foreach { case (l, h) =>
+      AggMaintenance.applySliceKeyed(spark, d, ok, "us", Seq("k"),
+        Seq("grp"), "v", l, h, tombstoneCol = Some("del"))
+      ()
+    }
+    assert(snapshotK(d) == Map("a" -> ((1L, Some(5.0)))))
+  }
+
   test("keyed moments tombstones: a deleted key's (v, v²) leaves the derived stats") {
     import spark.implicits._
     val src = Seq(

@@ -27,8 +27,11 @@ class SidecarIOSpec extends SparkSpec {
     // must be gone, or this read would throw ChecksumException
     graft.core.SidecarIO.write(fs, p, "new-content")
     val in = fs.open(p)
-    val got = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    assert(got == "new-content")
+    val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    // on disk the payload rides inside the torn-write frame (control-char
+    // led, so no text payload collides); callers see the unframed content
+    assert(raw == "\u0001v1 11 new-content")
+    assert(graft.core.SidecarIO.read(fs, p).contains("new-content"))
     assert(!new java.io.File(dir, "._GRAFT_TEST_STAMP.crc").exists(),
       "stale checksum twin survived the overwrite")
   }
@@ -41,9 +44,7 @@ class SidecarIOSpec extends SparkSpec {
     graft.core.SidecarIO.write(fs, p, "1")
     graft.core.SidecarIO.write(fs, p, "22")
     graft.core.SidecarIO.write(fs, p, "3") // shrinking content: no stale tail
-    val in = fs.open(p)
-    val got = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    assert(got == "3")
+    assert(graft.core.SidecarIO.read(fs, p).contains("3"))
     // no temp debris left behind
     assert(!new java.io.File(dir, "._GRAFT_TEST_WM.tmp").exists())
   }
@@ -125,9 +126,87 @@ class SidecarIOSpec extends SparkSpec {
     fs.mkdirs(new Path(dir))
     graft.core.SidecarIO.write(fs, p, "")
     assert(fs.exists(p))
-    val in = fs.open(p)
-    val got = try in.readAllBytes() finally in.close()
-    assert(got.isEmpty)
+    // presence IS the payload; the frame makes even an empty marker's
+    // truncation detectable, and read() serves the empty content back
+    assert(graft.core.SidecarIO.read(fs, p).contains(""))
     assert(!new java.io.File(dir, "._GRAFT_COMMITTED.tmp").exists())
+  }
+
+  test("torn framed sidecar fails loud; legacy unframed content is served as-is") {
+    val dir = tmpDir("sidecar-io-torn")
+    val p = new Path(dir, "_GRAFT_TEST_WM")
+    val fs = fsFor(p)
+    fs.mkdirs(new Path(dir))
+    graft.core.SidecarIO.write(fs, p, "12345")
+    assert(graft.core.SidecarIO.read(fs, p).contains("12345"))
+    // simulate a torn copy (the non-atomic copy+delete residual): the
+    // framed file truncated mid-payload. Pre-frame, this truncation would
+    // have silently served "123" — a VALID smaller watermark, rolling
+    // the table back. Now the length check refuses.
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "_GRAFT_TEST_WM").toPath, "\u0001v1 5 123")
+    val e = intercept[java.io.IOException](graft.core.SidecarIO.read(fs, p))
+    assert(e.getMessage.contains("torn sidecar"))
+    // a frame header itself torn inside the length digits also refuses
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "_GRAFT_TEST_WM").toPath, "\u0001v1 ")
+    val e2 = intercept[java.io.IOException](graft.core.SidecarIO.read(fs, p))
+    assert(e2.getMessage.contains("torn sidecar"))
+    // legacy pre-frame file (no "v1 " prefix): served verbatim — the
+    // documented residual for files written before the frame existed
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "_GRAFT_TEST_WM").toPath, "777")
+    assert(graft.core.SidecarIO.read(fs, p).contains("777"))
+  }
+
+  test("reader retries once when a concurrent commit deletes p between exists and open") {
+    // The TOCTOU window: exists(p) answers true, then the writer's
+    // step-4 delete removes p before open(p). p being gone means the
+    // commit point PASSED, so one retry of the twin-aware resolution
+    // serves the committed value — from the twin (writer paused between
+    // steps 4 and 5) or from the re-finalized p (writer finished step 5).
+    val dir = tmpDir("sidecar-io-race")
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftmock.impl", classOf[graft.MockStoreFileSystem].getName)
+    val p = new Path(s"graftmock:$dir/_GRAFT_TEST_WM")
+    val fs = fsFor(p)
+    val pFile = new java.io.File(dir, "_GRAFT_TEST_WM")
+    val twin = new java.io.File(dir, "._GRAFT_TEST_WM.new")
+
+    // variant 1: writer pauses between steps 4 and 5 → retry finds twin
+    java.nio.file.Files.writeString(pFile.toPath, "old")
+    java.nio.file.Files.writeString(twin.toPath, "new")
+    MockStoreFileSystem.raceOnOpen = Some(("_GRAFT_TEST_WM", () => {
+      pFile.delete(); () // the writer's step-4 commit delete
+    }))
+    try assert(graft.core.SidecarIO.read(fs, p).contains("new"))
+    finally MockStoreFileSystem.raceOnOpen = None
+
+    // variant 2: writer finishes step 5 before the retry → retry finds p
+    pFile.delete(); twin.delete()
+    java.nio.file.Files.writeString(pFile.toPath, "old")
+    java.nio.file.Files.writeString(twin.toPath, "newer")
+    MockStoreFileSystem.raceOnOpen = Some(("_GRAFT_TEST_WM", () => {
+      pFile.delete()
+      java.nio.file.Files.move(twin.toPath, pFile.toPath)
+      ()
+    }))
+    try assert(graft.core.SidecarIO.read(fs, p).contains("newer"))
+    finally MockStoreFileSystem.raceOnOpen = None
+
+    // a SECOND consecutive vanish is not retried forever: genuine
+    // pathology propagates rather than spinning
+    pFile.delete(); twin.delete()
+    java.nio.file.Files.writeString(pFile.toPath, "x")
+    MockStoreFileSystem.raceOnOpen = Some(("_GRAFT_TEST_WM", () => {
+      // leave p in place: open itself keeps failing (one-shot hook, but
+      // the second resolve's open ALSO fails because we re-arm here)
+      MockStoreFileSystem.raceOnOpen =
+        Some(("_GRAFT_TEST_WM", () => ()))
+    }))
+    try
+      assertThrows[java.io.FileNotFoundException](
+        graft.core.SidecarIO.read(fs, p))
+    finally MockStoreFileSystem.raceOnOpen = None
   }
 }
