@@ -1208,6 +1208,71 @@ object ReferenceQueries {
         val wm = e.agg(max("ts_us").as("wm_us"))
         e.crossJoin(wm).filter(col("ts_us") >= col("wm_us"))
           .agg(count(lit(1)).as("cnt"))
+    },
+
+    // S13 — CDC DELETE TOMBSTONES through the SYNC MERGE PATH (the a21
+    // semantics one layer down, where a debezium-style consumer feeds
+    // them): two watermark-driven SyncJob batches against one parquet
+    // destination — the base generation, then a delete feed in which
+    // every 20th key receives a payload-FREE tombstone (NULL payload —
+    // delete feeds rarely carry one) one span later. The deleted key must
+    // LEAVE the destination entirely; the tombstone column never reaches
+    // the dest schema; the setting is frozen in the .__merge_params
+    // sidecar. The reference cannot express this (session.py:135-151 is
+    // upsert-only — its delete blind spot otherwise costs a Reconcile
+    // full anti-join per repair). Oracle: the latest-per-key mirror
+    // excluding deleted keys.
+    "s13_sync_tombstone" -> Q(
+      """WITH src AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+        |         value, FALSE AS del
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id,
+        |         epoch_us(ts) + (SELECT max(epoch_us(ts)) - min(epoch_us(ts)) + 1
+        |                         FROM events) AS ts_us,
+        |         CAST(NULL AS BIGINT) AS user_id,
+        |         CAST(NULL AS VARCHAR) AS event_type,
+        |         CAST(NULL AS DOUBLE) AS value, TRUE AS del
+        |  FROM events WHERE event_id % 20 = 0),
+        |latest AS (
+        |  SELECT event_id, ts_us, user_id, event_type, value, del FROM (
+        |    SELECT src.*, row_number() OVER (PARTITION BY event_id
+        |                                     ORDER BY ts_us DESC) AS rn
+        |    FROM src) t
+        |  WHERE rn = 1)
+        |SELECT event_id, ts_us, user_id, event_type, value
+        |FROM latest WHERE NOT del""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        val base = ev.select(col("event_id"), Tables.tsUs(ev).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+          .withColumn("del", lit(false))
+        val b = base.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+          .collect().head
+        val lo = b.getLong(0); val hi = b.getLong(1) + 1
+        val span = hi - lo
+        val tombs = base.filter(col("event_id") % 20 === 0)
+          .withColumn("ts_us", col("ts_us") + lit(span))
+          .withColumn("user_id", lit(null).cast("long"))
+          .withColumn("event_type", lit(null).cast("string"))
+          .withColumn("value", lit(null).cast("double"))
+          .withColumn("del", lit(true))
+        val src = base.unionByName(tombs)
+        val stamp = Tables.fixtureStamp(dir, "events")
+        val out = ivmTmp(s, "synctomb", s"$dir@$stamp")
+        val cfg = graft.sync.SyncConfig(Seq("event_id"), "ts_us",
+          tombstoneCol = Some("del"))
+        val job = new graft.sync.SyncJob(s, cfg)
+        // batch 1: base generation only (cut = max base ts); batch 2: the
+        // tombstone feed. Replays inside one JVM (Bench min-of-3) are
+        // absorbed: batch 1 may transiently resurrect a deleted key whose
+        // base row re-extracts as novel, and batch 2 deletes it again —
+        // the T3 convergence argument, now including deletes.
+        job.run(src, out, hi - 1)
+        job.run(src, out, hi - 1 + span)
+        s.read.parquet(out).select(col("event_id"), col("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
     }
   )
 }

@@ -201,20 +201,62 @@ object JdbcUpsertSink {
   }
 
   /** Write `df` into `table` with upsert semantics; returns the number of
-    * rows applied (post-dedup). Dialect chosen from the URL. */
+    * rows applied (post-dedup, deletes included). Dialect chosen from the
+    * URL.
+    *
+    * `tombstoneCol` (CDC deletes — the ParquetMergeSink.merge contract on
+    * the JDBC front): after the per-key last-writer-wins dedup, a winner
+    * whose flag reads true issues a batched `DELETE WHERE pk = ?` beside
+    * the upsert batch instead of an upsert. Payload-free (NULL non-key)
+    * delete rows are accepted; deleting an absent key is a no-op; the
+    * column itself never reaches the destination table (it is transport
+    * metadata — callers create/drift-check the dest WITHOUT it). Winner
+    * resolution is shared with the upsert path: `normalize`'s payload-hash
+    * tie-break already covers a same-watermark delete/upsert pair, because
+    * the flag column participates in the hash. SyncPipeline freezes the
+    * setting in the destination database so tombstone-blind re-runs
+    * refuse (see `graft_sync_params`). */
   def write(df: DataFrame, url: String, props: Properties, table: String,
             keyCols: Seq[String], orderCol: String,
-            batchSize: Int = MaxBatchSize): Long = {
+            batchSize: Int = MaxBatchSize,
+            tombstoneCol: Option[String] = None): Long = {
     validateBatchSize(batchSize)
-    val normalized = normalize(df, keyCols, orderCol)
+    tombstoneCol.foreach { t =>
+      require(df.columns.contains(t),
+        s"tombstone column '$t' is not in the update batch")
+      require(!keyCols.contains(t) && t != orderCol,
+        s"tombstone column '$t' cannot also be a key/order column")
+      graft.sync.AggMaintenance.requireTombstoneType(df, t)
+    }
+    val normalized0 = normalize(df, keyCols, orderCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val applied = normalized.count()
-      val columns = normalized.columns.toSeq
+      // malformed-flag gate (the keyed IVM lanes' rule): a non-NULL flag
+      // whose boolean cast is NULL must refuse typed, never silently
+      // apply a delete marker as an upsert
+      tombstoneCol.foreach { t =>
+        val bad = normalized0.filter(
+          col(t).isNotNull && col(t).try_cast("boolean").isNull)
+          .limit(1).count()
+        if (bad > 0L)
+          throw graft.core.GraftError.InvalidConfig(
+            s"batch carries row(s) whose tombstone '$t' does not cast to " +
+              "boolean — treating malformed delete markers as upserts " +
+              "would silently mix tombstoned and tombstone-blind " +
+              "semantics; repair the source")
+      }
+      val tombFlag = tombstoneCol.map(t =>
+        coalesce(col(t).try_cast("boolean"), lit(false)))
+      val applied = normalized0.count()
+      val upserts = tombstoneCol match {
+        case None => normalized0
+        case Some(t) => normalized0.filter(!tombFlag.get).drop(t)
+      }
+      val columns = upserts.columns.toSeq
       val dialect = SqlDialect.forUrl(url)
       dialect.upsertSql(table, columns, keyCols, Some(orderCol)) match {
         case Some(sql) =>
-          runPerPartition(normalized, url, props) { (conn, rows) =>
+          runPerPartition(upserts, url, props) { (conn, rows) =>
             val stmt = conn.prepareStatement(sql)
             try {
               var pending = 0
@@ -228,11 +270,21 @@ object JdbcUpsertSink {
             } finally stmt.close()
           }
         case None =>
-          writeGeneric(normalized, url, props, table, columns, keyCols,
+          writeGeneric(upserts, url, props, table, columns, keyCols,
             orderCol, batchSize)
       }
+      // delete winners AFTER the upserts: the sets are key-disjoint
+      // (normalize keeps one winner per key), so ordering is semantics-
+      // free — but deleting last means a crash between the two phases
+      // leaves the stale row VISIBLE rather than resurrected-then-lost,
+      // and the restart-marker replay converges either way
+      tombstoneCol.foreach { _ =>
+        val deletes = normalized0.filter(tombFlag.get)
+        deleteByKeys(deletes, url, props, table, keyCols, batchSize)
+        ()
+      }
       applied
-    } finally { normalized.unpersist(); () }
+    } finally { normalized0.unpersist(); () }
   }
 
   /** Backwards-compatible PG entry point. */

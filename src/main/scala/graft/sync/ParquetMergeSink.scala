@@ -44,11 +44,30 @@ object ParquetMergeSink {
     *                  `pmod(hash(key), N)`), never from mutable payload, or
     *                  a key that "moves" partitions leaves a stale twin
     *                  behind.
+    * @param tombstoneCol CDC delete marker (the a21 semantics one layer
+    *                  down, in the sync path a real CDC consumer feeds): a
+    *                  batch row whose flag reads true DELETES its key from
+    *                  the destination instead of upserting. Payload-free
+    *                  deletes (NULL non-key columns) are accepted; a
+    *                  delete for an absent key is an idempotent no-op;
+    *                  delete-then-reinsert round-trips (the reinsert is a
+    *                  later-`orderCol` arrival that wins). The column
+    *                  never reaches the destination schema, and the
+    *                  setting is FROZEN in a `.__merge_params` sidecar
+    *                  beside the dest: a tombstone-blind merge against a
+    *                  tombstoned destination (or vice versa) refuses —
+    *                  mixing would silently apply delete markers as
+    *                  upserts. The reference cannot express this at all
+    *                  (session.py:135-151 is upsert-only; its delete
+    *                  blind spot otherwise needs Reconcile's full
+    *                  anti-join scan, the wrong cost shape for a per-batch
+    *                  delete feed).
     */
   def merge(spark: SparkSession, targetDir: String, updates: DataFrame,
             keyCols: Seq[String], orderCol: String,
             partitionByCol: Option[String] = None,
-            knownUpdateRows: Option[Long] = None): MergeResult = {
+            knownUpdateRows: Option[Long] = None,
+            tombstoneCol: Option[String] = None): MergeResult = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
     // Resolve caller-supplied names against each frame's ACTUAL casing
     // once: StructType(name) lookups are always case-sensitive and column
@@ -69,6 +88,18 @@ object ParquetMergeSink {
     val uOrder = uResolve(orderCol)
     val uKeys = keyCols.map(uResolve)
     val uPart = partitionByCol.map(uResolve)
+    val uTomb = tombstoneCol.map(uResolve)
+    uTomb.foreach { t =>
+      require(!uKeys.contains(t) && t != uOrder && !uPart.contains(t),
+        s"tombstone column '$t' cannot also be a key/order/partition " +
+          "column (a delete marker that is its own addressing column is " +
+          "unresolvable)")
+      require(updates.columns.contains(t),
+        s"tombstone column '$t' is not in the update batch")
+      // type gate — shared with the keyed IVM lanes (r15 advice): only
+      // types whose boolean read is total or per-row checkable
+      AggMaintenance.requireTombstoneType(updates, t)
+    }
     // The partitioned path's crash safety RESTS on the pending-merge marker
     // (dynamic partition overwrite is not atomic across partitions), and
     // the marker stores the canonical-long restart watermark (epoch-micros
@@ -87,6 +118,14 @@ object ParquetMergeSink {
     val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverInterruptedSwap(fs, targetDir)
     val exists = hasData(fs, new Path(targetDir))
+    // the tombstone setting is part of the destination's frozen
+    // parameterization — mixing tombstoned and tombstone-blind merges
+    // against one dest would silently apply delete markers as upserts
+    validateTombstoneStamp(fs, targetDir, exists, uTomb)
+    // normalized delete flag: try_cast (never a raw ANSI cast error
+    // mid-shuffle), NULL reads as false — the common CDC shape
+    val tombFlag = uTomb.map(t =>
+      coalesce(col(t).try_cast("boolean"), lit(false)))
 
     // One materialization of the extracted batch: the count, tie bound,
     // novelty check and dedupe/write below all reuse it, so a live (JDBC)
@@ -95,7 +134,35 @@ object ParquetMergeSink {
     val mustPersist = updates.storageLevel == StorageLevel.NONE
     if (mustPersist) updates.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val updateRows = knownUpdateRows.getOrElse(updates.count())
+      // ONE admission pass (only in the tombstoned path — the blind path
+      // keeps its zero-extra-jobs shape): batch size, malformed flags,
+      // delete count, and NULL-partition deletes
+      val (updateRows, delCount) = uTomb match {
+        case None => (knownUpdateRows.getOrElse(updates.count()), 0L)
+        case Some(t) =>
+          val flag = tombFlag.get
+          val aggs = Seq(
+            count(lit(1)).as("n"),
+            count(when(col(t).isNotNull &&
+              col(t).try_cast("boolean").isNull, lit(1))).as("bad"),
+            count(when(flag, lit(1))).as("dels")) ++
+            uPart.map(pc => count(when(flag && col(pc).isNull, lit(1)))
+              .as("delnullpart"))
+          val r = updates.agg(aggs.head, aggs.drop(1): _*).first()
+          if (r.getLong(1) > 0L)
+            throw graft.core.GraftError.InvalidConfig(
+              s"batch carries ${r.getLong(1)} row(s) whose tombstone '$t' " +
+                "does not cast to boolean — treating malformed delete " +
+                "markers as upserts would silently mix tombstoned and " +
+                "tombstone-blind semantics; repair the source")
+          if (uPart.isDefined && r.getLong(3) > 0L)
+            throw graft.core.GraftError.InvalidConfig(
+              s"batch carries ${r.getLong(3)} delete row(s) with a NULL " +
+                s"'${uPart.get}' partition value — the partition column " +
+                "is key-derived (merge contract), so a delete must carry " +
+                "it or its target partition cannot be located")
+          (knownUpdateRows.getOrElse(r.getLong(0)), r.getLong(2))
+      }
       if (!exists) {
         // S3 create-dest-from-source-schema (session.py:194-197): still dedup
         // within the batch (a key may appear twice in one extract). STAGED,
@@ -106,12 +173,26 @@ object ParquetMergeSink {
         // MAX(watermark), silently skipping the crashed batch's lost rows
         // forever. (A leftover _temporary/ or a half-staged tmp is NOT
         // data; the cold start simply re-runs.)
-        val deduped = dedupe(updates.withColumn("__src", lit(1)), uKeys, uOrder)
+        // tombstones participate in last-writer-wins (a later delete beats
+        // an earlier upsert and vice versa), then losing DELETE winners
+        // simply never reach the destination — cold-start deletes of
+        // never-synced keys are no-ops by construction
+        val prepared = uTomb match {
+          case None => updates
+          case Some(t) => updates.withColumn("__tomb", tombFlag.get).drop(t)
+        }
+        val deduped0 = dedupe(prepared.withColumn("__src", lit(1)), uKeys, uOrder)
+        val deduped =
+          if (uTomb.isDefined) deduped0.filter(!col("__tomb")).drop("__tomb")
+          else deduped0
         val tmp = targetDir.stripSuffix("/") + ".__merge_tmp"
         if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
         write(deduped, tmp, uPart, Some(uOrder))
-        // counts only the files just written (metadata-weight scan)
-        val written = countParquet(spark, tmp)
+        // counts only the files just written (metadata-weight scan); an
+        // all-deletes cold batch legitimately stages ZERO rows (possibly
+        // zero part files — unreadable as parquet, hence the hasData guard)
+        val written =
+          if (hasData(fs, new Path(tmp))) countParquet(spark, tmp) else 0L
         val dst = new Path(targetDir)
         // hasData said false, so anything here is crashed-first-write debris
         if (fs.exists(dst)) fs.delete(dst, true)
@@ -149,9 +230,12 @@ object ParquetMergeSink {
               s"(${dups.values.flatten.mkString(", ")}) — merge cannot " +
               "resolve them unambiguously")
       }
+      // the tombstone column is transport metadata, never destination
+      // schema — exclude it from drift on both sides
       val targetFold = targetCols.map(_.toLowerCase).toSet
       val updateFold = updates.columns.map(_.toLowerCase).toSet
-      val added = updates.columns.filterNot(c => targetFold(c.toLowerCase)).toSeq
+      val added = updates.columns.filterNot(c => targetFold(c.toLowerCase) ||
+        uTomb.exists(_.equalsIgnoreCase(c))).toSeq
       val removed = targetCols.filterNot(c => updateFold(c.toLowerCase)).toSeq
       if (added.nonEmpty || removed.nonEmpty)
         throw graft.core.GraftError.SchemaDrift(added, removed)
@@ -163,12 +247,21 @@ object ParquetMergeSink {
       // applies to the key/order/partition columns against the
       // target-cased frames below.
       val updatesByFold = updates.columns.map(c => c.toLowerCase -> c).toMap
+      // __tomb (the normalized flag) rides beside the projected payload:
+      // target rows are implicitly live (__tomb = false), so the one
+      // dedupe below resolves upsert-vs-delete per key and the winner's
+      // flag decides survival
       val tagged = updates.select(targetCols
         .map(tc => col(updatesByFold(tc.toLowerCase)).as(tc))
-        .toIndexedSeq: _*).withColumn("__src", lit(1))
+        .toIndexedSeq ++ tombFlag.map(_.as("__tomb")).toSeq: _*)
+        .withColumn("__src", lit(1))
       val tResolve = resolveAgainst(targetCols, "target") _
       val tOrder = tResolve(orderCol)
       val tKeys = keyCols.map(tResolve)
+      def withTombFalse(df: DataFrame): DataFrame =
+        if (uTomb.isEmpty) df else df.withColumn("__tomb", lit(false))
+      def dropTombWinners(df: DataFrame): DataFrame =
+        if (uTomb.isEmpty) df else df.filter(!col("__tomb")).drop("__tomb")
 
       // Every extracted row has orderCol >= the batch minimum, so an
       // identical destination twin must sit in that same range: bounding the
@@ -187,10 +280,21 @@ object ParquetMergeSink {
       val dataCols = target.columns.filter(_ != "__src").toIndexedSeq
       val novelTarget =
         if (tieLo == null) target else target.filter(col(tOrder) >= lit(tieLo))
-      val novel = tagged.drop("__src")
+      // only LIVE rows take the identical-twin test — a payload-free
+      // delete row has no destination twin by construction and would
+      // otherwise read as novel on every poll, re-rewriting an idle dest
+      val novel = dropTombWinners(tagged).drop("__src")
         .join(novelTarget.drop("__src"), dataCols, "left_anti")
         .limit(1).count()
-      if (novel == 0) {
+      // a re-extracted delete whose key is already GONE carries nothing;
+      // one key-level semi-join (scan-only, skipped when the batch has no
+      // deletes at all) detects a delete that still has work to do
+      val novelDelete =
+        if (delCount == 0L) 0L
+        else tagged.filter(col("__tomb")).select(tKeys.map(col): _*)
+          .join(target.select(tKeys.map(col): _*), tKeys, "left_semi")
+          .limit(1).count()
+      if (novel == 0 && novelDelete == 0) {
         clearPendingMerge(fs, targetDir)
         return MergeResult(0L, updateRows)
       }
@@ -203,7 +307,8 @@ object ParquetMergeSink {
           // or rewritten — the parquet analog of the reference's bounded
           // slices, and what keeps merge cost ∝ update locality at 100 TB.
           val tPart = tResolve(p)
-          val partVals = updates.select(col(uPart.getOrElse(p)))
+          val uPartCol = col(uPart.getOrElse(p))
+          val partVals = updates.select(uPartCol)
             .distinct().collect().map(_.get(0))
           val nonNull = partVals.filter(_ != null)
           // isin() never matches NULL — target rows in a null partition must
@@ -211,48 +316,86 @@ object ParquetMergeSink {
           val partPred =
             if (nonNull.length == partVals.length) col(tPart).isin(nonNull.toIndexedSeq: _*)
             else col(tPart).isin(nonNull.toIndexedSeq: _*) || col(tPart).isNull
-          val affected = target.filter(partPred)
-          val merged = dedupe(affected.unionByName(tagged), tKeys, tOrder)
+          val affected = withTombFalse(target).filter(partPred)
+          val merged =
+            dropTombWinners(dedupe(affected.unionByName(tagged), tKeys, tOrder))
           // Can't overwrite partitions we are reading: stage affected rows,
           // then dynamic-partition-overwrite replaces only those partitions.
           val tmp = targetDir.stripSuffix("/") + ".__merge_tmp"
           merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-          val staged = spark.read.parquet(tmp)
-          val stagedRows = countParquet(spark, tmp)
+          // a fully-vacated batch (every key in the affected partitions
+          // deleted) stages ZERO rows — possibly zero part files, which
+          // parquet cannot even re-read; guard and skip the overwrite job
+          val stagedHasData = hasData(fs, new Path(tmp))
+          val stagedRows = if (stagedHasData) countParquet(spark, tmp) else 0L
           // Dynamic partition overwrite commits per partition, NOT atomically
           // across them: a crash can leave some partitions new (advancing
           // MAX(watermark) in dest) while others keep old rows. Record the
           // batch's low watermark first; SyncJob treats a surviving marker as
           // "restart extraction from here" and the idempotent merge heals any
-          // partial commit. Cleared only after a fully-committed overwrite.
+          // partial commit. Cleared only after a fully-committed overwrite
+          // AND the vacated-partition removal below.
           graft.core.Watermark.toMicros(tieLo) match {
             case Some(lo) => writePendingMerge(fs, targetDir, lo)
             case None => () // all-null order column (watermark type enforced
                             // above): rows without a watermark are outside
                             // the protocol
           }
-          val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-          try
-            staged.sortWithinPartitions(col(tOrder)) // row-group stats layout
-              .write.mode(SaveMode.Overwrite).partitionBy(tPart).parquet(targetDir)
-          finally {
-            prevMode match {
-              case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-              case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+          if (stagedHasData) {
+            val staged = spark.read.parquet(tmp)
+            val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try
+              staged.sortWithinPartitions(col(tOrder)) // row-group stats layout
+                .write.mode(SaveMode.Overwrite).partitionBy(tPart).parquet(targetDir)
+            finally {
+              prevMode match {
+                case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+                case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+              }
             }
-            fs.delete(new Path(tmp), true)
           }
+          // Dynamic overwrite cannot DROP a partition that is absent from
+          // the staged frame, so a partition whose last key was deleted
+          // would silently keep its old rows forever. Remove vacated
+          // partition dirs explicitly. Both sides of the comparison are
+          // Spark's OWN string-cast of the value (the same rendering the
+          // partition writer uses for the dir name), so the match holds
+          // for any partition type, and only delete-touched partitions
+          // can vacate (an upsert row always lands in the staged frame).
+          // Idempotent + still under the pending marker: a crash mid-sweep
+          // re-extracts and re-deletes.
+          if (delCount > 0L) {
+            val stagedStrs: Set[String] =
+              if (!stagedHasData) Set.empty
+              else spark.read.parquet(tmp)
+                .select(col(tPart).cast("string")).distinct()
+                .collect().flatMap(r => Option(r.getString(0))).toSet
+            val deletePartStrs = updates.filter(tombFlag.get)
+              .select(uPartCol.cast("string")).distinct()
+              .collect().flatMap(r => Option(r.getString(0)))
+            deletePartStrs.filterNot(stagedStrs).foreach { s =>
+              val dir = new Path(targetDir,
+                org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                  .getPartitionPathString(tPart, s))
+              if (fs.exists(dir)) fs.delete(dir, true)
+            }
+          }
+          fs.delete(new Path(tmp), true)
           stagedRows
         case None =>
-          val merged = dedupe(target.unionByName(tagged), tKeys, tOrder)
+          val merged = dropTombWinners(
+            dedupe(withTombFalse(target).unionByName(tagged), tKeys, tOrder))
           // Parquet dirs can't be read and overwritten in one job: stage then
           // swap the whole directory (atomicSwap). rowsWritten = the staged
           // output's own count — never a re-scan of the destination after
-          // the swap.
+          // the swap. An everything-deleted merge legitimately stages zero
+          // rows; the swap still runs (the empty dest reads as "no
+          // destination", and the next run's cold re-extract converges).
           val tmp = targetDir.stripSuffix("/") + ".__merge_tmp"
           write(merged, tmp, None, Some(tOrder))
-          val stagedRows = countParquet(spark, tmp)
+          val stagedRows =
+            if (hasData(fs, new Path(tmp))) countParquet(spark, tmp) else 0L
           atomicSwap(fs, targetDir, tmp)
           stagedRows
       }
@@ -360,17 +503,86 @@ object ParquetMergeSink {
     }
   }
 
-  /** Last-writer-wins per key: max_by(payload, (orderCol, __src)) in one
-    * hash aggregate. `__src` breaks order ties in favour of the update —
-    * the deterministic replacement for "apply in ascending updated order". */
+  /** Last-writer-wins per key: max_by(payload, (orderCol, __src, hash)) in
+    * one hash aggregate. `__src` breaks order ties in favour of the update
+    * — the deterministic replacement for "apply in ascending updated
+    * order". The payload hash breaks remaining EXACT (orderCol, __src)
+    * ties deterministically (JdbcUpsertSink.normalize's discipline): a
+    * same-timestamp delete/upsert pair for one key, or two differing
+    * same-timestamp updates, must crown the same winner on every retry —
+    * max_by alone would pick by shuffle arrival order. Map-typed columns
+    * are excluded from the hash (xxhash64 rejects MapType at analysis);
+    * rows equal on everything else are interchangeable. */
   private def dedupe(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
     val payloadCols = df.columns.filterNot(keyCols.contains).filter(_ != "__src")
     val payload = struct(payloadCols.map(col).toIndexedSeq: _*)
-    val ord = struct(col(orderCol), col("__src"))
+    val hashCols = df.schema.fields.toIndexedSeq
+      .filter(f => payloadCols.contains(f.name) && hashable(f.dataType))
+      .map(f => col(f.name))
+    val tie = if (hashCols.isEmpty) lit(0L) else xxhash64(hashCols: _*)
+    val ord = struct(col(orderCol), col("__src"), tie)
     df.groupBy(keyCols.map(col).toIndexedSeq: _*)
       .agg(max_by(payload, ord).as("__payload"))
       .select(keyCols.map(col) ++
         payloadCols.map(c => col(s"__payload.$c").as(c)): _*)
+  }
+
+  private def tombParamsPath(targetDir: String): Path =
+    new Path(targetDir.stripSuffix("/") + ".__merge_params")
+
+  /** The tombstone setting is FROZEN per destination (the keyed IVM
+    * lanes' `tomb=` stamp rule, transposed to the sync dest): the first
+    * tombstoned cold start writes `tomb=<col>` to a `.__merge_params`
+    * sidecar BESIDE the dest (it must survive the whole-directory swap),
+    * and every later merge must present the same setting. Mixing is the
+    * silent-corruption case this refuses: a tombstone-blind merge against
+    * a tombstoned dest would apply delete markers as upserts (NULL-payload
+    * rows landing as data); a tombstoned merge against a blind dest means
+    * earlier batches' markers (if any) were already mis-applied.
+    * Tombstone-free dests never write the sidecar — the legacy hot path
+    * gains two fs.exists probes and nothing else. */
+  private def validateTombstoneStamp(fs: FileSystem, targetDir: String,
+                                     destExists: Boolean,
+                                     tomb: Option[String]): Unit = {
+    val p = tombParamsPath(targetDir)
+    val stored = graft.core.SidecarIO.read(fs, p).map(_.trim)
+    (stored, tomb) match {
+      case (Some(s), Some(t)) if s == s"tomb=$t" => ()
+      case (_, Some(t)) if !destExists =>
+        // cold start (or re-start over a crashed cold attempt's debris):
+        // freeze BEFORE any data commit — a crash between stamp and data
+        // leaves stamp-without-dest, which the next cold run overwrites
+        graft.core.SidecarIO.write(fs, p, s"tomb=$t")
+      case (Some(s), Some(t)) =>
+        throw graft.core.GraftError.InvalidConfig(
+          s"destination $targetDir is frozen as '$s' but this merge says " +
+            s"tomb=$t — one destination, one tombstone column; rebuild " +
+            "the destination to change it")
+      case (Some(s), None) if destExists =>
+        throw graft.core.GraftError.InvalidConfig(
+          s"destination $targetDir was maintained WITH tombstones ('$s') " +
+            "— a tombstone-blind merge would apply delete markers as " +
+            "upserts; pass the tombstone column or rebuild the destination")
+      case (Some(_), None) =>
+        // stamp without data: a crashed cold tombstoned attempt; a blind
+        // cold start owns the name now
+        graft.core.SidecarIO.delete(fs, p)
+      case (None, Some(_)) =>
+        throw graft.core.GraftError.InvalidConfig(
+          s"destination $targetDir was created tombstone-blind — earlier " +
+            "batches' delete markers (if any) were applied as upserts, so " +
+            "its current state cannot be trusted under delete semantics; " +
+            "rebuild the destination with the tombstone column frozen " +
+            "from the start")
+      case (None, None) => ()
+    }
   }
 
   /** Write with the BRIN-analog layout (SURVEY §4.1): rows sorted WITHIN

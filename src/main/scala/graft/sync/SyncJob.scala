@@ -12,7 +12,8 @@ final case class SyncConfig(
     keyCols: Seq[String],
     watermarkCol: String,
     targetRowsPerSlice: Long = 10000000L,
-    partitionByCol: Option[String] = None) {
+    partitionByCol: Option[String] = None,
+    tombstoneCol: Option[String] = None) {
   require(keyCols.nonEmpty, "sync requires a merge key (reference: reflected primary key)")
 }
 
@@ -125,7 +126,8 @@ final class SyncJob(spark: SparkSession, cfg: SyncConfig) {
             spark, totalEstimate, onProgress) {
             ParquetMergeSink.merge(
               spark, destDir, extracted, cfg.keyCols, cfg.watermarkCol,
-              cfg.partitionByCol, knownUpdateRows = Some(totalEstimate))
+              cfg.partitionByCol, knownUpdateRows = Some(totalEstimate),
+              tombstoneCol = cfg.tombstoneCol)
           }
           SyncReport(Some(start), nowWatermark, result.updateRows,
             result.rowsWritten, (System.nanoTime() - t0) / 1000000)

@@ -55,6 +55,7 @@ object SyncPipeline {
   import SyncEndpoint._
 
   val StateTable = "graft_sync_state"
+  val ParamsTable = "graft_sync_params"
 
   def run(spark: SparkSession, cfg: SyncConfig, source: SyncEndpoint,
           dest: SyncEndpoint, cut: Option[Long] = None,
@@ -144,7 +145,8 @@ object SyncPipeline {
           start, cutV, est, cfg.targetRowsPerSlice, timestampTyped = wmTsTyped)
         val result = TaskProgressListener.withProgress(spark, est, onProgress) {
           ParquetMergeSink.merge(spark, destDir, extracted, cfg.keyCols,
-            cfg.watermarkCol, cfg.partitionByCol, knownUpdateRows = Some(est))
+            cfg.watermarkCol, cfg.partitionByCol, knownUpdateRows = Some(est),
+            tombstoneCol = cfg.tombstoneCol)
         }
         SyncReport(Some(start), cutV, result.updateRows, result.rowsWritten,
           elapsed())
@@ -179,13 +181,29 @@ object SyncPipeline {
     }
 
     // S3 — create destination table from the source schema when missing.
-    val sourceSchema = source match {
+    // The tombstone column is transport metadata, never destination
+    // schema: the dest is created (and drift-checked) without it.
+    val sourceSchema0 = source match {
       case ParquetDir(srcDir) => spark.read.parquet(srcDir).schema
       case JdbcTable(srcUrl, srcTable, srcProps) =>
         new JdbcSource(srcUrl, srcProps)
           .rangeRead(spark, srcTable, cfg.watermarkCol, 0L, 0L, 0L,
             timestampTyped = wmTsTyped).schema
     }
+    val sourceSchema = cfg.tombstoneCol match {
+      case Some(t) =>
+        org.apache.spark.sql.types.StructType(
+          sourceSchema0.fields.filterNot(_.name.equalsIgnoreCase(t)))
+      case None => sourceSchema0
+    }
+    // freeze the tombstone setting in the destination database (the
+    // parquet dest's .__merge_params rule on the JDBC front): mixing
+    // tombstoned and tombstone-blind runs refuses typed. BEFORE
+    // ensureTable — its drift check would otherwise mask the targeted
+    // refusal (a blind run's source still carries the marker column,
+    // which reads as spurious drift against a tombstoned dest).
+    withConnection(url, props)(conn =>
+      validateTombstoneParams(conn, table, cfg.tombstoneCol))
     JdbcUpsertSink.ensureTable(url, props, table, sourceSchema, cfg.keyCols)
 
     withConnection(url, props) { conn =>
@@ -208,7 +226,8 @@ object SyncPipeline {
       val (extracted, candidateRows) = extract(start)
       try {
         val applied = JdbcUpsertSink.write(extracted, url, props, table,
-          cfg.keyCols, cfg.watermarkCol)
+          cfg.keyCols, cfg.watermarkCol,
+          tombstoneCol = cfg.tombstoneCol)
         clearMarker(conn, table)
         // JDBC writes emit no Spark output metrics — report completion once
         onProgress(Progress(applied, applied))
@@ -240,6 +259,101 @@ object SyncPipeline {
         "table_name VARCHAR(128) NOT NULL PRIMARY KEY, restart_wm BIGINT)")
       finally st.close()
       ()
+    }
+
+  private def ensureParamsTable(conn: Connection): Unit =
+    if (!tableExists(conn, ParamsTable)) {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"CREATE TABLE $ParamsTable (" +
+        "table_name VARCHAR(128) NOT NULL PRIMARY KEY, params VARCHAR(256))")
+      finally st.close()
+      ()
+    }
+
+  private def readParamsRow(conn: Connection, table: String): Option[String] = {
+    val ps = conn.prepareStatement(
+      s"SELECT params FROM $ParamsTable WHERE table_name = ?")
+    try {
+      ps.setString(1, table)
+      val rs = ps.executeQuery()
+      try { if (!rs.next()) None else Option(rs.getString(1)) }
+      finally rs.close()
+    } finally ps.close()
+  }
+
+  private def writeParamsRow(conn: Connection, table: String,
+                             params: String): Unit = {
+    // UPDATE-else-INSERT, same atomicity argument as writeMarker
+    val up = conn.prepareStatement(
+      s"UPDATE $ParamsTable SET params = ? WHERE table_name = ?")
+    val updated =
+      try { up.setString(1, params); up.setString(2, table); up.executeUpdate() }
+      finally up.close()
+    if (updated == 0) {
+      val ps = conn.prepareStatement(
+        s"INSERT INTO $ParamsTable (table_name, params) VALUES (?, ?)")
+      try { ps.setString(1, table); ps.setString(2, params); ps.executeUpdate(); () }
+      finally ps.close()
+    }
+  }
+
+  private def clearParamsRow(conn: Connection, table: String): Unit = {
+    val ps = conn.prepareStatement(
+      s"DELETE FROM $ParamsTable WHERE table_name = ?")
+    try { ps.setString(1, table); ps.executeUpdate(); () }
+    finally ps.close()
+  }
+
+  private def destHasRows(conn: Connection, table: String): Boolean =
+    tableExists(conn, table) && {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT 1 FROM $table")
+        try rs.next() finally rs.close()
+      } finally st.close()
+    }
+
+  /** ParquetMergeSink's `.__merge_params` freeze, on the JDBC front: one
+    * destination, one tombstone setting. Runs BEFORE ensureTable (the dest
+    * may not exist yet — a missing or empty dest adopts whatever the
+    * current run says). A populated dest with no frozen row is a
+    * blind-history dest — refusing a tombstoned run against it matches
+    * the parquet rule (its earlier delete markers, if any, were applied
+    * as upserts). */
+  private def validateTombstoneParams(conn: Connection, table: String,
+                                      tomb: Option[String]): Unit =
+    tomb match {
+      case Some(t) =>
+        ensureParamsTable(conn)
+        readParamsRow(conn, table) match {
+          case Some(s) if s == s"tomb=$t" => ()
+          case Some(s) =>
+            throw graft.core.GraftError.InvalidConfig(
+              s"destination table $table is frozen as '$s' but this sync " +
+                s"says tomb=$t — one destination, one tombstone column; " +
+                "rebuild the destination to change it")
+          case None =>
+            if (destHasRows(conn, table))
+              throw graft.core.GraftError.InvalidConfig(
+                s"destination table $table was populated tombstone-blind " +
+                  "— earlier batches' delete markers (if any) were " +
+                  "applied as upserts; rebuild the destination with the " +
+                  "tombstone column frozen from the start")
+            writeParamsRow(conn, table, s"tomb=$t")
+        }
+      case None =>
+        if (tableExists(conn, ParamsTable))
+          readParamsRow(conn, table) match {
+            case Some(s) if s.startsWith("tomb=") =>
+              if (destHasRows(conn, table))
+                throw graft.core.GraftError.InvalidConfig(
+                  s"destination table $table was maintained WITH " +
+                    s"tombstones ('$s') — a tombstone-blind sync would " +
+                    "apply delete markers as upserts; pass the tombstone " +
+                    "column or rebuild the destination")
+              else clearParamsRow(conn, table) // empty dest: blind run owns it
+            case _ => ()
+          }
     }
 
   private def scalarLong(conn: Connection, sql: String): Option[Long] = {

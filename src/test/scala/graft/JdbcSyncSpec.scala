@@ -178,6 +178,61 @@ trait JdbcSyncBehaviors { this: SparkSpec =>
     } finally conn.close()
   }
 
+  test("parquet→jdbc tombstones: deletes issue DELETEs, setting is frozen in graft_sync_params") {
+    skipUnlessAvailable()
+    val url = freshDb("tomb")
+    import spark.implicits._
+    val cfgT = cfg.copy(tombstoneCol = Some("DEL"))
+    val dir = tmpDir("jdbc-tomb") + "/src"
+    def writeSrc(rows: Seq[(Long, Long, java.lang.Double, String, Boolean)]): Unit =
+      rows.toDF("ID", "UPDATED", "AMOUNT", "STATUS", "DEL")
+        .write.mode("overwrite").parquet(dir)
+    writeSrc(Seq(
+      (1L, 100L, 1.0, "A", false),
+      (2L, 200L, 2.0, "B", false)))
+    val src = SyncEndpoint.ParquetDir(dir)
+    val dst = SyncEndpoint.parse(s"$url#TOMBDST")
+    SyncPipeline.run(spark, cfgT, src, dst)
+    // dest created WITHOUT the tombstone column
+    assert(readTable(url, "TOMBDST") ==
+      Map(1L -> ((100L, 1.0, "A")), 2L -> ((200L, 2.0, "B"))))
+    // key 1 deleted payload-free, key 9 deleted though never synced
+    writeSrc(Seq(
+      (1L, 100L, 1.0, "A", false),
+      (2L, 200L, 2.0, "B", false),
+      (1L, 600L, null, null, true),
+      (9L, 650L, null, null, true)))
+    SyncPipeline.run(spark, cfgT, src, dst)
+    assert(readTable(url, "TOMBDST") == Map(2L -> ((200L, 2.0, "B"))))
+    // idempotent: the re-extracted delete finds its key already gone
+    SyncPipeline.run(spark, cfgT, src, dst)
+    assert(readTable(url, "TOMBDST") == Map(2L -> ((200L, 2.0, "B"))))
+    // delete-then-reinsert round-trips
+    writeSrc(Seq(
+      (1L, 100L, 1.0, "A", false),
+      (2L, 200L, 2.0, "B", false),
+      (1L, 600L, null, null, true),
+      (9L, 650L, null, null, true),
+      (1L, 800L, 11.0, "A2", false)))
+    SyncPipeline.run(spark, cfgT, src, dst)
+    assert(readTable(url, "TOMBDST") ==
+      Map(1L -> ((800L, 11.0, "A2")), 2L -> ((200L, 2.0, "B"))))
+    // the setting is FROZEN: a tombstone-blind re-run against the same
+    // dest refuses rather than applying future markers as upserts
+    val e = intercept[graft.core.GraftError.InvalidConfig](
+      SyncPipeline.run(spark, cfg, src, dst))
+    assert(e.getMessage.contains("WITH tombstones"))
+    // and a populated blind dest refuses a tombstoned run
+    val blindDir = tmpDir("jdbc-tomb-blind") + "/src"
+    Seq((1L, 100L, 1.0, "A")).toDF("ID", "UPDATED", "AMOUNT", "STATUS")
+      .write.parquet(blindDir)
+    SyncPipeline.run(spark, cfg,
+      SyncEndpoint.ParquetDir(blindDir), SyncEndpoint.parse(s"$url#BLINDDST"))
+    val e2 = intercept[graft.core.GraftError.InvalidConfig](
+      SyncPipeline.run(spark, cfgT, src, SyncEndpoint.parse(s"$url#BLINDDST")))
+    assert(e2.getMessage.contains("tombstone-blind"))
+  }
+
   test("jdbc→parquet and parquet→jdbc arms round-trip") {
     skipUnlessAvailable()
     val url = freshDb("mixed")

@@ -250,4 +250,163 @@ class SyncJobSpec extends SparkSpec {
     ParquetMergeSink.merge(spark, dest, src((1L, 100L, 9.0, "re-extracted")), Seq("id"), "updated")
     assert(readDest(dest) == Map(1L -> ((100L, 9.0, "re-extracted"))))
   }
+
+  // ------------------------------------------------- CDC delete tombstones
+
+  private val cfgT = SyncConfig(keyCols = Seq("id"), watermarkCol = "updated",
+    tombstoneCol = Some("del"))
+
+  private def srcT(rows: (Long, Long, java.lang.Double, String, Boolean)*): DataFrame =
+    rows.toSeq.toDF("id", "updated", "amount", "status", "del")
+
+  /** readDest that tolerates an EMPTY destination (an everything-deleted
+    * merge can stage zero part files — unreadable as parquet). */
+  private def readDestSafe(dir: String): Map[Long, (Long, Double, String)] = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    if (!files.exists(f => !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+      Map.empty
+    else readDest(dir)
+  }
+
+  test("tombstones: a delete removes its key; unknown-key and payload-free deletes are safe") {
+    val dest = tmpDir("sync-tomb") + "/dest"
+    val job = new SyncJob(spark, cfgT)
+    job.run(srcT(
+      (1L, 100L, 10.0, "A", false),
+      (2L, 200L, 20.0, "B", false),
+      (3L, 300L, 30.0, "C", false)), dest, 500L)
+    assert(readDest(dest).keySet == Set(1L, 2L, 3L))
+    // key 2 deleted payload-FREE (NULL amount/status — delete feeds
+    // rarely carry payloads); key 9 deleted though never synced
+    val s2 = srcT(
+      (1L, 100L, 10.0, "A", false),
+      (2L, 200L, 20.0, "B", false),
+      (3L, 300L, 30.0, "C", false),
+      (2L, 600L, null, null, true),
+      (9L, 650L, null, null, true))
+    job.run(s2, dest, 1000L)
+    assert(readDest(dest).keySet == Set(1L, 3L),
+      s"expected key 2 deleted, key 9 no-op: ${readDest(dest)}")
+    // the dest never carries the tombstone column
+    assert(!spark.read.parquet(dest).columns.contains("del"))
+    // re-running the same cut is a detected no-op: the re-extracted
+    // deletes find their keys already gone (rowsWritten == 0, no rewrite)
+    val r3 = job.run(s2, dest, 1000L)
+    assert(r3.rowsWritten == 0L, s"re-run rewrote the dest: $r3")
+  }
+
+  test("tombstones: delete-then-reinsert round-trips; same-ts delete/upsert is deterministic") {
+    val dest = tmpDir("sync-tomb-rt") + "/dest"
+    val job = new SyncJob(spark, cfgT)
+    job.run(srcT((1L, 100L, 10.0, "A", false)), dest, 500L)
+    job.run(srcT(
+      (1L, 100L, 10.0, "A", false),
+      (1L, 600L, null, null, true)), dest, 700L)
+    assert(!readDestSafe(dest).contains(1L))
+    // reinsert: a LATER live arrival for a deleted key is a new row
+    job.run(srcT(
+      (1L, 100L, 10.0, "A", false),
+      (1L, 600L, null, null, true),
+      (1L, 800L, 11.0, "A2", false)), dest, 1000L)
+    assert(readDest(dest) == Map(1L -> ((800L, 11.0, "A2"))))
+    // same-watermark delete+upsert pair: the payload-hash tie-break picks
+    // ONE winner and picks the same one on every replay (T3)
+    val dest2 = tmpDir("sync-tomb-tie") + "/dest"
+    val pair = srcT(
+      (5L, 100L, 50.0, "X", false),
+      (5L, 100L, null, null, true))
+    val job2 = new SyncJob(spark, cfgT)
+    job2.run(pair, dest2, 500L)
+    val first = readDestSafe(dest2).get(5L)
+    job2.run(pair, dest2, 500L)
+    assert(readDestSafe(dest2).get(5L) == first,
+      "replaying the same tied pair crowned a different winner")
+  }
+
+  test("tombstones: everything-deleted dest empties and the next cold run converges") {
+    val dest = tmpDir("sync-tomb-all") + "/dest"
+    val job = new SyncJob(spark, cfgT)
+    job.run(srcT((1L, 100L, 1.0, "A", false)), dest, 500L)
+    val s2 = srcT(
+      (1L, 100L, 1.0, "A", false),
+      (1L, 600L, null, null, true))
+    job.run(s2, dest, 1000L)
+    assert(!readDestSafe(dest).contains(1L))
+    // the emptied dest reads as "no destination"; the next run cold-starts
+    // from the source MIN and the replayed delete keeps it empty
+    val r = job.run(s2, dest, 1000L)
+    assert(r.rowsWritten == 0L)
+  }
+
+  test("tombstone setting is frozen per destination (blind-vs-tombstoned mixing refuses)") {
+    // blind dest, tombstoned run
+    val blind = tmpDir("sync-tomb-mixb") + "/dest"
+    new SyncJob(spark, cfg).run(src((1L, 100L, 1.0, "A")), blind, 500L)
+    val e1 = intercept[graft.core.GraftError.InvalidConfig](
+      new SyncJob(spark, cfgT).run(srcT((1L, 600L, null, null, true)),
+        blind, 1000L))
+    assert(e1.getMessage.contains("tombstone-blind"))
+    // tombstoned dest, blind run
+    val tomb = tmpDir("sync-tomb-mixt") + "/dest"
+    new SyncJob(spark, cfgT).run(srcT((1L, 100L, 1.0, "A", false)), tomb, 500L)
+    val e2 = intercept[graft.core.GraftError.InvalidConfig](
+      new SyncJob(spark, cfg).run(src((1L, 600L, 2.0, "B")), tomb, 1000L))
+    assert(e2.getMessage.contains("WITH tombstones"))
+    // tombstoned dest, DIFFERENT tombstone column
+    val e3 = intercept[graft.core.GraftError.InvalidConfig](
+      new SyncJob(spark, cfgT.copy(tombstoneCol = Some("status"))).run(
+        srcT((1L, 600L, 2.0, "true", false)), tomb, 1000L))
+    assert(e3.getMessage.contains("frozen"))
+    // matching setting keeps working
+    new SyncJob(spark, cfgT).run(srcT(
+      (1L, 100L, 1.0, "A", false), (2L, 700L, 2.0, "B", false)), tomb, 1000L)
+    assert(readDest(tomb).keySet == Set(1L, 2L))
+  }
+
+  test("tombstones: malformed flag values refuse typed (never silently upsert)") {
+    val dest = tmpDir("sync-tomb-bad") + "/dest"
+    val rows = Seq((1L, 100L, 1.0, "A", "deleted"))
+      .toDF("id", "updated", "amount", "status", "del")
+    val e = intercept[graft.core.GraftError.InvalidConfig](
+      ParquetMergeSink.merge(spark, dest, rows, Seq("id"), "updated",
+        tombstoneCol = Some("del")))
+    assert(e.getMessage.contains("does not cast to boolean"))
+  }
+
+  test("partitioned tombstones: deletes vacate partitions; NULL-partition deletes refuse") {
+    val dest = tmpDir("sync-tomb-part") + "/dest"
+    def bucketed(df: DataFrame) = df.withColumn("bucket",
+      org.apache.spark.sql.functions.pmod(col("id"), lit(2)))
+    ParquetMergeSink.merge(spark, dest, bucketed(srcT(
+      (1L, 100L, 1.0, "A", false),   // bucket 1
+      (2L, 100L, 2.0, "B", false),   // bucket 0
+      (3L, 100L, 3.0, "C", false))), // bucket 1
+      Seq("id"), "updated", partitionByCol = Some("bucket"),
+      tombstoneCol = Some("del"))
+    assert(new java.io.File(dest, "bucket=0").exists())
+    // delete key 2 — bucket 0's ONLY key: the partition must VANISH
+    // (dynamic overwrite alone cannot drop it); key 1 also deleted but
+    // bucket 1 keeps key 3
+    ParquetMergeSink.merge(spark, dest, bucketed(srcT(
+      (2L, 600L, null, null, true),
+      (1L, 650L, null, null, true))),
+      Seq("id"), "updated", partitionByCol = Some("bucket"),
+      tombstoneCol = Some("del"))
+    assert(!new java.io.File(dest, "bucket=0").exists(),
+      "vacated partition dir survived")
+    val rows = spark.read.parquet(dest).collect()
+      .map(_.getAs[Long]("id")).toSet
+    assert(rows == Set(3L), s"got $rows")
+    // no pending marker left behind
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dest + ".__merge_pending")))
+    // a delete row with a NULL partition value cannot be located — refuse
+    val e = intercept[graft.core.GraftError.InvalidConfig](
+      ParquetMergeSink.merge(spark, dest,
+        bucketed(srcT((3L, 700L, null, null, true)))
+          .withColumn("bucket", lit(null).cast("int")),
+        Seq("id"), "updated", partitionByCol = Some("bucket"),
+        tombstoneCol = Some("del")))
+    assert(e.getMessage.contains("NULL"))
+  }
 }

@@ -42,6 +42,17 @@ class CliSpec extends SparkSpec {
     a
   }
 
+  test("single --tombstone parses into the sync config surface") {
+    val a = Main.parse(Array("single", "--source", "src.parquet",
+      "--dest", "dst.parquet", "--key", "id", "--watermark", "updated",
+      "--tombstone", "del"))
+    assert(a.cmd == "single" && a.tombstone.contains("del"))
+    // the flag needs a value like any other option
+    assertThrows[GraftError.InvalidConfig](
+      Main.parse(Array("single", "--source", "s", "--dest", "d",
+        "--key", "id", "--watermark", "updated", "--tombstone")))
+  }
+
   test("neardup --mode minhash writes verified pairs") {
     val dest = tmpDir("cli-neardup") + "/pairs"
     run("neardup", "--source", s"$sfDir/documents.parquet",
