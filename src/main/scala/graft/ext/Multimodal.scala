@@ -302,6 +302,126 @@ object Multimodal {
       }(encoder)
   }
 
+  /** Noise-planted PNG fixture for the PERCEPTUAL near-dup lane: unlike
+    * [[PngCodec.plantedPng]]'s smooth gradients (whose dHash degenerates —
+    * a monotone image hashes to all-ones, so every gradient collides),
+    * every channel here is an avalanche-mixed function of (id, x, y), so
+    * unrelated ids produce effectively independent 64-bit dHashes (chance
+    * hamming ≤ 3 collision ≈ 2.4e-15 per pair) while copies of one id
+    * stay close. Fixed 18×16 canvas: the dHash grid then samples source
+    * pixels (2x, 2y), which makes grid-aligned resizes (2×, 1.5×)
+    * pixel-exact under the floor-sampling rule — the planted "re-encoded
+    * /resized copy" twins land at hamming 0 BY ARITHMETIC, not by luck.
+    * `editPixel` plants a bounded perturbation instead: source pixel
+    * (2, 2) — sampled at grid (1, 1) — is channel-inverted, touching at
+    * most the two gradient comparisons adjacent to that grid cell
+    * (hamming ≤ 2, inside any sane near-dup threshold). */
+  object NoisePng {
+    val W = 18
+    val H = 16
+    private def mix(a: Long): Int = {
+      var h = a * -7046029254386353131L // splitmix64-style avalanche
+      h ^= (h >>> 32)
+      (h & 0xffL).toInt
+    }
+    def plantedNoisePng(id: Long, editPixel: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        W, H, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < H) {
+        var x = 0
+        while (x < W) {
+          val r = mix(id * 3L + x * 131L + y * 197L)
+          val g = mix(id * 7L + x * 241L + y * 313L)
+          val b = mix(id * 11L + x * 389L + y * 433L)
+          val (rr, gg, bb) =
+            if (editPixel && x == 2 && y == 2) (255 - r, 255 - g, 255 - b)
+            else (r, g, b)
+          img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+  }
+
+  /** Fixture adapter for the perceptual near-dup lane (the
+    * [[plantedPngMedia]] shape over [[NoisePng]]). */
+  def plantedNoisePngMedia(ids: DataFrame, idCol: String,
+                           editPixel: Boolean = false): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = Multimodal.NoisePng.plantedNoisePng(id, editPixel)
+          Row(id, bytes, Row("image/png", bytes.length.toLong, "planted"))
+        }
+      }(encoder)
+  }
+
+  /** dHash64 of one decoded image: 9×8 grayscale grid (explicit floor
+    * sampling — [[resizeImages]]' reproducibility rule, so a resize
+    * through this module composes pixel-exactly), bit (y·8 + x) set when
+    * the cell right of (x, y) is brighter — the classic gradient hash.
+    * Robust to re-encoding (pixels identical ⇒ hash identical) and to
+    * grid-aligned rescales; unrelated images differ in ~32 of 64 bits. */
+  private[graft] def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val gray = Array.ofDim[Int](8, 9)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val rgb = img.getRGB(x * w / 9, y * h / 8)
+        gray(y)(x) = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (gray(y)(x + 1) > gray(y)(x)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Perceptual image hashes over the opaque binary column: decode →
+    * [[dHash64]], partition-batched like every codec-lane op. Undecodable
+    * payloads yield a NULL hash — kept, not dropped (the corrupt-row
+    * contract). Downstream near-dup is
+    * `TextAnalysis.simhashCandidates(hashes, "media_id", "dhash", k, b)` —
+    * the SAME pigeonhole band join the text SimHash lane uses (one
+    * shuffle on a short band key, per-band cardinality caps, never
+    * all-pairs), so image near-dedup inherits the 100 TB shape for free. */
+  def imageDHashes(media: DataFrame, batchPartitions: Option[Int] = None): DataFrame = {
+    val in = batchPartitions.map(media.repartition).getOrElse(media)
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    in.select("media_id", "content")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Multimodal.PngCodec.decode(r.getAs[Array[Byte]]("content")) match {
+            case Some(img) => Row(id, dHash64(img))
+            case None => Row(id, null)
+          }
+        }
+      }(encoder)
+  }
+
   /** The E3 decode lane with a REAL codec: `javax.imageio` PNG decode in
     * partition batches over the opaque binary column. Emits the decoded
     * dimensions and the pixel channel sum (the downstream feature a

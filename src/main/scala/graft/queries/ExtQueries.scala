@@ -739,6 +739,45 @@ object ExtQueries {
       Multimodal.audioFeatures(media, batchPartitions = Some(8))
     },
 
+    // E3 — IMAGE PERCEPTUAL NEAR-DUP (dHash over decoded pixels): the
+    // missing member of the dedup family for a multimodal pipeline —
+    // re-encoded/resized copies of an image share (or nearly share) a
+    // 64-bit gradient hash, and the SAME pigeonhole band join the text
+    // SimHash lane uses turns that into candidate pairs with one shuffle,
+    // never all-pairs (the 100 TB shape, inherited). Fixture: 150
+    // noise-planted PNGs (id), each with a grid-aligned 2× RESIZED copy
+    // (id+100000, hamming 0 by the floor-sampling arithmetic — the
+    // resize runs through the real codec lane: decode → scale →
+    // re-encode) and a pixel-EDITED copy (id+200000, one sampled pixel
+    // channel-inverted → hamming ≤ 2). Expected pairs are exactly the
+    // three per id — planted recall AND precision (an unrelated noise
+    // pair within hamming 3 has chance ≈ 2.4e-15; the fixture is
+    // deterministic, so green once is green forever). Oracle: the planted
+    // pair list, stated in SQL.
+    "e3h_image_neardup" -> Q(
+      """SELECT doc_id AS a_id, doc_id + 100000 AS b_id
+        |FROM documents WHERE doc_id < 150
+        |UNION ALL
+        |SELECT doc_id, doc_id + 200000 FROM documents WHERE doc_id < 150
+        |UNION ALL
+        |SELECT doc_id + 100000, doc_id + 200000
+        |FROM documents WHERE doc_id < 150""".stripMargin) { (s, dir) =>
+      val ids = Tables.documents(s, dir).filter(col("doc_id") < 150)
+      val base = Multimodal.plantedNoisePngMedia(ids, "doc_id")
+      val resized = Multimodal.resizeImages(base, 36, 32,
+          batchPartitions = Some(8))
+        .withColumn("media_id", col("media_id") + 100000)
+      val edited = Multimodal.plantedNoisePngMedia(ids, "doc_id",
+          editPixel = true)
+        .withColumn("media_id", col("media_id") + 200000)
+      val hashes = Multimodal.imageDHashes(
+        base.unionByName(resized).unionByName(edited),
+        batchPartitions = Some(8)).filter(col("dhash").isNotNull)
+      graft.ext.TextAnalysis.simhashCandidates(
+          hashes, "media_id", "dhash", maxHamming = 3, bands = 4)
+        .select(col("a_id"), col("b_id"))
+    },
+
     // E3 — frame sampling over the binary payload (every 4th 64-byte
     // frame). The oracle recomputes the frames from the text (ASCII fixture
     // ⇒ bytes == chars) and hashes them identically.

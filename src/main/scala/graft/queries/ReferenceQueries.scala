@@ -1051,6 +1051,67 @@ object ReferenceQueries {
             col("sum_val").cast("double").as("sum_value"))
     },
 
+    // A22 — KEYED × WINDOWED composition: the keyed lane is group-generic
+    // exactly like v1 (the a15 argument transposed), so a last-writer-wins
+    // mirror grouped by (user, tumbling-hour window-start) maintains with
+    // NO new machinery — the window start rides as a derived group column
+    // (exact long µs arithmetic, the a15 rule), and a key that RE-ARRIVES
+    // in a later hour retracts from its old window and lands in the new
+    // one through the ordinary keyed retraction path. Fixture: a16's
+    // update-heavy shape — every 10th key re-arrives one span later with
+    // value doubled (float-exact), so windows both lose and gain mass
+    // across the slice boundary. Slice cuts straddle window boundaries
+    // (three contiguous slices; the a15 discipline). Oracle: the
+    // latest-per-key mirror grouped by (user, hour).
+    "a22_agg_maintenance_keyed_windowed" -> Q(
+      """WITH src AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id, user_id,
+        |         epoch_us(ts) + (SELECT max(epoch_us(ts)) - min(epoch_us(ts)) + 1
+        |                         FROM events) AS ts_us,
+        |         value * 2 AS value
+        |  FROM events WHERE event_id % 10 = 0),
+        |latest AS (
+        |  SELECT event_id, user_id, ts_us, value FROM (
+        |    SELECT src.*, row_number() OVER (PARTITION BY event_id
+        |                                     ORDER BY ts_us DESC) AS rn
+        |    FROM src) t
+        |  WHERE rn = 1)
+        |SELECT user_id,
+        |       (ts_us // 3600000000) * 3600000000 AS win_start_us,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM latest GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        def winOf(ts: Column): Column = ts - pmod(ts, lit(3600000000L))
+        val base = ev.select(col("event_id"), col("user_id"), col("value"),
+            Tables.tsUs(ev).as("ts"))
+          .withColumn("win_start_us", winOf(col("ts")))
+        val b = base.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+          .collect().head
+        val lo = b.getLong(0); val hi = b.getLong(1) + 1
+        val span = hi - lo
+        val updated = base.filter(col("event_id") % 10 === 0)
+          .withColumn("ts", col("ts") + lit(span))
+          .withColumn("win_start_us", winOf(col("ts")))
+          .withColumn("value", col("value") * 2)
+        val src = base.unionByName(updated)
+        val stamp = Tables.fixtureStamp(dir, "events")
+        val out = ivmTmp(s, "aggivmkw", s"$dir@$stamp")
+        val cut1 = lo + (hi - lo) / 2
+        Seq((lo, cut1), (cut1, hi), (hi, hi + span)).foreach { case (l, h) =>
+          graft.sync.AggMaintenance.applySliceKeyed(
+            s, out, src, "ts", Seq("event_id"),
+            Seq("user_id", "win_start_us"), "value", l, h)
+        }
+        graft.sync.AggMaintenance.read(s, out)
+          .select(col("user_id"), col("win_start_us"), col("cnt"),
+            col("sum_val").cast("double").as("sum_value"))
+    },
+
     // A15 — WINDOWED rollup IVM: the v1 core is group-generic, so a
     // (user, tumbling-window-start) grouped rollup maintains slice-by-
     // slice with NO new machinery — group cols = user_id + the hour

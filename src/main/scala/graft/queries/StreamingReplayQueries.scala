@@ -679,6 +679,190 @@ object StreamingReplayQueries {
       AggMaintenance.read(s, rollup)
         .select(col("eventType").as("event_type"), col("cnt"),
           col("sum_val").cast("double").as("sum_value"))
+    },
+
+    // T17 — STREAMING ADMISSION twin for the persisted gram index (the
+    // t13 pattern applied to TextAnalysis.buildGramIndex/gramIndexAppend/
+    // gramIndexSpanCoverage — the lifecycle-parity gap the IVM lanes
+    // closed in t13–t16): base corpus indexed once, then each micro-batch
+    // of arriving documents PROBES the index first (span coverage against
+    // base + previously-ADMITTED generations only — the order a resident
+    // admission service pays) and is APPENDED after. Gate: the
+    // accumulated per-batch coverage table hash-matches the oracle's
+    // generation-aware recomputation — gram g covers a probe doc of
+    // generation b iff g first occurs in a STRICTLY earlier generation
+    // (base = gen -1; batches split deterministically by (doc_id/4) % 3
+    // and fed in generation order).
+    "t17_span_admission_replay" -> Q(
+      """WITH docs0 AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |         CASE WHEN doc_id % 4 <> 0 THEN -1
+        |              ELSE CAST((doc_id // 4) % 3 AS INT) END AS gen
+        |  FROM documents WHERE text IS NOT NULL),
+        |ap AS (SELECT doc_id, gen, text, len,
+        |        unnest(range(1, CASE WHEN len <= 16 THEN 2 ELSE len - 14 END)) AS s
+        |       FROM docs0),
+        |gmin AS (SELECT CASE WHEN len <= 16 THEN text
+        |                     ELSE substr(text, s, 16) END AS gram,
+        |                min(gen) AS g0
+        |         FROM ap GROUP BY 1),
+        |probe AS (SELECT doc_id, gen, text, len FROM docs0 WHERE gen >= 0),
+        |pp AS (SELECT doc_id, gen, text, len,
+        |        unnest(range(1, CASE WHEN len <= 16 THEN 2 ELSE len - 14 END)) AS s
+        |       FROM probe),
+        |h AS (SELECT doc_id, gen, s,
+        |             CASE WHEN len <= 16 THEN len ELSE s + 15 END AS e,
+        |             CASE WHEN len <= 16 THEN text ELSE substr(text, s, 16) END AS gram
+        |      FROM pp),
+        |dh AS (SELECT doc_id, s, e FROM h JOIN gmin USING (gram)
+        |       WHERE gmin.g0 < h.gen),
+        |isl AS (SELECT doc_id, s, e,
+        |        CASE WHEN s > COALESCE(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |             THEN 1 ELSE 0 END AS brk
+        |        FROM dh),
+        |g AS (SELECT doc_id, s, e,
+        |             sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+        |      FROM isl),
+        |m AS (SELECT doc_id, isl_id, min(s) AS gs, max(e) AS ge
+        |      FROM g GROUP BY 1, 2),
+        |c AS (SELECT doc_id, sum(ge - gs + 1) AS covered FROM m GROUP BY 1)
+        |SELECT p.doc_id, CAST(p.len AS BIGINT) AS text_len,
+        |       CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_chars,
+        |       CASE WHEN p.len = 0 THEN NULL
+        |            ELSE round(COALESCE(c.covered, 0) * 1.0 / p.len, 6)
+        |       END AS dup_span_frac
+        |FROM probe p LEFT JOIN c USING (doc_id)""".stripMargin) { (s, dir) =>
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import graft.ext.TextAnalysis
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+      // fresh MUTABLE index per invocation: appends change it, and the
+      // probe-before-append order means a reused index from a prior
+      // iteration would already contain every generation's grams
+      val work = java.nio.file.Files
+        .createTempDirectory("t17-gramidx").toString
+      val idxDir = work + "/idx"
+      val covDir = work + "/coverage"
+      TextAnalysis.buildGramIndex(docs.filter(col("doc_id") % 4 =!= 0),
+        "doc_id", "text", idxDir, hashedKeys = false)
+      val gens = docs.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), col("text"),
+          expr("CAST((doc_id div 4) % 3 AS INT)").as("gen"))
+        .collect() // replay harness, fixture-bounded (the t13 note)
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+        .sortBy(r => (r._3, r._1))
+        .groupBy(_._3).toSeq.sortBy(_._1).map(_._2.toSeq)
+      withShufflePartitions(s, 4) {
+        val mem = MemoryStream[(Long, String, Int)]
+        val fold: (org.apache.spark.sql.Dataset[(Long, String, Int)], Long) => Unit =
+          (batch, _) => {
+            val b = batch.toDF("doc_id", "text", "gen").persist()
+            try {
+              if (b.head(1).nonEmpty) {
+                // probe FIRST (coverage against prior generations only),
+                // append AFTER — the admission order
+                TextAnalysis.gramIndexSpanCoverage(s, idxDir, b,
+                    "doc_id", "text")
+                  .write.mode("append").parquet(covDir)
+                TextAnalysis.gramIndexAppend(s, idxDir, b, "doc_id", "text")
+              }
+            } finally { b.unpersist(); () }
+          }
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("t17-ckpt").toString
+        val q = mem.toDS().writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch(fold).start()
+        try gens.foreach { g => mem.addData(g); q.processAllAvailable() }
+        finally q.stop()
+      }
+      s.read.parquet(covDir)
+        .select(col("doc_id"), col("text_len"), col("covered_chars"),
+          col("dup_span_frac"))
+    },
+
+    // T18 — STREAMING ADMISSION twin for the persisted MINHASH index
+    // (t17's sibling, closing the same lifecycle-parity gap for the
+    // fuzzy-dedup family): base [0,300) built once, [300,500) arriving
+    // through foreachBatch minhashIndexAppend in generation order, then
+    // one probe of whitespace variants (of base docs AND of
+    // streamed-in docs — proving appended generations are searchable) at
+    // threshold 1.0, where the LSH stage is exhaustively exact (J=1 ⟺
+    // identical shingle sets ⟺ identical signatures ⟺ collide in every
+    // band; verify kills J<1). Gate: the probe result equals DuckDB's
+    // one-shot cross-join of identical sorted-shingle-set keys over the
+    // FULL corpus — append-fold ≡ one-shot build, strict row equality.
+    "t18_minhash_admission_replay" -> Q(
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+        |q AS (SELECT doc_id + 200000 AS doc_id,
+        |             regexp_replace(text, ' ', '  ', 'g') AS text
+        |      FROM documents
+        |      WHERE doc_id < 50 OR (doc_id >= 300 AND doc_id < 350)),
+        |bsh AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ta FROM base),
+        |bsg AS (SELECT doc_id,
+        |          CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
+        |               ELSE list_distinct(list_transform(range(1, len(ta) - 1),
+        |                      i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2])) END AS sa
+        |        FROM bsh),
+        |bk AS (SELECT doc_id, array_to_string(list_sort(sa), chr(30)) AS sk FROM bsg),
+        |qsh AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ta FROM q),
+        |qsg AS (SELECT doc_id,
+        |          CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
+        |               ELSE list_distinct(list_transform(range(1, len(ta) - 1),
+        |                      i -> ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2])) END AS sa
+        |        FROM qsh),
+        |qk AS (SELECT doc_id, array_to_string(list_sort(sa), chr(30)) AS sk FROM qsg)
+        |SELECT b.doc_id AS base_id, q.doc_id AS q_id, CAST(1 AS DOUBLE) AS jaccard
+        |FROM bk b JOIN qk q USING (sk)""".stripMargin) { (s, dir) =>
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import graft.ext.Dedup
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      // fresh MUTABLE index per invocation (the t17 rule): the streamed
+      // appends ARE the behavior under test; a stamp-keyed reuse would
+      // skip them on every warm run and the twin would gate nothing
+      val idx = java.nio.file.Files
+        .createTempDirectory("t18-mhidx").toString + "/idx"
+      Dedup.buildMinhashIndex(docs.filter(col("doc_id") < 300),
+        "doc_id", "text", idx)
+      val arrivals = docs
+        .filter(col("doc_id") >= 300 && col("doc_id") < 500)
+        .collect() // replay harness, fixture-bounded (the t13 note)
+        .map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1)
+      withShufflePartitions(s, 4) {
+        val mem = MemoryStream[(Long, String)]
+        val fold: (org.apache.spark.sql.Dataset[(Long, String)], Long) => Unit =
+          (batch, _) => {
+            val b = batch.toDF("doc_id", "text").persist()
+            try {
+              if (b.head(1).nonEmpty) {
+                Dedup.minhashIndexAppend(s, idx, b, "doc_id", "text")
+                ()
+              }
+            } finally { b.unpersist(); () }
+          }
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("t18-ckpt").toString
+        val q = mem.toDS().writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch(fold).start()
+        try chunked(arrivals).foreach { c =>
+          mem.addData(c); q.processAllAvailable()
+        }
+        finally q.stop()
+      }
+      Dedup.minhashIndexProbe(s, idx,
+        docs.filter(col("doc_id") < 50 ||
+            (col("doc_id") >= 300 && col("doc_id") < 350))
+          .select((col("doc_id") + 200000).as("doc_id"),
+            regexp_replace(col("text"), " ", "  ").as("text")),
+        "doc_id", "text",
+        docs.filter(col("doc_id") < 500), "doc_id", threshold = 1.0)
     }
   )
 }

@@ -1849,6 +1849,38 @@ class ExtOpsSpec extends SparkSpec {
     assert(Multimodal.resizeImages(corrupt, 8, 5).first().isNullAt(1))
   }
 
+  test("dHash lane: re-encode/aligned-resize invariant, edits bounded, corrupt NULL") {
+    import spark.implicits._
+    val ids = spark.range(0, 30).select(col("id").as("doc_id"))
+    val base = Multimodal.plantedNoisePngMedia(ids, "doc_id")
+    def hashes(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Multimodal.imageDHashes(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h0 = hashes(base)
+    // grid-aligned 2× resize (through the REAL codec: decode → scale →
+    // re-encode) is hash-IDENTICAL by the floor-sampling arithmetic
+    assert(hashes(Multimodal.resizeImages(base, 36, 32)) == h0)
+    // the planted single-pixel edit moves at most 2 of 64 bits
+    val he = hashes(Multimodal.plantedNoisePngMedia(ids, "doc_id",
+      editPixel = true))
+    he.foreach { case (id, h) =>
+      assert(java.lang.Long.bitCount(h ^ h0(id)) <= 2,
+        s"id $id: edit moved ${java.lang.Long.bitCount(h ^ h0(id))} bits")
+    }
+    // unrelated noise images are FAR apart (the precision side): every
+    // cross pair among 30 ids clears the hamming-3 near-dup threshold
+    val vals = h0.toSeq.sortBy(_._1).map(_._2)
+    for (i <- vals.indices; j <- (i + 1) until vals.size)
+      assert(java.lang.Long.bitCount(vals(i) ^ vals(j)) > 3)
+    // an undecodable payload keeps its row with a NULL hash
+    val corrupt = Seq((99L, Array[Byte](9, 9), ("image/png", 2L, "bad")))
+      .toDF("media_id", "content", "m")
+      .select(col("media_id"), col("content"),
+        struct(col("m._1").as("mime"), col("m._2").as("n_bytes"),
+          col("m._3").as("source")).as("meta"))
+    assert(Multimodal.imageDHashes(corrupt).first().isNullAt(1))
+  }
+
   test("bigram cross-entropy: hand-computed LM terms, occurrence weighting, empty docs NULL") {
     // LM over the whole corpus: c(a,b)=4, c(a,c)=1, c(b,a)=1; c1(a)=5,
     // c1(b)=1 → terms -log2: (a,b)=0.321928, (a,c)=2.321928, (b,a)=0
