@@ -26,10 +26,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // NonFatal only: an OutOfMemoryError/StackOverflowError must crash the
-    // run (rc!=0), not be silently reported as a -1 timing
+    // run (rc!=0), not be silently reported as a -1 timing. The failure is
+    // PRINTED before the -1: a silent -1 in the committed artifact is
+    // undiagnosable from the log (the r16 sync-arm lesson).
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try f catch { case scala.util.control.NonFatal(_) => return -1.0 }
+      try f catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] entry FAILED (reported -1): $e")
+          return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -698,7 +698,7 @@ object StreamingReplayQueries {
         |  SELECT doc_id, text, length(text) AS len,
         |         CASE WHEN doc_id % 4 <> 0 THEN -1
         |              ELSE CAST((doc_id // 4) % 3 AS INT) END AS gen
-        |  FROM documents WHERE text IS NOT NULL),
+        |  FROM documents WHERE text IS NOT NULL AND doc_id < 2000),
         |ap AS (SELECT doc_id, gen, text, len,
         |        unnest(range(1, CASE WHEN len <= 16 THEN 2 ELSE len - 14 END)) AS s
         |       FROM docs0),
@@ -737,8 +737,12 @@ object StreamingReplayQueries {
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
       import graft.ext.TextAnalysis
+      // doc_id < 2000 bounds the twin at larger SFs (the t16
+      // quarter-fixture rule: this entry gates LIFECYCLE PARITY, not
+      // scale — e6i6 probes the full-corpus index and e6i2 measures the
+      // full span pipeline); at sf0.001/0.01 the bound is the whole table
       val docs = Tables.documents(s, dir)
-        .filter(col("text").isNotNull)
+        .filter(col("text").isNotNull && col("doc_id") < 2000)
       // fresh MUTABLE index per invocation: appends change it, and the
       // probe-before-append order means a reused index from a prior
       // iteration would already contain every generation's grams
@@ -746,8 +750,13 @@ object StreamingReplayQueries {
         .createTempDirectory("t17-gramidx").toString
       val idxDir = work + "/idx"
       val covDir = work + "/coverage"
+      // 8 buckets, not the 64 default: the default sizes bucket files for
+      // corpus-scale gram sets, while this twin's fixture-scale index pays
+      // 3 partitioned parquet APPENDS (one per micro-batch) whose cost is
+      // dominated by files-per-write — a layout knob, not semantics (the
+      // probe is bucket-key-joined either way; e6i6 keeps the default)
       TextAnalysis.buildGramIndex(docs.filter(col("doc_id") % 4 =!= 0),
-        "doc_id", "text", idxDir, hashedKeys = false)
+        "doc_id", "text", idxDir, hashedKeys = false, nBuckets = 8)
       val gens = docs.filter(col("doc_id") % 4 === 0)
         .select(col("doc_id"), col("text"),
           expr("CAST((doc_id div 4) % 3 AS INT)").as("gen"))
