@@ -590,6 +590,60 @@ object ScaleStress {
         val (r3, tDelta) = timed(new SyncJob(spark, cfg).run(src(), dest, max2))
         jline("sync_delta_poll", rep, tDelta, r3.candidateRows,
           Seq("rows_written" -> r3.rowsWritten.toString))
+
+        // CDC DELETE poll (r16 S13): a tombstoned mirror of the same
+        // sync — cold start with the tombstone column FROZEN, then a
+        // locality-bounded delete feed. The 100 TB claim for deletes is
+        // the upsert claim transposed: cost ∝ partitions HOLDING deleted
+        // keys (plus one key-level novelty probe), never corpus. Deletes
+        // target the three EARLIEST days only, carry the ORIGINAL day
+        // (the partition column is key-derived/stable by merge contract —
+        // a recomputed ts-derived day would move the key and strand a
+        // stale twin) and a LATER ts so the watermark advances past them.
+        // They live in a side dir: evDir stays pristine for the streaming
+        // arm below.
+        val delDir = s"$work/events_tomb_delta_x$rep"
+        def srcT() = spark.read.parquet(evDir)
+          .withColumn("del", lit(false))
+          .unionByName(
+            if (new java.io.File(delDir).exists())
+              spark.read.parquet(delDir)
+            else spark.read.parquet(evDir).withColumn("del", lit(false))
+              .limit(0))
+        val cfgT = cfg.copy(tombstoneCol = Some("del"))
+        val destT = s"$work/syncdest_tomb_x$rep"
+        val (rt1, tColdT) = timed(
+          new SyncJob(spark, cfgT).run(srcT(), destT, max2))
+        jline("sync_tomb_cold", rep, tColdT, rt1.candidateRows,
+          Seq("rows_per_sec" -> f"${rt1.candidateRows / tColdT}%.0f"))
+        val dayMin = spark.read.parquet(evDir)
+          .agg(min(col("day"))).first().getLong(0)
+        spark.read.parquet(evDir)
+          .filter(col("day") < dayMin + 3 && col("event_id") % 10 === 0)
+          .select(col("event_id"), (col("ts") + span * 2).as("ts"),
+            lit(null).cast("long").as("user_id"),
+            lit(null).cast("string").as("event_type"),
+            lit(null).cast("double").as("value"),
+            col("day"), lit(true).as("del"))
+          .write.mode(SaveMode.Overwrite).parquet(delDir)
+        val nDel = spark.read.parquet(delDir).count()
+        val before = spark.read.parquet(destT).count()
+        val max3 = srcT().agg(max(col("ts"))).first().getLong(0)
+        val (rt2, tDel) = timed(
+          new SyncJob(spark, cfgT).run(srcT(), destT, max3))
+        val after = spark.read.parquet(destT).count()
+        require(after == before - nDel,
+          s"tomb delete poll x$rep: expected ${before - nDel} rows, got $after")
+        jline("sync_tomb_delete_poll", rep, tDel, nDel,
+          Seq("rows_written" -> rt2.rowsWritten.toString,
+            "days_touched" -> "3"))
+        // idle re-poll: the re-extracted deletes find their keys gone —
+        // the key-level novelty probe must detect no work (no rewrite)
+        val (rt3, tIdleT) = timed(
+          new SyncJob(spark, cfgT).run(srcT(), destT, max3))
+        require(rt3.rowsWritten == 0L,
+          s"tomb idle poll x$rep rewrote the dest: $rt3")
+        jline("sync_tomb_idle_poll", rep, tIdleT, rt3.rowsWritten)
       }
 
       // the STREAMING incremental-balance pipeline at scale: the full
