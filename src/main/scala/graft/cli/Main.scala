@@ -113,7 +113,10 @@ object Main {
                           valueColSet: Boolean = false,
                           kbuckets: Int = 0,
                           minmax: Boolean = false,
-                          tombstone: Option[String] = None)
+                          tombstone: Option[String] = None,
+                          contentCol: String = "content",
+                          bands: Int = 4,
+                          maxHamming: Int = 3)
 
   private val boolFlags =
     Set("progress", "apply", "partitioned", "moments", "minmax")
@@ -124,8 +127,9 @@ object Main {
         "decontaminate", "spans", "layout", "mix",
         "dedup-lines", "dedup-spans", "diff", "reconcile",
         "bpe-train", "tokenize", "pipeline", "agg",
-        "agg-read", "rebucket", "span-index").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--tombstone COL, CDC deletes] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span|jaccard|containment] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--jaccard 0.8] [--threshold 0.99 for containment] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft reconcile --source (PATH|jdbc:...#table) --dest PATH --key K[,K2] [--report PATH] [--apply] | graft bpe-train --source PATH --dest PATH --merges N [--id-col doc_id] [--text-col text] | graft tokenize --source PATH --base MERGES_PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text] | graft pipeline --source PATH --benchmark PATH --dest WORKDIR --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--min-span 24] [--min-docs 2] [--min-tokens N] [--max-tokens N] [--max-contamination 0.0] [--shards 16] [--capacity 2048] [--id-col doc_id] [--text-col text] | graft agg --source (PATH|jdbc:...#table) --dest PATH --by GROUPCOL[,G2] --watermark W [--key K[,K2] last-writer-wins keyed lane] [--tombstone COL, keyed CDC deletes] [--value-col value | --value-col V1,V2 | --moments | --distinct C[,C2]] [--cut N] [--partitioned] [--buckets 64] [--kbuckets 4x-buckets, keyed state store] | graft agg-read --source ROLLUP_DIR --dest OUT_PARQUET [--mode plain|derived|distinct|minmax] [--by G[,G2] outer groups, composition modes only] [--value-col V, minmax only] | graft rebucket --dest PATH --buckets N [--kbuckets M, keyed layouts only] | graft span-index --mode build|append|probe --source PATH --dest (INDEX_DIR for build/append, OUT_PARQUET for probe) [--base INDEX_DIR, probe only] [--ngram 16] [--buckets 64] [--id-col doc_id] [--text-col text]. Note: agg and reconcile commit their watermark/state sidecars via atomic rename; object stores with no AbstractFileSystem binding (e.g. s3a) use a staged two-phase commit (.new twin written before the old sidecar is touched) so readers see a committed value at every crash point")
+        "agg-read", "rebucket", "span-index",
+        "dhash-index").contains(argv(0)))
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--tombstone COL, CDC deletes] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span|jaccard|containment] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--jaccard 0.8] [--threshold 0.99 for containment] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft reconcile --source (PATH|jdbc:...#table) --dest PATH --key K[,K2] [--report PATH] [--apply] | graft bpe-train --source PATH --dest PATH --merges N [--id-col doc_id] [--text-col text] | graft tokenize --source PATH --base MERGES_PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text] | graft pipeline --source PATH --benchmark PATH --dest WORKDIR --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--min-span 24] [--min-docs 2] [--min-tokens N] [--max-tokens N] [--max-contamination 0.0] [--shards 16] [--capacity 2048] [--id-col doc_id] [--text-col text] | graft agg --source (PATH|jdbc:...#table) --dest PATH --by GROUPCOL[,G2] --watermark W [--key K[,K2] last-writer-wins keyed lane] [--tombstone COL, keyed CDC deletes] [--value-col value | --value-col V1,V2 | --moments | --distinct C[,C2]] [--cut N] [--partitioned] [--buckets 64] [--kbuckets 4x-buckets, keyed state store] | graft agg-read --source ROLLUP_DIR --dest OUT_PARQUET [--mode plain|derived|distinct|minmax] [--by G[,G2] outer groups, composition modes only] [--value-col V, minmax only] | graft rebucket --dest PATH --buckets N [--kbuckets M, keyed layouts only] | graft span-index --mode build|append|probe --source PATH --dest (INDEX_DIR for build/append, OUT_PARQUET for probe) [--base INDEX_DIR, probe only] [--ngram 16] [--buckets 64] [--id-col doc_id] [--text-col text] | graft dhash-index --mode build|append|probe --source MEDIA_PARQUET --dest (INDEX_DIR for build/append, OUT_PARQUET for probe) [--base INDEX_DIR, probe only] [--bands 4] [--max-hamming 3, probe only] [--id-col media_id] [--content-col content]. Note: agg and reconcile commit their watermark/state sidecars via atomic rename; object stores with no AbstractFileSystem binding (e.g. s3a) use a staged two-phase commit (.new twin written before the old sidecar is touched) so readers see a committed value at every crash point")
     val opts = scala.collection.mutable.Map.empty[String, String]
     var i = 1
     while (i < argv.length) {
@@ -179,7 +183,8 @@ object Main {
       opts.get("dest-user"), opts.get("dest-password"),
       opts.get("target-bytes").map(num("target-bytes", _, min = 1)),
       opts.getOrElse("id-col",
-        if (argv(0) == "semantic-dedup") "vec_id" else "doc_id"),
+        if (argv(0) == "semantic-dedup") "vec_id"
+        else if (argv(0) == "dhash-index") "media_id" else "doc_id"),
       opts.getOrElse("text-col", "text"),
       {
         val j = opts.getOrElse("jaccard", "0.8")
@@ -199,7 +204,7 @@ object Main {
             ("shingle", Set("shingle", "span", "jaccard", "containment"))
           else if (argv(0) == "agg-read")
             ("plain", Set("plain", "derived", "distinct", "minmax"))
-          else if (argv(0) == "span-index")
+          else if (argv(0) == "span-index" || argv(0) == "dhash-index")
             ("build", Set("build", "append", "probe"))
           else ("minhash", Set("minhash", "simhash", "exact",
             "containment", "containment-sampled"))
@@ -285,6 +290,13 @@ object Main {
         moments = opts.contains("moments"),
         minmax = opts.contains("minmax"),
         tombstone = opts.get("tombstone"),
+        contentCol = opts.getOrElse("content-col", "content"),
+        // dHash bands must divide 64 and bound maxHamming from above for
+        // exact pigeonhole recall — both are config surface (exit 2)
+        bands = num("bands", opts.getOrElse("bands", "4"),
+          min = 2, max = 64).toInt,
+        maxHamming = num("max-hamming", opts.getOrElse("max-hamming", "3"),
+          min = 0, max = 63).toInt,
         distinctCols = opts.get("distinct"),
         valueColSet = opts.contains("value-col"),
         alpha = opts.get("alpha").map { v =>
@@ -337,6 +349,7 @@ object Main {
           case "agg-read"       => runAggRead(spark, a)
           case "rebucket"       => runRebucket(spark, a)
           case "span-index"     => runSpanIndex(spark, a)
+          case "dhash-index"    => runDhashIndex(spark, a)
           case _                => runSync(spark, a)
         }
         0
@@ -837,6 +850,50 @@ object Main {
         val n = spark.read.parquet(a.dest).count()
         println(s"span-index probe ${a.source} vs ${a.base}: " +
           s"$n docs -> ${a.dest}")
+    }
+  }
+
+  /** Persisted perceptual-hash index for IMAGE near-dup
+    * (ext/Multimodal.buildDHashIndex/dhashIndexAppend/dhashIndexProbe) —
+    * the media sibling of `span-index`: build the base corpus's dHash
+    * band index once, fold new batches in under the frozen band stamp,
+    * probe a batch for hamming-bounded matches (re-encoded / resized
+    * copies) without ever re-decoding the base. Source is a media
+    * parquet (opaque binary payloads); decode failures are excluded from
+    * the index and the probe (a NULL hash matches nothing). */
+  private[cli] def runDhashIndex(spark: org.apache.spark.sql.SparkSession,
+                                 a: Args): Unit = {
+    if (a.source.startsWith("jdbc:") || a.dest.startsWith("jdbc:"))
+      throw GraftError.InvalidConfig("dhash-index applies to parquet paths")
+    if (64 % a.bands != 0)
+      throw GraftError.InvalidConfig(
+        s"--bands must divide 64, got ${a.bands}")
+    if (a.maxHamming >= a.bands)
+      throw GraftError.InvalidConfig(
+        s"--max-hamming (${a.maxHamming}) must be < --bands (${a.bands}) " +
+          "for exact pigeonhole recall")
+    val media = spark.read.parquet(a.source)
+      .select(org.apache.spark.sql.functions.col(a.idCol).cast("long")
+          .as("media_id"),
+        org.apache.spark.sql.functions.col(a.contentCol).as("content"))
+    a.mode match {
+      case "build" =>
+        graft.ext.Multimodal.buildDHashIndex(media, a.dest, bands = a.bands)
+        println(s"dhash-index build ${a.source}: bands=${a.bands} -> ${a.dest}")
+      case "append" =>
+        graft.ext.Multimodal.dhashIndexAppend(spark, a.dest, media)
+        println(s"dhash-index append ${a.source} -> ${a.dest}")
+      case "probe" =>
+        if (a.base.isEmpty)
+          throw GraftError.InvalidConfig(
+            "dhash-index --mode probe needs --base INDEX_DIR (the " +
+              "committed index; --dest is the pairs output)")
+        val out = graft.ext.Multimodal.dhashIndexProbe(spark, a.base, media,
+          maxHamming = a.maxHamming)
+        out.write.mode("overwrite").parquet(a.dest)
+        val n = spark.read.parquet(a.dest).count()
+        println(s"dhash-index probe ${a.source} vs ${a.base}: " +
+          s"$n pairs (hamming <= ${a.maxHamming}) -> ${a.dest}")
     }
   }
 

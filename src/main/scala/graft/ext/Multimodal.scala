@@ -422,6 +422,122 @@ object Multimodal {
       }(encoder)
   }
 
+  // ------------------------------------------------ persisted dHash index
+
+  /** Params stamp for the persisted dHash index — the MinHash/gram-index
+    * commit convention: written LAST (its presence is the commit marker,
+    * so a crashed build reads as absent), parsed and FROZEN by appends
+    * and probes (a probe under a different band decomposition would
+    * silently miss qualifying pairs). */
+  private val DhParamsFile = "_GRAFT_DHASH_PARAMS"
+  private def dhParamsString(bands: Int) = s"v1 bands=$bands"
+  private def dhReadParams(spark: SparkSession, dir: String): Int = {
+    val s = graft.ops.RangeLayout.readSidecar(spark, dir, DhParamsFile)
+      .getOrElse(throw graft.core.GraftError.InvalidConfig(
+        s"no committed dHash index at $dir (missing $DhParamsFile)"))
+    try s.split(' ')(1).split('=')(1).toInt
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        throw graft.core.GraftError.InvalidConfig(
+          s"unparseable $DhParamsFile at $dir: '$s' — not a committed " +
+            "dHash index (delete the directory and rebuild)")
+    }
+  }
+
+  private def dhBandRows(hashes: DataFrame, bands: Int): DataFrame = {
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    hashes.withColumn("band", explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col("dhash"), b * bits).bitwiseAND(mask).as("band_val"))
+      }: _*)))
+      .select(col("__id"), col("band.band_id").as("band_id"),
+        col("band.band_val").as("band_val"))
+  }
+
+  /** Build the persisted perceptual-hash index at `dir`: `hashes/`
+    * (__id, dhash) and `bands/` (__id, band_id, band_val) parquet, stamp
+    * written last — the image sibling of the MinHash index, completing
+    * the near-dup family's build/append/probe lifecycle for media.
+    * Undecodable payloads are EXCLUDED from the index (a NULL hash can
+    * match nothing) — count them upstream via [[imageDHashes]] if the
+    * corrupt rate matters. */
+  def buildDHashIndex(media: DataFrame, dir: String, bands: Int = 4,
+                      batchPartitions: Option[Int] = None): Unit = {
+    require(64 % bands == 0 && bands >= 2,
+      s"bands ($bands) must divide 64 and be >= 2")
+    val spark = media.sparkSession
+    // rebuild discipline: stamp dropped FIRST (through SidecarIO.delete —
+    // the staged-twin rule), written last
+    val stampPath = new org.apache.hadoop.fs.Path(dir, DhParamsFile)
+    val fs = stampPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.core.SidecarIO.delete(fs, stampPath)
+    val hashes = imageDHashes(media, batchPartitions)
+      .filter(col("dhash").isNotNull)
+      .select(col("media_id").as("__id"), col("dhash"))
+      .localCheckpoint()
+    hashes.write.mode("overwrite").parquet(s"$dir/hashes")
+    dhBandRows(hashes, bands).write.mode("overwrite").parquet(s"$dir/bands")
+    graft.ops.RangeLayout.writeSidecar(spark, dir, DhParamsFile,
+      dhParamsString(bands))
+  }
+
+  /** Append a batch under the FROZEN band decomposition. Crash contract
+    * (the MinHash append rule): bands append before hashes; a crash
+    * between the writes leaves band rows whose candidates drop at the
+    * probe's hash join — "batch not yet searchable", never wrong pairs;
+    * the retry's duplicates dedupe in the probe's distinct step. */
+  def dhashIndexAppend(spark: SparkSession, dir: String, newMedia: DataFrame,
+                       batchPartitions: Option[Int] = None): Unit = {
+    val bands = dhReadParams(spark, dir)
+    val hashes = imageDHashes(newMedia, batchPartitions)
+      .filter(col("dhash").isNotNull)
+      .select(col("media_id").as("__id"), col("dhash"))
+      .localCheckpoint()
+    dhBandRows(hashes, bands).write.mode("append").parquet(s"$dir/bands")
+    hashes.write.mode("append").parquet(s"$dir/hashes")
+  }
+
+  /** Probe a batch of images against the index: batch hashes/bands
+    * computed under the frozen decomposition, batch band rows BROADCAST
+    * onto the streamed base band table (the base never shuffles — the
+    * 100 TB probe shape shared with the MinHash index), distinct
+    * candidates, exact hamming verify against the stored base hashes.
+    * `maxHamming < bands` keeps the pigeonhole EXACT: every qualifying
+    * pair collides in at least one band (the simhashCandidates
+    * argument), so the probe equals the all-pairs comparison without
+    * ever running one. Returns (base_id, q_id, hamming). */
+  def dhashIndexProbe(spark: SparkSession, dir: String, queries: DataFrame,
+                      maxHamming: Int = 3,
+                      batchPartitions: Option[Int] = None): DataFrame = {
+    val bands = dhReadParams(spark, dir)
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"maxHamming ($maxHamming) must be in [0, bands) for exact recall " +
+        s"(index is banded $bands-way)")
+    val qHashes = imageDHashes(queries, batchPartitions)
+      .filter(col("dhash").isNotNull)
+      .select(col("media_id").as("__qid"), col("dhash").as("__qhash"))
+      .localCheckpoint()
+    val qBands = dhBandRows(
+      qHashes.select(col("__qid").as("__id"), col("__qhash").as("dhash")),
+      bands).select(col("__id").as("__qid"), col("band_id"), col("band_val"))
+    val baseBands = spark.read.parquet(s"$dir/bands")
+    val cand = baseBands
+      .join(broadcast(qBands), Seq("band_id", "band_val"))
+      .select(col("__id"), col("__qid")).distinct()
+    val baseHashes = spark.read.parquet(s"$dir/hashes")
+      // a retried append can leave duplicate hash rows — harmless for
+      // membership, deduped here so a pair never fans out
+      .groupBy(col("__id")).agg(first(col("dhash")).as("dhash"))
+    cand.join(baseHashes, "__id")
+      .join(broadcast(qHashes), "__qid")
+      .withColumn("hamming",
+        bit_count(col("dhash").bitwiseXOR(col("__qhash"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("__id").as("base_id"), col("__qid").as("q_id"),
+        col("hamming"))
+  }
+
   /** The E3 decode lane with a REAL codec: `javax.imageio` PNG decode in
     * partition batches over the opaque binary column. Emits the decoded
     * dimensions and the pixel channel sum (the downstream feature a

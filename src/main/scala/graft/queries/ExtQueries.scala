@@ -778,6 +778,53 @@ object ExtQueries {
         .select(col("a_id"), col("b_id"))
     },
 
+    // E3 — PERSISTED dHash index, build → append → probe in one gate
+    // (e1h's shape for the image family, completing the near-dup
+    // lifecycle matrix: text MinHash, span grams, and now perceptual
+    // image hashes all have a build/append/probe artifact): base noise
+    // images [0,300) built once, [300,400) appended under the frozen
+    // band stamp, then one probe of grid-aligned 2× RESIZED copies of
+    // ids <50 AND [300,350) — proving appended generations are
+    // searchable — at maxHamming 2 where the aligned resize is
+    // hash-IDENTICAL by the floor-sampling arithmetic (hamming 0) and
+    // unrelated noise pairs sit ~32 bits apart. Expected pairs are
+    // exactly the planted list, stated in SQL.
+    "e3i_dhash_index_probe" -> Q(
+      """SELECT doc_id AS base_id, doc_id + 200000 AS q_id,
+        |       CAST(0 AS INT) AS hamming
+        |FROM documents
+        |WHERE doc_id < 50 OR (doc_id >= 300 AND doc_id < 350)""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.documents(s, dir)
+        val stamp = Tables.fixtureStamp(dir, "documents")
+        val idx = s"${System.getProperty("java.io.tmpdir")}/graft-dhidx-" +
+          Integer.toHexString(s"$dir@$stamp".hashCode)
+        if (!new java.io.File(idx, "_GRAFT_DHASH_PARAMS").exists()) {
+          // build + append staged, moved into place by ONE rename (the
+          // e1h discipline: an interruption between the two calls must
+          // not leave a committed-looking index missing [300,400))
+          val staging = idx + ".tmp"
+          graft.core.Tables.deleteRecursively(new java.io.File(staging))
+          Multimodal.buildDHashIndex(
+            Multimodal.plantedNoisePngMedia(
+              docs.filter(col("doc_id") < 300), "doc_id"), staging)
+          Multimodal.dhashIndexAppend(s, staging,
+            Multimodal.plantedNoisePngMedia(
+              docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+              "doc_id"))
+          graft.core.Tables.deleteRecursively(new java.io.File(idx))
+          if (!new java.io.File(staging).renameTo(new java.io.File(idx)))
+            sys.error(s"e3i: rename $staging -> $idx failed")
+        }
+        val probe = Multimodal.resizeImages(
+          Multimodal.plantedNoisePngMedia(
+            docs.filter(col("doc_id") < 50 ||
+              (col("doc_id") >= 300 && col("doc_id") < 350)), "doc_id"),
+          36, 32)
+          .withColumn("media_id", col("media_id") + 200000)
+        Multimodal.dhashIndexProbe(s, idx, probe, maxHamming = 2)
+    },
+
     // E3 — frame sampling over the binary payload (every 4th 64-byte
     // frame). The oracle recomputes the frames from the text (ASCII fixture
     // ⇒ bytes == chars) and hashes them identically.

@@ -872,6 +872,92 @@ object StreamingReplayQueries {
             regexp_replace(col("text"), " ", "  ").as("text")),
         "doc_id", "text",
         docs.filter(col("doc_id") < 500), "doc_id", threshold = 1.0)
+    },
+
+    // T19 — the S13 CDC-tombstone SYNC path as a streaming sink (t-parity
+    // for the round's headline feature, the t13 pattern on
+    // ParquetMergeSink.merge): a live CDC feed — upserts, payload-free
+    // DELETES one span later for every 20th key, REINSERTS two spans
+    // later for every 40th — folds micro-batch by micro-batch through
+    // the tombstoned merge into one parquet destination. Deletes and
+    // their reinserts land in LATER micro-batches than the rows they
+    // retract, so the fold exercises cross-batch delete-then-reinsert
+    // against committed destination state, the tombstone stamp frozen at
+    // the cold batch. Gate: the final destination hash-matches the
+    // one-shot latest-per-key-excluding-deleted oracle.
+    "t19_sync_tombstone_replay" -> Q(
+      """WITH src AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+        |         value, FALSE AS del
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id,
+        |         epoch_us(ts) + (SELECT max(epoch_us(ts)) - min(epoch_us(ts)) + 1
+        |                         FROM events) AS ts_us,
+        |         CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |         CAST(NULL AS DOUBLE), TRUE
+        |  FROM events WHERE event_id % 20 = 0
+        |  UNION ALL
+        |  SELECT event_id,
+        |         epoch_us(ts) + 2 * (SELECT max(epoch_us(ts)) - min(epoch_us(ts)) + 1
+        |                             FROM events) AS ts_us,
+        |         user_id, 'reborn', value * 2, FALSE
+        |  FROM events WHERE event_id % 40 = 0),
+        |latest AS (
+        |  SELECT event_id, ts_us, user_id, event_type, value, del FROM (
+        |    SELECT src.*, row_number() OVER (PARTITION BY event_id
+        |                                     ORDER BY ts_us DESC) AS rn
+        |    FROM src) t
+        |  WHERE rn = 1)
+        |SELECT event_id, ts_us, user_id, event_type, value
+        |FROM latest WHERE NOT del""".stripMargin) { (s, dir) =>
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val all = collectedEvents(s, dir)
+      val span = all.last.tsUs - all.head.tsUs + 1
+      val base = all.map(e => (e.eventId, e.tsUs, Option(e.userId),
+        Option(e.eventType), Option(e.value), false))
+      val tombs = all.filter(_.eventId % 20 == 0).map(e =>
+        (e.eventId, e.tsUs + span, Option.empty[Long],
+          Option.empty[String], Option.empty[Double], true))
+      val reins = all.filter(_.eventId % 40 == 0).map(e =>
+        (e.eventId, e.tsUs + 2 * span, Option(e.userId),
+          Option("reborn"), Option(e.value * 2), false))
+      // every key's generations carry distinct ts (t, t+span, t+2·span),
+      // so micro-batch boundaries can never split a same-key tie — the
+      // fold's final state is boundary-independent
+      val rows = (base ++ tombs ++ reins).sortBy(r => (r._2, r._1))
+      // fresh MUTABLE dest per invocation (the t18 rule: the fold IS the
+      // behavior under test; mid-states differ between a warm re-fold
+      // and a cold one)
+      val dest = java.nio.file.Files
+        .createTempDirectory("t19-replay").toString + "/dest"
+      withShufflePartitions(s, 4) {
+        val mem = MemoryStream[
+          (Long, Long, Option[Long], Option[String], Option[Double], Boolean)]
+        val fold: (org.apache.spark.sql.Dataset[
+          (Long, Long, Option[Long], Option[String], Option[Double], Boolean)],
+          Long) => Unit = (batch, _) => {
+          val b = batch.toDF("event_id", "ts_us", "user_id", "event_type",
+            "value", "del").persist()
+          try {
+            if (b.head(1).nonEmpty) {
+              graft.sync.ParquetMergeSink.merge(s, dest, b,
+                Seq("event_id"), "ts_us", tombstoneCol = Some("del"))
+              ()
+            }
+          } finally { b.unpersist(); () }
+        }
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("t19-ckpt").toString
+        val q = mem.toDS().writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch(fold).start()
+        try chunked(rows).foreach { c => mem.addData(c); q.processAllAvailable() }
+        finally q.stop()
+      }
+      s.read.parquet(dest).select(col("event_id"), col("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
     }
   )
 }

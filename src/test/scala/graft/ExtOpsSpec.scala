@@ -1881,6 +1881,47 @@ class ExtOpsSpec extends SparkSpec {
     assert(Multimodal.imageDHashes(corrupt).first().isNullAt(1))
   }
 
+  test("dHash index lifecycle: frozen params, append searchable, typed refusals") {
+    import spark.implicits._
+    val ids = spark.range(0, 40).select(col("id").as("doc_id"))
+    val dir = tmpDir("dhash-idx") + "/idx"
+    Multimodal.buildDHashIndex(
+      Multimodal.plantedNoisePngMedia(ids.filter(col("doc_id") < 30),
+        "doc_id"), dir)
+    Multimodal.dhashIndexAppend(spark, dir,
+      Multimodal.plantedNoisePngMedia(
+        ids.filter(col("doc_id") >= 30), "doc_id"))
+    // probe re-encoded copies of BOTH generations: base and appended
+    // ids must be searchable, each matching exactly its own twin at
+    // hamming 0 (noise images keep unrelated pairs ~32 bits apart)
+    val probe = Multimodal.resizeImages(
+      Multimodal.plantedNoisePngMedia(ids, "doc_id"), 36, 32)
+      .withColumn("media_id", col("media_id") + 1000)
+    val got = Multimodal.dhashIndexProbe(spark, dir, probe, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == (0L until 40L).map(i => (i, i + 1000, 0)).toSet, s"$got")
+    // maxHamming must stay under the band count for exact recall
+    val e = intercept[IllegalArgumentException](
+      Multimodal.dhashIndexProbe(spark, dir, probe, maxHamming = 4))
+    assert(e.getMessage.contains("bands"))
+    // probing a directory with no committed stamp refuses typed
+    val e2 = intercept[graft.core.GraftError.InvalidConfig](
+      Multimodal.dhashIndexProbe(spark, tmpDir("dhash-empty"), probe))
+    assert(e2.getMessage.contains("_GRAFT_DHASH_PARAMS"))
+    // a garbage stamp refuses typed rather than probing wrong
+    val bad = tmpDir("dhash-bad")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(bad, "_GRAFT_DHASH_PARAMS"), "garbage")
+    val e3 = intercept[graft.core.GraftError.InvalidConfig](
+      Multimodal.dhashIndexProbe(spark, bad, probe))
+    assert(e3.getMessage.contains("unparseable"))
+    // band count must divide 64
+    assertThrows[IllegalArgumentException](
+      Multimodal.buildDHashIndex(
+        Multimodal.plantedNoisePngMedia(ids, "doc_id"),
+        tmpDir("dhash-badbands"), bands = 5))
+  }
+
   test("bigram cross-entropy: hand-computed LM terms, occurrence weighting, empty docs NULL") {
     // LM over the whole corpus: c(a,b)=4, c(a,c)=1, c(b,a)=1; c1(a)=5,
     // c1(b)=1 → terms -log2: (a,b)=0.321928, (a,c)=2.321928, (b,a)=0

@@ -37,6 +37,7 @@ class CliSpec extends SparkSpec {
       case "agg-read"       => Main.runAggRead(spark, a)
       case "rebucket"       => Main.runRebucket(spark, a)
       case "span-index"     => Main.runSpanIndex(spark, a)
+      case "dhash-index"    => Main.runDhashIndex(spark, a)
       case other            => fail(s"unexpected verb $other")
     }
     a
@@ -800,6 +801,50 @@ class CliSpec extends SparkSpec {
     assertThrows[GraftError.InvalidConfig](
       Main.parse(Array("span-index", "--source", "s", "--dest", "d",
         "--buckets", "70000")))
+  }
+
+  test("dhash-index drives build, append, and the hamming probe") {
+    import graft.ext.Multimodal
+    val work = tmpDir("cli-dhash-index")
+    val ids = spark.range(0, 30).select(col("id").as("doc_id"))
+    Multimodal.plantedNoisePngMedia(ids.filter(col("doc_id") < 20), "doc_id")
+      .write.parquet(s"$work/base1")
+    Multimodal.plantedNoisePngMedia(ids.filter(col("doc_id") >= 20), "doc_id")
+      .write.parquet(s"$work/base2")
+    // probe = grid-aligned 2x resized copies of EVERY id under shifted
+    // ids: base ids match after build, appended ids only after append
+    Multimodal.resizeImages(
+        Multimodal.plantedNoisePngMedia(ids, "doc_id"), 36, 32)
+      .withColumn("media_id", col("media_id") + 1000)
+      .write.parquet(s"$work/batch")
+    run("dhash-index", "--source", s"$work/base1", "--dest", s"$work/idx")
+    def pairs(p: String) = spark.read.parquet(p)
+      .select("base_id", "q_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    run("dhash-index", "--mode", "probe", "--source", s"$work/batch",
+      "--base", s"$work/idx", "--dest", s"$work/p1")
+    assert(pairs(s"$work/p1") == (0L until 20L).map(i => (i, i + 1000)).toSet)
+    run("dhash-index", "--mode", "append", "--source", s"$work/base2",
+      "--dest", s"$work/idx")
+    run("dhash-index", "--mode", "probe", "--source", s"$work/batch",
+      "--base", s"$work/idx", "--dest", s"$work/p2")
+    assert(pairs(s"$work/p2") == (0L until 30L).map(i => (i, i + 1000)).toSet,
+      "appended generation must be searchable")
+    // refusal matrix: probe without --base; bands not dividing 64;
+    // max-hamming >= bands; jdbc paths
+    assertThrows[GraftError.InvalidConfig](
+      run("dhash-index", "--mode", "probe", "--source", s"$work/batch",
+        "--dest", s"$work/x"))
+    assertThrows[GraftError.InvalidConfig](
+      run("dhash-index", "--source", s"$work/base1", "--dest", s"$work/x",
+        "--bands", "5"))
+    assertThrows[GraftError.InvalidConfig](
+      run("dhash-index", "--mode", "probe", "--source", s"$work/batch",
+        "--base", s"$work/idx", "--dest", s"$work/x",
+        "--bands", "4", "--max-hamming", "4"))
+    assertThrows[GraftError.InvalidConfig](
+      run("dhash-index", "--source", "jdbc:postgresql://h/db#t",
+        "--dest", s"$work/x"))
   }
 
   test("agg --distinct drives the v3 sketch lane, flat and partitioned") {
