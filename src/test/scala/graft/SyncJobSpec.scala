@@ -373,6 +373,57 @@ class SyncJobSpec extends SparkSpec {
     assert(e.getMessage.contains("does not cast to boolean"))
   }
 
+  test("tombstone merge property: random CDC interleavings across random batch cuts converge to the LWW-excluding-deleted mirror") {
+    // the keyed-lane property arm (AggMaintenanceSpec) transposed to the
+    // SYNC path: random upsert/delete streams with unique timestamps,
+    // split at random watermark cuts into sequential merges — flat and
+    // partitioned — must end at exactly the brute-force mirror:
+    // latest-per-key, keys whose latest op is a delete absent entirely
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(2026)
+    (1 to 3).foreach { trial =>
+      val nOps = 100 + rnd.nextInt(60)
+      val nKeys = 8 + rnd.nextInt(12)
+      val ops = (1 to nOps).map { ts =>
+        val del = rnd.nextInt(5) == 0 // ~20% deletes
+        (1L + rnd.nextInt(nKeys), ts.toLong,
+          if (del) null.asInstanceOf[java.lang.Double]
+          else java.lang.Double.valueOf(math.round(rnd.nextDouble() * 1e4) / 100.0),
+          if (del) null.asInstanceOf[String] else s"s$ts",
+          del)
+      }
+      val src = srcT(ops: _*)
+      val partitioned = trial == 2
+      val bucketed = if (partitioned)
+        src.withColumn("bucket", pmod(col("id"), lit(3))) else src
+      val cuts = (Seq(0L, nOps.toLong) ++
+        Seq.fill(2 + rnd.nextInt(4))(1L + rnd.nextInt(nOps - 1).toLong))
+        .distinct.sorted
+      val dest = tmpDir(s"sync-tomb-prop$trial") + "/dest"
+      cuts.sliding(2).foreach { case Seq(l, h) =>
+        ParquetMergeSink.merge(spark, dest,
+          bucketed.filter(col("updated") > l && col("updated") <= h),
+          Seq("id"), "updated",
+          partitionByCol = if (partitioned) Some("bucket") else None,
+          tombstoneCol = Some("del"))
+        ()
+      }
+      val w = Window.partitionBy("id").orderBy(col("updated").desc)
+      val want = src.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).filter(!col("del"))
+        .select("id", "updated", "amount", "status")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)), Option(r.get(3)))).toSet
+      val got = spark.read.parquet(dest)
+        .select("id", "updated", "amount", "status")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)), Option(r.get(3)))).toSet
+      assert(got == want,
+        s"trial $trial (partitioned=$partitioned): " +
+          s"missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("partitioned tombstones: deletes vacate partitions; NULL-partition deletes refuse") {
     val dest = tmpDir("sync-tomb-part") + "/dest"
     def bucketed(df: DataFrame) = df.withColumn("bucket",
