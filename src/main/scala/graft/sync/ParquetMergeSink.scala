@@ -96,6 +96,13 @@ object ParquetMergeSink {
           "unresolvable)")
       require(updates.columns.contains(t),
         s"tombstone column '$t' is not in the update batch")
+      // the tombstoned merge rides internal __tomb/__src columns through
+      // the dedupe — a user column under either name would silently
+      // collide with them (withColumn REPLACES, drop drops BOTH)
+      require(t != "__tomb" && t != "__src" &&
+          !updates.columns.contains("__tomb"),
+        "tombstoned merge reserves the internal column names " +
+          "'__tomb'/'__src'; rename the colliding batch column")
       // type gate — shared with the keyed IVM lanes (r15 advice): only
       // types whose boolean read is total or per-row checkable
       AggMaintenance.requireTombstoneType(updates, t)

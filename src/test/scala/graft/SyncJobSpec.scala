@@ -371,6 +371,15 @@ class SyncJobSpec extends SparkSpec {
       ParquetMergeSink.merge(spark, dest, rows, Seq("id"), "updated",
         tombstoneCol = Some("del")))
     assert(e.getMessage.contains("does not cast to boolean"))
+    // the internal __tomb/__src names are reserved in the tombstoned
+    // path (withColumn would replace a same-named user column and drop
+    // would remove both)
+    val clash = Seq((1L, 100L, 1.0, true))
+      .toDF("id", "updated", "amount", "__tomb")
+    val e2 = intercept[IllegalArgumentException](
+      ParquetMergeSink.merge(spark, dest, clash, Seq("id"), "updated",
+        tombstoneCol = Some("__tomb")))
+    assert(e2.getMessage.contains("reserves"))
   }
 
   test("tombstone merge property: random CDC interleavings across random batch cuts converge to the LWW-excluding-deleted mirror") {
