@@ -1080,6 +1080,61 @@ object ScaleStress {
         jline("gramidx_direct_recompute", rep, tDirect, direct.count())
       }
       } // wants("gramidx")
+
+      if (wants("dhashidx")) {
+      // the persisted dHash index (e3i) at scale: the claim is that the
+      // image decode+hash of the BASE corpus is paid once at build, and
+      // a probe costs only batch decode + a broadcast band join onto the
+      // stored band table (which the base side SCANS but never shuffles
+      // or re-decodes) — so the probe curve should grow only with the
+      // band-table scan while a rehash-everything path re-decodes the
+      // whole base per batch. Images are fixture-free (noise-planted per
+      // id), so the arm scales by id range alone: 5k/50k/250k images.
+      {
+        val n = 5000L * rep
+        val ids = spark.range(0, n).select(col("id").as("doc_id"))
+        val media = graft.ext.Multimodal.plantedNoisePngMedia(ids, "doc_id")
+        val idx = s"$work/dhash_index_x$rep"
+        val (_, tBuild) = timed(graft.ext.Multimodal.buildDHashIndex(
+          media, idx, batchPartitions = Some(32)))
+        jline("dhashidx_build", rep, tBuild, n)
+        // constant-size probe at every scale: 200 grid-aligned resized
+        // copies (hamming 0 by arithmetic) under shifted ids
+        val batch = graft.ext.Multimodal.resizeImages(
+          graft.ext.Multimodal.plantedNoisePngMedia(
+            ids.filter(col("doc_id") < 200), "doc_id"), 36, 32)
+          .withColumn("media_id", col("media_id") + 900000000L)
+          .localCheckpoint()
+        val (pairs, tProbe) = timed {
+          graft.ext.Multimodal.dhashIndexProbe(spark, idx, batch,
+            maxHamming = 2).localCheckpoint()
+        }
+        // recall gate on the PLANTED pairs only: at corpus scale a few
+        // genuine hamming-≤2 near-collisions among unrelated noise
+        // images appear (measured: 2 extra pairs at 5k images) — the
+        // probe is pigeonhole-EXACT, so extras are true pairs, the same
+        // ones any all-pairs comparison would report
+        val planted = pairs
+          .filter(col("q_id") === col("base_id") + 900000000L).count()
+        require(planted == 200L,
+          s"dhashidx probe x$rep: expected 200 planted pairs, got $planted")
+        jline("dhashidx_probe", rep, tProbe, pairs.count(),
+          Seq("planted" -> planted.toString))
+        // the no-index alternative: re-hash the WHOLE base plus the batch
+        // per ingest (what a pipeline without the artifact pays), then
+        // the same band join — the base decode dominates
+        val (rePairs, tRehash) = timed {
+          val all = graft.ext.Multimodal.imageDHashes(
+              media.unionByName(batch), batchPartitions = Some(32))
+            .filter(col("dhash").isNotNull)
+          graft.ext.TextAnalysis.simhashCandidates(
+              all, "media_id", "dhash", maxHamming = 2, bands = 4)
+            .filter(col("b_id") >= 900000000L && col("a_id") < 900000000L)
+            .localCheckpoint()
+        }
+        jline("dhashidx_direct_rehash", rep, tRehash, rePairs.count())
+      }
+      } // wants("dhashidx")
     }
     spark.stop()
   }
