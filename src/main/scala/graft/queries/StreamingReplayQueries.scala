@@ -86,6 +86,30 @@ object StreamingReplayQueries {
     out.result()
   }
 
+  /** JVM-exit-swept scratch dirs for the replay twins. Each twin needs a
+    * FRESH mutable dir per invocation (the fold is the behavior under
+    * test — stamp-keyed reuse would skip it, and rollup/checkpoint state
+    * must not leak between iterations), so per-call createTempDirectory
+    * is correct — but a long-lived JVM running the gate repeatedly then
+    * accumulates fixture-sized copies under /tmp (the cachedGramIndex
+    * advice, twin flavor). One shutdown hook sweeps everything this
+    * module created. Failures are swallowed: cleanup must never mask the
+    * run's own exit status. */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.forEach { f =>
+        try Tables.deleteRecursively(f)
+        catch { case _: Exception => () }
+      }))
+  }
+  private def scratchDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    scratchDirs.add(d)
+    d.toString
+  }
+
   /** Run `body` with a reduced shuffle-partition count, restoring the
     * session's setting after. Stateful streaming ops commit one state-store
     * instance PER shuffle partition PER micro-batch; a gate replay with a
@@ -120,8 +144,7 @@ object StreamingReplayQueries {
       val rows = collectedEvents(s, dir)
         .map(e => RowImage(key = e.eventId, userId = e.userId,
           status = e.eventType, amount = e.value, ts = e.tsUs))
-      val dest = java.nio.file.Files.createTempDirectory("t6-replay")
-        .toString + "/balances"
+      val dest = scratchDir("t6-replay") + "/balances"
       withShufflePartitions(s, 4) {
         val mem = MemoryStream[RowImage]
         val q = IncrementalBalance.run(mem.toDS(), dest)
@@ -424,10 +447,8 @@ object StreamingReplayQueries {
       import s.implicits._
       import graft.sync.AggMaintenance
       val safeChunks = tsBoundaryChunks(collectedEvents(s, dir))
-      val rollup = java.nio.file.Files
-        .createTempDirectory("t13-replay").toString + "/rollup"
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("t13-ckpt").toString
+      val rollup = scratchDir("t13-replay") + "/rollup"
+      val ckpt = scratchDir("t13-ckpt")
       withShufflePartitions(s, 4) {
         val mem = MemoryStream[Ev]
         val fold: (org.apache.spark.sql.Dataset[Ev], Long) => Unit =
@@ -480,10 +501,8 @@ object StreamingReplayQueries {
       import s.implicits._
       import graft.sync.AggMaintenance
       val safeChunks = tsBoundaryChunks(collectedEvents(s, dir))
-      val rollup = java.nio.file.Files
-        .createTempDirectory("t14-replay").toString + "/rollup"
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("t14-ckpt").toString
+      val rollup = scratchDir("t14-replay") + "/rollup"
+      val ckpt = scratchDir("t14-ckpt")
       withShufflePartitions(s, 4) {
         val mem = MemoryStream[Ev]
         val fold: (org.apache.spark.sql.Dataset[Ev], Long) => Unit =
@@ -548,10 +567,8 @@ object StreamingReplayQueries {
       import s.implicits._
       import graft.sync.AggMaintenance
       val safeChunks = tsBoundaryChunks(collectedEvents(s, dir))
-      val rollup = java.nio.file.Files
-        .createTempDirectory("t15-replay").toString + "/rollup"
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("t15-ckpt").toString
+      val rollup = scratchDir("t15-replay") + "/rollup"
+      val ckpt = scratchDir("t15-ckpt")
       withShufflePartitions(s, 4) {
         val mem = MemoryStream[Ev]
         val fold: (org.apache.spark.sql.Dataset[Ev], Long) => Unit =
@@ -649,10 +666,8 @@ object StreamingReplayQueries {
         tsUs = e.tsUs + span, eventType = "moved", value = e.value * 2))
       val rows = (base ++ updated).sortBy(e => (e.tsUs, e.eventId))
       val safeChunks = tsBoundaryChunks(rows)
-      val rollup = java.nio.file.Files
-        .createTempDirectory("t16-replay").toString + "/rollup"
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("t16-ckpt").toString
+      val rollup = scratchDir("t16-replay") + "/rollup"
+      val ckpt = scratchDir("t16-ckpt")
       withShufflePartitions(s, 4) {
         val mem = MemoryStream[Ev]
         val fold: (org.apache.spark.sql.Dataset[Ev], Long) => Unit =
@@ -746,8 +761,7 @@ object StreamingReplayQueries {
       // fresh MUTABLE index per invocation: appends change it, and the
       // probe-before-append order means a reused index from a prior
       // iteration would already contain every generation's grams
-      val work = java.nio.file.Files
-        .createTempDirectory("t17-gramidx").toString
+      val work = scratchDir("t17-gramidx")
       val idxDir = work + "/idx"
       val covDir = work + "/coverage"
       // 8 buckets, not the 64 default: the default sizes bucket files for
@@ -780,8 +794,7 @@ object StreamingReplayQueries {
               }
             } finally { b.unpersist(); () }
           }
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("t17-ckpt").toString
+        val ckpt = scratchDir("t17-ckpt")
         val q = mem.toDS().writeStream
           .option("checkpointLocation", ckpt)
           .foreachBatch(fold).start()
@@ -834,8 +847,7 @@ object StreamingReplayQueries {
       // fresh MUTABLE index per invocation (the t17 rule): the streamed
       // appends ARE the behavior under test; a stamp-keyed reuse would
       // skip them on every warm run and the twin would gate nothing
-      val idx = java.nio.file.Files
-        .createTempDirectory("t18-mhidx").toString + "/idx"
+      val idx = scratchDir("t18-mhidx") + "/idx"
       Dedup.buildMinhashIndex(docs.filter(col("doc_id") < 300),
         "doc_id", "text", idx)
       val arrivals = docs
@@ -855,8 +867,7 @@ object StreamingReplayQueries {
               }
             } finally { b.unpersist(); () }
           }
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("t18-ckpt").toString
+        val ckpt = scratchDir("t18-ckpt")
         val q = mem.toDS().writeStream
           .option("checkpointLocation", ckpt)
           .foreachBatch(fold).start()
@@ -930,8 +941,7 @@ object StreamingReplayQueries {
       // fresh MUTABLE dest per invocation (the t18 rule: the fold IS the
       // behavior under test; mid-states differ between a warm re-fold
       // and a cold one)
-      val dest = java.nio.file.Files
-        .createTempDirectory("t19-replay").toString + "/dest"
+      val dest = scratchDir("t19-replay") + "/dest"
       withShufflePartitions(s, 4) {
         val mem = MemoryStream[
           (Long, Long, Option[Long], Option[String], Option[Double], Boolean)]
@@ -948,8 +958,7 @@ object StreamingReplayQueries {
             }
           } finally { b.unpersist(); () }
         }
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("t19-ckpt").toString
+        val ckpt = scratchDir("t19-ckpt")
         val q = mem.toDS().writeStream
           .option("checkpointLocation", ckpt)
           .foreachBatch(fold).start()
