@@ -171,6 +171,10 @@ object ParquetMergeSink {
           (knownUpdateRows.getOrElse(r.getLong(0)), r.getLong(2))
       }
       if (!exists) {
+        // a cold start owns the destination's whole sidecar family: an
+        // applied-watermark bound surviving from a deleted-and-recreated
+        // incarnation would silently skip this incarnation's extraction
+        graft.core.SidecarIO.delete(fs, appliedWmPath(targetDir))
         // S3 create-dest-from-source-schema (session.py:194-197): still dedup
         // within the batch (a key may appear twice in one extract). STAGED,
         // then made visible by one rename: Spark's job commit moves task
@@ -207,6 +211,12 @@ object ParquetMergeSink {
           throw new java.io.IOException(
             s"cold merge: rename $tmp -> $dst failed")
         clearPendingMerge(fs, targetDir)
+        // cold-start deletes of never-synced keys leave no row to carry
+        // their watermark — record the batch bound so the next poll's
+        // restart point clears the already-applied delete feed
+        if (uTomb.isDefined && delCount > 0L)
+          advanceAppliedWatermark(fs, targetDir, graft.core.Watermark
+            .toMicros(updates.agg(max(col(uOrder))).first().get(0)))
         return MergeResult(written, updateRows)
       }
       if (updateRows == 0) {
@@ -274,7 +284,13 @@ object ParquetMergeSink {
       // identical destination twin must sit in that same range: bounding the
       // novelty scan to it lets parquet row-group stats skip the rest of the
       // destination (the tie range is a poll-sized sliver at 100 TB).
-      val tieLo = updates.agg(min(col(uOrder))).first().get(0)
+      // one scalar job serves both bounds: lo bounds the novelty scan,
+      // hi is the applied-watermark the tombstoned commit paths record
+      val tieBounds = updates.agg(min(col(uOrder)), max(col(uOrder))).first()
+      val tieLo = tieBounds.get(0)
+      val appliedHi: Option[Long] =
+        if (uTomb.isDefined) graft.core.Watermark.toMicros(tieBounds.get(1))
+        else None
 
       // T3/T5 no-op detection: the inclusive lower bound re-extracts watermark
       // ties every poll; a re-extracted row IDENTICAL to its destination twin
@@ -303,6 +319,11 @@ object ParquetMergeSink {
           .limit(1).count()
       if (novel == 0 && novelDelete == 0) {
         clearPendingMerge(fs, targetDir)
+        // the batch is PROVEN fully applied (no live novelty, no delete
+        // with work left) — advancing here is what stops an idle
+        // continuous sync from re-extracting the accumulated delete
+        // feed on every poll
+        advanceAppliedWatermark(fs, targetDir, appliedHi)
         return MergeResult(0L, updateRows)
       }
 
@@ -407,6 +428,10 @@ object ParquetMergeSink {
           stagedRows
       }
       clearPendingMerge(fs, targetDir)
+      // only after the pending marker clears: a surviving marker means a
+      // possibly-partial commit, and min(marker) must keep winning over
+      // this bound at the next restart
+      advanceAppliedWatermark(fs, targetDir, appliedHi)
       MergeResult(written, updateRows)
     } finally if (mustPersist) updates.unpersist()
   }
@@ -460,6 +485,38 @@ object ParquetMergeSink {
     // delete of the primary name would leave a stale committed restart
     // point that pendingRestartPoint serves forever after
     graft.core.SidecarIO.delete(fs, pendingPath(targetDir))
+
+  private def appliedWmPath(targetDir: String): Path =
+    new Path(targetDir.stripSuffix("/") + ".__merge_applied_wm")
+
+  /** Applied high-watermark for TOMBSTONED destinations: the canonical
+    * long (core.Watermark micros) order bound through which every
+    * extracted row — INCLUDING deletes, which leave no row behind — has
+    * been fully applied. Applied tombstones never persist in destination
+    * rows, so dest MAX(wm) stays below the delete feed's timestamps and
+    * a continuous sync whose recent history is all deletes re-extracts
+    * the whole accumulated feed on every poll, each a no-op via the
+    * key-level novelty probe — correct but O(delete history) per tick
+    * (r16 advice). SyncJob takes max(dest MAX, this) as its restart
+    * base. Safety is inherited from dest MAX's own contract: the marker
+    * advances only AFTER a fully-committed merge (or a batch proven a
+    * complete no-op) whose inclusive extract covered every row ≤ the
+    * bound, so skipping past it loses exactly nothing under the same
+    * monotonic-arrival assumption (T4's backdated-update miss applies
+    * identically to both mechanisms). Blind (untombstoned) destinations
+    * never write it — their live rows advance dest MAX by themselves. */
+  private[sync] def appliedWatermark(fs: FileSystem, targetDir: String): Option[Long] =
+    graft.core.SidecarIO.read(fs, appliedWmPath(targetDir))
+      .flatMap(_.trim.toLongOption)
+
+  /** Monotone advance (never regress: an out-of-order smaller batch max
+    * must not pull the restart base backwards). */
+  private def advanceAppliedWatermark(fs: FileSystem, targetDir: String,
+                                      hi: Option[Long]): Unit =
+    hi.foreach { h =>
+      if (!appliedWatermark(fs, targetDir).exists(_ >= h))
+        graft.core.SidecarIO.write(fs, appliedWmPath(targetDir), h.toString)
+    }
 
   /** Distinct hive partition column names of a single-level `col=value/`
     * layout at `dir` (the merge sink's own partitioned shape) — empty for

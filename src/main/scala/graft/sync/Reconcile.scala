@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
   * projection from footers; a JDBC source pushes `SELECT k FROM t`), and
   * the anti-join is one key-partitioned shuffle with no wide rows.
   * Run it at repair cadence (daily), not per sync tick.
+  *
+  * The source MUST be a SNAPSHOT of live rows (a table the upstream
+  * deletes from), never a retained CDC/changelog feed: a log keeps every
+  * historical key — including tombstoned ones — so against a log the
+  * anti-join sees no orphans and the pass silently stops repairing
+  * anything (it can never resurrect a deleted key — left_anti only
+  * deletes — but it no longer deletes either). Destinations fed by a
+  * tombstoned sync ([[ParquetMergeSink.merge]]'s `tombstoneCol`) don't
+  * need this pass at all: their deletes arrive in-band.
   */
 object Reconcile {
 

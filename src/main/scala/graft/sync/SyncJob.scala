@@ -88,8 +88,17 @@ final class SyncJob(spark: SparkSession, cfg: SyncConfig) {
     val pendingRestart = ParquetMergeSink.pendingRestartPoint(fs, destDir)
     val startingPoint: Option[Long] =
       if (destExists) {
-        val destMax =
-          graft.core.Watermark.toMicros(spark.read.parquet(destDir).agg(max(wm)).first().get(0))
+        // Applied tombstones leave no destination row, so dest MAX alone
+        // would re-extract the whole accumulated delete feed on every
+        // poll; the applied-watermark sidecar (written only after fully-
+        // committed / proven-no-op tombstoned merges) lifts the base past
+        // fully-applied delete batches. max() is safe: both bounds carry
+        // the same "everything ≤ me is applied" contract.
+        val appliedWm = ParquetMergeSink.appliedWatermark(fs, destDir)
+        val destMax: Option[Long] =
+          (graft.core.Watermark.toMicros(
+              spark.read.parquet(destDir).agg(max(wm)).first().get(0)).toSeq ++
+            appliedWm.toSeq).maxOption
         (destMax, pendingRestart) match {
           case (Some(m), Some(p)) => Some(math.min(m, p))
           case (None, None) =>

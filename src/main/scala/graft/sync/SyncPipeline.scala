@@ -130,8 +130,14 @@ object SyncPipeline {
         val start =
           if (destExists) {
             val wm = col(cfg.watermarkCol)
-            val destMax = graft.core.Watermark.toMicros(
-              spark.read.parquet(destDir).agg(max(wm)).first().get(0))
+            // max with the applied-delete bound (see SyncJob): applied
+            // tombstones leave no dest row, so dest MAX alone re-extracts
+            // the whole delete feed every poll
+            val destMax: Option[Long] =
+              (graft.core.Watermark.toMicros(
+                  spark.read.parquet(destDir).agg(max(wm)).first().get(0)).toSeq ++
+                ParquetMergeSink.appliedWatermark(fs, destDir).toSeq)
+                .maxOption
             (destMax, pending) match {
               case (Some(m), Some(p)) => math.min(m, p)
               case (m, p)             => m.orElse(p).getOrElse(srcMin)
@@ -308,6 +314,12 @@ object SyncPipeline {
     tableExists(conn, table) && {
       val st = conn.createStatement()
       try {
+        // one row is the question; without a cap PostgreSQL's driver in
+        // autocommit mode (fetchSize 0) materializes the ENTIRE result
+        // set client-side before rs.next() — O(table) memory against a
+        // large populated dest (r16 advice). setMaxRows is portable
+        // across dialects where a LIMIT/FETCH FIRST clause is not.
+        st.setMaxRows(1)
         val rs = st.executeQuery(s"SELECT 1 FROM $table")
         try rs.next() finally rs.close()
       } finally st.close()

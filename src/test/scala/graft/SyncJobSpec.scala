@@ -338,6 +338,44 @@ class SyncJobSpec extends SparkSpec {
     assert(r.rowsWritten == 0L)
   }
 
+  test("tombstones: the applied-delete watermark advances the restart point past a fully-applied delete feed") {
+    val dest = tmpDir("sync-tomb-wm") + "/dest"
+    val job = new SyncJob(spark, cfgT)
+    val s1 = srcT(
+      (1L, 100L, 1.0, "A", false),
+      (2L, 200L, 2.0, "B", false),
+      (3L, 300L, 3.0, "C", false),
+      (2L, 600L, null, null, true))
+    job.run(s1, dest, 1000L)
+    assert(readDest(dest).keySet == Set(1L, 3L))
+    // dest MAX(wm) is 300 — BELOW the applied delete at 600. Without the
+    // applied-watermark sidecar every later poll would restart at 300 and
+    // re-extract the whole delete feed forever (r16 advice); with it the
+    // restart base is the recorded 600 and only the inclusive tie row
+    // travels
+    val r2 = job.run(s1, dest, 1000L)
+    assert(r2.startingPoint.contains(600L),
+      s"restart point did not clear the applied delete feed: $r2")
+    assert(r2.candidateRows == 1L,
+      s"re-poll re-extracted the applied delete feed: $r2")
+    assert(r2.rowsWritten == 0L)
+    // a LATER live row is still picked up from the advanced base
+    job.run(srcT(
+      (1L, 100L, 1.0, "A", false),
+      (2L, 200L, 2.0, "B", false),
+      (3L, 300L, 3.0, "C", false),
+      (2L, 600L, null, null, true),
+      (4L, 700L, 4.0, "D", false)), dest, 1000L)
+    assert(readDest(dest).keySet == Set(1L, 3L, 4L))
+    // a deleted-and-recreated destination must NOT inherit the stale
+    // bound: the cold start owns the sidecar family
+    graft.core.Tables.deleteRecursively(new java.io.File(dest))
+    val rCold = job.run(srcT((7L, 150L, 7.0, "G", false)), dest, 1000L)
+    assert(rCold.startingPoint.contains(150L),
+      s"stale applied watermark survived the cold start: $rCold")
+    assert(readDest(dest).keySet == Set(7L))
+  }
+
   test("tombstone setting is frozen per destination (blind-vs-tombstoned mixing refuses)") {
     // blind dest, tombstoned run
     val blind = tmpDir("sync-tomb-mixb") + "/dest"
