@@ -503,7 +503,11 @@ object Main {
     * projection travels either way); `--apply` is a staged rewrite + swap
     * on a parquet destination and a batched keyed DELETE
     * (JdbcUpsertSink.deleteByKeys, one transaction per partition) on a
-    * JDBC one. */
+    * JDBC one. The --source must be a SNAPSHOT of live rows, never a
+    * retained CDC/changelog feed — a log retains tombstoned keys as
+    * ordinary key rows, so the pass would silently find zero orphans
+    * and stop repairing (see [[graft.sync.Reconcile]]); CDC-fed
+    * destinations get deletes in-band via --tombstone instead. */
   private[cli] def runReconcile(spark: org.apache.spark.sql.SparkSession,
                                 a: Args): Unit = {
     import org.apache.spark.sql.functions.col
@@ -868,7 +872,14 @@ object Main {
     if (64 % a.bands != 0)
       throw GraftError.InvalidConfig(
         s"--bands must divide 64, got ${a.bands}")
-    if (a.maxHamming >= a.bands)
+    // build/append validate against the CLI's --bands; in PROBE mode the
+    // band count is whatever the index stamp froze, so the authoritative
+    // maxHamming < bands check lives in dhashIndexProbe — a CLI-side
+    // cross-check against the (defaulted) --bands would refuse a
+    // perfectly pigeonhole-exact probe of an 8-band index at
+    // --max-hamming 5 unless the user passed a cosmetic --bands 8
+    // (r16 advice)
+    if (a.mode != "probe" && a.maxHamming >= a.bands)
       throw GraftError.InvalidConfig(
         s"--max-hamming (${a.maxHamming}) must be < --bands (${a.bands}) " +
           "for exact pigeonhole recall")

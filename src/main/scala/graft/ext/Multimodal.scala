@@ -302,6 +302,191 @@ object Multimodal {
       }(encoder)
   }
 
+  /** Noise-planted PCM fixture for the AUDIO perceptual near-dup lane —
+    * the [[NoisePng]] idea in 1-D. Every sample is an avalanche-mixed
+    * function of (id, i) and EVEN-valued, so a half-amplitude
+    * "re-encoded at lower volume" copy is integer-EXACT: s/2 of an even
+    * int16 loses no bit and (s/2)² = s²/4 exactly — window-energy ORDER
+    * (ties included) is preserved by arithmetic, not luck. n = 65·8
+    * samples, so the 65-window envelope boundaries land on exact sample
+    * indices and a 2× zero-order-hold resample maps window w onto
+    * exactly its duplicated samples (every energy doubles — again
+    * order-preserving exactly). Unrelated ids produce effectively
+    * independent envelope hashes (chance hamming ≤ 3 ≈ 2.4e-15/pair).
+    * `editWindow` zeroes window 30's samples instead: a bounded
+    * perturbation touching at most the two envelope deltas adjacent to
+    * that window (hamming ≤ 2, inside any sane near-dup threshold). */
+  object NoisePcm {
+    val Windows = 65
+    val SamplesPerWindow = 8
+    private def mix(a: Long): Long = {
+      var h = a * -7046029254386353131L // splitmix64-style avalanche
+      h ^= (h >>> 32)
+      h
+    }
+    def plantedNoisePcm(id: Long, editWindow: Boolean = false): Array[Byte] = {
+      val n = Windows * SamplesPerWindow
+      val buf = java.nio.ByteBuffer.allocate(n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < n) {
+        val s =
+          if (editWindow && i / SamplesPerWindow == 30) 0
+          else ((mix(id * 1000003L + i * 786433L) % 8192L) * 2L).toInt
+        buf.putShort(s.toShort)
+        i += 1
+      }
+      buf.array()
+    }
+  }
+
+  /** Fixture adapter for the audio perceptual lane (the
+    * [[plantedPcmMedia]] shape over [[NoisePcm]]). */
+  def plantedNoisePcmMedia(ids: DataFrame, idCol: String,
+                           editWindow: Boolean = false): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = Multimodal.NoisePcm.plantedNoisePcm(id, editWindow)
+          Row(id, bytes, Row("audio/pcm", bytes.length.toLong, "planted"))
+        }
+      }(encoder)
+  }
+
+  /** Zero-order-hold resample by an integer factor through the REAL
+    * codec lane: parse the 16-bit LE PCM payload, repeat each sample
+    * `factor` times, re-encode — the audio analog of [[resizeImages]]
+    * (the planted "same recording at a higher sample rate" twin).
+    * Truncated payloads (odd byte length) yield NULL content — kept,
+    * the corrupt-row contract. */
+  def resamplePcm(media: DataFrame, factor: Int,
+                  batchPartitions: Option[Int] = None): DataFrame = {
+    require(factor >= 1 && factor <= 16, s"bad resample factor $factor")
+    val in = batchPartitions.map(media.repartition).getOrElse(media)
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    in.select("media_id", "content", "meta.source")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val srcName = r.getString(2)
+          val bytes = r.getAs[Array[Byte]](1)
+          if (bytes == null || bytes.length % 2 != 0)
+            Row(id, null, Row("audio/pcm", null, srcName))
+          else {
+            val inBuf = java.nio.ByteBuffer.wrap(bytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val out = java.nio.ByteBuffer.allocate(bytes.length * factor)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            while (inBuf.hasRemaining) {
+              val s = inBuf.getShort
+              var k = 0
+              while (k < factor) { out.putShort(s); k += 1 }
+            }
+            val ob = out.array()
+            Row(id, ob, Row("audio/pcm", ob.length.toLong, srcName))
+          }
+        }
+      }(encoder)
+  }
+
+  /** Amplitude scale by 2^-shiftBits — "the same recording re-encoded at
+    * lower volume" — through the codec lane (arithmetic shift per
+    * sample). Same corrupt-row contract as [[resamplePcm]]. */
+  def scalePcmAmplitude(media: DataFrame, shiftBits: Int = 1,
+                        batchPartitions: Option[Int] = None): DataFrame = {
+    require(shiftBits >= 0 && shiftBits <= 14, s"bad shift $shiftBits")
+    val in = batchPartitions.map(media.repartition).getOrElse(media)
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    in.select("media_id", "content", "meta.source")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val srcName = r.getString(2)
+          val bytes = r.getAs[Array[Byte]](1)
+          if (bytes == null || bytes.length % 2 != 0)
+            Row(id, null, Row("audio/pcm", null, srcName))
+          else {
+            val inBuf = java.nio.ByteBuffer.wrap(bytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val out = java.nio.ByteBuffer.allocate(bytes.length)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            while (inBuf.hasRemaining)
+              out.putShort((inBuf.getShort >> shiftBits).toShort)
+            val ob = out.array()
+            Row(id, ob, Row("audio/pcm", ob.length.toLong, srcName))
+          }
+        }
+      }(encoder)
+  }
+
+  /** Envelope hash of one PCM payload — the [[dHash64]] gradient idea in
+    * 1-D: frame the samples into 65 equal windows (floor boundaries, the
+    * resize-composability rule), per-window energy = Σ s² in exact
+    * 64-bit ints, bit w set when window w+1 is louder than window w.
+    * Robust to re-encoding (identical samples ⇒ identical hash), to
+    * integer resampling and to volume changes (window energies scale
+    * TOGETHER, so every greater-than comparison is preserved); unrelated
+    * recordings differ in ~32 of 64 bits. None when the payload is not
+    * whole 16-bit frames or has fewer samples than windows. */
+  private[graft] def audioEnvelopeHash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.length % 2 != 0) return None
+    val n = bytes.length / 2
+    val windows = NoisePcm.Windows
+    if (n < windows) return None
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val energy = new Array[Long](windows)
+    var w = 0
+    while (w < windows) {
+      val loIdx = (w.toLong * n / windows).toInt
+      val hiIdx = ((w + 1).toLong * n / windows).toInt
+      var e = 0L
+      var i = loIdx
+      while (i < hiIdx) {
+        val s = buf.getShort(i * 2).toLong
+        e += s * s
+        i += 1
+      }
+      energy(w) = e
+      w += 1
+    }
+    var bits = 0L
+    w = 0
+    while (w < 64) {
+      if (energy(w + 1) > energy(w)) bits |= 1L << w
+      w += 1
+    }
+    Some(bits)
+  }
+
+  /** Perceptual audio hashes over the opaque binary column — the audio
+    * sibling of [[imageDHashes]]; unframeable payloads yield a NULL hash
+    * (kept, not dropped — the corrupt-row contract). Downstream near-dup
+    * is `TextAnalysis.simhashCandidates(hashes, "media_id", "ahash", k,
+    * b)` — the SAME hash-generic pigeonhole band join as text SimHash
+    * and image dHash (one shuffle on short band keys, per-band caps,
+    * never all-pairs), so audio near-dedup inherits the 100 TB shape
+    * for free. */
+  def audioEnvelopeHashes(media: DataFrame, batchPartitions: Option[Int] = None): DataFrame = {
+    val in = batchPartitions.map(media.repartition).getOrElse(media)
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    in.select("media_id", "content")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Multimodal.audioEnvelopeHash64(r.getAs[Array[Byte]](1)) match {
+            case Some(h) => Row(id, h)
+            case None => Row(id, null)
+          }
+        }
+      }(encoder)
+  }
+
   /** Noise-planted PNG fixture for the PERCEPTUAL near-dup lane: unlike
     * [[PngCodec.plantedPng]]'s smooth gradients (whose dHash degenerates —
     * a monotone image hashes to all-ones, so every gradient collides),
@@ -511,9 +696,13 @@ object Multimodal {
                       maxHamming: Int = 3,
                       batchPartitions: Option[Int] = None): DataFrame = {
     val bands = dhReadParams(spark, dir)
-    require(maxHamming >= 0 && maxHamming < bands,
-      s"maxHamming ($maxHamming) must be in [0, bands) for exact recall " +
-        s"(index is banded $bands-way)")
+    // typed, and checked against the FROZEN band count (the stamp, not
+    // whatever the caller believes) — this is the authoritative probe
+    // validation the CLI defers to (r16 advice)
+    if (maxHamming < 0 || maxHamming >= bands)
+      throw graft.core.GraftError.InvalidConfig(
+        s"maxHamming ($maxHamming) must be in [0, bands) for exact " +
+          s"recall (index is banded $bands-way)")
     val qHashes = imageDHashes(queries, batchPartitions)
       .filter(col("dhash").isNotNull)
       .select(col("media_id").as("__qid"), col("dhash").as("__qhash"))

@@ -347,6 +347,44 @@ object ExtQueries {
     * cost a resident admission service pays). String keys (hashed=false)
     * so the DuckDB oracle computes the identical membership; the
     * hashed=true production switch is spec-gated for equality. */
+  /** Collision-proof cache-dir path for a persisted gate index keyed by
+    * the full fixture identity. The old suffix was 32-bit
+    * `String.hashCode` (r16 advice): two different (dir, stamp) pairs
+    * could alias onto ONE cached index and a probe would silently read
+    * the wrong corpus. The sanitized key keeps the path readable; the
+    * appended 128-bit MD5 of the RAW key makes sanitization collisions
+    * ('a/b' vs 'a_b') impossible in practice. */
+  private[queries] def idxCacheDir(prefix: String, key: String): String = {
+    val safe = key.map(c =>
+      if (c.isLetterOrDigit || c == '.' || c == '-') c else '_')
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/$prefix-$safe-$md5"
+  }
+
+  /** Build-once-commit-by-ONE-rename for the gate's cached indexes (the
+    * e1h discipline, shared): the build lands in a PROCESS-UNIQUE staging
+    * dir (pid + nanotime — two gate JVMs sharing /tmp must never build
+    * into the same staging path, the r16-advice race) and moves into
+    * place atomically. A failed rename is accepted only when a concurrent
+    * process committed the same key (params marker present — its index
+    * is byte-equivalent by construction); anything else errors. */
+  private[queries] def commitCachedIndex(idx: String, paramsFile: String)
+                                        (build: String => Unit): Unit = {
+    if (new java.io.File(idx, paramsFile).exists()) return
+    val staging = idx + ".tmp-" + ProcessHandle.current().pid() +
+      "-" + java.lang.Long.toHexString(System.nanoTime())
+    graft.core.Tables.deleteRecursively(new java.io.File(staging))
+    build(staging)
+    graft.core.Tables.deleteRecursively(new java.io.File(idx))
+    if (!new java.io.File(staging).renameTo(new java.io.File(idx))) {
+      if (new java.io.File(idx, paramsFile).exists())
+        graft.core.Tables.deleteRecursively(new java.io.File(staging))
+      else sys.error(s"commitCachedIndex: rename $staging -> $idx failed")
+    }
+  }
+
   private val gramIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def cachedGramIndex(s: org.apache.spark.sql.SparkSession,
@@ -359,8 +397,7 @@ object ExtQueries {
       // instead of accumulating a fresh createTempDirectory copy per run
       // under /tmp (r15 advice); buildGramIndex's rebuild discipline
       // (stamp dropped first, written last) makes the overwrite safe
-      val d = s"${System.getProperty("java.io.tmpdir")}/graft-gramidx-" +
-        Integer.toHexString(s"$dir@$stamp".hashCode) + "/idx"
+      val d = idxCacheDir("graft-gramidx", s"$dir@$stamp") + "/idx"
       TextAnalysis.buildGramIndex(
         Tables.documents(s, dir).filter(col("doc_id") % 4 =!= 0),
         "doc_id", "text", d, hashedKeys = false)
@@ -797,14 +834,11 @@ object ExtQueries {
       (s, dir) =>
         val docs = Tables.documents(s, dir)
         val stamp = Tables.fixtureStamp(dir, "documents")
-        val idx = s"${System.getProperty("java.io.tmpdir")}/graft-dhidx-" +
-          Integer.toHexString(s"$dir@$stamp".hashCode)
-        if (!new java.io.File(idx, "_GRAFT_DHASH_PARAMS").exists()) {
-          // build + append staged, moved into place by ONE rename (the
-          // e1h discipline: an interruption between the two calls must
-          // not leave a committed-looking index missing [300,400))
-          val staging = idx + ".tmp"
-          graft.core.Tables.deleteRecursively(new java.io.File(staging))
+        val idx = idxCacheDir("graft-dhidx", s"$dir@$stamp")
+        // build + append staged, moved into place by ONE rename (the
+        // e1h discipline: an interruption between the two calls must
+        // not leave a committed-looking index missing [300,400))
+        commitCachedIndex(idx, "_GRAFT_DHASH_PARAMS") { staging =>
           Multimodal.buildDHashIndex(
             Multimodal.plantedNoisePngMedia(
               docs.filter(col("doc_id") < 300), "doc_id"), staging)
@@ -812,9 +846,6 @@ object ExtQueries {
             Multimodal.plantedNoisePngMedia(
               docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
               "doc_id"))
-          graft.core.Tables.deleteRecursively(new java.io.File(idx))
-          if (!new java.io.File(staging).renameTo(new java.io.File(idx)))
-            sys.error(s"e3i: rename $staging -> $idx failed")
         }
         val probe = Multimodal.resizeImages(
           Multimodal.plantedNoisePngMedia(
@@ -823,6 +854,59 @@ object ExtQueries {
           36, 32)
           .withColumn("media_id", col("media_id") + 200000)
         Multimodal.dhashIndexProbe(s, idx, probe, maxHamming = 2)
+    },
+
+    // E3 — AUDIO PERCEPTUAL NEAR-DUP (envelope hash over parsed PCM):
+    // the last missing member of the multimodal dedup family — a
+    // re-encoded/resampled/volume-changed copy of a recording shares
+    // (or nearly shares) a 64-bit sign-of-energy-delta envelope hash
+    // (the dHash idea in 1-D), and the SAME hash-generic pigeonhole
+    // band join as text SimHash / image dHash turns that into candidate
+    // pairs with one shuffle, never all-pairs. Fixture: 150
+    // noise-planted PCM recordings (id), each with a 2× zero-order-hold
+    // RESAMPLED copy (id+100000; window energies double exactly by the
+    // 65·8-sample frame arithmetic → hamming 0), a HALF-VOLUME copy
+    // (id+200000; even samples halve losslessly, energies quarter
+    // exactly → hamming 0), and a window-EDITED copy (id+300000; one
+    // zeroed envelope window → hamming ≤ 2). All three transforms run
+    // through the REAL codec lane (parse bytes → transform → re-encode).
+    // Expected pairs are exactly the six per id — planted recall AND
+    // precision (an unrelated noise pair within hamming 3 has chance
+    // ≈ 2.4e-15; deterministic fixture, so green once is green
+    // forever). Oracle: the planted pair list, stated in SQL.
+    "e3j_audio_neardup" -> Q(
+      """SELECT doc_id AS a_id, doc_id + 100000 AS b_id
+        |FROM documents WHERE doc_id < 150
+        |UNION ALL
+        |SELECT doc_id, doc_id + 200000 FROM documents WHERE doc_id < 150
+        |UNION ALL
+        |SELECT doc_id, doc_id + 300000 FROM documents WHERE doc_id < 150
+        |UNION ALL
+        |SELECT doc_id + 100000, doc_id + 200000
+        |FROM documents WHERE doc_id < 150
+        |UNION ALL
+        |SELECT doc_id + 100000, doc_id + 300000
+        |FROM documents WHERE doc_id < 150
+        |UNION ALL
+        |SELECT doc_id + 200000, doc_id + 300000
+        |FROM documents WHERE doc_id < 150""".stripMargin) { (s, dir) =>
+      val ids = Tables.documents(s, dir).filter(col("doc_id") < 150)
+      val base = Multimodal.plantedNoisePcmMedia(ids, "doc_id")
+      val resampled = Multimodal.resamplePcm(base, 2,
+          batchPartitions = Some(8))
+        .withColumn("media_id", col("media_id") + 100000)
+      val quiet = Multimodal.scalePcmAmplitude(base, 1,
+          batchPartitions = Some(8))
+        .withColumn("media_id", col("media_id") + 200000)
+      val edited = Multimodal.plantedNoisePcmMedia(ids, "doc_id",
+          editWindow = true)
+        .withColumn("media_id", col("media_id") + 300000)
+      val hashes = Multimodal.audioEnvelopeHashes(
+        base.unionByName(resampled).unionByName(quiet).unionByName(edited),
+        batchPartitions = Some(8)).filter(col("ahash").isNotNull)
+      graft.ext.TextAnalysis.simhashCandidates(
+          hashes, "media_id", "ahash", maxHamming = 3, bands = 4)
+        .select(col("a_id"), col("b_id"))
     },
 
     // E3 — frame sampling over the binary payload (every 4th 64-byte
@@ -2538,23 +2622,17 @@ object ExtQueries {
           .select((col("doc_id") + 200000).as("doc_id"),
             regexp_replace(col("text"), " ", "  ").as("text"))
         val stamp = Tables.fixtureStamp(dir, "documents")
-        val idx = s"${System.getProperty("java.io.tmpdir")}/graft-mhidx-" +
-          Integer.toHexString(s"$dir@$stamp".hashCode)
-        if (!new java.io.File(idx, "_GRAFT_MH_PARAMS").exists()) {
-          // build + append land in a staging dir and move into place by
-          // ONE rename: an interruption between the two calls must not
-          // leave a committed-looking index that silently lacks the
-          // appended [300,400) slice on every later (skipping) run
-          val staging = idx + ".tmp"
-          graft.core.Tables.deleteRecursively(new java.io.File(staging))
+        val idx = idxCacheDir("graft-mhidx", s"$dir@$stamp")
+        // build + append land in a staging dir and move into place by
+        // ONE rename: an interruption between the two calls must not
+        // leave a committed-looking index that silently lacks the
+        // appended [300,400) slice on every later (skipping) run
+        commitCachedIndex(idx, "_GRAFT_MH_PARAMS") { staging =>
           Dedup.buildMinhashIndex(docs.filter(col("doc_id") < 300),
             "doc_id", "text", staging)
           Dedup.minhashIndexAppend(s, staging,
             docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
             "doc_id", "text")
-          graft.core.Tables.deleteRecursively(new java.io.File(idx))
-          if (!new java.io.File(staging).renameTo(new java.io.File(idx)))
-            sys.error(s"e1h: rename $staging -> $idx failed")
         }
         Dedup.minhashIndexProbe(s, idx, batch, "doc_id", "text",
           base, "doc_id", threshold = 1.0)

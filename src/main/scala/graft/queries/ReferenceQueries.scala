@@ -1112,6 +1112,65 @@ object ReferenceQueries {
             col("sum_val").cast("double").as("sum_value"))
     },
 
+    // A23 — the a22 composition on the PARTITIONED keyed lane: groups
+    // (user, hour-window) bucketed on the GROUP hash, key state on the
+    // KEY hash — proving the window-start-as-derived-group-column rule
+    // composes with the bucket layout exactly as it does flat (the
+    // rollup core is group-generic; the bucket router hashes whatever
+    // the group tuple is). Same fixture and oracle as a22; only the
+    // lane differs. A re-arriving key crossing an hour boundary
+    // retracts from its old window's bucket and lands in the new one —
+    // two touched buckets, never a mirror rewrite.
+    "a23_agg_maintenance_keyed_windowed_partitioned" -> Q(
+      """WITH src AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id, user_id,
+        |         epoch_us(ts) + (SELECT max(epoch_us(ts)) - min(epoch_us(ts)) + 1
+        |                         FROM events) AS ts_us,
+        |         value * 2 AS value
+        |  FROM events WHERE event_id % 10 = 0),
+        |latest AS (
+        |  SELECT event_id, user_id, ts_us, value FROM (
+        |    SELECT src.*, row_number() OVER (PARTITION BY event_id
+        |                                     ORDER BY ts_us DESC) AS rn
+        |    FROM src) t
+        |  WHERE rn = 1)
+        |SELECT user_id,
+        |       (ts_us // 3600000000) * 3600000000 AS win_start_us,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM latest GROUP BY 1, 2""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        def winOf(ts: Column): Column = ts - pmod(ts, lit(3600000000L))
+        val base = ev.select(col("event_id"), col("user_id"), col("value"),
+            Tables.tsUs(ev).as("ts"))
+          .withColumn("win_start_us", winOf(col("ts")))
+        val b = base.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+          .collect().head
+        val lo = b.getLong(0); val hi = b.getLong(1) + 1
+        val span = hi - lo
+        val updated = base.filter(col("event_id") % 10 === 0)
+          .withColumn("ts", col("ts") + lit(span))
+          .withColumn("win_start_us", winOf(col("ts")))
+          .withColumn("value", col("value") * 2)
+        val src = base.unionByName(updated)
+        val stamp = Tables.fixtureStamp(dir, "events")
+        val out = ivmTmp(s, "aggivmkwp", s"$dir@$stamp")
+        val cut1 = lo + (hi - lo) / 2
+        Seq((lo, cut1), (cut1, hi), (hi, hi + span)).foreach { case (l, h) =>
+          graft.sync.AggMaintenance.applySliceKeyedPartitioned(
+            s, out, src, "ts", Seq("event_id"),
+            Seq("user_id", "win_start_us"), "value", l, h,
+            nBuckets = 16, nKeyBuckets = 32)
+        }
+        graft.sync.AggMaintenance.read(s, out)
+          .select(col("user_id"), col("win_start_us"), col("cnt"),
+            col("sum_val").cast("double").as("sum_value"))
+    },
+
     // A15 — WINDOWED rollup IVM: the v1 core is group-generic, so a
     // (user, tumbling-window-start) grouped rollup maintains slice-by-
     // slice with NO new machinery — group cols = user_id + the hour

@@ -885,6 +885,72 @@ object StreamingReplayQueries {
         docs.filter(col("doc_id") < 500), "doc_id", threshold = 1.0)
     },
 
+    // T20 — STREAMING ADMISSION twin for the persisted dHASH index
+    // (t17/t18's sibling, completing lifecycle parity for ALL THREE
+    // persisted index families: span grams, text MinHash, and now
+    // perceptual image hashes): base noise images [0,300) built once,
+    // [300,500) arriving through foreachBatch dhashIndexAppend in
+    // generation order — each micro-batch decodes ONLY its own images
+    // under the frozen band stamp, the base is never re-hashed — then
+    // one probe of grid-aligned 2× RESIZED copies of ids <50 AND
+    // [300,350) (proving streamed-in generations are searchable) at
+    // maxHamming 2, where the aligned resize is hash-IDENTICAL by the
+    // floor-sampling arithmetic. Gate: the probe result equals the
+    // planted pair list — append-fold ≡ one-shot build, strict row
+    // equality (the e3i expectation through the streaming path).
+    "t20_dhash_admission_replay" -> Q(
+      """SELECT doc_id AS base_id, doc_id + 200000 AS q_id,
+        |       CAST(0 AS INT) AS hamming
+        |FROM documents
+        |WHERE doc_id < 50 OR (doc_id >= 300 AND doc_id < 350)""".stripMargin) {
+      (s, dir) =>
+        implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        import graft.ext.Multimodal
+        val docs = Tables.documents(s, dir).select("doc_id")
+        // fresh MUTABLE index per invocation (the t18 rule): the streamed
+        // appends ARE the behavior under test
+        val idx = scratchDir("t20-dhidx") + "/idx"
+        Multimodal.buildDHashIndex(
+          Multimodal.plantedNoisePngMedia(
+            docs.filter(col("doc_id") < 300), "doc_id"), idx)
+        val arrivals = docs
+          .filter(col("doc_id") >= 300 && col("doc_id") < 500)
+          .collect() // replay harness, fixture-bounded (the t13 note)
+          .map(_.getLong(0)).sorted
+        withShufflePartitions(s, 4) {
+          val mem = MemoryStream[Long]
+          val fold: (org.apache.spark.sql.Dataset[Long], Long) => Unit =
+            (batch, _) => {
+              val ids = batch.toDF("doc_id").persist()
+              try {
+                if (ids.head(1).nonEmpty) {
+                  // the planted bytes are generated executor-side from
+                  // the id — the batch carries ids only, the append
+                  // decodes just this batch's images
+                  Multimodal.dhashIndexAppend(s, idx,
+                    Multimodal.plantedNoisePngMedia(ids, "doc_id"))
+                }
+              } finally { ids.unpersist(); () }
+            }
+          val ckpt = scratchDir("t20-ckpt")
+          val q = mem.toDS().writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(fold).start()
+          try chunked(arrivals).foreach { c =>
+            mem.addData(c); q.processAllAvailable()
+          }
+          finally q.stop()
+        }
+        val probe = Multimodal.resizeImages(
+          Multimodal.plantedNoisePngMedia(
+            docs.filter(col("doc_id") < 50 ||
+              (col("doc_id") >= 300 && col("doc_id") < 350)), "doc_id"),
+          36, 32)
+          .withColumn("media_id", col("media_id") + 200000)
+        Multimodal.dhashIndexProbe(s, idx, probe, maxHamming = 2)
+    },
+
     // T19 — the S13 CDC-tombstone SYNC path as a streaming sink (t-parity
     // for the round's headline feature, the t13 pattern on
     // ParquetMergeSink.merge): a live CDC feed — upserts, payload-free

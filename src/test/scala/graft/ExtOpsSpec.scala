@@ -1881,6 +1881,56 @@ class ExtOpsSpec extends SparkSpec {
     assert(Multimodal.imageDHashes(corrupt).first().isNullAt(1))
   }
 
+  test("audio envelope hash: resample/volume invariant, edits bounded, corrupt NULL") {
+    import spark.implicits._
+    val ids = spark.range(0, 30).select(col("id").as("doc_id"))
+    val base = Multimodal.plantedNoisePcmMedia(ids, "doc_id")
+    def hashes(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Multimodal.audioEnvelopeHashes(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h0 = hashes(base)
+    // 2× zero-order-hold resample (through the REAL codec: parse →
+    // duplicate samples → re-encode) doubles every window energy exactly
+    // by the 65·8-sample frame arithmetic — hash-IDENTICAL
+    assert(hashes(Multimodal.resamplePcm(base, 2)) == h0)
+    // half-volume re-encode: even samples halve losslessly, energies
+    // quarter exactly — hash-IDENTICAL (order AND ties preserved)
+    assert(hashes(Multimodal.scalePcmAmplitude(base, 1)) == h0)
+    // the planted zeroed-window edit moves at most 2 of 64 bits
+    val he = hashes(Multimodal.plantedNoisePcmMedia(ids, "doc_id",
+      editWindow = true))
+    he.foreach { case (id, h) =>
+      assert(java.lang.Long.bitCount(h ^ h0(id)) <= 2,
+        s"id $id: edit moved ${java.lang.Long.bitCount(h ^ h0(id))} bits")
+    }
+    // unrelated noise recordings are FAR apart (the precision side)
+    val vals = h0.toSeq.sortBy(_._1).map(_._2)
+    for (i <- vals.indices; j <- (i + 1) until vals.size)
+      assert(java.lang.Long.bitCount(vals(i) ^ vals(j)) > 3)
+    // closed form: strictly increasing window energies set every bit
+    val mono = java.nio.ByteBuffer.allocate(65 * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 65).foreach(i => mono.putShort((i + 1).toShort))
+    assert(Multimodal.audioEnvelopeHash64(mono.array()).contains(-1L))
+    // truncated (odd bytes) and too-short payloads keep rows, NULL hash
+    val corrupt = Seq(
+      (98L, Array[Byte](1, 2, 3), ("audio/pcm", 3L, "bad")),
+      (99L, Array[Byte](1, 0, 2, 0), ("audio/pcm", 4L, "short")))
+      .toDF("media_id", "content", "m")
+      .select(col("media_id"), col("content"),
+        struct(col("m._1").as("mime"), col("m._2").as("n_bytes"),
+          col("m._3").as("source")).as("meta"))
+    assert(Multimodal.audioEnvelopeHashes(corrupt).collect()
+      .forall(_.isNullAt(1)))
+    // the corrupt-row contract holds through the transforms too (only
+    // the odd-byte payload is unparseable; the short-but-whole one
+    // re-encodes fine and stays NULL only at the hash)
+    val odd = corrupt.filter(col("media_id") === 98L)
+    assert(Multimodal.resamplePcm(odd, 2).collect().forall(_.isNullAt(1)))
+    assert(Multimodal.scalePcmAmplitude(odd, 1).collect()
+      .forall(_.isNullAt(1)))
+  }
+
   test("dHash index lifecycle: frozen params, append searchable, typed refusals") {
     import spark.implicits._
     val ids = spark.range(0, 40).select(col("id").as("doc_id"))
@@ -1900,8 +1950,10 @@ class ExtOpsSpec extends SparkSpec {
     val got = Multimodal.dhashIndexProbe(spark, dir, probe, maxHamming = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == (0L until 40L).map(i => (i, i + 1000, 0)).toSet, s"$got")
-    // maxHamming must stay under the band count for exact recall
-    val e = intercept[IllegalArgumentException](
+    // maxHamming must stay under the FROZEN band count for exact recall
+    // (typed: this is the authoritative check the CLI's probe mode
+    // defers to)
+    val e = intercept[graft.core.GraftError.InvalidConfig](
       Multimodal.dhashIndexProbe(spark, dir, probe, maxHamming = 4))
     assert(e.getMessage.contains("bands"))
     // probing a directory with no committed stamp refuses typed
