@@ -509,13 +509,21 @@ object Multimodal {
       h ^= (h >>> 32)
       (h & 0xffL).toInt
     }
-    def plantedNoisePng(id: Long, editPixel: Boolean): Array[Byte] = {
+    def plantedNoisePng(id: Long, editPixel: Boolean): Array[Byte] =
+      plantedNoisePngSized(id, editPixel, W, H)
+
+    /** Arbitrary-canvas variant for scale arms that need REAL decode
+      * cost (a 128×128 noise PNG decodes in ~ms, the regime the
+      * persisted dHash index exists for; the 18×16 gate fixture decodes
+      * in µs). Same avalanche per-pixel noise, same edit semantics. */
+    def plantedNoisePngSized(id: Long, editPixel: Boolean,
+                             w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
-        W, H, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0
-      while (y < H) {
+      while (y < h) {
         var x = 0
-        while (x < W) {
+        while (x < w) {
           val r = mix(id * 3L + x * 131L + y * 197L)
           val g = mix(id * 7L + x * 241L + y * 313L)
           val b = mix(id * 11L + x * 389L + y * 433L)
@@ -534,15 +542,20 @@ object Multimodal {
   }
 
   /** Fixture adapter for the perceptual near-dup lane (the
-    * [[plantedPngMedia]] shape over [[NoisePng]]). */
+    * [[plantedPngMedia]] shape over [[NoisePng]]); `width`/`height`
+    * default to the µs-decode gate canvas — scale arms pass a real
+    * (ms-decode) size. */
   def plantedNoisePngMedia(ids: DataFrame, idCol: String,
-                           editPixel: Boolean = false): DataFrame = {
+                           editPixel: Boolean = false,
+                           width: Int = NoisePng.W,
+                           height: Int = NoisePng.H): DataFrame = {
     val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
     ids.select(col(idCol).cast("long").as("media_id"))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          val bytes = Multimodal.NoisePng.plantedNoisePng(id, editPixel)
+          val bytes = Multimodal.NoisePng.plantedNoisePngSized(
+            id, editPixel, width, height)
           Row(id, bytes, Row("image/png", bytes.length.toLong, "planted"))
         }
       }(encoder)
