@@ -56,6 +56,7 @@ object SyncPipeline {
 
   val StateTable = "graft_sync_state"
   val ParamsTable = "graft_sync_params"
+  val AppliedTable = "graft_sync_applied"
 
   def run(spark: SparkSession, cfg: SyncConfig, source: SyncEndpoint,
           dest: SyncEndpoint, cut: Option[Long] = None,
@@ -208,15 +209,31 @@ object SyncPipeline {
     // ensureTable — its drift check would otherwise mask the targeted
     // refusal (a blind run's source still carries the marker column,
     // which reads as spurious drift against a tombstoned dest).
-    withConnection(url, props)(conn =>
-      validateTombstoneParams(conn, table, cfg.tombstoneCol))
+    withConnection(url, props) { conn =>
+      validateTombstoneParams(conn, table, cfg.tombstoneCol)
+      // a cold start owns the dest's whole state family: an
+      // applied-watermark row surviving from a dropped-and-recreated
+      // table would silently skip the new incarnation's extraction
+      // (the parquet front's cold sidecar-delete rule)
+      if (cfg.tombstoneCol.isDefined && !tableExists(conn, table))
+        clearAppliedRow(conn, table)
+    }
     JdbcUpsertSink.ensureTable(url, props, table, sourceSchema, cfg.keyCols)
 
     withConnection(url, props) { conn =>
       ensureStateTable(conn)
-      // T1 — dest MAX(wm), healed by a surviving restart marker.
-      val destMax = scalarLong(conn,
-        s"SELECT MAX(${cfg.watermarkCol}) FROM $table")
+      // T1 — dest MAX(wm), healed by a surviving restart marker. Applied
+      // tombstones leave no destination ROW, so for tombstoned dests the
+      // applied-watermark row (written only after a fully-committed
+      // batch) lifts the base past fully-applied delete feeds — the
+      // parquet front's `.__merge_applied_wm` rule on the JDBC front;
+      // the restart marker still wins the min below.
+      val appliedWm =
+        if (cfg.tombstoneCol.isDefined) readApplied(conn, table) else None
+      val destMax: Option[Long] =
+        (scalarLong(conn,
+          s"SELECT MAX(${cfg.watermarkCol}) FROM $table").toSeq ++
+          appliedWm.toSeq).maxOption
       val marker = readMarker(conn, table)
       val start = (destMax, marker) match {
         case (Some(m), Some(p)) => math.min(m, p)
@@ -235,6 +252,11 @@ object SyncPipeline {
           cfg.keyCols, cfg.watermarkCol,
           tombstoneCol = cfg.tombstoneCol)
         clearMarker(conn, table)
+        // only after the marker clears (a surviving marker must keep
+        // winning the min): the batch covered everything ≤ the frozen
+        // cut inclusively, so the cut is the applied bound — including
+        // the deletes that left no row behind
+        if (cfg.tombstoneCol.isDefined) writeApplied(conn, table, cutV)
         // JDBC writes emit no Spark output metrics — report completion once
         onProgress(Progress(applied, applied))
         SyncReport(Some(start), cutV, candidateRows, applied, elapsed())
@@ -265,6 +287,57 @@ object SyncPipeline {
         "table_name VARCHAR(128) NOT NULL PRIMARY KEY, restart_wm BIGINT)")
       finally st.close()
       ()
+    }
+
+  /** Applied high-watermark for tombstoned JDBC destinations (the
+    * parquet front's `.__merge_applied_wm` sidecar as a state row):
+    * monotone, written only after a fully-committed batch, consulted as
+    * max(dest MAX, this). Blind destinations never get a row. */
+  private def ensureAppliedTable(conn: Connection): Unit =
+    if (!tableExists(conn, AppliedTable)) {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"CREATE TABLE $AppliedTable (" +
+        "table_name VARCHAR(128) NOT NULL PRIMARY KEY, applied_wm BIGINT)")
+      finally st.close()
+      ()
+    }
+
+  private def readApplied(conn: Connection, table: String): Option[Long] = {
+    if (!tableExists(conn, AppliedTable)) return None
+    val ps = conn.prepareStatement(
+      s"SELECT applied_wm FROM $AppliedTable WHERE table_name = ?")
+    try {
+      ps.setString(1, table)
+      val rs = ps.executeQuery()
+      try { if (!rs.next()) None else graft.core.Watermark.toMicros(rs.getObject(1)) }
+      finally rs.close()
+    } finally ps.close()
+  }
+
+  private def writeApplied(conn: Connection, table: String, wm: Long): Unit = {
+    ensureAppliedTable(conn)
+    // monotone UPDATE-else-INSERT (never regress the bound; never
+    // DELETE+INSERT — a crash between would erase the restart base)
+    val up = conn.prepareStatement(s"UPDATE $AppliedTable SET applied_wm = ? " +
+      "WHERE table_name = ? AND applied_wm < ?")
+    val updated =
+      try { up.setLong(1, wm); up.setString(2, table); up.setLong(3, wm)
+            up.executeUpdate() }
+      finally up.close()
+    if (updated == 0 && readApplied(conn, table).isEmpty) {
+      val ps = conn.prepareStatement(
+        s"INSERT INTO $AppliedTable (table_name, applied_wm) VALUES (?, ?)")
+      try { ps.setString(1, table); ps.setLong(2, wm); ps.executeUpdate(); () }
+      finally ps.close()
+    }
+  }
+
+  private def clearAppliedRow(conn: Connection, table: String): Unit =
+    if (tableExists(conn, AppliedTable)) {
+      val ps = conn.prepareStatement(
+        s"DELETE FROM $AppliedTable WHERE table_name = ?")
+      try { ps.setString(1, table); ps.executeUpdate(); () }
+      finally ps.close()
     }
 
   private def ensureParamsTable(conn: Connection): Unit =

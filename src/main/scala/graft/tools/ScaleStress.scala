@@ -638,12 +638,20 @@ object ScaleStress {
           Seq("rows_written" -> rt2.rowsWritten.toString,
             "days_touched" -> "3"))
         // idle re-poll: the re-extracted deletes find their keys gone —
-        // the key-level novelty probe must detect no work (no rewrite)
+        // the key-level novelty probe must detect no work (no rewrite) —
+        // AND the applied-watermark sidecar (r17) must have advanced the
+        // restart point past the fully-applied feed, so the re-poll
+        // extracts only the inclusive tie sliver, never the whole
+        // accumulated delete history (the r16-advice cost, closed)
         val (rt3, tIdleT) = timed(
           new SyncJob(spark, cfgT).run(srcT(), destT, max3))
         require(rt3.rowsWritten == 0L,
           s"tomb idle poll x$rep rewrote the dest: $rt3")
-        jline("sync_tomb_idle_poll", rep, tIdleT, rt3.rowsWritten)
+        require(rt3.candidateRows < nDel,
+          s"tomb idle poll x$rep re-extracted the applied delete feed: " +
+            s"${rt3.candidateRows} rows vs $nDel deletes")
+        jline("sync_tomb_idle_poll", rep, tIdleT, rt3.rowsWritten,
+          Seq("candidate_rows" -> rt3.candidateRows.toString))
       }
 
       // the STREAMING incremental-balance pipeline at scale: the full

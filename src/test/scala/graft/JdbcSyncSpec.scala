@@ -204,9 +204,18 @@ trait JdbcSyncBehaviors { this: SparkSpec =>
       (9L, 650L, null, null, true)))
     SyncPipeline.run(spark, cfgT, src, dst)
     assert(readTable(url, "TOMBDST") == Map(2L -> ((200L, 2.0, "B"))))
-    // idempotent: the re-extracted delete finds its key already gone
-    SyncPipeline.run(spark, cfgT, src, dst)
+    // idempotent: the re-extracted delete finds its key already gone —
+    // and the applied-watermark row (graft_sync_applied) has advanced
+    // the restart point past the fully-applied delete feed: dest MAX is
+    // 200 but the feed ends at 650, so only the inclusive tie row
+    // travels instead of the whole accumulated feed (r16 advice, the
+    // parquet sidecar rule on the JDBC front)
+    val r3 = SyncPipeline.run(spark, cfgT, src, dst)
     assert(readTable(url, "TOMBDST") == Map(2L -> ((200L, 2.0, "B"))))
+    assert(r3.startingPoint.contains(650L),
+      s"restart point did not clear the applied delete feed: $r3")
+    assert(r3.candidateRows == 1L,
+      s"re-poll re-extracted the applied delete feed: $r3")
     // delete-then-reinsert round-trips
     writeSrc(Seq(
       (1L, 100L, 1.0, "A", false),
@@ -215,6 +224,15 @@ trait JdbcSyncBehaviors { this: SparkSpec =>
       (9L, 650L, null, null, true),
       (1L, 800L, 11.0, "A2", false)))
     SyncPipeline.run(spark, cfgT, src, dst)
+    assert(readTable(url, "TOMBDST") ==
+      Map(1L -> ((800L, 11.0, "A2")), 2L -> ((200L, 2.0, "B"))))
+    // a dropped-and-recreated dest must NOT inherit the stale applied
+    // bound: the cold start owns the state family and re-extracts from
+    // the source MIN
+    exec(url, "DROP TABLE TOMBDST")
+    val rCold = SyncPipeline.run(spark, cfgT, src, dst)
+    assert(rCold.startingPoint.contains(100L),
+      s"stale applied watermark survived the cold start: $rCold")
     assert(readTable(url, "TOMBDST") ==
       Map(1L -> ((800L, 11.0, "A2")), 2L -> ((200L, 2.0, "B"))))
     // the setting is FROZEN: a tombstone-blind re-run against the same
