@@ -128,8 +128,8 @@ object Main {
         "dedup-lines", "dedup-spans", "diff", "reconcile",
         "bpe-train", "tokenize", "pipeline", "agg",
         "agg-read", "rebucket", "span-index",
-        "dhash-index").contains(argv(0)))
-      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--tombstone COL, CDC deletes] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span|jaccard|containment] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--jaccard 0.8] [--threshold 0.99 for containment] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft reconcile --source (PATH|jdbc:...#table) --dest PATH --key K[,K2] [--report PATH] [--apply] | graft bpe-train --source PATH --dest PATH --merges N [--id-col doc_id] [--text-col text] | graft tokenize --source PATH --base MERGES_PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text] | graft pipeline --source PATH --benchmark PATH --dest WORKDIR --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--min-span 24] [--min-docs 2] [--min-tokens N] [--max-tokens N] [--max-contamination 0.0] [--shards 16] [--capacity 2048] [--id-col doc_id] [--text-col text] | graft agg --source (PATH|jdbc:...#table) --dest PATH --by GROUPCOL[,G2] --watermark W [--key K[,K2] last-writer-wins keyed lane] [--tombstone COL, keyed CDC deletes] [--value-col value | --value-col V1,V2 | --moments | --distinct C[,C2]] [--cut N] [--partitioned] [--buckets 64] [--kbuckets 4x-buckets, keyed state store] | graft agg-read --source ROLLUP_DIR --dest OUT_PARQUET [--mode plain|derived|distinct|minmax] [--by G[,G2] outer groups, composition modes only] [--value-col V, minmax only] | graft rebucket --dest PATH --buckets N [--kbuckets M, keyed layouts only] | graft span-index --mode build|append|probe --source PATH --dest (INDEX_DIR for build/append, OUT_PARQUET for probe) [--base INDEX_DIR, probe only] [--ngram 16] [--buckets 64] [--id-col doc_id] [--text-col text] | graft dhash-index --mode build|append|probe --source MEDIA_PARQUET --dest (INDEX_DIR for build/append, OUT_PARQUET for probe) [--base INDEX_DIR, probe only] [--bands 4] [--max-hamming 3, probe only] [--id-col media_id] [--content-col content]. Note: agg and reconcile commit their watermark/state sidecars via atomic rename; object stores with no AbstractFileSystem binding (e.g. s3a) use a staged two-phase commit (.new twin written before the old sidecar is touched) so readers see a committed value at every crash point")
+        "dhash-index", "ahash-index").contains(argv(0)))
+      throw GraftError.InvalidConfig("usage: graft (single|continuous) --source (PATH|jdbc:...#table) --dest (PATH|jdbc:...#table) [--key K[,K2]] --watermark W [--cut N] [--delay SEC] [--iterations N] [--partition-by COL] [--tombstone COL, CDC deletes] [--progress] [--source-user U] [--source-password P] [--dest-user U] [--dest-password P] | graft compact --dest PATH [--target-bytes N] [--partition-by COL] | graft curate --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--min-tokens N] [--max-tokens N] | graft neardup --source PATH --dest PATH [--mode minhash|simhash|exact|containment|containment-sampled] [--id-col doc_id] [--text-col text] [--jaccard 0.8] [--threshold 0.99 for containment modes] | graft semantic-dedup --source PATH --dest PATH [--id-col vec_id] [--vector-col embedding] [--threshold 0.99] | graft quality --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--min-tokens N] [--max-tokens N] | graft admit --source PATH --base PATH --dest PATH [--bloom PATH] [--expected-items N] [--fpp 0.01] [--id-col doc_id] [--text-col text] | graft decontaminate --source PATH --benchmark PATH --dest PATH [--mode shingle|span|jaccard|containment] [--report PATH] [--ngram 3|16] [--max-contamination 0.0] [--jaccard 0.8] [--threshold 0.99 for containment] [--id-col doc_id] [--text-col text] | graft dedup-lines --source PATH --dest PATH [--min-docs 2] [--report PATH] [--id-col doc_id] [--text-col text] | graft dedup-spans --source PATH --dest PATH [--min-span 0] [--ngram 16] [--report PATH] [--id-col doc_id] [--text-col text] | graft diff --source PATH --base PATH --dest PATH [--id-col doc_id] [--text-col text] | graft reconcile --source (PATH|jdbc:...#table) --dest PATH --key K[,K2] [--report PATH] [--apply] | graft bpe-train --source PATH --dest PATH --merges N [--id-col doc_id] [--text-col text] | graft tokenize --source PATH --base MERGES_PATH --dest PATH [--id-col doc_id] [--text-col text] | graft spans --source PATH --dest PATH [--id-col doc_id] [--text-col text] [--ngram 16] | graft layout --source PATH --dest PATH --by COL[,COL2 for z-order] --key TIEBREAK[,K2] [--buckets 16] | graft mix --source PATH --dest PATH --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--id-col doc_id] [--text-col text] | graft pipeline --source PATH --benchmark PATH --dest WORKDIR --by STRATACOL (--quota-tokens N | --alpha A --target-tokens N) [--min-span 24] [--min-docs 2] [--min-tokens N] [--max-tokens N] [--max-contamination 0.0] [--shards 16] [--capacity 2048] [--id-col doc_id] [--text-col text] | graft agg --source (PATH|jdbc:...#table) --dest PATH --by GROUPCOL[,G2] --watermark W [--key K[,K2] last-writer-wins keyed lane] [--tombstone COL, keyed CDC deletes] [--value-col value | --value-col V1,V2 | --moments | --distinct C[,C2]] [--cut N] [--partitioned] [--buckets 64] [--kbuckets 4x-buckets, keyed state store] | graft agg-read --source ROLLUP_DIR --dest OUT_PARQUET [--mode plain|derived|distinct|minmax] [--by G[,G2] outer groups, composition modes only] [--value-col V, minmax only] | graft rebucket --dest PATH --buckets N [--kbuckets M, keyed layouts only] | graft span-index --mode build|append|probe --source PATH --dest (INDEX_DIR for build/append, OUT_PARQUET for probe) [--base INDEX_DIR, probe only] [--ngram 16] [--buckets 64] [--id-col doc_id] [--text-col text] | graft dhash-index --mode build|append|probe --source MEDIA_PARQUET --dest (INDEX_DIR for build/append, OUT_PARQUET for probe) [--base INDEX_DIR, probe only] [--bands 4] [--max-hamming 3, probe only] [--id-col media_id] [--content-col content] | graft ahash-index --mode build|append|probe --source MEDIA_PARQUET --dest (INDEX_DIR for build/append, OUT_PARQUET for probe) [--base INDEX_DIR, probe only] [--bands 4] [--max-hamming 3, probe only] [--id-col media_id] [--content-col content]. Note: agg and reconcile commit their watermark/state sidecars via atomic rename; object stores with no AbstractFileSystem binding (e.g. s3a) use a staged two-phase commit (.new twin written before the old sidecar is touched) so readers see a committed value at every crash point")
     val opts = scala.collection.mutable.Map.empty[String, String]
     var i = 1
     while (i < argv.length) {
@@ -184,7 +184,9 @@ object Main {
       opts.get("target-bytes").map(num("target-bytes", _, min = 1)),
       opts.getOrElse("id-col",
         if (argv(0) == "semantic-dedup") "vec_id"
-        else if (argv(0) == "dhash-index") "media_id" else "doc_id"),
+        else if (argv(0) == "dhash-index" || argv(0) == "ahash-index")
+          "media_id"
+        else "doc_id"),
       opts.getOrElse("text-col", "text"),
       {
         val j = opts.getOrElse("jaccard", "0.8")
@@ -204,7 +206,8 @@ object Main {
             ("shingle", Set("shingle", "span", "jaccard", "containment"))
           else if (argv(0) == "agg-read")
             ("plain", Set("plain", "derived", "distinct", "minmax"))
-          else if (argv(0) == "span-index" || argv(0) == "dhash-index")
+          else if (argv(0) == "span-index" || argv(0) == "dhash-index" ||
+                   argv(0) == "ahash-index")
             ("build", Set("build", "append", "probe"))
           else ("minhash", Set("minhash", "simhash", "exact",
             "containment", "containment-sampled"))
@@ -349,7 +352,8 @@ object Main {
           case "agg-read"       => runAggRead(spark, a)
           case "rebucket"       => runRebucket(spark, a)
           case "span-index"     => runSpanIndex(spark, a)
-          case "dhash-index"    => runDhashIndex(spark, a)
+          case "dhash-index"    => runHashIndex(spark, a, audio = false)
+          case "ahash-index"    => runHashIndex(spark, a, audio = true)
           case _                => runSync(spark, a)
         }
         0
@@ -857,24 +861,30 @@ object Main {
     }
   }
 
-  /** Persisted perceptual-hash index for IMAGE near-dup
-    * (ext/Multimodal.buildDHashIndex/dhashIndexAppend/dhashIndexProbe) —
-    * the media sibling of `span-index`: build the base corpus's dHash
-    * band index once, fold new batches in under the frozen band stamp,
-    * probe a batch for hamming-bounded matches (re-encoded / resized
-    * copies) without ever re-decoding the base. Source is a media
-    * parquet (opaque binary payloads); decode failures are excluded from
-    * the index and the probe (a NULL hash matches nothing). */
-  private[cli] def runDhashIndex(spark: org.apache.spark.sql.SparkSession,
-                                 a: Args): Unit = {
+  /** Persisted perceptual-hash indexes for media near-dup — the media
+    * siblings of `span-index`, ONE runner for both modalities (they
+    * share `ext.BandedHashIndex`): `dhash-index` (image dHash over
+    * decoded pixels) and `ahash-index` (audio envelope hash over parsed
+    * PCM). Build the base corpus's band index once, fold new batches in
+    * under the frozen band stamp, probe a batch for hamming-bounded
+    * matches (re-encoded / resized / resampled / volume-changed copies)
+    * without ever re-decoding the base. Source is a media parquet
+    * (opaque binary payloads); decode/parse failures are excluded from
+    * the index and the probe (a NULL hash matches nothing). The two
+    * stamp names are distinct, so probing an image index with the audio
+    * verb (or vice versa) refuses typed instead of silently missing
+    * everything. */
+  private[cli] def runHashIndex(spark: org.apache.spark.sql.SparkSession,
+                                a: Args, audio: Boolean): Unit = {
+    val verb = if (audio) "ahash-index" else "dhash-index"
     if (a.source.startsWith("jdbc:") || a.dest.startsWith("jdbc:"))
-      throw GraftError.InvalidConfig("dhash-index applies to parquet paths")
+      throw GraftError.InvalidConfig(s"$verb applies to parquet paths")
     if (64 % a.bands != 0)
       throw GraftError.InvalidConfig(
         s"--bands must divide 64, got ${a.bands}")
     // build/append validate against the CLI's --bands; in PROBE mode the
     // band count is whatever the index stamp froze, so the authoritative
-    // maxHamming < bands check lives in dhashIndexProbe — a CLI-side
+    // maxHamming < bands check lives in the probe — a CLI-side
     // cross-check against the (defaulted) --bands would refuse a
     // perfectly pigeonhole-exact probe of an 8-band index at
     // --max-hamming 5 unless the user passed a cosmetic --bands 8
@@ -887,23 +897,29 @@ object Main {
       .select(org.apache.spark.sql.functions.col(a.idCol).cast("long")
           .as("media_id"),
         org.apache.spark.sql.functions.col(a.contentCol).as("content"))
+    import graft.ext.Multimodal
     a.mode match {
       case "build" =>
-        graft.ext.Multimodal.buildDHashIndex(media, a.dest, bands = a.bands)
-        println(s"dhash-index build ${a.source}: bands=${a.bands} -> ${a.dest}")
+        if (audio) Multimodal.buildAudioHashIndex(media, a.dest, bands = a.bands)
+        else Multimodal.buildDHashIndex(media, a.dest, bands = a.bands)
+        println(s"$verb build ${a.source}: bands=${a.bands} -> ${a.dest}")
       case "append" =>
-        graft.ext.Multimodal.dhashIndexAppend(spark, a.dest, media)
-        println(s"dhash-index append ${a.source} -> ${a.dest}")
+        if (audio) Multimodal.audioIndexAppend(spark, a.dest, media)
+        else Multimodal.dhashIndexAppend(spark, a.dest, media)
+        println(s"$verb append ${a.source} -> ${a.dest}")
       case "probe" =>
         if (a.base.isEmpty)
           throw GraftError.InvalidConfig(
-            "dhash-index --mode probe needs --base INDEX_DIR (the " +
+            s"$verb --mode probe needs --base INDEX_DIR (the " +
               "committed index; --dest is the pairs output)")
-        val out = graft.ext.Multimodal.dhashIndexProbe(spark, a.base, media,
-          maxHamming = a.maxHamming)
+        val out =
+          if (audio) Multimodal.audioIndexProbe(spark, a.base, media,
+            maxHamming = a.maxHamming)
+          else Multimodal.dhashIndexProbe(spark, a.base, media,
+            maxHamming = a.maxHamming)
         out.write.mode("overwrite").parquet(a.dest)
         val n = spark.read.parquet(a.dest).count()
-        println(s"dhash-index probe ${a.source} vs ${a.base}: " +
+        println(s"$verb probe ${a.source} vs ${a.base}: " +
           s"$n pairs (hamming <= ${a.maxHamming}) -> ${a.dest}")
     }
   }

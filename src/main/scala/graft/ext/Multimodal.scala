@@ -620,38 +620,7 @@ object Multimodal {
       }(encoder)
   }
 
-  // ------------------------------------------------ persisted dHash index
-
-  /** Params stamp for the persisted dHash index — the MinHash/gram-index
-    * commit convention: written LAST (its presence is the commit marker,
-    * so a crashed build reads as absent), parsed and FROZEN by appends
-    * and probes (a probe under a different band decomposition would
-    * silently miss qualifying pairs). */
-  private val DhParamsFile = "_GRAFT_DHASH_PARAMS"
-  private def dhParamsString(bands: Int) = s"v1 bands=$bands"
-  private def dhReadParams(spark: SparkSession, dir: String): Int = {
-    val s = graft.ops.RangeLayout.readSidecar(spark, dir, DhParamsFile)
-      .getOrElse(throw graft.core.GraftError.InvalidConfig(
-        s"no committed dHash index at $dir (missing $DhParamsFile)"))
-    try s.split(' ')(1).split('=')(1).toInt
-    catch {
-      case scala.util.control.NonFatal(_) =>
-        throw graft.core.GraftError.InvalidConfig(
-          s"unparseable $DhParamsFile at $dir: '$s' — not a committed " +
-            "dHash index (delete the directory and rebuild)")
-    }
-  }
-
-  private def dhBandRows(hashes: DataFrame, bands: Int): DataFrame = {
-    val bits = 64 / bands
-    val mask = if (bits == 64) -1L else (1L << bits) - 1
-    hashes.withColumn("band", explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band_id"),
-          shiftright(col("dhash"), b * bits).bitwiseAND(mask).as("band_val"))
-      }: _*)))
-      .select(col("__id"), col("band.band_id").as("band_id"),
-        col("band.band_val").as("band_val"))
-  }
+  // --------------------------------- persisted banded perceptual indexes
 
   /** Build the persisted perceptual-hash index at `dir`: `hashes/`
     * (__id, dhash) and `bands/` (__id, band_id, band_val) parquet, stamp
@@ -661,24 +630,10 @@ object Multimodal {
     * match nothing) — count them upstream via [[imageDHashes]] if the
     * corrupt rate matters. */
   def buildDHashIndex(media: DataFrame, dir: String, bands: Int = 4,
-                      batchPartitions: Option[Int] = None): Unit = {
-    require(64 % bands == 0 && bands >= 2,
-      s"bands ($bands) must divide 64 and be >= 2")
-    val spark = media.sparkSession
-    // rebuild discipline: stamp dropped FIRST (through SidecarIO.delete —
-    // the staged-twin rule), written last
-    val stampPath = new org.apache.hadoop.fs.Path(dir, DhParamsFile)
-    val fs = stampPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.core.SidecarIO.delete(fs, stampPath)
-    val hashes = imageDHashes(media, batchPartitions)
-      .filter(col("dhash").isNotNull)
-      .select(col("media_id").as("__id"), col("dhash"))
-      .localCheckpoint()
-    hashes.write.mode("overwrite").parquet(s"$dir/hashes")
-    dhBandRows(hashes, bands).write.mode("overwrite").parquet(s"$dir/bands")
-    graft.ops.RangeLayout.writeSidecar(spark, dir, DhParamsFile,
-      dhParamsString(bands))
-  }
+                      batchPartitions: Option[Int] = None): Unit =
+    BandedHashIndex.build(
+      idHashes(imageDHashes(media, batchPartitions), "dhash"), dir, bands,
+      BandedHashIndex.DhParamsFile)
 
   /** Append a batch under the FROZEN band decomposition. Crash contract
     * (the MinHash append rule): bands append before hashes; a crash
@@ -686,15 +641,10 @@ object Multimodal {
     * probe's hash join — "batch not yet searchable", never wrong pairs;
     * the retry's duplicates dedupe in the probe's distinct step. */
   def dhashIndexAppend(spark: SparkSession, dir: String, newMedia: DataFrame,
-                       batchPartitions: Option[Int] = None): Unit = {
-    val bands = dhReadParams(spark, dir)
-    val hashes = imageDHashes(newMedia, batchPartitions)
-      .filter(col("dhash").isNotNull)
-      .select(col("media_id").as("__id"), col("dhash"))
-      .localCheckpoint()
-    dhBandRows(hashes, bands).write.mode("append").parquet(s"$dir/bands")
-    hashes.write.mode("append").parquet(s"$dir/hashes")
-  }
+                       batchPartitions: Option[Int] = None): Unit =
+    BandedHashIndex.append(spark, dir,
+      idHashes(imageDHashes(newMedia, batchPartitions), "dhash"),
+      BandedHashIndex.DhParamsFile)
 
   /** Probe a batch of images against the index: batch hashes/bands
     * computed under the frozen decomposition, batch band rows BROADCAST
@@ -707,38 +657,44 @@ object Multimodal {
     * ever running one. Returns (base_id, q_id, hamming). */
   def dhashIndexProbe(spark: SparkSession, dir: String, queries: DataFrame,
                       maxHamming: Int = 3,
-                      batchPartitions: Option[Int] = None): DataFrame = {
-    val bands = dhReadParams(spark, dir)
-    // typed, and checked against the FROZEN band count (the stamp, not
-    // whatever the caller believes) — this is the authoritative probe
-    // validation the CLI defers to (r16 advice)
-    if (maxHamming < 0 || maxHamming >= bands)
-      throw graft.core.GraftError.InvalidConfig(
-        s"maxHamming ($maxHamming) must be in [0, bands) for exact " +
-          s"recall (index is banded $bands-way)")
-    val qHashes = imageDHashes(queries, batchPartitions)
-      .filter(col("dhash").isNotNull)
-      .select(col("media_id").as("__qid"), col("dhash").as("__qhash"))
-      .localCheckpoint()
-    val qBands = dhBandRows(
-      qHashes.select(col("__qid").as("__id"), col("__qhash").as("dhash")),
-      bands).select(col("__id").as("__qid"), col("band_id"), col("band_val"))
-    val baseBands = spark.read.parquet(s"$dir/bands")
-    val cand = baseBands
-      .join(broadcast(qBands), Seq("band_id", "band_val"))
-      .select(col("__id"), col("__qid")).distinct()
-    val baseHashes = spark.read.parquet(s"$dir/hashes")
-      // a retried append can leave duplicate hash rows — harmless for
-      // membership, deduped here so a pair never fans out
-      .groupBy(col("__id")).agg(first(col("dhash")).as("dhash"))
-    cand.join(baseHashes, "__id")
-      .join(broadcast(qHashes), "__qid")
-      .withColumn("hamming",
-        bit_count(col("dhash").bitwiseXOR(col("__qhash"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("__id").as("base_id"), col("__qid").as("q_id"),
-        col("hamming"))
-  }
+                      batchPartitions: Option[Int] = None): DataFrame =
+    BandedHashIndex.probe(spark, dir,
+      idHashes(imageDHashes(queries, batchPartitions), "dhash"), maxHamming,
+      BandedHashIndex.DhParamsFile)
+
+  /** The AUDIO persisted index — [[audioEnvelopeHash64]] hashes through
+    * the SAME banded core as the image index (one artifact format, two
+    * stamp names so the modalities can never be mixed by accident):
+    * build once, fold ingest batches in under the frozen decomposition,
+    * probe a batch for hamming-bounded matches (resampled / re-encoded
+    * / volume-changed copies) without ever re-parsing the base corpus's
+    * PCM. Unframeable payloads are EXCLUDED (a NULL hash matches
+    * nothing). */
+  def buildAudioHashIndex(media: DataFrame, dir: String, bands: Int = 4,
+                          batchPartitions: Option[Int] = None): Unit =
+    BandedHashIndex.build(
+      idHashes(audioEnvelopeHashes(media, batchPartitions), "ahash"), dir,
+      bands, BandedHashIndex.AhParamsFile)
+
+  /** [[dhashIndexAppend]]'s audio twin (same crash contract). */
+  def audioIndexAppend(spark: SparkSession, dir: String, newMedia: DataFrame,
+                       batchPartitions: Option[Int] = None): Unit =
+    BandedHashIndex.append(spark, dir,
+      idHashes(audioEnvelopeHashes(newMedia, batchPartitions), "ahash"),
+      BandedHashIndex.AhParamsFile)
+
+  /** [[dhashIndexProbe]]'s audio twin (same pigeonhole-exact shape).
+    * Returns (base_id, q_id, hamming). */
+  def audioIndexProbe(spark: SparkSession, dir: String, queries: DataFrame,
+                      maxHamming: Int = 3,
+                      batchPartitions: Option[Int] = None): DataFrame =
+    BandedHashIndex.probe(spark, dir,
+      idHashes(audioEnvelopeHashes(queries, batchPartitions), "ahash"),
+      maxHamming, BandedHashIndex.AhParamsFile)
+
+  private def idHashes(hashed: DataFrame, hashCol: String): DataFrame =
+    hashed.filter(col(hashCol).isNotNull)
+      .select(col("media_id").as("__id"), col(hashCol).as("__hash"))
 
   /** The E3 decode lane with a REAL codec: `javax.imageio` PNG decode in
     * partition batches over the opaque binary column. Emits the decoded
@@ -779,5 +735,126 @@ object Multimodal {
           }
         }
       }(encoder)
+  }
+}
+
+/** Hash-GENERIC persisted banded index over 64-bit perceptual hashes —
+  * ONE core for every modality (image dHash, audio envelope hash; any
+  * future 64-bit locality hash plugs in by providing `(__id, __hash)`
+  * rows). Layout at `dir`: `hashes/` (__id, __hash) + `bands/` (__id,
+  * band_id, band_val) parquet; the params stamp is written LAST (its
+  * presence is the commit marker, so a crashed build reads as absent)
+  * and is parsed and FROZEN by appends and probes — a probe under a
+  * different band decomposition would silently miss qualifying pairs.
+  * Distinct stamp FILE names per modality mean an audio probe can never
+  * silently read an image index or vice versa (the cross-lane refusal
+  * discipline of the IVM stamps). The probe is the 100 TB shape shared
+  * with the MinHash index: batch band rows BROADCAST onto the streamed
+  * base band table (the base never shuffles or re-decodes), distinct
+  * candidates, exact hamming verify against the stored base hashes —
+  * pigeonhole-exact for maxHamming < bands. */
+private[graft] object BandedHashIndex {
+
+  val DhParamsFile = "_GRAFT_DHASH_PARAMS"
+  val AhParamsFile = "_GRAFT_AHASH_PARAMS"
+
+  private def paramsString(bands: Int) = s"v2 bands=$bands"
+
+  private[graft] def readBands(spark: SparkSession, dir: String,
+                               paramsFile: String): Int = {
+    val s = graft.ops.RangeLayout.readSidecar(spark, dir, paramsFile)
+      .getOrElse(throw graft.core.GraftError.InvalidConfig(
+        s"no committed index at $dir (missing $paramsFile)"))
+    if (s.startsWith("v1 "))
+      throw graft.core.GraftError.InvalidConfig(
+        s"index at $dir predates the v2 layout (stamp '$s') — delete the " +
+          "directory and rebuild")
+    if (!s.startsWith("v2 "))
+      throw graft.core.GraftError.InvalidConfig(
+        s"unparseable $paramsFile at $dir: '$s' — not a committed " +
+          "index (delete the directory and rebuild)")
+    try s.split(' ')(1).split('=')(1).toInt
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        throw graft.core.GraftError.InvalidConfig(
+          s"unparseable $paramsFile at $dir: '$s' — not a committed " +
+            "index (delete the directory and rebuild)")
+    }
+  }
+
+  private def bandRows(hashes: DataFrame, bands: Int): DataFrame = {
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    hashes.withColumn("band", explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col("__hash"), b * bits).bitwiseAND(mask).as("band_val"))
+      }: _*)))
+      .select(col("__id"), col("band.band_id").as("band_id"),
+        col("band.band_val").as("band_val"))
+  }
+
+  /** Build at `dir` from NULL-free `(__id, __hash)` rows; stamp last. */
+  def build(hashes0: DataFrame, dir: String, bands: Int,
+            paramsFile: String): Unit = {
+    require(64 % bands == 0 && bands >= 2,
+      s"bands ($bands) must divide 64 and be >= 2")
+    val spark = hashes0.sparkSession
+    // rebuild discipline: stamp dropped FIRST (through SidecarIO.delete —
+    // the staged-twin rule), written last
+    val stampPath = new org.apache.hadoop.fs.Path(dir, paramsFile)
+    val fs = stampPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.core.SidecarIO.delete(fs, stampPath)
+    val hashes = hashes0.localCheckpoint()
+    hashes.write.mode("overwrite").parquet(s"$dir/hashes")
+    bandRows(hashes, bands).write.mode("overwrite").parquet(s"$dir/bands")
+    graft.ops.RangeLayout.writeSidecar(spark, dir, paramsFile,
+      paramsString(bands))
+  }
+
+  /** Append under the FROZEN decomposition. Crash contract (the MinHash
+    * append rule): bands append before hashes; a crash between the
+    * writes leaves band rows whose candidates drop at the probe's hash
+    * join — "batch not yet searchable", never wrong pairs; the retry's
+    * duplicates dedupe in the probe's distinct step. */
+  def append(spark: SparkSession, dir: String, hashes0: DataFrame,
+             paramsFile: String): Unit = {
+    val bands = readBands(spark, dir, paramsFile)
+    val hashes = hashes0.localCheckpoint()
+    bandRows(hashes, bands).write.mode("append").parquet(s"$dir/bands")
+    hashes.write.mode("append").parquet(s"$dir/hashes")
+  }
+
+  /** Probe with `(__id, __hash)` query rows → (base_id, q_id, hamming). */
+  def probe(spark: SparkSession, dir: String, qHashes0: DataFrame,
+            maxHamming: Int, paramsFile: String): DataFrame = {
+    val bands = readBands(spark, dir, paramsFile)
+    // typed, and checked against the FROZEN band count (the stamp, not
+    // whatever the caller believes) — this is the authoritative probe
+    // validation the CLI defers to (r16 advice)
+    if (maxHamming < 0 || maxHamming >= bands)
+      throw graft.core.GraftError.InvalidConfig(
+        s"maxHamming ($maxHamming) must be in [0, bands) for exact " +
+          s"recall (index is banded $bands-way)")
+    val qHashes = qHashes0
+      .select(col("__id").as("__qid"), col("__hash").as("__qhash"))
+      .localCheckpoint()
+    val qBands = bandRows(
+      qHashes.select(col("__qid").as("__id"), col("__qhash").as("__hash")),
+      bands).select(col("__id").as("__qid"), col("band_id"), col("band_val"))
+    val baseBands = spark.read.parquet(s"$dir/bands")
+    val cand = baseBands
+      .join(broadcast(qBands), Seq("band_id", "band_val"))
+      .select(col("__id"), col("__qid")).distinct()
+    val baseHashes = spark.read.parquet(s"$dir/hashes")
+      // a retried append can leave duplicate hash rows — harmless for
+      // membership, deduped here so a pair never fans out
+      .groupBy(col("__id")).agg(first(col("__hash")).as("__hash"))
+    cand.join(baseHashes, "__id")
+      .join(broadcast(qHashes), "__qid")
+      .withColumn("hamming",
+        bit_count(col("__hash").bitwiseXOR(col("__qhash"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("__id").as("base_id"), col("__qid").as("q_id"),
+        col("hamming"))
   }
 }

@@ -370,9 +370,10 @@ object ExtQueries {
     * place atomically. A failed rename is accepted only when a concurrent
     * process committed the same key (params marker present — its index
     * is byte-equivalent by construction); anything else errors. */
-  private[queries] def commitCachedIndex(idx: String, paramsFile: String)
+  private[queries] def commitCachedIndex(idx: String, paramsFile: String,
+                                         stillValid: String => Boolean = _ => true)
                                         (build: String => Unit): Unit = {
-    if (new java.io.File(idx, paramsFile).exists()) return
+    if (new java.io.File(idx, paramsFile).exists() && stillValid(idx)) return
     val staging = idx + ".tmp-" + ProcessHandle.current().pid() +
       "-" + java.lang.Long.toHexString(System.nanoTime())
     graft.core.Tables.deleteRecursively(new java.io.File(staging))
@@ -837,8 +838,12 @@ object ExtQueries {
         val idx = idxCacheDir("graft-dhidx", s"$dir@$stamp")
         // build + append staged, moved into place by ONE rename (the
         // e1h discipline: an interruption between the two calls must
-        // not leave a committed-looking index missing [300,400))
-        commitCachedIndex(idx, "_GRAFT_DHASH_PARAMS") { staging =>
+        // not leave a committed-looking index missing [300,400)); a
+        // cached index whose stamp the current code refuses (e.g. a
+        // pre-v2 layout) is REBUILT, not served as a refusal
+        commitCachedIndex(idx, "_GRAFT_DHASH_PARAMS",
+          d => scala.util.Try(graft.ext.BandedHashIndex.readBands(
+            s, d, graft.ext.BandedHashIndex.DhParamsFile)).isSuccess) { staging =>
           Multimodal.buildDHashIndex(
             Multimodal.plantedNoisePngMedia(
               docs.filter(col("doc_id") < 300), "doc_id"), staging)
@@ -907,6 +912,45 @@ object ExtQueries {
       graft.ext.TextAnalysis.simhashCandidates(
           hashes, "media_id", "ahash", maxHamming = 3, bands = 4)
         .select(col("a_id"), col("b_id"))
+    },
+
+    // E3 — PERSISTED audio-hash index, build → append → probe in one
+    // gate (e3i's shape for the audio family — with e3k every near-dup
+    // family that has a hash lane also has its persisted lifecycle
+    // artifact: text MinHash, span grams, image dHash, audio envelope):
+    // base noise recordings [0,300) built once, [300,400) appended
+    // under the frozen band stamp, then one probe of 2× RESAMPLED
+    // copies of ids <50 AND [300,350) — proving appended generations
+    // are searchable — at maxHamming 2 where the zero-order-hold
+    // resample is hash-IDENTICAL by the frame arithmetic and unrelated
+    // noise recordings sit ~32 bits apart. Expected pairs are exactly
+    // the planted list, stated in SQL.
+    "e3k_audio_index_probe" -> Q(
+      """SELECT doc_id AS base_id, doc_id + 200000 AS q_id,
+        |       CAST(0 AS INT) AS hamming
+        |FROM documents
+        |WHERE doc_id < 50 OR (doc_id >= 300 AND doc_id < 350)""".stripMargin) {
+      (s, dir) =>
+        val docs = Tables.documents(s, dir)
+        val stamp = Tables.fixtureStamp(dir, "documents")
+        val idx = idxCacheDir("graft-ahidx", s"$dir@$stamp")
+        commitCachedIndex(idx, "_GRAFT_AHASH_PARAMS",
+          d => scala.util.Try(graft.ext.BandedHashIndex.readBands(
+            s, d, graft.ext.BandedHashIndex.AhParamsFile)).isSuccess) { staging =>
+          Multimodal.buildAudioHashIndex(
+            Multimodal.plantedNoisePcmMedia(
+              docs.filter(col("doc_id") < 300), "doc_id"), staging)
+          Multimodal.audioIndexAppend(s, staging,
+            Multimodal.plantedNoisePcmMedia(
+              docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+              "doc_id"))
+        }
+        val probe = Multimodal.resamplePcm(
+          Multimodal.plantedNoisePcmMedia(
+            docs.filter(col("doc_id") < 50 ||
+              (col("doc_id") >= 300 && col("doc_id") < 350)), "doc_id"), 2)
+          .withColumn("media_id", col("media_id") + 200000)
+        Multimodal.audioIndexProbe(s, idx, probe, maxHamming = 2)
     },
 
     // E3 — frame sampling over the binary payload (every 4th 64-byte

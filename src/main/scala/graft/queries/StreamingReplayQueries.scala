@@ -951,6 +951,64 @@ object StreamingReplayQueries {
         Multimodal.dhashIndexProbe(s, idx, probe, maxHamming = 2)
     },
 
+    // T21 — STREAMING ADMISSION twin for the persisted AUDIO-hash index
+    // (t20's audio sibling, driving the same BandedHashIndex core
+    // through the PCM hash lane — with it, every persisted index family
+    // has foreachBatch ≡ one-shot parity): base noise recordings
+    // [0,300) built once, [300,500) arriving through foreachBatch
+    // audioIndexAppend in generation order — each micro-batch parses
+    // ONLY its own PCM under the frozen band stamp — then one probe of
+    // 2× RESAMPLED copies of ids <50 AND [300,350) at maxHamming 2
+    // (hash-identical by the frame arithmetic). Gate: the probe equals
+    // the planted pair list, strict row equality.
+    "t21_audio_admission_replay" -> Q(
+      """SELECT doc_id AS base_id, doc_id + 200000 AS q_id,
+        |       CAST(0 AS INT) AS hamming
+        |FROM documents
+        |WHERE doc_id < 50 OR (doc_id >= 300 AND doc_id < 350)""".stripMargin) {
+      (s, dir) =>
+        implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        import graft.ext.Multimodal
+        val docs = Tables.documents(s, dir).select("doc_id")
+        // fresh MUTABLE index per invocation (the t18 rule)
+        val idx = scratchDir("t21-ahidx") + "/idx"
+        Multimodal.buildAudioHashIndex(
+          Multimodal.plantedNoisePcmMedia(
+            docs.filter(col("doc_id") < 300), "doc_id"), idx)
+        val arrivals = docs
+          .filter(col("doc_id") >= 300 && col("doc_id") < 500)
+          .collect() // replay harness, fixture-bounded (the t13 note)
+          .map(_.getLong(0)).sorted
+        withShufflePartitions(s, 4) {
+          val mem = MemoryStream[Long]
+          val fold: (org.apache.spark.sql.Dataset[Long], Long) => Unit =
+            (batch, _) => {
+              val ids = batch.toDF("doc_id").persist()
+              try {
+                if (ids.head(1).nonEmpty) {
+                  Multimodal.audioIndexAppend(s, idx,
+                    Multimodal.plantedNoisePcmMedia(ids, "doc_id"))
+                }
+              } finally { ids.unpersist(); () }
+            }
+          val ckpt = scratchDir("t21-ckpt")
+          val q = mem.toDS().writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(fold).start()
+          try chunked(arrivals).foreach { c =>
+            mem.addData(c); q.processAllAvailable()
+          }
+          finally q.stop()
+        }
+        val probe = Multimodal.resamplePcm(
+          Multimodal.plantedNoisePcmMedia(
+            docs.filter(col("doc_id") < 50 ||
+              (col("doc_id") >= 300 && col("doc_id") < 350)), "doc_id"), 2)
+          .withColumn("media_id", col("media_id") + 200000)
+        Multimodal.audioIndexProbe(s, idx, probe, maxHamming = 2)
+    },
+
     // T19 — the S13 CDC-tombstone SYNC path as a streaming sink (t-parity
     // for the round's headline feature, the t13 pattern on
     // ParquetMergeSink.merge): a live CDC feed — upserts, payload-free

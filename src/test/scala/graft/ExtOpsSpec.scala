@@ -1974,6 +1974,51 @@ class ExtOpsSpec extends SparkSpec {
         tmpDir("dhash-badbands"), bands = 5))
   }
 
+  test("audio index lifecycle: frozen params, append searchable, cross-modality refusal") {
+    import spark.implicits._
+    val ids = spark.range(0, 40).select(col("id").as("doc_id"))
+    val dir = tmpDir("ahash-idx") + "/idx"
+    Multimodal.buildAudioHashIndex(
+      Multimodal.plantedNoisePcmMedia(ids.filter(col("doc_id") < 30),
+        "doc_id"), dir)
+    Multimodal.audioIndexAppend(spark, dir,
+      Multimodal.plantedNoisePcmMedia(
+        ids.filter(col("doc_id") >= 30), "doc_id"))
+    // probe resampled copies of BOTH generations: base and appended ids
+    // must be searchable, each matching exactly its own twin at hamming
+    // 0 (noise recordings keep unrelated pairs ~32 bits apart)
+    val probe = Multimodal.resamplePcm(
+      Multimodal.plantedNoisePcmMedia(ids, "doc_id"), 2)
+      .withColumn("media_id", col("media_id") + 1000)
+    val got = Multimodal.audioIndexProbe(spark, dir, probe, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == (0L until 40L).map(i => (i, i + 1000, 0)).toSet, s"$got")
+    // maxHamming must stay under the FROZEN band count (typed)
+    val e = intercept[graft.core.GraftError.InvalidConfig](
+      Multimodal.audioIndexProbe(spark, dir, probe, maxHamming = 4))
+    assert(e.getMessage.contains("bands"))
+    // CROSS-MODALITY refusal: an audio index is not an image index —
+    // the distinct stamp names refuse instead of silently missing
+    // everything (and vice versa)
+    val e2 = intercept[graft.core.GraftError.InvalidConfig](
+      Multimodal.dhashIndexProbe(spark, dir,
+        Multimodal.plantedNoisePngMedia(ids, "doc_id")))
+    assert(e2.getMessage.contains("_GRAFT_DHASH_PARAMS"))
+    val imgDir = tmpDir("ahash-img") + "/idx"
+    Multimodal.buildDHashIndex(
+      Multimodal.plantedNoisePngMedia(ids, "doc_id"), imgDir)
+    val e3 = intercept[graft.core.GraftError.InvalidConfig](
+      Multimodal.audioIndexProbe(spark, imgDir, probe))
+    assert(e3.getMessage.contains("_GRAFT_AHASH_PARAMS"))
+    // a pre-v2 stamp refuses with the rebuild hint, never probes wrong
+    val old = tmpDir("ahash-v1")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(old, "_GRAFT_AHASH_PARAMS"), "v1 bands=4")
+    val e4 = intercept[graft.core.GraftError.InvalidConfig](
+      Multimodal.audioIndexProbe(spark, old, probe))
+    assert(e4.getMessage.contains("v2 layout"))
+  }
+
   test("bigram cross-entropy: hand-computed LM terms, occurrence weighting, empty docs NULL") {
     // LM over the whole corpus: c(a,b)=4, c(a,c)=1, c(b,a)=1; c1(a)=5,
     // c1(b)=1 → terms -log2: (a,b)=0.321928, (a,c)=2.321928, (b,a)=0

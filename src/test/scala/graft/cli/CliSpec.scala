@@ -37,7 +37,8 @@ class CliSpec extends SparkSpec {
       case "agg-read"       => Main.runAggRead(spark, a)
       case "rebucket"       => Main.runRebucket(spark, a)
       case "span-index"     => Main.runSpanIndex(spark, a)
-      case "dhash-index"    => Main.runDhashIndex(spark, a)
+      case "dhash-index"    => Main.runHashIndex(spark, a, audio = false)
+      case "ahash-index"    => Main.runHashIndex(spark, a, audio = true)
       case other            => fail(s"unexpected verb $other")
     }
     a
@@ -845,6 +846,41 @@ class CliSpec extends SparkSpec {
     assertThrows[GraftError.InvalidConfig](
       run("dhash-index", "--source", "jdbc:postgresql://h/db#t",
         "--dest", s"$work/x"))
+  }
+
+  test("ahash-index drives build, append, and the hamming probe; modalities refuse to mix") {
+    import spark.implicits._
+    import graft.ext.Multimodal
+    val work = tmpDir("cli-ahashidx")
+    val ids = spark.range(0, 30).select(col("id").as("doc_id"))
+    Multimodal.plantedNoisePcmMedia(ids.filter(col("doc_id") < 20), "doc_id")
+      .write.parquet(s"$work/base1")
+    Multimodal.plantedNoisePcmMedia(ids.filter(col("doc_id") >= 20), "doc_id")
+      .write.parquet(s"$work/base2")
+    // probe = 2x resampled copies of EVERY id under shifted ids: base
+    // ids match after build, appended ids only after append
+    Multimodal.resamplePcm(
+        Multimodal.plantedNoisePcmMedia(ids, "doc_id"), 2)
+      .withColumn("media_id", col("media_id") + 1000)
+      .write.parquet(s"$work/batch")
+    run("ahash-index", "--source", s"$work/base1", "--dest", s"$work/idx")
+    def pairs(p: String) = spark.read.parquet(p)
+      .select("base_id", "q_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    run("ahash-index", "--mode", "probe", "--source", s"$work/batch",
+      "--base", s"$work/idx", "--dest", s"$work/p1")
+    assert(pairs(s"$work/p1") == (0L until 20L).map(i => (i, i + 1000)).toSet)
+    run("ahash-index", "--mode", "append", "--source", s"$work/base2",
+      "--dest", s"$work/idx")
+    run("ahash-index", "--mode", "probe", "--source", s"$work/batch",
+      "--base", s"$work/idx", "--dest", s"$work/p2")
+    assert(pairs(s"$work/p2") == (0L until 30L).map(i => (i, i + 1000)).toSet,
+      "appended generation must be searchable")
+    // an audio index is not an image index: the dhash verb refuses the
+    // ahash stamp typed instead of silently missing everything
+    assertThrows[GraftError.InvalidConfig](
+      run("dhash-index", "--mode", "probe", "--source", s"$work/batch",
+        "--base", s"$work/idx", "--dest", s"$work/x"))
   }
 
   test("agg --distinct drives the v3 sketch lane, flat and partitioned") {
