@@ -107,6 +107,10 @@ object PlanCheck {
     // broadcast onto the streamed base band table — the base never
     // shuffles for candidate generation
     "e1h_minhash_index_probe" -> Seq("BroadcastHashJoin"),
+    // the banded perceptual-index probes: batch band rows BROADCAST onto
+    // the streamed base band table — the base side must never shuffle
+    "e3i_dhash_index_probe" -> Seq("BroadcastHashJoin"),
+    "e3k_audio_index_probe" -> Seq("BroadcastHashJoin"),
     // discrete-set and prefix predicates stay sargable at the scan
     "f8_in_list"      -> Seq("PushedFilters: \\[.*In\\(event_type"),
     "f9_prefix_like"  -> Seq("PushedFilters: \\[.*StringStartsWith\\(p_brand"),
