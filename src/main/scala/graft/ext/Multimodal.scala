@@ -160,6 +160,12 @@ object Multimodal {
 
     /** Decode one payload; None when the bytes are not a decodable image
       * (ImageIO returns null / throws on truncated streams). */
+    def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
     def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
       if (bytes == null) None
       else try Option(javax.imageio.ImageIO.read(
@@ -204,21 +210,7 @@ object Multimodal {
           val srcName = r.getString(2)
           Multimodal.PngCodec.decode(r.getAs[Array[Byte]](1)) match {
             case Some(src) =>
-              val out = new java.awt.image.BufferedImage(
-                width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
-              var y = 0
-              while (y < height) {
-                var x = 0
-                while (x < width) {
-                  out.setRGB(x, y, src.getRGB(
-                    x * src.getWidth / width, y * src.getHeight / height))
-                  x += 1
-                }
-                y += 1
-              }
-              val buf = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(out, "png", buf)
-              val bytes = buf.toByteArray
+              val bytes = PngCodec.encode(scaleImage(src, width, height))
               Row(id, bytes, Row("image/png", bytes.length.toLong, srcName))
             case None => Row(id, null, Row("image/png", null, srcName))
           }
@@ -695,6 +687,156 @@ object Multimodal {
   private def idHashes(hashed: DataFrame, hashCol: String): DataFrame =
     hashed.filter(col(hashCol).isNotNull)
       .select(col("media_id").as("__id"), col(hashCol).as("__hash"))
+
+  /** Explicit floor-sampling rescale — the ONE resize rule of the whole
+    * perceptual lane (shared by [[resizeImages]] and the video frame
+    * fixture), so a resize anywhere composes pixel-exactly with
+    * [[dHash64]]'s grid sampling. */
+  private def scaleImage(src: java.awt.image.BufferedImage,
+                         width: Int, height: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        out.setRGB(x, y, src.getRGB(
+          x * src.getWidth / width, y * src.getHeight / height))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------ video perceptual near-dup
+
+  /** Fixed-slot video container for the fixture lane: a "video" is the
+    * concatenation of whole PNG frame payloads, each zero-padded into a
+    * [[VideoSlotBytes]] slot (PNG decoders stop at IEND, so the padding
+    * is invisible to the codec — the framing stays byte-exact without a
+    * real container format, which this sandbox has no codec for; a real
+    * pipeline swaps the slot explode for a demuxer call on the SAME
+    * plumbing, exactly the [[FakeDecoder]] argument). */
+  val VideoSlotBytes = 8192 // fits a 36×32 noise PNG (~3.5 KB) with room
+  val VideoFrames = 8
+
+  /** Planted noise VIDEO fixture: 8 noise-PNG frames per id.
+    * `variant`: "base" (frames `id·1000+j`), "resized" (every frame
+    * 2×-rescaled through the REAL codec — different bytes, identical
+    * per-frame dHash by the floor arithmetic: the re-encoded copy), or
+    * "clipped" (base frames 2..7 plus two novel frames — the re-edited
+    * copy sharing 6 of 8 frames). */
+  def plantedNoiseVideoMedia(ids: DataFrame, idCol: String,
+                             variant: String = "base"): DataFrame = {
+    require(Set("base", "resized", "clipped").contains(variant),
+      s"unknown video variant '$variant'")
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val frameIds: Seq[Long] = variant match {
+            case "clipped" =>
+              (2L until VideoFrames.toLong).map(id * 1000L + _) ++
+                Seq(id * 1000L + 900L, id * 1000L + 901L)
+            case _ => (0L until VideoFrames.toLong).map(id * 1000L + _)
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          frameIds.foreach { fid =>
+            val png0 = Multimodal.NoisePng.plantedNoisePng(fid, false)
+            val png =
+              if (variant == "resized")
+                Multimodal.PngCodec.encode(Multimodal.scaleImage(
+                  Multimodal.PngCodec.decode(png0).get,
+                  Multimodal.NoisePng.W * 2, Multimodal.NoisePng.H * 2))
+              else png0
+            require(png.length <= VideoSlotBytes,
+              s"frame $fid overflows the ${VideoSlotBytes}B slot: ${png.length}")
+            out.write(png)
+            out.write(new Array[Byte](VideoSlotBytes - png.length))
+          }
+          val bytes = out.toByteArray
+          Row(id, bytes, Row("video/x-slots", bytes.length.toLong, "planted"))
+        }
+      }(encoder)
+  }
+
+  /** Per-frame perceptual hashes over the slotted video payload: slot
+    * explode (the [[sampleFrames]] execution shape — per-row generator,
+    * narrow, no shuffle) → PNG decode → [[dHash64]] in the codec lane.
+    * Undecodable slots (truncated tail, corrupt frame) yield a NULL
+    * hash — kept, the corrupt-row contract. Output
+    * (media_id, frame_idx, dhash). */
+  def videoFrameDHashes(media: DataFrame, slotBytes: Int = VideoSlotBytes,
+                        batchPartitions: Option[Int] = None): DataFrame = {
+    require(slotBytes > 0)
+    val in = batchPartitions.map(media.repartition).getOrElse(media)
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    in.filter(length(col("content")) > 0)
+      .select(col("media_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, cast(ceil(length(content) / $slotBytes.0) as int) - 1),
+           |  i -> substring(content, i * $slotBytes + 1, $slotBytes))""".stripMargin))
+        .as(Seq("frame_idx", "frame")))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val fidx = r.getInt(1).toLong
+          Multimodal.PngCodec.decode(r.getAs[Array[Byte]](2)) match {
+            case Some(img) => Row(id, fidx, dHash64(img))
+            case None => Row(id, fidx, null)
+          }
+        }
+      }(encoder)
+  }
+
+  /** VIDEO near-dup from per-frame hashes — the temporal composition of
+    * the image lane: band the frame hashes (the pigeonhole decomposition
+    * of [[TextAnalysis.simhashCandidates]], so a frame pair within
+    * `maxHamming` collides in ≥1 band), cap degenerate band values
+    * (identical boilerplate frames — black intros, logo cards — shared
+    * by thousands of videos are exactly the hot-band quadratic trap of
+    * the text lane, and the SAME counted-drop ledger absorbs them),
+    * verify exact hamming, then aggregate frame matches per video pair:
+    * `shared_frames` = the smaller side's count of distinct matched
+    * frame positions (a one-to-many frame match never inflates it).
+    * One shuffle on short band keys + one pair aggregation — never
+    * all-pairs in either frames or videos. */
+  def videoNearDupPairs(frameHashes: DataFrame, maxHamming: Int = 2,
+                        bands: Int = 4, minSharedFrames: Int = 2,
+                        maxBandSize: Int = Dedup.DefaultMaxBandSize): DataFrame = {
+    require(64 % bands == 0, s"bands ($bands) must divide 64")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"maxHamming ($maxHamming) must be < bands ($bands) for exact recall")
+    require(minSharedFrames >= 1)
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val banded0 = frameHashes.filter(col("dhash").isNotNull)
+      .select(col("media_id"), col("frame_idx"), col("dhash"))
+      .withColumn("band", explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col("dhash"), b * bits).bitwiseAND(mask).as("band_val"))
+      }: _*)))
+    val (banded, _) =
+      Dedup.capOversizedBands(banded0, "band", maxBandSize, "videoNearDup")
+    val a = banded.select(col("media_id").as("a_id"),
+      col("frame_idx").as("a_fidx"), col("dhash").as("a_hash"), col("band"))
+    val b = banded.select(col("media_id").as("b_id"),
+      col("frame_idx").as("b_fidx"), col("dhash").as("b_hash"), col("band"))
+    a.join(b, a("band") === b("band") && col("a_id") < col("b_id"))
+      .select("a_id", "a_fidx", "a_hash", "b_id", "b_fidx", "b_hash")
+      .distinct()
+      .filter(bit_count(col("a_hash").bitwiseXOR(col("b_hash"))) <= maxHamming)
+      .groupBy("a_id", "b_id")
+      .agg(least(countDistinct(col("a_fidx")), countDistinct(col("b_fidx")))
+        .as("shared_frames"))
+      .filter(col("shared_frames") >= minSharedFrames)
+  }
 
   /** The E3 decode lane with a REAL codec: `javax.imageio` PNG decode in
     * partition batches over the opaque binary column. Emits the decoded

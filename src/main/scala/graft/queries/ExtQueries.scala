@@ -953,6 +953,47 @@ object ExtQueries {
         Multimodal.audioIndexProbe(s, idx, probe, maxHamming = 2)
     },
 
+    // E3 — VIDEO PERCEPTUAL NEAR-DUP (the temporal composition of the
+    // image lane, completing the multimodal dedup triad): per-frame
+    // dHash over the slotted payload (slot explode → real PNG decode →
+    // gradient hash), banded frame join with the hot-band cap (identical
+    // boilerplate frames shared by thousands of videos are the text
+    // lane's degenerate-band trap, absorbed by the same counted-drop
+    // ledger), exact hamming verify, then shared-frame count per video
+    // pair — one shuffle on short band keys, never all-pairs in frames
+    // OR videos. Fixture: 100 noise videos (8 frames each), a RESIZED
+    // copy (+100000; every frame 2×-rescaled through the real codec —
+    // different bytes, identical per-frame dHash → 8 shared) and a
+    // CLIPPED re-edit (+200000; base frames 2..7 plus two novel frames
+    // → 6 shared with both). Expected pairs and counts are exactly the
+    // planted list (unrelated noise frames sit ~32 bits apart), stated
+    // in SQL.
+    "e3l_video_neardup" -> Q(
+      """SELECT doc_id AS a_id, doc_id + 100000 AS b_id,
+        |       CAST(8 AS BIGINT) AS shared_frames
+        |FROM documents WHERE doc_id < 100
+        |UNION ALL
+        |SELECT doc_id, doc_id + 200000, 6
+        |FROM documents WHERE doc_id < 100
+        |UNION ALL
+        |SELECT doc_id + 100000, doc_id + 200000, 6
+        |FROM documents WHERE doc_id < 100""".stripMargin) { (s, dir) =>
+      val ids = Tables.documents(s, dir).filter(col("doc_id") < 100)
+      val base = Multimodal.plantedNoiseVideoMedia(ids, "doc_id")
+      val resized = Multimodal.plantedNoiseVideoMedia(ids, "doc_id",
+          variant = "resized")
+        .withColumn("media_id", col("media_id") + 100000)
+      val clipped = Multimodal.plantedNoiseVideoMedia(ids, "doc_id",
+          variant = "clipped")
+        .withColumn("media_id", col("media_id") + 200000)
+      val frames = Multimodal.videoFrameDHashes(
+        base.unionByName(resized).unionByName(clipped),
+        batchPartitions = Some(8))
+      Multimodal.videoNearDupPairs(frames, maxHamming = 2,
+          minSharedFrames = 2)
+        .select(col("a_id"), col("b_id"), col("shared_frames"))
+    },
+
     // E3 — frame sampling over the binary payload (every 4th 64-byte
     // frame). The oracle recomputes the frames from the text (ASCII fixture
     // ⇒ bytes == chars) and hashes them identically.

@@ -2019,6 +2019,65 @@ class ExtOpsSpec extends SparkSpec {
     assert(e4.getMessage.contains("v2 layout"))
   }
 
+  test("video near-dup: slot framing exact, planted counts, boilerplate frames capped") {
+    import spark.implicits._
+    val ids = spark.range(0, 20).select(col("id").as("doc_id"))
+    val base = Multimodal.plantedNoiseVideoMedia(ids, "doc_id")
+    // slot framing is byte-exact: frame j of video id hashes identically
+    // to the standalone NoisePng(id*1000+j) image (the zero padding is
+    // invisible to the PNG decoder)
+    val fh = Multimodal.videoFrameDHashes(base).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(fh.size == 20 * Multimodal.VideoFrames)
+    val direct = Multimodal.imageDHashes(
+      Multimodal.plantedNoisePngMedia(
+        spark.range(0, 20).select((col("id") * 1000 + 3).as("doc_id")),
+        "doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 20L).foreach { id =>
+      assert(fh((id, 3L)) == direct(id * 1000 + 3))
+    }
+    // a truncated tail slot keeps its row with a NULL hash
+    val truncated = base.select(col("media_id"),
+      expr(s"substring(content, 1, ${Multimodal.VideoSlotBytes + 100})")
+        .as("content"), col("meta"))
+    val tr = Multimodal.videoFrameDHashes(truncated)
+      .filter(col("media_id") === 0L).collect()
+      .map(r => (r.getLong(1), r.isNullAt(2))).toMap
+    assert(tr == Map(0L -> false, 1L -> true))
+    // planted pair counts through the full operator
+    val resized = Multimodal.plantedNoiseVideoMedia(ids, "doc_id", "resized")
+      .withColumn("media_id", col("media_id") + 1000000)
+    val clipped = Multimodal.plantedNoiseVideoMedia(ids, "doc_id", "clipped")
+      .withColumn("media_id", col("media_id") + 2000000)
+    val frames = Multimodal.videoFrameDHashes(
+      base.unionByName(resized).unionByName(clipped))
+    val got = Multimodal.videoNearDupPairs(frames).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = (0L until 20L).flatMap(i => Seq(
+      (i, i + 1000000) -> 8L,
+      (i, i + 2000000) -> 6L,
+      (i + 1000000, i + 2000000) -> 6L)).toMap
+    assert(got == want, s"unexpected pair set: ${got.toSeq.sortBy(_._1).take(5)}")
+    // the hot-band cap: ONE boilerplate frame (the same "black intro")
+    // prepended to every video would otherwise band-join quadratically;
+    // with a small cap its band values drop (counted, never silent) and
+    // the planted distinct pairs still come out exactly
+    val intro = Multimodal.plantedNoisePngMedia(
+      spark.range(0, 1).select((col("id") + 777000000L).as("doc_id")),
+      "doc_id").select("content").as[Array[Byte]].head()
+    val slot = java.util.Arrays.copyOf(intro, Multimodal.VideoSlotBytes)
+    val withIntro = base.unionByName(resized).unionByName(clipped)
+      .select(col("media_id"),
+        concat(lit(slot), col("content")).as("content"), col("meta"))
+    val capped = Multimodal.videoNearDupPairs(
+      Multimodal.videoFrameDHashes(withIntro), maxBandSize = 10)
+    val gotCapped = capped.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotCapped == want,
+      "capped boilerplate frame must not create pairs or shift counts")
+  }
+
   test("bigram cross-entropy: hand-computed LM terms, occurrence weighting, empty docs NULL") {
     // LM over the whole corpus: c(a,b)=4, c(a,c)=1, c(b,a)=1; c1(a)=5,
     // c1(b)=1 → terms -log2: (a,b)=0.321928, (a,c)=2.321928, (b,a)=0
