@@ -311,10 +311,13 @@ object Multimodal {
   object NoisePcm {
     val Windows = 65
     val SamplesPerWindow = 8
+    // full murmur3 finalizer — see NoisePng.mix for why the single
+    // multiply-xor is NOT enough over structured id progressions
     private def mix(a: Long): Long = {
-      var h = a * -7046029254386353131L // splitmix64-style avalanche
-      h ^= (h >>> 32)
-      h
+      var h = a
+      h = (h ^ (h >>> 33)) * 0xff51afd7ed558ccdL
+      h = (h ^ (h >>> 33)) * 0xc4ceb9fe1a85ec53L
+      h ^ (h >>> 33)
     }
     def plantedNoisePcm(id: Long, editWindow: Boolean = false): Array[Byte] = {
       val n = Windows * SamplesPerWindow
@@ -496,9 +499,19 @@ object Multimodal {
   object NoisePng {
     val W = 18
     val H = 16
+    // FULL murmur3 finalizer, not a single multiply-xor: the round-17
+    // videodedup stress arm caught the weak version red-handed — over
+    // structured inputs (frame ids in arithmetic progressions) its LOW
+    // BYTE correlates across ids, collapsing "unrelated" dHashes to a
+    // fat near-zero hamming tail (9 exact collisions in 200k sampled
+    // cross pairs; 3,294 spurious video pairs at 1,500 videos). With a
+    // proper avalanche every output bit depends on every input bit and
+    // the 2.4e-15 chance-collision claim actually holds.
     private def mix(a: Long): Int = {
-      var h = a * -7046029254386353131L // splitmix64-style avalanche
-      h ^= (h >>> 32)
+      var h = a
+      h = (h ^ (h >>> 33)) * 0xff51afd7ed558ccdL
+      h = (h ^ (h >>> 33)) * 0xc4ceb9fe1a85ec53L
+      h ^= (h >>> 33)
       (h & 0xffL).toInt
     }
     def plantedNoisePng(id: Long, editPixel: Boolean): Array[Byte] =

@@ -835,7 +835,7 @@ object ExtQueries {
       (s, dir) =>
         val docs = Tables.documents(s, dir)
         val stamp = Tables.fixtureStamp(dir, "documents")
-        val idx = idxCacheDir("graft-dhidx", s"$dir@$stamp")
+        val idx = idxCacheDir("graft-dhidx", s"$dir@$stamp@noise2")
         // build + append staged, moved into place by ONE rename (the
         // e1h discipline: an interruption between the two calls must
         // not leave a committed-looking index missing [300,400)); a
@@ -933,7 +933,7 @@ object ExtQueries {
       (s, dir) =>
         val docs = Tables.documents(s, dir)
         val stamp = Tables.fixtureStamp(dir, "documents")
-        val idx = idxCacheDir("graft-ahidx", s"$dir@$stamp")
+        val idx = idxCacheDir("graft-ahidx", s"$dir@$stamp@noise2")
         commitCachedIndex(idx, "_GRAFT_AHASH_PARAMS",
           d => scala.util.Try(graft.ext.BandedHashIndex.readBands(
             s, d, graft.ext.BandedHashIndex.AhParamsFile)).isSuccess) { staging =>

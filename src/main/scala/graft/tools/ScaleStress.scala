@@ -1193,6 +1193,57 @@ object ScaleStress {
         jline("dhashidxbig_direct_rehash", rep, tRehash, rePairs.count())
       }
       } // wants("dhashidxbig")
+
+      if (wants("videodedup")) {
+      // the e3l video near-dup shape at scale: frames fan out 8× the
+      // video count into the banded join, and the claim is that cost
+      // follows the FRAME count through one band shuffle + one pair
+      // aggregation (never all-pairs in frames or videos), with the
+      // hot-band cap absorbing a planted boilerplate frame that every
+      // video shares (the black-intro trap — uncapped it alone would
+      // contribute ~(3n)²/2 candidate pairs).
+      {
+        val n = 500L * rep
+        val ids = spark.range(0, n).select(col("id").as("doc_id"))
+        def vids(variant: String, off: Long) =
+          graft.ext.Multimodal.plantedNoiseVideoMedia(ids, "doc_id", variant)
+            .withColumn("media_id", col("media_id") + off)
+        val media = vids("base", 0L)
+          .unionByName(vids("resized", 100000000L))
+          .unionByName(vids("clipped", 200000000L))
+          .localCheckpoint()
+        val frames = graft.ext.Multimodal.videoFrameDHashes(
+          media, batchPartitions = Some(32)).localCheckpoint()
+        val (pairs, tPairs) = timed {
+          graft.ext.Multimodal.videoNearDupPairs(frames).localCheckpoint()
+        }
+        val got = pairs.count()
+        require(got == 3L * n,
+          s"videodedup x$rep: expected ${3 * n} planted pairs, got $got")
+        jline("videodedup_pairs", rep, tPairs, got)
+        // the boilerplate trap: ONE shared intro frame across all 3n
+        // videos; the cap drops its band values (counted, never silent)
+        // and the planted pairs still come out exactly
+        val intro = graft.ext.Multimodal.plantedNoisePngMedia(
+          spark.range(0, 1).select((col("id") + 777000000L).as("doc_id")),
+          "doc_id").select("content")
+          .collect().head.getAs[Array[Byte]](0)
+        val slot = java.util.Arrays.copyOf(
+          intro, graft.ext.Multimodal.VideoSlotBytes)
+        val withIntro = media.select(col("media_id"),
+          concat(lit(slot), col("content")).as("content"), col("meta"))
+        val (cappedPairs, tCapped) = timed {
+          graft.ext.Multimodal.videoNearDupPairs(
+            graft.ext.Multimodal.videoFrameDHashes(
+              withIntro, batchPartitions = Some(32)),
+            maxBandSize = 1000).localCheckpoint()
+        }
+        val gotCapped = cappedPairs.count()
+        require(gotCapped == 3L * n,
+          s"videodedup x$rep capped: expected ${3 * n}, got $gotCapped")
+        jline("videodedup_pairs_capped_intro", rep, tCapped, gotCapped)
+      }
+      } // wants("videodedup")
     }
     spark.stop()
   }
