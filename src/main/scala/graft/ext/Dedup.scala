@@ -1047,18 +1047,33 @@ object Dedup {
       .join(broadcast(qBanded), Seq("band_id", "band_val"))
       .select(col("__id").as("base_id"), col("q_id")).distinct()
     // per-id dedup: a retried append may have written a doc's signature
-    // twice; without this the est join fans out per duplicate row
+    // twice; without this the est join fans out per duplicate row. The
+    // dedup must not shuffle the FULL base sigs table per probe (the
+    // "base never shuffles" contract): stream the sigs scan through a
+    // broadcast join with the small candidate-pair set and dedupe only
+    // MATCHED rows — duplicate sig rows are value-identical by
+    // construction, so any survivor carries the right signature.
     val baseSigs = spark.read.parquet(s"$dir/sigs")
       .select(col("__id").as("base_id"), col("__sig").as("b_sig"))
-      .dropDuplicates("base_id")
-    val est = cand
-      .join(baseSigs, "base_id")
-      .join(qSigs.select(col("q_id"), col("__sig").as("q_sig")), "q_id")
+    // est feeds BOTH the base-text prefilter and the verify join below;
+    // the shared prefix up to the pair-dedup exchange is computed ONCE
+    // (ReuseExchange dedupes the identical subtrees — visible as
+    // ReusedExchange in the plan), so the sigs scan still runs once
+    val est = baseSigs
+      .join(broadcast(cand), "base_id")
+      .dropDuplicates("base_id", "q_id")
+      .join(broadcast(qSigs.select(col("q_id"), col("__sig").as("q_sig"))),
+        "q_id")
       .withColumn("est", sigAgreementEst(col("b_sig"), col("q_sig"), p.k))
       .filter(col("est") >= threshold - estSlack)
       .select("base_id", "q_id")
-    val bt = baseText.select(col(baseIdCol).as("base_id"),
-      shingleCol(col(textCol), p.shingleN, p.native).as("b_toks"))
+    // shingle only the CANDIDATE ids' base texts: shingling the whole
+    // corpus per probe is an O(base) CPU pass the probe contract says
+    // must not exist (the candidate ids prefilter is broadcast-sized)
+    val bt = baseText.select(col(baseIdCol).as("base_id"), col(textCol))
+      .join(broadcast(est.select("base_id").distinct()), "base_id")
+      .select(col("base_id"),
+        shingleCol(col(textCol), p.shingleN, p.native).as("b_toks"))
     val qt = queries.select(col(queryIdCol).as("q_id"),
       shingleCol(col(textCol), p.shingleN, p.native).as("q_toks"))
     val out = est.join(bt, "base_id").join(qt, "q_id")

@@ -1000,11 +1000,16 @@ private[graft] object BandedHashIndex {
     val cand = baseBands
       .join(broadcast(qBands), Seq("band_id", "band_val"))
       .select(col("__id"), col("__qid")).distinct()
+    // a retried append can leave duplicate hash rows — harmless for
+    // membership, but a pair must never fan out. The dedup must not
+    // shuffle the FULL base hash table per probe (the "base never
+    // shuffles" contract): stream the hashes scan through a broadcast
+    // join with the small candidate-pair set and dedupe only MATCHED
+    // rows — duplicate hash rows are value-identical by construction,
+    // so any survivor carries the right hash.
     val baseHashes = spark.read.parquet(s"$dir/hashes")
-      // a retried append can leave duplicate hash rows — harmless for
-      // membership, deduped here so a pair never fans out
-      .groupBy(col("__id")).agg(first(col("__hash")).as("__hash"))
-    cand.join(baseHashes, "__id")
+    baseHashes.join(broadcast(cand), "__id")
+      .dropDuplicates("__id", "__qid")
       .join(broadcast(qHashes), "__qid")
       .withColumn("hamming",
         bit_count(col("__hash").bitwiseXOR(col("__qhash"))))

@@ -500,11 +500,16 @@ object ReferenceQueries {
         // derived columns via the ONE shared chain (deriveMomentCols) —
         // a hand-copied fold here could reorder an IEEE op and break the
         // exceptAll below by 1 ulp
+        // localCheckpoint BOTH sides (group-cardinality frames) before the
+        // two exceptAll directions: each direction otherwise re-runs the
+        // full one-shot lineitem aggregation — two corpus passes for one
+        // equality pin (guide §1.2: don't compute things twice)
         val oneShot = graft.sync.AggMaintenance.deriveMomentCols(
           li.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"),
-            vals.flatMap(moments): _*), vals)
-        require(derived.exceptAll(oneShot).isEmpty &&
-          oneShot.exceptAll(derived).isEmpty,
+            vals.flatMap(moments): _*), vals).localCheckpoint()
+        val derivedM = derived.localCheckpoint()
+        require(derivedM.exceptAll(oneShot).isEmpty &&
+          oneShot.exceptAll(derivedM).isEmpty,
           "a10: maintained v2 moments diverge from the one-shot aggregation")
         // hashed output via the ONE shared hash-safe chain (value-
         // preserving exact down-casts — equals readDerived's numbers
@@ -859,11 +864,17 @@ object ReferenceQueries {
             sum((c * c).cast("decimal(38,8)")).cast("decimal(38,8)")
               .as("sumsq_value")),
           Seq("value"))
+        // localCheckpoint BOTH sides (group-cardinality frames) before the
+        // two exceptAll directions: each direction otherwise re-runs the
+        // one-shot latest-per-key window + aggregation — two full passes
+        // for one equality pin (guide §1.2: don't compute things twice)
         val derived = graft.sync.AggMaintenance.readDerived(s, out)
           .select("event_type", "cnt", "cntv_value", "sum_value",
             "sumsq_value", "avg_value", "var_value")
+          .localCheckpoint()
         val oneShotSel = oneShot.select("event_type", "cnt", "cntv_value",
           "sum_value", "sumsq_value", "avg_value", "var_value")
+          .localCheckpoint()
         require(derived.exceptAll(oneShotSel).isEmpty &&
           oneShotSel.exceptAll(derived).isEmpty,
           "a18: maintained keyed moments diverge from the one-shot " +

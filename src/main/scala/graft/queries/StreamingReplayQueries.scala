@@ -530,6 +530,10 @@ object StreamingReplayQueries {
       // AggMaintenance) — the maintained-moments contract itself
       val ev = Tables.events(s, dir)
       val c = col("value").cast("decimal(18,4)")
+      // localCheckpoint BOTH sides (group-cardinality frames) before the
+      // two exceptAll directions: each direction otherwise re-runs the
+      // one-shot events aggregation — two full passes for one equality
+      // pin (guide §1.2: don't compute things twice)
       val oneShot = AggMaintenance.deriveMomentCols(
         ev.groupBy(col("event_type").as("eventType"))
           .agg(count(lit(1)).as("cnt"),
@@ -538,8 +542,8 @@ object StreamingReplayQueries {
             sum((c * c).cast("decimal(38,8)")).cast("decimal(38,8)")
               .as("sumsq_value"),
             min(c).as("min_value"), max(c).as("max_value")),
-        Seq("value"))
-      val derived = AggMaintenance.readDerived(s, rollup)
+        Seq("value")).localCheckpoint()
+      val derived = AggMaintenance.readDerived(s, rollup).localCheckpoint()
       require(derived.exceptAll(oneShot).isEmpty &&
         oneShot.exceptAll(derived).isEmpty,
         "t14: replayed v2 moments diverge from the one-shot aggregation")

@@ -152,7 +152,18 @@ object PlanCheck {
     "j8_asof_join"      -> Seq("Join"),
     "j9_range_bin_join" -> Seq("BroadcastNestedLoopJoin", "CartesianProduct"),
     // gopher rules are per-row: one scan, one projection, no shuffle
-    "e4r_gopher_rules"  -> Seq("Exchange"))
+    "e4r_gopher_rules"  -> Seq("Exchange"),
+    // persisted-index probes must never dedupe the FULL base table (r17
+    // verdict #1): the retried-append guard dedupes the MATCHED slice on
+    // (base_id, q_id) AFTER the broadcast candidate join, so a single-key
+    // first() aggregate over the base sigs/hashes — the plan shape of the
+    // old O(base)-shuffle-per-probe dedup — must not reappear
+    "e1h_minhash_index_probe" -> Seq(
+      "Keys \\[1\\]: \\[base_id#\\d+L?\\]\\nFunctions \\[1\\]: \\[partial_first\\(b_sig"),
+    "e3i_dhash_index_probe" -> Seq(
+      "Keys \\[1\\]: \\[__id#\\d+L?\\]\\nFunctions \\[1\\]: \\[partial_first\\(__hash"),
+    "e3k_audio_index_probe" -> Seq(
+      "Keys \\[1\\]: \\[__id#\\d+L?\\]\\nFunctions \\[1\\]: \\[partial_first\\(__hash"))
 
   /** Queries whose plan legitimately contains a broadcast nested-loop:
     * the scalar-watermark crossJoins (one-row build side, T1/T3), the
