@@ -109,6 +109,11 @@ object PageRank {
           .cast("decimal(28,12)").as("__c"))
     val sums = contrib.groupBy(col("__dst").as("node"))
       .agg(sum(col("__c")).as("__s"))
+    // nodes ⋈ sums stays a shuffle join DELIBERATELY: broadcasting sums
+    // was measured SLOWER at the gate graph (e9d min 4.7 → 5.9 s) — the
+    // per-iteration driver collect + broadcast build serializes the
+    // pipeline, while the N-row exchange+sort is cheap and overlaps the
+    // contrib aggregation it follows.
     val joined = g.nodes.join(sums, Seq("node"), "left")
     g.dangling match {
       case None =>
@@ -118,8 +123,11 @@ object PageRank {
       case Some(dang) =>
         // D_k: exact order-free DECIMAL sum of the dangling ranks; ONE
         // row, broadcast onto every node's update (in-plan — no driver
-        // action inside the iteration loop)
-        val dm = dang.join(rank, "node")
+        // action inside the iteration loop). rankSide: both inputs are
+        // checkpointed (no usable size estimate), so the plain join
+        // sort-merge-joined two N-row frames per iteration — under the
+        // node bound the rank table broadcasts and dang streams.
+        val dm = dang.join(rankSide, "node")
           .agg(coalesce(sum(round(col("rank"), 12).cast("decimal(28,12)")),
             lit(java.math.BigDecimal.ZERO).cast("decimal(28,12)")).as("__dm"))
         joined.crossJoin(broadcast(dm))
