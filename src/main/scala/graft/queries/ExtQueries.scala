@@ -15,6 +15,15 @@ import graft.ops.{PageRank, RangeLayout, ZOrder}
   */
 object ExtQueries {
 
+  /** Decode-lane parallelism for the mapPartitions codec batches: the
+    * session's core count instead of a constant — the previous fixed 8
+    * underused local[32] 4× and oversized a 4-core run (guide §2:
+    * partitioning must be scale-adaptive, never a constant tuned to one
+    * machine). Results are repartition-invariant (per-row decode feeding
+    * row-level or aggregated outputs). */
+  private def decodePar(s: org.apache.spark.sql.SparkSession): Option[Int] =
+    Some(s.sparkContext.defaultParallelism)
+
   /** DuckDB oracle for `e9d_pagerank`: the SAME fixed damped power
     * iterations as [[graft.ops.PageRank]], UNROLLED as chained CTEs (one
     * c/s/r block per iteration — SQL has no iteration, so the oracle
@@ -696,7 +705,7 @@ object ExtQueries {
     }) { (s, dir) =>
       val feats = Multimodal.extractFeatures(
         Multimodal.fromDocuments(Tables.documents(s, dir)),
-        batchPartitions = Some(8))
+        batchPartitions = decodePar(s))
       val laneCols = (0 until Multimodal.FakeDecoder.featureDim).map(j =>
         round(element_at(col("features"), j + 1).cast("double"), 6).as(s"f$j"))
       feats.select(col("media_id") +: col("n_bytes") +: laneCols: _*)
@@ -723,7 +732,7 @@ object ExtQueries {
         |FROM documents WHERE doc_id < 200""".stripMargin) { (s, dir) =>
       val media = Multimodal.plantedPngMedia(
         Tables.documents(s, dir).filter(col("doc_id") < 200), "doc_id")
-      Multimodal.decodeImages(media, batchPartitions = Some(8))
+      Multimodal.decodeImages(media, batchPartitions = decodePar(s))
     },
 
     // E3 — RESIZE through the real codec: planted PNGs decoded, resized
@@ -748,7 +757,7 @@ object ExtQueries {
       val media = Multimodal.plantedPngMedia(
         Tables.documents(s, dir).filter(col("doc_id") < 200), "doc_id")
       Multimodal.decodeImages(
-        Multimodal.resizeImages(media, 8, 5, batchPartitions = Some(8)))
+        Multimodal.resizeImages(media, 8, 5, batchPartitions = decodePar(s)))
     },
 
     // E3 — AUDIO feature extraction through the real PCM parser: planted
@@ -774,7 +783,7 @@ object ExtQueries {
         |FROM v""".stripMargin) { (s, dir) =>
       val media = Multimodal.plantedPcmMedia(
         Tables.documents(s, dir).filter(col("doc_id") < 200), "doc_id")
-      Multimodal.audioFeatures(media, batchPartitions = Some(8))
+      Multimodal.audioFeatures(media, batchPartitions = decodePar(s))
     },
 
     // E3 — IMAGE PERCEPTUAL NEAR-DUP (dHash over decoded pixels): the
@@ -803,14 +812,14 @@ object ExtQueries {
       val ids = Tables.documents(s, dir).filter(col("doc_id") < 150)
       val base = Multimodal.plantedNoisePngMedia(ids, "doc_id")
       val resized = Multimodal.resizeImages(base, 36, 32,
-          batchPartitions = Some(8))
+          batchPartitions = decodePar(s))
         .withColumn("media_id", col("media_id") + 100000)
       val edited = Multimodal.plantedNoisePngMedia(ids, "doc_id",
           editPixel = true)
         .withColumn("media_id", col("media_id") + 200000)
       val hashes = Multimodal.imageDHashes(
         base.unionByName(resized).unionByName(edited),
-        batchPartitions = Some(8)).filter(col("dhash").isNotNull)
+        batchPartitions = decodePar(s)).filter(col("dhash").isNotNull)
       graft.ext.TextAnalysis.simhashCandidates(
           hashes, "media_id", "dhash", maxHamming = 3, bands = 4)
         .select(col("a_id"), col("b_id"))
@@ -898,17 +907,17 @@ object ExtQueries {
       val ids = Tables.documents(s, dir).filter(col("doc_id") < 150)
       val base = Multimodal.plantedNoisePcmMedia(ids, "doc_id")
       val resampled = Multimodal.resamplePcm(base, 2,
-          batchPartitions = Some(8))
+          batchPartitions = decodePar(s))
         .withColumn("media_id", col("media_id") + 100000)
       val quiet = Multimodal.scalePcmAmplitude(base, 1,
-          batchPartitions = Some(8))
+          batchPartitions = decodePar(s))
         .withColumn("media_id", col("media_id") + 200000)
       val edited = Multimodal.plantedNoisePcmMedia(ids, "doc_id",
           editWindow = true)
         .withColumn("media_id", col("media_id") + 300000)
       val hashes = Multimodal.audioEnvelopeHashes(
         base.unionByName(resampled).unionByName(quiet).unionByName(edited),
-        batchPartitions = Some(8)).filter(col("ahash").isNotNull)
+        batchPartitions = decodePar(s)).filter(col("ahash").isNotNull)
       graft.ext.TextAnalysis.simhashCandidates(
           hashes, "media_id", "ahash", maxHamming = 3, bands = 4)
         .select(col("a_id"), col("b_id"))
@@ -988,7 +997,7 @@ object ExtQueries {
         .withColumn("media_id", col("media_id") + 200000)
       val frames = Multimodal.videoFrameDHashes(
         base.unionByName(resized).unionByName(clipped),
-        batchPartitions = Some(8))
+        batchPartitions = decodePar(s))
       Multimodal.videoNearDupPairs(frames, maxHamming = 2,
           minSharedFrames = 2)
         .select(col("a_id"), col("b_id"), col("shared_frames"))
