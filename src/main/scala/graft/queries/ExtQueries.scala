@@ -15,14 +15,23 @@ import graft.ops.{PageRank, RangeLayout, ZOrder}
   */
 object ExtQueries {
 
-  /** Decode-lane parallelism for the mapPartitions codec batches: the
-    * session's core count instead of a constant — the previous fixed 8
-    * underused local[32] 4× and oversized a 4-core run (guide §2:
-    * partitioning must be scale-adaptive, never a constant tuned to one
-    * machine). Results are repartition-invariant (per-row decode feeding
-    * row-level or aggregated outputs). */
-  private def decodePar(s: org.apache.spark.sql.SparkSession): Option[Int] =
-    Some(s.sparkContext.defaultParallelism)
+  /** Decode-lane parallelism for the mapPartitions codec batches:
+    * derived from the INPUT's own partition count (×8 — codec batches
+    * are CPU-bound, so a scan partition fans out into several decode
+    * tasks), capped at the session's core count — never a constant
+    * (guide §2: scale-adaptive partitioning). The previous fixed 8 was
+    * tuned to nothing; a first cut of bare defaultParallelism measured
+    * a real gate-scale cost (e3l +0.35 s dual-stat: 32-way repartition
+    * of a few-hundred-row frame buys no decode parallelism and pays
+    * ~25 extra task schedules per lane), while this form reproduces the
+    * measured-good width on small inputs and still reaches every core
+    * once the input carries enough scan partitions. Results are
+    * repartition-invariant (per-row decode feeding row-level or
+    * aggregated outputs). */
+  private def decodePar(in: org.apache.spark.sql.DataFrame): Option[Int] = {
+    val cores = in.sparkSession.sparkContext.defaultParallelism
+    Some(math.max(2, math.min(cores, in.rdd.getNumPartitions * 8)))
+  }
 
   /** DuckDB oracle for `e9d_pagerank`: the SAME fixed damped power
     * iterations as [[graft.ops.PageRank]], UNROLLED as chained CTEs (one
@@ -703,9 +712,9 @@ object ExtQueries {
          |$lanes
          |FROM documents""".stripMargin
     }) { (s, dir) =>
-      val feats = Multimodal.extractFeatures(
-        Multimodal.fromDocuments(Tables.documents(s, dir)),
-        batchPartitions = decodePar(s))
+      val media = Multimodal.fromDocuments(Tables.documents(s, dir))
+      val feats = Multimodal.extractFeatures(media,
+        batchPartitions = decodePar(media))
       val laneCols = (0 until Multimodal.FakeDecoder.featureDim).map(j =>
         round(element_at(col("features"), j + 1).cast("double"), 6).as(s"f$j"))
       feats.select(col("media_id") +: col("n_bytes") +: laneCols: _*)
@@ -732,7 +741,7 @@ object ExtQueries {
         |FROM documents WHERE doc_id < 200""".stripMargin) { (s, dir) =>
       val media = Multimodal.plantedPngMedia(
         Tables.documents(s, dir).filter(col("doc_id") < 200), "doc_id")
-      Multimodal.decodeImages(media, batchPartitions = decodePar(s))
+      Multimodal.decodeImages(media, batchPartitions = decodePar(media))
     },
 
     // E3 — RESIZE through the real codec: planted PNGs decoded, resized
@@ -757,7 +766,7 @@ object ExtQueries {
       val media = Multimodal.plantedPngMedia(
         Tables.documents(s, dir).filter(col("doc_id") < 200), "doc_id")
       Multimodal.decodeImages(
-        Multimodal.resizeImages(media, 8, 5, batchPartitions = decodePar(s)))
+        Multimodal.resizeImages(media, 8, 5, batchPartitions = decodePar(media)))
     },
 
     // E3 — AUDIO feature extraction through the real PCM parser: planted
@@ -783,7 +792,7 @@ object ExtQueries {
         |FROM v""".stripMargin) { (s, dir) =>
       val media = Multimodal.plantedPcmMedia(
         Tables.documents(s, dir).filter(col("doc_id") < 200), "doc_id")
-      Multimodal.audioFeatures(media, batchPartitions = decodePar(s))
+      Multimodal.audioFeatures(media, batchPartitions = decodePar(media))
     },
 
     // E3 — IMAGE PERCEPTUAL NEAR-DUP (dHash over decoded pixels): the
@@ -812,14 +821,14 @@ object ExtQueries {
       val ids = Tables.documents(s, dir).filter(col("doc_id") < 150)
       val base = Multimodal.plantedNoisePngMedia(ids, "doc_id")
       val resized = Multimodal.resizeImages(base, 36, 32,
-          batchPartitions = decodePar(s))
+          batchPartitions = decodePar(base))
         .withColumn("media_id", col("media_id") + 100000)
       val edited = Multimodal.plantedNoisePngMedia(ids, "doc_id",
           editPixel = true)
         .withColumn("media_id", col("media_id") + 200000)
       val hashes = Multimodal.imageDHashes(
         base.unionByName(resized).unionByName(edited),
-        batchPartitions = decodePar(s)).filter(col("dhash").isNotNull)
+        batchPartitions = decodePar(base)).filter(col("dhash").isNotNull)
       graft.ext.TextAnalysis.simhashCandidates(
           hashes, "media_id", "dhash", maxHamming = 3, bands = 4)
         .select(col("a_id"), col("b_id"))
@@ -907,17 +916,17 @@ object ExtQueries {
       val ids = Tables.documents(s, dir).filter(col("doc_id") < 150)
       val base = Multimodal.plantedNoisePcmMedia(ids, "doc_id")
       val resampled = Multimodal.resamplePcm(base, 2,
-          batchPartitions = decodePar(s))
+          batchPartitions = decodePar(base))
         .withColumn("media_id", col("media_id") + 100000)
       val quiet = Multimodal.scalePcmAmplitude(base, 1,
-          batchPartitions = decodePar(s))
+          batchPartitions = decodePar(base))
         .withColumn("media_id", col("media_id") + 200000)
       val edited = Multimodal.plantedNoisePcmMedia(ids, "doc_id",
           editWindow = true)
         .withColumn("media_id", col("media_id") + 300000)
       val hashes = Multimodal.audioEnvelopeHashes(
         base.unionByName(resampled).unionByName(quiet).unionByName(edited),
-        batchPartitions = decodePar(s)).filter(col("ahash").isNotNull)
+        batchPartitions = decodePar(base)).filter(col("ahash").isNotNull)
       graft.ext.TextAnalysis.simhashCandidates(
           hashes, "media_id", "ahash", maxHamming = 3, bands = 4)
         .select(col("a_id"), col("b_id"))
@@ -997,7 +1006,7 @@ object ExtQueries {
         .withColumn("media_id", col("media_id") + 200000)
       val frames = Multimodal.videoFrameDHashes(
         base.unionByName(resized).unionByName(clipped),
-        batchPartitions = decodePar(s))
+        batchPartitions = decodePar(base))
       Multimodal.videoNearDupPairs(frames, maxHamming = 2,
           minSharedFrames = 2)
         .select(col("a_id"), col("b_id"), col("shared_frames"))
