@@ -1026,6 +1026,13 @@ object Dedup {
     if (p.native) graft.functions.GraftFunctions.register(spark)
     val qSigs = mhSigs(queries, queryIdCol, textCol, p)
       .withColumnRenamed("__id", "q_id").localCheckpoint()
+    // query-side broadcast guard: every hint below frames data that scales
+    // with the INGEST BATCH (qSigs, banded query rows, candidate pairs) —
+    // counted on the checkpointed frame (no extra source scan), dropped
+    // above the bound so an oversized batch shuffle-joins instead of
+    // OOMing the driver (ProbeBroadcast; guide §3.1)
+    val bcast = ProbeBroadcast.broadcastSafe(spark, "minhashIndexProbe",
+      qSigs.count())
     val (qBanded0, qStats) = capOversizedBands(
       bandExplode(qSigs.withColumnRenamed("q_id", "__id"), "__id",
         p.k, p.bands), "band", p.maxBandSize, "minhashIndexProbe")
@@ -1038,13 +1045,14 @@ object Dedup {
     // the query's band values are counted, so the guard costs one window
     // over the matched subset, not a shuffle of the base table)
     val matched = baseBands
-      .join(broadcast(qBanded.select("band_id", "band_val").distinct()),
+      .join(ProbeBroadcast.hint(
+        qBanded.select("band_id", "band_val").distinct(), bcast),
         Seq("band_id", "band_val"))
       .withColumn("band", struct(col("band_id"), col("band_val")))
     val (matchedCapped, bStats) = capOversizedBands(matched, "band",
       p.maxBandSize, "minhashIndexProbe base side")
     val cand = matchedCapped
-      .join(broadcast(qBanded), Seq("band_id", "band_val"))
+      .join(ProbeBroadcast.hint(qBanded, bcast), Seq("band_id", "band_val"))
       .select(col("__id").as("base_id"), col("q_id")).distinct()
     // per-id dedup: a retried append may have written a doc's signature
     // twice; without this the est join fans out per duplicate row. The
@@ -1056,22 +1064,28 @@ object Dedup {
     val baseSigs = spark.read.parquet(s"$dir/sigs")
       .select(col("__id").as("base_id"), col("__sig").as("b_sig"))
     // est feeds BOTH the base-text prefilter and the verify join below;
-    // the shared prefix up to the pair-dedup exchange is computed ONCE
-    // (ReuseExchange dedupes the identical subtrees — visible as
-    // ReusedExchange in the plan), so the sigs scan still runs once
+    // localCheckpoint materializes the candidate-pair-sized frame ONCE so
+    // the whole candidate-generation prefix — sigs scan, band join,
+    // matched-slice dedup — runs once per probe (Catalyst does NOT dedupe
+    // the two consumer subtrees by itself: the r18 plan dump carried zero
+    // ReusedExchange and TWO sigs scans), and both consumers read
+    // IDENTICAL survivor rows (the dropDuplicates pick is arbitrary per
+    // evaluation; one evaluation means one pick)
     val est = baseSigs
-      .join(broadcast(cand), "base_id")
+      .join(ProbeBroadcast.hint(cand, bcast), "base_id")
       .dropDuplicates("base_id", "q_id")
-      .join(broadcast(qSigs.select(col("q_id"), col("__sig").as("q_sig"))),
-        "q_id")
+      .join(ProbeBroadcast.hint(
+        qSigs.select(col("q_id"), col("__sig").as("q_sig")), bcast), "q_id")
       .withColumn("est", sigAgreementEst(col("b_sig"), col("q_sig"), p.k))
       .filter(col("est") >= threshold - estSlack)
       .select("base_id", "q_id")
+      .localCheckpoint()
     // shingle only the CANDIDATE ids' base texts: shingling the whole
     // corpus per probe is an O(base) CPU pass the probe contract says
     // must not exist (the candidate ids prefilter is broadcast-sized)
     val bt = baseText.select(col(baseIdCol).as("base_id"), col(textCol))
-      .join(broadcast(est.select("base_id").distinct()), "base_id")
+      .join(ProbeBroadcast.hint(est.select("base_id").distinct(), bcast),
+        "base_id")
       .select(col("base_id"),
         shingleCol(col(textCol), p.shingleN, p.native).as("b_toks"))
     val qt = queries.select(col(queryIdCol).as("q_id"),

@@ -993,12 +993,17 @@ private[graft] object BandedHashIndex {
     val qHashes = qHashes0
       .select(col("__id").as("__qid"), col("__hash").as("__qhash"))
       .localCheckpoint()
+    // query-side broadcast guard (the minhashIndexProbe rule): the hinted
+    // frames scale with the ingest batch; counted on the checkpointed
+    // frame, hints dropped above the bound (ProbeBroadcast; guide §3.1)
+    val bcast = ProbeBroadcast.broadcastSafe(spark, "BandedHashIndex.probe",
+      qHashes.count())
     val qBands = bandRows(
       qHashes.select(col("__qid").as("__id"), col("__qhash").as("__hash")),
       bands).select(col("__id").as("__qid"), col("band_id"), col("band_val"))
     val baseBands = spark.read.parquet(s"$dir/bands")
     val cand = baseBands
-      .join(broadcast(qBands), Seq("band_id", "band_val"))
+      .join(ProbeBroadcast.hint(qBands, bcast), Seq("band_id", "band_val"))
       .select(col("__id"), col("__qid")).distinct()
     // a retried append can leave duplicate hash rows — harmless for
     // membership, but a pair must never fan out. The dedup must not
@@ -1008,9 +1013,9 @@ private[graft] object BandedHashIndex {
     // rows — duplicate hash rows are value-identical by construction,
     // so any survivor carries the right hash.
     val baseHashes = spark.read.parquet(s"$dir/hashes")
-    baseHashes.join(broadcast(cand), "__id")
+    baseHashes.join(ProbeBroadcast.hint(cand, bcast), "__id")
       .dropDuplicates("__id", "__qid")
-      .join(broadcast(qHashes), "__qid")
+      .join(ProbeBroadcast.hint(qHashes, bcast), "__qid")
       .withColumn("hamming",
         bit_count(col("__hash").bitwiseXOR(col("__qhash"))))
       .filter(col("hamming") <= maxHamming)
