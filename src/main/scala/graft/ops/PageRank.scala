@@ -25,12 +25,16 @@ import org.apache.spark.sql.functions._
   *
   * Cross-engine determinism (the e4p discipline): each edge contribution
   * `rank/deg` is one double division (identical shape both engines),
-  * rounded to 12 dp and fixed as DECIMAL(28,12) BEFORE the per-target
-  * sum — exact and order-free, so the reduction order Spark's shuffle
-  * picks can never change a bit. The dangling mass D_k is the same
-  * 12-dp-round + DECIMAL sum over the dangling nodes' ranks (order-free
-  * again), and the per-iteration update is then one double expression of
-  * those exact sums.
+  * rounded to 12 dp and fixed BEFORE the per-target sum — exact and
+  * order-free, so the reduction order Spark's shuffle picks can never
+  * change a bit. Spark carries the fixed quantum as a LONG in 1e-12
+  * units (8-byte shuffle rows, codegen'd integer adds — see
+  * [[toFixedLong]]'s bit-exactness proof) while the oracle states the
+  * same arithmetic as DECIMAL(28,12) sums; the two encodings are the
+  * same integers. The dangling mass D_k is the same 12-dp-round +
+  * fixed-point sum over the dangling nodes' ranks (order-free again),
+  * and the per-iteration update is then one double expression of those
+  * exact sums.
   *
   * Shape per iteration: one broadcast-or-shuffle equi-join of the rank
   * table (N rows) onto the edge table (E rows, pre-joined ONCE with
@@ -99,14 +103,41 @@ object PageRank {
     * shuffle path by this bound, as it must. */
   val BroadcastNodeLimit: Long = 2000000L
 
+  /** The contribution/dangling-mass fixed point in 1e-12 units, as a
+    * LONG. Bit-exact vs the former decimal(28,12) chain, proven step by
+    * step (guide §2.3 narrower types — the per-iteration exchange carries
+    * 8-byte inline longs whose partial sums aggregate in codegen'd long
+    * adds, instead of variable-length BigDecimal buffers):
+    *  1. the 12-dp quantum is produced by the SAME double→decimal scale-12
+    *     HALF_UP cast as before ((16,12) and (28,12) round identically —
+    *     the value, < 10, fits both);
+    *  2. ×10^12 is EXACT decimal arithmetic ((16,12) × long→(20,0) →
+    *     (37,12) ≤ 38 digits, no precision loss) and the long cast
+    *     truncates an exact integer — so the long IS the old decimal's
+    *     unscaled value;
+    *  3. sums are exact integer arithmetic in both encodings, and total
+    *     rank mass ≤ ~1 bounds every sum below 2^53 ≪ Long.Max — no
+    *     overflow, and the long→double conversion below stays exact;
+    *  4. the read-out divides the exactly-converted sum by the exactly-
+    *     representable double 1e12: ONE correctly-rounded operation on the
+    *     same rational u/10^12 the old Decimal.toDouble produced (JDK
+    *     BigDecimal.doubleValue is correctly rounded) — bit-identical.
+    * Oracle-pinned empirically on top of the proof: e9d/e9d2 hash-match
+    * the unchanged DuckDB decimal chain. */
+  private val FixedPointUnits = 1000000000000L // 10^12
+  private def toFixedLong(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    (round(c, 12).cast("decimal(16,12)") * lit(FixedPointUnits)).cast("long")
+  private def fromFixedLong(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    c.cast("double") / lit(1e12)
+
   /** One damped power-method update of `rank` over `g`. */
   private def step(g: Graph, rank: DataFrame, damping: Double): DataFrame = {
     val base = lit((1.0 - damping) / g.n)
     val rankSide = if (g.n <= BroadcastNodeLimit) broadcast(rank) else rank
     val contrib = g.ed.join(rankSide, g.ed("__src") === rankSide("node"))
-      .select(col("__dst"),
-        round(col("rank") / col("__deg"), 12)
-          .cast("decimal(28,12)").as("__c"))
+      .select(col("__dst"), toFixedLong(col("rank") / col("__deg")).as("__c"))
     val sums = contrib.groupBy(col("__dst").as("node"))
       .agg(sum(col("__c")).as("__s"))
     // nodes ⋈ sums stays a shuffle join DELIBERATELY: broadcasting sums
@@ -119,23 +150,38 @@ object PageRank {
       case None =>
         joined.select(col("node"),
           (base + lit(damping) *
-            coalesce(col("__s").cast("double"), lit(0.0))).as("rank"))
+            fromFixedLong(coalesce(col("__s"), lit(0L)))).as("rank"))
       case Some(dang) =>
-        // D_k: exact order-free DECIMAL sum of the dangling ranks; ONE
+        // D_k: exact order-free fixed-point sum of the dangling ranks; ONE
         // row, broadcast onto every node's update (in-plan — no driver
         // action inside the iteration loop). rankSide: both inputs are
         // checkpointed (no usable size estimate), so the plain join
         // sort-merge-joined two N-row frames per iteration — under the
         // node bound the rank table broadcasts and dang streams.
         val dm = dang.join(rankSide, "node")
-          .agg(coalesce(sum(round(col("rank"), 12).cast("decimal(28,12)")),
-            lit(java.math.BigDecimal.ZERO).cast("decimal(28,12)")).as("__dm"))
+          .agg(coalesce(sum(toFixedLong(col("rank"))), lit(0L)).as("__dm"))
         joined.crossJoin(broadcast(dm))
           .select(col("node"),
             (base + lit(damping) *
-              (coalesce(col("__s").cast("double"), lit(0.0)) +
-                col("__dm").cast("double") / lit(g.n.toDouble))).as("rank"))
+              (fromFixedLong(coalesce(col("__s"), lit(0L))) +
+                fromFixedLong(col("__dm")) / lit(g.n.toDouble))).as("rank"))
     }
+  }
+
+  /** One UN-TRUNCATED damped update over `edges`' prepared graph — the
+    * per-iteration STEP plan for the plan-evidence tools (PlanDump/
+    * PlanCheck): [[pageRank]]'s final plan roots at a localCheckpoint by
+    * construction, so the per-iteration join strategies (edge⋈rank
+    * broadcast under the node bound, the deliberate nodes⋈sums
+    * sort-merge, the r18 dangling-join broadcast) are visible only here.
+    * Tool-only: the prepare/rank checkpoints it makes are released by GC
+    * after the explain (no bench loop runs this). */
+  private[graft] def stepPlan(edges: DataFrame, srcCol: String,
+                              dstCol: String,
+                              danglingMass: Boolean): DataFrame = {
+    val g = prepare(edges, srcCol, dstCol, danglingMass)
+    val rank = eager(g.nodes.select(col("node"), lit(1.0 / g.n).as("rank")))
+    step(g, rank, damping = 0.85)
   }
 
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,

@@ -220,6 +220,33 @@ object PlanCheck {
     bad
   }
 
+  /** Pin the PageRank per-iteration STEP plan (invisible in e9d/e9d2's
+    * checkpoint-rooted final plans): under the 2M node bound the rank
+    * table broadcasts into BOTH the edge join and the r18 dangling-mass
+    * join, so the step must carry at most ONE sort-merge join — the
+    * DELIBERATE nodes⋈sums shuffle join (broadcasting sums measured
+    * slower, see PageRank.step) — and ≥2 broadcast hash joins. A
+    * regression of the dangling join back to SMJ (two extra N-row
+    * exchanges per iteration) flips the count to 2. */
+  private def pageRankStepCheck(spark: org.apache.spark.sql.SparkSession,
+                                sfDir: String): Int = {
+    val plan = PlanTargets.pageRankStep(spark, sfDir, dangling = true)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // details-section nodes only ("(N) Op") — tree lines print "Op (N)"
+    // and would double-count
+    def nodes(op: String): Int =
+      java.util.regex.Pattern.compile(s"\\(\\d+\\) $op")
+        .matcher(plan).results().count().toInt
+    val smj = nodes("SortMergeJoin")
+    val bhj = nodes("BroadcastHashJoin")
+    val ok = smj <= 1 && bhj >= 2
+    println(s"  [${if (ok) "OK " else "MISS"}] pagerank dangling step: " +
+      s"$smj SortMergeJoin (≤1: only the deliberate nodes⋈sums), " +
+      s"$bhj BroadcastHashJoin (≥2: edge join + dangling join)")
+    if (ok) 0 else 1
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq else expectations.keys.toSeq.sorted
@@ -228,6 +255,8 @@ object PlanCheck {
     if (args.length <= 1) {
       println("========== anti-pattern sweep (all queries) ==========")
       failed += antiPatternSweep(spark, sfDir)
+      println("========== pagerank step-plan pin ==========")
+      failed += pageRankStepCheck(spark, sfDir)
     }
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

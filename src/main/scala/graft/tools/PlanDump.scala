@@ -19,7 +19,15 @@ object PlanDump {
     val spark = GraftSession.local("graft-plan-dump")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = name match {
+        // per-iteration PageRank STEP plans (e9d/e9d2's final plans root
+        // at a checkpoint; the iteration's join strategies live here) —
+        // same edge tables as the gate queries
+        case "pagerank_step" | "pagerank_step_dangling" =>
+          PlanTargets.pageRankStep(spark, sfDir,
+            dangling = name.endsWith("_dangling"))
+        case _ => SparkEntry.queries(name)(spark, sfDir)
+      }
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       java.nio.file.Files.writeString(
