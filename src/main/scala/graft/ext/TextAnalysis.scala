@@ -901,6 +901,47 @@ object TextAnalysis {
       mergedIslands(dupHits, idCol))
   }
 
+  /** Admission-cycle fusion of [[gramIndexSpanCoverage]] (probe) and
+    * [[gramIndexAppend]] (admit): coverage of the batch against the index
+    * AS COMMITTED BEFORE this call, then the batch's grams appended —
+    * exactly the probe-first/append-after order a resident admission
+    * service (and the t17 replay twin) pays per micro-batch, with the
+    * batch's position stream computed ONCE instead of once per call
+    * (guide §1.2: the explode + gram hash is the batch's dominant CPU
+    * term and both halves consume it). Equivalences, both load-bearing:
+    * the returned coverage is [[gramIndexSpanCoverage]]'s bit-for-bit
+    * (same hits, same index state — the coverage is MATERIALIZED, via
+    * localCheckpoint, before the append executes, so the semi-join can
+    * never see the batch's own grams), and the appended rows are
+    * [[gramIndexAppend]]'s exactly (distinct over __g; __gbucket is a
+    * function of __g). The checkpointed frames are batch-sized (the
+    * harness-bounded ingest slice, never the index).
+    *
+    * @return the coverage frame (idCol, text_len, covered_chars,
+    *         dup_span_frac), already materialized */
+  def gramIndexProbeAndAdmit(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, batch: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
+    val p = gramReadParams(spark, dir)
+    val withT = spanDocFrame(batch, idCol, textCol)
+    // ONE position pass for both halves, materialized so probe and append
+    // read it instead of re-exploding the batch
+    val hits = positionHits(withT, idCol, p.n, p.hashed)
+      .withColumn("__gbucket", gramBucketCol(col("__g"), p.nBuckets))
+      .localCheckpoint()
+    val index = spark.read.parquet(s"$dir/grams")
+    val dupHits = hits.join(index, Seq("__gbucket", "__g"), "left_semi")
+      .select(col(idCol), col("__s"), col("__e"))
+    // pin the probe result BEFORE the append lands (a lazy coverage frame
+    // executed after the append would count the batch against itself)
+    val coverage = dupSpanCoverageFromIslands(batch, idCol, textCol,
+      mergedIslands(dupHits, idCol)).localCheckpoint()
+    hits.select(col("__g"), col("__gbucket")).distinct()
+      .write.mode("append").partitionBy("__gbucket").parquet(s"$dir/grams")
+    graft.core.Checkpoints.release(hits) // both halves done with it
+    coverage
+  }
+
   /** Benchmark span CONTAMINATION coverage: per corpus doc, how many of
     * its characters sit inside an n-char substring that also occurs
     * anywhere in a held-out benchmark corpus — the span-level

@@ -511,6 +511,12 @@ object ReferenceQueries {
         require(derivedM.exceptAll(oneShot).isEmpty &&
           oneShot.exceptAll(derivedM).isEmpty,
           "a10: maintained v2 moments diverge from the one-shot aggregation")
+        // the pin is done with both checkpoints — free their blocks NOW
+        // (Checkpoints.release) instead of at GC, so the bench's min-of-3
+        // loop never runs against leaked block-manager pressure (the r12
+        // e9d variance mode; the returned frame below is a fresh read)
+        graft.core.Checkpoints.release(derivedM)
+        graft.core.Checkpoints.release(oneShot)
         // hashed output via the ONE shared hash-safe chain (value-
         // preserving exact down-casts — equals readDerived's numbers
         // wherever both are exact; see lineitemMomentHashCols)
@@ -879,6 +885,9 @@ object ReferenceQueries {
           oneShotSel.exceptAll(derived).isEmpty,
           "a18: maintained keyed moments diverge from the one-shot " +
             "latest-per-key aggregation")
+        // oneShotSel is pin-only — release its blocks now (the a10 rule);
+        // `derived` stays: the returned frame reads it
+        graft.core.Checkpoints.release(oneShotSel)
         derived.select(col("event_type"), col("cnt"),
           col("cntv_value").as("cntv"),
           col("sum_value").cast("double").as("sum_value"),

@@ -547,6 +547,9 @@ object StreamingReplayQueries {
       require(derived.exceptAll(oneShot).isEmpty &&
         oneShot.exceptAll(derived).isEmpty,
         "t14: replayed v2 moments diverge from the one-shot aggregation")
+      // oneShot is pin-only — release its blocks now (the a10 rule);
+      // `derived` stays: the returned frame reads it
+      graft.core.Checkpoints.release(oneShot)
       derived.select(col("eventType").as("event_type"), col("cnt"),
         col("cntv_value").as("cntv"),
         col("sum_value").cast("double").as("sum_value"),
@@ -790,11 +793,14 @@ object StreamingReplayQueries {
             try {
               if (b.head(1).nonEmpty) {
                 // probe FIRST (coverage against prior generations only),
-                // append AFTER — the admission order
-                TextAnalysis.gramIndexSpanCoverage(s, idxDir, b,
-                    "doc_id", "text")
-                  .write.mode("append").parquet(covDir)
-                TextAnalysis.gramIndexAppend(s, idxDir, b, "doc_id", "text")
+                // append AFTER — the admission order, fused so the batch's
+                // position stream is computed once per micro-batch (the
+                // separate probe + append calls each re-exploded the
+                // batch; coverage is materialized pre-append inside)
+                val cov = TextAnalysis.gramIndexProbeAndAdmit(s, idxDir, b,
+                  "doc_id", "text")
+                cov.write.mode("append").parquet(covDir)
+                graft.core.Checkpoints.release(cov)
               }
             } finally { b.unpersist(); () }
           }

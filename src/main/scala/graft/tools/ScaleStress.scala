@@ -1079,6 +1079,20 @@ object ScaleStress {
             spark, idx, batch, "doc_id", "text").localCheckpoint()
         }
         jline("gramidx_probe", rep, tProbe, probed.count())
+        // the FUSED admission cycle (t17's per-micro-batch shape: probe
+        // coverage against the committed index, then append the batch's
+        // grams — one position pass for both halves): its cost must stay
+        // flat in base size like the bare probe, since the append is
+        // O(batch grams) by contract
+        val admitBatch = base.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 910000000L).as("doc_id"),
+            concat(col("text"), lit(" admitnoveltail")).as("text"))
+          .localCheckpoint()
+        val (admitCov, tAdmit) = timed {
+          graft.ext.TextAnalysis.gramIndexProbeAndAdmit(
+            spark, idx, admitBatch, "doc_id", "text")
+        }
+        jline("gramidx_probe_admit", rep, tAdmit, admitCov.count())
         val (direct, tDirect) = timed {
           graft.ext.TextAnalysis.dupSpanCoverage(
             base.select("doc_id", "text").unionByName(batch),
