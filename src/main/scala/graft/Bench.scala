@@ -44,9 +44,17 @@ object Bench {
     // steady-state cost — the number a resident service would see.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
 
-    // warm the JVM/codegen once on the smallest query so the first measured
-    // entry doesn't pay session startup
-    try SparkEntry.queries.head._2(spark, sfDir).write.format("noop")
+    // warm the JVM/codegen once so the first measured entry doesn't pay
+    // session startup. DETERMINISTIC (r18 verdict #4): the old
+    // `queries.head` of an unordered Map warmed a machine-dependent entry,
+    // so the alphabetically-FIRST measured entry (a10 — which also runs
+    // the IVM write path and the exceptAll pins, the exact code its
+    // measured runs exercise) absorbed first-in-session JIT/parquet-footer
+    // costs in some sessions and not others. Warm that entry itself;
+    // `warmup_entry` on the bench line records it (additions-only — no
+    // existing field or methodology changed).
+    val warmupEntry = SparkEntry.queries.keys.min
+    try SparkEntry.queries(warmupEntry)(spark, sfDir).write.format("noop")
       .mode("overwrite").save()
     catch { case scala.util.control.NonFatal(_) => () }
 
@@ -225,6 +233,7 @@ object Bench {
     // "which stat is the gate" note). Persisted to BENCH_LINE.json, which
     // survives any stdout-tail truncation.
     val line = s"""{"queries":$qs,"queries_median":${jsonMap(medians)},""" +
+      s""""warmup_entry":"$warmupEntry",""" +
       s""""sync_rows":$syncRows,"runs_per_query":$runs,""" +
       s""""sf":"$sfDir","sync_rows_per_sec":${syncRps.round},""" +
       s""""sync_rows_per_sec_median":${syncRpsMedian.round},""" +
@@ -270,6 +279,7 @@ object Bench {
     System.err.println(s"[bench] twin reclaim providers=$twinProviders" +
       s" views=$twinViews cachedMb=$twinCachedMb")
     val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""warmup_entry":"$warmupEntry",""" +
       s""""sf":"$sfDir","n_queries":${all.size},"runs_per_query":$runs,""" +
       s""""gate_stat":"min","sync_rows":$syncRows,""" +
       s""""sync_rows_per_sec":${syncRps.round},""" +

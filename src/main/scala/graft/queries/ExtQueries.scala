@@ -16,21 +16,35 @@ import graft.ops.{PageRank, RangeLayout, ZOrder}
 object ExtQueries {
 
   /** Decode-lane parallelism for the mapPartitions codec batches:
-    * derived from the INPUT's own partition count (×8 — codec batches
-    * are CPU-bound, so a scan partition fans out into several decode
+    * derived from the INPUT's estimated scan-split count (×8 — codec
+    * batches are CPU-bound, so a scan split fans out into several decode
     * tasks), capped at the session's core count — never a constant
-    * (guide §2: scale-adaptive partitioning). The previous fixed 8 was
-    * tuned to nothing; a first cut of bare defaultParallelism measured
-    * a real gate-scale cost (e3l +0.35 s dual-stat: 32-way repartition
-    * of a few-hundred-row frame buys no decode parallelism and pays
-    * ~25 extra task schedules per lane), while this form reproduces the
-    * measured-good width on small inputs and still reaches every core
-    * once the input carries enough scan partitions. Results are
+    * (guide §2: scale-adaptive partitioning). The split count comes from
+    * the optimized plan's size estimate over `files.maxPartitionBytes` —
+    * PLAN-ONLY arithmetic, unlike the previous `.rdd.getNumPartitions`,
+    * which forced a full physical planning pass per call site (and under
+    * AQE would materialize upstream shuffle stages, making plan-only
+    * tools run real jobs). A union's estimate is the SUM of its inputs',
+    * so the 3–4-way media unions (e3h/e3j/e3l) now size their lanes from
+    * everything they decode, not from the base arm alone. History: the
+    * fixed 8 was tuned to nothing; bare defaultParallelism measured a
+    * real gate-scale cost (e3l +0.35 s dual-stat: 32-way repartition of
+    * a few-hundred-row frame buys no decode parallelism and pays ~25
+    * extra task schedules per lane); this form reproduces the
+    * measured-good width on small inputs (≤1 split → 8 lanes) and still
+    * reaches every core once the input is ≥ cores/8 splits. Results are
     * repartition-invariant (per-row decode feeding row-level or
     * aggregated outputs). */
-  private def decodePar(in: org.apache.spark.sql.DataFrame): Option[Int] = {
+  private[queries] def decodePar(
+      in: org.apache.spark.sql.DataFrame): Option[Int] = {
     val cores = in.sparkSession.sparkContext.defaultParallelism
-    Some(math.max(2, math.min(cores, in.rdd.getNumPartitions * 8)))
+    val splitBytes = math.max(1L,
+      in.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+    val bytes = in.queryExecution.optimizedPlan.stats.sizeInBytes
+    // BigInt: a missing estimate propagates as Long.MaxValue-ish — the
+    // min() against the core count bounds it either way
+    val splits = ((bytes + splitBytes - 1) / splitBytes).max(1)
+    Some((splits * 8).min(BigInt(cores)).max(BigInt(2)).toInt)
   }
 
   /** DuckDB oracle for `e9d_pagerank`: the SAME fixed damped power
@@ -826,9 +840,11 @@ object ExtQueries {
       val edited = Multimodal.plantedNoisePngMedia(ids, "doc_id",
           editPixel = true)
         .withColumn("media_id", col("media_id") + 200000)
-      val hashes = Multimodal.imageDHashes(
-        base.unionByName(resized).unionByName(edited),
-        batchPartitions = decodePar(base)).filter(col("dhash").isNotNull)
+      // lanes sized from the UNION the decode actually runs over (3× the
+      // base arm), not from base alone — the r18 undersizing nit
+      val allMedia = base.unionByName(resized).unionByName(edited)
+      val hashes = Multimodal.imageDHashes(allMedia,
+        batchPartitions = decodePar(allMedia)).filter(col("dhash").isNotNull)
       graft.ext.TextAnalysis.simhashCandidates(
           hashes, "media_id", "dhash", maxHamming = 3, bands = 4)
         .select(col("a_id"), col("b_id"))
@@ -924,9 +940,11 @@ object ExtQueries {
       val edited = Multimodal.plantedNoisePcmMedia(ids, "doc_id",
           editWindow = true)
         .withColumn("media_id", col("media_id") + 300000)
-      val hashes = Multimodal.audioEnvelopeHashes(
-        base.unionByName(resampled).unionByName(quiet).unionByName(edited),
-        batchPartitions = decodePar(base)).filter(col("ahash").isNotNull)
+      // lanes sized from the UNION (4× the base arm) — the r18 nit
+      val allMedia = base.unionByName(resampled).unionByName(quiet)
+        .unionByName(edited)
+      val hashes = Multimodal.audioEnvelopeHashes(allMedia,
+        batchPartitions = decodePar(allMedia)).filter(col("ahash").isNotNull)
       graft.ext.TextAnalysis.simhashCandidates(
           hashes, "media_id", "ahash", maxHamming = 3, bands = 4)
         .select(col("a_id"), col("b_id"))
@@ -1004,9 +1022,10 @@ object ExtQueries {
       val clipped = Multimodal.plantedNoiseVideoMedia(ids, "doc_id",
           variant = "clipped")
         .withColumn("media_id", col("media_id") + 200000)
-      val frames = Multimodal.videoFrameDHashes(
-        base.unionByName(resized).unionByName(clipped),
-        batchPartitions = decodePar(base))
+      // lanes sized from the UNION (3× the base arm) — the r18 nit
+      val allMedia = base.unionByName(resized).unionByName(clipped)
+      val frames = Multimodal.videoFrameDHashes(allMedia,
+        batchPartitions = decodePar(allMedia))
       Multimodal.videoNearDupPairs(frames, maxHamming = 2,
           minSharedFrames = 2)
         .select(col("a_id"), col("b_id"), col("shared_frames"))
@@ -2783,8 +2802,10 @@ object ExtQueries {
     // dangling mass): the graph-CENTRALITY layer above e9's components
     // (rank within a graph, e.g. most-connected canonical doc). Fixed 5
     // damped power iterations; each edge contribution rank/deg is 12-dp
-    // rounded and DECIMAL-summed (order-free — shuffle reduction order
-    // can never change a bit), the update is one double expression. The
+    // rounded and exactly summed (order-free — shuffle reduction order
+    // can never change a bit; Spark carries the quantum as a fixed-point
+    // LONG, the oracle as DECIMAL — the same integers, see
+    // PageRank.toFixedLong), the update is one double expression. The
     // oracle UNROLLS the same 5 iterations as chained CTEs (generated by
     // pageRankOracleSql) with every literal forced to DOUBLE.
     "e9d_pagerank" -> Q(pageRankOracleSql(iterations = 5)) {
