@@ -107,27 +107,33 @@ object PageRank {
     * LONG. Bit-exact vs the former decimal(28,12) chain, proven step by
     * step (guide §2.3 narrower types — the per-iteration exchange carries
     * 8-byte inline longs whose partial sums aggregate in codegen'd long
-    * adds, instead of variable-length BigDecimal buffers):
-    *  1. the 12-dp quantum is produced by the SAME double→decimal scale-12
-    *     HALF_UP cast as before ((16,12) and (28,12) round identically —
-    *     the value, < 10, fits both);
-    *  2. ×10^12 is EXACT decimal arithmetic ((16,12) × long→(20,0) →
-    *     (37,12) ≤ 38 digits, no precision loss) and the long cast
-    *     truncates an exact integer — so the long IS the old decimal's
-    *     unscaled value;
+    * adds, instead of variable-length BigDecimal buffers — and the
+    * per-edge conversion is pure double arithmetic, no BigDecimal op; a
+    * first cut via `cast(decimal(16,12)) * 10^12` was measured ×1.5
+    * SLOWER at the ×100 stress graph — a JavaBigDecimal multiply per edge
+    * traded exchange bytes for map CPU):
+    *  1. `round(c, 12)` (shared with the old chain) yields the double r
+    *     nearest the true 12-dp decimal R = I·10⁻¹², and the old
+    *     double→decimal(…,12) cast recovered exactly I (r's shortest
+    *     decimal form IS R: any shorter string differs by ≥ 10⁻¹¹ ≫
+    *     ulp(r), so it parses to a different double);
+    *  2. `floor(r·1e12 + 0.5)` recovers the SAME I in pure doubles:
+    *     R ≤ ~1, so I = R·10¹² ≤ ~10¹² is exactly representable, and
+    *     fl(r·1e12) = I + δ with |δ| ≤ |r−R|·10¹² + ulp(10¹²)/2 ≤
+    *     1.1e-4 + 6.1e-5 ≪ 0.5 — the +0.5/floor therefore lands on I
+    *     exactly, and the long cast of an exact ≤2^53 integer is exact;
     *  3. sums are exact integer arithmetic in both encodings, and total
     *     rank mass ≤ ~1 bounds every sum below 2^53 ≪ Long.Max — no
     *     overflow, and the long→double conversion below stays exact;
     *  4. the read-out divides the exactly-converted sum by the exactly-
     *     representable double 1e12: ONE correctly-rounded operation on the
-    *     same rational u/10^12 the old Decimal.toDouble produced (JDK
+    *     same rational I/10^12 the old Decimal.toDouble produced (JDK
     *     BigDecimal.doubleValue is correctly rounded) — bit-identical.
     * Oracle-pinned empirically on top of the proof: e9d/e9d2 hash-match
     * the unchanged DuckDB decimal chain. */
-  private val FixedPointUnits = 1000000000000L // 10^12
   private def toFixedLong(c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
-    (round(c, 12).cast("decimal(16,12)") * lit(FixedPointUnits)).cast("long")
+    floor(round(c, 12) * lit(1e12) + lit(0.5)).cast("long")
   private def fromFixedLong(c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
     c.cast("double") / lit(1e12)
