@@ -265,6 +265,16 @@ object Bench {
     System.err.println(s"[bench] pagerank releases fired=" +
       s"${graft.ops.PageRank.releasesFired.get}" +
       s" missed=${graft.ops.PageRank.releasesMissed.get}")
+    // the r19 counters, same treatment: the probe broadcast guard's
+    // fallback count (expected 0 in-gate — gate batches sit far under the
+    // bound; a nonzero here means a probe shuffle-joined) and the query-
+    // layer checkpoint releases (a10/a18/t14 pins + the fused t17 op —
+    // a growing missed count means frees regressed to GC timing)
+    System.err.println(s"[bench] probe broadcast fallbacks=" +
+      s"${graft.ext.ProbeBroadcast.fallbacks.get}" +
+      s" checkpoint releases fired=" +
+      s"${graft.core.Checkpoints.releasesFired.get}" +
+      s" missed=${graft.core.Checkpoints.releasesMissed.get}")
     // per-twin reclaim evidence: loaded state-store providers each twin
     // LEFT BEHIND (unloaded at its reclaim — so the NEXT entry started
     // clean), memory-sink views dropped, cached bytes at reclaim. A twin
